@@ -1,0 +1,71 @@
+"""CLI mirroring the reference's ``deltasort`` binary (main.rs:12-52):
+
+    python -m delta_sorter_spark.cli --table URI --sort-columns a,b
+        [--target-file-size-bytes N] [--predicate EXPR] [--concurrency N]
+        [--dry-run] [--validate-only] [--repartition-by-sort-key]
+        [--log-level LEVEL] [--nulls first|last]
+
+Exit codes: 0 ok; 1 validation violations (main.rs:84-86); 2 usage errors.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="deltasort", description=__doc__)
+    p.add_argument("--table", required=True, help="Table URI, e.g. /path/to/table")
+    p.add_argument(
+        "--sort-columns", required=True, help="Comma-separated sort columns, e.g. objectId,dateTime"
+    )
+    p.add_argument("--target-file-size-bytes", type=int, default=None)
+    p.add_argument("--predicate", default=None, help="Scope compaction to matching partitions")
+    p.add_argument("--concurrency", type=int, default=8)
+    p.add_argument("--dry-run", action="store_true")
+    p.add_argument("--validate-only", action="store_true")
+    p.add_argument("--repartition-by-sort-key", action="store_true")
+    p.add_argument("--log-level", default="info")
+    p.add_argument("--nulls", choices=["first", "last"], default="first")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    logging.basicConfig(level=args.log_level.upper(), format="%(asctime)s %(name)s %(message)s")
+    sort_columns = [c.strip() for c in args.sort_columns.split(",") if c.strip()]
+
+    from delta_sorter_spark import api
+
+    if args.validate_only:
+        report = api.validate(args.table, sort_columns, nulls=args.nulls)
+        print(
+            f"checked_files={report['checked_files']} "
+            f"boundary_violations={report['boundary_violations']}"
+        )
+        for d in report["details_sample"]:
+            print(f"  {d}")
+        return 1 if report["boundary_violations"] > 0 else 0
+
+    metrics = api.compact(
+        args.table,
+        sort_columns,
+        target_file_size_bytes=args.target_file_size_bytes,
+        predicate=args.predicate,
+        concurrency=args.concurrency,
+        dry_run=args.dry_run,
+        repartition_by_sort_key=args.repartition_by_sort_key,
+        nulls=args.nulls,
+    )
+    print(
+        f"planned={metrics.planned_partitions} rewritten={metrics.rewritten_partitions} "
+        f"skipped={metrics.skipped_partitions} files {metrics.files_in}->{metrics.files_out} "
+        f"bytes {metrics.bytes_in}->{metrics.bytes_out} duration_ms={metrics.duration_ms}"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

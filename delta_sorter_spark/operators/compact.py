@@ -1,0 +1,252 @@
+"""Compaction with global/per-partition lexicographic ordering
+(reference compact_with_sort, lib.rs:166-248; rewrite lib.rs:778-896; strict
+overwrite lib.rs:427-481).
+
+Two modes, matching the reference dispatch (lib.rs:169-178):
+
+- **strict** (``repartition_by_sort_key=True``): read all -> global
+  ``orderBy(keys)`` -> atomic full-table overwrite.  Spark's global sort is
+  sampled *range partitioning* + per-range external sort, so output files
+  carry disjoint key ranges and the table comes out globally ordered — the
+  100 TB unlock the reference's single-process sort cannot reach (SURVEY §4
+  "Global sort strategy").  Empty sort columns -> no-op (lib.rs:437-439).
+
+- **partition-aware** (default): group active files by Hive partition
+  (plans.inventory), validate each group (metadata-fast), keep only
+  *unsorted* groups (the reference's core work-avoidance idea,
+  lib.rs:299-311; validator errors conservatively include the group,
+  lib.rs:306-310), then rewrite failing groups largest-first
+  (lib.rs:313) under bounded concurrency (lib.rs:209-224) with
+  replaceWhere-scoped commits (lib.rs:862-885).
+
+All rewrites are committed with ``dataChange=false`` (lib.rs:818-828) so
+downstream streams/CDC see no new data, and with exact key-stat attestation
+so the *next* validation of the table is metadata-only.
+
+The reference's ``--predicate`` is parsed but never applied ("Reserved for
+future filtering support", lib.rs:97,106).  We implement it (SURVEY M4) with
+safe semantics: it *scopes* the partition-aware plan to partitions whose
+partition values satisfy the predicate — it never drops data rows.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from collections.abc import Sequence
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+
+from pyspark.sql import SparkSession
+
+from delta_sorter_spark.functions.keys import sort_order_columns
+from delta_sorter_spark.functions.predicates import (
+    partition_filter_expr,
+    render_partition_predicate,
+    validate_sort_columns,
+)
+from delta_sorter_spark.operators.validate import partition_is_sorted
+from delta_sorter_spark.plans.inventory import RewriteGroup, group_by_partition
+from delta_sorter_spark.sources.delta_table import DeltaTable
+
+log = logging.getLogger("delta_sorter_spark.compact")
+
+DEFAULT_CONCURRENCY = 8  # reference default, main.rs:30-31 / lib.rs:119
+
+
+@dataclass
+class SortConfig:
+    """Reference SortConfig (lib.rs:102-125)."""
+
+    sort_columns: list[str]
+    target_file_size_bytes: int | None = None
+    predicate: str | None = None
+    concurrency: int = DEFAULT_CONCURRENCY
+    dry_run: bool = False
+    repartition_by_sort_key: bool = False  # strict mode
+    nulls_first: bool = True  # default "first", lib.rs:122
+
+
+@dataclass
+class PartitionMetrics:
+    """Per-partition rewrite metrics (lib.rs:152-160, 886-895)."""
+
+    partition_key: str
+    files_in: int
+    files_out: int
+    bytes_in: int
+    bytes_out: int
+    duration_ms: int
+
+
+@dataclass
+class CompactMetrics:
+    planned_partitions: int = 0
+    rewritten_partitions: int = 0
+    skipped_partitions: int = 0
+    files_in: int = 0
+    files_out: int = 0
+    bytes_in: int = 0
+    bytes_out: int = 0
+    duration_ms: int = 0
+    dry_run: bool = False
+    partitions: list[PartitionMetrics] = field(default_factory=list)
+
+
+def compact_with_sort(spark: SparkSession, table_uri: str, config: SortConfig) -> CompactMetrics:
+    started = time.monotonic()
+    table = DeltaTable(spark, table_uri)
+
+    if config.repartition_by_sort_key:
+        metrics = _strict_overwrite(table, config)
+    else:
+        metrics = _partition_aware(table, config)
+    metrics.duration_ms = int((time.monotonic() - started) * 1000)
+    log.info(
+        "compact summary: partitions planned=%d rewritten=%d skipped=%d "
+        "files %d->%d bytes %d->%d in %dms",
+        metrics.planned_partitions,
+        metrics.rewritten_partitions,
+        metrics.skipped_partitions,
+        metrics.files_in,
+        metrics.files_out,
+        metrics.bytes_in,
+        metrics.bytes_out,
+        metrics.duration_ms,
+    )
+    return metrics
+
+
+def _strict_overwrite(table: DeltaTable, config: SortConfig) -> CompactMetrics:
+    """C5: full-table sorted overwrite.  Fixes the reference's broken
+    strict-from-Python path (xfail upstream issue #17,
+    python/tests/test_validate_and_compact.py:53-59)."""
+    metrics = CompactMetrics(dry_run=config.dry_run)
+    if not config.sort_columns:
+        return metrics  # no-op, lib.rs:437-439
+    state = table.state()
+    validate_sort_columns(state.metadata.data_schema, config.sort_columns)
+    metrics.planned_partitions = 1
+    metrics.files_in = len(state.adds)
+    metrics.bytes_in = sum(a.size for a in state.adds)
+    if config.dry_run:
+        return metrics
+
+    df = table.to_df(adds=state.adds)
+    sorted_df = df.orderBy(*sort_order_columns(config.sort_columns, config.nulls_first))
+    adds = table.stage_write(
+        sorted_df,
+        stat_columns=config.sort_columns,
+        target_file_size_bytes=config.target_file_size_bytes,
+        data_change=False,
+        sorted_within_files=True,
+    )
+    removes = [a.remove_action(False) for a in state.adds]
+    table.commit_rewrite(adds, removes, predicate=None, operation="OPTIMIZE")
+    metrics.rewritten_partitions = 1
+    metrics.files_out = len(adds)
+    metrics.bytes_out = sum(a.size for a in adds)
+    return metrics
+
+
+def _plan_rewrites(table: DeltaTable, config: SortConfig) -> tuple[list[RewriteGroup], int]:
+    """C1: inventory -> per-partition validate -> failing groups only,
+    largest-first (lib.rs:251-319)."""
+    state = table.state()
+    validate_sort_columns(state.metadata.data_schema, config.sort_columns)
+    groups = group_by_partition(state.adds)
+    if config.predicate and state.metadata.partition_columns:
+        groups = _scope_groups_by_predicate(table, groups, config.predicate)
+    total = len(groups)
+    failing: list[RewriteGroup] = []
+    for grp in groups:
+        try:
+            ok = partition_is_sorted(table, grp.files, config.sort_columns, config.nulls_first)
+        except Exception:  # conservatively include (lib.rs:306-310)
+            log.warning("validation failed for partition %s; scheduling rewrite", grp.partition_key)
+            ok = False
+        if not ok:
+            failing.append(grp)
+    return failing, total
+
+
+def _scope_groups_by_predicate(
+    table: DeltaTable, groups: list[RewriteGroup], predicate: str
+) -> list[RewriteGroup]:
+    """P5: evaluate the user predicate against each partition's values (one
+    tiny local DataFrame, no data scan) and keep matching groups."""
+    meta = table.metadata
+    part_cols = meta.partition_columns
+    spark = table.spark
+    rows = []
+    for grp in groups:
+        rows.append(tuple(grp.partition_values.get(c) for c in part_cols) + (grp.partition_key,))
+    schema = ", ".join([f"`{c}` string" for c in part_cols] + ["`__group_key__` string"])
+    pdf = spark.createDataFrame(rows, schema)
+    for c in part_cols:
+        pdf = pdf.withColumn(c, pdf[c].cast(meta.schema[c].dataType))
+    keep = {r["__group_key__"] for r in pdf.where(predicate).select("__group_key__").collect()}
+    return [g for g in groups if g.partition_key in keep]
+
+
+def _partition_aware(table: DeltaTable, config: SortConfig) -> CompactMetrics:
+    metrics = CompactMetrics(dry_run=config.dry_run)
+    failing, total = _plan_rewrites(table, config)
+    metrics.planned_partitions = len(failing)
+    metrics.skipped_partitions = total - len(failing)
+    metrics.files_in = sum(len(g.files) for g in failing)
+    metrics.bytes_in = sum(g.estimated_bytes for g in failing)
+    if config.dry_run:
+        log.info("dry-run: %d partitions would be rewritten", len(failing))
+        return metrics
+
+    concurrency = max(config.concurrency, 1)  # lib.rs:209-224
+    with ThreadPoolExecutor(max_workers=concurrency) as pool:
+        results = list(pool.map(lambda g: _rewrite_group(table, g, config), failing))
+    for pm in results:
+        metrics.partitions.append(pm)
+        metrics.rewritten_partitions += 1
+        metrics.files_out += pm.files_out
+        metrics.bytes_out += pm.bytes_out
+    return metrics
+
+
+def _rewrite_group(table: DeltaTable, grp: RewriteGroup, config: SortConfig) -> PartitionMetrics:
+    """One partition rewrite (reference rewrite_partition_tx,
+    lib.rs:778-896): scoped read (file-level pruning from the log) -> sort ->
+    stage write -> replaceWhere commit with dataChange=false."""
+    started = time.monotonic()
+    meta = table.metadata
+    df = table.to_df(adds=grp.files)
+    if grp.partition_values:
+        # Belt-and-braces: the file list already prunes to the partition;
+        # the filter also documents intent to Catalyst (partition pruning).
+        df = df.where(partition_filter_expr(grp.partition_values, meta.schema))
+    sorted_df = df.orderBy(*sort_order_columns(config.sort_columns, config.nulls_first))
+    adds = table.stage_write(
+        sorted_df,
+        stat_columns=config.sort_columns,
+        target_file_size_bytes=config.target_file_size_bytes,
+        data_change=False,
+        sorted_within_files=True,
+    )
+    predicate = (
+        render_partition_predicate(grp.partition_values, meta.schema)
+        if grp.partition_values
+        else None
+    )
+    removes = [a.remove_action(False) for a in grp.files]
+    table.commit_rewrite(adds, removes, predicate=predicate, operation="OPTIMIZE")
+    pm = PartitionMetrics(
+        partition_key=grp.partition_key,
+        files_in=len(grp.files),
+        files_out=len(adds),
+        bytes_in=grp.estimated_bytes,
+        bytes_out=sum(a.size for a in adds),
+        duration_ms=int((time.monotonic() - started) * 1000),
+    )
+    log.info(
+        "partition %s: files %d->%d bytes %d->%d in %dms",
+        pm.partition_key, pm.files_in, pm.files_out, pm.bytes_in, pm.bytes_out, pm.duration_ms,
+    )
+    return pm

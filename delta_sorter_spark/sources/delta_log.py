@@ -1,0 +1,269 @@
+"""Minimal Delta Lake transaction log (reader + writer), pure Python.
+
+This environment has no ``delta-spark`` JARs, so the engine implements the
+(public) Delta transaction-log protocol directly for the subset the reference
+exercises:
+
+- versioned JSON commit files ``_delta_log/%020d.json`` containing
+  ``protocol`` / ``metaData`` / ``add`` / ``remove`` / ``commitInfo`` actions;
+- table state = replay of all commits in version order (last metaData wins,
+  adds cancelled by removes keyed on path) — the same replay the reference
+  gets from delta-rs (reference lib.rs:252-296 enumerates Add actions of the
+  current snapshot);
+- per-file ``stats`` JSON (numRecords / minValues / maxValues / nullCount) so
+  validation can be O(metadata), which SURVEY §4 calls out as our improvement
+  over the reference's full-file scans (lib.rs:609-665);
+- optimistic concurrency: a commit targets version N and fails if
+  ``%020d.json`` already exists (atomic O_CREAT|O_EXCL); callers retry after
+  re-reading state.  Mirrors the reference's single-commit CommitBuilder flow
+  (lib.rs:862-885).
+
+Not implemented (out of the reference's scope): checkpoints, deletion
+vectors, column mapping, CDC files.  Fine for maintenance-tool parity; the
+log replay is O(#commits), and a compaction tool issues few commits.
+
+The ``schemaString`` in metaData uses Spark's StructType JSON, which is the
+same format Delta uses, so round-tripping through ``StructType.fromJson`` is
+exact.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import types as T
+
+
+class DeltaCommitConflict(Exception):
+    """Another writer claimed the target version first."""
+
+
+@dataclass
+class AddAction:
+    path: str  # relative, POSIX, possibly "col=val/part-....parquet"
+    size: int
+    partition_values: dict[str, str | None] = field(default_factory=dict)
+    modification_time: int = 0
+    data_change: bool = True
+    stats: dict | None = None  # numRecords / minValues / maxValues / nullCount
+
+    def to_json(self) -> dict:
+        d = {
+            "path": self.path,
+            "partitionValues": self.partition_values,
+            "size": self.size,
+            "modificationTime": self.modification_time,
+            "dataChange": self.data_change,
+        }
+        if self.stats is not None:
+            d["stats"] = json.dumps(self.stats)
+        return {"add": d}
+
+    def remove_action(self, data_change: bool = False) -> "RemoveAction":
+        """Tombstone for this file (reference lib.rs:410-415, 831-855)."""
+        return RemoveAction(
+            path=self.path,
+            partition_values=self.partition_values,
+            size=self.size,
+            data_change=data_change,
+        )
+
+
+@dataclass
+class RemoveAction:
+    path: str
+    partition_values: dict[str, str | None] = field(default_factory=dict)
+    size: int = 0
+    data_change: bool = False
+    deletion_timestamp: int = 0
+
+    def to_json(self) -> dict:
+        return {
+            "remove": {
+                "path": self.path,
+                "deletionTimestamp": self.deletion_timestamp or int(time.time() * 1000),
+                "dataChange": self.data_change,
+                "partitionValues": self.partition_values,
+                "size": self.size,
+            }
+        }
+
+
+@dataclass
+class TableMetadata:
+    table_id: str
+    schema: T.StructType
+    partition_columns: list[str]
+
+    @property
+    def data_schema(self) -> T.StructType:
+        """Schema of the parquet data files: partition columns are NOT
+        materialized in data files (Delta convention; also noted by the
+        reference tests, python/tests/test_predicate_typing.py:27-28)."""
+        return T.StructType(
+            [f for f in self.schema.fields if f.name not in self.partition_columns]
+        )
+
+
+@dataclass
+class TableState:
+    version: int
+    metadata: TableMetadata
+    adds: list[AddAction]
+
+
+class DeltaLog:
+    """Transaction log for one table directory."""
+
+    def __init__(self, table_path: str):
+        self.table_path = os.path.abspath(table_path)
+        self.log_dir = os.path.join(self.table_path, "_delta_log")
+
+    # -- reading -----------------------------------------------------------
+
+    def exists(self) -> bool:
+        return os.path.isdir(self.log_dir) and bool(self._commit_versions())
+
+    def _commit_versions(self) -> list[int]:
+        if not os.path.isdir(self.log_dir):
+            return []
+        out = []
+        for name in os.listdir(self.log_dir):
+            if name.endswith(".json") and len(name) == 25:
+                try:
+                    out.append(int(name[:-5]))
+                except ValueError:
+                    pass
+        return sorted(out)
+
+    def latest_version(self) -> int:
+        versions = self._commit_versions()
+        return versions[-1] if versions else -1
+
+    def read_state(self) -> TableState:
+        versions = self._commit_versions()
+        if not versions:
+            raise FileNotFoundError(f"no Delta log at {self.log_dir}")
+        metadata: TableMetadata | None = None
+        adds: dict[str, AddAction] = {}
+        for v in versions:
+            with open(os.path.join(self.log_dir, f"{v:020d}.json")) as fh:
+                for line in fh:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    action = json.loads(line)
+                    if "metaData" in action:
+                        m = action["metaData"]
+                        metadata = TableMetadata(
+                            table_id=m["id"],
+                            schema=T.StructType.fromJson(json.loads(m["schemaString"])),
+                            partition_columns=list(m.get("partitionColumns", [])),
+                        )
+                    elif "add" in action:
+                        a = action["add"]
+                        stats = a.get("stats")
+                        adds[a["path"]] = AddAction(
+                            path=a["path"],
+                            size=a.get("size", 0),
+                            partition_values=a.get("partitionValues", {}),
+                            modification_time=a.get("modificationTime", 0),
+                            data_change=a.get("dataChange", True),
+                            stats=json.loads(stats) if stats else None,
+                        )
+                    elif "remove" in action:
+                        adds.pop(action["remove"]["path"], None)
+        if metadata is None:
+            raise ValueError(f"Delta log at {self.log_dir} has no metaData action")
+        return TableState(version=versions[-1], metadata=metadata, adds=list(adds.values()))
+
+    # -- writing -----------------------------------------------------------
+
+    def create_table(
+        self, schema: T.StructType, partition_columns: list[str] | None = None
+    ) -> TableMetadata:
+        os.makedirs(self.log_dir, exist_ok=True)
+        if self._commit_versions():
+            raise FileExistsError(f"table already exists at {self.table_path}")
+        meta = TableMetadata(
+            table_id=str(uuid.uuid4()),
+            schema=schema,
+            partition_columns=list(partition_columns or []),
+        )
+        actions = [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {
+                "metaData": {
+                    "id": meta.table_id,
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": json.dumps(schema.jsonValue()),
+                    "partitionColumns": meta.partition_columns,
+                    "configuration": {},
+                    "createdTime": int(time.time() * 1000),
+                }
+            },
+        ]
+        self.commit(0, actions, operation="CREATE TABLE", operation_params={})
+        return meta
+
+    def commit(
+        self,
+        version: int,
+        actions: list,
+        operation: str = "WRITE",
+        operation_params: dict | None = None,
+    ) -> int:
+        """Write one commit file atomically; raises DeltaCommitConflict if the
+        version is taken (optimistic concurrency, Delta protocol's
+        put-if-absent)."""
+        os.makedirs(self.log_dir, exist_ok=True)
+        lines = [
+            json.dumps(
+                {
+                    "commitInfo": {
+                        "timestamp": int(time.time() * 1000),
+                        "operation": operation,
+                        "operationParameters": operation_params or {},
+                        "engineInfo": "delta-sorter-spark/0.1.0",
+                    }
+                }
+            )
+        ]
+        for a in actions:
+            lines.append(json.dumps(a.to_json() if hasattr(a, "to_json") else a))
+        target = os.path.join(self.log_dir, f"{version:020d}.json")
+        tmp = target + f".{uuid.uuid4().hex}.tmp"
+        with open(tmp, "w") as fh:
+            fh.write("\n".join(lines) + "\n")
+        try:
+            # link() is atomic and fails if target exists — put-if-absent.
+            os.link(tmp, target)
+        except FileExistsError as exc:
+            raise DeltaCommitConflict(f"version {version} already committed") from exc
+        finally:
+            os.unlink(tmp)
+        return version
+
+    def commit_with_retry(
+        self,
+        build_actions,
+        operation: str = "WRITE",
+        operation_params: dict | None = None,
+        max_attempts: int = 10,
+    ) -> int:
+        """Re-reads the latest version and retries on conflict.  The callable
+        ``build_actions(state)`` may inspect fresh state to rebuild its
+        actions (Delta-Spark's optimistic-retry loop; the reference errors out
+        instead, lib.rs:876-884 — we do better, per SURVEY §4)."""
+        for _ in range(max_attempts):
+            state = self.read_state()
+            actions = build_actions(state)
+            try:
+                return self.commit(state.version + 1, actions, operation, operation_params)
+            except DeltaCommitConflict:
+                time.sleep(0.05)
+        raise DeltaCommitConflict(f"gave up after {max_attempts} attempts")

@@ -1,0 +1,303 @@
+"""Spark-facing Delta table wrapper: load, stage-write, commit.
+
+Read path (reference S1-S3, lib.rs:252-254, 792-800): table state comes from
+the transaction log; the DataFrame is built from the *active file list* with
+``basePath`` so Hive-style partition columns are reconstructed, then cast to
+the log's schema (partition-value directory names are strings; the metadata
+schema is authoritative).  Scoping a read to a partition passes the pruned
+file list — file-level partition pruning driven by the log, the same pruning
+delta-rs does for the reference.
+
+Write path (reference S5/S6, lib.rs:812-829): Spark writes parquet to a
+staging directory under ``_staging/<uuid>`` (partitioned writers emit
+``col=val/...`` dirs), files are moved into the table root, and exact
+per-file stats for the requested columns are computed from the staged files
+with pyarrow (column-pruned read).  The reference sizes files by buffer
+rotation (advisory); we size by ``maxRecordsPerFile`` estimated from target
+bytes, which Catalyst enforces during the write itself.
+
+Commit (reference S7, lib.rs:856-885): callers assemble Add/Remove actions
+and commit through the log's optimistic put-if-absent.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import decimal
+import math
+import os
+import shutil
+import urllib.parse
+import uuid
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from delta_sorter_spark.sources.delta_log import (
+    AddAction,
+    DeltaLog,
+    TableMetadata,
+    TableState,
+)
+
+HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _serialize_stat(value):
+    """JSON-safe stats value (Delta stores stats as JSON strings)."""
+    if value is None:
+        return None
+    if isinstance(value, (_dt.datetime, _dt.date)):
+        return value.isoformat()
+    if isinstance(value, decimal.Decimal):
+        return str(value)
+    if isinstance(value, bytes):
+        return value.hex()
+    if isinstance(value, float) and (math.isnan(value) or math.isinf(value)):
+        return str(value)
+    return value
+
+
+def parse_stat(value, dtype: T.DataType):
+    """Parse a JSON stats value back into a comparable Python value."""
+    if value is None:
+        return None
+    if isinstance(dtype, T.TimestampType):
+        return _dt.datetime.fromisoformat(value)
+    if isinstance(dtype, T.DateType):
+        return _dt.date.fromisoformat(value)
+    if isinstance(dtype, T.DecimalType):
+        return decimal.Decimal(value)
+    if isinstance(dtype, (T.FloatType, T.DoubleType)) and isinstance(value, str):
+        return float(value)
+    return value
+
+
+def serialize_partition_value(value) -> str | None:
+    """Partition value -> Delta-log string form (None stays None)."""
+    if value is None:
+        return None
+    if isinstance(value, bool):
+        return "true" if value else "false"
+    if isinstance(value, (_dt.datetime, _dt.date)):
+        return value.isoformat()
+    return str(value)
+
+
+def _partition_values_from_relpath(relpath: str) -> dict[str, str | None]:
+    """Parse ``k=v/k2=v2/file.parquet`` into serialized partition values."""
+    values: dict[str, str | None] = {}
+    for seg in relpath.split("/")[:-1]:
+        if "=" not in seg:
+            continue
+        k, _, v = seg.partition("=")
+        v = urllib.parse.unquote(v)
+        values[k] = None if v == HIVE_NULL else v
+    return values
+
+
+def _file_stats(path: str, stat_columns: Sequence[str]) -> dict:
+    """Exact per-file stats via a column-pruned pyarrow read.
+
+    Parquet footer min/max can be truncated for long strings, and the
+    boundary check (V3) needs exact values, so we read just the stat columns.
+    This replaces the reference's *full-file* DataFusion scan (lib.rs:609-665)
+    with a pruned local read at write time — after which validation is pure
+    metadata."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from delta_sorter_spark.functions.file_summary import summarize_key_frame
+
+    pf = pq.ParquetFile(path)
+    num_records = pf.metadata.num_rows
+    present = [c for c in stat_columns if c in pf.schema_arrow.names]
+    stats = {"numRecords": num_records, "minValues": {}, "maxValues": {}, "nullCount": {}}
+    if present and num_records > 0:
+        tbl = pf.read(columns=present)
+        for c in present:
+            arr = tbl.column(c)
+            nulls = arr.null_count
+            stats["nullCount"][c] = nulls
+            if nulls < num_records:
+                stats["minValues"][c] = _serialize_stat(pc.min(arr).as_py())
+                stats["maxValues"][c] = _serialize_stat(pc.max(arr).as_py())
+        # Exact key-tuple attestation for both null placements: later
+        # validation of these columns becomes metadata-only (SURVEY §4's
+        # improvement over the reference's full scans, lib.rs:609-665).
+        pdf = tbl.to_pandas()
+        key_stats = {"cols": present}
+        for label, nulls_first in (("nullsFirst", True), ("nullsLast", False)):
+            s = summarize_key_frame(pdf, present, nulls_first)
+            key_stats[label] = {
+                "minKey": [_serialize_stat(v) for v in s["minKey"]],
+                "maxKey": [_serialize_stat(v) for v in s["maxKey"]],
+                "ascending": s["ascending"],
+                "descents": s["descents"],
+            }
+        stats["keyStats"] = key_stats
+    return stats
+
+
+class DeltaTable:
+    """One Delta table addressed by local path (object-store URIs would slot
+    in via fsspec/pyarrow filesystems; out of scope for this environment)."""
+
+    def __init__(self, spark: SparkSession, table_path: str):
+        self.spark = spark
+        self.table_path = os.path.abspath(table_path)
+        self.log = DeltaLog(self.table_path)
+
+    # -- creation ----------------------------------------------------------
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        table_path: str,
+        df: DataFrame,
+        partition_columns: Sequence[str] | None = None,
+        stat_columns: Sequence[str] | None = None,
+    ) -> "DeltaTable":
+        """Create a new table from a DataFrame (test/fixture convenience —
+        the reference creates tables via delta-rs writers in its tests)."""
+        table = cls(spark, table_path)
+        partition_columns = list(partition_columns or [])
+        table.log.create_table(df.schema, partition_columns)
+        adds = table.stage_write(df, stat_columns=stat_columns or [])
+        table.log.commit_with_retry(
+            lambda state: list(adds), operation="WRITE", operation_params={"mode": "Append"}
+        )
+        return table
+
+    # -- state -------------------------------------------------------------
+
+    def state(self) -> TableState:
+        return self.log.read_state()
+
+    @property
+    def metadata(self) -> TableMetadata:
+        return self.state().metadata
+
+    # -- read --------------------------------------------------------------
+
+    def to_df(self, adds: Sequence[AddAction] | None = None) -> DataFrame:
+        """DataFrame over the active files (or an explicit pruned subset)."""
+        state = self.state()
+        meta = state.metadata
+        use = state.adds if adds is None else list(adds)
+        if not use:
+            return self.spark.createDataFrame([], meta.schema)
+        files = [os.path.join(self.table_path, a.path) for a in use]
+        reader = self.spark.read
+        if meta.partition_columns:
+            reader = reader.option("basePath", self.table_path)
+        df = reader.parquet(*files)
+        # Cast to the authoritative log schema (partition dirs are strings;
+        # Spark's partition inference may disagree with the log).
+        return df.select(*[F.col(f.name).cast(f.dataType).alias(f.name) for f in meta.schema.fields])
+
+    def input_files(self) -> list[str]:
+        return [os.path.join(self.table_path, a.path) for a in self.state().adds]
+
+    # -- write -------------------------------------------------------------
+
+    def stage_write(
+        self,
+        df: DataFrame,
+        stat_columns: Sequence[str] | None = None,
+        target_file_size_bytes: int | None = None,
+        data_change: bool = True,
+        sorted_within_files: bool = False,
+    ) -> list[AddAction]:
+        """Write ``df``'s data as new parquet files inside the table directory
+        and return their Add actions.  Does NOT commit — callers compose the
+        commit with removes (reference rewrite_partition_tx, lib.rs:812-855).
+
+        ``target_file_size_bytes`` is enforced via ``maxRecordsPerFile``
+        estimated from the input's bytes-per-row; on a cluster this bounds
+        output file size without an extra repartition (the sort's range
+        partitioning already spread the data).
+        """
+        meta = self.metadata
+        part_cols = meta.partition_columns
+        data_cols = [f.name for f in meta.schema.fields if f.name not in part_cols]
+        staging = os.path.join(self.table_path, "_staging", uuid.uuid4().hex)
+
+        writer = df.select(*[F.col(c) for c in part_cols + data_cols]).write.mode("overwrite")
+        if target_file_size_bytes:
+            max_records = self._estimate_max_records(df, target_file_size_bytes)
+            if max_records:
+                writer = writer.option("maxRecordsPerFile", max_records)
+        if part_cols:
+            writer = writer.partitionBy(*part_cols)
+        writer.parquet(staging)
+
+        adds: list[AddAction] = []
+        stat_columns = list(stat_columns or [])
+        for root, _dirs, names in os.walk(staging):
+            for name in names:
+                if not name.endswith(".parquet"):
+                    continue
+                src = os.path.join(root, name)
+                rel = os.path.relpath(src, staging)
+                dest = os.path.join(self.table_path, rel)
+                os.makedirs(os.path.dirname(dest), exist_ok=True)
+                os.replace(src, dest)
+                relpath = os.path.relpath(dest, self.table_path).replace(os.sep, "/")
+                stats = _file_stats(dest, stat_columns)
+                if sorted_within_files:
+                    stats["sortedBy"] = list(stat_columns)
+                adds.append(
+                    AddAction(
+                        path=relpath,
+                        size=os.path.getsize(dest),
+                        partition_values=_partition_values_from_relpath(relpath),
+                        modification_time=int(os.path.getmtime(dest) * 1000),
+                        data_change=data_change,
+                        stats=stats,
+                    )
+                )
+        # Remove only THIS write's staging dir — concurrent partition
+        # rewrites stage under sibling uuid dirs (lib.rs:209-224 concurrency).
+        shutil.rmtree(staging, ignore_errors=True)
+        try:
+            os.rmdir(os.path.join(self.table_path, "_staging"))
+        except OSError:
+            pass  # other writers still staging
+        return adds
+
+    def _estimate_max_records(self, df: DataFrame, target_bytes: int) -> int | None:
+        """bytes/row estimate from current table state (cheap, metadata-only);
+        None when the table is empty (no basis for an estimate)."""
+        state = self.state()
+        total_bytes = sum(a.size for a in state.adds)
+        total_rows = sum(
+            (a.stats or {}).get("numRecords", 0) for a in state.adds if a.stats
+        )
+        if total_bytes <= 0 or total_rows <= 0:
+            return None
+        bytes_per_row = max(1.0, total_bytes / total_rows)
+        return max(1, int(target_bytes / bytes_per_row))
+
+    # -- commit ------------------------------------------------------------
+
+    def commit_rewrite(
+        self,
+        adds: Sequence[AddAction],
+        removes: Sequence,
+        predicate: str | None = None,
+        operation: str = "WRITE",
+    ) -> int:
+        """Overwrite-style commit: Remove(old) + Add(new), optionally scoped
+        by a replaceWhere predicate recorded in commitInfo (reference
+        lib.rs:862-885 records DeltaOperation::Write{Overwrite, predicate})."""
+        params = {"mode": "Overwrite"}
+        if predicate:
+            params["predicate"] = predicate
+        actions = list(removes) + list(adds)
+        return self.log.commit_with_retry(
+            lambda state: actions, operation=operation, operation_params=params
+        )

@@ -1,0 +1,89 @@
+"""Delta-log + table wrapper roundtrip tests."""
+
+import os
+
+from pyspark.sql import types as T
+
+from delta_sorter_spark.sources.delta_log import DeltaLog
+from delta_sorter_spark.sources.delta_table import DeltaTable
+
+
+def test_create_and_read_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "t1")
+    df = spark.createDataFrame(
+        [("B", "2021-02-02", 4), ("A", "2021-02-01", 1)],
+        "objectId string, dateTime string, value long",
+    )
+    table = DeltaTable.create(spark, path, df)
+    out = table.to_df().orderBy("value").collect()
+    assert [r["objectId"] for r in out] == ["A", "B"]
+    state = table.state()
+    assert state.version == 1
+    assert len(state.adds) >= 1
+    assert all(os.path.exists(os.path.join(path, a.path)) for a in state.adds)
+
+
+def test_partitioned_table_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "t2")
+    df = spark.createDataFrame(
+        [(1, True, "2021-01-01", 10), (2, False, "2021-01-02", 20), (1, False, "2021-01-03", 30)],
+        "id long, flag boolean, ts string, val long",
+    )
+    table = DeltaTable.create(spark, path, df, partition_columns=["id", "flag"])
+    state = table.state()
+    # partition values serialized into the log
+    pvals = {frozenset(a.partition_values.items()) for a in state.adds}
+    assert frozenset({"id": "1", "flag": "true"}.items()) in pvals
+    # data files do NOT contain partition columns
+    meta = state.metadata
+    assert meta.data_schema.names == ["ts", "val"]
+    # full read reconstructs partition columns with log types
+    out = table.to_df()
+    assert dict(out.dtypes)["id"] == "bigint"
+    assert dict(out.dtypes)["flag"] == "boolean"
+    rows = {(r["id"], r["flag"], r["ts"], r["val"]) for r in out.collect()}
+    assert rows == {(1, True, "2021-01-01", 10), (2, False, "2021-01-02", 20), (1, False, "2021-01-03", 30)}
+
+
+def test_stats_attested_on_write(spark, tmp_path):
+    path = str(tmp_path / "t3")
+    df = spark.createDataFrame(
+        [("B", 2), ("A", 1), (None, 3)], "k string, v long"
+    )
+    table = DeltaTable.create(spark, path, df.coalesce(1), stat_columns=["k"])
+    add = table.state().adds[0]
+    assert add.stats["numRecords"] == 3
+    assert add.stats["minValues"]["k"] == "A"
+    assert add.stats["maxValues"]["k"] == "B"
+    assert add.stats["nullCount"]["k"] == 1
+    ks = add.stats["keyStats"]
+    assert ks["cols"] == ["k"]
+    assert ks["nullsFirst"]["minKey"] == [None]
+    assert ks["nullsLast"]["minKey"] == ["A"]
+    assert ks["nullsLast"]["maxKey"] == [None]
+
+
+def test_commit_conflict(spark, tmp_path):
+    import pytest
+
+    from delta_sorter_spark.sources.delta_log import DeltaCommitConflict
+
+    path = str(tmp_path / "t4")
+    df = spark.createDataFrame([(1,)], "a long")
+    table = DeltaTable.create(spark, path, df)
+    log = DeltaLog(path)
+    v = log.latest_version()
+    log.commit(v + 1, [], operation="TEST")
+    with pytest.raises(DeltaCommitConflict):
+        log.commit(v + 1, [], operation="TEST")
+    # retry path picks the next free version
+    assert log.commit_with_retry(lambda s: [], operation="TEST") == v + 2
+
+
+def test_empty_table_read(spark, tmp_path):
+    path = str(tmp_path / "t5")
+    schema = T.StructType([T.StructField("a", T.LongType())])
+    DeltaLog(path).create_table(schema, [])
+    table = DeltaTable(spark, path)
+    assert table.to_df().count() == 0
+    assert table.to_df().schema == schema
