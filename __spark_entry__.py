@@ -1,38 +1,1017 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every query here is one operator from SURVEY.md §2 (reference parity V1-V3 /
+Q1-Q4 and the north-star extensions E1-E6), expressed Spark-first through
+``delta_sorter_spark`` operators, with an exact DuckDB oracle.
+
+Cross-engine determinism rules used throughout (validated empirically):
+- md5 -> first 15 hex digits -> bigint is identical in both engines
+  (delta_sorter_spark/functions/hashing.py);
+- double folds via Spark ``aggregate``/``zip_with`` are bitwise-identical to
+  DuckDB ``list_aggregate``/``list_transform`` (both fold left-to-right);
+- money arithmetic aggregates in DECIMAL (exact) and casts the final value
+  to DOUBLE;
+- timestamps are emitted as 'yyyy-MM-dd HH:mm:ss' strings.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from delta_sorter_spark.functions.hashing import (
+    MERSENNE_P,
+    duckdb_md5_long_sql,
+    hyperplanes,
+    minhash_params,
+)
+from delta_sorter_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from delta_sorter_spark.operators.similarity import ann_topk, brute_force_topk
+from delta_sorter_spark.operators.textstats import (
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_stats,
+)
+from delta_sorter_spark.sources.tables import load_table
+from delta_sorter_spark.streaming.events import sessionize, windowed_event_counts
+
+# ---------------------------------------------------------------------------
+# shared tuning constants (must match between queries() and oracle_sql())
+# ---------------------------------------------------------------------------
+
+N_CHUNKS = 8  # simulated "files" for the validator queries (V1-V3)
+MINHASH_K = 8
+MINHASH_BANDS = 4
+DOC_SUBSET_MOD = 5  # documents subset for minhash/simhash (100 docs)
+JACCARD_SUBSET_MOD = 25  # documents subset for exact jaccard (20 docs)
+JACCARD_THRESHOLD = 0.5
+QUERY_VEC_MOD = 50  # embedding query subset (10 queries)
+TOPK = 5
+EMB_DIM = 64
+N_PLANES = 8
+TPCH1_CUTOFF = "1998-09-02 00:00:00"
+
+_TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+_TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+_KEY = ["l_shipdate", "l_orderkey", "l_linenumber"]  # validator sort key
+
+
+def _chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem annotated with a simulated file id.
+
+    The reference validates physical files; the driver's oracle runs on flat
+    parquet views, so V1-V3 are expressed over deterministic simulated file
+    chunks (l_orderkey % N) — identical computation shape, fully
+    oracle-checkable.  The file-granular versions run against real Delta
+    tables in tests/test_validate_and_compact.py."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        (F.col("l_orderkey") % N_CHUNKS).alias("file_id"),
+        "l_shipdate",
+        "l_orderkey",
+        "l_linenumber",
+    )
+
+
+# ---------------------------------------------------------------------------
+# V1: per-file min/max sort-key tuple (reference lib.rs:600-665, A1)
+# ---------------------------------------------------------------------------
+
+
+def q_v1_file_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _chunks(spark, sf_dir)
+    w_asc = Window.partitionBy("file_id").orderBy(*[F.asc(k) for k in _KEY])
+    w_desc = Window.partitionBy("file_id").orderBy(*[F.desc(k) for k in _KEY])
+    mn = (
+        c.withColumn("rn", F.row_number().over(w_asc))
+        .where(F.col("rn") == 1)
+        .select(
+            "file_id",
+            F.date_format("l_shipdate", _TS_FMT_SPARK).alias("min_shipdate"),
+            F.col("l_orderkey").alias("min_orderkey"),
+        )
+    )
+    mx = (
+        c.withColumn("rn", F.row_number().over(w_desc))
+        .where(F.col("rn") == 1)
+        .select(
+            "file_id",
+            F.date_format("l_shipdate", _TS_FMT_SPARK).alias("max_shipdate"),
+            F.col("l_orderkey").alias("max_orderkey"),
+        )
+    )
+    return mn.join(mx, "file_id")
+
+
+_V1_SQL = f"""
+WITH c AS (
+  SELECT l_orderkey % {N_CHUNKS} AS file_id, l_shipdate, l_orderkey, l_linenumber
+  FROM lineitem
+),
+mn AS (
+  SELECT file_id, l_shipdate, l_orderkey,
+         row_number() OVER (PARTITION BY file_id
+                            ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rn
+  FROM c
+),
+mx AS (
+  SELECT file_id, l_shipdate, l_orderkey,
+         row_number() OVER (PARTITION BY file_id
+                            ORDER BY l_shipdate DESC, l_orderkey DESC, l_linenumber DESC) AS rn
+  FROM c
+)
+SELECT mn.file_id,
+       strftime(mn.l_shipdate, '{_TS_FMT_DUCK}') AS min_shipdate,
+       mn.l_orderkey AS min_orderkey,
+       strftime(mx.l_shipdate, '{_TS_FMT_DUCK}') AS max_shipdate,
+       mx.l_orderkey AS max_orderkey
+FROM mn JOIN mx ON mn.file_id = mx.file_id AND mn.rn = 1 AND mx.rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# V2: per-file sortedness via lag over in-file order (lib.rs:624-659, A2)
+# ---------------------------------------------------------------------------
+
+
+def q_v2_file_sortedness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _chunks(spark, sf_dir)
+    w = Window.partitionBy("file_id").orderBy("l_orderkey", "l_linenumber", "l_shipdate")
+    flagged = c.withColumn("prev_ship", F.lag("l_shipdate").over(w))
+    return (
+        flagged.groupBy("file_id")
+        .agg(
+            F.sum(
+                F.when(F.col("prev_ship") > F.col("l_shipdate"), 1).otherwise(0)
+            ).alias("descents")
+        )
+        .select("file_id", "descents", (F.col("descents") == 0).alias("is_ascending"))
+    )
+
+
+_V2_SQL = f"""
+WITH c AS (
+  SELECT l_orderkey % {N_CHUNKS} AS file_id, l_shipdate, l_orderkey, l_linenumber
+  FROM lineitem
+),
+flagged AS (
+  SELECT file_id, l_shipdate,
+         lag(l_shipdate) OVER (PARTITION BY file_id
+                               ORDER BY l_orderkey, l_linenumber, l_shipdate) AS prev_ship
+  FROM c
+)
+SELECT file_id,
+       sum(CASE WHEN prev_ship > l_shipdate THEN 1 ELSE 0 END) AS descents,
+       sum(CASE WHEN prev_ship > l_shipdate THEN 1 ELSE 0 END) = 0 AS is_ascending
+FROM flagged GROUP BY file_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# V3: cross-file boundary violations + combined count (lib.rs:578-598; Quirk 2)
+# ---------------------------------------------------------------------------
+
+
+def q_v3_boundary_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _chunks(spark, sf_dir)
+    w_asc = Window.partitionBy("file_id").orderBy(*[F.asc(k) for k in _KEY])
+    w_desc = Window.partitionBy("file_id").orderBy(*[F.desc(k) for k in _KEY])
+    w_scan = Window.partitionBy("file_id").orderBy("l_orderkey", "l_linenumber", "l_shipdate")
+    per_file = (
+        c.withColumn("rn_min", F.row_number().over(w_asc))
+        .withColumn("rn_max", F.row_number().over(w_desc))
+        .withColumn("prev_ship", F.lag("l_shipdate").over(w_scan))
+        .groupBy("file_id")
+        .agg(
+            F.min_by(F.struct("l_shipdate", "l_orderkey"), "rn_min").alias("mn"),
+            F.min_by(F.struct("l_shipdate", "l_orderkey"), "rn_max").alias("mx"),
+            F.sum(
+                F.when(F.col("prev_ship") > F.col("l_shipdate"), 1).otherwise(0)
+            ).alias("descents"),
+        )
+    )
+    w_files = Window.orderBy(F.col("mn.l_shipdate"), F.col("mn.l_orderkey"))
+    flagged = per_file.withColumn("prev_mx", F.lag("mx").over(w_files)).withColumn(
+        "cross_violation",
+        F.when(
+            (F.col("prev_mx.l_shipdate") > F.col("mn.l_shipdate"))
+            | (
+                (F.col("prev_mx.l_shipdate") == F.col("mn.l_shipdate"))
+                & (F.col("prev_mx.l_orderkey") > F.col("mn.l_orderkey"))
+            ),
+            1,
+        ).otherwise(0),
+    )
+    return flagged.agg(
+        F.count("*").alias("checked_files"),
+        F.sum(F.when(F.col("descents") > 0, 1).otherwise(0)).alias("files_not_ascending"),
+        F.sum("cross_violation").alias("cross_file_violations"),
+        (
+            F.sum(F.when(F.col("descents") > 0, 1).otherwise(0)) + F.sum("cross_violation")
+        ).alias("boundary_violations"),
+    )
+
+
+_V3_SQL = f"""
+WITH c AS (
+  SELECT l_orderkey % {N_CHUNKS} AS file_id, l_shipdate, l_orderkey, l_linenumber
+  FROM lineitem
+),
+ranked AS (
+  SELECT file_id, l_shipdate, l_orderkey,
+         row_number() OVER (PARTITION BY file_id
+                            ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rn_min,
+         row_number() OVER (PARTITION BY file_id
+                            ORDER BY l_shipdate DESC, l_orderkey DESC, l_linenumber DESC) AS rn_max,
+         lag(l_shipdate) OVER (PARTITION BY file_id
+                               ORDER BY l_orderkey, l_linenumber, l_shipdate) AS prev_ship
+  FROM c
+),
+per_file AS (
+  SELECT file_id,
+         min_by(l_shipdate, rn_min) AS mn_ship,
+         min_by(l_orderkey, rn_min) AS mn_ok,
+         min_by(l_shipdate, rn_max) AS mx_ship,
+         min_by(l_orderkey, rn_max) AS mx_ok,
+         sum(CASE WHEN prev_ship > l_shipdate THEN 1 ELSE 0 END) AS descents
+  FROM ranked GROUP BY file_id
+),
+flagged AS (
+  SELECT descents,
+         CASE WHEN lag(mx_ship) OVER w > mn_ship
+                OR (lag(mx_ship) OVER w = mn_ship AND lag(mx_ok) OVER w > mn_ok)
+              THEN 1 ELSE 0 END AS cross_violation
+  FROM per_file
+  WINDOW w AS (ORDER BY mn_ship, mn_ok)
+)
+SELECT count(*) AS checked_files,
+       sum(CASE WHEN descents > 0 THEN 1 ELSE 0 END) AS files_not_ascending,
+       sum(cross_violation) AS cross_file_violations,
+       sum(CASE WHEN descents > 0 THEN 1 ELSE 0 END) + sum(cross_violation)
+         AS boundary_violations
+FROM flagged
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q1: global multi-column sort with rank (O1/C5, lib.rs:801-809)
+# ---------------------------------------------------------------------------
+
+
+def q_q1_global_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.orderBy(*[F.asc(k) for k in _KEY])
+    return li.select(
+        F.row_number().over(w).alias("rn"),
+        F.date_format("l_shipdate", _TS_FMT_SPARK).alias("shipdate"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+
+
+_Q1_SQL = f"""
+SELECT row_number() OVER (ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rn,
+       strftime(l_shipdate, '{_TS_FMT_DUCK}') AS shipdate,
+       l_orderkey, l_linenumber
+FROM lineitem
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q2: per-partition sort (O2/P2, lib.rs:795-809)
+# ---------------------------------------------------------------------------
+
+
+def q_q2_partition_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(*[F.asc(k) for k in _KEY])
+    return li.select(
+        "l_returnflag",
+        F.row_number().over(w).alias("rn"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+
+
+_Q2_SQL = """
+SELECT l_returnflag,
+       row_number() OVER (PARTITION BY l_returnflag
+                          ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rn,
+       l_orderkey, l_linenumber
+FROM lineitem
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q3: partition inventory (A5, lib.rs:258-296)
+# ---------------------------------------------------------------------------
+
+
+def q_q3_partition_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _chunks(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") % N_CHUNKS).alias("file_id"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("bytes_proxy"),
+    )
+    return li.groupBy("file_id").agg(
+        F.count("*").alias("num_rows"),
+        F.sum("bytes_proxy").cast("double").alias("estimated_bytes"),
+    )
+
+
+_Q3_SQL = f"""
+SELECT l_orderkey % {N_CHUNKS} AS file_id,
+       count(*) AS num_rows,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS estimated_bytes
+FROM lineitem GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q4: typed partition-predicate rendering (P2, lib.rs:898-983)
+# ---------------------------------------------------------------------------
+
+
+def q_q4_predicate_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    # synthesize a NULL partition value so the IS NULL branch is exercised
+    name = F.when(F.col("n_regionkey") == 0, F.lit(None)).otherwise(F.col("n_name"))
+    with_null = n.select("n_nationkey", name.alias("pname"), "n_regionkey")
+    pred = F.concat(
+        F.when(F.col("pname").isNull(), F.lit('"n_name" IS NULL')).otherwise(
+            F.concat(
+                F.lit('"n_name" = \''),
+                F.regexp_replace(F.col("pname"), "'", "''"),
+                F.lit("'"),
+            )
+        ),
+        F.lit(' AND "n_regionkey" = '),
+        F.col("n_regionkey").cast("string"),
+    )
+    return with_null.select("n_nationkey", pred.alias("predicate"))
+
+
+_Q4_SQL = """
+WITH w AS (
+  SELECT n_nationkey,
+         CASE WHEN n_regionkey = 0 THEN NULL ELSE n_name END AS pname,
+         n_regionkey
+  FROM nation
+)
+SELECT n_nationkey,
+       (CASE WHEN pname IS NULL THEN '"n_name" IS NULL'
+             ELSE '"n_name" = ''' || replace(pname, '''', '''''') || ''''
+        END
+        || ' AND "n_regionkey" = ' || CAST(n_regionkey AS VARCHAR)) AS predicate
+FROM w
+"""
+
+
+# ---------------------------------------------------------------------------
+# E1: exact dedup, keep-first (SURVEY §2.8 E1)
+# ---------------------------------------------------------------------------
+
+
+def q_e1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    deduped = exact_dedup(orders, ["o_custkey", "o_orderstatus"], "o_orderkey")
+    return deduped.select("o_custkey", "o_orderstatus", "o_orderkey", "o_totalprice")
+
+
+_E1_SQL = """
+SELECT o_custkey, o_orderstatus,
+       min(o_orderkey) AS o_orderkey,
+       min_by(o_totalprice, o_orderkey) AS o_totalprice
+FROM orders GROUP BY o_custkey, o_orderstatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# E2: MinHash signatures + LSH band candidates (seeded, deterministic)
+# ---------------------------------------------------------------------------
+
+
+def _doc_subset(spark: SparkSession, sf_dir: str, mod: int) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.where(F.col("doc_id") % mod == 0)
+
+
+def q_e2_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_signatures(
+        _doc_subset(spark, sf_dir, DOC_SUBSET_MOD), "doc_id", "text", k=MINHASH_K
+    )
+
+
+def _duckdb_shingle_cte(mod: int, shingle_n: int = 3) -> str:
+    return f"""
+d AS (SELECT doc_id, lower(text) AS t FROM documents WHERE doc_id % {mod} = 0),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+             generate_series(1, greatest(1, len(t) - {shingle_n - 1})),
+             i -> substr(t, i, {shingle_n})))) AS s
+  FROM d
+),
+h AS (SELECT doc_id, {duckdb_md5_long_sql('s')} % {MERSENNE_P} AS x FROM sh)
+"""
+
+
+def _minhash_agg_sql() -> str:
+    params = minhash_params(MINHASH_K)
+    terms = [
+        f"min(({a} * x + {b}) % {MERSENNE_P}) AS minhash_{j}"
+        for j, (a, b) in enumerate(params)
+    ]
+    return ", ".join(terms)
+
+
+_E2_SQL = f"""
+WITH {_duckdb_shingle_cte(DOC_SUBSET_MOD)}
+SELECT doc_id, {_minhash_agg_sql()}
+FROM h GROUP BY doc_id
+"""
+
+
+def q_e3_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_candidates(
+        _doc_subset(spark, sf_dir, DOC_SUBSET_MOD),
+        "doc_id",
+        "text",
+        k=MINHASH_K,
+        bands=MINHASH_BANDS,
+    )
+
+
+def _band_match_sql() -> str:
+    rows_per_band = MINHASH_K // MINHASH_BANDS
+    clauses = []
+    for b in range(MINHASH_BANDS):
+        eqs = [
+            f"a.minhash_{b * rows_per_band + r} = b.minhash_{b * rows_per_band + r}"
+            for r in range(rows_per_band)
+        ]
+        clauses.append("(" + " AND ".join(eqs) + ")")
+    return " OR ".join(clauses)
+
+
+_E3_SQL = f"""
+WITH {_duckdb_shingle_cte(DOC_SUBSET_MOD)},
+sig AS (SELECT doc_id, {_minhash_agg_sql()} FROM h GROUP BY doc_id)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE {_band_match_sql()}
+"""
+
+
+# ---------------------------------------------------------------------------
+# E4: SimHash fingerprints
+# ---------------------------------------------------------------------------
+
+
+def q_e4_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash(_doc_subset(spark, sf_dir, DOC_SUBSET_MOD), "doc_id", "text", bits=16)
+
+
+_E4_SQL = f"""
+WITH d AS (SELECT doc_id, lower(trim(text)) AS t FROM documents
+           WHERE doc_id % {DOC_SUBSET_MOD} = 0),
+toks AS (SELECT doc_id, unnest(regexp_split_to_array(t, '\\s+')) AS tok FROM d),
+h AS (SELECT doc_id, {duckdb_md5_long_sql('tok')} % 65536 AS hv FROM toks),
+pos AS (SELECT doc_id, hv, unnest(generate_series(0, 15)) AS bit FROM h),
+signed AS (SELECT doc_id, bit, 2 * ((hv >> bit) & 1) - 1 AS s FROM pos),
+bitsum AS (SELECT doc_id, bit, sum(s) AS ssum FROM signed GROUP BY doc_id, bit),
+bitval AS (SELECT doc_id,
+                  CASE WHEN ssum > 0 THEN (1::BIGINT << bit) ELSE 0 END AS bv
+           FROM bitsum)
+SELECT doc_id, CAST(sum(bv) AS BIGINT) AS simhash FROM bitval GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# E5: exact n-gram Jaccard pairs
+# ---------------------------------------------------------------------------
+
+
+def q_e5_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = ngram_jaccard_pairs(
+        _doc_subset(spark, sf_dir, JACCARD_SUBSET_MOD),
+        "doc_id",
+        "text",
+        threshold=JACCARD_THRESHOLD,
+    )
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+_E5_SQL = f"""
+WITH {_duckdb_shingle_cte(JACCARD_SUBSET_MOD)},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+jac AS (
+  SELECT id_a, id_b,
+         CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+)
+SELECT id_a, id_b, round(jaccard, 6) AS jaccard
+FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
+# E6: brute-force top-k cosine similarity (exact baseline)
+# ---------------------------------------------------------------------------
+
+
+def q_e6_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % QUERY_VEC_MOD == 0)
+    out = brute_force_topk(
+        emb, queries, "vec_id", "embedding", "vec_id", "embedding", k=TOPK
+    )
+    return out.select("query_id", "id", "rank", F.round("cosine", 6).alias("cosine"))
+
+
+_DOT = (
+    "list_aggregate(list_transform(list_zip({a}, {b}),"
+    " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')"
+)
+_SSQ = (
+    "list_aggregate(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+    " 'sum')"
+)
+
+_E6_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+           WHERE vec_id % {QUERY_VEC_MOD} = 0),
+scored AS (
+  SELECT q.query_id, e.vec_id AS id,
+         {_DOT.format(a='q.qe', b='e.embedding')}
+           / (sqrt({_SSQ.format(a='q.qe')}) * sqrt({_SSQ.format(a='e.embedding')}))
+           AS cosine
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, id) AS rn
+  FROM scored
+)
+SELECT query_id, id, rn AS "rank", round(cosine, 6) AS cosine
+FROM ranked WHERE rn <= {TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
+# E7: ANN via sign-LSH buckets + exact rerank (the scale path)
+# ---------------------------------------------------------------------------
+
+
+def q_e7_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % QUERY_VEC_MOD == 0)
+    out = ann_topk(
+        emb,
+        queries,
+        "vec_id",
+        "embedding",
+        "vec_id",
+        "embedding",
+        dim=EMB_DIM,
+        k=TOPK,
+        n_planes=N_PLANES,
+    )
+    return out.select("query_id", "id", "rank", F.round("cosine", 6).alias("cosine"))
+
+
+def _duckdb_bucket_sql(emb: str) -> str:
+    planes = hyperplanes(EMB_DIM, N_PLANES)
+    terms = []
+    for j, plane in enumerate(planes):
+        lits = ", ".join(f"CAST({v} AS DOUBLE)" for v in plane)
+        dot = (
+            f"list_aggregate(list_transform(list_zip({emb}, [{lits}]),"
+            f" p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')"
+        )
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << j} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+_E7_SQL = f"""
+WITH c AS (SELECT vec_id AS id, embedding,
+                  {_duckdb_bucket_sql('embedding')} AS bucket
+           FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS qe,
+             {_duckdb_bucket_sql('embedding')} AS bucket
+      FROM embeddings WHERE vec_id % {QUERY_VEC_MOD} = 0),
+scored AS (
+  SELECT q.query_id, c.id,
+         {_DOT.format(a='q.qe', b='c.embedding')}
+           / (sqrt({_SSQ.format(a='q.qe')}) * sqrt({_SSQ.format(a='c.embedding')}))
+           AS cosine
+  FROM c JOIN q ON c.bucket = q.bucket
+  WHERE c.id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, id) AS rn
+  FROM scored
+)
+SELECT query_id, id, rn AS "rank", round(cosine, 6) AS cosine
+FROM ranked WHERE rn <= {TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
+# E8-E11: text analysis (token stats, quality, lang-id, fingerprint)
+# ---------------------------------------------------------------------------
+
+
+def q_e8_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_stats(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+_E8_SQL = """
+WITH s AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS n_tokens,
+         length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+         len(regexp_extract_all(lower(text),
+             '\\b(the|a|an|and|or|of|to|in|is|are)\\b')) AS n_stop
+  FROM documents
+)
+SELECT doc_id, n_chars, n_tokens,
+       round(CAST(n_chars AS DOUBLE) / n_tokens, 4) AS avg_token_len,
+       round(CAST(n_punct AS DOUBLE) / n_chars, 4) AS punct_ratio,
+       round(CAST(n_stop AS DOUBLE) / n_tokens, 4) AS stopword_ratio
+FROM s
+"""
+
+
+def q_e9_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_score(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+_E9_SQL = """
+WITH s AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS n_tokens,
+         length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+         len(regexp_extract_all(lower(text),
+             '\\b(the|a|an|and|or|of|to|in|is|are)\\b')) AS n_stop
+  FROM documents
+),
+r AS (
+  SELECT doc_id,
+         round(CAST(n_punct AS DOUBLE) / n_chars, 4) AS punct_ratio,
+         round(CAST(n_stop AS DOUBLE) / n_tokens, 4) AS stopword_ratio,
+         n_tokens
+  FROM s
+)
+SELECT doc_id,
+       round((CASE WHEN n_tokens BETWEEN 5 AND 5000 THEN 0.4 ELSE 0.0 END)
+             + (CASE WHEN punct_ratio <= 0.1 THEN 0.3 ELSE 0.0 END)
+             + least(stopword_ratio * 3.0, 0.3), 4) AS quality
+FROM r
+"""
+
+
+def q_e10_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lang_id(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _lang_score_sql(words: list[str]) -> str:
+    pattern = r"\b(" + "|".join(words) + r")\b"
+    return f"len(regexp_extract_all(lower(text), '{pattern}'))"
+
+
+def _build_lang_sql() -> str:
+    from delta_sorter_spark.operators.textstats import LANG_MARKERS, LANG_TIE_ORDER
+
+    scores = {lang: _lang_score_sql(words) for lang, words in LANG_MARKERS.items()}
+    score_cols = ", ".join(f"{expr} AS s_{lang}" for lang, expr in scores.items())
+    branches = []
+    for i, lang in enumerate(LANG_TIE_ORDER):
+        later = LANG_TIE_ORDER[i + 1 :]
+        if not later:
+            branches.append(f"ELSE '{lang}'")
+        else:
+            cond = " AND ".join(f"s_{lang} >= s_{o}" for o in later)
+            branches.append(f"WHEN {cond} THEN '{lang}'")
+    case = "CASE " + " ".join(branches) + " END"
+    return f"""
+WITH s AS (SELECT doc_id, {score_cols} FROM documents)
+SELECT doc_id, {case} AS lang_guess FROM s
+"""
+
+
+_E10_SQL = _build_lang_sql()
+
+
+def q_e11_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fingerprint(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+_E11_SQL = """
+SELECT doc_id,
+       substr(md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))), 1, 16)
+         AS fingerprint
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# S1/S2: streaming-shaped aggregations (batch form; streaming in tests)
+# ---------------------------------------------------------------------------
+
+
+def q_s1_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windowed_event_counts(load_table(spark, sf_dir, "events"))
+
+
+_S1_SQL = f"""
+SELECT strftime(date_trunc('hour', ts), '{_TS_FMT_DUCK}') AS window_start,
+       event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_s2_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sessionize(load_table(spark, sf_dir, "events"), gap="30 minutes")
+
+
+_S2_SQL = f"""
+WITH m AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM m
+)
+SELECT user_id,
+       strftime(min(ts), '{_TS_FMT_DUCK}') AS session_start,
+       strftime(max(ts) + INTERVAL 30 MINUTE, '{_TS_FMT_DUCK}') AS session_end,
+       count(*) AS n_events
+FROM numbered GROUP BY user_id, session_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# M1: multimodal binary-column plumbing (metadata path; decode in tests)
+# ---------------------------------------------------------------------------
+
+
+def q_m1_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        "doc_id",
+        F.length(payload).cast("long").alias("n_bytes"),
+        F.md5(payload).alias("digest"),
+    )
+
+
+_M1_SQL = """
+SELECT doc_id,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       md5(text) AS digest
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# A1-A3: TPC-H-style analytics (the §2.9 surface Spark gives for free —
+# demonstrated here so the engine's agg/join/top-k path is oracle-verified)
+# ---------------------------------------------------------------------------
+
+
+def q_a1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    filtered = li.where(F.col("l_shipdate") <= F.lit(TPCH1_CUTOFF).cast("timestamp"))
+    return (
+        filtered.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(dec("l_extendedprice") * (1 - dec("l_discount")))
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.sum(
+                dec("l_extendedprice") * (1 - dec("l_discount")) * (1 + dec("l_tax"))
+            )
+            .cast("double")
+            .alias("sum_charge"),
+            F.count("*").alias("count_order"),
+        )
+        .withColumn("avg_qty", F.round(F.col("sum_qty") / F.col("count_order"), 6))
+    )
+
+
+_A1_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+       count(*) AS count_order,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6)
+         AS avg_qty
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{TPCH1_CUTOFF}'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_a2_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    )
+    rev = (
+        joined.groupBy("o_orderkey")
+        .agg(
+            F.sum(dec("l_extendedprice") * (1 - dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+    return rev
+
+
+_A2_SQL = """
+SELECT o_orderkey,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+def q_a3_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return joined.groupBy("r_name", "n_name").agg(
+        F.sum(dec("l_extendedprice") * (1 - dec("l_discount")))
+        .cast("double")
+        .alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+_A3_SQL = """
+SELECT r_name, n_name,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def q_a4_topk_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("o_orderpriority", "rn", "o_orderkey", "o_totalprice")
+    )
+
+
+_A4_SQL = """
+SELECT o_orderpriority, rn, o_orderkey, o_totalprice
+FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the validator's V1 per-file min/max over sf0.001."""
+    return q_v1_file_minmax(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "v1_file_minmax": q_v1_file_minmax,
+        "v2_file_sortedness": q_v2_file_sortedness,
+        "v3_boundary_check": q_v3_boundary_check,
+        "q1_global_sort": q_q1_global_sort,
+        "q2_partition_sort": q_q2_partition_sort,
+        "q3_partition_inventory": q_q3_partition_inventory,
+        "q4_predicate_render": q_q4_predicate_render,
+        "e1_exact_dedup": q_e1_exact_dedup,
+        "e2_minhash_sig": q_e2_minhash_sig,
+        "e3_lsh_candidates": q_e3_lsh_candidates,
+        "e4_simhash": q_e4_simhash,
+        "e5_ngram_jaccard": q_e5_ngram_jaccard,
+        "e6_topk_cosine": q_e6_topk_cosine,
+        "e7_ann_lsh": q_e7_ann_lsh,
+        "e8_token_stats": q_e8_token_stats,
+        "e9_quality": q_e9_quality,
+        "e10_lang_id": q_e10_lang_id,
+        "e11_fingerprint": q_e11_fingerprint,
+        "s1_event_windows": q_s1_event_windows,
+        "s2_sessionize": q_s2_sessionize,
+        "m1_binary_meta": q_m1_binary_meta,
+        "a1_pricing_summary": q_a1_pricing_summary,
+        "a2_top_revenue_orders": q_a2_top_revenue_orders,
+        "a3_regional_revenue": q_a3_regional_revenue,
+        "a4_topk_per_priority": q_a4_topk_per_priority,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "v1_file_minmax": _V1_SQL,
+        "v2_file_sortedness": _V2_SQL,
+        "v3_boundary_check": _V3_SQL,
+        "q1_global_sort": _Q1_SQL,
+        "q2_partition_sort": _Q2_SQL,
+        "q3_partition_inventory": _Q3_SQL,
+        "q4_predicate_render": _Q4_SQL,
+        "e1_exact_dedup": _E1_SQL,
+        "e2_minhash_sig": _E2_SQL,
+        "e3_lsh_candidates": _E3_SQL,
+        "e4_simhash": _E4_SQL,
+        "e5_ngram_jaccard": _E5_SQL,
+        "e6_topk_cosine": _E6_SQL,
+        "e7_ann_lsh": _E7_SQL,
+        "e8_token_stats": _E8_SQL,
+        "e9_quality": _E9_SQL,
+        "e10_lang_id": _E10_SQL,
+        "e11_fingerprint": _E11_SQL,
+        "s1_event_windows": _S1_SQL,
+        "s2_sessionize": _S2_SQL,
+        "m1_binary_meta": _M1_SQL,
+        "a1_pricing_summary": _A1_SQL,
+        "a2_top_revenue_orders": _A2_SQL,
+        "a3_regional_revenue": _A3_SQL,
+        "a4_topk_per_priority": _A4_SQL,
+    }

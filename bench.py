@@ -1,0 +1,135 @@
+"""Benchmark harness (BASELINE.md B1-B5).
+
+Runs the headline workloads at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Workloads:
+- validate_unsorted (B2): full validator over a just-written (unsorted) Delta
+  table — exercises the distributed scan path.
+- compact_strict   (B3): global sort + overwrite of that table.
+- validate_sorted  (B1): validator over the compacted table — metadata fast
+  path (should be ~free; the reference re-scans every file here).
+- compact_partitioned (B4): partition-aware compact of a Hive-partitioned
+  table, half the partitions pre-sorted (skip-work path).
+- query workloads  (B5 + headline): global sort, TPC-H pricing summary,
+  joins, exact dedup, minhash, top-k cosine, token stats — via
+  __spark_entry__.queries(), executed with a noop write (full computation,
+  no driver collect).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+os.environ.setdefault("PYTHONPATH", REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+ENTRY_QUERIES = [
+    "q1_global_sort",
+    "a1_pricing_summary",
+    "a3_regional_revenue",
+    "e1_exact_dedup",
+    "e2_minhash_sig",
+    "e6_topk_cosine",
+    "e8_token_stats",
+    "s1_event_windows",
+]
+
+
+def main() -> int:
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+    from delta_sorter_spark.api import compact, validate
+    from delta_sorter_spark.sources.delta_table import DeltaTable
+
+    spark = (
+        SparkSession.builder.appName("delta-sorter-bench")
+        .master(f"local[{CPUS}]")
+        .config("spark.sql.shuffle.partitions", str(max(int(CPUS), 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    workdir = tempfile.mkdtemp(prefix="dsbench_")
+
+    def timed(name, fn):
+        t0 = time.monotonic()
+        fn()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    li = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+
+    # -- maintenance workloads over a real Delta table ----------------------
+    t_unsorted = os.path.join(workdir, "li_unsorted")
+    DeltaTable.create(spark, t_unsorted, li.repartition(8))
+
+    sort_cols = ["l_shipdate", "l_orderkey", "l_linenumber"]
+    timed("validate_unsorted", lambda: validate(t_unsorted, sort_cols, spark=spark))
+    timed(
+        "compact_strict",
+        lambda: compact(t_unsorted, sort_cols, repartition_by_sort_key=True, spark=spark),
+    )
+    timed("validate_sorted", lambda: validate(t_unsorted, sort_cols, spark=spark))
+
+    # -- partition-aware compact, half the partitions pre-sorted ------------
+    t_part = os.path.join(workdir, "li_part")
+    pre = li.where(F.col("l_returnflag") == "R").sortWithinPartitions(*sort_cols)
+    rest = li.where(F.col("l_returnflag") != "R").repartition(4)
+    DeltaTable.create(
+        spark,
+        t_part,
+        pre.unionByName(rest),
+        partition_columns=["l_returnflag"],
+        stat_columns=sort_cols,
+    )
+    timed("compact_partitioned", lambda: compact(t_part, sort_cols, spark=spark))
+
+    # -- query workloads (full computation via noop sink) -------------------
+    queries = entrymod.queries()
+    for name in ENTRY_QUERIES:
+        fn = queries[name]
+        timed(
+            name,
+            lambda fn=fn: fn(spark, SF_DIR).write.format("noop").mode("overwrite").save(),
+        )
+
+    shutil.rmtree(workdir, ignore_errors=True)
+
+    sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "delta-sorter-spark bench (validate/compact + headline queries)",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

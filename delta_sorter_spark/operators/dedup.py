@@ -1,0 +1,257 @@
+"""Deduplication operators (north-star E1/E2, SURVEY §2.8).
+
+All operators are DataFrame -> DataFrame transforms with no driver-side
+materialization, designed for the 100 TB profile:
+
+- **exact_dedup**: one hash-shuffle on the dedup keys; AQE handles skew.
+  Keep-first semantics via min-tiebreak aggregation (not row_number) so the
+  shuffle carries pre-aggregated partials (map-side combine).
+- **content_hash_dedup**: canonical sha256 over selected columns, then exact
+  dedup on the digest — the standard way to dedup wide rows without
+  shuffling full payloads: project digest + tiebreak first, join survivors
+  back if the full row is needed.
+- **minhash_signatures / minhash_lsh_candidates**: shingle -> 60-bit md5
+  hash -> k affine permutations -> per-doc min (map-side combinable) ->
+  band -> bucket self-join on (band, band-signature).  The self-join is the
+  only shuffle that grows with candidate density; banding keeps buckets
+  small so the join stays local.  Hashing is portable (functions.hashing) so
+  the DuckDB oracle reproduces signatures bit-for-bit.
+- **simhash**: token hash sign-sums per bit position — one explode + one
+  groupBy, fully JVM-side.
+- **ngram_jaccard_pairs**: exact n-gram Jaccard via shingle self-join;
+  quadratic in co-bucketed docs, meant for verification of candidate pairs
+  (e.g. LSH output), not as the 100 TB primary path.
+- **embedding_near_dup**: sign-LSH bucket join + exact cosine verify.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from delta_sorter_spark.functions.hashing import (
+    MERSENNE_P,
+    minhash_params,
+    spark_md5_long_sql,
+)
+
+# ---------------------------------------------------------------------------
+# E1: exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, keys: Sequence[str], tiebreak: str) -> DataFrame:
+    """Keep, per distinct key tuple, the row with the smallest ``tiebreak``
+    value.  Implemented as min_by-style aggregation: partial aggregation
+    happens map-side before the shuffle, unlike a row_number window which
+    shuffles every row."""
+    others = [c for c in df.columns if c not in keys]
+    agg = [F.min_by(F.struct(*[F.col(c) for c in others]), F.col(tiebreak)).alias("__rest__")]
+    out = df.groupBy(*[F.col(k) for k in keys]).agg(*agg)
+    return out.select(*keys, *[F.col(f"__rest__.{c}").alias(c) for c in others])
+
+
+def content_hash_dedup(df: DataFrame, cols: Sequence[str], tiebreak: str) -> DataFrame:
+    """Exact content dedup via sha256 of the canonicalized selected columns
+    (E1's content variant: F.sha2(to_json(struct(...))))."""
+    digest = F.sha2(F.to_json(F.struct(*[F.col(c) for c in cols])), 256).alias("__digest__")
+    with_digest = df.withColumn("__digest__", digest)
+    kept = exact_dedup(with_digest, ["__digest__"], tiebreak)
+    return kept.drop("__digest__")
+
+
+# ---------------------------------------------------------------------------
+# shingling / tokenizing expressions (shared, JVM-side)
+# ---------------------------------------------------------------------------
+
+
+def shingles_expr(text_col: str, n: int = 3) -> Column:
+    """Distinct character n-grams of the lowercased text (JVM-side
+    transform/sequence; no UDF).  Short texts yield the whole text."""
+    return F.expr(
+        f"array_distinct(transform(sequence(1, greatest(1, length(lower({text_col})) - {n - 1})),"
+        f" i -> substring(lower({text_col}), i, {n})))"
+    )
+
+
+def tokens_expr(text_col: str) -> Column:
+    return F.expr(f"split(lower(trim({text_col})), '\\\\s+')")
+
+
+def md5_long(col: Column | str) -> Column:
+    """Portable 60-bit hash (see functions.hashing docstring)."""
+    name = col if isinstance(col, str) else None
+    if name is None:
+        raise ValueError("md5_long needs a column name or SQL expression string")
+    return F.expr(spark_md5_long_sql(name))
+
+
+# ---------------------------------------------------------------------------
+# E2: MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, minhash_0..minhash_{k-1}) — deterministic, oracle-reproducible.
+
+    Pipeline: explode distinct shingles -> portable md5 hash -> k affine
+    permutations -> groupBy(id).min per permutation.  min() partials combine
+    map-side, so the shuffle is one row per (doc, k) regardless of text
+    size."""
+    params = minhash_params(k, seed)
+    sh = df.select(
+        F.col(id_col), F.explode(shingles_expr(text_col, shingle_n)).alias("__shingle__")
+    )
+    h = sh.withColumn("__h__", F.expr(spark_md5_long_sql("__shingle__")) % F.lit(MERSENNE_P))
+    aggs = [
+        F.min((F.lit(a) * F.col("__h__") + F.lit(b)) % F.lit(MERSENNE_P)).alias(f"minhash_{j}")
+        for j, (a, b) in enumerate(params)
+    ]
+    return h.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    bands: int = 2,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) that share at least one
+    LSH band.  k/bands rows per band; docs agreeing on every minhash within
+    any band collide."""
+    assert k % bands == 0, "k must divide into equal bands"
+    rows_per_band = k // bands
+    sigs = minhash_signatures(df, id_col, text_col, k, shingle_n, seed)
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"minhash_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), *[c.alias(f"m{r}") for r, c in enumerate(cols)])
+        )
+    banded = sigs.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("__band__"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(b, on=(F.col("a.__band__") == F.col("b.__band__")))
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
+    """(id, simhash) — sign-sum of token-hash bits over ``bits`` positions.
+
+    explode(tokens) x explode(bit positions) -> +-1 sums -> bit -> weighted
+    sum.  All JVM-side; one shuffle on (id)."""
+    toks = df.select(F.col(id_col), F.explode(tokens_expr(text_col)).alias("__tok__"))
+    h = toks.withColumn("__h__", F.expr(spark_md5_long_sql("__tok__")) % F.lit(1 << bits))
+    pos = h.select(
+        F.col(id_col),
+        F.col("__h__"),
+        F.explode(F.expr(f"sequence(0, {bits - 1})")).alias("__bit__"),
+    )
+    # shiftright/shiftleft need SQL expr form: the Python helpers only take a
+    # literal shift amount, and the bit position here is a column
+    signed = pos.withColumn("__s__", F.expr("2 * ((__h__ >> __bit__) & 1) - 1"))
+    bitsum = signed.groupBy(id_col, "__bit__").agg(F.sum("__s__").alias("__sum__"))
+    bitval = bitsum.withColumn(
+        "__bitval__",
+        F.when(F.col("__sum__") > 0, F.expr("CAST(1 AS BIGINT) << __bit__")).otherwise(F.lit(0)),
+    )
+    return bitval.groupBy(id_col).agg(F.sum("__bitval__").cast("long").alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact pairwise Jaccard over distinct n-gram shingles, pairs with
+    similarity >= threshold.  Output: (id_a, id_b, jaccard).
+
+    Scale note: the shingle self-join is quadratic in docs-per-shingle; use
+    it to verify LSH candidates, or pre-bucket inputs.  jaccard is exact
+    rational arithmetic (int counts) so the oracle matches bit-for-bit."""
+    sh = df.select(F.col(id_col).alias("id"), F.explode(shingles_expr(text_col, shingle_n)).alias("s"))
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, on="s")
+        .where(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    with_sizes = (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "na"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "nb"), "id_b")
+    )
+    jac = with_sizes.withColumn(
+        "jaccard",
+        F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
+    )
+    return jac.where(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup (cosine)
+# ---------------------------------------------------------------------------
+
+
+def embedding_near_dup(
+    df: DataFrame,
+    id_col: str,
+    emb_col: str,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate embedding pairs: sign-LSH bucket join (cheap, scales)
+    then exact cosine verification within buckets.  Output:
+    (id_a, id_b, cosine)."""
+    from delta_sorter_spark.operators.similarity import cosine_expr, lsh_bucket_expr
+
+    with_bucket = df.select(
+        F.col(id_col).alias("id"),
+        F.col(emb_col).alias("emb"),
+        lsh_bucket_expr(emb_col, dim, n_planes=n_planes, seed=seed).alias("bucket"),
+    )
+    a, b = with_bucket.alias("a"), with_bucket.alias("b")
+    pairs = (
+        a.join(b, on="bucket")
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            cosine_expr("a.emb", "b.emb").alias("cosine"),
+        )
+        # bucket collisions can pair the same ids through multiple buckets
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return pairs.where(F.col("cosine") >= threshold)

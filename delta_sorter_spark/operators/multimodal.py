@@ -1,0 +1,101 @@
+"""Multimodal column plumbing (north-star E5, SURVEY §2.8).
+
+Convention: a multimodal asset is an opaque ``binary`` payload column plus a
+typed metadata struct (media_type, byte size, optional uri for
+pointer-style storage where the payload lives in an object store and only
+the reference rides in the table).  All Spark-side plumbing — schema,
+partitioning, Arrow batch shape, UDF signatures — is real and tested; the
+actual media decode is STUBBED because this container has no image/audio
+libraries (clearly marked below; swap ``_decode_stub`` for a PIL/ffmpeg call
+in a real deployment).
+
+Decode/feature steps run as ``mapInPandas`` (Arrow-batched), which is the
+right shape at 100 TB: each task decodes its partition's payloads locally,
+nothing is collected to the driver, and batch size is bounded by
+``spark.sql.execution.arrow.maxRecordsPerBatch``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+ASSET_METADATA_TYPE = T.StructType(
+    [
+        T.StructField("media_type", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("uri", T.StringType()),
+    ]
+)
+
+
+def attach_asset_metadata(df: DataFrame, payload_col: str, media_type: str) -> DataFrame:
+    """Add the typed metadata struct for a binary payload column."""
+    return df.withColumn(
+        f"{payload_col}_meta",
+        F.struct(
+            F.lit(media_type).alias("media_type"),
+            F.length(F.col(payload_col)).cast("long").alias("n_bytes"),
+            F.lit(None).cast("string").alias("uri"),
+        ),
+    )
+
+
+def _decode_stub(payload: bytes) -> tuple[int, int]:
+    """STUB decode: deterministic fake (width, height) derived from a sha1 of
+    the payload.  Replace with a real decoder (PIL.Image.open etc.) in a
+    deployment — the container has no media libraries (environment
+    constraint), and the Spark plumbing around this call is the product."""
+    digest = hashlib.sha1(payload).digest()
+    return 16 + digest[0] % 64, 16 + digest[1] % 64
+
+
+DECODED_SCHEMA = "id long, media_type string, n_bytes long, width int, height int"
+
+
+def decode_assets(df: DataFrame, id_col: str, payload_col: str, media_type_col: str) -> DataFrame:
+    """Decode binary payloads into per-asset features via Arrow-batched
+    mapInPandas: (id, media_type, n_bytes, width, height)."""
+
+    def decode(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            widths, heights, sizes = [], [], []
+            for payload in pdf["__payload__"]:
+                raw = bytes(payload)
+                w, h = _decode_stub(raw)
+                widths.append(w)
+                heights.append(h)
+                sizes.append(len(raw))
+            yield pd.DataFrame(
+                {
+                    "id": pdf["__id__"],
+                    "media_type": pdf["__mt__"],
+                    "n_bytes": sizes,
+                    "width": widths,
+                    "height": heights,
+                }
+            )
+
+    narrowed = df.select(
+        F.col(id_col).alias("__id__"),
+        F.col(payload_col).alias("__payload__"),
+        F.col(media_type_col).alias("__mt__"),
+    )
+    return narrowed.mapInPandas(decode, DECODED_SCHEMA)
+
+
+def frame_sample_plan(df: DataFrame, id_col: str, payload_col: str, every_n: int = 10) -> DataFrame:
+    """Plumbing for video frame sampling: explode a deterministic frame index
+    list per asset (real decoder would emit actual frames).  Shows the
+    1->many mapInPandas/explode shape with bounded batches."""
+    n_frames = (F.length(F.col(payload_col)) % 100 + 1).alias("n_frames")  # fake probe
+    frames = df.select(F.col(id_col).alias("id"), n_frames).withColumn(
+        "frame_idx", F.explode(F.expr(f"sequence(0, n_frames - 1, {every_n})"))
+    )
+    return frames.select("id", "frame_idx")

@@ -1,0 +1,139 @@
+"""Similarity search over embedding columns (north-star E3, SURVEY §2.8).
+
+- ``cosine_expr``: pure-JVM cosine over two array columns via
+  ``zip_with`` + ``aggregate`` (no UDF, stays in whole-stage codegen).
+  Sums fold left-to-right in index order, which DuckDB's list functions also
+  do, so oracle comparisons are bitwise-stable.
+- ``brute_force_topk``: the exact baseline — broadcast the (small) query set
+  against the corpus, cosine, per-query top-k window.  One shuffle (by
+  query id) over ``|queries| x |corpus|`` scored rows; at 100 TB this is the
+  verification path, not the serving path.
+- ``lsh_bucket_expr`` / ``ann_topk``: the scale path — deterministic sign-LSH
+  (seeded hyperplanes, functions.hashing) buckets the corpus once; queries
+  join only their bucket, then exact cosine reranks.  An IVF-style coarse
+  quantizer would slot in the same shape (bucket column + bucket join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from delta_sorter_spark.functions.hashing import hyperplanes
+
+
+def dot_expr(a: str, b: str) -> Column:
+    """Dot product of two array<numeric> columns, computed in double."""
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        f" CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def norm_expr(a: str) -> Column:
+    return F.sqrt(
+        F.expr(
+            f"aggregate(transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+            f" CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+    )
+
+
+def cosine_expr(a: str, b: str) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    emb_col: str,
+    query_id_col: str,
+    query_emb_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k by cosine: (query_id, id, rank, cosine).
+
+    The query side is broadcast — Catalyst keeps the corpus un-shuffled and
+    streams it once; the only shuffle is the per-query top-k window over
+    scored rows."""
+    from pyspark.sql import Window
+
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"), F.col(query_emb_col).alias("__qemb__")
+        )
+    )
+    scored = corpus.select(F.col(id_col).alias("id"), F.col(emb_col).alias("__cemb__")).crossJoin(q)
+    scored = scored.where(F.col("id") != F.col("query_id")).withColumn(
+        "cosine", cosine_expr("__qemb__", "__cemb__")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "id", "rank", "cosine")
+    )
+
+
+def _plane_array_sql(plane: list[float]) -> str:
+    return "array(" + ", ".join(f"CAST({v} AS DOUBLE)" for v in plane) + ")"
+
+
+def lsh_bucket_expr(emb_col: str, dim: int, n_planes: int = 8, seed: int = 42) -> Column:
+    """Sign-LSH bucket id: bit j set iff dot(plane_j, emb) > 0.  Planes are
+    deterministic literals (seeded, 6-decimal) so the DuckDB oracle can
+    reproduce bucket ids exactly."""
+    planes = hyperplanes(dim, n_planes, seed)
+    terms = []
+    for j, plane in enumerate(planes):
+        dot = (
+            f"aggregate(zip_with({emb_col}, {_plane_array_sql(plane)},"
+            f" (x, y) -> CAST(x AS DOUBLE) * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << j} ELSE 0 END)")
+    return F.expr(" + ".join(terms)).cast("long")
+
+
+def ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    emb_col: str,
+    query_id_col: str,
+    query_emb_col: str,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: LSH-bucket join then exact rerank within bucket.
+
+    Misses neighbors that land in other buckets (recall/cost tradeoff —
+    lower n_planes for higher recall).  Output matches brute_force_topk's
+    shape: (query_id, id, rank, cosine)."""
+    from pyspark.sql import Window
+
+    c = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(emb_col).alias("__cemb__"),
+        lsh_bucket_expr(emb_col, dim, n_planes, seed).alias("__bucket__"),
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(query_emb_col).alias("__qemb__"),
+            lsh_bucket_expr(query_emb_col, dim, n_planes, seed).alias("__bucket__"),
+        )
+    )
+    scored = (
+        c.join(q, on="__bucket__")
+        .where(F.col("id") != F.col("query_id"))
+        .withColumn("cosine", cosine_expr("__qemb__", "__cemb__"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "id", "rank", "cosine")
+    )

@@ -1,0 +1,106 @@
+"""Text analysis operators (north-star E4, SURVEY §2.8): token counting,
+quality scoring, language-ID heuristic, document fingerprinting.
+
+Everything is built from ``pyspark.sql.functions`` string/regex expressions
+— JVM-side, whole-stage-codegen, no UDFs — and every expression has an exact
+DuckDB equivalent so the driver's oracle verifies values bit-for-bit.
+
+Note on language-ID: the heuristic scores marker-token hits per language and
+argmaxes with a fixed tie order.  On the driver's synthetic corpus (shared
+English-ish vocabulary across the ``lang`` labels) its *accuracy* is
+meaningless — what the oracle verifies is the deterministic computation; on
+a real corpus you would swap in real stopword lexicons (the operator shape
+is the product, the lexicon is config).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+PUNCT_CLASS = r"[.,!?;:]"
+STOPWORDS_EN = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "are"]
+
+# marker lexicons for the language-ID heuristic (config, not code)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "is", "a"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "fr": ["le", "la", "les", "et", "est"],
+    "es": ["el", "los", "las", "y", "es"],
+}
+LANG_TIE_ORDER = ["en", "de", "fr", "es"]
+
+
+def n_tokens_expr(text_col: str) -> Column:
+    return F.expr(f"size(split(lower(trim({text_col})), '\\\\s+'))")
+
+
+def _count_matches(text_col: str, words: list[str]) -> Column:
+    # double the backslashes: Spark SQL string literals process \b as
+    # backspace, so the literal must read '\\b' to reach the regex engine
+    pattern = r"\\b(" + "|".join(words) + r")\\b"
+    return F.expr(f"size(regexp_extract_all(lower({text_col}), '{pattern}', 0))")
+
+
+def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, n_chars, n_tokens, avg_token_len, punct_ratio, stopword_ratio)."""
+    n_chars = F.length(F.col(text_col))
+    n_tokens = n_tokens_expr(text_col)
+    n_punct = n_chars - F.length(F.regexp_replace(F.col(text_col), PUNCT_CLASS, ""))
+    n_stop = _count_matches(text_col, STOPWORDS_EN)
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.round(n_chars.cast("double") / n_tokens, 4).alias("avg_token_len"),
+        F.round(n_punct.cast("double") / n_chars, 4).alias("punct_ratio"),
+        F.round(n_stop.cast("double") / n_tokens, 4).alias("stopword_ratio"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, quality): a simple deterministic 0..1 composite — length band,
+    low punctuation noise, some stopword signal.  The point is the operator
+    shape (pure column expressions -> trivially distributed); the weights are
+    config."""
+    stats = token_stats(df, id_col, text_col)
+    length_ok = (F.col("n_tokens") >= 5) & (F.col("n_tokens") <= 5000)
+    punct_ok = F.col("punct_ratio") <= 0.1
+    score = (
+        F.when(length_ok, F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.when(punct_ok, F.lit(0.3)).otherwise(F.lit(0.0))
+        + F.least(F.col("stopword_ratio") * F.lit(3.0), F.lit(0.3))
+    )
+    return stats.select(F.col(id_col), F.round(score, 4).alias("quality"))
+
+
+def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, lang_guess) via marker-token argmax with fixed tie order."""
+    scores = {
+        lang: _count_matches(text_col, words) for lang, words in LANG_MARKERS.items()
+    }
+    guess = None
+    # build CASE from the tie order: first lang whose score >= all later ones
+    expr = None
+    for i, lang in enumerate(LANG_TIE_ORDER):
+        cond = None
+        for other in LANG_TIE_ORDER[i + 1 :]:
+            c = scores[lang] >= scores[other]
+            cond = c if cond is None else (cond & c)
+        branch = F.lit(lang)
+        if cond is None:
+            expr = expr.otherwise(branch) if expr is not None else branch
+        else:
+            expr = F.when(cond, branch) if expr is None else expr.when(cond, branch)
+    guess = expr
+    return df.select(F.col(id_col), guess.alias("lang_guess"))
+
+
+def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, fingerprint): 64-bit hex digest of whitespace-normalized
+    lowercased text — the standard near-exact dedup key (E4 document
+    fingerprinting; md5-based so the oracle reproduces it)."""
+    normalized = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    return df.select(
+        F.col(id_col), F.substring(F.md5(normalized), 1, 16).alias("fingerprint")
+    )

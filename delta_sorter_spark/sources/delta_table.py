@@ -49,6 +49,10 @@ def _serialize_stat(value):
     """JSON-safe stats value (Delta stores stats as JSON strings)."""
     if value is None:
         return None
+    if hasattr(value, "item") and type(value).__module__ == "numpy":
+        value = value.item()  # numpy scalar -> python scalar
+    if hasattr(value, "to_pydatetime"):
+        value = value.to_pydatetime()  # pandas Timestamp
     if isinstance(value, (_dt.datetime, _dt.date)):
         return value.isoformat()
     if isinstance(value, decimal.Decimal):

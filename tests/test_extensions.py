@@ -1,0 +1,165 @@
+"""Unit tests for the extension operators (dedup, similarity, textstats,
+multimodal) on small in-memory frames."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from delta_sorter_spark.operators.dedup import (
+    content_hash_dedup,
+    exact_dedup,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from delta_sorter_spark.operators.multimodal import (
+    attach_asset_metadata,
+    decode_assets,
+    frame_sample_plan,
+)
+from delta_sorter_spark.operators.similarity import (
+    ann_topk,
+    brute_force_topk,
+    cosine_expr,
+)
+from delta_sorter_spark.operators.textstats import (
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_stats,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "completely different text with unique words xylophone"),
+            (4, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_exact_dedup_keeps_first(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 30)], "id long, k string, v long"
+    )
+    out = exact_dedup(df, ["k"], "id").orderBy("k").collect()
+    assert [(r["k"], r["id"], r["v"]) for r in out] == [("a", 1, 10), ("b", 3, 30)]
+
+
+def test_content_hash_dedup(docs):
+    out = content_hash_dedup(docs, ["text"], "doc_id")
+    ids = {r["doc_id"] for r in out.collect()}
+    assert ids == {1, 2, 3}  # 4 deduped into 1
+
+
+def test_minhash_near_dups_collide(docs):
+    sigs = {r["doc_id"]: [r[f"minhash_{j}"] for j in range(8)] for r in minhash_signatures(docs, "doc_id", "text", k=8).collect()}
+    assert sigs[1] == sigs[4]  # identical text -> identical signature
+    agree_12 = sum(a == b for a, b in zip(sigs[1], sigs[2]))
+    agree_13 = sum(a == b for a, b in zip(sigs[1], sigs[3]))
+    assert agree_12 > agree_13  # near-dup agrees more than unrelated
+
+    cands = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidates(docs, "doc_id", "text", k=8, bands=4).collect()
+    }
+    assert (1, 4) in cands
+
+
+def test_simhash_distance(docs):
+    hs = {r["doc_id"]: r["simhash"] for r in simhash(docs, "doc_id", "text").collect()}
+    assert hs[1] == hs[4]
+    dist_12 = bin(hs[1] ^ hs[2]).count("1")
+    dist_13 = bin(hs[1] ^ hs[3]).count("1")
+    assert dist_12 <= dist_13
+
+
+def test_ngram_jaccard(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+    }
+    assert pairs[(1, 4)] == 1.0
+    assert 0.5 <= pairs[(1, 2)] < 1.0
+    assert (1, 3) not in pairs
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0, 0.0]),
+        (4, [0.8, 0.2, 0.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_brute_force_topk(vectors):
+    q = vectors.where(F.col("vec_id") == 0)
+    out = brute_force_topk(vectors, q, "vec_id", "embedding", "vec_id", "embedding", k=2).collect()
+    assert [(r["rank"], r["id"]) for r in out] == [(1, 1), (2, 4)]
+
+
+def test_ann_lsh_topk_finds_close_neighbor(vectors):
+    q = vectors.where(F.col("vec_id") == 0)
+    out = ann_topk(
+        vectors, q, "vec_id", "embedding", "vec_id", "embedding", dim=4, k=2, n_planes=2
+    ).collect()
+    # neighbor 1 is nearly colinear with the query -> same bucket, rank 1
+    assert out and out[0]["id"] in (1, 4)
+
+
+def test_cosine_expr(spark):
+    df = spark.createDataFrame([([1.0, 0.0], [0.0, 1.0])], "a array<double>, b array<double>")
+    assert df.select(cosine_expr("a", "b").alias("c")).collect()[0]["c"] == pytest.approx(0.0)
+
+
+def test_token_stats_and_quality(docs):
+    stats = {r["doc_id"]: r for r in token_stats(docs, "doc_id", "text").collect()}
+    assert stats[1]["n_tokens"] == 9
+    assert stats[1]["stopword_ratio"] > 0
+    q = {r["doc_id"]: r["quality"] for r in quality_score(docs, "doc_id", "text").collect()}
+    assert all(0.0 <= v <= 1.0 for v in q.values())
+
+
+def test_lang_id_deterministic(docs):
+    out = {r["doc_id"]: r["lang_guess"] for r in lang_id(docs, "doc_id", "text").collect()}
+    assert out[1] == "en"  # 'the' markers
+
+
+def test_fingerprint_normalizes_whitespace(spark):
+    df = spark.createDataFrame(
+        [(1, "hello   world"), (2, " hello world "), (3, "other")],
+        "doc_id long, text string",
+    )
+    fp = {r["doc_id"]: r["fingerprint"] for r in fingerprint(df, "doc_id", "text").collect()}
+    assert fp[1] == fp[2] != fp[3]
+    assert len(fp[1]) == 16
+
+
+def test_multimodal_plumbing(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"payload-one")), (2, bytearray(b"payload-two-longer"))],
+        "id long, payload binary",
+    ).withColumn("mt", F.lit("image/fake"))
+    with_meta = attach_asset_metadata(df, "payload", "image/fake")
+    metas = {r["id"]: r["payload_meta"] for r in with_meta.collect()}
+    assert metas[1]["n_bytes"] == 11
+    assert metas[1]["media_type"] == "image/fake"
+
+    decoded = {r["id"]: r for r in decode_assets(df, "id", "payload", "mt").collect()}
+    assert decoded[1]["n_bytes"] == 11
+    assert 16 <= decoded[1]["width"] < 80
+    # deterministic fake: same payload -> same dims
+    again = {r["id"]: r for r in decode_assets(df, "id", "payload", "mt").collect()}
+    assert decoded[1]["width"] == again[1]["width"]
+
+    frames = frame_sample_plan(df, "id", "payload", every_n=5)
+    assert frames.count() > 0

@@ -1,0 +1,110 @@
+"""Structured Streaming tests: the batch-defined transformations run as real
+streams (file source, availableNow trigger, memory sink) with watermarks."""
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def event_files(spark, tmp_path):
+    """Three parquet files simulating micro-batch arrivals."""
+    src = str(tmp_path / "stream_src")
+    rows = [
+        (1, "2024-01-01 00:05:00", 10, "click", 1.0),
+        (2, "2024-01-01 00:15:00", 10, "click", 2.0),
+        (3, "2024-01-01 01:05:00", 11, "view", 3.0),
+        (4, "2024-01-01 01:10:00", 11, "view", 4.0),
+        (5, "2024-01-01 02:05:00", 10, "click", 5.0),
+        (1, "2024-01-01 00:05:00", 10, "click", 1.0),  # duplicate event_id 1
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    for i in range(3):
+        df.where(F.col("event_id") % 3 == i).coalesce(1).write.mode("append").parquet(src)
+    return src, df.schema
+
+
+def _run_stream(stream_df, name):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append" if name == "dedup" else "complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_windowed_counts_stream_matches_batch(spark, event_files):
+    from delta_sorter_spark.streaming.events import windowed_event_counts
+
+    src, schema = event_files
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    out = windowed_event_counts(stream, streaming=True)
+    # complete mode: windowed agg emits full result at the end
+    q = (
+        out.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    batch = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in windowed_event_counts(spark.read.schema(schema).parquet(src)).collect()
+    }
+    assert got == batch
+    assert got[("2024-01-01 00:00:00", "click")] == 3  # incl. the duplicate row
+
+
+def test_streaming_dedup_drops_repeats(spark, event_files):
+    from delta_sorter_spark.streaming.events import streaming_dedup
+
+    src, schema = event_files
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    deduped = streaming_dedup(stream, ["event_id"], watermark="1 hour")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT event_id FROM dedup").collect()
+    ids = sorted(r["event_id"] for r in rows)
+    assert ids == [1, 2, 3, 4, 5]  # duplicate event_id=1 dropped
+
+
+def test_sessionize_stream_runs(spark, event_files):
+    from delta_sorter_spark.streaming.events import sessionize
+
+    src, schema = event_files
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    out = sessionize(stream, gap="30 minutes", streaming=True)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM sessions").collect()
+    # user 10: events at 00:05 (x2, incl. duplicate), 00:15 (one session)
+    # and 02:05 (another)
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r["n_events"])
+    assert sorted(by_user[10]) == [1, 3]
+    assert by_user[11] == [2]
