@@ -269,10 +269,14 @@ FROM flagged
 
 
 def q_q1_global_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    w = Window.orderBy(*[F.asc(k) for k in _KEY])
-    return li.select(
-        F.row_number().over(w).alias("rn"),
+    # two-phase scalable global rank — a plain row_number() OVER (ORDER BY)
+    # would be an Exchange SinglePartition (operators/ranking.py docstring)
+    from delta_sorter_spark.operators.ranking import global_rank
+
+    li = load_table(spark, sf_dir, "lineitem").select(*_KEY)
+    ranked = global_rank(li, _KEY, rank_col="rn")
+    return ranked.select(
+        "rn",
         F.date_format("l_shipdate", _TS_FMT_SPARK).alias("shipdate"),
         "l_orderkey",
         "l_linenumber",

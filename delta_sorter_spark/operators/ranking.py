@@ -1,0 +1,67 @@
+"""Scalable global ranking (dense total order) without a single-partition
+exchange.
+
+``row_number() OVER (ORDER BY ...)`` funnels every row through ONE partition
+(`Exchange SinglePartition` in the plan) — correct at test scale, a
+non-starter at 100 TB.  ``global_rank`` computes the identical result with
+the classic two-phase shape Spark's own sort uses:
+
+1. ``repartitionByRange(n, keys)`` — sampled range partitioning: partition i
+   holds a disjoint key range, ranges ascending with i.
+2. per-partition row counts (one cheap count job over partition ids) ->
+   cumulative offsets on the driver (n integers).
+3. ``row_number()`` windowed *within* each range partition (no global
+   exchange; each partition sorts locally) + broadcast-joined offset.
+
+Determinism: ties on the full key tuple land in the same range partition, so
+the produced rank multiset is identical to the single-partition form even
+though sampling makes the partition boundaries themselves nondeterministic.
+
+Cost: two passes over the data (the count pass and the rank pass) instead of
+one — the standard trade for removing the single-partition bottleneck.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from delta_sorter_spark.functions.keys import sort_order_columns
+
+
+def global_rank(
+    df: DataFrame,
+    keys: Sequence[str],
+    rank_col: str = "rn",
+    nulls_first: bool = True,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add a 1-based global rank column ordered by ``keys`` (ascending,
+    configurable null placement), computed without a global single-partition
+    shuffle."""
+    spark = df.sparkSession
+    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    order = sort_order_columns(keys, nulls_first)
+    parted = df.repartitionByRange(n, *order).withColumn(
+        "__pid__", F.spark_partition_id()
+    )
+    # Offsets are derived from the SAME `parted` subplan inside one query, so
+    # Catalyst reuses the range exchange (ReusedExchange) and both branches
+    # see identical partition ids.  (Running counts as a separate collect()
+    # job would re-execute the exchange — partition assignment across
+    # separate jobs is not guaranteed stable.)
+    counts = parted.groupBy("__pid__").agg(F.count("*").alias("__cnt__"))
+    w_off = Window.orderBy("__pid__").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "__pid__",
+        F.coalesce(F.sum("__cnt__").over(w_off), F.lit(0)).alias("__offset__"),
+    )
+    w = Window.partitionBy("__pid__").orderBy(*order)
+    ranked = (
+        parted.join(F.broadcast(offsets), "__pid__")
+        .withColumn(rank_col, (F.row_number().over(w) + F.col("__offset__")).cast("long"))
+        .drop("__pid__", "__offset__")
+    )
+    return ranked
