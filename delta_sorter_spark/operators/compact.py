@@ -142,7 +142,14 @@ def _strict_overwrite(table: DeltaTable, config: SortConfig) -> CompactMetrics:
         sorted_within_files=True,
     )
     removes = [a.remove_action(False) for a in state.adds]
-    table.commit_rewrite(adds, removes, predicate=None, operation="OPTIMIZE")
+    from delta_sorter_spark.sources.delta_table import ConcurrentRewriteError
+
+    try:
+        table.commit_rewrite(adds, removes, predicate=None, operation="OPTIMIZE")
+    except ConcurrentRewriteError:
+        log.info("strict overwrite lost a concurrent rewrite race; discarding staged files")
+        table.discard_files(adds)
+        return metrics
     metrics.rewritten_partitions = 1
     metrics.files_out = len(adds)
     metrics.bytes_out = sum(a.size for a in adds)
@@ -236,7 +243,23 @@ def _rewrite_group(table: DeltaTable, grp: RewriteGroup, config: SortConfig) -> 
         else None
     )
     removes = [a.remove_action(False) for a in grp.files]
-    table.commit_rewrite(adds, removes, predicate=predicate, operation="OPTIMIZE")
+    from delta_sorter_spark.sources.delta_table import ConcurrentRewriteError
+
+    try:
+        table.commit_rewrite(adds, removes, predicate=predicate, operation="OPTIMIZE")
+    except ConcurrentRewriteError:
+        # another writer rewrote this partition first: its result is as good
+        # as ours (same sort); drop our staged files and report a no-op
+        log.info("partition %s: lost rewrite race, discarding staged files", grp.partition_key)
+        table.discard_files(adds)
+        return PartitionMetrics(
+            partition_key=grp.partition_key,
+            files_in=len(grp.files),
+            files_out=0,
+            bytes_in=grp.estimated_bytes,
+            bytes_out=0,
+            duration_ms=int((time.monotonic() - started) * 1000),
+        )
     pm = PartitionMetrics(
         partition_key=grp.partition_key,
         files_in=len(grp.files),

@@ -297,11 +297,41 @@ class DeltaTable:
     ) -> int:
         """Overwrite-style commit: Remove(old) + Add(new), optionally scoped
         by a replaceWhere predicate recorded in commitInfo (reference
-        lib.rs:862-885 records DeltaOperation::Write{Overwrite, predicate})."""
+        lib.rs:862-885 records DeltaOperation::Write{Overwrite, predicate}).
+
+        Conflict detection (beyond the reference, which assumes a single
+        writer): on every attempt the fresh log state is checked — if any
+        file this rewrite intends to Remove is no longer active, a concurrent
+        writer already rewrote it, and blindly committing would DUPLICATE its
+        rows (our Adds + theirs).  Raises ConcurrentRewriteError instead;
+        callers treat it as "lost the race" and discard their staged files."""
         params = {"mode": "Overwrite"}
         if predicate:
             params["predicate"] = predicate
         actions = list(removes) + list(adds)
+
+        def build(state):
+            active = {a.path for a in state.adds}
+            gone = [r.path for r in removes if r.path not in active]
+            if gone:
+                raise ConcurrentRewriteError(
+                    f"files rewritten by a concurrent writer: {gone[:3]}"
+                )
+            return actions
+
         return self.log.commit_with_retry(
-            lambda state: actions, operation=operation, operation_params=params
+            build, operation=operation, operation_params=params
         )
+
+    def discard_files(self, adds: Sequence[AddAction]) -> None:
+        """Delete staged data files that will never be committed (loser of a
+        concurrent rewrite race)."""
+        for a in adds:
+            try:
+                os.unlink(os.path.join(self.table_path, a.path))
+            except OSError:
+                pass
+
+
+class ConcurrentRewriteError(Exception):
+    """A concurrent writer removed files this transaction depends on."""

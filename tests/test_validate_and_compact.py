@@ -239,3 +239,52 @@ def test_predicate_scopes_partitions(spark, tmp_path):
     m = compact(path, ["k"], predicate="id = 1", spark=spark)
     assert m.rewritten_partitions == 1
     assert m.partitions[0].partition_key == "id=1"
+
+
+def test_target_file_size(spark, tmp_path):
+    """S5: target_file_size_bytes bounds output files via maxRecordsPerFile."""
+    path = str(tmp_path / "sized")
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 10000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("v")
+    )
+    table = DeltaTable.create(spark, path, df.coalesce(1), stat_columns=["k"])
+    one_file_bytes = table.state().adds[0].size
+    compact(
+        path,
+        ["k"],
+        repartition_by_sort_key=True,
+        target_file_size_bytes=max(1024, one_file_bytes // 8),
+        spark=spark,
+    )
+    adds = DeltaTable(spark, path).state().adds
+    assert len(adds) >= 4  # split into multiple bounded files
+    # still globally ordered across files
+    report = validate(path, ["k"], spark=spark)
+    assert report["boundary_violations"] == 0
+
+
+def test_concurrent_compacts_conflict_safe(spark, tmp_path):
+    """Two concurrent partition-aware compacts: disjoint replaceWhere commits
+    retry on version conflicts; final state is consistent."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    path = str(tmp_path / "conc")
+    df = spark.createDataFrame(
+        [(i % 4, f"k{9 - i}", i) for i in range(16)], "p long, k string, v long"
+    )
+    DeltaTable.create(spark, path, df.coalesce(1), partition_columns=["p"])
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futs = [
+            pool.submit(compact, path, ["k"], concurrency=2, spark=spark)
+            for _ in range(2)
+        ]
+        results = [f.result() for f in futs]
+    assert DeltaTable(spark, path).to_df().count() == 16
+    table = DeltaTable(spark, path)
+    from delta_sorter_spark.operators.validate import partition_is_sorted
+    from delta_sorter_spark.plans.inventory import group_by_partition
+
+    for grp in group_by_partition(table.state().adds):
+        assert partition_is_sorted(table, grp.files, ["k"])
