@@ -952,6 +952,39 @@ FROM (
 
 
 # ---------------------------------------------------------------------------
+# E12: z-order (Morton) values — multi-dimensional clustering key
+# ---------------------------------------------------------------------------
+
+
+def q_e12_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_sorter_spark.operators.zorder import interleave_sql
+
+    li = load_table(spark, sf_dir, "lineitem")
+    z = F.expr(interleave_sql(["(l_partkey % 256)", "(l_suppkey % 256)"], 8))
+    return (
+        li.select(
+            (F.col("l_partkey") % 256).alias("a"),
+            (F.col("l_suppkey") % 256).alias("b"),
+            z.alias("zval"),
+        )
+        .distinct()
+    )
+
+
+def _zorder_sql() -> str:
+    from delta_sorter_spark.operators.zorder import interleave_sql
+
+    z = interleave_sql(["(l_partkey % 256)", "(l_suppkey % 256)"], 8)
+    return f"""
+SELECT DISTINCT l_partkey % 256 AS a, l_suppkey % 256 AS b, {z} AS zval
+FROM lineitem
+"""
+
+
+_E12_SQL = _zorder_sql()
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -981,6 +1014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e9_quality": q_e9_quality,
         "e10_lang_id": q_e10_lang_id,
         "e11_fingerprint": q_e11_fingerprint,
+        "e12_zorder": q_e12_zorder,
         "s1_event_windows": q_s1_event_windows,
         "s2_sessionize": q_s2_sessionize,
         "m1_binary_meta": q_m1_binary_meta,
@@ -1011,6 +1045,7 @@ def oracle_sql() -> dict[str, str]:
         "e9_quality": _E9_SQL,
         "e10_lang_id": _E10_SQL,
         "e11_fingerprint": _E11_SQL,
+        "e12_zorder": _E12_SQL,
         "s1_event_windows": _S1_SQL,
         "s2_sessionize": _S2_SQL,
         "m1_binary_meta": _M1_SQL,

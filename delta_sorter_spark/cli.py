@@ -39,6 +39,17 @@ def main(argv: list[str] | None = None) -> int:
 
     from delta_sorter_spark import api
 
+    try:
+        return _run(args, sort_columns, api)
+    except FileNotFoundError as exc:
+        print(f"error: {exc}", file=sys.stderr)
+        return 2
+    except ValueError as exc:
+        print(f"error: {exc}", file=sys.stderr)
+        return 2
+
+
+def _run(args, sort_columns, api) -> int:
     if args.validate_only:
         report = api.validate(args.table, sort_columns, nulls=args.nulls)
         print(

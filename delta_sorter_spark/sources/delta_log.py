@@ -123,6 +123,8 @@ class DeltaLog:
         self.table_path = os.path.abspath(table_path)
         self.log_dir = os.path.join(self.table_path, "_delta_log")
 
+    CHECKPOINT_INTERVAL = 10
+
     # -- reading -----------------------------------------------------------
 
     def exists(self) -> bool:
@@ -144,42 +146,116 @@ class DeltaLog:
         versions = self._commit_versions()
         return versions[-1] if versions else -1
 
+    def _last_checkpoint_version(self) -> int | None:
+        path = os.path.join(self.log_dir, "_last_checkpoint")
+        if not os.path.exists(path):
+            return None
+        try:
+            with open(path) as fh:
+                return int(json.load(fh)["version"])
+        except (ValueError, KeyError, json.JSONDecodeError):
+            return None
+
     def read_state(self) -> TableState:
+        """Replay the log.  With a checkpoint present, replay starts from the
+        checkpointed state and covers only later commits — O(commits since
+        checkpoint), the property that keeps log reads cheap on long-lived
+        tables (Delta protocol checkpointing; ours serializes the same
+        actions as JSON rather than parquet — documented divergence)."""
         versions = self._commit_versions()
         if not versions:
             raise FileNotFoundError(f"no Delta log at {self.log_dir}")
         metadata: TableMetadata | None = None
         adds: dict[str, AddAction] = {}
+
+        ckpt_version = self._last_checkpoint_version()
+        replay_from = 0
+        if ckpt_version is not None:
+            ckpt_path = os.path.join(self.log_dir, f"{ckpt_version:020d}.checkpoint.json")
+            if os.path.exists(ckpt_path):
+                with open(ckpt_path) as fh:
+                    for line in fh:
+                        line = line.strip()
+                        if not line:
+                            continue
+                        action = json.loads(line)
+                        metadata, adds = self._apply(action, metadata, adds)
+                replay_from = ckpt_version + 1
+
         for v in versions:
+            if v < replay_from:
+                continue
             with open(os.path.join(self.log_dir, f"{v:020d}.json")) as fh:
                 for line in fh:
                     line = line.strip()
                     if not line:
                         continue
-                    action = json.loads(line)
-                    if "metaData" in action:
-                        m = action["metaData"]
-                        metadata = TableMetadata(
-                            table_id=m["id"],
-                            schema=T.StructType.fromJson(json.loads(m["schemaString"])),
-                            partition_columns=list(m.get("partitionColumns", [])),
-                        )
-                    elif "add" in action:
-                        a = action["add"]
-                        stats = a.get("stats")
-                        adds[a["path"]] = AddAction(
-                            path=a["path"],
-                            size=a.get("size", 0),
-                            partition_values=a.get("partitionValues", {}),
-                            modification_time=a.get("modificationTime", 0),
-                            data_change=a.get("dataChange", True),
-                            stats=json.loads(stats) if stats else None,
-                        )
-                    elif "remove" in action:
-                        adds.pop(action["remove"]["path"], None)
+                    metadata, adds = self._apply(json.loads(line), metadata, adds)
         if metadata is None:
             raise ValueError(f"Delta log at {self.log_dir} has no metaData action")
         return TableState(version=versions[-1], metadata=metadata, adds=list(adds.values()))
+
+    @staticmethod
+    def _apply(action: dict, metadata, adds):
+        if "metaData" in action:
+            m = action["metaData"]
+            metadata = TableMetadata(
+                table_id=m["id"],
+                schema=T.StructType.fromJson(json.loads(m["schemaString"])),
+                partition_columns=list(m.get("partitionColumns", [])),
+            )
+        elif "add" in action:
+            a = action["add"]
+            stats = a.get("stats")
+            adds[a["path"]] = AddAction(
+                path=a["path"],
+                size=a.get("size", 0),
+                partition_values=a.get("partitionValues", {}),
+                modification_time=a.get("modificationTime", 0),
+                data_change=a.get("dataChange", True),
+                stats=json.loads(stats) if stats else None,
+            )
+        elif "remove" in action:
+            adds.pop(action["remove"]["path"], None)
+        return metadata, adds
+
+    def write_checkpoint(self, state: TableState | None = None) -> str:
+        """Consolidate current state into a checkpoint file + _last_checkpoint
+        pointer.  Subsequent read_state calls replay only newer commits."""
+        state = state or self.read_state()
+        ckpt_path = os.path.join(self.log_dir, f"{state.version:020d}.checkpoint.json")
+        lines = [
+            json.dumps({"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}),
+            json.dumps(
+                {
+                    "metaData": {
+                        "id": state.metadata.table_id,
+                        "format": {"provider": "parquet", "options": {}},
+                        "schemaString": json.dumps(state.metadata.schema.jsonValue()),
+                        "partitionColumns": state.metadata.partition_columns,
+                        "configuration": {},
+                    }
+                }
+            ),
+        ]
+        for add in state.adds:
+            lines.append(json.dumps(add.to_json()))
+        tmp = ckpt_path + f".{uuid.uuid4().hex}.tmp"
+        with open(tmp, "w") as fh:
+            fh.write("\n".join(lines) + "\n")
+        os.replace(tmp, ckpt_path)
+        ptr_tmp = os.path.join(self.log_dir, f"_last_checkpoint.{uuid.uuid4().hex}.tmp")
+        with open(ptr_tmp, "w") as fh:
+            json.dump({"version": state.version, "size": len(state.adds)}, fh)
+        os.replace(ptr_tmp, os.path.join(self.log_dir, "_last_checkpoint"))
+        return ckpt_path
+
+    def maybe_checkpoint(self, version: int) -> None:
+        if version > 0 and version % self.CHECKPOINT_INTERVAL == 0:
+            try:
+                self.write_checkpoint()
+            except Exception:  # checkpointing is an optimization, never fatal
+                pass
 
     # -- writing -----------------------------------------------------------
 
@@ -263,7 +339,9 @@ class DeltaLog:
             state = self.read_state()
             actions = build_actions(state)
             try:
-                return self.commit(state.version + 1, actions, operation, operation_params)
+                version = self.commit(state.version + 1, actions, operation, operation_params)
+                self.maybe_checkpoint(version)
+                return version
             except DeltaCommitConflict:
                 time.sleep(0.05)
         raise DeltaCommitConflict(f"gave up after {max_attempts} attempts")

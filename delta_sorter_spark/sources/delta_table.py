@@ -323,6 +323,39 @@ class DeltaTable:
             build, operation=operation, operation_params=params
         )
 
+    def vacuum(self, dry_run: bool = False, retention_seconds: float = 0.0) -> list[str]:
+        """Delete data files in the table directory that are no longer
+        referenced by the log (tombstoned by rewrites, or orphaned by failed
+        writers).  Returns the deleted (or would-delete) relative paths.
+
+        ``retention_seconds`` skips recently-modified files so in-flight
+        writers' staged-then-moved files aren't collected (Delta's VACUUM
+        retention idea; default 0 suits tests and single-writer use)."""
+        import time as _time
+
+        state = self.state()
+        active = {a.path for a in state.adds}
+        doomed: list[str] = []
+        now = _time.time()
+        for root, dirs, names in os.walk(self.table_path):
+            dirs[:] = [d for d in dirs if d not in ("_delta_log", "_staging")]
+            for name in names:
+                if not name.endswith(".parquet"):
+                    continue
+                full = os.path.join(root, name)
+                rel = os.path.relpath(full, self.table_path).replace(os.sep, "/")
+                if rel in active:
+                    continue
+                if retention_seconds and now - os.path.getmtime(full) < retention_seconds:
+                    continue
+                doomed.append(rel)
+                if not dry_run:
+                    try:
+                        os.unlink(full)
+                    except OSError:
+                        pass
+        return doomed
+
     def discard_files(self, adds: Sequence[AddAction]) -> None:
         """Delete staged data files that will never be committed (loser of a
         concurrent rewrite race)."""

@@ -87,3 +87,51 @@ def test_empty_table_read(spark, tmp_path):
     table = DeltaTable(spark, path)
     assert table.to_df().count() == 0
     assert table.to_df().schema == schema
+
+
+def test_checkpoint_roundtrip(spark, tmp_path):
+    """After CHECKPOINT_INTERVAL commits a checkpoint consolidates state;
+    reads replay only newer commits and see identical state."""
+    path = str(tmp_path / "ckpt")
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    table = DeltaTable.create(spark, path, df.coalesce(1))
+    log = DeltaLog(path)
+    for i in range(12):
+        add_df = spark.createDataFrame([(i + 10, "x")], "id long, v string")
+        adds = table.stage_write(add_df.coalesce(1))
+        log.commit_with_retry(lambda s, adds=adds: list(adds), operation="WRITE")
+    import os
+
+    names = os.listdir(os.path.join(path, "_delta_log"))
+    assert "_last_checkpoint" in names
+    assert any(n.endswith(".checkpoint.json") for n in names)
+    state = log.read_state()
+    assert len(state.adds) == 13
+    assert table.to_df().count() == 13
+    # state from checkpoint equals state from full replay
+    os.remove(os.path.join(path, "_delta_log", "_last_checkpoint"))
+    full = log.read_state()
+    assert {a.path for a in full.adds} == {a.path for a in state.adds}
+
+
+def test_vacuum_removes_tombstoned_files(spark, tmp_path):
+    from delta_sorter_spark.api import compact
+
+    path = str(tmp_path / "vac")
+    df = spark.createDataFrame(
+        [("B", 1), ("A", 2)], "k string, v long"
+    )
+    table = DeltaTable.create(spark, path, df.coalesce(1))
+    before = set(table.input_files())
+    compact(path, ["k"], spark=spark)
+    # old file is tombstoned but still on disk
+    import os
+
+    old_rel = [os.path.relpath(f, path) for f in before]
+    assert all(os.path.exists(f) for f in before)
+    doomed = table.vacuum(dry_run=True)
+    assert set(doomed) == set(old_rel)
+    assert all(os.path.exists(f) for f in before)  # dry run deletes nothing
+    table.vacuum()
+    assert not any(os.path.exists(f) for f in before)
+    assert table.to_df().count() == 2  # active data untouched

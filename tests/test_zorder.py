@@ -1,0 +1,60 @@
+"""Z-order layout tests: Morton interleave correctness + clustering effect."""
+
+from pyspark.sql import functions as F
+
+from delta_sorter_spark.operators.zorder import (
+    interleave_sql,
+    z_value_expr,
+    zorder_layout,
+)
+
+
+def _morton2(a: int, b: int, bits: int = 8) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((a >> i) & 1) << (2 * i)
+        z |= ((b >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def test_interleave_matches_python_morton(spark):
+    df = spark.createDataFrame(
+        [(a, b) for a in range(0, 16) for b in range(0, 16)], "a long, b long"
+    )
+    got = df.select(
+        "a", "b", F.expr(interleave_sql(["a", "b"], 4)).alias("z")
+    ).collect()
+    for r in got:
+        assert r["z"] == _morton2(r["a"], r["b"], 4)
+
+
+def test_z_value_expr_buckets_with_bounds(spark):
+    df = spark.createDataFrame([(0, 0), (100, 100), (50, 50)], "x long, y long")
+    out = df.select(
+        z_value_expr(["x", "y"], [(0, 100), (0, 100)], bits=2).alias("z")
+    ).collect()
+    zs = sorted(r["z"] for r in out)
+    # corners: (0,0)->0, (~mid)->z(2,2), (max)->z(3,3)=15
+    assert zs[0] == 0
+    assert zs[-1] == _morton2(3, 3, 2)
+
+
+def test_zorder_layout_clusters(spark):
+    df = spark.createDataFrame(
+        [(i % 13, (i * 7) % 13) for i in range(1000)], "x long, y long"
+    )
+    out = zorder_layout(df, ["x", "y"], bits=4, num_partitions=4)
+    assert out.count() == 1000
+    assert set(out.columns) == {"x", "y"}
+    # each output partition covers a bounded z-range: partition-level spread
+    # of x must be narrower than the global spread for most partitions
+    import numpy as np
+
+    with_pid = out.withColumn("pid", F.spark_partition_id())
+    spans = (
+        with_pid.groupBy("pid")
+        .agg((F.max("x") - F.min("x")).alias("span_x"), F.count("*").alias("n"))
+        .collect()
+    )
+    avg_span = np.mean([r["span_x"] for r in spans if r["n"] > 10])
+    assert avg_span <= 12  # tighter than the full 0..12 domain on average
