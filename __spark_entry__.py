@@ -817,7 +817,8 @@ FROM documents
 def q_a1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
-    filtered = li.where(F.col("l_shipdate") <= F.lit(TPCH1_CUTOFF).cast("timestamp"))
+    # timestamp_ntz literal: session-timezone-invariant comparison
+    filtered = li.where(F.col("l_shipdate") <= F.lit(TPCH1_CUTOFF).cast("timestamp_ntz"))
     return (
         filtered.groupBy("l_returnflag", "l_linestatus")
         .agg(
