@@ -986,6 +986,54 @@ _E12_SQL = _zorder_sql()
 
 
 # ---------------------------------------------------------------------------
+# E13: near-dup clusters — connected components over the Jaccard pair graph
+# ---------------------------------------------------------------------------
+
+
+def q_e13_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_sorter_spark.operators.graph import connected_components
+
+    docs = _doc_subset(spark, sf_dir, JACCARD_SUBSET_MOD)
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", threshold=JACCARD_THRESHOLD
+    ).select("id_a", "id_b")
+    comps = connected_components(
+        docs.select("doc_id"), pairs, node_col="doc_id"
+    )
+    return comps.select(F.col("id").alias("doc_id"), "component")
+
+
+_E13_SQL = f"""
+WITH RECURSIVE {_duckdb_shingle_cte(JACCARD_SUBSET_MOD)},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= {JACCARD_THRESHOLD}
+),
+bidir AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM d
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN bidir e ON r.dst = e.a
+)
+SELECT src AS doc_id, min(dst) AS component
+FROM reach GROUP BY src
+"""
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -1016,6 +1064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e10_lang_id": q_e10_lang_id,
         "e11_fingerprint": q_e11_fingerprint,
         "e12_zorder": q_e12_zorder,
+        "e13_dup_clusters": q_e13_dup_clusters,
         "s1_event_windows": q_s1_event_windows,
         "s2_sessionize": q_s2_sessionize,
         "m1_binary_meta": q_m1_binary_meta,
@@ -1047,6 +1096,7 @@ def oracle_sql() -> dict[str, str]:
         "e10_lang_id": _E10_SQL,
         "e11_fingerprint": _E11_SQL,
         "e12_zorder": _E12_SQL,
+        "e13_dup_clusters": _E13_SQL,
         "s1_event_windows": _S1_SQL,
         "s2_sessionize": _S2_SQL,
         "m1_binary_meta": _M1_SQL,

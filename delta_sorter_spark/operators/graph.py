@@ -1,0 +1,90 @@
+"""Connected components over near-duplicate pair graphs (the step that turns
+E2's candidate pairs into dedup *clusters*: every component keeps one
+canonical representative).
+
+Implemented as iterative min-label propagation with DataFrame joins — the
+Pregel-lite pattern:
+
+    label(v) <- min(label(v), min over neighbors' labels)
+
+repeated until fixpoint.  Convergence needs O(component diameter) rounds;
+near-dup graphs are overwhelmingly short-diameter clusters, so this runs in
+a handful of rounds even at scale.  Each round is one join + one aggregation
+(both shuffle on node id, so AQE coalesces them), and ``localCheckpoint``
+cuts the lineage so plans don't grow with iteration count.
+
+The result is deterministic (unique fixpoint: every node labeled with the
+minimum node id reachable from it), which makes the operator
+oracle-checkable via a recursive CTE in DuckDB (see __spark_entry__
+``e13_dup_clusters``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    node_col: str = "id",
+    edge_a: str = "id_a",
+    edge_b: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """(id, component) where component = min node id reachable via edges.
+
+    ``nodes`` must contain every vertex (isolated vertices form singleton
+    components); ``edges`` is undirected (one row per pair, either order).
+    """
+    bidir = (
+        edges.select(F.col(edge_a).alias("src"), F.col(edge_b).alias("dst"))
+        .unionByName(edges.select(F.col(edge_b).alias("src"), F.col(edge_a).alias("dst")))
+        .distinct()
+    )
+    labels = nodes.select(F.col(node_col).alias("id"), F.col(node_col).alias("component"))
+    for _ in range(max_iterations):
+        neighbor_min = (
+            bidir.join(labels, bidir.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("component").alias("nmin"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
+                ).alias("component"),
+            )
+        )
+        updated = updated.localCheckpoint(eager=True)
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "id")
+            .where(F.col("u.component") != F.col("l.component"))
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_representatives(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    edge_a: str = "id_a",
+    edge_b: str = "id_b",
+) -> DataFrame:
+    """Keep one row per near-duplicate cluster (the minimum id); rows not in
+    any pair survive as their own singleton component."""
+    comps = connected_components(
+        df.select(F.col(id_col)), pairs, node_col=id_col, edge_a=edge_a, edge_b=edge_b
+    )
+    keep = comps.where(F.col("id") == F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")

@@ -1,0 +1,57 @@
+"""Connected components + skew operators."""
+
+from pyspark.sql import functions as F
+
+from delta_sorter_spark.operators.graph import (
+    connected_components,
+    dedup_representatives,
+)
+from delta_sorter_spark.operators.skew import salted_agg_count_distinct, salted_join
+
+
+def test_connected_components_basic(spark):
+    nodes = spark.createDataFrame([(i,) for i in range(8)], "id long")
+    # components: {0,1,2,3} (chain), {4,5}, {6}, {7}
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (4, 5)], "id_a long, id_b long"
+    )
+    got = {r["id"]: r["component"] for r in connected_components(nodes, edges).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 4, 6: 6, 7: 7}
+
+
+def test_connected_components_cycle_and_diameter(spark):
+    nodes = spark.createDataFrame([(i,) for i in range(10)], "id long")
+    # a ring 0..9 (diameter 5) — propagation must traverse it fully
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 10) for i in range(10)], "id_a long, id_b long"
+    )
+    got = {r["id"]: r["component"] for r in connected_components(nodes, edges).collect()}
+    assert set(got.values()) == {0}
+
+
+def test_dedup_representatives(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a'"), (3, "b"), (4, "c")], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    kept = sorted(r["doc_id"] for r in dedup_representatives(df, pairs, "doc_id").collect())
+    assert kept == [1, 3, 4]
+
+
+def test_salted_join_matches_plain_join(spark):
+    left = spark.createDataFrame(
+        [(i % 3, i) for i in range(300)], "k long, v long"
+    )
+    right = spark.createDataFrame([(0, "x"), (1, "y"), (2, "z")], "k long, name string")
+    plain = left.join(right, "k").select("k", "v", "name")
+    salted = salted_join(left, right, ["k"], salt_factor=4).select("k", "v", "name")
+    assert plain.exceptAll(salted).count() == 0
+    assert salted.exceptAll(plain).count() == 0
+
+
+def test_salted_count_distinct(spark):
+    df = spark.createDataFrame(
+        [("hot", i % 17) for i in range(500)] + [("cold", 1)], "k string, v long"
+    )
+    got = {r["k"]: r["n_distinct"] for r in salted_agg_count_distinct(df, "k", "v").collect()}
+    assert got == {"hot": 17, "cold": 1}
