@@ -71,3 +71,66 @@ def read_event_stream(spark, source_dir: str, schema) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(source_dir)
     )
+
+
+def running_user_totals(
+    events: DataFrame, watermark: str = "1 hour", timeout_minutes: int = 60
+) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState: per-user
+    running totals that persist across micro-batches and expire after an idle
+    timeout (bounded state, the 100 TB requirement for unbounded streams).
+
+    Emits one row per user per micro-batch in which the user appeared:
+    (user_id, total_events, total_value).  This is the pattern for stateful
+    logic Spark's built-in aggregations can't express (custom expiry,
+    arbitrary per-key state machines); state is per-key and Arrow-batched.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    output_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("total_events", LongType()),
+            StructField("total_value", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("v", DoubleType()),
+        ]
+    )
+
+    def update(key, pdfs, state: "GroupState"):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n, v = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            v += float(pdf["value"].sum())
+        state.update((n, v))
+        state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "total_events": [n], "total_value": [v]}
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=output_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )

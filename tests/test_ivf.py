@@ -1,0 +1,41 @@
+"""IVF ANN: deterministic build, reasonable recall vs brute force."""
+
+from pyspark.sql import functions as F
+
+from delta_sorter_spark.operators.ivf import ivf_topk, kmeans_centroids
+from delta_sorter_spark.operators.similarity import brute_force_topk
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_kmeans_deterministic(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    c1 = kmeans_centroids(emb, "embedding", dim=64, k=4, n_iters=1)
+    c2 = kmeans_centroids(emb, "embedding", dim=64, k=4, n_iters=1)
+    r1 = sorted((r["centroid"], tuple(r["cvec"])) for r in c1.collect())
+    r2 = sorted((r["centroid"], tuple(r["cvec"])) for r in c2.collect())
+    assert r1 == r2
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+
+    exact = brute_force_topk(
+        emb, queries, "vec_id", "embedding", "vec_id", "embedding", k=5
+    )
+    approx = ivf_topk(
+        emb, queries, "vec_id", "embedding", "vec_id", "embedding",
+        dim=64, k=5, n_centroids=8, n_probes=4,
+    )
+    exact_set = {(r["query_id"], r["id"]) for r in exact.collect()}
+    approx_set = {(r["query_id"], r["id"]) for r in approx.collect()}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # random gaussian-ish embeddings are a worst case for IVF; with half the
+    # lists probed recall should still be well above chance
+    assert recall >= 0.4, f"recall {recall}"
+    # and the probed search returns k results per query
+    per_query = {}
+    for qid, _ in approx_set:
+        per_query[qid] = per_query.get(qid, 0) + 1
+    assert all(v == 5 for v in per_query.values())

@@ -108,3 +108,29 @@ def test_sessionize_stream_runs(spark, event_files):
         by_user.setdefault(r["user_id"], []).append(r["n_events"])
     assert sorted(by_user[10]) == [1, 3]
     assert by_user[11] == [2]
+
+
+def test_stateful_running_totals(spark, event_files):
+    """applyInPandasWithState: state persists across micro-batches."""
+    from delta_sorter_spark.streaming.events import running_user_totals
+
+    src, schema = event_files
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    out = running_user_totals(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("totals")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM totals").collect()
+    # final (largest) totals per user reflect ALL micro-batches
+    final = {}
+    for r in rows:
+        final[r["user_id"]] = max(
+            final.get(r["user_id"], 0), r["total_events"]
+        )
+    assert final[10] == 4  # 3 clicks + 1 duplicate row
+    assert final[11] == 2
