@@ -34,8 +34,14 @@ from delta_sorter_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash,
 )
-from delta_sorter_spark.operators.similarity import ann_topk, brute_force_topk
+from delta_sorter_spark.operators.joins import asof_join, range_join
+from delta_sorter_spark.operators.similarity import (
+    ann_topk,
+    brute_force_topk,
+    cosine_neardup_pairs,
+)
 from delta_sorter_spark.operators.textstats import (
+    bpe_token_stats,
     fingerprint,
     lang_id,
     quality_score,
@@ -59,6 +65,9 @@ TOPK = 5
 EMB_DIM = 64
 N_PLANES = 8
 TPCH1_CUTOFF = "1998-09-02 00:00:00"
+NEARDUP_THRESHOLD = 0.40  # embedding-cosine near-dup cut (59 pairs at sf0.01)
+RANGE_LOWER_S = 1
+RANGE_UPPER_S = 600
 
 _TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
 _TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
@@ -1034,6 +1043,241 @@ FROM reach GROUP BY src
 
 
 # ---------------------------------------------------------------------------
+# E14: embedding-cosine near-duplicate pairs (the embedding-space dedup)
+# ---------------------------------------------------------------------------
+
+
+def q_e14_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = cosine_neardup_pairs(emb, "vec_id", "embedding", threshold=NEARDUP_THRESHOLD)
+    return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+_E14_SQL = f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round({_DOT.format(a='a.embedding', b='b.embedding')}
+             / (sqrt({_SSQ.format(a='a.embedding')})
+                * sqrt({_SSQ.format(a='b.embedding')})), 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {_DOT.format(a='a.embedding', b='b.embedding')}
+        / (sqrt({_SSQ.format(a='a.embedding')})
+           * sqrt({_SSQ.format(a='b.embedding')})) >= {NEARDUP_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
+# E15: IVF approximate nearest neighbor (iterative k-means quantizer — not
+# SQL-expressible; the driver records the weaker rows-only check)
+# ---------------------------------------------------------------------------
+
+
+def q_e15_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_sorter_spark.operators.ivf import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % QUERY_VEC_MOD == 0)
+    out = ivf_topk(
+        emb,
+        queries,
+        "vec_id",
+        "embedding",
+        "vec_id",
+        "embedding",
+        dim=EMB_DIM,
+        k=TOPK,
+        n_centroids=16,
+        n_probes=4,
+    )
+    return out.select("query_id", "id", "rank", F.round("cosine", 6).alias("cosine"))
+
+
+# ---------------------------------------------------------------------------
+# E16: BPE-ish regex token counting (vs whitespace tokens in E8)
+# ---------------------------------------------------------------------------
+
+
+def q_e16_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bpe_token_stats(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+_BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+_E16_SQL = f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '{_BPE_RE}') AS toks FROM documents
+),
+c AS (
+  SELECT doc_id, len(toks) AS n_bpe_tokens,
+         len(list_filter(toks, x -> regexp_matches(x, '^[A-Za-z]'))) AS n_word_tokens,
+         len(list_filter(toks, x -> regexp_matches(x, '^[0-9]'))) AS n_number_tokens
+  FROM t
+)
+SELECT doc_id, n_bpe_tokens, n_word_tokens, n_number_tokens,
+       n_bpe_tokens - n_word_tokens - n_number_tokens AS n_symbol_tokens
+FROM c
+"""
+
+
+# ---------------------------------------------------------------------------
+# M2: multimodal decode via Arrow-batched mapInPandas (md5-stub decode is
+# deterministic, so even the Python-UDF path is oracle-verified)
+# ---------------------------------------------------------------------------
+
+
+def q_m2_decoded_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_sorter_spark.operators.multimodal import decode_assets
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.lit("text/plain").alias("media_type"),
+    )
+    return decode_assets(docs, "doc_id", "payload", "media_type")
+
+
+_HEXBYTE = (
+    "((strpos('0123456789abcdef', substr(hx, {p}, 1)) - 1) * 16"
+    " + (strpos('0123456789abcdef', substr(hx, {p1}, 1)) - 1))"
+)
+
+_M2_SQL = f"""
+WITH h AS (SELECT doc_id, md5(text) AS hx, strlen(text) AS nb FROM documents)
+SELECT doc_id AS id,
+       'text/plain' AS media_type,
+       CAST(nb AS BIGINT) AS n_bytes,
+       CAST(16 + {_HEXBYTE.format(p=1, p1=2)} % 64 AS INT) AS width,
+       CAST(16 + {_HEXBYTE.format(p=3, p1=4)} % 64 AS INT) AS height
+FROM h
+"""
+
+
+# ---------------------------------------------------------------------------
+# A5: hierarchical aggregation via ROLLUP (grouping-sets surface)
+# ---------------------------------------------------------------------------
+
+
+def q_a5_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    return orders.rollup("o_orderpriority", "o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(dec).cast("double").alias("total_price"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+    )
+
+
+_A5_SQL = """
+SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+       count(DISTINCT o_custkey) AS n_customers
+FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+"""
+
+
+# ---------------------------------------------------------------------------
+# A6: as-of join — each event picks the most recent order of the same key
+# (operators/joins.py union-and-carry-forward shape; DuckDB ASOF JOIN oracle)
+# ---------------------------------------------------------------------------
+
+
+def q_a6_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("user_id"), "o_orderdate")
+        .agg(
+            F.max("o_orderkey").alias("o_orderkey"),
+            F.max_by("o_totalprice", "o_orderkey").alias("o_totalprice"),
+        )
+    )
+    joined = asof_join(ev, orders, on="user_id", left_ts="ts", right_ts="o_orderdate")
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", _TS_FMT_SPARK).alias("ts"),
+        "o_orderkey",
+        F.date_format("o_orderdate", _TS_FMT_SPARK).alias("o_orderdate"),
+        "o_totalprice",
+    )
+
+
+_A6_SQL = f"""
+WITH o AS (
+  SELECT o_custkey AS user_id, o_orderdate,
+         max(o_orderkey) AS o_orderkey,
+         max_by(o_totalprice, o_orderkey) AS o_totalprice
+  FROM orders GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id,
+       strftime(e.ts, '{_TS_FMT_DUCK}') AS ts,
+       o.o_orderkey,
+       strftime(o.o_orderdate, '{_TS_FMT_DUCK}') AS o_orderdate,
+       o.o_totalprice
+FROM events e ASOF LEFT JOIN o
+  ON e.user_id = o.user_id AND e.ts >= o.o_orderdate
+"""
+
+
+# ---------------------------------------------------------------------------
+# A7: set operations (INTERSECT / EXCEPT)
+# ---------------------------------------------------------------------------
+
+
+def q_a7_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    building = cust.where(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    finished = orders.where(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    both = building.intersect(finished).withColumn("tag", F.lit("both"))
+    only_b = building.subtract(finished).withColumn("tag", F.lit("building_only"))
+    return both.unionByName(only_b).select("tag", "custkey")
+
+
+_A7_SQL = """
+WITH b AS (SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+     f AS (SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F')
+SELECT 'both' AS tag, custkey FROM (SELECT custkey FROM b INTERSECT SELECT custkey FROM f)
+UNION ALL
+SELECT 'building_only' AS tag, custkey
+FROM (SELECT custkey FROM b EXCEPT SELECT custkey FROM f)
+"""
+
+
+# ---------------------------------------------------------------------------
+# A8: bucketized time-range join (same-key events within (+1s, +600s])
+# ---------------------------------------------------------------------------
+
+
+def q_a8_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    left = ev.select(F.col("event_id").alias("left_id"), "user_id", F.col("ts").alias("lts"))
+    right = ev.select(F.col("event_id").alias("right_id"), "user_id", F.col("ts").alias("rts"))
+    out = range_join(
+        left,
+        right,
+        "user_id",
+        "lts",
+        "rts",
+        lower_s=RANGE_LOWER_S,
+        upper_s=RANGE_UPPER_S,
+        bucket_s=RANGE_UPPER_S,
+    )
+    return out.select("user_id", "left_id", "right_id")
+
+
+_A8_SQL = f"""
+SELECT l.user_id, l.event_id AS left_id, r.event_id AS right_id
+FROM events l JOIN events r ON l.user_id = r.user_id
+WHERE CAST(floor(epoch(r.ts)) AS BIGINT) - CAST(floor(epoch(l.ts)) AS BIGINT)
+      BETWEEN {RANGE_LOWER_S} AND {RANGE_UPPER_S}
+"""
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -1065,13 +1309,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e11_fingerprint": q_e11_fingerprint,
         "e12_zorder": q_e12_zorder,
         "e13_dup_clusters": q_e13_dup_clusters,
+        "e14_embedding_neardup": q_e14_embedding_neardup,
+        "e15_ivf_ann": q_e15_ivf_ann,
+        "e16_bpe_tokens": q_e16_bpe_tokens,
         "s1_event_windows": q_s1_event_windows,
         "s2_sessionize": q_s2_sessionize,
         "m1_binary_meta": q_m1_binary_meta,
+        "m2_decoded_assets": q_m2_decoded_assets,
         "a1_pricing_summary": q_a1_pricing_summary,
         "a2_top_revenue_orders": q_a2_top_revenue_orders,
         "a3_regional_revenue": q_a3_regional_revenue,
         "a4_topk_per_priority": q_a4_topk_per_priority,
+        "a5_rollup": q_a5_rollup,
+        "a6_asof_join": q_a6_asof_join,
+        "a7_set_ops": q_a7_set_ops,
+        "a8_range_join": q_a8_range_join,
     }
 
 
@@ -1097,11 +1349,20 @@ def oracle_sql() -> dict[str, str]:
         "e11_fingerprint": _E11_SQL,
         "e12_zorder": _E12_SQL,
         "e13_dup_clusters": _E13_SQL,
+        "e14_embedding_neardup": _E14_SQL,
+        # e15_ivf_ann: no oracle — iterative k-means is not SQL-expressible;
+        # driver records the rows-only check
+        "e16_bpe_tokens": _E16_SQL,
         "s1_event_windows": _S1_SQL,
         "s2_sessionize": _S2_SQL,
         "m1_binary_meta": _M1_SQL,
+        "m2_decoded_assets": _M2_SQL,
         "a1_pricing_summary": _A1_SQL,
         "a2_top_revenue_orders": _A2_SQL,
         "a3_regional_revenue": _A3_SQL,
         "a4_topk_per_priority": _A4_SQL,
+        "a5_rollup": _A5_SQL,
+        "a6_asof_join": _A6_SQL,
+        "a7_set_ops": _A7_SQL,
+        "a8_range_join": _A8_SQL,
     }

@@ -46,11 +46,12 @@ def attach_asset_metadata(df: DataFrame, payload_col: str, media_type: str) -> D
 
 
 def _decode_stub(payload: bytes) -> tuple[int, int]:
-    """STUB decode: deterministic fake (width, height) derived from a sha1 of
-    the payload.  Replace with a real decoder (PIL.Image.open etc.) in a
-    deployment — the container has no media libraries (environment
-    constraint), and the Spark plumbing around this call is the product."""
-    digest = hashlib.sha1(payload).digest()
+    """STUB decode: deterministic fake (width, height) derived from an md5 of
+    the payload (md5 so the DuckDB oracle can reproduce the fake exactly).
+    Replace with a real decoder (PIL.Image.open etc.) in a deployment — the
+    container has no media libraries (environment constraint), and the Spark
+    plumbing around this call is the product."""
+    digest = hashlib.md5(payload).digest()
     return 16 + digest[0] % 64, 16 + digest[1] % 64
 
 

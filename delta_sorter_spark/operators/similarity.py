@@ -76,6 +76,46 @@ def brute_force_topk(
     )
 
 
+def cosine_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    emb_col: str,
+    threshold: float = 0.9,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine) for every
+    unordered pair with cosine >= threshold (the embedding-space member of
+    the dedup family next to MinHash/SimHash in operators/dedup.py).
+
+    With ``block_col=None`` this is the exact all-pairs form: a self-join on
+    ``id < id`` — O(n²) scoring, the verification path.  At scale, pass a
+    blocking column (e.g. ``lsh_bucket_expr``'s sign-LSH bucket or an IVF
+    centroid id from operators/ivf.py): pairs are then only scored within a
+    block, turning the join into a bucket-local equi-join — the same
+    candidate-generation shape as MinHash banding.
+    """
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(emb_col).alias("__ea__"),
+        *([F.col(block_col).alias("__blk__")] if block_col else []),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(emb_col).alias("__eb__"),
+        *([F.col(block_col).alias("__blk__")] if block_col else []),
+    )
+    if block_col:
+        pairs = a.join(b, "__blk__").where(F.col("id_a") < F.col("id_b"))
+    else:
+        pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+    scored = pairs.withColumn("cosine", cosine_expr("__ea__", "__eb__"))
+    return (
+        scored.where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def _plane_array_sql(plane: list[float]) -> str:
     return "array(" + ", ".join(f"CAST({v} AS DOUBLE)" for v in plane) + ")"
 

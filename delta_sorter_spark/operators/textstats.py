@@ -96,6 +96,35 @@ def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.select(F.col(id_col), guess.alias("lang_guess"))
 
 
+# BPE-ish pre-tokenizer: runs of letters, runs of digits, single
+# non-alphanumeric symbols — the GPT-2-style split shape, restricted to an
+# ASCII class so Java (Spark) and RE2 (DuckDB) regex engines agree exactly.
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def bpe_token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, n_bpe_tokens, n_word_tokens, n_number_tokens, n_symbol_tokens):
+    token counting under a BPE-ish regex pre-tokenizer (vs the whitespace
+    tokenizer in ``token_stats``).  A real BPE vocab merge step would follow
+    per-token; the counting/splitting shape here is the distributed part."""
+    toks = F.expr(f"regexp_extract_all({text_col}, '{BPE_PATTERN}', 0)")
+    n_words = F.expr(
+        f"size(filter(regexp_extract_all({text_col}, '{BPE_PATTERN}', 0),"
+        f" t -> t RLIKE '^[A-Za-z]'))"
+    )
+    n_numbers = F.expr(
+        f"size(filter(regexp_extract_all({text_col}, '{BPE_PATTERN}', 0),"
+        f" t -> t RLIKE '^[0-9]'))"
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_bpe_tokens"),
+        n_words.alias("n_word_tokens"),
+        n_numbers.alias("n_number_tokens"),
+        (F.size(toks) - n_words - n_numbers).alias("n_symbol_tokens"),
+    )
+
+
 def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, fingerprint): 64-bit hex digest of whitespace-normalized
     lowercased text — the standard near-exact dedup key (E4 document

@@ -163,3 +163,40 @@ def test_multimodal_plumbing(spark):
 
     frames = frame_sample_plan(df, "id", "payload", every_n=5)
     assert frames.count() > 0
+
+
+def test_cosine_neardup_pairs_exact_and_blocked(spark):
+    from delta_sorter_spark.operators.similarity import (
+        cosine_neardup_pairs,
+        lsh_bucket_expr,
+    )
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.99, 0.01, 0.0, 0.0]),  # near-dup of 1
+        (3, [0.0, 1.0, 0.0, 0.0]),    # orthogonal
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = cosine_neardup_pairs(df, "vec_id", "embedding", threshold=0.9)
+    assert {(r["id_a"], r["id_b"]) for r in exact.collect()} == {(1, 2)}
+
+    blocked_df = df.withColumn("blk", lsh_bucket_expr("embedding", 4, n_planes=4))
+    blocked = cosine_neardup_pairs(
+        blocked_df, "vec_id", "embedding", threshold=0.9, block_col="blk"
+    )
+    # blocking never invents pairs; near-identical vectors share every bucket
+    assert {(r["id_a"], r["id_b"]) for r in blocked.collect()} == {(1, 2)}
+
+
+def test_bpe_token_stats(spark):
+    from delta_sorter_spark.operators.textstats import bpe_token_stats
+
+    df = spark.createDataFrame(
+        [(1, "hello world42, x=1!")], "doc_id long, text string"
+    )
+    row = bpe_token_stats(df, "doc_id", "text").collect()[0]
+    # hello | world | 42 | , | x | = | 1 | !
+    assert row["n_bpe_tokens"] == 8
+    assert row["n_word_tokens"] == 3
+    assert row["n_number_tokens"] == 2
+    assert row["n_symbol_tokens"] == 3
