@@ -1278,6 +1278,126 @@ WHERE CAST(floor(epoch(r.ts)) AS BIGINT) - CAST(floor(epoch(l.ts)) AS BIGINT)
 
 
 # ---------------------------------------------------------------------------
+# P1: composite training-data pipeline — single-pass document profile ->
+# fingerprint dedup (keep lowest doc_id) -> quality filter
+# ---------------------------------------------------------------------------
+
+QUALITY_CUT = 0.5
+
+
+def q_p1_quality_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_sorter_spark.operators.textstats import document_profile
+
+    docs = load_table(spark, sf_dir, "documents")
+    prof = document_profile(docs, "doc_id", "text")
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    return (
+        prof.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) & (F.col("quality") >= QUALITY_CUT))
+        .select("doc_id", "fingerprint", "quality", "lang_guess")
+    )
+
+
+def _build_p1_sql() -> str:
+    from delta_sorter_spark.operators.textstats import LANG_MARKERS, LANG_TIE_ORDER
+
+    score_cols = ", ".join(
+        f"{_lang_score_sql(words)} AS s_{lang}" for lang, words in LANG_MARKERS.items()
+    )
+    branches = []
+    for i, lang in enumerate(LANG_TIE_ORDER):
+        later = LANG_TIE_ORDER[i + 1 :]
+        if not later:
+            branches.append(f"ELSE '{lang}'")
+        else:
+            cond = " AND ".join(f"s_{lang} >= s_{o}" for o in later)
+            branches.append(f"WHEN {cond} THEN '{lang}'")
+    lang_case = "CASE " + " ".join(branches) + " END"
+    return f"""
+WITH s AS (
+  SELECT doc_id,
+         substr(md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))), 1, 16)
+           AS fingerprint,
+         length(text) AS n_chars,
+         len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS n_tokens,
+         length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+         len(regexp_extract_all(lower(text),
+             '\\b(the|a|an|and|or|of|to|in|is|are)\\b')) AS n_stop,
+         {score_cols}
+  FROM documents
+),
+r AS (
+  SELECT doc_id, fingerprint,
+         round(CAST(n_punct AS DOUBLE) / n_chars, 4) AS punct_ratio,
+         round(CAST(n_stop AS DOUBLE) / n_tokens, 4) AS stopword_ratio,
+         n_tokens,
+         {lang_case} AS lang_guess
+  FROM s
+),
+q AS (
+  SELECT doc_id, fingerprint, lang_guess,
+         round((CASE WHEN n_tokens BETWEEN 5 AND 5000 THEN 0.4 ELSE 0.0 END)
+               + (CASE WHEN punct_ratio <= 0.1 THEN 0.3 ELSE 0.0 END)
+               + least(stopword_ratio * 3.0, 0.3), 4) AS quality,
+         row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+  FROM r
+)
+SELECT doc_id, fingerprint, quality, lang_guess
+FROM q WHERE rn = 1 AND quality >= {QUALITY_CUT}
+"""
+
+
+_P1_SQL = _build_p1_sql()
+
+
+# ---------------------------------------------------------------------------
+# A9: promo revenue share per ship month (TPC-H Q14 shape: mid-size broadcast
+# join + conditional aggregation)
+# ---------------------------------------------------------------------------
+
+
+def q_a9_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    disc_price = dec("l_extendedprice") * (1 - dec("l_discount"))
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return (
+        joined.groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", disc_price).otherwise(F.lit(0)))
+            .cast("double")
+            .alias("promo_revenue"),
+            F.sum(disc_price).cast("double").alias("total_revenue"),
+        )
+        .withColumn(
+            "promo_share",
+            F.round(F.col("promo_revenue") / F.col("total_revenue"), 6),
+        )
+    )
+
+
+_A9_SQL = """
+SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+       CAST(sum(CASE WHEN p_type = 'PROMO'
+                     THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                     ELSE 0 END) AS DOUBLE) AS promo_revenue,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue,
+       round(CAST(sum(CASE WHEN p_type = 'PROMO'
+                           THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                                * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                           ELSE 0 END) AS DOUBLE)
+             / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 6)
+         AS promo_share
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -1324,6 +1444,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a6_asof_join": q_a6_asof_join,
         "a7_set_ops": q_a7_set_ops,
         "a8_range_join": q_a8_range_join,
+        "a9_promo_revenue": q_a9_promo_revenue,
+        "p1_quality_dedup_pipeline": q_p1_quality_dedup_pipeline,
     }
 
 
@@ -1365,4 +1487,6 @@ def oracle_sql() -> dict[str, str]:
         "a6_asof_join": _A6_SQL,
         "a7_set_ops": _A7_SQL,
         "a8_range_join": _A8_SQL,
+        "a9_promo_revenue": _A9_SQL,
+        "p1_quality_dedup_pipeline": _P1_SQL,
     }

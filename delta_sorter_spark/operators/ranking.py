@@ -44,14 +44,21 @@ def global_rank(
     spark = df.sparkSession
     n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     order = sort_order_columns(keys, nulls_first)
-    parted = df.repartitionByRange(n, *order).withColumn(
-        "__pid__", F.spark_partition_id()
+    # The range partitioning MUST be materialized exactly once:
+    # repartitionByRange samples its boundaries per execution (seeded by RDD
+    # id), so if the count branch and the rank branch each re-executed the
+    # exchange they could see DIFFERENT partition assignments and the offsets
+    # would be wrong (observed: ~0.03% rank corruption at sf0.01 when relying
+    # on Catalyst/AQE exchange reuse, which is not guaranteed across the
+    # broadcast-subquery boundary).  localCheckpoint pins the partitioning —
+    # one exchange + one local materialization, both branches read the same
+    # partitions.  At cluster scale this is the same cost class as the
+    # second exchange it replaces, and it is deterministic.
+    parted = (
+        df.repartitionByRange(n, *order)
+        .withColumn("__pid__", F.spark_partition_id())
+        .localCheckpoint(eager=False)
     )
-    # Offsets are derived from the SAME `parted` subplan inside one query, so
-    # Catalyst reuses the range exchange (ReusedExchange) and both branches
-    # see identical partition ids.  (Running counts as a separate collect()
-    # job would re-execute the exchange — partition assignment across
-    # separate jobs is not guaranteed stable.)
     counts = parted.groupBy("__pid__").agg(F.count("*").alias("__cnt__"))
     w_off = Window.orderBy("__pid__").rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.select(

@@ -74,12 +74,11 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return stats.select(F.col(id_col), F.round(score, 4).alias("quality"))
 
 
-def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, lang_guess) via marker-token argmax with fixed tie order."""
+def lang_guess_expr(text_col: str) -> Column:
+    """Marker-token argmax with fixed tie order, as a single column expr."""
     scores = {
         lang: _count_matches(text_col, words) for lang, words in LANG_MARKERS.items()
     }
-    guess = None
     # build CASE from the tie order: first lang whose score >= all later ones
     expr = None
     for i, lang in enumerate(LANG_TIE_ORDER):
@@ -92,8 +91,12 @@ def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             expr = expr.otherwise(branch) if expr is not None else branch
         else:
             expr = F.when(cond, branch) if expr is None else expr.when(cond, branch)
-    guess = expr
-    return df.select(F.col(id_col), guess.alias("lang_guess"))
+    return expr
+
+
+def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, lang_guess) via marker-token argmax with fixed tie order."""
+    return df.select(F.col(id_col), lang_guess_expr(text_col).alias("lang_guess"))
 
 
 # BPE-ish pre-tokenizer: runs of letters, runs of digits, single
@@ -125,11 +128,47 @@ def bpe_token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def fingerprint_expr(text_col: str) -> Column:
+    """64-bit hex digest of whitespace-normalized lowercased text."""
+    normalized = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    return F.substring(F.md5(normalized), 1, 16)
+
+
 def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, fingerprint): 64-bit hex digest of whitespace-normalized
     lowercased text — the standard near-exact dedup key (E4 document
     fingerprinting; md5-based so the oracle reproduces it)."""
-    normalized = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
-    return df.select(
-        F.col(id_col), F.substring(F.md5(normalized), 1, 16).alias("fingerprint")
+    return df.select(F.col(id_col), fingerprint_expr(text_col).alias("fingerprint"))
+
+
+def document_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """All per-document text features in ONE scan: (id, n_chars, n_tokens,
+    punct_ratio, stopword_ratio, quality, lang_guess, fingerprint).
+
+    This is the 100 TB shape for the text-analysis family: where
+    ``token_stats``/``quality_score``/``lang_id``/``fingerprint`` each
+    re-scan the corpus, a profile pipeline computes every feature as a column
+    expression over a single pass — no joins, no extra shuffles, one
+    projection node in the plan.  Feature semantics are identical to the
+    individual operators (same rounding, same tie order)."""
+    n_chars = F.length(F.col(text_col))
+    n_tokens = n_tokens_expr(text_col)
+    n_punct = n_chars - F.length(F.regexp_replace(F.col(text_col), PUNCT_CLASS, ""))
+    n_stop = _count_matches(text_col, STOPWORDS_EN)
+    stage1 = df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.round(n_punct.cast("double") / n_chars, 4).alias("punct_ratio"),
+        F.round(n_stop.cast("double") / n_tokens, 4).alias("stopword_ratio"),
+        lang_guess_expr(text_col).alias("lang_guess"),
+        fingerprint_expr(text_col).alias("fingerprint"),
     )
+    length_ok = (F.col("n_tokens") >= 5) & (F.col("n_tokens") <= 5000)
+    punct_ok = F.col("punct_ratio") <= 0.1
+    quality = (
+        F.when(length_ok, F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.when(punct_ok, F.lit(0.3)).otherwise(F.lit(0.0))
+        + F.least(F.col("stopword_ratio") * F.lit(3.0), F.lit(0.3))
+    )
+    return stage1.withColumn("quality", F.round(quality, 4))
