@@ -1278,6 +1278,117 @@ WHERE CAST(floor(epoch(r.ts)) AS BIGINT) - CAST(floor(epoch(l.ts)) AS BIGINT)
 
 
 # ---------------------------------------------------------------------------
+# A10: plain spark.sql surface over registered views (the SQL entry point the
+# reference delegates to DataFusion; ours is Catalyst via sources/formats.py)
+# ---------------------------------------------------------------------------
+
+
+def q_a10_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_sorter_spark.sources.formats import register_tables
+
+    register_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n.n_name,
+               count(DISTINCT c.c_custkey) AS n_customers,
+               CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total_order_value
+        FROM nation n
+        JOIN customer c ON c.c_nationkey = n.n_nationkey
+        JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY n.n_name
+        HAVING count(*) > 10
+        """
+    )
+
+
+_A10_SQL = """
+SELECT n.n_name,
+       count(DISTINCT c.c_custkey) AS n_customers,
+       CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS total_order_value
+FROM nation n
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY n.n_name
+HAVING count(*) > 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# E17/E18: Count-Min sketch build + point estimates (mergeable frequency
+# sketch — the streaming/100TB substitute for exact per-key counts)
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 64
+
+
+def q_e17_cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_sorter_spark.operators.sketches import count_min_sketch
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("uid")
+    )
+    return count_min_sketch(ev, "uid", depth=CMS_DEPTH, width=CMS_WIDTH)
+
+
+def q_e18_cms_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_sorter_spark.operators.sketches import cms_estimate, count_min_sketch
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("uid")
+    )
+    sketch = count_min_sketch(ev, "uid", depth=CMS_DEPTH, width=CMS_WIDTH)
+    return cms_estimate(ev, "uid", sketch, depth=CMS_DEPTH, width=CMS_WIDTH)
+
+
+def _cms_cells_sql(value_sql: str, src: str) -> str:
+    from delta_sorter_spark.functions.hashing import minhash_params, minhash_perm_sql
+
+    params = minhash_params(CMS_DEPTH)
+    hx = duckdb_md5_long_sql(value_sql)
+    arms = [
+        f"SELECT {j} AS depth, ({minhash_perm_sql(hx, a, b)} % {CMS_WIDTH}) AS bucket"
+        f" FROM {src}"
+        for j, (a, b) in enumerate(params)
+    ]
+    return " UNION ALL ".join(arms)
+
+
+_E17_SQL = f"""
+WITH v AS (SELECT CAST(user_id AS VARCHAR) AS uid FROM events),
+cells AS ({_cms_cells_sql('uid', 'v')})
+SELECT depth, bucket, count(*) AS cnt FROM cells GROUP BY depth, bucket
+"""
+
+
+def _cms_probe_sql() -> str:
+    from delta_sorter_spark.functions.hashing import minhash_params, minhash_perm_sql
+
+    params = minhash_params(CMS_DEPTH)
+    hx = duckdb_md5_long_sql("value")
+    arms = [
+        f"SELECT value, {j} AS depth,"
+        f" ({minhash_perm_sql(hx, a, b)} % {CMS_WIDTH}) AS bucket FROM dv"
+        for j, (a, b) in enumerate(params)
+    ]
+    return " UNION ALL ".join(arms)
+
+
+_E18_SQL = f"""
+WITH v AS (SELECT CAST(user_id AS VARCHAR) AS uid FROM events),
+cells AS ({_cms_cells_sql('uid', 'v')}),
+sketch AS (SELECT depth, bucket, count(*) AS cnt FROM cells GROUP BY depth, bucket),
+dv AS (SELECT DISTINCT uid AS value FROM v),
+probes AS ({_cms_probe_sql()})
+SELECT p.value, min(s.cnt) AS est_cnt
+FROM probes p JOIN sketch s ON p.depth = s.depth AND p.bucket = s.bucket
+GROUP BY p.value
+"""
+
+
+# ---------------------------------------------------------------------------
 # P1: composite training-data pipeline — single-pass document profile ->
 # fingerprint dedup (keep lowest doc_id) -> quality filter
 # ---------------------------------------------------------------------------
@@ -1445,6 +1556,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a7_set_ops": q_a7_set_ops,
         "a8_range_join": q_a8_range_join,
         "a9_promo_revenue": q_a9_promo_revenue,
+        "a10_sql_surface": q_a10_sql_surface,
+        "e17_cms_sketch": q_e17_cms_sketch,
+        "e18_cms_estimate": q_e18_cms_estimate,
         "p1_quality_dedup_pipeline": q_p1_quality_dedup_pipeline,
     }
 
@@ -1488,5 +1602,8 @@ def oracle_sql() -> dict[str, str]:
         "a7_set_ops": _A7_SQL,
         "a8_range_join": _A8_SQL,
         "a9_promo_revenue": _A9_SQL,
+        "a10_sql_surface": _A10_SQL,
+        "e17_cms_sketch": _E17_SQL,
+        "e18_cms_estimate": _E18_SQL,
         "p1_quality_dedup_pipeline": _P1_SQL,
     }

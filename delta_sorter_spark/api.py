@@ -44,6 +44,7 @@ def compact(
     dry_run: bool | None = None,
     repartition_by_sort_key: bool | None = None,
     nulls: str = "first",
+    zorder_columns: Sequence[str] | None = None,
     spark: SparkSession | None = None,
 ) -> CompactMetrics:
     spark = spark or _default_spark()
@@ -55,6 +56,7 @@ def compact(
         dry_run=bool(dry_run),
         repartition_by_sort_key=bool(repartition_by_sort_key),
         nulls_first=_nulls_first(nulls),
+        zorder_columns=list(zorder_columns) if zorder_columns else None,
     )
     return compact_with_sort(spark, table_uri, config)
 

@@ -29,6 +29,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--repartition-by-sort-key", action="store_true")
     p.add_argument("--log-level", default="info")
     p.add_argument("--nulls", choices=["first", "last"], default="first")
+    p.add_argument(
+        "--zorder-by",
+        default=None,
+        help="Comma-separated columns: cluster by Morton z-order instead of a"
+        " lexicographic sort (extension; implies a full-table rewrite)",
+    )
     return p
 
 
@@ -69,6 +75,9 @@ def _run(args, sort_columns, api) -> int:
         dry_run=args.dry_run,
         repartition_by_sort_key=args.repartition_by_sort_key,
         nulls=args.nulls,
+        zorder_columns=[c.strip() for c in args.zorder_by.split(",") if c.strip()]
+        if args.zorder_by
+        else None,
     )
     print(
         f"planned={metrics.planned_partitions} rewritten={metrics.rewritten_partitions} "

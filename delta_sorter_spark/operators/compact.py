@@ -65,6 +65,12 @@ class SortConfig:
     dry_run: bool = False
     repartition_by_sort_key: bool = False  # strict mode
     nulls_first: bool = True  # default "first", lib.rs:122
+    # extension beyond the reference: cluster by the Morton interleave of
+    # these (integer-compatible) columns instead of a lexicographic sort —
+    # Delta OPTIMIZE ZORDER BY semantics.  Implies a full-table rewrite
+    # (z-clustering is not per-partition-skippable by the lexicographic
+    # validator).
+    zorder_columns: list[str] | None = None
 
 
 @dataclass
@@ -97,7 +103,7 @@ def compact_with_sort(spark: SparkSession, table_uri: str, config: SortConfig) -
     started = time.monotonic()
     table = DeltaTable(spark, table_uri)
 
-    if config.repartition_by_sort_key:
+    if config.repartition_by_sort_key or config.zorder_columns:
         metrics = _strict_overwrite(table, config)
     else:
         metrics = _partition_aware(table, config)
@@ -122,10 +128,12 @@ def _strict_overwrite(table: DeltaTable, config: SortConfig) -> CompactMetrics:
     strict-from-Python path (xfail upstream issue #17,
     python/tests/test_validate_and_compact.py:53-59)."""
     metrics = CompactMetrics(dry_run=config.dry_run)
-    if not config.sort_columns:
+    if not config.sort_columns and not config.zorder_columns:
         return metrics  # no-op, lib.rs:437-439
     state = table.state()
-    validate_sort_columns(state.metadata.data_schema, config.sort_columns)
+    validate_sort_columns(
+        state.metadata.data_schema, config.zorder_columns or config.sort_columns
+    )
     metrics.planned_partitions = 1
     metrics.files_in = len(state.adds)
     metrics.bytes_in = sum(a.size for a in state.adds)
@@ -133,14 +141,29 @@ def _strict_overwrite(table: DeltaTable, config: SortConfig) -> CompactMetrics:
         return metrics
 
     df = table.to_df(adds=state.adds)
-    sorted_df = df.orderBy(*sort_order_columns(config.sort_columns, config.nulls_first))
-    adds = table.stage_write(
-        sorted_df,
-        stat_columns=config.sort_columns,
-        target_file_size_bytes=config.target_file_size_bytes,
-        data_change=False,
-        sorted_within_files=True,
-    )
+    if config.zorder_columns:
+        from delta_sorter_spark.operators.zorder import zorder_layout
+
+        clustered = zorder_layout(df, config.zorder_columns)
+        adds = table.stage_write(
+            clustered,
+            # per-file min/max on the z columns is the pruning payoff; the
+            # files are NOT lexicographically sorted, so no sortedness
+            # attestation is written
+            stat_columns=config.zorder_columns,
+            target_file_size_bytes=config.target_file_size_bytes,
+            data_change=False,
+            sorted_within_files=False,
+        )
+    else:
+        sorted_df = df.orderBy(*sort_order_columns(config.sort_columns, config.nulls_first))
+        adds = table.stage_write(
+            sorted_df,
+            stat_columns=config.sort_columns,
+            target_file_size_bytes=config.target_file_size_bytes,
+            data_change=False,
+            sorted_within_files=True,
+        )
     removes = [a.remove_action(False) for a in state.adds]
     from delta_sorter_spark.sources.delta_table import ConcurrentRewriteError
 

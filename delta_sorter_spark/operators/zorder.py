@@ -60,6 +60,22 @@ def zorder_layout(
     ``bounds`` default to each column's observed min/max (one cheap agg job —
     at 100 TB this reads only min/max from parquet footers via pushed-down
     aggregation or a single scan; pass explicit bounds to avoid it)."""
+    from pyspark.sql import types as T
+
+    dtypes = dict(df.dtypes)
+    bad = [
+        c
+        for c in cols
+        if not isinstance(
+            df.schema[c].dataType,
+            (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+        )
+    ]
+    if bad:
+        raise ValueError(
+            "z-order columns must be integer typed (byte/short/int/long); "
+            f"got {', '.join(f'{c}: {dtypes[c]}' for c in bad)}"
+        )
     if bounds is None:
         aggs = []
         for c in cols:

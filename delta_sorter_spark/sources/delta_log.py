@@ -156,21 +156,33 @@ class DeltaLog:
         except (ValueError, KeyError, json.JSONDecodeError):
             return None
 
-    def read_state(self) -> TableState:
+    def read_state(self, at_version: int | None = None) -> TableState:
         """Replay the log.  With a checkpoint present, replay starts from the
         checkpointed state and covers only later commits — O(commits since
         checkpoint), the property that keeps log reads cheap on long-lived
         tables (Delta protocol checkpointing; ours serializes the same
-        actions as JSON rather than parquet — documented divergence)."""
+        actions as JSON rather than parquet — documented divergence).
+
+        ``at_version`` requests a historical snapshot (time travel,
+        delta-rs ``load_version`` / Spark ``versionAsOf``): replay stops at
+        that commit, and the checkpoint is only used if it is not newer than
+        the requested version."""
         versions = self._commit_versions()
         if not versions:
             raise FileNotFoundError(f"no Delta log at {self.log_dir}")
+        if at_version is not None:
+            if at_version < versions[0] or at_version > versions[-1]:
+                raise ValueError(
+                    f"version {at_version} not in log range"
+                    f" [{versions[0]}, {versions[-1]}]"
+                )
+            versions = [v for v in versions if v <= at_version]
         metadata: TableMetadata | None = None
         adds: dict[str, AddAction] = {}
 
         ckpt_version = self._last_checkpoint_version()
         replay_from = 0
-        if ckpt_version is not None:
+        if ckpt_version is not None and (at_version is None or ckpt_version <= at_version):
             ckpt_path = os.path.join(self.log_dir, f"{ckpt_version:020d}.checkpoint.json")
             if os.path.exists(ckpt_path):
                 with open(ckpt_path) as fh:
@@ -194,6 +206,30 @@ class DeltaLog:
         if metadata is None:
             raise ValueError(f"Delta log at {self.log_dir} has no metaData action")
         return TableState(version=versions[-1], metadata=metadata, adds=list(adds.values()))
+
+    def history(self) -> list[dict]:
+        """Commit history, newest first: [{version, timestamp, operation,
+        operationParameters}] (Delta's DESCRIBE HISTORY shape)."""
+        out = []
+        for v in reversed(self._commit_versions()):
+            info = {"version": v, "timestamp": None, "operation": None,
+                    "operationParameters": {}}
+            with open(os.path.join(self.log_dir, f"{v:020d}.json")) as fh:
+                for line in fh:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    action = json.loads(line)
+                    if "commitInfo" in action:
+                        ci = action["commitInfo"]
+                        info.update(
+                            timestamp=ci.get("timestamp"),
+                            operation=ci.get("operation"),
+                            operationParameters=ci.get("operationParameters", {}),
+                        )
+                        break
+            out.append(info)
+        return out
 
     @staticmethod
     def _apply(action: dict, metadata, adds):

@@ -178,18 +178,31 @@ class DeltaTable:
 
     # -- state -------------------------------------------------------------
 
-    def state(self) -> TableState:
-        return self.log.read_state()
+    def state(self, version: int | None = None) -> TableState:
+        return self.log.read_state(at_version=version)
 
     @property
     def metadata(self) -> TableMetadata:
         return self.state().metadata
 
+    def history(self) -> list[dict]:
+        """Commit history, newest first (DESCRIBE HISTORY shape)."""
+        return self.log.history()
+
     # -- read --------------------------------------------------------------
 
-    def to_df(self, adds: Sequence[AddAction] | None = None) -> DataFrame:
-        """DataFrame over the active files (or an explicit pruned subset)."""
-        state = self.state()
+    def to_df(
+        self,
+        adds: Sequence[AddAction] | None = None,
+        version: int | None = None,
+    ) -> DataFrame:
+        """DataFrame over the active files (or an explicit pruned subset).
+
+        ``version`` time-travels: the file list comes from replaying the log
+        only up to that commit (Spark's ``versionAsOf`` / delta-rs
+        ``load_version``) — O(log) metadata work, no data copies, because
+        rewritten files are tombstoned rather than deleted until vacuum."""
+        state = self.state(version=version)
         meta = state.metadata
         use = state.adds if adds is None else list(adds)
         if not use:

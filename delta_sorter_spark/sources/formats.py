@@ -1,0 +1,92 @@
+"""Generic file-format sources/sinks beyond parquet/Delta.
+
+The reference reads exactly one format (Delta-backed parquet,
+crates/sorter-core/src/lib.rs:609-611); an engine used for data-pipeline work
+also ingests raw CSV/JSON drops.  These wrappers keep the Spark-first
+contract: schema is explicit (never inferred in production paths — inference
+is a full extra pass over the data and yields drifting types), reads are
+plain ``spark.read`` so Catalyst still prunes columns and pushes filters
+where the format supports it.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+_EXT_FORMAT = {
+    ".parquet": "parquet",
+    ".csv": "csv",
+    ".json": "json",
+    ".jsonl": "json",
+    ".ndjson": "json",
+    ".orc": "orc",
+}
+
+DEFAULT_OPTIONS: dict[str, dict[str, str]] = {
+    "csv": {"header": "true", "mode": "FAILFAST"},
+    "json": {"mode": "FAILFAST"},
+}
+
+
+def infer_format(path: str) -> str:
+    ext = os.path.splitext(path.rstrip("/"))[1].lower()
+    if ext in _EXT_FORMAT:
+        return _EXT_FORMAT[ext]
+    raise ValueError(f"cannot infer source format from {path!r}; pass fmt=")
+
+
+def read_source(
+    spark: SparkSession,
+    path: str,
+    fmt: str | None = None,
+    schema: T.StructType | str | None = None,
+    **options: str,
+) -> DataFrame:
+    """Read a file source with an explicit schema.
+
+    Without ``schema``, CSV/JSON fall back to Spark inference (extra pass;
+    fine for exploration, not for the pipeline path)."""
+    fmt = fmt or infer_format(path)
+    reader = spark.read.format(fmt)
+    opts = {**DEFAULT_OPTIONS.get(fmt, {}), **options}
+    if opts:
+        reader = reader.options(**opts)
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif fmt == "csv":
+        reader = reader.option("inferSchema", "true")
+    return reader.load(path)
+
+
+def write_sink(
+    df: DataFrame,
+    path: str,
+    fmt: str | None = None,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    **options: str,
+) -> None:
+    fmt = fmt or infer_format(path)
+    writer = df.write.format(fmt).mode(mode)
+    opts = {**DEFAULT_OPTIONS.get(fmt, {}), **options}
+    opts.pop("mode", None)
+    if fmt == "csv":
+        writer = writer.option("header", "true")
+    if options:
+        writer = writer.options(**options)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)
+
+
+def register_tables(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view so callers can use the
+    plain ``spark.sql`` surface (the SQL entry point the reference delegates
+    to DataFusion, SURVEY §2.9)."""
+    from delta_sorter_spark.sources.tables import TABLE_NAMES, load_table
+
+    for name in TABLE_NAMES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

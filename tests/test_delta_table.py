@@ -135,3 +135,45 @@ def test_vacuum_removes_tombstoned_files(spark, tmp_path):
     table.vacuum()
     assert not any(os.path.exists(f) for f in before)
     assert table.to_df().count() == 2  # active data untouched
+
+
+def test_time_travel_and_history(spark, tmp_path):
+    path = str(tmp_path / "tt")
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    table = DeltaTable.create(spark, path, df1.coalesce(1))
+    v0 = table.state().version
+
+    # second commit: append two more rows
+    adds = table.stage_write(spark.createDataFrame([(3, "c")], "id long, v string"))
+    table.log.commit_with_retry(lambda state: list(adds), operation="WRITE")
+    v1 = table.state().version
+    assert v1 == v0 + 1
+
+    assert sorted(r["id"] for r in table.to_df().collect()) == [1, 2, 3]
+    assert sorted(r["id"] for r in table.to_df(version=v0).collect()) == [1, 2]
+
+    hist = table.history()
+    # newest first, down to the CREATE TABLE commit at version 0
+    assert [h["version"] for h in hist] == list(range(v1, -1, -1))
+    assert all(h["operation"] for h in hist)
+    assert all(h["timestamp"] for h in hist)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        table.to_df(version=v1 + 5)
+
+
+def test_time_travel_before_checkpoint(spark, tmp_path):
+    """A checkpoint newer than the requested version must be ignored."""
+    path = str(tmp_path / "ttc")
+    table = DeltaTable.create(
+        spark, path, spark.createDataFrame([(1,)], "id long").coalesce(1)
+    )
+    for i in range(2, 5):
+        adds = table.stage_write(spark.createDataFrame([(i,)], "id long"))
+        table.log.commit_with_retry(lambda state: list(adds), operation="WRITE")
+    table.log.write_checkpoint()  # checkpoint at the latest version
+    # v0 = CREATE TABLE, v1 = first data write, v2 = second, ...
+    assert sorted(r["id"] for r in table.to_df(version=2).collect()) == [1, 2]
+    assert sorted(r["id"] for r in table.to_df().collect()) == [1, 2, 3, 4]

@@ -200,3 +200,21 @@ def test_bpe_token_stats(spark):
     assert row["n_word_tokens"] == 3
     assert row["n_number_tokens"] == 2
     assert row["n_symbol_tokens"] == 3
+
+
+def test_count_min_sketch_overestimates(spark):
+    from delta_sorter_spark.operators.sketches import cms_estimate, count_min_sketch
+
+    rows = [(f"u{i % 7}",) for i in range(200)] + [("hot",)] * 50
+    df = spark.createDataFrame(rows, "k string")
+    sketch = count_min_sketch(df, "k", depth=4, width=16)
+    cells = sketch.collect()
+    assert sum(r["cnt"] for r in cells) == 4 * 250  # every row lands in each depth
+    assert all(0 <= r["bucket"] < 16 for r in cells)
+
+    est = {r["value"]: r["est_cnt"] for r in cms_estimate(df, "k", sketch, depth=4, width=16).collect()}
+    exact = {f"u{i}": 200 // 7 + (1 if i < 200 % 7 else 0) for i in range(7)}
+    exact["hot"] = 50
+    for k, true_cnt in exact.items():
+        assert est[k] >= true_cnt  # CM never underestimates
+    assert est["hot"] < 250  # and the min over depths keeps it bounded

@@ -58,3 +58,27 @@ def test_zorder_layout_clusters(spark):
     )
     avg_span = np.mean([r["span_x"] for r in spans if r["n"] > 10])
     assert avg_span <= 12  # tighter than the full 0..12 domain on average
+
+
+def test_compact_with_zorder_clustering(spark, tmp_path):
+    from delta_sorter_spark.api import compact
+    from delta_sorter_spark.sources.delta_table import DeltaTable
+
+    path = str(tmp_path / "zt")
+    df = spark.range(0, 2000).select(
+        (F.col("id") % 53).alias("x"),
+        ((F.col("id") * 7) % 41).alias("y"),
+        F.col("id").alias("payload"),
+    )
+    table = DeltaTable.create(spark, path, df.repartition(4))
+    before = sorted(r["payload"] for r in table.to_df().collect())
+
+    metrics = compact(path, [], zorder_columns=["x", "y"], spark=spark)
+    assert metrics.rewritten_partitions == 1
+
+    after_df = DeltaTable(spark, path).to_df()
+    assert sorted(r["payload"] for r in after_df.collect()) == before
+
+    # the rewrite attached min/max stats for the z columns (pruning payoff)
+    state = DeltaTable(spark, path).state()
+    assert all(a.stats and "x" in a.stats.get("minValues", {}) for a in state.adds)
