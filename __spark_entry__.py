@@ -1389,6 +1389,58 @@ GROUP BY p.value
 
 
 # ---------------------------------------------------------------------------
+# E19: salted two-stage distinct count (skew mitigation; equals the exact
+# count distinct, which is exactly what the oracle verifies)
+# ---------------------------------------------------------------------------
+
+
+def q_e19_salted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_sorter_spark.operators.skew import salted_agg_count_distinct
+
+    ev = load_table(spark, sf_dir, "events")
+    return salted_agg_count_distinct(ev, "event_type", "user_id", salt_factor=8).select(
+        F.col("event_type"), F.col("n_distinct")
+    )
+
+
+_E19_SQL = """
+SELECT event_type, count(DISTINCT user_id) AS n_distinct
+FROM events GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# A11: running total per user (window frame: ROWS UNBOUNDED PRECEDING)
+# ---------------------------------------------------------------------------
+
+
+def q_a11_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .over(w)
+        .cast("double")
+        .alias("running_value"),
+    )
+
+
+_A11_SQL = """
+SELECT user_id, event_id,
+       CAST(sum(CAST(value AS DECIMAL(18,6)))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_value
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
 # P1: composite training-data pipeline — single-pass document profile ->
 # fingerprint dedup (keep lowest doc_id) -> quality filter
 # ---------------------------------------------------------------------------
@@ -1559,6 +1611,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a10_sql_surface": q_a10_sql_surface,
         "e17_cms_sketch": q_e17_cms_sketch,
         "e18_cms_estimate": q_e18_cms_estimate,
+        "e19_salted_distinct": q_e19_salted_distinct,
+        "a11_running_total": q_a11_running_total,
         "p1_quality_dedup_pipeline": q_p1_quality_dedup_pipeline,
     }
 
@@ -1605,5 +1659,7 @@ def oracle_sql() -> dict[str, str]:
         "a10_sql_surface": _A10_SQL,
         "e17_cms_sketch": _E17_SQL,
         "e18_cms_estimate": _E18_SQL,
+        "e19_salted_distinct": _E19_SQL,
+        "a11_running_total": _A11_SQL,
         "p1_quality_dedup_pipeline": _P1_SQL,
     }
