@@ -1,0 +1,160 @@
+"""Row-level table mutations on top of the transaction log: UPSERT (MERGE),
+DELETE, RESTORE.
+
+The reference is maintenance-only (rewrites never change data,
+data_change=false throughout, lib.rs:818-828); a usable lakehouse engine also
+needs the data-changing verbs.  All three are built from the same two
+primitives the compactor uses — stage_write + Remove/Add commit — so they
+inherit optimistic concurrency and vacuum/time-travel behavior for free.
+
+Scale posture: UPSERT and DELETE rewrite only *candidate files*, never the
+whole table.
+
+- UPSERT prunes candidates with the per-file min/max key stats already
+  attached by our writes (zone-map pruning: a file whose key interval cannot
+  overlap the source's key range keeps its bytes untouched).  Correctness
+  never depends on pruning — the anti-join drops exactly the matched rows.
+- DELETE finds files that actually contain matching rows with one
+  column-pruned scan (``input_file_name`` + the predicate), then rewrites
+  only those.
+- RESTORE is metadata-only: re-Add the target version's files, Remove the
+  rest — zero data bytes moved (files must not have been vacuumed).
+"""
+
+from __future__ import annotations
+
+import os
+import urllib.parse
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from delta_sorter_spark.sources.delta_table import DeltaTable, parse_stat
+
+
+def _key_bounds(source: DataFrame, keys: Sequence[str]) -> dict[str, tuple]:
+    aggs = []
+    for k in keys:
+        aggs += [F.min(k).alias(f"__lo_{k}"), F.max(k).alias(f"__hi_{k}")]
+    row = source.agg(*aggs).collect()[0]
+    return {k: (row[f"__lo_{k}"], row[f"__hi_{k}"]) for k in keys}
+
+
+def _may_contain(add, bounds: dict[str, tuple], schema) -> bool:
+    """Zone-map check: can this file's key intervals overlap the source's?
+    Missing stats => conservatively True."""
+    stats = add.stats or {}
+    mins, maxs = stats.get("minValues", {}), stats.get("maxValues", {})
+    for k, (lo, hi) in bounds.items():
+        if lo is None or k not in mins or k not in maxs:
+            return True
+        fmin = parse_stat(mins[k], schema[k].dataType)
+        fmax = parse_stat(maxs[k], schema[k].dataType)
+        if fmin is None or fmax is None:
+            return True
+        if fmax < lo or fmin > hi:  # disjoint intervals on this key
+            return False
+    return True
+
+
+def upsert(table: DeltaTable, source: DataFrame, keys: Sequence[str]) -> dict:
+    """MERGE-style upsert: rows in ``source`` replace table rows with equal
+    key tuples; unmatched source rows are inserted.  Only candidate files
+    (zone-map overlap with the source's key range) are rewritten.
+
+    Returns {"rewritten_files", "untouched_files", "version"}."""
+    keys = list(keys)
+    state = table.state()
+    schema = state.metadata.schema
+    bounds = _key_bounds(source, keys)
+    candidates = [a for a in state.adds if _may_contain(a, bounds, schema)]
+
+    source = source.select(*[F.col(f.name).cast(f.dataType) for f in schema.fields])
+    if candidates:
+        old = table.to_df(adds=candidates)
+        kept = old.join(source.select(*keys).distinct(), keys, "left_anti")
+        merged = kept.unionByName(source)
+    else:
+        merged = source
+    adds = table.stage_write(merged, stat_columns=keys, data_change=True)
+    removes = [a.remove_action(True) for a in candidates]
+    version = table.commit_rewrite(adds, removes, operation="MERGE")
+    return {
+        "rewritten_files": len(candidates),
+        "untouched_files": len(state.adds) - len(candidates),
+        "version": version,
+    }
+
+
+def delete_where(table: DeltaTable, predicate: str) -> dict:
+    """DELETE FROM table WHERE predicate — rewrites only the files that
+    actually contain matching rows (one scan to find them, one to rewrite).
+
+    Returns {"rewritten_files", "deleted_rows", "version"}."""
+    state = table.state()
+    df = table.to_df(adds=state.adds)
+    hit_uris = {
+        r["__f__"]
+        for r in df.where(predicate)
+        .select(F.input_file_name().alias("__f__"))
+        .distinct()
+        .collect()
+    }
+    hit_paths = {
+        os.path.relpath(urllib.parse.unquote(urllib.parse.urlparse(u).path), table.table_path)
+        for u in hit_uris
+    }
+    candidates = [a for a in state.adds if a.path in hit_paths]
+    if not candidates:
+        return {"rewritten_files": 0, "deleted_rows": 0, "version": state.version}
+
+    old = table.to_df(adds=candidates)
+    before = old.count()
+    # SQL DELETE semantics: delete rows where the predicate is TRUE; rows
+    # where it evaluates NULL are kept (NOT(NULL) is NULL, which a bare
+    # where() would silently drop — hence the coalesce)
+    kept = old.where(F.coalesce(F.expr(f"NOT ({predicate})"), F.lit(True)))
+    after = kept.count()
+    adds = table.stage_write(kept, data_change=True) if after else []
+    removes = [a.remove_action(True) for a in candidates]
+    version = table.commit_rewrite(adds, removes, operation="DELETE")
+    return {
+        "rewritten_files": len(candidates),
+        "deleted_rows": before - after,
+        "version": version,
+    }
+
+
+def restore(table: DeltaTable, version: int) -> dict:
+    """RESTORE TABLE ... TO VERSION AS OF — metadata-only commit that makes
+    the active file set equal the target version's (files must still exist,
+    i.e. not vacuumed).
+
+    Returns {"added_files", "removed_files", "version"}."""
+    target = table.state(version=version)
+    current = table.state()
+    missing = [
+        a.path
+        for a in target.adds
+        if not os.path.exists(os.path.join(table.table_path, a.path))
+    ]
+    if missing:
+        raise FileNotFoundError(
+            f"cannot restore to version {version}: {len(missing)} data files "
+            f"were vacuumed (e.g. {missing[0]})"
+        )
+    current_paths = {a.path for a in current.adds}
+    target_paths = {a.path for a in target.adds}
+    re_adds = [a for a in target.adds if a.path not in current_paths]
+    removes = [a.remove_action(True) for a in current.adds if a.path not in target_paths]
+    new_version = table.log.commit_with_retry(
+        lambda state: removes + re_adds,
+        operation="RESTORE",
+        operation_params={"version": str(version)},
+    )
+    return {
+        "added_files": len(re_adds),
+        "removed_files": len(removes),
+        "version": new_version,
+    }

@@ -1,0 +1,104 @@
+"""UPSERT / DELETE / RESTORE tests (operators/dml.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from delta_sorter_spark.operators.dml import delete_where, restore, upsert
+from delta_sorter_spark.sources.delta_table import DeltaTable
+
+
+def _rows(table):
+    return sorted(tuple(r) for r in table.to_df().collect())
+
+
+def test_upsert_updates_and_inserts(spark, tmp_path):
+    path = str(tmp_path / "up")
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
+    )
+    table = DeltaTable.create(spark, path, df.coalesce(1), stat_columns=["id"])
+
+    src = spark.createDataFrame([(2, "B"), (4, "d")], "id long, v string")
+    out = upsert(table, src, ["id"])
+    assert out["rewritten_files"] >= 1
+    assert _rows(table) == [(1, "a"), (2, "B"), (3, "c"), (4, "d")]
+
+
+def test_upsert_prunes_disjoint_files(spark, tmp_path):
+    """Files whose key interval cannot contain source keys stay untouched."""
+    path = str(tmp_path / "upz")
+    low = spark.createDataFrame([(i, "lo") for i in range(10)], "id long, v string")
+    table = DeltaTable.create(spark, path, low.coalesce(1), stat_columns=["id"])
+    hi = spark.createDataFrame([(i, "hi") for i in range(100, 110)], "id long, v string")
+    adds = table.stage_write(hi.coalesce(1), stat_columns=["id"])
+    table.log.commit_with_retry(lambda state: list(adds), operation="WRITE")
+    files_before = set(table.input_files())
+
+    out = upsert(table, spark.createDataFrame([(105, "HI")], "id long, v string"), ["id"])
+    assert out["untouched_files"] == 1  # the low-range file was pruned
+    # the low file is still the same physical file
+    low_files = {f for f in files_before if f in set(table.input_files())}
+    assert len(low_files) == 1
+    assert _rows(table)[:1] == [(0, "lo")]
+    assert (105, "HI") in _rows(table)
+
+
+def test_delete_where(spark, tmp_path):
+    path = str(tmp_path / "del")
+    df = spark.createDataFrame(
+        [(1, "keep"), (2, "drop"), (3, "keep"), (4, None)], "id long, v string"
+    )
+    table = DeltaTable.create(spark, path, df.coalesce(1))
+    out = delete_where(table, "v = 'drop'")
+    assert out["deleted_rows"] == 1
+    # NULL-predicate rows are kept (SQL DELETE semantics)
+    assert _rows(table) == [(1, "keep"), (3, "keep"), (4, None)]
+
+    noop = delete_where(table, "v = 'absent'")
+    assert noop["rewritten_files"] == 0
+
+
+def test_delete_only_rewrites_hit_files(spark, tmp_path):
+    path = str(tmp_path / "delp")
+    a = spark.createDataFrame([(i, "a") for i in range(5)], "id long, v string")
+    table = DeltaTable.create(spark, path, a.coalesce(1))
+    b = spark.createDataFrame([(i, "b") for i in range(10, 15)], "id long, v string")
+    adds = table.stage_write(b.coalesce(1))
+    table.log.commit_with_retry(lambda state: list(adds), operation="WRITE")
+
+    out = delete_where(table, "id = 12")  # only in file b
+    assert out["rewritten_files"] == 1
+    assert out["deleted_rows"] == 1
+    assert len(_rows(table)) == 9
+
+
+def test_restore_round_trip(spark, tmp_path):
+    path = str(tmp_path / "rst")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    table = DeltaTable.create(spark, path, df.coalesce(1))
+    v_orig = table.state().version
+    before = _rows(table)
+
+    upsert(table, spark.createDataFrame([(2, "B"), (9, "z")], "id long, v string"), ["id"])
+    assert _rows(table) != before
+
+    out = restore(table, v_orig)
+    assert _rows(table) == before
+    # restore is itself a commit: time travel to the mutated version still works
+    assert out["version"] == table.state().version
+
+    # vacuum now removes the files the restore tombstoned...
+    table.vacuum()
+    # ...so restoring back to the mutated version must fail loudly
+    with pytest.raises(FileNotFoundError):
+        restore(table, out["version"] - 1)
+
+
+def test_upsert_concurrent_safety_metadata(spark, tmp_path):
+    """Upsert commits carry dataChange=true (streams must see them)."""
+    path = str(tmp_path / "dc")
+    table = DeltaTable.create(
+        spark, path, spark.createDataFrame([(1, "a")], "id long, v string").coalesce(1)
+    )
+    upsert(table, spark.createDataFrame([(1, "A")], "id long, v string"), ["id"])
+    assert all(a.data_change for a in table.state().adds)
