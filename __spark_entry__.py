@@ -1441,6 +1441,73 @@ FROM events
 
 
 # ---------------------------------------------------------------------------
+# E20/E21: deterministic train/val/test split + token-budget sequence packing
+# ---------------------------------------------------------------------------
+
+SPLIT_BUCKETS = 1000
+SPLIT_SEED = "split-v1"
+PACK_BUDGET = 2048
+
+
+def q_e20_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_sorter_spark.operators.sampling import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hash_split(
+        docs, "doc_id", buckets=SPLIT_BUCKETS, seed=SPLIT_SEED
+    ).select("doc_id", "split")
+
+
+_E20_SQL = f"""
+WITH b AS (
+  SELECT doc_id,
+         {duckdb_md5_long_sql(f"CAST(doc_id AS VARCHAR) || '{SPLIT_SEED}'")}
+           % {SPLIT_BUCKETS} AS bkt
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN bkt < {int(0.8 * SPLIT_BUCKETS)} THEN 'train'
+            WHEN bkt < {int(0.9 * SPLIT_BUCKETS)} THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+"""
+
+
+def q_e21_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_sorter_spark.operators.sampling import pack_sequences
+    from delta_sorter_spark.operators.textstats import n_tokens_expr
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", n_tokens_expr("text").alias("n_tokens")
+    )
+    packed = pack_sequences(
+        docs, "doc_id", "n_tokens", budget=PACK_BUDGET, shard_col="source"
+    )
+    return packed.select("doc_id", "source", "n_tokens", "bin_id", "bin_offset")
+
+
+_E21_SQL = f"""
+WITH t AS (
+  SELECT doc_id, source,
+         len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS n_tokens
+  FROM documents
+),
+b AS (
+  SELECT doc_id, source, n_tokens,
+         coalesce(sum(least(n_tokens, {PACK_BUDGET}))
+                  OVER (PARTITION BY source ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS before
+  FROM t
+)
+SELECT doc_id, source, n_tokens,
+       CAST(before // {PACK_BUDGET} AS BIGINT) AS bin_id,
+       CAST(before % {PACK_BUDGET} AS BIGINT) AS bin_offset
+FROM b
+"""
+
+
+# ---------------------------------------------------------------------------
 # P1: composite training-data pipeline — single-pass document profile ->
 # fingerprint dedup (keep lowest doc_id) -> quality filter
 # ---------------------------------------------------------------------------
@@ -1612,6 +1679,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e17_cms_sketch": q_e17_cms_sketch,
         "e18_cms_estimate": q_e18_cms_estimate,
         "e19_salted_distinct": q_e19_salted_distinct,
+        "e20_hash_split": q_e20_hash_split,
+        "e21_pack_sequences": q_e21_pack_sequences,
         "a11_running_total": q_a11_running_total,
         "p1_quality_dedup_pipeline": q_p1_quality_dedup_pipeline,
     }
@@ -1660,6 +1729,8 @@ def oracle_sql() -> dict[str, str]:
         "e17_cms_sketch": _E17_SQL,
         "e18_cms_estimate": _E18_SQL,
         "e19_salted_distinct": _E19_SQL,
+        "e20_hash_split": _E20_SQL,
+        "e21_pack_sequences": _E21_SQL,
         "a11_running_total": _A11_SQL,
         "p1_quality_dedup_pipeline": _P1_SQL,
     }

@@ -91,6 +91,43 @@ def decode_assets(df: DataFrame, id_col: str, payload_col: str, media_type_col: 
     return narrowed.mapInPandas(decode, DECODED_SCHEMA)
 
 
+RESIZED_SCHEMA = (
+    "id long, width int, height int, resized_width int, resized_height int,"
+    " resized_bytes long"
+)
+
+
+def resize_assets(
+    df: DataFrame, id_col: str, payload_col: str, max_dim: int = 32
+) -> DataFrame:
+    """Resize plumbing: decode (stub) -> aspect-preserving downscale to fit
+    ``max_dim`` -> re-encoded byte size (fake: w*h*3).  Same Arrow-batched
+    ``mapInPandas`` shape a real PIL/ffmpeg resize would use; only the pixel
+    work is stubbed (environment has no media libs)."""
+
+    def resize(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {k: [] for k in ("id", "width", "height", "resized_width", "resized_height", "resized_bytes")}
+            for i, payload in zip(pdf["__id__"], pdf["__payload__"]):
+                w, h = _decode_stub(bytes(payload))
+                scale = min(1.0, max_dim / max(w, h))
+                rw, rh = max(1, int(w * scale)), max(1, int(h * scale))
+                out["id"].append(i)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["resized_width"].append(rw)
+                out["resized_height"].append(rh)
+                out["resized_bytes"].append(rw * rh * 3)
+            yield pd.DataFrame(out)
+
+    narrowed = df.select(
+        F.col(id_col).alias("__id__"), F.col(payload_col).alias("__payload__")
+    )
+    return narrowed.mapInPandas(resize, RESIZED_SCHEMA)
+
+
 def frame_sample_plan(df: DataFrame, id_col: str, payload_col: str, every_n: int = 10) -> DataFrame:
     """Plumbing for video frame sampling: explode a deterministic frame index
     list per asset (real decoder would emit actual frames).  Shows the

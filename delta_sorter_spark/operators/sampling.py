@@ -1,0 +1,87 @@
+"""Dataset splitting and sequence packing for training-data pipelines.
+
+Both operators are deterministic column expressions — rerunning on the same
+data yields the same assignment on any cluster size (no ``rand()``, whose
+per-partition streams change with partitioning), and both have exact DuckDB
+oracle equivalents.
+
+- ``hash_split``: md5-bucket each row into named splits by fractional
+  weights.  The split is a pure function of the id, so late-arriving data
+  joins the same split it would have gotten, and train/test never leak
+  across reruns.
+- ``pack_sequences``: assign documents to fixed-token-budget bins (context
+  windows) by running-token-count order — the standard scan-order
+  approximation of bin packing used for LLM pretraining batches.  One
+  window over a deterministic order; at scale, partition the window by a
+  shard column (e.g. date) so the running sum never funnels through one
+  partition.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from delta_sorter_spark.functions.hashing import spark_md5_long_sql
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    splits: Sequence[tuple[str, float]] = (("train", 0.8), ("val", 0.1), ("test", 0.1)),
+    buckets: int = 1000,
+    seed: str = "split-v1",
+) -> DataFrame:
+    """Append a ``split`` column: deterministic md5 bucketing of the id.
+
+    ``seed`` is a salt string baked into the hash so different splits of the
+    same table are independent."""
+    total = sum(w for _, w in splits)
+    bucket = F.expr(
+        f"pmod({spark_md5_long_sql(f'concat(CAST({id_col} AS STRING), {seed!r})')}, {buckets})"
+    )
+    expr = None
+    acc = 0.0
+    for name, weight in splits[:-1]:
+        acc += weight / total
+        cond = bucket < int(round(acc * buckets))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = splits[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(last)
+    return df.withColumn("split", expr)
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    budget: int,
+    shard_col: str | None = None,
+) -> DataFrame:
+    """Concatenate-and-cut packing: documents (in id order, per shard) form
+    one token stream; context windows of ``budget`` tokens are cut from it,
+    and each document is assigned the window its tokens START in:
+    ``bin = floor(running_tokens_before / budget)``.
+
+    This is the standard GPT-style pretraining packing (documents straddle
+    window boundaries rather than leaving padding).  Oversized documents are
+    capped at one budget for accounting (chunking them is the tokenizer's
+    job upstream).  Output adds (bin_id, bin_offset): where the doc's tokens
+    begin within its window."""
+    order = [F.col(id_col)]
+    w = (
+        Window.partitionBy(shard_col).orderBy(*order)
+        if shard_col
+        else Window.partitionBy().orderBy(*order)
+    )
+    frame = w.rowsBetween(Window.unboundedPreceding, -1)
+    capped = F.least(F.col(token_col), F.lit(budget))
+    before = F.coalesce(F.sum(capped).over(frame), F.lit(0))
+    return (
+        df.withColumn("__before__", before)
+        .withColumn("bin_id", (F.col("__before__") / budget).cast("long"))
+        .withColumn("bin_offset", F.pmod(F.col("__before__"), F.lit(budget)).cast("long"))
+        .drop("__before__")
+    )

@@ -218,3 +218,55 @@ def test_count_min_sketch_overestimates(spark):
     for k, true_cnt in exact.items():
         assert est[k] >= true_cnt  # CM never underestimates
     assert est["hot"] < 250  # and the min over depths keeps it bounded
+
+
+def test_hash_split_deterministic_and_proportional(spark):
+    from delta_sorter_spark.operators.sampling import hash_split
+
+    df = spark.range(0, 5000).select(F.col("id").alias("doc_id"))
+    s1 = {r["doc_id"]: r["split"] for r in hash_split(df, "doc_id").collect()}
+    s2 = {r["doc_id"]: r["split"] for r in hash_split(df, "doc_id").collect()}
+    assert s1 == s2  # pure function of the id
+    from collections import Counter
+
+    c = Counter(s1.values())
+    assert 0.75 < c["train"] / 5000 < 0.85
+    assert 0.07 < c["val"] / 5000 < 0.13
+    assert 0.07 < c["test"] / 5000 < 0.13
+    # different seed -> different assignment (salting works)
+    s3 = {r["doc_id"]: r["split"] for r in hash_split(df, "doc_id", seed="v2").collect()}
+    assert s3 != s1
+
+
+def test_pack_sequences_respects_budget(spark):
+    from delta_sorter_spark.operators.sampling import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, "s", 300) for i in range(10)] + [(99, "s", 5000)],
+        "doc_id long, shard string, n_tokens long",
+    )
+    packed = pack_sequences(df, "doc_id", "n_tokens", budget=1000, shard_col="shard")
+    rows = {r["doc_id"]: r for r in packed.collect()}
+    # offsets always inside the window
+    assert all(0 <= r["bin_offset"] < 1000 for r in rows.values())
+    # concatenate-and-cut: doc i starts at 300*i tokens -> bin = (300*i)//1000
+    for i in range(10):
+        assert rows[i]["bin_id"] == (300 * i) // 1000
+        assert rows[i]["bin_offset"] == (300 * i) % 1000
+    # oversized doc is capped at one budget for accounting, not split
+    assert rows[99]["bin_id"] == 3000 // 1000
+
+
+def test_resize_assets_shape(spark):
+    from delta_sorter_spark.operators.multimodal import resize_assets
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"img-one")), (2, bytearray(b"img-two-bytes"))],
+        "id long, payload binary",
+    )
+    out = {r["id"]: r for r in resize_assets(df, "id", "payload", max_dim=16).collect()}
+    for r in out.values():
+        assert max(r["resized_width"], r["resized_height"]) <= 16
+        assert r["resized_bytes"] == r["resized_width"] * r["resized_height"] * 3
+    again = {r["id"]: r for r in resize_assets(df, "id", "payload", max_dim=16).collect()}
+    assert out == again
