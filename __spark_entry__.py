@@ -1441,6 +1441,49 @@ FROM events
 
 
 # ---------------------------------------------------------------------------
+# E22: winnowing rolling-hash fingerprints (partial-overlap dedup)
+# ---------------------------------------------------------------------------
+
+WINNOW_K = 5
+WINNOW_WINDOW = 4
+
+
+def q_e22_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_sorter_spark.operators.dedup import winnowing_fingerprints
+
+    docs = _doc_subset(spark, sf_dir, DOC_SUBSET_MOD)
+    return winnowing_fingerprints(
+        docs, "doc_id", "text", k=WINNOW_K, window=WINNOW_WINDOW
+    )
+
+
+_E22_SQL = f"""
+WITH d AS (SELECT doc_id, lower(text) AS t FROM documents
+           WHERE doc_id % {DOC_SUBSET_MOD} = 0),
+g AS (
+  SELECT doc_id,
+         unnest(generate_series(1, greatest(1, len(t) - {WINNOW_K - 1}))) AS pos,
+         t
+  FROM d
+),
+h AS (
+  SELECT doc_id, pos,
+         {duckdb_md5_long_sql(f'substr(t, pos, {WINNOW_K})')} % {MERSENNE_P} AS hv
+  FROM g
+),
+r AS (
+  SELECT doc_id, pos,
+         min(hv) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN {WINNOW_WINDOW - 1} PRECEDING AND CURRENT ROW)
+           AS mn
+  FROM h
+)
+SELECT DISTINCT doc_id, mn AS fp
+FROM r WHERE pos >= {WINNOW_WINDOW}
+"""
+
+
+# ---------------------------------------------------------------------------
 # E20/E21: deterministic train/val/test split + token-budget sequence packing
 # ---------------------------------------------------------------------------
 
@@ -1681,6 +1724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e19_salted_distinct": q_e19_salted_distinct,
         "e20_hash_split": q_e20_hash_split,
         "e21_pack_sequences": q_e21_pack_sequences,
+        "e22_winnowing": q_e22_winnowing,
         "a11_running_total": q_a11_running_total,
         "p1_quality_dedup_pipeline": q_p1_quality_dedup_pipeline,
     }
@@ -1731,6 +1775,7 @@ def oracle_sql() -> dict[str, str]:
         "e19_salted_distinct": _E19_SQL,
         "e20_hash_split": _E20_SQL,
         "e21_pack_sequences": _E21_SQL,
+        "e22_winnowing": _E22_SQL,
         "a11_running_total": _A11_SQL,
         "p1_quality_dedup_pipeline": _P1_SQL,
     }

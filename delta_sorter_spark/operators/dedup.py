@@ -255,3 +255,41 @@ def embedding_near_dup(
         .dropDuplicates(["id_a", "id_b"])
     )
     return pairs.where(F.col("cosine") >= threshold)
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """Rolling-hash document fingerprints via winnowing (Schleimer, Wilkerson
+    & Aiken, SIGMOD 2003): hash every character k-gram in document order,
+    slide a window of ``window`` consecutive hashes, keep each window's
+    minimum — the distinct minima are the document's fingerprint set.
+
+    Guarantees: any shared substring of length >= k + window - 1 between two
+    documents contributes at least one identical fingerprint, so overlap on
+    fingerprints detects partial/plagiarized copies, which whole-document
+    digests (``textstats.fingerprint``) cannot.
+
+    All JVM-side: positional k-grams via transform/sequence, the rolling min
+    via a windowed ``min`` over the in-document position — one shuffle by
+    doc id.  Output: (id, fp) distinct rows."""
+    from pyspark.sql import Window as W
+
+    grams = F.expr(
+        f"transform(sequence(1, greatest(1, length(lower({text_col})) - {k - 1})),"
+        f" i -> substring(lower({text_col}), i, {k}))"
+    )
+    positioned = df.select(
+        F.col(id_col), F.posexplode(grams).alias("__pos__", "__gram__")
+    ).withColumn("__h__", F.expr(f"{spark_md5_long_sql('__gram__')} % {MERSENNE_P}"))
+    roll = W.partitionBy(id_col).orderBy("__pos__").rowsBetween(-(window - 1), 0)
+    return (
+        positioned.withColumn("__min__", F.min("__h__").over(roll))
+        .where(F.col("__pos__") >= window - 1)  # full windows only
+        .select(F.col(id_col), F.col("__min__").alias("fp"))
+        .distinct()
+    )

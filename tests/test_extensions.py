@@ -270,3 +270,26 @@ def test_resize_assets_shape(spark):
         assert r["resized_bytes"] == r["resized_width"] * r["resized_height"] * 3
     again = {r["id"]: r for r in resize_assets(df, "id", "payload", max_dim=16).collect()}
     assert out == again
+
+
+def test_winnowing_detects_partial_overlap(spark):
+    from delta_sorter_spark.operators.dedup import winnowing_fingerprints
+
+    shared = "the quick brown fox jumps over the lazy dog near the river bank"
+    docs = spark.createDataFrame(
+        [
+            (1, "INTRO AAA. " + shared + " OUTRO BBB."),
+            (2, "totally different prefix text here. " + shared),
+            (3, "no overlap with the others at all, completely unrelated words"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnowing_fingerprints(docs, "doc_id", "text", k=5, window=4)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    # docs sharing a long substring share fingerprints; unrelated docs share few
+    overlap_12 = len(by_doc[1] & by_doc[2])
+    overlap_13 = len(by_doc[1] & by_doc[3])
+    assert overlap_12 > 5
+    assert overlap_13 < overlap_12 // 2
