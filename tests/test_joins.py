@@ -96,3 +96,38 @@ def test_range_join_no_duplicate_rows_across_buckets(spark):
     assert len(rows) == len(set(rows))
     # every pair within 6 steps of 100s
     assert set(rows) == {(a, b) for a in range(20) for b in range(20) if 1 <= (b - a) * 100 <= 600}
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_ROWS = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 1000)), min_size=0, max_size=25
+)
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@given(left_rows=_ROWS, right_rows=_ROWS)
+def test_asof_join_matches_bruteforce(spark, left_rows, right_rows):
+    """asof_join == per-row brute force: latest right ts <= left ts per key."""
+    base = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(i, k, base + dt.timedelta(seconds=s)) for i, (k, s) in enumerate(left_rows)],
+        "lid long, key long, ts timestamp_ntz",
+    )
+    # dedupe right on (key, ts) to keep the expected value well-defined
+    seen, rdata = set(), []
+    for i, (k, s) in enumerate(right_rows):
+        if (k, s) not in seen:
+            seen.add((k, s))
+            rdata.append((i, k, base + dt.timedelta(seconds=s)))
+    right = spark.createDataFrame(rdata, "rid long, key long, rts timestamp_ntz")
+
+    got = {
+        r["lid"]: r["rid"]
+        for r in asof_join(left, right, on="key", left_ts="ts", right_ts="rts").collect()
+    }
+    for i, (k, s) in enumerate(left_rows):
+        cands = [(rs, ri) for ri, rk, rs in [(x[0], x[1], x[2]) for x in rdata] if rk == k and rs <= base + dt.timedelta(seconds=s)]
+        want = max(cands)[1] if cands else None
+        assert got[i] == want, f"left row {i} (key={k}, s={s})"
