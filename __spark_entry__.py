@@ -1441,6 +1441,32 @@ FROM events
 
 
 # ---------------------------------------------------------------------------
+# A12: exact quantiles per group (percentile == DuckDB quantile_cont,
+# verified bitwise-identical: both linearly interpolate over sorted doubles)
+# ---------------------------------------------------------------------------
+
+
+def q_a12_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.25)").alias("p25"),
+        F.expr("percentile(o_totalprice, 0.5)").alias("median"),
+        F.expr("percentile(o_totalprice, 0.75)").alias("p75"),
+        F.max("o_totalprice").alias("mx"),
+    )
+
+
+_A12_SQL = """
+SELECT o_orderpriority,
+       quantile_cont(o_totalprice, 0.25) AS p25,
+       quantile_cont(o_totalprice, 0.5) AS median,
+       quantile_cont(o_totalprice, 0.75) AS p75,
+       max(o_totalprice) AS mx
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
 # E22: winnowing rolling-hash fingerprints (partial-overlap dedup)
 # ---------------------------------------------------------------------------
 
@@ -1726,6 +1752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e21_pack_sequences": q_e21_pack_sequences,
         "e22_winnowing": q_e22_winnowing,
         "a11_running_total": q_a11_running_total,
+        "a12_quantiles": q_a12_quantiles,
         "p1_quality_dedup_pipeline": q_p1_quality_dedup_pipeline,
     }
 
@@ -1777,5 +1804,6 @@ def oracle_sql() -> dict[str, str]:
         "e21_pack_sequences": _E21_SQL,
         "e22_winnowing": _E22_SQL,
         "a11_running_total": _A11_SQL,
+        "a12_quantiles": _A12_SQL,
         "p1_quality_dedup_pipeline": _P1_SQL,
     }

@@ -35,6 +35,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="Comma-separated columns: cluster by Morton z-order instead of a"
         " lexicographic sort (extension; implies a full-table rewrite)",
     )
+    p.add_argument(
+        "--history",
+        action="store_true",
+        help="Print the table's commit history (DESCRIBE HISTORY shape) and exit",
+    )
     return p
 
 
@@ -56,6 +61,14 @@ def main(argv: list[str] | None = None) -> int:
 
 
 def _run(args, sort_columns, api) -> int:
+    if args.history:
+        from delta_sorter_spark.sources.delta_log import DeltaLog
+
+        for h in DeltaLog(args.table).history():
+            params = " ".join(f"{k}={v}" for k, v in (h["operationParameters"] or {}).items())
+            print(f"v{h['version']} ts={h['timestamp']} op={h['operation']} {params}".rstrip())
+        return 0
+
     if args.validate_only:
         report = api.validate(args.table, sort_columns, nulls=args.nulls)
         print(

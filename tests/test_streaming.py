@@ -134,3 +134,61 @@ def test_stateful_running_totals(spark, event_files):
         )
     assert final[10] == 4  # 3 clicks + 1 duplicate row
     assert final[11] == 2
+
+
+def test_foreachbatch_incremental_rollup_sink(spark, event_files, tmp_path):
+    """Streaming -> Delta rollup: foreachBatch merges each micro-batch's
+    window partials into a rollup Delta table with the zone-map-pruned
+    upsert — the streaming counterpart of operators/rollup.py."""
+    from delta_sorter_spark.operators.dml import upsert
+    from delta_sorter_spark.operators.rollup import ROLLUP_SCHEMA, _partials
+    from delta_sorter_spark.sources.delta_table import DeltaTable
+
+    src, schema = event_files
+    rollup_path = str(tmp_path / "stream_rollup")
+    rollup = DeltaTable.create(
+        spark,
+        rollup_path,
+        spark.createDataFrame([], ROLLUP_SCHEMA).coalesce(1),
+        stat_columns=["window_start"],
+    )
+
+    def merge_batch(batch_df, _batch_id):
+        partial = _partials(batch_df, "1 hour")
+        keys = ["window_start", "event_type"]
+        existing = rollup.to_df()
+        affected = partial.select(*keys).distinct()
+        merged = (
+            existing.join(affected, keys)
+            .unionByName(partial)
+            .groupBy(*keys)
+            .agg(
+                F.sum("n_events").alias("n_events"),
+                F.sum(F.col("total_value").cast("decimal(18,6)"))
+                .cast("double")
+                .alias("total_value"),
+            )
+        )
+        upsert(rollup, merged, keys)
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in rollup.to_df().collect()
+    }
+    want = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in _partials(spark.read.schema(schema).parquet(src), "1 hour").collect()
+    }
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k][0] == want[k][0]
+        assert abs(got[k][1] - want[k][1]) < 1e-6
