@@ -1467,6 +1467,31 @@ FROM orders GROUP BY o_orderpriority
 
 
 # ---------------------------------------------------------------------------
+# A13: pivot (long -> wide reshaping with an explicit, deterministic
+# column list)
+# ---------------------------------------------------------------------------
+
+EVENT_TYPES = ["click", "view", "purchase", "error", "signup"]
+
+
+def q_a13_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .count()
+        .na.fill(0, EVENT_TYPES)
+    )
+
+
+_A13_SQL = f"""
+SELECT user_id,
+       {", ".join(f"count(*) FILTER (event_type = '{t}') AS {t}" for t in EVENT_TYPES)}
+FROM events GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # E22: winnowing rolling-hash fingerprints (partial-overlap dedup)
 # ---------------------------------------------------------------------------
 
@@ -1753,6 +1778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e22_winnowing": q_e22_winnowing,
         "a11_running_total": q_a11_running_total,
         "a12_quantiles": q_a12_quantiles,
+        "a13_pivot": q_a13_pivot,
         "p1_quality_dedup_pipeline": q_p1_quality_dedup_pipeline,
     }
 
@@ -1805,5 +1831,6 @@ def oracle_sql() -> dict[str, str]:
         "e22_winnowing": _E22_SQL,
         "a11_running_total": _A11_SQL,
         "a12_quantiles": _A12_SQL,
+        "a13_pivot": _A13_SQL,
         "p1_quality_dedup_pipeline": _P1_SQL,
     }
