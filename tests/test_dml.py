@@ -102,3 +102,39 @@ def test_upsert_concurrent_safety_metadata(spark, tmp_path):
     )
     upsert(table, spark.createDataFrame([(1, "A")], "id long, v string"), ["id"])
     assert all(a.data_change for a in table.state().adds)
+
+
+def test_dml_model_based_random_sequence(spark, tmp_path):
+    """Model-based check: a random interleaving of upserts and deletes applied
+    to the Delta table must match a plain dict model at every step."""
+    import random
+
+    rng = random.Random(7)
+    path = str(tmp_path / "model")
+    init = [(i, f"v{i}") for i in range(0, 30, 2)]
+    model = dict(init)
+    table = DeltaTable.create(
+        spark,
+        path,
+        spark.createDataFrame(init, "id long, v string").coalesce(2),
+        stat_columns=["id"],
+    )
+
+    for step in range(6):
+        if rng.random() < 0.6:
+            n = rng.randint(1, 5)
+            src_rows = [(rng.randint(0, 40), f"s{step}.{j}") for j in range(n)]
+            # upsert requires key-unique sources
+            src_rows = list({k: (k, v) for k, v in src_rows}.values())
+            upsert(table, spark.createDataFrame(src_rows, "id long, v string"), ["id"])
+            model.update(dict(src_rows))
+        else:
+            lo = rng.randint(0, 35)
+            hi = lo + rng.randint(0, 10)
+            delete_where(table, f"id BETWEEN {lo} AND {hi}")
+            model = {k: v for k, v in model.items() if not (lo <= k <= hi)}
+        got = {r["id"]: r["v"] for r in table.to_df().collect()}
+        assert got == model, f"diverged at step {step}"
+
+    # every intermediate version is still time-travelable
+    assert table.state(version=1).adds
