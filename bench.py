@@ -44,6 +44,7 @@ ENTRY_QUERIES = [
     "e8_token_stats",
     "s1_event_windows",
     "a6_asof_join",
+    "p1_quality_dedup_pipeline",
 ]
 
 
@@ -110,6 +111,19 @@ def main() -> int:
         stat_columns=sort_cols,
     )
     timed("compact_partitioned", lambda: compact(t_part, sort_cols, spark=spark))
+
+    # -- row-level DML: upsert ~1% of keys into the compacted table ---------
+    from delta_sorter_spark.operators.dml import upsert as dml_upsert
+
+    src = li.where(F.col("l_orderkey") % 100 == 0).withColumn(
+        "l_comment", F.lit("upserted")
+    ) if "l_comment" in li.columns else li.where(F.col("l_orderkey") % 100 == 0)
+    timed(
+        "upsert_1pct",
+        lambda: dml_upsert(
+            DeltaTable(spark, t_unsorted), src, ["l_orderkey", "l_linenumber"]
+        ),
+    )
 
     # -- query workloads (full computation via noop sink) -------------------
     # one untimed pre-run per query (codegen compile + exchange reuse JIT),

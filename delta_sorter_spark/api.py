@@ -65,10 +65,13 @@ def validate(
     table_uri: str,
     sort_columns: Sequence[str],
     nulls: str = "first",
+    version: int | None = None,
     spark: SparkSession | None = None,
 ) -> dict:
     spark = spark or _default_spark()
-    report = validate_global_order(spark, table_uri, list(sort_columns), _nulls_first(nulls))
+    report = validate_global_order(
+        spark, table_uri, list(sort_columns), _nulls_first(nulls), version=version
+    )
     return report.to_dict()
 
 

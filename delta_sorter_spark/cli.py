@@ -40,6 +40,13 @@ def build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="Print the table's commit history (DESCRIBE HISTORY shape) and exit",
     )
+    p.add_argument(
+        "--at-version",
+        type=int,
+        default=None,
+        help="With --validate-only: validate the table snapshot at this"
+        " version (time travel)",
+    )
     return p
 
 
@@ -70,7 +77,9 @@ def _run(args, sort_columns, api) -> int:
         return 0
 
     if args.validate_only:
-        report = api.validate(args.table, sort_columns, nulls=args.nulls)
+        report = api.validate(
+            args.table, sort_columns, nulls=args.nulls, version=args.at_version
+        )
         print(
             f"checked_files={report['checked_files']} "
             f"boundary_violations={report['boundary_violations']}"

@@ -260,11 +260,13 @@ def validate_global_order(
     table_uri: str,
     sort_columns: Sequence[str],
     nulls_first: bool = True,
+    version: int | None = None,
 ) -> ValidationReport:
     """Table-wide validation (reference validate_global_order,
-    lib.rs:484-523)."""
+    lib.rs:484-523).  ``version`` validates a historical snapshot (time
+    travel) — e.g. to confirm a table WAS sorted before a suspect write."""
     table = DeltaTable(spark, table_uri)
-    state = table.state()
+    state = table.state(version=version)
     validate_sort_columns(state.metadata.data_schema, sort_columns)
     summaries = summarize_files(table, state.adds, sort_columns, nulls_first)
     not_asc, cross, details = check_order(summaries, nulls_first)

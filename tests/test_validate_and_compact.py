@@ -288,3 +288,27 @@ def test_concurrent_compacts_conflict_safe(spark, tmp_path):
 
     for grp in group_by_partition(table.state().adds):
         assert partition_is_sorted(table, grp.files, ["k"])
+
+
+def test_validate_at_historical_version(spark, tmp_path):
+    """Time-travel validation: the pre-compact snapshot still shows its
+    violations after compaction fixed the current version."""
+    from delta_sorter_spark.api import compact, validate
+    from delta_sorter_spark.sources.delta_table import DeltaTable
+
+    path = str(tmp_path / "vv")
+    df = spark.createDataFrame(
+        [("B", 2), ("A", 1), ("C", 3), ("A", 0)], "objectId string, value long"
+    )
+    table = DeltaTable.create(spark, path, df.coalesce(1))
+    v_dirty = table.state().version
+
+    dirty = validate(path, ["objectId", "value"], spark=spark)
+    assert dirty["boundary_violations"] > 0
+
+    compact(path, ["objectId", "value"], spark=spark)
+    clean = validate(path, ["objectId", "value"], spark=spark)
+    assert clean["boundary_violations"] == 0
+
+    historical = validate(path, ["objectId", "value"], version=v_dirty, spark=spark)
+    assert historical["boundary_violations"] == dirty["boundary_violations"]
