@@ -17,8 +17,9 @@ Determinism: ties on the full key tuple land in the same range partition, so
 the produced rank multiset is identical to the single-partition form even
 though sampling makes the partition boundaries themselves nondeterministic.
 
-Cost: two passes over the data (the count pass and the rank pass) instead of
-one — the standard trade for removing the single-partition bottleneck.
+Cost: one range exchange + one local materialization (the pinned
+partitioning both passes read) instead of a single pass — the standard trade
+for removing the single-partition bottleneck.
 """
 
 from __future__ import annotations

@@ -82,6 +82,30 @@ def write_sink(
     writer.save(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    n_buckets: int = 8,
+    sort_cols: list[str] | None = None,
+    path: str | None = None,
+) -> None:
+    """Persist ``df`` as a bucketed (and optionally per-bucket-sorted)
+    catalog table.  Two tables bucketed the same way join WITHOUT an
+    exchange — each task reads matching bucket files from both sides — which
+    is the standing-shuffle eliminator for repeated big-big joins at scale
+    (pay one shuffle at write time, never again at read).
+
+    ``path`` makes it an external table at that location (otherwise the
+    session's warehouse dir)."""
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    if path:
+        writer = writer.option("path", path)
+    writer.format("parquet").saveAsTable(table_name)
+
+
 def register_tables(spark: SparkSession, sf_dir: str) -> None:
     """Register every testdata table as a temp view so callers can use the
     plain ``spark.sql`` surface (the SQL entry point the reference delegates
