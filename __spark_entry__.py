@@ -1492,6 +1492,135 @@ FROM events GROUP BY user_id
 
 
 # ---------------------------------------------------------------------------
+# A14-A16: subquery surface — scalar subquery + anti join (TPC-H Q22 shape),
+# correlated aggregate subquery (Q17 shape), EXISTS semi join (Q4 shape).
+# The reference has no joins at all (SURVEY §2.9); these prove the decorrelated
+# Spark forms match the literal subquery SQL the oracle runs.
+# Division-free thresholds (bal*n > sum, qty*5*cnt < sum) keep every
+# comparison in exact DECIMAL arithmetic on both engines.
+# ---------------------------------------------------------------------------
+
+INACTIVE_CUTOFF = "2000-07-01 00:00:00"
+LATE_SHIP_DAYS = 60
+
+
+def q_a14_inactive_vip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape: customers above the average positive balance (scalar
+    subquery → broadcast one-row aggregate) with no recent orders (NOT EXISTS
+    → left_anti join).  At scale both sides of the anti join shuffle on
+    o_custkey/c_custkey; the one-row threshold is always a broadcast."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    bal = F.col("c_acctbal").cast("decimal(18,2)")
+    thresh = (
+        cust.where(F.col("c_acctbal") > 0)
+        .agg(
+            F.sum(bal).cast("decimal(28,2)").alias("bal_sum"),
+            F.count("*").alias("bal_n"),
+        )
+    )
+    recent = orders.where(
+        F.col("o_orderdate") >= F.lit(INACTIVE_CUTOFF).cast("timestamp_ntz")
+    ).select("o_custkey")
+    return (
+        cust.join(F.broadcast(thresh))
+        .where(bal * F.col("bal_n") > F.col("bal_sum"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_custs"),
+            F.sum(bal).cast("double").alias("total_bal"),
+        )
+    )
+
+
+_A14_SQL = f"""
+WITH t AS (
+  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS bal_sum,
+         count(*) AS bal_n
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c_mktsegment,
+       count(*) AS n_custs,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+FROM customer c, t
+WHERE CAST(c_acctbal AS DECIMAL(18,2)) * t.bal_n > t.bal_sum
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '{INACTIVE_CUTOFF}')
+GROUP BY c_mktsegment
+"""
+
+
+def q_a15_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 shape: lineitems whose quantity is below 20% of their part's
+    average, decorrelated as a per-part aggregate joined back.  No broadcast
+    hint: the aggregated side is ~|part| rows, so AQE broadcasts it at test
+    scale but can fall back to a shuffle join when the dimension outgrows the
+    threshold at 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(qty).alias("qty_sum"),
+        F.count("*").cast("decimal(10,0)").alias("qty_n"),
+    )
+    return (
+        li.join(per_part, "l_partkey")
+        .where(qty * F.lit(5) * F.col("qty_n") < F.col("qty_sum"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_small"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+_A15_SQL = """
+WITH pa AS (
+  SELECT l_partkey,
+         sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty_sum,
+         CAST(count(*) AS DECIMAL(10,0)) AS qty_n
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT l.l_returnflag,
+       count(*) AS n_small,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM lineitem l JOIN pa ON l.l_partkey = pa.l_partkey
+WHERE CAST(l.l_quantity AS DECIMAL(18,2)) * 5 * pa.qty_n < pa.qty_sum
+GROUP BY l.l_returnflag
+"""
+
+
+def q_a16_late_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape: orders with EXISTS a lineitem shipped more than
+    LATE_SHIP_DAYS after the order date, as a left_semi join (equi key +
+    residual non-equi condition), counted per priority."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (F.col("o_orderkey") == F.col("l_orderkey")) & (
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr(f"INTERVAL {LATE_SHIP_DAYS} DAYS")
+    )
+    return (
+        orders.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+_A16_SQL = f"""
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL {LATE_SHIP_DAYS} DAY)
+GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
 # E22: winnowing rolling-hash fingerprints (partial-overlap dedup)
 # ---------------------------------------------------------------------------
 
@@ -1779,6 +1908,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a11_running_total": q_a11_running_total,
         "a12_quantiles": q_a12_quantiles,
         "a13_pivot": q_a13_pivot,
+        "a14_inactive_vip": q_a14_inactive_vip,
+        "a15_small_qty_revenue": q_a15_small_qty_revenue,
+        "a16_late_ship_priority": q_a16_late_ship_priority,
         "p1_quality_dedup_pipeline": q_p1_quality_dedup_pipeline,
     }
 
@@ -1832,5 +1964,8 @@ def oracle_sql() -> dict[str, str]:
         "a11_running_total": _A11_SQL,
         "a12_quantiles": _A12_SQL,
         "a13_pivot": _A13_SQL,
+        "a14_inactive_vip": _A14_SQL,
+        "a15_small_qty_revenue": _A15_SQL,
+        "a16_late_ship_priority": _A16_SQL,
         "p1_quality_dedup_pipeline": _P1_SQL,
     }
