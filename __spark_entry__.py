@@ -1621,6 +1621,58 @@ GROUP BY o_orderpriority
 
 
 # ---------------------------------------------------------------------------
+# A17: TPC-H Q5 shape — six-way join with the same-nation (customer nation =
+# supplier nation) constraint.  Exercises the supplier table, multi-way join
+# ordering, and the mixed broadcast/shuffle strategy: region/nation/supplier
+# are true small dims (broadcast hints); customer and orders joins are left
+# unhinted so Catalyst/AQE picks shuffle strategies that survive 100 TB.
+# ---------------------------------------------------------------------------
+
+
+def q_a17_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (supp.s_nationkey == cust.c_nationkey),
+        )
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(dec("l_extendedprice") * (1 - dec("l_discount")))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+_A17_SQL = """
+SELECT r.r_name, n.n_name,
+       count(*) AS n_items,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM region r
+JOIN nation n ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+GROUP BY r.r_name, n.n_name
+"""
+
+
+# ---------------------------------------------------------------------------
 # E22: winnowing rolling-hash fingerprints (partial-overlap dedup)
 # ---------------------------------------------------------------------------
 
@@ -1911,6 +1963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a14_inactive_vip": q_a14_inactive_vip,
         "a15_small_qty_revenue": q_a15_small_qty_revenue,
         "a16_late_ship_priority": q_a16_late_ship_priority,
+        "a17_local_supplier_volume": q_a17_local_supplier_volume,
         "p1_quality_dedup_pipeline": q_p1_quality_dedup_pipeline,
     }
 
@@ -1967,5 +2020,6 @@ def oracle_sql() -> dict[str, str]:
         "a14_inactive_vip": _A14_SQL,
         "a15_small_qty_revenue": _A15_SQL,
         "a16_late_ship_priority": _A16_SQL,
+        "a17_local_supplier_volume": _A17_SQL,
         "p1_quality_dedup_pipeline": _P1_SQL,
     }
