@@ -136,6 +136,62 @@ def test_stateful_running_totals(spark, event_files):
     assert final[11] == 2
 
 
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Append-mode watermark semantics end-to-end: a row arriving in a later
+    micro-batch with an event time already behind the watermark is DROPPED
+    from the windowed aggregate, and only watermark-closed windows are
+    emitted.  This is the late-data policy every 100 TB streaming rollup
+    relies on to bound state."""
+    from delta_sorter_spark.streaming.events import windowed_event_counts
+
+    src = str(tmp_path / "late_src")
+
+    def append(rows):
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts string, user_id long, event_type string, value double",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        df.coalesce(1).write.mode("append").parquet(src)
+
+    # batch 1: two rows in the 00:00 window + one at 03:00 that pushes the
+    # watermark (30 min delay) to 02:30, past the 00:00 window's end
+    append(
+        [
+            (1, "2024-01-01 00:05:00", 10, "click", 1.0),
+            (2, "2024-01-01 00:10:00", 10, "click", 1.0),
+            (3, "2024-01-01 03:00:00", 10, "click", 1.0),
+        ]
+    )
+    time.sleep(1.1)  # distinct mtimes: file source processes oldest first
+    # batch 2: on-time row; at its end the 02:30 watermark evicts + emits
+    # the 00:00 window (the watermark is a LOWER bound — eviction happens
+    # the batch after it advances, so the late row must arrive after this)
+    append([(5, "2024-01-01 03:05:00", 10, "click", 1.0)])
+    time.sleep(1.1)
+    # batch 3: event-time 00:20 is behind the watermark and its window's
+    # state is gone -> dropped
+    append([(4, "2024-01-01 00:20:00", 10, "click", 1.0)])
+
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    out = windowed_event_counts(stream, watermark="30 minutes", streaming=True)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("late_win")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM late_win").collect()
+    }
+    # the 00:00 window finalizes with 2 events (late event_id=4 dropped);
+    # the 03:00 window is still open at final watermark 02:35 -> not emitted
+    assert got == {("2024-01-01 00:00:00", "click"): 2}
+
+
 def test_foreachbatch_incremental_rollup_sink(spark, event_files, tmp_path):
     """Streaming -> Delta rollup: foreachBatch merges each micro-batch's
     window partials into a rollup Delta table with the zone-map-pruned
