@@ -1389,6 +1389,69 @@ GROUP BY p.value
 
 
 # ---------------------------------------------------------------------------
+# E23/E24: HyperLogLog registers + estimate (mergeable approximate distinct —
+# the 100 TB substitute for exact COUNT(DISTINCT); operators/sketches.py).
+# The estimator's harmonic sum is an exact integer and the single final
+# double division is IEEE-rounded, so the estimate is bit-identical to the
+# DuckDB oracle.
+# ---------------------------------------------------------------------------
+
+
+def q_e23_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_sorter_spark.operators.sketches import hll_registers
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("uid")
+    )
+    return hll_registers(ev, "uid")
+
+
+def _hll_regs_sql() -> str:
+    from delta_sorter_spark.operators.sketches import HLL_M, _HLL_MAX_RANK
+
+    hv = duckdb_md5_long_sql("uid")
+    return f"""
+v AS (SELECT CAST(user_id AS VARCHAR) AS uid FROM events),
+h AS (SELECT {hv} AS hv FROM v),
+r AS (SELECT CAST(hv % {HLL_M} AS BIGINT) AS bucket,
+             CAST(CASE WHEN hv // {HLL_M} = 0 THEN {_HLL_MAX_RANK}
+                  ELSE {_HLL_MAX_RANK} - length(bin(hv // {HLL_M})) END AS BIGINT)
+               AS rank
+      FROM h),
+regs AS (SELECT bucket, max(rank) AS register FROM r GROUP BY bucket)"""
+
+
+def _make_e23_sql() -> str:
+    return f"WITH {_hll_regs_sql()}\nSELECT bucket, register FROM regs"
+
+
+def q_e24_hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_sorter_spark.operators.sketches import hll_estimate, hll_registers
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("uid")
+    )
+    est = hll_estimate(hll_registers(ev, "uid"))
+    exact = ev.agg(F.countDistinct("uid").alias("exact_distinct"))
+    return est.crossJoin(exact)  # 1x1 rows
+
+
+def _make_e24_sql() -> str:
+    from delta_sorter_spark.operators.sketches import HLL_ALPHA_NUM, HLL_M, _HLL_MAX_RANK
+
+    return f"""
+WITH {_hll_regs_sql()},
+s AS (SELECT count(*) AS n_obs,
+             sum(CAST(power(2, {_HLL_MAX_RANK} - register) AS BIGINT)) AS s_obs
+      FROM regs)
+SELECT {HLL_ALPHA_NUM!r} / (s_obs + ({HLL_M} - n_obs) * {1 << _HLL_MAX_RANK})
+         AS est_distinct,
+       (SELECT count(DISTINCT uid) FROM v) AS exact_distinct
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
 # E19: salted two-stage distinct count (skew mitigation; equals the exact
 # count distinct, which is exactly what the oracle verifies)
 # ---------------------------------------------------------------------------
@@ -1964,6 +2027,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a15_small_qty_revenue": q_a15_small_qty_revenue,
         "a16_late_ship_priority": q_a16_late_ship_priority,
         "a17_local_supplier_volume": q_a17_local_supplier_volume,
+        "e23_hll_registers": q_e23_hll_registers,
+        "e24_hll_estimate": q_e24_hll_estimate,
         "p1_quality_dedup_pipeline": q_p1_quality_dedup_pipeline,
     }
 
@@ -2021,5 +2086,7 @@ def oracle_sql() -> dict[str, str]:
         "a15_small_qty_revenue": _A15_SQL,
         "a16_late_ship_priority": _A16_SQL,
         "a17_local_supplier_volume": _A17_SQL,
+        "e23_hll_registers": _make_e23_sql(),
+        "e24_hll_estimate": _make_e24_sql(),
         "p1_quality_dedup_pipeline": _P1_SQL,
     }

@@ -94,3 +94,67 @@ def cms_estimate(
     ).select("value", F.col("c.depth").alias("depth"), F.col("c.bucket").alias("bucket"))
     joined = probes.join(F.broadcast(sketch), ["depth", "bucket"])
     return joined.groupBy("value").agg(F.min("cnt").alias("est_cnt"))
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (Flajolet et al. 2007) — mergeable approximate distinct count.
+# At 100 TB exact COUNT(DISTINCT) shuffles every distinct key; HLL reduces a
+# column to HLL_M max-registers (map-side combinable, unionable across
+# partitions/streams) with ~1.04/sqrt(m) relative error.
+#
+# Portable construction (identical in Spark SQL and DuckDB, like the CMS
+# above): 60-bit md5 hash -> low 6 bits pick the bucket, the remaining
+# 54-bit substream w contributes rank = leading-zeros(w) + 1 = 55 -
+# bit_length(w), computed via length(bin(w)) which both engines render
+# minimally.  The estimator avoids float accumulation: each register's
+# 2^-register term is scaled by 2^55 so the harmonic sum is an EXACT integer,
+# and the single final double division is IEEE-correctly-rounded — hence
+# bit-identical across engines.  No small/large-range corrections (they need
+# ln(), whose last-ulp behavior is libm-specific); this is the raw HLL
+# estimator, documented as such.
+# ---------------------------------------------------------------------------
+
+HLL_M = 64  # buckets (6 bits); relative error ~1.04/sqrt(64) = 13%
+_HLL_SUB_BITS = 54  # 60-bit hash minus 6 bucket bits
+_HLL_MAX_RANK = _HLL_SUB_BITS + 1  # rank when the whole substream is zero
+HLL_ALPHA_NUM = (0.7213 / (1 + 1.079 / HLL_M)) * HLL_M * HLL_M * float(1 << _HLL_MAX_RANK)
+
+
+def _hll_rank_sql(w: str) -> str:
+    """Rank of substream ``w`` (leading zeros + 1 in a 54-bit field); valid
+    in both Spark SQL and DuckDB."""
+    return (
+        f"CAST(CASE WHEN {w} = 0 THEN {_HLL_MAX_RANK}"
+        f" ELSE {_HLL_MAX_RANK} - length(bin({w})) END AS BIGINT)"
+    )
+
+
+def hll_registers(df: DataFrame, col: str) -> DataFrame:
+    """Reduce ``col`` to (bucket, register) max-registers — the mergeable HLL
+    state (merge = groupBy(bucket).max(register)).  One scan, map-side
+    combine, shuffle of at most HLL_M rows per partition."""
+    h = spark_md5_long_sql(col)
+    w = f"({h} DIV {HLL_M})"
+    return (
+        df.select(
+            F.expr(f"CAST({h} % {HLL_M} AS BIGINT)").alias("bucket"),
+            F.expr(_hll_rank_sql(w)).alias("rank"),
+        )
+        .groupBy("bucket")
+        .agg(F.max("rank").alias("register"))
+    )
+
+
+def hll_estimate(registers: DataFrame) -> DataFrame:
+    """Distinct-count estimate from HLL state: one row, ``est_distinct``.
+
+    Harmonic sum computed exactly in integers (2^(55-register) per observed
+    bucket, 2^55 per empty bucket), then a single double division."""
+    agg = registers.agg(
+        F.count("*").alias("n_obs"),
+        F.sum(F.expr(f"CAST(power(2, {_HLL_MAX_RANK} - register) AS BIGINT)")).alias(
+            "s_obs"
+        ),
+    )
+    total = F.col("s_obs") + (F.lit(HLL_M) - F.col("n_obs")) * F.lit(1 << _HLL_MAX_RANK)
+    return agg.select((F.lit(HLL_ALPHA_NUM) / total).alias("est_distinct"))

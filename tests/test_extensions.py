@@ -293,3 +293,28 @@ def test_winnowing_detects_partial_overlap(spark):
     overlap_13 = len(by_doc[1] & by_doc[3])
     assert overlap_12 > 5
     assert overlap_13 < overlap_12 // 2
+
+
+def test_hll_merge_and_accuracy(spark):
+    """HLL state is mergeable (max per bucket) and the raw estimator lands
+    within the ~13% design error for m=64."""
+    from pyspark.sql import functions as F
+
+    from delta_sorter_spark.operators.sketches import hll_estimate, hll_registers
+
+    n = 5000
+    df = spark.range(n).select(F.concat(F.lit("user-"), F.col("id")).alias("v"))
+    full = hll_registers(df, "v")
+
+    # merge of two disjoint halves == registers of the whole
+    lo = hll_registers(df.where(F.col("v") < "user-25"), "v")  # string split
+    hi = hll_registers(df.where(F.col("v") >= "user-25"), "v")
+    merged = (
+        lo.unionByName(hi)
+        .groupBy("bucket")
+        .agg(F.max("register").alias("register"))
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, full.collect()))
+
+    est = hll_estimate(full).collect()[0]["est_distinct"]
+    assert abs(est - n) / n < 0.2  # 1.04/sqrt(64) ~= 13% + slack
