@@ -59,14 +59,23 @@ def brute_force_topk(
     scored rows."""
     from pyspark.sql import Window
 
+    # norms precomputed per side BEFORE the cross join: the per-pair work is
+    # then just the dot product (same float ops and order as cosine_expr, so
+    # values are bit-identical — only redundant recomputation is removed)
     q = F.broadcast(
         queries.select(
-            F.col(query_id_col).alias("query_id"), F.col(query_emb_col).alias("__qemb__")
+            F.col(query_id_col).alias("query_id"),
+            F.col(query_emb_col).alias("__qemb__"),
+            norm_expr(query_emb_col).alias("__qn__"),
         )
     )
-    scored = corpus.select(F.col(id_col).alias("id"), F.col(emb_col).alias("__cemb__")).crossJoin(q)
+    scored = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(emb_col).alias("__cemb__"),
+        norm_expr(emb_col).alias("__cn__"),
+    ).crossJoin(q)
     scored = scored.where(F.col("id") != F.col("query_id")).withColumn(
-        "cosine", cosine_expr("__qemb__", "__cemb__")
+        "cosine", dot_expr("__qemb__", "__cemb__") / (F.col("__qn__") * F.col("__cn__"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("id"))
     return (
@@ -97,18 +106,23 @@ def cosine_neardup_pairs(
     a = df.select(
         F.col(id_col).alias("id_a"),
         F.col(emb_col).alias("__ea__"),
+        norm_expr(emb_col).alias("__na__"),
         *([F.col(block_col).alias("__blk__")] if block_col else []),
     )
     b = df.select(
         F.col(id_col).alias("id_b"),
         F.col(emb_col).alias("__eb__"),
+        norm_expr(emb_col).alias("__nb__"),
         *([F.col(block_col).alias("__blk__")] if block_col else []),
     )
     if block_col:
         pairs = a.join(b, "__blk__").where(F.col("id_a") < F.col("id_b"))
     else:
         pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
-    scored = pairs.withColumn("cosine", cosine_expr("__ea__", "__eb__"))
+    # per-side norms precomputed above; same ops/order as cosine_expr
+    scored = pairs.withColumn(
+        "cosine", dot_expr("__ea__", "__eb__") / (F.col("__na__") * F.col("__nb__"))
+    )
     return (
         scored.where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
