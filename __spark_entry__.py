@@ -1425,6 +1425,82 @@ def _make_e23_sql() -> str:
     return f"WITH {_hll_regs_sql()}\nSELECT bucket, register FROM regs"
 
 
+def q_e25_bloom_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_sorter_spark.operators.sketches import bloom_bits
+
+    cust = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    return bloom_bits(
+        cust.select(F.col("c_custkey").cast("string").alias("ck")), "ck"
+    )
+
+
+def q_e26_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-filter shape: bloom over BUILDING customers' keys prunes the
+    orders probe side before any join; n_bloom >= n_exact per priority, the
+    surplus being the (deterministic) false positives."""
+    from delta_sorter_spark.operators.sketches import bloom_bits, bloom_prefilter
+
+    cust = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", F.col("o_custkey").cast("string").alias("ck")
+    )
+    bits = bloom_bits(cust.select(F.col("c_custkey").cast("string").alias("ck")), "ck")
+    passed = bloom_prefilter(orders, "ck", bits)
+    n_bloom = passed.groupBy("o_orderpriority").agg(F.count("*").alias("n_bloom"))
+    n_exact = (
+        orders.join(
+            F.broadcast(cust.select(F.col("c_custkey").cast("string").alias("ck"))),
+            "ck",
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_exact"))
+    )
+    return n_bloom.join(n_exact, "o_orderpriority")
+
+
+def _make_e25_e26_sql() -> tuple[str, str]:
+    from delta_sorter_spark.functions.hashing import minhash_params, minhash_perm_sql
+    from delta_sorter_spark.operators.sketches import BLOOM_K, BLOOM_M_BITS
+
+    params = minhash_params(BLOOM_K)
+    hx = duckdb_md5_long_sql("ck")
+    arm_exprs = [
+        f"({minhash_perm_sql(hx, a, b)} % {BLOOM_M_BITS})" for a, b in params
+    ]
+    arms = " UNION ALL ".join(
+        f"SELECT CAST({e} AS BIGINT) AS bit FROM ck" for e in arm_exprs
+    )
+    bits_cte = f"""
+ck AS (SELECT CAST(c_custkey AS VARCHAR) AS ck FROM customer
+       WHERE c_mktsegment = 'BUILDING'),
+bits AS (SELECT DISTINCT bit FROM ({arms}))"""
+    e25 = f"WITH {bits_cte}\nSELECT bit FROM bits"
+    probe_conds = " AND ".join(
+        f"CAST({minhash_perm_sql(duckdb_md5_long_sql('o.ck'), a, b)} % {BLOOM_M_BITS} AS BIGINT)"
+        " IN (SELECT bit FROM bits)"
+        for a, b in params
+    )
+    e26 = f"""
+WITH {bits_cte},
+probe AS (SELECT o_orderpriority, CAST(o_custkey AS VARCHAR) AS ck FROM orders),
+pass AS (SELECT o_orderpriority FROM probe o WHERE {probe_conds}),
+nb AS (SELECT o_orderpriority, count(*) AS n_bloom FROM pass GROUP BY o_orderpriority),
+ne AS (SELECT o_orderpriority, count(*) AS n_exact FROM probe o
+       WHERE o.ck IN (SELECT ck FROM ck) GROUP BY o_orderpriority)
+SELECT nb.o_orderpriority, nb.n_bloom, ne.n_exact
+FROM nb JOIN ne ON nb.o_orderpriority = ne.o_orderpriority
+"""
+    return e25, e26
+
+
+_E25_SQL, _E26_SQL = _make_e25_e26_sql()
+
+
 def q_e24_hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from delta_sorter_spark.operators.sketches import hll_estimate, hll_registers
 
@@ -2029,6 +2105,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a17_local_supplier_volume": q_a17_local_supplier_volume,
         "e23_hll_registers": q_e23_hll_registers,
         "e24_hll_estimate": q_e24_hll_estimate,
+        "e25_bloom_bits": q_e25_bloom_bits,
+        "e26_bloom_prefilter": q_e26_bloom_prefilter,
         "p1_quality_dedup_pipeline": q_p1_quality_dedup_pipeline,
     }
 
@@ -2088,5 +2166,7 @@ def oracle_sql() -> dict[str, str]:
         "a17_local_supplier_volume": _A17_SQL,
         "e23_hll_registers": _make_e23_sql(),
         "e24_hll_estimate": _make_e24_sql(),
+        "e25_bloom_bits": _E25_SQL,
+        "e26_bloom_prefilter": _E26_SQL,
         "p1_quality_dedup_pipeline": _P1_SQL,
     }

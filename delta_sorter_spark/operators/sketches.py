@@ -158,3 +158,61 @@ def hll_estimate(registers: DataFrame) -> DataFrame:
     )
     total = F.col("s_obs") + (F.lit(HLL_M) - F.col("n_obs")) * F.lit(1 << _HLL_MAX_RANK)
     return agg.select((F.lit(HLL_ALPHA_NUM) / total).alias("est_distinct"))
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter — semi-join reduction (runtime-filter shape).  At 100 TB the
+# classic move is: build a compact filter over the SMALL side's join keys,
+# broadcast it, and drop non-matching fact rows BEFORE the shuffle — Spark's
+# own runtime filters (spark.sql.optimizer.runtime.bloomFilter.enabled) do
+# exactly this, but opaquely; this portable md5-affine construction is
+# deterministic so the DuckDB oracle reproduces every bit and every false
+# positive.  The bit set is mergeable (union of set bits).
+# ---------------------------------------------------------------------------
+
+BLOOM_M_BITS = 8192  # ~5% FP at ~1.2k keys, k=3; still a trivial broadcast
+BLOOM_K = 3
+
+
+def bloom_bits(
+    df: DataFrame,
+    col: str,
+    m_bits: int = BLOOM_M_BITS,
+    k: int = BLOOM_K,
+    seed: int = 42,
+) -> DataFrame:
+    """Build the filter over ``col``: distinct set bit positions (bit BIGINT).
+    One scan + a <= m_bits-row distinct — mergeable across partitions,
+    tables, or streams by plain union+distinct."""
+    params = minhash_params(k, seed)
+    h = spark_md5_long_sql(col)
+    arms = F.array(
+        *[
+            F.expr(f"CAST({minhash_perm_sql(h, a, b)} % {m_bits} AS BIGINT)")
+            for a, b in params
+        ]
+    )
+    return df.select(F.explode(arms).alias("bit")).distinct()
+
+
+def bloom_prefilter(
+    df: DataFrame,
+    col: str,
+    bits: DataFrame,
+    m_bits: int = BLOOM_M_BITS,
+    k: int = BLOOM_K,
+    seed: int = 42,
+) -> DataFrame:
+    """Keep only rows whose ``col`` MAY be in the set (all k bits present).
+    The bit set collapses to one broadcast array row; the probe side stays
+    fully distributed and un-shuffled — rows are dropped at scan time, which
+    is the whole point of a runtime filter."""
+    params = minhash_params(k, seed)
+    h = spark_md5_long_sql(col)
+    bitset = bits.agg(F.sort_array(F.collect_set("bit")).alias("__bits__"))
+    probe = df.crossJoin(F.broadcast(bitset))
+    cond = F.lit(True)
+    for a, b in params:
+        pos = f"CAST({minhash_perm_sql(h, a, b)} % {m_bits} AS BIGINT)"
+        cond = cond & F.array_contains(F.col("__bits__"), F.expr(pos))
+    return probe.where(cond).drop("__bits__")

@@ -318,3 +318,19 @@ def test_hll_merge_and_accuracy(spark):
 
     est = hll_estimate(full).collect()[0]["est_distinct"]
     assert abs(est - n) / n < 0.2  # 1.04/sqrt(64) ~= 13% + slack
+
+
+def test_bloom_prefilter_no_false_negatives(spark):
+    """Every true member passes the filter (bloom guarantee); non-members
+    mostly don't."""
+    from pyspark.sql import functions as F
+
+    from delta_sorter_spark.operators.sketches import bloom_bits, bloom_prefilter
+
+    members = spark.range(0, 500).select(F.concat(F.lit("k"), F.col("id")).alias("v"))
+    probe = spark.range(0, 5000).select(F.concat(F.lit("k"), F.col("id")).alias("v"))
+    bits = bloom_bits(members, "v")
+    passed = {r["v"] for r in bloom_prefilter(probe, "v", bits).collect()}
+    assert all(f"k{i}" in passed for i in range(500))  # no false negatives
+    fp = len(passed) - 500
+    assert fp / 4500 < 0.05  # ~0.1% design FP rate + generous slack
