@@ -1580,6 +1580,45 @@ FROM events
 
 
 # ---------------------------------------------------------------------------
+# A18: time-RANGE window frame — trailing 1-hour per-user aggregates.  Unlike
+# a11's ROWS frame, a RANGE frame bounds state by event-time distance, the
+# frame shape that stays O(window) memory per key at 100 TB regardless of
+# event density; exact-DECIMAL sum keeps the oracle bitwise.
+# ---------------------------------------------------------------------------
+
+TRAIL_SECONDS = 3599  # [t-3599, t] = one hour inclusive
+
+
+def q_a18_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-TRAIL_SECONDS, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.count("*").over(w).alias("n_trailing_1h"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .over(w)
+        .cast("double")
+        .alias("value_trailing_1h"),
+    )
+
+
+_A18_SQL = f"""
+SELECT user_id, event_id,
+       count(*) OVER w AS n_trailing_1h,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+         AS value_trailing_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+             RANGE BETWEEN {TRAIL_SECONDS} PRECEDING AND CURRENT ROW)
+"""
+
+
+# ---------------------------------------------------------------------------
 # A12: exact quantiles per group (percentile == DuckDB quantile_cont,
 # verified bitwise-identical: both linearly interpolate over sorted doubles)
 # ---------------------------------------------------------------------------
@@ -2105,6 +2144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a17_local_supplier_volume": q_a17_local_supplier_volume,
         "e23_hll_registers": q_e23_hll_registers,
         "e24_hll_estimate": q_e24_hll_estimate,
+        "a18_trailing_window": q_a18_trailing_window,
         "e25_bloom_bits": q_e25_bloom_bits,
         "e26_bloom_prefilter": q_e26_bloom_prefilter,
         "p1_quality_dedup_pipeline": q_p1_quality_dedup_pipeline,
@@ -2166,6 +2206,7 @@ def oracle_sql() -> dict[str, str]:
         "a17_local_supplier_volume": _A17_SQL,
         "e23_hll_registers": _make_e23_sql(),
         "e24_hll_estimate": _make_e24_sql(),
+        "a18_trailing_window": _A18_SQL,
         "e25_bloom_bits": _E25_SQL,
         "e26_bloom_prefilter": _E26_SQL,
         "p1_quality_dedup_pipeline": _P1_SQL,
