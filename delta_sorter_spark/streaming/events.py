@@ -63,6 +63,33 @@ def streaming_dedup(events: DataFrame, keys: list[str], watermark: str = "1 hour
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
 
 
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    upper_s: int,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: right rows within ``[left_ts, left_ts +
+    upper_s]`` for equal keys.  Both sides carry a watermark and the join
+    condition bounds event-time distance, which is what lets Spark expire
+    buffered rows — without both, stream-stream join state grows forever.
+    Caller renames columns so the two sides are disjoint.  The same function
+    works in batch mode (watermarks are no-ops on batch frames), giving the
+    batch/stream parity the oracle checks."""
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (F.col(left_key) == F.col(right_key))
+        & (F.col(right_ts) >= F.col(left_ts))
+        & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {upper_s} SECONDS"))
+    )
+    return lw.join(rw, cond)
+
+
 def read_event_stream(spark, source_dir: str, schema) -> DataFrame:
     """File-source stream over a parquet directory (one file per
     micro-batch in tests via maxFilesPerTrigger)."""

@@ -248,3 +248,49 @@ def test_foreachbatch_incremental_rollup_sink(spark, event_files, tmp_path):
     for k in want:
         assert got[k][0] == want[k][0]
         assert abs(got[k][1] - want[k][1]) < 1e-6
+
+
+def test_stream_stream_interval_join_matches_batch(spark, event_files):
+    """Stream-stream inner join (clicks x views within 1h, same user) — both
+    sides watermarked so buffered state expires; result equals the batch
+    form of the same function."""
+    from delta_sorter_spark.streaming.events import stream_interval_join
+
+    src, schema = event_files
+
+    def sides(df):
+        clicks = df.where(F.col("event_type") == "click").select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        views = df.where(F.col("event_type") == "view").select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+            F.col("event_id").alias("view_id"),
+        )
+        return clicks, views
+
+    s = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    sc, sv = sides(s)
+    joined = stream_interval_join(sc, sv, "c_user", "v_user", "c_ts", "v_ts", 3600)
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["click_id"], r["view_id"]) for r in spark.sql("SELECT * FROM ssj").collect()
+    )
+
+    bc, bv = sides(spark.read.schema(schema).parquet(src))
+    want = sorted(
+        (r["click_id"], r["view_id"])
+        for r in stream_interval_join(
+            bc, bv, "c_user", "v_user", "c_ts", "v_ts", 3600
+        ).collect()
+    )
+    assert got == want
