@@ -1926,6 +1926,37 @@ FROM b
 """
 
 
+SAMPLE_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.5}
+SAMPLE_DEFAULT = 0.2
+SAMPLE_SEED = "sample-v1"
+
+
+def q_e27_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixing sample: per-source keep rates, deterministic md5 gate
+    (operators/sampling.py:stratified_sample) — no shuffle, scan-time
+    filter."""
+    from delta_sorter_spark.operators.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs, "doc_id", "source", SAMPLE_RATES, default_rate=SAMPLE_DEFAULT,
+        seed=SAMPLE_SEED,
+    ).select("doc_id", "source")
+
+
+def _make_e27_sql() -> str:
+    arms = " ".join(
+        f"WHEN source = '{v}' THEN {int(round(r * 1000))}"
+        for v, r in SAMPLE_RATES.items()
+    )
+    bucket = duckdb_md5_long_sql(f"CAST(doc_id AS VARCHAR) || '{SAMPLE_SEED}'")
+    return f"""
+SELECT doc_id, source FROM documents
+WHERE {bucket} % 1000 <
+      CASE {arms} ELSE {int(round(SAMPLE_DEFAULT * 1000))} END
+"""
+
+
 def q_e21_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     from delta_sorter_spark.operators.sampling import pack_sequences
     from delta_sorter_spark.operators.textstats import n_tokens_expr
@@ -2146,6 +2177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e24_hll_estimate": q_e24_hll_estimate,
         "a18_trailing_window": q_a18_trailing_window,
         "e25_bloom_bits": q_e25_bloom_bits,
+        "e27_stratified_sample": q_e27_stratified_sample,
         "e26_bloom_prefilter": q_e26_bloom_prefilter,
         "p1_quality_dedup_pipeline": q_p1_quality_dedup_pipeline,
     }
@@ -2208,6 +2240,7 @@ def oracle_sql() -> dict[str, str]:
         "e24_hll_estimate": _make_e24_sql(),
         "a18_trailing_window": _A18_SQL,
         "e25_bloom_bits": _E25_SQL,
+        "e27_stratified_sample": _make_e27_sql(),
         "e26_bloom_prefilter": _E26_SQL,
         "p1_quality_dedup_pipeline": _P1_SQL,
     }

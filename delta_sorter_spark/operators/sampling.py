@@ -53,6 +53,35 @@ def hash_split(
     return df.withColumn("split", expr)
 
 
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    buckets: int = 1000,
+    seed: str = "sample-v1",
+) -> DataFrame:
+    """Keep each row with a per-stratum probability — deterministically: a
+    row survives iff ``md5(id || seed) % buckets < rate[stratum] *
+    buckets``.  This is the domain-mixing primitive for training corpora
+    (upweight curated sources, downsample crawl): purely expression-based,
+    so it runs at scan time with no shuffle, and the SAME rows survive on
+    any cluster size or rerun (no ``rand()``)."""
+    bucket = F.expr(
+        f"pmod({spark_md5_long_sql(f'concat(CAST({id_col} AS STRING), {seed!r})')},"
+        f" {buckets})"
+    )
+    cut = None
+    for val, r in rates.items():
+        cond = F.col(stratum_col) == val
+        thresh = F.lit(int(round(r * buckets)))
+        cut = F.when(cond, thresh) if cut is None else cut.when(cond, thresh)
+    default = F.lit(int(round(default_rate * buckets)))
+    cut = default if cut is None else cut.otherwise(default)
+    return df.where(bucket < cut)
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str,
