@@ -1926,6 +1926,35 @@ FROM b
 """
 
 
+TOP_TERMS_K = 3
+
+
+def q_e28_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k terms per source (operators/textstats.py:top_terms): the
+    explode -> partial-count -> per-group top-k window shape; the shuffle
+    carries distinct (source, term) counts, never raw tokens."""
+    from delta_sorter_spark.operators.textstats import top_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    return top_terms(docs, "source", "text", k=TOP_TERMS_K)
+
+
+_E28_SQL = f"""
+WITH t AS (
+  SELECT source,
+         unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+  FROM documents
+),
+c AS (SELECT source, term, count(*) AS n FROM t WHERE term <> ''
+      GROUP BY source, term),
+r AS (SELECT source, term, n,
+             row_number() OVER (PARTITION BY source ORDER BY n DESC, term ASC)
+               AS rank
+      FROM c)
+SELECT source, term, n, rank FROM r WHERE rank <= {TOP_TERMS_K}
+"""
+
+
 SAMPLE_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.5}
 SAMPLE_DEFAULT = 0.2
 SAMPLE_SEED = "sample-v1"
@@ -2178,6 +2207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a18_trailing_window": q_a18_trailing_window,
         "e25_bloom_bits": q_e25_bloom_bits,
         "e27_stratified_sample": q_e27_stratified_sample,
+        "e28_top_terms": q_e28_top_terms,
         "e26_bloom_prefilter": q_e26_bloom_prefilter,
         "p1_quality_dedup_pipeline": q_p1_quality_dedup_pipeline,
     }
@@ -2241,6 +2271,7 @@ def oracle_sql() -> dict[str, str]:
         "a18_trailing_window": _A18_SQL,
         "e25_bloom_bits": _E25_SQL,
         "e27_stratified_sample": _make_e27_sql(),
+        "e28_top_terms": _E28_SQL,
         "e26_bloom_prefilter": _E26_SQL,
         "p1_quality_dedup_pipeline": _P1_SQL,
     }

@@ -172,3 +172,23 @@ def document_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         + F.least(F.col("stopword_ratio") * F.lit(3.0), F.lit(0.3))
     )
     return stage1.withColumn("quality", F.round(quality, 4))
+
+
+def top_terms(
+    df: DataFrame, group_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """Top-k whitespace terms per group by frequency: (group, term, n, rank).
+
+    The scale shape: explode -> groupBy(group, term) with map-side partial
+    counts (the shuffle carries one row per distinct (group, term), not one
+    per token), then a per-group top-k window over the already-aggregated
+    counts.  Ties break on term ascending so results are deterministic."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(group_col),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("term"),
+    ).where(F.col("term") != "")
+    counts = toks.groupBy(group_col, "term").agg(F.count("*").alias("n"))
+    w = Window.partitionBy(group_col).orderBy(F.desc("n"), F.asc("term"))
+    return counts.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
