@@ -207,6 +207,12 @@ class DeltaLog:
             raise ValueError(f"Delta log at {self.log_dir} has no metaData action")
         return TableState(version=versions[-1], metadata=metadata, adds=list(adds.values()))
 
+    def commit_actions(self, version: int) -> list[dict]:
+        """All actions of one commit, in file order (change-feed readers)."""
+        path = os.path.join(self.log_dir, f"{version:020d}.json")
+        with open(path) as fh:
+            return [json.loads(line) for line in fh if line.strip()]
+
     def history(self) -> list[dict]:
         """Commit history, newest first: [{version, timestamp, operation,
         operationParameters}] (Delta's DESCRIBE HISTORY shape)."""

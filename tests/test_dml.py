@@ -138,3 +138,58 @@ def test_dml_model_based_random_sequence(spark, tmp_path):
 
     # every intermediate version is still time-travelable
     assert table.state(version=1).adds
+
+
+def test_table_changes_replays_every_snapshot(spark, tmp_path):
+    """CDF property: applying each version's (deletes, inserts) to the prior
+    snapshot reproduces the next snapshot as a multiset; compaction commits
+    emit nothing."""
+    from collections import Counter
+
+    from delta_sorter_spark.api import compact
+    from delta_sorter_spark.operators.dml import delete_where, table_changes, upsert
+
+    path = str(tmp_path / "cdf")
+    table = DeltaTable.create(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(20)], "id long, v string"
+        ).coalesce(2),
+        stat_columns=["id"],
+    )
+    upsert(
+        table,
+        spark.createDataFrame([(5, "new5"), (25, "v25")], "id long, v string"),
+        ["id"],
+    )
+    delete_where(table, "id >= 15 AND id <= 18")
+    v_before_compact = table.log.latest_version()
+    compact(path, ["id"], spark=spark)  # dataChange=false -> silent in the feed
+
+    changes = table_changes(table, 0).collect()
+    assert {r["_change_type"] for r in changes} <= {"insert", "delete"}
+    # compaction emitted nothing
+    assert all(r["_commit_version"] <= v_before_compact for r in changes)
+
+    def rows_at(version):
+        return Counter(
+            (r["id"], r["v"]) for r in table.to_df(version=version).collect()
+        )
+
+    state = rows_at(0)
+    by_version = {}
+    for r in changes:
+        by_version.setdefault(r["_commit_version"], []).append(r)
+    for v in sorted(by_version):
+        for r in by_version[v]:
+            if r["_change_type"] == "delete":
+                state[(r["id"], r["v"])] -= 1
+            else:
+                state[(r["id"], r["v"])] += 1
+        state = Counter({k: c for k, c in state.items() if c > 0})
+        assert state == rows_at(v), f"replay diverged at version {v}"
+    # empty range -> empty frame with the CDF columns
+    empty = table_changes(table, table.log.latest_version())
+    assert empty.count() == 0
+    assert "_change_type" in empty.columns
