@@ -62,6 +62,69 @@ def _partials(df, window_duration: str):
     )
 
 
+def _signed_partials(changes, window_duration: str):
+    """Window partials where deleted rows count NEGATIVE — the general
+    incremental-view-maintenance delta for re-mergeable sum/count aggs."""
+    sign = F.when(F.col("_change_type") == "delete", F.lit(-1)).otherwise(F.lit(1))
+    agg = (
+        changes.withColumn("__sign__", sign)
+        .groupBy(F.window("ts", window_duration).alias("w"), F.col("event_type"))
+        .agg(
+            F.sum("__sign__").alias("n_events"),
+            F.sum(F.col("__sign__") * F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+    return agg.select(
+        F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+
+
+def incremental_rollup_cdc(
+    source: DeltaTable,
+    rollup: DeltaTable,
+    since_version: int,
+    window_duration: str = "1 hour",
+) -> dict:
+    """Like ``incremental_rollup`` but driven by the change feed
+    (dml.table_changes), so UPDATEs and DELETEs — not just appends — keep
+    the rollup exact: deletes enter the partials with negative sign and the
+    merge nets them out.  Compaction still contributes nothing
+    (dataChange=false commits are silent in the feed).
+
+    Windows whose counts net to zero remain as explicit zero rows (the
+    upsert has no delete branch); consumers filter ``n_events > 0``."""
+    from delta_sorter_spark.operators.dml import table_changes
+
+    current_version = source.state().version
+    if since_version >= current_version:
+        return {"source_version": current_version, "merged_windows": 0}
+    changes = table_changes(source, since_version, current_version)
+    partial = _signed_partials(changes, window_duration)
+
+    keys = ["window_start", "event_type"]
+    existing = rollup.to_df()
+    affected = partial.select(*keys).distinct()
+    merged = (
+        existing.join(affected, keys)
+        .unionByName(partial)
+        .groupBy(*keys)
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum(F.col("total_value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+    n_windows = merged.count()
+    upsert(rollup, merged, keys)
+    return {"source_version": current_version, "merged_windows": n_windows}
+
+
 def incremental_rollup(
     source: DeltaTable,
     rollup: DeltaTable,

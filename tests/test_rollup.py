@@ -99,3 +99,41 @@ def test_compaction_does_not_retrigger_rollup(spark, tmp_path):
     out2 = incremental_rollup(src, rollup, since_version=out["source_version"])
     assert out2["new_files"] == 0
     assert _rollup_dict(rollup) == before
+
+
+def test_cdc_rollup_handles_updates_and_deletes(spark, tmp_path):
+    """incremental_rollup_cdc nets out deletes/updates via signed change-feed
+    partials: after upsert + delete on the source, the rollup equals a full
+    recompute (modulo netted-to-zero windows kept as explicit zeros)."""
+    from delta_sorter_spark.operators.dml import delete_where, upsert
+    from delta_sorter_spark.operators.rollup import incremental_rollup_cdc
+
+    src = DeltaTable.create(
+        spark,
+        str(tmp_path / "ev3"),
+        _events(spark, 0, 120).coalesce(2),
+        stat_columns=["event_id"],
+    )
+    rollup = DeltaTable.create(
+        spark,
+        str(tmp_path / "ru3"),
+        spark.createDataFrame([], ROLLUP_SCHEMA).coalesce(1),
+        stat_columns=["window_start"],
+    )
+    out = incremental_rollup_cdc(src, rollup, since_version=0)
+    assert _rollup_dict(rollup) == _full_recompute(spark, src)
+
+    # UPDATE: move event 10's value; DELETE: drop events 30-59 (half hour 0)
+    upsert(
+        src,
+        _events(spark, 0, 120).where("event_id = 10").withColumn(
+            "value", F.lit(99.0)
+        ),
+        ["event_id"],
+    )
+    delete_where(src, "event_id >= 30 AND event_id < 60")
+
+    out2 = incremental_rollup_cdc(src, rollup, since_version=out["source_version"])
+    assert out2["merged_windows"] >= 1
+    got = {k: v for k, v in _rollup_dict(rollup).items() if v[0] > 0}
+    assert got == _full_recompute(spark, src)
