@@ -208,7 +208,12 @@ class DeltaTable:
         if not use:
             return self.spark.createDataFrame([], meta.schema)
         files = [os.path.join(self.table_path, a.path) for a in use]
-        reader = self.spark.read
+        # Read with the authoritative log schema: files written before a
+        # schema evolution lack the newer columns and yield NULLs (exactly
+        # Delta's mergeSchema read semantics), partition columns fill from
+        # the directory values, and the footer-sampling schema pass is
+        # skipped.
+        reader = self.spark.read.schema(meta.schema)
         if meta.partition_columns:
             reader = reader.option("basePath", self.table_path)
         df = reader.parquet(*files)
@@ -228,6 +233,7 @@ class DeltaTable:
         target_file_size_bytes: int | None = None,
         data_change: bool = True,
         sorted_within_files: bool = False,
+        schema: T.StructType | None = None,
     ) -> list[AddAction]:
         """Write ``df``'s data as new parquet files inside the table directory
         and return their Add actions.  Does NOT commit — callers compose the
@@ -237,10 +243,15 @@ class DeltaTable:
         estimated from the input's bytes-per-row; on a cluster this bounds
         output file size without an extra repartition (the sort's range
         partitioning already spread the data).
+
+        ``schema`` overrides the log schema for the write — used by
+        ``append(..., merge_schema=True)`` which commits the widened schema
+        atomically with these files.
         """
         meta = self.metadata
         part_cols = meta.partition_columns
-        data_cols = [f.name for f in meta.schema.fields if f.name not in part_cols]
+        write_schema = schema if schema is not None else meta.schema
+        data_cols = [f.name for f in write_schema.fields if f.name not in part_cols]
         staging = os.path.join(self.table_path, "_staging", uuid.uuid4().hex)
 
         writer = df.select(*[F.col(c) for c in part_cols + data_cols]).write.mode("overwrite")
@@ -285,6 +296,65 @@ class DeltaTable:
         except OSError:
             pass  # other writers still staging
         return adds
+
+    def append(
+        self,
+        df: DataFrame,
+        merge_schema: bool = False,
+        stat_columns: Sequence[str] | None = None,
+    ) -> int:
+        """Append rows, optionally evolving the schema (Delta's
+        ``mergeSchema`` write): new columns in ``df`` widen the table schema
+        in the SAME commit as the data files, so readers see either the old
+        schema or (new schema + new data) — never a torn state.  Columns the
+        table has but ``df`` lacks are filled with NULLs; new columns are
+        nullable by construction, so old files read as NULL for them
+        (to_df reads with the log schema).  Returns the commit version."""
+        import json as _json
+        import time as _time
+
+        meta = self.metadata
+        existing = {f.name for f in meta.schema.fields}
+        extra = [f for f in df.schema.fields if f.name not in existing]
+        if extra and not merge_schema:
+            raise ValueError(
+                f"DataFrame has columns not in the table schema: "
+                f"{[f.name for f in extra]} (pass merge_schema=True to evolve)"
+            )
+        write_schema = meta.schema
+        meta_action = None
+        if extra:
+            write_schema = T.StructType(
+                list(meta.schema.fields)
+                + [T.StructField(f.name, f.dataType, True) for f in extra]
+            )
+            meta_action = {
+                "metaData": {
+                    "id": meta.table_id,
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": _json.dumps(write_schema.jsonValue()),
+                    "partitionColumns": meta.partition_columns,
+                    "configuration": {},
+                    "createdTime": int(_time.time() * 1000),
+                }
+            }
+        filled = df.select(
+            *[
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                if f.name in df.columns
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in write_schema.fields
+            ]
+        )
+        adds = self.stage_write(filled, stat_columns=stat_columns, schema=write_schema)
+        params = {"mode": "Append"}
+        if extra:
+            params["mergeSchema"] = "true"
+        return self.log.commit_with_retry(
+            lambda state: ([meta_action] if meta_action else []) + list(adds),
+            operation="WRITE",
+            operation_params=params,
+        )
 
     def _estimate_max_records(self, df: DataFrame, target_bytes: int) -> int | None:
         """bytes/row estimate from current table state (cheap, metadata-only);

@@ -177,3 +177,28 @@ def test_time_travel_before_checkpoint(spark, tmp_path):
     # v0 = CREATE TABLE, v1 = first data write, v2 = second, ...
     assert sorted(r["id"] for r in table.to_df(version=2).collect()) == [1, 2]
     assert sorted(r["id"] for r in table.to_df().collect()) == [1, 2, 3, 4]
+
+
+def test_append_with_schema_evolution(spark, tmp_path):
+    """mergeSchema append: new column widens the schema atomically with the
+    data; pre-evolution files read as NULL; time travel sees the old schema."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "evolve")
+    t = DeltaTable.create(
+        spark, path, spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    )
+    with _pytest.raises(ValueError, match="merge_schema"):
+        t.append(spark.createDataFrame([(3, "c", 1.5)], "id long, v string, w double"))
+    v = t.append(
+        spark.createDataFrame([(3, "c", 1.5)], "id long, v string, w double"),
+        merge_schema=True,
+    )
+    got = {r["id"]: (r["v"], r["w"]) for r in t.to_df().collect()}
+    assert got == {1: ("a", None), 2: ("b", None), 3: ("c", 1.5)}
+    # old snapshot still has the narrow schema
+    assert [f.name for f in t.to_df(version=v - 1).schema.fields] == ["id", "v"]
+    # appending WITHOUT the evolved column fills NULL
+    t.append(spark.createDataFrame([(4, "d")], "id long, v string"))
+    assert t.to_df().where(F.col("id") == 4).collect()[0]["w"] is None
