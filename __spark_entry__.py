@@ -2141,6 +2141,297 @@ GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# A19: TPC-H Q7 shape — volume shipping between two nations.  Supplier nation
+# and customer nation each arrive through their own broadcast of the 25-row
+# nation dim; the fact-side joins (lineitem-orders, orders-customer) stay
+# shuffle joins that scale.  Year comes from the ship date so the group key
+# is (supp_nation, cust_nation, year).
+# ---------------------------------------------------------------------------
+
+SHIP_NATION_A = "NATION_1"
+SHIP_NATION_B = "NATION_2"
+
+
+def q_a19_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    n1 = F.broadcast(
+        nation.select(
+            F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    n2 = F.broadcast(
+        nation.select(
+            F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+        )
+    )
+    pair = (
+        (F.col("supp_nation") == SHIP_NATION_A)
+        & (F.col("cust_nation") == SHIP_NATION_B)
+    ) | (
+        (F.col("supp_nation") == SHIP_NATION_B)
+        & (F.col("cust_nation") == SHIP_NATION_A)
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(n1, F.col("s_nationkey") == F.col("s_nkey"))
+        .join(n2, F.col("c_nationkey") == F.col("c_nkey"))
+        .where(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(dec("l_extendedprice") * (1 - dec("l_discount")))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+_A19_SQL = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       year(l.l_shipdate) AS l_year,
+       count(*) AS n_items,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = '{SHIP_NATION_A}' AND n2.n_name = '{SHIP_NATION_B}')
+   OR (n1.n_name = '{SHIP_NATION_B}' AND n2.n_name = '{SHIP_NATION_A}')
+GROUP BY 1, 2, 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# A20: TPC-H Q8 shape — national market share.  For PROMO-type parts sold to
+# customers in one region: the share of yearly revenue supplied by one
+# nation.  Both aggregate legs stay exact DECIMAL; the share is ONE final
+# double division (numerator/denominator cast to double first), which is the
+# repo's cross-engine determinism rule for ratios.
+# ---------------------------------------------------------------------------
+
+MKT_REGION = "ASIA"
+MKT_NATION = "NATION_3"
+MKT_PART_TYPE = "PROMO"
+
+
+def q_a20_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    vol = dec("l_extendedprice") * (1 - dec("l_discount"))
+    # customer side resolves to a region (filter); supplier side to a nation
+    # name (attribution).  part filter is pushed to the scan via broadcast.
+    cn = F.broadcast(
+        nation.select(F.col("n_nationkey").alias("cn_key"), "n_regionkey")
+    )
+    sn = F.broadcast(
+        nation.select(
+            F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    r = F.broadcast(region.where(F.col("r_name") == MKT_REGION))
+    p = F.broadcast(part.where(F.col("p_type") == MKT_PART_TYPE).select("p_partkey"))
+    joined = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(cn, F.col("c_nationkey") == F.col("cn_key"))
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(sn, F.col("s_nationkey") == F.col("sn_key"))
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("supp_nation") == MKT_NATION, vol).otherwise(F.lit(0)))
+            .cast("double")
+            .alias("nation_volume"),
+            F.sum(vol).cast("double").alias("total_volume"),
+        )
+        .withColumn(
+            "mkt_share", F.round(F.col("nation_volume") / F.col("total_volume"), 6)
+        )
+    )
+
+
+_A20_SQL = f"""
+SELECT year(o.o_orderdate) AS o_year,
+       CAST(sum(CASE WHEN sn.n_name = '{MKT_NATION}'
+                     THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                     ELSE 0 END) AS DOUBLE) AS nation_volume,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_volume,
+       round(CAST(sum(CASE WHEN sn.n_name = '{MKT_NATION}'
+                           THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                                * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                           ELSE 0 END) AS DOUBLE)
+             / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE), 6)
+         AS mkt_share
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = '{MKT_PART_TYPE}'
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+JOIN region r ON cn.n_regionkey = r.r_regionkey AND r.r_name = '{MKT_REGION}'
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# A21: TPC-H Q9 shape — product-type profit by supplier nation and year.
+# The testdata has no partsupp table, so cost is p_retailprice * quantity
+# (same join/agg shape, different cost column).  All arithmetic stays in
+# DECIMAL until the final double cast.
+# ---------------------------------------------------------------------------
+
+PROFIT_PART_SUBSTR = "gear"
+
+
+def q_a21_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    profit = dec("l_extendedprice") * (1 - dec("l_discount")) - dec(
+        "p_retailprice"
+    ) * dec("l_quantity")
+    p = F.broadcast(
+        part.where(F.col("p_name").contains(PROFIT_PART_SUBSTR)).select(
+            "p_partkey", "p_retailprice"
+        )
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(profit).cast("double").alias("profit"),
+        )
+    )
+
+
+_A21_SQL = f"""
+SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+       count(*) AS n_items,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                - CAST(p.p_retailprice AS DECIMAL(18,2))
+                  * CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS profit
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE '%{PROFIT_PART_SUBSTR}%'
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# A22: CUBE grouping sets — all 4 grouping combinations of (returnflag,
+# linestatus) in one pass (map-side partials expand to the grouping sets;
+# one shuffle).  GROUPING() flags disambiguate real NULL keys from subtotal
+# rows, cast to INT on both engines.
+# ---------------------------------------------------------------------------
+
+
+def q_a22_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_rf"),
+            F.grouping("l_linestatus").cast("int").alias("g_ls"),
+            F.count("*").alias("n_items"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+        .select("l_returnflag", "l_linestatus", "g_rf", "g_ls", "n_items", "sum_qty")
+    )
+
+
+_A22_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+       CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+       count(*) AS n_items,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+"""
+
+
+# ---------------------------------------------------------------------------
+# E29: int8-quantized top-k retrieval (operators/similarity.quantized_topk).
+# The compression-for-scale variant of e6: vectors quantize to ints at scan
+# time, scoring is an exact integer multiply-add (associative — no float
+# summation-order hazards), ranking is fully deterministic.
+# ---------------------------------------------------------------------------
+
+QUANT_SCALE = 127
+
+
+def q_e29_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_sorter_spark.operators.similarity import quantized_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % QUERY_VEC_MOD == 0)
+    return quantized_topk(
+        emb, queries, "vec_id", "embedding", "vec_id", "embedding",
+        k=TOPK, scale=QUANT_SCALE,
+    )
+
+
+_E29_SQL = f"""
+WITH qz AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * {QUANT_SCALE}) AS INT)) AS q
+  FROM embeddings
+),
+qs AS (SELECT vec_id AS query_id, q AS qq FROM qz
+       WHERE vec_id % {QUERY_VEC_MOD} = 0),
+scored AS (
+  SELECT qs.query_id, c.vec_id AS id,
+         list_aggregate(list_transform(list_zip(qs.qq, c.q),
+           p -> CAST(p[1] AS BIGINT) * CAST(p[2] AS BIGINT)), 'sum') AS qdot
+  FROM qz c CROSS JOIN qs
+  WHERE c.vec_id <> qs.query_id
+),
+ranked AS (
+  SELECT query_id, id, qdot,
+         row_number() OVER (PARTITION BY query_id ORDER BY qdot DESC, id) AS rn
+  FROM scored
+)
+SELECT query_id, id, rn AS "rank", qdot
+FROM ranked WHERE rn <= {TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -2202,6 +2493,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a15_small_qty_revenue": q_a15_small_qty_revenue,
         "a16_late_ship_priority": q_a16_late_ship_priority,
         "a17_local_supplier_volume": q_a17_local_supplier_volume,
+        "a19_volume_shipping": q_a19_volume_shipping,
+        "a20_market_share": q_a20_market_share,
+        "a21_product_profit": q_a21_product_profit,
+        "a22_cube": q_a22_cube,
+        "e29_quantized_topk": q_e29_quantized_topk,
         "e23_hll_registers": q_e23_hll_registers,
         "e24_hll_estimate": q_e24_hll_estimate,
         "a18_trailing_window": q_a18_trailing_window,
@@ -2266,6 +2562,11 @@ def oracle_sql() -> dict[str, str]:
         "a15_small_qty_revenue": _A15_SQL,
         "a16_late_ship_priority": _A16_SQL,
         "a17_local_supplier_volume": _A17_SQL,
+        "a19_volume_shipping": _A19_SQL,
+        "a20_market_share": _A20_SQL,
+        "a21_product_profit": _A21_SQL,
+        "a22_cube": _A22_SQL,
+        "e29_quantized_topk": _E29_SQL,
         "e23_hll_registers": _make_e23_sql(),
         "e24_hll_estimate": _make_e24_sql(),
         "a18_trailing_window": _A18_SQL,

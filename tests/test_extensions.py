@@ -116,6 +116,28 @@ def test_ann_lsh_topk_finds_close_neighbor(vectors):
     assert out and out[0]["id"] in (1, 4)
 
 
+def test_quantized_topk_matches_exact_on_separated_vectors(vectors):
+    from delta_sorter_spark.operators.similarity import quantized_topk
+
+    q = vectors.where(F.col("vec_id") == 0)
+    out = quantized_topk(
+        vectors, q, "vec_id", "embedding", "vec_id", "embedding", k=2, scale=127
+    ).collect()
+    # well-separated vectors: int8 ranking agrees with exact cosine ranking
+    assert [(r["rank"], r["id"]) for r in out] == [(1, 1), (2, 4)]
+    # scores are exact integers: floor(.9*127)*127 + floor(.1*127)*floor(0*127)
+    assert out[0]["qdot"] == 114 * 127
+
+
+def test_quantize_expr_floor_semantics(spark):
+    from delta_sorter_spark.operators.similarity import quantize_expr
+
+    df = spark.createDataFrame([([1.0, -1.0, 0.004, -0.004],)], "v array<double>")
+    got = df.select(quantize_expr("v").alias("q")).collect()[0]["q"]
+    # floor, not round: negatives go downward, |q| <= scale stays in int8 range
+    assert got == [127, -127, 0, -1]
+
+
 def test_cosine_expr(spark):
     df = spark.createDataFrame([([1.0, 0.0], [0.0, 1.0])], "a array<double>, b array<double>")
     assert df.select(cosine_expr("a", "b").alias("c")).collect()[0]["c"] == pytest.approx(0.0)
