@@ -2432,6 +2432,81 @@ FROM ranked WHERE rn <= {TOPK}
 
 
 # ---------------------------------------------------------------------------
+# E30: benchmark decontamination — word n-gram collisions between corpus and
+# a held-out eval subset (operators/dedup.decontaminate).  The eval n-gram
+# set broadcasts; corpus text never shuffles.
+# ---------------------------------------------------------------------------
+
+DECON_N = 4
+DECON_MOD = 97  # doc_id % 97 == 0 plays the role of the benchmark set
+
+
+def q_e30_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_sorter_spark.operators.dedup import decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % DECON_MOD == 0)
+    corpus = docs.where(F.col("doc_id") % DECON_MOD != 0)
+    return decontaminate(corpus, bench, "doc_id", "text", n=DECON_N)
+
+
+_E30_SQL = f"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(1, len(ws) - {DECON_N - 1})),
+           i -> array_to_string(ws[i:i + {DECON_N - 1}], ' '))) AS grams
+  FROM w
+),
+bg AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % {DECON_MOD} = 0),
+cg AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % {DECON_MOD} <> 0)
+SELECT cg.doc_id AS doc_id, count(*) AS n_hits
+FROM cg JOIN bg USING (gram)
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# E31: intra-document repetition ratio (operators/textstats.repetition_stats)
+# — duplicate word n-gram fraction, the Gopher-style boilerplate filter.
+# ---------------------------------------------------------------------------
+
+REP_N = 3
+
+
+def q_e31_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_sorter_spark.operators.textstats import repetition_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_stats(docs, "doc_id", "text", n=REP_N)
+
+
+_E31_SQL = f"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         list_transform(
+           generate_series(1, greatest(1, len(ws) - {REP_N - 1})),
+           i -> array_to_string(ws[i:i + {REP_N - 1}], ' ')) AS grams
+  FROM w
+)
+SELECT doc_id,
+       len(grams) AS total_ngrams,
+       len(list_distinct(grams)) AS distinct_ngrams,
+       round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                   / CAST(len(grams) AS DOUBLE), 6) AS rep_ratio
+FROM g
+"""
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -2498,6 +2573,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a21_product_profit": q_a21_product_profit,
         "a22_cube": q_a22_cube,
         "e29_quantized_topk": q_e29_quantized_topk,
+        "e30_decontaminate": q_e30_decontaminate,
+        "e31_repetition": q_e31_repetition,
         "e23_hll_registers": q_e23_hll_registers,
         "e24_hll_estimate": q_e24_hll_estimate,
         "a18_trailing_window": q_a18_trailing_window,
@@ -2567,6 +2644,8 @@ def oracle_sql() -> dict[str, str]:
         "a21_product_profit": _A21_SQL,
         "a22_cube": _A22_SQL,
         "e29_quantized_topk": _E29_SQL,
+        "e30_decontaminate": _E30_SQL,
+        "e31_repetition": _E31_SQL,
         "e23_hll_registers": _make_e23_sql(),
         "e24_hll_estimate": _make_e24_sql(),
         "a18_trailing_window": _A18_SQL,

@@ -293,3 +293,50 @@ def winnowing_fingerprints(
         .select(F.col(id_col), F.col("__min__").alias("fp"))
         .distinct()
     )
+
+
+def word_ngrams_expr(text_col: str, n: int = 7) -> Column:
+    """Distinct word n-grams of the lowercased text (whitespace tokens),
+    joined by single spaces.  Texts shorter than ``n`` words yield one
+    truncated gram (the whole text) so every document is representable.
+    JVM-side transform/sequence/slice — no UDF."""
+    words = f"split(lower(trim({text_col})), '\\\\s+')"
+    return F.expr(
+        f"array_distinct(transform("
+        f"sequence(1, greatest(1, size({words}) - {n - 1})),"
+        f" i -> array_join(slice({words}, i, {n}), ' ')))"
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 7,
+) -> DataFrame:
+    """Benchmark decontamination: count word n-gram collisions between each
+    corpus document and an evaluation set (the '13-gram overlap' defense
+    against test-set leakage, scaled down to n=7 for short documents).
+
+    Returns (id, n_hits) for contaminated documents only.
+
+    Scale shape: the benchmark n-gram set is small (eval suites are MBs, not
+    TBs) so it broadcasts; the corpus explodes its distinct n-grams once and
+    inner-joins the broadcast set map-side — no shuffle of corpus text, and
+    the count aggregation shuffles only (id, hit) pairs for documents that
+    collide at all.  At 100 TB the corpus scan dominates and parallelizes
+    per-file; nothing funnels through the driver."""
+    bench_grams = F.broadcast(
+        benchmark.select(
+            F.explode(word_ngrams_expr(text_col, n)).alias("__gram__")
+        ).distinct()
+    )
+    corpus_grams = corpus.select(
+        F.col(id_col), F.explode(word_ngrams_expr(text_col, n)).alias("__gram__")
+    )
+    return (
+        corpus_grams.join(bench_grams, "__gram__")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hits"))
+    )

@@ -192,3 +192,29 @@ def top_terms(
     counts = toks.groupBy(group_col, "term").agg(F.count("*").alias("n"))
     w = Window.partitionBy(group_col).orderBy(F.desc("n"), F.asc("term"))
     return counts.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Intra-document repetition: fraction of word n-grams that are repeats
+    (1 - distinct/total).  High values flag boilerplate/spam — a standard
+    pretraining quality filter (e.g. Gopher's repetition rules).
+
+    Pure per-row column arithmetic over the text scan — no shuffle, no UDF;
+    the ratio is ONE final double division so it hash-matches any engine."""
+    words = f"split(lower(trim({text_col})), '\\\\s+')"
+    grams = (
+        f"transform(sequence(1, greatest(1, size({words}) - {n - 1})),"
+        f" i -> array_join(slice({words}, i, {n}), ' '))"
+    )
+    total = F.expr(f"size({grams})")
+    distinct = F.expr(f"size(array_distinct({grams}))")
+    return df.select(
+        F.col(id_col),
+        total.alias("total_ngrams"),
+        distinct.alias("distinct_ngrams"),
+        F.round(
+            F.lit(1.0) - distinct.cast("double") / total.cast("double"), 6
+        ).alias("rep_ratio"),
+    )

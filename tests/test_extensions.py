@@ -138,6 +138,39 @@ def test_quantize_expr_floor_semantics(spark):
     assert got == [127, -127, 0, -1]
 
 
+def test_decontaminate_counts_ngram_collisions(spark):
+    from delta_sorter_spark.operators.dedup import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "a sentence with the quick brown fox inside it"),  # 1 shared 4-gram
+            (2, "completely different words here entirely"),
+            (3, "the quick brown fox jumps again and again"),  # 2 shared 4-grams
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["n_hits"] for r in
+           decontaminate(corpus, bench, "doc_id", "text", n=4).collect()}
+    assert got == {1: 1, 3: 2}
+
+
+def test_repetition_stats_flags_boilerplate(spark):
+    from delta_sorter_spark.operators.textstats import repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, "spam spam spam spam spam spam"), (2, "all words here are unique ones")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_stats(df, "doc_id", "text", n=3).collect()}
+    # doc 1: 4 trigrams, all identical -> 3 repeats of 4
+    assert got[1]["total_ngrams"] == 4 and got[1]["distinct_ngrams"] == 1
+    assert got[1]["rep_ratio"] == 0.75
+    assert got[2]["rep_ratio"] == 0.0
+
+
 def test_cosine_expr(spark):
     df = spark.createDataFrame([([1.0, 0.0], [0.0, 1.0])], "a array<double>, b array<double>")
     assert df.select(cosine_expr("a", "b").alias("c")).collect()[0]["c"] == pytest.approx(0.0)
