@@ -44,6 +44,7 @@ ENTRY_QUERIES = [
     "e8_token_stats",
     "s1_event_windows",
     "a6_asof_join",
+    "a17_local_supplier_volume",
     "p1_quality_dedup_pipeline",
 ]
 

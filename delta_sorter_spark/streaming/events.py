@@ -90,6 +90,23 @@ def stream_interval_join(
     return lw.join(rw, cond)
 
 
+def enrich_stream(
+    events: DataFrame,
+    dim: DataFrame,
+    key: str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static join: enrich each micro-batch with a dimension table.
+
+    The static side is re-read per micro-batch (so a Delta dim table picks
+    up slowly-changing updates between batches) and broadcast — the stream
+    side never shuffles and no join state accumulates, which is why this is
+    the default enrichment shape at any scale.  Left join keeps events whose
+    key has no dimension row (attribute columns NULL) rather than silently
+    dropping them."""
+    return events.join(F.broadcast(dim), on=key, how=how)
+
+
 def read_event_stream(spark, source_dir: str, schema) -> DataFrame:
     """File-source stream over a parquet directory (one file per
     micro-batch in tests via maxFilesPerTrigger)."""

@@ -294,3 +294,28 @@ def test_stream_stream_interval_join_matches_batch(spark, event_files):
         ).collect()
     )
     assert got == want
+
+
+def test_stream_static_enrichment(spark, event_files):
+    """Stream-static broadcast join: every micro-batch row gets its dimension
+    attributes; unmatched keys survive with NULLs (left join)."""
+    from delta_sorter_spark.streaming.events import enrich_stream, read_event_stream
+
+    src, schema = event_files
+    dim = spark.createDataFrame(
+        [(10, "gold"), (12, "silver")], "user_id long, tier string"
+    )
+    stream = read_event_stream(spark, src, schema)
+    q = (
+        enrich_stream(stream, dim, "user_id")
+        .writeStream.format("memory")
+        .queryName("enriched")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM enriched").collect()
+    assert len(rows) == 6  # all events kept, including the dup and user 11
+    tiers = {r["user_id"]: r["tier"] for r in rows}
+    assert tiers[10] == "gold" and tiers[11] is None
