@@ -98,6 +98,18 @@ class TableMetadata:
     table_id: str
     schema: T.StructType
     partition_columns: list[str]
+    configuration: dict = field(default_factory=dict)
+
+    @property
+    def check_constraints(self) -> dict[str, str]:
+        """CHECK constraints from table configuration, Delta protocol
+        convention: ``delta.constraints.<name> -> SQL expression``."""
+        prefix = "delta.constraints."
+        return {
+            k[len(prefix):]: v
+            for k, v in self.configuration.items()
+            if k.startswith(prefix)
+        }
 
     @property
     def data_schema(self) -> T.StructType:
@@ -245,6 +257,7 @@ class DeltaLog:
                 table_id=m["id"],
                 schema=T.StructType.fromJson(json.loads(m["schemaString"])),
                 partition_columns=list(m.get("partitionColumns", [])),
+                configuration=dict(m.get("configuration", {}) or {}),
             )
         elif "add" in action:
             a = action["add"]
@@ -275,7 +288,7 @@ class DeltaLog:
                         "format": {"provider": "parquet", "options": {}},
                         "schemaString": json.dumps(state.metadata.schema.jsonValue()),
                         "partitionColumns": state.metadata.partition_columns,
-                        "configuration": {},
+                        "configuration": state.metadata.configuration,
                     }
                 }
             ),

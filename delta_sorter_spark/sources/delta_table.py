@@ -334,7 +334,7 @@ class DeltaTable:
                     "format": {"provider": "parquet", "options": {}},
                     "schemaString": _json.dumps(write_schema.jsonValue()),
                     "partitionColumns": meta.partition_columns,
-                    "configuration": {},
+                    "configuration": meta.configuration,
                     "createdTime": int(_time.time() * 1000),
                 }
             }
@@ -346,6 +346,7 @@ class DeltaTable:
                 for f in write_schema.fields
             ]
         )
+        self._enforce_constraints(filled, meta.check_constraints)
         adds = self.stage_write(filled, stat_columns=stat_columns, schema=write_schema)
         params = {"mode": "Append"}
         if extra:
@@ -354,6 +355,103 @@ class DeltaTable:
             lambda state: ([meta_action] if meta_action else []) + list(adds),
             operation="WRITE",
             operation_params=params,
+        )
+
+    # -- CHECK constraints (Delta protocol: delta.constraints.<name>) -------
+
+    @staticmethod
+    def _enforce_constraints(df: DataFrame, constraints: dict[str, str]) -> None:
+        """Reject the write if any row violates any CHECK constraint.  SQL
+        CHECK semantics: NULL predicate results pass; only FALSE violates.
+        All constraints are counted in ONE aggregation job (not one scan per
+        constraint); at scale this is a single extra pass over the incoming
+        batch, before any file is staged."""
+        if not constraints:
+            return
+        names = list(constraints)
+        counts = df.select(
+            *[
+                F.sum(
+                    F.when(
+                        ~F.coalesce(F.expr(expr), F.lit(True)), F.lit(1)
+                    ).otherwise(F.lit(0))
+                ).alias(name)
+                for name, expr in constraints.items()
+            ]
+        ).collect()[0]
+        bad = {n: counts[n] for n in names if counts[n]}
+        if bad:
+            detail = ", ".join(
+                f"{n} CHECK ({constraints[n]}): {c} row(s)" for n, c in bad.items()
+            )
+            raise ValueError(f"CHECK constraint violation — {detail}")
+
+    def add_check_constraint(self, name: str, expr: str) -> int:
+        """ADD CONSTRAINT name CHECK (expr): validates ALL existing rows
+        (one scan), then commits the constraint into table configuration so
+        every later append enforces it.  Returns the commit version."""
+        import json as _json
+        import time as _time
+
+        self._enforce_constraints(self.to_df(), {name: expr})
+
+        def actions(state):
+            config = dict(state.metadata.configuration)
+            config[f"delta.constraints.{name}"] = expr
+            return [
+                {
+                    "metaData": {
+                        "id": state.metadata.table_id,
+                        "format": {"provider": "parquet", "options": {}},
+                        "schemaString": _json.dumps(
+                            state.metadata.schema.jsonValue()
+                        ),
+                        "partitionColumns": state.metadata.partition_columns,
+                        "configuration": config,
+                        "createdTime": int(_time.time() * 1000),
+                    }
+                }
+            ]
+
+        return self.log.commit_with_retry(
+            actions,
+            operation="ADD CONSTRAINT",
+            operation_params={"name": name, "expr": expr},
+        )
+
+    def drop_check_constraint(self, name: str) -> int:
+        """DROP CONSTRAINT name.  Raises KeyError if absent."""
+        import json as _json
+        import time as _time
+
+        if name not in self.metadata.check_constraints:
+            raise KeyError(f"no CHECK constraint named {name!r}")
+
+        def actions(state):
+            config = {
+                k: v
+                for k, v in state.metadata.configuration.items()
+                if k != f"delta.constraints.{name}"
+            }
+            return [
+                {
+                    "metaData": {
+                        "id": state.metadata.table_id,
+                        "format": {"provider": "parquet", "options": {}},
+                        "schemaString": _json.dumps(
+                            state.metadata.schema.jsonValue()
+                        ),
+                        "partitionColumns": state.metadata.partition_columns,
+                        "configuration": config,
+                        "createdTime": int(_time.time() * 1000),
+                    }
+                }
+            ]
+
+        return self.log.commit_with_retry(
+            actions,
+            operation="DROP CONSTRAINT",
+            operation_params={"name": name},
         )
 
     def _estimate_max_records(self, df: DataFrame, target_bytes: int) -> int | None:

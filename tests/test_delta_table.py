@@ -202,3 +202,40 @@ def test_append_with_schema_evolution(spark, tmp_path):
     # appending WITHOUT the evolved column fills NULL
     t.append(spark.createDataFrame([(4, "d")], "id long, v string"))
     assert t.to_df().where(F.col("id") == 4).collect()[0]["w"] is None
+
+
+def test_check_constraints_enforced_on_append(spark, tmp_path):
+    """ADD CONSTRAINT validates existing rows, appends enforce it (NULLs
+    pass, FALSE rejects), constraint survives the log round-trip, DROP
+    removes enforcement."""
+    import pytest as _pytest
+
+    path = str(tmp_path / "constrained")
+    t = DeltaTable.create(
+        spark, path, spark.createDataFrame([(1, 10.0), (2, 20.0)], "id long, v double")
+    )
+    # existing data violates -> ADD rejected, nothing committed
+    with _pytest.raises(ValueError, match="CHECK"):
+        t.add_check_constraint("v_big", "v > 15")
+    t.add_check_constraint("v_pos", "v > 0")
+    # a fresh handle (re-read from the log) still knows the constraint
+    t2 = DeltaTable(spark, path)
+    assert t2.metadata.check_constraints == {"v_pos": "v > 0"}
+    with _pytest.raises(ValueError, match="v_pos"):
+        t2.append(spark.createDataFrame([(3, -1.0)], "id long, v double"))
+    # NULL predicate result passes (SQL CHECK semantics)
+    t2.append(spark.createDataFrame([(4, None)], "id long, v double"))
+    t2.drop_check_constraint("v_pos")
+    t2.append(spark.createDataFrame([(5, -2.0)], "id long, v double"))
+    assert DeltaTable(spark, path).to_df().count() == 4
+
+
+def test_check_constraint_survives_checkpoint(spark, tmp_path):
+    path = str(tmp_path / "ckpt_cfg")
+    t = DeltaTable.create(
+        spark, path, spark.createDataFrame([(1,)], "id long")
+    )
+    t.add_check_constraint("id_pos", "id > 0")
+    t.log.write_checkpoint()
+    # fresh handle reads state FROM the checkpoint (plus no newer commits)
+    assert DeltaTable(spark, path).metadata.check_constraints == {"id_pos": "id > 0"}
