@@ -2507,6 +2507,57 @@ FROM g
 
 
 # ---------------------------------------------------------------------------
+# A23: customer revenue deciles — ntile(10) over a deterministic total order
+# (exact DECIMAL revenue desc, custkey tiebreak).  Two shuffles total: the
+# per-customer aggregation, then the single-partition ntile ordering — the
+# decile assignment itself is O(customers), tiny next to the fact scan.
+# ---------------------------------------------------------------------------
+
+
+def q_a23_revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (1 - F.col("l_discount").cast("decimal(18,2)"))
+            ).alias("revenue")
+        )
+    )
+    w = Window.orderBy(F.desc("revenue"), F.asc("o_custkey"))
+    return (
+        rev.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("revenue").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+_A23_SQL = """
+WITH rev AS (
+  SELECT o_custkey,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS revenue
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY o_custkey
+)
+SELECT decile, count(*) AS n_customers,
+       CAST(sum(revenue) AS DOUBLE) AS total_revenue
+FROM (SELECT o_custkey, revenue,
+             ntile(10) OVER (ORDER BY revenue DESC, o_custkey) AS decile
+      FROM rev)
+GROUP BY decile
+"""
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -2572,6 +2623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a20_market_share": q_a20_market_share,
         "a21_product_profit": q_a21_product_profit,
         "a22_cube": q_a22_cube,
+        "a23_revenue_deciles": q_a23_revenue_deciles,
         "e29_quantized_topk": q_e29_quantized_topk,
         "e30_decontaminate": q_e30_decontaminate,
         "e31_repetition": q_e31_repetition,
@@ -2643,6 +2695,7 @@ def oracle_sql() -> dict[str, str]:
         "a20_market_share": _A20_SQL,
         "a21_product_profit": _A21_SQL,
         "a22_cube": _A22_SQL,
+        "a23_revenue_deciles": _A23_SQL,
         "e29_quantized_topk": _E29_SQL,
         "e30_decontaminate": _E30_SQL,
         "e31_repetition": _E31_SQL,
