@@ -794,6 +794,41 @@ FROM numbered GROUP BY user_id, session_id
 """
 
 
+def q_s3_enriched_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment (streaming/events.enrich_stream) in its
+    batch form: events pick up customer attributes via a broadcast of the
+    dim table, then aggregate per market segment.  Events with no matching
+    customer survive as segment NULL (left join) — the oracle checks that
+    no rows are silently dropped."""
+    from delta_sorter_spark.streaming.events import enrich_stream
+
+    events = load_table(spark, sf_dir, "events")
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    return (
+        enrich_stream(events, dim, "user_id")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+
+
+_S3_SQL = """
+SELECT c_mktsegment,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events LEFT JOIN customer ON user_id = c_custkey
+GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # M1: multimodal binary-column plumbing (metadata path; decode in tests)
 # ---------------------------------------------------------------------------
@@ -2594,6 +2629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e16_bpe_tokens": q_e16_bpe_tokens,
         "s1_event_windows": q_s1_event_windows,
         "s2_sessionize": q_s2_sessionize,
+        "s3_enriched_events": q_s3_enriched_events,
         "m1_binary_meta": q_m1_binary_meta,
         "m2_decoded_assets": q_m2_decoded_assets,
         "a1_pricing_summary": q_a1_pricing_summary,
@@ -2666,6 +2702,7 @@ def oracle_sql() -> dict[str, str]:
         "e16_bpe_tokens": _E16_SQL,
         "s1_event_windows": _S1_SQL,
         "s2_sessionize": _S2_SQL,
+        "s3_enriched_events": _S3_SQL,
         "m1_binary_meta": _M1_SQL,
         "m2_decoded_assets": _M2_SQL,
         "a1_pricing_summary": _A1_SQL,
