@@ -87,6 +87,103 @@ def upsert(table: DeltaTable, source: DataFrame, keys: Sequence[str]) -> dict:
     }
 
 
+def merge(
+    table: DeltaTable,
+    source: DataFrame,
+    keys: Sequence[str],
+    when_matched_update: dict[str, str] | None = None,
+    when_matched_delete: str | None = None,
+    matched_condition: str | None = None,
+    when_not_matched_insert: bool = True,
+) -> dict:
+    """Full conditional MERGE INTO.  Clause semantics (evaluated per target
+    row; ``t.`` = target, ``s.`` = source in all expression strings):
+
+    - key-matched and ``when_matched_delete`` true  -> row dropped
+    - key-matched and ``matched_condition`` true (or None) -> columns set to
+      ``when_matched_update``'s expressions; unnamed columns keep ``t.`` values
+    - key-matched otherwise -> row kept unchanged
+    - source rows matching no target key -> inserted (unless disabled)
+
+    Like Delta/SQL MERGE, a target row matching MULTIPLE source rows is
+    ambiguous and raises.  Only zone-map candidate files are rewritten, so
+    a merge touching one key range leaves the rest of a 100 TB table's
+    files untouched; the duplicate-source check and the match join shuffle
+    only the candidate subset against the source.
+
+    Returns {"rewritten_files", "untouched_files", "version"}."""
+    keys = list(keys)
+    update = dict(when_matched_update or {})
+    state = table.state()
+    schema = state.metadata.schema
+    bounds = _key_bounds(source, keys)
+    candidates = [a for a in state.adds if _may_contain(a, bounds, schema)]
+
+    src = source.select(
+        *[F.col(f.name).cast(f.dataType) for f in schema.fields]
+    )
+    dup = src.groupBy(*keys).count().where(F.col("count") > 1).limit(1).collect()
+    if dup:
+        dupkey = {k: dup[0][k] for k in keys}
+        raise ValueError(f"MERGE source has multiple rows for key {dupkey}")
+
+    inserts = src
+    if candidates:
+        t = table.to_df(adds=candidates).alias("t")
+        s = src.alias("s")
+        cond = None
+        for k in keys:
+            c = F.col(f"t.{k}") == F.col(f"s.{k}")
+            cond = c if cond is None else cond & c
+        joined = t.join(s, cond, "left").withColumn(
+            "__matched__", F.col(f"s.{keys[0]}").isNotNull()
+        )
+        keep_unmatched = ~F.col("__matched__")
+        delete_hit = (
+            F.col("__matched__") & F.coalesce(F.expr(when_matched_delete), F.lit(False))
+            if when_matched_delete
+            else F.lit(False)
+        )
+        update_hit = F.col("__matched__") & (
+            F.coalesce(F.expr(matched_condition), F.lit(False))
+            if matched_condition
+            else F.lit(True)
+        )
+        out_cols = []
+        for f in schema.fields:
+            updated = (
+                F.expr(update[f.name]).cast(f.dataType)
+                if f.name in update
+                else F.col(f"t.{f.name}")
+            )
+            out_cols.append(
+                F.when(keep_unmatched | ~update_hit, F.col(f"t.{f.name}"))
+                .otherwise(updated)
+                .alias(f.name)
+            )
+        merged = joined.where(~delete_hit).select(*out_cols)
+        if when_not_matched_insert:
+            inserts = src.join(t.select(*keys), keys, "left_anti")
+            merged = merged.unionByName(inserts.select(*[f.name for f in schema.fields]))
+    else:
+        if not when_not_matched_insert:
+            return {  # nothing to match, nothing to insert: metadata no-op
+                "rewritten_files": 0,
+                "untouched_files": len(state.adds),
+                "version": state.version,
+            }
+        merged = src.select(*[f.name for f in schema.fields])
+
+    adds = table.stage_write(merged, stat_columns=keys, data_change=True)
+    removes = [a.remove_action(True) for a in candidates]
+    version = table.commit_rewrite(adds, removes, operation="MERGE")
+    return {
+        "rewritten_files": len(candidates),
+        "untouched_files": len(state.adds) - len(candidates),
+        "version": version,
+    }
+
+
 def delete_where(table: DeltaTable, predicate: str) -> dict:
     """DELETE FROM table WHERE predicate — rewrites only the files that
     actually contain matching rows (one scan to find them, one to rewrite).

@@ -193,3 +193,71 @@ def test_table_changes_replays_every_snapshot(spark, tmp_path):
     empty = table_changes(table, table.log.latest_version())
     assert empty.count() == 0
     assert "_change_type" in empty.columns
+
+
+def test_merge_update_delete_insert_clauses(spark, tmp_path):
+    """Full MERGE: conditional update, delete clause, insert, and
+    leave-unchanged all in one statement."""
+    from delta_sorter_spark.operators.dml import merge
+
+    path = str(tmp_path / "mrg")
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, "d", 40.0)],
+        "id long, v string, amt double",
+    )
+    table = DeltaTable.create(spark, path, df.coalesce(1), stat_columns=["id"])
+    src = spark.createDataFrame(
+        [(1, "A", 5.0), (2, "B", 99.0), (3, "C", 7.0), (5, "e", 50.0)],
+        "id long, v string, amt double",
+    )
+    out = merge(
+        table,
+        src,
+        ["id"],
+        when_matched_update={"v": "s.v", "amt": "t.amt + s.amt"},
+        when_matched_delete="s.amt > 90",         # id 2 deleted
+        matched_condition="s.amt < 6",             # only id 1 updated
+        when_not_matched_insert=True,              # id 5 inserted
+    )
+    assert out["version"] > 0
+    got = sorted(tuple(r) for r in DeltaTable(spark, path).to_df().collect())
+    assert got == [
+        (1, "A", 15.0),   # updated: v from source, amt summed
+        (3, "c", 30.0),   # matched but condition false -> unchanged
+        (4, "d", 40.0),   # unmatched target -> kept
+        (5, "e", 50.0),   # inserted
+    ]
+
+
+def test_merge_rejects_ambiguous_source(spark, tmp_path):
+    from delta_sorter_spark.operators.dml import merge
+
+    path = str(tmp_path / "mrg_dup")
+    table = DeltaTable.create(
+        spark, path, spark.createDataFrame([(1, "a")], "id long, v string")
+    )
+    src = spark.createDataFrame([(1, "x"), (1, "y")], "id long, v string")
+    with pytest.raises(ValueError, match="multiple rows"):
+        merge(table, src, ["id"], when_matched_update={"v": "s.v"})
+
+
+def test_merge_zone_map_pruning_and_no_insert(spark, tmp_path):
+    """Disjoint files stay untouched; when_not_matched_insert=False drops
+    unmatched source rows instead of inserting."""
+    from delta_sorter_spark.operators.dml import merge
+
+    path = str(tmp_path / "mrg_z")
+    low = spark.createDataFrame([(i, 0.0) for i in range(10)], "id long, amt double")
+    table = DeltaTable.create(spark, path, low.coalesce(1), stat_columns=["id"])
+    hi = spark.createDataFrame([(i, 0.0) for i in range(100, 110)], "id long, amt double")
+    table.append(hi.coalesce(1), stat_columns=["id"])
+
+    src = spark.createDataFrame([(5, 1.0), (7, 1.0), (15, 1.0)], "id long, amt double")
+    out = merge(
+        table, src, ["id"],
+        when_matched_update={"amt": "s.amt"},
+        when_not_matched_insert=False,
+    )
+    assert out["untouched_files"] >= 1  # the 100..109 file never rewritten
+    got = dict((r["id"], r["amt"]) for r in DeltaTable(spark, path).to_df().collect())
+    assert got[5] == 1.0 and got[7] == 1.0 and 15 not in got and len(got) == 20
