@@ -164,12 +164,34 @@ class DeltaTable:
         df: DataFrame,
         partition_columns: Sequence[str] | None = None,
         stat_columns: Sequence[str] | None = None,
+        generated_columns: dict[str, tuple[str, str]] | None = None,
     ) -> "DeltaTable":
         """Create a new table from a DataFrame (test/fixture convenience —
-        the reference creates tables via delta-rs writers in its tests)."""
+        the reference creates tables via delta-rs writers in its tests).
+
+        ``generated_columns`` maps name -> (DDL type, SQL expression) — the
+        Delta protocol's generated columns (``delta.generationExpression``
+        in the field metadata).  They are computed from ``df`` here and on
+        every later append where the writer omits them; a writer that DOES
+        supply a value must supply the expression's value (enforced with the
+        CHECK-constraint pass).  The canonical use is a derived partition
+        key (e.g. a date extracted from a timestamp) that partition pruning
+        can then use without every writer re-deriving it by hand."""
         table = cls(spark, table_path)
         partition_columns = list(partition_columns or [])
-        table.log.create_table(df.schema, partition_columns)
+        gen = dict(generated_columns or {})
+        fields = [
+            f for f in df.schema.fields if f.name not in gen
+        ]
+        for name, (ddl, expr) in gen.items():
+            dtype = T._parse_datatype_string(ddl)
+            fields.append(
+                T.StructField(
+                    name, dtype, True, {"delta.generationExpression": expr}
+                )
+            )
+            df = df.withColumn(name, F.expr(expr).cast(dtype))
+        table.log.create_table(T.StructType(fields), partition_columns)
         adds = table.stage_write(df, stat_columns=stat_columns or [])
         table.log.commit_with_retry(
             lambda state: list(adds), operation="WRITE", operation_params={"mode": "Append"}
@@ -338,15 +360,31 @@ class DeltaTable:
                     "createdTime": int(_time.time() * 1000),
                 }
             }
-        filled = df.select(
-            *[
-                F.col(f.name).cast(f.dataType).alias(f.name)
-                if f.name in df.columns
-                else F.lit(None).cast(f.dataType).alias(f.name)
-                for f in write_schema.fields
-            ]
-        )
-        self._enforce_constraints(filled, meta.check_constraints)
+        gen = {
+            f.name: f.metadata["delta.generationExpression"]
+            for f in write_schema.fields
+            if f.metadata and "delta.generationExpression" in f.metadata
+        }
+
+        def fill(f):
+            if f.name in df.columns:
+                return F.col(f.name).cast(f.dataType).alias(f.name)
+            if f.name in gen:  # generated: compute, don't NULL-fill
+                return F.expr(gen[f.name]).cast(f.dataType).alias(f.name)
+            return F.lit(None).cast(f.dataType).alias(f.name)
+
+        filled = df.select(*[fill(f) for f in write_schema.fields])
+        # writer-supplied values for generated columns must equal the
+        # expression (same single-pass check as CHECK constraints)
+        gen_checks = {
+            f"generated column {name}": (
+                f"CAST(({expr}) AS {write_schema[name].dataType.simpleString()})"
+                f" <=> {name}"
+            )
+            for name, expr in gen.items()
+            if name in df.columns
+        }
+        self._enforce_constraints(filled, {**meta.check_constraints, **gen_checks})
         adds = self.stage_write(filled, stat_columns=stat_columns, schema=write_schema)
         params = {"mode": "Append"}
         if extra:

@@ -239,3 +239,62 @@ def test_check_constraint_survives_checkpoint(spark, tmp_path):
     t.log.write_checkpoint()
     # fresh handle reads state FROM the checkpoint (plus no newer commits)
     assert DeltaTable(spark, path).metadata.check_constraints == {"id_pos": "id > 0"}
+
+
+def test_generated_columns(spark, tmp_path):
+    """Generated column: derived at create, computed on append when omitted,
+    enforced when supplied, survives the log round-trip."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "gen")
+    df = spark.createDataFrame(
+        [(1, "2024-03-05 10:00:00"), (2, "2024-03-06 11:00:00")],
+        "id long, ts string",
+    )
+    t = DeltaTable.create(
+        spark, path, df,
+        generated_columns={"event_date": ("string", "substring(ts, 1, 10)")},
+    )
+    got = {r["id"]: r["event_date"] for r in t.to_df().collect()}
+    assert got == {1: "2024-03-05", 2: "2024-03-06"}
+
+    # fresh handle: expression round-trips through schemaString metadata
+    t2 = DeltaTable(spark, path)
+    # append WITHOUT the column -> computed
+    t2.append(spark.createDataFrame([(3, "2024-03-07 09:00:00")], "id long, ts string"))
+    assert t2.to_df().where(F.col("id") == 3).collect()[0]["event_date"] == "2024-03-07"
+    # append WITH a wrong value -> rejected
+    bad = spark.createDataFrame(
+        [(4, "2024-03-08 09:00:00", "1999-01-01")], "id long, ts string, event_date string"
+    )
+    with _pytest.raises(ValueError, match="generated column"):
+        t2.append(bad)
+    # append WITH the correct value -> accepted
+    ok = spark.createDataFrame(
+        [(4, "2024-03-08 09:00:00", "2024-03-08")], "id long, ts string, event_date string"
+    )
+    t2.append(ok)
+    assert t2.to_df().count() == 4
+
+
+def test_generated_partition_column_prunes(spark, tmp_path):
+    """The canonical generated-column use: a derived date as partition key;
+    partition pruning then works without writers deriving it by hand."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "genpart")
+    df = spark.createDataFrame(
+        [(1, "2024-03-05 10:00:00"), (2, "2024-03-06 11:00:00")],
+        "id long, ts string",
+    )
+    t = DeltaTable.create(
+        spark, path, df,
+        partition_columns=["event_date"],
+        generated_columns={"event_date": ("string", "substring(ts, 1, 10)")},
+    )
+    t.append(spark.createDataFrame([(3, "2024-03-06 12:00:00")], "id long, ts string"))
+    parts = {a.partition_values["event_date"] for a in t.state().adds}
+    assert parts == {"2024-03-05", "2024-03-06"}
+    got = t.to_df().where(F.col("event_date") == "2024-03-06")
+    assert sorted(r["id"] for r in got.collect()) == [2, 3]
