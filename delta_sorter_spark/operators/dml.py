@@ -30,6 +30,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from delta_sorter_spark.sources.delta_log import AddAction
 from delta_sorter_spark.sources.delta_table import DeltaTable, parse_stat
 
 
@@ -223,6 +224,102 @@ def delete_where(table: DeltaTable, predicate: str) -> dict:
     }
 
 
+def delete_where_dv(table: DeltaTable, predicate: str) -> dict:
+    """Merge-on-read DELETE: instead of rewriting hit files, record the
+    deleted row POSITIONS in a deletion-vector sidecar and re-Add each file
+    with a ``deletionVector`` pointer.  Readers (``to_df``) drop those
+    positions via a broadcast anti-join on the native parquet
+    ``_metadata.row_index`` — no data bytes are rewritten.
+
+    This is the scale path for small deletes on huge tables (GDPR one-row
+    erasure on a 100 TB table touches only the log + a KB sidecar vs
+    rewriting multi-GB files).  Trade-off: reads of DV'd files carry the
+    anti-join until ``purge_deletion_vectors`` (or any compaction rewrite)
+    materializes the delete.  Our sidecar is JSON row-index lists — the
+    protocol's roaring-bitmap encoding, simplified; positions are physical
+    file row indexes so they stay valid until the file itself is rewritten.
+
+    Returns {"dv_files", "deleted_rows", "version"}."""
+    import json as _json
+    import uuid as _uuid
+
+    state = table.state()
+    # Raw positional scan (existing DVs not applied): rows already deleted
+    # may re-match the predicate, but the position-set union below makes
+    # that a no-op, and deleted_rows counts only NEW positions.
+    scan = table.scan_with_positions(state.adds)
+    hits = (
+        scan.where(F.coalesce(F.expr(predicate), F.lit(False)))
+        .groupBy("__file__")
+        .agg(F.collect_list("__pos__").alias("__ps__"))
+        .collect()
+    )
+    if not hits:
+        return {"dv_files": 0, "deleted_rows": 0, "version": state.version}
+
+    by_path: dict[str, list[int]] = {}
+    for r in hits:
+        rel = os.path.relpath(
+            urllib.parse.unquote(urllib.parse.urlparse(r["__file__"]).path),
+            table.table_path,
+        )
+        by_path[rel] = sorted(int(p) for p in r["__ps__"])
+
+    adds_by_path = {a.path: a for a in state.adds}
+    dv_dir = os.path.join(table.table_path, "_deletion_vectors")
+    os.makedirs(dv_dir, exist_ok=True)
+    sidecar_rel = os.path.join("_deletion_vectors", f"{_uuid.uuid4().hex}.json")
+    payload = {}
+    new_adds, removes = [], []
+    deleted_rows = 0
+    for rel, positions in by_path.items():
+        old = adds_by_path[rel]
+        prev = table.read_deletion_vector(old)
+        merged = set(positions) | prev
+        deleted_rows += len(merged) - len(prev)
+        payload[rel] = sorted(merged)
+        removes.append(old.remove_action(True))
+        new_adds.append(
+            AddAction(
+                path=old.path,
+                size=old.size,
+                partition_values=old.partition_values,
+                modification_time=old.modification_time,
+                data_change=True,
+                stats=old.stats,  # conservative: pre-delete min/max still bound the data
+                deletion_vector={
+                    "storagePath": sidecar_rel.replace(os.sep, "/"),
+                    "cardinality": len(merged),
+                },
+            )
+        )
+    with open(os.path.join(table.table_path, sidecar_rel), "w") as fh:
+        _json.dump(payload, fh)
+    version = table.commit_rewrite(new_adds, removes, operation="DELETE")
+    return {
+        "dv_files": len(new_adds),
+        "deleted_rows": deleted_rows,
+        "version": version,
+    }
+
+
+def purge_deletion_vectors(table: DeltaTable) -> dict:
+    """Materialize all deletion vectors: rewrite each DV'd file without its
+    deleted rows (fresh stats, no DV pointer).  The REORG TABLE ... APPLY
+    (PURGE) operation; compaction achieves the same as a side effect since
+    rewrites read through the DV-aware view."""
+    state = table.state()
+    dv_adds = [a for a in state.adds if a.deletion_vector]
+    if not dv_adds:
+        return {"purged_files": 0, "version": state.version}
+    kept = table.to_df(adds=dv_adds)
+    stat_cols = list((dv_adds[0].stats or {}).get("minValues", {}))
+    adds = table.stage_write(kept, stat_columns=stat_cols, data_change=False)
+    removes = [a.remove_action(False) for a in dv_adds]
+    version = table.commit_rewrite(adds, removes, operation="REORG")
+    return {"purged_files": len(dv_adds), "version": version}
+
+
 def restore(table: DeltaTable, version: int) -> dict:
     """RESTORE TABLE ... TO VERSION AS OF — metadata-only commit that makes
     the active file set equal the target version's (files must still exist,
@@ -304,19 +401,60 @@ def table_changes(
             "_commit_version", F.lit(version).cast("long")
         )
 
+    def tag(df: DataFrame, ctype: str, version: int) -> DataFrame:
+        return df.withColumn("_change_type", F.lit(ctype)).withColumn(
+            "_commit_version", F.lit(version).cast("long")
+        )
+
     out: DataFrame | None = None
     for v in range(from_version + 1, to_version + 1):
-        adds: list[str] = []
+        adds: dict[str, dict] = {}
         removes: list[str] = []
         for action in log.commit_actions(v):
             if "add" in action and action["add"].get("dataChange", True):
-                adds.append(action["add"]["path"])
+                adds[action["add"]["path"]] = action["add"]
             elif "remove" in action and action["remove"].get("dataChange", True):
                 removes.append(action["remove"]["path"])
-        for paths, ctype in ((removes, "delete"), (adds, "insert")):
-            if not paths:
-                continue
-            df = read_paths(paths, ctype, v)
+        if not adds and not removes:
+            continue
+        prev = {a.path: a for a in table.state(version=v - 1).adds}
+        frames: list[DataFrame] = []
+        # A same-path remove+add where the add carries a deletion vector is
+        # a merge-on-read DELETE: feed only the NEWLY deleted positions.
+        dv_delta = {
+            p
+            for p, a in adds.items()
+            if a.get("deletionVector") and p in removes
+        }
+        for p in dv_delta:
+            new_add = AddAction(
+                path=p, size=0, deletion_vector=adds[p]["deletionVector"]
+            )
+            new_pos = table.read_deletion_vector(new_add)
+            old_pos = table.read_deletion_vector(prev[p]) if p in prev else set()
+            fresh = sorted(new_pos - old_pos)
+            if fresh:
+                rows = table.scan_with_positions([new_add], meta).where(
+                    F.col("__pos__").isin(fresh)
+                )
+                frames.append(
+                    tag(rows.select(*[f.name for f in meta.schema.fields]), "delete", v)
+                )
+        # Removed files feed as deletes THROUGH their prior deletion vector
+        # (rows a DV already deleted were fed in the DV commit, not here).
+        plain_removes = [p for p in removes if p not in dv_delta]
+        if plain_removes:
+            prior = [prev[p] for p in plain_removes if p in prev]
+            dvd = [a for a in prior if a.deletion_vector]
+            plain = [p for p in plain_removes if p not in {a.path for a in dvd}]
+            if plain:
+                frames.append(read_paths(plain, "delete", v))
+            if dvd:
+                frames.append(tag(table._read_dv_files(dvd, meta), "delete", v))
+        plain_adds = [p for p in adds if p not in dv_delta]
+        if plain_adds:
+            frames.append(read_paths(plain_adds, "insert", v))
+        for df in frames:
             out = df if out is None else out.unionByName(df)
     if out is None:
         from pyspark.sql import types as T

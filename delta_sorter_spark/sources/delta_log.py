@@ -50,6 +50,10 @@ class AddAction:
     modification_time: int = 0
     data_change: bool = True
     stats: dict | None = None  # numRecords / minValues / maxValues / nullCount
+    # Deletion vector (merge-on-read delete): {"storagePath": <relative
+    # sidecar path>, "cardinality": <n deleted rows>}.  Readers drop the
+    # sidecar's row positions from this file; None = no deleted rows.
+    deletion_vector: dict | None = None
 
     def to_json(self) -> dict:
         d = {
@@ -61,6 +65,8 @@ class AddAction:
         }
         if self.stats is not None:
             d["stats"] = json.dumps(self.stats)
+        if self.deletion_vector is not None:
+            d["deletionVector"] = self.deletion_vector
         return {"add": d}
 
     def remove_action(self, data_change: bool = False) -> "RemoveAction":
@@ -269,6 +275,7 @@ class DeltaLog:
                 modification_time=a.get("modificationTime", 0),
                 data_change=a.get("dataChange", True),
                 stats=json.loads(stats) if stats else None,
+                deletion_vector=a.get("deletionVector"),
             )
         elif "remove" in action:
             adds.pop(action["remove"]["path"], None)

@@ -229,7 +229,20 @@ class DeltaTable:
         use = state.adds if adds is None else list(adds)
         if not use:
             return self.spark.createDataFrame([], meta.schema)
-        files = [os.path.join(self.table_path, a.path) for a in use]
+        plain = [a for a in use if not a.deletion_vector]
+        dv = [a for a in use if a.deletion_vector]
+        parts = []
+        if plain:
+            parts.append(self._read_files(plain, meta))
+        if dv:
+            parts.append(self._read_dv_files(dv, meta))
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        return df
+
+    def _read_files(self, adds: Sequence[AddAction], meta) -> DataFrame:
+        files = [os.path.join(self.table_path, a.path) for a in adds]
         # Read with the authoritative log schema: files written before a
         # schema evolution lack the newer columns and yield NULLs (exactly
         # Delta's mergeSchema read semantics), partition columns fill from
@@ -242,6 +255,55 @@ class DeltaTable:
         # Cast to the authoritative log schema (partition dirs are strings;
         # Spark's partition inference may disagree with the log).
         return df.select(*[F.col(f.name).cast(f.dataType).alias(f.name) for f in meta.schema.fields])
+
+    def scan_with_positions(
+        self, adds: Sequence[AddAction], meta=None
+    ) -> DataFrame:
+        """Raw scan of the given files with two extra columns: ``__file__``
+        (absolute file URI) and ``__pos__`` (physical row index inside that
+        file), from the native parquet ``_metadata`` column — vectorized
+        and splittable, no Python in the row path.  NOTE: raw = existing
+        deletion vectors are NOT applied here."""
+        meta = meta or self.metadata
+        files = [os.path.join(self.table_path, a.path) for a in adds]
+        reader = self.spark.read.schema(meta.schema)
+        if meta.partition_columns:
+            reader = reader.option("basePath", self.table_path)
+        return reader.parquet(*files).select(
+            F.col("_metadata.file_path").alias("__file__"),
+            F.col("_metadata.row_index").alias("__pos__"),
+            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in meta.schema.fields],
+        )
+
+    def read_deletion_vector(self, add: AddAction) -> set[int]:
+        """Deleted row positions for one file (empty if no DV)."""
+        import json as _json
+
+        if not add.deletion_vector:
+            return set()
+        sidecar = os.path.join(self.table_path, add.deletion_vector["storagePath"])
+        with open(sidecar) as fh:
+            return set(_json.load(fh).get(add.path, []))
+
+    def _read_dv_files(self, adds: Sequence[AddAction], meta) -> DataFrame:
+        """Merge-on-read: scan files that carry a deletion vector and drop
+        the deleted row positions.  Fully JVM-side — the scan exposes
+        ``_metadata.row_index`` (native parquet row numbering, vectorized,
+        splittable), and the DV positions arrive as a broadcast anti-join,
+        so at scale this is a normal parallel scan plus a tiny hash filter;
+        no Python touches the rows."""
+        deleted = []  # (absolute file uri, row_index)
+        for a in adds:
+            uri = "file:" + os.path.join(self.table_path, a.path)
+            deleted += [(uri, int(p)) for p in self.read_deletion_vector(a)]
+        scan = self.scan_with_positions(adds, meta)
+        dv_df = F.broadcast(
+            self.spark.createDataFrame(
+                deleted or [("", -1)], "__file__ string, __pos__ long"
+            )
+        )
+        kept = scan.join(dv_df, ["__file__", "__pos__"], "left_anti")
+        return kept.select(*[F.col(f.name) for f in meta.schema.fields])
 
     def input_files(self) -> list[str]:
         return [os.path.join(self.table_path, a.path) for a in self.state().adds]
@@ -554,12 +616,19 @@ class DeltaTable:
 
         state = self.state()
         active = {a.path for a in state.adds}
+        # deletion-vector sidecars still referenced by an active Add
+        active |= {
+            a.deletion_vector["storagePath"]
+            for a in state.adds
+            if a.deletion_vector
+        }
         doomed: list[str] = []
         now = _time.time()
         for root, dirs, names in os.walk(self.table_path):
             dirs[:] = [d for d in dirs if d not in ("_delta_log", "_staging")]
+            in_dv_dir = os.path.basename(root) == "_deletion_vectors"
             for name in names:
-                if not name.endswith(".parquet"):
+                if not (name.endswith(".parquet") or (in_dv_dir and name.endswith(".json"))):
                     continue
                 full = os.path.join(root, name)
                 rel = os.path.relpath(full, self.table_path).replace(os.sep, "/")

@@ -261,3 +261,121 @@ def test_merge_zone_map_pruning_and_no_insert(spark, tmp_path):
     assert out["untouched_files"] >= 1  # the 100..109 file never rewritten
     got = dict((r["id"], r["amt"]) for r in DeltaTable(spark, path).to_df().collect())
     assert got[5] == 1.0 and got[7] == 1.0 and 15 not in got and len(got) == 20
+
+
+def test_deletion_vector_delete_and_purge(spark, tmp_path):
+    """Merge-on-read delete: no data files rewritten, reads drop DV
+    positions, repeated deletes union, purge materializes."""
+    import os
+    from delta_sorter_spark.operators.dml import delete_where_dv, purge_deletion_vectors
+
+    path = str(tmp_path / "dv")
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(10)], "id long, v string"
+    )
+    table = DeltaTable.create(spark, path, df.coalesce(1), stat_columns=["id"])
+    data_files_before = set(table.input_files())
+
+    out = delete_where_dv(table, "id IN (2, 5)")
+    assert out == {"dv_files": 1, "deleted_rows": 2, "version": out["version"]}
+    # same physical files — nothing rewritten
+    assert set(table.input_files()) == data_files_before
+    assert sorted(r["id"] for r in table.to_df().collect()) == [0, 1, 3, 4, 6, 7, 8, 9]
+    # predicate referencing deleted rows again: no new deletions
+    out2 = delete_where_dv(table, "id = 2 OR id = 7")
+    assert out2["deleted_rows"] == 1
+    assert sorted(r["id"] for r in table.to_df().collect()) == [0, 1, 3, 4, 6, 8, 9]
+    # time travel to before the first delete still sees all 10 rows
+    assert DeltaTable(spark, path).to_df(version=out["version"] - 1).count() == 10
+
+    out3 = purge_deletion_vectors(table)
+    assert out3["purged_files"] == 1
+    final = DeltaTable(spark, path)
+    assert not any(a.deletion_vector for a in final.state().adds)
+    assert sorted(r["id"] for r in final.to_df().collect()) == [0, 1, 3, 4, 6, 8, 9]
+
+
+def test_deletion_vector_composes_with_upsert(spark, tmp_path):
+    """DV'd rows are invisible to downstream DML (upsert reads through the
+    DV-aware view)."""
+    from delta_sorter_spark.operators.dml import delete_where_dv, upsert
+
+    path = str(tmp_path / "dvu")
+    df = spark.createDataFrame([(i, 0.0) for i in range(6)], "id long, x double")
+    table = DeltaTable.create(spark, path, df.coalesce(1), stat_columns=["id"])
+    delete_where_dv(table, "id = 3")
+    upsert(table, spark.createDataFrame([(4, 9.0)], "id long, x double"), ["id"])
+    got = sorted((r["id"], r["x"]) for r in DeltaTable(spark, path).to_df().collect())
+    assert got == [(0, 0.0), (1, 0.0), (2, 0.0), (4, 9.0), (5, 0.0)]
+
+
+def test_table_changes_with_deletion_vectors(spark, tmp_path):
+    """CDF replay stays multiset-exact across DV deletes, repeat DV deletes,
+    and a rewrite of a DV'd file."""
+    from collections import Counter
+
+    from delta_sorter_spark.operators.dml import (
+        delete_where_dv,
+        table_changes,
+        upsert,
+    )
+
+    path = str(tmp_path / "cdf_dv")
+    table = DeltaTable.create(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(12)], "id long, v string"
+        ).coalesce(1),
+        stat_columns=["id"],
+    )
+    delete_where_dv(table, "id IN (1, 5)")      # DV commit: 2 position deletes
+    delete_where_dv(table, "id IN (5, 9)")      # repeat: only id 9 is new
+    upsert(table, spark.createDataFrame([(3, "NEW3")], "id long, v string"), ["id"])
+    # ^ rewrites the DV'd file: removed rows must be fed through the DV
+
+    changes = table_changes(table, 0).collect()
+    latest = table.log.latest_version()
+
+    def rows_at(version):
+        return Counter(
+            (r["id"], r["v"]) for r in table.to_df(version=version).collect()
+        )
+
+    state = rows_at(0)
+    by_version = {}
+    for r in changes:
+        by_version.setdefault(r["_commit_version"], []).append(r)
+    for v in sorted(by_version):
+        for r in by_version[v]:
+            if r["_change_type"] == "delete":
+                state[(r["id"], r["v"])] -= 1
+            else:
+                state[(r["id"], r["v"])] += 1
+        state = Counter({k: c for k, c in state.items() if c > 0})
+        assert state == rows_at(v), f"replay diverged at version {v}"
+    assert state == rows_at(latest)
+
+
+def test_vacuum_keeps_live_dv_sidecars(spark, tmp_path):
+    """Vacuum collects orphaned DV sidecars but never a referenced one."""
+    import os as _os
+
+    from delta_sorter_spark.operators.dml import delete_where_dv, purge_deletion_vectors
+
+    path = str(tmp_path / "dv_vac")
+    table = DeltaTable.create(
+        spark,
+        path,
+        spark.createDataFrame([(i, i) for i in range(8)], "id long, x long").coalesce(1),
+        stat_columns=["id"],
+    )
+    delete_where_dv(table, "id = 2")
+    doomed = table.vacuum(dry_run=True)
+    assert not [d for d in doomed if d.endswith(".json")]  # sidecar is live
+    purge_deletion_vectors(table)
+    doomed = table.vacuum()
+    assert [d for d in doomed if "_deletion_vectors" in d]  # now orphaned
+    assert sorted(r["id"] for r in DeltaTable(spark, path).to_df().collect()) == [
+        0, 1, 3, 4, 5, 6, 7,
+    ]
