@@ -1106,6 +1106,49 @@ WHERE {_DOT.format(a='a.embedding', b='b.embedding')}
 # ---------------------------------------------------------------------------
 
 
+# The e15 oracle replays the ENTIRE iterative k-means in SQL: hash-seeded
+# centroids, two Lloyd iterations with integer-quantized exact means (BIGINT
+# sums are associative, so Spark's parallel aggregation and DuckDB's serial
+# one produce bit-identical centroids), then the probed search + cosine
+# rerank.  This is only possible because operators/ivf.py was built
+# determinism-first — no RNG, no order-dependent float sums.
+
+_IVF_K = 16
+_IVF_PROBES = 4
+_IVF_QSCALE = 1 << 20
+
+
+def _duck_sq_l2(a: str, b: str) -> str:
+    return (
+        f"list_aggregate(list_transform(list_zip({a}, {b}),"
+        f" p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum')"
+    )
+
+
+def _duck_ivf_iter(prev: str, idx: int) -> str:
+    """One Lloyd iteration as CTE text: assign to ``prev`` then re-center."""
+    return f"""
+a{idx} AS (
+  SELECT vec_id, v, centroid FROM (
+    SELECT c.vec_id, c.v, s.centroid,
+           row_number() OVER (PARTITION BY c.vec_id
+                              ORDER BY {_duck_sq_l2('c.v', 's.cvec')}, s.centroid) AS rn
+    FROM corpus c CROSS JOIN {prev} s) WHERE rn = 1
+),
+m{idx} AS (
+  SELECT centroid, pos,
+         CAST(sum(CAST(floor(v[pos] * {_IVF_QSCALE}) AS BIGINT)) AS DOUBLE)
+         / CAST(count(*) * {_IVF_QSCALE} AS DOUBLE) AS m
+  FROM a{idx} CROSS JOIN (SELECT unnest(generate_series(1, {EMB_DIM})) AS pos)
+  GROUP BY centroid, pos
+),
+c{idx} AS (
+  SELECT s.centroid, coalesce(n.cvec, s.cvec) AS cvec
+  FROM {prev} s LEFT JOIN (SELECT centroid, list(m ORDER BY pos) AS cvec
+                           FROM m{idx} GROUP BY centroid) n USING (centroid)
+)"""
+
+
 def q_e15_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from delta_sorter_spark.operators.ivf import ivf_topk
 
@@ -1124,6 +1167,50 @@ def q_e15_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_probes=4,
     )
     return out.select("query_id", "id", "rank", F.round("cosine", 6).alias("cosine"))
+
+
+_E15_SQL = f"""
+WITH corpus AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+seeds AS (
+  SELECT CAST(rn - 1 AS INT) AS centroid, v AS cvec FROM (
+    SELECT v, row_number() OVER (ORDER BY h, vec_id) AS rn FROM (
+      SELECT vec_id, v,
+             {duckdb_md5_long_sql('CAST(vec_id AS VARCHAR)')} % {MERSENNE_P} AS h
+      FROM corpus))
+  WHERE rn <= {_IVF_K}
+),{_duck_ivf_iter('seeds', 1)},{_duck_ivf_iter('c1', 2)},
+ca AS (
+  SELECT vec_id, v, centroid FROM (
+    SELECT c.vec_id, c.v, s.centroid,
+           row_number() OVER (PARTITION BY c.vec_id
+                              ORDER BY {_duck_sq_l2('c.v', 's.cvec')}, s.centroid) AS rn
+    FROM corpus c CROSS JOIN c2 s) WHERE rn = 1
+),
+qa AS (
+  SELECT vec_id, v, centroid FROM (
+    SELECT c.vec_id, c.v, s.centroid,
+           row_number() OVER (PARTITION BY c.vec_id
+                              ORDER BY {_duck_sq_l2('c.v', 's.cvec')}, s.centroid) AS rn
+    FROM corpus c CROSS JOIN c2 s
+    WHERE c.vec_id % {QUERY_VEC_MOD} = 0) WHERE rn <= {_IVF_PROBES}
+),
+scored AS (
+  SELECT qa.vec_id AS query_id, ca.vec_id AS id,
+         {_DOT.format(a='qa.v', b='ca.v')}
+           / (sqrt({_SSQ.format(a='qa.v')}) * sqrt({_SSQ.format(a='ca.v')})) AS cosine
+  FROM ca JOIN qa ON ca.centroid = qa.centroid AND ca.vec_id <> qa.vec_id
+),
+ranked AS (
+  SELECT query_id, id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, id) AS rn
+  FROM scored
+)
+SELECT query_id, id, rn AS "rank", round(cosine, 6) AS cosine
+FROM ranked WHERE rn <= {TOPK}
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -2697,8 +2784,7 @@ def oracle_sql() -> dict[str, str]:
         "e12_zorder": _E12_SQL,
         "e13_dup_clusters": _E13_SQL,
         "e14_embedding_neardup": _E14_SQL,
-        # e15_ivf_ann: no oracle — iterative k-means is not SQL-expressible;
-        # driver records the rows-only check
+        "e15_ivf_ann": _E15_SQL,  # full iterative k-means replayed in SQL
         "e16_bpe_tokens": _E16_SQL,
         "s1_event_windows": _S1_SQL,
         "s2_sessionize": _S2_SQL,

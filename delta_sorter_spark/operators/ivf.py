@@ -2,12 +2,20 @@
 search (the second scale path next to sign-LSH in operators/similarity.py).
 
 Index build = a few Lloyd iterations, all DataFrame ops:
-- centroids start as seeded gaussians (deterministic, data-independent init);
+- centroids seed from the corpus itself: the k vectors with the smallest
+  portable hash of their id (md5 -> bigint, functions.hashing) — a
+  deterministic, engine-reproducible k-means|| stand-in with no RNG;
 - assignment: broadcast the (tiny) centroid table, per-vector argmin via
-  ``min_by`` over squared L2 — one narrow shuffle per iteration;
+  a row_number window over squared L2 — one narrow shuffle per iteration;
 - update: element-wise centroid means via ``posexplode`` ->
-  groupBy(centroid, pos) -> avg -> re-assemble arrays with
-  ``sort_array(collect_list(struct(pos,val)))``.
+  groupBy(centroid, pos) -> exact mean -> re-assemble arrays with
+  ``sort_array(collect_list(struct(pos,val)))``.  The mean quantizes
+  values to integers (floor(v * 2^20), bit-reproducible per IEEE), sums
+  exactly in BIGINT, and performs ONE double division — so the centroids,
+  and therefore every assignment and distance, are bit-identical in any
+  engine regardless of aggregation order.  This is what lets an iterative
+  distributed k-means be hash-checked against a single-threaded SQL oracle
+  (see __spark_entry__ e15).
 
 Search: assign each query to its ``n_probes`` nearest centroids, join the
 corpus on centroid id (only those inverted lists are scanned), exact cosine
@@ -25,15 +33,26 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from delta_sorter_spark.functions.hashing import MERSENNE_P, spark_md5_long_sql
 from delta_sorter_spark.operators.similarity import cosine_expr
 
+MEAN_QSCALE = 1 << 20  # integer quantization for exact centroid means
 
-def _seed_centroids(spark, dim: int, k: int, seed: int):
-    import numpy as np
 
-    rng = np.random.RandomState(seed)
-    rows = [(i, [float(x) for x in rng.standard_normal(dim)]) for i in range(k)]
-    return spark.createDataFrame(rows, "centroid int, cvec array<double>")
+def _seed_centroids(corpus: DataFrame, id_col: str, emb_col: str, k: int):
+    """k corpus vectors with the smallest portable id-hash: (centroid, cvec).
+    One tiny k-row window; hash ties broken by id."""
+    h = F.expr(f"{spark_md5_long_sql(f'CAST({id_col} AS STRING)')} % {MERSENNE_P}")
+    w = Window.orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        corpus.select(
+            F.col(id_col),
+            F.expr(f"transform({emb_col}, x -> CAST(x AS DOUBLE))").alias("cvec"),
+        )
+        .withColumn("__rn__", F.row_number().over(w))
+        .where(F.col("__rn__") <= k)
+        .select((F.col("__rn__") - 1).cast("int").alias("centroid"), "cvec")
+    )
 
 
 def _sq_l2(a: str, b: str):
@@ -64,18 +83,35 @@ def kmeans_centroids(
     dim: int,
     k: int = 16,
     n_iters: int = 2,
-    seed: int = 42,
+    id_col: str | None = None,
 ) -> DataFrame:
-    """Deterministic coarse quantizer: (centroid, cvec)."""
-    spark = corpus.sparkSession
-    centroids = _seed_centroids(spark, dim, k, seed)
+    """Deterministic coarse quantizer: (centroid, cvec).  ``id_col`` drives
+    the hash-based seeding (falls back to the embedding's string form)."""
+    if id_col is None:
+        seeds_src = corpus.select(
+            F.expr(f"CAST({emb_col} AS STRING)").alias("__sid__"),
+            F.col(emb_col).alias("__e__"),
+        )
+        centroids = _seed_centroids(seeds_src, "__sid__", "__e__", k)
+    else:
+        centroids = _seed_centroids(corpus, id_col, emb_col, k)
     vecs = corpus.select(F.col(emb_col).alias("__v__"))
     for _ in range(n_iters):
         assigned = _assign(vecs, centroids, "__v__")
+        # exact mean: quantize -> BIGINT sum (associative) -> ONE division
         means = (
             assigned.select("centroid", F.posexplode("__v__").alias("pos", "val"))
             .groupBy("centroid", "pos")
-            .agg(F.avg("val").alias("m"))
+            .agg(
+                (
+                    F.sum(
+                        F.expr(
+                            f"CAST(floor(CAST(val AS DOUBLE) * {MEAN_QSCALE}) AS BIGINT)"
+                        )
+                    ).cast("double")
+                    / (F.count("*") * F.lit(MEAN_QSCALE)).cast("double")
+                ).alias("m")
+            )
             .groupBy("centroid")
             .agg(
                 F.expr(
@@ -108,12 +144,13 @@ def ivf_topk(
     n_centroids: int = 16,
     n_probes: int = 2,
     n_iters: int = 2,
-    seed: int = 42,
 ) -> DataFrame:
     """Approximate top-k: probe the ``n_probes`` nearest inverted lists,
     exact cosine rerank.  Output matches brute_force_topk: (query_id, id,
     rank, cosine)."""
-    centroids = kmeans_centroids(corpus, emb_col, dim, n_centroids, n_iters, seed)
+    centroids = kmeans_centroids(
+        corpus, emb_col, dim, n_centroids, n_iters, id_col=id_col
+    )
     c = _assign(
         corpus.select(F.col(id_col).alias("id"), F.col(emb_col).alias("__cemb__")),
         centroids,
