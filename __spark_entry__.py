@@ -35,6 +35,7 @@ from delta_sorter_spark.operators.dedup import (
     simhash,
 )
 from delta_sorter_spark.operators.joins import asof_join, range_join
+from delta_sorter_spark.plans import tpch_extra
 from delta_sorter_spark.operators.similarity import (
     ann_topk,
     brute_force_topk,
@@ -2758,6 +2759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e28_top_terms": q_e28_top_terms,
         "e26_bloom_prefilter": q_e26_bloom_prefilter,
         "p1_quality_dedup_pipeline": q_p1_quality_dedup_pipeline,
+        **tpch_extra.QUERIES,
     }
 
 
@@ -2830,4 +2832,5 @@ def oracle_sql() -> dict[str, str]:
         "e28_top_terms": _E28_SQL,
         "e26_bloom_prefilter": _E26_SQL,
         "p1_quality_dedup_pipeline": _P1_SQL,
+        **tpch_extra.ORACLES,
     }
