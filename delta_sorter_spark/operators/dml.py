@@ -44,14 +44,17 @@ def _key_bounds(source: DataFrame, keys: Sequence[str]) -> dict[str, tuple]:
 
 def _may_contain(add, bounds: dict[str, tuple], schema) -> bool:
     """Zone-map check: can this file's key intervals overlap the source's?
-    Missing stats => conservatively True."""
+    Missing stats => conservatively True.  Stats are keyed by PHYSICAL
+    column names (identical to logical unless renamed via column mapping)."""
     stats = add.stats or {}
     mins, maxs = stats.get("minValues", {}), stats.get("maxValues", {})
     for k, (lo, hi) in bounds.items():
-        if lo is None or k not in mins or k not in maxs:
+        md = (schema[k].metadata or {}) if k in schema.names else {}
+        pk = md.get("delta.columnMapping.physicalName", k)
+        if lo is None or pk not in mins or pk not in maxs:
             return True
-        fmin = parse_stat(mins[k], schema[k].dataType)
-        fmax = parse_stat(maxs[k], schema[k].dataType)
+        fmin = parse_stat(mins[pk], schema[k].dataType)
+        fmax = parse_stat(maxs[pk], schema[k].dataType)
         if fmin is None or fmax is None:
             return True
         if fmax < lo or fmin > hi:  # disjoint intervals on this key
@@ -313,7 +316,12 @@ def purge_deletion_vectors(table: DeltaTable) -> dict:
     if not dv_adds:
         return {"purged_files": 0, "version": state.version}
     kept = table.to_df(adds=dv_adds)
-    stat_cols = list((dv_adds[0].stats or {}).get("minValues", {}))
+    meta = table.metadata
+    # stats keys are physical names; stage_write expects logical
+    stat_cols = [
+        meta.logical_of(c)
+        for c in (dv_adds[0].stats or {}).get("minValues", {})
+    ]
     adds = table.stage_write(kept, stat_columns=stat_cols, data_change=False)
     removes = [a.remove_action(False) for a in dv_adds]
     version = table.commit_rewrite(adds, removes, operation="REORG")

@@ -184,10 +184,14 @@ def summarize_files(
     the rest."""
     meta = table.metadata
     data_schema = meta.data_schema
+    # Files (and their attested stats) are keyed by PHYSICAL column names
+    # (column mapping) — identical to the logical names unless a column was
+    # renamed; dtype lookups stay logical.
+    phys_cols = meta.physical_names(sort_columns)
     fast: list[FileSummary] = []
     need_scan: list[AddAction] = []
     for add in adds:
-        s = _summary_from_key_stats(add, sort_columns, nulls_first)
+        s = _summary_from_key_stats(add, phys_cols, nulls_first)
         if s is not None:
             fast.append(s)
         else:
@@ -202,7 +206,7 @@ def summarize_files(
                 table.spark,
                 table.table_path,
                 [a.path for a in need_scan],
-                sort_columns,
+                phys_cols,
                 nulls_first,
                 dtypes,
             )

@@ -42,6 +42,14 @@ class DeltaCommitConflict(Exception):
     """Another writer claimed the target version first."""
 
 
+def physical_name(field: T.StructField) -> str:
+    """Parquet-file column name for a schema field (Delta column mapping,
+    ``delta.columnMapping.physicalName`` field metadata).  Defaults to the
+    logical name, so tables that never renamed a column are unaffected."""
+    md = field.metadata or {}
+    return md.get("delta.columnMapping.physicalName", field.name)
+
+
 @dataclass
 class AddAction:
     path: str  # relative, POSIX, possibly "col=val/part-....parquet"
@@ -125,6 +133,26 @@ class TableMetadata:
         return T.StructType(
             [f for f in self.schema.fields if f.name not in self.partition_columns]
         )
+
+    # -- column mapping (rename without rewriting data files) --------------
+
+    def physical_of(self, logical: str) -> str:
+        """Physical (file) name for a logical column; identity when the
+        column has never been renamed or isn't in the schema (lets stats
+        helpers stay tolerant of computed columns)."""
+        for f in self.schema.fields:
+            if f.name == logical:
+                return physical_name(f)
+        return logical
+
+    def physical_names(self, cols) -> list[str]:
+        return [self.physical_of(c) for c in cols]
+
+    def logical_of(self, physical: str) -> str:
+        for f in self.schema.fields:
+            if physical_name(f) == physical:
+                return f.name
+        return physical
 
 
 @dataclass
@@ -322,7 +350,10 @@ class DeltaLog:
     # -- writing -----------------------------------------------------------
 
     def create_table(
-        self, schema: T.StructType, partition_columns: list[str] | None = None
+        self,
+        schema: T.StructType,
+        partition_columns: list[str] | None = None,
+        configuration: dict | None = None,
     ) -> TableMetadata:
         os.makedirs(self.log_dir, exist_ok=True)
         if self._commit_versions():
@@ -331,6 +362,7 @@ class DeltaLog:
             table_id=str(uuid.uuid4()),
             schema=schema,
             partition_columns=list(partition_columns or []),
+            configuration=dict(configuration or {}),
         )
         actions = [
             {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
@@ -340,13 +372,31 @@ class DeltaLog:
                     "format": {"provider": "parquet", "options": {}},
                     "schemaString": json.dumps(schema.jsonValue()),
                     "partitionColumns": meta.partition_columns,
-                    "configuration": {},
+                    "configuration": meta.configuration,
                     "createdTime": int(time.time() * 1000),
                 }
             },
         ]
         self.commit(0, actions, operation="CREATE TABLE", operation_params={})
         return meta
+
+    def version_at_timestamp(self, ts_millis: int) -> int:
+        """Latest version whose commit timestamp <= ts (Spark's
+        ``timestampAsOf``).  A timestamp past the newest commit resolves to
+        the newest version (delta-rs behavior); one before the first commit
+        raises."""
+        best: int | None = None
+        for h in reversed(self.history()):  # oldest first
+            t = h.get("timestamp") or 0
+            if t <= ts_millis:
+                best = h["version"]
+            else:
+                break
+        if best is None:
+            raise ValueError(
+                f"timestamp {ts_millis} precedes the first commit of {self.table_path}"
+            )
+        return best
 
     def commit(
         self,

@@ -213,17 +213,36 @@ class DeltaTable:
 
     # -- read --------------------------------------------------------------
 
+    def version_at_timestamp(self, ts) -> int:
+        """Version active at a wall-clock time (Spark's ``timestampAsOf``).
+        Accepts a datetime, an ``int`` in epoch millis, or a
+        ``'YYYY-MM-DD HH:MM:SS'`` string (local time)."""
+        import datetime as _dt
+
+        if isinstance(ts, str):
+            ts = _dt.datetime.fromisoformat(ts)
+        if isinstance(ts, _dt.datetime):
+            ts = int(ts.timestamp() * 1000)
+        return self.log.version_at_timestamp(int(ts))
+
     def to_df(
         self,
         adds: Sequence[AddAction] | None = None,
         version: int | None = None,
+        timestamp=None,
     ) -> DataFrame:
         """DataFrame over the active files (or an explicit pruned subset).
 
         ``version`` time-travels: the file list comes from replaying the log
         only up to that commit (Spark's ``versionAsOf`` / delta-rs
         ``load_version``) — O(log) metadata work, no data copies, because
-        rewritten files are tombstoned rather than deleted until vacuum."""
+        rewritten files are tombstoned rather than deleted until vacuum.
+        ``timestamp`` is ``timestampAsOf``: resolved to the last version
+        committed at or before that time, then identical."""
+        if timestamp is not None:
+            if version is not None:
+                raise ValueError("pass either version or timestamp, not both")
+            version = self.version_at_timestamp(timestamp)
         state = self.state(version=version)
         meta = state.metadata
         use = state.adds if adds is None else list(adds)
@@ -241,20 +260,55 @@ class DeltaTable:
             df = df.unionByName(p)
         return df
 
+    def _base_for(self, add: AddAction) -> str:
+        """Partition-discovery base for one file.  Relative adds live under
+        this table; absolute adds (shallow clones) keep their source table's
+        root, recovered by stripping the file name plus one ``k=v`` directory
+        per partition value — so clones of clones and multi-source unions
+        each read against the right base."""
+        if not os.path.isabs(add.path):
+            return self.table_path
+        base = os.path.dirname(add.path)
+        for _ in add.partition_values:
+            base = os.path.dirname(base)
+        return base
+
+    def _physical_fields(self, meta) -> list[tuple[str, T.StructField]]:
+        from delta_sorter_spark.sources.delta_log import physical_name
+
+        return [(physical_name(f), f) for f in meta.schema.fields]
+
     def _read_files(self, adds: Sequence[AddAction], meta) -> DataFrame:
-        files = [os.path.join(self.table_path, a.path) for a in adds]
         # Read with the authoritative log schema: files written before a
         # schema evolution lack the newer columns and yield NULLs (exactly
         # Delta's mergeSchema read semantics), partition columns fill from
         # the directory values, and the footer-sampling schema pass is
-        # skipped.
-        reader = self.spark.read.schema(meta.schema)
-        if meta.partition_columns:
-            reader = reader.option("basePath", self.table_path)
-        df = reader.parquet(*files)
-        # Cast to the authoritative log schema (partition dirs are strings;
-        # Spark's partition inference may disagree with the log).
-        return df.select(*[F.col(f.name).cast(f.dataType).alias(f.name) for f in meta.schema.fields])
+        # skipped.  Files carry PHYSICAL column names (column mapping);
+        # the final select casts and maps back to logical names.
+        phys = self._physical_fields(meta)
+        read_schema = T.StructType(
+            [T.StructField(p, f.dataType, True) for p, f in phys]
+        )
+        groups: dict[str, list[str]] = {}
+        for a in adds:
+            groups.setdefault(self._base_for(a), []).append(
+                os.path.join(self.table_path, a.path)
+            )
+        parts = []
+        for base, files in groups.items():
+            reader = self.spark.read.schema(read_schema)
+            if meta.partition_columns:
+                reader = reader.option("basePath", base)
+            df = reader.parquet(*files)
+            # Cast to the authoritative log schema (partition dirs are
+            # strings; Spark's partition inference may disagree with the log).
+            parts.append(
+                df.select(*[F.col(p).cast(f.dataType).alias(f.name) for p, f in phys])
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def scan_with_positions(
         self, adds: Sequence[AddAction], meta=None
@@ -265,15 +319,31 @@ class DeltaTable:
         and splittable, no Python in the row path.  NOTE: raw = existing
         deletion vectors are NOT applied here."""
         meta = meta or self.metadata
-        files = [os.path.join(self.table_path, a.path) for a in adds]
-        reader = self.spark.read.schema(meta.schema)
-        if meta.partition_columns:
-            reader = reader.option("basePath", self.table_path)
-        return reader.parquet(*files).select(
-            F.col("_metadata.file_path").alias("__file__"),
-            F.col("_metadata.row_index").alias("__pos__"),
-            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in meta.schema.fields],
+        phys = self._physical_fields(meta)
+        read_schema = T.StructType(
+            [T.StructField(p, f.dataType, True) for p, f in phys]
         )
+        groups: dict[str, list[str]] = {}
+        for a in adds:
+            groups.setdefault(self._base_for(a), []).append(
+                os.path.join(self.table_path, a.path)
+            )
+        parts = []
+        for base, files in groups.items():
+            reader = self.spark.read.schema(read_schema)
+            if meta.partition_columns:
+                reader = reader.option("basePath", base)
+            parts.append(
+                reader.parquet(*files).select(
+                    F.col("_metadata.file_path").alias("__file__"),
+                    F.col("_metadata.row_index").alias("__pos__"),
+                    *[F.col(p).cast(f.dataType).alias(f.name) for p, f in phys],
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def read_deletion_vector(self, add: AddAction) -> set[int]:
         """Deleted row positions for one file (empty if no DV)."""
@@ -283,7 +353,17 @@ class DeltaTable:
             return set()
         sidecar = os.path.join(self.table_path, add.deletion_vector["storagePath"])
         with open(sidecar) as fh:
-            return set(_json.load(fh).get(add.path, []))
+            positions = _json.load(fh)
+        if add.path in positions:
+            return set(positions[add.path])
+        if os.path.isabs(add.path):
+            # shallow clone: the sidecar keys are SOURCE-relative paths; the
+            # source root is two levels above the sidecar
+            # (<src>/_deletion_vectors/<file>.json)
+            src_root = os.path.dirname(os.path.dirname(sidecar))
+            rel = os.path.relpath(add.path, src_root).replace(os.sep, "/")
+            return set(positions.get(rel, []))
+        return set()
 
     def _read_dv_files(self, adds: Sequence[AddAction], meta) -> DataFrame:
         """Merge-on-read: scan files that carry a deletion vector and drop
@@ -332,23 +412,31 @@ class DeltaTable:
         ``append(..., merge_schema=True)`` which commits the widened schema
         atomically with these files.
         """
+        from delta_sorter_spark.sources.delta_log import physical_name
+
         meta = self.metadata
         part_cols = meta.partition_columns
         write_schema = schema if schema is not None else meta.schema
         data_cols = [f.name for f in write_schema.fields if f.name not in part_cols]
         staging = os.path.join(self.table_path, "_staging", uuid.uuid4().hex)
 
-        writer = df.select(*[F.col(c) for c in part_cols + data_cols]).write.mode("overwrite")
+        # Files store PHYSICAL column names (column mapping): identical to
+        # logical until a rename, after which new files keep writing the
+        # original physical name so all file-level stats stay comparable.
+        to_phys = {f.name: physical_name(f) for f in write_schema.fields}
+        writer = df.select(
+            *[F.col(c).alias(to_phys.get(c, c)) for c in part_cols + data_cols]
+        ).write.mode("overwrite")
         if target_file_size_bytes:
             max_records = self._estimate_max_records(df, target_file_size_bytes)
             if max_records:
                 writer = writer.option("maxRecordsPerFile", max_records)
         if part_cols:
-            writer = writer.partitionBy(*part_cols)
+            writer = writer.partitionBy(*[to_phys.get(c, c) for c in part_cols])
         writer.parquet(staging)
 
         adds: list[AddAction] = []
-        stat_columns = list(stat_columns or [])
+        stat_columns = [to_phys.get(c, c) for c in (stat_columns or [])]
         for root, _dirs, names in os.walk(staging):
             for name in names:
                 if not name.endswith(".parquet"):
@@ -553,6 +641,131 @@ class DeltaTable:
             operation="DROP CONSTRAINT",
             operation_params={"name": name},
         )
+
+    # -- column mapping (RENAME COLUMN) ------------------------------------
+
+    def rename_column(self, old: str, new: str) -> int:
+        """ALTER TABLE ... RENAME COLUMN — metadata-only, zero data files
+        touched (Delta column mapping, mode ``name``).  The field keeps its
+        original PHYSICAL name via ``delta.columnMapping.physicalName``;
+        existing files, their stats, and future writes all stay keyed by the
+        physical name, so zone maps and attested key stats survive the
+        rename.  Renaming partition columns or columns referenced by CHECK
+        constraints / generation expressions is rejected (their expressions
+        and directory layout embed the name)."""
+        import json as _json
+        import re as _re
+        import time as _time
+
+        def actions(state):
+            meta = state.metadata
+            names = [f.name for f in meta.schema.fields]
+            if old not in names:
+                raise KeyError(f"no column {old!r}")
+            if new in names:
+                raise ValueError(f"column {new!r} already exists")
+            if old in meta.partition_columns:
+                raise ValueError(
+                    f"cannot rename partition column {old!r} (directory layout)"
+                )
+            word = _re.compile(rf"\b{_re.escape(old)}\b")
+            for cname, expr in meta.check_constraints.items():
+                if word.search(expr):
+                    raise ValueError(
+                        f"column {old!r} is referenced by CHECK constraint {cname!r}"
+                    )
+            fields = []
+            for f in meta.schema.fields:
+                md = dict(f.metadata or {})
+                if "delta.generationExpression" in md and word.search(
+                    md["delta.generationExpression"]
+                ):
+                    raise ValueError(
+                        f"column {old!r} is referenced by generated column {f.name!r}"
+                    )
+                # enabling mapping pins EVERY field's physical name so later
+                # renames of other columns behave identically
+                md.setdefault("delta.columnMapping.physicalName", f.name)
+                fields.append(
+                    T.StructField(new if f.name == old else f.name, f.dataType, f.nullable, md)
+                )
+            config = dict(meta.configuration)
+            config["delta.columnMapping.mode"] = "name"
+            return [
+                {
+                    "metaData": {
+                        "id": meta.table_id,
+                        "format": {"provider": "parquet", "options": {}},
+                        "schemaString": _json.dumps(T.StructType(fields).jsonValue()),
+                        "partitionColumns": meta.partition_columns,
+                        "configuration": config,
+                        "createdTime": int(_time.time() * 1000),
+                    }
+                }
+            ]
+
+        return self.log.commit_with_retry(
+            actions,
+            operation="RENAME COLUMN",
+            operation_params={"from": old, "to": new},
+        )
+
+    # -- shallow clone -----------------------------------------------------
+
+    @classmethod
+    def clone(
+        cls, spark: SparkSession, source_path: str, dest_path: str
+    ) -> "DeltaTable":
+        """Shallow CLONE: a new table whose version-0 commit re-Adds the
+        source's active files BY ABSOLUTE PATH — zero data copied, stats and
+        deletion vectors carried over.  Writes to the clone land in its own
+        directory; the clone's vacuum walks only its own directory, so
+        source data files are never collected from the clone side.  The
+        metadata-only pattern for 100 TB experimentation: branch, mutate,
+        measure, drop."""
+        src = cls(spark, source_path)
+        state = src.state()
+        meta = state.metadata
+        dst = cls(spark, dest_path)
+        if dst.log.exists():
+            raise FileExistsError(f"table already exists at {dest_path}")
+        config = dict(meta.configuration)
+        config["delta-sorter.clone.source"] = src.table_path
+        config["delta-sorter.clone.sourceVersion"] = str(state.version)
+        dst.log.create_table(meta.schema, meta.partition_columns, config)
+
+        def actions(_state):
+            out = []
+            for a in state.adds:
+                dv = None
+                if a.deletion_vector:
+                    dv = dict(a.deletion_vector)
+                    dv["storagePath"] = os.path.join(
+                        src.table_path, dv["storagePath"]
+                    )
+                out.append(
+                    AddAction(
+                        path=os.path.join(src.table_path, a.path),
+                        size=a.size,
+                        partition_values=dict(a.partition_values),
+                        modification_time=a.modification_time,
+                        data_change=True,
+                        stats=a.stats,
+                        deletion_vector=dv,
+                    )
+                )
+            return out
+
+        dst.log.commit_with_retry(
+            actions,
+            operation="CLONE",
+            operation_params={
+                "source": src.table_path,
+                "sourceVersion": str(state.version),
+                "isShallow": "true",
+            },
+        )
+        return dst
 
     def _estimate_max_records(self, df: DataFrame, target_bytes: int) -> int | None:
         """bytes/row estimate from current table state (cheap, metadata-only);
