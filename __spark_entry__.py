@@ -2685,6 +2685,74 @@ GROUP BY decile
 # ---------------------------------------------------------------------------
 
 
+# ---------------------------------------------------------------------------
+# S4: hopping (sliding) windows — each event in 2 overlapping 1h windows
+# ---------------------------------------------------------------------------
+
+
+def q_s4_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_sorter_spark.streaming.events import sliding_window_counts
+
+    return sliding_window_counts(load_table(spark, sf_dir, "events"))
+
+
+# window starts aligned to the 1970 epoch in both engines; every event falls
+# in exactly two 30-min-aligned 1-hour windows: g and g-1800 seconds
+_S4_SQL = f"""
+WITH ex AS (
+  SELECT event_type, value,
+         unnest([g0, g0 - 1800]) AS wstart
+  FROM (SELECT event_type, value,
+               (CAST(floor(epoch(ts)) AS BIGINT) // 1800) * 1800 AS g0
+        FROM events)
+)
+SELECT strftime(make_timestamp(wstart * 1000000), '{_TS_FMT_DUCK}') AS window_start,
+       event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM ex GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# E32: chunk-level (paragraph-style) cross-document dedup profile
+# ---------------------------------------------------------------------------
+
+CHUNK_WORDS = 10
+
+
+def q_e32_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_sorter_spark.operators.dedup import chunk_dedup_stats
+
+    return chunk_dedup_stats(
+        load_table(spark, sf_dir, "documents"), chunk_words=CHUNK_WORDS
+    )
+
+
+_E32_SQL = f"""
+WITH c AS (
+  SELECT doc_id, source,
+         unnest(list_transform(
+           range(1, CAST(len(string_split(text, ' ')) // {CHUNK_WORDS} AS BIGINT) + 1),
+           i -> array_to_string(
+                  list_slice(string_split(text, ' '),
+                             (i - 1) * {CHUNK_WORDS} + 1,
+                             (i - 1) * {CHUNK_WORDS} + {CHUNK_WORDS}), ' ')
+         )) AS chunk
+  FROM documents
+), h AS (
+  SELECT doc_id, source, {duckdb_md5_long_sql('chunk')} AS ch FROM c
+), d AS (
+  SELECT ch, count(DISTINCT doc_id) AS n_docs FROM h GROUP BY ch
+)
+SELECT source,
+       count(*) AS n_chunks,
+       sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS n_dup_chunks
+FROM h JOIN d USING (ch)
+GROUP BY source
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the validator's V1 per-file min/max over sf0.001."""
     return q_v1_file_minmax(spark, "/root/testdata/sf0.001")
@@ -2759,6 +2827,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e28_top_terms": q_e28_top_terms,
         "e26_bloom_prefilter": q_e26_bloom_prefilter,
         "p1_quality_dedup_pipeline": q_p1_quality_dedup_pipeline,
+        "s4_sliding_windows": q_s4_sliding_windows,
+        "e32_chunk_dedup": q_e32_chunk_dedup,
         **tpch_extra.QUERIES,
     }
 
@@ -2832,5 +2902,7 @@ def oracle_sql() -> dict[str, str]:
         "e28_top_terms": _E28_SQL,
         "e26_bloom_prefilter": _E26_SQL,
         "p1_quality_dedup_pipeline": _P1_SQL,
+        "s4_sliding_windows": _S4_SQL,
+        "e32_chunk_dedup": _E32_SQL,
         **tpch_extra.ORACLES,
     }

@@ -340,3 +340,57 @@ def decontaminate(
         .groupBy(id_col)
         .agg(F.count("*").alias("n_hits"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Chunk-level (paragraph-style) exact dedup — the pretraining hygiene pass
+# that removes boilerplate repeated ACROSS documents (headers, footers,
+# license blocks) rather than whole-document duplicates (E1) or near-dups
+# (MinHash).  Documents are split into non-overlapping W-word chunks; a
+# chunk is "duplicated" if it occurs in more than one distinct document.
+# ---------------------------------------------------------------------------
+
+
+def doc_chunks(df: DataFrame, chunk_words: int = 10) -> DataFrame:
+    """Explode each document into its full non-overlapping word chunks
+    (trailing partial chunk dropped).  All JVM-side: split + sequence +
+    transform + explode; the explode multiplies rows ~n_words/W, the same
+    scan-friendly shape as shingling (no Python, no collect)."""
+    words = F.split(F.col("text"), " ")
+    n_chunks = F.floor(F.size(words) / chunk_words).cast("int")
+    idx = F.when(n_chunks > 0, F.sequence(F.lit(1), n_chunks)).otherwise(
+        F.array().cast("array<int>")
+    )
+    chunk = F.explode(
+        F.transform(
+            idx,
+            lambda i: F.array_join(
+                F.slice(words, (i - F.lit(1)) * chunk_words + 1, chunk_words), " "
+            ),
+        )
+    )
+    return df.select("doc_id", "source", chunk.alias("chunk"))
+
+
+def chunk_dedup_stats(df: DataFrame, chunk_words: int = 10) -> DataFrame:
+    """Per-source chunk dedup profile: total chunks and chunks that also
+    appear in ANOTHER document (cross-doc duplicated).  Two shuffles: one
+    groupBy on the 60-bit chunk hash (map-side partial distinct-doc counts),
+    one broadcast-back join keyed by the same hash.  Output:
+    (source, n_chunks, n_dup_chunks)."""
+    from delta_sorter_spark.functions.hashing import spark_md5_long_sql
+
+    chunks = doc_chunks(df, chunk_words).withColumn(
+        "ch", F.expr(spark_md5_long_sql("chunk"))
+    )
+    per_chunk = chunks.groupBy("ch").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    return (
+        chunks.join(per_chunk, "ch")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0)).alias("n_dup_chunks"),
+        )
+    )

@@ -178,3 +178,30 @@ def running_user_totals(
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+def sliding_window_counts(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+    streaming: bool = False,
+) -> DataFrame:
+    """Hopping (sliding) window counts + value sums per event_type — each
+    event lands in duration/slide windows (2 here).  Same shape as
+    windowed_event_counts but with overlap; in streaming mode the watermark
+    bounds the number of open overlapping windows.  Output:
+    (window_start, event_type, n_events, total_value)."""
+    src = events.withWatermark("ts", watermark) if streaming else events
+    agg = src.groupBy(
+        F.window("ts", window_duration, slide).alias("w"), F.col("event_type")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+    )
+    return agg.select(
+        F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )

@@ -389,3 +389,16 @@ def test_bloom_prefilter_no_false_negatives(spark):
     assert all(f"k{i}" in passed for i in range(500))  # no false negatives
     fp = len(passed) - 500
     assert fp / 4500 < 0.05  # ~0.1% design FP rate + generous slack
+
+
+def test_doc_chunks_short_doc_yields_no_chunks(spark):
+    from delta_sorter_spark.operators.dedup import doc_chunks
+
+    df = spark.createDataFrame(
+        [(1, "only three words", "s"), (2, " ".join(["w"] * 25), "s")],
+        "doc_id long, text string, source string",
+    )
+    out = doc_chunks(df, chunk_words=10).collect()
+    # doc 1: 0 chunks (3 words < 10); doc 2: 2 full chunks, trailing 5 dropped
+    assert len(out) == 2
+    assert all(r.doc_id == 2 and len(r.chunk.split(" ")) == 10 for r in out)

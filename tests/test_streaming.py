@@ -319,3 +319,33 @@ def test_stream_static_enrichment(spark, event_files):
     assert len(rows) == 6  # all events kept, including the dup and user 11
     tiers = {r["user_id"]: r["tier"] for r in rows}
     assert tiers[10] == "gold" and tiers[11] is None
+
+
+def test_sliding_windows_stream_matches_batch(spark, event_files):
+    from delta_sorter_spark.streaming.events import sliding_window_counts
+
+    src, schema = event_files
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    out = sliding_window_counts(stream, streaming=True)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("slide_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM slide_counts").collect()
+    }
+    batch = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in sliding_window_counts(
+            spark.read.schema(schema).parquet(src)
+        ).collect()
+    }
+    assert got == batch
+    # every event lands in exactly 2 windows: total weighted count doubles
+    n_events = spark.read.schema(schema).parquet(src).count()
+    assert sum(got.values()) == 2 * n_events
