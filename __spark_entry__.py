@@ -1274,6 +1274,25 @@ FROM h
 """
 
 
+def q_m3_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing (operators/multimodal.frame_sample_plan):
+    deterministic fake frame count from payload length, every-10th-frame
+    index exploded 1->many — the real decoder slots into the same shape."""
+    from delta_sorter_spark.operators.multimodal import frame_sample_plan
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    out = frame_sample_plan(docs, "doc_id", "payload", every_n=10)
+    return out.select("id", F.col("frame_idx").cast("long").alias("frame_idx"))
+
+
+_M3_SQL = """
+WITH h AS (SELECT doc_id AS id, strlen(text) % 100 + 1 AS n_frames FROM documents)
+SELECT id, unnest(range(0, CAST(n_frames AS BIGINT), 10)) AS frame_idx FROM h
+"""
+
+
 # ---------------------------------------------------------------------------
 # A5: hierarchical aggregation via ROLLUP (grouping-sets surface)
 # ---------------------------------------------------------------------------
@@ -2829,6 +2848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p1_quality_dedup_pipeline": q_p1_quality_dedup_pipeline,
         "s4_sliding_windows": q_s4_sliding_windows,
         "e32_chunk_dedup": q_e32_chunk_dedup,
+        "m3_frame_sample": q_m3_frame_sample,
         **tpch_extra.QUERIES,
     }
 
@@ -2904,5 +2924,6 @@ def oracle_sql() -> dict[str, str]:
         "p1_quality_dedup_pipeline": _P1_SQL,
         "s4_sliding_windows": _S4_SQL,
         "e32_chunk_dedup": _E32_SQL,
+        "m3_frame_sample": _M3_SQL,
         **tpch_extra.ORACLES,
     }

@@ -165,6 +165,7 @@ class DeltaTable:
         partition_columns: Sequence[str] | None = None,
         stat_columns: Sequence[str] | None = None,
         generated_columns: dict[str, tuple[str, str]] | None = None,
+        identity_columns: dict[str, tuple[int, int]] | None = None,
     ) -> "DeltaTable":
         """Create a new table from a DataFrame (test/fixture convenience —
         the reference creates tables via delta-rs writers in its tests).
@@ -176,12 +177,21 @@ class DeltaTable:
         supply a value must supply the expression's value (enforced with the
         CHECK-constraint pass).  The canonical use is a derived partition
         key (e.g. a date extracted from a timestamp) that partition pruning
-        can then use without every writer re-deriving it by hand."""
+        can then use without every writer re-deriving it by hand.
+
+        ``identity_columns`` maps name -> (start, step) — Delta's GENERATED
+        ALWAYS AS IDENTITY.  Values are allocated engine-side on every
+        append (writers must NOT supply them); uniqueness at scale comes
+        from partition-offset allocation (no global coordination per row),
+        so ids land on the start+k*step grid but with gaps, exactly Delta's
+        contract.  The high watermark advances in the same commit as the
+        data files, read from the new files' stats (zero extra jobs)."""
         table = cls(spark, table_path)
         partition_columns = list(partition_columns or [])
         gen = dict(generated_columns or {})
+        ident = dict(identity_columns or {})
         fields = [
-            f for f in df.schema.fields if f.name not in gen
+            f for f in df.schema.fields if f.name not in gen and f.name not in ident
         ]
         for name, (ddl, expr) in gen.items():
             dtype = T._parse_datatype_string(ddl)
@@ -191,12 +201,119 @@ class DeltaTable:
                 )
             )
             df = df.withColumn(name, F.expr(expr).cast(dtype))
-        table.log.create_table(T.StructType(fields), partition_columns)
-        adds = table.stage_write(df, stat_columns=stat_columns or [])
+        for name, (start, step) in ident.items():
+            if step == 0:
+                raise ValueError("identity step must be non-zero")
+            fields.append(
+                T.StructField(
+                    name,
+                    T.LongType(),
+                    True,
+                    {
+                        "delta.identity.start": int(start),
+                        "delta.identity.step": int(step),
+                        "delta.identity.highWaterMark": int(start) - int(step),
+                    },
+                )
+            )
+        schema = T.StructType(fields)
+        table.log.create_table(schema, partition_columns)
+        df = table._assign_identity_columns(df, schema)
+        stat_columns = list(stat_columns or []) + [
+            c for c in ident if c not in (stat_columns or [])
+        ]
+        adds = table.stage_write(df, stat_columns=stat_columns)
+        meta_action = table._identity_meta_action(schema, adds, partition_columns)
         table.log.commit_with_retry(
-            lambda state: list(adds), operation="WRITE", operation_params={"mode": "Append"}
+            lambda state: ([meta_action] if meta_action else []) + list(adds),
+            operation="WRITE",
+            operation_params={"mode": "Append"},
         )
         return table
+
+    # -- identity columns (GENERATED ALWAYS AS IDENTITY) --------------------
+
+    @staticmethod
+    def _identity_fields(schema: T.StructType) -> dict[str, tuple[int, int, int]]:
+        """name -> (start, step, highWaterMark) for identity fields."""
+        out = {}
+        for f in schema.fields:
+            md = f.metadata or {}
+            if "delta.identity.start" in md:
+                start = int(md["delta.identity.start"])
+                step = int(md.get("delta.identity.step", 1))
+                hwm = int(md.get("delta.identity.highWaterMark", start - step))
+                out[f.name] = (start, step, hwm)
+        return out
+
+    def _assign_identity_columns(self, df: DataFrame, schema: T.StructType) -> DataFrame:
+        """Allocate identity values above the watermark without global
+        coordination: ``monotonically_increasing_id`` is unique within the
+        write (partition ordinal in the high bits), so
+        ``hwm + step * (mid + 1)`` is unique, on-grid, and > hwm for every
+        row — the distributed-allocation contract (gaps allowed)."""
+        for name, (_start, step, hwm) in self._identity_fields(schema).items():
+            if name in df.columns:
+                raise ValueError(
+                    f"identity column {name!r} is GENERATED ALWAYS — "
+                    "writers must not supply it"
+                )
+            df = df.withColumn(
+                name,
+                (
+                    F.lit(hwm)
+                    + F.lit(step) * (F.monotonically_increasing_id() + F.lit(1))
+                ).cast("long"),
+            )
+        return df
+
+    def _identity_meta_action(
+        self,
+        schema: T.StructType,
+        adds: Sequence[AddAction],
+        partition_columns: Sequence[str],
+        configuration: dict | None = None,
+    ) -> dict | None:
+        """metaData action advancing identity high watermarks to the max
+        value in the new files' stats (committed atomically with them)."""
+        import json as _json
+        import time as _time
+
+        from delta_sorter_spark.sources.delta_log import physical_name
+
+        ids = self._identity_fields(schema)
+        if not ids:
+            return None
+        changed = False
+        fields = []
+        for f in schema.fields:
+            md = dict(f.metadata or {})
+            if f.name in ids:
+                phys = physical_name(f)
+                vals = [
+                    int(a.stats["maxValues"][phys])
+                    for a in adds
+                    if a.stats and phys in a.stats.get("maxValues", {})
+                ]
+                if vals and max(vals) > ids[f.name][2]:
+                    md["delta.identity.highWaterMark"] = max(vals)
+                    changed = True
+            fields.append(T.StructField(f.name, f.dataType, f.nullable, md))
+        if not changed:
+            return None
+        meta = self.metadata
+        return {
+            "metaData": {
+                "id": meta.table_id,
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": _json.dumps(T.StructType(fields).jsonValue()),
+                "partitionColumns": list(partition_columns),
+                "configuration": configuration
+                if configuration is not None
+                else meta.configuration,
+                "createdTime": int(_time.time() * 1000),
+            }
+        }
 
     # -- state -------------------------------------------------------------
 
@@ -523,6 +640,7 @@ class DeltaTable:
                 return F.expr(gen[f.name]).cast(f.dataType).alias(f.name)
             return F.lit(None).cast(f.dataType).alias(f.name)
 
+        df = self._assign_identity_columns(df, write_schema)
         filled = df.select(*[fill(f) for f in write_schema.fields])
         # writer-supplied values for generated columns must equal the
         # expression (same single-pass check as CHECK constraints)
@@ -535,14 +653,35 @@ class DeltaTable:
             if name in df.columns
         }
         self._enforce_constraints(filled, {**meta.check_constraints, **gen_checks})
+        alloc = self._identity_fields(write_schema)
+        if alloc:
+            stat_columns = list(stat_columns or []) + [
+                c for c in alloc if c not in (stat_columns or [])
+            ]
         adds = self.stage_write(filled, stat_columns=stat_columns, schema=write_schema)
+        identity_action = self._identity_meta_action(
+            write_schema, adds, meta.partition_columns
+        )
+        if identity_action is not None:
+            meta_action = identity_action  # supersedes (includes any evolution)
         params = {"mode": "Append"}
         if extra:
             params["mergeSchema"] = "true"
+
+        def build(state):
+            # identity allocation is optimistic: if another writer advanced
+            # a watermark we allocated from, our staged ids may collide —
+            # fail rather than duplicate (single-allocator-per-table model).
+            current = self._identity_fields(state.metadata.schema)
+            for name, (_s, _st, hwm) in alloc.items():
+                if name in current and current[name][2] != hwm:
+                    raise ConcurrentRewriteError(
+                        f"identity watermark of {name!r} moved concurrently"
+                    )
+            return ([meta_action] if meta_action else []) + list(adds)
+
         return self.log.commit_with_retry(
-            lambda state: ([meta_action] if meta_action else []) + list(adds),
-            operation="WRITE",
-            operation_params=params,
+            build, operation="WRITE", operation_params=params
         )
 
     # -- CHECK constraints (Delta protocol: delta.constraints.<name>) -------

@@ -1,5 +1,6 @@
 """Delta-log + table wrapper roundtrip tests."""
 
+import pytest
 import os
 
 from pyspark.sql import types as T
@@ -298,3 +299,40 @@ def test_generated_partition_column_prunes(spark, tmp_path):
     assert parts == {"2024-03-05", "2024-03-06"}
     got = t.to_df().where(F.col("event_date") == "2024-03-06")
     assert sorted(r["id"] for r in got.collect()) == [2, 3]
+
+
+class TestIdentityColumns:
+    def _mk(self, spark, path, step=1, start=100):
+        df = spark.createDataFrame([("a",), ("b",), ("c",)], "name string")
+        return DeltaTable.create(
+            spark, path, df, identity_columns={"id": (start, step)}
+        )
+
+    def test_initial_ids_on_grid_above_start(self, spark, tmp_path):
+        t = self._mk(spark, str(tmp_path / "t"), step=3)
+        rows = t.to_df().collect()
+        ids = [r.id for r in rows]
+        assert len(set(ids)) == 3
+        assert all(v >= 100 and (v - 100) % 3 == 0 for v in ids)
+
+    def test_append_allocates_above_watermark(self, spark, tmp_path):
+        t = self._mk(spark, str(tmp_path / "t"))
+        first = {r.id for r in t.to_df().collect()}
+        t.append(spark.createDataFrame([("d",), ("e",)], "name string"))
+        all_ids = [r.id for r in t.to_df().collect()]
+        assert len(all_ids) == len(set(all_ids)) == 5
+        assert min(set(all_ids) - first) > max(first)
+
+    def test_supplying_identity_value_rejected(self, spark, tmp_path):
+        t = self._mk(spark, str(tmp_path / "t"))
+        with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+            t.append(spark.createDataFrame([(9, "x")], "id long, name string"))
+
+    def test_watermark_persisted_in_metadata(self, spark, tmp_path):
+        t = self._mk(spark, str(tmp_path / "t"))
+        md = dict(t.metadata.schema["id"].metadata)
+        hwm = md["delta.identity.highWaterMark"]
+        assert hwm == max(r.id for r in t.to_df().collect())
+        t.append(spark.createDataFrame([("d",)], "name string"))
+        md2 = dict(t.metadata.schema["id"].metadata)
+        assert md2["delta.identity.highWaterMark"] > hwm
