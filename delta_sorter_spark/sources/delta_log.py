@@ -160,6 +160,10 @@ class TableState:
     version: int
     metadata: TableMetadata
     adds: list[AddAction]
+    # SetTransaction watermarks (Delta ``txn`` action): appId -> highest
+    # committed application-side version.  The idempotence handle for
+    # exactly-once streaming sinks (foreachBatch replays after restart).
+    txns: dict = field(default_factory=dict)
 
 
 class DeltaLog:
@@ -225,6 +229,7 @@ class DeltaLog:
             versions = [v for v in versions if v <= at_version]
         metadata: TableMetadata | None = None
         adds: dict[str, AddAction] = {}
+        txns: dict[str, int] = {}
 
         ckpt_version = self._last_checkpoint_version()
         replay_from = 0
@@ -237,7 +242,7 @@ class DeltaLog:
                         if not line:
                             continue
                         action = json.loads(line)
-                        metadata, adds = self._apply(action, metadata, adds)
+                        metadata, adds = self._apply(action, metadata, adds, txns)
                 replay_from = ckpt_version + 1
 
         for v in versions:
@@ -248,10 +253,15 @@ class DeltaLog:
                     line = line.strip()
                     if not line:
                         continue
-                    metadata, adds = self._apply(json.loads(line), metadata, adds)
+                    metadata, adds = self._apply(json.loads(line), metadata, adds, txns)
         if metadata is None:
             raise ValueError(f"Delta log at {self.log_dir} has no metaData action")
-        return TableState(version=versions[-1], metadata=metadata, adds=list(adds.values()))
+        return TableState(
+            version=versions[-1],
+            metadata=metadata,
+            adds=list(adds.values()),
+            txns=txns,
+        )
 
     def commit_actions(self, version: int) -> list[dict]:
         """All actions of one commit, in file order (change-feed readers)."""
@@ -284,7 +294,13 @@ class DeltaLog:
         return out
 
     @staticmethod
-    def _apply(action: dict, metadata, adds):
+    def _apply(action: dict, metadata, adds, txns=None):
+        if "txn" in action and txns is not None:
+            t = action["txn"]
+            app = t.get("appId")
+            if app is not None:
+                txns[app] = max(txns.get(app, -1), int(t.get("version", 0)))
+            return metadata, adds
         if "metaData" in action:
             m = action["metaData"]
             metadata = TableMetadata(
@@ -328,6 +344,8 @@ class DeltaLog:
                 }
             ),
         ]
+        for app, ver in sorted(state.txns.items()):
+            lines.append(json.dumps({"txn": {"appId": app, "version": ver}}))
         for add in state.adds:
             lines.append(json.dumps(add.to_json()))
         tmp = ckpt_path + f".{uuid.uuid4().hex}.tmp"

@@ -591,6 +591,8 @@ class DeltaTable:
         df: DataFrame,
         merge_schema: bool = False,
         stat_columns: Sequence[str] | None = None,
+        txn_app_id: str | None = None,
+        txn_version: int | None = None,
     ) -> int:
         """Append rows, optionally evolving the schema (Delta's
         ``mergeSchema`` write): new columns in ``df`` widen the table schema
@@ -598,11 +600,24 @@ class DeltaTable:
         schema or (new schema + new data) — never a torn state.  Columns the
         table has but ``df`` lacks are filled with NULLs; new columns are
         nullable by construction, so old files read as NULL for them
-        (to_df reads with the log schema).  Returns the commit version."""
+        (to_df reads with the log schema).  Returns the commit version.
+
+        ``txn_app_id``/``txn_version`` make the append IDEMPOTENT (Delta's
+        SetTransaction action): if the log already records this appId at or
+        past this version, the write is a no-op — the exactly-once handle
+        for streaming foreachBatch sinks replaying a batch after restart."""
         import json as _json
         import time as _time
 
-        meta = self.metadata
+        if (txn_app_id is None) != (txn_version is None):
+            raise ValueError("txn_app_id and txn_version must be passed together")
+        state0 = self.state()
+        if (
+            txn_app_id is not None
+            and state0.txns.get(txn_app_id, -1) >= txn_version
+        ):
+            return state0.version  # already applied — skip before staging
+        meta = state0.metadata
         existing = {f.name for f in meta.schema.fields}
         extra = [f for f in df.schema.fields if f.name not in existing]
         if extra and not merge_schema:
@@ -668,7 +683,17 @@ class DeltaTable:
         if extra:
             params["mergeSchema"] = "true"
 
+        class _AlreadyApplied(Exception):
+            pass
+
         def build(state):
+            # txn race: another writer committed this (appId, version) after
+            # our pre-staging check — drop our staged files, change nothing.
+            if (
+                txn_app_id is not None
+                and state.txns.get(txn_app_id, -1) >= txn_version
+            ):
+                raise _AlreadyApplied
             # identity allocation is optimistic: if another writer advanced
             # a watermark we allocated from, our staged ids may collide —
             # fail rather than duplicate (single-allocator-per-table model).
@@ -678,11 +703,20 @@ class DeltaTable:
                     raise ConcurrentRewriteError(
                         f"identity watermark of {name!r} moved concurrently"
                     )
-            return ([meta_action] if meta_action else []) + list(adds)
+            actions = ([meta_action] if meta_action else []) + list(adds)
+            if txn_app_id is not None:
+                actions.append(
+                    {"txn": {"appId": txn_app_id, "version": int(txn_version)}}
+                )
+            return actions
 
-        return self.log.commit_with_retry(
-            build, operation="WRITE", operation_params=params
-        )
+        try:
+            return self.log.commit_with_retry(
+                build, operation="WRITE", operation_params=params
+            )
+        except _AlreadyApplied:
+            self.discard_files(adds)
+            return self.log.latest_version()
 
     # -- CHECK constraints (Delta protocol: delta.constraints.<name>) -------
 

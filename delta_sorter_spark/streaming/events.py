@@ -205,3 +205,23 @@ def sliding_window_counts(
         "n_events",
         "total_value",
     )
+
+
+def delta_append_sink(table_path: str, app_id: str):
+    """Exactly-once foreachBatch sink into a Delta table: each micro-batch
+    append carries (app_id, batch_id) as a SetTransaction, so a batch
+    replayed after a restart (same batch_id) is a metadata no-op — the
+    Delta idempotent-sink pattern.  Usage:
+
+        q = (df.writeStream.foreachBatch(delta_append_sink(path, "job-1"))
+               .option("checkpointLocation", ckpt).start())
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from delta_sorter_spark.sources.delta_table import DeltaTable
+
+        DeltaTable(batch_df.sparkSession, table_path).append(
+            batch_df, txn_app_id=app_id, txn_version=int(batch_id)
+        )
+
+    return write_batch

@@ -349,3 +349,70 @@ def test_sliding_windows_stream_matches_batch(spark, event_files):
     # every event lands in exactly 2 windows: total weighted count doubles
     n_events = spark.read.schema(schema).parquet(src).count()
     assert sum(got.values()) == 2 * n_events
+
+
+def test_idempotent_sink_skips_replayed_batch(spark, tmp_path):
+    from delta_sorter_spark.sources.delta_table import DeltaTable
+    from delta_sorter_spark.streaming.events import delta_append_sink
+
+    path = str(tmp_path / "t")
+    DeltaTable.create(spark, path, spark.createDataFrame([(0, "seed")], "id long, v string"))
+    sink = delta_append_sink(path, "job-1")
+    b0 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    sink(b0, 0)
+    sink(b0, 0)  # replay after simulated restart — must be a no-op
+    t = DeltaTable(spark, path)
+    assert t.to_df().count() == 3
+    sink(spark.createDataFrame([(3, "c")], "id long, v string"), 1)
+    assert t.to_df().count() == 4
+    # replaying an OLDER batch id is also skipped (watermark is max-seen)
+    sink(b0, 0)
+    assert t.to_df().count() == 4
+    assert t.state().txns == {"job-1": 1}
+
+
+def test_txn_watermarks_survive_checkpoint(spark, tmp_path):
+    from delta_sorter_spark.sources.delta_table import DeltaTable
+    from delta_sorter_spark.streaming.events import delta_append_sink
+
+    path = str(tmp_path / "t")
+    DeltaTable.create(spark, path, spark.createDataFrame([(0,)], "id long"))
+    sink = delta_append_sink(path, "app")
+    for b in range(3):
+        sink(spark.createDataFrame([(b + 1,)], "id long"), b)
+    t = DeltaTable(spark, path)
+    t.log.write_checkpoint()
+    assert t.state().txns == {"app": 2}
+    sink(spark.createDataFrame([(99,)], "id long"), 2)  # replay post-ckpt
+    assert t.to_df().count() == 4
+
+
+def test_restarted_stream_does_not_duplicate(spark, event_files, tmp_path):
+    """End-to-end: run the same availableNow stream twice with FRESH
+    checkpoints (worst-case restart — batch ids start over); the txn
+    watermark, not the engine checkpoint, prevents duplicates."""
+    from delta_sorter_spark.sources.delta_table import DeltaTable
+    from delta_sorter_spark.streaming.events import delta_append_sink
+
+    src, schema = event_files
+    path = str(tmp_path / "sink_table")
+    DeltaTable.create(
+        spark, path, spark.read.schema(schema).parquet(src).limit(0)
+    )
+    n_src = spark.read.schema(schema).parquet(src).count()
+
+    def run(ckpt):
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .writeStream.foreachBatch(delta_append_sink(path, "ingest"))
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run("ck1")
+    assert DeltaTable(spark, path).to_df().count() == n_src
+    run("ck2")  # restart from scratch: same batches, same ids -> skipped
+    assert DeltaTable(spark, path).to_df().count() == n_src
