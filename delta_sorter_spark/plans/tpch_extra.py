@@ -1,4 +1,4 @@
-"""TPC-H query shapes Q2/Q11/Q12/Q13/Q15/Q18/Q19/Q21 adapted to the driver
+"""TPC-H query shapes Q2/Q6/Q10/Q11/Q12/Q13/Q15/Q16/Q18/Q19/Q20/Q21 adapted to the driver
 tables (TESTDATA.md has no partsupp — lineitem's (l_partkey, l_suppkey)
 pairs serve as the supply relation; reference has no joins at all, see
 SURVEY.md §2.9, so these are north-star E6 coverage).
@@ -418,6 +418,235 @@ WHERE pair_cost = min_cost
 """
 
 
+# ---------------------------------------------------------------------------
+# A32 — Q6 shape: forecast revenue change.  Pure scan-aggregate: every
+# predicate is scan-pushable, the result is one row.
+# ---------------------------------------------------------------------------
+
+FORECAST_LO = "1997-01-01 00:00:00"
+FORECAST_HI = "1998-01-01 00:00:00"
+
+
+def q_a32_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All four predicates reach the parquet scan (shipdate min/max prunes
+    whole row groups; at 100 TB with date-partitioned data this reads one
+    year of files, nothing else).  The aggregate is a map-side partial per
+    scan task + one single-row reduce — no shuffle of data rows at all."""
+    li = load_table(spark, sf_dir, "lineitem")
+    filtered = li.where(
+        (F.col("l_shipdate") >= F.lit(FORECAST_LO).cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit(FORECAST_HI).cast("timestamp_ntz"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24.0)
+    )
+    return filtered.agg(
+        F.sum(_dec("l_extendedprice") * _dec("l_discount"))
+        .cast("double")
+        .alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+A32_SQL = f"""
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{FORECAST_LO}'
+  AND l_shipdate <  TIMESTAMP '{FORECAST_HI}'
+  AND l_discount >= CAST(0.05 AS DOUBLE)
+  AND l_discount <= CAST(0.07 AS DOUBLE)
+  AND l_quantity <  CAST(24 AS DOUBLE)
+"""
+
+
+# ---------------------------------------------------------------------------
+# A33 — Q10 shape: returned-item reporting.  Top 20 customers by revenue
+# lost to returns in one quarter; three joins + top-k with a deterministic
+# tiebreak.
+# ---------------------------------------------------------------------------
+
+RETURN_Q_LO = "1997-07-01 00:00:00"
+RETURN_Q_HI = "1997-10-01 00:00:00"
+
+
+def q_a33_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quarter filter cuts orders ~95% before the join, so orders is
+    the SMALL side — at 100 TB AQE converts it to broadcast after the
+    filter; nation always broadcasts.  The top-20 is a global sort of the
+    per-customer aggregate (tiny), not of lineitem."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit(RETURN_Q_LO).cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit(RETURN_Q_HI).cast("timestamp_ntz"))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    )
+    return (
+        joined.groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(_dec("l_extendedprice") * (1 - _dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+A33_SQL = f"""
+SELECT c_custkey, c_name, n_name,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '{RETURN_Q_LO}'
+  AND o_orderdate <  TIMESTAMP '{RETURN_Q_HI}'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# A34 — Q16 shape: supplier count per part attribute.  NOT-IN subquery
+# (→ broadcast anti join), distinct aggregate.  lineitem (l_partkey,
+# l_suppkey) is the supply relation (no partsupp in the driver tables).
+# ---------------------------------------------------------------------------
+
+SUPPCNT_EXCL_BRAND = "Brand#13"
+SUPPCNT_EXCL_TYPE_PREFIX = "MEDIUM%"
+SUPPCNT_SIZES = [1, 4, 9, 14, 19, 23, 36, 45]
+
+
+def q_a34_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complaints list (negative-balance suppliers) is tiny →
+    broadcast LEFT ANTI, no shuffle; part after three filters is small →
+    broadcast inner.  The only shuffle is the final distinct-count
+    aggregate, whose input was already cut to qualifying parts."""
+    part = (
+        load_table(spark, sf_dir, "part")
+        .where(
+            (F.col("p_brand") != SUPPCNT_EXCL_BRAND)
+            & (~F.col("p_type").like(SUPPCNT_EXCL_TYPE_PREFIX))
+            & (F.col("p_size").isin(SUPPCNT_SIZES))
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    complaints = (
+        load_table(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    supply = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .join(
+            F.broadcast(complaints),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+    )
+    return (
+        supply.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+A34_SQL = f"""
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> '{SUPPCNT_EXCL_BRAND}'
+  AND p_type NOT LIKE '{SUPPCNT_EXCL_TYPE_PREFIX}'
+  AND p_size IN ({", ".join(str(s) for s in SUPPCNT_SIZES)})
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+# ---------------------------------------------------------------------------
+# A35 — Q20 shape: potential part promotion.  Nested IN-subqueries with a
+# correlated aggregate, decorrelated into ONE conditional aggregation per
+# (part, supplier) pair — one lineitem pass instead of two.
+# ---------------------------------------------------------------------------
+
+PROMO_NAME_PREFIX = "small%"
+PROMO_YEAR_LO = "1997-01-01 00:00:00"
+PROMO_YEAR_HI = "1998-01-01 00:00:00"
+PROMO_EXCESS_MULTIPLIER = 12
+
+
+def q_a35_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20's correlated subquery (availqty vs half the year's shipments)
+    becomes two sums with a CASE over the SAME grouped scan: total vs
+    in-year quantity per supply pair.  A pair whose total exceeds twice
+    its in-year quantity 12x-fold marks the supplier
+    (division-free DECIMAL compare).  part after the name filter broadcasts; the pair rollup is
+    the one shuffle; supplier joins the tiny qualifying set LEFT SEMI."""
+    part = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_name").like(PROMO_NAME_PREFIX))
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    in_year = (
+        F.col("l_shipdate") >= F.lit(PROMO_YEAR_LO).cast("timestamp_ntz")
+    ) & (F.col("l_shipdate") < F.lit(PROMO_YEAR_HI).cast("timestamp_ntz"))
+    pair = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(_dec("l_quantity")).alias("qty_total"),
+            F.sum(
+                F.when(in_year, _dec("l_quantity")).otherwise(
+                    F.lit("0").cast("decimal(18,2)")
+                )
+            ).alias("qty_year"),
+        )
+    )
+    qualifying = (
+        pair.where(
+            (F.col("qty_year") > 0)
+            & (F.col("qty_total") > F.col("qty_year") * PROMO_EXCESS_MULTIPLIER)
+        )
+        .select("l_suppkey")
+        .distinct()
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    return supp.join(
+        F.broadcast(qualifying), supp.s_suppkey == F.col("l_suppkey"), "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+A35_SQL = f"""
+WITH pk AS (SELECT p_partkey FROM part WHERE p_name LIKE '{PROMO_NAME_PREFIX}'),
+pair AS (
+  SELECT l_partkey, l_suppkey,
+         sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty_total,
+         sum(CASE WHEN l_shipdate >= TIMESTAMP '{PROMO_YEAR_LO}'
+                   AND l_shipdate <  TIMESTAMP '{PROMO_YEAR_HI}'
+                  THEN CAST(l_quantity AS DECIMAL(18,2))
+                  ELSE CAST(0 AS DECIMAL(18,2)) END) AS qty_year
+  FROM lineitem JOIN pk ON l_partkey = p_partkey
+  GROUP BY l_partkey, l_suppkey
+)
+SELECT s_suppkey, s_name FROM supplier
+WHERE s_suppkey IN (SELECT l_suppkey FROM pair
+                    WHERE qty_year > 0 AND qty_total > qty_year * {PROMO_EXCESS_MULTIPLIER})
+"""
+
+
 QUERIES = {
     "a24_order_count_dist": q_a24_order_count_dist,
     "a25_important_stock": q_a25_important_stock,
@@ -427,6 +656,10 @@ QUERIES = {
     "a29_disjunctive_revenue": q_a29_disjunctive_revenue,
     "a30_waiting_suppliers": q_a30_waiting_suppliers,
     "a31_min_cost_supplier": q_a31_min_cost_supplier,
+    "a32_forecast_revenue": q_a32_forecast_revenue,
+    "a33_returned_items": q_a33_returned_items,
+    "a34_supplier_cnt": q_a34_supplier_cnt,
+    "a35_part_promotion": q_a35_part_promotion,
 }
 
 ORACLES = {
@@ -438,4 +671,8 @@ ORACLES = {
     "a29_disjunctive_revenue": A29_SQL,
     "a30_waiting_suppliers": A30_SQL,
     "a31_min_cost_supplier": A31_SQL,
+    "a32_forecast_revenue": A32_SQL,
+    "a33_returned_items": A33_SQL,
+    "a34_supplier_cnt": A34_SQL,
+    "a35_part_promotion": A35_SQL,
 }

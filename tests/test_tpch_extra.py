@@ -75,6 +75,71 @@ def test_a31_winners_are_regional_minima(spark):
         assert len(prices) == 1, "tied winners must share the exact min price"
 
 
+def test_a34_anti_join_matches_not_in(spark):
+    """The broadcast LEFT ANTI must equal the textbook NOT IN subquery
+    (safe here: s_suppkey is never NULL, so NOT IN has no three-valued
+    surprise)."""
+    register_tables(spark, SF_DIR)
+    sizes = ", ".join(str(s) for s in tpch_extra.SUPPCNT_SIZES)
+    naive = spark.sql(
+        f"""
+        SELECT p_brand, p_type, p_size,
+               count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> '{tpch_extra.SUPPCNT_EXCL_BRAND}'
+          AND p_type NOT LIKE '{tpch_extra.SUPPCNT_EXCL_TYPE_PREFIX}'
+          AND p_size IN ({sizes})
+          AND l_suppkey NOT IN
+              (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type, p_size
+        """
+    )
+    ours = tpch_extra.q_a34_supplier_cnt(spark, SF_DIR)
+    cols = ("p_brand", "p_type", "p_size", "supplier_cnt")
+    assert _rows(ours, *cols) == _rows(naive, *cols)
+
+
+def test_a35_decorrelation_matches_correlated_form(spark):
+    """The single conditional-aggregation pass must equal the textbook
+    Q20 nesting: correlated scalar subqueries computing total vs in-year
+    quantity per (part, supplier) pair."""
+    register_tables(spark, SF_DIR)
+    m = tpch_extra.PROMO_EXCESS_MULTIPLIER
+    in_year = (
+        f"l.l_shipdate >= TIMESTAMP '{tpch_extra.PROMO_YEAR_LO}' "
+        f"AND l.l_shipdate < TIMESTAMP '{tpch_extra.PROMO_YEAR_HI}'"
+    )
+    naive = spark.sql(
+        f"""
+        SELECT s_suppkey, s_name FROM supplier
+        WHERE s_suppkey IN (
+          SELECT ps.l_suppkey
+          FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+                WHERE l_partkey IN (SELECT p_partkey FROM part
+                                    WHERE p_name LIKE
+                                      '{tpch_extra.PROMO_NAME_PREFIX}')) ps
+          WHERE (SELECT coalesce(sum(CAST(l_quantity AS DECIMAL(18,2))), 0)
+                 FROM lineitem l
+                 WHERE l.l_partkey = ps.l_partkey
+                   AND l.l_suppkey = ps.l_suppkey AND {in_year}) > 0
+            AND (SELECT sum(CAST(l_quantity AS DECIMAL(18,2)))
+                 FROM lineitem l
+                 WHERE l.l_partkey = ps.l_partkey
+                   AND l.l_suppkey = ps.l_suppkey)
+                > {m} * (SELECT coalesce(sum(CAST(l_quantity
+                                              AS DECIMAL(18,2))), 0)
+                         FROM lineitem l
+                         WHERE l.l_partkey = ps.l_partkey
+                           AND l.l_suppkey = ps.l_suppkey AND {in_year})
+        )
+        """
+    )
+    ours = tpch_extra.q_a35_part_promotion(spark, SF_DIR)
+    assert _rows(ours, "s_suppkey", "s_name") == _rows(
+        naive, "s_suppkey", "s_name"
+    )
+
+
 @pytest.mark.parametrize("name", sorted(tpch_extra.QUERIES))
 def test_plans_stay_jvm_side(spark, name):
     """No Python eval nodes and no cartesian products in any adapted shape
