@@ -1170,7 +1170,7 @@ def q_e15_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "id", "rank", F.round("cosine", 6).alias("cosine"))
 
 
-_E15_SQL = f"""
+_IVF_ASSIGN_CTE = f"""
 WITH corpus AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
@@ -1189,7 +1189,9 @@ ca AS (
            row_number() OVER (PARTITION BY c.vec_id
                               ORDER BY {_duck_sq_l2('c.v', 's.cvec')}, s.centroid) AS rn
     FROM corpus c CROSS JOIN c2 s) WHERE rn = 1
-),
+)"""
+
+_E15_SQL = f"""{_IVF_ASSIGN_CTE},
 qa AS (
   SELECT vec_id, v, centroid FROM (
     SELECT c.vec_id, c.v, s.centroid,
@@ -1213,6 +1215,88 @@ SELECT query_id, id, rn AS "rank", round(cosine, 6) AS cosine
 FROM ranked WHERE rn <= {TOPK}
 """
 
+
+
+# ---------------------------------------------------------------------------
+# E33: SemDeDup — semantic dedup within k-means clusters (Abbas et al. 2023).
+# Shares the e15 oracle's full k-means replay CTE; the dedup itself is a
+# within-cluster self-join with keep-lowest-id semantics.
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_THRESHOLD = 0.40
+
+
+def q_e33_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_sorter_spark.operators.dedup import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = semantic_dedup(
+        emb,
+        "vec_id",
+        "embedding",
+        dim=EMB_DIM,
+        n_centroids=_IVF_K,
+        n_iters=2,
+        threshold=SEMDEDUP_THRESHOLD,
+    )
+    return out.select(
+        F.col("id").alias("vec_id"),
+        "centroid",
+        "dup_of",
+        F.round("cosine", 6).alias("cosine"),
+    )
+
+
+_E33_SQL = f"""{_IVF_ASSIGN_CTE},
+pairs AS (
+  SELECT a.centroid, a.vec_id AS id, b.vec_id AS bid,
+         {_DOT.format(a='a.v', b='b.v')}
+           / (sqrt({_SSQ.format(a='a.v')}) * sqrt({_SSQ.format(a='b.v')})) AS cosine
+  FROM ca a JOIN ca b ON a.centroid = b.centroid AND a.vec_id > b.vec_id
+),
+hits AS (
+  SELECT centroid, id, bid, cosine,
+         row_number() OVER (PARTITION BY id ORDER BY bid) AS rn
+  FROM pairs WHERE cosine >= {SEMDEDUP_THRESHOLD}
+)
+SELECT id AS vec_id, centroid, bid AS dup_of, round(cosine, 6) AS cosine
+FROM hits WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# E34: corpus-unigram frequency scoring — float-free "perplexity" proxy
+# (floor(log2(count)) as integer bit length; ONE final double division)
+# ---------------------------------------------------------------------------
+
+
+def q_e34_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_sorter_spark.operators.textstats import unigram_surprisal
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_surprisal(docs, "doc_id", "text")
+
+
+_E34_SQL = """
+WITH t AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+    FROM documents)
+  WHERE tok <> ''
+),
+vocab AS (SELECT tok, count(*) AS cnt FROM t GROUP BY tok),
+d AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         sum(CAST(length(bin(cnt)) - 1 AS BIGINT)) AS sum_freq_bits
+  FROM t JOIN vocab USING (tok)
+  GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, sum_freq_bits,
+       round(CAST(sum_freq_bits AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+         AS avg_freq_bits
+FROM d
+"""
 
 # ---------------------------------------------------------------------------
 # E16: BPE-ish regex token counting (vs whitespace tokens in E8)
@@ -2801,6 +2885,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e13_dup_clusters": q_e13_dup_clusters,
         "e14_embedding_neardup": q_e14_embedding_neardup,
         "e15_ivf_ann": q_e15_ivf_ann,
+        "e33_semantic_dedup": q_e33_semantic_dedup,
+        "e34_unigram_surprisal": q_e34_unigram_surprisal,
         "e16_bpe_tokens": q_e16_bpe_tokens,
         "s1_event_windows": q_s1_event_windows,
         "s2_sessionize": q_s2_sessionize,
@@ -2877,6 +2963,8 @@ def oracle_sql() -> dict[str, str]:
         "e13_dup_clusters": _E13_SQL,
         "e14_embedding_neardup": _E14_SQL,
         "e15_ivf_ann": _E15_SQL,  # full iterative k-means replayed in SQL
+        "e33_semantic_dedup": _E33_SQL,  # same k-means replay + cluster self-join
+        "e34_unigram_surprisal": _E34_SQL,
         "e16_bpe_tokens": _E16_SQL,
         "s1_event_windows": _S1_SQL,
         "s2_sessionize": _S2_SQL,

@@ -394,3 +394,67 @@ def chunk_dedup_stats(df: DataFrame, chunk_words: int = 10) -> DataFrame:
             F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0)).alias("n_dup_chunks"),
         )
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    id_col: str,
+    emb_col: str,
+    dim: int,
+    n_centroids: int = 16,
+    n_iters: int = 2,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+    embeddings with the deterministic k-means quantizer (operators/ivf.py),
+    then mark, within each cluster, every item whose cosine to a SMALLER-id
+    cluster-mate reaches ``threshold`` — keep-lowest-id semantics, reported
+    with the smallest such witness.  Output: (id, centroid, dup_of, cosine)
+    — one row per REMOVED item.
+
+    Scale posture: the pairwise compare is quadratic only within a cluster,
+    never globally — n_centroids is the knob that bounds cluster size (the
+    paper uses ~1 cluster per 10-50k docs at web scale; here 16 for 500
+    vectors).  The cluster self-join shuffles on centroid; everything else
+    (centroid build, assignment) is broadcast-sized.  Determinism: centroids
+    come from integer-quantized exact means (ivf.py), cosines are
+    left-to-right double folds — both bit-identical cross-engine, so even
+    this iterative pipeline is hash-checkable against a SQL oracle."""
+    from delta_sorter_spark.operators.ivf import _assign, kmeans_centroids
+    from delta_sorter_spark.operators.similarity import cosine_expr
+
+    centroids = kmeans_centroids(
+        corpus, emb_col, dim, n_centroids, n_iters, id_col=id_col
+    )
+    assigned = _assign(
+        corpus.select(F.col(id_col).alias("id"), F.col(emb_col).alias("__e__")),
+        centroids,
+        "__e__",
+    )
+    a = assigned.select(
+        F.col("centroid"),
+        F.col("id").alias("__aid__"),
+        F.col("__e__").alias("__ae__"),
+    )
+    b = assigned.select(
+        F.col("centroid"),
+        F.col("id").alias("__bid__"),
+        F.col("__e__").alias("__be__"),
+    )
+    pairs = (
+        a.join(b, "centroid")
+        .where(F.col("__aid__") > F.col("__bid__"))
+        .withColumn("__cos__", cosine_expr("__ae__", "__be__"))
+        .where(F.col("__cos__") >= threshold)
+    )
+    # smallest witness id (and ITS cosine) via min(struct): deterministic
+    return (
+        pairs.groupBy("centroid", F.col("__aid__").alias("id"))
+        .agg(F.min(F.struct("__bid__", "__cos__")).alias("__w__"))
+        .select(
+            "id",
+            "centroid",
+            F.col("__w__.__bid__").alias("dup_of"),
+            F.col("__w__.__cos__").alias("cosine"),
+        )
+    )

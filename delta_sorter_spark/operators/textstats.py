@@ -218,3 +218,44 @@ def repetition_stats(
             F.lit(1.0) - distinct.cast("double") / total.cast("double"), 6
         ).alias("rep_ratio"),
     )
+
+
+def unigram_surprisal(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Corpus-frequency document scoring — the zero-model cousin of a
+    KenLM perplexity filter: score each document by how COMMON its tokens
+    are in this very corpus.  Per token the contribution is
+    floor(log2(corpus_count)) computed exactly as ``length(bin(cnt)) - 1``
+    (integer bit length — bit-identical in any engine, unlike float log).
+    Output: (id, n_tokens, sum_freq_bits, avg_freq_bits) where avg is the
+    ONE double division.  Low avg = rare-token (surprising) text; high =
+    boilerplate.
+
+    Scale posture: tokens explode once; the vocabulary aggregate is
+    map-side combinable and its result is vocab-sized (≪ corpus), so the
+    count join broadcasts — the per-doc rollup is the only data shuffle.
+    Token skew ("the" everywhere) lands on the broadcast side, not in a
+    shuffle key."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.split(F.trim(F.col(text_col)), r"\s+")
+        ).alias("__tok__"),
+    ).where(F.col("__tok__") != "")
+    vocab = toks.groupBy("__tok__").agg(F.count("*").alias("__cnt__"))
+    bits = F.length(F.bin(F.col("__cnt__"))) - 1
+    return (
+        toks.join(F.broadcast(vocab), "__tok__")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(bits.cast("bigint")).alias("sum_freq_bits"),
+        )
+        .withColumn(
+            "avg_freq_bits",
+            F.round(
+                F.col("sum_freq_bits").cast("double")
+                / F.col("n_tokens").cast("double"),
+                6,
+            ),
+        )
+    )

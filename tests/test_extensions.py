@@ -402,3 +402,24 @@ def test_doc_chunks_short_doc_yields_no_chunks(spark):
     # doc 1: 0 chunks (3 words < 10); doc 2: 2 full chunks, trailing 5 dropped
     assert len(out) == 2
     assert all(r.doc_id == 2 and len(r.chunk.split(" ")) == 10 for r in out)
+
+
+def test_unigram_surprisal_hand_computed(spark):
+    """bits(token) = floor(log2(corpus count)), summed per doc: verify on
+    a corpus with known counts (x:3, y:1, z:2 -> bits 1, 0, 1)."""
+    from delta_sorter_spark.operators.textstats import unigram_surprisal
+
+    df = spark.createDataFrame(
+        [(1, "x x y"), (2, "x  z"), (3, "z")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["sum_freq_bits"], r["avg_freq_bits"])
+        for r in unigram_surprisal(df, "doc_id", "text").collect()
+    }
+    # doc1: x(1)+x(1)+y(0)=2 over 3; doc2: x(1)+z(1)=2 over 2; doc3: z(1)
+    assert got == {
+        1: (3, 2, round(2 / 3, 6)),
+        2: (2, 2, 1.0),
+        3: (1, 1, 1.0),
+    }

@@ -39,3 +39,45 @@ def test_ivf_recall_vs_brute_force(spark):
     for qid, _ in approx_set:
         per_query[qid] = per_query.get(qid, 0) + 1
     assert all(v == 5 for v in per_query.values())
+
+
+def test_semantic_dedup_keep_lowest_id(spark):
+    """Every removed item must (a) cite a smaller same-cluster witness at
+    or above the threshold, (b) cite the SMALLEST such witness, and (c)
+    kept items must have no qualifying smaller-id cluster-mate — the
+    SemDeDup keep-lowest-id contract, recomputed brute-force."""
+    from delta_sorter_spark.operators.dedup import semantic_dedup
+    from delta_sorter_spark.operators.ivf import _assign, kmeans_centroids
+    from delta_sorter_spark.operators.similarity import cosine_expr
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    tau, k = 0.40, 8
+    out = semantic_dedup(
+        emb, "vec_id", "embedding", dim=64, n_centroids=k, threshold=tau
+    ).collect()
+    assert out, "expected duplicates at sf0.001 with tau=0.40"
+
+    centroids = kmeans_centroids(emb, "embedding", dim=64, k=k, n_iters=2,
+                                 id_col="vec_id")
+    assigned = _assign(
+        emb.select(F.col("vec_id").alias("id"),
+                   F.col("embedding").alias("__e__")),
+        centroids, "__e__",
+    )
+    a = assigned.select("centroid", F.col("id").alias("aid"),
+                        F.col("__e__").alias("ae"))
+    b = assigned.select("centroid", F.col("id").alias("bid"),
+                        F.col("__e__").alias("be"))
+    wits = {}
+    for r in (
+        a.join(b, "centroid").where(F.col("aid") > F.col("bid"))
+        .withColumn("cos", cosine_expr("ae", "be"))
+        .where(F.col("cos") >= tau)
+        .collect()
+    ):
+        cur = wits.get(r["aid"])
+        if cur is None or r["bid"] < cur:
+            wits[r["aid"]] = r["bid"]
+
+    got = {r["id"]: r["dup_of"] for r in out}
+    assert got == wits
