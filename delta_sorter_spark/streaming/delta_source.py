@@ -1,0 +1,249 @@
+"""Delta table as a Structured Streaming SOURCE via the PySpark 4 Python
+Data Source API (`pyspark.sql.datasource`) — the `readStream` half of the
+engine's Delta integration (the sink half is
+``streaming/events.delta_append_sink``).
+
+    spark.dataSource.register(DeltaStreamDataSource)
+    df = (spark.readStream.format("delta_sorter")
+            .option("path", table_path).load())
+
+Semantics follow Delta's streaming source (public protocol):
+
+- **Initial snapshot**: the first micro-batch covers the table's active
+  files at stream start (log replay — removes and deletion vectors
+  honored), then the stream tails the log version by version.
+- **Append-only tail**: a later commit containing a ``remove`` with
+  ``dataChange=true`` (DML, not compaction) fails the stream, unless
+  ``skipChangeCommits=true`` skips that whole commit — the same knob
+  Delta exposes.  Compaction commits (``dataChange=false`` adds) are
+  always skipped: rewrites are not new data.  A tailed commit streams its
+  OWN add files (still on disk until vacuum) — a later compaction inside
+  the same range cannot drop its rows.
+- **Exactly-once**: offsets are log versions; Spark's checkpoint replays
+  ranges deterministically (the file list per version range is a pure
+  function of the log).
+- The source schema is pinned at stream start (Spark contract); files
+  written before a schema evolution read as NULL for newer columns, and
+  column mapping (physical names) matches the batch reader
+  ``DeltaTable.to_df``.
+
+One InputPartition per data file: parallelism = files per batch, each task
+reads one parquet file through pyarrow and emits Arrow RecordBatches (the
+vectorized path of the Python source API — rows never materialize as
+Python objects).  100 TB posture: this path serves *streaming tail*
+volumes (a trigger's worth of fresh files); bulk backfill belongs to the
+JVM batch reader (``to_df``).  Reference parity: the reference has no
+streaming at all (SURVEY §2.9) — this is north-star E6 surface.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import types as T
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+from delta_sorter_spark.sources.delta_log import AddAction, DeltaLog, physical_name
+
+
+@dataclass
+class DeltaFilePartition(InputPartition):
+    """One parquet data file of one commit (pickled to the worker)."""
+
+    file_path: str  # absolute
+    partition_values: dict = field(default_factory=dict)
+    deleted_positions: tuple = ()  # DV row indices, resolved driver-side
+    schema_json: str = ""  # logical schema (StructType JSON)
+    partition_columns: tuple = ()
+
+
+def _arrow_type(dtype: T.DataType):
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    return to_arrow_type(dtype)
+
+
+def _read_file(part: DeltaFilePartition):
+    """Worker-side: one file -> Arrow batches in logical-schema order."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema = T.StructType.fromJson(json.loads(part.schema_json))
+    tbl = pq.read_table(part.file_path)
+    if part.deleted_positions:
+        dead = set(part.deleted_positions)
+        tbl = tbl.take([i for i in range(tbl.num_rows) if i not in dead])
+    n = tbl.num_rows
+    cols, names = [], []
+    for f in schema.fields:
+        at = _arrow_type(f.dataType)
+        if f.name in part.partition_columns:
+            raw = part.partition_values.get(f.name)
+            arr = (
+                pa.nulls(n, at)
+                if raw is None
+                else pa.array([raw] * n, type=pa.string()).cast(at)
+            )
+        else:
+            phys = physical_name(f)
+            if phys in tbl.column_names:
+                arr = tbl[phys].combine_chunks().cast(at)
+            else:  # written before a schema evolution
+                arr = pa.nulls(n, at)
+        cols.append(arr)
+        names.append(f.name)
+    out = pa.table(dict(zip(names, cols)))
+    yield from out.to_batches(max_chunksize=1 << 16)
+
+
+def _dv_positions(table_path: str, add: AddAction) -> tuple:
+    """Resolve a file's deletion-vector positions driver-side (tiny)."""
+    if not add.deletion_vector:
+        return ()
+    sidecar = os.path.join(table_path, add.deletion_vector["storagePath"])
+    with open(sidecar) as fh:
+        positions = json.load(fh)
+    if add.path in positions:
+        return tuple(positions[add.path])
+    if os.path.isabs(add.path):
+        src_root = os.path.dirname(os.path.dirname(sidecar))
+        rel = os.path.relpath(add.path, src_root).replace(os.sep, "/")
+        return tuple(positions.get(rel, ()))
+    return ()
+
+
+class _DeltaSourceCore:
+    """Shared between the batch and stream readers."""
+
+    def __init__(self, options, schema: T.StructType | None = None):
+        self.table_path = options.get("path")
+        if not self.table_path:
+            raise ValueError("delta_sorter source requires .option('path', ...)")
+        self.log = DeltaLog(self.table_path)
+        self.skip_change_commits = (
+            str(options.get("skipChangeCommits", "false")).lower() == "true"
+        )
+        meta = self.log.read_state().metadata
+        # pin schema at construction (stream start); partition layout is
+        # immutable in Delta so the column list never changes
+        self.schema_json = json.dumps((schema or meta.schema).jsonValue())
+        self.partition_columns = tuple(meta.partition_columns)
+
+    def _part_for(self, path, partition_values, deleted_positions):
+        return DeltaFilePartition(
+            file_path=os.path.join(self.table_path, path),
+            partition_values=dict(partition_values),
+            deleted_positions=tuple(deleted_positions),
+            schema_json=self.schema_json,
+            partition_columns=self.partition_columns,
+        )
+
+    def snapshot_partitions(self, at_version=None) -> list[DeltaFilePartition]:
+        state = self.log.read_state(at_version=at_version)
+        return [
+            self._part_for(
+                a.path, a.partition_values, _dv_positions(self.table_path, a)
+            )
+            for a in state.adds
+        ]
+
+
+class DeltaBatchReader(DataSourceReader):
+    """Batch half of the Python source (API completeness; the JVM parquet
+    scan in ``DeltaTable.to_df`` is the fast path for bulk reads)."""
+
+    def __init__(self, options, schema=None):
+        self.core = _DeltaSourceCore(options, schema)
+
+    def partitions(self):
+        return self.core.snapshot_partitions()
+
+    def read(self, partition):
+        return _read_file(partition)
+
+
+class DeltaStreamReader(DataSourceStreamReader):
+    def __init__(self, options, schema=None):
+        self.core = _DeltaSourceCore(options, schema)
+
+    def initialOffset(self) -> dict:
+        # -1 marks "snapshot not yet emitted": the first batch replays the
+        # active-file set at whatever version latestOffset returns.
+        return {"version": -1}
+
+    def latestOffset(self) -> dict:
+        return {"version": self.core.log.latest_version()}
+
+    def partitions(self, start: dict, end: dict):
+        core, log = self.core, self.core.log
+        sv, ev = int(start["version"]), int(end["version"])
+        if ev <= sv:
+            return []
+        if sv < 0:  # initial snapshot (removes + DVs honored by replay)
+            return core.snapshot_partitions(at_version=ev)
+        parts = []
+        for v in range(sv + 1, ev + 1):
+            actions = log.commit_actions(v)
+            data_removes = [
+                r["remove"]
+                for r in actions
+                if "remove" in r and r["remove"].get("dataChange", False)
+            ]
+            if data_removes:
+                if core.skip_change_commits:
+                    continue
+                raise ValueError(
+                    f"delta_sorter stream: commit {v} of {core.table_path} "
+                    f"rewrites or deletes data (remove with dataChange=true);"
+                    f" set skipChangeCommits=true to skip such commits"
+                )
+            for a in actions:
+                ad = a.get("add")
+                if not ad or not ad.get("dataChange", True):
+                    continue  # compaction rewrites are not new data
+                dv = ad.get("deletionVector")
+                add = AddAction(
+                    path=ad["path"],
+                    size=ad.get("size", 0),
+                    partition_values=ad.get("partitionValues", {}),
+                    deletion_vector=dv,
+                )
+                parts.append(
+                    core._part_for(
+                        add.path,
+                        add.partition_values,
+                        _dv_positions(core.table_path, add),
+                    )
+                )
+        return parts
+
+    def read(self, partition):
+        return _read_file(partition)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class DeltaStreamDataSource(DataSource):
+    """``format("delta_sorter")`` — register with
+    ``spark.dataSource.register(DeltaStreamDataSource)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "delta_sorter"
+
+    def schema(self):
+        return DeltaLog(self.options["path"]).read_state().metadata.schema
+
+    def reader(self, schema):
+        return DeltaBatchReader(self.options, schema)
+
+    def streamReader(self, schema):
+        return DeltaStreamReader(self.options, schema)

@@ -1,0 +1,131 @@
+"""Delta table as a readStream source (Python Data Source API): initial
+snapshot + version tail, append-only enforcement, skipChangeCommits,
+deletion vectors, partition columns, column mapping."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from delta_sorter_spark.sources.delta_table import DeltaTable
+from delta_sorter_spark.streaming.delta_source import DeltaStreamDataSource
+
+
+@pytest.fixture(scope="module")
+def registered(spark):
+    spark.dataSource.register(DeltaStreamDataSource)
+    return spark
+
+
+def _drain(spark, path, out, ck, **opts):
+    reader = spark.readStream.format("delta_sorter").option("path", path)
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    q = (
+        reader.load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.read.parquet(out)
+
+
+def test_snapshot_then_tail(registered, tmp_path):
+    spark = registered
+    path = str(tmp_path / "t")
+    DeltaTable.create(
+        spark, path, spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    )
+    t = DeltaTable(spark, path)
+    t.append(spark.createDataFrame([(3, "c")], "id long, v string"))
+
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    got = _drain(spark, path, out, ck)
+    assert sorted(r.id for r in got.collect()) == [1, 2, 3]
+
+    t.append(spark.createDataFrame([(4, "d"), (5, "e")], "id long, v string"))
+    got = _drain(spark, path, out, ck)  # same checkpoint: only new rows land
+    assert sorted(r.id for r in got.collect()) == [1, 2, 3, 4, 5]
+
+
+def test_batch_read_matches_to_df(registered, tmp_path):
+    spark = registered
+    path = str(tmp_path / "t")
+    df = spark.range(0, 50).select(
+        F.col("id"), (F.col("id") % 5).alias("k")
+    )
+    DeltaTable.create(spark, path, df, partition_columns=["k"])
+    via_source = (
+        spark.read.format("delta_sorter").option("path", path).load()
+    )
+    expect = DeltaTable(spark, path).to_df()
+    assert sorted(map(tuple, via_source.collect())) == sorted(
+        map(tuple, expect.collect())
+    )
+    # partition columns come back typed from directory values
+    assert dict(via_source.dtypes)["k"] == "bigint"
+
+
+def test_change_commit_fails_stream_unless_skipped(registered, tmp_path):
+    spark = registered
+    path = str(tmp_path / "t")
+    DeltaTable.create(
+        spark, path,
+        spark.createDataFrame([(i, "x") for i in range(10)], "id long, v string"),
+    )
+    t = DeltaTable(spark, path)
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    got = _drain(spark, path, out, ck)
+    assert got.count() == 10
+
+    from delta_sorter_spark.operators.dml import delete_where
+
+    delete_where(t, "id >= 8")  # rewrite: remove with dataChange=true
+    t.append(spark.createDataFrame([(100, "y")], "id long, v string"))
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException, match="skipChangeCommits"):
+        _drain(spark, path, out, ck)
+
+    # fresh checkpoint with skipChangeCommits: delete commit skipped, the
+    # append still arrives; snapshot reflects the delete (8 rows) + append
+    out2, ck2 = str(tmp_path / "out2"), str(tmp_path / "ck2")
+    got = _drain(spark, path, out2, ck2, skipChangeCommits="true")
+    ids = sorted(r.id for r in got.collect())
+    assert ids == [0, 1, 2, 3, 4, 5, 6, 7, 100]
+
+
+def test_snapshot_applies_deletion_vectors(registered, tmp_path):
+    spark = registered
+    path = str(tmp_path / "t")
+    DeltaTable.create(
+        spark, path,
+        spark.createDataFrame(
+            [(i, "x") for i in range(10)], "id long, v string"
+        ).coalesce(1),
+    )
+    t = DeltaTable(spark, path)
+    from delta_sorter_spark.operators.dml import delete_where_dv
+
+    delete_where_dv(t, "id % 3 = 0")  # merge-on-read: DV sidecar, no rewrite
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    got = _drain(spark, path, out, ck, skipChangeCommits="true")
+    assert sorted(r.id for r in got.collect()) == [
+        i for i in range(10) if i % 3 != 0
+    ]
+
+
+def test_renamed_column_streams_via_physical_name(registered, tmp_path):
+    spark = registered
+    path = str(tmp_path / "t")
+    DeltaTable.create(
+        spark, path, spark.createDataFrame([(1, "a")], "id long, v string")
+    )
+    t = DeltaTable(spark, path)
+    t.rename_column("v", "label")
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    got = _drain(spark, path, out, ck)
+    assert got.columns == ["id", "label"]
+    assert got.collect()[0]["label"] == "a"
