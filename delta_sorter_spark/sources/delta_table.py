@@ -883,6 +883,112 @@ class DeltaTable:
             operation_params={"from": old, "to": new},
         )
 
+    def add_column(self, name: str, ddl_type: str, comment: str | None = None) -> int:
+        """ALTER TABLE ... ADD COLUMN — metadata-only commit; the new field
+        is nullable (existing files read as NULL for it, Delta semantics).
+        When column mapping is enabled the field gets a FRESH physical name
+        (``col-<uuid>``), so re-adding a previously dropped name can never
+        resurface the dropped column's bytes from old files."""
+        import json as _json
+        import time as _time
+
+        dtype = T._parse_datatype_string(ddl_type)  # noqa: SLF001
+
+        def actions(state):
+            meta = state.metadata
+            if name in [f.name for f in meta.schema.fields]:
+                raise ValueError(f"column {name!r} already exists")
+            md = {}
+            if comment:
+                md["comment"] = comment
+            if meta.configuration.get("delta.columnMapping.mode") == "name":
+                md["delta.columnMapping.physicalName"] = f"col-{uuid.uuid4().hex}"
+            fields = list(meta.schema.fields) + [
+                T.StructField(name, dtype, True, md or None)
+            ]
+            return [
+                {
+                    "metaData": {
+                        "id": meta.table_id,
+                        "format": {"provider": "parquet", "options": {}},
+                        "schemaString": _json.dumps(T.StructType(fields).jsonValue()),
+                        "partitionColumns": meta.partition_columns,
+                        "configuration": meta.configuration,
+                        "createdTime": int(_time.time() * 1000),
+                    }
+                }
+            ]
+
+        return self.log.commit_with_retry(
+            actions,
+            operation="ADD COLUMNS",
+            operation_params={"column": name, "type": ddl_type},
+        )
+
+    def drop_column(self, name: str) -> int:
+        """ALTER TABLE ... DROP COLUMN — metadata-only (reads are log-schema
+        driven, so the column vanishes without touching data files; the
+        bytes go away physically when files are next rewritten).  Requires
+        column mapping, which is enabled here exactly like RENAME does —
+        every field's physical name gets pinned first — because without it
+        a later ADD COLUMN of the same name would read the dropped bytes
+        back out of old files.  Dropping partition columns or columns
+        referenced by CHECK constraints / generation expressions is
+        rejected."""
+        import json as _json
+        import re as _re
+        import time as _time
+
+        def actions(state):
+            meta = state.metadata
+            if name not in [f.name for f in meta.schema.fields]:
+                raise KeyError(f"no column {name!r}")
+            if len(meta.schema.fields) == 1:
+                raise ValueError("cannot drop the only column")
+            if name in meta.partition_columns:
+                raise ValueError(
+                    f"cannot drop partition column {name!r} (directory layout)"
+                )
+            word = _re.compile(rf"\b{_re.escape(name)}\b")
+            for cname, expr in meta.check_constraints.items():
+                if word.search(expr):
+                    raise ValueError(
+                        f"column {name!r} is referenced by CHECK constraint {cname!r}"
+                    )
+            fields = []
+            for f in meta.schema.fields:
+                md = dict(f.metadata or {})
+                if f.name != name and "delta.generationExpression" in md and word.search(
+                    md["delta.generationExpression"]
+                ):
+                    raise ValueError(
+                        f"column {name!r} is referenced by generated column {f.name!r}"
+                    )
+                if f.name == name:
+                    continue
+                md.setdefault("delta.columnMapping.physicalName", f.name)
+                fields.append(T.StructField(f.name, f.dataType, f.nullable, md))
+            config = dict(meta.configuration)
+            config["delta.columnMapping.mode"] = "name"
+            return [
+                {
+                    "metaData": {
+                        "id": meta.table_id,
+                        "format": {"provider": "parquet", "options": {}},
+                        "schemaString": _json.dumps(T.StructType(fields).jsonValue()),
+                        "partitionColumns": meta.partition_columns,
+                        "configuration": config,
+                        "createdTime": int(_time.time() * 1000),
+                    }
+                }
+            ]
+
+        return self.log.commit_with_retry(
+            actions,
+            operation="DROP COLUMNS",
+            operation_params={"column": name},
+        )
+
     # -- shallow clone -----------------------------------------------------
 
     @classmethod

@@ -184,3 +184,68 @@ class TestRenameCompactInterop:
         compact_with_sort(spark, t.table_path, SortConfig(sort_columns=["row_id"]))
         rep2 = validate_global_order(spark, t.table_path, ["row_id"])
         assert rep2.boundary_violations == 0
+
+
+class TestAddDropColumn:
+    def test_add_column_reads_null_for_old_rows(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        DeltaTable.create(
+            spark, path, spark.createDataFrame([(1, "a")], "id long, v string")
+        )
+        t = DeltaTable(spark, path)
+        t.add_column("score", "double")
+        rows = t.to_df().collect()
+        assert rows[0]["score"] is None
+        t.append(spark.createDataFrame([(2, "b", 0.5)],
+                                       "id long, v string, score double"))
+        got = {r["id"]: r["score"] for r in t.to_df().collect()}
+        assert got == {1: None, 2: 0.5}
+
+    def test_drop_column_hides_data_without_rewrites(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        DeltaTable.create(
+            spark, path,
+            spark.createDataFrame([(1, "a", 9.0)],
+                                  "id long, v string, score double"),
+        )
+        t = DeltaTable(spark, path)
+        files_before = sorted(t.input_files())
+        t.drop_column("score")
+        assert t.to_df().columns == ["id", "v"]
+        assert sorted(t.input_files()) == files_before  # zero data rewrites
+
+    def test_readd_after_drop_never_resurfaces_old_bytes(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        DeltaTable.create(
+            spark, path,
+            spark.createDataFrame([(1, "a", 9.0)],
+                                  "id long, v string, score double"),
+        )
+        t = DeltaTable(spark, path)
+        t.drop_column("score")
+        t.add_column("score", "double")
+        # the old file still physically contains score=9.0, but the re-added
+        # column maps to a fresh physical name -> NULL
+        assert t.to_df().collect()[0]["score"] is None
+        t.append(spark.createDataFrame([(2, "b", 1.5)],
+                                       "id long, v string, score double"))
+        got = {r["id"]: r["score"] for r in t.to_df().collect()}
+        assert got == {1: None, 2: 1.5}
+
+    def test_drop_rejections(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        df = spark.range(4).select(
+            F.col("id"), (F.col("id") % 2).cast("long").alias("p"),
+            F.lit(1.0).alias("x"),
+        )
+        DeltaTable.create(spark, path, df, partition_columns=["p"])
+        t = DeltaTable(spark, path)
+        with pytest.raises(ValueError, match="partition column"):
+            t.drop_column("p")
+        t.add_check_constraint("pos_x", "x >= 0")
+        with pytest.raises(ValueError, match="CHECK constraint"):
+            t.drop_column("x")
+        with pytest.raises(KeyError):
+            t.drop_column("nope")
+        with pytest.raises(ValueError, match="already exists"):
+            t.add_column("x", "double")
