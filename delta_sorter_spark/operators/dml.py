@@ -83,7 +83,10 @@ def upsert(table: DeltaTable, source: DataFrame, keys: Sequence[str]) -> dict:
         merged = source
     adds = table.stage_write(merged, stat_columns=keys, data_change=True)
     removes = [a.remove_action(True) for a in candidates]
-    version = table.commit_rewrite(adds, removes, operation="MERGE")
+    version = table.commit_rewrite(
+        adds, removes, operation="MERGE",
+        txn_app_id=txn_app_id, txn_version=txn_version,
+    )
     return {
         "rewritten_files": len(candidates),
         "untouched_files": len(state.adds) - len(candidates),
@@ -99,6 +102,8 @@ def merge(
     when_matched_delete: str | None = None,
     matched_condition: str | None = None,
     when_not_matched_insert: bool = True,
+    txn_app_id: str | None = None,
+    txn_version: int | None = None,
 ) -> dict:
     """Full conditional MERGE INTO.  Clause semantics (evaluated per target
     row; ``t.`` = target, ``s.`` = source in all expression strings):
@@ -115,10 +120,22 @@ def merge(
     files untouched; the duplicate-source check and the match join shuffle
     only the candidate subset against the source.
 
+    ``txn_app_id``/``txn_version``: SetTransaction idempotence (exactly-once
+    foreachBatch CDC apply) — an already-recorded (appId, version) makes the
+    whole merge a no-op BEFORE any compute or staging.
+
     Returns {"rewritten_files", "untouched_files", "version"}."""
     keys = list(keys)
     update = dict(when_matched_update or {})
     state = table.state()
+    if (txn_app_id is None) != (txn_version is None):
+        raise ValueError("txn_app_id and txn_version must be passed together")
+    if txn_app_id is not None and state.txns.get(txn_app_id, -1) >= txn_version:
+        return {
+            "rewritten_files": 0,
+            "untouched_files": len(state.adds),
+            "version": state.version,
+        }
     schema = state.metadata.schema
     bounds = _key_bounds(source, keys)
     candidates = [a for a in state.adds if _may_contain(a, bounds, schema)]
@@ -180,7 +197,10 @@ def merge(
 
     adds = table.stage_write(merged, stat_columns=keys, data_change=True)
     removes = [a.remove_action(True) for a in candidates]
-    version = table.commit_rewrite(adds, removes, operation="MERGE")
+    version = table.commit_rewrite(
+        adds, removes, operation="MERGE",
+        txn_app_id=txn_app_id, txn_version=txn_version,
+    )
     return {
         "rewritten_files": len(candidates),
         "untouched_files": len(state.adds) - len(candidates),

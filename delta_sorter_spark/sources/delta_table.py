@@ -1067,6 +1067,8 @@ class DeltaTable:
         removes: Sequence,
         predicate: str | None = None,
         operation: str = "WRITE",
+        txn_app_id: str | None = None,
+        txn_version: int | None = None,
     ) -> int:
         """Overwrite-style commit: Remove(old) + Add(new), optionally scoped
         by a replaceWhere predicate recorded in commitInfo (reference
@@ -1077,24 +1079,46 @@ class DeltaTable:
         file this rewrite intends to Remove is no longer active, a concurrent
         writer already rewrote it, and blindly committing would DUPLICATE its
         rows (our Adds + theirs).  Raises ConcurrentRewriteError instead;
-        callers treat it as "lost the race" and discard their staged files."""
+        callers treat it as "lost the race" and discard their staged files.
+
+        ``txn_app_id``/``txn_version``: SetTransaction idempotence, same
+        contract as ``append`` — if the log already records this appId at or
+        past this version the rewrite is dropped (staged files discarded)."""
+        if (txn_app_id is None) != (txn_version is None):
+            raise ValueError("txn_app_id and txn_version must be passed together")
         params = {"mode": "Overwrite"}
         if predicate:
             params["predicate"] = predicate
         actions = list(removes) + list(adds)
 
+        class _AlreadyApplied(Exception):
+            pass
+
         def build(state):
+            if (
+                txn_app_id is not None
+                and state.txns.get(txn_app_id, -1) >= txn_version
+            ):
+                raise _AlreadyApplied
             active = {a.path for a in state.adds}
             gone = [r.path for r in removes if r.path not in active]
             if gone:
                 raise ConcurrentRewriteError(
                     f"files rewritten by a concurrent writer: {gone[:3]}"
                 )
+            if txn_app_id is not None:
+                return actions + [
+                    {"txn": {"appId": txn_app_id, "version": int(txn_version)}}
+                ]
             return actions
 
-        return self.log.commit_with_retry(
-            build, operation=operation, operation_params=params
-        )
+        try:
+            return self.log.commit_with_retry(
+                build, operation=operation, operation_params=params
+            )
+        except _AlreadyApplied:
+            self.discard_files(adds)
+            return self.log.latest_version()
 
     def vacuum(self, dry_run: bool = False, retention_seconds: float = 0.0) -> list[str]:
         """Delete data files in the table directory that are no longer

@@ -11,7 +11,7 @@ oracle-checkable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -225,3 +225,55 @@ def delta_append_sink(table_path: str, app_id: str):
         )
 
     return write_batch
+
+
+def delta_merge_sink(
+    table_path: str,
+    keys: list[str],
+    app_id: str,
+    sequence_col: str | None = None,
+    **merge_kwargs,
+):
+    """Exactly-once CDC apply: each micro-batch MERGEs into a Delta table
+    keyed on ``keys``, carrying (app_id, batch_id) as a SetTransaction so a
+    replayed batch is a no-op before any compute.  ``sequence_col`` (e.g. a
+    CDC LSN or event timestamp) collapses multiple updates for one key
+    inside a batch to the LATEST row (ties broken by the struct compare of
+    remaining columns — deterministic), which is what makes the per-batch
+    MERGE unambiguous.  Remaining ``merge_kwargs`` pass through to
+    ``operators.dml.merge`` (update maps, delete conditions, ...).
+
+        q = (changes.writeStream
+               .foreachBatch(delta_merge_sink(path, ["id"], "cdc-apply",
+                                              sequence_col="seq"))
+               .option("checkpointLocation", ckpt).start())
+    """
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from delta_sorter_spark.operators.dml import merge
+        from delta_sorter_spark.sources.delta_table import DeltaTable
+
+        src = batch_df
+        if sequence_col is not None:
+            others = F.struct(
+                *[c for c in src.columns if c not in (*keys, sequence_col)]
+            )
+            w = (
+                Window.partitionBy(*keys)
+                .orderBy(F.col(sequence_col).desc(), others.desc())
+            )
+            src = (
+                src.withColumn("__rn__", F.row_number().over(w))
+                .where(F.col("__rn__") == 1)
+                .drop("__rn__")
+            )
+        merge(
+            DeltaTable(batch_df.sparkSession, table_path),
+            src,
+            keys,
+            txn_app_id=app_id,
+            txn_version=int(batch_id),
+            **merge_kwargs,
+        )
+
+    return apply_batch

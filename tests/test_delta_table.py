@@ -336,3 +336,27 @@ class TestIdentityColumns:
         t.append(spark.createDataFrame([("d",)], "name string"))
         md2 = dict(t.metadata.schema["id"].metadata)
         assert md2["delta.identity.highWaterMark"] > hwm
+
+
+def test_concurrent_appends_all_land(spark, tmp_path):
+    """8 writers appending concurrently: optimistic-concurrency retries
+    must serialize them — every row lands exactly once, no version gaps."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from delta_sorter_spark.sources.delta_table import DeltaTable
+
+    path = str(tmp_path / "t")
+    DeltaTable.create(spark, path, spark.createDataFrame([(-1, -1)], "w long, i long"))
+    v0 = DeltaTable(spark, path).log.latest_version()
+
+    def write(w):
+        df = spark.createDataFrame([(w, i) for i in range(10)], "w long, i long")
+        return DeltaTable(spark, path).append(df)
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        versions = list(ex.map(write, range(8)))
+
+    assert sorted(versions) == list(range(v0 + 1, v0 + 9))  # one commit each
+    t = DeltaTable(spark, path)
+    rows = {(r.w, r.i) for r in t.to_df().collect()}
+    assert len(rows) == 81 and all((w, i) in rows for w in range(8) for i in range(10))

@@ -416,3 +416,38 @@ def test_restarted_stream_does_not_duplicate(spark, event_files, tmp_path):
     assert DeltaTable(spark, path).to_df().count() == n_src
     run("ck2")  # restart from scratch: same batches, same ids -> skipped
     assert DeltaTable(spark, path).to_df().count() == n_src
+
+
+def test_merge_sink_upserts_and_is_idempotent(spark, tmp_path):
+    """CDC apply: per-batch MERGE keyed on id, latest-by-sequence collapse
+    inside a batch, SetTransaction no-op on replay."""
+    from delta_sorter_spark.sources.delta_table import DeltaTable
+    from delta_sorter_spark.streaming.events import delta_merge_sink
+
+    path = str(tmp_path / "t")
+    DeltaTable.create(
+        spark, path,
+        spark.createDataFrame([(1, 0, "init"), (2, 0, "init")],
+                              "id long, seq long, v string"),
+    )
+    sink = delta_merge_sink(
+        path, ["id"], "cdc", sequence_col="seq",
+        when_matched_update={"v": "s.v", "seq": "s.seq"},
+    )
+    # batch 0: update id=1 twice (seq 5 then 7 -> 7 wins), insert id=3
+    b0 = spark.createDataFrame(
+        [(1, 5, "old"), (1, 7, "new"), (3, 1, "ins")],
+        "id long, seq long, v string",
+    )
+    sink(b0, 0)
+    t = DeltaTable(spark, path)
+    got = {r.id: (r.seq, r.v) for r in t.to_df().collect()}
+    assert got == {1: (7, "new"), 2: (0, "init"), 3: (1, "ins")}
+
+    v_after = t.log.latest_version()
+    sink(b0, 0)  # replay: must not re-merge (no new commit)
+    assert DeltaTable(spark, path).log.latest_version() == v_after
+
+    sink(spark.createDataFrame([(2, 9, "upd")], "id long, seq long, v string"), 1)
+    got = {r.id: (r.seq, r.v) for r in DeltaTable(spark, path).to_df().collect()}
+    assert got[2] == (9, "upd")
