@@ -2611,6 +2611,51 @@ FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
 
 
 # ---------------------------------------------------------------------------
+# A36: explicit GROUPING SETS (asymmetric set list — not expressible as CUBE
+# or ROLLUP): per (flag, status), per ship-year, and grand total in ONE pass
+# (Spark expands the sets once, aggregates map-side; no multi-scan union).
+# ---------------------------------------------------------------------------
+
+
+def q_a36_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "ship_year", F.year("l_shipdate")
+    )
+    return (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["ship_year"], []],
+            "l_returnflag",
+            "l_linestatus",
+            "ship_year",
+        )
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_rf"),
+            F.grouping("l_linestatus").cast("int").alias("g_ls"),
+            F.grouping("ship_year").cast("int").alias("g_yr"),
+            F.count("*").alias("n_items"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .select(
+            "l_returnflag", "l_linestatus", "ship_year",
+            "g_rf", "g_ls", "g_yr", "n_items", "sum_price",
+        )
+    )
+
+
+_A36_SQL = """
+SELECT l_returnflag, l_linestatus, year(l_shipdate) AS ship_year,
+       CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+       CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+       CAST(GROUPING(year(l_shipdate)) AS INT) AS g_yr,
+       count(*) AS n_items,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (year(l_shipdate)), ())
+"""
+
+# ---------------------------------------------------------------------------
 # E29: int8-quantized top-k retrieval (operators/similarity.quantized_topk).
 # The compression-for-scale variant of e6: vectors quantize to ints at scan
 # time, scoring is an exact integer multiply-add (associative — no float
@@ -2920,6 +2965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a20_market_share": q_a20_market_share,
         "a21_product_profit": q_a21_product_profit,
         "a22_cube": q_a22_cube,
+        "a36_grouping_sets": q_a36_grouping_sets,
         "a23_revenue_deciles": q_a23_revenue_deciles,
         "e29_quantized_topk": q_e29_quantized_topk,
         "e30_decontaminate": q_e30_decontaminate,
@@ -2998,6 +3044,7 @@ def oracle_sql() -> dict[str, str]:
         "a20_market_share": _A20_SQL,
         "a21_product_profit": _A21_SQL,
         "a22_cube": _A22_SQL,
+        "a36_grouping_sets": _A36_SQL,
         "a23_revenue_deciles": _A23_SQL,
         "e29_quantized_topk": _E29_SQL,
         "e30_decontaminate": _E30_SQL,

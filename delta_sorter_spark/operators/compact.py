@@ -296,3 +296,65 @@ def _rewrite_group(table: DeltaTable, grp: RewriteGroup, config: SortConfig) -> 
         pm.partition_key, pm.files_in, pm.files_out, pm.bytes_in, pm.bytes_out, pm.duration_ms,
     )
     return pm
+
+
+def bin_pack_compact(
+    spark: SparkSession,
+    table_uri: str,
+    target_file_size_bytes: int = 128 * 1024 * 1024,
+    min_file_size_bytes: int | None = None,
+) -> CompactMetrics:
+    """Delta OPTIMIZE-style bin-packing compaction — NO sort involved:
+    coalesce each partition's small files (< ``min_file_size_bytes``,
+    default half the target) into ~target-sized files.  For append-heavy
+    streaming tables where the cost is file-count, not order.
+
+    Per qualifying partition: one read of just the small files, a
+    size-estimated repartition, and a staged write; all partitions then
+    commit as ONE ``dataChange=false`` rewrite, so change feeds and
+    streaming sources ignore it and incremental rollups skip it.  Output
+    files carry no sortedness attestation (concatenation breaks order) —
+    sorted tables should use ``compact_with_sort`` instead.  At 100 TB the
+    per-partition jobs are independent (parallelize exactly like the
+    partition-aware sort path); a partition with 1 small file is left
+    alone (nothing to gain)."""
+    started = time.monotonic()
+    table = DeltaTable(spark, table_uri)
+    state = table.state()
+    small_cut = min_file_size_bytes or target_file_size_bytes // 2
+    metrics = CompactMetrics()
+
+    groups = group_by_partition(state.adds)
+    all_adds, all_removes = [], []
+    for grp in sorted(groups, key=lambda g: -g.estimated_bytes):
+        small = [a for a in grp.files if a.size < small_cut]
+        if len(small) < 2:
+            continue
+        metrics.planned_partitions += 1
+        bytes_in = sum(a.size for a in small)
+        n_out = max(1, -(-bytes_in // target_file_size_bytes))  # ceil
+        df = table.to_df(adds=small).repartition(n_out)
+        adds = table.stage_write(
+            df,
+            target_file_size_bytes=target_file_size_bytes,
+            data_change=False,
+        )
+        all_adds.extend(adds)
+        all_removes.extend(a.remove_action(False) for a in small)
+        metrics.rewritten_partitions += 1
+        metrics.files_in += len(small)
+        metrics.bytes_in += bytes_in
+        metrics.files_out += len(adds)
+        metrics.bytes_out += sum(a.size for a in adds)
+
+    if all_adds:
+        from delta_sorter_spark.sources.delta_table import ConcurrentRewriteError
+
+        try:
+            table.commit_rewrite(all_adds, all_removes, operation="OPTIMIZE")
+        except ConcurrentRewriteError:
+            log.info("bin-pack lost a concurrent rewrite race; discarding")
+            table.discard_files(all_adds)
+            return CompactMetrics()
+    metrics.duration_ms = int((time.monotonic() - started) * 1000)
+    return metrics

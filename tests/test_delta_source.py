@@ -129,3 +129,65 @@ def test_renamed_column_streams_via_physical_name(registered, tmp_path):
     got = _drain(spark, path, out, ck)
     assert got.columns == ["id", "label"]
     assert got.collect()[0]["label"] == "a"
+
+
+def test_end_to_end_delta_to_delta_pipeline(registered, tmp_path):
+    """Flagship streaming composition: Delta source -> watermarked tumbling
+    window aggregate -> exactly-once Delta sink (update-mode foreachBatch
+    MERGE).  Appends arrive across two stream runs sharing one checkpoint;
+    final per-window counts must equal the batch recompute."""
+    spark = registered
+    src_path = str(tmp_path / "src")
+    dst_path = str(tmp_path / "dst")
+    rows1 = [(1, "2024-01-01 00:05:00"), (2, "2024-01-01 00:15:00"),
+             (3, "2024-01-01 01:10:00")]
+    rows2 = [(4, "2024-01-01 01:20:00"), (5, "2024-01-01 02:30:00")]
+    schema = "event_id long, ts string"
+
+    def mk(rows):
+        return (
+            spark.createDataFrame(rows, schema)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+
+    DeltaTable.create(spark, src_path, mk(rows1))
+    DeltaTable.create(
+        spark, dst_path,
+        spark.createDataFrame(
+            [], "window_start timestamp, n long"
+        ),
+    )
+    from delta_sorter_spark.streaming.events import delta_merge_sink
+
+    sink = delta_merge_sink(
+        dst_path, ["window_start"], "agg",
+        when_matched_update={"n": "s.n"},
+    )
+
+    def run():
+        agg = (
+            spark.readStream.format("delta_sorter").option("path", src_path)
+            .load()
+            .withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count("*").alias("n"))
+            .select(F.col("w.start").alias("window_start"), "n")
+        )
+        q = (
+            agg.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    DeltaTable(spark, src_path).append(mk(rows2))
+    run()
+
+    got = {
+        r.window_start.strftime("%H:%M"): r.n
+        for r in DeltaTable(spark, dst_path).to_df().collect()
+    }
+    assert got == {"00:00": 2, "01:00": 2, "02:00": 1}

@@ -312,3 +312,37 @@ def test_validate_at_historical_version(spark, tmp_path):
 
     historical = validate(path, ["objectId", "value"], version=v_dirty, spark=spark)
     assert historical["boundary_violations"] == dirty["boundary_violations"]
+
+
+def test_bin_pack_compact_coalesces_small_files(spark, tmp_path):
+    """12 tiny appends across 2 partitions -> one OPTIMIZE commit with
+    dataChange=false that collapses each partition's files; rows and
+    values untouched; CDF/rollups see no new data."""
+    from delta_sorter_spark.operators.compact import bin_pack_compact
+    from delta_sorter_spark.sources.delta_table import DeltaTable
+
+    path = str(tmp_path / "t")
+    mk = lambda lo, hi: spark.createDataFrame(  # noqa: E731
+        [(i, i % 2) for i in range(lo, hi)], "id long, p long"
+    ).coalesce(1)
+    DeltaTable.create(spark, path, mk(0, 5), partition_columns=["p"])
+    t = DeltaTable(spark, path)
+    for k in range(1, 12):
+        t.append(mk(k * 5, k * 5 + 5))
+    n_before = len(t.state().adds)
+    assert n_before >= 20  # 12 appends x 2 partitions
+
+    m = bin_pack_compact(spark, path, target_file_size_bytes=1 << 20)
+    t2 = DeltaTable(spark, path)
+    after = t2.state().adds
+    assert len(after) == 2  # one packed file per partition
+    assert m.files_in == n_before and m.files_out == 2
+    assert sorted(r.id for r in t2.to_df().collect()) == list(range(60))
+
+    # the OPTIMIZE commit is dataChange=false throughout
+    actions = t2.log.commit_actions(t2.log.latest_version())
+    for a in actions:
+        if "add" in a:
+            assert a["add"]["dataChange"] is False
+        if "remove" in a:
+            assert a["remove"]["dataChange"] is False
