@@ -62,14 +62,33 @@ def _may_contain(add, bounds: dict[str, tuple], schema) -> bool:
     return True
 
 
-def upsert(table: DeltaTable, source: DataFrame, keys: Sequence[str]) -> dict:
+def upsert(
+    table: DeltaTable,
+    source: DataFrame,
+    keys: Sequence[str],
+    txn_app_id: str | None = None,
+    txn_version: int | None = None,
+) -> dict:
     """MERGE-style upsert: rows in ``source`` replace table rows with equal
     key tuples; unmatched source rows are inserted.  Only candidate files
     (zone-map overlap with the source's key range) are rewritten.
 
+    ``txn_app_id``/``txn_version``: SetTransaction idempotence — if the
+    table has already applied (app_id, version' >= version) the call is a
+    no-op before any compute, mirroring :func:`merge`.
+
     Returns {"rewritten_files", "untouched_files", "version"}."""
     keys = list(keys)
     state = table.state()
+    if (txn_app_id is None) != (txn_version is None):
+        raise ValueError("txn_app_id and txn_version must be passed together")
+    if txn_app_id is not None and state.txns.get(txn_app_id, -1) >= txn_version:
+        return {
+            "rewritten_files": 0,
+            "untouched_files": len(state.adds),
+            "version": state.version,
+            "skipped": True,
+        }
     schema = state.metadata.schema
     bounds = _key_bounds(source, keys)
     candidates = [a for a in state.adds if _may_contain(a, bounds, schema)]

@@ -379,3 +379,33 @@ def test_vacuum_keeps_live_dv_sidecars(spark, tmp_path):
     assert sorted(r["id"] for r in DeltaTable(spark, path).to_df().collect()) == [
         0, 1, 3, 4, 5, 6, 7,
     ]
+
+
+def test_upsert_txn_idempotence(spark, tmp_path):
+    """A replayed (app_id, version) upsert is a no-op before any compute."""
+    path = str(tmp_path / "upsert_txn")
+    table = DeltaTable.create(
+        spark,
+        path,
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"),
+        stat_columns=["id"],
+    )
+    src = spark.createDataFrame([(2, "B"), (3, "c")], "id long, v string")
+    out1 = upsert(table, src, ["id"], txn_app_id="app", txn_version=7)
+    assert "skipped" not in out1
+    # replay of the same batch: skipped, no new version
+    out2 = upsert(table, src, ["id"], txn_app_id="app", txn_version=7)
+    assert out2["skipped"] and out2["version"] == out1["version"]
+    # later batch applies
+    out3 = upsert(
+        table,
+        spark.createDataFrame([(4, "d")], "id long, v string"),
+        ["id"],
+        txn_app_id="app",
+        txn_version=8,
+    )
+    assert "skipped" not in out3
+    rows = {(r["id"], r["v"]) for r in table.to_df().collect()}
+    assert rows == {(1, "a"), (2, "B"), (3, "c"), (4, "d")}
+    with pytest.raises(ValueError):
+        upsert(table, src, ["id"], txn_app_id="app")
