@@ -2901,6 +2901,158 @@ GROUP BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# E35: PII / identifier scrubbing (regex redaction, zero-shuffle map pass)
+# ---------------------------------------------------------------------------
+
+
+def q_e35_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_sorter_spark.operators.textstats import redact
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.lit("customer").alias("src"),
+        F.col("c_custkey").alias("rec_id"),
+        F.col("c_name").alias("text"),
+    )
+    ev = load_table(spark, sf_dir, "events").select(
+        F.lit("events").alias("src"),
+        F.col("event_id").alias("rec_id"),
+        F.col("props").alias("text"),
+    )
+    return redact(cust.unionByName(ev), ["src", "rec_id"], "text")
+
+
+def _e35_sql() -> str:
+    from delta_sorter_spark.operators.textstats import redact_sql
+
+    clean, counts = redact_sql("text")
+    counts_sql = ",\n       ".join(counts)
+    return f"""
+WITH u AS (
+  SELECT 'customer' AS src, c_custkey AS rec_id, c_name AS text FROM customer
+  UNION ALL
+  SELECT 'events' AS src, event_id AS rec_id, props AS text FROM events
+)
+SELECT src, rec_id,
+       {clean} AS clean,
+       {counts_sql}
+FROM u
+"""
+
+
+_E35_SQL = _e35_sql()
+
+
+# ---------------------------------------------------------------------------
+# E36: Hilbert-curve clustering value (higher-locality sibling of e12 z-order)
+# ---------------------------------------------------------------------------
+
+_HILBERT_BITS = 5  # 32x32 grid
+
+
+def q_e36_hilbert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_sorter_spark.operators.zorder import hilbert_value_df
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cells = li.select(
+        (F.col("l_partkey") % 32).alias("a"),
+        (F.col("l_suppkey") % 32).alias("b"),
+    ).distinct()
+    return hilbert_value_df(cells, "a", "b", _HILBERT_BITS, out="hval")
+
+
+def _e36_sql() -> str:
+    from delta_sorter_spark.operators.zorder import hilbert_value_cte_sql
+
+    return hilbert_value_cte_sql(
+        "SELECT DISTINCT l_partkey % 32 AS a, l_suppkey % 32 AS b FROM lineitem",
+        "a",
+        "b",
+        _HILBERT_BITS,
+        ["a", "b"],
+        out="hval",
+    )
+
+
+_E36_SQL = _e36_sql()
+
+
+# ---------------------------------------------------------------------------
+# A37: semi-structured JSON extraction (events.props) + aggregation
+# ---------------------------------------------------------------------------
+
+
+def q_a37_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse the JSON props column with an explicit schema (from_json stays
+    JVM-side — no Python in the row path) and aggregate the extracted field."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.from_json("props", "k LONG").getField("k")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.countDistinct("k").alias("n_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+_A37_SQL = """
+WITH p AS (
+  SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events
+)
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       count(DISTINCT k) AS n_k,
+       min(k) AS min_k,
+       max(k) AS max_k
+FROM p GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# A38: remaining ranking-window surface — percent_rank / cume_dist /
+# dense_rank / lag-with-default / running max, one pass per partition key
+# ---------------------------------------------------------------------------
+
+
+def q_a38_rank_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    # compound ordering key makes every window function deterministic under
+    # price ties (percent_rank/cume_dist divisions are then IEEE-identical
+    # across engines)
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.dense_rank().over(w).alias("dr"),
+        F.lag("o_totalprice", 1, -1.0).over(w).alias("prev_price"),
+        F.max("o_totalprice").over(wrun).alias("run_max"),
+    )
+
+
+_A38_SQL = """
+SELECT o_orderkey, o_orderpriority,
+       percent_rank() OVER w AS pr,
+       cume_dist() OVER w AS cd,
+       dense_rank() OVER w AS dr,
+       lag(o_totalprice, 1, -1.0) OVER w AS prev_price,
+       max(o_totalprice) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS run_max
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the validator's V1 per-file min/max over sf0.001."""
     return q_v1_file_minmax(spark, "/root/testdata/sf0.001")
@@ -2981,6 +3133,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s4_sliding_windows": q_s4_sliding_windows,
         "e32_chunk_dedup": q_e32_chunk_dedup,
         "m3_frame_sample": q_m3_frame_sample,
+        "e35_redaction": q_e35_redaction,
+        "e36_hilbert": q_e36_hilbert,
+        "a37_json_props": q_a37_json_props,
+        "a38_rank_windows": q_a38_rank_windows,
         **tpch_extra.QUERIES,
     }
 
@@ -3060,5 +3216,9 @@ def oracle_sql() -> dict[str, str]:
         "s4_sliding_windows": _S4_SQL,
         "e32_chunk_dedup": _E32_SQL,
         "m3_frame_sample": _M3_SQL,
+        "e35_redaction": _E35_SQL,
+        "e36_hilbert": _E36_SQL,
+        "a37_json_props": _A37_SQL,
+        "a38_rank_windows": _A38_SQL,
         **tpch_extra.ORACLES,
     }

@@ -259,3 +259,60 @@ def unigram_surprisal(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PII / identifier scrubbing (training-data hygiene)
+# ---------------------------------------------------------------------------
+
+# Default scrub patterns.  RE2-safe subset (no lookarounds, no backrefs) so
+# Java regex (Spark) and RE2 (DuckDB oracle) agree on every match.  Ordered:
+# each pattern is counted against, then masked out of, the text as left by
+# the previous pattern — structured PII first, bare digit runs last so an
+# already-masked email/IP never double-counts as an id number.
+REDACT_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"([0-9]{1,3}\.){3}[0-9]{1,3}",
+    "idnum": r"[0-9]+",
+}
+
+
+def _mask_token(name: str) -> str:
+    # digit-free so a later digit-run pattern can never re-match a mask
+    return "[" + "".join(ch for ch in name.upper() if not ch.isdigit()) + "]"
+
+
+def redact(
+    df: DataFrame,
+    id_cols: list[str],
+    text_col: str,
+    patterns: dict[str, str] | None = None,
+    out_col: str = "clean",
+) -> DataFrame:
+    """Scrub identifier-like substrings from ``text_col``.
+
+    Returns ``id_cols`` + ``out_col`` (text with each pattern replaced by its
+    ``[NAME]`` token) + one ``n_<name>`` match count per pattern.  Pure
+    column expressions (regexp_count/regexp_replace): zero shuffle, scales as
+    a map-only pass at any corpus size.
+    """
+    patterns = patterns or REDACT_PATTERNS
+    cur: Column = F.col(text_col)
+    counts = []
+    for name, pat in patterns.items():
+        counts.append(F.regexp_count(cur, F.lit(pat)).alias(f"n_{name}"))
+        cur = F.regexp_replace(cur, pat, _mask_token(name))
+    return df.select(*id_cols, cur.alias(out_col), *counts)
+
+
+def redact_sql(text_expr: str, patterns: dict[str, str] | None = None) -> tuple[str, list[str]]:
+    """DuckDB expressions mirroring :func:`redact`: returns (clean_expr,
+    [count_expr AS n_<name>, ...]) with the same sequential masking order."""
+    patterns = patterns or REDACT_PATTERNS
+    cur = text_expr
+    counts = []
+    for name, pat in patterns.items():
+        sq = pat.replace("'", "''")
+        counts.append(f"len(regexp_extract_all({cur}, '{sq}')) AS n_{name}")
+        cur = f"regexp_replace({cur}, '{sq}', '{_mask_token(name)}', 'g')"
+    return cur, counts

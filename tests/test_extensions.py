@@ -423,3 +423,29 @@ def test_unigram_surprisal_hand_computed(spark):
         2: (2, 2, 1.0),
         3: (1, 1, 1.0),
     }
+
+
+def test_redact_sequential_masking(spark):
+    from delta_sorter_spark.operators.textstats import redact
+
+    rows = [
+        (1, "mail bob.smith+x@corp.example.com from 10.0.0.1 ref 12345"),
+        (2, "no pii here"),
+        (3, "ids 42 and 867 and 10.1.2.3"),
+    ]
+    out = {
+        r["rec_id"]: r
+        for r in redact(
+            spark.createDataFrame(rows, "rec_id long, text string"),
+            ["rec_id"],
+            "text",
+        ).collect()
+    }
+    r1 = out[1]
+    assert r1["clean"] == "mail [EMAIL] from [IPV] ref [IDNUM]"
+    # sequential semantics: digits inside the email/IP never double-count
+    assert (r1["n_email"], r1["n_ipv4"], r1["n_idnum"]) == (1, 1, 1)
+    assert out[2]["clean"] == "no pii here"
+    assert (out[2]["n_email"], out[2]["n_ipv4"], out[2]["n_idnum"]) == (0, 0, 0)
+    assert out[3]["clean"] == "ids [IDNUM] and [IDNUM] and [IPV]"
+    assert (out[3]["n_email"], out[3]["n_ipv4"], out[3]["n_idnum"]) == (0, 1, 2)

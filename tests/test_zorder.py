@@ -82,3 +82,65 @@ def test_compact_with_zorder_clustering(spark, tmp_path):
     # the rewrite attached min/max stats for the z columns (pruning payoff)
     state = DeltaTable(spark, path).state()
     assert all(a.stats and "x" in a.stats.get("minValues", {}) for a in state.adds)
+
+
+# -- Hilbert curve ----------------------------------------------------------
+
+
+def _ref_xy2d(n, x, y):
+    d, s = 0, n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = n - 1 - x, n - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_matches_reference_walk(spark):
+    from delta_sorter_spark.operators.zorder import hilbert_value_df
+
+    bits, n = 4, 16
+    grid = [(x, y) for x in range(n) for y in range(n)]
+    out = hilbert_value_df(
+        spark.createDataFrame(grid, "x long, y long"), "x", "y", bits
+    ).collect()
+    ref = {(x, y): _ref_xy2d(n, x, y) for x, y in grid}
+    assert all(r["hval"] == ref[(r["x"], r["y"])] for r in out)
+    # the curve is a permutation of the grid visiting neighbors only
+    inv = sorted((d, xy) for xy, d in ref.items())
+    assert [d for d, _ in inv] == list(range(n * n))
+    assert all(
+        abs(a[1][0] - b[1][0]) + abs(a[1][1] - b[1][1]) == 1
+        for a, b in zip(inv, inv[1:])
+    )
+
+
+def test_hilbert_layout_clusters(spark):
+    from pyspark.sql import functions as F
+
+    from delta_sorter_spark.operators.zorder import hilbert_layout
+
+    df = spark.range(0, 1024).select(
+        (F.col("id") % 32).alias("x"), (F.col("id") / 32).cast("long").alias("y")
+    )
+    out = hilbert_layout(df, ["x", "y"], bits=4, num_partitions=4)
+    # each output partition should cover a small sub-rectangle of both dims:
+    # spans of x and y per partition must be far below the full 0..31 range
+    spans = (
+        out.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(
+            (F.max("x") - F.min("x")).alias("sx"),
+            (F.max("y") - F.min("y")).alias("sy"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    )
+    assert sum(r["n"] for r in spans) == 1024
+    big = [r for r in spans if r["n"] > 64]  # ignore slivers at range bounds
+    assert big and all(r["sx"] <= 23 and r["sy"] <= 23 for r in big)
