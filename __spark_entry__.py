@@ -3053,6 +3053,39 @@ WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
 """
 
 
+# ---------------------------------------------------------------------------
+# E37: reproducible global shuffle (training-data ordering)
+# ---------------------------------------------------------------------------
+
+_SHUF_SHARDS = 16
+
+
+def q_e37_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_sorter_spark.operators.sampling import deterministic_shuffle
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return deterministic_shuffle(docs, "doc_id", seed="shuf", n_shards=_SHUF_SHARDS)
+
+
+def _e37_sql() -> str:
+    h = duckdb_md5_long_sql("concat(CAST(doc_id AS VARCHAR), 'shuf')")
+    return f"""
+WITH h AS (
+  SELECT doc_id, {h} AS hv FROM documents
+),
+s AS (
+  SELECT doc_id, hv, hv % {_SHUF_SHARDS} AS shard FROM h
+)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY hv, doc_id) - 1
+            AS BIGINT) AS pos
+FROM s
+"""
+
+
+_E37_SQL = _e37_sql()
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the validator's V1 per-file min/max over sf0.001."""
     return q_v1_file_minmax(spark, "/root/testdata/sf0.001")
@@ -3137,6 +3170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e36_hilbert": q_e36_hilbert,
         "a37_json_props": q_a37_json_props,
         "a38_rank_windows": q_a38_rank_windows,
+        "e37_shuffle": q_e37_shuffle,
         **tpch_extra.QUERIES,
     }
 
@@ -3220,5 +3254,6 @@ def oracle_sql() -> dict[str, str]:
         "e36_hilbert": _E36_SQL,
         "a37_json_props": _A37_SQL,
         "a38_rank_windows": _A38_SQL,
+        "e37_shuffle": _E37_SQL,
         **tpch_extra.ORACLES,
     }

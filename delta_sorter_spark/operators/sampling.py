@@ -114,3 +114,30 @@ def pack_sequences(
         .withColumn("bin_offset", F.pmod(F.col("__before__"), F.lit(budget)).cast("long"))
         .drop("__before__")
     )
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    id_col: str,
+    seed: str = "shuf",
+    n_shards: int = 64,
+) -> DataFrame:
+    """Reproducible global shuffle for training-data ordering.
+
+    Appends ``shard`` (md5 bucket of the id) and ``pos`` (rank of the salted
+    hash within the shard): reading shards in order, each shard by ``pos``,
+    yields a pseudo-random document order that is identical across reruns,
+    cluster sizes, and engines — the property a resumable pretraining run
+    needs from its data order.
+
+    Scale shape: the rank is a per-shard window (n_shards independent
+    partitions), never a global single-partition sort; at 100 TB pick
+    n_shards ~ corpus_bytes / target_shard_bytes."""
+    h_sql = spark_md5_long_sql(f"concat(CAST({id_col} AS STRING), {seed!r})")
+    w = Window.partitionBy("shard").orderBy("__h__", id_col)
+    return (
+        df.withColumn("__h__", F.expr(h_sql))
+        .withColumn("shard", F.pmod(F.col("__h__"), F.lit(n_shards)).cast("long"))
+        .withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
+        .drop("__h__")
+    )

@@ -14,6 +14,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 _EXT_FORMAT = {
@@ -114,3 +115,27 @@ def register_tables(spark: SparkSession, sf_dir: str) -> None:
 
     for name in TABLE_NAMES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def read_binary_assets(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    max_bytes: int | None = None,
+) -> DataFrame:
+    """Ingest a directory tree of opaque files (images/audio/video) as a
+    DataFrame via Spark's built-in ``binaryFile`` source: one row per file
+    with (path, modificationTime, length, content BINARY).
+
+    This is the multimodal on-ramp at scale: listing and reads are
+    distributed, ``pathGlobFilter`` prunes by extension server-side, and
+    oversized payloads can be excluded up front (content stays NULL-free;
+    rows over ``max_bytes`` are dropped, keeping executor memory bounded —
+    route those through pointer columns instead, SURVEY §2.8 E5)."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(path)
+    if max_bytes is not None:
+        df = df.where(F.col("length") <= max_bytes)
+    return df

@@ -449,3 +449,27 @@ def test_redact_sequential_masking(spark):
     assert (out[2]["n_email"], out[2]["n_ipv4"], out[2]["n_idnum"]) == (0, 0, 0)
     assert out[3]["clean"] == "ids [IDNUM] and [IDNUM] and [IPV]"
     assert (out[3]["n_email"], out[3]["n_ipv4"], out[3]["n_idnum"]) == (0, 1, 2)
+
+
+def test_deterministic_shuffle_is_stable_and_balanced(spark):
+    from delta_sorter_spark.operators.sampling import deterministic_shuffle
+
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    a = deterministic_shuffle(df, "doc_id", n_shards=8).collect()
+    b = deterministic_shuffle(df.repartition(13), "doc_id", n_shards=8).collect()
+    ka = sorted((r["doc_id"], r["shard"], r["pos"]) for r in a)
+    kb = sorted((r["doc_id"], r["shard"], r["pos"]) for r in b)
+    assert ka == kb  # identical across physical layouts
+    # (shard, pos) is a dense total order: positions are 0..n_i-1 per shard
+    from collections import defaultdict
+
+    by_shard = defaultdict(list)
+    for _, s, p in ka:
+        by_shard[s].append(p)
+    assert set(by_shard) == set(range(8))
+    for s, ps in by_shard.items():
+        assert sorted(ps) == list(range(len(ps)))
+    # not the identity order: hash ordering actually permutes
+    first_shard = sorted(by_shard.keys())[0]
+    ids_in_order = [d for d, s, p in sorted(ka, key=lambda t: (t[1], t[2])) if s == first_shard]
+    assert ids_in_order != sorted(ids_in_order)

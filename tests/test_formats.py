@@ -47,3 +47,21 @@ def test_register_tables_sql(spark):
     register_tables(spark, "/root/testdata/sf0.001")
     n = spark.sql("SELECT count(*) AS n FROM nation").collect()[0]["n"]
     assert n == 25
+
+
+def test_read_binary_assets(spark, tmp_path):
+    from delta_sorter_spark.sources.formats import read_binary_assets
+
+    d = tmp_path / "assets"
+    d.mkdir()
+    (d / "a.img").write_bytes(b"\x89IMG" + b"\x00" * 10)
+    (d / "b.img").write_bytes(b"\x89IMG" + b"\xff" * 2000)
+    (d / "skip.txt").write_bytes(b"not an image")
+    out = read_binary_assets(spark, str(d), glob="*.img").collect()
+    assert {r["path"].rsplit("/", 1)[-1] for r in out} == {"a.img", "b.img"}
+    row = {r["path"].rsplit("/", 1)[-1]: r for r in out}
+    assert bytes(row["a.img"]["content"])[:4] == b"\x89IMG"
+    assert row["b.img"]["length"] == 2004
+    # oversized payloads excluded up front
+    small = read_binary_assets(spark, str(d), glob="*.img", max_bytes=100).collect()
+    assert [r["path"].rsplit("/", 1)[-1] for r in small] == ["a.img"]
