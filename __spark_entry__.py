@@ -181,7 +181,7 @@ flagged AS (
   FROM c
 )
 SELECT file_id,
-       sum(CASE WHEN prev_ship > l_shipdate THEN 1 ELSE 0 END) AS descents,
+       CAST(sum(CASE WHEN prev_ship > l_shipdate THEN 1 ELSE 0 END) AS BIGINT) AS descents,
        sum(CASE WHEN prev_ship > l_shipdate THEN 1 ELSE 0 END) = 0 AS is_ascending
 FROM flagged GROUP BY file_id
 """
@@ -265,10 +265,10 @@ flagged AS (
   WINDOW w AS (ORDER BY mn_ship, mn_ok)
 )
 SELECT count(*) AS checked_files,
-       sum(CASE WHEN descents > 0 THEN 1 ELSE 0 END) AS files_not_ascending,
-       sum(cross_violation) AS cross_file_violations,
-       sum(CASE WHEN descents > 0 THEN 1 ELSE 0 END) + sum(cross_violation)
-         AS boundary_violations
+       CAST(sum(CASE WHEN descents > 0 THEN 1 ELSE 0 END) AS BIGINT) AS files_not_ascending,
+       CAST(sum(cross_violation) AS BIGINT) AS cross_file_violations,
+       CAST(sum(CASE WHEN descents > 0 THEN 1 ELSE 0 END) + sum(cross_violation)
+         AS BIGINT) AS boundary_violations
 FROM flagged
 """
 
@@ -1288,7 +1288,7 @@ WITH t AS (
 vocab AS (SELECT tok, count(*) AS cnt FROM t GROUP BY tok),
 d AS (
   SELECT doc_id, count(*) AS n_tokens,
-         sum(CAST(length(bin(cnt)) - 1 AS BIGINT)) AS sum_freq_bits
+         CAST(sum(CAST(length(bin(cnt)) - 1 AS BIGINT)) AS BIGINT) AS sum_freq_bits
   FROM t JOIN vocab USING (tok)
   GROUP BY doc_id
 )
@@ -3092,57 +3092,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Ordered for driver-budget efficiency: entries with no round-1 driver
+    # correctness row first (registry tail the round-1 checker never reached),
+    # then the 11 rows that errored in round 1 (events-loader bug, now fixed),
+    # then the 3 hash-only reds (oracle typing, now cast), then the 36 greens.
     return {
-        "v1_file_minmax": q_v1_file_minmax,
-        "v2_file_sortedness": q_v2_file_sortedness,
-        "v3_boundary_check": q_v3_boundary_check,
-        "q1_global_sort": q_q1_global_sort,
-        "q2_partition_sort": q_q2_partition_sort,
-        "q3_partition_inventory": q_q3_partition_inventory,
-        "q4_predicate_render": q_q4_predicate_render,
-        "e1_exact_dedup": q_e1_exact_dedup,
-        "e2_minhash_sig": q_e2_minhash_sig,
-        "e3_lsh_candidates": q_e3_lsh_candidates,
-        "e4_simhash": q_e4_simhash,
-        "e5_ngram_jaccard": q_e5_ngram_jaccard,
-        "e6_topk_cosine": q_e6_topk_cosine,
-        "e7_ann_lsh": q_e7_ann_lsh,
-        "e8_token_stats": q_e8_token_stats,
-        "e9_quality": q_e9_quality,
-        "e10_lang_id": q_e10_lang_id,
-        "e11_fingerprint": q_e11_fingerprint,
-        "e12_zorder": q_e12_zorder,
-        "e13_dup_clusters": q_e13_dup_clusters,
-        "e14_embedding_neardup": q_e14_embedding_neardup,
-        "e15_ivf_ann": q_e15_ivf_ann,
-        "e33_semantic_dedup": q_e33_semantic_dedup,
-        "e34_unigram_surprisal": q_e34_unigram_surprisal,
-        "e16_bpe_tokens": q_e16_bpe_tokens,
-        "s1_event_windows": q_s1_event_windows,
-        "s2_sessionize": q_s2_sessionize,
-        "s3_enriched_events": q_s3_enriched_events,
-        "m1_binary_meta": q_m1_binary_meta,
-        "m2_decoded_assets": q_m2_decoded_assets,
-        "a1_pricing_summary": q_a1_pricing_summary,
-        "a2_top_revenue_orders": q_a2_top_revenue_orders,
-        "a3_regional_revenue": q_a3_regional_revenue,
-        "a4_topk_per_priority": q_a4_topk_per_priority,
-        "a5_rollup": q_a5_rollup,
-        "a6_asof_join": q_a6_asof_join,
-        "a7_set_ops": q_a7_set_ops,
-        "a8_range_join": q_a8_range_join,
-        "a9_promo_revenue": q_a9_promo_revenue,
-        "a10_sql_surface": q_a10_sql_surface,
-        "e17_cms_sketch": q_e17_cms_sketch,
-        "e18_cms_estimate": q_e18_cms_estimate,
-        "e19_salted_distinct": q_e19_salted_distinct,
-        "e20_hash_split": q_e20_hash_split,
-        "e21_pack_sequences": q_e21_pack_sequences,
-        "e22_winnowing": q_e22_winnowing,
-        "a11_running_total": q_a11_running_total,
-        "a12_quantiles": q_a12_quantiles,
-        "a13_pivot": q_a13_pivot,
-        "a14_inactive_vip": q_a14_inactive_vip,
+        # --- never checked in round 1 ---
         "a15_small_qty_revenue": q_a15_small_qty_revenue,
         "a16_late_ship_priority": q_a16_late_ship_priority,
         "a17_local_supplier_volume": q_a17_local_supplier_volume,
@@ -3172,6 +3127,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a38_rank_windows": q_a38_rank_windows,
         "e37_shuffle": q_e37_shuffle,
         **tpch_extra.QUERIES,
+        # --- errored in round 1 (events loader, fixed) ---
+        "s1_event_windows": q_s1_event_windows,
+        "s2_sessionize": q_s2_sessionize,
+        "s3_enriched_events": q_s3_enriched_events,
+        "a6_asof_join": q_a6_asof_join,
+        "a8_range_join": q_a8_range_join,
+        "a10_sql_surface": q_a10_sql_surface,
+        "a11_running_total": q_a11_running_total,
+        "a13_pivot": q_a13_pivot,
+        "e17_cms_sketch": q_e17_cms_sketch,
+        "e18_cms_estimate": q_e18_cms_estimate,
+        "e19_salted_distinct": q_e19_salted_distinct,
+        # --- hash-red in round 1 (oracle HUGEINT typing, fixed) ---
+        "v2_file_sortedness": q_v2_file_sortedness,
+        "v3_boundary_check": q_v3_boundary_check,
+        "e34_unigram_surprisal": q_e34_unigram_surprisal,
+        # --- green in round 1 ---
+        "v1_file_minmax": q_v1_file_minmax,
+        "q1_global_sort": q_q1_global_sort,
+        "q2_partition_sort": q_q2_partition_sort,
+        "q3_partition_inventory": q_q3_partition_inventory,
+        "q4_predicate_render": q_q4_predicate_render,
+        "e1_exact_dedup": q_e1_exact_dedup,
+        "e2_minhash_sig": q_e2_minhash_sig,
+        "e3_lsh_candidates": q_e3_lsh_candidates,
+        "e4_simhash": q_e4_simhash,
+        "e5_ngram_jaccard": q_e5_ngram_jaccard,
+        "e6_topk_cosine": q_e6_topk_cosine,
+        "e7_ann_lsh": q_e7_ann_lsh,
+        "e8_token_stats": q_e8_token_stats,
+        "e9_quality": q_e9_quality,
+        "e10_lang_id": q_e10_lang_id,
+        "e11_fingerprint": q_e11_fingerprint,
+        "e12_zorder": q_e12_zorder,
+        "e13_dup_clusters": q_e13_dup_clusters,
+        "e14_embedding_neardup": q_e14_embedding_neardup,
+        "e15_ivf_ann": q_e15_ivf_ann,
+        "e33_semantic_dedup": q_e33_semantic_dedup,
+        "e16_bpe_tokens": q_e16_bpe_tokens,
+        "m1_binary_meta": q_m1_binary_meta,
+        "m2_decoded_assets": q_m2_decoded_assets,
+        "a1_pricing_summary": q_a1_pricing_summary,
+        "a2_top_revenue_orders": q_a2_top_revenue_orders,
+        "a3_regional_revenue": q_a3_regional_revenue,
+        "a4_topk_per_priority": q_a4_topk_per_priority,
+        "a5_rollup": q_a5_rollup,
+        "a7_set_ops": q_a7_set_ops,
+        "a9_promo_revenue": q_a9_promo_revenue,
+        "e20_hash_split": q_e20_hash_split,
+        "e21_pack_sequences": q_e21_pack_sequences,
+        "e22_winnowing": q_e22_winnowing,
+        "a12_quantiles": q_a12_quantiles,
+        "a14_inactive_vip": q_a14_inactive_vip,
     }
 
 

@@ -14,13 +14,22 @@ exercises:
   validation can be O(metadata), which SURVEY §4 calls out as our improvement
   over the reference's full-file scans (lib.rs:609-665);
 - optimistic concurrency: a commit targets version N and fails if
-  ``%020d.json`` already exists (atomic O_CREAT|O_EXCL); callers retry after
-  re-reading state.  Mirrors the reference's single-commit CommitBuilder flow
-  (lib.rs:862-885).
+  ``%020d.json`` already exists — **put-if-absent**, via ``os.link`` locally
+  and a conditional PUT on object stores (sources/fs.py).  Mirrors the
+  reference's single-commit CommitBuilder flow (lib.rs:862-885);
+- **parquet checkpoints** per the Delta protocol's checkpoint schema
+  (``%020d.checkpoint.parquet`` with one-action-per-row structs + a
+  ``_last_checkpoint`` pointer), so replay is O(commits since checkpoint) and
+  the on-disk layout matches what delta-rs / delta-spark write.  Legacy JSON
+  checkpoints written by earlier versions of this engine are still read.
 
-Not implemented (out of the reference's scope): checkpoints, deletion
-vectors, column mapping, CDC files.  Fine for maintenance-tool parity; the
-log replay is O(#commits), and a compaction tool issues few commits.
+All log IO goes through ``sources/fs.py``; table paths may be local paths or
+``s3://`` / ``memory://`` URIs, matching the reference's URI addressing
+(crates/sorter-cli/src/main.rs:13-15).
+
+Known divergence: deletion vectors use a parquet positions sidecar (not a
+RoaringBitmap); their checkpoint encoding stores the sidecar path in the
+protocol's ``deletionVector`` struct with storageType ``"p"``.
 
 The ``schemaString`` in metaData uses Spark's StructType JSON, which is the
 same format Delta uses, so round-tripping through ``StructType.fromJson`` is
@@ -29,13 +38,15 @@ exact.
 
 from __future__ import annotations
 
+import io
 import json
-import os
 import time
 import uuid
 from dataclasses import dataclass, field
 
 from pyspark.sql import types as T
+
+from .fs import resolve
 
 
 class DeltaCommitConflict(Exception):
@@ -166,25 +177,123 @@ class TableState:
     txns: dict = field(default_factory=dict)
 
 
+def _checkpoint_arrow_schema():
+    """Delta protocol checkpoint schema (one action per row, struct per
+    action type).  Field names/shapes follow the protocol's
+    "Checkpoint Schema" section so delta-rs/delta-spark recognise the file."""
+    import pyarrow as pa
+
+    str_map = pa.map_(pa.string(), pa.string())
+    return pa.schema(
+        [
+            (
+                "protocol",
+                pa.struct(
+                    [
+                        ("minReaderVersion", pa.int32()),
+                        ("minWriterVersion", pa.int32()),
+                    ]
+                ),
+            ),
+            (
+                "metaData",
+                pa.struct(
+                    [
+                        ("id", pa.string()),
+                        ("name", pa.string()),
+                        ("description", pa.string()),
+                        (
+                            "format",
+                            pa.struct(
+                                [("provider", pa.string()), ("options", str_map)]
+                            ),
+                        ),
+                        ("schemaString", pa.string()),
+                        ("partitionColumns", pa.list_(pa.string())),
+                        ("configuration", str_map),
+                        ("createdTime", pa.int64()),
+                    ]
+                ),
+            ),
+            (
+                "txn",
+                pa.struct(
+                    [
+                        ("appId", pa.string()),
+                        ("version", pa.int64()),
+                        ("lastUpdated", pa.int64()),
+                    ]
+                ),
+            ),
+            (
+                "add",
+                pa.struct(
+                    [
+                        ("path", pa.string()),
+                        ("partitionValues", str_map),
+                        ("size", pa.int64()),
+                        ("modificationTime", pa.int64()),
+                        ("dataChange", pa.bool_()),
+                        ("stats", pa.string()),
+                        ("tags", str_map),
+                        (
+                            "deletionVector",
+                            pa.struct(
+                                [
+                                    ("storageType", pa.string()),
+                                    ("pathOrInlineDv", pa.string()),
+                                    ("offset", pa.int32()),
+                                    ("sizeInBytes", pa.int32()),
+                                    ("cardinality", pa.int64()),
+                                ]
+                            ),
+                        ),
+                    ]
+                ),
+            ),
+            (
+                "remove",
+                pa.struct(
+                    [
+                        ("path", pa.string()),
+                        ("deletionTimestamp", pa.int64()),
+                        ("dataChange", pa.bool_()),
+                        ("extendedFileMetadata", pa.bool_()),
+                        ("partitionValues", str_map),
+                        ("size", pa.int64()),
+                    ]
+                ),
+            ),
+        ]
+    )
+
+
+def _as_dict(maybe_map) -> dict:
+    """pyarrow returns map columns as [(k, v), ...]; normalise to dict."""
+    if maybe_map is None:
+        return {}
+    if isinstance(maybe_map, dict):
+        return maybe_map
+    return dict(maybe_map)
+
+
 class DeltaLog:
-    """Transaction log for one table directory."""
+    """Transaction log for one table directory (local path or URI)."""
 
     def __init__(self, table_path: str):
-        self.table_path = os.path.abspath(table_path)
-        self.log_dir = os.path.join(self.table_path, "_delta_log")
+        self.fs, self.table_path = resolve(table_path)
+        self.log_dir = self.fs.join(self.table_path, "_delta_log")
 
     CHECKPOINT_INTERVAL = 10
 
     # -- reading -----------------------------------------------------------
 
     def exists(self) -> bool:
-        return os.path.isdir(self.log_dir) and bool(self._commit_versions())
+        return bool(self._commit_versions())
 
     def _commit_versions(self) -> list[int]:
-        if not os.path.isdir(self.log_dir):
-            return []
         out = []
-        for name in os.listdir(self.log_dir):
+        for name in self.fs.list_dir(self.log_dir):
             if name.endswith(".json") and len(name) == 25:
                 try:
                     out.append(int(name[:-5]))
@@ -197,21 +306,66 @@ class DeltaLog:
         return versions[-1] if versions else -1
 
     def _last_checkpoint_version(self) -> int | None:
-        path = os.path.join(self.log_dir, "_last_checkpoint")
-        if not os.path.exists(path):
-            return None
+        path = self.fs.join(self.log_dir, "_last_checkpoint")
         try:
-            with open(path) as fh:
-                return int(json.load(fh)["version"])
-        except (ValueError, KeyError, json.JSONDecodeError):
+            return int(json.loads(self.fs.read_text(path))["version"])
+        except (FileNotFoundError, ValueError, KeyError, json.JSONDecodeError):
             return None
+
+    def _read_checkpoint_actions(self, version: int) -> list[dict] | None:
+        """Actions of the checkpoint at ``version``; parquet (protocol
+        layout) preferred, legacy JSON-lines fallback; None if absent."""
+        pq_path = self.fs.join(self.log_dir, f"{version:020d}.checkpoint.parquet")
+        try:
+            data = self.fs.read_bytes(pq_path)
+        except FileNotFoundError:
+            data = None
+        if data is not None:
+            import pyarrow.parquet as pq
+
+            table = pq.read_table(io.BytesIO(data))
+            actions: list[dict] = []
+            for row in table.to_pylist():
+                if row.get("protocol") is not None:
+                    actions.append({"protocol": row["protocol"]})
+                elif row.get("metaData") is not None:
+                    m = dict(row["metaData"])
+                    m["partitionColumns"] = list(m.get("partitionColumns") or [])
+                    m["configuration"] = _as_dict(m.get("configuration"))
+                    fmt = dict(m.get("format") or {})
+                    fmt["options"] = _as_dict(fmt.get("options"))
+                    m["format"] = fmt
+                    actions.append({"metaData": m})
+                elif row.get("txn") is not None:
+                    actions.append({"txn": row["txn"]})
+                elif row.get("add") is not None:
+                    a = dict(row["add"])
+                    a["partitionValues"] = _as_dict(a.get("partitionValues"))
+                    dv = a.pop("deletionVector", None)
+                    if dv is not None and dv.get("pathOrInlineDv"):
+                        a["deletionVector"] = {
+                            "storagePath": dv["pathOrInlineDv"],
+                            "cardinality": dv.get("cardinality", 0),
+                        }
+                    a.pop("tags", None)
+                    actions.append({"add": a})
+                elif row.get("remove") is not None:
+                    r = dict(row["remove"])
+                    r["partitionValues"] = _as_dict(r.get("partitionValues"))
+                    actions.append({"remove": r})
+            return actions
+        json_path = self.fs.join(self.log_dir, f"{version:020d}.checkpoint.json")
+        try:
+            text = self.fs.read_text(json_path)
+        except FileNotFoundError:
+            return None
+        return [json.loads(line) for line in text.splitlines() if line.strip()]
 
     def read_state(self, at_version: int | None = None) -> TableState:
         """Replay the log.  With a checkpoint present, replay starts from the
         checkpointed state and covers only later commits — O(commits since
         checkpoint), the property that keeps log reads cheap on long-lived
-        tables (Delta protocol checkpointing; ours serializes the same
-        actions as JSON rather than parquet — documented divergence).
+        tables.
 
         ``at_version`` requests a historical snapshot (time travel,
         delta-rs ``load_version`` / Spark ``versionAsOf``): replay stops at
@@ -234,26 +388,21 @@ class DeltaLog:
         ckpt_version = self._last_checkpoint_version()
         replay_from = 0
         if ckpt_version is not None and (at_version is None or ckpt_version <= at_version):
-            ckpt_path = os.path.join(self.log_dir, f"{ckpt_version:020d}.checkpoint.json")
-            if os.path.exists(ckpt_path):
-                with open(ckpt_path) as fh:
-                    for line in fh:
-                        line = line.strip()
-                        if not line:
-                            continue
-                        action = json.loads(line)
-                        metadata, adds = self._apply(action, metadata, adds, txns)
+            ckpt_actions = self._read_checkpoint_actions(ckpt_version)
+            if ckpt_actions is not None:
+                for action in ckpt_actions:
+                    metadata, adds = self._apply(action, metadata, adds, txns)
                 replay_from = ckpt_version + 1
 
         for v in versions:
             if v < replay_from:
                 continue
-            with open(os.path.join(self.log_dir, f"{v:020d}.json")) as fh:
-                for line in fh:
-                    line = line.strip()
-                    if not line:
-                        continue
-                    metadata, adds = self._apply(json.loads(line), metadata, adds, txns)
+            text = self.fs.read_text(self.fs.join(self.log_dir, f"{v:020d}.json"))
+            for line in text.splitlines():
+                line = line.strip()
+                if not line:
+                    continue
+                metadata, adds = self._apply(json.loads(line), metadata, adds, txns)
         if metadata is None:
             raise ValueError(f"Delta log at {self.log_dir} has no metaData action")
         return TableState(
@@ -265,9 +414,8 @@ class DeltaLog:
 
     def commit_actions(self, version: int) -> list[dict]:
         """All actions of one commit, in file order (change-feed readers)."""
-        path = os.path.join(self.log_dir, f"{version:020d}.json")
-        with open(path) as fh:
-            return [json.loads(line) for line in fh if line.strip()]
+        text = self.fs.read_text(self.fs.join(self.log_dir, f"{version:020d}.json"))
+        return [json.loads(line) for line in text.splitlines() if line.strip()]
 
     def history(self) -> list[dict]:
         """Commit history, newest first: [{version, timestamp, operation,
@@ -276,20 +424,15 @@ class DeltaLog:
         for v in reversed(self._commit_versions()):
             info = {"version": v, "timestamp": None, "operation": None,
                     "operationParameters": {}}
-            with open(os.path.join(self.log_dir, f"{v:020d}.json")) as fh:
-                for line in fh:
-                    line = line.strip()
-                    if not line:
-                        continue
-                    action = json.loads(line)
-                    if "commitInfo" in action:
-                        ci = action["commitInfo"]
-                        info.update(
-                            timestamp=ci.get("timestamp"),
-                            operation=ci.get("operation"),
-                            operationParameters=ci.get("operationParameters", {}),
-                        )
-                        break
+            for action in self.commit_actions(v):
+                if "commitInfo" in action:
+                    ci = action["commitInfo"]
+                    info.update(
+                        timestamp=ci.get("timestamp"),
+                        operation=ci.get("operation"),
+                        operationParameters=ci.get("operationParameters", {}),
+                    )
+                    break
             out.append(info)
         return out
 
@@ -318,7 +461,9 @@ class DeltaLog:
                 partition_values=a.get("partitionValues", {}),
                 modification_time=a.get("modificationTime", 0),
                 data_change=a.get("dataChange", True),
-                stats=json.loads(stats) if stats else None,
+                stats=json.loads(stats) if isinstance(stats, str) and stats else (
+                    stats if isinstance(stats, dict) else None
+                ),
                 deletion_vector=a.get("deletionVector"),
             )
         elif "remove" in action:
@@ -326,36 +471,61 @@ class DeltaLog:
         return metadata, adds
 
     def write_checkpoint(self, state: TableState | None = None) -> str:
-        """Consolidate current state into a checkpoint file + _last_checkpoint
-        pointer.  Subsequent read_state calls replay only newer commits."""
+        """Consolidate current state into a protocol-layout parquet
+        checkpoint + ``_last_checkpoint`` pointer.  Subsequent read_state
+        calls replay only newer commits."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
         state = state or self.read_state()
-        ckpt_path = os.path.join(self.log_dir, f"{state.version:020d}.checkpoint.json")
-        lines = [
-            json.dumps({"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}),
-            json.dumps(
-                {
-                    "metaData": {
-                        "id": state.metadata.table_id,
-                        "format": {"provider": "parquet", "options": {}},
-                        "schemaString": json.dumps(state.metadata.schema.jsonValue()),
-                        "partitionColumns": state.metadata.partition_columns,
-                        "configuration": state.metadata.configuration,
-                    }
+        rows: list[dict] = [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {
+                "metaData": {
+                    "id": state.metadata.table_id,
+                    "name": None,
+                    "description": None,
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": json.dumps(state.metadata.schema.jsonValue()),
+                    "partitionColumns": state.metadata.partition_columns,
+                    "configuration": state.metadata.configuration,
+                    "createdTime": None,
                 }
-            ),
+            },
         ]
         for app, ver in sorted(state.txns.items()):
-            lines.append(json.dumps({"txn": {"appId": app, "version": ver}}))
+            rows.append({"txn": {"appId": app, "version": ver, "lastUpdated": None}})
         for add in state.adds:
-            lines.append(json.dumps(add.to_json()))
-        tmp = ckpt_path + f".{uuid.uuid4().hex}.tmp"
-        with open(tmp, "w") as fh:
-            fh.write("\n".join(lines) + "\n")
-        os.replace(tmp, ckpt_path)
-        ptr_tmp = os.path.join(self.log_dir, f"_last_checkpoint.{uuid.uuid4().hex}.tmp")
-        with open(ptr_tmp, "w") as fh:
-            json.dump({"version": state.version, "size": len(state.adds)}, fh)
-        os.replace(ptr_tmp, os.path.join(self.log_dir, "_last_checkpoint"))
+            dv = None
+            if add.deletion_vector is not None:
+                dv = {
+                    "storageType": "p",
+                    "pathOrInlineDv": add.deletion_vector.get("storagePath"),
+                    "offset": None,
+                    "sizeInBytes": None,
+                    "cardinality": add.deletion_vector.get("cardinality", 0),
+                }
+            rows.append(
+                {
+                    "add": {
+                        "path": add.path,
+                        "partitionValues": add.partition_values,
+                        "size": add.size,
+                        "modificationTime": add.modification_time,
+                        "dataChange": False,
+                        "stats": json.dumps(add.stats) if add.stats else None,
+                        "tags": None,
+                        "deletionVector": dv,
+                    }
+                }
+            )
+        table = pa.Table.from_pylist(rows, schema=_checkpoint_arrow_schema())
+        buf = io.BytesIO()
+        pq.write_table(table, buf)
+        ckpt_path = self.fs.join(self.log_dir, f"{state.version:020d}.checkpoint.parquet")
+        self.fs.write_bytes(ckpt_path, buf.getvalue())
+        ptr = json.dumps({"version": state.version, "size": len(rows)})
+        self.fs.write_text(self.fs.join(self.log_dir, "_last_checkpoint"), ptr)
         return ckpt_path
 
     def maybe_checkpoint(self, version: int) -> None:
@@ -373,7 +543,7 @@ class DeltaLog:
         partition_columns: list[str] | None = None,
         configuration: dict | None = None,
     ) -> TableMetadata:
-        os.makedirs(self.log_dir, exist_ok=True)
+        self.fs.makedirs(self.log_dir)
         if self._commit_versions():
             raise FileExistsError(f"table already exists at {self.table_path}")
         meta = TableMetadata(
@@ -426,7 +596,7 @@ class DeltaLog:
         """Write one commit file atomically; raises DeltaCommitConflict if the
         version is taken (optimistic concurrency, Delta protocol's
         put-if-absent)."""
-        os.makedirs(self.log_dir, exist_ok=True)
+        self.fs.makedirs(self.log_dir)
         lines = [
             json.dumps(
                 {
@@ -441,17 +611,12 @@ class DeltaLog:
         ]
         for a in actions:
             lines.append(json.dumps(a.to_json() if hasattr(a, "to_json") else a))
-        target = os.path.join(self.log_dir, f"{version:020d}.json")
-        tmp = target + f".{uuid.uuid4().hex}.tmp"
-        with open(tmp, "w") as fh:
-            fh.write("\n".join(lines) + "\n")
+        target = self.fs.join(self.log_dir, f"{version:020d}.json")
+        data = ("\n".join(lines) + "\n").encode("utf-8")
         try:
-            # link() is atomic and fails if target exists — put-if-absent.
-            os.link(tmp, target)
+            self.fs.put_if_absent(target, data)
         except FileExistsError as exc:
             raise DeltaCommitConflict(f"version {version} already committed") from exc
-        finally:
-            os.unlink(tmp)
         return version
 
     def commit_with_retry(

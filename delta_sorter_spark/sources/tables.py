@@ -27,20 +27,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores ``ts`` as TIMESTAMP(NANOS), which Spark's parquet
-    reader rejects.  Read nanos as long (legacy conf) and convert to a
-    microsecond TIMESTAMP_NTZ JVM-side.
+    """Load events.parquet, normalising ``ts`` to TIMESTAMP_NTZ.
 
-    Two deliberate choices:
-    - integer DIV (not float division), which would lose bits above 2^53;
-    - NTZ, so every downstream window/format is session-timezone-invariant
-      and matches the DuckDB oracle no matter what timezone the driver's
-      SparkSession runs in (timestamp_micros would yield an LTZ value whose
-      hour windows shift under non-UTC sessions)."""
+    The generator has shipped ``ts`` both as TIMESTAMP(MICROS) (current) and
+    as TIMESTAMP(NANOS) (which Spark's reader only accepts as int64 via the
+    ``nanosAsLong`` legacy conf), so branch on the dtype Spark actually reads:
+
+    - already a timestamp type -> plain cast to NTZ (no-op for NTZ reads);
+    - int64 (nanos-as-long)    -> integer DIV 1000 to micros (float division
+      would lose bits above 2^53), then epoch + interval arithmetic.
+
+    NTZ in both branches keeps every downstream window/format
+    session-timezone-invariant, matching the DuckDB oracle regardless of the
+    driver session's timezone."""
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, (T.TimestampType, T.TimestampNTZType)):
+        return df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     micros = "CAST(ts DIV 1000 AS BIGINT)"
     ntz = (
         "TIMESTAMP_NTZ '1970-01-01 00:00:00' + make_interval(0, 0, 0, 0, 0, 0, "

@@ -105,7 +105,8 @@ def test_checkpoint_roundtrip(spark, tmp_path):
 
     names = os.listdir(os.path.join(path, "_delta_log"))
     assert "_last_checkpoint" in names
-    assert any(n.endswith(".checkpoint.json") for n in names)
+    # protocol-layout parquet checkpoint (Delta checkpoint schema)
+    assert any(n.endswith(".checkpoint.parquet") for n in names)
     state = log.read_state()
     assert len(state.adds) == 13
     assert table.to_df().count() == 13
