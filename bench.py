@@ -137,7 +137,7 @@ def main() -> int:
         run = lambda fn=fn: fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()  # noqa: E731
         run()
         samples = []
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.monotonic()
             run()
             samples.append(time.monotonic() - t0)

@@ -281,45 +281,93 @@ def delete_where_dv(table: DeltaTable, predicate: str) -> dict:
     protocol's roaring-bitmap encoding, simplified; positions are physical
     file row indexes so they stay valid until the file itself is rewritten.
 
-    Returns {"dv_files", "deleted_rows", "version"}."""
-    import json as _json
+    Returns {"dv_files", "deleted_rows", "version"}.
+
+    Scale path: the matched row positions never pass through the driver.
+    The predicate scan tags each hit with its table-relative path (computed
+    in Spark from ``_metadata.file_path``), unions in the prior positions of
+    any already-DV'd hit file (positions are cumulative per sidecar), and
+    writes the merged ``(path, pos)`` sidecar dataset directly from
+    executors.  The driver sees only one aggregate row per touched file
+    (cardinalities for the new Add actions) — O(#files-touched), the same
+    order as the commit itself."""
+    import re as _re
     import uuid as _uuid
 
     state = table.state()
     # Raw positional scan (existing DVs not applied): rows already deleted
-    # may re-match the predicate, but the position-set union below makes
+    # may re-match the predicate, but the sidecar-level distinct() makes
     # that a no-op, and deleted_rows counts only NEW positions.
     scan = table.scan_with_positions(state.adds)
-    hits = (
-        scan.where(F.coalesce(F.expr(predicate), F.lit(False)))
-        .groupBy("__file__")
-        .agg(F.collect_list("__pos__").alias("__ps__"))
-        .collect()
+    # URI -> table-relative path, computed in Spark.  '+' is a literal in
+    # URI paths (spaces are %20), but url_decode treats it as a space —
+    # re-encode it first so both survive.
+    abs_col = F.regexp_replace(
+        F.expr("url_decode(replace(__file__, '+', '%2B'))"), "^[a-z]+:/+", "/"
     )
-    if not hits:
+    rel_col = F.regexp_replace(
+        abs_col, "^" + _re.escape(table.table_path.rstrip("/")) + "/", ""
+    )
+    hits = scan.where(F.coalesce(F.expr(predicate), F.lit(False))).select(
+        rel_col.alias("path"), F.col("__pos__").alias("pos")
+    )
+
+    # Prior positions of currently-DV'd files, restricted to files this
+    # delete touches (their Add is re-pointed, so the new sidecar must carry
+    # the union).  Parquet sidecars stream executor-side; legacy JSON
+    # sidecars (small by construction) load driver-side.
+    prev_parts = []
+    json_rows: list[tuple[str, int]] = []
+    seen_sidecars: set[str] = set()
+    for a in state.adds:
+        if not a.deletion_vector:
+            continue
+        sp = a.deletion_vector["storagePath"]
+        sidecar = os.path.join(table.table_path, sp)
+        if os.path.isdir(sidecar):
+            if sp not in seen_sidecars:
+                seen_sidecars.add(sp)
+                prev_parts.append(
+                    table.spark.read.parquet(sidecar).select("path", "pos")
+                )
+        else:
+            json_rows += [(a.path, int(p)) for p in table.read_deletion_vector(a)]
+    if json_rows:
+        prev_parts.append(
+            table.spark.createDataFrame(json_rows, "path string, pos long")
+        )
+    merged = hits
+    if prev_parts:
+        prev = prev_parts[0]
+        for p in prev_parts[1:]:
+            prev = prev.unionByName(p)
+        prev = prev.join(hits.select("path").distinct(), "path", "left_semi")
+        merged = hits.unionByName(prev)
+    merged = merged.distinct()
+
+    sidecar_rel = f"_deletion_vectors/{_uuid.uuid4().hex}"
+    sidecar_abs = os.path.join(table.table_path, sidecar_rel)
+    # co-locate each file's positions so readers filtering on path touch
+    # few sidecar files
+    merged.repartition("path").write.parquet(sidecar_abs)
+
+    counts = {
+        r["path"]: r["n"]
+        for r in table.spark.read.parquet(sidecar_abs)
+        .groupBy("path")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    if not counts:
         return {"dv_files": 0, "deleted_rows": 0, "version": state.version}
 
-    by_path: dict[str, list[int]] = {}
-    for r in hits:
-        rel = os.path.relpath(
-            urllib.parse.unquote(urllib.parse.urlparse(r["__file__"]).path),
-            table.table_path,
-        )
-        by_path[rel] = sorted(int(p) for p in r["__ps__"])
-
     adds_by_path = {a.path: a for a in state.adds}
-    dv_dir = os.path.join(table.table_path, "_deletion_vectors")
-    os.makedirs(dv_dir, exist_ok=True)
-    sidecar_rel = os.path.join("_deletion_vectors", f"{_uuid.uuid4().hex}.json")
-    payload = {}
     new_adds, removes = [], []
     deleted_rows = 0
-    for rel, positions in by_path.items():
+    for rel, cardinality in counts.items():
         old = adds_by_path[rel]
-        prev = table.read_deletion_vector(old)
-        merged = set(positions) | prev
-        deleted_rows += len(merged) - len(prev)
-        payload[rel] = sorted(merged)
+        prev_n = (old.deletion_vector or {}).get("cardinality", 0)
+        deleted_rows += cardinality - prev_n
         removes.append(old.remove_action(True))
         new_adds.append(
             AddAction(
@@ -330,13 +378,11 @@ def delete_where_dv(table: DeltaTable, predicate: str) -> dict:
                 data_change=True,
                 stats=old.stats,  # conservative: pre-delete min/max still bound the data
                 deletion_vector={
-                    "storagePath": sidecar_rel.replace(os.sep, "/"),
-                    "cardinality": len(merged),
+                    "storagePath": sidecar_rel,
+                    "cardinality": cardinality,
                 },
             )
         )
-    with open(os.path.join(table.table_path, sidecar_rel), "w") as fh:
-        _json.dump(payload, fh)
     version = table.commit_rewrite(new_adds, removes, operation="DELETE")
     return {
         "dv_files": len(new_adds),

@@ -32,13 +32,13 @@ Execution strategy (the 100 TB design):
 
 from __future__ import annotations
 
-import json
 import os
 from collections.abc import Iterator, Sequence
 from dataclasses import dataclass, field
 from functools import cmp_to_key
 
 from pyspark.sql import SparkSession
+from pyspark.sql import types as T
 
 from delta_sorter_spark.functions.keys import key_tuple_cmp
 from delta_sorter_spark.functions.predicates import validate_sort_columns
@@ -96,25 +96,44 @@ def _summary_from_key_stats(add: AddAction, sort_columns: Sequence[str], nulls_f
     )
 
 
-def _scan_summaries(
+def _summary_struct(dtypes: list) -> "T.StructType":
+    """Typed summary row: path, num_rows, ascending, descents, then one
+    (min_i, max_i) pair per sort column in the column's own type, so the
+    cross-file comparison can run as JVM column expressions."""
+    from pyspark.sql import types as T
+
+    fields = [
+        T.StructField("path", T.StringType()),
+        T.StructField("num_rows", T.LongType()),
+        T.StructField("ascending", T.BooleanType()),
+        T.StructField("descents", T.LongType()),
+    ]
+    for i, dt in enumerate(dtypes):
+        fields.append(T.StructField(f"min_{i}", dt, True))
+        fields.append(T.StructField(f"max_{i}", dt, True))
+    return T.StructType(fields)
+
+
+def _scan_summaries_df(
     spark: SparkSession,
     table_path: str,
     rel_paths: list[str],
     sort_columns: Sequence[str],
     nulls_first: bool,
-    dtypes_json: str,
-) -> list[FileSummary]:
-    """Distributed per-file scan via mapInPandas over the file list."""
-    if not rel_paths:
-        return []
+    dtypes: list,
+):
+    """Distributed per-file scan via mapInPandas over the file list,
+    returning the typed summary DataFrame (NOT collected — at 10^6 files the
+    summaries stay executor-side and only report scalars reach the driver)."""
     cols = list(sort_columns)
+    k = len(cols)
+    out_schema = _summary_struct(dtypes)
 
     def scan(batches: Iterator) -> Iterator:
         import pandas as pd
         import pyarrow.parquet as pq
 
         from delta_sorter_spark.functions.file_summary import summarize_key_frame
-        from delta_sorter_spark.sources.delta_table import _serialize_stat
 
         for batch in batches:
             out = []
@@ -123,55 +142,108 @@ def _scan_summaries(
                 present = [c for c in cols if c in pf.schema_arrow.names]
                 pdf = pf.read(columns=present).to_pandas()
                 s = summarize_key_frame(pdf, present, nulls_first)
-                out.append(
-                    {
-                        "path": rel,
-                        "summary": json.dumps(
-                            {
-                                "numRows": s["numRows"],
-                                "minKey": None
-                                if s["minKey"] is None
-                                else [_serialize_stat(v) for v in s["minKey"]],
-                                "maxKey": None
-                                if s["maxKey"] is None
-                                else [_serialize_stat(v) for v in s["maxKey"]],
-                                "ascending": s["ascending"],
-                                "descents": s["descents"],
-                            }
-                        ),
-                    }
-                )
-            yield pd.DataFrame(out, columns=["path", "summary"])
+                row = {
+                    "path": rel,
+                    "num_rows": s["numRows"],
+                    "ascending": s["ascending"],
+                    "descents": s["descents"],
+                }
+                for i in range(k):
+                    row[f"min_{i}"] = None if s["minKey"] is None else s["minKey"][i]
+                    row[f"max_{i}"] = None if s["maxKey"] is None else s["maxKey"][i]
+                out.append(row)
+            yield pd.DataFrame(out, columns=[f.name for f in out_schema.fields])
 
     files_df = spark.createDataFrame([(p,) for p in rel_paths], "path string")
     n_tasks = min(len(rel_paths), 1024)
-    rows = files_df.repartition(n_tasks).mapInPandas(scan, "path string, summary string").collect()
+    return files_df.repartition(n_tasks).mapInPandas(scan, out_schema)
 
-    dtypes = json.loads(dtypes_json)
-    out = []
-    for row in rows:
-        s = json.loads(row["summary"])
-        out.append(
-            FileSummary(
-                path=row["path"],
-                num_rows=s["numRows"],
-                min_key=None
-                if s["minKey"] is None
-                else [parse_stat(v, _dtype_of(dtypes, i)) for i, v in enumerate(s["minKey"])],
-                max_key=None
-                if s["maxKey"] is None
-                else [parse_stat(v, _dtype_of(dtypes, i)) for i, v in enumerate(s["maxKey"])],
-                ascending=s["ascending"],
-                descents=s["descents"],
-            )
+
+def _col_gt(a, b, nulls_first: bool):
+    """Null-aware ``a > b`` for one key column (nulls smallest when
+    nulls_first, largest otherwise) — mirrors functions/keys.key_tuple_cmp."""
+    if nulls_first:
+        return (b.isNull() & a.isNotNull()) | (a.isNotNull() & b.isNotNull() & (a > b))
+    return (a.isNull() & b.isNotNull()) | (a.isNotNull() & b.isNotNull() & (a > b))
+
+
+def _tuple_gt(as_, bs, nulls_first: bool):
+    """Lexicographic ``a_tuple > b_tuple`` as a Column expression."""
+    from pyspark.sql import functions as F
+
+    expr = F.lit(False)
+    for a, b in reversed(list(zip(as_, bs))):
+        expr = _col_gt(a, b, nulls_first) | (a.eqNullSafe(b) & expr)
+    return expr
+
+
+def _check_order_spark(
+    summaries_df, k: int, nulls_first: bool
+) -> tuple[int, int, int, list[str]]:
+    """Cross-file boundary check executed IN Spark (lib.rs:578-598 semantics):
+    a single metadata-size window over one summary row per file.  The driver
+    receives only the report scalars and <=20 detail rows.  The window is a
+    single-partition exchange, but over per-FILE rows — at 10^6 files that is
+    ~10^2 MB on one executor, not a data-scale shuffle.
+
+    Returns (checked_files, files_not_ascending, cross_file_violations,
+    details)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    order = [
+        (F.asc_nulls_first(f"min_{i}") if nulls_first else F.asc_nulls_last(f"min_{i}"))
+        for i in range(k)
+    ] + [F.asc("path")]
+    w = Window.orderBy(*order)
+    nonempty = summaries_df.where(F.col("num_rows") > 0)
+    flagged = nonempty.select(
+        "*",
+        F.lag("path").over(w).alias("prev_path"),
+        *[F.lag(f"max_{i}").over(w).alias(f"prev_max_{i}") for i in range(k)],
+    ).withColumn(
+        "viol",
+        _tuple_gt(
+            [F.col(f"prev_max_{i}") for i in range(k)],
+            [F.col(f"min_{i}") for i in range(k)],
+            nulls_first,
         )
-    return out
-
-
-def _dtype_of(dtypes: list, i: int):
-    from pyspark.sql import types as T
-
-    return T._parse_datatype_string(dtypes[i])
+        & F.col("prev_path").isNotNull(),
+    )
+    flagged.persist()
+    try:
+        totals = summaries_df.agg(
+            F.count("*").alias("checked"),
+            F.sum(F.when(~F.col("ascending"), 1).otherwise(0)).alias("not_asc"),
+        ).collect()[0]
+        cross_row = flagged.agg(
+            F.sum(F.when(F.col("viol"), 1).otherwise(0)).alias("cross")
+        ).collect()[0]
+        cross = int(cross_row["cross"] or 0)
+        detail_rows = (
+            flagged.where(~F.col("ascending") | F.col("viol"))
+            .orderBy(*order)
+            .limit(2 * DETAILS_SAMPLE_CAP)
+            .collect()
+        )
+    finally:
+        flagged.unpersist()
+    details: list[str] = []
+    for r in detail_rows:
+        if len(details) >= DETAILS_SAMPLE_CAP:
+            break
+        if not r["ascending"]:
+            details.append(
+                f"file {r['path']} is not sorted within itself ({r['descents']} descents)"
+            )
+        if len(details) < DETAILS_SAMPLE_CAP and r["viol"]:
+            prev_max = [r[f"prev_max_{i}"] for i in range(k)]
+            min_key = [r[f"min_{i}"] for i in range(k)]
+            details.append(
+                f"boundary violation: {r['prev_path']} max {prev_max}"
+                f" > {r['path']} min {min_key}"
+            )
+    return int(totals["checked"]), int(totals["not_asc"] or 0), cross, details
 
 
 def summarize_files(
@@ -197,20 +269,35 @@ def summarize_files(
         else:
             need_scan.append(add)
     if need_scan:
-        dtypes = json.dumps(
-            [data_schema[c].dataType.simpleString() if c in data_schema.names else "string"
-             for c in sort_columns]
+        dtypes = [
+            data_schema[c].dataType if c in data_schema.names else T.StringType()
+            for c in sort_columns
+        ]
+        k = len(sort_columns)
+        sdf = _scan_summaries_df(
+            table.spark,
+            table.table_path,
+            [a.path for a in need_scan],
+            phys_cols,
+            nulls_first,
+            dtypes,
         )
-        fast.extend(
-            _scan_summaries(
-                table.spark,
-                table.table_path,
-                [a.path for a in need_scan],
-                phys_cols,
-                nulls_first,
-                dtypes,
+        # per-partition use: groups are small, a driver collect is O(group)
+        for row in sdf.collect():
+            fast.append(
+                FileSummary(
+                    path=row["path"],
+                    num_rows=row["num_rows"],
+                    min_key=[row[f"min_{i}"] for i in range(k)]
+                    if row["num_rows"] > 0
+                    else None,
+                    max_key=[row[f"max_{i}"] for i in range(k)]
+                    if row["num_rows"] > 0
+                    else None,
+                    ascending=row["ascending"],
+                    descents=row["descents"],
+                )
             )
-        )
     # parse attested stats values too (they were serialized for JSON)
     parsed: list[FileSummary] = []
     for s in fast:
@@ -271,11 +358,75 @@ def validate_global_order(
     travel) — e.g. to confirm a table WAS sorted before a suspect write."""
     table = DeltaTable(spark, table_uri)
     state = table.state(version=version)
-    validate_sort_columns(state.metadata.data_schema, sort_columns)
-    summaries = summarize_files(table, state.adds, sort_columns, nulls_first)
-    not_asc, cross, details = check_order(summaries, nulls_first)
+    meta = state.metadata
+    data_schema = meta.data_schema
+    validate_sort_columns(data_schema, sort_columns)
+    phys_cols = meta.physical_names(sort_columns)
+
+    fast: list[FileSummary] = []
+    need_scan: list[AddAction] = []
+    for add in state.adds:
+        s = _summary_from_key_stats(add, phys_cols, nulls_first)
+        if s is not None:
+            fast.append(s)
+        else:
+            need_scan.append(add)
+
+    if not need_scan:
+        # metadata-only fast path: every file attested -> ZERO Spark jobs
+        summaries = summarize_files(table, state.adds, sort_columns, nulls_first)
+        not_asc, cross, details = check_order(summaries, nulls_first)
+        return ValidationReport(
+            checked_files=len(summaries),
+            boundary_violations=not_asc + cross,  # Quirk 2: combined count
+            details_sample=details,
+            files_not_ascending=not_asc,
+            cross_file_violations=cross,
+        )
+
+    # distributed path: per-file summaries AND the cross-file boundary check
+    # stay in Spark; the driver receives only report scalars + <=20 details
+    dtypes = [
+        data_schema[c].dataType if c in data_schema.names else T.StringType()
+        for c in sort_columns
+    ]
+    k = len(sort_columns)
+    sdf = _scan_summaries_df(
+        spark,
+        table.table_path,
+        [a.path for a in need_scan],
+        phys_cols,
+        nulls_first,
+        dtypes,
+    )
+    if fast:
+        # attested summaries join the same typed DataFrame (values parsed
+        # from their JSON serialization first)
+        dts = [
+            data_schema[c].dataType if c in data_schema.names else None
+            for c in sort_columns
+        ]
+        rows = []
+        for s in fast:
+            mins = maxs = [None] * k
+            if s.min_key is not None:
+                mins = [
+                    parse_stat(v, dt) if dt is not None and isinstance(v, str) else v
+                    for v, dt in zip(s.min_key, dts)
+                ]
+                maxs = [
+                    parse_stat(v, dt) if dt is not None and isinstance(v, str) else v
+                    for v, dt in zip(s.max_key, dts)
+                ]
+            rows.append(
+                (s.path, s.num_rows, s.ascending, s.descents, *
+                 [x for pair in zip(mins, maxs) for x in pair])
+            )
+        fast_df = spark.createDataFrame(rows, _summary_struct(dtypes))
+        sdf = sdf.unionByName(fast_df)
+    checked, not_asc, cross, details = _check_order_spark(sdf, k, nulls_first)
     return ValidationReport(
-        checked_files=len(summaries),
+        checked_files=checked,
         boundary_violations=not_asc + cross,  # Quirk 2: combined count
         details_sample=details,
         files_not_ascending=not_asc,

@@ -145,6 +145,52 @@ def _file_stats(path: str, stat_columns: Sequence[str]) -> dict:
     return stats
 
 
+def _dv_keys(add: AddAction, sidecar: str) -> set[str]:
+    """Candidate sidecar lookup keys for a file.  Normally just the
+    table-relative ``add.path``; for shallow clones (absolute add.path) also
+    the SOURCE-relative form, with the source root two levels above the
+    sidecar (<src>/_deletion_vectors/<name>)."""
+    keys = {add.path}
+    if os.path.isabs(add.path):
+        src_root = os.path.dirname(os.path.dirname(sidecar))
+        keys.add(os.path.relpath(add.path, src_root).replace(os.sep, "/"))
+    return keys
+
+
+def dv_sidecar_positions(table_path: str, add: AddAction) -> set[int]:
+    """Deleted row positions for one file (empty if no DV).  Handles both
+    sidecar encodings: parquet ``(path, pos)`` datasets (current; written
+    executor-side by ``delete_where_dv``) and the legacy single-JSON map."""
+    import json as _json
+
+    if not add.deletion_vector:
+        return set()
+    sidecar = os.path.join(table_path, add.deletion_vector["storagePath"])
+    keys = _dv_keys(add, sidecar)
+    if os.path.isdir(sidecar):  # parquet dataset
+        import pyarrow.dataset as ds
+
+        files = [
+            os.path.join(sidecar, n)
+            for n in os.listdir(sidecar)
+            if n.endswith(".parquet")
+        ]
+        if not files:
+            return set()
+        dataset = ds.dataset(files, format="parquet")
+        for k in keys:
+            tbl = dataset.to_table(filter=ds.field("path") == k, columns=["pos"])
+            if tbl.num_rows:
+                return set(tbl["pos"].to_pylist())
+        return set()
+    with open(sidecar) as fh:
+        positions = _json.load(fh)
+    for k in [add.path, *keys]:
+        if k in positions:
+            return set(positions[k])
+    return set()
+
+
 class DeltaTable:
     """One Delta table addressed by local path (object-store URIs would slot
     in via fsspec/pyarrow filesystems; out of scope for this environment)."""
@@ -464,41 +510,57 @@ class DeltaTable:
 
     def read_deletion_vector(self, add: AddAction) -> set[int]:
         """Deleted row positions for one file (empty if no DV)."""
-        import json as _json
-
-        if not add.deletion_vector:
-            return set()
-        sidecar = os.path.join(self.table_path, add.deletion_vector["storagePath"])
-        with open(sidecar) as fh:
-            positions = _json.load(fh)
-        if add.path in positions:
-            return set(positions[add.path])
-        if os.path.isabs(add.path):
-            # shallow clone: the sidecar keys are SOURCE-relative paths; the
-            # source root is two levels above the sidecar
-            # (<src>/_deletion_vectors/<file>.json)
-            src_root = os.path.dirname(os.path.dirname(sidecar))
-            rel = os.path.relpath(add.path, src_root).replace(os.sep, "/")
-            return set(positions.get(rel, []))
-        return set()
+        return dv_sidecar_positions(self.table_path, add)
 
     def _read_dv_files(self, adds: Sequence[AddAction], meta) -> DataFrame:
         """Merge-on-read: scan files that carry a deletion vector and drop
         the deleted row positions.  Fully JVM-side — the scan exposes
         ``_metadata.row_index`` (native parquet row numbering, vectorized,
-        splittable), and the DV positions arrive as a broadcast anti-join,
-        so at scale this is a normal parallel scan plus a tiny hash filter;
-        no Python touches the rows."""
-        deleted = []  # (absolute file uri, row_index)
+        splittable), and the DV positions arrive as an anti-join.  Parquet
+        sidecars are read as a distributed dataset (positions never pass
+        through the driver — a 1%-of-100TB delete stays executor-side);
+        legacy JSON sidecars, which are small by construction, load
+        driver-side.  AQE picks a broadcast anti-join when the DV side is
+        small, which is the common case."""
+        json_pairs: list[tuple[str, int]] = []  # (absolute file uri, row_index)
+        pq_sidecars: dict[str, list[tuple[str, str]]] = {}  # sidecar -> (key, uri)
         for a in adds:
+            if not a.deletion_vector:
+                continue
+            sp = a.deletion_vector["storagePath"]
             uri = "file:" + os.path.join(self.table_path, a.path)
-            deleted += [(uri, int(p)) for p in self.read_deletion_vector(a)]
-        scan = self.scan_with_positions(adds, meta)
-        dv_df = F.broadcast(
-            self.spark.createDataFrame(
-                deleted or [("", -1)], "__file__ string, __pos__ long"
+            sidecar = os.path.join(self.table_path, sp)
+            if os.path.isdir(sidecar):
+                # both candidate keys: add.path verbatim (post-clone deletes
+                # store it as-is) and the source-relative form (clone source
+                # sidecars)
+                for k in _dv_keys(add=a, sidecar=sidecar):
+                    pq_sidecars.setdefault(sp, []).append((k, uri))
+            else:
+                json_pairs += [(uri, int(p)) for p in self.read_deletion_vector(a)]
+        dv_parts: list[DataFrame] = []
+        if json_pairs:
+            dv_parts.append(
+                F.broadcast(
+                    self.spark.createDataFrame(
+                        json_pairs, "__file__ string, __pos__ long"
+                    )
+                )
             )
-        )
+        for sp, pairs in pq_sidecars.items():
+            sdf = self.spark.read.parquet(os.path.join(self.table_path, sp))
+            key_to_uri = self.spark.createDataFrame(pairs, "path string, __file__ string")
+            dv_parts.append(
+                sdf.join(F.broadcast(key_to_uri), "path").select(
+                    "__file__", F.col("pos").alias("__pos__")
+                )
+            )
+        scan = self.scan_with_positions(adds, meta)
+        if not dv_parts:
+            return scan.select(*[F.col(f.name) for f in meta.schema.fields])
+        dv_df = dv_parts[0]
+        for p in dv_parts[1:]:
+            dv_df = dv_df.unionByName(p)
         kept = scan.join(dv_df, ["__file__", "__pos__"], "left_anti")
         return kept.select(*[F.col(f.name) for f in meta.schema.fields])
 

@@ -104,19 +104,11 @@ def _read_file(part: DeltaFilePartition):
 
 
 def _dv_positions(table_path: str, add: AddAction) -> tuple:
-    """Resolve a file's deletion-vector positions driver-side (tiny)."""
-    if not add.deletion_vector:
-        return ()
-    sidecar = os.path.join(table_path, add.deletion_vector["storagePath"])
-    with open(sidecar) as fh:
-        positions = json.load(fh)
-    if add.path in positions:
-        return tuple(positions[add.path])
-    if os.path.isabs(add.path):
-        src_root = os.path.dirname(os.path.dirname(sidecar))
-        rel = os.path.relpath(add.path, src_root).replace(os.sep, "/")
-        return tuple(positions.get(rel, ()))
-    return ()
+    """Resolve a file's deletion-vector positions (parquet or legacy JSON
+    sidecar; shared reader in sources/delta_table.py)."""
+    from delta_sorter_spark.sources.delta_table import dv_sidecar_positions
+
+    return tuple(sorted(dv_sidecar_positions(table_path, add)))
 
 
 class _DeltaSourceCore:

@@ -295,6 +295,44 @@ def test_deletion_vector_delete_and_purge(spark, tmp_path):
     assert sorted(r["id"] for r in final.to_df().collect()) == [0, 1, 3, 4, 6, 8, 9]
 
 
+def test_deletion_vector_large_match_fraction(spark, tmp_path):
+    """Scale path: a delete matching ~40% of a multi-file table writes its
+    positions as an executor-side parquet sidecar dataset (no per-position
+    driver collect), and repeated deletes still union cumulatively."""
+    import os
+
+    from delta_sorter_spark.operators.dml import delete_where_dv
+
+    path = str(tmp_path / "dvbig")
+    n = 20_000
+    df = spark.range(n).select(
+        F.col("id"), (F.col("id") % 7).alias("grp")
+    )
+    table = DeltaTable.create(spark, path, df.repartition(4), stat_columns=["id"])
+    data_files_before = set(table.input_files())
+
+    out = delete_where_dv(table, "id % 5 IN (1, 2)")  # 40% of rows
+    assert out["deleted_rows"] == 2 * (n // 5)
+    assert out["dv_files"] == 4  # every file holds matches
+    assert set(table.input_files()) == data_files_before  # nothing rewritten
+
+    state = table.state()
+    sidecars = {a.deletion_vector["storagePath"] for a in state.adds}
+    assert len(sidecars) == 1
+    sidecar_abs = os.path.join(path, next(iter(sidecars)))
+    assert os.path.isdir(sidecar_abs)  # parquet dataset, not a JSON blob
+    assert any(f.endswith(".parquet") for f in os.listdir(sidecar_abs))
+
+    remaining = table.to_df()
+    assert remaining.count() == n - 2 * (n // 5)
+    assert remaining.where("id % 5 IN (1, 2)").count() == 0
+
+    # second, overlapping delete: only the new 20% counts
+    out2 = delete_where_dv(table, "id % 5 IN (2, 3)")
+    assert out2["deleted_rows"] == n // 5
+    assert DeltaTable(spark, path).to_df().count() == n - 3 * (n // 5)
+
+
 def test_deletion_vector_composes_with_upsert(spark, tmp_path):
     """DV'd rows are invisible to downstream DML (upsert reads through the
     DV-aware view)."""
