@@ -47,9 +47,12 @@ def compact(
     zorder_columns: Sequence[str] | None = None,
     spark: SparkSession | None = None,
 ) -> CompactMetrics:
+    from delta_sorter_spark.functions.keys import parse_sort_spec
+
     spark = spark or _default_spark()
+    cols, ascending = parse_sort_spec(sort_columns)
     config = SortConfig(
-        sort_columns=list(sort_columns),
+        sort_columns=cols,
         target_file_size_bytes=target_file_size_bytes,
         predicate=predicate,
         concurrency=concurrency if concurrency is not None else DEFAULT_CONCURRENCY,
@@ -57,6 +60,7 @@ def compact(
         repartition_by_sort_key=bool(repartition_by_sort_key),
         nulls_first=_nulls_first(nulls),
         zorder_columns=list(zorder_columns) if zorder_columns else None,
+        directions=None if all(ascending) else ascending,
     )
     return compact_with_sort(spark, table_uri, config)
 
@@ -68,9 +72,17 @@ def validate(
     version: int | None = None,
     spark: SparkSession | None = None,
 ) -> dict:
+    from delta_sorter_spark.functions.keys import parse_sort_spec
+
     spark = spark or _default_spark()
+    cols, ascending = parse_sort_spec(sort_columns)
     report = validate_global_order(
-        spark, table_uri, list(sort_columns), _nulls_first(nulls), version=version
+        spark,
+        table_uri,
+        cols,
+        _nulls_first(nulls),
+        version=version,
+        directions=None if all(ascending) else ascending,
     )
     return report.to_dict()
 

@@ -17,9 +17,18 @@ import sys
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="deltasort", description=__doc__)
-    p.add_argument("--table", required=True, help="Table URI, e.g. /path/to/table")
     p.add_argument(
-        "--sort-columns", required=True, help="Comma-separated sort columns, e.g. objectId,dateTime"
+        "--table",
+        required=True,
+        help="Table URI, e.g. /path/to/table or s3://bucket/table (the log "
+        "plane handles object stores natively; data IO on remote schemes "
+        "needs the matching Spark filesystem connector jars)",
+    )
+    p.add_argument(
+        "--sort-columns",
+        required=True,
+        help="Comma-separated sort columns, optionally with a per-column "
+        "direction suffix, e.g. objectId,dateTime:desc (default asc)",
     )
     p.add_argument("--target-file-size-bytes", type=int, default=None)
     p.add_argument("--predicate", default=None, help="Scope compaction to matching partitions")

@@ -45,17 +45,24 @@ def _cmp_values(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return out
 
 
-def pairwise_cmp(pdf: pd.DataFrame, sort_columns: Sequence[str], nulls_first: bool) -> np.ndarray:
+def pairwise_cmp(
+    pdf: pd.DataFrame,
+    sort_columns: Sequence[str],
+    nulls_first: bool,
+    directions: Sequence[bool] | None = None,
+) -> np.ndarray:
     """sign(row[i] <=> row[i+1]) under the configured tuple ordering; length
     is ``len(pdf) - 1``.  A value of +1 at i means row i > row i+1 (a descent,
-    i.e. a sortedness violation)."""
+    i.e. a sortedness violation).  ``directions`` flips the value comparison
+    for descending columns (null placement stays output-order)."""
     n = len(pdf)
     if n < 2:
         return np.zeros(0, dtype=np.int8)
     result = np.zeros(n - 1, dtype=np.int8)
     undecided = np.ones(n - 1, dtype=bool)
     null_rank, val_rank = (0, 1) if nulls_first else (1, 0)
-    for col in sort_columns:
+    dirs = list(directions) if directions is not None else [True] * len(sort_columns)
+    for col, asc in zip(sort_columns, dirs):
         if not undecided.any():
             break
         s = pdf[col]
@@ -68,19 +75,27 @@ def pairwise_cmp(pdf: pd.DataFrame, sort_columns: Sequence[str], nulls_first: bo
         if both_vals.any():
             vals = s.to_numpy()
             idx = np.nonzero(both_vals)[0]
-            col_cmp[idx] = _cmp_values(vals[idx], vals[idx + 1])
+            vc = _cmp_values(vals[idx], vals[idx + 1])
+            col_cmp[idx] = vc if asc else -vc
         result = np.where(undecided & (col_cmp != 0), col_cmp, result)
         undecided = undecided & (col_cmp == 0)
     return result
 
 
 def _extreme_row_index(
-    pdf: pd.DataFrame, sort_columns: Sequence[str], nulls_first: bool, want_max: bool
+    pdf: pd.DataFrame,
+    sort_columns: Sequence[str],
+    nulls_first: bool,
+    want_max: bool,
+    directions: Sequence[bool] | None = None,
 ) -> int:
-    """Index of the lexicographically minimal/maximal row, by successively
-    narrowing the candidate set one key column at a time (no sort)."""
+    """Index of the lexicographically minimal/maximal row (in the configured
+    file order), by successively narrowing the candidate set one key column
+    at a time (no sort).  For a descending column the file-order maximum is
+    the value-wise minimum."""
     mask = np.ones(len(pdf), dtype=bool)
-    for col in sort_columns:
+    dirs = list(directions) if directions is not None else [True] * len(sort_columns)
+    for col, asc in zip(sort_columns, dirs):
         if mask.sum() <= 1:
             break
         s = pdf[col]
@@ -101,19 +116,24 @@ def _extreme_row_index(
             mask = cand_nulls
             continue
         vals = s[cand_vals]
-        target = vals.max() if want_max else vals.min()
+        want_value_max = want_max == asc
+        target = vals.max() if want_value_max else vals.min()
         mask = cand_vals & (s == target).to_numpy()
     return int(np.nonzero(mask)[0][0])
 
 
 def summarize_key_frame(
-    pdf: pd.DataFrame, sort_columns: Sequence[str], nulls_first: bool
+    pdf: pd.DataFrame,
+    sort_columns: Sequence[str],
+    nulls_first: bool,
+    directions: Sequence[bool] | None = None,
 ) -> dict:
     """Exact summary of one file's key columns.
 
     Returns ``{"numRows", "minKey", "maxKey", "ascending", "descents"}`` where
-    min/max keys are lists of raw python values (None for null) and
-    ``descents`` counts adjacent-row violations in physical row order.
+    min/max keys are lists of raw python values (None for null), extreme in
+    the CONFIGURED file order (per-column direction aware), and ``descents``
+    counts adjacent-row violations in physical row order.
     """
     n = len(pdf)
     if n == 0:
@@ -127,10 +147,12 @@ def summarize_key_frame(
             out.append(None if pd.isna(v) else v)
         return out
 
-    cmps = pairwise_cmp(pdf, sort_columns, nulls_first)
+    cmps = pairwise_cmp(pdf, sort_columns, nulls_first, directions)
     descents = int((cmps == 1).sum())
-    i_min = _extreme_row_index(pdf, sort_columns, nulls_first, want_max=False)
-    i_max = _extreme_row_index(pdf, sort_columns, nulls_first, want_max=True)
+    i_min = _extreme_row_index(pdf, sort_columns, nulls_first, want_max=False,
+                               directions=directions)
+    i_max = _extreme_row_index(pdf, sort_columns, nulls_first, want_max=True,
+                               directions=directions)
     return {
         "numRows": n,
         "minKey": row_key(i_min),

@@ -32,13 +32,47 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
-def sort_order_columns(sort_columns: Sequence[str], nulls_first: bool = True) -> list[Column]:
-    """Ordering columns for df.orderBy / Window.orderBy, ascending with the
-    configured null placement (reference lib.rs:801-809 threads the same flag
-    into DataFusion's sort)."""
-    if nulls_first:
-        return [F.col(c).asc_nulls_first() for c in sort_columns]
-    return [F.col(c).asc_nulls_last() for c in sort_columns]
+def parse_sort_spec(sort_columns: Sequence[str]) -> tuple[list[str], list[bool]]:
+    """Split ``col[:asc|:desc]`` specs into (columns, ascending flags).
+
+    Per-column sort direction is on the reference's roadmap but unimplemented
+    there (README.md:183 "per-column sort direction"); we accept it with the
+    natural suffix syntax, defaulting to ascending.  Null placement stays a
+    table-level flag and means placement in the OUTPUT order regardless of
+    direction (Spark's asc_nulls_first / desc_nulls_first semantics)."""
+    cols: list[str] = []
+    ascending: list[bool] = []
+    for spec in sort_columns:
+        name, sep, suffix = spec.partition(":")
+        if sep:
+            low = suffix.strip().lower()
+            if low not in ("asc", "desc"):
+                raise ValueError(
+                    f"bad sort direction {suffix!r} in {spec!r}: use col, col:asc, or col:desc"
+                )
+            ascending.append(low == "asc")
+        else:
+            ascending.append(True)
+        cols.append(name.strip())
+    return cols, ascending
+
+
+def sort_order_columns(
+    sort_columns: Sequence[str],
+    nulls_first: bool = True,
+    directions: Sequence[bool] | None = None,
+) -> list[Column]:
+    """Ordering columns for df.orderBy / Window.orderBy with the configured
+    null placement (reference lib.rs:801-809 threads the same flag into
+    DataFusion's sort) and optional per-column direction (True=asc)."""
+    directions = list(directions) if directions is not None else [True] * len(sort_columns)
+    out: list[Column] = []
+    for c, asc in zip(sort_columns, directions):
+        if asc:
+            out.append(F.col(c).asc_nulls_first() if nulls_first else F.col(c).asc_nulls_last())
+        else:
+            out.append(F.col(c).desc_nulls_first() if nulls_first else F.col(c).desc_nulls_last())
+    return out
 
 
 def surrogate_key(sort_columns: Sequence[str], nulls_first: bool = True) -> Column:
@@ -61,17 +95,26 @@ def plain_key(sort_columns: Sequence[str]) -> Column:
     return F.struct(*[F.col(c).alias(c) for c in sort_columns])
 
 
-def key_tuple_cmp(a: Sequence[Any], b: Sequence[Any], nulls_first: bool = True) -> int:
+def key_tuple_cmp(
+    a: Sequence[Any],
+    b: Sequence[Any],
+    nulls_first: bool = True,
+    directions: Sequence[bool] | None = None,
+) -> int:
     """Driver-side lexicographic compare of two key tuples with configurable
     null placement; mirrors cmp_tuple_with_nulls (reference lib.rs:75-91):
-    element-wise compare with early exit, then tiebreak on tuple length."""
-    for x, y in zip(a, b):
+    element-wise compare with early exit, then tiebreak on tuple length.
+    ``directions`` flips the VALUE comparison for descending columns; null
+    placement is output-order and direction-independent."""
+    for i, (x, y) in enumerate(zip(a, b)):
         if x is None and y is None:
             continue
         if x is None:
             return -1 if nulls_first else 1
         if y is None:
             return 1 if nulls_first else -1
+        if directions is not None and not directions[i]:
+            x, y = y, x
         if x < y:
             return -1
         if x > y:

@@ -35,6 +35,7 @@ Catalyst turns into partition pruning for free.
 
 from __future__ import annotations
 
+import datetime as _dt
 import functools
 import operator
 from collections.abc import Mapping, Sequence
@@ -77,6 +78,23 @@ def _render_literal(value: str, dtype: T.DataType) -> str:
         if value and all(c.isdigit() or c in ".-+" for c in value):
             return value
         return _quote_str(value)
+    # DATE/TIMESTAMP literal forms: on the reference's roadmap
+    # (README.md:183 "DATE/TIMESTAMP literal forms in typed predicates"),
+    # unimplemented there (date/timestamp partition values fall into the
+    # quoted-string arm, lib.rs:976-980).  We emit typed ANSI literals when
+    # the serialized value parses, falling back to the reference's quoting.
+    if isinstance(dtype, T.DateType):
+        try:
+            _dt.date.fromisoformat(value)
+            return f"DATE {_quote_str(value)}"
+        except ValueError:
+            return _quote_str(value)
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        try:
+            _dt.datetime.fromisoformat(value)
+            return f"TIMESTAMP {_quote_str(value)}"
+        except ValueError:
+            return _quote_str(value)
     return _quote_str(value)
 
 
@@ -129,6 +147,16 @@ def _parse_typed(value: str, dtype: T.DataType):
             return value
     if isinstance(dtype, T.BooleanType):
         return value.lower() in _TRUE_STRINGS
+    if isinstance(dtype, T.DateType):
+        try:
+            return _dt.date.fromisoformat(value)
+        except ValueError:
+            return value
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        try:
+            return _dt.datetime.fromisoformat(value)
+        except ValueError:
+            return value
     return value
 
 

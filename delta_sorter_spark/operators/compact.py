@@ -65,6 +65,11 @@ class SortConfig:
     dry_run: bool = False
     repartition_by_sort_key: bool = False  # strict mode
     nulls_first: bool = True  # default "first", lib.rs:122
+    # per-column sort direction (True=asc), parallel to sort_columns; the
+    # reference lists this as roadmap-only (README.md:183) — we implement it.
+    # None = all ascending.  Directed tables validate via the scan path
+    # (attested key stats describe the all-ascending order).
+    directions: list[bool] | None = None
     # extension beyond the reference: cluster by the Morton interleave of
     # these (integer-compatible) columns instead of a lexicographic sort —
     # Delta OPTIMIZE ZORDER BY semantics.  Implies a full-table rewrite
@@ -156,13 +161,17 @@ def _strict_overwrite(table: DeltaTable, config: SortConfig) -> CompactMetrics:
             sorted_within_files=False,
         )
     else:
-        sorted_df = df.orderBy(*sort_order_columns(config.sort_columns, config.nulls_first))
+        sorted_df = df.orderBy(
+            *sort_order_columns(config.sort_columns, config.nulls_first, config.directions)
+        )
         adds = table.stage_write(
             sorted_df,
             stat_columns=config.sort_columns,
             target_file_size_bytes=config.target_file_size_bytes,
             data_change=False,
-            sorted_within_files=True,
+            # the sortedness attestation describes the all-ASC order; only
+            # claim it when that is the order we produced
+            sorted_within_files=config.directions is None or all(config.directions),
         )
     removes = [a.remove_action(False) for a in state.adds]
     from delta_sorter_spark.sources.delta_table import ConcurrentRewriteError
@@ -191,7 +200,10 @@ def _plan_rewrites(table: DeltaTable, config: SortConfig) -> tuple[list[RewriteG
     failing: list[RewriteGroup] = []
     for grp in groups:
         try:
-            ok = partition_is_sorted(table, grp.files, config.sort_columns, config.nulls_first)
+            ok = partition_is_sorted(
+                table, grp.files, config.sort_columns, config.nulls_first,
+                config.directions,
+            )
         except Exception:  # conservatively include (lib.rs:306-310)
             log.warning("validation failed for partition %s; scheduling rewrite", grp.partition_key)
             ok = False
@@ -252,13 +264,15 @@ def _rewrite_group(table: DeltaTable, grp: RewriteGroup, config: SortConfig) -> 
         # Belt-and-braces: the file list already prunes to the partition;
         # the filter also documents intent to Catalyst (partition pruning).
         df = df.where(partition_filter_expr(grp.partition_values, meta.schema))
-    sorted_df = df.orderBy(*sort_order_columns(config.sort_columns, config.nulls_first))
+    sorted_df = df.orderBy(
+        *sort_order_columns(config.sort_columns, config.nulls_first, config.directions)
+    )
     adds = table.stage_write(
         sorted_df,
         stat_columns=config.sort_columns,
         target_file_size_bytes=config.target_file_size_bytes,
         data_change=False,
-        sorted_within_files=True,
+        sorted_within_files=config.directions is None or all(config.directions),
     )
     predicate = (
         render_partition_predicate(grp.partition_values, meta.schema)

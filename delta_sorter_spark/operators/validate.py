@@ -77,9 +77,18 @@ class ValidationReport:
         }
 
 
-def _summary_from_key_stats(add: AddAction, sort_columns: Sequence[str], nulls_first: bool):
+def _summary_from_key_stats(
+    add: AddAction,
+    sort_columns: Sequence[str],
+    nulls_first: bool,
+    directions: Sequence[bool] | None = None,
+):
     """Metadata fast path: use attested key stats when they cover exactly the
-    requested columns (a prefix match would only attest a weaker ordering)."""
+    requested columns (a prefix match would only attest a weaker ordering).
+    Attested stats describe the all-ascending ordering, so any descending
+    direction falls through to the scan path."""
+    if directions is not None and not all(directions):
+        return None
     ks = (add.stats or {}).get("keyStats")
     if not ks or ks.get("cols") != list(sort_columns):
         return None
@@ -121,6 +130,7 @@ def _scan_summaries_df(
     sort_columns: Sequence[str],
     nulls_first: bool,
     dtypes: list,
+    directions: Sequence[bool] | None = None,
 ):
     """Distributed per-file scan via mapInPandas over the file list,
     returning the typed summary DataFrame (NOT collected — at 10^6 files the
@@ -141,7 +151,7 @@ def _scan_summaries_df(
                 pf = pq.ParquetFile(os.path.join(table_path, rel))
                 present = [c for c in cols if c in pf.schema_arrow.names]
                 pdf = pf.read(columns=present).to_pandas()
-                s = summarize_key_frame(pdf, present, nulls_first)
+                s = summarize_key_frame(pdf, present, nulls_first, directions)
                 row = {
                     "path": rel,
                     "num_rows": s["numRows"],
@@ -159,26 +169,32 @@ def _scan_summaries_df(
     return files_df.repartition(n_tasks).mapInPandas(scan, out_schema)
 
 
-def _col_gt(a, b, nulls_first: bool):
-    """Null-aware ``a > b`` for one key column (nulls smallest when
-    nulls_first, largest otherwise) — mirrors functions/keys.key_tuple_cmp."""
+def _col_gt(a, b, nulls_first: bool, asc: bool = True):
+    """Null-aware file-order ``a > b`` for one key column (nulls smallest
+    when nulls_first, largest otherwise; value comparison flipped for
+    descending columns) — mirrors functions/keys.key_tuple_cmp."""
+    if not asc:
+        a_vals_gt = a.isNotNull() & b.isNotNull() & (a < b)
+    else:
+        a_vals_gt = a.isNotNull() & b.isNotNull() & (a > b)
     if nulls_first:
-        return (b.isNull() & a.isNotNull()) | (a.isNotNull() & b.isNotNull() & (a > b))
-    return (a.isNull() & b.isNotNull()) | (a.isNotNull() & b.isNotNull() & (a > b))
+        return (b.isNull() & a.isNotNull()) | a_vals_gt
+    return (a.isNull() & b.isNotNull()) | a_vals_gt
 
 
-def _tuple_gt(as_, bs, nulls_first: bool):
-    """Lexicographic ``a_tuple > b_tuple`` as a Column expression."""
+def _tuple_gt(as_, bs, nulls_first: bool, directions: Sequence[bool] | None = None):
+    """Lexicographic file-order ``a_tuple > b_tuple`` as a Column expression."""
     from pyspark.sql import functions as F
 
+    dirs = list(directions) if directions is not None else [True] * len(as_)
     expr = F.lit(False)
-    for a, b in reversed(list(zip(as_, bs))):
-        expr = _col_gt(a, b, nulls_first) | (a.eqNullSafe(b) & expr)
+    for a, b, asc in reversed(list(zip(as_, bs, dirs))):
+        expr = _col_gt(a, b, nulls_first, asc) | (a.eqNullSafe(b) & expr)
     return expr
 
 
 def _check_order_spark(
-    summaries_df, k: int, nulls_first: bool
+    summaries_df, k: int, nulls_first: bool, directions: Sequence[bool] | None = None
 ) -> tuple[int, int, int, list[str]]:
     """Cross-file boundary check executed IN Spark (lib.rs:578-598 semantics):
     a single metadata-size window over one summary row per file.  The driver
@@ -191,10 +207,15 @@ def _check_order_spark(
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
-    order = [
-        (F.asc_nulls_first(f"min_{i}") if nulls_first else F.asc_nulls_last(f"min_{i}"))
-        for i in range(k)
-    ] + [F.asc("path")]
+    dirs = list(directions) if directions is not None else [True] * k
+    order = []
+    for i, asc in enumerate(dirs):
+        c = F.col(f"min_{i}")
+        if asc:
+            order.append(c.asc_nulls_first() if nulls_first else c.asc_nulls_last())
+        else:
+            order.append(c.desc_nulls_first() if nulls_first else c.desc_nulls_last())
+    order.append(F.asc("path"))
     w = Window.orderBy(*order)
     nonempty = summaries_df.where(F.col("num_rows") > 0)
     flagged = nonempty.select(
@@ -207,6 +228,7 @@ def _check_order_spark(
             [F.col(f"prev_max_{i}") for i in range(k)],
             [F.col(f"min_{i}") for i in range(k)],
             nulls_first,
+            directions,
         )
         & F.col("prev_path").isNotNull(),
     )
@@ -251,6 +273,7 @@ def summarize_files(
     adds: Sequence[AddAction],
     sort_columns: Sequence[str],
     nulls_first: bool,
+    directions: Sequence[bool] | None = None,
 ) -> list[FileSummary]:
     """Per-file summaries: metadata where attested, one Spark scan job for
     the rest."""
@@ -263,7 +286,7 @@ def summarize_files(
     fast: list[FileSummary] = []
     need_scan: list[AddAction] = []
     for add in adds:
-        s = _summary_from_key_stats(add, phys_cols, nulls_first)
+        s = _summary_from_key_stats(add, phys_cols, nulls_first, directions)
         if s is not None:
             fast.append(s)
         else:
@@ -281,6 +304,7 @@ def summarize_files(
             phys_cols,
             nulls_first,
             dtypes,
+            directions,
         )
         # per-partition use: groups are small, a driver collect is O(group)
         for row in sdf.collect():
@@ -317,7 +341,9 @@ def summarize_files(
 
 
 def check_order(
-    summaries: list[FileSummary], nulls_first: bool
+    summaries: list[FileSummary],
+    nulls_first: bool,
+    directions: Sequence[bool] | None = None,
 ) -> tuple[int, int, list[str]]:
     """Cross-file boundary check over per-file summaries (lib.rs:578-598).
 
@@ -333,11 +359,13 @@ def check_order(
                 )
     nonempty = [s for s in summaries if s.num_rows > 0 and s.min_key is not None]
     nonempty.sort(
-        key=cmp_to_key(lambda a, b: key_tuple_cmp(a.min_key, b.min_key, nulls_first))
+        key=cmp_to_key(
+            lambda a, b: key_tuple_cmp(a.min_key, b.min_key, nulls_first, directions)
+        )
     )
     cross = 0
     for a, b in zip(nonempty, nonempty[1:]):
-        if key_tuple_cmp(a.max_key, b.min_key, nulls_first) > 0:
+        if key_tuple_cmp(a.max_key, b.min_key, nulls_first, directions) > 0:
             cross += 1
             if len(details) < DETAILS_SAMPLE_CAP:
                 details.append(
@@ -352,10 +380,14 @@ def validate_global_order(
     sort_columns: Sequence[str],
     nulls_first: bool = True,
     version: int | None = None,
+    directions: Sequence[bool] | None = None,
 ) -> ValidationReport:
     """Table-wide validation (reference validate_global_order,
     lib.rs:484-523).  ``version`` validates a historical snapshot (time
-    travel) — e.g. to confirm a table WAS sorted before a suspect write."""
+    travel) — e.g. to confirm a table WAS sorted before a suspect write.
+    ``directions`` enables per-column sort direction (reference roadmap
+    README.md:183, unimplemented there); directed validations use the scan
+    path since attestation describes the all-ascending order."""
     table = DeltaTable(spark, table_uri)
     state = table.state(version=version)
     meta = state.metadata
@@ -366,7 +398,7 @@ def validate_global_order(
     fast: list[FileSummary] = []
     need_scan: list[AddAction] = []
     for add in state.adds:
-        s = _summary_from_key_stats(add, phys_cols, nulls_first)
+        s = _summary_from_key_stats(add, phys_cols, nulls_first, directions)
         if s is not None:
             fast.append(s)
         else:
@@ -374,8 +406,9 @@ def validate_global_order(
 
     if not need_scan:
         # metadata-only fast path: every file attested -> ZERO Spark jobs
-        summaries = summarize_files(table, state.adds, sort_columns, nulls_first)
-        not_asc, cross, details = check_order(summaries, nulls_first)
+        summaries = summarize_files(table, state.adds, sort_columns, nulls_first,
+                                    directions)
+        not_asc, cross, details = check_order(summaries, nulls_first, directions)
         return ValidationReport(
             checked_files=len(summaries),
             boundary_violations=not_asc + cross,  # Quirk 2: combined count
@@ -398,6 +431,7 @@ def validate_global_order(
         phys_cols,
         nulls_first,
         dtypes,
+        directions,
     )
     if fast:
         # attested summaries join the same typed DataFrame (values parsed
@@ -424,7 +458,7 @@ def validate_global_order(
             )
         fast_df = spark.createDataFrame(rows, _summary_struct(dtypes))
         sdf = sdf.unionByName(fast_df)
-    checked, not_asc, cross, details = _check_order_spark(sdf, k, nulls_first)
+    checked, not_asc, cross, details = _check_order_spark(sdf, k, nulls_first, directions)
     return ValidationReport(
         checked_files=checked,
         boundary_violations=not_asc + cross,  # Quirk 2: combined count
@@ -439,10 +473,11 @@ def partition_is_sorted(
     adds: Sequence[AddAction],
     sort_columns: Sequence[str],
     nulls_first: bool = True,
+    directions: Sequence[bool] | None = None,
 ) -> bool:
     """Per-partition sortedness (reference partition_is_sorted,
     lib.rs:526-555) — but with null placement threaded instead of the
     reference's hardcoded nulls-first (Quirk 1, lib.rs:553)."""
-    summaries = summarize_files(table, adds, sort_columns, nulls_first)
-    not_asc, cross, _ = check_order(summaries, nulls_first)
+    summaries = summarize_files(table, adds, sort_columns, nulls_first, directions)
+    not_asc, cross, _ = check_order(summaries, nulls_first, directions)
     return not_asc == 0 and cross == 0

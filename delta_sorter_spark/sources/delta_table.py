@@ -192,10 +192,25 @@ def dv_sidecar_positions(table_path: str, add: AddAction) -> set[int]:
 
 
 class DeltaTable:
-    """One Delta table addressed by local path (object-store URIs would slot
-    in via fsspec/pyarrow filesystems; out of scope for this environment)."""
+    """One Delta table.  The transaction-log plane accepts local paths and
+    object-store URIs (sources/fs.py); the DATA plane in this environment
+    uses Spark's local parquet IO, so remote table URIs are rejected here
+    with a pointer at what they need (the scheme's Spark filesystem
+    connector jars, e.g. hadoop-aws for s3a://) rather than failing deep
+    inside a scan.  ``DeltaLog`` itself works against s3:// today — see
+    tests/test_fs_objectstore.py."""
 
     def __init__(self, spark: SparkSession, table_path: str):
+        from delta_sorter_spark.sources.fs import is_remote_uri
+
+        if is_remote_uri(table_path):
+            raise NotImplementedError(
+                f"remote table URI {table_path!r}: the transaction log layer "
+                "(DeltaLog) supports object stores, but DeltaTable's data "
+                "plane reads/writes parquet through Spark, which needs the "
+                "scheme's filesystem connector jars (not present in this "
+                "environment)"
+            )
         self.spark = spark
         self.table_path = os.path.abspath(table_path)
         self.log = DeltaLog(self.table_path)

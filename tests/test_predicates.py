@@ -81,3 +81,50 @@ def test_validate_sort_columns_error_lists_fields():
     with pytest.raises(ValueError, match="missing sort columns"):
         validate_sort_columns(SCHEMA, ["id", "nope"])
     validate_sort_columns(SCHEMA, ["id", "country"])  # no raise
+
+
+def test_date_timestamp_literal_forms():
+    """DATE/TIMESTAMP literal forms in typed predicates (reference roadmap
+    README.md:183, quoted-string fallback there lib.rs:976-980)."""
+    from pyspark.sql import types as T
+
+    from delta_sorter_spark.functions.predicates import render_partition_predicate
+
+    schema = T.StructType(
+        [
+            T.StructField("d", T.DateType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("tn", T.TimestampNTZType()),
+        ]
+    )
+    got = render_partition_predicate(
+        {"d": "2024-03-01", "ts": "2024-03-01 12:30:00", "tn": "2024-03-01T06:00:00"},
+        schema,
+    )
+    assert got == (
+        '"d" = DATE \'2024-03-01\' AND "tn" = TIMESTAMP \'2024-03-01T06:00:00\''
+        ' AND "ts" = TIMESTAMP \'2024-03-01 12:30:00\''
+    )
+    # unparseable values keep the reference's quoted-string fallback
+    assert render_partition_predicate({"d": "not-a-date"}, schema) == "\"d\" = 'not-a-date'"
+
+
+def test_date_partition_filter_expr_prunes(spark, tmp_path):
+    """A date-partitioned table filtered via partition_filter_expr returns
+    exactly the partition's rows (typed literal, not string compare)."""
+    import datetime
+
+    from delta_sorter_spark.functions.predicates import partition_filter_expr
+    from delta_sorter_spark.sources.delta_table import DeltaTable
+
+    path = str(tmp_path / "dpart")
+    df = spark.createDataFrame(
+        [(1, datetime.date(2024, 3, 1)), (2, datetime.date(2024, 3, 2))],
+        "id long, d date",
+    )
+    DeltaTable.create(spark, path, df, partition_columns=["d"])
+    t = DeltaTable(spark, path)
+    got = t.to_df().where(
+        partition_filter_expr({"d": "2024-03-01"}, t.metadata.schema)
+    )
+    assert [r["id"] for r in got.collect()] == [1]

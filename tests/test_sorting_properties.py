@@ -12,6 +12,7 @@ floats (NaN/inf excluded per :18), text.
 import os
 
 import pytest
+from pyspark.sql import functions as F
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -80,3 +81,71 @@ def test_sorting_property_float(spark, tmp_root, values):
 @_settings
 def test_sorting_property_string(spark, tmp_root, values):
     _roundtrip(spark, tmp_root, "string", values)
+
+
+# ---------------------------------------------------------------------------
+# Per-column sort direction (reference roadmap README.md:183 — implemented
+# here): compact + validate round trip with a mixed asc/desc spec.
+# ---------------------------------------------------------------------------
+
+
+def test_directed_compact_and_validate(spark, tmp_path):
+    from delta_sorter_spark.api import compact, validate
+    from delta_sorter_spark.sources.delta_table import DeltaTable
+
+    path = str(tmp_path / "dir")
+    rows = [("A", 1), ("B", 3), ("A", 2), ("B", 1), ("A", 3), ("B", 2), (None, 9)]
+    df = spark.createDataFrame(rows, "k string, v long")
+    DeltaTable.create(spark, path, df.coalesce(1))
+
+    # unsorted for the directed order -> violations
+    before = validate(path, ["k", "v:desc"], spark=spark)
+    assert before["boundary_violations"] >= 1
+
+    compact(path, ["k", "v:desc"], repartition_by_sort_key=True, spark=spark)
+
+    after = validate(path, ["k", "v:desc"], spark=spark)
+    assert after["boundary_violations"] == 0
+    # the data is genuinely (k asc, v desc): check physical row order
+    got = [
+        (r["k"], r["v"])
+        for r in spark.read.parquet(*DeltaTable(spark, path).input_files())
+        .withColumn("__f__", F.input_file_name())
+        .collect()
+    ]
+    # nulls first (default), then k asc with v desc within k
+    expect = [(None, 9), ("A", 3), ("A", 2), ("A", 1), ("B", 3), ("B", 2), ("B", 1)]
+    assert got == expect
+    # the ALL-ASC validation of the same table must now flag violations
+    asc_report = validate(path, ["k", "v"], spark=spark)
+    assert asc_report["boundary_violations"] >= 1
+
+
+def test_directed_validate_multi_file_boundaries(spark, tmp_path):
+    """Cross-file boundary semantics under a desc leading column: files are
+    ordered by min key in the DIRECTED order and adjacent overlap is a
+    violation."""
+    from delta_sorter_spark.api import compact, validate
+    from delta_sorter_spark.sources.delta_table import DeltaTable
+
+    path = str(tmp_path / "dirm")
+    df = spark.range(0, 1000).select(F.col("id").alias("v"))
+    DeltaTable.create(spark, path, df.repartition(4))
+    assert validate(path, ["v:desc"], spark=spark)["boundary_violations"] >= 1
+    compact(path, ["v:desc"], repartition_by_sort_key=True, spark=spark)
+    assert validate(path, ["v:desc"], spark=spark)["boundary_violations"] == 0
+    # and ascending validation sees the reversal
+    assert validate(path, ["v"], spark=spark)["boundary_violations"] >= 1
+
+
+def test_parse_sort_spec_errors():
+    import pytest
+
+    from delta_sorter_spark.functions.keys import parse_sort_spec
+
+    assert parse_sort_spec(["a", "b:desc", "c:asc"]) == (
+        ["a", "b", "c"],
+        [True, False, True],
+    )
+    with pytest.raises(ValueError):
+        parse_sort_spec(["a:sideways"])
