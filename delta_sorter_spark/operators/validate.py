@@ -47,6 +47,13 @@ from delta_sorter_spark.sources.delta_table import DeltaTable, parse_stat
 
 DETAILS_SAMPLE_CAP = 20  # lib.rs:511-518
 
+# Below this many files the per-file summary rows are collected and the
+# boundary check runs on the driver (a few KB of transfer; the Spark window
+# path costs ~1-2s of fixed job overhead that only amortizes on big tables).
+# At or above it, the check stays in Spark and the driver sees only report
+# scalars — the 10^6-file regime the scale design targets.
+SPARK_CHECK_MIN_FILES = 1000
+
 
 @dataclass
 class FileSummary:
@@ -404,8 +411,10 @@ def validate_global_order(
         else:
             need_scan.append(add)
 
-    if not need_scan:
-        # metadata-only fast path: every file attested -> ZERO Spark jobs
+    if not need_scan or len(state.adds) < SPARK_CHECK_MIN_FILES:
+        # small-table / fully-attested path: summaries collect to the driver
+        # (zero Spark jobs when every file is attested; one scan job plus a
+        # KB-size collect otherwise) and the boundary check runs locally
         summaries = summarize_files(table, state.adds, sort_columns, nulls_first,
                                     directions)
         not_asc, cross, details = check_order(summaries, nulls_first, directions)

@@ -346,3 +346,32 @@ def test_bin_pack_compact_coalesces_small_files(spark, tmp_path):
             assert a["add"]["dataChange"] is False
         if "remove" in a:
             assert a["remove"]["dataChange"] is False
+
+
+def test_spark_check_path_matches_driver_path(spark, tmp_path, monkeypatch):
+    """The large-table Spark window boundary check must report exactly what
+    the driver-side comparator reports (forced via the file-count gate)."""
+    from delta_sorter_spark.operators import validate as V
+    from delta_sorter_spark.sources.delta_table import DeltaTable
+
+    path = str(tmp_path / "sparkcheck")
+    # multi-file unsorted table with nulls and duplicate keys
+    rows = [(i * 37 % 101, f"s{i % 7}") for i in range(400)] + [(None, None)] * 5
+    df = spark.createDataFrame(rows, "a int, v string")
+    DeltaTable.create(spark, path, df.repartition(6))
+
+    driver_report = V.validate_global_order(spark, path, ["a", "v"])
+    driver_nl = V.validate_global_order(spark, path, ["a", "v"], nulls_first=False)
+    driver_d = V.validate_global_order(spark, path, ["a", "v"], directions=[False, True])
+
+    monkeypatch.setattr(V, "SPARK_CHECK_MIN_FILES", 0)
+    spark_report = V.validate_global_order(spark, path, ["a", "v"])
+    spark_nl = V.validate_global_order(spark, path, ["a", "v"], nulls_first=False)
+    spark_d = V.validate_global_order(spark, path, ["a", "v"], directions=[False, True])
+
+    assert spark_report.checked_files == driver_report.checked_files
+    assert spark_report.boundary_violations == driver_report.boundary_violations
+    assert spark_report.files_not_ascending == driver_report.files_not_ascending
+    assert spark_report.cross_file_violations == driver_report.cross_file_violations
+    assert spark_nl.boundary_violations == driver_nl.boundary_violations
+    assert spark_d.boundary_violations == driver_d.boundary_violations
