@@ -23,7 +23,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from delta_sorter_spark.functions.hashing import (
-    MERSENNE_P,
     minhash_params,
     minhash_perm_sql,
     spark_md5_long_sql,

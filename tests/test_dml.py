@@ -397,8 +397,6 @@ def test_table_changes_with_deletion_vectors(spark, tmp_path):
 
 def test_vacuum_keeps_live_dv_sidecars(spark, tmp_path):
     """Vacuum collects orphaned DV sidecars but never a referenced one."""
-    import os as _os
-
     from delta_sorter_spark.operators.dml import delete_where_dv, purge_deletion_vectors
 
     path = str(tmp_path / "dv_vac")
