@@ -3086,6 +3086,75 @@ FROM s
 _E37_SQL = _e37_sql()
 
 
+# ---------------------------------------------------------------------------
+# E38: quantized TF-IDF top terms per document (float-free score:
+# tf * floor(log2(N DIV df)) via integer bit length, ties broken on term)
+# ---------------------------------------------------------------------------
+
+
+def q_e38_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_sorter_spark.operators.textstats import tfidf_top_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, "doc_id", "text", k=3)
+
+
+_E38_SQL = """
+WITH t AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+    FROM documents)
+  WHERE tok <> ''
+),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY doc_id, tok),
+dfreq AS (SELECT tok, count(DISTINCT doc_id) AS df FROM t GROUP BY tok),
+scored AS (
+  SELECT doc_id, tok, tf, df,
+         CAST(tf * (length(bin(CAST((SELECT n_docs FROM n) AS BIGINT) // df)) - 1)
+              AS BIGINT) AS score
+  FROM tf JOIN dfreq USING (tok)
+),
+ranked AS (
+  SELECT doc_id, tok, tf, df, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, CAST(rank AS BIGINT) AS rank, tok AS term,
+       CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score
+FROM ranked WHERE rank <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# E39: per-domain corpus profile + proportional sample allocation
+# (domain-mixing plan; pure integer allocation, one aggregation)
+# ---------------------------------------------------------------------------
+
+_MIX_BUDGET = 10_000
+
+
+def q_e39_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_sorter_spark.operators.sampling import domain_mix_plan
+
+    docs = load_table(spark, sf_dir, "documents")
+    return domain_mix_plan(docs, "source", "doc_id", "text", "lang", budget=_MIX_BUDGET)
+
+
+_E39_SQL = f"""
+WITH tot AS (SELECT count(*) AS n FROM documents)
+SELECT source,
+       count(*) AS n_docs,
+       count(DISTINCT lang) AS n_langs,
+       CAST(sum(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                x -> x <> ''))) AS BIGINT) AS total_tokens,
+       min(doc_id) AS min_doc_id,
+       CAST({_MIX_BUDGET} * count(*) // (SELECT n FROM tot) AS BIGINT) AS alloc
+FROM documents GROUP BY source
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the validator's V1 per-file min/max over sf0.001."""
     return q_v1_file_minmax(spark, "/root/testdata/sf0.001")
@@ -3097,6 +3166,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # then the 11 rows that errored in round 1 (events-loader bug, now fixed),
     # then the 3 hash-only reds (oracle typing, now cast), then the 36 greens.
     return {
+        # --- new in round 2 ---
+        "e38_tfidf_terms": q_e38_tfidf_terms,
+        "e39_domain_mix": q_e39_domain_mix,
         # --- never checked in round 1 ---
         "a15_small_qty_revenue": q_a15_small_qty_revenue,
         "a16_late_ship_priority": q_a16_late_ship_priority,
@@ -3209,6 +3281,8 @@ def oracle_sql() -> dict[str, str]:
         "e15_ivf_ann": _E15_SQL,  # full iterative k-means replayed in SQL
         "e33_semantic_dedup": _E33_SQL,  # same k-means replay + cluster self-join
         "e34_unigram_surprisal": _E34_SQL,
+        "e38_tfidf_terms": _E38_SQL,
+        "e39_domain_mix": _E39_SQL,
         "e16_bpe_tokens": _E16_SQL,
         "s1_event_windows": _S1_SQL,
         "s2_sessionize": _S2_SQL,

@@ -141,3 +141,42 @@ def deterministic_shuffle(
         .withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
         .drop("__h__")
     )
+
+def domain_mix_plan(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    text_col: str,
+    lang_col: str,
+    budget: int = 10_000,
+) -> DataFrame:
+    """Per-domain corpus profile + proportional sample allocation — the
+    planning step of domain-mixing for a training set.  For each domain:
+    document count, distinct languages, total whitespace tokens, and an
+    integer ``alloc`` = floor(budget * n_docs / N) (largest-remainder NOT
+    applied: allocations are reproducible, sum <= budget, and each domain's
+    share is monotone in its size).
+
+    One aggregation, map-side combinable; the token count is a pure column
+    expression (no explode — size(filter(split(...)))), so the scan stays in
+    whole-stage codegen and the shuffle carries one row per domain."""
+    tokens = F.size(
+        F.filter(
+            F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != ""
+        )
+    ).cast("bigint")
+    per_domain = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(F.col(lang_col)).alias("n_langs"),
+        F.sum(tokens).alias("total_tokens"),
+        F.min(F.col(id_col)).alias("min_doc_id"),
+    )
+    total = df.count()
+    return per_domain.select(
+        "source",
+        "n_docs",
+        "n_langs",
+        "total_tokens",
+        "min_doc_id",
+        F.expr(f"CAST({int(budget)} * n_docs AS BIGINT) DIV {int(total)}").alias("alloc"),
+    )

@@ -316,3 +316,55 @@ def redact_sql(text_expr: str, patterns: dict[str, str] | None = None) -> tuple[
         counts.append(f"len(regexp_extract_all({cur}, '{sq}')) AS n_{name}")
         cur = f"regexp_replace({cur}, '{sq}', '{_mask_token(name)}', 'g')"
     return cur, counts
+
+def tfidf_top_terms(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """Quantized TF-IDF: top-k characteristic terms per document with a
+    float-free score, so results hash-match across engines (same trick as
+    ``unigram_surprisal``: float log is engine-dependent in the last ulp,
+    integer bit length is not).
+
+    score(term, doc) = tf * floor(log2(N // df))   — tf = in-doc count,
+    df = number of documents containing the term, N = corpus size; the idf
+    factor is ``length(bin(N DIV df)) - 1``.  Ties break on (term ASC), so
+    the rank is total.  Corpus-wide terms (df == N) score 0 but still rank.
+
+    Scale posture: one token explode; the document-frequency aggregate is
+    vocab-sized and broadcasts; the only data-scale shuffle is the per-doc
+    (id, term) count.  The top-k window partitions by document — millions of
+    tiny partitions, no skew."""
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("__tok__"),
+    ).where(F.col("__tok__") != "")
+    n_docs = int(df.select(F.countDistinct(id_col)).collect()[0][0])
+    tf = toks.groupBy(id_col, "__tok__").agg(F.count("*").alias("tf"))
+    dfreq = toks.groupBy("__tok__").agg(
+        F.countDistinct(id_col).alias("df")
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "__tok__")
+        .withColumn(
+            "idf_bits",
+            (F.length(F.bin(F.expr(f"CAST({n_docs} AS BIGINT) DIV df"))) - 1).cast("bigint"),
+        )
+        .withColumn("score", (F.col("tf") * F.col("idf_bits")).cast("bigint"))
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("__tok__").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col(id_col),
+            F.col("rank").cast("bigint").alias("rank"),
+            F.col("__tok__").alias("term"),
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df").cast("bigint").alias("df"),
+            "score",
+        )
+    )
