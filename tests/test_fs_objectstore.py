@@ -217,3 +217,37 @@ def test_s3_conditional_put_conflict(s3_env):
         log.commit(1, [_add(2)])
     state = log.read_state()
     assert [a.path for a in state.adds] == ["part-00001.parquet"]
+
+
+def test_s3_concurrent_writers_all_commit(s3_env):
+    """Contended optimistic concurrency against the S3 log: N threads race
+    commit_with_retry; every writer must land exactly once, on distinct
+    versions, through the conditional-PUT retry loop."""
+    import threading
+
+    log = DeltaLog("s3://testbkt/tables/stress")
+    log.create_table(SCHEMA)
+    n_writers = 8
+    results: dict[int, int] = {}
+    errors: list[Exception] = []
+
+    def writer(i: int) -> None:
+        try:
+            v = log.commit_with_retry(
+                lambda s, i=i: [_add(i)], operation="WRITE", max_attempts=50
+            )
+            results[i] = v
+        except Exception as exc:  # pragma: no cover - failure detail
+            errors.append(exc)
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(n_writers)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(60)
+    assert not errors, errors
+    assert sorted(results.values()) == list(range(1, n_writers + 1))
+    state = log.read_state()
+    assert {a.path for a in state.adds} == {
+        f"part-{i:05d}.parquet" for i in range(n_writers)
+    }
