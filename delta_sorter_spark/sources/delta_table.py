@@ -1209,23 +1209,33 @@ class DeltaTable:
 
         state = self.state()
         active = {a.path for a in state.adds}
-        # deletion-vector sidecars still referenced by an active Add
-        active |= {
+        # deletion-vector sidecars still referenced by an active Add: JSON
+        # sidecars are single files (exact match); parquet sidecars are
+        # DIRECTORIES of part files, protected by prefix
+        dv_paths = {
             a.deletion_vector["storagePath"]
             for a in state.adds
             if a.deletion_vector
         }
+        active |= dv_paths
+        active_prefixes = tuple(p.rstrip("/") + "/" for p in dv_paths)
         doomed: list[str] = []
         now = _time.time()
         for root, dirs, names in os.walk(self.table_path):
             dirs[:] = [d for d in dirs if d not in ("_delta_log", "_staging")]
-            in_dv_dir = os.path.basename(root) == "_deletion_vectors"
+            in_dv_tree = "_deletion_vectors" in os.path.relpath(
+                root, self.table_path
+            ).split(os.sep)
             for name in names:
-                if not (name.endswith(".parquet") or (in_dv_dir and name.endswith(".json"))):
+                # data files everywhere; inside the DV tree EVERY file
+                # (sidecar payloads, _SUCCESS markers, Hadoop .crc
+                # companions), so an orphaned sidecar dataset is collected
+                # completely
+                if not (name.endswith(".parquet") or in_dv_tree):
                     continue
                 full = os.path.join(root, name)
                 rel = os.path.relpath(full, self.table_path).replace(os.sep, "/")
-                if rel in active:
+                if rel in active or rel.startswith(active_prefixes):
                     continue
                 if retention_seconds and now - os.path.getmtime(full) < retention_seconds:
                     continue
@@ -1233,6 +1243,15 @@ class DeltaTable:
                 if not dry_run:
                     try:
                         os.unlink(full)
+                    except OSError:
+                        pass
+        if not dry_run:
+            # drop now-empty orphaned sidecar directories
+            dv_root = os.path.join(self.table_path, "_deletion_vectors")
+            for root, dirs, names in os.walk(dv_root, topdown=False):
+                if not dirs and not names and root != dv_root:
+                    try:
+                        os.rmdir(root)
                     except OSError:
                         pass
         return doomed

@@ -408,10 +408,17 @@ def test_vacuum_keeps_live_dv_sidecars(spark, tmp_path):
     )
     delete_where_dv(table, "id = 2")
     doomed = table.vacuum(dry_run=True)
-    assert not [d for d in doomed if d.endswith(".json")]  # sidecar is live
+    # the live sidecar (parquet dataset dir) must be fully protected
+    assert not [d for d in doomed if "_deletion_vectors" in d]
     purge_deletion_vectors(table)
     doomed = table.vacuum()
     assert [d for d in doomed if "_deletion_vectors" in d]  # now orphaned
+    import os as _o
+    dv_root = _o.path.join(path, "_deletion_vectors")
+    leftovers = [
+        _o.path.join(r, n) for r, _, ns in _o.walk(dv_root) for n in ns
+    ]
+    assert not leftovers, leftovers  # orphaned sidecar collected completely
     assert sorted(r["id"] for r in DeltaTable(spark, path).to_df().collect()) == [
         0, 1, 3, 4, 5, 6, 7,
     ]
