@@ -151,11 +151,14 @@ def _scan_summaries_df(
         import pyarrow.parquet as pq
 
         from delta_sorter_spark.functions.file_summary import summarize_key_frame
+        from delta_sorter_spark.sources.fs import pyarrow_open_input
 
         for batch in batches:
             out = []
             for rel in batch["path"]:
-                pf = pq.ParquetFile(os.path.join(table_path, rel))
+                # local paths pass through; s3:// opens via pyarrow's native
+                # S3 filesystem on the executor (no connector jars)
+                pf = pq.ParquetFile(pyarrow_open_input(os.path.join(table_path, rel)))
                 present = [c for c in cols if c in pf.schema_arrow.names]
                 pdf = pf.read(columns=present).to_pandas()
                 s = summarize_key_frame(pdf, present, nulls_first, directions)

@@ -192,28 +192,42 @@ def dv_sidecar_positions(table_path: str, add: AddAction) -> set[int]:
 
 
 class DeltaTable:
-    """One Delta table.  The transaction-log plane accepts local paths and
-    object-store URIs (sources/fs.py); the DATA plane in this environment
-    uses Spark's local parquet IO, so remote table URIs are rejected here
-    with a pointer at what they need (the scheme's Spark filesystem
-    connector jars, e.g. hadoop-aws for s3a://) rather than failing deep
-    inside a scan.  ``DeltaLog`` itself works against s3:// today — see
-    tests/test_fs_objectstore.py."""
+    """One Delta table, addressed by local path or object-store URI.
+
+    URI support is split by plane (the reference's URI addressing,
+    main.rs:13-15):
+
+    - **metadata plane** (state/history/time travel/ALTER/commits) goes
+      through ``DeltaLog`` + sources/fs.py and works against ``s3://``
+      natively (conditional-PUT commits; moto-tested);
+    - **validation** of remote tables also works end-to-end: the attested
+      metadata fast path needs no data reads at all, and the scan path
+      reads each file via pyarrow's native S3 filesystem from executors
+      (``fs.pyarrow_open_input``) — no Spark connector jars required;
+    - **bulk data plane** (to_df/stage_write/compaction/DML) reads and
+      writes parquet through Spark, which needs the scheme's filesystem
+      connector jars (hadoop-aws for s3a://) — those methods raise a clear
+      NotImplementedError on remote URIs instead of failing mid-scan."""
 
     def __init__(self, spark: SparkSession, table_path: str):
         from delta_sorter_spark.sources.fs import is_remote_uri
 
-        if is_remote_uri(table_path):
+        self.spark = spark
+        self.is_remote = is_remote_uri(table_path)
+        self.table_path = (
+            table_path.rstrip("/") if self.is_remote else os.path.abspath(table_path)
+        )
+        self.log = DeltaLog(self.table_path)
+
+    def _require_local(self, op: str) -> None:
+        if self.is_remote:
             raise NotImplementedError(
-                f"remote table URI {table_path!r}: the transaction log layer "
-                "(DeltaLog) supports object stores, but DeltaTable's data "
+                f"{op} on remote table URI {self.table_path!r}: the bulk data "
                 "plane reads/writes parquet through Spark, which needs the "
                 "scheme's filesystem connector jars (not present in this "
-                "environment)"
+                "environment); metadata operations and validate-only work "
+                "natively"
             )
-        self.spark = spark
-        self.table_path = os.path.abspath(table_path)
-        self.log = DeltaLog(self.table_path)
 
     # -- creation ----------------------------------------------------------
 
@@ -417,6 +431,7 @@ class DeltaTable:
         rewritten files are tombstoned rather than deleted until vacuum.
         ``timestamp`` is ``timestampAsOf``: resolved to the last version
         committed at or before that time, then identical."""
+        self._require_local("to_df")
         if timestamp is not None:
             if version is not None:
                 raise ValueError("pass either version or timestamp, not both")
@@ -496,6 +511,7 @@ class DeltaTable:
         file), from the native parquet ``_metadata`` column — vectorized
         and splittable, no Python in the row path.  NOTE: raw = existing
         deletion vectors are NOT applied here."""
+        self._require_local("scan_with_positions")
         meta = meta or self.metadata
         phys = self._physical_fields(meta)
         read_schema = T.StructType(
@@ -608,6 +624,7 @@ class DeltaTable:
         """
         from delta_sorter_spark.sources.delta_log import physical_name
 
+        self._require_local("stage_write")
         meta = self.metadata
         part_cols = meta.partition_columns
         write_schema = schema if schema is not None else meta.schema
@@ -1207,6 +1224,7 @@ class DeltaTable:
         retention idea; default 0 suits tests and single-writer use)."""
         import time as _time
 
+        self._require_local("vacuum")
         state = self.state()
         active = {a.path for a in state.adds}
         # deletion-vector sidecars still referenced by an active Add: JSON
@@ -1259,6 +1277,7 @@ class DeltaTable:
     def discard_files(self, adds: Sequence[AddAction]) -> None:
         """Delete staged data files that will never be committed (loser of a
         concurrent rewrite race)."""
+        self._require_local("discard_files")
         for a in adds:
             try:
                 os.unlink(os.path.join(self.table_path, a.path))

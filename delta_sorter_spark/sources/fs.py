@@ -270,6 +270,34 @@ def is_remote_uri(path: str) -> bool:
     return path.startswith(("s3://", "memory://"))
 
 
+def pyarrow_open_input(path: str):
+    """Source argument for ``pyarrow.parquet.ParquetFile``: local paths pass
+    through; ``s3://`` opens via pyarrow's native S3 filesystem (credentials
+    and ``AWS_ENDPOINT_URL`` from the standard AWS environment).  This is
+    what lets the validator scan remote tables from executors WITHOUT any
+    Spark filesystem connector jars — the per-file reads are pyarrow, not
+    Hadoop."""
+    if path.startswith("s3://"):
+        from pyarrow import fs as pafs
+
+        kwargs = {}
+        ep = os.environ.get("AWS_ENDPOINT_URL")
+        if ep:
+            kwargs["endpoint_override"] = ep
+            if ep.startswith("http://"):
+                kwargs["scheme"] = "http"
+        region = os.environ.get("AWS_DEFAULT_REGION") or os.environ.get("AWS_REGION")
+        if region:
+            kwargs["region"] = region
+        fsys = pafs.S3FileSystem(**kwargs)
+        return fsys.open_input_file(path[len("s3://"):])
+    if path.startswith("memory://"):
+        import io
+
+        return io.BytesIO(MemoryFileSystem().read_bytes(path))
+    return path
+
+
 def resolve(table_path: str) -> tuple[FileSystem, str]:
     """URI → (filesystem, normalized path).  Local paths are absolutized so
     relative test paths behave like before."""

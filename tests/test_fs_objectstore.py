@@ -251,3 +251,52 @@ def test_s3_concurrent_writers_all_commit(s3_env):
     assert {a.path for a in state.adds} == {
         f"part-{i:05d}.parquet" for i in range(n_writers)
     }
+
+
+def _upload_tree(local_root: str, bucket: str, prefix: str) -> None:
+    import os
+
+    import boto3
+
+    cli = boto3.client("s3")
+    for root, _dirs, names in os.walk(local_root):
+        for n in names:
+            full = os.path.join(root, n)
+            key = f"{prefix}/{os.path.relpath(full, local_root)}".replace(os.sep, "/")
+            with open(full, "rb") as fh:
+                cli.put_object(Bucket=bucket, Key=key, Body=fh.read())
+
+
+def test_s3_validate_only_end_to_end(s3_env, spark, tmp_path):
+    """Validate a table THROUGH its s3:// URI with no Spark connector jars:
+    log replay via boto3, per-file scans via pyarrow's S3 filesystem on the
+    executors.  The bulk data plane stays gated."""
+    from delta_sorter_spark.api import validate
+    from delta_sorter_spark.sources.delta_table import DeltaTable
+
+    # an unsorted table (no attested key stats -> forces the scan path)
+    local = str(tmp_path / "unsorted")
+    df = spark.createDataFrame(
+        [("B", 4), ("A", 1), ("C", 2), ("A", 3)], "k string, v long"
+    )
+    DeltaTable.create(spark, local, df.coalesce(1))
+    _upload_tree(local, "testbkt", "tables/val_unsorted")
+
+    report = validate("s3://testbkt/tables/val_unsorted", ["k", "v"], spark=spark)
+    assert report["checked_files"] == 1
+    assert report["boundary_violations"] >= 1
+
+    # a sorted table written by this engine (attested keyStats -> the
+    # metadata fast path: ZERO data-file reads, works with only log access)
+    from delta_sorter_spark.api import compact
+
+    compact(local, ["k", "v"], repartition_by_sort_key=True, spark=spark)
+    _upload_tree(local, "testbkt", "tables/val_sorted")
+    report = validate("s3://testbkt/tables/val_sorted", ["k", "v"], spark=spark)
+    assert report["boundary_violations"] == 0
+
+    # bulk data plane stays gated with a clear error
+    t = DeltaTable(spark, "s3://testbkt/tables/val_sorted")
+    assert t.state().version >= 0  # metadata plane fine
+    with pytest.raises(NotImplementedError):
+        t.to_df()
