@@ -160,10 +160,40 @@ def _dv_keys(add: AddAction, sidecar: str) -> set[str]:
 def dv_sidecar_positions(table_path: str, add: AddAction) -> set[int]:
     """Deleted row positions for one file (empty if no DV).  Handles both
     sidecar encodings: parquet ``(path, pos)`` datasets (current; written
-    executor-side by ``delete_where_dv``) and the legacy single-JSON map."""
+    executor-side by ``delete_where_dv``) and the legacy single-JSON map.
+    Remote table URIs resolve the sidecar through sources/fs.py."""
     import json as _json
 
+    from delta_sorter_spark.sources.fs import is_remote_uri, resolve
+
     if not add.deletion_vector:
+        return set()
+    if is_remote_uri(table_path):
+        import io as _io
+
+        import pyarrow.parquet as _pq
+
+        fsobj, base = resolve(table_path)
+        sidecar = fsobj.join(base, add.deletion_vector["storagePath"])
+        keys = _dv_keys(add, sidecar)
+        part_names = [n for n in fsobj.list_dir(sidecar) if n.endswith(".parquet")]
+        if part_names:  # parquet dataset directory
+            out: set[int] = set()
+            for n in part_names:
+                tbl = _pq.read_table(
+                    _io.BytesIO(fsobj.read_bytes(fsobj.join(sidecar, n))),
+                    columns=["path", "pos"],
+                )
+                for path_val, pos in zip(
+                    tbl["path"].to_pylist(), tbl["pos"].to_pylist()
+                ):
+                    if path_val in keys:
+                        out.add(int(pos))
+            return out
+        positions = _json.loads(fsobj.read_text(sidecar))
+        for k in [add.path, *keys]:
+            if k in positions:
+                return set(positions[k])
         return set()
     sidecar = os.path.join(table_path, add.deletion_vector["storagePath"])
     keys = _dv_keys(add, sidecar)

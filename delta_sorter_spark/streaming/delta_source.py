@@ -75,8 +75,13 @@ def _read_file(part: DeltaFilePartition):
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    from delta_sorter_spark.sources.fs import pyarrow_open_input
+
     schema = T.StructType.fromJson(json.loads(part.schema_json))
-    tbl = pq.read_table(part.file_path)
+    # local paths pass through; s3:// opens via pyarrow's native S3
+    # filesystem on the worker — remote Delta tables stream without any
+    # Spark filesystem connector jars
+    tbl = pq.read_table(pyarrow_open_input(part.file_path))
     if part.deleted_positions:
         dead = set(part.deleted_positions)
         tbl = tbl.take([i for i in range(tbl.num_rows) if i not in dead])
