@@ -421,10 +421,13 @@ def restore(table: DeltaTable, version: int) -> dict:
     Returns {"added_files", "removed_files", "version"}."""
     target = table.state(version=version)
     current = table.state()
+    # file-existence probe through the fs layer so RESTORE (metadata-only)
+    # also works on remote table URIs
+    tfs = table.log.fs
     missing = [
         a.path
         for a in target.adds
-        if not os.path.exists(os.path.join(table.table_path, a.path))
+        if not tfs.exists(tfs.join(table.table_path, a.path))
     ]
     if missing:
         raise FileNotFoundError(
