@@ -3155,6 +3155,84 @@ FROM documents GROUP BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# E40: fuzzy-dedup verification — exact Levenshtein over LSH candidate
+# pairs, on a normalized 200-char prefix (bounds the DP per pair)
+# ---------------------------------------------------------------------------
+
+_E40_PREFIX = 200
+_E40_MAXDIST = 130
+
+
+def q_e40_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_sorter_spark.operators.dedup import edit_distance_verify
+
+    return edit_distance_verify(
+        _doc_subset(spark, sf_dir, DOC_SUBSET_MOD),
+        "doc_id",
+        "text",
+        prefix=_E40_PREFIX,
+        max_dist=_E40_MAXDIST,
+        k=MINHASH_K,
+        bands=MINHASH_BANDS,
+    )
+
+
+_E40_SQL = f"""
+WITH {_duckdb_shingle_cte(DOC_SUBSET_MOD)},
+sig AS (SELECT doc_id, {_minhash_agg_sql()} FROM h GROUP BY doc_id),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+  WHERE {_band_match_sql()}
+),
+txt AS (
+  SELECT doc_id, substr(lower(trim(text)), 1, {_E40_PREFIX}) AS t
+  FROM documents WHERE doc_id % {DOC_SUBSET_MOD} = 0
+)
+SELECT id_a, id_b,
+       CAST(levenshtein(ta.t, tb.t) AS BIGINT) AS edit_distance
+FROM cand
+JOIN txt ta ON ta.doc_id = cand.id_a
+JOIN txt tb ON tb.doc_id = cand.id_b
+WHERE levenshtein(ta.t, tb.t) <= {_E40_MAXDIST}
+"""
+
+
+# ---------------------------------------------------------------------------
+# E41: mergeable histogram-sketch quantiles per event_type (integer
+# cumulative-coverage reads: 100*cum >= pct*n — bit-identical everywhere)
+# ---------------------------------------------------------------------------
+
+
+def q_e41_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_sorter_spark.operators.sketches import histogram_quantiles
+
+    ev = load_table(spark, sf_dir, "events")
+    return histogram_quantiles(ev, "event_type", "value", pcts=(50, 90, 99))
+
+
+_E41_SQL = """
+WITH counts AS (
+  SELECT event_type, CAST(floor(value) AS BIGINT) AS bucket, count(*) AS c
+  FROM events GROUP BY event_type, bucket
+),
+cum AS (
+  SELECT event_type, bucket, c,
+         sum(c) OVER (PARTITION BY event_type ORDER BY bucket
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(c) OVER (PARTITION BY event_type) AS n
+  FROM counts
+)
+SELECT event_type,
+       CAST(max(n) AS BIGINT) AS n_events,
+       min(CASE WHEN 100 * cum >= 50 * n THEN bucket END) AS p50_bucket,
+       min(CASE WHEN 100 * cum >= 90 * n THEN bucket END) AS p90_bucket,
+       min(CASE WHEN 100 * cum >= 99 * n THEN bucket END) AS p99_bucket
+FROM cum GROUP BY event_type
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the validator's V1 per-file min/max over sf0.001."""
     return q_v1_file_minmax(spark, "/root/testdata/sf0.001")
@@ -3169,6 +3247,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in round 2 ---
         "e38_tfidf_terms": q_e38_tfidf_terms,
         "e39_domain_mix": q_e39_domain_mix,
+        "e40_edit_distance": q_e40_edit_distance,
+        "e41_histogram_quantiles": q_e41_histogram_quantiles,
         # --- never checked in round 1 ---
         "a15_small_qty_revenue": q_a15_small_qty_revenue,
         "a16_late_ship_priority": q_a16_late_ship_priority,
@@ -3283,6 +3363,8 @@ def oracle_sql() -> dict[str, str]:
         "e34_unigram_surprisal": _E34_SQL,
         "e38_tfidf_terms": _E38_SQL,
         "e39_domain_mix": _E39_SQL,
+        "e40_edit_distance": _E40_SQL,
+        "e41_histogram_quantiles": _E41_SQL,
         "e16_bpe_tokens": _E16_SQL,
         "s1_event_windows": _S1_SQL,
         "s2_sessionize": _S2_SQL,

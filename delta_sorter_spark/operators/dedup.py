@@ -458,3 +458,44 @@ def semantic_dedup(
             F.col("__w__.__cos__").alias("cosine"),
         )
     )
+
+def edit_distance_verify(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    prefix: int = 200,
+    max_dist: int = 40,
+    **lsh_kwargs,
+) -> DataFrame:
+    """Fuzzy-dedup verification: exact Levenshtein distance over the LSH
+    candidate pairs, on a fixed normalized prefix (lower/trim, first
+    ``prefix`` chars — bounds the O(n*m) DP per pair regardless of document
+    length).  Keeps pairs with distance <= ``max_dist``.
+
+    Scale posture: candidate generation is the banded LSH self-join (never
+    all-pairs); the distance DP runs only on candidates, JVM-side
+    (``F.levenshtein`` is a builtin), with the id->prefix map joined in —
+    broadcast when small, AQE otherwise."""
+    cands = minhash_lsh_candidates(df, id_col, text_col, **lsh_kwargs)
+    txt = df.select(
+        F.col(id_col).alias("__id__"),
+        F.substring(F.lower(F.trim(F.col(text_col))), 1, prefix).alias("__t__"),
+    )
+    pairs = (
+        cands.join(
+            txt.select(F.col("__id__").alias("id_a"), F.col("__t__").alias("__ta__")),
+            "id_a",
+        )
+        .join(
+            txt.select(F.col("__id__").alias("id_b"), F.col("__t__").alias("__tb__")),
+            "id_b",
+        )
+    )
+    return (
+        pairs.withColumn(
+            "edit_distance",
+            F.levenshtein(F.col("__ta__"), F.col("__tb__")).cast("bigint"),
+        )
+        .where(F.col("edit_distance") <= max_dist)
+        .select("id_a", "id_b", "edit_distance")
+    )

@@ -215,3 +215,44 @@ def bloom_prefilter(
         pos = f"CAST({minhash_perm_sql(h, a, b)} % {m_bits} AS BIGINT)"
         cond = cond & F.array_contains(F.col("__bits__"), F.expr(pos))
     return probe.where(cond).drop("__bits__")
+
+def histogram_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    pcts: tuple = (50, 90, 99),
+) -> DataFrame:
+    """Mergeable histogram-sketch quantiles: bucket values by floor(value),
+    count per (group, bucket) — a partial-aggregatable sketch whose union
+    is just count addition — then read each percentile as the smallest
+    bucket whose cumulative count covers it.  The comparison is pure
+    integers (100*cum >= pct*n), so estimates are bit-identical across
+    engines; floor of an IEEE double is deterministic too.
+
+    The classic exact-quantile alternative needs a full sort per group;
+    this is one map-side-combinable aggregation plus a window over the
+    (bounded) bucket space — the right trade at 100 TB, with resolution
+    set by the bucket width."""
+    from pyspark.sql.window import Window
+
+    counts = df.groupBy(
+        F.col(group_col), F.floor(F.col(value_col)).cast("bigint").alias("bucket")
+    ).agg(F.count("*").alias("c"))
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = counts.withColumn("cum", F.sum("c").over(w))
+    tot = counts.groupBy(group_col).agg(F.sum("c").alias("n"))
+    j = cum.join(tot, group_col)
+    aggs = [F.max("n").alias("n_events")] + [
+        F.min(
+            F.when(
+                F.lit(100) * F.col("cum") >= F.lit(int(p)) * F.col("n"),
+                F.col("bucket"),
+            )
+        ).alias(f"p{p}_bucket")
+        for p in pcts
+    ]
+    return j.groupBy(group_col).agg(*aggs)
