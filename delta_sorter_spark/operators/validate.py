@@ -142,17 +142,21 @@ def _scan_summaries_df(
     """Distributed per-file scan via mapInPandas over the file list,
     returning the typed summary DataFrame (NOT collected — at 10^6 files the
     summaries stay executor-side and only report scalars reach the driver)."""
+    from delta_sorter_spark.sources.fs import capture_aws_env, is_remote_uri
+
     cols = list(sort_columns)
     k = len(cols)
     out_schema = _summary_struct(dtypes)
+    aws_env = capture_aws_env() if is_remote_uri(table_path) else {}
 
     def scan(batches: Iterator) -> Iterator:
         import pandas as pd
         import pyarrow.parquet as pq
 
         from delta_sorter_spark.functions.file_summary import summarize_key_frame
-        from delta_sorter_spark.sources.fs import pyarrow_open_input
+        from delta_sorter_spark.sources.fs import apply_aws_env, pyarrow_open_input
 
+        apply_aws_env(aws_env)
         for batch in batches:
             out = []
             for rel in batch["path"]:

@@ -102,25 +102,19 @@ def _partition_values_from_relpath(relpath: str) -> dict[str, str | None]:
     return values
 
 
-def _file_stats(path: str, stat_columns: Sequence[str]) -> dict:
-    """Exact per-file stats via a column-pruned pyarrow read.
-
-    Parquet footer min/max can be truncated for long strings, and the
-    boundary check (V3) needs exact values, so we read just the stat columns.
-    This replaces the reference's *full-file* DataFusion scan (lib.rs:609-665)
-    with a pruned local read at write time — after which validation is pure
-    metadata."""
+def _stats_from_arrow(tbl, stat_columns: Sequence[str], num_records: int | None = None) -> dict:
+    """Exact stats (min/max/nullCount + attested key-tuple stats for both
+    null placements) from an in-memory Arrow table.  Shared by the local
+    write path (column-pruned file re-read) and the remote writer (stats
+    from the very table it just wrote — zero extra IO)."""
     import pyarrow.compute as pc
-    import pyarrow.parquet as pq
 
     from delta_sorter_spark.functions.file_summary import summarize_key_frame
 
-    pf = pq.ParquetFile(path)
-    num_records = pf.metadata.num_rows
-    present = [c for c in stat_columns if c in pf.schema_arrow.names]
+    num_records = tbl.num_rows if num_records is None else num_records
+    present = [c for c in stat_columns if c in tbl.column_names]
     stats = {"numRecords": num_records, "minValues": {}, "maxValues": {}, "nullCount": {}}
     if present and num_records > 0:
-        tbl = pf.read(columns=present)
         for c in present:
             arr = tbl.column(c)
             nulls = arr.null_count
@@ -131,7 +125,7 @@ def _file_stats(path: str, stat_columns: Sequence[str]) -> dict:
         # Exact key-tuple attestation for both null placements: later
         # validation of these columns becomes metadata-only (SURVEY §4's
         # improvement over the reference's full scans, lib.rs:609-665).
-        pdf = tbl.to_pandas()
+        pdf = tbl.select(present).to_pandas()
         key_stats = {"cols": present}
         for label, nulls_first in (("nullsFirst", True), ("nullsLast", False)):
             s = summarize_key_frame(pdf, present, nulls_first)
@@ -143,6 +137,29 @@ def _file_stats(path: str, stat_columns: Sequence[str]) -> dict:
             }
         stats["keyStats"] = key_stats
     return stats
+
+
+def _file_stats(path: str, stat_columns: Sequence[str]) -> dict:
+    """Exact per-file stats via a column-pruned pyarrow read.
+
+    Parquet footer min/max can be truncated for long strings, and the
+    boundary check (V3) needs exact values, so we read just the stat columns.
+    This replaces the reference's *full-file* DataFusion scan (lib.rs:609-665)
+    with a pruned local read at write time — after which validation is pure
+    metadata."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(path)
+    num_records = pf.metadata.num_rows
+    present = [c for c in stat_columns if c in pf.schema_arrow.names]
+    if not present or num_records == 0:
+        return {
+            "numRecords": num_records,
+            "minValues": {},
+            "maxValues": {},
+            "nullCount": {},
+        }
+    return _stats_from_arrow(pf.read(columns=present), stat_columns, num_records)
 
 
 def _dv_keys(add: AddAction, sidecar: str) -> set[str]:
@@ -461,11 +478,12 @@ class DeltaTable:
         rewritten files are tombstoned rather than deleted until vacuum.
         ``timestamp`` is ``timestampAsOf``: resolved to the last version
         committed at or before that time, then identical."""
-        self._require_local("to_df")
         if timestamp is not None:
             if version is not None:
                 raise ValueError("pass either version or timestamp, not both")
             version = self.version_at_timestamp(timestamp)
+        if self.is_remote:
+            return self._to_df_remote(version=version, adds=adds)
         state = self.state(version=version)
         meta = state.metadata
         use = state.adds if adds is None else list(adds)
@@ -482,6 +500,36 @@ class DeltaTable:
         for p in parts[1:]:
             df = df.unionByName(p)
         return df
+
+    def _to_df_remote(self, version=None, adds=None) -> DataFrame:
+        """Remote read path: the Python Data Source scans file bytes via
+        pyarrow's object-store filesystems on the workers (no connector
+        jars).  Arbitrary file subsets aren't plumbed through reader options
+        — the full snapshot (or a full historical snapshot) is; callers that
+        prune files (partition-aware compaction, DML) stay local-only."""
+        if adds is not None:
+            current = {a.path for a in self.state(version=version).adds}
+            if {a.path for a in adds} != current:
+                self._require_local("to_df(adds=<subset>)")
+        import json as _json
+
+        from delta_sorter_spark.sources.fs import capture_aws_env
+        from delta_sorter_spark.streaming.delta_source import DeltaStreamDataSource
+
+        try:
+            self.spark.dataSource.register(DeltaStreamDataSource)
+        except Exception:
+            pass  # already registered
+        reader = (
+            self.spark.read.format("delta_sorter")
+            .option("path", self.table_path)
+            # the source's planner runs in a python worker without the
+            # driver's current env — ship the AWS settings along
+            .option("awsEnv", _json.dumps(capture_aws_env()))
+        )
+        if version is not None:
+            reader = reader.option("versionAsOf", str(version))
+        return reader.load()
 
     def _base_for(self, add: AddAction) -> str:
         """Partition-discovery base for one file.  Relative adds live under
@@ -654,7 +702,15 @@ class DeltaTable:
         """
         from delta_sorter_spark.sources.delta_log import physical_name
 
-        self._require_local("stage_write")
+        if self.is_remote:
+            return self._stage_write_remote(
+                df,
+                stat_columns=stat_columns,
+                target_file_size_bytes=target_file_size_bytes,
+                data_change=data_change,
+                sorted_within_files=sorted_within_files,
+                schema=schema,
+            )
         meta = self.metadata
         part_cols = meta.partition_columns
         write_schema = schema if schema is not None else meta.schema
@@ -708,6 +764,144 @@ class DeltaTable:
             os.rmdir(os.path.join(self.table_path, "_staging"))
         except OSError:
             pass  # other writers still staging
+        return adds
+
+    def _stage_write_remote(
+        self,
+        df: DataFrame,
+        stat_columns: Sequence[str] | None = None,
+        target_file_size_bytes: int | None = None,
+        data_change: bool = True,
+        sorted_within_files: bool = False,
+        schema: T.StructType | None = None,
+    ) -> list[AddAction]:
+        """Remote-URI write path: each Spark partition serializes itself to
+        parquet in memory and PUTs the object straight from the executor via
+        sources/fs.py (no Hadoop connector jars, no driver data transfer).
+        Stats — including the exact key-tuple attestation — come from the
+        Arrow table being written (zero extra IO).  Write-then-commit makes
+        this protocol-safe under task retries: only objects referenced by
+        the committed Add actions exist as far as readers are concerned;
+        stray retry outputs are invisible and vacuumable."""
+        import json as _json
+        import time as _time
+
+        from pyspark.sql.pandas.types import to_arrow_type
+
+        from delta_sorter_spark.sources.delta_log import physical_name
+
+        meta = self.metadata
+        part_cols = meta.partition_columns
+        write_schema = schema if schema is not None else meta.schema
+        data_cols = [f.name for f in write_schema.fields if f.name not in part_cols]
+        to_phys = {f.name: physical_name(f) for f in write_schema.fields}
+        phys_part = [to_phys.get(c, c) for c in part_cols]
+        phys_data = [to_phys.get(c, c) for c in data_cols]
+        out = df.select(
+            *[F.col(c).alias(to_phys.get(c, c)) for c in part_cols + data_cols]
+        )
+        stat_cols = [to_phys.get(c, c) for c in (stat_columns or [])]
+        # pin the parquet physical types to the logical schema (a pandas
+        # round trip would otherwise write e.g. ns timestamps)
+        arrow_types = {
+            to_phys.get(f.name, f.name): to_arrow_type(f.dataType)
+            for f in write_schema.fields
+            if f.name in data_cols
+        }
+        table_path = self.table_path
+        max_records = (
+            self._estimate_max_records(df, target_file_size_bytes)
+            if target_file_size_bytes
+            else None
+        )
+        from delta_sorter_spark.sources.fs import capture_aws_env
+
+        aws_env = capture_aws_env()
+
+        def write_partition(batches):
+            import io as _io
+            import uuid as _uuid
+            import urllib.parse as _up
+
+            import pandas as pd
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            from delta_sorter_spark.sources.delta_table import (
+                HIVE_NULL,
+                _stats_from_arrow,
+                serialize_partition_value,
+            )
+            from delta_sorter_spark.sources.fs import apply_aws_env, resolve
+
+            apply_aws_env(aws_env)
+            pdfs = list(batches)
+            if not pdfs:
+                return
+            pdf = pd.concat(pdfs, ignore_index=True)
+            if len(pdf) == 0:
+                return
+            fsobj, base = resolve(table_path)
+            if phys_part:
+                grouped = pdf.groupby(phys_part, dropna=False, sort=False)
+                groups = [(k if isinstance(k, tuple) else (k,), g) for k, g in grouped]
+            else:
+                groups = [((), pdf)]
+            out_rows = []
+            target_schema = pa.schema(
+                [(c, arrow_types[c]) for c in phys_data]
+            )
+            for keyvals, g in groups:
+                pv: dict = {}
+                segs = []
+                for c, v in zip(phys_part, keyvals):
+                    sv = serialize_partition_value(None if pd.isna(v) else v)
+                    pv[c] = sv
+                    segs.append(
+                        f"{c}={HIVE_NULL if sv is None else _up.quote(sv, safe='')}"
+                    )
+                prefix = "/".join(segs) + "/" if segs else ""
+                gdata = g[phys_data]
+                step = max_records or len(gdata)
+                for i in range(0, len(gdata), max(step, 1)):
+                    chunk = gdata.iloc[i:i + step]
+                    tbl = pa.Table.from_pandas(
+                        chunk, preserve_index=False
+                    ).cast(target_schema)
+                    buf = _io.BytesIO()
+                    pq.write_table(tbl, buf)
+                    data = buf.getvalue()
+                    rel = f"{prefix}part-{_uuid.uuid4().hex}.parquet"
+                    fsobj.write_bytes(fsobj.join(base, rel), data)
+                    out_rows.append(
+                        {
+                            "path": rel,
+                            "size": len(data),
+                            "stats": _json.dumps(_stats_from_arrow(tbl, stat_cols)),
+                            "pv": _json.dumps(pv),
+                        }
+                    )
+            yield pd.DataFrame(out_rows, columns=["path", "size", "stats", "pv"])
+
+        rows = out.mapInPandas(
+            write_partition, "path string, size long, stats string, pv string"
+        ).collect()  # one row per WRITTEN FILE — O(files), not O(data)
+        now_ms = int(_time.time() * 1000)
+        adds: list[AddAction] = []
+        for r in rows:
+            stats = _json.loads(r["stats"])
+            if sorted_within_files:
+                stats["sortedBy"] = list(stat_cols)
+            adds.append(
+                AddAction(
+                    path=r["path"],
+                    size=int(r["size"]),
+                    partition_values=_json.loads(r["pv"]),
+                    modification_time=now_ms,
+                    data_change=data_change,
+                    stats=stats,
+                )
+            )
         return adds
 
     def append(
@@ -1306,12 +1500,13 @@ class DeltaTable:
 
     def discard_files(self, adds: Sequence[AddAction]) -> None:
         """Delete staged data files that will never be committed (loser of a
-        concurrent rewrite race)."""
-        self._require_local("discard_files")
+        concurrent rewrite race).  Goes through the fs layer so remote
+        writers clean up too."""
+        fsobj = self.log.fs
         for a in adds:
             try:
-                os.unlink(os.path.join(self.table_path, a.path))
-            except OSError:
+                fsobj.delete(fsobj.join(self.table_path, a.path))
+            except (OSError, FileNotFoundError):
                 pass
 
 

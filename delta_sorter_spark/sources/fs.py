@@ -270,6 +270,37 @@ def is_remote_uri(path: str) -> bool:
     return path.startswith(("s3://", "memory://"))
 
 
+_AWS_ENV_KEYS = (
+    "AWS_ENDPOINT_URL",
+    "AWS_ACCESS_KEY_ID",
+    "AWS_SECRET_ACCESS_KEY",
+    "AWS_SESSION_TOKEN",
+    "AWS_DEFAULT_REGION",
+    "AWS_REGION",
+)
+
+
+def capture_aws_env() -> dict:
+    """Driver-side snapshot of the standard AWS environment, for shipping
+    inside task closures.  Python workers are forked from a daemon the JVM
+    launched, so env vars set in the driver AFTER SparkSession creation
+    never reach them — shipping the snapshot and applying it in the task
+    makes executor-side S3 access deterministic."""
+    return {k: os.environ[k] for k in _AWS_ENV_KEYS if k in os.environ}
+
+
+def apply_aws_env(env: dict | None) -> None:
+    """Worker-side: install a driver-captured AWS env snapshot."""
+    changed = False
+    for k, v in (env or {}).items():
+        if os.environ.get(k) != v:
+            os.environ[k] = v
+            changed = True
+    if changed:
+        # drop any per-process boto3 client cached with stale settings
+        S3FileSystem._clients.pop(os.getpid(), None)
+
+
 def pyarrow_open_input(path: str):
     """Source argument for ``pyarrow.parquet.ParquetFile``: local paths pass
     through; ``s3://`` opens via pyarrow's native S3 filesystem (credentials

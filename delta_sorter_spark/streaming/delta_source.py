@@ -62,6 +62,9 @@ class DeltaFilePartition(InputPartition):
     deleted_positions: tuple = ()  # DV row indices, resolved driver-side
     schema_json: str = ""  # logical schema (StructType JSON)
     partition_columns: tuple = ()
+    # driver-captured AWS env for remote reads (workers never see driver
+    # env changes made after SparkSession creation)
+    aws_env: dict = field(default_factory=dict)
 
 
 def _arrow_type(dtype: T.DataType):
@@ -75,8 +78,9 @@ def _read_file(part: DeltaFilePartition):
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    from delta_sorter_spark.sources.fs import pyarrow_open_input
+    from delta_sorter_spark.sources.fs import apply_aws_env, pyarrow_open_input
 
+    apply_aws_env(part.aws_env)
     schema = T.StructType.fromJson(json.loads(part.schema_json))
     # local paths pass through; s3:// opens via pyarrow's native S3
     # filesystem on the worker — remote Delta tables stream without any
@@ -116,10 +120,23 @@ def _dv_positions(table_path: str, add: AddAction) -> tuple:
     return tuple(sorted(dv_sidecar_positions(table_path, add)))
 
 
+def _apply_env_option(options) -> None:
+    """Install the driver-captured AWS env shipped via .option("awsEnv",
+    json) — the Python Data Source's planner and schema() calls run in
+    python workers that never see driver env changes made after the
+    SparkSession started."""
+    from delta_sorter_spark.sources.fs import apply_aws_env
+
+    raw = options.get("awsEnv") or options.get("awsenv")
+    if raw:
+        apply_aws_env(json.loads(raw))
+
+
 class _DeltaSourceCore:
     """Shared between the batch and stream readers."""
 
-    def __init__(self, options, schema: T.StructType | None = None):
+    def __init__(self, options, schema: T.StructType | None = None, at_version=None):
+        _apply_env_option(options)
         self.table_path = options.get("path")
         if not self.table_path:
             raise ValueError("delta_sorter source requires .option('path', ...)")
@@ -127,19 +144,22 @@ class _DeltaSourceCore:
         self.skip_change_commits = (
             str(options.get("skipChangeCommits", "false")).lower() == "true"
         )
-        meta = self.log.read_state().metadata
+        meta = self.log.read_state(at_version=at_version).metadata
         # pin schema at construction (stream start); partition layout is
         # immutable in Delta so the column list never changes
         self.schema_json = json.dumps((schema or meta.schema).jsonValue())
         self.partition_columns = tuple(meta.partition_columns)
 
     def _part_for(self, path, partition_values, deleted_positions):
+        from delta_sorter_spark.sources.fs import capture_aws_env, is_remote_uri
+
         return DeltaFilePartition(
             file_path=os.path.join(self.table_path, path),
             partition_values=dict(partition_values),
             deleted_positions=tuple(deleted_positions),
             schema_json=self.schema_json,
             partition_columns=self.partition_columns,
+            aws_env=capture_aws_env() if is_remote_uri(self.table_path) else {},
         )
 
     def snapshot_partitions(self, at_version=None) -> list[DeltaFilePartition]:
@@ -153,16 +173,22 @@ class _DeltaSourceCore:
 
 
 class DeltaBatchReader(DataSourceReader):
-    """Batch half of the Python source (API completeness; the JVM parquet
-    scan in ``DeltaTable.to_df`` is the fast path for bulk reads)."""
+    """Batch half of the Python source (API completeness locally — the JVM
+    parquet scan in ``DeltaTable.to_df`` is the fast path there — and the
+    jar-free read path for remote table URIs).  ``versionAsOf`` time-travels
+    the snapshot."""
 
     def __init__(self, options, schema=None):
-        self.core = _DeltaSourceCore(options, schema)
+        v = options.get("versionAsOf")
+        self.at_version = int(v) if v is not None else None
+        self.core = _DeltaSourceCore(options, schema, at_version=self.at_version)
 
     def partitions(self):
-        return self.core.snapshot_partitions()
+        return self.core.snapshot_partitions(at_version=self.at_version)
 
     def read(self, partition):
+        if partition is None:  # empty snapshot (e.g. versionAsOf=0)
+            return iter(())
         return _read_file(partition)
 
 
@@ -230,13 +256,21 @@ class DeltaStreamReader(DataSourceStreamReader):
 
 class DeltaStreamDataSource(DataSource):
     """``format("delta_sorter")`` — register with
-    ``spark.dataSource.register(DeltaStreamDataSource)``."""
+    ``spark.dataSource.register(DeltaStreamDataSource)``.
+
+    Options: ``path`` (local dir or s3:// URI), ``versionAsOf`` (batch time
+    travel), ``skipChangeCommits`` (streaming), ``awsEnv`` (JSON of the
+    driver's AWS settings — ``fs.capture_aws_env()`` — required for remote
+    URIs whenever those settings changed after the SparkSession started,
+    because the source's planner runs in python workers that inherit the
+    older environment)."""
 
     @classmethod
     def name(cls) -> str:
         return "delta_sorter"
 
     def schema(self):
+        _apply_env_option(self.options)
         return DeltaLog(self.options["path"]).read_state().metadata.schema
 
     def reader(self, schema):

@@ -295,22 +295,30 @@ def test_s3_validate_only_end_to_end(s3_env, spark, tmp_path):
     report = validate("s3://testbkt/tables/val_sorted", ["k", "v"], spark=spark)
     assert report["boundary_violations"] == 0
 
-    # bulk data plane stays gated with a clear error
+    # metadata plane and jar-free reads work; file-subset scans stay gated
     t = DeltaTable(spark, "s3://testbkt/tables/val_sorted")
-    assert t.state().version >= 0  # metadata plane fine
+    assert t.state().version >= 0
+    assert t.to_df().count() == 4  # reads via the Python Data Source
     with pytest.raises(NotImplementedError):
-        t.to_df()
+        t.scan_with_positions(t.state().adds)
 
 
 def test_s3_delta_source_batch_and_stream(s3_env, spark, tmp_path):
     """Read a remote Delta table through the Python Data Source — batch and
-    readStream — with no connector jars: log via boto3 (driver), file bytes
-    via pyarrow S3 (workers), DV positions resolved driver-side."""
+    readStream — with no connector jars: log via boto3, file bytes via
+    pyarrow S3 on the workers, DV positions resolved at planning time.
+    The ``awsEnv`` option ships the driver's AWS settings to the source's
+    planner workers (which never see driver env changes made after the
+    SparkSession started)."""
+    import json as _json
+
     from delta_sorter_spark.operators.dml import delete_where_dv
     from delta_sorter_spark.sources.delta_table import DeltaTable
+    from delta_sorter_spark.sources.fs import capture_aws_env
     from delta_sorter_spark.streaming.delta_source import DeltaStreamDataSource
 
     spark.dataSource.register(DeltaStreamDataSource)
+    aws_env = _json.dumps(capture_aws_env())
 
     local = str(tmp_path / "src")
     df = spark.createDataFrame([(i, f"v{i}") for i in range(10)], "id long, v string")
@@ -321,6 +329,7 @@ def test_s3_delta_source_batch_and_stream(s3_env, spark, tmp_path):
     got = (
         spark.read.format("delta_sorter")
         .option("path", "s3://testbkt/tables/src_remote")
+        .option("awsEnv", aws_env)
         .load()
     )
     assert sorted(r["id"] for r in got.collect()) == [0, 1, 2, 4, 5, 6, 8, 9]
@@ -329,6 +338,7 @@ def test_s3_delta_source_batch_and_stream(s3_env, spark, tmp_path):
     q = (
         spark.readStream.format("delta_sorter")
         .option("path", "s3://testbkt/tables/src_remote")
+        .option("awsEnv", aws_env)
         .load()
         .writeStream.format("parquet")
         .option("path", out)
@@ -340,3 +350,47 @@ def test_s3_delta_source_batch_and_stream(s3_env, spark, tmp_path):
     assert sorted(r["id"] for r in spark.read.parquet(out).collect()) == [
         0, 1, 2, 4, 5, 6, 8, 9,
     ]
+
+
+def test_s3_strict_compact_end_to_end(s3_env, spark, tmp_path):
+    """Full remote maintenance loop with NO connector jars: read the s3://
+    table through the Python Data Source, sort, write new parquet objects
+    from executors via boto3, commit Remove+Add through the conditional-PUT
+    log, and validate the result remotely."""
+    from delta_sorter_spark.api import compact, validate
+    from delta_sorter_spark.sources.delta_table import DeltaTable
+
+    local = str(tmp_path / "uns")
+    df = spark.createDataFrame(
+        [("B", 4), ("A", 1), ("C", 2), ("A", 3), ("B", 0), (None, 9)],
+        "k string, v long",
+    )
+    DeltaTable.create(spark, local, df.coalesce(2))
+    _upload_tree(local, "testbkt", "tables/compact_me")
+    uri = "s3://testbkt/tables/compact_me"
+
+    assert validate(uri, ["k", "v"], spark=spark)["boundary_violations"] >= 1
+
+    metrics = compact(uri, ["k", "v"], repartition_by_sort_key=True, spark=spark)
+    assert metrics.rewritten_partitions == 1
+
+    report = validate(uri, ["k", "v"], spark=spark)
+    assert report["boundary_violations"] == 0
+    # content survives the rewrite, read through the remote path
+    t = DeltaTable(spark, uri)
+    got = sorted(
+        ((r["k"], r["v"]) for r in t.to_df().collect()),
+        key=lambda kv: (kv[0] is not None, kv[0] or "", kv[1]),
+    )
+    assert got == [(None, 9), ("A", 1), ("A", 3), ("B", 0), ("B", 4), ("C", 2)]
+    # old files are tombstoned, new attested files replace them
+    state = t.state()
+    assert all(a.stats and a.stats.get("keyStats") for a in state.adds)
+    # time travel through the remote batch reader: v0 is the empty
+    # CREATE TABLE commit, v1 the initial data
+    assert t.to_df(version=0).count() == 0
+    assert t.to_df(version=1).count() == 6
+
+    # partition-aware mode points at strict/jars instead of failing mid-scan
+    with pytest.raises(NotImplementedError):
+        compact(uri, ["k", "v"], spark=spark)
