@@ -26,8 +26,14 @@ Execution strategy (the 100 TB design):
    NOT scan via a normal parquet DataFrame: Spark may split one file across
    tasks and gives no in-file row-order column, and physical row order is
    exactly what V2 attests (SURVEY §7 hard part 2).
-3. The cross-file boundary check runs on the driver over one tiny summary
-   row per file (same shape as the reference's windows(2) loop).
+3. The cross-file boundary check: under SPARK_CHECK_MIN_FILES files the
+   summary rows (KB-scale) collect and the check runs on the driver (same
+   shape as the reference's windows(2) loop); at or above it the check is
+   a window IN Spark over per-file rows and only report scalars + <=20
+   details reach the driver — the 10^6-file regime.
+4. Remote table URIs: the metadata fast path needs no data reads; the scan
+   path opens files via pyarrow's object-store filesystems on executors
+   (sources/fs.py) — no Spark connector jars.
 """
 
 from __future__ import annotations
