@@ -1445,10 +1445,14 @@ class DeltaTable:
 
         ``retention_seconds`` skips recently-modified files so in-flight
         writers' staged-then-moved files aren't collected (Delta's VACUUM
-        retention idea; default 0 suits tests and single-writer use)."""
+        retention idea; default 0 suits tests and single-writer use).
+
+        Runs entirely through the fs layer (recursive listing + deletes),
+        so the same sweep works on local paths and remote table URIs —
+        closing the jar-free remote maintenance loop (compact -> validate
+        -> vacuum)."""
         import time as _time
 
-        self._require_local("vacuum")
         state = self.state()
         active = {a.path for a in state.adds}
         # deletion-vector sidecars still referenced by an active Add: JSON
@@ -1461,34 +1465,33 @@ class DeltaTable:
         }
         active |= dv_paths
         active_prefixes = tuple(p.rstrip("/") + "/" for p in dv_paths)
+        fsobj = self.log.fs
         doomed: list[str] = []
         now = _time.time()
-        for root, dirs, names in os.walk(self.table_path):
-            dirs[:] = [d for d in dirs if d not in ("_delta_log", "_staging")]
-            in_dv_tree = "_deletion_vectors" in os.path.relpath(
-                root, self.table_path
-            ).split(os.sep)
-            for name in names:
-                # data files everywhere; inside the DV tree EVERY file
-                # (sidecar payloads, _SUCCESS markers, Hadoop .crc
-                # companions), so an orphaned sidecar dataset is collected
-                # completely
-                if not (name.endswith(".parquet") or in_dv_tree):
-                    continue
-                full = os.path.join(root, name)
-                rel = os.path.relpath(full, self.table_path).replace(os.sep, "/")
-                if rel in active or rel.startswith(active_prefixes):
-                    continue
-                if retention_seconds and now - os.path.getmtime(full) < retention_seconds:
-                    continue
-                doomed.append(rel)
-                if not dry_run:
-                    try:
-                        os.unlink(full)
-                    except OSError:
-                        pass
-        if not dry_run:
-            # drop now-empty orphaned sidecar directories
+        for rel, mtime in fsobj.list_files_recursive(self.table_path):
+            top = rel.split("/", 1)[0]
+            if top in ("_delta_log", "_staging"):
+                continue
+            in_dv_tree = rel.startswith("_deletion_vectors/")
+            name = rel.rsplit("/", 1)[-1]
+            # data files everywhere; inside the DV tree EVERY file (sidecar
+            # payloads, _SUCCESS markers, Hadoop .crc companions), so an
+            # orphaned sidecar dataset is collected completely
+            if not (name.endswith(".parquet") or in_dv_tree):
+                continue
+            if rel in active or rel.startswith(active_prefixes):
+                continue
+            if retention_seconds and now - mtime < retention_seconds:
+                continue
+            doomed.append(rel)
+            if not dry_run:
+                try:
+                    fsobj.delete(fsobj.join(self.table_path, rel))
+                except (OSError, FileNotFoundError):
+                    pass
+        if not dry_run and not self.is_remote:
+            # drop now-empty orphaned sidecar directories (object stores
+            # have no directories to prune)
             dv_root = os.path.join(self.table_path, "_deletion_vectors")
             for root, dirs, names in os.walk(dv_root, topdown=False):
                 if not dirs and not names and root != dv_root:

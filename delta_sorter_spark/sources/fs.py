@@ -69,6 +69,11 @@ class FileSystem:
     def delete(self, path: str) -> None:
         raise NotImplementedError
 
+    def list_files_recursive(self, path: str) -> list[tuple[str, float]]:
+        """All files under ``path`` as (relative path, mtime-epoch) pairs.
+        Powers vacuum's orphan sweep on every backend."""
+        raise NotImplementedError
+
     # -- text sugar --------------------------------------------------------
     def read_text(self, path: str) -> str:
         return self.read_bytes(path).decode("utf-8")
@@ -116,6 +121,18 @@ class LocalFileSystem(FileSystem):
 
     def delete(self, path: str) -> None:
         os.unlink(path)
+
+    def list_files_recursive(self, path: str) -> list[tuple[str, float]]:
+        out = []
+        for root, _dirs, names in os.walk(path):
+            for n in names:
+                full = os.path.join(root, n)
+                try:
+                    mtime = os.path.getmtime(full)
+                except OSError:
+                    continue
+                out.append((os.path.relpath(full, path).replace(os.sep, "/"), mtime))
+        return out
 
 
 class MemoryFileSystem(FileSystem):
@@ -176,6 +193,15 @@ class MemoryFileSystem(FileSystem):
     def delete(self, path: str) -> None:
         with self._lock:
             self._objects.pop(self._key(path), None)
+
+    def list_files_recursive(self, path: str) -> list[tuple[str, float]]:
+        prefix = self._key(path).rstrip("/") + "/"
+        with self._lock:
+            return [
+                (o[len(prefix):], 0.0)
+                for o in self._objects
+                if o.startswith(prefix)
+            ]
 
 
 class S3FileSystem(FileSystem):
@@ -264,6 +290,18 @@ class S3FileSystem(FileSystem):
     def delete(self, path: str) -> None:
         bucket, key = self._split(path)
         self._client().delete_object(Bucket=bucket, Key=key)
+
+    def list_files_recursive(self, path: str) -> list[tuple[str, float]]:
+        bucket, key = self._split(path)
+        prefix = key.rstrip("/") + "/"
+        out = []
+        paginator = self._client().get_paginator("list_objects_v2")
+        for page in paginator.paginate(Bucket=bucket, Prefix=prefix):
+            for obj in page.get("Contents", []):
+                out.append(
+                    (obj["Key"][len(prefix):], obj["LastModified"].timestamp())
+                )
+        return out
 
 
 def is_remote_uri(path: str) -> bool:

@@ -391,6 +391,15 @@ def test_s3_strict_compact_end_to_end(s3_env, spark, tmp_path):
     assert t.to_df(version=0).count() == 0
     assert t.to_df(version=1).count() == 6
 
+    # remote vacuum closes the loop: tombstoned objects are deleted,
+    # active ones survive, reads still work
+    doomed = t.vacuum()
+    assert doomed  # the pre-compact files
+    assert t.to_df().count() == 6
+    # ...and time travel to pre-compact versions now fails at read (files
+    # gone), which is vacuum's documented trade everywhere
+    assert t.vacuum(dry_run=True) == []
+
     # partition-aware mode points at strict/jars instead of failing mid-scan
     with pytest.raises(NotImplementedError):
         compact(uri, ["k", "v"], spark=spark)
