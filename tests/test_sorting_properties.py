@@ -149,3 +149,44 @@ def test_parse_sort_spec_errors():
     )
     with pytest.raises(ValueError):
         parse_sort_spec(["a:sideways"])
+
+
+@settings(max_examples=60, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(-5, 5)),
+            st.one_of(st.none(), st.integers(-3, 3)),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    nulls_first=st.booleans(),
+    directions=st.tuples(st.booleans(), st.booleans()),
+)
+def test_directed_summaries_match_tuple_comparator(rows, nulls_first, directions):
+    """Property: the vectorized directed file summary (pairwise descents +
+    extreme rows) agrees with the driver-side tuple comparator on random
+    data, for every direction/null-placement combination."""
+    import functools
+
+    import pandas as pd
+
+    from delta_sorter_spark.functions.file_summary import summarize_key_frame
+    from delta_sorter_spark.functions.keys import key_tuple_cmp
+
+    dirs = list(directions)
+    pdf = pd.DataFrame(rows, columns=["a", "b"], dtype="object")
+    s = summarize_key_frame(pdf, ["a", "b"], nulls_first, dirs)
+
+    cmp = functools.partial(key_tuple_cmp, nulls_first=nulls_first, directions=dirs)
+    keys = [list(r) for r in rows]
+    expected_descents = sum(
+        1 for x, y in zip(keys, keys[1:]) if cmp(x, y) > 0
+    )
+    assert s["descents"] == expected_descents
+    assert s["ascending"] == (expected_descents == 0)
+
+    ordered = sorted(keys, key=functools.cmp_to_key(cmp))
+    assert cmp(s["minKey"], ordered[0]) == 0
+    assert cmp(s["maxKey"], ordered[-1]) == 0
