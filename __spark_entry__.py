@@ -2687,8 +2687,9 @@ qs AS (SELECT vec_id AS query_id, q AS qq FROM qz
        WHERE vec_id % {QUERY_VEC_MOD} = 0),
 scored AS (
   SELECT qs.query_id, c.vec_id AS id,
-         list_aggregate(list_transform(list_zip(qs.qq, c.q),
-           p -> CAST(p[1] AS BIGINT) * CAST(p[2] AS BIGINT)), 'sum') AS qdot
+         CAST(list_aggregate(list_transform(list_zip(qs.qq, c.q),
+           p -> CAST(p[1] AS BIGINT) * CAST(p[2] AS BIGINT)), 'sum')
+           AS BIGINT) AS qdot
   FROM qz c CROSS JOIN qs
   WHERE c.vec_id <> qs.query_id
 ),
@@ -2895,7 +2896,7 @@ WITH c AS (
 )
 SELECT source,
        count(*) AS n_chunks,
-       sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS n_dup_chunks
+       CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks
 FROM h JOIN d USING (ch)
 GROUP BY source
 """
@@ -3239,63 +3240,29 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordered for driver-budget efficiency: entries with no round-1 driver
-    # correctness row first (registry tail the round-1 checker never reached),
-    # then the 11 rows that errored in round 1 (events-loader bug, now fixed),
-    # then the 3 hash-only reds (oracle typing, now cast), then the 36 greens.
+    # Ordered for driver-budget efficiency (the checker covers ~50 entries in
+    # registry order).  Tier 1: the 3 rows red in round 2 (oracle HUGEINT,
+    # cast fixed this round).  Tier 2: the 8 rows with no current driver row
+    # (r2 reorder pushed them to positions 51-58).  Tier 3: queries new this
+    # round.  Tier 4: round-1 greens not re-confirmed in round 2 (stalest).
+    # Tier 5: round-2 greens (freshest).  Duplicate keys from the
+    # tpch_extra splat keep their first (tier-1) position per dict semantics.
     return {
-        # --- new in round 2 ---
-        "e38_tfidf_terms": q_e38_tfidf_terms,
-        "e39_domain_mix": q_e39_domain_mix,
-        "e40_edit_distance": q_e40_edit_distance,
-        "e41_histogram_quantiles": q_e41_histogram_quantiles,
-        # --- never checked in round 1 ---
-        "a15_small_qty_revenue": q_a15_small_qty_revenue,
-        "a16_late_ship_priority": q_a16_late_ship_priority,
-        "a17_local_supplier_volume": q_a17_local_supplier_volume,
-        "a19_volume_shipping": q_a19_volume_shipping,
-        "a20_market_share": q_a20_market_share,
-        "a21_product_profit": q_a21_product_profit,
-        "a22_cube": q_a22_cube,
-        "a36_grouping_sets": q_a36_grouping_sets,
-        "a23_revenue_deciles": q_a23_revenue_deciles,
+        # --- tier 1: red in round 2, oracle cast fixed ---
         "e29_quantized_topk": q_e29_quantized_topk,
-        "e30_decontaminate": q_e30_decontaminate,
-        "e31_repetition": q_e31_repetition,
-        "e23_hll_registers": q_e23_hll_registers,
-        "e24_hll_estimate": q_e24_hll_estimate,
-        "a18_trailing_window": q_a18_trailing_window,
-        "e25_bloom_bits": q_e25_bloom_bits,
-        "e27_stratified_sample": q_e27_stratified_sample,
-        "e28_top_terms": q_e28_top_terms,
-        "e26_bloom_prefilter": q_e26_bloom_prefilter,
-        "p1_quality_dedup_pipeline": q_p1_quality_dedup_pipeline,
-        "s4_sliding_windows": q_s4_sliding_windows,
         "e32_chunk_dedup": q_e32_chunk_dedup,
-        "m3_frame_sample": q_m3_frame_sample,
-        "e35_redaction": q_e35_redaction,
-        "e36_hilbert": q_e36_hilbert,
-        "a37_json_props": q_a37_json_props,
-        "a38_rank_windows": q_a38_rank_windows,
-        "e37_shuffle": q_e37_shuffle,
-        **tpch_extra.QUERIES,
-        # --- errored in round 1 (events loader, fixed) ---
-        "s1_event_windows": q_s1_event_windows,
-        "s2_sessionize": q_s2_sessionize,
-        "s3_enriched_events": q_s3_enriched_events,
-        "a6_asof_join": q_a6_asof_join,
-        "a8_range_join": q_a8_range_join,
-        "a10_sql_surface": q_a10_sql_surface,
-        "a11_running_total": q_a11_running_total,
-        "a13_pivot": q_a13_pivot,
-        "e17_cms_sketch": q_e17_cms_sketch,
-        "e18_cms_estimate": q_e18_cms_estimate,
-        "e19_salted_distinct": q_e19_salted_distinct,
-        # --- hash-red in round 1 (oracle HUGEINT typing, fixed) ---
+        "a26_shipmode_priority": tpch_extra.QUERIES["a26_shipmode_priority"],
+        # --- tier 2: no driver row yet (past the r2 budget) ---
         "v2_file_sortedness": q_v2_file_sortedness,
         "v3_boundary_check": q_v3_boundary_check,
         "e34_unigram_surprisal": q_e34_unigram_surprisal,
-        # --- green in round 1 ---
+        "e17_cms_sketch": q_e17_cms_sketch,
+        "e18_cms_estimate": q_e18_cms_estimate,
+        "e19_salted_distinct": q_e19_salted_distinct,
+        "a11_running_total": q_a11_running_total,
+        "a13_pivot": q_a13_pivot,
+        # --- tier 3: new in round 3 (never checked) ---
+        # --- tier 4: round-1 greens, not re-confirmed since ---
         "v1_file_minmax": q_v1_file_minmax,
         "q1_global_sort": q_q1_global_sort,
         "q2_partition_sort": q_q2_partition_sort,
@@ -3332,6 +3299,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e22_winnowing": q_e22_winnowing,
         "a12_quantiles": q_a12_quantiles,
         "a14_inactive_vip": q_a14_inactive_vip,
+        # --- tier 5: round-2 greens (freshest driver rows) ---
+        "e38_tfidf_terms": q_e38_tfidf_terms,
+        "e39_domain_mix": q_e39_domain_mix,
+        "e40_edit_distance": q_e40_edit_distance,
+        "e41_histogram_quantiles": q_e41_histogram_quantiles,
+        "a15_small_qty_revenue": q_a15_small_qty_revenue,
+        "a16_late_ship_priority": q_a16_late_ship_priority,
+        "a17_local_supplier_volume": q_a17_local_supplier_volume,
+        "a19_volume_shipping": q_a19_volume_shipping,
+        "a20_market_share": q_a20_market_share,
+        "a21_product_profit": q_a21_product_profit,
+        "a22_cube": q_a22_cube,
+        "a36_grouping_sets": q_a36_grouping_sets,
+        "a23_revenue_deciles": q_a23_revenue_deciles,
+        "e30_decontaminate": q_e30_decontaminate,
+        "e31_repetition": q_e31_repetition,
+        "e23_hll_registers": q_e23_hll_registers,
+        "e24_hll_estimate": q_e24_hll_estimate,
+        "a18_trailing_window": q_a18_trailing_window,
+        "e25_bloom_bits": q_e25_bloom_bits,
+        "e27_stratified_sample": q_e27_stratified_sample,
+        "e28_top_terms": q_e28_top_terms,
+        "e26_bloom_prefilter": q_e26_bloom_prefilter,
+        "p1_quality_dedup_pipeline": q_p1_quality_dedup_pipeline,
+        "s4_sliding_windows": q_s4_sliding_windows,
+        "m3_frame_sample": q_m3_frame_sample,
+        "e35_redaction": q_e35_redaction,
+        "e36_hilbert": q_e36_hilbert,
+        "a37_json_props": q_a37_json_props,
+        "a38_rank_windows": q_a38_rank_windows,
+        "e37_shuffle": q_e37_shuffle,
+        **tpch_extra.QUERIES,
+        "s1_event_windows": q_s1_event_windows,
+        "s2_sessionize": q_s2_sessionize,
+        "s3_enriched_events": q_s3_enriched_events,
+        "a6_asof_join": q_a6_asof_join,
+        "a8_range_join": q_a8_range_join,
+        "a10_sql_surface": q_a10_sql_surface,
     }
 
 

@@ -135,10 +135,10 @@ def q_a26_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 A26_SQL = f"""
 SELECT l_returnflag,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
-                THEN 1 ELSE 0 END) AS high_line_count,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
-                THEN 0 ELSE 1 END) AS low_line_count
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 WHERE l.l_shipdate >= TIMESTAMP '{SHIPMODE_YEAR_LO}'
   AND l.l_shipdate <  TIMESTAMP '{SHIPMODE_YEAR_HI}'

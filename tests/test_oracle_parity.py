@@ -17,6 +17,42 @@ def test_all_queries_match_oracle(spark):
     assert not failures, failures
 
 
+def test_no_hugeint_oracle_columns():
+    """Regression lint for the driver hash-mismatch class seen in rounds 1-3:
+    DuckDB renders sum(INT) / list_aggregate(...,'sum') as HUGEINT (arrow
+    decimal128(38,0)), which the driver stringifies as a float before hashing
+    while Spark emits BIGINT.  Every oracle must CAST such columns to BIGINT.
+    DESCRIBE prepares (binds types) without executing, so this is cheap."""
+    import duckdb
+
+    import __spark_entry__ as e
+
+    con = duckdb.connect()
+    for name in [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM '{SF_DIR}/{name}.parquet'"
+        )
+    offenders = []
+    for qname, sql in e.oracle_sql().items():
+        try:
+            desc = con.execute(f"DESCRIBE ({sql})").fetchall()
+        except Exception:
+            # Oracles that DESCRIBE can't prepare (e.g. temp-table setups)
+            # fall back to the full-result check in test_all_queries_match_oracle.
+            continue
+        for col, dtype, *_ in desc:
+            up = str(dtype).upper()
+            if "HUGEINT" in up or "DECIMAL(38,0)" in up:
+                offenders.append((qname, col, str(dtype)))
+    assert not offenders, (
+        "oracle columns that DuckDB types as int128 (driver hashes these as "
+        f"float; wrap in CAST(... AS BIGINT)): {offenders}"
+    )
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 
