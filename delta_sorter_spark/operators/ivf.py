@@ -41,17 +41,27 @@ MEAN_QSCALE = 1 << 20  # integer quantization for exact centroid means
 
 def _seed_centroids(corpus: DataFrame, id_col: str, emb_col: str, k: int):
     """k corpus vectors with the smallest portable id-hash: (centroid, cvec).
-    One tiny k-row window; hash ties broken by id."""
+
+    orderBy + limit(k) compiles to TakeOrderedAndProject — every partition
+    keeps its local top-k and only k rows per partition reach the driver, so
+    there is NO single-partition exchange over the corpus (the global
+    ``Window.orderBy().row_number()`` form this replaces funneled every
+    vector through one task).  The k winners (tiny) are numbered driver-side
+    in the same (hash asc, id asc) order the SQL oracle replays."""
     h = F.expr(f"{spark_md5_long_sql(f'CAST({id_col} AS STRING)')} % {MERSENNE_P}")
-    w = Window.orderBy(h.asc(), F.col(id_col).asc())
-    return (
+    seeds = (
         corpus.select(
-            F.col(id_col),
+            F.col(id_col).alias("__sid__"),
             F.expr(f"transform({emb_col}, x -> CAST(x AS DOUBLE))").alias("cvec"),
+            h.alias("__h__"),
         )
-        .withColumn("__rn__", F.row_number().over(w))
-        .where(F.col("__rn__") <= k)
-        .select((F.col("__rn__") - 1).cast("int").alias("centroid"), "cvec")
+        .orderBy(F.col("__h__").asc(), F.col("__sid__").asc())
+        .limit(k)
+    )
+    rows = seeds.collect()  # k rows, already in (hash, id) order
+    return corpus.sparkSession.createDataFrame(
+        [(i, row["cvec"]) for i, row in enumerate(rows)],
+        "centroid int, cvec array<double>",
     )
 
 
