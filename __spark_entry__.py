@@ -2779,15 +2779,19 @@ FROM g
 
 
 # ---------------------------------------------------------------------------
-# A23: customer revenue deciles — ntile(10) over a deterministic total order
-# (exact DECIMAL revenue desc, custkey tiebreak).  Two shuffles total: the
-# per-customer aggregation, then the single-partition ntile ordering — the
-# decile assignment itself is O(customers), tiny next to the fact scan.
+# A23: customer revenue deciles over a deterministic total order (exact
+# DECIMAL revenue desc, custkey tiebreak).  The total order comes from
+# ranking.global_rank (two-phase range-partitioned rank — NO
+# Exchange SinglePartition anywhere in the plan); the decile is then pure
+# arithmetic on the rank: decile = (rank-1)*10 DIV n + 1, which splits rank
+# space into 10 equal-width bands (the two-phase-friendly decile definition;
+# band widths differ from SQL ntile's first-buckets-get-the-remainder
+# allocation only when n % 10 != 0, and the oracle replays this formula).
 # ---------------------------------------------------------------------------
 
 
 def q_a23_revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from delta_sorter_spark.operators.ranking import global_rank
 
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
@@ -2801,9 +2805,15 @@ def q_a23_revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue")
         )
     )
-    w = Window.orderBy(F.desc("revenue"), F.asc("o_custkey"))
+    ranked = global_rank(
+        rev, ["revenue", "o_custkey"], rank_col="rn", directions=[False, True]
+    )
+    # n_customers is a one-row aggregate over the pinned rank input —
+    # broadcast back, never a global window
+    total = ranked.groupBy().agg(F.count("*").alias("__n__"))
     return (
-        rev.withColumn("decile", F.ntile(10).over(w))
+        ranked.crossJoin(F.broadcast(total))
+        .withColumn("decile", F.expr("CAST((rn - 1) * 10 DIV __n__ AS INT) + 1"))
         .groupBy("decile")
         .agg(
             F.count("*").alias("n_customers"),
@@ -2819,12 +2829,17 @@ WITH rev AS (
              * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS revenue
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
   GROUP BY o_custkey
+),
+ranked AS (
+  SELECT o_custkey, revenue,
+         row_number() OVER (ORDER BY revenue DESC, o_custkey) AS rn,
+         count(*) OVER () AS n
+  FROM rev
 )
-SELECT decile, count(*) AS n_customers,
+SELECT CAST((rn - 1) * 10 // n AS INT) + 1 AS decile,
+       count(*) AS n_customers,
        CAST(sum(revenue) AS DOUBLE) AS total_revenue
-FROM (SELECT o_custkey, revenue,
-             ntile(10) OVER (ORDER BY revenue DESC, o_custkey) AS decile
-      FROM rev)
+FROM ranked
 GROUP BY decile
 """
 

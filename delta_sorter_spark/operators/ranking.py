@@ -38,13 +38,15 @@ def global_rank(
     rank_col: str = "rn",
     nulls_first: bool = True,
     num_partitions: int | None = None,
+    directions: Sequence[bool] | None = None,
 ) -> DataFrame:
-    """Add a 1-based global rank column ordered by ``keys`` (ascending,
+    """Add a 1-based global rank column ordered by ``keys`` (per-column
+    direction via ``directions``, True=asc, default all-ascending;
     configurable null placement), computed without a global single-partition
     shuffle."""
     spark = df.sparkSession
     n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    order = sort_order_columns(keys, nulls_first)
+    order = sort_order_columns(keys, nulls_first, directions)
     # The range partitioning MUST be materialized exactly once:
     # repartitionByRange samples its boundaries per execution (seeded by RDD
     # id), so if the count branch and the rank branch each re-executed the

@@ -318,7 +318,8 @@ def redact_sql(text_expr: str, patterns: dict[str, str] | None = None) -> tuple[
     return cur, counts
 
 def tfidf_top_terms(
-    df: DataFrame, id_col: str, text_col: str, k: int = 3
+    df: DataFrame, id_col: str, text_col: str, k: int = 3,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """Quantized TF-IDF: top-k characteristic terms per document with a
     float-free score, so results hash-match across engines (same trick as
@@ -333,25 +334,34 @@ def tfidf_top_terms(
     Scale posture: one token explode; the document-frequency aggregate is
     vocab-sized and broadcasts; the only data-scale shuffle is the per-doc
     (id, term) count.  The top-k window partitions by document — millions of
-    tiny partitions, no skew."""
+    tiny partitions, no skew.  Pass ``n_docs`` when the caller already knows
+    the corpus size (the usual case in a pipeline that just aggregated it);
+    otherwise it is derived in-plan as a one-row aggregate over the pruned
+    id column and broadcast into the vocab-sized df table — no driver
+    collect, no separate pre-pass job over the text."""
     from pyspark.sql.window import Window
 
     toks = df.select(
         F.col(id_col),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("__tok__"),
     ).where(F.col("__tok__") != "")
-    n_docs = int(df.select(F.countDistinct(id_col)).collect()[0][0])
     tf = toks.groupBy(id_col, "__tok__").agg(F.count("*").alias("tf"))
     dfreq = toks.groupBy("__tok__").agg(
         F.countDistinct(id_col).alias("df")
     )
+    if n_docs is None:
+        ndocs = df.select(F.countDistinct(id_col).cast("bigint").alias("__n__"))
+        dfreq = dfreq.crossJoin(F.broadcast(ndocs))
+    else:
+        dfreq = dfreq.withColumn("__n__", F.lit(int(n_docs)).cast("bigint"))
     scored = (
         tf.join(F.broadcast(dfreq), "__tok__")
         .withColumn(
             "idf_bits",
-            (F.length(F.bin(F.expr(f"CAST({n_docs} AS BIGINT) DIV df"))) - 1).cast("bigint"),
+            (F.length(F.bin(F.expr("__n__ DIV df"))) - 1).cast("bigint"),
         )
         .withColumn("score", (F.col("tf") * F.col("idf_bits")).cast("bigint"))
+        .drop("__n__")
     )
     w = Window.partitionBy(id_col).orderBy(
         F.col("score").desc(), F.col("__tok__").asc()
