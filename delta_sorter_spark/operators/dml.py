@@ -359,6 +359,11 @@ def delete_where_dv(table: DeltaTable, predicate: str) -> dict:
         .collect()
     }
     if not counts:
+        # no-match delete: drop the just-written empty sidecar dataset so
+        # repeated no-op deletes don't accumulate orphan directories
+        import shutil as _shutil
+
+        _shutil.rmtree(sidecar_abs, ignore_errors=True)
         return {"dv_files": 0, "deleted_rows": 0, "version": state.version}
 
     adds_by_path = {a.path: a for a in state.adds}

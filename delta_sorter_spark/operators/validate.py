@@ -169,18 +169,35 @@ def _scan_summaries_df(
                 # local paths pass through; s3:// opens via pyarrow's native
                 # S3 filesystem on the executor (no connector jars)
                 pf = pq.ParquetFile(pyarrow_open_input(os.path.join(table_path, rel)))
-                present = [c for c in cols if c in pf.schema_arrow.names]
+                # Schema evolution: a file written before an add_column lacks
+                # that column — its values read as NULL.  Summarize only the
+                # present columns (with their matching direction flags) and
+                # pad min/max back to the full k-tuple BY NAME so absent
+                # columns land as None in the right slots.
+                names = set(pf.schema_arrow.names)
+                present = [c for c in cols if c in names]
+                pres_dirs = (
+                    None
+                    if directions is None
+                    else [d for c, d in zip(cols, directions) if c in names]
+                )
                 pdf = pf.read(columns=present).to_pandas()
-                s = summarize_key_frame(pdf, present, nulls_first, directions)
+                s = summarize_key_frame(pdf, present, nulls_first, pres_dirs)
+                min_by_name = (
+                    {} if s["minKey"] is None else dict(zip(present, s["minKey"]))
+                )
+                max_by_name = (
+                    {} if s["maxKey"] is None else dict(zip(present, s["maxKey"]))
+                )
                 row = {
                     "path": rel,
                     "num_rows": s["numRows"],
                     "ascending": s["ascending"],
                     "descents": s["descents"],
                 }
-                for i in range(k):
-                    row[f"min_{i}"] = None if s["minKey"] is None else s["minKey"][i]
-                    row[f"max_{i}"] = None if s["maxKey"] is None else s["maxKey"][i]
+                for i, c in enumerate(cols):
+                    row[f"min_{i}"] = None if s["minKey"] is None else min_by_name.get(c)
+                    row[f"max_{i}"] = None if s["maxKey"] is None else max_by_name.get(c)
                 out.append(row)
             yield pd.DataFrame(out, columns=[f.name for f in out_schema.fields])
 

@@ -266,6 +266,20 @@ class DeltaTable:
         )
         self.log = DeltaLog(self.table_path)
 
+    def _require_shared_remote_store(self, op: str) -> None:
+        """The bulk data plane runs on EXECUTORS; only stores every process
+        can reach qualify.  memory:// is a per-process dict — an executor
+        write would land in the python worker's memory and vanish, leaving
+        committed Add actions that point at objects no reader can see — so
+        it stays a metadata/log-plane test backend."""
+        if self.is_remote and not self.table_path.startswith("s3://"):
+            raise NotImplementedError(
+                f"{op} on {self.table_path!r}: bulk data-plane IO is "
+                "supported on s3:// remote tables only; memory:// is a "
+                "per-process store for metadata-plane tests (executor-side "
+                "data writes/reads would not be visible across processes)"
+            )
+
     def _require_local(self, op: str) -> None:
         if self.is_remote:
             raise NotImplementedError(
@@ -507,6 +521,7 @@ class DeltaTable:
         jars).  Arbitrary file subsets aren't plumbed through reader options
         — the full snapshot (or a full historical snapshot) is; callers that
         prune files (partition-aware compaction, DML) stay local-only."""
+        self._require_shared_remote_store("to_df")
         if adds is not None:
             current = {a.path for a in self.state(version=version).adds}
             if {a.path for a in adds} != current:
@@ -783,6 +798,7 @@ class DeltaTable:
         this protocol-safe under task retries: only objects referenced by
         the committed Add actions exist as far as readers are concerned;
         stray retry outputs are invisible and vacuumable."""
+        self._require_shared_remote_store("stage_write")
         import json as _json
         import time as _time
 

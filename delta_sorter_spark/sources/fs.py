@@ -30,6 +30,7 @@ from __future__ import annotations
 import os
 import posixpath
 import threading
+import time
 import uuid
 
 
@@ -140,12 +141,14 @@ class MemoryFileSystem(FileSystem):
     directory semantics derived from key prefixes (object-store-like)."""
 
     _objects: dict[str, bytes] = {}
+    _mtimes: dict[str, float] = {}
     _lock = threading.Lock()
 
     @classmethod
     def reset(cls) -> None:
         with cls._lock:
             cls._objects.clear()
+            cls._mtimes.clear()
 
     @staticmethod
     def _key(path: str) -> str:
@@ -178,7 +181,9 @@ class MemoryFileSystem(FileSystem):
 
     def write_bytes(self, path: str, data: bytes) -> None:
         with self._lock:
-            self._objects[self._key(path)] = data
+            k = self._key(path)
+            self._objects[k] = data
+            self._mtimes[k] = time.time()
 
     def put_if_absent(self, path: str, data: bytes) -> None:
         k = self._key(path)
@@ -186,19 +191,25 @@ class MemoryFileSystem(FileSystem):
             if k in self._objects:
                 raise FileExistsError(path)
             self._objects[k] = data
+            self._mtimes[k] = time.time()
 
     def makedirs(self, path: str) -> None:  # no directories in object stores
         pass
 
     def delete(self, path: str) -> None:
         with self._lock:
-            self._objects.pop(self._key(path), None)
+            k = self._key(path)
+            self._objects.pop(k, None)
+            self._mtimes.pop(k, None)
 
     def list_files_recursive(self, path: str) -> list[tuple[str, float]]:
+        # Real write-time mtimes, so vacuum's retention window protects
+        # recently written / in-flight staged objects on memory:// exactly
+        # like on the other backends.
         prefix = self._key(path).rstrip("/") + "/"
         with self._lock:
             return [
-                (o[len(prefix):], 0.0)
+                (o[len(prefix):], self._mtimes.get(o, 0.0))
                 for o in self._objects
                 if o.startswith(prefix)
             ]
@@ -235,8 +246,14 @@ class S3FileSystem(FileSystem):
         try:
             cli.head_object(Bucket=bucket, Key=key)
             return True
-        except botocore.exceptions.ClientError:
-            pass
+        except botocore.exceptions.ClientError as exc:
+            # Only a definitive not-found means absent; 403/throttle/5xx must
+            # propagate or restore()'s existence probe would spuriously
+            # report committed files as missing on transient errors.
+            code = str(exc.response.get("Error", {}).get("Code", ""))
+            status = exc.response.get("ResponseMetadata", {}).get("HTTPStatusCode")
+            if code not in ("404", "NoSuchKey", "NotFound") and status != 404:
+                raise
         resp = cli.list_objects_v2(
             Bucket=bucket, Prefix=key.rstrip("/") + "/", MaxKeys=1
         )

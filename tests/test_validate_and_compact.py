@@ -375,3 +375,50 @@ def test_spark_check_path_matches_driver_path(spark, tmp_path, monkeypatch):
     assert spark_report.cross_file_violations == driver_report.cross_file_violations
     assert spark_nl.boundary_violations == driver_nl.boundary_violations
     assert spark_d.boundary_violations == driver_d.boundary_violations
+
+
+def test_validate_scan_path_on_schema_evolved_files(spark, tmp_path):
+    """Files written before an add_column lack that sort column in their
+    parquet footer; the scan path must pad their min/max tuples BY NAME
+    (absent -> None) instead of indexing past the short tuple, and must
+    subset direction flags to the columns actually present."""
+    from delta_sorter_spark.operators.validate import validate_global_order
+
+    path = str(tmp_path / "evolved")
+    DeltaTable.create(
+        spark,
+        path,
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string").coalesce(1),
+    )
+    t = DeltaTable(spark, path)
+    t.add_column("score", "double")
+    t.append(
+        spark.createDataFrame(
+            [(3, "c", 0.5)], "id long, v string, score double"
+        ).coalesce(1)
+    )
+
+    # trailing evolved column: old file reads (1,NULL),(2,NULL); new (3,0.5)
+    rep = validate_global_order(spark, path, ["id", "score"])
+    assert rep.checked_files == 2
+    assert rep.boundary_violations == 0
+
+    # evolved column LEADING (absent column in the middle of the key walk)
+    # plus per-column directions — the misalignment case
+    rep2 = validate_global_order(
+        spark, path, ["score", "id"], directions=[False, True]
+    )
+    assert rep2.checked_files == 2
+    # nulls_first + desc on score: nulls rank before values, so the old
+    # file's (NULL, ...) keys precede the new file's (0.5, 3) — sorted
+    assert rep2.boundary_violations == 0
+
+    # and a real violation through the same padded path still counts:
+    # ascending nulls_last puts NULL keys LAST, old file then follows new
+    rep3 = validate_global_order(spark, path, ["score", "id"], nulls_first=False)
+    assert rep3.checked_files == 2
+    assert rep3.boundary_violations == 0  # (null,1)<(null,2) after (0.5,3): sorted too
+
+    # descending ids make the old file internally descending under asc check
+    rep4 = validate_global_order(spark, path, ["id", "score"], directions=[False, True])
+    assert rep4.files_not_ascending >= 1
