@@ -110,15 +110,6 @@ def compact_with_sort(spark: SparkSession, table_uri: str, config: SortConfig) -
     if config.repartition_by_sort_key or config.zorder_columns:
         metrics = _strict_overwrite(table, config)
     else:
-        if table.is_remote:
-            raise NotImplementedError(
-                "partition-aware compaction prunes per-partition file "
-                "subsets, which the remote read path does not plumb; on a "
-                f"remote table URI ({table.table_path!r}) use the strict "
-                "mode (repartition_by_sort_key=True / "
-                "--repartition-by-sort-key) or run with the scheme's Spark "
-                "connector jars"
-            )
         metrics = _partition_aware(table, config)
     metrics.duration_ms = int((time.monotonic() - started) * 1000)
     log.info(

@@ -251,10 +251,15 @@ class DeltaTable:
       metadata fast path needs no data reads at all, and the scan path
       reads each file via pyarrow's native S3 filesystem from executors
       (``fs.pyarrow_open_input``) — no Spark connector jars required;
-    - **bulk data plane** (to_df/stage_write/compaction/DML) reads and
-      writes parquet through Spark, which needs the scheme's filesystem
-      connector jars (hadoop-aws for s3a://) — those methods raise a clear
-      NotImplementedError on remote URIs instead of failing mid-scan."""
+    - **bulk data plane** on ``s3://`` works end-to-end with NO connector
+      jars: reads go through the Python Data Source (full snapshots, time
+      travel, and pruned file subsets via its ``files`` option — so
+      partition-aware compaction's log-driven pruning works remotely),
+      writes through the executor-side pyarrow/boto3 ``stage_write``.  The
+      one remaining jar-gated surface is ``scan_with_positions`` (DV row
+      addressing needs Spark's native parquet ``_metadata`` column), so
+      DV-based DML raises a clear NotImplementedError on remote URIs;
+      ``memory://`` is metadata-plane only (per-process store)."""
 
     def __init__(self, spark: SparkSession, table_path: str):
         from delta_sorter_spark.sources.fs import is_remote_uri
@@ -268,16 +273,19 @@ class DeltaTable:
 
     def _require_shared_remote_store(self, op: str) -> None:
         """The bulk data plane runs on EXECUTORS; only stores every process
-        can reach qualify.  memory:// is a per-process dict — an executor
-        write would land in the python worker's memory and vanish, leaving
-        committed Add actions that point at objects no reader can see — so
-        it stays a metadata/log-plane test backend."""
-        if self.is_remote and not self.table_path.startswith("s3://"):
+        can reach qualify (s3/azure/gs).  memory:// is a per-process dict —
+        an executor write would land in the python worker's memory and
+        vanish, leaving committed Add actions that point at objects no
+        reader can see — so it stays a metadata/log-plane test backend."""
+        if self.is_remote and not self.table_path.startswith(
+            ("s3://", "azure://", "gs://")
+        ):
             raise NotImplementedError(
-                f"{op} on {self.table_path!r}: bulk data-plane IO is "
-                "supported on s3:// remote tables only; memory:// is a "
-                "per-process store for metadata-plane tests (executor-side "
-                "data writes/reads would not be visible across processes)"
+                f"{op} on {self.table_path!r}: bulk data-plane IO needs a "
+                "cross-process object store (s3://, azure://, gs://); "
+                "memory:// is a per-process store for metadata-plane tests "
+                "(executor-side data writes/reads would not be visible "
+                "across processes)"
             )
 
     def _require_local(self, op: str) -> None:
@@ -518,14 +526,11 @@ class DeltaTable:
     def _to_df_remote(self, version=None, adds=None) -> DataFrame:
         """Remote read path: the Python Data Source scans file bytes via
         pyarrow's object-store filesystems on the workers (no connector
-        jars).  Arbitrary file subsets aren't plumbed through reader options
-        — the full snapshot (or a full historical snapshot) is; callers that
-        prune files (partition-aware compaction, DML) stay local-only."""
+        jars).  A pruned ``adds`` subset ships as the source's ``files``
+        option (JSON list of relative paths) — the log-driven file pruning
+        partition-aware compaction and DML rely on (reference
+        lib.rs:795-809 scopes the same way via partition SQL)."""
         self._require_shared_remote_store("to_df")
-        if adds is not None:
-            current = {a.path for a in self.state(version=version).adds}
-            if {a.path for a in adds} != current:
-                self._require_local("to_df(adds=<subset>)")
         import json as _json
 
         from delta_sorter_spark.sources.fs import capture_aws_env
@@ -544,6 +549,11 @@ class DeltaTable:
         )
         if version is not None:
             reader = reader.option("versionAsOf", str(version))
+        if adds is not None:
+            subset = sorted({a.path for a in adds})
+            current = {a.path for a in self.state(version=version).adds}
+            if set(subset) != current:
+                reader = reader.option("files", _json.dumps(subset))
         return reader.load()
 
     def _base_for(self, add: AddAction) -> str:

@@ -13,7 +13,20 @@ object stores have no atomic rename.  Backends:
 - ``s3://`` ............ boto3 ``PutObject`` with ``IfNoneMatch='*'``
                           (S3 conditional writes; a losing writer gets HTTP
                           412 PreconditionFailed);
+- ``azure://`` ......... Azure Blob REST, Put Blob with ``If-None-Match: *``
+                          (losing writer gets 409 BlobAlreadyExists / 412);
+- ``gs://`` ............ GCS XML API, PUT with
+                          ``x-goog-if-generation-match: 0`` (loser gets 412);
 - ``memory://`` ........ in-process dict (hermetic tests, no server).
+
+The reference enables exactly s3 + azure + gcs object stores
+(crates/sorter-core/Cargo.toml:15); the Azure/GCS backends speak plain REST
+(urllib) so the conditional-create semantics are first-class and testable
+against emulator endpoints (``AZURE_STORAGE_ENDPOINT`` /
+``STORAGE_EMULATOR_HOST``) without any cloud SDK in the image.  Auth rides
+the standard env: an SAS token (``AZURE_STORAGE_SAS_TOKEN``) or bearer
+token (``AZURE_STORAGE_TOKEN`` / ``GCS_OAUTH_TOKEN``); unauthenticated
+requests work against emulators and public buckets.
 
 The S3 client honours the standard AWS SDK environment (credentials,
 ``AWS_ENDPOINT_URL`` for S3-compatible stores / test servers).
@@ -321,8 +334,293 @@ class S3FileSystem(FileSystem):
         return out
 
 
+class _RestObjectStore(FileSystem):
+    """Shared REST plumbing for the Azure Blob and GCS backends: both are
+    addressed as ``scheme://container/key`` and exposed by their services as
+    plain HTTP objects with conditional-create headers — which is all the
+    transaction log needs.  Requests go through urllib (no SDK dependency);
+    subclasses supply the endpoint, auth decoration, list parsing, and the
+    conditional-create header."""
+
+    scheme = ""  # subclass
+
+    # -- subclass surface --------------------------------------------------
+    def _object_url(self, bucket: str, key: str) -> str:
+        raise NotImplementedError
+
+    def _decorate(self, req) -> None:
+        """Attach auth (bearer header / SAS query) to a urllib Request."""
+        raise NotImplementedError
+
+    def _conditional_headers(self) -> dict:
+        raise NotImplementedError
+
+    def _put_headers(self) -> dict:
+        return {}
+
+    def _list_objects(
+        self, bucket: str, prefix: str, delimiter: str | None
+    ) -> tuple[list[tuple[str, float]], list[str]]:
+        """-> ([(key, mtime-epoch)], [common-prefixes])"""
+        raise NotImplementedError
+
+    # -- shared ------------------------------------------------------------
+    def _split(self, path: str) -> tuple[str, str]:
+        rest = path[len(self.scheme) + 3:]
+        bucket, _, key = rest.partition("/")
+        return bucket, key
+
+    def _request(self, method: str, url: str, data: bytes | None = None,
+                 headers: dict | None = None):
+        import urllib.error
+        import urllib.request
+
+        req = urllib.request.Request(url, data=data, method=method)
+        for k, v in (headers or {}).items():
+            req.add_header(k, v)
+        self._decorate(req)
+        return urllib.request.urlopen(req, timeout=60)
+
+    def exists(self, path: str) -> bool:
+        import urllib.error
+
+        bucket, key = self._split(path)
+        try:
+            self._request("HEAD", self._object_url(bucket, key)).close()
+            return True
+        except urllib.error.HTTPError as exc:
+            if exc.code != 404:
+                raise
+        keys, prefixes = self._list_objects(bucket, key.rstrip("/") + "/", "/")
+        return bool(keys or prefixes)
+
+    def list_dir(self, path: str) -> list[str]:
+        bucket, key = self._split(path)
+        prefix = key.rstrip("/") + "/" if key else ""
+        keys, prefixes = self._list_objects(bucket, prefix, "/")
+        names = {k[len(prefix):] for k, _ in keys}
+        names |= {p[len(prefix):].rstrip("/") for p in prefixes}
+        return sorted(n for n in names if n)
+
+    def read_bytes(self, path: str) -> bytes:
+        import urllib.error
+
+        bucket, key = self._split(path)
+        try:
+            with self._request("GET", self._object_url(bucket, key)) as resp:
+                return resp.read()
+        except urllib.error.HTTPError as exc:
+            if exc.code == 404:
+                raise FileNotFoundError(path) from exc
+            raise
+
+    def write_bytes(self, path: str, data: bytes) -> None:
+        bucket, key = self._split(path)
+        self._request(
+            "PUT", self._object_url(bucket, key), data=data,
+            headers=self._put_headers(),
+        ).close()
+
+    def put_if_absent(self, path: str, data: bytes) -> None:
+        import urllib.error
+
+        bucket, key = self._split(path)
+        headers = {**self._put_headers(), **self._conditional_headers()}
+        try:
+            self._request(
+                "PUT", self._object_url(bucket, key), data=data, headers=headers
+            ).close()
+        except urllib.error.HTTPError as exc:
+            # Azure: 409 BlobAlreadyExists (If-None-Match: *); GCS: 412
+            # PreconditionFailed (if-generation-match 0)
+            if exc.code in (409, 412):
+                raise FileExistsError(path) from exc
+            raise
+
+    def makedirs(self, path: str) -> None:  # no directories in object stores
+        pass
+
+    def delete(self, path: str) -> None:
+        import urllib.error
+
+        bucket, key = self._split(path)
+        try:
+            self._request("DELETE", self._object_url(bucket, key)).close()
+        except urllib.error.HTTPError as exc:
+            if exc.code != 404:
+                raise
+
+    def list_files_recursive(self, path: str) -> list[tuple[str, float]]:
+        bucket, key = self._split(path)
+        prefix = key.rstrip("/") + "/" if key else ""
+        keys, _ = self._list_objects(bucket, prefix, None)
+        return [(k[len(prefix):], m) for k, m in keys]
+
+
+def _parse_http_date(value: str | None) -> float:
+    if not value:
+        return 0.0
+    from email.utils import parsedate_to_datetime
+
+    try:
+        return parsedate_to_datetime(value).timestamp()
+    except (TypeError, ValueError):
+        try:
+            import datetime as _dt
+
+            return _dt.datetime.fromisoformat(value.replace("Z", "+00:00")).timestamp()
+        except ValueError:
+            return 0.0
+
+
+class AzureBlobFileSystem(_RestObjectStore):
+    """``azure://container/key`` over the Azure Blob REST API.
+
+    Endpoint: ``AZURE_STORAGE_ENDPOINT`` (e.g. an Azurite emulator,
+    ``http://127.0.0.1:10000/devstoreaccount1``) or
+    ``https://{AZURE_STORAGE_ACCOUNT}.blob.core.windows.net``.  Put Blob
+    with ``If-None-Match: *`` is the documented conditional-create
+    (docs.microsoft.com, Specifying Conditional Headers for Blob Service)."""
+
+    scheme = "azure"
+
+    def _endpoint(self) -> str:
+        ep = os.environ.get("AZURE_STORAGE_ENDPOINT")
+        if ep:
+            return ep.rstrip("/")
+        account = os.environ.get("AZURE_STORAGE_ACCOUNT", "")
+        if not account:
+            raise OSError(
+                "azure:// needs AZURE_STORAGE_ENDPOINT or AZURE_STORAGE_ACCOUNT"
+            )
+        return f"https://{account}.blob.core.windows.net"
+
+    def _object_url(self, bucket: str, key: str) -> str:
+        import urllib.parse as _up
+
+        return f"{self._endpoint()}/{bucket}/{_up.quote(key)}"
+
+    def _decorate(self, req) -> None:
+        sas = os.environ.get("AZURE_STORAGE_SAS_TOKEN")
+        if sas:
+            sep = "&" if "?" in req.full_url else "?"
+            req.full_url = f"{req.full_url}{sep}{sas.lstrip('?')}"
+        token = os.environ.get("AZURE_STORAGE_TOKEN")
+        if token:
+            req.add_header("Authorization", f"Bearer {token}")
+        req.add_header("x-ms-version", "2021-08-06")
+
+    def _put_headers(self) -> dict:
+        return {"x-ms-blob-type": "BlockBlob"}
+
+    def _conditional_headers(self) -> dict:
+        return {"If-None-Match": "*"}
+
+    def _list_objects(self, bucket, prefix, delimiter):
+        import urllib.parse as _up
+        import xml.etree.ElementTree as ET
+
+        keys: list[tuple[str, float]] = []
+        prefixes: list[str] = []
+        marker = None
+        while True:
+            q = f"restype=container&comp=list&prefix={_up.quote(prefix)}"
+            if delimiter:
+                q += f"&delimiter={_up.quote(delimiter)}"
+            if marker:
+                q += f"&marker={_up.quote(marker)}"
+            with self._request("GET", f"{self._endpoint()}/{bucket}?{q}") as resp:
+                root = ET.fromstring(resp.read())
+            for blob in root.iter("Blob"):
+                name = blob.findtext("Name")
+                mtime = _parse_http_date(
+                    blob.findtext("Properties/Last-Modified")
+                )
+                if name:
+                    keys.append((name, mtime))
+            for bp in root.iter("BlobPrefix"):
+                name = bp.findtext("Name")
+                if name:
+                    prefixes.append(name)
+            marker = root.findtext("NextMarker")
+            if not marker:
+                return keys, prefixes
+
+
+class GcsFileSystem(_RestObjectStore):
+    """``gs://bucket/key`` over the GCS XML API (S3-compatible shapes).
+
+    Endpoint: ``STORAGE_EMULATOR_HOST`` (the standard GCS emulator env) or
+    ``https://storage.googleapis.com``.  ``x-goog-if-generation-match: 0``
+    makes the PUT create-only (cloud.google.com/storage/docs/xml-api,
+    generation preconditions): a losing writer gets 412."""
+
+    scheme = "gs"
+
+    def _endpoint(self) -> str:
+        ep = os.environ.get("STORAGE_EMULATOR_HOST")
+        if ep:
+            if not ep.startswith("http"):
+                ep = f"http://{ep}"
+            return ep.rstrip("/")
+        return "https://storage.googleapis.com"
+
+    def _object_url(self, bucket: str, key: str) -> str:
+        import urllib.parse as _up
+
+        return f"{self._endpoint()}/{bucket}/{_up.quote(key)}"
+
+    def _decorate(self, req) -> None:
+        token = os.environ.get("GCS_OAUTH_TOKEN")
+        if token:
+            req.add_header("Authorization", f"Bearer {token}")
+
+    def _conditional_headers(self) -> dict:
+        return {"x-goog-if-generation-match": "0"}
+
+    def _list_objects(self, bucket, prefix, delimiter):
+        import urllib.parse as _up
+        import xml.etree.ElementTree as ET
+
+        keys: list[tuple[str, float]] = []
+        prefixes: list[str] = []
+        marker = None
+        while True:
+            q = f"prefix={_up.quote(prefix)}"
+            if delimiter:
+                q += f"&delimiter={_up.quote(delimiter)}"
+            if marker:
+                q += f"&marker={_up.quote(marker)}"
+            with self._request("GET", f"{self._endpoint()}/{bucket}?{q}") as resp:
+                root = ET.fromstring(resp.read())
+            # ListBucketResult may carry an xmlns; match on local names
+            def _local(tag):
+                return tag.rsplit("}", 1)[-1]
+
+            marker = None
+            for el in root.iter():
+                tag = _local(el.tag)
+                if tag == "Contents":
+                    name = mtime = None
+                    for ch in el:
+                        if _local(ch.tag) == "Key":
+                            name = ch.text
+                        elif _local(ch.tag) == "LastModified":
+                            mtime = _parse_http_date(ch.text)
+                    if name:
+                        keys.append((name, mtime or 0.0))
+                elif tag == "CommonPrefixes":
+                    for ch in el:
+                        if _local(ch.tag) == "Prefix" and ch.text:
+                            prefixes.append(ch.text)
+                elif tag == "NextMarker":
+                    marker = el.text
+            if not marker:
+                return keys, prefixes
+
+
 def is_remote_uri(path: str) -> bool:
-    return path.startswith(("s3://", "memory://"))
+    return path.startswith(("s3://", "azure://", "gs://", "memory://"))
 
 
 _AWS_ENV_KEYS = (
@@ -332,15 +630,22 @@ _AWS_ENV_KEYS = (
     "AWS_SESSION_TOKEN",
     "AWS_DEFAULT_REGION",
     "AWS_REGION",
+    # Azure / GCS backends (same worker-env problem, same fix)
+    "AZURE_STORAGE_ENDPOINT",
+    "AZURE_STORAGE_ACCOUNT",
+    "AZURE_STORAGE_SAS_TOKEN",
+    "AZURE_STORAGE_TOKEN",
+    "STORAGE_EMULATOR_HOST",
+    "GCS_OAUTH_TOKEN",
 )
 
 
 def capture_aws_env() -> dict:
-    """Driver-side snapshot of the standard AWS environment, for shipping
-    inside task closures.  Python workers are forked from a daemon the JVM
-    launched, so env vars set in the driver AFTER SparkSession creation
-    never reach them — shipping the snapshot and applying it in the task
-    makes executor-side S3 access deterministic."""
+    """Driver-side snapshot of the standard object-store environment (AWS +
+    Azure + GCS keys), for shipping inside task closures.  Python workers
+    are forked from a daemon the JVM launched, so env vars set in the driver
+    AFTER SparkSession creation never reach them — shipping the snapshot and
+    applying it in the task makes executor-side store access deterministic."""
     return {k: os.environ[k] for k in _AWS_ENV_KEYS if k in os.environ}
 
 
@@ -377,6 +682,14 @@ def pyarrow_open_input(path: str):
             kwargs["region"] = region
         fsys = pafs.S3FileSystem(**kwargs)
         return fsys.open_input_file(path[len("s3://"):])
+    if path.startswith(("azure://", "gs://")):
+        # full-object fetch through the REST backend; fine for the
+        # validator's per-file scans and the streaming tail, where each
+        # task reads exactly one file it needs wholly anyway
+        import io
+
+        fsobj, norm = resolve(path)
+        return io.BytesIO(fsobj.read_bytes(norm))
     if path.startswith("memory://"):
         import io
 
@@ -389,6 +702,10 @@ def resolve(table_path: str) -> tuple[FileSystem, str]:
     relative test paths behave like before."""
     if table_path.startswith("s3://"):
         return S3FileSystem(), table_path.rstrip("/")
+    if table_path.startswith("azure://"):
+        return AzureBlobFileSystem(), table_path.rstrip("/")
+    if table_path.startswith("gs://"):
+        return GcsFileSystem(), table_path.rstrip("/")
     if table_path.startswith("memory://"):
         return MemoryFileSystem(), table_path.rstrip("/")
     if table_path.startswith("file://"):

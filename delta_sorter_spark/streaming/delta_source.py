@@ -176,15 +176,33 @@ class DeltaBatchReader(DataSourceReader):
     """Batch half of the Python source (API completeness locally — the JVM
     parquet scan in ``DeltaTable.to_df`` is the fast path there — and the
     jar-free read path for remote table URIs).  ``versionAsOf`` time-travels
-    the snapshot."""
+    the snapshot.  ``files`` (JSON list of table-relative paths) restricts
+    the scan to a pruned subset of the snapshot's active files — how
+    partition-scoped rewrites (compaction's log-driven file pruning,
+    reference lib.rs:795-809) read remote tables without connector jars."""
 
     def __init__(self, options, schema=None):
         v = options.get("versionAsOf")
         self.at_version = int(v) if v is not None else None
+        raw_files = options.get("files")
+        self.file_subset = (
+            frozenset(json.loads(raw_files)) if raw_files else None
+        )
         self.core = _DeltaSourceCore(options, schema, at_version=self.at_version)
 
     def partitions(self):
-        return self.core.snapshot_partitions(at_version=self.at_version)
+        parts = self.core.snapshot_partitions(at_version=self.at_version)
+        if self.file_subset is not None:
+            base = self.core.table_path.rstrip("/") + "/"
+            by_rel = {p.file_path[len(base):]: p for p in parts}
+            missing = self.file_subset - set(by_rel)
+            if missing:
+                raise ValueError(
+                    "delta_sorter batch read: requested files are not active "
+                    f"in the snapshot (stale plan?): {sorted(missing)[:5]}"
+                )
+            parts = [by_rel[r] for r in sorted(self.file_subset)]
+        return parts
 
     def read(self, partition):
         if partition is None:  # empty snapshot (e.g. versionAsOf=0)

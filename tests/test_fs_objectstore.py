@@ -400,6 +400,63 @@ def test_s3_strict_compact_end_to_end(s3_env, spark, tmp_path):
     # gone), which is vacuum's documented trade everywhere
     assert t.vacuum(dry_run=True) == []
 
-    # partition-aware mode points at strict/jars instead of failing mid-scan
-    with pytest.raises(NotImplementedError):
-        compact(uri, ["k", "v"], spark=spark)
+    # partition-aware mode now works remotely too: on the freshly sorted
+    # table it validates via attested metadata and skips everything
+    metrics2 = compact(uri, ["k", "v"], spark=spark)
+    assert metrics2.rewritten_partitions == 0
+    assert metrics2.skipped_partitions == 1
+
+
+def test_s3_partition_aware_compact_end_to_end(s3_env, spark, tmp_path):
+    """The reference's core loop — partition-scoped rewrites on an object
+    store (lib.rs:795-809 scoped SQL + lib.rs:862-885 replaceWhere commit) —
+    with NO connector jars: the sorted partition is skipped (work
+    avoidance), the unsorted one is read through the Python Data Source's
+    pruned ``files`` option, sorted, written from executors via boto3, and
+    committed with a replaceWhere predicate; the table then validates
+    remotely."""
+    from delta_sorter_spark.api import compact, validate
+    from delta_sorter_spark.sources.delta_table import DeltaTable
+
+    local = str(tmp_path / "part")
+    rows = [(1, "b", 1), (1, "a", 2), (2, "z", 9), (2, "m", 7)]
+    df = spark.createDataFrame(rows, "p int, k string, v long")
+    DeltaTable.create(spark, local, df.coalesce(1), partition_columns=["p"])
+    # sort + attest both partitions locally, then break p=2 with an
+    # unattested append whose key range overlaps the existing p=2 file
+    compact(local, ["k"], spark=spark)
+    DeltaTable(spark, local).append(
+        spark.createDataFrame([(2, "n", 8)], "p int, k string, v long").coalesce(1)
+    )
+    _upload_tree(local, "testbkt", "tables/part_remote")
+    uri = "s3://testbkt/tables/part_remote"
+
+    p1_before = {
+        a.path
+        for a in DeltaTable(spark, uri).state().adds
+        if a.partition_values.get("p") == "1"
+    }
+
+    metrics = compact(uri, ["k"], spark=spark)
+    assert metrics.rewritten_partitions == 1  # only p=2
+    assert metrics.skipped_partitions == 1    # p=1 attested sorted -> skipped
+
+    # the rewrite committed replaceWhere-scoped Remove+Add: p=1's file is
+    # untouched, p=2 has fresh attested files
+    t = DeltaTable(spark, uri)
+    state = t.state()
+    p1_after = {a.path for a in state.adds if a.partition_values.get("p") == "1"}
+    assert p1_after == p1_before
+    p2 = [a for a in state.adds if a.partition_values.get("p") == "2"]
+    assert p2 and all(a.stats and a.stats.get("keyStats") for a in p2)
+
+    report = validate(uri, ["k"], spark=spark)
+    assert report["boundary_violations"] == 0
+
+    got = sorted((r["p"], r["k"], r["v"]) for r in t.to_df().collect())
+    assert got == sorted(rows + [(2, "n", 8)])
+
+    # a second pass skips both partitions (attested metadata, zero rewrites)
+    metrics2 = compact(uri, ["k"], spark=spark)
+    assert metrics2.rewritten_partitions == 0
+    assert metrics2.skipped_partitions == 2
