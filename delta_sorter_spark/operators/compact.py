@@ -66,8 +66,9 @@ class SortConfig:
     nulls_first: bool = True  # default "first", lib.rs:122
     # per-column sort direction (True=asc), parallel to sort_columns; the
     # reference lists this as roadmap-only (README.md:183) — we implement it.
-    # None = all ascending.  Directed tables validate via the scan path
-    # (attested key stats describe the all-ascending order).
+    # None = all ascending.  Directed compactions attest a direction-specific
+    # keyStats entry, so re-validating the same directed order is
+    # metadata-only; other orderings fall back to the scan path.
     directions: list[bool] | None = None
     # extension beyond the reference: cluster by the Morton interleave of
     # these (integer-compatible) columns instead of a lexicographic sort —
@@ -171,6 +172,9 @@ def _strict_overwrite(table: DeltaTable, config: SortConfig) -> CompactMetrics:
             # the sortedness attestation describes the all-ASC order; only
             # claim it when that is the order we produced
             sorted_within_files=config.directions is None or all(config.directions),
+            # directed orders attest their own keyStats entry so later
+            # directed validations stay metadata-only
+            attest_directions=config.directions,
         )
     removes = [a.remove_action(False) for a in state.adds]
     from delta_sorter_spark.sources.delta_table import ConcurrentRewriteError
@@ -272,6 +276,7 @@ def _rewrite_group(table: DeltaTable, grp: RewriteGroup, config: SortConfig) -> 
         target_file_size_bytes=config.target_file_size_bytes,
         data_change=False,
         sorted_within_files=config.directions is None or all(config.directions),
+        attest_directions=config.directions,
     )
     predicate = (
         render_partition_predicate(grp.partition_values, meta.schema)

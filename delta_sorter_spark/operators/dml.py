@@ -233,18 +233,34 @@ def delete_where(table: DeltaTable, predicate: str) -> dict:
 
     Returns {"rewritten_files", "deleted_rows", "version"}."""
     state = table.state()
-    df = table.to_df(adds=state.adds)
-    hit_uris = {
-        r["__f__"]
-        for r in df.where(predicate)
-        .select(F.input_file_name().alias("__f__"))
-        .distinct()
-        .collect()
-    }
-    hit_paths = {
-        os.path.relpath(urllib.parse.unquote(urllib.parse.urlparse(u).path), table.table_path)
-        for u in hit_uris
-    }
+    if table.is_remote:
+        # F.input_file_name() is empty under the Python Data Source; the
+        # source's withFilePath option emits the table-relative path instead
+        from delta_sorter_spark.streaming.delta_source import FILE_COL
+
+        df = table._to_df_remote(with_file_path=True)
+        hit_paths = {
+            r["__f__"]
+            for r in df.where(predicate)
+            .select(F.col(FILE_COL).alias("__f__"))
+            .distinct()
+            .collect()
+        }
+    else:
+        df = table.to_df(adds=state.adds)
+        hit_uris = {
+            r["__f__"]
+            for r in df.where(predicate)
+            .select(F.input_file_name().alias("__f__"))
+            .distinct()
+            .collect()
+        }
+        hit_paths = {
+            os.path.relpath(
+                urllib.parse.unquote(urllib.parse.urlparse(u).path), table.table_path
+            )
+            for u in hit_uris
+        }
     candidates = [a for a in state.adds if a.path in hit_paths]
     if not candidates:
         return {"rewritten_files": 0, "deleted_rows": 0, "version": state.version}

@@ -98,14 +98,15 @@ def _summary_from_key_stats(
 ):
     """Metadata fast path: use attested key stats when they cover exactly the
     requested columns (a prefix match would only attest a weaker ordering).
-    Attested stats describe the all-ascending ordering, so any descending
-    direction falls through to the scan path."""
-    if directions is not None and not all(directions):
-        return None
+    The default entries describe the all-ascending ordering; a directed
+    validation looks up the matching ``:ad``-suffixed entry (written by
+    directed compactions) and falls back to the scan path when absent."""
+    from delta_sorter_spark.sources.delta_table import directed_label
+
     ks = (add.stats or {}).get("keyStats")
     if not ks or ks.get("cols") != list(sort_columns):
         return None
-    entry = ks.get("nullsFirst" if nulls_first else "nullsLast")
+    entry = ks.get(directed_label(nulls_first, directions))
     if not entry:
         return None
     return FileSummary(
@@ -423,8 +424,9 @@ def validate_global_order(
     lib.rs:484-523).  ``version`` validates a historical snapshot (time
     travel) — e.g. to confirm a table WAS sorted before a suspect write.
     ``directions`` enables per-column sort direction (reference roadmap
-    README.md:183, unimplemented there); directed validations use the scan
-    path since attestation describes the all-ascending order."""
+    README.md:183, unimplemented there); a directed validation is
+    metadata-only when a directed compaction attested the same ordering,
+    and scans otherwise."""
     table = DeltaTable(spark, table_uri)
     state = table.state(version=version)
     meta = state.metadata

@@ -102,11 +102,32 @@ def _partition_values_from_relpath(relpath: str) -> dict[str, str | None]:
     return values
 
 
-def _stats_from_arrow(tbl, stat_columns: Sequence[str], num_records: int | None = None) -> dict:
+def directed_label(nulls_first: bool, directions: Sequence[bool] | None) -> str:
+    """keyStats entry label for an ordering: ``nullsFirst``/``nullsLast``
+    for the all-ascending order (the default entries every write attests),
+    with a ``:adda``-style direction suffix (one char per key column,
+    a=asc / d=desc) for directed orderings."""
+    label = "nullsFirst" if nulls_first else "nullsLast"
+    if directions is not None and not all(directions):
+        label += ":" + "".join("a" if d else "d" for d in directions)
+    return label
+
+
+def _stats_from_arrow(
+    tbl,
+    stat_columns: Sequence[str],
+    num_records: int | None = None,
+    attest_directions: Sequence[bool] | None = None,
+) -> dict:
     """Exact stats (min/max/nullCount + attested key-tuple stats for both
     null placements) from an in-memory Arrow table.  Shared by the local
     write path (column-pruned file re-read) and the remote writer (stats
-    from the very table it just wrote — zero extra IO)."""
+    from the very table it just wrote — zero extra IO).
+
+    ``attest_directions`` additionally attests the summary under that
+    per-column direction vector (compact with ``col:desc`` keys), so later
+    DIRECTED validations get the metadata fast path too — a surface the
+    reference only roadmaps (README.md:183)."""
     import pyarrow.compute as pc
 
     from delta_sorter_spark.functions.file_summary import summarize_key_frame
@@ -127,19 +148,31 @@ def _stats_from_arrow(tbl, stat_columns: Sequence[str], num_records: int | None 
         # improvement over the reference's full scans, lib.rs:609-665).
         pdf = tbl.select(present).to_pandas()
         key_stats = {"cols": present}
-        for label, nulls_first in (("nullsFirst", True), ("nullsLast", False)):
-            s = summarize_key_frame(pdf, present, nulls_first)
-            key_stats[label] = {
-                "minKey": [_serialize_stat(v) for v in s["minKey"]],
-                "maxKey": [_serialize_stat(v) for v in s["maxKey"]],
-                "ascending": s["ascending"],
-                "descents": s["descents"],
-            }
+        orderings: list[Sequence[bool] | None] = [None]
+        if (
+            attest_directions is not None
+            and not all(attest_directions)
+            and len(attest_directions) == len(present)
+        ):
+            orderings.append(list(attest_directions))
+        for dirs in orderings:
+            for nulls_first in (True, False):
+                s = summarize_key_frame(pdf, present, nulls_first, dirs)
+                key_stats[directed_label(nulls_first, dirs)] = {
+                    "minKey": [_serialize_stat(v) for v in s["minKey"]],
+                    "maxKey": [_serialize_stat(v) for v in s["maxKey"]],
+                    "ascending": s["ascending"],
+                    "descents": s["descents"],
+                }
         stats["keyStats"] = key_stats
     return stats
 
 
-def _file_stats(path: str, stat_columns: Sequence[str]) -> dict:
+def _file_stats(
+    path: str,
+    stat_columns: Sequence[str],
+    attest_directions: Sequence[bool] | None = None,
+) -> dict:
     """Exact per-file stats via a column-pruned pyarrow read.
 
     Parquet footer min/max can be truncated for long strings, and the
@@ -159,7 +192,9 @@ def _file_stats(path: str, stat_columns: Sequence[str]) -> dict:
             "maxValues": {},
             "nullCount": {},
         }
-    return _stats_from_arrow(pf.read(columns=present), stat_columns, num_records)
+    return _stats_from_arrow(
+        pf.read(columns=present), stat_columns, num_records, attest_directions
+    )
 
 
 def _dv_keys(add: AddAction, sidecar: str) -> set[str]:
@@ -523,7 +558,7 @@ class DeltaTable:
             df = df.unionByName(p)
         return df
 
-    def _to_df_remote(self, version=None, adds=None) -> DataFrame:
+    def _to_df_remote(self, version=None, adds=None, with_file_path=False) -> DataFrame:
         """Remote read path: the Python Data Source scans file bytes via
         pyarrow's object-store filesystems on the workers (no connector
         jars).  A pruned ``adds`` subset ships as the source's ``files``
@@ -549,6 +584,10 @@ class DeltaTable:
         )
         if version is not None:
             reader = reader.option("versionAsOf", str(version))
+        if with_file_path:
+            # jar-free stand-in for F.input_file_name(), which is empty
+            # under Python Data Sources (remote DML's file-hit detection)
+            reader = reader.option("withFilePath", "true")
         if adds is not None:
             subset = sorted({a.path for a in adds})
             current = {a.path for a in self.state(version=version).adds}
@@ -711,6 +750,7 @@ class DeltaTable:
         data_change: bool = True,
         sorted_within_files: bool = False,
         schema: T.StructType | None = None,
+        attest_directions: Sequence[bool] | None = None,
     ) -> list[AddAction]:
         """Write ``df``'s data as new parquet files inside the table directory
         and return their Add actions.  Does NOT commit — callers compose the
@@ -735,6 +775,7 @@ class DeltaTable:
                 data_change=data_change,
                 sorted_within_files=sorted_within_files,
                 schema=schema,
+                attest_directions=attest_directions,
             )
         meta = self.metadata
         part_cols = meta.partition_columns
@@ -769,7 +810,7 @@ class DeltaTable:
                 os.makedirs(os.path.dirname(dest), exist_ok=True)
                 os.replace(src, dest)
                 relpath = os.path.relpath(dest, self.table_path).replace(os.sep, "/")
-                stats = _file_stats(dest, stat_columns)
+                stats = _file_stats(dest, stat_columns, attest_directions)
                 if sorted_within_files:
                     stats["sortedBy"] = list(stat_columns)
                 adds.append(
@@ -799,6 +840,7 @@ class DeltaTable:
         data_change: bool = True,
         sorted_within_files: bool = False,
         schema: T.StructType | None = None,
+        attest_directions: Sequence[bool] | None = None,
     ) -> list[AddAction]:
         """Remote-URI write path: each Spark partition serializes itself to
         parquet in memory and PUTs the object straight from the executor via
@@ -827,6 +869,7 @@ class DeltaTable:
             *[F.col(c).alias(to_phys.get(c, c)) for c in part_cols + data_cols]
         )
         stat_cols = [to_phys.get(c, c) for c in (stat_columns or [])]
+        attest_dirs = list(attest_directions) if attest_directions else None
         # pin the parquet physical types to the logical schema (a pandas
         # round trip would otherwise write e.g. ns timestamps)
         arrow_types = {
@@ -903,7 +946,12 @@ class DeltaTable:
                         {
                             "path": rel,
                             "size": len(data),
-                            "stats": _json.dumps(_stats_from_arrow(tbl, stat_cols)),
+                            "stats": _json.dumps(
+                                _stats_from_arrow(
+                                    tbl, stat_cols,
+                                    attest_directions=attest_dirs,
+                                )
+                            ),
                             "pv": _json.dumps(pv),
                         }
                     )

@@ -52,6 +52,12 @@ from pyspark.sql.datasource import (
 
 from delta_sorter_spark.sources.delta_log import AddAction, DeltaLog, physical_name
 
+# appended to the schema when .option("withFilePath", "true") is set: the
+# table-relative path of the file each row came from.  The jar-free stand-in
+# for F.input_file_name(), which is empty under Python Data Sources — remote
+# DML's file-hit detection reads this column instead.
+FILE_COL = "__delta_file__"
+
 
 @dataclass
 class DeltaFilePartition(InputPartition):
@@ -65,6 +71,7 @@ class DeltaFilePartition(InputPartition):
     # driver-captured AWS env for remote reads (workers never see driver
     # env changes made after SparkSession creation)
     aws_env: dict = field(default_factory=dict)
+    rel_path: str = ""  # table-relative path (FILE_COL payload)
 
 
 def _arrow_type(dtype: T.DataType):
@@ -93,6 +100,10 @@ def _read_file(part: DeltaFilePartition):
     cols, names = [], []
     for f in schema.fields:
         at = _arrow_type(f.dataType)
+        if f.name == FILE_COL:
+            cols.append(pa.array([part.rel_path] * n, type=pa.string()))
+            names.append(f.name)
+            continue
         if f.name in part.partition_columns:
             raw = part.partition_values.get(f.name)
             arr = (
@@ -144,10 +155,16 @@ class _DeltaSourceCore:
         self.skip_change_commits = (
             str(options.get("skipChangeCommits", "false")).lower() == "true"
         )
+        with_file = str(options.get("withFilePath", "false")).lower() == "true"
         meta = self.log.read_state(at_version=at_version).metadata
         # pin schema at construction (stream start); partition layout is
         # immutable in Delta so the column list never changes
-        self.schema_json = json.dumps((schema or meta.schema).jsonValue())
+        pinned = schema or meta.schema
+        if with_file and FILE_COL not in pinned.names:
+            pinned = T.StructType(
+                list(pinned.fields) + [T.StructField(FILE_COL, T.StringType())]
+            )
+        self.schema_json = json.dumps(pinned.jsonValue())
         self.partition_columns = tuple(meta.partition_columns)
 
     def _part_for(self, path, partition_values, deleted_positions):
@@ -160,6 +177,7 @@ class _DeltaSourceCore:
             schema_json=self.schema_json,
             partition_columns=self.partition_columns,
             aws_env=capture_aws_env() if is_remote_uri(self.table_path) else {},
+            rel_path=path,
         )
 
     def snapshot_partitions(self, at_version=None) -> list[DeltaFilePartition]:
@@ -289,7 +307,12 @@ class DeltaStreamDataSource(DataSource):
 
     def schema(self):
         _apply_env_option(self.options)
-        return DeltaLog(self.options["path"]).read_state().metadata.schema
+        schema = DeltaLog(self.options["path"]).read_state().metadata.schema
+        if str(self.options.get("withFilePath", "false")).lower() == "true":
+            schema = T.StructType(
+                list(schema.fields) + [T.StructField(FILE_COL, T.StringType())]
+            )
+        return schema
 
     def reader(self, schema):
         return DeltaBatchReader(self.options, schema)

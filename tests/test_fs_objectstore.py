@@ -460,3 +460,43 @@ def test_s3_partition_aware_compact_end_to_end(s3_env, spark, tmp_path):
     metrics2 = compact(uri, ["k"], spark=spark)
     assert metrics2.rewritten_partitions == 0
     assert metrics2.skipped_partitions == 2
+
+
+def test_s3_dml_end_to_end(s3_env, spark, tmp_path):
+    """Row-level DML on a remote table with no connector jars: upsert
+    rewrites only zone-map candidate files; delete_where finds hit files
+    via the data source's withFilePath column (input_file_name is empty
+    under Python Data Sources) and rewrites only those."""
+    from delta_sorter_spark.operators.dml import delete_where, upsert
+    from delta_sorter_spark.sources.delta_table import DeltaTable
+
+    local = str(tmp_path / "dml")
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(20)], "id long, v string"
+    )
+    # range partitioning gives each file a tight, disjoint id interval, so
+    # the zone-map pruning assertion below is deterministic
+    DeltaTable.create(
+        spark, local, df.repartitionByRange(4, "id"), stat_columns=["id"]
+    )
+    _upload_tree(local, "testbkt", "tables/dml_remote")
+    uri = "s3://testbkt/tables/dml_remote"
+    t = DeltaTable(spark, uri)
+    n_files = len(t.state().adds)
+    assert n_files == 4
+
+    res = upsert(
+        t, spark.createDataFrame([(3, "UP")], "id long, v string"), ["id"]
+    )
+    assert res["rewritten_files"] == 1  # zone maps pruned the other files
+    res = upsert(
+        t, spark.createDataFrame([(100, "NEW")], "id long, v string"), ["id"]
+    )
+    assert res["rewritten_files"] == 0  # outside every file's interval
+    got = {r["id"]: r["v"] for r in t.to_df().collect()}
+    assert got[3] == "UP" and got[100] == "NEW" and len(got) == 21
+
+    res = delete_where(t, "id % 2 = 1 AND id < 10")
+    assert res["deleted_rows"] == 5  # 1,3,5,7,9
+    remaining = sorted(r["id"] for r in t.to_df().collect())
+    assert remaining == [0, 2, 4, 6, 8] + list(range(10, 20)) + [100]

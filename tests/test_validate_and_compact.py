@@ -377,6 +377,37 @@ def test_spark_check_path_matches_driver_path(spark, tmp_path, monkeypatch):
     assert spark_d.boundary_violations == driver_d.boundary_violations
 
 
+def test_directed_compact_attests_metadata_fast_path(spark, tmp_path, monkeypatch):
+    """A compact with per-column directions writes a direction-specific
+    keyStats entry; re-validating that exact ordering must then be
+    metadata-only (zero scan jobs), while other orderings still scan."""
+    from delta_sorter_spark.operators import validate as V
+    from delta_sorter_spark.operators.compact import SortConfig, compact_with_sort
+
+    path = str(tmp_path / "directed")
+    df = spark.createDataFrame(
+        [(3, "x", 1), (1, "y", 2), (2, "z", 3), (None, "w", 4)],
+        "a int, k string, v long",
+    )
+    DeltaTable.create(spark, path, df.coalesce(1))
+    compact_with_sort(
+        spark, path, SortConfig(sort_columns=["a", "k"], directions=[False, True])
+    )
+
+    def boom(*args, **kwargs):
+        raise AssertionError("scan path used — directed attestation missed")
+
+    monkeypatch.setattr(V, "_scan_summaries_df", boom)
+    rep = V.validate_global_order(spark, path, ["a", "k"], directions=[False, True])
+    assert rep.boundary_violations == 0
+    # the all-ascending entries are attested by every write as before
+    rep_asc = V.validate_global_order(spark, path, ["a", "k"])
+    assert rep_asc.checked_files == rep.checked_files
+    # a DIFFERENT directed ordering has no attested entry -> scan path
+    with pytest.raises(AssertionError, match="scan path"):
+        V.validate_global_order(spark, path, ["a", "k"], directions=[True, False])
+
+
 def test_validate_scan_path_on_schema_evolved_files(spark, tmp_path):
     """Files written before an add_column lack that sort column in their
     parquet footer; the scan path must pad their min/max tuples BY NAME
