@@ -3249,6 +3249,147 @@ FROM cum GROUP BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# E42: sketch-accuracy audit — MinHash Jaccard estimate vs exact, computed
+# only for LSH candidate pairs (the tuning loop for k/bands; the exact side
+# never goes quadratic)
+# ---------------------------------------------------------------------------
+
+
+def q_e42_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_sorter_spark.operators.dedup import minhash_estimate_vs_exact
+
+    return minhash_estimate_vs_exact(
+        _doc_subset(spark, sf_dir, DOC_SUBSET_MOD),
+        "doc_id",
+        "text",
+        k=MINHASH_K,
+        bands=MINHASH_BANDS,
+    )
+
+
+def _match_count_sql() -> str:
+    terms = [
+        f"CASE WHEN a.minhash_{j} = b.minhash_{j} THEN 1 ELSE 0 END"
+        for j in range(MINHASH_K)
+    ]
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+_E42_SQL = f"""
+WITH {_duckdb_shingle_cte(DOC_SUBSET_MOD)},
+sig AS (SELECT doc_id, {_minhash_agg_sql()} FROM h GROUP BY doc_id),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+  WHERE {_band_match_sql()}
+),
+est AS (
+  SELECT c.id_a, c.id_b, {_match_count_sql()} AS n_match
+  FROM cand c
+  JOIN sig a ON a.doc_id = c.id_a
+  JOIN sig b ON b.doc_id = c.id_b
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS i
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.id_a
+  JOIN sh y ON y.doc_id = c.id_b AND y.s = x.s
+  GROUP BY c.id_a, c.id_b
+)
+SELECT e.id_a, e.id_b, e.n_match,
+       round(CAST(e.n_match AS DOUBLE) / {MINHASH_K}, 6) AS est_jaccard,
+       round(CAST(coalesce(i.i, 0) AS DOUBLE)
+             / CAST(sa.n + sb.n - coalesce(i.i, 0) AS DOUBLE), 6) AS jaccard
+FROM est e
+LEFT JOIN inter i ON i.id_a = e.id_a AND i.id_b = e.id_b
+JOIN sizes sa ON sa.doc_id = e.id_a
+JOIN sizes sb ON sb.doc_id = e.id_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# A39: CDC log compaction — latest event per user (SCD-1 materialization)
+# ---------------------------------------------------------------------------
+
+
+def q_a39_latest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_sorter_spark.operators.dedup import latest_by_key
+
+    ev = load_table(spark, sf_dir, "events")
+    latest = latest_by_key(ev, ["user_id"], ["ts", "event_id"])
+    return latest.select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("last_ts_us"),
+        F.col("event_type").alias("last_type"),
+        F.col("value").alias("last_value"),
+    )
+
+
+_A39_SQL = """
+WITH r AS (
+  SELECT user_id, ts, event_type, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, epoch_us(ts) AS last_ts_us,
+       event_type AS last_type, value AS last_value
+FROM r WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# P2: token-length band filter — drop length-outlier documents (fragments /
+# boilerplate dumps) outside the corpus [p10, p90] token-count band; exact
+# integer percentile reads, zero corpus shuffles
+# ---------------------------------------------------------------------------
+
+
+def q_p2_token_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_sorter_spark.operators.textstats import token_band_filter
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = token_band_filter(docs, "doc_id", "text", lo_pct=10, hi_pct=90)
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.min("n_tokens").alias("min_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+    )
+
+
+_P2_SQL = """
+WITH t AS (
+  SELECT source,
+         len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS n_tokens
+  FROM documents
+),
+counts AS (SELECT n_tokens, count(*) AS c FROM t GROUP BY n_tokens),
+cum AS (
+  SELECT n_tokens,
+         sum(c) OVER (ORDER BY n_tokens
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(c) OVER () AS n
+  FROM counts
+),
+band AS (
+  SELECT min(CASE WHEN 100 * cum >= 10 * n THEN n_tokens END) AS lo,
+         min(CASE WHEN 100 * cum >= 90 * n THEN n_tokens END) AS hi
+  FROM cum
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       min(n_tokens) AS min_tokens,
+       max(n_tokens) AS max_tokens
+FROM t, band
+WHERE n_tokens BETWEEN lo AND hi
+GROUP BY source
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the validator's V1 per-file min/max over sf0.001."""
     return q_v1_file_minmax(spark, "/root/testdata/sf0.001")
@@ -3277,6 +3418,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a11_running_total": q_a11_running_total,
         "a13_pivot": q_a13_pivot,
         # --- tier 3: new in round 3 (never checked) ---
+        "e42_minhash_accuracy": q_e42_minhash_accuracy,
+        "a39_latest_events": q_a39_latest_events,
+        "p2_token_band": q_p2_token_band,
         # --- tier 4: round-1 greens, not re-confirmed since ---
         "v1_file_minmax": q_v1_file_minmax,
         "q1_global_sort": q_q1_global_sort,
@@ -3385,6 +3529,9 @@ def oracle_sql() -> dict[str, str]:
         "e39_domain_mix": _E39_SQL,
         "e40_edit_distance": _E40_SQL,
         "e41_histogram_quantiles": _E41_SQL,
+        "e42_minhash_accuracy": _E42_SQL,
+        "a39_latest_events": _A39_SQL,
+        "p2_token_band": _P2_SQL,
         "e16_bpe_tokens": _E16_SQL,
         "s1_event_windows": _S1_SQL,
         "s2_sessionize": _S2_SQL,

@@ -138,9 +138,9 @@ def main() -> int:
     t_stream_src = os.path.join(workdir, "ev_src")
     DeltaTable.create(spark, t_stream_src, _load(spark, SF_DIR, "events").repartition(8))
 
-    def run_stream():
-        out_t = os.path.join(workdir, "ev_rollup")
-        ck = os.path.join(workdir, "ev_ck")
+    def run_stream(tag="rollup"):
+        out_t = os.path.join(workdir, f"ev_{tag}")
+        ck = os.path.join(workdir, f"ev_ck_{tag}")
         DeltaTable.create(
             spark,
             out_t,
@@ -155,7 +155,7 @@ def main() -> int:
         )
         agg = windowed_event_counts(stream, streaming=True)
         q = (
-            agg.writeStream.foreachBatch(delta_append_sink(out_t, "bench-rollup"))
+            agg.writeStream.foreachBatch(delta_append_sink(out_t, f"bench-{tag}"))
             .option("checkpointLocation", ck)
             .outputMode("update")
             .trigger(availableNow=True)
@@ -163,6 +163,10 @@ def main() -> int:
         )
         q.awaitTermination(300)
 
+    # same pre-run policy as the query workloads: the first streaming query
+    # of a session pays engine init + codegen (~2x the steady-state cost);
+    # the timed pass measures the pipeline, not the JIT
+    run_stream("warm")
     timed("stream_rollup_exactly_once", run_stream)
 
     # -- query workloads (full computation via noop sink) -------------------

@@ -152,6 +152,98 @@ def minhash_lsh_candidates(
     return pairs
 
 
+def minhash_estimate_vs_exact(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    bands: int = 2,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Sketch-accuracy audit: for each LSH candidate pair, the MinHash
+    Jaccard ESTIMATE (fraction of agreeing signature components) next to
+    the EXACT shingle Jaccard.  Output: (id_a, id_b, n_match, est_jaccard,
+    jaccard).
+
+    This is the measurement loop a production dedup pipeline needs when
+    tuning k/bands: estimate error is observable without ever running the
+    quadratic exact join — the exact side here is computed ONLY for the
+    banded candidates (same verify-on-candidates shape as e40's edit
+    distance), so the cost is |candidates| x shingles, never corpus^2."""
+    sigs = minhash_signatures(df, id_col, text_col, k, shingle_n, seed)
+    cands = minhash_lsh_candidates(df, id_col, text_col, k, bands, shingle_n, seed)
+    sa = sigs.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(f"minhash_{j}").alias(f"__a{j}__") for j in range(k)],
+    )
+    sb = sigs.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(f"minhash_{j}").alias(f"__b{j}__") for j in range(k)],
+    )
+    match_count = None
+    for j in range(k):
+        term = F.when(F.col(f"__a{j}__") == F.col(f"__b{j}__"), 1).otherwise(0)
+        match_count = term if match_count is None else match_count + term
+    est = (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            match_count.cast("bigint").alias("n_match"),
+        )
+        .withColumn(
+            "est_jaccard",
+            F.round(F.col("n_match").cast("double") / F.lit(float(k)), 6),
+        )
+    )
+    sh = df.select(
+        F.col(id_col).alias("id"), F.explode(shingles_expr(text_col, shingle_n)).alias("s")
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+    inter = (
+        cands.join(sh.select(F.col("id").alias("id_a"), "s"), "id_a")
+        .join(sh.select(F.col("id").alias("id_b"), "s"), ["id_b", "s"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("__inter__"))
+    )
+    exact = (
+        cands.join(inter, ["id_a", "id_b"], "left")
+        .withColumn("__inter__", F.coalesce(F.col("__inter__"), F.lit(0)))
+        .join(sizes.select(F.col("id").alias("id_a"), F.col("n").alias("__na__")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("n").alias("__nb__")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("__inter__").cast("double")
+                / (F.col("__na__") + F.col("__nb__") - F.col("__inter__")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return est.join(exact, ["id_a", "id_b"])
+
+
+def latest_by_key(
+    df: DataFrame, keys: Sequence[str], order_cols: Sequence[str]
+) -> DataFrame:
+    """CDC log compaction / SCD-1 materialization: keep, per key tuple, the
+    row GREATEST under ``order_cols`` (e.g. event time with a unique-id
+    tiebreak).  The window partitions by the business key — at corpus scale
+    that is millions of tiny partitions, no skew and no global exchange.
+    The mirror of :func:`exact_dedup` (which keeps the smallest)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in order_cols])
+    return (
+        df.withColumn("__rn__", F.row_number().over(w))
+        .where(F.col("__rn__") == 1)
+        .drop("__rn__")
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

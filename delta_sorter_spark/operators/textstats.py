@@ -317,6 +317,51 @@ def redact_sql(text_expr: str, patterns: dict[str, str] | None = None) -> tuple[
         cur = f"regexp_replace({cur}, '{sq}', '{_mask_token(name)}', 'g')"
     return cur, counts
 
+def token_band_filter(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    lo_pct: int = 10,
+    hi_pct: int = 90,
+) -> DataFrame:
+    """Outlier-length pruning: keep documents whose whitespace token count
+    lies within the corpus [lo_pct, hi_pct] percentile band — the standard
+    pretraining-data step that drops fragments and boilerplate dumps.
+
+    Percentiles are EXACT integer reads off the token-length distribution
+    (smallest length with 100*cum >= pct*n — the e41 histogram convention,
+    bit-identical across engines; no float interpolation).  The
+    distribution is one map-side-combined aggregate over lengths (at most
+    a few thousand distinct values no matter the corpus size), the two
+    cutoffs are a one-row aggregate broadcast back, and the filter is a
+    column predicate — the corpus shuffles zero rows.  Output: the input
+    rows (plus ``n_tokens``) inside the band."""
+    from pyspark.sql import Window
+
+    toks = df.withColumn("n_tokens", n_tokens_expr(text_col))
+    counts = toks.groupBy("n_tokens").agg(F.count("*").alias("__c__"))
+    # windows over the LENGTH DISTRIBUTION (distinct token counts), never
+    # over corpus rows — single-partition is fine at that cardinality
+    w_cum = Window.orderBy("n_tokens").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    cum = counts.withColumn("__cum__", F.sum("__c__").over(w_cum)).withColumn(
+        "__n__", F.sum("__c__").over(w_all)
+    )
+    band = cum.agg(
+        F.min(
+            F.when(100 * F.col("__cum__") >= lo_pct * F.col("__n__"), F.col("n_tokens"))
+        ).alias("__lo__"),
+        F.min(
+            F.when(100 * F.col("__cum__") >= hi_pct * F.col("__n__"), F.col("n_tokens"))
+        ).alias("__hi__"),
+    )
+    return (
+        toks.crossJoin(F.broadcast(band))
+        .where(F.col("n_tokens").between(F.col("__lo__"), F.col("__hi__")))
+        .drop("__lo__", "__hi__")
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame, id_col: str, text_col: str, k: int = 3,
     n_docs: int | None = None,
