@@ -315,15 +315,24 @@ def delete_where_dv(table: DeltaTable, predicate: str) -> dict:
     # may re-match the predicate, but the sidecar-level distinct() makes
     # that a no-op, and deleted_rows counts only NEW positions.
     scan = table.scan_with_positions(state.adds)
-    # URI -> table-relative path, computed in Spark.  '+' is a literal in
-    # URI paths (spaces are %20), but url_decode treats it as a space —
-    # re-encode it first so both survive.
-    abs_col = F.regexp_replace(
-        F.expr("url_decode(replace(__file__, '+', '%2B'))"), "^[a-z]+:/+", "/"
-    )
-    rel_col = F.regexp_replace(
-        abs_col, "^" + _re.escape(table.table_path.rstrip("/")) + "/", ""
-    )
+    if table.is_remote:
+        # the Python Data Source's file column is the table-relative path
+        # verbatim (no URL re-encoding involved)
+        rel_col = F.regexp_replace(
+            F.col("__file__"),
+            "^" + _re.escape(table.table_path.rstrip("/")) + "/",
+            "",
+        )
+    else:
+        # URI -> table-relative path, computed in Spark.  '+' is a literal
+        # in URI paths (spaces are %20), but url_decode treats it as a
+        # space — re-encode it first so both survive.
+        abs_col = F.regexp_replace(
+            F.expr("url_decode(replace(__file__, '+', '%2B'))"), "^[a-z]+:/+", "/"
+        )
+        rel_col = F.regexp_replace(
+            abs_col, "^" + _re.escape(table.table_path.rstrip("/")) + "/", ""
+        )
     hits = scan.where(F.coalesce(F.expr(predicate), F.lit(False))).select(
         rel_col.alias("path"), F.col("__pos__").alias("pos")
     )
@@ -340,13 +349,23 @@ def delete_where_dv(table: DeltaTable, predicate: str) -> dict:
             continue
         sp = a.deletion_vector["storagePath"]
         sidecar = os.path.join(table.table_path, sp)
-        if os.path.isdir(sidecar):
+        if table.is_remote:
+            fsobj = table.log.fs
+            is_dataset = any(
+                n.endswith(".parquet")
+                for n in fsobj.list_dir(fsobj.join(table.table_path, sp))
+            )
+        else:
+            is_dataset = os.path.isdir(sidecar)
+        if is_dataset:
             if sp not in seen_sidecars:
                 seen_sidecars.add(sp)
                 prev_parts.append(
-                    table.spark.read.parquet(sidecar).select("path", "pos")
+                    table.read_parquet_dataset(
+                        sp, ["path", "pos"], "path string, pos long"
+                    )
                 )
-        else:
+        else:  # legacy JSON sidecar (single object; small by construction)
             json_rows += [(a.path, int(p)) for p in table.read_deletion_vector(a)]
     if json_rows:
         prev_parts.append(
@@ -362,14 +381,15 @@ def delete_where_dv(table: DeltaTable, predicate: str) -> dict:
     merged = merged.distinct()
 
     sidecar_rel = f"_deletion_vectors/{_uuid.uuid4().hex}"
-    sidecar_abs = os.path.join(table.table_path, sidecar_rel)
     # co-locate each file's positions so readers filtering on path touch
     # few sidecar files
-    merged.repartition("path").write.parquet(sidecar_abs)
+    table.write_parquet_dataset(merged.repartition("path"), sidecar_rel)
 
     counts = {
         r["path"]: r["n"]
-        for r in table.spark.read.parquet(sidecar_abs)
+        for r in table.read_parquet_dataset(
+            sidecar_rel, ["path", "pos"], "path string, pos long"
+        )
         .groupBy("path")
         .agg(F.count("*").alias("n"))
         .collect()
@@ -377,9 +397,7 @@ def delete_where_dv(table: DeltaTable, predicate: str) -> dict:
     if not counts:
         # no-match delete: drop the just-written empty sidecar dataset so
         # repeated no-op deletes don't accumulate orphan directories
-        import shutil as _shutil
-
-        _shutil.rmtree(sidecar_abs, ignore_errors=True)
+        table.delete_dataset(sidecar_rel)
         return {"dv_files": 0, "deleted_rows": 0, "version": state.version}
 
     adds_by_path = {a.path: a for a in state.adds}

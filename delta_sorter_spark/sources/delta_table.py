@@ -286,15 +286,15 @@ class DeltaTable:
       metadata fast path needs no data reads at all, and the scan path
       reads each file via pyarrow's native S3 filesystem from executors
       (``fs.pyarrow_open_input``) — no Spark connector jars required;
-    - **bulk data plane** on ``s3://`` works end-to-end with NO connector
-      jars: reads go through the Python Data Source (full snapshots, time
-      travel, and pruned file subsets via its ``files`` option — so
-      partition-aware compaction's log-driven pruning works remotely),
-      writes through the executor-side pyarrow/boto3 ``stage_write``.  The
-      one remaining jar-gated surface is ``scan_with_positions`` (DV row
-      addressing needs Spark's native parquet ``_metadata`` column), so
-      DV-based DML raises a clear NotImplementedError on remote URIs;
-      ``memory://`` is metadata-plane only (per-process store)."""
+    - **bulk data plane** on ``s3://`` (and azure://, gs://) works
+      end-to-end with NO connector jars: reads go through the Python Data
+      Source (full snapshots, time travel, pruned file subsets via its
+      ``files`` option, file-path and raw row-position columns via
+      ``withFilePath``/``withPositions`` — so partition-aware compaction's
+      log-driven pruning AND every DML verb work remotely), writes through
+      the executor-side pyarrow/REST ``stage_write`` /
+      ``write_parquet_dataset``.  ``memory://`` is metadata-plane only
+      (per-process store)."""
 
     def __init__(self, spark: SparkSession, table_path: str):
         from delta_sorter_spark.sources.fs import is_remote_uri
@@ -558,7 +558,9 @@ class DeltaTable:
             df = df.unionByName(p)
         return df
 
-    def _to_df_remote(self, version=None, adds=None, with_file_path=False) -> DataFrame:
+    def _to_df_remote(
+        self, version=None, adds=None, with_file_path=False, with_positions=False
+    ) -> DataFrame:
         """Remote read path: the Python Data Source scans file bytes via
         pyarrow's object-store filesystems on the workers (no connector
         jars).  A pruned ``adds`` subset ships as the source's ``files``
@@ -588,6 +590,10 @@ class DeltaTable:
             # jar-free stand-in for F.input_file_name(), which is empty
             # under Python Data Sources (remote DML's file-hit detection)
             reader = reader.option("withFilePath", "true")
+        if with_positions:
+            # raw positional scan (file path + physical row index, DVs NOT
+            # applied) — the jar-free parquet _metadata.row_index
+            reader = reader.option("withPositions", "true")
         if adds is not None:
             subset = sorted({a.path for a in adds})
             current = {a.path for a in self.state(version=version).adds}
@@ -652,7 +658,17 @@ class DeltaTable:
         (absolute file URI) and ``__pos__`` (physical row index inside that
         file), from the native parquet ``_metadata`` column — vectorized
         and splittable, no Python in the row path.  NOTE: raw = existing
-        deletion vectors are NOT applied here."""
+        deletion vectors are NOT applied here.  Remote tables take the
+        Python Data Source's ``withPositions`` path (Arrow-vectorized,
+        one task per file)."""
+        if self.is_remote:
+            from delta_sorter_spark.streaming.delta_source import FILE_COL, POS_COL
+
+            df = self._to_df_remote(adds=adds, with_positions=True)
+            base = self.table_path.rstrip("/") + "/"
+            return df.withColumn(
+                "__file__", F.concat(F.lit(base), F.col(FILE_COL))
+            ).drop(FILE_COL).withColumnRenamed(POS_COL, "__pos__")
         self._require_local("scan_with_positions")
         meta = meta or self.metadata
         phys = self._physical_fields(meta)
@@ -1574,6 +1590,103 @@ class DeltaTable:
                     except OSError:
                         pass
         return doomed
+
+    def read_parquet_dataset(self, dataset_rel: str, columns: list[str], ddl: str) -> DataFrame:
+        """DataFrame over a parquet dataset directory inside the table
+        (sidecars).  Local: the JVM parquet reader.  Remote: one
+        Arrow-vectorized task per part object via pyarrow (no connector
+        jars)."""
+        if not self.is_remote:
+            return self.spark.read.parquet(
+                os.path.join(self.table_path, dataset_rel)
+            ).select(*columns)
+        from delta_sorter_spark.sources.fs import capture_aws_env, resolve
+
+        fsobj, base = resolve(self.table_path)
+        dataset_uri = fsobj.join(base, dataset_rel)
+        parts = [n for n in fsobj.list_dir(dataset_uri) if n.endswith(".parquet")]
+        if not parts:
+            return self.spark.createDataFrame([], ddl)
+        aws_env = capture_aws_env()
+        cols = list(columns)
+
+        def rd(batches):
+            import pandas as pd
+            import pyarrow.parquet as pq
+
+            from delta_sorter_spark.sources.fs import apply_aws_env, pyarrow_open_input
+
+            apply_aws_env(aws_env)
+            for b in batches:
+                for name in b["name"]:
+                    tbl = pq.read_table(
+                        pyarrow_open_input(f"{dataset_uri}/{name}"), columns=cols
+                    )
+                    yield tbl.to_pandas()
+
+        files_df = self.spark.createDataFrame([(p,) for p in parts], "name string")
+        return files_df.repartition(min(len(parts), 64)).mapInPandas(rd, ddl)
+
+    def write_parquet_dataset(self, df: DataFrame, dataset_rel: str) -> None:
+        """Write ``df`` as a parquet dataset directory inside the table.
+        Local: the JVM writer.  Remote: each Spark partition serializes
+        itself and PUTs one object from the executor (same plane as
+        ``_stage_write_remote``); empty partitions write nothing."""
+        dest = os.path.join(self.table_path, dataset_rel)
+        if not self.is_remote:
+            df.write.parquet(dest)
+            return
+        self._require_shared_remote_store("write_parquet_dataset")
+        from pyspark.sql.pandas.types import to_arrow_type
+
+        from delta_sorter_spark.sources.fs import capture_aws_env
+
+        aws_env = capture_aws_env()
+        arrow_fields = [(f.name, to_arrow_type(f.dataType)) for f in df.schema.fields]
+
+        def wr(batches):
+            import io as _io
+            import uuid as _uuid
+
+            import pandas as pd
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            from delta_sorter_spark.sources.fs import apply_aws_env, resolve
+
+            apply_aws_env(aws_env)
+            pdfs = list(batches)
+            n = 0
+            if pdfs:
+                pdf = pd.concat(pdfs, ignore_index=True)
+                n = len(pdf)
+                if n:
+                    tbl = pa.Table.from_pandas(pdf, preserve_index=False).cast(
+                        pa.schema(arrow_fields)
+                    )
+                    buf = _io.BytesIO()
+                    pq.write_table(tbl, buf)
+                    fsobj, base = resolve(dest)
+                    fsobj.write_bytes(
+                        f"{base}/part-{_uuid.uuid4().hex}.parquet", buf.getvalue()
+                    )
+            yield pd.DataFrame({"n": [n]})
+
+        df.mapInPandas(wr, "n long").collect()  # drives the executor PUTs
+
+    def delete_dataset(self, dataset_rel: str) -> None:
+        """Remove a dataset directory (local tree or remote prefix)."""
+        if not self.is_remote:
+            import shutil as _shutil
+
+            _shutil.rmtree(os.path.join(self.table_path, dataset_rel), ignore_errors=True)
+            return
+        from delta_sorter_spark.sources.fs import resolve
+
+        fsobj, base = resolve(self.table_path)
+        prefix = fsobj.join(base, dataset_rel)
+        for rel, _m in fsobj.list_files_recursive(prefix):
+            fsobj.delete(fsobj.join(prefix, rel))
 
     def discard_files(self, adds: Sequence[AddAction]) -> None:
         """Delete staged data files that will never be committed (loser of a

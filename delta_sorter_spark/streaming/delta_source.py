@@ -57,6 +57,10 @@ from delta_sorter_spark.sources.delta_log import AddAction, DeltaLog, physical_n
 # for F.input_file_name(), which is empty under Python Data Sources — remote
 # DML's file-hit detection reads this column instead.
 FILE_COL = "__delta_file__"
+# appended (with FILE_COL) by .option("withPositions", "true"): the physical
+# row index inside the source file, DVs NOT applied — the jar-free stand-in
+# for parquet ``_metadata.row_index`` that remote DV deletes address rows by.
+POS_COL = "__pos__"
 
 
 @dataclass
@@ -93,7 +97,11 @@ def _read_file(part: DeltaFilePartition):
     # filesystem on the worker — remote Delta tables stream without any
     # Spark filesystem connector jars
     tbl = pq.read_table(pyarrow_open_input(part.file_path))
-    if part.deleted_positions:
+    with_positions = POS_COL in {f.name for f in schema.fields}
+    positions = list(range(tbl.num_rows))
+    if part.deleted_positions and not with_positions:
+        # a positional scan is RAW by contract (existing DVs not applied);
+        # plain reads drop the deleted rows here
         dead = set(part.deleted_positions)
         tbl = tbl.take([i for i in range(tbl.num_rows) if i not in dead])
     n = tbl.num_rows
@@ -102,6 +110,10 @@ def _read_file(part: DeltaFilePartition):
         at = _arrow_type(f.dataType)
         if f.name == FILE_COL:
             cols.append(pa.array([part.rel_path] * n, type=pa.string()))
+            names.append(f.name)
+            continue
+        if f.name == POS_COL:
+            cols.append(pa.array(positions[:n], type=pa.int64()))
             names.append(f.name)
             continue
         if f.name in part.partition_columns:
@@ -156,14 +168,18 @@ class _DeltaSourceCore:
             str(options.get("skipChangeCommits", "false")).lower() == "true"
         )
         with_file = str(options.get("withFilePath", "false")).lower() == "true"
+        with_pos = str(options.get("withPositions", "false")).lower() == "true"
         meta = self.log.read_state(at_version=at_version).metadata
         # pin schema at construction (stream start); partition layout is
         # immutable in Delta so the column list never changes
         pinned = schema or meta.schema
-        if with_file and FILE_COL not in pinned.names:
-            pinned = T.StructType(
-                list(pinned.fields) + [T.StructField(FILE_COL, T.StringType())]
-            )
+        extra = []
+        if (with_file or with_pos) and FILE_COL not in pinned.names:
+            extra.append(T.StructField(FILE_COL, T.StringType()))
+        if with_pos and POS_COL not in pinned.names:
+            extra.append(T.StructField(POS_COL, T.LongType()))
+        if extra:
+            pinned = T.StructType(list(pinned.fields) + extra)
         self.schema_json = json.dumps(pinned.jsonValue())
         self.partition_columns = tuple(meta.partition_columns)
 
@@ -308,10 +324,15 @@ class DeltaStreamDataSource(DataSource):
     def schema(self):
         _apply_env_option(self.options)
         schema = DeltaLog(self.options["path"]).read_state().metadata.schema
-        if str(self.options.get("withFilePath", "false")).lower() == "true":
-            schema = T.StructType(
-                list(schema.fields) + [T.StructField(FILE_COL, T.StringType())]
-            )
+        with_file = str(self.options.get("withFilePath", "false")).lower() == "true"
+        with_pos = str(self.options.get("withPositions", "false")).lower() == "true"
+        extra = []
+        if with_file or with_pos:
+            extra.append(T.StructField(FILE_COL, T.StringType()))
+        if with_pos:
+            extra.append(T.StructField(POS_COL, T.LongType()))
+        if extra:
+            schema = T.StructType(list(schema.fields) + extra)
         return schema
 
     def reader(self, schema):

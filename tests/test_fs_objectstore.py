@@ -295,12 +295,13 @@ def test_s3_validate_only_end_to_end(s3_env, spark, tmp_path):
     report = validate("s3://testbkt/tables/val_sorted", ["k", "v"], spark=spark)
     assert report["boundary_violations"] == 0
 
-    # metadata plane and jar-free reads work; file-subset scans stay gated
+    # metadata plane and jar-free reads work
     t = DeltaTable(spark, "s3://testbkt/tables/val_sorted")
     assert t.state().version >= 0
     assert t.to_df().count() == 4  # reads via the Python Data Source
-    with pytest.raises(NotImplementedError):
-        t.scan_with_positions(t.state().adds)
+    # raw positional scan works remotely too (withPositions path)
+    pos = t.scan_with_positions(t.state().adds)
+    assert pos.count() == 4 and {"__file__", "__pos__"} <= set(pos.columns)
 
 
 def test_s3_delta_source_batch_and_stream(s3_env, spark, tmp_path):
@@ -500,3 +501,28 @@ def test_s3_dml_end_to_end(s3_env, spark, tmp_path):
     assert res["deleted_rows"] == 5  # 1,3,5,7,9
     remaining = sorted(r["id"] for r in t.to_df().collect())
     assert remaining == [0, 2, 4, 6, 8] + list(range(10, 20)) + [100]
+
+    # merge-on-read delete: DV positions scanned via withPositions, the
+    # sidecar dataset written by executors over boto3, readers drop the
+    # positions at planning time — zero data bytes rewritten
+    from delta_sorter_spark.operators.dml import delete_where_dv, purge_deletion_vectors
+
+    files_before = {a.path for a in t.state().adds}
+    res = delete_where_dv(t, "id IN (2, 14)")
+    assert res["dv_files"] >= 1 and res["deleted_rows"] == 2
+    assert {a.path for a in t.state().adds} == files_before  # no rewrites
+    remaining = sorted(r["id"] for r in t.to_df().collect())
+    assert remaining == [0, 4, 6, 8] + [i for i in range(10, 20) if i != 14] + [100]
+
+    # cumulative second DV delete over an already-DV'd file
+    res = delete_where_dv(t, "id = 4")
+    assert res["deleted_rows"] == 1
+    assert sorted(r["id"] for r in t.to_df().collect()) == [
+        0, 6, 8] + [i for i in range(10, 20) if i != 14] + [100]
+
+    # purge materializes the DVs (fresh files, no pointers)
+    res = purge_deletion_vectors(t)
+    assert res["purged_files"] >= 1
+    assert not any(a.deletion_vector for a in t.state().adds)
+    assert sorted(r["id"] for r in t.to_df().collect()) == [
+        0, 6, 8] + [i for i in range(10, 20) if i != 14] + [100]
