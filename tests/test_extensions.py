@@ -473,3 +473,53 @@ def test_deterministic_shuffle_is_stable_and_balanced(spark):
     first_shard = sorted(by_shard.keys())[0]
     ids_in_order = [d for d, s, p in sorted(ka, key=lambda t: (t[1], t[2])) if s == first_shard]
     assert ids_in_order != sorted(ids_in_order)
+
+
+def test_incremental_dedup_across_batches(spark, tmp_path):
+    """Continuously-ingested-corpus dedup: batch 2 drops content already
+    accepted from batch 1 (cross-batch, hash-index based), intra-batch
+    duplicates collapse to the first id, and a replayed batch is a
+    SetTransaction no-op."""
+    from delta_sorter_spark.operators.dedup import (
+        dedup_against_index,
+        incremental_dedup,
+    )
+    from delta_sorter_spark.sources.delta_table import DeltaTable
+
+    idx_path = str(tmp_path / "dedup_index")
+    DeltaTable.create(
+        spark,
+        idx_path,
+        spark.createDataFrame([], "content_hash long, doc_id long"),
+    )
+    idx = DeltaTable(spark, idx_path)
+
+    b1 = spark.createDataFrame(
+        [(1, "alpha text"), (2, "beta text"), (3, "alpha text")],
+        "doc_id long, text string",
+    )
+    res1 = incremental_dedup(idx, b1, "doc_id", "text",
+                             txn_app_id="ingest", txn_version=1)
+    assert res1["batch_rows"] == 3
+    assert res1["new_rows"] == 2  # alpha (kept as doc 1) + beta
+
+    # batch 2: one repeat of batch-1 content, one intra-batch dup, one new
+    b2 = spark.createDataFrame(
+        [(10, "alpha text"), (11, "gamma text"), (12, "gamma text")],
+        "doc_id long, text string",
+    )
+    survivors = dedup_against_index(idx.to_df(), b2, "doc_id", "text")
+    assert sorted(r["doc_id"] for r in survivors.collect()) == [11]
+    res2 = incremental_dedup(idx, b2, "doc_id", "text",
+                             txn_app_id="ingest", txn_version=2)
+    assert res2["new_rows"] == 1  # only gamma
+
+    # the index now holds exactly the three accepted contents
+    got = {(r["content_hash"], r["doc_id"]) for r in idx.to_df().collect()}
+    assert {d for _h, d in got} == {1, 2, 11}
+
+    # replaying batch 2 is a no-op before any compute
+    res3 = incremental_dedup(idx, b2, "doc_id", "text",
+                             txn_app_id="ingest", txn_version=2)
+    assert res3.get("skipped") and res3["new_rows"] == 0
+    assert idx.to_df().count() == 3

@@ -267,6 +267,45 @@ def test_gcs_log_lifecycle(gcs_env):
     _exercise_log("gs://bkt/tables/t1")
 
 
+@pytest.mark.parametrize("scheme_base", ["azure://cont", "gs://bkt"])
+def test_contended_commits_one_winner_per_version(
+    scheme_base, azure_env, gcs_env
+):
+    """N threads race commit_with_retry through the REST conditional-create:
+    every writer lands exactly once on a distinct version (the same
+    optimistic-concurrency contract the S3 backend passes via moto)."""
+    import threading
+
+    from pyspark.sql import types as T
+
+    from delta_sorter_spark.sources.delta_log import DeltaLog
+
+    schema = T.StructType([T.StructField("id", T.LongType())])
+    log = DeltaLog(f"{scheme_base}/tables/race")
+    log.create_table(schema)
+    n_writers = 6
+    results: dict[int, int] = {}
+    errors: list[Exception] = []
+
+    def writer(i: int) -> None:
+        try:
+            from test_fs_objectstore import _add
+
+            results[i] = log.commit_with_retry(
+                lambda s, i=i: [_add(i)], operation="WRITE", max_attempts=50
+            )
+        except Exception as exc:  # pragma: no cover
+            errors.append(exc)
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(n_writers)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(60)
+    assert not errors, errors
+    assert sorted(results.values()) == list(range(1, n_writers + 1))
+
+
 # ---------------------------------------------------------------------------
 # end-to-end: strict compact + validate THROUGH the emulator, executors
 # writing parquet objects over HTTP
