@@ -3390,6 +3390,104 @@ GROUP BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# A40: ordered funnel (view -> click -> purchase, strictly-after semantics)
+# ---------------------------------------------------------------------------
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def q_a40_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_sorter_spark.operators.events_analytics import funnel_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel_counts(ev, "user_id", "ts", "event_type", FUNNEL_STEPS)
+
+
+_A40_SQL = f"""
+WITH t0 AS (
+  SELECT user_id, min(ts) AS t FROM events
+  WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY user_id
+),
+t1 AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN t0 ON e.user_id = t0.user_id
+  WHERE e.event_type = '{FUNNEL_STEPS[1]}' AND e.ts > t0.t
+  GROUP BY e.user_id
+),
+t2 AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN t1 ON e.user_id = t1.user_id
+  WHERE e.event_type = '{FUNNEL_STEPS[2]}' AND e.ts > t1.t
+  GROUP BY e.user_id
+)
+SELECT 1 AS step, '{FUNNEL_STEPS[0]}' AS step_name, count(*) AS n_users FROM t0
+UNION ALL
+SELECT 2, '{FUNNEL_STEPS[1]}', count(*) FROM t1
+UNION ALL
+SELECT 3, '{FUNNEL_STEPS[2]}', count(*) FROM t2
+"""
+
+
+# ---------------------------------------------------------------------------
+# A41: retention cohorts (first-active-day cohort x day-offset triangle)
+# ---------------------------------------------------------------------------
+
+
+def q_a41_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_sorter_spark.operators.events_analytics import retention_cohorts
+
+    return retention_cohorts(load_table(spark, sf_dir, "events"), "user_id", "ts")
+
+
+_A41_SQL = """
+WITH f AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS cohort FROM events GROUP BY user_id
+),
+a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+SELECT strftime(cohort, '%Y-%m-%d') AS cohort_day,
+       CAST(datediff('day', cohort, day) AS INT) AS offset_days,
+       count(DISTINCT a.user_id) AS n_users
+FROM a JOIN f ON a.user_id = f.user_id
+GROUP BY cohort, offset_days
+"""
+
+
+# ---------------------------------------------------------------------------
+# E43: count-based bigram LM table (integer ppm conditional probabilities)
+# ---------------------------------------------------------------------------
+
+
+def q_e43_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_sorter_spark.operators.textstats import bigram_lm_counts
+
+    return bigram_lm_counts(load_table(spark, sf_dir, "documents"), "text")
+
+
+_E43_SQL = """
+WITH toks AS (
+  SELECT regexp_split_to_array(lower(trim(text)), '\\s+') AS ts FROM documents
+),
+bi AS (
+  SELECT unnest(list_transform(generate_series(1, len(ts) - 1),
+                i -> ts[i] || ' ' || ts[i + 1])) AS bg
+  FROM toks
+),
+c AS (
+  SELECT string_split(bg, ' ')[1] AS w1,
+         string_split(bg, ' ')[2] AS w2,
+         count(*) AS n_bigram
+  FROM bi GROUP BY 1, 2
+),
+ctx AS (
+  SELECT w1, CAST(sum(n_bigram) AS BIGINT) AS n_context FROM c GROUP BY w1
+)
+SELECT w1, w2, n_bigram, n_context,
+       CAST(1000000 * n_bigram // n_context AS BIGINT) AS prob_ppm
+FROM c JOIN ctx USING (w1)
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the validator's V1 per-file min/max over sf0.001."""
     return q_v1_file_minmax(spark, "/root/testdata/sf0.001")
@@ -3421,6 +3519,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e42_minhash_accuracy": q_e42_minhash_accuracy,
         "a39_latest_events": q_a39_latest_events,
         "p2_token_band": q_p2_token_band,
+        "a40_funnel": q_a40_funnel,
+        "a41_retention": q_a41_retention,
+        "e43_bigram_lm": q_e43_bigram_lm,
         # --- tier 4: round-1 greens, not re-confirmed since ---
         "v1_file_minmax": q_v1_file_minmax,
         "q1_global_sort": q_q1_global_sort,
@@ -3532,6 +3633,9 @@ def oracle_sql() -> dict[str, str]:
         "e42_minhash_accuracy": _E42_SQL,
         "a39_latest_events": _A39_SQL,
         "p2_token_band": _P2_SQL,
+        "a40_funnel": _A40_SQL,
+        "a41_retention": _A41_SQL,
+        "e43_bigram_lm": _E43_SQL,
         "e16_bpe_tokens": _E16_SQL,
         "s1_event_windows": _S1_SQL,
         "s2_sessionize": _S2_SQL,

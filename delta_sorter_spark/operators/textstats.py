@@ -317,6 +317,46 @@ def redact_sql(text_expr: str, patterns: dict[str, str] | None = None) -> tuple[
         cur = f"regexp_replace({cur}, '{sq}', '{_mask_token(name)}', 'g')"
     return cur, counts
 
+def bigram_lm_counts(df: DataFrame, text_col: str) -> DataFrame:
+    """Count-based bigram language-model table: (w1, w2, n_bigram,
+    n_context, prob_ppm) where prob_ppm = 1_000_000 * n(w1,w2) DIV n(w1) —
+    the conditional next-token probability in integer parts-per-million, so
+    the table is bit-identical across engines (no float division).
+
+    The shape behind classic count-based LM scoring and data-quality
+    surprisal features at corpus scale: one explode to bigrams, one counting
+    aggregation (map-side combinable), and the context totals derive from
+    the bigram counts themselves (vocab-sized, broadcast back) — the corpus
+    text is read exactly once."""
+    toks = df.select(
+        F.expr(f"split(lower(trim({text_col})), '\\\\s+')").alias("__ts__")
+    )
+    # Spark's sequence(1, 0) yields a DESCENDING [1, 0] rather than an
+    # empty array, so short texts must be guarded explicitly
+    pairs = toks.select(
+        F.explode(
+            F.when(
+                F.size("__ts__") >= 2,
+                F.expr(
+                    "transform(sequence(1, size(__ts__) - 1),"
+                    " i -> struct(element_at(__ts__, i) AS w1,"
+                    "             element_at(__ts__, i + 1) AS w2))"
+                ),
+            ).otherwise(F.expr("array()"))
+        ).alias("__b__")
+    ).select("__b__.w1", "__b__.w2")
+    counts = pairs.groupBy("w1", "w2").agg(F.count("*").alias("n_bigram"))
+    ctx = counts.groupBy("w1").agg(F.sum("n_bigram").alias("n_context"))
+    return (
+        counts.join(F.broadcast(ctx), "w1")
+        .withColumn(
+            "prob_ppm",
+            F.expr("CAST(1000000 * n_bigram DIV n_context AS BIGINT)"),
+        )
+        .select("w1", "w2", "n_bigram", "n_context", "prob_ppm")
+    )
+
+
 def token_band_filter(
     df: DataFrame,
     id_col: str,

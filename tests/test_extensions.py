@@ -523,3 +523,62 @@ def test_incremental_dedup_across_batches(spark, tmp_path):
                              txn_app_id="ingest", txn_version=2)
     assert res3.get("skipped") and res3["new_rows"] == 0
     assert idx.to_df().count() == 3
+
+
+def test_funnel_strictly_after_and_cohorts(spark):
+    from delta_sorter_spark.operators.events_analytics import (
+        funnel_counts,
+        retention_cohorts,
+    )
+
+    rows = [
+        # user 1: full ordered funnel
+        (1, "2024-01-01 10:00:00", "view"),
+        (1, "2024-01-01 11:00:00", "click"),
+        (1, "2024-01-02 09:00:00", "purchase"),
+        # user 2: click BEFORE first view -> stops at step 1
+        (2, "2024-01-01 08:00:00", "click"),
+        (2, "2024-01-01 09:00:00", "view"),
+        # user 3: click at the SAME instant as view -> not strictly after
+        (3, "2024-01-03 12:00:00", "view"),
+        (3, "2024-01-03 12:00:00", "click"),
+        # user 4: never viewed
+        (4, "2024-01-01 10:00:00", "purchase"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts string, event_type string").withColumn(
+        "ts", F.col("ts").cast("timestamp_ntz")
+    )
+    got = {
+        r["step_name"]: r["n_users"]
+        for r in funnel_counts(ev, "user_id", "ts", "event_type",
+                               ["view", "click", "purchase"]).collect()
+    }
+    assert got == {"view": 3, "click": 1, "purchase": 1}
+
+    coh = {
+        (r["cohort_day"], r["offset_days"]): r["n_users"]
+        for r in retention_cohorts(ev, "user_id", "ts").collect()
+    }
+    # users 1,2,4 first seen 01-01; user 1 also active 01-02; user 3 on 01-03
+    assert coh[("2024-01-01", 0)] == 3
+    assert coh[("2024-01-01", 1)] == 1
+    assert coh[("2024-01-03", 0)] == 1
+    assert len(coh) == 3
+
+
+def test_bigram_lm_counts_short_text_guard(spark):
+    from delta_sorter_spark.operators.textstats import bigram_lm_counts
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "a"), (3, ""), (4, "b a")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["w1"], r["w2"]): (r["n_bigram"], r["n_context"], r["prob_ppm"])
+        for r in bigram_lm_counts(docs, "text").collect()
+    }
+    # doc 1: (a,b)x2 (b,a)x1 (b,c)x1; doc 4: (b,a)x1; docs 2,3: no bigrams
+    assert got[("a", "b")] == (2, 2, 1000000)
+    assert got[("b", "a")] == (2, 3, 666666)
+    assert got[("b", "c")] == (1, 3, 333333)
+    assert len(got) == 3
