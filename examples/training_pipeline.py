@@ -1,6 +1,7 @@
 """End-to-end training-data curation over the documents table: profile ->
-exact-dup removal -> quality filter -> domain-mixing sample -> deterministic
-split -> token-budget packing.
+exact-dup removal -> length-band outlier pruning -> quality filter ->
+cross-batch incremental dedup against a persistent hash index ->
+domain-mixing sample -> deterministic split -> token-budget packing.
 
 Every stage is a DataFrame transform (no driver materialization) and every
 stage is deterministic, so reruns produce byte-identical corpora — the two
@@ -42,6 +43,31 @@ def main() -> None:
         .drop("rn")
     )
 
+    # 2b. drop token-length outliers (fragments / boilerplate dumps)
+    from delta_sorter_spark.operators.textstats import token_band_filter
+
+    banded_ids = token_band_filter(docs, "doc_id", "text", 5, 95).select("doc_id")
+    kept = kept.join(banded_ids, "doc_id", "left_semi")
+
+    # 2c. incremental dedup: register this batch's content hashes in a
+    # persistent Delta index so the NEXT ingestion run drops anything this
+    # run already accepted (O(batch) per run, never O(corpus))
+    import tempfile
+
+    from delta_sorter_spark.operators.dedup import incremental_dedup
+    from delta_sorter_spark.sources.delta_table import DeltaTable
+
+    idx_path = os.path.join(tempfile.mkdtemp(prefix="dedup_idx_"), "index")
+    DeltaTable.create(
+        spark, idx_path,
+        spark.createDataFrame([], "content_hash long, doc_id long"),
+    )
+    stats = incremental_dedup(
+        DeltaTable(spark, idx_path),
+        docs.join(kept.select("doc_id"), "doc_id", "left_semi"),
+        "doc_id", "text", txn_app_id="pipeline", txn_version=1,
+    )
+
     # 3. domain mixing: keep curated sources fully, downsample the rest
     mixed = stratified_sample(
         kept.join(docs.select("doc_id", "source"), "doc_id"),
@@ -66,6 +92,7 @@ def main() -> None:
     n_train = train.count()
     n_bins = packed.agg(F.countDistinct("source", "bin_id")).collect()[0][0]
     print(f"documents:      {n0}")
+    print(f"index new rows: {stats['new_rows']}")
     print(f"deduped+quality:{n_kept}")
     print(f"after mixing:   {n_mixed}")
     print(f"train shard:    {n_train}")

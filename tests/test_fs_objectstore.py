@@ -407,6 +407,11 @@ def test_s3_strict_compact_end_to_end(s3_env, spark, tmp_path):
     assert metrics2.rewritten_partitions == 0
     assert metrics2.skipped_partitions == 1
 
+    # z-order clustering rewrite also runs remotely (same strict write path)
+    metrics3 = compact(uri, [], zorder_columns=["v"], spark=spark)
+    assert metrics3.rewritten_partitions == 1
+    assert t.to_df().count() == 6
+
 
 def test_s3_partition_aware_compact_end_to_end(s3_env, spark, tmp_path):
     """The reference's core loop — partition-scoped rewrites on an object
