@@ -131,9 +131,18 @@ def minhash_lsh_candidates(
     """Candidate near-duplicate pairs (id_a < id_b) that share at least one
     LSH band.  k/bands rows per band; docs agreeing on every minhash within
     any band collide."""
+    sigs = minhash_signatures(df, id_col, text_col, k, shingle_n, seed)
+    return lsh_pairs_from_signatures(sigs, id_col, k, bands)
+
+
+def lsh_pairs_from_signatures(
+    sigs: DataFrame, id_col: str, k: int, bands: int
+) -> DataFrame:
+    """Banded self-join over an EXISTING signature table — callers that
+    already hold (or persisted) signatures avoid recomputing the shingle
+    explode, which at corpus scale is the dominant cost."""
     assert k % bands == 0, "k must divide into equal bands"
     rows_per_band = k // bands
-    sigs = minhash_signatures(df, id_col, text_col, k, shingle_n, seed)
     band_cols = []
     for b in range(bands):
         cols = [F.col(f"minhash_{b * rows_per_band + r}") for r in range(rows_per_band)]
@@ -172,7 +181,7 @@ def minhash_estimate_vs_exact(
     banded candidates (same verify-on-candidates shape as e40's edit
     distance), so the cost is |candidates| x shingles, never corpus^2."""
     sigs = minhash_signatures(df, id_col, text_col, k, shingle_n, seed)
-    cands = minhash_lsh_candidates(df, id_col, text_col, k, bands, shingle_n, seed)
+    cands = lsh_pairs_from_signatures(sigs, id_col, k, bands)
     sa = sigs.select(
         F.col(id_col).alias("id_a"),
         *[F.col(f"minhash_{j}").alias(f"__a{j}__") for j in range(k)],
