@@ -3522,6 +3522,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a40_funnel": q_a40_funnel,
         "a41_retention": q_a41_retention,
         "e43_bigram_lm": q_e43_bigram_lm,
+        # changed implementation this round -> recheck inside the budget
+        "a23_revenue_deciles": q_a23_revenue_deciles,
+        "e38_tfidf_terms": q_e38_tfidf_terms,
         # --- tier 4: round-1 greens, not re-confirmed since ---
         "v1_file_minmax": q_v1_file_minmax,
         "q1_global_sort": q_q1_global_sort,
