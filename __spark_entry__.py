@@ -3488,6 +3488,33 @@ FROM c JOIN ctx USING (w1)
 """
 
 
+# ---------------------------------------------------------------------------
+# E44: ANN recall@k — sign-LSH approximate top-k scored against the exact
+# brute-force top-k (integer ppm; the ANN parameter-tuning loop)
+# ---------------------------------------------------------------------------
+
+
+def q_e44_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_sorter_spark.operators.similarity import topk_recall
+
+    exact = q_e6_topk_cosine(spark, sf_dir)
+    approx = q_e7_ann_lsh(spark, sf_dir)
+    return topk_recall(exact, approx, "query_id", "id", k=TOPK)
+
+
+_E44_SQL = f"""
+WITH exact AS (SELECT * FROM ({_E6_SQL}) __e),
+approx AS (SELECT * FROM ({_E7_SQL}) __a)
+SELECT count(DISTINCT e.query_id) AS n_queries,
+       {TOPK} AS k,
+       count(a.id) AS total_hits,
+       CAST(1000000 * count(a.id)
+            // (count(DISTINCT e.query_id) * {TOPK}) AS BIGINT) AS recall_ppm
+FROM exact e
+LEFT JOIN approx a ON a.query_id = e.query_id AND a.id = e.id
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the validator's V1 per-file min/max over sf0.001."""
     return q_v1_file_minmax(spark, "/root/testdata/sf0.001")
@@ -3522,6 +3549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a40_funnel": q_a40_funnel,
         "a41_retention": q_a41_retention,
         "e43_bigram_lm": q_e43_bigram_lm,
+        "e44_ann_recall": q_e44_ann_recall,
         # changed implementation this round -> recheck inside the budget
         "a23_revenue_deciles": q_a23_revenue_deciles,
         "e38_tfidf_terms": q_e38_tfidf_terms,
@@ -3639,6 +3667,7 @@ def oracle_sql() -> dict[str, str]:
         "a40_funnel": _A40_SQL,
         "a41_retention": _A41_SQL,
         "e43_bigram_lm": _E43_SQL,
+        "e44_ann_recall": _E44_SQL,
         "e16_bpe_tokens": _E16_SQL,
         "s1_event_windows": _S1_SQL,
         "s2_sessionize": _S2_SQL,

@@ -259,3 +259,40 @@ def quantized_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "id", "rank", "qdot")
     )
+
+
+def topk_recall(
+    exact: DataFrame,
+    approx: DataFrame,
+    query_col: str = "query_id",
+    id_col: str = "id",
+    k: int = 5,
+) -> DataFrame:
+    """Recall@k of an approximate top-k result against the exact one — the
+    evaluation loop for tuning ANN parameters (planes/probes/centroids)
+    without eyeballing result sets.
+
+    recall_ppm = 1_000_000 * |exact ∩ approx| DIV (n_queries * k), integer
+    parts-per-million so the number is bit-identical across engines.  One
+    hash join on (query, id) over two k*|queries|-sized inputs — the
+    expensive parts are the searches themselves, which callers run (and at
+    scale, persist) independently."""
+    marked = approx.select(query_col, id_col).withColumn("__hit__", F.lit(1))
+    joined = exact.select(query_col, id_col).join(
+        marked, [query_col, id_col], "left"
+    )
+    return (
+        joined.groupBy()
+        .agg(
+            F.countDistinct(query_col).alias("n_queries"),
+            F.count("__hit__").alias("total_hits"),
+        )
+        .select(
+            "n_queries",
+            F.lit(int(k)).alias("k"),
+            "total_hits",
+            F.expr(
+                f"CAST(1000000 * total_hits DIV (n_queries * {int(k)}) AS BIGINT)"
+            ).alias("recall_ppm"),
+        )
+    )
