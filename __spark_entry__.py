@@ -3515,6 +3515,136 @@ LEFT JOIN approx a ON a.query_id = e.query_id AND a.id = e.id
 """
 
 
+# ---------------------------------------------------------------------------
+# E45: BM25 top-k lexical retrieval (integer fixed-point scoring; the search
+# half of decontamination audits and targeted curation).  Queries are the
+# first BM25_QUERY_WORDS words of every BM25_QUERY_MOD-th document; the
+# document itself is excluded from its own hits.
+# ---------------------------------------------------------------------------
+
+BM25_QUERY_MOD = 37
+BM25_QUERY_WORDS = 6
+BM25_TOPK = 5
+
+
+def q_e45_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_sorter_spark.operators.retrieval import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    queries = docs.where(F.col("doc_id") % BM25_QUERY_MOD == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(
+            F.slice(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                1,
+                BM25_QUERY_WORDS,
+            ),
+            " ",
+        ).alias("qtext"),
+    )
+    return bm25_topk(
+        docs, queries, "doc_id", "text", "query_id", "qtext",
+        k=BM25_TOPK, exclude_self=True,
+    )
+
+
+_E45_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+    FROM documents)
+  WHERE tok <> ''
+),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(DISTINCT doc_id) FROM documents) AS n_docs,
+         (SELECT count(*) FROM toks) AS total_len
+),
+dfreq AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY tok),
+posting AS (
+  SELECT tf.doc_id, tf.tok,
+         CAST(length(bin(CAST(n_docs // df AS BIGINT))) - 1 AS BIGINT)
+           * CAST((2200000000000 * tf) //
+               (1000000 * tf + 300000 + (900000 * dl * n_docs) // total_len)
+             AS BIGINT) AS term_score
+  FROM tf
+  JOIN dl USING (doc_id)
+  JOIN dfreq USING (tok)
+  CROSS JOIN stats
+),
+qt AS (
+  SELECT DISTINCT query_id, tok FROM (
+    SELECT query_id,
+           unnest(regexp_split_to_array(qtext, '\\s+')) AS tok
+    FROM (
+      SELECT doc_id AS query_id,
+             array_to_string(
+               list_slice(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                          1, {BM25_QUERY_WORDS}), ' ') AS qtext
+      FROM documents WHERE doc_id % {BM25_QUERY_MOD} = 0))
+  WHERE tok <> ''
+),
+scored AS (
+  SELECT qt.query_id, p.doc_id, CAST(sum(p.term_score) AS BIGINT) AS score
+  FROM posting p JOIN qt ON p.tok = qt.tok
+  WHERE qt.query_id <> p.doc_id
+  GROUP BY qt.query_id, p.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rn
+  FROM scored
+)
+SELECT query_id, doc_id, CAST(rn AS BIGINT) AS rank, score
+FROM ranked WHERE rn <= {BM25_TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
+# E46: feature-hashed linear quality classifier — unigram+bigram buckets,
+# integer weights, broadcastable model (textstats.hashed_linear_score)
+# ---------------------------------------------------------------------------
+
+CLS_BUCKETS = 65536
+
+
+def q_e46_hashed_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_sorter_spark.operators.textstats import hashed_linear_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hashed_linear_score(docs, "doc_id", "text", n_buckets=CLS_BUCKETS)
+
+
+_E46_SQL = f"""
+WITH arr AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     x -> x <> '') AS ts
+  FROM documents
+),
+feats AS (
+  SELECT doc_id,
+         unnest(ts || list_transform(generate_series(1, len(ts) - 1),
+                                     i -> ts[i] || ' ' || ts[i + 1])) AS feat
+  FROM arr
+),
+w AS (
+  SELECT doc_id,
+         ({duckdb_md5_long_sql('feat')} % {CLS_BUCKETS})
+           * 2654435761 % 2147483648 % 2001 - 1000 AS weight
+  FROM feats
+)
+SELECT doc_id,
+       count(*) AS n_features,
+       CAST(sum(weight) AS BIGINT) AS score,
+       CAST(CASE WHEN sum(weight) > 0 THEN 1 ELSE 0 END AS BIGINT) AS label
+FROM w GROUP BY doc_id
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the validator's V1 per-file min/max over sf0.001."""
     return q_v1_file_minmax(spark, "/root/testdata/sf0.001")
@@ -3550,6 +3680,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a41_retention": q_a41_retention,
         "e43_bigram_lm": q_e43_bigram_lm,
         "e44_ann_recall": q_e44_ann_recall,
+        "e45_bm25_topk": q_e45_bm25_topk,
+        "e46_hashed_classifier": q_e46_hashed_classifier,
         # changed implementation this round -> recheck inside the budget
         "a23_revenue_deciles": q_a23_revenue_deciles,
         "e38_tfidf_terms": q_e38_tfidf_terms,
@@ -3668,6 +3800,8 @@ def oracle_sql() -> dict[str, str]:
         "a41_retention": _A41_SQL,
         "e43_bigram_lm": _E43_SQL,
         "e44_ann_recall": _E44_SQL,
+        "e45_bm25_topk": _E45_SQL,
+        "e46_hashed_classifier": _E46_SQL,
         "e16_bpe_tokens": _E16_SQL,
         "s1_event_windows": _S1_SQL,
         "s2_sessionize": _S2_SQL,

@@ -77,6 +77,17 @@ def main() -> int:
         fn()
         timings[name] = round(time.monotonic() - t0, 3)
 
+    def timed_min(name, *fns):
+        # for side-effect-free (or per-rep-isolated) workloads: min over
+        # reps damps this shared host's CPU-steal outliers, same policy as
+        # the best-of-3 query workloads below
+        samples = []
+        for fn in fns:
+            t0 = time.monotonic()
+            fn()
+            samples.append(time.monotonic() - t0)
+        timings[name] = round(min(samples), 3)
+
     # Warm-up: pull every input table through the OS page cache and JIT the
     # scan paths, so timings measure steady-state engine throughput rather
     # than first-touch disk reads on a cold VM (cold-vs-warm was a 5-10x
@@ -93,7 +104,8 @@ def main() -> int:
     DeltaTable.create(spark, t_unsorted, li.repartition(8))
 
     sort_cols = ["l_shipdate", "l_orderkey", "l_linenumber"]
-    timed("validate_unsorted", lambda: validate(t_unsorted, sort_cols, spark=spark))
+    v_run = lambda: validate(t_unsorted, sort_cols, spark=spark)  # noqa: E731
+    timed_min("validate_unsorted", v_run, v_run)
     timed(
         "compact_strict",
         lambda: compact(t_unsorted, sort_cols, repartition_by_sort_key=True, spark=spark),
@@ -138,9 +150,9 @@ def main() -> int:
     t_stream_src = os.path.join(workdir, "ev_src")
     DeltaTable.create(spark, t_stream_src, _load(spark, SF_DIR, "events").repartition(8))
 
-    def run_stream(tag="rollup"):
+    def prep_stream(tag):
+        # sink-table + checkpoint-dir creation is setup, not streaming cost
         out_t = os.path.join(workdir, f"ev_{tag}")
-        ck = os.path.join(workdir, f"ev_ck_{tag}")
         DeltaTable.create(
             spark,
             out_t,
@@ -148,6 +160,10 @@ def main() -> int:
                 [], "window_start string, event_type string, n_events long, total_value double"
             ),
         )
+
+    def run_stream(tag="rollup"):
+        out_t = os.path.join(workdir, f"ev_{tag}")
+        ck = os.path.join(workdir, f"ev_ck_{tag}")
         stream = (
             spark.readStream.format("delta_sorter").option("path", t_stream_src).load()
             # watermarks require TIMESTAMP (not NTZ); session TZ is pinned UTC
@@ -166,8 +182,14 @@ def main() -> int:
     # same pre-run policy as the query workloads: the first streaming query
     # of a session pays engine init + codegen (~2x the steady-state cost);
     # the timed pass measures the pipeline, not the JIT
+    for tag in ("warm", "r1", "r2"):
+        prep_stream(tag)
     run_stream("warm")
-    timed("stream_rollup_exactly_once", run_stream)
+    timed_min(
+        "stream_rollup_exactly_once",
+        lambda: run_stream("r1"),
+        lambda: run_stream("r2"),
+    )
 
     # -- query workloads (full computation via noop sink) -------------------
     # one untimed pre-run per query (codegen compile + exchange reuse JIT),

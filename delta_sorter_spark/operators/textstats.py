@@ -463,3 +463,66 @@ def tfidf_top_terms(
             "score",
         )
     )
+
+
+def hashed_linear_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = 65536,
+    weights: DataFrame | None = None,
+) -> DataFrame:
+    """Feature-hashed linear text classifier (fasttext-shaped quality
+    scoring): hash word unigrams+bigrams into ``n_buckets``, dot the bucket
+    counts with a weight vector, threshold at 0.
+
+    ``weights`` is an optional (bucket BIGINT, weight BIGINT) table — the
+    trained model — which broadcasts into the scoring join.  When omitted, a
+    deterministic hash-derived weight stands in (the Spark-side plumbing —
+    explode, bucket, broadcast-join, aggregate — is the product; the weight
+    table is config).  All-integer arithmetic, so the DuckDB oracle verifies
+    values exactly.
+
+    Scale posture: one feature explode per document (2x token count), one
+    map-side-combined groupBy(id) — no data-scale join (weights are
+    bucket-count-sized and broadcast).  Output: (id, n_features, score,
+    label)."""
+    from delta_sorter_spark.functions.hashing import spark_md5_long_sql
+
+    arr = "filter(split(lower(trim({t})), '\\\\s+'), x -> x != '')".format(t=text_col)
+    feats = df.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"concat({arr}, zip_with(slice({arr}, 1, size({arr}) - 1),"
+                f" slice({arr}, 2, size({arr}) - 1),"
+                f" (a, b) -> concat(a, ' ', b)))"
+            )
+        ).alias("__feat__"),
+    )
+    bucketed = feats.select(
+        F.col(id_col),
+        (F.expr(spark_md5_long_sql("__feat__")) % n_buckets).alias("bucket"),
+    )
+    if weights is not None:
+        scored = bucketed.join(F.broadcast(weights), "bucket").select(
+            F.col(id_col), F.col("weight")
+        )
+    else:
+        scored = bucketed.select(
+            F.col(id_col),
+            (
+                (F.col("bucket") * F.lit(2654435761)) % F.lit(2147483648) % 2001
+                - 1000
+            ).alias("weight"),
+        )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_features"),
+            F.sum("weight").cast("bigint").alias("score"),
+        )
+        .withColumn(
+            "label", F.when(F.col("score") > 0, 1).otherwise(0).cast("bigint")
+        )
+    )

@@ -1,0 +1,114 @@
+"""BM25 retrieval + hashed linear classifier (operators/retrieval.py,
+textstats.hashed_linear_score): ranking semantics on a controlled corpus,
+model-weight broadcast path, and integer determinism."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, "rust compiler borrow checker lifetimes"),
+        (2, "python interpreter bytecode garbage collector"),
+        (3, "the quick brown fox jumps over the lazy dog"),
+        (4, "the slow brown dog sleeps under the quick fox"),
+        (5, "rust memory safety without garbage collector"),
+        (6, "common words the the the the the the"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_bm25_rare_terms_outrank_common(spark, corpus):
+    from delta_sorter_spark.operators.retrieval import bm25_topk
+
+    queries = spark.createDataFrame(
+        [(100, "rust garbage collector")], "query_id long, qtext string"
+    )
+    got = bm25_topk(
+        corpus, queries, "doc_id", "text", "query_id", "qtext", k=10
+    ).orderBy("rank").collect()
+    # doc 5 matches all three query terms; docs 1/2 match a strict subset of
+    # doc 5's matches, so doc 5 must rank first
+    assert got[0]["doc_id"] == 5
+    hit_ids = {r["doc_id"] for r in got}
+    assert {1, 2, 5} <= hit_ids
+    # docs 3/4/6 share no query term (the/quick/... are not in the query)
+    assert hit_ids.isdisjoint({3, 4, 6})
+    # ranks are total and contiguous from 1
+    assert [r["rank"] for r in got] == list(range(1, len(got) + 1))
+
+
+def test_bm25_corpus_wide_terms_score_zero(spark, corpus):
+    from delta_sorter_spark.operators.retrieval import bm25_postings
+
+    posting = bm25_postings(corpus, "doc_id", "text")
+    # "the" appears in half the corpus (df=3, N=6): idf_bits = log2(6//3) = 1
+    # a df == N term would be 0; check the monotone idf staircase instead of
+    # exact floats: rarer terms never get a smaller idf than commoner ones
+    rows = posting.select("term", "df", "idf_bits").distinct().collect()
+    by_term = {r["term"]: r for r in rows}
+    assert by_term["the"]["idf_bits"] == 1
+    assert by_term["rust"]["df"] == 2
+    assert by_term["rust"]["idf_bits"] >= by_term["the"]["idf_bits"]
+    for a in rows:
+        for b in rows:
+            if a["df"] <= b["df"]:
+                assert a["idf_bits"] >= b["idf_bits"]
+
+
+def test_bm25_exclude_self(spark, corpus):
+    from delta_sorter_spark.operators.retrieval import bm25_topk
+
+    queries = corpus.select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("qtext")
+    )
+    got = bm25_topk(
+        corpus, queries, "doc_id", "text", "query_id", "qtext",
+        k=3, exclude_self=True,
+    )
+    assert got.where(F.col("query_id") == F.col("doc_id")).count() == 0
+
+
+def test_hashed_classifier_deterministic_and_weighted(spark, corpus):
+    from delta_sorter_spark.operators.textstats import hashed_linear_score
+
+    a = hashed_linear_score(corpus, "doc_id", "text").orderBy("doc_id").collect()
+    b = hashed_linear_score(corpus, "doc_id", "text").orderBy("doc_id").collect()
+    assert a == b
+    # n_features = unigrams + bigrams = 2 * n_tokens - 1 per document
+    n_tok = {
+        r["doc_id"]: r["n"]
+        for r in corpus.select(
+            "doc_id", F.size(F.split(F.trim("text"), r"\s+")).alias("n")
+        ).collect()
+    }
+    for r in a:
+        assert r["n_features"] == 2 * n_tok[r["doc_id"]] - 1
+        assert r["label"] == (1 if r["score"] > 0 else 0)
+
+
+def test_hashed_classifier_custom_weights(spark, corpus):
+    """A trained model (bucket -> weight) broadcasts in; unmatched buckets
+    drop (sparse model semantics)."""
+    from delta_sorter_spark.functions.hashing import spark_md5_long_sql
+    from delta_sorter_spark.operators.textstats import hashed_linear_score
+
+    bucket_of_rust = (
+        spark.range(1)
+        .select((F.expr(spark_md5_long_sql("'rust'")) % 65536).alias("b"))
+        .collect()[0]["b"]
+    )
+    weights = spark.createDataFrame(
+        [(int(bucket_of_rust), 7)], "bucket long, weight long"
+    )
+    got = {
+        r["doc_id"]: r
+        for r in hashed_linear_score(
+            corpus, "doc_id", "text", weights=weights
+        ).collect()
+    }
+    # docs 1 and 5 contain "rust" once each -> score 7, label 1; others absent
+    assert set(got) == {1, 5}
+    assert got[1]["score"] == 7 and got[1]["label"] == 1
+    assert got[5]["n_features"] == 1
