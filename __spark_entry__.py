@@ -3645,6 +3645,51 @@ FROM w GROUP BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# A42: time-series gap fill — resample events onto an hourly grid with
+# forward-fill (operators/timeseries.resample_ffill; ppm-quantized values)
+# ---------------------------------------------------------------------------
+
+RESAMPLE_STEP_S = 3600
+
+
+def q_a42_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_sorter_spark.operators.timeseries import resample_ffill
+
+    return resample_ffill(
+        load_table(spark, sf_dir, "events"),
+        "event_type", "ts", "value", step_s=RESAMPLE_STEP_S,
+    )
+
+
+_A42_SQL = f"""
+WITH b AS (
+  SELECT event_type,
+         (CAST(floor(epoch(ts)) AS BIGINT) // {RESAMPLE_STEP_S})
+           * {RESAMPLE_STEP_S} AS b,
+         max(CAST(floor(CAST(value AS DOUBLE) * 1000000) AS BIGINT)) AS v
+  FROM events GROUP BY 1, 2
+),
+span AS (SELECT event_type, min(b) AS lo, max(b) AS hi FROM b GROUP BY 1),
+grid AS (
+  SELECT event_type,
+         unnest(range(lo, hi + {RESAMPLE_STEP_S}, {RESAMPLE_STEP_S})) AS gb
+  FROM span
+),
+j AS (
+  SELECT g.event_type, g.gb, b.v
+  FROM grid g LEFT JOIN b ON b.event_type = g.event_type AND b.b = g.gb
+)
+SELECT event_type,
+       strftime(make_timestamp(gb * 1000000), '{_TS_FMT_DUCK}') AS bucket_start,
+       last_value(v IGNORE NULLS) OVER (
+         PARTITION BY event_type ORDER BY gb
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ppm,
+       CAST(CASE WHEN v IS NULL THEN 1 ELSE 0 END AS BIGINT) AS filled
+FROM j
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the validator's V1 per-file min/max over sf0.001."""
     return q_v1_file_minmax(spark, "/root/testdata/sf0.001")
@@ -3682,6 +3727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e44_ann_recall": q_e44_ann_recall,
         "e45_bm25_topk": q_e45_bm25_topk,
         "e46_hashed_classifier": q_e46_hashed_classifier,
+        "a42_resample_ffill": q_a42_resample_ffill,
         # changed implementation this round -> recheck inside the budget
         "a23_revenue_deciles": q_a23_revenue_deciles,
         "e38_tfidf_terms": q_e38_tfidf_terms,
@@ -3802,6 +3848,7 @@ def oracle_sql() -> dict[str, str]:
         "e44_ann_recall": _E44_SQL,
         "e45_bm25_topk": _E45_SQL,
         "e46_hashed_classifier": _E46_SQL,
+        "a42_resample_ffill": _A42_SQL,
         "e16_bpe_tokens": _E16_SQL,
         "s1_event_windows": _S1_SQL,
         "s2_sessionize": _S2_SQL,
