@@ -3508,8 +3508,7 @@ approx AS (SELECT * FROM ({_E7_SQL}) __a)
 SELECT count(DISTINCT e.query_id) AS n_queries,
        {TOPK} AS k,
        count(a.id) AS total_hits,
-       CAST(1000000 * count(a.id)
-            // (count(DISTINCT e.query_id) * {TOPK}) AS BIGINT) AS recall_ppm
+       CAST(1000000 * count(a.id) // count(*) AS BIGINT) AS recall_ppm
 FROM exact e
 LEFT JOIN approx a ON a.query_id = e.query_id AND a.id = e.id
 """

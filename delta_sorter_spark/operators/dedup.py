@@ -658,9 +658,12 @@ def incremental_dedup(
     snapshot."""
     import json as _json
 
+    if (txn_app_id is None) != (txn_version is None):
+        # same contract append() enforces — fail before any compute
+        raise ValueError("txn_app_id and txn_version must be passed together")
     if (
         txn_app_id is not None
-        and index_table.state().txns.get(txn_app_id, -1) >= (txn_version or 0)
+        and index_table.state().txns.get(txn_app_id, -1) >= txn_version
     ):
         # replayed batch: already registered — no compute at all
         return {
@@ -676,9 +679,28 @@ def incremental_dedup(
     version = index_table.append(
         pairs, txn_app_id=txn_app_id, txn_version=txn_version
     )
-    # accepted-row count from THIS commit's Add stats — exact, no extra scan
+    # accepted-row count from THIS commit's Add stats — exact, no extra
+    # scan.  When append lost the SetTransaction race (another worker
+    # registered the same batch first), it returns the LATEST version, not
+    # ours — counting that commit's adds would report rows this call never
+    # wrote, so confirm the commit carries our transaction marker first.
+    actions = list(index_table.log.commit_actions(version))
+    if txn_app_id is not None:
+        ours = any(
+            (t := r.get("txn")) is not None
+            and t.get("appId") == txn_app_id
+            and t.get("version") == txn_version
+            for r in actions
+        )
+        if not ours:
+            return {
+                "batch_rows": batch_rows,
+                "new_rows": 0,
+                "version": version,
+                "skipped": True,
+            }
     accepted = 0
-    for r in index_table.log.commit_actions(version):
+    for r in actions:
         a = r.get("add")
         if not a:
             continue

@@ -238,7 +238,11 @@ def delete_where(table: DeltaTable, predicate: str) -> dict:
         # source's withFilePath option emits the table-relative path instead
         from delta_sorter_spark.streaming.delta_source import FILE_COL
 
-        df = table._to_df_remote(with_file_path=True)
+        # pin the scan to the snapshot the candidates come from: an unpinned
+        # read sees files committed AFTER state was captured, so hit paths
+        # would miss every candidate and the delete silently no-ops under a
+        # concurrent rewrite
+        df = table._to_df_remote(version=state.version, with_file_path=True)
         hit_paths = {
             r["__f__"]
             for r in df.where(predicate)

@@ -272,19 +272,26 @@ def topk_recall(
     evaluation loop for tuning ANN parameters (planes/probes/centroids)
     without eyeballing result sets.
 
-    recall_ppm = 1_000_000 * |exact ∩ approx| DIV (n_queries * k), integer
-    parts-per-million so the number is bit-identical across engines.  One
-    hash join on (query, id) over two k*|queries|-sized inputs — the
-    expensive parts are the searches themselves, which callers run (and at
-    scale, persist) independently."""
-    marked = approx.select(query_col, id_col).withColumn("__hit__", F.lit(1))
-    joined = exact.select(query_col, id_col).join(
+    recall_ppm = 1_000_000 * |exact ∩ approx| DIV |exact|, integer
+    parts-per-million so the number is bit-identical across engines.  The
+    denominator is the ACTUAL exact row count (not n_queries * k, which
+    overstates it when a query's exact top-k is short — tiny corpus or
+    self-exclusion), and both sides dedup on (query, id) first so a
+    multi-probe ANN union cannot fan out the join and push recall past
+    1.0.  One hash join over two k*|queries|-sized inputs — the expensive
+    parts are the searches themselves, which callers run (and at scale,
+    persist) independently."""
+    marked = approx.select(query_col, id_col).distinct().withColumn(
+        "__hit__", F.lit(1)
+    )
+    joined = exact.select(query_col, id_col).distinct().join(
         marked, [query_col, id_col], "left"
     )
     return (
         joined.groupBy()
         .agg(
             F.countDistinct(query_col).alias("n_queries"),
+            F.count("*").alias("__n_exact__"),
             F.count("__hit__").alias("total_hits"),
         )
         .select(
@@ -292,7 +299,7 @@ def topk_recall(
             F.lit(int(k)).alias("k"),
             "total_hits",
             F.expr(
-                f"CAST(1000000 * total_hits DIV (n_queries * {int(k)}) AS BIGINT)"
+                "CAST(1000000 * total_hits DIV __n_exact__ AS BIGINT)"
             ).alias("recall_ppm"),
         )
     )

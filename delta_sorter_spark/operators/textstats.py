@@ -490,12 +490,16 @@ def hashed_linear_score(
     from delta_sorter_spark.functions.hashing import spark_md5_long_sql
 
     arr = "filter(split(lower(trim({t})), '\\\\s+'), x -> x != '')".format(t=text_col)
+    # greatest(..., 0): slice() raises on negative length, so an empty or
+    # whitespace-only document (size(arr) = 0) must degrade to zero bigrams,
+    # not abort the job
+    n_bi = f"greatest(size({arr}) - 1, 0)"
     feats = df.select(
         F.col(id_col),
         F.explode(
             F.expr(
-                f"concat({arr}, zip_with(slice({arr}, 1, size({arr}) - 1),"
-                f" slice({arr}, 2, size({arr}) - 1),"
+                f"concat({arr}, zip_with(slice({arr}, 1, {n_bi}),"
+                f" slice({arr}, 2, {n_bi}),"
                 f" (a, b) -> concat(a, ' ', b)))"
             )
         ).alias("__feat__"),

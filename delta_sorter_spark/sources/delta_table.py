@@ -595,10 +595,27 @@ class DeltaTable:
             # applied) — the jar-free parquet _metadata.row_index
             reader = reader.option("withPositions", "true")
         if adds is not None:
-            subset = sorted({a.path for a in adds})
-            current = {a.path for a in self.state(version=version).adds}
-            if set(subset) != current:
-                reader = reader.option("files", _json.dumps(subset))
+            # ship self-contained file specs (path + partition values + DV
+            # descriptor), not bare paths: the planner then reads EXACTLY
+            # these files without re-checking membership in the current
+            # snapshot — matching local to_df(adds=...) semantics, so a
+            # concurrent rewrite between planning and read is resolved at
+            # commit time (ConcurrentRewriteError) instead of hard-aborting
+            # the scan, and no extra log replay happens here
+            by_path = {a.path: a for a in adds}
+            specs = [
+                {
+                    "path": a.path,
+                    "partitionValues": a.partition_values,
+                    **(
+                        {"deletionVector": a.deletion_vector}
+                        if a.deletion_vector
+                        else {}
+                    ),
+                }
+                for a in (by_path[p] for p in sorted(by_path))
+            ]
+            reader = reader.option("files", _json.dumps(specs))
         return reader.load()
 
     def _base_for(self, add: AddAction) -> str:

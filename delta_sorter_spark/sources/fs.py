@@ -598,6 +598,8 @@ class GcsFileSystem(_RestObjectStore):
                 return tag.rsplit("}", 1)[-1]
 
             marker = None
+            truncated = False
+            page_last_key = None
             for el in root.iter():
                 tag = _local(el.tag)
                 if tag == "Contents":
@@ -609,12 +611,21 @@ class GcsFileSystem(_RestObjectStore):
                             mtime = _parse_http_date(ch.text)
                     if name:
                         keys.append((name, mtime or 0.0))
+                        page_last_key = name
                 elif tag == "CommonPrefixes":
                     for ch in el:
                         if _local(ch.tag) == "Prefix" and ch.text:
                             prefixes.append(ch.text)
                 elif tag == "NextMarker":
                     marker = el.text
+                elif tag == "IsTruncated":
+                    truncated = (el.text or "").strip().lower() == "true"
+            if not marker and truncated:
+                # V1-style listings return NextMarker only when a delimiter
+                # was given; a delimiter-less truncated page continues from
+                # its last key — without this, tables past 1000 objects
+                # silently lose the tail (vacuum would miss orphans)
+                marker = page_last_key
             if not marker:
                 return keys, prefixes
 

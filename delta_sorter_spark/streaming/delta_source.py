@@ -76,6 +76,12 @@ class DeltaFilePartition(InputPartition):
     # env changes made after SparkSession creation)
     aws_env: dict = field(default_factory=dict)
     rel_path: str = ""  # table-relative path (FILE_COL payload)
+    # explicit flags, NOT inferred from schema field names: a user table
+    # may legitimately contain columns named __delta_file__ / __pos__, and
+    # name sniffing would silently flip reads into raw positional mode
+    # (DVs unapplied) or overwrite the user's values
+    emit_file_col: bool = False
+    emit_pos_col: bool = False
 
 
 def _arrow_type(dtype: T.DataType):
@@ -97,9 +103,8 @@ def _read_file(part: DeltaFilePartition):
     # filesystem on the worker — remote Delta tables stream without any
     # Spark filesystem connector jars
     tbl = pq.read_table(pyarrow_open_input(part.file_path))
-    with_positions = POS_COL in {f.name for f in schema.fields}
     positions = list(range(tbl.num_rows))
-    if part.deleted_positions and not with_positions:
+    if part.deleted_positions and not part.emit_pos_col:
         # a positional scan is RAW by contract (existing DVs not applied);
         # plain reads drop the deleted rows here
         dead = set(part.deleted_positions)
@@ -108,11 +113,11 @@ def _read_file(part: DeltaFilePartition):
     cols, names = [], []
     for f in schema.fields:
         at = _arrow_type(f.dataType)
-        if f.name == FILE_COL:
+        if f.name == FILE_COL and part.emit_file_col:
             cols.append(pa.array([part.rel_path] * n, type=pa.string()))
             names.append(f.name)
             continue
-        if f.name == POS_COL:
+        if f.name == POS_COL and part.emit_pos_col:
             cols.append(pa.array(positions[:n], type=pa.int64()))
             names.append(f.name)
             continue
@@ -155,6 +160,24 @@ def _apply_env_option(options) -> None:
         apply_aws_env(json.loads(raw))
 
 
+def _check_reserved_columns(schema: T.StructType, with_file: bool, with_pos: bool):
+    """withFilePath/withPositions append synthetic columns; if the table
+    already owns a column by those names the read would silently clobber
+    it — refuse loudly instead.  Tables that merely CONTAIN such columns
+    read fine as long as the options are off (the columns pass through as
+    ordinary data)."""
+    clashes = [
+        c
+        for c, wanted in ((FILE_COL, with_file or with_pos), (POS_COL, with_pos))
+        if wanted and c in schema.names
+    ]
+    if clashes:
+        raise ValueError(
+            f"delta_sorter source: table already has column(s) {clashes}; "
+            "withFilePath/withPositions cannot synthesize over user data"
+        )
+
+
 class _DeltaSourceCore:
     """Shared between the batch and stream readers."""
 
@@ -167,16 +190,19 @@ class _DeltaSourceCore:
         self.skip_change_commits = (
             str(options.get("skipChangeCommits", "false")).lower() == "true"
         )
-        with_file = str(options.get("withFilePath", "false")).lower() == "true"
-        with_pos = str(options.get("withPositions", "false")).lower() == "true"
+        self.with_file = (
+            str(options.get("withFilePath", "false")).lower() == "true"
+        )
+        self.with_pos = str(options.get("withPositions", "false")).lower() == "true"
         meta = self.log.read_state(at_version=at_version).metadata
+        _check_reserved_columns(meta.schema, self.with_file, self.with_pos)
         # pin schema at construction (stream start); partition layout is
         # immutable in Delta so the column list never changes
         pinned = schema or meta.schema
         extra = []
-        if (with_file or with_pos) and FILE_COL not in pinned.names:
+        if (self.with_file or self.with_pos) and FILE_COL not in pinned.names:
             extra.append(T.StructField(FILE_COL, T.StringType()))
-        if with_pos and POS_COL not in pinned.names:
+        if self.with_pos and POS_COL not in pinned.names:
             extra.append(T.StructField(POS_COL, T.LongType()))
         if extra:
             pinned = T.StructType(list(pinned.fields) + extra)
@@ -194,6 +220,10 @@ class _DeltaSourceCore:
             partition_columns=self.partition_columns,
             aws_env=capture_aws_env() if is_remote_uri(self.table_path) else {},
             rel_path=path,
+            # a positional scan carries the file path too (rows are
+            # addressed as (path, pos) pairs)
+            emit_file_col=self.with_file or self.with_pos,
+            emit_pos_col=self.with_pos,
         )
 
     def snapshot_partitions(self, at_version=None) -> list[DeltaFilePartition]:
@@ -219,24 +249,35 @@ class DeltaBatchReader(DataSourceReader):
         v = options.get("versionAsOf")
         self.at_version = int(v) if v is not None else None
         raw_files = options.get("files")
-        self.file_subset = (
-            frozenset(json.loads(raw_files)) if raw_files else None
-        )
+        self.file_subset = json.loads(raw_files) if raw_files else None
         self.core = _DeltaSourceCore(options, schema, at_version=self.at_version)
 
     def partitions(self):
-        parts = self.core.snapshot_partitions(at_version=self.at_version)
         if self.file_subset is not None:
-            base = self.core.table_path.rstrip("/") + "/"
-            by_rel = {p.file_path[len(base):]: p for p in parts}
-            missing = self.file_subset - set(by_rel)
-            if missing:
-                raise ValueError(
-                    "delta_sorter batch read: requested files are not active "
-                    f"in the snapshot (stale plan?): {sorted(missing)[:5]}"
+            # self-contained specs ({path, partitionValues, deletionVector})
+            # are read EXACTLY as given — no current-snapshot membership
+            # check, so a file tombstoned by a concurrent commit after the
+            # caller planned is still readable (it stays on disk until
+            # vacuum) and the race resolves at the caller's commit, same as
+            # the local JVM read path.  Metadata (schema, partition layout)
+            # still comes from the pinned snapshot.
+            parts = []
+            for spec in self.file_subset:
+                add = AddAction(
+                    path=spec["path"],
+                    size=0,
+                    partition_values=spec.get("partitionValues") or {},
+                    deletion_vector=spec.get("deletionVector"),
                 )
-            parts = [by_rel[r] for r in sorted(self.file_subset)]
-        return parts
+                parts.append(
+                    self.core._part_for(
+                        add.path,
+                        add.partition_values,
+                        _dv_positions(self.core.table_path, add),
+                    )
+                )
+            return parts
+        return self.core.snapshot_partitions(at_version=self.at_version)
 
     def read(self, partition):
         if partition is None:  # empty snapshot (e.g. versionAsOf=0)
@@ -326,6 +367,7 @@ class DeltaStreamDataSource(DataSource):
         schema = DeltaLog(self.options["path"]).read_state().metadata.schema
         with_file = str(self.options.get("withFilePath", "false")).lower() == "true"
         with_pos = str(self.options.get("withPositions", "false")).lower() == "true"
+        _check_reserved_columns(schema, with_file, with_pos)
         extra = []
         if with_file or with_pos:
             extra.append(T.StructField(FILE_COL, T.StringType()))

@@ -191,3 +191,28 @@ def test_end_to_end_delta_to_delta_pipeline(registered, tmp_path):
         for r in DeltaTable(spark, dst_path).to_df().collect()
     }
     assert got == {"00:00": 2, "01:00": 2, "02:00": 1}
+
+
+def test_user_column_named_pos_reads_plainly(registered, tmp_path):
+    """A table that legitimately owns __pos__ / __delta_file__ columns must
+    read them as ordinary data (no silent positional mode, DVs still apply);
+    synthesizing over them via withPositions must refuse loudly."""
+    spark = registered
+    path = str(tmp_path / "poscol")
+    df = spark.createDataFrame(
+        [(1, 10, "f1"), (2, 20, "f2")], "id long, __pos__ long, __delta_file__ string"
+    )
+    DeltaTable.create(spark, path, df.coalesce(1))
+    got = {
+        r["id"]: (r["__pos__"], r["__delta_file__"])
+        for r in spark.read.format("delta_sorter")
+        .option("path", path)
+        .load()
+        .collect()
+    }
+    assert got == {1: (10, "f1"), 2: (20, "f2")}
+
+    with pytest.raises(Exception, match="already has column"):
+        spark.read.format("delta_sorter").option("path", path).option(
+            "withPositions", "true"
+        ).load().collect()

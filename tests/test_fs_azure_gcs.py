@@ -116,9 +116,16 @@ class _FakeObjectStoreHandler(BaseHTTPRequestHandler):
             return self.headers.get("If-None-Match") == "*"
         return self.headers.get("x-goog-if-generation-match") == "0"
 
+    # GCS fake paginates delimiter-less listings (3 keys/page) the way the
+    # real V1-style XML API does: IsTruncated=true with NO NextMarker — the
+    # client must continue from the last key it saw.  Regression surface for
+    # >1000-object tables (vacuum/delete_dataset completeness).
+    GCS_PAGE = 3
+
     def _list(self, bucket: str, q: dict):
         prefix = q.get("prefix", [""])[0]
         delimiter = q.get("delimiter", [None])[0]
+        marker = q.get("marker", [None])[0]
         full_prefix = f"{bucket}/{prefix}"
         with self.store.lock:
             matching = sorted(
@@ -138,9 +145,15 @@ class _FakeObjectStoreHandler(BaseHTTPRequestHandler):
                         prefixes.append(p)
                     continue
             keys.append((rel, mtime))
-        self._send(200, self._list_xml(keys, prefixes))
+        truncated = False
+        if self.flavor == "gcs" and not delimiter:
+            if marker:
+                keys = [e for e in keys if e[0] > marker]
+            truncated = len(keys) > self.GCS_PAGE
+            keys = keys[: self.GCS_PAGE]
+        self._send(200, self._list_xml(keys, prefixes, truncated))
 
-    def _list_xml(self, keys, prefixes) -> bytes:
+    def _list_xml(self, keys, prefixes, truncated=False) -> bytes:
         if self.flavor == "azure":
             blobs = "".join(
                 f"<Blob><Name>{_xml_escape(k)}</Name><Properties>"
@@ -170,7 +183,9 @@ class _FakeObjectStoreHandler(BaseHTTPRequestHandler):
         )
         return (
             f"<?xml version='1.0'?><ListBucketResult>"
-            f"{contents}{cps}</ListBucketResult>"
+            f"{contents}{cps}"
+            f"<IsTruncated>{'true' if truncated else 'false'}</IsTruncated>"
+            f"</ListBucketResult>"
         ).encode()
 
 
@@ -245,6 +260,19 @@ def test_azure_fs_contract(azure_env):
 
 def test_gcs_fs_contract(gcs_env):
     _exercise_fs_contract(GcsFileSystem(), "gs://bkt/tables/x")
+
+
+def test_gcs_list_paginates_without_nextmarker(gcs_env):
+    """The fake truncates delimiter-less listings at 3 keys per page with
+    IsTruncated=true and NO NextMarker (V1 semantics); the client must
+    continue from its last key or it silently loses the tail."""
+    fs = GcsFileSystem()
+    base = "gs://bkt/paged"
+    names = [f"obj{i:02d}.bin" for i in range(8)]
+    for n in names:
+        fs.write_bytes(f"{base}/{n}", b"x")
+    rec = dict(fs.list_files_recursive(base))
+    assert set(rec) == set(names)
 
 
 def test_resolve_routes_schemes(azure_env, gcs_env):

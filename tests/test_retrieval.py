@@ -112,3 +112,18 @@ def test_hashed_classifier_custom_weights(spark, corpus):
     assert set(got) == {1, 5}
     assert got[1]["score"] == 7 and got[1]["label"] == 1
     assert got[5]["n_features"] == 1
+
+
+def test_hashed_classifier_empty_docs_survive(spark):
+    """Empty / whitespace-only documents must not abort the job (slice with
+    negative length); they simply contribute no features."""
+    from delta_sorter_spark.operators.textstats import hashed_linear_score
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "one"), (4, "two words")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in hashed_linear_score(df, "doc_id", "text").collect()}
+    assert set(got) == {3, 4}
+    assert got[3]["n_features"] == 1       # 1 unigram, 0 bigrams
+    assert got[4]["n_features"] == 3       # 2 unigrams + 1 bigram
