@@ -3689,6 +3689,42 @@ FROM j
 """
 
 
+# ---------------------------------------------------------------------------
+# E47: leakage-safe train/val/test split — near-dup clusters (e13's CC over
+# the Jaccard pair graph) assigned to ONE split each via component hashing
+# (graph.leakage_safe_split), so eval never sees a paraphrase of train.
+# ---------------------------------------------------------------------------
+
+
+def q_e47_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_sorter_spark.operators.graph import leakage_safe_split
+
+    docs = _doc_subset(spark, sf_dir, JACCARD_SUBSET_MOD)
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", threshold=JACCARD_THRESHOLD
+    ).select("id_a", "id_b")
+    out = leakage_safe_split(
+        docs.select("doc_id"), pairs, node_col="doc_id", seed=SPLIT_SEED
+    )
+    return out.select(F.col("id").alias("doc_id"), "component", "split")
+
+
+_E47_SQL = f"""
+WITH comps AS ({_E13_SQL}),
+b AS (
+  SELECT doc_id, component,
+         {duckdb_md5_long_sql(f"CAST(component AS VARCHAR) || '{SPLIT_SEED}'")}
+           % {SPLIT_BUCKETS} AS bkt
+  FROM comps
+)
+SELECT doc_id, component,
+       CASE WHEN bkt < {int(0.8 * SPLIT_BUCKETS)} THEN 'train'
+            WHEN bkt < {int(0.9 * SPLIT_BUCKETS)} THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the validator's V1 per-file min/max over sf0.001."""
     return q_v1_file_minmax(spark, "/root/testdata/sf0.001")
@@ -3727,6 +3763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e45_bm25_topk": q_e45_bm25_topk,
         "e46_hashed_classifier": q_e46_hashed_classifier,
         "a42_resample_ffill": q_a42_resample_ffill,
+        "e47_leakage_safe_split": q_e47_leakage_safe_split,
         # changed implementation this round -> recheck inside the budget
         "a23_revenue_deciles": q_a23_revenue_deciles,
         "e38_tfidf_terms": q_e38_tfidf_terms,
@@ -3848,6 +3885,7 @@ def oracle_sql() -> dict[str, str]:
         "e45_bm25_topk": _E45_SQL,
         "e46_hashed_classifier": _E46_SQL,
         "a42_resample_ffill": _A42_SQL,
+        "e47_leakage_safe_split": _E47_SQL,
         "e16_bpe_tokens": _E16_SQL,
         "s1_event_windows": _S1_SQL,
         "s2_sessionize": _S2_SQL,

@@ -88,3 +88,31 @@ def dedup_representatives(
         F.col("id").alias(id_col)
     )
     return df.join(keep, id_col, "left_semi")
+
+
+def leakage_safe_split(
+    nodes: DataFrame,
+    edges: DataFrame,
+    node_col: str = "id",
+    edge_a: str = "id_a",
+    edge_b: str = "id_b",
+    splits=(("train", 0.8), ("val", 0.1), ("test", 0.1)),
+    seed: str = "split-v1",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Train/val/test assignment that keeps every near-duplicate cluster in
+    ONE split: independent per-document hashing leaks paraphrases of the
+    training set into eval, so the split key must be the connected
+    component, not the document.
+
+    Output: (id, component, split) — join back onto the corpus by id.
+    Deterministic end-to-end (md5 bucketing of the component id, the same
+    scheme as sampling.hash_split), so re-running on an unchanged pair
+    graph reproduces the split exactly."""
+    from delta_sorter_spark.operators.sampling import hash_split
+
+    comps = connected_components(
+        nodes, edges, node_col=node_col, edge_a=edge_a, edge_b=edge_b,
+        max_iterations=max_iterations,
+    )
+    return hash_split(comps, "component", splits=splits, seed=seed)

@@ -55,3 +55,24 @@ def test_salted_count_distinct(spark):
     )
     got = {r["k"]: r["n_distinct"] for r in salted_agg_count_distinct(df, "k", "v").collect()}
     assert got == {"hot": 17, "cold": 1}
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    from delta_sorter_spark.operators.graph import leakage_safe_split
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 11)], "id long")
+    # components: {1,2,3}, {4,5}, singletons 6..10
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "id_a long, id_b long"
+    )
+    out = leakage_safe_split(nodes, edges, node_col="id").collect()
+    assert len(out) == 10
+    by_comp = {}
+    for r in out:
+        by_comp.setdefault(r["component"], set()).add(r["split"])
+    # every cluster lands in exactly one split
+    assert all(len(s) == 1 for s in by_comp.values())
+    assert {r["split"] for r in out} <= {"train", "val", "test"}
+    # deterministic across invocations
+    again = leakage_safe_split(nodes, edges, node_col="id").collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
