@@ -17,7 +17,6 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from delta_sorter_spark.operators.sampling import (
-    hash_split,
     pack_sequences,
     stratified_sample,
 )
@@ -68,6 +67,30 @@ def main() -> None:
         "doc_id", "text", txn_app_id="pipeline", txn_version=1,
     )
 
+    # 2d. model-based quality signal: feature-hashed linear scorer (swap the
+    # deterministic stand-in weights for a trained (bucket, weight) table in
+    # production); recorded per-document for threshold tuning downstream
+    from delta_sorter_spark.operators.textstats import hashed_linear_score
+
+    cls = hashed_linear_score(docs, "doc_id", "text")
+    n_flagged = cls.where(F.col("label") == 0).count()
+
+    # 2e. decontamination audit: BM25 search of the corpus with the eval
+    # set's opening words as queries — high-scoring hits are manual-review
+    # candidates beyond what exact n-gram decontamination catches
+    from delta_sorter_spark.operators.retrieval import bm25_topk
+
+    eval_queries = docs.where(F.col("doc_id") % 37 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(
+            F.slice(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), 1, 6), " "
+        ).alias("qtext"),
+    )
+    audit_hits = bm25_topk(
+        docs, eval_queries, "doc_id", "text", "query_id", "qtext",
+        k=3, exclude_self=True,
+    ).count()
+
     # 3. domain mixing: keep curated sources fully, downsample the rest
     mixed = stratified_sample(
         kept.join(docs.select("doc_id", "source"), "doc_id"),
@@ -77,8 +100,26 @@ def main() -> None:
         default_rate=0.5,
     )
 
-    # 4. leak-free split + context-window packing of the train shard
-    split = hash_split(mixed, "doc_id")
+    # 4. LEAKAGE-SAFE split: near-duplicate clusters (LSH candidate pairs ->
+    # connected components) land in one split each, so val/test never hold a
+    # paraphrase of a training document; plain hash_split stays the right
+    # tool when the corpus is already near-dup-free
+    from delta_sorter_spark.operators.dedup import minhash_lsh_candidates
+    from delta_sorter_spark.operators.graph import leakage_safe_split
+
+    # strict banding (16 hashes per band): on this synthetic corpus looser
+    # settings chain the shared vocabulary into one giant component, which
+    # degenerates the split — band width is the similarity threshold knob
+    edges = minhash_lsh_candidates(
+        mixed.join(docs.select("doc_id", "text"), "doc_id"),
+        "doc_id", "text", k=32, bands=2,
+    ).select("id_a", "id_b")
+    split = mixed.join(
+        leakage_safe_split(
+            mixed.select("doc_id"), edges, node_col="doc_id"
+        ).select(F.col("id").alias("doc_id"), "split"),
+        "doc_id",
+    )
     train = split.where(F.col("split") == "train")
     packed = pack_sequences(
         train.select("doc_id", "source", F.col("n_tokens")),
@@ -94,6 +135,8 @@ def main() -> None:
     print(f"documents:      {n0}")
     print(f"index new rows: {stats['new_rows']}")
     print(f"deduped+quality:{n_kept}")
+    print(f"classifier lo:  {n_flagged}")
+    print(f"audit hits:     {audit_hits}")
     print(f"after mixing:   {n_mixed}")
     print(f"train shard:    {n_train}")
     print(f"packed bins:    {n_bins}")
