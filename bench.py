@@ -46,6 +46,8 @@ ENTRY_QUERIES = [
     "a6_asof_join",
     "a17_local_supplier_volume",
     "p1_quality_dedup_pipeline",
+    "e45_bm25_topk",
+    "a42_resample_ffill",
 ]
 
 

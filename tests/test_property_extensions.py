@@ -1,0 +1,105 @@
+"""Property-based tests for the round-3 extension operators: BM25 scoring
+against a pure-Python oracle, and resample_ffill against a reference
+forward-fill — random small inputs, exact integer agreement."""
+
+import math
+from datetime import datetime, timedelta
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_settings = settings(
+    max_examples=6,  # each example runs Spark jobs
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+WORDS = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+
+docs_strategy = st.lists(
+    st.lists(st.sampled_from(WORDS), min_size=0, max_size=6).map(" ".join),
+    min_size=1,
+    max_size=6,
+)
+
+
+def _bm25_oracle(texts):
+    """Pure-Python mirror of operators/retrieval.bm25_postings' integer
+    formula (same fixed-point constants)."""
+    toks = {i: [t for t in txt.lower().split() if t] for i, txt in enumerate(texts)}
+    n_docs = len(texts)
+    total = sum(len(v) for v in toks.values())
+    df = {}
+    for ts in toks.values():
+        for t in set(ts):
+            df[t] = df.get(t, 0) + 1
+    out = {}
+    for i, ts in toks.items():
+        for t in set(ts):
+            tf = ts.count(t)
+            idf_bits = (n_docs // df[t]).bit_length() - 1
+            d_ppm = 1_000_000 * tf + 300_000 + (900_000 * len(ts) * n_docs) // total
+            tf_ppm = (2_200_000_000_000 * tf) // d_ppm
+            out[(i, t)] = idf_bits * tf_ppm
+    return out
+
+
+@given(docs_strategy)
+@_settings
+def test_bm25_postings_match_python_oracle(spark, texts):
+    from delta_sorter_spark.operators.retrieval import bm25_postings
+
+    # skip corpora with zero tokens overall (total_len=0 -> no postings)
+    if not any(t.strip() for t in texts):
+        return
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["term"]): r["term_score"]
+        for r in bm25_postings(df, "doc_id", "text").collect()
+    }
+    assert got == _bm25_oracle(texts)
+
+
+series_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=40),  # minute offset
+        st.floats(
+            min_value=-100, max_value=100, allow_nan=False, allow_infinity=False
+        ),
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(series_strategy)
+@_settings
+def test_resample_ffill_matches_python_oracle(spark, points):
+    from delta_sorter_spark.operators.timeseries import resample_ffill
+
+    base = datetime(2024, 1, 1)
+    rows = [("k", base + timedelta(minutes=m), v) for m, v in points]
+    df = spark.createDataFrame(rows, "k string, ts timestamp_ntz, v double")
+    step = 120  # 2-minute grid
+    got = {
+        r["bucket_start"]: (r["value_ppm"], r["filled"])
+        for r in resample_ffill(df, "k", "ts", "v", step_s=step).collect()
+    }
+
+    # python oracle: max ppm value per bucket, full grid, forward fill
+    buckets = {}
+    for m, v in points:
+        b = (int((base + timedelta(minutes=m)).timestamp()) // step) * step
+        q = math.floor(v * 1_000_000)
+        buckets[b] = max(buckets.get(b, q), q)
+    lo, hi = min(buckets), max(buckets)
+    expect = {}
+    last = None
+    for b in range(lo, hi + step, step):
+        key = datetime.utcfromtimestamp(b).strftime("%Y-%m-%d %H:%M:%S")
+        if b in buckets:
+            last = buckets[b]
+            expect[key] = (last, 0)
+        else:
+            expect[key] = (last, 1)
+    assert got == expect
