@@ -3725,6 +3725,52 @@ FROM b
 """
 
 
+# ---------------------------------------------------------------------------
+# E48: RAG-style sliding-window chunking — overlapping word windows with
+# stable hash chunk ids (dedup.sliding_chunks); the retrieval-index
+# ingestion shape (tails kept, unlike dedup chunking)
+# ---------------------------------------------------------------------------
+
+RAG_CHUNK_WORDS = 12
+RAG_STRIDE = 6
+
+
+def q_e48_sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_sorter_spark.operators.dedup import sliding_chunks
+
+    docs = _doc_subset(spark, sf_dir, DOC_SUBSET_MOD)
+    return sliding_chunks(
+        docs, "doc_id", "text",
+        chunk_words=RAG_CHUNK_WORDS, stride=RAG_STRIDE,
+    )
+
+
+_E48_SQL = f"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+  FROM documents WHERE doc_id % {DOC_SUBSET_MOD} = 0
+),
+s AS (
+  SELECT doc_id, ws,
+         unnest(list_distinct(
+           range(1, greatest(len(ws) - {RAG_CHUNK_WORDS} + 1, 1) + 1,
+                 {RAG_STRIDE})
+           || [greatest(len(ws) - {RAG_CHUNK_WORDS} + 1, 1)])) AS cs
+  FROM w
+),
+c AS (
+  SELECT doc_id,
+         {duckdb_md5_long_sql("CAST(doc_id AS VARCHAR) || ':' || CAST(cs AS VARCHAR)")}
+           AS chunk_id,
+         CAST(cs AS BIGINT) AS chunk_start,
+         array_to_string(list_slice(ws, cs, cs + {RAG_CHUNK_WORDS} - 1), ' ')
+           AS chunk
+  FROM s
+)
+SELECT doc_id, chunk_id, chunk_start, chunk FROM c WHERE chunk <> ''
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the validator's V1 per-file min/max over sf0.001."""
     return q_v1_file_minmax(spark, "/root/testdata/sf0.001")
@@ -3764,6 +3810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e46_hashed_classifier": q_e46_hashed_classifier,
         "a42_resample_ffill": q_a42_resample_ffill,
         "e47_leakage_safe_split": q_e47_leakage_safe_split,
+        "e48_sliding_chunks": q_e48_sliding_chunks,
         # changed implementation this round -> recheck inside the budget
         "a23_revenue_deciles": q_a23_revenue_deciles,
         "e38_tfidf_terms": q_e38_tfidf_terms,
@@ -3886,6 +3933,7 @@ def oracle_sql() -> dict[str, str]:
         "e46_hashed_classifier": _E46_SQL,
         "a42_resample_ffill": _A42_SQL,
         "e47_leakage_safe_split": _E47_SQL,
+        "e48_sliding_chunks": _E48_SQL,
         "e16_bpe_tokens": _E16_SQL,
         "s1_event_windows": _S1_SQL,
         "s2_sessionize": _S2_SQL,

@@ -473,6 +473,53 @@ def doc_chunks(df: DataFrame, chunk_words: int = 10) -> DataFrame:
     return df.select("doc_id", "source", chunk.alias("chunk"))
 
 
+def sliding_chunks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_words: int = 10,
+    stride: int = 5,
+) -> DataFrame:
+    """RAG-style overlapping chunking: windows of ``chunk_words`` words
+    every ``stride`` words (stride < chunk_words overlaps; == is
+    non-overlapping).  Coverage is TOTAL: when the stride pattern would end
+    before the last word, one extra window starting at ``n - chunk_words + 1``
+    (ending exactly at the last word, overlapping more than usual) is added —
+    retrieval corpora must not drop document tails the way dedup chunking
+    can; documents shorter than a window become one short chunk.
+
+    Output: (id, chunk_id, chunk_start, chunk) — chunk_id is a stable
+    60-bit hash of (id, start), so re-chunking an unchanged corpus yields
+    identical ids (the index-upsert key).  All JVM-side (split + sequence +
+    transform + explode), same scan shape as shingling."""
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(words)
+    # starts: 1, 1+stride, ... up to the last full-window start, plus that
+    # last start itself so the final words are always covered
+    last_full = F.greatest(n - F.lit(chunk_words) + 1, F.lit(1))
+    starts = F.array_distinct(
+        F.concat(
+            F.sequence(F.lit(1), last_full, F.lit(stride)), F.array(last_full)
+        )
+    )
+    exploded = df.select(
+        F.col(id_col),
+        F.explode(starts).alias("chunk_start"),
+        words.alias("__w__"),
+    )
+    return exploded.select(
+        F.col(id_col),
+        F.expr(
+            spark_md5_long_sql(f"concat(CAST({id_col} AS STRING), ':', "
+                               f"CAST(chunk_start AS STRING))")
+        ).alias("chunk_id"),
+        F.col("chunk_start").cast("bigint").alias("chunk_start"),
+        F.array_join(
+            F.slice(F.col("__w__"), F.col("chunk_start"), chunk_words), " "
+        ).alias("chunk"),
+    ).where(F.col("chunk") != "")  # empty/whitespace-only docs yield no chunks
+
+
 def chunk_dedup_stats(df: DataFrame, chunk_words: int = 10) -> DataFrame:
     """Per-source chunk dedup profile: total chunks and chunks that also
     appear in ANOTHER document (cross-doc duplicated).  Two shuffles: one

@@ -127,3 +127,30 @@ def test_hashed_classifier_empty_docs_survive(spark):
     assert set(got) == {3, 4}
     assert got[3]["n_features"] == 1       # 1 unigram, 0 bigrams
     assert got[4]["n_features"] == 3       # 2 unigrams + 1 bigram
+
+
+def test_sliding_chunks_overlap_and_tail(spark):
+    from delta_sorter_spark.operators.dedup import sliding_chunks
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, ""), (3, "x y")],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        (r["doc_id"], r["chunk_start"], r["chunk"])
+        for r in sliding_chunks(df, "doc_id", "text", chunk_words=4, stride=2).collect()
+    )
+    by_doc = {}
+    for d, s, c in got:
+        by_doc.setdefault(d, []).append((s, c))
+    # doc 1 (7 words): stride starts 1, 3, plus the tail-covering start 4 —
+    # every word (incl. the 7th) appears in some chunk
+    assert by_doc[1] == [(1, "a b c d"), (3, "c d e f"), (4, "d e f g")]
+    assert 2 not in by_doc            # empty doc -> no chunks
+    assert by_doc[3] == [(1, "x y")]  # short doc keeps its partial chunk
+    # chunk ids stable across invocations
+    again = sliding_chunks(df, "doc_id", "text", chunk_words=4, stride=2)
+    assert sorted(r["chunk_id"] for r in again.collect()) == sorted(
+        r["chunk_id"]
+        for r in sliding_chunks(df, "doc_id", "text", chunk_words=4, stride=2).collect()
+    )
