@@ -482,7 +482,8 @@ def sliding_chunks(
 ) -> DataFrame:
     """RAG-style overlapping chunking: windows of ``chunk_words`` words
     every ``stride`` words (stride < chunk_words overlaps; == is
-    non-overlapping).  Coverage is TOTAL: when the stride pattern would end
+    non-overlapping; stride > chunk_words would leave interior gaps and is
+    rejected).  Coverage is TOTAL: when the stride pattern would end
     before the last word, one extra window starting at ``n - chunk_words + 1``
     (ending exactly at the last word, overlapping more than usual) is added —
     retrieval corpora must not drop document tails the way dedup chunking
@@ -492,6 +493,11 @@ def sliding_chunks(
     60-bit hash of (id, start), so re-chunking an unchanged corpus yields
     identical ids (the index-upsert key).  All JVM-side (split + sequence +
     transform + explode), same scan shape as shingling."""
+    if stride > chunk_words:
+        raise ValueError(
+            f"stride ({stride}) > chunk_words ({chunk_words}) would leave "
+            "words covered by no chunk"
+        )
     words = F.split(F.trim(F.col(text_col)), r"\s+")
     n = F.size(words)
     # starts: 1, 1+stride, ... up to the last full-window start, plus that
@@ -698,9 +704,12 @@ def incremental_dedup(
     hashes (no skew by construction), and each ingestion run costs O(batch)
     — never O(corpus).
 
-    Returns {"batch_rows", "new_rows", "version"} (version = the index
-    commit; None when nothing new).  The accepted rows are the batch rows
-    whose ids appear in the appended pairs — re-derive them with
+    Returns {"batch_rows", "new_rows", "version"}.  Skipped replays (caught
+    by the pre-check or by losing the SetTransaction race inside append)
+    uniformly report ``batch_rows=0, new_rows=0, skipped=True`` — this call
+    processed nothing, so acceptance-rate aggregation over results stays
+    consistent regardless of race timing.  The accepted rows are the batch
+    rows whose ids appear in the appended pairs — re-derive them with
     :func:`dedup_against_index` or semi-join the batch against the new index
     snapshot."""
     import json as _json
@@ -740,8 +749,10 @@ def incremental_dedup(
             for r in actions
         )
         if not ours:
+            # batch_rows=0 matches the pre-check skip path: this call
+            # registered nothing, whatever the input size was
             return {
-                "batch_rows": batch_rows,
+                "batch_rows": 0,
                 "new_rows": 0,
                 "version": version,
                 "skipped": True,

@@ -564,9 +564,10 @@ class DeltaTable:
         """Remote read path: the Python Data Source scans file bytes via
         pyarrow's object-store filesystems on the workers (no connector
         jars).  A pruned ``adds`` subset ships as the source's ``files``
-        option (JSON list of relative paths) — the log-driven file pruning
-        partition-aware compaction and DML rely on (reference
-        lib.rs:795-809 scopes the same way via partition SQL)."""
+        option (JSON list of {path, partitionValues, deletionVector} spec
+        objects) — the log-driven file pruning partition-aware compaction
+        and DML rely on (reference lib.rs:795-809 scopes the same way via
+        partition SQL)."""
         self._require_shared_remote_store("to_df")
         import json as _json
 

@@ -240,10 +240,13 @@ class DeltaBatchReader(DataSourceReader):
     """Batch half of the Python source (API completeness locally — the JVM
     parquet scan in ``DeltaTable.to_df`` is the fast path there — and the
     jar-free read path for remote table URIs).  ``versionAsOf`` time-travels
-    the snapshot.  ``files`` (JSON list of table-relative paths) restricts
-    the scan to a pruned subset of the snapshot's active files — how
+    the snapshot.  ``files`` (JSON list of self-contained spec objects
+    ``{"path": <table-relative>, "partitionValues": {...},
+    "deletionVector": {...}?}``) restricts the scan to exactly those files,
+    with no membership check against the current snapshot — how
     partition-scoped rewrites (compaction's log-driven file pruning,
-    reference lib.rs:795-809) read remote tables without connector jars."""
+    reference lib.rs:795-809) read remote tables without connector jars;
+    ``DeltaTable._to_df_remote`` is the producer of this option."""
 
     def __init__(self, options, schema=None):
         v = options.get("versionAsOf")

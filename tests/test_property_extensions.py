@@ -3,7 +3,7 @@ against a pure-Python oracle, and resample_ffill against a reference
 forward-fill — random small inputs, exact integer agreement."""
 
 import math
-from datetime import datetime, timedelta
+from datetime import datetime, timedelta, timezone
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
@@ -86,17 +86,21 @@ def test_resample_ffill_matches_python_oracle(spark, points):
         for r in resample_ffill(df, "k", "ts", "v", step_s=step).collect()
     }
 
-    # python oracle: max ppm value per bucket, full grid, forward fill
+    # python oracle: max ppm value per bucket, full grid, forward fill.
+    # ntz timestamps are UTC wall-clock in this repo (session TZ pinned),
+    # so the oracle must use UTC epoch math too — naive .timestamp() would
+    # shift bucket keys by the OS timezone offset
     buckets = {}
     for m, v in points:
-        b = (int((base + timedelta(minutes=m)).timestamp()) // step) * step
+        dt = (base + timedelta(minutes=m)).replace(tzinfo=timezone.utc)
+        b = (int(dt.timestamp()) // step) * step
         q = math.floor(v * 1_000_000)
         buckets[b] = max(buckets.get(b, q), q)
     lo, hi = min(buckets), max(buckets)
     expect = {}
     last = None
     for b in range(lo, hi + step, step):
-        key = datetime.utcfromtimestamp(b).strftime("%Y-%m-%d %H:%M:%S")
+        key = datetime.fromtimestamp(b, timezone.utc).strftime("%Y-%m-%d %H:%M:%S")
         if b in buckets:
             last = buckets[b]
             expect[key] = (last, 0)
