@@ -3771,6 +3771,109 @@ SELECT doc_id, chunk_id, chunk_start, chunk FROM c WHERE chunk <> ''
 """
 
 
+# ---------------------------------------------------------------------------
+# E49: chunk-level BM25 retrieval — the composed RAG shape: sliding-window
+# chunking (e48) feeds BM25 search (e45) as its corpus, queries are document
+# openings; pure operator composition, no new code paths.
+# ---------------------------------------------------------------------------
+
+RAG_QUERY_MOD = 35  # doc subset (mod 5) ∩ every 7th -> 1 in 35 overall
+
+
+def q_e49_chunk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_sorter_spark.operators.dedup import sliding_chunks
+    from delta_sorter_spark.operators.retrieval import bm25_topk
+
+    docs = _doc_subset(spark, sf_dir, DOC_SUBSET_MOD)
+    chunks = sliding_chunks(
+        docs, "doc_id", "text",
+        chunk_words=RAG_CHUNK_WORDS, stride=RAG_STRIDE,
+    ).select(F.col("chunk_id").alias("cid"), "chunk")
+    queries = docs.where(F.col("doc_id") % RAG_QUERY_MOD == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(
+            F.slice(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), 1, 5), " "
+        ).alias("qtext"),
+    )
+    return bm25_topk(
+        chunks, queries, "cid", "chunk", "query_id", "qtext", k=3
+    )
+
+
+_E49_SQL = f"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+  FROM documents WHERE doc_id % {DOC_SUBSET_MOD} = 0
+),
+sx AS (
+  SELECT doc_id, ws,
+         unnest(list_distinct(
+           range(1, greatest(len(ws) - {RAG_CHUNK_WORDS} + 1, 1) + 1,
+                 {RAG_STRIDE})
+           || [greatest(len(ws) - {RAG_CHUNK_WORDS} + 1, 1)])) AS cs
+  FROM w
+),
+chunks AS (
+  SELECT {duckdb_md5_long_sql("CAST(doc_id AS VARCHAR) || ':' || CAST(cs AS VARCHAR)")}
+           AS cid,
+         array_to_string(list_slice(ws, cs, cs + {RAG_CHUNK_WORDS} - 1), ' ')
+           AS chunk
+  FROM sx
+  WHERE array_to_string(list_slice(ws, cs, cs + {RAG_CHUNK_WORDS} - 1), ' ') <> ''
+),
+toks AS (
+  SELECT cid, tok FROM (
+    SELECT cid, unnest(regexp_split_to_array(lower(trim(chunk)), '\\s+')) AS tok
+    FROM chunks)
+  WHERE tok <> ''
+),
+tf AS (SELECT cid, tok, count(*) AS tf FROM toks GROUP BY cid, tok),
+dl AS (SELECT cid, count(*) AS dl FROM toks GROUP BY cid),
+stats AS (
+  SELECT (SELECT count(DISTINCT cid) FROM chunks) AS n_docs,
+         (SELECT count(*) FROM toks) AS total_len
+),
+dfreq AS (SELECT tok, count(DISTINCT cid) AS df FROM toks GROUP BY tok),
+posting AS (
+  SELECT tf.cid, tf.tok,
+         CAST(length(bin(CAST(n_docs // df AS BIGINT))) - 1 AS BIGINT)
+           * CAST((2200000000000 * tf) //
+               (1000000 * tf + 300000 + (900000 * dl * n_docs) // total_len)
+             AS BIGINT) AS term_score
+  FROM tf
+  JOIN dl USING (cid)
+  JOIN dfreq USING (tok)
+  CROSS JOIN stats
+),
+qt AS (
+  SELECT DISTINCT query_id, tok FROM (
+    SELECT query_id,
+           unnest(regexp_split_to_array(qtext, '\\s+')) AS tok
+    FROM (
+      SELECT doc_id AS query_id,
+             array_to_string(
+               list_slice(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                          1, 5), ' ') AS qtext
+      FROM documents
+      WHERE doc_id % {DOC_SUBSET_MOD} = 0 AND doc_id % {RAG_QUERY_MOD} = 0))
+  WHERE tok <> ''
+),
+scored AS (
+  SELECT qt.query_id, p.cid, CAST(sum(p.term_score) AS BIGINT) AS score
+  FROM posting p JOIN qt ON p.tok = qt.tok
+  GROUP BY qt.query_id, p.cid
+),
+ranked AS (
+  SELECT query_id, cid, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, cid) AS rn
+  FROM scored
+)
+SELECT query_id, cid, CAST(rn AS BIGINT) AS rank, score
+FROM ranked WHERE rn <= 3
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the validator's V1 per-file min/max over sf0.001."""
     return q_v1_file_minmax(spark, "/root/testdata/sf0.001")
@@ -3811,6 +3914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a42_resample_ffill": q_a42_resample_ffill,
         "e47_leakage_safe_split": q_e47_leakage_safe_split,
         "e48_sliding_chunks": q_e48_sliding_chunks,
+        "e49_chunk_retrieval": q_e49_chunk_retrieval,
         # changed implementation this round -> recheck inside the budget
         "a23_revenue_deciles": q_a23_revenue_deciles,
         "e38_tfidf_terms": q_e38_tfidf_terms,
@@ -3934,6 +4038,7 @@ def oracle_sql() -> dict[str, str]:
         "a42_resample_ffill": _A42_SQL,
         "e47_leakage_safe_split": _E47_SQL,
         "e48_sliding_chunks": _E48_SQL,
+        "e49_chunk_retrieval": _E49_SQL,
         "e16_bpe_tokens": _E16_SQL,
         "s1_event_windows": _S1_SQL,
         "s2_sessionize": _S2_SQL,
