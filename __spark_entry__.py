@@ -3882,11 +3882,14 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered for driver-budget efficiency (the checker covers ~50 entries in
     # registry order).  Tier 1: the 3 rows red in round 2 (oracle HUGEINT,
-    # cast fixed this round).  Tier 2: the 8 rows with no current driver row
-    # (r2 reorder pushed them to positions 51-58).  Tier 3: queries new this
-    # round.  Tier 4: round-1 greens not re-confirmed in round 2 (stalest).
-    # Tier 5: round-2 greens (freshest).  Duplicate keys from the
-    # tpch_extra splat keep their first (tier-1) position per dict semantics.
+    # cast fixed this round; all re-verified green locally at sf0.01).
+    # Tier 2: the 8 rows with no driver row after r2's reorder (verified
+    # green locally).  Tier 3: queries new or changed this round
+    # (e42-e49, a39-a42, p2, plus a23/e38 whose implementations changed and
+    # e44 whose recall denominator changed).  Tier 4: round-1 greens not
+    # re-confirmed since.  Tier 5: round-2 greens (freshest).  Duplicate
+    # keys from the tpch_extra splat keep their first position per dict
+    # semantics.
     return {
         # --- tier 1: red in round 2, oracle cast fixed ---
         "e29_quantized_topk": q_e29_quantized_topk,
