@@ -471,6 +471,7 @@ def hashed_linear_score(
     text_col: str,
     n_buckets: int = 65536,
     weights: DataFrame | None = None,
+    portable_hash: bool = True,
 ) -> DataFrame:
     """Feature-hashed linear text classifier (fasttext-shaped quality
     scoring): hash word unigrams+bigrams into ``n_buckets``, dot the bucket
@@ -485,7 +486,11 @@ def hashed_linear_score(
 
     Scale posture: one feature explode per document (2x token count), one
     map-side-combined groupBy(id) — no data-scale join (weights are
-    bucket-count-sized and broadcast).  Output: (id, n_features, score,
+    bucket-count-sized and broadcast).  The md5-based portable hash is the
+    per-feature hot cost; ``portable_hash=False`` switches to JVM
+    ``xxhash64`` (several times faster at 100 TB, same bucketing quality)
+    when DuckDB-oracle portability is not needed — a model trained on one
+    hash must score with the same hash.  Output: (id, n_features, score,
     label)."""
     from delta_sorter_spark.functions.hashing import spark_md5_long_sql
 
@@ -504,9 +509,15 @@ def hashed_linear_score(
             )
         ).alias("__feat__"),
     )
+    h = (
+        F.expr(spark_md5_long_sql("__feat__"))
+        if portable_hash
+        else F.xxhash64("__feat__")
+    )
     bucketed = feats.select(
         F.col(id_col),
-        (F.expr(spark_md5_long_sql("__feat__")) % n_buckets).alias("bucket"),
+        # pmod, not %: xxhash64 is signed and buckets must be non-negative
+        F.pmod(h, F.lit(n_buckets)).alias("bucket"),
     )
     if weights is not None:
         scored = bucketed.join(F.broadcast(weights), "bucket").select(

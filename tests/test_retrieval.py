@@ -154,3 +154,20 @@ def test_sliding_chunks_overlap_and_tail(spark):
         r["chunk_id"]
         for r in sliding_chunks(df, "doc_id", "text", chunk_words=4, stride=2).collect()
     )
+
+
+def test_hashed_classifier_fast_hash_path(spark):
+    """portable_hash=False (JVM xxhash64) — same output shape and
+    n_features, deterministic, buckets in range."""
+    from delta_sorter_spark.operators.textstats import hashed_linear_score
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta")], "doc_id long, text string"
+    )
+    a = hashed_linear_score(df, "doc_id", "text", portable_hash=False).collect()
+    b = hashed_linear_score(df, "doc_id", "text", portable_hash=False).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    got = {r["doc_id"]: r for r in a}
+    assert got[1]["n_features"] == 5 and got[2]["n_features"] == 1
+    for r in a:
+        assert r["label"] in (0, 1)
