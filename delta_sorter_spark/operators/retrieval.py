@@ -134,16 +134,26 @@ def bm25_topk(
     k: int = 5,
     broadcast_queries: bool = True,
     exclude_self: bool = False,
+    postings: DataFrame | None = None,
 ) -> DataFrame:
     """BM25 top-k documents per query.
 
     Output: (query_id, doc_id, rank, score) — rank is total (ties break on
     doc id ascending), score is the integer ppm-scaled BM25 sum.
     ``exclude_self`` drops query_id == doc_id hits for queries derived from
-    the corpus itself (the decontamination-audit shape)."""
+    the corpus itself (the decontamination-audit shape).
+
+    ``postings`` serves from a prebuilt index (a persisted
+    :func:`bm25_postings` table, e.g. a Delta table bucketed by term)
+    instead of rebuilding it — the steady-state shape: build once per
+    corpus version, serve every query batch with zero corpus scans
+    (``docs``/``doc_text`` are ignored then; ``doc_id`` must name the
+    postings' id column)."""
     from pyspark.sql.window import Window
 
-    posting = bm25_postings(docs, doc_id, doc_text)
+    posting = (
+        postings if postings is not None else bm25_postings(docs, doc_id, doc_text)
+    )
     qterms = _explode_terms(queries, query_id, query_text).distinct()
     if broadcast_queries:
         qterms = F.broadcast(qterms)
