@@ -171,3 +171,22 @@ def test_hashed_classifier_fast_hash_path(spark):
     assert got[1]["n_features"] == 5 and got[2]["n_features"] == 1
     for r in a:
         assert r["label"] in (0, 1)
+
+
+def test_bm25_topk_serves_from_prebuilt_postings(spark, corpus):
+    """bm25_topk(postings=...) must equal the inline-build result — the
+    persisted-index serving path."""
+    from delta_sorter_spark.operators.retrieval import bm25_postings, bm25_topk
+
+    queries = spark.createDataFrame(
+        [(100, "rust garbage collector")], "query_id long, qtext string"
+    )
+    inline = bm25_topk(
+        corpus, queries, "doc_id", "text", "query_id", "qtext", k=5
+    ).collect()
+    prebuilt = bm25_postings(corpus, "doc_id", "text")
+    served = bm25_topk(
+        None, queries, "doc_id", None, "query_id", "qtext",
+        k=5, postings=prebuilt,
+    ).collect()
+    assert sorted(map(tuple, inline)) == sorted(map(tuple, served))
