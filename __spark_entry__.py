@@ -3874,6 +3874,48 @@ FROM ranked WHERE rn <= 3
 """
 
 
+# ---------------------------------------------------------------------------
+# E50: fuzzy decontamination — MinHash/LSH candidates BETWEEN the corpus
+# (doc subset mod 2) and the benchmark subset (mod DECON_MOD); the
+# paraphrase-tolerant complement to e30's exact n-gram overlap.
+# ---------------------------------------------------------------------------
+
+FUZZY_CORPUS_MOD = 2
+
+
+def q_e50_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_sorter_spark.operators.dedup import fuzzy_decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    return fuzzy_decontaminate(
+        docs.where(F.col("doc_id") % FUZZY_CORPUS_MOD == 0),
+        docs.where(F.col("doc_id") % DECON_MOD == 0),
+        "doc_id", "text",
+        k=MINHASH_K, bands=MINHASH_BANDS,
+    )
+
+
+_E50_SQL = f"""
+WITH {_duckdb_shingle_cte(FUZZY_CORPUS_MOD)},
+csig AS (SELECT doc_id, {_minhash_agg_sql()} FROM h GROUP BY doc_id),
+bd AS (SELECT doc_id, lower(text) AS t FROM documents
+       WHERE doc_id % {DECON_MOD} = 0),
+bsh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+             generate_series(1, greatest(1, len(t) - 2)),
+             i -> substr(t, i, 3)))) AS s
+  FROM bd
+),
+bh AS (SELECT doc_id, {duckdb_md5_long_sql('s')} % {MERSENNE_P} AS x FROM bsh),
+bsig AS (SELECT doc_id, {_minhash_agg_sql()} FROM bh GROUP BY doc_id)
+SELECT DISTINCT a.doc_id AS corpus_id, b.doc_id AS bench_id
+FROM csig a JOIN bsig b
+  ON ({_band_match_sql()})
+WHERE a.doc_id <> b.doc_id
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the validator's V1 per-file min/max over sf0.001."""
     return q_v1_file_minmax(spark, "/root/testdata/sf0.001")
@@ -3918,6 +3960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e47_leakage_safe_split": q_e47_leakage_safe_split,
         "e48_sliding_chunks": q_e48_sliding_chunks,
         "e49_chunk_retrieval": q_e49_chunk_retrieval,
+        "e50_fuzzy_decontaminate": q_e50_fuzzy_decontaminate,
         # changed implementation this round -> recheck inside the budget
         "a23_revenue_deciles": q_a23_revenue_deciles,
         "e38_tfidf_terms": q_e38_tfidf_terms,
@@ -4042,6 +4085,7 @@ def oracle_sql() -> dict[str, str]:
         "e47_leakage_safe_split": _E47_SQL,
         "e48_sliding_chunks": _E48_SQL,
         "e49_chunk_retrieval": _E49_SQL,
+        "e50_fuzzy_decontaminate": _E50_SQL,
         "e16_bpe_tokens": _E16_SQL,
         "s1_event_windows": _S1_SQL,
         "s2_sessionize": _S2_SQL,

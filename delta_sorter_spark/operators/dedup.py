@@ -135,12 +135,8 @@ def minhash_lsh_candidates(
     return lsh_pairs_from_signatures(sigs, id_col, k, bands)
 
 
-def lsh_pairs_from_signatures(
-    sigs: DataFrame, id_col: str, k: int, bands: int
-) -> DataFrame:
-    """Banded self-join over an EXISTING signature table — callers that
-    already hold (or persisted) signatures avoid recomputing the shingle
-    explode, which at corpus scale is the dominant cost."""
+def _banded_signatures(sigs: DataFrame, id_col: str, k: int, bands: int) -> DataFrame:
+    """(id, __band__) — one struct row per LSH band of each signature."""
     assert k % bands == 0, "k must divide into equal bands"
     rows_per_band = k // bands
     band_cols = []
@@ -149,7 +145,16 @@ def lsh_pairs_from_signatures(
         band_cols.append(
             F.struct(F.lit(b).alias("band"), *[c.alias(f"m{r}") for r, c in enumerate(cols)])
         )
-    banded = sigs.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("__band__"))
+    return sigs.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("__band__"))
+
+
+def lsh_pairs_from_signatures(
+    sigs: DataFrame, id_col: str, k: int, bands: int
+) -> DataFrame:
+    """Banded self-join over an EXISTING signature table — callers that
+    already hold (or persisted) signatures avoid recomputing the shingle
+    explode, which at corpus scale is the dominant cost."""
+    banded = _banded_signatures(sigs, id_col, k, bands)
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -159,6 +164,47 @@ def lsh_pairs_from_signatures(
         .distinct()
     )
     return pairs
+
+
+def fuzzy_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate decontamination ACROSS datasets: MinHash+LSH
+    candidates between a training corpus and an evaluation benchmark — the
+    fuzzy complement to :func:`decontaminate`'s exact n-gram overlap, which
+    paraphrased or lightly-edited leakage slips past.
+
+    Defaults band WIDER than dedup LSH (4 bands of 2 rows, not 2 of 4):
+    for decontamination a missed leak costs far more than an extra
+    candidate to verify, so the curve is tuned for recall.
+
+    Output: (corpus_id, bench_id) candidate pairs (identical ids excluded
+    for overlapping inputs); verify candidates with
+    :func:`ngram_jaccard_pairs`-style exact scoring or route them to
+    review.  Scale shape: the benchmark is eval-suite-sized so its banded
+    signatures BROADCAST; the corpus signatures stream past map-side —
+    corpus text never shuffles, exactly like the exact-overlap operator."""
+    cs = _banded_signatures(
+        minhash_signatures(corpus, id_col, text_col, k, shingle_n, seed),
+        id_col, k, bands,
+    ).select(F.col(id_col).alias("corpus_id"), "__band__")
+    bs = _banded_signatures(
+        minhash_signatures(benchmark, id_col, text_col, k, shingle_n, seed),
+        id_col, k, bands,
+    ).select(F.col(id_col).alias("bench_id"), "__band__")
+    return (
+        cs.join(F.broadcast(bs), "__band__")
+        .where(F.col("corpus_id") != F.col("bench_id"))
+        .select("corpus_id", "bench_id")
+        .distinct()
+    )
 
 
 def minhash_estimate_vs_exact(

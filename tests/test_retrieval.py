@@ -190,3 +190,30 @@ def test_bm25_topk_serves_from_prebuilt_postings(spark, corpus):
         k=5, postings=prebuilt,
     ).collect()
     assert sorted(map(tuple, inline)) == sorted(map(tuple, served))
+
+
+def test_fuzzy_decontaminate_catches_paraphrase(spark):
+    """A near-verbatim copy in the corpus must surface as a candidate pair
+    with the benchmark original; an unrelated doc must not."""
+    from delta_sorter_spark.operators.dedup import fuzzy_decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog near the river")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # same text, one word changed
+            (1, "the quick brown fox jumps over the lazy dog near the water"),
+            (2, "completely different subject matter entirely unrelated words"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["corpus_id"], r["bench_id"])
+        for r in fuzzy_decontaminate(
+            corpus, bench, "doc_id", "text", k=8, bands=4
+        ).collect()
+    }
+    assert (1, 100) in got
+    assert (2, 100) not in got
