@@ -3916,6 +3916,84 @@ WHERE a.doc_id <> b.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# E51: LM-based quality filtering — train the e43 bigram LM on a reference
+# subset (doc_id % LM_REF_MOD == 0), score EVERY document's bigrams against
+# it in integer surprisal bits (textstats.bigram_lm_score; the KenLM/CCNet
+# filtering shape).
+# ---------------------------------------------------------------------------
+
+LM_REF_MOD = 3
+LM_BACKOFF_BITS = 20
+
+
+def q_e51_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_sorter_spark.operators.textstats import (
+        bigram_lm_counts,
+        bigram_lm_score,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    lm = bigram_lm_counts(docs.where(F.col("doc_id") % LM_REF_MOD == 0), "text")
+    return bigram_lm_score(
+        docs, lm, "doc_id", "text", backoff_bits=LM_BACKOFF_BITS
+    )
+
+
+_E51_SQL = f"""
+WITH ref AS (
+  SELECT regexp_split_to_array(lower(trim(text)), '\\s+') AS ts
+  FROM documents WHERE doc_id % {LM_REF_MOD} = 0
+),
+rbi AS (
+  SELECT unnest(list_transform(generate_series(1, len(ts) - 1),
+                i -> ts[i] || ' ' || ts[i + 1])) AS bg
+  FROM ref
+),
+c AS (
+  SELECT string_split(bg, ' ')[1] AS w1,
+         string_split(bg, ' ')[2] AS w2,
+         count(*) AS n_bigram
+  FROM rbi GROUP BY 1, 2
+),
+ctx AS (SELECT w1, CAST(sum(n_bigram) AS BIGINT) AS n_context FROM c GROUP BY w1),
+lm AS (
+  SELECT w1, w2,
+         CAST(1000000 * n_bigram // n_context AS BIGINT) AS prob_ppm
+  FROM c JOIN ctx USING (w1)
+),
+d AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ts
+  FROM documents
+),
+db AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(ts) - 1),
+                i -> ts[i] || ' ' || ts[i + 1])) AS bg
+  FROM d
+),
+dp AS (
+  SELECT doc_id,
+         string_split(bg, ' ')[1] AS w1,
+         string_split(bg, ' ')[2] AS w2
+  FROM db
+),
+scored AS (
+  SELECT dp.doc_id,
+         CASE WHEN prob_ppm IS NULL OR prob_ppm < 1 THEN {LM_BACKOFF_BITS}
+              ELSE length(bin(CAST(1000000 // prob_ppm AS BIGINT))) - 1
+         END AS bits
+  FROM dp LEFT JOIN lm ON dp.w1 = lm.w1 AND dp.w2 = lm.w2
+)
+SELECT doc_id,
+       count(*) AS n_bigrams,
+       CAST(sum(bits) AS BIGINT) AS total_bits,
+       CAST(1000000 * CAST(sum(bits) AS BIGINT) // count(*) AS BIGINT)
+         AS avg_bits_ppm
+FROM scored GROUP BY doc_id
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the validator's V1 per-file min/max over sf0.001."""
     return q_v1_file_minmax(spark, "/root/testdata/sf0.001")
@@ -3961,6 +4039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e48_sliding_chunks": q_e48_sliding_chunks,
         "e49_chunk_retrieval": q_e49_chunk_retrieval,
         "e50_fuzzy_decontaminate": q_e50_fuzzy_decontaminate,
+        "e51_lm_quality": q_e51_lm_quality,
         # changed implementation this round -> recheck inside the budget
         "a23_revenue_deciles": q_a23_revenue_deciles,
         "e38_tfidf_terms": q_e38_tfidf_terms,
@@ -4086,6 +4165,7 @@ def oracle_sql() -> dict[str, str]:
         "e48_sliding_chunks": _E48_SQL,
         "e49_chunk_retrieval": _E49_SQL,
         "e50_fuzzy_decontaminate": _E50_SQL,
+        "e51_lm_quality": _E51_SQL,
         "e16_bpe_tokens": _E16_SQL,
         "s1_event_windows": _S1_SQL,
         "s2_sessionize": _S2_SQL,

@@ -541,3 +541,71 @@ def hashed_linear_score(
             "label", F.when(F.col("score") > 0, 1).otherwise(0).cast("bigint")
         )
     )
+
+
+def bigram_lm_score(
+    df: DataFrame,
+    lm: DataFrame,
+    id_col: str,
+    text_col: str,
+    backoff_bits: int = 20,
+    broadcast_lm: bool = True,
+) -> DataFrame:
+    """Score documents against a count-based bigram LM (the KenLM-style
+    quality filter: train the model on a trusted reference corpus with
+    :func:`bigram_lm_counts`, then rank candidate documents by how
+    surprising the reference model finds them).
+
+    Per-bigram surprisal is the integer bit-length surrogate
+    ``floor(log2(1e6 / prob_ppm))`` (0 bits for a certain continuation, 19
+    for a 1-ppm one); bigrams the model has never seen (or whose prob_ppm
+    rounds to 0) cost ``backoff_bits``.  All-integer, so the DuckDB oracle
+    verifies scores exactly.
+
+    Output: (id, n_bigrams, total_bits, avg_bits_ppm) — higher avg = less
+    reference-like; documents with fewer than two tokens have no bigrams
+    and are absent.  Scale shape: one bigram explode over the candidates
+    (the only corpus-scale work); the LM table is reference-corpus-bounded
+    and broadcasts (set ``broadcast_lm=False`` for a giant model — the join
+    falls back to a hash shuffle on (w1, w2))."""
+    toks = df.select(
+        F.col(id_col),
+        F.expr(f"split(lower(trim({text_col})), '\\\\s+')").alias("__ts__"),
+    )
+    pairs = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                F.size("__ts__") >= 2,
+                F.expr(
+                    "transform(sequence(1, size(__ts__) - 1),"
+                    " i -> struct(element_at(__ts__, i) AS w1,"
+                    "             element_at(__ts__, i + 1) AS w2))"
+                ),
+            ).otherwise(F.expr("array()"))
+        ).alias("__b__"),
+    ).select(F.col(id_col), "__b__.w1", "__b__.w2")
+    model = lm.select("w1", "w2", "prob_ppm")
+    if broadcast_lm:
+        model = F.broadcast(model)
+    scored = pairs.join(model, ["w1", "w2"], "left").select(
+        F.col(id_col),
+        F.when(
+            F.col("prob_ppm").isNull() | (F.col("prob_ppm") < 1),
+            F.lit(backoff_bits),
+        )
+        .otherwise(F.expr("length(bin(1000000 div prob_ppm)) - 1"))
+        .cast("bigint")
+        .alias("__bits__"),
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.sum("__bits__").cast("bigint").alias("total_bits"),
+        )
+        .withColumn(
+            "avg_bits_ppm",
+            F.expr("CAST(1000000 * total_bits DIV n_bigrams AS BIGINT)"),
+        )
+    )

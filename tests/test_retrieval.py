@@ -217,3 +217,33 @@ def test_fuzzy_decontaminate_catches_paraphrase(spark):
     }
     assert (1, 100) in got
     assert (2, 100) not in got
+
+
+def test_bigram_lm_score_reference_docs_score_lower(spark):
+    """Documents drawn from the reference distribution must average fewer
+    surprisal bits than out-of-distribution text; unseen bigrams cost the
+    backoff."""
+    from delta_sorter_spark.operators.textstats import (
+        bigram_lm_counts,
+        bigram_lm_score,
+    )
+
+    ref = spark.createDataFrame(
+        [(i, "the cat sat on the mat") for i in range(5)],
+        "doc_id long, text string",
+    )
+    lm = bigram_lm_counts(ref, "text")
+    cand = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "quantum flux capacitor array")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r for r in bigram_lm_score(cand, lm, "doc_id", "text").collect()
+    }
+    # doc 1: every bigram seen; "the"->cat/mat splits 50/50 -> 1 bit each,
+    # the rest are certain (0 bits)
+    assert got[1]["n_bigrams"] == 5
+    assert got[1]["total_bits"] == 2
+    # doc 2: all bigrams unseen -> 3 * backoff(20)
+    assert got[2]["total_bits"] == 60
+    assert got[1]["avg_bits_ppm"] < got[2]["avg_bits_ppm"]
