@@ -4005,7 +4005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # cast fixed this round; all re-verified green locally at sf0.01).
     # Tier 2: the 8 rows with no driver row after r2's reorder (verified
     # green locally).  Tier 3: queries new or changed this round
-    # (e42-e49, a39-a42, p2, plus a23/e38 whose implementations changed and
+    # (e42-e51, a39-a42, p2, plus a23/e38 whose implementations changed and
     # e44 whose recall denominator changed).  Tier 4: round-1 greens not
     # re-confirmed since.  Tier 5: round-2 greens (freshest).  Duplicate
     # keys from the tpch_extra splat keep their first position per dict
