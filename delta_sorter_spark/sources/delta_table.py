@@ -834,6 +834,7 @@ class DeltaTable:
 
         adds: list[AddAction] = []
         stat_columns = [to_phys.get(c, c) for c in (stat_columns or [])]
+        moved: list[tuple[str, str]] = []  # (dest abspath, table-relative path)
         for root, _dirs, names in os.walk(staging):
             for name in names:
                 if not name.endswith(".parquet"):
@@ -843,20 +844,26 @@ class DeltaTable:
                 dest = os.path.join(self.table_path, rel)
                 os.makedirs(os.path.dirname(dest), exist_ok=True)
                 os.replace(src, dest)
-                relpath = os.path.relpath(dest, self.table_path).replace(os.sep, "/")
-                stats = _file_stats(dest, stat_columns, attest_directions)
-                if sorted_within_files:
-                    stats["sortedBy"] = list(stat_columns)
-                adds.append(
-                    AddAction(
-                        path=relpath,
-                        size=os.path.getsize(dest),
-                        partition_values=_partition_values_from_relpath(relpath),
-                        modification_time=int(os.path.getmtime(dest) * 1000),
-                        data_change=data_change,
-                        stats=stats,
-                    )
+                moved.append(
+                    (dest, os.path.relpath(dest, self.table_path).replace(os.sep, "/"))
                 )
+        stats_by_dest = self._local_file_stats(
+            [d for d, _ in moved], stat_columns, attest_directions
+        )
+        for dest, relpath in moved:
+            stats = stats_by_dest[dest]
+            if sorted_within_files:
+                stats["sortedBy"] = list(stat_columns)
+            adds.append(
+                AddAction(
+                    path=relpath,
+                    size=os.path.getsize(dest),
+                    partition_values=_partition_values_from_relpath(relpath),
+                    modification_time=int(os.path.getmtime(dest) * 1000),
+                    data_change=data_change,
+                    stats=stats,
+                )
+            )
         # Remove only THIS write's staging dir — concurrent partition
         # rewrites stage under sibling uuid dirs (lib.rs:209-224 concurrency).
         shutil.rmtree(staging, ignore_errors=True)
@@ -865,6 +872,59 @@ class DeltaTable:
         except OSError:
             pass  # other writers still staging
         return adds
+
+    # Below this many staged files a driver-side column-pruned read beats a
+    # Spark job round trip; at/above it, stats fan out as one distributed job.
+    _DIST_STATS_MIN_FILES = 8
+
+    def _local_file_stats(
+        self,
+        paths: Sequence[str],
+        stat_columns: Sequence[str],
+        attest_directions: Sequence[bool] | None,
+    ) -> dict[str, dict]:
+        """Per-file stats for freshly staged local files, keyed by path.
+
+        Small writes read on the driver; larger writes fan the column-pruned
+        pyarrow reads out as ONE Spark job over the file list (only O(files)
+        stat rows return to the driver, never file data).  This keeps the
+        engine's hottest write path — strict compact / partition rewrites /
+        DML, the reference core's rewrite_partition_tx (lib.rs:812-855) —
+        from serializing stat IO through a single process when a 100 TB
+        rewrite stages tens of thousands of files.  Mirrors the remote
+        writer, which computes stats executor-side from the Arrow tables it
+        writes (``_stage_write_remote``)."""
+        if len(paths) < self._DIST_STATS_MIN_FILES:
+            return {p: _file_stats(p, stat_columns, attest_directions) for p in paths}
+        import json as _json
+
+        stat_cols = list(stat_columns)
+        dirs = list(attest_directions) if attest_directions else None
+
+        def compute(batches):
+            import pandas as pd
+
+            from delta_sorter_spark.sources.delta_table import _file_stats as fstats
+
+            for b in batches:
+                yield pd.DataFrame(
+                    {
+                        "path": b["path"],
+                        "stats": [
+                            _json.dumps(fstats(p, stat_cols, dirs))
+                            for p in b["path"]
+                        ],
+                    }
+                )
+
+        n_slices = min(len(paths), self.spark.sparkContext.defaultParallelism)
+        rows = (
+            self.spark.createDataFrame([(p,) for p in paths], "path string")
+            .repartition(n_slices)
+            .mapInPandas(compute, "path string, stats string")
+            .collect()
+        )
+        return {r["path"]: _json.loads(r["stats"]) for r in rows}
 
     def _stage_write_remote(
         self,
