@@ -65,26 +65,39 @@ def _seed_centroids(corpus: DataFrame, id_col: str, emb_col: str, k: int):
     )
 
 
-def _sq_l2(a: str, b: str):
-    return F.expr(
-        f"aggregate(zip_with({a}, {b}, (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) *"
+def _assign(vectors: DataFrame, centroids: DataFrame, emb: str, n_best: int = 1) -> DataFrame:
+    """Append centroid assignment(s): nearest ``n_best`` centroids per row.
+
+    Zero-shuffle: the (tiny) centroid set folds into ONE row holding an
+    ``array<struct<centroid,cvec>>`` which broadcasts as a single-row
+    nested-loop join, and the argmin is a map-side ``array_min`` over
+    per-centroid squared-L2 distances — struct ordering breaks distance
+    ties on centroid id, exactly like the row_number window this replaces.
+    No exchange between the corpus scan and the assignment, so the k-means
+    iterations and IVF search stay embarrassingly parallel at any corpus
+    size (each input row is touched once, k distances computed in place).
+    """
+    packed = centroids.agg(
+        F.expr("sort_array(collect_list(struct(centroid, cvec)))").alias("__cents__")
+    )
+    dist = (
+        f"aggregate(zip_with({emb}, c.cvec, (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) *"
         f" (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
     )
-
-
-def _assign(vectors: DataFrame, centroids: DataFrame, emb: str, n_best: int = 1) -> DataFrame:
-    """Append centroid assignment(s): nearest ``n_best`` centroids per row."""
-    scored = vectors.crossJoin(F.broadcast(centroids)).withColumn(
-        "__d__", _sq_l2(emb, "cvec")
-    )
-    w = Window.partitionBy(*[c for c in vectors.columns]).orderBy("__d__", "centroid")
-    # N.B. partitioning by all vector columns keeps rows unique; id-only would
-    # be cheaper but this operator is generic over schemas
-    return (
-        scored.withColumn("__rk__", F.row_number().over(w))
-        .where(F.col("__rk__") <= n_best)
-        .drop("__d__", "__rk__", "cvec")
-    )
+    scored = f"transform(__cents__, c -> struct({dist} AS d, c.centroid AS centroid))"
+    joined = vectors.crossJoin(F.broadcast(packed))
+    if n_best == 1:
+        out = joined.withColumn("centroid", F.expr(f"array_min({scored}).centroid"))
+    else:
+        out = joined.withColumn(
+            "centroid",
+            F.explode(
+                F.expr(
+                    f"transform(slice(array_sort({scored}), 1, {n_best}), s -> s.centroid)"
+                )
+            ),
+        )
+    return out.drop("__cents__")
 
 
 def kmeans_centroids(
