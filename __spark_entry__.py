@@ -3257,14 +3257,28 @@ FROM cum GROUP BY event_type
 
 
 def q_e42_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from delta_sorter_spark.operators.dedup import minhash_estimate_vs_exact
+    from delta_sorter_spark.operators.dedup import (
+        minhash_estimate_vs_exact,
+        minhash_signatures,
+        shingles_expr,
+    )
 
+    docs = _doc_subset(spark, sf_dir, DOC_SUBSET_MOD)
+    # Production shape: the audit serves from PERSISTED signatures/shingles
+    # (here an in-memory persist; at scale a Delta table), so the raw corpus
+    # is scanned once per cached input instead of re-derived per branch.
+    sigs = minhash_signatures(docs, "doc_id", "text", MINHASH_K).persist()
+    shingles = docs.select(
+        "doc_id", F.explode(shingles_expr("text")).alias("shingle")
+    ).persist()
     return minhash_estimate_vs_exact(
-        _doc_subset(spark, sf_dir, DOC_SUBSET_MOD),
+        docs,
         "doc_id",
         "text",
         k=MINHASH_K,
         bands=MINHASH_BANDS,
+        sigs=sigs,
+        shingles=shingles,
     )
 
 

@@ -215,6 +215,8 @@ def minhash_estimate_vs_exact(
     bands: int = 2,
     shingle_n: int = 3,
     seed: int = 42,
+    sigs: DataFrame | None = None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Sketch-accuracy audit: for each LSH candidate pair, the MinHash
     Jaccard ESTIMATE (fraction of agreeing signature components) next to
@@ -225,8 +227,18 @@ def minhash_estimate_vs_exact(
     tuning k/bands: estimate error is observable without ever running the
     quadratic exact join — the exact side here is computed ONLY for the
     banded candidates (same verify-on-candidates shape as e40's edit
-    distance), so the cost is |candidates| x shingles, never corpus^2."""
-    sigs = minhash_signatures(df, id_col, text_col, k, shingle_n, seed)
+    distance), so the cost is |candidates| x shingles, never corpus^2.
+
+    ``sigs`` / ``shingles`` inject precomputed inputs so a production run
+    serves from PERSISTED state instead of re-deriving from raw text (the
+    same injection contract as :func:`lsh_pairs_from_signatures`):
+    ``sigs`` is the output of :func:`minhash_signatures` (or a
+    ``.persist()`` of it), ``shingles`` a (``id_col``, ``shingle``) frame
+    matching ``explode(shingles_expr(text_col, shingle_n))``.  With both
+    supplied the raw corpus is never scanned; with cached inputs the whole
+    audit touches the documents table at most twice."""
+    if sigs is None:
+        sigs = minhash_signatures(df, id_col, text_col, k, shingle_n, seed)
     cands = lsh_pairs_from_signatures(sigs, id_col, k, bands)
     sa = sigs.select(
         F.col(id_col).alias("id_a"),
@@ -253,9 +265,15 @@ def minhash_estimate_vs_exact(
             F.round(F.col("n_match").cast("double") / F.lit(float(k)), 6),
         )
     )
-    sh = df.select(
-        F.col(id_col).alias("id"), F.explode(shingles_expr(text_col, shingle_n)).alias("s")
-    )
+    if shingles is None:
+        sh = df.select(
+            F.col(id_col).alias("id"),
+            F.explode(shingles_expr(text_col, shingle_n)).alias("s"),
+        )
+    else:
+        sh = shingles.select(
+            F.col(id_col).alias("id"), F.col("shingle").alias("s")
+        )
     sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
     inter = (
         cands.join(sh.select(F.col("id").alias("id_a"), "s"), "id_a")
