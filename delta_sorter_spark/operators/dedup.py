@@ -796,31 +796,26 @@ def incremental_dedup(
     fresh = dedup_against_index(index_df, batch, id_col, text_col)
     pairs = fresh.select("content_hash", F.col(id_col).alias("doc_id"))
     batch_rows = batch.count()
-    version = index_table.append(
-        pairs, txn_app_id=txn_app_id, txn_version=txn_version
+    version, committed = index_table.append(
+        pairs,
+        txn_app_id=txn_app_id,
+        txn_version=txn_version,
+        return_committed=True,
     )
-    # accepted-row count from THIS commit's Add stats — exact, no extra
-    # scan.  When append lost the SetTransaction race (another worker
-    # registered the same batch first), it returns the LATEST version, not
-    # ours — counting that commit's adds would report rows this call never
-    # wrote, so confirm the commit carries our transaction marker first.
+    if not committed:
+        # append lost the SetTransaction race (a twin worker registered the
+        # same batch first).  The flag is authoritative: the winner's commit
+        # carries a txn marker identical to ours, so re-reading the log
+        # could NOT distinguish winner from loser — batch_rows=0 matches
+        # the pre-check skip path; this call registered nothing.
+        return {
+            "batch_rows": 0,
+            "new_rows": 0,
+            "version": version,
+            "skipped": True,
+        }
+    # accepted-row count from THIS commit's Add stats — exact, no extra scan
     actions = list(index_table.log.commit_actions(version))
-    if txn_app_id is not None:
-        ours = any(
-            (t := r.get("txn")) is not None
-            and t.get("appId") == txn_app_id
-            and t.get("version") == txn_version
-            for r in actions
-        )
-        if not ours:
-            # batch_rows=0 matches the pre-check skip path: this call
-            # registered nothing, whatever the input size was
-            return {
-                "batch_rows": 0,
-                "new_rows": 0,
-                "version": version,
-                "skipped": True,
-            }
     accepted = 0
     for r in actions:
         a = r.get("add")

@@ -125,10 +125,10 @@ def bm25_postings(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def bm25_topk(
-    docs: DataFrame,
+    docs: DataFrame | None,
     queries: DataFrame,
     doc_id: str,
-    doc_text: str,
+    doc_text: str | None,
     query_id: str,
     query_text: str,
     k: int = 5,
@@ -147,13 +147,25 @@ def bm25_topk(
     :func:`bm25_postings` table, e.g. a Delta table bucketed by term)
     instead of rebuilding it — the steady-state shape: build once per
     corpus version, serve every query batch with zero corpus scans
-    (``docs``/``doc_text`` are ignored then; ``doc_id`` must name the
-    postings' id column)."""
+    (pass ``docs=None``/``doc_text=None`` then; ``doc_id`` must name the
+    postings' id column).  Supplying BOTH postings and a docs DataFrame is
+    rejected — the docs side would be silently ignored otherwise."""
     from pyspark.sql.window import Window
 
-    posting = (
-        postings if postings is not None else bm25_postings(docs, doc_id, doc_text)
-    )
+    if postings is None:
+        if docs is None or doc_text is None:
+            raise ValueError(
+                "bm25_topk needs docs + doc_text to build an index, or a "
+                "prebuilt postings DataFrame (bm25_postings output)"
+            )
+        posting = bm25_postings(docs, doc_id, doc_text)
+    else:
+        if docs is not None:
+            raise ValueError(
+                "pass either postings= (served as-is) or docs=/doc_text= "
+                "(index built here), not both — docs would be ignored"
+            )
+        posting = postings
     qterms = _explode_terms(queries, query_id, query_text).distinct()
     if broadcast_queries:
         qterms = F.broadcast(qterms)

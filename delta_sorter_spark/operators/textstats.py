@@ -478,11 +478,17 @@ def hashed_linear_score(
     counts with a weight vector, threshold at 0.
 
     ``weights`` is an optional (bucket BIGINT, weight BIGINT) table — the
-    trained model — which broadcasts into the scoring join.  When omitted, a
-    deterministic hash-derived weight stands in (the Spark-side plumbing —
-    explode, bucket, broadcast-join, aggregate — is the product; the weight
-    table is config).  All-integer arithmetic, so the DuckDB oracle verifies
-    values exactly.
+    trained model — which broadcasts into the scoring join.  Sparse-model
+    semantics: the inner join keeps only MODELED buckets, so with a trained
+    ``weights`` table ``n_features`` counts weighted features only (not all
+    hashed features), and a document whose features all miss the model is
+    ABSENT from the output (callers wanting every document back should
+    left-join the result against the id set and treat missing as
+    score=0/label=0).  When omitted, a deterministic hash-derived weight
+    stands in for every bucket — n_features then counts all features (the
+    Spark-side plumbing — explode, bucket, broadcast-join, aggregate — is
+    the product; the weight table is config).  All-integer arithmetic, so
+    the DuckDB oracle verifies values exactly.
 
     Scale posture: one feature explode per document (2x token count), one
     map-side-combined groupBy(id) — no data-scale join (weights are

@@ -1079,7 +1079,8 @@ class DeltaTable:
         stat_columns: Sequence[str] | None = None,
         txn_app_id: str | None = None,
         txn_version: int | None = None,
-    ) -> int:
+        return_committed: bool = False,
+    ) -> int | tuple[int, bool]:
         """Append rows, optionally evolving the schema (Delta's
         ``mergeSchema`` write): new columns in ``df`` widen the table schema
         in the SAME commit as the data files, so readers see either the old
@@ -1091,7 +1092,14 @@ class DeltaTable:
         ``txn_app_id``/``txn_version`` make the append IDEMPOTENT (Delta's
         SetTransaction action): if the log already records this appId at or
         past this version, the write is a no-op — the exactly-once handle
-        for streaming foreachBatch sinks replaying a batch after restart."""
+        for streaming foreachBatch sinks replaying a batch after restart.
+
+        ``return_committed=True`` returns ``(version, committed)`` where
+        ``committed`` says whether THIS call's build landed.  Callers doing
+        exactly-once accounting need this flag, not the log: when a twin
+        worker commits the same (appId, version) first, the loser's
+        returned version carries a txn marker identical to its own, so
+        re-reading the commit cannot distinguish winner from loser."""
         import json as _json
         import time as _time
 
@@ -1102,7 +1110,8 @@ class DeltaTable:
             txn_app_id is not None
             and state0.txns.get(txn_app_id, -1) >= txn_version
         ):
-            return state0.version  # already applied — skip before staging
+            # already applied — skip before staging
+            return (state0.version, False) if return_committed else state0.version
         meta = state0.metadata
         existing = {f.name for f in meta.schema.fields}
         extra = [f for f in df.schema.fields if f.name not in existing]
@@ -1197,12 +1206,14 @@ class DeltaTable:
             return actions
 
         try:
-            return self.log.commit_with_retry(
+            version = self.log.commit_with_retry(
                 build, operation="WRITE", operation_params=params
             )
+            return (version, True) if return_committed else version
         except _AlreadyApplied:
             self.discard_files(adds)
-            return self.log.latest_version()
+            latest = self.log.latest_version()
+            return (latest, False) if return_committed else latest
 
     # -- CHECK constraints (Delta protocol: delta.constraints.<name>) -------
 

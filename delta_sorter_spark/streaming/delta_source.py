@@ -266,6 +266,18 @@ class DeltaBatchReader(DataSourceReader):
             # still comes from the pinned snapshot.
             parts = []
             for spec in self.file_subset:
+                if isinstance(spec, str):
+                    # legacy bare-path form (pre-spec-object callers /
+                    # persisted plans): accept as {path: s} — an unpartitioned
+                    # file with no deletion vector
+                    spec = {"path": spec}
+                elif not isinstance(spec, dict) or "path" not in spec:
+                    raise ValueError(
+                        "files option entries must be spec objects "
+                        '{"path": <table-relative>, "partitionValues": {...}, '
+                        '"deletionVector": {...}?} (or bare path strings for '
+                        f"unpartitioned files); got {spec!r}"
+                    )
                 add = AddAction(
                     path=spec["path"],
                     size=0,

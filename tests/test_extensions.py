@@ -525,6 +525,44 @@ def test_incremental_dedup_across_batches(spark, tmp_path):
     assert idx.to_df().count() == 3
 
 
+def test_incremental_dedup_lost_race_reports_zero(spark, tmp_path):
+    """Twin-worker SetTransaction race: the loser's append lands AFTER a
+    winner committed the identical (appId, version) marker.  Re-reading the
+    winning commit cannot distinguish winner from loser (the marker matches
+    both), so the skip branch must key on append's committed flag — the
+    loser reports batch_rows=0/new_rows=0/skipped and registers nothing."""
+    from delta_sorter_spark.operators.dedup import incremental_dedup
+    from delta_sorter_spark.sources.delta_table import DeltaTable
+
+    idx_path = str(tmp_path / "race_index")
+    DeltaTable.create(
+        spark,
+        idx_path,
+        spark.createDataFrame([], "content_hash long, doc_id long"),
+    )
+    idx = DeltaTable(spark, idx_path)
+    batch = spark.createDataFrame(
+        [(1, "alpha text"), (2, "beta text")], "doc_id long, text string"
+    )
+    # the loser snapshots table state BEFORE the winner commits (both twins
+    # pre-checked concurrently and saw no marker)
+    stale_state = idx.state()
+
+    winner = incremental_dedup(idx, batch, "doc_id", "text",
+                               txn_app_id="ingest", txn_version=1)
+    assert winner["new_rows"] == 2 and not winner.get("skipped")
+
+    loser_table = DeltaTable(spark, idx_path)
+    # pre-check (and the anti-join read) see the old world
+    loser_table.state = lambda version=None: stale_state
+    loser = incremental_dedup(loser_table, batch, "doc_id", "text",
+                              txn_app_id="ingest", txn_version=1)
+    assert loser.get("skipped")
+    assert loser["batch_rows"] == 0 and loser["new_rows"] == 0
+    # nothing double-registered
+    assert idx.to_df().count() == 2
+
+
 def test_funnel_strictly_after_and_cohorts(spark):
     from delta_sorter_spark.operators.events_analytics import (
         funnel_counts,
