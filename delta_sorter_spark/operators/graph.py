@@ -5,12 +5,17 @@ canonical representative).
 Implemented as iterative min-label propagation with DataFrame joins — the
 Pregel-lite pattern:
 
-    label(v) <- min(label(v), min over neighbors' labels)
+    label(v) <- min(label(v), min over neighbors' labels)   # propagate
+    label(v) <- min(label(v), label(label(v)))              # pointer jump
 
-repeated until fixpoint.  Convergence needs O(component diameter) rounds;
-near-dup graphs are overwhelmingly short-diameter clusters, so this runs in
-a handful of rounds even at scale.  Each round is one join + one aggregation
-(both shuffle on node id, so AQE coalesces them), and ``localCheckpoint``
+repeated until fixpoint.  The pointer-jump step halves the remaining
+distance to the component minimum each round, so convergence needs
+O(log diameter) rounds — robust even for the long-chain components that
+plain propagation (O(diameter)) crawls through.  Near-dup graphs are
+overwhelmingly short-diameter clusters, so typical runs still finish in a
+handful of rounds.  Each round is ONE Spark job: the per-round change
+count rides along as a flag column summed from the freshly checkpointed
+labels (no separate old-vs-new comparison join), and ``localCheckpoint``
 cuts the lineage so plans don't grow with iteration count.
 
 The result is deterministic (unique fixpoint: every node labeled with the
@@ -50,23 +55,44 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("component").alias("nmin"))
         )
-        updated = (
-            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
-                ).alias("component"),
-            )
+        stepped = labels.join(
+            neighbor_min, labels.id == neighbor_min.src, "left"
+        ).select(
+            "id",
+            F.least(
+                F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
+            ).alias("component"),
+            (
+                F.coalesce(F.col("nmin"), F.col("component")) < F.col("component")
+            ).cast("long").alias("__chg__"),
         )
-        updated = updated.localCheckpoint(eager=True)
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), "id")
-            .where(F.col("u.component") != F.col("l.component"))
-            .count()
+        # pointer jump: label(v) <- label(label(v)).  Every label is a node
+        # id whose OWN label is at most as large (labels only decrease and
+        # were propagated along paths), so jumping stays within the
+        # component and halves the remaining distance to its minimum.
+        ptr = stepped.select(
+            F.col("id").alias("pid"), F.col("component").alias("pcomp")
         )
-        labels = updated
+        jumped = stepped.join(
+            ptr, stepped.component == ptr.pid, "left"
+        ).select(
+            "id",
+            F.least(
+                F.col("component"), F.coalesce(F.col("pcomp"), F.col("component"))
+            ).alias("component"),
+            (
+                F.col("__chg__")
+                + (
+                    F.coalesce(F.col("pcomp"), F.col("component"))
+                    < F.col("component")
+                ).cast("long")
+            ).alias("__chg__"),
+        )
+        jumped = jumped.localCheckpoint(eager=True)
+        # changed-count folds into a scan of the partitions the checkpoint
+        # just materialized — no second shuffle join against the old labels
+        changed = jumped.agg(F.sum("__chg__").alias("c")).first()["c"] or 0
+        labels = jumped.drop("__chg__")
         if changed == 0:
             break
     return labels
