@@ -366,3 +366,61 @@ def test_azure_compact_end_to_end(azure_env, spark):
 
 def test_gcs_compact_end_to_end(gcs_env, spark):
     _roundtrip_compact(spark, "gs://bkt/tables/compact_me")
+
+
+def _roundtrip_partition_aware(spark, uri: str):
+    """Partition-aware compact (skip attested-sorted, replaceWhere-scoped
+    rewrite of the dirty partition) + zone-map-pruned upsert + revalidate,
+    all through the emulator — the same contract the s3 e2e pins
+    (test_fs_objectstore.py), for the other two schemes of the reference's
+    store matrix (crates/sorter-core/Cargo.toml:15)."""
+    from delta_sorter_spark.api import compact, validate
+    from delta_sorter_spark.operators.dml import upsert
+    from delta_sorter_spark.sources.delta_table import DeltaTable
+
+    rows = [(1, "b", 1), (1, "a", 2), (2, "z", 9), (2, "m", 7)]
+    df = spark.createDataFrame(rows, "p int, k string, v long")
+    DeltaTable.create(spark, uri, df.coalesce(1), partition_columns=["p"])
+    compact(uri, ["k"], spark=spark)  # sort + attest both partitions
+    # break p=2 with an unattested append overlapping its key range
+    DeltaTable(spark, uri).append(
+        spark.createDataFrame([(2, "n", 8)], "p int, k string, v long").coalesce(1)
+    )
+    p1_before = {
+        a.path
+        for a in DeltaTable(spark, uri).state().adds
+        if a.partition_values.get("p") == "1"
+    }
+
+    metrics = compact(uri, ["k"], spark=spark)
+    assert metrics.rewritten_partitions == 1  # only p=2
+    assert metrics.skipped_partitions == 1    # p=1 attested sorted
+
+    state = DeltaTable(spark, uri).state()
+    p1_after = {a.path for a in state.adds if a.partition_values.get("p") == "1"}
+    assert p1_after == p1_before  # replaceWhere scope: p=1 untouched
+    p2 = [a for a in state.adds if a.partition_values.get("p") == "2"]
+    assert p2 and all(a.stats and a.stats.get("keyStats") for a in p2)
+
+    assert validate(uri, ["k"], spark=spark)["boundary_violations"] == 0
+    t = DeltaTable(spark, uri)
+    got = sorted((r["p"], r["k"], r["v"]) for r in t.to_df().collect())
+    assert got == sorted(rows + [(2, "n", 8)])
+
+    # remote row-level DML through the same fs
+    res = upsert(
+        t,
+        spark.createDataFrame([(2, "m", 77)], "p int, k string, v long"),
+        ["p", "k"],
+    )
+    assert res["rewritten_files"] >= 1
+    vals = {(r["p"], r["k"]): r["v"] for r in t.to_df().collect()}
+    assert vals[(2, "m")] == 77 and len(vals) == 5
+
+
+def test_azure_partition_aware_compact_and_dml(azure_env, spark):
+    _roundtrip_partition_aware(spark, "azure://cont/tables/part_dml")
+
+
+def test_gcs_partition_aware_compact_and_dml(gcs_env, spark):
+    _roundtrip_partition_aware(spark, "gs://bkt/tables/part_dml")
