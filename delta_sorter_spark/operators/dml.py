@@ -286,33 +286,46 @@ def delete_where(table: DeltaTable, predicate: str) -> dict:
     }
 
 
-def delete_where_dv(table: DeltaTable, predicate: str) -> dict:
+def delete_where_dv(
+    table: DeltaTable, predicate: str, vector_format: str = "roaring"
+) -> dict:
     """Merge-on-read DELETE: instead of rewriting hit files, record the
-    deleted row POSITIONS in a deletion-vector sidecar and re-Add each file
-    with a ``deletionVector`` pointer.  Readers (``to_df``) drop those
-    positions via a broadcast anti-join on the native parquet
-    ``_metadata.row_index`` — no data bytes are rewritten.
+    deleted row POSITIONS in a deletion vector and re-Add each file with a
+    ``deletionVector`` pointer.  Readers (``to_df``) drop those positions
+    via a broadcast anti-join on the native parquet ``_metadata.row_index``
+    — no data bytes are rewritten.
 
     This is the scale path for small deletes on huge tables (GDPR one-row
-    erasure on a 100 TB table touches only the log + a KB sidecar vs
+    erasure on a 100 TB table touches only the log + a KB vector vs
     rewriting multi-GB files).  Trade-off: reads of DV'd files carry the
     anti-join until ``purge_deletion_vectors`` (or any compaction rewrite)
-    materializes the delete.  Our sidecar is JSON row-index lists — the
-    protocol's roaring-bitmap encoding, simplified; positions are physical
-    file row indexes so they stay valid until the file itself is rewritten.
+    materializes the delete.
+
+    ``vector_format="roaring"`` (default) writes STANDARD Delta-protocol
+    deletion vectors — one ``deletion_vector_<uuid>.bin`` roaring-bitmap
+    file per touched data file, storageType "u" descriptors
+    (sources/roaring.py; the format the reference's own table layer,
+    delta-rs ``deltalake 0.28``, reads).  ``"parquet"`` keeps this engine's
+    earlier ``(path, pos)`` parquet-dataset sidecar (non-standard; purge
+    before pointing foreign readers at the table).
 
     Returns {"dv_files", "deleted_rows", "version"}.
 
     Scale path: the matched row positions never pass through the driver.
     The predicate scan tags each hit with its table-relative path (computed
     in Spark from ``_metadata.file_path``), unions in the prior positions of
-    any already-DV'd hit file (positions are cumulative per sidecar), and
-    writes the merged ``(path, pos)`` sidecar dataset directly from
-    executors.  The driver sees only one aggregate row per touched file
-    (cardinalities for the new Add actions) — O(#files-touched), the same
-    order as the commit itself."""
+    any already-DV'd hit file (positions are cumulative per vector), and
+    writes the merged vectors directly from executors (one applyInPandas
+    group per touched file for roaring; a dataset write for parquet).  The
+    driver sees only one descriptor row per touched file — O(#files-
+    touched), the same order as the commit itself."""
     import re as _re
     import uuid as _uuid
+
+    from delta_sorter_spark.sources.delta_table import _is_protocol_dv
+
+    if vector_format not in ("roaring", "parquet"):
+        raise ValueError(f"unknown vector_format {vector_format!r}")
 
     state = table.state()
     # Raw positional scan (existing DVs not applied): rows already deleted
@@ -348,8 +361,12 @@ def delete_where_dv(table: DeltaTable, predicate: str) -> dict:
     prev_parts = []
     json_rows: list[tuple[str, int]] = []
     seen_sidecars: set[str] = set()
+    roaring_prev: list[tuple[str, dict]] = []
     for a in state.adds:
         if not a.deletion_vector:
+            continue
+        if _is_protocol_dv(a.deletion_vector):
+            roaring_prev.append((a.path, a.deletion_vector))
             continue
         sp = a.deletion_vector["storagePath"]
         sidecar = os.path.join(table.table_path, sp)
@@ -375,6 +392,8 @@ def delete_where_dv(table: DeltaTable, predicate: str) -> dict:
         prev_parts.append(
             table.spark.createDataFrame(json_rows, "path string, pos long")
         )
+    if roaring_prev:
+        prev_parts.append(table._roaring_positions_df(roaring_prev))
     merged = hits
     if prev_parts:
         prev = prev_parts[0]
@@ -384,25 +403,34 @@ def delete_where_dv(table: DeltaTable, predicate: str) -> dict:
         merged = hits.unionByName(prev)
     merged = merged.distinct()
 
-    sidecar_rel = f"_deletion_vectors/{_uuid.uuid4().hex}"
-    # co-locate each file's positions so readers filtering on path touch
-    # few sidecar files
-    table.write_parquet_dataset(merged.repartition("path"), sidecar_rel)
-
-    counts = {
-        r["path"]: r["n"]
-        for r in table.read_parquet_dataset(
-            sidecar_rel, ["path", "pos"], "path string, pos long"
-        )
-        .groupBy("path")
-        .agg(F.count("*").alias("n"))
-        .collect()
-    }
-    if not counts:
-        # no-match delete: drop the just-written empty sidecar dataset so
-        # repeated no-op deletes don't accumulate orphan directories
-        table.delete_dataset(sidecar_rel)
-        return {"dv_files": 0, "deleted_rows": 0, "version": state.version}
+    if vector_format == "roaring":
+        dv_by_path = _write_roaring_vectors(table, merged)
+        if not dv_by_path:
+            return {"dv_files": 0, "deleted_rows": 0, "version": state.version}
+        counts = {rel: dv["cardinality"] for rel, dv in dv_by_path.items()}
+    else:
+        sidecar_rel = f"_deletion_vectors/{_uuid.uuid4().hex}"
+        # co-locate each file's positions so readers filtering on path touch
+        # few sidecar files
+        table.write_parquet_dataset(merged.repartition("path"), sidecar_rel)
+        counts = {
+            r["path"]: r["n"]
+            for r in table.read_parquet_dataset(
+                sidecar_rel, ["path", "pos"], "path string, pos long"
+            )
+            .groupBy("path")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        if not counts:
+            # no-match delete: drop the just-written empty sidecar dataset so
+            # repeated no-op deletes don't accumulate orphan directories
+            table.delete_dataset(sidecar_rel)
+            return {"dv_files": 0, "deleted_rows": 0, "version": state.version}
+        dv_by_path = {
+            rel: {"storagePath": sidecar_rel, "cardinality": n}
+            for rel, n in counts.items()
+        }
 
     adds_by_path = {a.path: a for a in state.adds}
     new_adds, removes = [], []
@@ -420,10 +448,7 @@ def delete_where_dv(table: DeltaTable, predicate: str) -> dict:
                 modification_time=old.modification_time,
                 data_change=True,
                 stats=old.stats,  # conservative: pre-delete min/max still bound the data
-                deletion_vector={
-                    "storagePath": sidecar_rel,
-                    "cardinality": cardinality,
-                },
+                deletion_vector=dv_by_path[rel],
             )
         )
     version = table.commit_rewrite(new_adds, removes, operation="DELETE")
@@ -432,6 +457,60 @@ def delete_where_dv(table: DeltaTable, predicate: str) -> dict:
         "deleted_rows": deleted_rows,
         "version": version,
     }
+
+
+def _write_roaring_vectors(table: DeltaTable, merged: DataFrame) -> dict[str, dict]:
+    """Write one standard ``deletion_vector_<uuid>.bin`` per touched data
+    file from the executors (one applyInPandas group per file — a file's
+    positions are bounded by its row count) and return
+    {table-relative data path: protocol deletionVector descriptor}."""
+    import json as _json
+
+    from delta_sorter_spark.sources.fs import capture_aws_env
+
+    table_path = table.table_path
+    remote = table.is_remote
+    aws_env = capture_aws_env() if remote else None
+
+    def write_group(pdf):
+        import json as _j
+        import os as _os
+        import uuid as _u
+
+        import pandas as pd
+
+        from delta_sorter_spark.sources.roaring import (
+            encode_dv_file,
+            make_dv_descriptor,
+            serialize_roaring_array,
+        )
+
+        rel = pdf["path"].iloc[0]
+        positions = sorted({int(p) for p in pdf["pos"]})
+        data = serialize_roaring_array(positions)
+        fbytes, spans = encode_dv_file([data])
+        u = _u.uuid4()
+        name = f"deletion_vector_{u}.bin"
+        if remote:
+            from delta_sorter_spark.sources.fs import apply_aws_env, resolve
+
+            apply_aws_env(aws_env)
+            fsobj, base = resolve(table_path)
+            fsobj.write_bytes(fsobj.join(base, name), fbytes)
+        else:
+            with open(_os.path.join(table_path, name), "wb") as fh:
+                fh.write(fbytes)
+        desc = make_dv_descriptor(u.bytes, spans[0][0], spans[0][1], len(positions))
+        return pd.DataFrame(
+            [{"path": rel, "dv": _j.dumps(desc)}]
+        )
+
+    rows = (
+        merged.groupBy("path")
+        .applyInPandas(write_group, "path string, dv string")
+        .collect()  # one row per touched FILE — O(files), not O(rows)
+    )
+    return {r["path"]: _json.loads(r["dv"]) for r in rows}
 
 
 def purge_deletion_vectors(table: DeltaTable) -> dict:

@@ -27,9 +27,13 @@ All log IO goes through ``sources/fs.py``; table paths may be local paths or
 ``s3://`` / ``memory://`` URIs, matching the reference's URI addressing
 (crates/sorter-cli/src/main.rs:13-15).
 
-Known divergence: deletion vectors use a parquet positions sidecar (not a
-RoaringBitmap); their checkpoint encoding stores the sidecar path in the
-protocol's ``deletionVector`` struct with storageType ``"p"``.
+Deletion vectors default to the STANDARD protocol encoding (roaring-bitmap
+``deletion_vector_<uuid>.bin`` files, storageType "u"/"i"/"p" — see
+sources/roaring.py), so a stock delta-rs / delta-spark reader interprets
+them.  Tables written by earlier versions of this engine may still carry
+the legacy parquet-positions sidecar (``{"storagePath": ...}`` descriptors,
+checkpointed as storageType "p" with a null offset); those remain readable,
+and ``purge_deletion_vectors`` materializes them away for full interop.
 
 The ``schemaString`` in metaData uses Spark's StructType JSON, which is the
 same format Delta uses, so round-tripping through ``StructType.fromJson`` is
@@ -69,9 +73,12 @@ class AddAction:
     modification_time: int = 0
     data_change: bool = True
     stats: dict | None = None  # numRecords / minValues / maxValues / nullCount
-    # Deletion vector (merge-on-read delete): {"storagePath": <relative
-    # sidecar path>, "cardinality": <n deleted rows>}.  Readers drop the
-    # sidecar's row positions from this file; None = no deleted rows.
+    # Deletion vector (merge-on-read delete).  Standard protocol shape:
+    # {"storageType": "u"|"i"|"p", "pathOrInlineDv", "offset",
+    # "sizeInBytes", "cardinality"} (roaring bitmap — sources/roaring.py).
+    # Legacy shape from earlier engine versions: {"storagePath": <relative
+    # sidecar path>, "cardinality"}.  Readers drop the vector's row
+    # positions from this file; None = no deleted rows.
     deletion_vector: dict | None = None
 
     def to_json(self) -> dict:
@@ -343,10 +350,24 @@ class DeltaLog:
                     a["partitionValues"] = _as_dict(a.get("partitionValues"))
                     dv = a.pop("deletionVector", None)
                     if dv is not None and dv.get("pathOrInlineDv"):
-                        a["deletionVector"] = {
-                            "storagePath": dv["pathOrInlineDv"],
-                            "cardinality": dv.get("cardinality", 0),
-                        }
+                        if dv.get("storageType") in ("u", "i") or dv.get(
+                            "offset"
+                        ) is not None:
+                            # standard protocol descriptor — pass through
+                            a["deletionVector"] = {
+                                "storageType": dv.get("storageType"),
+                                "pathOrInlineDv": dv["pathOrInlineDv"],
+                                "offset": dv.get("offset"),
+                                "sizeInBytes": dv.get("sizeInBytes"),
+                                "cardinality": dv.get("cardinality", 0),
+                            }
+                        else:
+                            # legacy sidecar (this engine's earlier format,
+                            # checkpointed as "p" with a null offset)
+                            a["deletionVector"] = {
+                                "storagePath": dv["pathOrInlineDv"],
+                                "cardinality": dv.get("cardinality", 0),
+                            }
                     a.pop("tags", None)
                     actions.append({"add": a})
                 elif row.get("remove") is not None:
@@ -498,13 +519,24 @@ class DeltaLog:
         for add in state.adds:
             dv = None
             if add.deletion_vector is not None:
-                dv = {
-                    "storageType": "p",
-                    "pathOrInlineDv": add.deletion_vector.get("storagePath"),
-                    "offset": None,
-                    "sizeInBytes": None,
-                    "cardinality": add.deletion_vector.get("cardinality", 0),
-                }
+                src = add.deletion_vector
+                if "storageType" in src and "storagePath" not in src:
+                    # standard protocol descriptor — checkpoint verbatim
+                    dv = {
+                        "storageType": src["storageType"],
+                        "pathOrInlineDv": src["pathOrInlineDv"],
+                        "offset": src.get("offset"),
+                        "sizeInBytes": src.get("sizeInBytes"),
+                        "cardinality": src.get("cardinality", 0),
+                    }
+                else:  # legacy sidecar: "p" with null offset marks it
+                    dv = {
+                        "storageType": "p",
+                        "pathOrInlineDv": src.get("storagePath"),
+                        "offset": None,
+                        "sizeInBytes": None,
+                        "cardinality": src.get("cardinality", 0),
+                    }
             rows.append(
                 {
                     "add": {

@@ -209,10 +209,39 @@ def _dv_keys(add: AddAction, sidecar: str) -> set[str]:
     return keys
 
 
+def _is_protocol_dv(dv: dict) -> bool:
+    """True for protocol-shaped descriptors (storageType u/i/p + roaring
+    bitmap payload); False for this engine's earlier sidecar formats
+    ({"storagePath": ...} parquet datasets / JSON maps)."""
+    return "storageType" in dv and "storagePath" not in dv
+
+
+def _protocol_dv_positions(table_path: str, dv: dict) -> set[int]:
+    """Decode a protocol-shaped deletion vector's positions (roaring.py)."""
+    from delta_sorter_spark.sources.fs import is_remote_uri, resolve
+    from delta_sorter_spark.sources.roaring import positions_from_descriptor
+
+    if is_remote_uri(table_path):
+        fsobj, base = resolve(table_path)
+
+        def read(rel: str) -> bytes:
+            return fsobj.read_bytes(fsobj.join(base, rel))
+
+    else:
+
+        def read(rel: str) -> bytes:
+            p = rel if os.path.isabs(rel) else os.path.join(table_path, rel)
+            with open(p, "rb") as fh:
+                return fh.read()
+
+    return set(positions_from_descriptor(dv, read))
+
+
 def dv_sidecar_positions(table_path: str, add: AddAction) -> set[int]:
-    """Deleted row positions for one file (empty if no DV).  Handles both
-    sidecar encodings: parquet ``(path, pos)`` datasets (current; written
-    executor-side by ``delete_where_dv``) and the legacy single-JSON map.
+    """Deleted row positions for one file (empty if no DV).  Handles the
+    standard Delta-protocol encoding (roaring bitmap bins, storageType
+    u/i/p — sources/roaring.py) plus both legacy sidecar encodings: parquet
+    ``(path, pos)`` datasets and the single-JSON map.
     Remote table URIs resolve the sidecar through sources/fs.py."""
     import json as _json
 
@@ -220,6 +249,8 @@ def dv_sidecar_positions(table_path: str, add: AddAction) -> set[int]:
 
     if not add.deletion_vector:
         return set()
+    if _is_protocol_dv(add.deletion_vector):
+        return _protocol_dv_positions(table_path, add.deletion_vector)
     if is_remote_uri(table_path):
         import io as _io
 
@@ -719,6 +750,63 @@ class DeltaTable:
         """Deleted row positions for one file (empty if no DV)."""
         return dv_sidecar_positions(self.table_path, add)
 
+    def _roaring_positions_df(self, specs: Sequence[tuple[str, dict]]) -> DataFrame:
+        """(key, protocol DV descriptor) -> DataFrame(path=key, pos long).
+
+        The roaring bins decode EXECUTOR-side (one task per batch of specs,
+        local open or object-store GET); the driver only ships the O(files)
+        spec list, so a wide merge-on-read scan never funnels deleted-row
+        positions through one process."""
+        import json as _json
+
+        from delta_sorter_spark.sources.fs import capture_aws_env
+
+        table_path = self.table_path
+        remote = self.is_remote
+        aws_env = capture_aws_env() if remote else None
+        rows = [(k, _json.dumps(d)) for k, d in specs]
+
+        def decode(batches):
+            import json as _j
+            import os as _os
+
+            import pandas as pd
+
+            from delta_sorter_spark.sources.roaring import positions_from_descriptor
+
+            if remote:
+                from delta_sorter_spark.sources.fs import apply_aws_env, resolve
+
+                apply_aws_env(aws_env)
+                fsobj, base = resolve(table_path)
+
+                def read(rel):
+                    return fsobj.read_bytes(fsobj.join(base, rel))
+
+            else:
+
+                def read(rel):
+                    p = rel if _os.path.isabs(rel) else _os.path.join(table_path, rel)
+                    with open(p, "rb") as fh:
+                        return fh.read()
+
+            for b in batches:
+                keys, poss = [], []
+                for key, dvj in zip(b["path"], b["dv"]):
+                    for pos in positions_from_descriptor(_j.loads(dvj), read):
+                        keys.append(key)
+                        poss.append(pos)
+                yield pd.DataFrame(
+                    {
+                        "path": pd.Series(keys, dtype="object"),
+                        "pos": pd.Series(poss, dtype="int64"),
+                    }
+                )
+
+        df = self.spark.createDataFrame(rows, "path string, dv string")
+        n = max(1, min(len(rows), self.spark.sparkContext.defaultParallelism))
+        return df.repartition(n).mapInPandas(decode, "path string, pos long")
+
     def _read_dv_files(self, adds: Sequence[AddAction], meta) -> DataFrame:
         """Merge-on-read: scan files that carry a deletion vector and drop
         the deleted row positions.  Fully JVM-side — the scan exposes
@@ -731,11 +819,15 @@ class DeltaTable:
         small, which is the common case."""
         json_pairs: list[tuple[str, int]] = []  # (absolute file uri, row_index)
         pq_sidecars: dict[str, list[tuple[str, str]]] = {}  # sidecar -> (key, uri)
+        roaring_specs: list[tuple[str, dict]] = []  # (uri, protocol descriptor)
         for a in adds:
             if not a.deletion_vector:
                 continue
-            sp = a.deletion_vector["storagePath"]
             uri = "file:" + os.path.join(self.table_path, a.path)
+            if _is_protocol_dv(a.deletion_vector):
+                roaring_specs.append((uri, a.deletion_vector))
+                continue
+            sp = a.deletion_vector["storagePath"]
             sidecar = os.path.join(self.table_path, sp)
             if os.path.isdir(sidecar):
                 # both candidate keys: add.path verbatim (post-clone deletes
@@ -760,6 +852,12 @@ class DeltaTable:
             dv_parts.append(
                 sdf.join(F.broadcast(key_to_uri), "path").select(
                     "__file__", F.col("pos").alias("__pos__")
+                )
+            )
+        if roaring_specs:
+            dv_parts.append(
+                self._roaring_positions_df(roaring_specs).select(
+                    F.col("path").alias("__file__"), F.col("pos").alias("__pos__")
                 )
             )
         scan = self.scan_with_positions(adds, meta)
@@ -1516,9 +1614,29 @@ class DeltaTable:
                 dv = None
                 if a.deletion_vector:
                     dv = dict(a.deletion_vector)
-                    dv["storagePath"] = os.path.join(
-                        src.table_path, dv["storagePath"]
-                    )
+                    if _is_protocol_dv(dv):
+                        # re-anchor the bin into the SOURCE table dir: "u"
+                        # becomes an absolute-path "p" descriptor (the
+                        # protocol's cross-directory form); "p"/"i" carry
+                        if dv.get("storageType") == "u":
+                            from delta_sorter_spark.sources.roaring import (
+                                dv_uuid_path,
+                            )
+
+                            dv = {
+                                "storageType": "p",
+                                "pathOrInlineDv": os.path.join(
+                                    src.table_path,
+                                    dv_uuid_path(dv["pathOrInlineDv"]),
+                                ),
+                                "offset": dv.get("offset"),
+                                "sizeInBytes": dv.get("sizeInBytes"),
+                                "cardinality": dv.get("cardinality", 0),
+                            }
+                    else:
+                        dv["storagePath"] = os.path.join(
+                            src.table_path, dv["storagePath"]
+                        )
                 out.append(
                     AddAction(
                         path=os.path.join(src.table_path, a.path),
@@ -1634,14 +1752,23 @@ class DeltaTable:
 
         state = self.state()
         active = {a.path for a in state.adds}
-        # deletion-vector sidecars still referenced by an active Add: JSON
-        # sidecars are single files (exact match); parquet sidecars are
-        # DIRECTORIES of part files, protected by prefix
-        dv_paths = {
-            a.deletion_vector["storagePath"]
-            for a in state.adds
-            if a.deletion_vector
-        }
+        # deletion-vector payloads still referenced by an active Add:
+        # protocol "u" descriptors resolve to their bin file; legacy JSON
+        # sidecars are single files (exact match); legacy parquet sidecars
+        # are DIRECTORIES of part files, protected by prefix
+        from delta_sorter_spark.sources.roaring import dv_uuid_path
+
+        dv_paths: set[str] = set()
+        for a in state.adds:
+            dv = a.deletion_vector
+            if not dv:
+                continue
+            if _is_protocol_dv(dv):
+                if dv.get("storageType") == "u":
+                    dv_paths.add(dv_uuid_path(dv["pathOrInlineDv"]))
+                # "p" is outside this table dir (clone source), "i" inline
+            else:
+                dv_paths.add(dv["storagePath"])
         active |= dv_paths
         active_prefixes = tuple(p.rstrip("/") + "/" for p in dv_paths)
         fsobj = self.log.fs
@@ -1653,10 +1780,12 @@ class DeltaTable:
                 continue
             in_dv_tree = rel.startswith("_deletion_vectors/")
             name = rel.rsplit("/", 1)[-1]
-            # data files everywhere; inside the DV tree EVERY file (sidecar
-            # payloads, _SUCCESS markers, Hadoop .crc companions), so an
-            # orphaned sidecar dataset is collected completely
-            if not (name.endswith(".parquet") or in_dv_tree):
+            is_dv_bin = name.startswith("deletion_vector_") and name.endswith(".bin")
+            # data files everywhere; protocol DV bins; inside the legacy DV
+            # tree EVERY file (sidecar payloads, _SUCCESS markers, Hadoop
+            # .crc companions), so an orphaned sidecar dataset is collected
+            # completely
+            if not (name.endswith(".parquet") or in_dv_tree or is_dv_bin):
                 continue
             if rel in active or rel.startswith(active_prefixes):
                 continue

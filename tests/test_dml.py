@@ -296,9 +296,11 @@ def test_deletion_vector_delete_and_purge(spark, tmp_path):
 
 
 def test_deletion_vector_large_match_fraction(spark, tmp_path):
-    """Scale path: a delete matching ~40% of a multi-file table writes its
-    positions as an executor-side parquet sidecar dataset (no per-position
-    driver collect), and repeated deletes still union cumulatively."""
+    """Scale path (legacy parquet sidecar format, kept readable + writable
+    behind vector_format="parquet"): a delete matching ~40% of a multi-file
+    table writes its positions as an executor-side parquet sidecar dataset
+    (no per-position driver collect), and repeated deletes still union
+    cumulatively."""
     import os
 
     from delta_sorter_spark.operators.dml import delete_where_dv
@@ -311,7 +313,9 @@ def test_deletion_vector_large_match_fraction(spark, tmp_path):
     table = DeltaTable.create(spark, path, df.repartition(4), stat_columns=["id"])
     data_files_before = set(table.input_files())
 
-    out = delete_where_dv(table, "id % 5 IN (1, 2)")  # 40% of rows
+    out = delete_where_dv(
+        table, "id % 5 IN (1, 2)", vector_format="parquet"
+    )  # 40% of rows
     assert out["deleted_rows"] == 2 * (n // 5)
     assert out["dv_files"] == 4  # every file holds matches
     assert set(table.input_files()) == data_files_before  # nothing rewritten
@@ -327,7 +331,8 @@ def test_deletion_vector_large_match_fraction(spark, tmp_path):
     assert remaining.count() == n - 2 * (n // 5)
     assert remaining.where("id % 5 IN (1, 2)").count() == 0
 
-    # second, overlapping delete: only the new 20% counts
+    # second, overlapping delete: only the new 20% counts — and the ROARING
+    # default composes cumulatively on top of a legacy-sidecar table
     out2 = delete_where_dv(table, "id % 5 IN (2, 3)")
     assert out2["deleted_rows"] == n // 5
     assert DeltaTable(spark, path).to_df().count() == n - 3 * (n // 5)
@@ -396,7 +401,8 @@ def test_table_changes_with_deletion_vectors(spark, tmp_path):
 
 
 def test_vacuum_keeps_live_dv_sidecars(spark, tmp_path):
-    """Vacuum collects orphaned DV sidecars but never a referenced one."""
+    """Vacuum collects orphaned legacy DV sidecars but never a referenced
+    one (the roaring sibling is test_roaring_dv_vacuum_and_purge)."""
     from delta_sorter_spark.operators.dml import delete_where_dv, purge_deletion_vectors
 
     path = str(tmp_path / "dv_vac")
@@ -406,7 +412,7 @@ def test_vacuum_keeps_live_dv_sidecars(spark, tmp_path):
         spark.createDataFrame([(i, i) for i in range(8)], "id long, x long").coalesce(1),
         stat_columns=["id"],
     )
-    delete_where_dv(table, "id = 2")
+    delete_where_dv(table, "id = 2", vector_format="parquet")
     doomed = table.vacuum(dry_run=True)
     # the live sidecar (parquet dataset dir) must be fully protected
     assert not [d for d in doomed if "_deletion_vectors" in d]
@@ -419,6 +425,123 @@ def test_vacuum_keeps_live_dv_sidecars(spark, tmp_path):
         _o.path.join(r, n) for r, _, ns in _o.walk(dv_root) for n in ns
     ]
     assert not leftovers, leftovers  # orphaned sidecar collected completely
+    assert sorted(r["id"] for r in DeltaTable(spark, path).to_df().collect()) == [
+        0, 1, 3, 4, 5, 6, 7,
+    ]
+
+
+def test_roaring_dv_standard_layout(spark, tmp_path):
+    """Default deletion vectors are STANDARD Delta protocol: storageType "u"
+    descriptors whose z85 uuid resolves to a framed roaring-bitmap
+    ``deletion_vector_<uuid>.bin`` (version byte, big-endian length, magic
+    1681511377 payload, CRC-32) — byte-for-byte what delta-rs/delta-spark
+    parse.  Cumulative deletes re-point to fresh bins with merged
+    positions."""
+    import os
+    import struct
+    import zlib
+
+    from delta_sorter_spark.operators.dml import delete_where_dv
+    from delta_sorter_spark.sources.roaring import (
+        DV_FILE_VERSION,
+        MAGIC_NUMBER,
+        deserialize_roaring_array,
+        dv_uuid_path,
+    )
+
+    path = str(tmp_path / "dv_std")
+    table = DeltaTable.create(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(10)], "id long, v string"
+        ).coalesce(1),
+        stat_columns=["id"],
+    )
+    out = delete_where_dv(table, "id IN (1, 4, 7)")
+    assert out["dv_files"] == 1 and out["deleted_rows"] == 3
+
+    (add,) = table.state().adds
+    dv = add.deletion_vector
+    assert dv["storageType"] == "u"
+    assert dv["cardinality"] == 3 and dv["offset"] == 1
+    rel = dv_uuid_path(dv["pathOrInlineDv"])
+    assert rel.startswith("deletion_vector_") and rel.endswith(".bin")
+    raw = open(os.path.join(path, rel), "rb").read()
+    assert raw[0] == DV_FILE_VERSION
+    (size,) = struct.unpack_from(">i", raw, dv["offset"])
+    assert size == dv["sizeInBytes"]
+    data = raw[dv["offset"] + 4 : dv["offset"] + 4 + size]
+    (magic,) = struct.unpack_from("<i", data, 0)
+    assert magic == MAGIC_NUMBER
+    (crc,) = struct.unpack_from(">I", raw, dv["offset"] + 4 + size)
+    assert crc == zlib.crc32(data) & 0xFFFFFFFF
+    assert deserialize_roaring_array(data) == [1, 4, 7]
+
+    # reads drop exactly those rows
+    assert sorted(r["id"] for r in table.to_df().collect()) == [0, 2, 3, 5, 6, 8, 9]
+
+    # cumulative delete: fresh bin, merged positions
+    out2 = delete_where_dv(table, "id IN (4, 8)")
+    assert out2["deleted_rows"] == 1
+    (add2,) = DeltaTable(spark, path).state().adds
+    raw2 = open(os.path.join(path, dv_uuid_path(add2.deletion_vector["pathOrInlineDv"])), "rb").read()
+    (size2,) = struct.unpack_from(">i", raw2, add2.deletion_vector["offset"])
+    data2 = raw2[add2.deletion_vector["offset"] + 4 :][:size2]
+    assert deserialize_roaring_array(data2) == [1, 4, 7, 8]
+    assert sorted(r["id"] for r in DeltaTable(spark, path).to_df().collect()) == [
+        0, 2, 3, 5, 6, 9,
+    ]
+
+
+def test_roaring_dv_checkpoint_roundtrip(spark, tmp_path):
+    """Protocol DV descriptors survive a parquet checkpoint verbatim
+    (storageType/pathOrInlineDv/offset/sizeInBytes/cardinality), and a
+    post-checkpoint reader still applies them."""
+    from delta_sorter_spark.operators.dml import delete_where_dv
+
+    path = str(tmp_path / "dv_ckpt")
+    table = DeltaTable.create(
+        spark,
+        path,
+        spark.createDataFrame([(i,) for i in range(6)], "id long").coalesce(1),
+        stat_columns=["id"],
+    )
+    delete_where_dv(table, "id = 2")
+    before = DeltaTable(spark, path).state().adds[0].deletion_vector
+    table.log.write_checkpoint()
+    fresh = DeltaTable(spark, path)
+    after = fresh.state().adds[0].deletion_vector
+    assert after == before
+    assert sorted(r["id"] for r in fresh.to_df().collect()) == [0, 1, 3, 4, 5]
+
+
+def test_roaring_dv_vacuum_and_purge(spark, tmp_path):
+    """Vacuum never collects a referenced DV bin; after purge the orphaned
+    bin is collected and the data reads identically."""
+    import os
+
+    from delta_sorter_spark.operators.dml import (
+        delete_where_dv,
+        purge_deletion_vectors,
+    )
+
+    path = str(tmp_path / "dv_vac_std")
+    table = DeltaTable.create(
+        spark,
+        path,
+        spark.createDataFrame([(i, i) for i in range(8)], "id long, x long").coalesce(1),
+        stat_columns=["id"],
+    )
+    delete_where_dv(table, "id = 2")
+    doomed = table.vacuum(dry_run=True)
+    assert not [d for d in doomed if d.startswith("deletion_vector_")]
+    purge_deletion_vectors(table)
+    doomed = table.vacuum()
+    assert [d for d in doomed if d.startswith("deletion_vector_")]
+    assert not [
+        n for n in os.listdir(path) if n.startswith("deletion_vector_")
+    ]
     assert sorted(r["id"] for r in DeltaTable(spark, path).to_df().collect()) == [
         0, 1, 3, 4, 5, 6, 7,
     ]
