@@ -4013,17 +4013,74 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_v1_file_minmax(spark, "/root/testdata/sf0.001")
 
 
+# Queries whose IMPLEMENTATION changed this round: they must re-enter the
+# driver-check budget even if their latest driver row is fresh and green.
+# Round 4: e42 (served from persisted signatures), e13/e47 (pointer-jumping
+# connected components), e15/e33 (zero-shuffle centroid assignment).
+_RECHECK_THIS_ROUND = [
+    "e42_minhash_accuracy",
+    "e13_dup_clusters",
+    "e47_leakage_safe_split",
+    "e15_ivf_ann",
+    "e33_semantic_dedup",
+]
+
+
+def _registry_order(names) -> list[str]:
+    """Driver-budget rotation: the checker covers the FIRST ~50 registry
+    entries, so order queries (1) red at their latest driver check, (2)
+    implementation-changed this round (_RECHECK_THIS_ROUND), (3) by
+    staleness — never-checked first, then oldest latest-check round — with
+    the name as a deterministic tiebreak.  Computed from the repo's
+    CORRECTNESS_r*.json files at call time, so the rotation guarantee holds
+    every round without hand-reordering (tests/test_registry_rotation.py
+    pins the invariant)."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+    import re as _rexp
+
+    root = _os.path.dirname(_os.path.abspath(__file__))
+    join = _os.path.join
+    last_round: dict[str, int] = {}
+    red: dict[str, bool] = {}
+    for p in sorted(_glob.glob(join(root, "CORRECTNESS_r*.json"))):
+        m = _rexp.search(r"_r(\d+)\.json$", p)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(p) as fh:
+                data = _json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for k, v in data.items():
+            if not isinstance(v, dict):
+                continue
+            last_round[k] = rnd
+            red[k] = not (
+                v.get("rows_match")
+                and v.get("schema_match")
+                and v.get("hash_match") is not False
+            )
+    recheck = set(_RECHECK_THIS_ROUND)
+
+    def key(name: str):
+        tier = 0 if red.get(name) else (1 if name in recheck else 2)
+        return (tier, last_round.get(name, -1), name)
+
+    return sorted(names, key=key)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordered for driver-budget efficiency (the checker covers ~50 entries in
-    # registry order).  Tier 1: the 3 rows red in round 2 (oracle HUGEINT,
-    # cast fixed this round; all re-verified green locally at sf0.01).
-    # Tier 2: the 8 rows with no driver row after r2's reorder (verified
-    # green locally).  Tier 3: queries new or changed this round
-    # (e42-e51, a39-a42, p2, plus a23/e38 whose implementations changed and
-    # e44 whose recall denominator changed).  Tier 4: round-1 greens not
-    # re-confirmed since.  Tier 5: round-2 greens (freshest).  Duplicate
-    # keys from the tpch_extra splat keep their first position per dict
-    # semantics.
+    base = _queries_unordered()
+    return {k: base[k] for k in _registry_order(base.keys())}
+
+
+def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Registration order is arbitrary — queries() re-sorts through
+    # _registry_order for driver-budget rotation.  Duplicate keys from the
+    # tpch_extra splat keep their first position per dict semantics.
     return {
         # --- tier 1: red in round 2, oracle cast fixed ---
         "e29_quantized_topk": q_e29_quantized_topk,

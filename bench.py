@@ -201,6 +201,54 @@ def main() -> int:
         lambda: run_stream("r2"),
     )
 
+    # -- streaming micro-batch latency: per-batch cost of the exactly-once
+    # sink (incremental read -> watermarked agg -> SetTransaction append) on
+    # a SMALL fresh batch.  The availableNow pass above prices throughput;
+    # this prices the per-trigger overhead that bounds steady-state
+    # freshness.  Only the foreachBatch callback is timed (the batch's
+    # compute executes inside it — foreachBatch DataFrames are lazy), so
+    # stream startup is excluded.
+    lat_src = os.path.join(workdir, "ev_lat_src")
+    lat_tbl = DeltaTable.create(
+        spark, lat_src, _load(spark, SF_DIR, "events").limit(1000).repartition(2)
+    )
+    prep_stream("lat")
+    lat_out = os.path.join(workdir, "ev_lat")
+    lat_ck = os.path.join(workdir, "ev_ck_lat")
+    batch_times: list[float] = []
+    base_sink = delta_append_sink(lat_out, "bench-lat")
+
+    def timed_sink(df, bid):
+        t0 = time.monotonic()
+        base_sink(df, bid)
+        batch_times.append(time.monotonic() - t0)
+
+    def lat_pass():
+        stream = (
+            spark.readStream.format("delta_sorter").option("path", lat_src).load()
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+        agg = windowed_event_counts(stream, streaming=True)
+        q = (
+            agg.writeStream.foreachBatch(timed_sink)
+            .option("checkpointLocation", lat_ck)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    lat_pass()  # initial catch-up batch: warm-up, not representative
+    batch_times.clear()
+    tiny = _load(spark, SF_DIR, "events").limit(200)
+    for _ in range(3):
+        lat_tbl.append(tiny.coalesce(1))
+        lat_pass()
+    if batch_times:
+        timings["stream_batch_latency"] = round(
+            sorted(batch_times)[len(batch_times) // 2], 3
+        )
+
     # -- query workloads (full computation via noop sink) -------------------
     # one untimed pre-run per query (codegen compile + exchange reuse JIT),
     # then best-of-2 timed runs: this VM shares a host and single runs show
