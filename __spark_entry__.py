@@ -4008,6 +4008,217 @@ FROM scored GROUP BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# E52: shingle-containment near-dup pairs (the dedup case Jaccard misses:
+# a small document embedded inside a much larger one)
+# ---------------------------------------------------------------------------
+
+CONTAINMENT_THRESHOLD = 0.6
+
+
+def q_e52_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_sorter_spark.operators.dedup import containment_pairs
+
+    return containment_pairs(
+        _doc_subset(spark, sf_dir, JACCARD_SUBSET_MOD),
+        "doc_id",
+        "text",
+        threshold=CONTAINMENT_THRESHOLD,
+    )
+
+
+_E52_SQL = f"""
+WITH {_duckdb_shingle_cte(JACCARD_SUBSET_MOD)},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       round(CAST(i AS DOUBLE) / sa.n, 6) AS containment_a,
+       round(CAST(i AS DOUBLE) / sb.n, 6) AS containment_b
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE greatest(CAST(i AS DOUBLE) / sa.n, CAST(i AS DOUBLE) / sb.n)
+        >= {CONTAINMENT_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
+# E53: deterministic weighted sampling (priority sampling with a seeded
+# hash in place of the RNG — the quality-weighted corpus subsample)
+# ---------------------------------------------------------------------------
+
+WPS_K = 50
+WPS_SEED = "wps-v1"
+WPS_USCALE = 1_000_000
+
+
+def q_e53_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_sorter_spark.operators.sampling import weighted_priority_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = weighted_priority_sample(
+        docs, "doc_id", "length(text)", k=WPS_K, seed=WPS_SEED, u_scale=WPS_USCALE
+    )
+    return out.select("doc_id", "priority")
+
+
+_E53_SQL = f"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) * {WPS_USCALE}
+         // (({duckdb_md5_long_sql(f"concat('{WPS_SEED}', CAST(doc_id AS VARCHAR))")})
+              % {WPS_USCALE} + 1) AS priority
+FROM documents
+WHERE CAST(length(text) AS BIGINT) * {WPS_USCALE}
+        // (({duckdb_md5_long_sql(f"concat('{WPS_SEED}', CAST(doc_id AS VARCHAR))")})
+             % {WPS_USCALE} + 1) > 0
+ORDER BY priority DESC, doc_id ASC
+LIMIT {WPS_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# E54: HyperLogLog distinct-count sketch (integer registers + integer
+# estimate; exact distinct joined alongside as the accuracy readout)
+# ---------------------------------------------------------------------------
+
+HLL_P = 6
+HLL_Q = 40
+HLL_SCALE_POW = 50
+
+
+def q_e54_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_sorter_spark.operators.sketches import (
+        hll_grouped_estimate,
+        hll_grouped_registers,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    regs = hll_grouped_registers(
+        li, "CAST(l_orderkey AS STRING)", p=HLL_P, q=HLL_Q,
+        group_cols=["l_returnflag"],
+    )
+    est = hll_grouped_estimate(
+        regs, p=HLL_P, group_cols=["l_returnflag"], scale_pow=HLL_SCALE_POW
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").cast("bigint").alias("exact_distinct")
+    )
+    return est.join(exact, "l_returnflag").select(
+        "l_returnflag", "m", "n_zero_registers", "estimate", "exact_distinct"
+    )
+
+
+def _hll_oracle_sql() -> str:
+    from delta_sorter_spark.operators.sketches import hll_alpha_ppm
+
+    m = 1 << HLL_P
+    alpha = hll_alpha_ppm(m)
+    h = duckdb_md5_long_sql("CAST(l_orderkey AS VARCHAR)")
+    w = f"(({h}) // {m}) % {1 << HLL_Q}"
+    rho = (
+        f"CASE WHEN {w} = 0 THEN {HLL_Q + 1}"
+        f" ELSE {HLL_Q} - length(bin({w})) + 1 END"
+    )
+    return f"""
+regs AS (
+  SELECT l_returnflag, ({h}) % {m} AS register,
+         CAST(max({rho}) AS BIGINT) AS rho
+  FROM lineitem GROUP BY l_returnflag, register
+),
+agg AS (
+  SELECT l_returnflag, count(*) AS present,
+         sum(CAST(1 AS BIGINT) << ({HLL_SCALE_POW} - rho)) AS s
+  FROM regs GROUP BY l_returnflag
+),
+est AS (
+  SELECT l_returnflag,
+         CAST({m} AS BIGINT) AS m,
+         CAST({m} - present AS BIGINT) AS n_zero_registers,
+         CAST(floor((CAST({alpha} AS DECIMAL(38,0)) * {m} * {m}
+                     * CAST({1 << HLL_SCALE_POW} AS DECIMAL(38,0)))
+                    / (CAST(s + ({m} - present) * CAST({1 << HLL_SCALE_POW} AS BIGINT)
+                       AS DECIMAL(38,0)) * 1000000)) AS BIGINT) AS estimate
+  FROM agg
+)
+SELECT e.l_returnflag, e.m, e.n_zero_registers, e.estimate,
+       CAST(x.exact_distinct AS BIGINT) AS exact_distinct
+FROM est e
+JOIN (SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_distinct
+      FROM lineitem GROUP BY l_returnflag) x USING (l_returnflag)
+"""
+
+
+_E54_SQL = "WITH " + _hll_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# E55: quality-aware cluster dedup — keep the HIGHEST-scoring document per
+# near-duplicate component (dedup_representatives keeps min id; production
+# pipelines keep the best-quality copy)
+# ---------------------------------------------------------------------------
+
+
+def q_e55_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_sorter_spark.operators.dedup import ngram_jaccard_pairs
+    from delta_sorter_spark.operators.graph import dedup_keep_best
+
+    docs = _doc_subset(spark, sf_dir, JACCARD_SUBSET_MOD)
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", threshold=JACCARD_THRESHOLD
+    )
+    kept = dedup_keep_best(
+        docs.withColumn("__len__", F.length("text").cast("bigint")),
+        pairs.select("id_a", "id_b"),
+        "doc_id",
+        "__len__",
+    )
+    return kept.select("doc_id", F.col("__len__").alias("doc_len"))
+
+
+_E55_SQL = f"""
+WITH RECURSIVE {_duckdb_shingle_cte(JACCARD_SUBSET_MOD)},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= {JACCARD_THRESHOLD}
+),
+bidir AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM d
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN bidir e ON r.dst = e.a
+),
+comp AS (
+  SELECT src AS doc_id, min(dst) AS component
+  FROM reach GROUP BY src
+),
+ranked AS (
+  SELECT c.doc_id, c.component,
+         CAST(length(dd.t) AS BIGINT) AS doc_len,
+         row_number() OVER (PARTITION BY c.component
+                            ORDER BY length(dd.t) DESC, c.doc_id ASC) AS rn
+  FROM comp c JOIN d dd ON dd.doc_id = c.doc_id
+)
+SELECT doc_id, doc_len FROM ranked WHERE rn = 1
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the validator's V1 per-file min/max over sf0.001."""
     return q_v1_file_minmax(spark, "/root/testdata/sf0.001")
@@ -4189,6 +4400,11 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a6_asof_join": q_a6_asof_join,
         "a8_range_join": q_a8_range_join,
         "a10_sql_surface": q_a10_sql_surface,
+        # round-4 additions
+        "e52_containment_pairs": q_e52_containment_pairs,
+        "e53_weighted_sample": q_e53_weighted_sample,
+        "e54_hll_distinct": q_e54_hll_distinct,
+        "e55_dedup_keep_best": q_e55_dedup_keep_best,
     }
 
 
@@ -4237,6 +4453,10 @@ def oracle_sql() -> dict[str, str]:
         "e49_chunk_retrieval": _E49_SQL,
         "e50_fuzzy_decontaminate": _E50_SQL,
         "e51_lm_quality": _E51_SQL,
+        "e52_containment_pairs": _E52_SQL,
+        "e53_weighted_sample": _E53_SQL,
+        "e54_hll_distinct": _E54_SQL,
+        "e55_dedup_keep_best": _E55_SQL,
         "e16_bpe_tokens": _E16_SQL,
         "s1_event_windows": _S1_SQL,
         "s2_sessionize": _S2_SQL,

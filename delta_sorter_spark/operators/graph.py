@@ -142,3 +142,37 @@ def leakage_safe_split(
         max_iterations=max_iterations,
     )
     return hash_split(comps, "component", splits=splits, seed=seed)
+
+
+def dedup_keep_best(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    score_col: str,
+    edge_a: str = "id_a",
+    edge_b: str = "id_b",
+) -> DataFrame:
+    """Quality-aware cluster dedup: keep, per near-duplicate cluster, the
+    row with the HIGHEST ``score_col`` (ties: smallest id) — the production
+    refinement of :func:`dedup_representatives`, which keeps the minimum id
+    regardless of quality.  A dedup pass that discards the well-formatted
+    canonical page and keeps its boilerplate-laden mirror loses training
+    value; scoring the representative fixes that.
+
+    Components come from :func:`connected_components` (min-label +
+    pointer-jumping, O(log diameter) rounds); the per-cluster argmax is a
+    ``max_by`` aggregation keyed on (score, -id), so the shuffle carries
+    map-side-combined partials — one row per cluster, never a row_number
+    window over raw rows.  Output: the surviving rows of ``df``."""
+    comps = connected_components(
+        df.select(F.col(id_col)), pairs, node_col=id_col, edge_a=edge_a, edge_b=edge_b
+    )
+    scored = df.select(
+        F.col(id_col).alias("id"), F.col(score_col).alias("__score__")
+    ).join(comps, "id")
+    best = scored.groupBy("component").agg(
+        F.expr("max_by(id, struct(__score__, -id))").alias("keep_id")
+    )
+    return df.join(
+        best.select(F.col("keep_id").alias(id_col)), id_col, "left_semi"
+    )

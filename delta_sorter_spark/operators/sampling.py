@@ -180,3 +180,39 @@ def domain_mix_plan(
         "min_doc_id",
         F.expr(f"CAST({int(budget)} * n_docs AS BIGINT) DIV {int(total)}").alias("alloc"),
     )
+
+
+def weighted_priority_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_expr: str,
+    k: int,
+    seed: str = "wps-v1",
+    u_scale: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement: keep the ``k``
+    rows with the highest priority ``floor(w * u_scale / u)`` where ``u`` is
+    a per-row integer in [1, u_scale] derived from the portable md5 hash of
+    (seed, id) — Duffield/Lund/Thorup priority sampling with the RNG
+    replaced by a seeded hash, so re-runs (and a SQL oracle) reproduce the
+    sample exactly.  Rows with larger weights (e.g. a quality score or a
+    length-balanced target) win proportionally more often; the all-integer
+    priority makes cross-engine ordering exact.
+
+    Scale posture: priorities are a map-side expression and the top-k
+    compiles to TakeOrderedAndProject (per-partition local top-k, k rows per
+    partition to the driver side of the sort) — no global sort, no single
+    partition exchange.  Output: input columns + ``priority``.
+
+    Weights must be positive; zero/negative weights exclude the row."""
+    hashed_expr = f"concat('{seed}', CAST({id_col} AS STRING))"
+    u = f"(({spark_md5_long_sql(hashed_expr)}) % {u_scale}) + 1"
+    pri = F.expr(
+        f"CAST(({weight_expr}) AS BIGINT) * {u_scale} DIV ({u})"
+    )
+    return (
+        df.withColumn("priority", pri)
+        .where(F.col("priority") > 0)
+        .orderBy(F.desc("priority"), F.col(id_col).asc())
+        .limit(k)
+    )

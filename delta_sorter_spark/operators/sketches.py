@@ -256,3 +256,98 @@ def histogram_quantiles(
         for p in pcts
     ]
     return j.groupBy(group_col).agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (Flajolet et al. 2007) — the distinct-count sibling of the
+# CMS frequency sketch above.
+# ---------------------------------------------------------------------------
+
+
+def hll_alpha_ppm(m: int) -> int:
+    """The standard bias constant alpha_m = 0.7213 / (1 + 1.079/m) as an
+    integer ppm — embedded as a LITERAL in both the Spark expression and
+    the SQL oracle, so the estimate arithmetic stays integer/deterministic."""
+    return int(round(1_000_000 * 0.7213 / (1 + 1.079 / m)))
+
+
+def hll_grouped_registers(
+    df: DataFrame,
+    col: str,
+    p: int = 9,
+    q: int = 40,
+    group_cols=(),
+) -> DataFrame:
+    """HyperLogLog register maxes per group: (group_cols..., register, rho).
+
+    The portable 60-bit md5 hash splits into a ``p``-bit register index and
+    a ``q``-bit suffix whose leading-zero count (+1) is rho — all via
+    integer div/mod/bin-length, no floats, so a DuckDB oracle reproduces
+    every register exactly.  One scan + one map-side-combined max shuffle of
+    at most ``m = 2**p`` rows per group; registers merge across partitions
+    (and across sketches) by max, the property that makes HLL the right
+    distinct-count shape at 100 TB where exact counting shuffles every
+    distinct key."""
+    h = spark_md5_long_sql(col)
+    m = 1 << p
+    reg = f"pmod({h}, {m})"
+    w = f"(({h}) div {m}) % {1 << q}"
+    # rho = 1-indexed position of the suffix's leftmost 1-bit within q bits:
+    # q - (bit_length(w) - 1); an all-zero suffix scores q + 1
+    rho = f"CASE WHEN {w} = 0 THEN {q + 1} ELSE {q} - length(bin({w})) + 1 END"
+    return (
+        df.select(*group_cols, F.expr(reg).alias("register"), F.expr(rho).alias("rho"))
+        .groupBy(*group_cols, "register")
+        .agg(F.max("rho").cast("bigint").alias("rho"))
+    )
+
+
+def hll_grouped_estimate(
+    registers: DataFrame,
+    p: int = 9,
+    group_cols=(),
+    scale_pow: int = 50,
+) -> DataFrame:
+    """Raw HLL estimate per group from a register frame:
+    (group_cols..., m, n_zero_registers, estimate).
+
+    All-integer: each register contributes ``2**(scale_pow - rho)`` to the
+    harmonic sum (absent registers count as rho=0 -> ``2**scale_pow``), and
+    the estimate is ``alpha_ppm * m^2 * 2**scale_pow // (sum * 10^6)`` —
+    one integer division, so Spark's parallel aggregation and a serial SQL
+    oracle agree bit-for-bit.  The small-range linear-counting correction
+    is intentionally omitted (it needs ln); n_zero_registers is emitted so
+    callers can apply it."""
+    m = 1 << p
+    alpha = hll_alpha_ppm(m)
+    term = F.expr(f"CAST(shiftleft(CAST(1 AS BIGINT), {scale_pow} - rho) AS BIGINT)")
+    agg = registers.groupBy(*group_cols).agg(
+        F.count("*").alias("__present__"),
+        F.sum(term).alias("__s__"),
+    )
+    # absent registers have rho = 0 -> they contribute 2**scale_pow each
+    full_sum = (
+        F.col("__s__")
+        + (F.lit(m) - F.col("__present__")) * F.lit(1 << scale_pow)
+    ).alias("__den__")
+    num = f"CAST({alpha} AS DECIMAL(38,0)) * {m} * {m} * CAST({1 << scale_pow} AS DECIMAL(38,0))"
+    return (
+        agg.select(
+            *group_cols,
+            F.lit(m).cast("bigint").alias("m"),
+            (F.lit(m) - F.col("__present__")).cast("bigint").alias(
+                "n_zero_registers"
+            ),
+            full_sum,
+        )
+        # floor() (not a decimal->bigint cast, which DuckDB ROUNDS) keeps the
+        # two engines' integer-division semantics identical
+        .withColumn(
+            "estimate",
+            F.expr(
+                f"CAST(floor(({num}) / (CAST(__den__ AS DECIMAL(38,0)) * 1000000))"
+                " AS BIGINT)"
+            ),
+        )
+        .drop("__den__")
+    )

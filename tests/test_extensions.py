@@ -620,3 +620,103 @@ def test_bigram_lm_counts_short_text_guard(spark):
     assert got[("b", "a")] == (2, 3, 666666)
     assert got[("b", "c")] == (1, 3, 333333)
     assert len(got) == 3
+
+
+def test_containment_pairs_detects_embedded_doc(spark):
+    """A short doc fully contained in a long one: containment ~1.0 for the
+    short side even though Jaccard is far below threshold."""
+    from delta_sorter_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    inner = "the quick brown fox jumps over the lazy dog"
+    outer = inner + " " + " ".join(
+        f"unrelated{i} padding{i} boilerplate{i} navigation{i}" for i in range(12)
+    )
+    docs = spark.createDataFrame(
+        [(1, inner), (2, outer), (3, "completely unrelated content here")],
+        "doc_id long, text string",
+    )
+    got = containment_pairs(docs, "doc_id", "text", threshold=0.9).collect()
+    assert [(r["id_a"], r["id_b"]) for r in got] == [(1, 2)]
+    (row,) = got
+    assert row["containment_a"] >= 0.99  # nearly all of doc 1 is in doc 2
+    assert row["containment_b"] < 0.25  # ...but doc 1 is a sliver of doc 2
+    # Jaccard misses the same pair at any comparable threshold
+    jac = ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+    assert not [(r["id_a"], r["id_b"]) for r in jac if (r["id_a"], r["id_b"]) == (1, 2)]
+
+
+def test_containment_candidates_restriction(spark):
+    from delta_sorter_spark.operators.dedup import containment_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "aaa bbb ccc"), (2, "aaa bbb ccc ddd"), (3, "aaa bbb ccc eee")],
+        "doc_id long, text string",
+    )
+    cands = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    got = containment_pairs(
+        docs, "doc_id", "text", threshold=0.1, candidates=cands
+    ).collect()
+    assert [(r["id_a"], r["id_b"]) for r in got] == [(1, 2)]
+
+
+def test_weighted_priority_sample_properties(spark):
+    """Deterministic across runs; k rows; heavier weights overrepresented."""
+    from delta_sorter_spark.operators.sampling import weighted_priority_sample
+
+    rows = [(i, "x" * (1000 if i < 50 else 10)) for i in range(500)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    a = weighted_priority_sample(docs, "doc_id", "length(text)", k=50)
+    b = weighted_priority_sample(docs, "doc_id", "length(text)", k=50)
+    ga = sorted((r["doc_id"], r["priority"]) for r in a.collect())
+    gb = sorted((r["doc_id"], r["priority"]) for r in b.collect())
+    assert ga == gb and len(ga) == 50
+    heavy = sum(1 for d, _ in ga if d < 50)
+    # 10% of docs hold ~91% of the total weight -> they must dominate the
+    # sample (deterministic given the fixed seed)
+    assert heavy >= 30
+    # a different seed reshuffles
+    c = weighted_priority_sample(docs, "doc_id", "length(text)", k=50, seed="other")
+    assert sorted((r["doc_id"], r["priority"]) for r in c.collect()) != ga
+
+
+def test_hll_grouped_estimate_accuracy_and_merge(spark):
+    """Grouped-HLL: estimate lands within the expected error band, and
+    registers merged from two halves equal the whole (mergeability)."""
+    from delta_sorter_spark.operators.sketches import (
+        hll_grouped_estimate,
+        hll_grouped_registers,
+    )
+
+    n = 5000
+    df = spark.range(n).select(F.col("id").cast("string").alias("v"))
+    regs = hll_grouped_registers(df, "v", p=9)
+    (est,) = hll_grouped_estimate(regs, p=9).collect()
+    assert abs(est["estimate"] - n) / n < 0.15  # ~1.04/sqrt(512) = 4.6% expected
+    # merge: max per register over the two halves == whole-corpus registers
+    h1 = hll_grouped_registers(df.where("CAST(v AS BIGINT) < 2500"), "v", p=9)
+    h2 = hll_grouped_registers(df.where("CAST(v AS BIGINT) >= 2500"), "v", p=9)
+    merged = (
+        h1.unionByName(h2).groupBy("register").agg(F.max("rho").alias("rho"))
+    )
+    whole = {(r["register"], r["rho"]) for r in regs.collect()}
+    assert {(r["register"], r["rho"]) for r in merged.collect()} == whole
+
+
+def test_dedup_keep_best_prefers_high_score(spark):
+    from delta_sorter_spark.operators.graph import dedup_keep_best
+
+    docs = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 9), (4, 1), (10, 7)],
+        "doc_id long, score long",
+    )
+    # cluster {1,2,3} (chain), singleton {4}, singleton {10}
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup_keep_best(docs, pairs, "doc_id", "score").collect()
+    )
+    # ties on score 9 break to the SMALLER id (2, not 3)
+    assert kept == [2, 4, 10]
