@@ -403,11 +403,13 @@ def delete_where_dv(
         merged = hits.unionByName(prev)
     merged = merged.distinct()
 
+    extra_actions = None
     if vector_format == "roaring":
         dv_by_path = _write_roaring_vectors(table, merged)
         if not dv_by_path:
             return {"dv_files": 0, "deleted_rows": 0, "version": state.version}
         counts = {rel: dv["cardinality"] for rel, dv in dv_by_path.items()}
+        extra_actions = _dv_protocol_upgrade(state)
     else:
         sidecar_rel = f"_deletion_vectors/{_uuid.uuid4().hex}"
         # co-locate each file's positions so readers filtering on path touch
@@ -451,12 +453,51 @@ def delete_where_dv(
                 deletion_vector=dv_by_path[rel],
             )
         )
-    version = table.commit_rewrite(new_adds, removes, operation="DELETE")
+    version = table.commit_rewrite(
+        new_adds, removes, operation="DELETE", extra_actions=extra_actions
+    )
     return {
         "dv_files": len(new_adds),
         "deleted_rows": deleted_rows,
         "version": version,
     }
+
+
+def _dv_protocol_upgrade(state) -> list[dict] | None:
+    """Protocol action(s) the first standard-DV commit must carry: a stock
+    reader only honors deletion vectors when the table advertises the
+    ``deletionVectors`` table feature (minReaderVersion 3 / minWriterVersion
+    7).  Table-features protocols must list EVERY active feature, so the
+    upgrade also declares whichever of columnMapping / checkConstraints /
+    identityColumns / generatedColumns this table already uses.  Returns
+    None when the feature is already declared (no-op commit payload)."""
+    p = state.protocol or {}
+    if "deletionVectors" in (p.get("readerFeatures") or []):
+        return None
+    cfg = state.metadata.configuration
+    writer_feats = set(p.get("writerFeatures") or []) | {"deletionVectors"}
+    reader_feats = set(p.get("readerFeatures") or []) | {"deletionVectors"}
+    if cfg.get("delta.columnMapping.mode") in ("name", "id"):
+        writer_feats.add("columnMapping")
+        reader_feats.add("columnMapping")
+    if any(k.startswith("delta.constraints.") for k in cfg):
+        writer_feats.add("checkConstraints")
+    for f in state.metadata.schema.fields:
+        md = f.metadata or {}
+        if any(k.startswith("delta.identity.") for k in md):
+            writer_feats.add("identityColumns")
+        if "delta.generationExpression" in md:
+            writer_feats.add("generatedColumns")
+    return [
+        {
+            "protocol": {
+                "minReaderVersion": max(3, p.get("minReaderVersion", 1)),
+                "minWriterVersion": max(7, p.get("minWriterVersion", 2)),
+                "readerFeatures": sorted(reader_feats),
+                "writerFeatures": sorted(writer_feats),
+            }
+        }
+    ]
 
 
 def _write_roaring_vectors(table: DeltaTable, merged: DataFrame) -> dict[str, dict]:

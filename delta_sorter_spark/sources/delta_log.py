@@ -182,6 +182,13 @@ class TableState:
     # committed application-side version.  The idempotence handle for
     # exactly-once streaming sinks (foreachBatch replays after restart).
     txns: dict = field(default_factory=dict)
+    # Latest ``protocol`` action (minReaderVersion/minWriterVersion, plus
+    # readerFeatures/writerFeatures once table features are in play — the
+    # first deletion-vector commit upgrades to 3/7 + "deletionVectors" so
+    # stock readers know to honor the vectors).
+    protocol: dict = field(
+        default_factory=lambda: {"minReaderVersion": 1, "minWriterVersion": 2}
+    )
 
 
 def _checkpoint_arrow_schema():
@@ -199,6 +206,8 @@ def _checkpoint_arrow_schema():
                     [
                         ("minReaderVersion", pa.int32()),
                         ("minWriterVersion", pa.int32()),
+                        ("readerFeatures", pa.list_(pa.string())),
+                        ("writerFeatures", pa.list_(pa.string())),
                     ]
                 ),
             ),
@@ -405,6 +414,7 @@ class DeltaLog:
         metadata: TableMetadata | None = None
         adds: dict[str, AddAction] = {}
         txns: dict[str, int] = {}
+        proto: dict = {"minReaderVersion": 1, "minWriterVersion": 2}
 
         ckpt_version = self._last_checkpoint_version()
         replay_from = 0
@@ -412,7 +422,7 @@ class DeltaLog:
             ckpt_actions = self._read_checkpoint_actions(ckpt_version)
             if ckpt_actions is not None:
                 for action in ckpt_actions:
-                    metadata, adds = self._apply(action, metadata, adds, txns)
+                    metadata, adds = self._apply(action, metadata, adds, txns, proto)
                 replay_from = ckpt_version + 1
 
         for v in versions:
@@ -423,7 +433,9 @@ class DeltaLog:
                 line = line.strip()
                 if not line:
                     continue
-                metadata, adds = self._apply(json.loads(line), metadata, adds, txns)
+                metadata, adds = self._apply(
+                    json.loads(line), metadata, adds, txns, proto
+                )
         if metadata is None:
             raise ValueError(f"Delta log at {self.log_dir} has no metaData action")
         return TableState(
@@ -431,6 +443,7 @@ class DeltaLog:
             metadata=metadata,
             adds=list(adds.values()),
             txns=txns,
+            protocol=proto,
         )
 
     def commit_actions(self, version: int) -> list[dict]:
@@ -458,7 +471,13 @@ class DeltaLog:
         return out
 
     @staticmethod
-    def _apply(action: dict, metadata, adds, txns=None):
+    def _apply(action: dict, metadata, adds, txns=None, proto=None):
+        if "protocol" in action and proto is not None:
+            p = {k: v for k, v in action["protocol"].items() if v is not None}
+            if p:
+                proto.clear()
+                proto.update(p)
+            return metadata, adds
         if "txn" in action and txns is not None:
             t = action["txn"]
             app = t.get("appId")
@@ -499,8 +518,11 @@ class DeltaLog:
         import pyarrow.parquet as pq
 
         state = state or self.read_state()
+        ckpt_proto = dict(state.protocol)
+        ckpt_proto.setdefault("minReaderVersion", 1)
+        ckpt_proto.setdefault("minWriterVersion", 2)
         rows: list[dict] = [
-            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {"protocol": ckpt_proto},
             {
                 "metaData": {
                     "id": state.metadata.table_id,

@@ -1684,6 +1684,7 @@ class DeltaTable:
         operation: str = "WRITE",
         txn_app_id: str | None = None,
         txn_version: int | None = None,
+        extra_actions=None,
     ) -> int:
         """Overwrite-style commit: Remove(old) + Add(new), optionally scoped
         by a replaceWhere predicate recorded in commitInfo (reference
@@ -1704,7 +1705,7 @@ class DeltaTable:
         params = {"mode": "Overwrite"}
         if predicate:
             params["predicate"] = predicate
-        actions = list(removes) + list(adds)
+        actions = list(extra_actions or []) + list(removes) + list(adds)
 
         class _AlreadyApplied(Exception):
             pass

@@ -575,3 +575,41 @@ def test_upsert_txn_idempotence(spark, tmp_path):
     assert rows == {(1, "a"), (2, "B"), (3, "c"), (4, "d")}
     with pytest.raises(ValueError):
         upsert(table, src, ["id"], txn_app_id="app")
+
+
+def test_roaring_dv_protocol_upgrade(spark, tmp_path):
+    """The first standard-DV commit upgrades the protocol to table features
+    (3/7 + deletionVectors) — without it a stock reader would ignore the
+    vectors and resurrect deleted rows.  The upgrade happens once, lists
+    the table's other active features, and survives a parquet checkpoint."""
+    from delta_sorter_spark.operators.dml import delete_where_dv
+
+    path = str(tmp_path / "dv_proto")
+    table = DeltaTable.create(
+        spark,
+        path,
+        spark.createDataFrame([(i,) for i in range(6)], "id long").coalesce(1),
+        stat_columns=["id"],
+    )
+    assert table.state().protocol == {"minReaderVersion": 1, "minWriterVersion": 2}
+
+    delete_where_dv(table, "id = 1")
+    p = DeltaTable(spark, path).state().protocol
+    assert p["minReaderVersion"] == 3 and p["minWriterVersion"] == 7
+    assert "deletionVectors" in p["readerFeatures"]
+    assert "deletionVectors" in p["writerFeatures"]
+
+    # second DV delete: no duplicate protocol action in the commit
+    delete_where_dv(table, "id = 3")
+    t2 = DeltaTable(spark, path)
+    last = t2.log.commit_actions(t2.log.latest_version())
+    assert not [a for a in last if "protocol" in a]
+
+    # checkpoint round-trip preserves the feature lists
+    t2.log.write_checkpoint()
+    p2 = DeltaTable(spark, path).state().protocol
+    assert p2["minReaderVersion"] == 3
+    assert sorted(p2["readerFeatures"]) == sorted(p["readerFeatures"])
+    assert sorted(r["id"] for r in DeltaTable(spark, path).to_df().collect()) == [
+        0, 2, 4, 5,
+    ]
