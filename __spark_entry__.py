@@ -4219,6 +4219,107 @@ SELECT doc_id, doc_len FROM ranked WHERE rn = 1
 """
 
 
+# ---------------------------------------------------------------------------
+# E56/E57: substring-level dedup (Lee et al. 2022) — repeated n-gram span
+# detection + span removal.  Document-level dedup keeps two different pages
+# sharing a boilerplate paragraph; these find and strip the paragraph.
+# ---------------------------------------------------------------------------
+
+SPAN_N = 8
+SPAN_MIN_DOCS = 2
+
+
+def q_e56_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_sorter_spark.operators.dedup import repeated_ngram_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repeated_ngram_spans(docs, "doc_id", "text", n=SPAN_N, min_docs=SPAN_MIN_DOCS)
+
+
+def _span_cte() -> str:
+    n = SPAN_N
+    return f"""
+d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+      FROM documents),
+g AS (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(list_slice(toks, i, i + {n - 1}), ' ') AS gram
+  FROM d, unnest(CASE WHEN len(toks) >= {n}
+                      THEN generate_series(1, len(toks) - {n - 1})
+                      ELSE [] END) AS t(i)
+),
+rep AS (SELECT gram FROM g GROUP BY gram
+        HAVING count(DISTINCT doc_id) >= {SPAN_MIN_DOCS}),
+hits AS (SELECT doc_id, pos, pos + {n} AS e FROM g JOIN rep USING (gram)),
+flagged AS (
+  SELECT doc_id, pos, e,
+         CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+              OR pos > max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_span
+  FROM hits
+),
+numbered AS (
+  SELECT doc_id, pos, e,
+         sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+  FROM flagged
+),
+spans AS (
+  SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+         CAST(max(e) AS BIGINT) AS span_end,
+         CAST(max(e) - min(pos) AS BIGINT) AS span_tokens
+  FROM numbered GROUP BY doc_id, span_id
+)"""
+
+
+_E56_SQL = f"""
+WITH {_span_cte()}
+SELECT doc_id, span_start, span_end, span_tokens FROM spans
+"""
+
+
+def q_e57_remove_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_sorter_spark.operators.dedup import (
+        remove_repeated_spans,
+        repeated_ngram_spans,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    spans = repeated_ngram_spans(
+        docs, "doc_id", "text", n=SPAN_N, min_docs=SPAN_MIN_DOCS
+    )
+    out = remove_repeated_spans(docs, spans, "doc_id", "text")
+    # limit the hashed payload: only docs that actually changed
+    return out.where(F.col("tokens_removed") > 0).select(
+        "doc_id", "text", "tokens_removed"
+    )
+
+
+_E57_SQL = f"""
+WITH {_span_cte()},
+tokpos AS (
+  SELECT doc_id, i - 1 AS idx, toks[i] AS tok
+  FROM d, unnest(generate_series(1, len(toks))) AS t(i)
+),
+kept AS (
+  SELECT tp.doc_id, tp.idx, tp.tok
+  FROM tokpos tp
+  WHERE NOT EXISTS (SELECT 1 FROM spans s
+                    WHERE s.doc_id = tp.doc_id
+                      AND tp.idx >= s.span_start AND tp.idx < s.span_end)
+)
+SELECT d.doc_id,
+       coalesce((SELECT string_agg(tok, ' ' ORDER BY idx)
+                 FROM kept k WHERE k.doc_id = d.doc_id), '') AS text,
+       CAST(len(toks) - (SELECT count(*) FROM kept k
+                         WHERE k.doc_id = d.doc_id) AS BIGINT) AS tokens_removed
+FROM d
+WHERE len(toks) > (SELECT count(*) FROM kept k WHERE k.doc_id = d.doc_id)
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the validator's V1 per-file min/max over sf0.001."""
     return q_v1_file_minmax(spark, "/root/testdata/sf0.001")
@@ -4405,6 +4506,8 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e53_weighted_sample": q_e53_weighted_sample,
         "e54_hll_distinct": q_e54_hll_distinct,
         "e55_dedup_keep_best": q_e55_dedup_keep_best,
+        "e56_repeated_spans": q_e56_repeated_spans,
+        "e57_remove_spans": q_e57_remove_spans,
     }
 
 
@@ -4457,6 +4560,8 @@ def oracle_sql() -> dict[str, str]:
         "e53_weighted_sample": _E53_SQL,
         "e54_hll_distinct": _E54_SQL,
         "e55_dedup_keep_best": _E55_SQL,
+        "e56_repeated_spans": _E56_SQL,
+        "e57_remove_spans": _E57_SQL,
         "e16_bpe_tokens": _E16_SQL,
         "s1_event_windows": _S1_SQL,
         "s2_sessionize": _S2_SQL,

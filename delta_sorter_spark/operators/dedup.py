@@ -882,3 +882,112 @@ def containment_pairs(
             F.round(cb, 6).alias("containment_b"),
         )
     )
+
+
+def repeated_ngram_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Substring-level dedup, phase 1 (the Lee et al. 2022 'Deduplicating
+    Training Data Makes Language Models Better' operation, re-expressed
+    relationally): find, per document, the merged token spans covered by
+    any ``n``-token gram that appears in at least ``min_docs`` DISTINCT
+    documents.  Document-level dedup misses this entirely — two otherwise
+    different pages sharing a boilerplate paragraph stay, and the model
+    memorizes the paragraph.
+
+    Output: (``id_col``, span_start, span_end, span_tokens) with 0-based
+    token offsets, end exclusive, overlapping/adjacent gram hits merged.
+
+    Scale shape: one token explode (positions ride along, no self-join on
+    text), one map-side-combined groupBy(gram) for document frequencies,
+    one join back on the gram, and an interval-merge window partitioned by
+    document (bounded by per-doc hit counts).  The gram string can be
+    replaced by its hash at corpus scale; the full corpus never pairs with
+    itself."""
+    toks = df.select(
+        F.col(id_col).alias("id"), tokens_expr(text_col).alias("__toks__")
+    )
+    grams_arr = (
+        f"CASE WHEN size(__toks__) >= {n} THEN"
+        f" transform(sequence(1, size(__toks__) - {n - 1}),"
+        f" i -> concat_ws(' ', slice(__toks__, i, {n})))"
+        f" ELSE array() END"
+    )
+    grams = toks.selectExpr("id", f"posexplode({grams_arr}) AS (pos, gram)")
+    repeated = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct("id").alias("__nd__"))
+        .where(F.col("__nd__") >= min_docs)
+        .select("gram")
+    )
+    hits = grams.join(repeated, "gram").select(
+        "id", "pos", (F.col("pos") + n).alias("__end__")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy("pos")
+    prev_end = F.max("__end__").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = hits.withColumn(
+        "__new__",
+        F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1).otherwise(0),
+    ).withColumn(
+        "__span__",
+        F.sum("__new__").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        flagged.groupBy(F.col("id").alias(id_col), "__span__")
+        .agg(
+            F.min("pos").cast("bigint").alias("span_start"),
+            F.max("__end__").cast("bigint").alias("span_end"),
+        )
+        .withColumn("span_tokens", (F.col("span_end") - F.col("span_start")))
+        .drop("__span__")
+    )
+
+
+def remove_repeated_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Substring-level dedup, phase 2: rewrite each document's text with the
+    repeated spans removed (tokens outside every span, re-joined by single
+    spaces).  Documents with no spans pass through with normalized
+    whitespace — run phase 1 and this in one pipeline so tokenization is
+    identical.
+
+    The spans arrive as a per-document ARRAY via one aggregate + one join
+    (never a token-level range join); the token filter is a JVM-side
+    lambda over the zipped (token, index) array.  Output: all input columns
+    with ``text_col`` replaced and ``tokens_removed`` appended."""
+    packed = spans.groupBy(F.col(id_col)).agg(
+        F.expr("sort_array(collect_list(struct(span_start, span_end)))").alias(
+            "__spans__"
+        )
+    )
+    out = df.join(packed, id_col, "left")
+    kept = (
+        "filter(arrays_zip({t}, sequence(0, size({t}) - 1)),"
+        " p -> NOT exists(coalesce(__spans__, array()),"
+        " s -> p['1'] >= s.span_start AND p['1'] < s.span_end))"
+    )
+    other_cols = [c for c in df.columns if c != text_col]
+    return out.select(
+        *other_cols,
+        F.expr(
+            "concat_ws(' ', transform("
+            + kept.replace("{t}", f"split(lower(trim({text_col})), '\\\\s+')")
+            + ", p -> p['0']))"
+        ).alias(text_col),
+        F.expr(
+            f"CAST(size(split(lower(trim({text_col})), '\\\\s+')) - "
+            "size(" + kept.replace("{t}", f"split(lower(trim({text_col})), '\\\\s+')") + ") AS BIGINT)"
+        ).alias("tokens_removed"),
+    )

@@ -720,3 +720,34 @@ def test_dedup_keep_best_prefers_high_score(spark):
     )
     # ties on score 9 break to the SMALLER id (2, not 3)
     assert kept == [2, 4, 10]
+
+
+def test_repeated_ngram_spans_and_removal(spark):
+    """Two docs share an 8-token boilerplate run; span detection finds the
+    merged interval in each, and removal strips exactly those tokens."""
+    from delta_sorter_spark.operators.dedup import (
+        remove_repeated_spans,
+        repeated_ngram_spans,
+    )
+
+    boiler = "subscribe to our newsletter for all the latest updates today"  # 10 toks
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta gamma {boiler} delta epsilon"),
+            (2, f"{boiler} zeta eta theta iota kappa unique2"),
+            (3, "totally different content with no shared runs at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = repeated_ngram_spans(docs, "doc_id", "text", n=8, min_docs=2)
+    got = {r["doc_id"]: (r["span_start"], r["span_end"]) for r in spans.collect()}
+    # doc 1: boiler occupies tokens 3..13; doc 2: tokens 0..10 — the three
+    # overlapping 8-gram hits merge into ONE span each
+    assert got == {1: (3, 13), 2: (0, 10)}
+    assert spans.count() == 2
+
+    cleaned = remove_repeated_spans(docs, spans, "doc_id", "text")
+    out = {r["doc_id"]: (r["text"], r["tokens_removed"]) for r in cleaned.collect()}
+    assert out[1] == ("alpha beta gamma delta epsilon", 10)
+    assert out[2] == ("zeta eta theta iota kappa unique2", 10)
+    assert out[3][1] == 0 and "shared runs" in out[3][0]
