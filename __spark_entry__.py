@@ -4320,6 +4320,35 @@ WHERE len(toks) > (SELECT count(*) FROM kept k WHERE k.doc_id = d.doc_id)
 """
 
 
+# ---------------------------------------------------------------------------
+# E58: sorted-neighborhood blocking (Hernandez & Stolfo) — rank-adjacent
+# candidate pairs under a normalized blocking key; the record-linkage
+# complement to LSH banding
+# ---------------------------------------------------------------------------
+
+SN_WINDOW = 3
+SN_KEY_SPARK = "substring(lower(trim(text)), 1, 16)"
+SN_KEY_DUCK = "substr(lower(trim(text)), 1, 16)"
+
+
+def q_e58_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_sorter_spark.operators.dedup import sorted_neighborhood_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sorted_neighborhood_pairs(docs, "doc_id", SN_KEY_SPARK, window=SN_WINDOW)
+
+
+_E58_SQL = f"""
+WITH ranked AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY {SN_KEY_DUCK}, doc_id) AS rn
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(b.rn - a.rn AS BIGINT) AS dist
+FROM ranked a JOIN ranked b ON b.rn - a.rn BETWEEN 1 AND {SN_WINDOW - 1}
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the validator's V1 per-file min/max over sf0.001."""
     return q_v1_file_minmax(spark, "/root/testdata/sf0.001")
@@ -4508,6 +4537,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e55_dedup_keep_best": q_e55_dedup_keep_best,
         "e56_repeated_spans": q_e56_repeated_spans,
         "e57_remove_spans": q_e57_remove_spans,
+        "e58_sorted_neighborhood": q_e58_sorted_neighborhood,
     }
 
 
@@ -4562,6 +4592,7 @@ def oracle_sql() -> dict[str, str]:
         "e55_dedup_keep_best": _E55_SQL,
         "e56_repeated_spans": _E56_SQL,
         "e57_remove_spans": _E57_SQL,
+        "e58_sorted_neighborhood": _E58_SQL,
         "e16_bpe_tokens": _E16_SQL,
         "s1_event_windows": _S1_SQL,
         "s2_sessionize": _S2_SQL,

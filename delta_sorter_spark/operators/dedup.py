@@ -991,3 +991,48 @@ def remove_repeated_spans(
             "size(" + kept.replace("{t}", f"split(lower(trim({text_col})), '\\\\s+')") + ") AS BIGINT)"
         ).alias("tokens_removed"),
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    key_expr: str,
+    window: int = 3,
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernandez & Stolfo 1995): candidate
+    pairs are records within ``window`` positions of each other when the
+    corpus is sorted by a blocking key — the classic record-linkage
+    complement to LSH banding (LSH catches token overlap; a sort key like a
+    normalized prefix or a simhash catches typo-adjacent records that share
+    no shingle bucket).
+
+    Output: (id_a, id_b, dist) with id_a the earlier record in sort order
+    and ``dist`` the rank gap (1..window-1).
+
+    Scale shape: the global sort order comes from the two-phase
+    ``global_rank`` (range partitioning + broadcast offsets — NO
+    single-partition exchange), and neighbors materialize as ``window - 1``
+    integer EQUI-joins on the rank (rank == rank + d), never a range join
+    or a self cross.  Cost is O(corpus x window), independent of key
+    distribution."""
+    from delta_sorter_spark.operators.ranking import global_rank
+
+    if window < 2:
+        raise ValueError("window must be >= 2 (a pair needs two records)")
+    keyed = df.selectExpr(
+        f"{id_col} AS __snid__", f"({key_expr}) AS __snkey__"
+    )
+    ranked = global_rank(keyed, ["__snkey__", "__snid__"], rank_col="__rn__")
+    left = ranked.select(
+        F.col("__snid__").alias("id_a"),
+        F.col("__rn__"),
+        F.explode(
+            F.array(*[F.lit(d) for d in range(1, window)])
+        ).alias("dist"),
+    ).withColumn("__rn2__", F.col("__rn__") + F.col("dist"))
+    right = ranked.select(
+        F.col("__snid__").alias("id_b"), F.col("__rn__").alias("__rn2__")
+    )
+    return left.join(right, "__rn2__").select(
+        "id_a", "id_b", F.col("dist").cast("bigint").alias("dist")
+    )

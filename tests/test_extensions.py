@@ -751,3 +751,32 @@ def test_repeated_ngram_spans_and_removal(spark):
     assert out[1] == ("alpha beta gamma delta epsilon", 10)
     assert out[2] == ("zeta eta theta iota kappa unique2", 10)
     assert out[3][1] == 0 and "shared runs" in out[3][0]
+
+
+def test_sorted_neighborhood_pairs(spark):
+    """Typo-adjacent records (no shared shingle bucket needed) pair up when
+    their normalized prefixes sort next to each other; window bounds the
+    candidate count at O(n * window)."""
+    from delta_sorter_spark.operators.dedup import sorted_neighborhood_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "smith john 123 main st"),
+            (2, "smith jhon 123 main st"),   # typo neighbor of 1
+            (3, "zzz completely elsewhere"),
+            (4, "adams mary 9 oak ave"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = sorted_neighborhood_pairs(
+        docs, "doc_id", "substring(lower(trim(text)), 1, 8)", window=2
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    # sort order: adams(4), smith jhon(2), smith john(1), zzz(3)
+    assert got == {(4, 2), (2, 1), (1, 3)}
+    assert all(r["dist"] == 1 for r in pairs)
+    # window=3 adds the dist-2 pairs
+    n3 = sorted_neighborhood_pairs(
+        docs, "doc_id", "substring(lower(trim(text)), 1, 8)", window=3
+    ).count()
+    assert n3 == 3 + 2
