@@ -972,8 +972,14 @@ class DeltaTable:
         return adds
 
     # Below this many staged files a driver-side column-pruned read beats a
-    # Spark job round trip; at/above it, stats fan out as one distributed job.
-    _DIST_STATS_MIN_FILES = 8
+    # Spark job round trip; at/above it, stats fan out as one distributed
+    # job.  Crossover rationale: a pruned stat-column read of one freshly
+    # written (page-cached) file is single-digit milliseconds, while one
+    # Spark job costs a few hundred ms fixed — so ~64 sequential reads ≈
+    # one job.  The 100 TB failure mode this guards (a strict compact
+    # staging thousands of files serializing stat IO through the driver)
+    # is far past the threshold either way.
+    _DIST_STATS_MIN_FILES = 64
 
     def _local_file_stats(
         self,

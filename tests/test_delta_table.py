@@ -361,3 +361,33 @@ def test_concurrent_appends_all_land(spark, tmp_path):
     t = DeltaTable(spark, path)
     rows = {(r.w, r.i) for r in t.to_df().collect()}
     assert len(rows) == 81 and all((w, i) in rows for w in range(8) for i in range(10))
+
+
+def test_distributed_stage_write_stats_match_driver_path(spark, tmp_path):
+    """The executor-side stats job (used at/above _DIST_STATS_MIN_FILES
+    staged files) must produce byte-identical stats/attestation to the
+    driver-side pruned read — same numbers in the log either way."""
+    df = spark.createDataFrame(
+        [(i, float(i) / 7, f"s{i % 13}") for i in range(2000)],
+        "id long, x double, s string",
+    )
+
+    def build(path, threshold):
+        orig = DeltaTable._DIST_STATS_MIN_FILES
+        DeltaTable._DIST_STATS_MIN_FILES = threshold
+        try:
+            t = DeltaTable.create(
+                spark, path, df.repartition(9), stat_columns=["id", "s"]
+            )
+        finally:
+            DeltaTable._DIST_STATS_MIN_FILES = orig
+        return {
+            # path differs (uuid part names); stats must not
+            frozenset((k, str(v)) for k, v in a.stats.items())
+            for a in t.state().adds
+        }
+
+    dist = build(str(tmp_path / "dist"), 2)      # forced distributed
+    drv = build(str(tmp_path / "drv"), 10**9)    # forced driver-side
+    assert dist == drv
+    assert len(dist) >= 2  # several distinct per-file stat sets
