@@ -4349,6 +4349,67 @@ FROM ranked a JOIN ranked b ON b.rn - a.rn BETWEEN 1 AND {SN_WINDOW - 1}
 """
 
 
+# ---------------------------------------------------------------------------
+# M4: multimodal embed -> ANN pipeline — binary payloads through the stub
+# encoder (deterministic md5 pseudo-embeddings, the CLIP-call boundary) into
+# exact top-k cosine.  End-to-end proof the multimodal plumbing feeds the
+# similarity operators unchanged.
+# ---------------------------------------------------------------------------
+
+M4_K = 3
+M4_QUERY_MOD = 25  # 20 query docs over the 100-doc asset subset
+
+
+def q_m4_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_sorter_spark.operators.multimodal import embed_assets
+    from delta_sorter_spark.operators.similarity import brute_force_topk
+
+    assets = _doc_subset(spark, sf_dir, DOC_SUBSET_MOD).select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    emb = embed_assets(assets, "doc_id", "payload")
+    queries = emb.where(F.col("id") % M4_QUERY_MOD == 0)
+    out = brute_force_topk(
+        emb, queries, "id", "embedding", "id", "embedding", k=M4_K
+    )
+    return out.select(
+        "query_id", "id", "rank", F.round("cosine", 6).alias("cosine")
+    )
+
+
+def _m4_component(j: int) -> str:
+    hi = _HEXBYTE.format(p=4 * j + 1, p1=4 * j + 2)
+    lo = _HEXBYTE.format(p=4 * j + 3, p1=4 * j + 4)
+    return f"CAST(({hi}) * 256 + ({lo}) - 32768 AS DOUBLE)"
+
+
+_M4_SQL = f"""
+WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents
+           WHERE doc_id % {DOC_SUBSET_MOD} = 0),
+emb AS (
+  SELECT doc_id AS id,
+         [{', '.join(_m4_component(j) for j in range(8))}] AS v
+  FROM h
+),
+q AS (SELECT id AS query_id, v AS qe FROM emb WHERE id % {M4_QUERY_MOD} = 0),
+scored AS (
+  SELECT q.query_id, e.id,
+         {_DOT.format(a='q.qe', b='e.v')}
+           / (sqrt({_SSQ.format(a='q.qe')}) * sqrt({_SSQ.format(a='e.v')}))
+           AS cosine
+  FROM emb e CROSS JOIN q
+  WHERE e.id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, id) AS rn
+  FROM scored
+)
+SELECT query_id, id, rn AS "rank", round(cosine, 6) AS cosine
+FROM ranked WHERE rn <= {M4_K}
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the validator's V1 per-file min/max over sf0.001."""
     return q_v1_file_minmax(spark, "/root/testdata/sf0.001")
@@ -4538,6 +4599,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e56_repeated_spans": q_e56_repeated_spans,
         "e57_remove_spans": q_e57_remove_spans,
         "e58_sorted_neighborhood": q_e58_sorted_neighborhood,
+        "m4_embed_topk": q_m4_embed_topk,
     }
 
 
@@ -4593,6 +4655,7 @@ def oracle_sql() -> dict[str, str]:
         "e56_repeated_spans": _E56_SQL,
         "e57_remove_spans": _E57_SQL,
         "e58_sorted_neighborhood": _E58_SQL,
+        "m4_embed_topk": _M4_SQL,
         "e16_bpe_tokens": _E16_SQL,
         "s1_event_windows": _S1_SQL,
         "s2_sessionize": _S2_SQL,

@@ -137,3 +137,39 @@ def frame_sample_plan(df: DataFrame, id_col: str, payload_col: str, every_n: int
         "frame_idx", F.explode(F.expr(f"sequence(0, n_frames - 1, {every_n})"))
     )
     return frames.select("id", "frame_idx")
+
+
+EMBED_DIM = 8
+EMBED_SCHEMA = "id long, embedding array<double>"
+
+
+def embed_assets(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+    """STUB embedding step: (id, embedding array<double>) — a deterministic
+    pseudo-embedding derived from the md5 digest of the payload (8 signed
+    16-bit components), so the DuckDB oracle reproduces every vector and
+    the output feeds the similarity/ANN/semantic-dedup operators unchanged.
+    In a deployment the body is a CLIP/audio-encoder batch call; the
+    Arrow-batched ``mapInPandas`` boundary, the narrow input projection and
+    the (id, array<double>) output contract are exactly what that call
+    needs — swap the digest for the model, nothing else moves."""
+
+    def embed(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, vecs = [], []
+            for i, payload in zip(pdf["__id__"], pdf["__payload__"]):
+                d = hashlib.md5(bytes(payload)).digest()
+                vecs.append(
+                    [
+                        float(((d[2 * j] << 8) | d[2 * j + 1]) - 32768)
+                        for j in range(EMBED_DIM)
+                    ]
+                )
+                ids.append(i)
+            yield pd.DataFrame({"id": ids, "embedding": vecs})
+
+    narrowed = df.select(
+        F.col(id_col).alias("__id__"), F.col(payload_col).alias("__payload__")
+    )
+    return narrowed.mapInPandas(embed, EMBED_SCHEMA)

@@ -780,3 +780,25 @@ def test_sorted_neighborhood_pairs(spark):
         docs, "doc_id", "substring(lower(trim(text)), 1, 8)", window=3
     ).count()
     assert n3 == 3 + 2
+
+
+def test_embed_assets_deterministic_and_feeds_ann(spark):
+    """The stub encoder emits one fixed-dim array<double> per payload,
+    deterministic across runs, and its output plugs straight into the
+    similarity operators (identical payloads -> cosine 1.0 neighbors)."""
+    from delta_sorter_spark.operators.multimodal import EMBED_DIM, embed_assets
+    from delta_sorter_spark.operators.similarity import brute_force_topk
+
+    assets = spark.createDataFrame(
+        [(1, b"payload-a"), (2, b"payload-a"), (3, b"payload-b")],
+        "id long, payload binary",
+    )
+    emb = embed_assets(assets, "id", "payload")
+    rows = {r["id"]: r["embedding"] for r in emb.collect()}
+    assert all(len(v) == EMBED_DIM for v in rows.values())
+    assert rows[1] == rows[2] != rows[3]
+    again = {r["id"]: r["embedding"] for r in embed_assets(assets, "id", "payload").collect()}
+    assert again == rows
+
+    top = brute_force_topk(emb, emb.where("id = 1"), "id", "embedding", "id", "embedding", k=1).collect()
+    assert [(r["query_id"], r["id"], round(r["cosine"], 6)) for r in top] == [(1, 2, 1.0)]
