@@ -48,6 +48,7 @@ ENTRY_QUERIES = [
     "p1_quality_dedup_pipeline",
     "e45_bm25_topk",
     "a42_resample_ffill",
+    "e56_repeated_spans",
 ]
 
 
