@@ -216,3 +216,37 @@ def test_user_column_named_pos_reads_plainly(registered, tmp_path):
         spark.read.format("delta_sorter").option("path", path).option(
             "withPositions", "true"
         ).load().collect()
+
+
+def test_files_option_accepts_bare_path_strings(registered, tmp_path):
+    """Legacy callers (or persisted plans) may pass the ``files`` option as a
+    JSON list of bare path strings rather than spec objects; they read as
+    {path: s}, and malformed entries fail with a clear ValueError naming
+    the spec format."""
+    import json
+
+    spark = registered
+    path = str(tmp_path / "bare")
+    t = DeltaTable.create(
+        spark,
+        path,
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string").coalesce(1),
+    )
+    rel_paths = [a.path for a in t.state().adds]
+    got = (
+        spark.read.format("delta_sorter")
+        .option("path", path)
+        .option("files", json.dumps(rel_paths))  # bare strings, legacy form
+        .load()
+        .collect()
+    )
+    assert sorted((r["id"], r["v"]) for r in got) == [(1, "a"), (2, "b")]
+
+    with pytest.raises(Exception, match="spec objects"):
+        (
+            spark.read.format("delta_sorter")
+            .option("path", path)
+            .option("files", json.dumps([{"no_path_key": 1}]))
+            .load()
+            .collect()
+        )
