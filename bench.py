@@ -267,6 +267,44 @@ def main() -> int:
             samples.append(time.monotonic() - t0)
         timings[name] = round(min(samples), 3)
 
+    # -- BM25 steady state: serve query batches from a PREBUILT posting
+    #    index (the production shape — build once per corpus version).  The
+    #    e45 line above prices the inline build; this prices the per-batch
+    #    query cost a serving deployment actually pays.
+    from delta_sorter_spark.operators.retrieval import bm25_postings, bm25_topk
+
+    docs = entrymod.load_table(spark, SF_DIR, "documents")
+    postings = bm25_postings(docs, "doc_id", "text").persist()
+    postings.count()  # materialize outside the timed region
+    bm25_queries = docs.where(
+        F.col("doc_id") % entrymod.BM25_QUERY_MOD == 0
+    ).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(
+            F.slice(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                1,
+                entrymod.BM25_QUERY_WORDS,
+            ),
+            " ",
+        ).alias("qtext"),
+    )
+
+    def serve():
+        bm25_topk(
+            None, bm25_queries, "doc_id", None, "query_id", "qtext",
+            k=entrymod.BM25_TOPK, exclude_self=True, postings=postings,
+        ).write.format("noop").mode("overwrite").save()
+
+    serve()
+    samples = []
+    for _ in range(3):
+        t0 = time.monotonic()
+        serve()
+        samples.append(time.monotonic() - t0)
+    timings["e45_bm25_serve"] = round(min(samples), 3)
+    postings.unpersist()
+
     shutil.rmtree(workdir, ignore_errors=True)
 
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
