@@ -107,3 +107,56 @@ def test_resample_ffill_matches_python_oracle(spark, points):
         else:
             expect[key] = (last, 1)
     assert got == expect
+
+
+@settings(
+    max_examples=12, deadline=None, suppress_health_check=list(HealthCheck)
+)
+@given(
+    st.lists(  # per-document token lists over a tiny vocabulary, so cross-
+        st.lists(  # document n-gram repeats actually occur
+            st.sampled_from(["aa", "bb", "cc", "dd"]),
+            min_size=0,
+            max_size=12,
+        ),
+        min_size=2,
+        max_size=6,
+    )
+)
+def test_repeated_spans_match_python_oracle(spark, docs_tokens):
+    """repeated_ngram_spans == a pure-Python reference: n-grams shared by
+    >= 2 distinct docs, positions merged into maximal intervals."""
+    from delta_sorter_spark.operators.dedup import repeated_ngram_spans
+
+    n = 3
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs_tokens)]
+    # python oracle ------------------------------------------------------
+    # NB: Spark's split('\s+') on an empty string yields [''], matching
+    # " ".join([]) == "" -> [""]; replicate that tokenization exactly
+    toks_by_doc = {i: (t.split(" ") if t else [""]) for i, t in rows}
+    gram_docs = {}
+    for i, toks in toks_by_doc.items():
+        for p in range(max(0, len(toks) - n + 1)):
+            gram_docs.setdefault(" ".join(toks[p : p + n]), set()).add(i)
+    repeated = {g for g, ds in gram_docs.items() if len(ds) >= 2}
+    expected = set()
+    for i, toks in toks_by_doc.items():
+        hits = sorted(
+            p
+            for p in range(max(0, len(toks) - n + 1))
+            if " ".join(toks[p : p + n]) in repeated
+        )
+        spans = []
+        for p in hits:
+            if spans and p <= spans[-1][1]:
+                spans[-1][1] = max(spans[-1][1], p + n)
+            else:
+                spans.append([p, p + n])
+        expected |= {(i, s, e, e - s) for s, e in spans}
+    # spark --------------------------------------------------------------
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"])
+        for r in repeated_ngram_spans(df, "doc_id", "text", n=n, min_docs=2).collect()
+    }
+    assert got == expected
