@@ -358,42 +358,7 @@ def delete_where_dv(
     # delete touches (their Add is re-pointed, so the new sidecar must carry
     # the union).  Parquet sidecars stream executor-side; legacy JSON
     # sidecars (small by construction) load driver-side.
-    prev_parts = []
-    json_rows: list[tuple[str, int]] = []
-    seen_sidecars: set[str] = set()
-    roaring_prev: list[tuple[str, dict]] = []
-    for a in state.adds:
-        if not a.deletion_vector:
-            continue
-        if _is_protocol_dv(a.deletion_vector):
-            roaring_prev.append((a.path, a.deletion_vector))
-            continue
-        sp = a.deletion_vector["storagePath"]
-        sidecar = os.path.join(table.table_path, sp)
-        if table.is_remote:
-            fsobj = table.log.fs
-            is_dataset = any(
-                n.endswith(".parquet")
-                for n in fsobj.list_dir(fsobj.join(table.table_path, sp))
-            )
-        else:
-            is_dataset = os.path.isdir(sidecar)
-        if is_dataset:
-            if sp not in seen_sidecars:
-                seen_sidecars.add(sp)
-                prev_parts.append(
-                    table.read_parquet_dataset(
-                        sp, ["path", "pos"], "path string, pos long"
-                    )
-                )
-        else:  # legacy JSON sidecar (single object; small by construction)
-            json_rows += [(a.path, int(p)) for p in table.read_deletion_vector(a)]
-    if json_rows:
-        prev_parts.append(
-            table.spark.createDataFrame(json_rows, "path string, pos long")
-        )
-    if roaring_prev:
-        prev_parts.append(table._roaring_positions_df(roaring_prev))
+    prev_parts = _dv_positions_parts(table, state.adds)
     merged = hits
     if prev_parts:
         prev = prev_parts[0]
@@ -461,6 +426,109 @@ def delete_where_dv(
         "deleted_rows": deleted_rows,
         "version": version,
     }
+
+
+def _dv_positions_parts(table: DeltaTable, adds) -> list[DataFrame]:
+    """(path, pos) DataFrames for every DV'd add, one part per storage kind:
+    legacy parquet sidecar datasets stream distributed, legacy JSON sidecars
+    (small by construction) load driver-side, protocol roaring bins decode
+    executor-side via ``_roaring_positions_df``."""
+    from delta_sorter_spark.sources.delta_table import _is_protocol_dv
+
+    prev_parts: list[DataFrame] = []
+    json_rows: list[tuple[str, int]] = []
+    seen_sidecars: set[str] = set()
+    roaring_prev: list[tuple[str, dict]] = []
+    for a in adds:
+        if not a.deletion_vector:
+            continue
+        if _is_protocol_dv(a.deletion_vector):
+            roaring_prev.append((a.path, a.deletion_vector))
+            continue
+        sp = a.deletion_vector["storagePath"]
+        sidecar = os.path.join(table.table_path, sp)
+        if table.is_remote:
+            fsobj = table.log.fs
+            is_dataset = any(
+                n.endswith(".parquet")
+                for n in fsobj.list_dir(fsobj.join(table.table_path, sp))
+            )
+        else:
+            is_dataset = os.path.isdir(sidecar)
+        if is_dataset:
+            if sp not in seen_sidecars:
+                seen_sidecars.add(sp)
+                prev_parts.append(
+                    table.read_parquet_dataset(
+                        sp, ["path", "pos"], "path string, pos long"
+                    )
+                )
+        else:  # legacy JSON sidecar (single object; small by construction)
+            json_rows += [(a.path, int(p)) for p in table.read_deletion_vector(a)]
+    if json_rows:
+        prev_parts.append(
+            table.spark.createDataFrame(json_rows, "path string, pos long")
+        )
+    if roaring_prev:
+        prev_parts.append(table._roaring_positions_df(roaring_prev))
+    return prev_parts
+
+
+def migrate_deletion_vectors(table: DeltaTable) -> dict:
+    """Convert every LEGACY deletion vector (parquet ``(path, pos)`` sidecar
+    dataset or single-JSON map) to the STANDARD protocol encoding — one
+    roaring ``deletion_vector_<uuid>.bin`` per file, storageType "u"
+    descriptors, protocol upgraded to advertise the deletionVectors feature.
+
+    Unlike ``purge_deletion_vectors`` this touches NO data files: the
+    migration rewrites only the KB-scale vectors plus the log, so it is the
+    cheap path to stock-reader interop for tables written by earlier
+    versions of this engine.  Old sidecars become orphans for ``vacuum``.
+
+    Returns {"migrated_files", "version"}."""
+    from delta_sorter_spark.sources.delta_table import _is_protocol_dv
+
+    state = table.state()
+    legacy = [
+        a
+        for a in state.adds
+        if a.deletion_vector and not _is_protocol_dv(a.deletion_vector)
+    ]
+    if not legacy:
+        return {"migrated_files": 0, "version": state.version}
+    parts = _dv_positions_parts(table, legacy)
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.unionByName(p)
+    # sidecar datasets are shared across files: keep only THESE adds' rows
+    legacy_paths = {a.path for a in legacy}
+    merged = merged.where(
+        F.col("path").isin(*legacy_paths) if legacy_paths else F.lit(False)
+    ).distinct()
+    dv_by_path = _write_roaring_vectors(table, merged)
+    adds_by_path = {a.path: a for a in state.adds}
+    new_adds, removes = [], []
+    for rel, dv in dv_by_path.items():
+        old = adds_by_path[rel]
+        removes.append(old.remove_action(False))
+        new_adds.append(
+            AddAction(
+                path=old.path,
+                size=old.size,
+                partition_values=old.partition_values,
+                modification_time=old.modification_time,
+                data_change=False,  # same logical rows, new vector encoding
+                stats=old.stats,
+                deletion_vector=dv,
+            )
+        )
+    version = table.commit_rewrite(
+        new_adds,
+        removes,
+        operation="MIGRATE DV",
+        extra_actions=_dv_protocol_upgrade(state),
+    )
+    return {"migrated_files": len(new_adds), "version": version}
 
 
 def _dv_protocol_upgrade(state) -> list[dict] | None:

@@ -613,3 +613,54 @@ def test_roaring_dv_protocol_upgrade(spark, tmp_path):
     assert sorted(r["id"] for r in DeltaTable(spark, path).to_df().collect()) == [
         0, 2, 4, 5,
     ]
+
+
+def test_migrate_deletion_vectors_to_standard(spark, tmp_path):
+    """Legacy sidecar DVs convert to standard roaring bins WITHOUT touching
+    data files; reads are identical before/after, the protocol advertises
+    deletionVectors, and vacuum collects the orphaned sidecars."""
+    from delta_sorter_spark.operators.dml import (
+        delete_where_dv,
+        migrate_deletion_vectors,
+    )
+    from delta_sorter_spark.sources.delta_table import _is_protocol_dv
+
+    path = str(tmp_path / "dv_migrate")
+    table = DeltaTable.create(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(12)], "id long, v string"
+        ).repartition(2),
+        stat_columns=["id"],
+    )
+    delete_where_dv(table, "id IN (1, 5)", vector_format="parquet")
+    delete_where_dv(table, "id IN (5, 9)", vector_format="parquet")
+    before = sorted(tuple(r) for r in table.to_df().collect())
+    data_files = {a.path for a in table.state().adds}
+    assert any(
+        a.deletion_vector and not _is_protocol_dv(a.deletion_vector)
+        for a in table.state().adds
+    )
+
+    res = migrate_deletion_vectors(table)
+    assert res["migrated_files"] >= 1
+
+    t2 = DeltaTable(spark, path)
+    state = t2.state()
+    assert {a.path for a in state.adds} == data_files  # data untouched
+    assert all(
+        _is_protocol_dv(a.deletion_vector)
+        for a in state.adds
+        if a.deletion_vector
+    )
+    assert state.protocol["minReaderVersion"] == 3
+    assert "deletionVectors" in state.protocol["readerFeatures"]
+    assert sorted(tuple(r) for r in t2.to_df().collect()) == before
+
+    # idempotent; second call is a no-op
+    assert migrate_deletion_vectors(t2)["migrated_files"] == 0
+
+    doomed = t2.vacuum()
+    assert [d for d in doomed if "_deletion_vectors" in d]  # old sidecars out
+    assert sorted(tuple(r) for r in DeltaTable(spark, path).to_df().collect()) == before

@@ -5,6 +5,8 @@ forward-fill — random small inputs, exact integer agreement."""
 import math
 from datetime import datetime, timedelta, timezone
 
+from pyspark.sql import functions as F
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -159,4 +161,48 @@ def test_repeated_spans_match_python_oracle(spark, docs_tokens):
         (r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"])
         for r in repeated_ngram_spans(df, "doc_id", "text", n=n, min_docs=2).collect()
     }
+    assert got == expected
+
+
+@settings(
+    max_examples=10, deadline=None, suppress_health_check=list(HealthCheck)
+)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10**6), st.integers(1, 500)),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(1, 10),
+)
+def test_weighted_priority_sample_matches_python_oracle(spark, rows, k):
+    """The sampled set equals the exact top-k of the integer priority
+    formula replayed in pure Python (portable md5 hash, integer division,
+    (priority desc, id asc) ordering)."""
+    import hashlib
+
+    from delta_sorter_spark.operators.sampling import weighted_priority_sample
+
+    seed, scale = "prop-seed", 1_000_000
+
+    def u(doc_id):
+        h = int(hashlib.md5(f"{seed}{doc_id}".encode()).hexdigest()[:15], 16)
+        return h % scale + 1
+
+    prios = {i: (w * scale) // u(i) for i, w in rows}
+    expected = sorted(
+        ((i, p) for i, p in prios.items() if p > 0),
+        key=lambda t: (-t[1], t[0]),
+    )[:k]
+
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    got = [
+        (r["doc_id"], r["priority"])
+        for r in weighted_priority_sample(
+            df, "doc_id", "w", k=k, seed=seed, u_scale=scale
+        )
+        .orderBy(F.desc("priority"), F.asc("doc_id"))
+        .collect()
+    ]
     assert got == expected
