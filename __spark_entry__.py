@@ -4066,13 +4066,15 @@ def q_e53_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "priority")
 
 
+WPS_WSCALE = 1_000_000
+
 _E53_SQL = f"""
 SELECT doc_id,
-       CAST(length(text) AS BIGINT) * {WPS_USCALE}
+       CAST(floor(CAST(length(text) AS DOUBLE) * {WPS_WSCALE}) AS BIGINT) * {WPS_USCALE}
          // (({duckdb_md5_long_sql(f"concat('{WPS_SEED}', CAST(doc_id AS VARCHAR))")})
               % {WPS_USCALE} + 1) AS priority
 FROM documents
-WHERE CAST(length(text) AS BIGINT) * {WPS_USCALE}
+WHERE CAST(floor(CAST(length(text) AS DOUBLE) * {WPS_WSCALE}) AS BIGINT) * {WPS_USCALE}
         // (({duckdb_md5_long_sql(f"concat('{WPS_SEED}', CAST(doc_id AS VARCHAR))")})
              % {WPS_USCALE} + 1) > 0
 ORDER BY priority DESC, doc_id ASC

@@ -964,32 +964,42 @@ def remove_repeated_spans(
     identical.
 
     The spans arrive as a per-document ARRAY via one aggregate + one join
-    (never a token-level range join); the token filter is a JVM-side
-    lambda over the zipped (token, index) array.  Output: all input columns
-    with ``text_col`` replaced and ``tokens_removed`` appended."""
+    (never a token-level range join); the token filter is a JVM-side lambda
+    over the zipped (token, index) array, with the tokenization and the
+    kept-token array each MATERIALIZED ONCE as intermediate columns (three
+    inlined copies of split() would tokenize every document up to 3x —
+    Catalyst does not reliably CSE across separate projections).  Output:
+    the input columns IN ORDER with ``text_col`` replaced in place, plus
+    ``tokens_removed`` appended."""
     packed = spans.groupBy(F.col(id_col)).agg(
         F.expr("sort_array(collect_list(struct(span_start, span_end)))").alias(
             "__spans__"
         )
     )
-    out = df.join(packed, id_col, "left")
-    kept = (
-        "filter(arrays_zip({t}, sequence(0, size({t}) - 1)),"
-        " p -> NOT exists(coalesce(__spans__, array()),"
-        " s -> p['1'] >= s.span_start AND p['1'] < s.span_end))"
+    out = (
+        df.join(packed, id_col, "left")
+        .withColumn("__toks__", tokens_expr(text_col))
+        .withColumn(
+            "__kept__",
+            F.expr(
+                "filter(transform(sequence(0, size(__toks__) - 1),"
+                " i -> named_struct('tok', element_at(__toks__, i + 1), 'idx', i)),"
+                " p -> NOT exists(coalesce(__spans__, array()),"
+                " s -> p.idx >= s.span_start AND p.idx < s.span_end))"
+            ),
+        )
     )
-    other_cols = [c for c in df.columns if c != text_col]
+    ordered = [
+        F.expr("concat_ws(' ', transform(__kept__, p -> p.tok))").alias(text_col)
+        if c == text_col
+        else F.col(c)
+        for c in df.columns
+    ]
     return out.select(
-        *other_cols,
-        F.expr(
-            "concat_ws(' ', transform("
-            + kept.replace("{t}", f"split(lower(trim({text_col})), '\\\\s+')")
-            + ", p -> p['0']))"
-        ).alias(text_col),
-        F.expr(
-            f"CAST(size(split(lower(trim({text_col})), '\\\\s+')) - "
-            "size(" + kept.replace("{t}", f"split(lower(trim({text_col})), '\\\\s+')") + ") AS BIGINT)"
-        ).alias("tokens_removed"),
+        *ordered,
+        F.expr("CAST(size(__toks__) - size(__kept__) AS BIGINT)").alias(
+            "tokens_removed"
+        ),
     )
 
 

@@ -322,8 +322,6 @@ def delete_where_dv(
     import re as _re
     import uuid as _uuid
 
-    from delta_sorter_spark.sources.delta_table import _is_protocol_dv
-
     if vector_format not in ("roaring", "parquet"):
         raise ValueError(f"unknown vector_format {vector_format!r}")
 
@@ -358,7 +356,9 @@ def delete_where_dv(
     # delete touches (their Add is re-pointed, so the new sidecar must carry
     # the union).  Parquet sidecars stream executor-side; legacy JSON
     # sidecars (small by construction) load driver-side.
-    prev_parts = _dv_positions_parts(table, state.adds)
+    prev_parts = _dv_positions_parts(
+        table, state.adds, restrict=hits.select("path")
+    )
     merged = hits
     if prev_parts:
         prev = prev_parts[0]
@@ -428,11 +428,18 @@ def delete_where_dv(
     }
 
 
-def _dv_positions_parts(table: DeltaTable, adds) -> list[DataFrame]:
+def _dv_positions_parts(
+    table: DeltaTable, adds, restrict: DataFrame | None = None
+) -> list[DataFrame]:
     """(path, pos) DataFrames for every DV'd add, one part per storage kind:
     legacy parquet sidecar datasets stream distributed, legacy JSON sidecars
     (small by construction) load driver-side, protocol roaring bins decode
-    executor-side via ``_roaring_positions_df``."""
+    executor-side via ``_roaring_positions_df``.
+
+    ``restrict`` (a ``path``-column DataFrame) prunes the roaring decode to
+    just those files BEFORE the mapInPandas stage — without it a one-row
+    delete on a heavily-DV'd table would GET + decode every bitmap in the
+    table only to discard most of them."""
     from delta_sorter_spark.sources.delta_table import _is_protocol_dv
 
     prev_parts: list[DataFrame] = []
@@ -470,7 +477,7 @@ def _dv_positions_parts(table: DeltaTable, adds) -> list[DataFrame]:
             table.spark.createDataFrame(json_rows, "path string, pos long")
         )
     if roaring_prev:
-        prev_parts.append(table._roaring_positions_df(roaring_prev))
+        prev_parts.append(table._roaring_positions_df(roaring_prev, restrict=restrict))
     return prev_parts
 
 
@@ -550,12 +557,18 @@ def _dv_protocol_upgrade(state) -> list[dict] | None:
         reader_feats.add("columnMapping")
     if any(k.startswith("delta.constraints.") for k in cfg):
         writer_feats.add("checkConstraints")
+    # legacy writer-version features become explicit under table features:
+    # a 3/7 protocol that drops them would stop stock writers enforcing them
+    if str(cfg.get("delta.appendOnly", "")).lower() == "true":
+        writer_feats.add("appendOnly")
     for f in state.metadata.schema.fields:
         md = f.metadata or {}
         if any(k.startswith("delta.identity.") for k in md):
             writer_feats.add("identityColumns")
         if "delta.generationExpression" in md:
             writer_feats.add("generatedColumns")
+        if "delta.invariants" in md:
+            writer_feats.add("invariants")
     return [
         {
             "protocol": {

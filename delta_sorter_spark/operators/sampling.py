@@ -189,26 +189,33 @@ def weighted_priority_sample(
     k: int,
     seed: str = "wps-v1",
     u_scale: int = 1_000_000,
+    w_scale: int = 1_000_000,
 ) -> DataFrame:
     """Deterministic weighted sampling without replacement: keep the ``k``
-    rows with the highest priority ``floor(w * u_scale / u)`` where ``u`` is
-    a per-row integer in [1, u_scale] derived from the portable md5 hash of
-    (seed, id) — Duffield/Lund/Thorup priority sampling with the RNG
-    replaced by a seeded hash, so re-runs (and a SQL oracle) reproduce the
-    sample exactly.  Rows with larger weights (e.g. a quality score or a
-    length-balanced target) win proportionally more often; the all-integer
-    priority makes cross-engine ordering exact.
+    rows with the highest priority ``floor(w * w_scale) * u_scale / u``
+    where ``u`` is a per-row integer in [1, u_scale] derived from the
+    portable md5 hash of (seed, id) — Duffield/Lund/Thorup priority
+    sampling with the RNG replaced by a seeded hash, so re-runs (and a SQL
+    oracle) reproduce the sample exactly.  Rows with larger weights win
+    proportionally more often; the all-integer priority makes cross-engine
+    ordering exact, and the ``w_scale`` ppm quantization keeps FRACTIONAL
+    weights (quality scores in (0, 1)) meaningful — a bare BIGINT cast
+    would zero them and silently empty the sample.
 
     Scale posture: priorities are a map-side expression and the top-k
     compiles to TakeOrderedAndProject (per-partition local top-k, k rows per
     partition to the driver side of the sort) — no global sort, no single
     partition exchange.  Output: input columns + ``priority``.
 
-    Weights must be positive; zero/negative weights exclude the row."""
+    Weights must be positive; weights below 1/w_scale (and zero/negative)
+    exclude the row."""
     hashed_expr = f"concat('{seed}', CAST({id_col} AS STRING))"
     u = f"(({spark_md5_long_sql(hashed_expr)}) % {u_scale}) + 1"
+    # the DOUBLE cast avoids 32-bit wraparound on integer weight exprs and
+    # is exact for w * w_scale < 2^53 (i.e. weights below ~9e6 at ppm scale)
     pri = F.expr(
-        f"CAST(({weight_expr}) AS BIGINT) * {u_scale} DIV ({u})"
+        f"CAST(floor(CAST(({weight_expr}) AS DOUBLE) * {w_scale}) AS BIGINT)"
+        f" * {u_scale} DIV ({u})"
     )
     return (
         df.withColumn("priority", pri)

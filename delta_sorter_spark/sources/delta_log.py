@@ -359,10 +359,15 @@ class DeltaLog:
                     a["partitionValues"] = _as_dict(a.get("partitionValues"))
                     dv = a.pop("deletionVector", None)
                     if dv is not None and dv.get("pathOrInlineDv"):
-                        if dv.get("storageType") in ("u", "i") or dv.get(
-                            "offset"
-                        ) is not None:
-                            # standard protocol descriptor — pass through
+                        if (
+                            dv.get("storageType") in ("u", "i")
+                            or dv.get("offset") is not None
+                            or dv.get("sizeInBytes") is not None
+                        ):
+                            # standard protocol descriptor — pass through.
+                            # (A standard "p" vector may omit offset, but the
+                            # protocol REQUIRES sizeInBytes; only this
+                            # engine's legacy sidecars null out both.)
                             a["deletionVector"] = {
                                 "storageType": dv.get("storageType"),
                                 "pathOrInlineDv": dv["pathOrInlineDv"],
@@ -372,7 +377,8 @@ class DeltaLog:
                             }
                         else:
                             # legacy sidecar (this engine's earlier format,
-                            # checkpointed as "p" with a null offset)
+                            # checkpointed as "p" with null offset AND null
+                            # sizeInBytes)
                             a["deletionVector"] = {
                                 "storagePath": dv["pathOrInlineDv"],
                                 "cardinality": dv.get("cardinality", 0),

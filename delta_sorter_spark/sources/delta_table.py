@@ -216,25 +216,39 @@ def _is_protocol_dv(dv: dict) -> bool:
     return "storageType" in dv and "storagePath" not in dv
 
 
-def _protocol_dv_positions(table_path: str, dv: dict) -> set[int]:
-    """Decode a protocol-shaped deletion vector's positions (roaring.py)."""
-    from delta_sorter_spark.sources.fs import is_remote_uri, resolve
-    from delta_sorter_spark.sources.roaring import positions_from_descriptor
+def read_dv_bytes(table_path: str, rel: str) -> bytes:
+    """Read a deletion-vector payload addressed by ``rel`` — the ONE place
+    that resolves all four locality cases, shared by the driver-side and
+    executor-side decode paths:
 
+    - ``rel`` is itself a remote URI (a shallow clone's "p" descriptor
+      pointing into a remote SOURCE table): resolved through fs directly;
+    - ``rel`` is an absolute local path (local clone source): opened as-is;
+    - ``table_path`` is remote: ``rel`` joins under the table's store;
+    - both local: plain join under the table directory."""
+    from delta_sorter_spark.sources.fs import is_remote_uri, resolve
+
+    if is_remote_uri(rel):
+        parent, name = rel.rsplit("/", 1)
+        fsobj, base = resolve(parent)
+        return fsobj.read_bytes(fsobj.join(base, name))
+    if os.path.isabs(rel):
+        with open(rel, "rb") as fh:
+            return fh.read()
     if is_remote_uri(table_path):
         fsobj, base = resolve(table_path)
+        return fsobj.read_bytes(fsobj.join(base, rel))
+    with open(os.path.join(table_path, rel), "rb") as fh:
+        return fh.read()
 
-        def read(rel: str) -> bytes:
-            return fsobj.read_bytes(fsobj.join(base, rel))
 
-    else:
+def _protocol_dv_positions(table_path: str, dv: dict) -> set[int]:
+    """Decode a protocol-shaped deletion vector's positions (roaring.py)."""
+    from delta_sorter_spark.sources.roaring import positions_from_descriptor
 
-        def read(rel: str) -> bytes:
-            p = rel if os.path.isabs(rel) else os.path.join(table_path, rel)
-            with open(p, "rb") as fh:
-                return fh.read()
-
-    return set(positions_from_descriptor(dv, read))
+    return set(
+        positions_from_descriptor(dv, lambda rel: read_dv_bytes(table_path, rel))
+    )
 
 
 def dv_sidecar_positions(table_path: str, add: AddAction) -> set[int]:
@@ -750,45 +764,45 @@ class DeltaTable:
         """Deleted row positions for one file (empty if no DV)."""
         return dv_sidecar_positions(self.table_path, add)
 
-    def _roaring_positions_df(self, specs: Sequence[tuple[str, dict]]) -> DataFrame:
+    def _roaring_positions_df(
+        self,
+        specs: Sequence[tuple[str, dict]],
+        restrict: DataFrame | None = None,
+    ) -> DataFrame:
         """(key, protocol DV descriptor) -> DataFrame(path=key, pos long).
 
         The roaring bins decode EXECUTOR-side (one task per batch of specs,
         local open or object-store GET); the driver only ships the O(files)
         spec list, so a wide merge-on-read scan never funnels deleted-row
-        positions through one process."""
+        positions through one process.
+
+        ``restrict`` (a single-column ``path`` DataFrame) filters the spec
+        list BEFORE the decode stage — mapInPandas blocks predicate
+        pushdown, so a caller that only needs a few files' positions (e.g.
+        a one-row delete on a heavily-DV'd table) must prune here or pay a
+        GET + bitmap decode for every vector in the table."""
         import json as _json
 
         from delta_sorter_spark.sources.fs import capture_aws_env
 
         table_path = self.table_path
-        remote = self.is_remote
-        aws_env = capture_aws_env() if remote else None
+        aws_env = capture_aws_env() if self.is_remote else None
         rows = [(k, _json.dumps(d)) for k, d in specs]
 
         def decode(batches):
             import json as _j
-            import os as _os
 
             import pandas as pd
 
+            from delta_sorter_spark.sources.delta_table import read_dv_bytes
+            from delta_sorter_spark.sources.fs import apply_aws_env
             from delta_sorter_spark.sources.roaring import positions_from_descriptor
 
-            if remote:
-                from delta_sorter_spark.sources.fs import apply_aws_env, resolve
-
+            if aws_env:
                 apply_aws_env(aws_env)
-                fsobj, base = resolve(table_path)
 
-                def read(rel):
-                    return fsobj.read_bytes(fsobj.join(base, rel))
-
-            else:
-
-                def read(rel):
-                    p = rel if _os.path.isabs(rel) else _os.path.join(table_path, rel)
-                    with open(p, "rb") as fh:
-                        return fh.read()
+            def read(rel):
+                return read_dv_bytes(table_path, rel)
 
             for b in batches:
                 keys, poss = [], []
@@ -804,6 +818,8 @@ class DeltaTable:
                 )
 
         df = self.spark.createDataFrame(rows, "path string, dv string")
+        if restrict is not None:
+            df = df.join(restrict.select("path").distinct(), "path", "left_semi")
         n = max(1, min(len(rows), self.spark.sparkContext.defaultParallelism))
         return df.repartition(n).mapInPandas(decode, "path string, pos long")
 

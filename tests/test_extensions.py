@@ -802,3 +802,17 @@ def test_embed_assets_deterministic_and_feeds_ann(spark):
 
     top = brute_force_topk(emb, emb.where("id = 1"), "id", "embedding", "id", "embedding", k=1).collect()
     assert [(r["query_id"], r["id"], round(r["cosine"], 6)) for r in top] == [(1, 2, 1.0)]
+
+
+def test_weighted_priority_sample_fractional_weights(spark):
+    """Quality-score weights in (0, 1) must NOT zero out: the ppm weight
+    quantization keeps them meaningful (regression for the bare BIGINT cast
+    that silently emptied the sample)."""
+    from delta_sorter_spark.operators.sampling import weighted_priority_sample
+
+    rows = [(i, 0.9 if i < 20 else 0.05) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, q double")
+    got = weighted_priority_sample(df, "doc_id", "q", k=30).collect()
+    assert len(got) == 30  # nothing dropped to zero priority
+    heavy = sum(1 for r in got if r["doc_id"] < 20)
+    assert heavy >= 12  # 10% of rows hold 18x the weight -> dominate

@@ -531,3 +531,27 @@ def test_s3_dml_end_to_end(s3_env, spark, tmp_path):
     assert not any(a.deletion_vector for a in t.state().adds)
     assert sorted(r["id"] for r in t.to_df().collect()) == [
         0, 6, 8] + [i for i in range(10, 20) if i != 14] + [100]
+
+
+def test_read_dv_bytes_resolves_uri_and_absolute_paths(tmp_path):
+    """read_dv_bytes is the single DV-payload resolver: URI rels (remote
+    shallow-clone "p" descriptors) resolve through fs regardless of the
+    table's own locality; absolute local paths open as-is; relative paths
+    join under the table (local or remote)."""
+    from delta_sorter_spark.sources.delta_table import read_dv_bytes
+    from delta_sorter_spark.sources.fs import resolve
+
+    payload = b"\x01binbytes"
+    # URI rel, local table: a local clone of a remote source
+    fsobj, base = resolve("memory://dvbkt/src")
+    fsobj.write_bytes(fsobj.join(base, "deletion_vector_x.bin"), payload)
+    assert read_dv_bytes(str(tmp_path), "memory://dvbkt/src/deletion_vector_x.bin") == payload
+    # URI rel, remote table (remote clone of another remote table)
+    assert read_dv_bytes("memory://dvbkt/dst", "memory://dvbkt/src/deletion_vector_x.bin") == payload
+    # absolute local path (local clone source)
+    p = tmp_path / "deletion_vector_y.bin"
+    p.write_bytes(payload)
+    assert read_dv_bytes("memory://dvbkt/dst", str(p)) == payload
+    # plain relative under a local table dir
+    (tmp_path / "deletion_vector_z.bin").write_bytes(payload)
+    assert read_dv_bytes(str(tmp_path), "deletion_vector_z.bin") == payload

@@ -190,7 +190,7 @@ def test_weighted_priority_sample_matches_python_oracle(spark, rows, k):
         h = int(hashlib.md5(f"{seed}{doc_id}".encode()).hexdigest()[:15], 16)
         return h % scale + 1
 
-    prios = {i: (w * scale) // u(i) for i, w in rows}
+    prios = {i: ((w * 1_000_000) * scale) // u(i) for i, w in rows}
     expected = sorted(
         ((i, p) for i, p in prios.items() if p > 0),
         key=lambda t: (-t[1], t[0]),
