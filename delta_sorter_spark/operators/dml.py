@@ -596,7 +596,6 @@ def _write_roaring_vectors(table: DeltaTable, merged: DataFrame) -> dict[str, di
 
     def write_group(pdf):
         import json as _j
-        import os as _os
         import uuid as _u
 
         import pandas as pd
@@ -613,15 +612,13 @@ def _write_roaring_vectors(table: DeltaTable, merged: DataFrame) -> dict[str, di
         fbytes, spans = encode_dv_file([data])
         u = _u.uuid4()
         name = f"deletion_vector_{u}.bin"
-        if remote:
-            from delta_sorter_spark.sources.fs import apply_aws_env, resolve
+        if aws_env:
+            from delta_sorter_spark.sources.fs import apply_aws_env
 
             apply_aws_env(aws_env)
-            fsobj, base = resolve(table_path)
-            fsobj.write_bytes(fsobj.join(base, name), fbytes)
-        else:
-            with open(_os.path.join(table_path, name), "wb") as fh:
-                fh.write(fbytes)
+        from delta_sorter_spark.sources.delta_table import write_dv_bytes
+
+        write_dv_bytes(table_path, name, fbytes)
         desc = make_dv_descriptor(u.bytes, spans[0][0], spans[0][1], len(positions))
         return pd.DataFrame(
             [{"path": rel, "dv": _j.dumps(desc)}]

@@ -242,6 +242,21 @@ def read_dv_bytes(table_path: str, rel: str) -> bytes:
         return fh.read()
 
 
+def write_dv_bytes(table_path: str, rel: str, data: bytes) -> None:
+    """Write a deletion-vector payload at ``rel`` under the table root —
+    the write-side sibling of :func:`read_dv_bytes` (new vectors always
+    land inside their own table, so only table locality matters).  Safe
+    from executors: resolves fs per call."""
+    from delta_sorter_spark.sources.fs import is_remote_uri, resolve
+
+    if is_remote_uri(table_path):
+        fsobj, base = resolve(table_path)
+        fsobj.write_bytes(fsobj.join(base, rel), data)
+    else:
+        with open(os.path.join(table_path, rel), "wb") as fh:
+            fh.write(data)
+
+
 def _protocol_dv_positions(table_path: str, dv: dict) -> set[int]:
     """Decode a protocol-shaped deletion vector's positions (roaring.py)."""
     from delta_sorter_spark.sources.roaring import positions_from_descriptor
