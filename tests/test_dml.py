@@ -664,3 +664,35 @@ def test_migrate_deletion_vectors_to_standard(spark, tmp_path):
     doomed = t2.vacuum()
     assert [d for d in doomed if "_deletion_vectors" in d]  # old sidecars out
     assert sorted(tuple(r) for r in DeltaTable(spark, path).to_df().collect()) == before
+
+
+def test_dv_delete_loses_race_to_compaction(spark, tmp_path):
+    """A DV delete whose target file was rewritten by a concurrent compact
+    must raise ConcurrentRewriteError (committing would re-Add a tombstoned
+    file and resurrect/duplicate rows) and leave the table consistent."""
+    from delta_sorter_spark.api import compact
+    from delta_sorter_spark.operators.dml import delete_where_dv
+    from delta_sorter_spark.sources.delta_table import ConcurrentRewriteError
+
+    path = str(tmp_path / "dv_race")
+    table = DeltaTable.create(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in (3, 1, 2, 0)], "id long, v string"
+        ).coalesce(1),
+        stat_columns=["id"],
+    )
+    # the deleter plans against the OLD snapshot...
+    stale = DeltaTable(spark, path)
+    stale_state = stale.state()
+    stale.state = lambda version=None: stale_state
+    # ...while a compact rewrites every file underneath it
+    compact(path, ["id"], repartition_by_sort_key=True, spark=spark)
+
+    with pytest.raises(ConcurrentRewriteError):
+        delete_where_dv(stale, "id = 2")
+
+    fresh = DeltaTable(spark, path)
+    assert sorted(r["id"] for r in fresh.to_df().collect()) == [0, 1, 2, 3]
+    assert not any(a.deletion_vector for a in fresh.state().adds)
