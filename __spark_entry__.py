@@ -4412,6 +4412,40 @@ FROM ranked WHERE rn <= {M4_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# A43: per-source boilerplate report — where the repeated-span dedup bites.
+# The curation dashboard number: which ingestion sources ship shared
+# boilerplate, how many docs are affected, how many tokens it costs.
+# ---------------------------------------------------------------------------
+
+
+def q_a43_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_sorter_spark.operators.dedup import repeated_ngram_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    spans = repeated_ngram_spans(docs, "doc_id", "text", n=SPAN_N, min_docs=SPAN_MIN_DOCS)
+    return (
+        spans.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("docs_affected"),
+            F.count("*").cast("bigint").alias("n_spans"),
+            F.sum("span_tokens").cast("bigint").alias("span_tokens"),
+        )
+    )
+
+
+_A43_SQL = f"""
+WITH {_span_cte()}
+SELECT d2.source,
+       CAST(count(DISTINCT s.doc_id) AS BIGINT) AS docs_affected,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(s.span_tokens) AS BIGINT) AS span_tokens
+FROM spans s JOIN documents d2 ON d2.doc_id = s.doc_id
+GROUP BY d2.source
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the validator's V1 per-file min/max over sf0.001."""
     return q_v1_file_minmax(spark, "/root/testdata/sf0.001")
@@ -4602,6 +4636,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e57_remove_spans": q_e57_remove_spans,
         "e58_sorted_neighborhood": q_e58_sorted_neighborhood,
         "m4_embed_topk": q_m4_embed_topk,
+        "a43_span_report": q_a43_span_report,
     }
 
 
@@ -4658,6 +4693,7 @@ def oracle_sql() -> dict[str, str]:
         "e57_remove_spans": _E57_SQL,
         "e58_sorted_neighborhood": _E58_SQL,
         "m4_embed_topk": _M4_SQL,
+        "a43_span_report": _A43_SQL,
         "e16_bpe_tokens": _E16_SQL,
         "s1_event_windows": _S1_SQL,
         "s2_sessionize": _S2_SQL,
