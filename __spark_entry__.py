@@ -4446,6 +4446,40 @@ GROUP BY d2.source
 """
 
 
+# ---------------------------------------------------------------------------
+# A44: snapshot diff — row-level insert/update/delete classification between
+# two relations (corpus-rebuild regression gate).  The Spark side computes
+# the diff generically (full outer join + per-side content digests); the
+# oracle states the ground truth of this query's constructed drift.
+# ---------------------------------------------------------------------------
+
+DIFF_MOD = 400
+
+
+def q_a44_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_sorter_spark.operators.diff import diff_snapshots
+
+    orders = load_table(spark, sf_dir, "orders")
+    old = orders.where(F.col("o_orderkey") % DIFF_MOD != 0)
+    new = orders.where(F.col("o_orderkey") % DIFF_MOD != 1).withColumn(
+        "o_orderpriority",
+        F.when(
+            F.col("o_orderkey") % DIFF_MOD == 2,
+            F.concat(F.col("o_orderpriority"), F.lit("-REVISED")),
+        ).otherwise(F.col("o_orderpriority")),
+    )
+    return diff_snapshots(old, new, ["o_orderkey"])
+
+
+_A44_SQL = f"""
+SELECT o_orderkey, 'insert' AS change FROM orders WHERE o_orderkey % {DIFF_MOD} = 0
+UNION ALL
+SELECT o_orderkey, 'delete' FROM orders WHERE o_orderkey % {DIFF_MOD} = 1
+UNION ALL
+SELECT o_orderkey, 'update' FROM orders WHERE o_orderkey % {DIFF_MOD} = 2
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the validator's V1 per-file min/max over sf0.001."""
     return q_v1_file_minmax(spark, "/root/testdata/sf0.001")
@@ -4637,6 +4671,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e58_sorted_neighborhood": q_e58_sorted_neighborhood,
         "m4_embed_topk": q_m4_embed_topk,
         "a43_span_report": q_a43_span_report,
+        "a44_snapshot_diff": q_a44_snapshot_diff,
     }
 
 
@@ -4694,6 +4729,7 @@ def oracle_sql() -> dict[str, str]:
         "e58_sorted_neighborhood": _E58_SQL,
         "m4_embed_topk": _M4_SQL,
         "a43_span_report": _A43_SQL,
+        "a44_snapshot_diff": _A44_SQL,
         "e16_bpe_tokens": _E16_SQL,
         "s1_event_windows": _S1_SQL,
         "s2_sessionize": _S2_SQL,

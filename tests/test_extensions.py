@@ -816,3 +816,25 @@ def test_weighted_priority_sample_fractional_weights(spark):
     assert len(got) == 30  # nothing dropped to zero priority
     heavy = sum(1 for r in got if r["doc_id"] < 20)
     assert heavy >= 12  # 10% of rows hold 18x the weight -> dominate
+
+
+def test_diff_snapshots_classifies_changes(spark):
+    from delta_sorter_spark.operators.diff import diff_snapshots, diff_summary
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "id long, v string, x long"
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 20), (3, "CHANGED", 30), (4, "d", 40)],
+        "id long, v string, x long",
+    )
+    got = {r["id"]: r["change"] for r in diff_snapshots(old, new, ["id"]).collect()}
+    assert got == {1: "delete", 3: "update", 4: "insert"}  # 2 unchanged, absent
+    counts = {r["change"]: r["n"] for r in diff_summary(old, new, ["id"]).collect()}
+    assert counts == {"delete": 1, "update": 1, "insert": 1}
+    # compare_cols restriction: x-only comparison sees no update on id 3
+    got2 = {
+        r["id"]: r["change"]
+        for r in diff_snapshots(old, new, ["id"], compare_cols=["x"]).collect()
+    }
+    assert got2 == {1: "delete", 4: "insert"}
