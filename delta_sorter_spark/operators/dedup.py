@@ -905,9 +905,11 @@ def repeated_ngram_spans(
     Scale shape: one token explode (positions ride along, no self-join on
     text), one map-side-combined groupBy(gram) for document frequencies,
     one join back on the gram, and an interval-merge window partitioned by
-    document (bounded by per-doc hit counts).  The gram string can be
-    replaced by its hash at corpus scale; the full corpus never pairs with
-    itself."""
+    document (bounded by per-doc hit counts).  The full corpus never pairs
+    with itself.  At cluster scale the gram string can shrink to an
+    xxhash64 key to cut shuffle width; measured at sf0.1 the job is
+    CPU-bound, not shuffle-bound (the portable md5 variant ran ~25% SLOWER
+    than plain strings), so strings stay the default here."""
     toks = df.select(
         F.col(id_col).alias("id"), tokens_expr(text_col).alias("__toks__")
     )
