@@ -838,3 +838,27 @@ def test_diff_snapshots_classifies_changes(spark):
         for r in diff_snapshots(old, new, ["id"], compare_cols=["x"]).collect()
     }
     assert got2 == {1: "delete", 4: "insert"}
+
+
+def test_sorted_neighborhood_window_validation(spark):
+    import pytest as _pytest
+
+    from delta_sorter_spark.operators.dedup import sorted_neighborhood_pairs
+
+    docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="window"):
+        sorted_neighborhood_pairs(docs, "doc_id", "text", window=1)
+
+
+def test_delete_where_dv_rejects_unknown_format(spark, tmp_path):
+    import pytest as _pytest
+
+    from delta_sorter_spark.operators.dml import delete_where_dv
+    from delta_sorter_spark.sources.delta_table import DeltaTable
+
+    t = DeltaTable.create(
+        spark, str(tmp_path / "fmt"),
+        spark.createDataFrame([(1,)], "id long").coalesce(1),
+    )
+    with _pytest.raises(ValueError, match="vector_format"):
+        delete_where_dv(t, "id = 1", vector_format="json")

@@ -247,3 +247,20 @@ def test_bigram_lm_score_reference_docs_score_lower(spark):
     # doc 2: all bigrams unseen -> 3 * backoff(20)
     assert got[2]["total_bits"] == 60
     assert got[1]["avg_bits_ppm"] < got[2]["avg_bits_ppm"]
+
+
+def test_bm25_topk_argument_validation(spark):
+    """postings/docs are mutually exclusive sources; neither -> clear error,
+    both -> clear error (docs would be silently ignored otherwise)."""
+    import pytest as _pytest
+
+    from delta_sorter_spark.operators.retrieval import bm25_postings, bm25_topk
+
+    corpus = spark.createDataFrame([(1, "alpha beta")], "doc_id long, text string")
+    queries = spark.createDataFrame([(9, "alpha")], "query_id long, qtext string")
+    with _pytest.raises(ValueError, match="needs docs"):
+        bm25_topk(None, queries, "doc_id", None, "query_id", "qtext")
+    postings = bm25_postings(corpus, "doc_id", "text")
+    with _pytest.raises(ValueError, match="not both"):
+        bm25_topk(corpus, queries, "doc_id", "text", "query_id", "qtext",
+                  postings=postings)
