@@ -4480,6 +4480,39 @@ SELECT o_orderkey, 'update' FROM orders WHERE o_orderkey % {DIFF_MOD} = 2
 """
 
 
+# ---------------------------------------------------------------------------
+# A45: SCD-2 validity intervals — change log -> dimension history (each row
+# valid until the key's next change; open-ended current version)
+# ---------------------------------------------------------------------------
+
+
+def q_a45_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_sorter_spark.operators.events_analytics import validity_intervals
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    out = validity_intervals(ev, ["user_id"], ["ts", "event_id"])
+    return out.select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", _TS_FMT_SPARK).alias("valid_from"),
+        F.date_format("valid_to_ts", _TS_FMT_SPARK).alias("valid_to"),
+        F.col("is_current").cast("boolean").alias("is_current"),
+    )
+
+
+_A45_SQL = f"""
+SELECT user_id, event_id,
+       strftime(ts, '{_TS_FMT_DUCK}') AS valid_from,
+       strftime(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                '{_TS_FMT_DUCK}') AS valid_to,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         AS is_current
+FROM events
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the validator's V1 per-file min/max over sf0.001."""
     return q_v1_file_minmax(spark, "/root/testdata/sf0.001")
@@ -4672,6 +4705,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m4_embed_topk": q_m4_embed_topk,
         "a43_span_report": q_a43_span_report,
         "a44_snapshot_diff": q_a44_snapshot_diff,
+        "a45_scd2_intervals": q_a45_scd2_intervals,
     }
 
 
@@ -4730,6 +4764,7 @@ def oracle_sql() -> dict[str, str]:
         "m4_embed_topk": _M4_SQL,
         "a43_span_report": _A43_SQL,
         "a44_snapshot_diff": _A44_SQL,
+        "a45_scd2_intervals": _A45_SQL,
         "e16_bpe_tokens": _E16_SQL,
         "s1_event_windows": _S1_SQL,
         "s2_sessionize": _S2_SQL,

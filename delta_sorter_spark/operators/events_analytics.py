@@ -102,3 +102,28 @@ def retention_cohorts(
             "n_users",
         )
     )
+
+
+def validity_intervals(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_cols: Sequence[str],
+) -> DataFrame:
+    """SCD-2 interval build: turn a change log into validity ranges — each
+    row becomes valid at its own ordering tuple and expires at the key's
+    NEXT row (open-ended NULL for the current version, ``is_current``
+    flagging it).  The standard dimension-history materialization from CDC
+    events.
+
+    One window partitioned by the business key (millions of small
+    partitions at scale — no skew, no global exchange).  ``order_cols``
+    must totally order rows within a key (add a unique id as tiebreak).
+    Appends: valid_to_<first order col>, is_current."""
+    from pyspark.sql import Window
+
+    order_cols = list(order_cols)
+    w = Window.partitionBy(*keys).orderBy(*order_cols)
+    lead_col = F.lead(F.col(order_cols[0])).over(w)
+    return df.withColumn(f"valid_to_{order_cols[0]}", lead_col).withColumn(
+        "is_current", lead_col.isNull()
+    )

@@ -862,3 +862,23 @@ def test_delete_where_dv_rejects_unknown_format(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="vector_format"):
         delete_where_dv(t, "id = 1", vector_format="json")
+
+
+def test_validity_intervals_scd2(spark):
+    from delta_sorter_spark.operators.events_analytics import validity_intervals
+
+    rows = [
+        (1, 10, "a"), (1, 20, "b"), (1, 30, "c"),
+        (2, 15, "x"),
+    ]
+    df = spark.createDataFrame(rows, "k long, t long, v string")
+    out = {
+        (r["k"], r["t"]): (r["valid_to_t"], r["is_current"])
+        for r in validity_intervals(df, ["k"], ["t"]).collect()
+    }
+    assert out == {
+        (1, 10): (20, False),
+        (1, 20): (30, False),
+        (1, 30): (None, True),
+        (2, 15): (None, True),
+    }
