@@ -3271,7 +3271,7 @@ def q_e42_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles = docs.select(
         "doc_id", F.explode(shingles_expr("text")).alias("shingle")
     ).persist()
-    return minhash_estimate_vs_exact(
+    out = minhash_estimate_vs_exact(
         docs,
         "doc_id",
         "text",
@@ -3280,6 +3280,14 @@ def q_e42_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         sigs=sigs,
         shingles=shingles,
     )
+    # Materialize the (O(candidate-pairs)-sized) audit eagerly so the cached
+    # inputs can be released NOW — otherwise the persisted sigs/shingles
+    # blocks outlive this query for the rest of the session (e.g. across a
+    # 120-query driver sweep).
+    out = out.localCheckpoint(eager=True)
+    sigs.unpersist()
+    shingles.unpersist()
+    return out
 
 
 def _match_count_sql() -> str:

@@ -348,23 +348,33 @@ def delete_where_dv(
         rel_col = F.regexp_replace(
             abs_col, "^" + _re.escape(table.table_path.rstrip("/")) + "/", ""
         )
-    hits = scan.where(F.coalesce(F.expr(predicate), F.lit(False))).select(
-        rel_col.alias("path"), F.col("__pos__").alias("pos")
+    # Cache the positional scan: it feeds the touched-path set, the prior-DV
+    # restriction, AND the merged vector write — without the persist the full
+    # predicate scan would re-execute once per consumer.
+    hits = (
+        scan.where(F.coalesce(F.expr(predicate), F.lit(False)))
+        .select(rel_col.alias("path"), F.col("__pos__").alias("pos"))
+        .persist()
     )
+    # O(#files-touched) driver-side: materializes the scan ONCE into the
+    # cache and gives the path set both downstream filters reuse.
+    touched = sorted(r["path"] for r in hits.select("path").distinct().collect())
+    if not touched:
+        hits.unpersist()
+        return {"dv_files": 0, "deleted_rows": 0, "version": state.version}
+    restrict_df = table.spark.createDataFrame([(p,) for p in touched], "path string")
 
     # Prior positions of currently-DV'd files, restricted to files this
     # delete touches (their Add is re-pointed, so the new sidecar must carry
     # the union).  Parquet sidecars stream executor-side; legacy JSON
     # sidecars (small by construction) load driver-side.
-    prev_parts = _dv_positions_parts(
-        table, state.adds, restrict=hits.select("path")
-    )
+    prev_parts = _dv_positions_parts(table, state.adds, restrict=restrict_df)
     merged = hits
     if prev_parts:
         prev = prev_parts[0]
         for p in prev_parts[1:]:
             prev = prev.unionByName(p)
-        prev = prev.join(hits.select("path").distinct(), "path", "left_semi")
+        prev = prev.where(F.col("path").isin(touched))
         merged = hits.unionByName(prev)
     merged = merged.distinct()
 
@@ -372,6 +382,7 @@ def delete_where_dv(
     if vector_format == "roaring":
         dv_by_path = _write_roaring_vectors(table, merged)
         if not dv_by_path:
+            hits.unpersist()
             return {"dv_files": 0, "deleted_rows": 0, "version": state.version}
         counts = {rel: dv["cardinality"] for rel, dv in dv_by_path.items()}
         extra_actions = _dv_protocol_upgrade(state)
@@ -393,11 +404,13 @@ def delete_where_dv(
             # no-match delete: drop the just-written empty sidecar dataset so
             # repeated no-op deletes don't accumulate orphan directories
             table.delete_dataset(sidecar_rel)
+            hits.unpersist()
             return {"dv_files": 0, "deleted_rows": 0, "version": state.version}
         dv_by_path = {
             rel: {"storagePath": sidecar_rel, "cardinality": n}
             for rel, n in counts.items()
         }
+    hits.unpersist()  # vectors written; the cached scan has served every consumer
 
     adds_by_path = {a.path: a for a in state.adds}
     new_adds, removes = [], []
@@ -414,7 +427,7 @@ def delete_where_dv(
                 partition_values=old.partition_values,
                 modification_time=old.modification_time,
                 data_change=True,
-                stats=old.stats,  # conservative: pre-delete min/max still bound the data
+                stats=_loose_stats(old.stats),
                 deletion_vector=dv_by_path[rel],
             )
         )
@@ -426,6 +439,19 @@ def delete_where_dv(
         "deleted_rows": deleted_rows,
         "version": version,
     }
+
+
+def _loose_stats(stats: dict | None) -> dict | None:
+    """Stats to carry on a re-Add that attaches a deletion vector WITHOUT
+    recomputing them.  Per the Delta protocol (Per-file Statistics /
+    Deletion Vectors), a writer keeping a file's pre-delete stats must mark
+    them ``"tightBounds": false`` — min/max remain valid BOUNDS over the
+    surviving rows but are no longer tight, and ``numRecords`` stays the
+    PHYSICAL row count of the parquet file.  Without the flag a stock
+    reader's stats-only MIN/MAX answer could surface a deleted row's value."""
+    if stats is None:
+        return None
+    return {**stats, "tightBounds": False}
 
 
 def _dv_positions_parts(
@@ -525,7 +551,7 @@ def migrate_deletion_vectors(table: DeltaTable) -> dict:
                 partition_values=old.partition_values,
                 modification_time=old.modification_time,
                 data_change=False,  # same logical rows, new vector encoding
-                stats=old.stats,
+                stats=_loose_stats(old.stats),
                 deletion_vector=dv,
             )
         )

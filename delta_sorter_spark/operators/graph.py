@@ -161,17 +161,27 @@ def dedup_keep_best(
 
     Components come from :func:`connected_components` (min-label +
     pointer-jumping, O(log diameter) rounds); the per-cluster argmax is a
-    ``max_by`` aggregation keyed on (score, -id), so the shuffle carries
-    map-side-combined partials — one row per cluster, never a row_number
-    window over raw rows.  Output: the surviving rows of ``df``."""
+    two-stage aggregation — per-component ``max(score)``, then ``min(id)``
+    restricted to max-score rows — so the tie-break is TYPE-AGNOSTIC (string
+    / UUID ids work; a ``-id`` negation trick would silently cast non-numeric
+    ids to null and break ties nondeterministically).  Both aggregations and
+    the join key the same ``component`` column, so Catalyst reuses one
+    exchange of the scored corpus; each stage carries map-side-combined
+    partials — never a row_number window over raw rows.  Components whose
+    scores are all NULL still keep their smallest id (null-safe equality).
+    Output: the surviving rows of ``df``."""
     comps = connected_components(
         df.select(F.col(id_col)), pairs, node_col=id_col, edge_a=edge_a, edge_b=edge_b
     )
     scored = df.select(
         F.col(id_col).alias("id"), F.col(score_col).alias("__score__")
     ).join(comps, "id")
-    best = scored.groupBy("component").agg(
-        F.expr("max_by(id, struct(__score__, -id))").alias("keep_id")
+    mx = scored.groupBy("component").agg(F.max("__score__").alias("__mx__"))
+    best = (
+        scored.join(mx, "component")
+        .where(F.col("__score__").eqNullSafe(F.col("__mx__")))
+        .groupBy("component")
+        .agg(F.min("id").alias("keep_id"))
     )
     return df.join(
         best.select(F.col("keep_id").alias(id_col)), id_col, "left_semi"

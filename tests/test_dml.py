@@ -494,6 +494,52 @@ def test_roaring_dv_standard_layout(spark, tmp_path):
     ]
 
 
+def test_dv_readd_stats_loose_bounds(spark, tmp_path):
+    """A re-Add that attaches a deletion vector WITHOUT recomputing stats
+    must mark them ``tightBounds: false`` (Delta protocol) while keeping
+    numRecords as the PHYSICAL row count — otherwise a stock reader's
+    stats-only MIN/MAX could answer with a deleted row's value.  Both the
+    delete path and the legacy→standard migration path carry the flag."""
+    from delta_sorter_spark.operators.dml import (
+        delete_where_dv,
+        migrate_deletion_vectors,
+    )
+
+    path = str(tmp_path / "dv_loose")
+    table = DeltaTable.create(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(10)], "id long, v string"
+        ).coalesce(1),
+        stat_columns=["id"],
+    )
+    before = table.state().adds[0].stats
+    assert before.get("tightBounds") is None  # fresh write: tight by default
+
+    delete_where_dv(table, "id >= 8")  # max id is now 7, stats still say 9
+    (add,) = DeltaTable(spark, path).state().adds
+    assert add.stats["tightBounds"] is False
+    assert add.stats["numRecords"] == 10  # physical count, per protocol
+    assert add.stats["maxValues"]["id"] == before["maxValues"]["id"]
+
+    # legacy parquet sidecar -> standard migration also flags the stats
+    path2 = str(tmp_path / "dv_loose_legacy")
+    t2 = DeltaTable.create(
+        spark,
+        path2,
+        spark.createDataFrame([(i,) for i in range(6)], "id long").coalesce(1),
+        stat_columns=["id"],
+    )
+    delete_where_dv(t2, "id = 5", vector_format="parquet")
+    migrate_deletion_vectors(DeltaTable(spark, path2))
+    (add2,) = DeltaTable(spark, path2).state().adds
+    assert add2.stats["tightBounds"] is False
+    assert sorted(
+        r["id"] for r in DeltaTable(spark, path2).to_df().collect()
+    ) == [0, 1, 2, 3, 4]
+
+
 def test_roaring_dv_checkpoint_roundtrip(spark, tmp_path):
     """Protocol DV descriptors survive a parquet checkpoint verbatim
     (storageType/pathOrInlineDv/offset/sizeInBytes/cardinality), and a

@@ -722,6 +722,28 @@ def test_dedup_keep_best_prefers_high_score(spark):
     assert kept == [2, 4, 10]
 
 
+def test_dedup_keep_best_string_ids(spark):
+    """Tie-break is type-agnostic: string/UUID doc ids break score ties to
+    the lexicographically smallest id (a ``-id`` negation trick would cast
+    them to null and pick nondeterministically); all-NULL-score clusters
+    still keep their smallest id."""
+    from delta_sorter_spark.operators.graph import dedup_keep_best
+
+    docs = spark.createDataFrame(
+        [("a", 5.0), ("b", 9.0), ("c", 9.0), ("d", None), ("e", None)],
+        "doc_id string, score double",
+    )
+    # cluster {a,b,c}: tie at 9.0 -> "b"; cluster {d,e}: all-null -> "d"
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("d", "e")], "id_a string, id_b string"
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup_keep_best(docs, pairs, "doc_id", "score").collect()
+    )
+    assert kept == ["b", "d"]
+
+
 def test_repeated_ngram_spans_and_removal(spark):
     """Two docs share an 8-token boilerplate run; span detection finds the
     merged interval in each, and removal strips exactly those tokens."""
