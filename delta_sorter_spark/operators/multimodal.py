@@ -48,9 +48,11 @@ def attach_asset_metadata(df: DataFrame, payload_col: str, media_type: str) -> D
 def _decode_stub(payload: bytes) -> tuple[int, int]:
     """STUB decode: deterministic fake (width, height) derived from an md5 of
     the payload (md5 so the DuckDB oracle can reproduce the fake exactly).
-    Replace with a real decoder (PIL.Image.open etc.) in a deployment — the
-    container has no media libraries (environment constraint), and the Spark
-    plumbing around this call is the product."""
+    The default for the ``decoder=`` hook on :func:`decode_assets` /
+    :func:`resize_assets` — a deployment passes a real decoder (e.g.
+    ``lambda raw: PIL.Image.open(io.BytesIO(raw)).size``) without touching
+    the operators; this container has no media libraries (environment
+    constraint), and the Spark plumbing around the call is the product."""
     digest = hashlib.md5(payload).digest()
     return 16 + digest[0] % 64, 16 + digest[1] % 64
 
@@ -58,9 +60,21 @@ def _decode_stub(payload: bytes) -> tuple[int, int]:
 DECODED_SCHEMA = "id long, media_type string, n_bytes long, width int, height int"
 
 
-def decode_assets(df: DataFrame, id_col: str, payload_col: str, media_type_col: str) -> DataFrame:
+def decode_assets(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    media_type_col: str,
+    decoder=None,
+) -> DataFrame:
     """Decode binary payloads into per-asset features via Arrow-batched
-    mapInPandas: (id, media_type, n_bytes, width, height)."""
+    mapInPandas: (id, media_type, n_bytes, width, height).
+
+    ``decoder``: ``bytes -> (width, height)``, default :func:`_decode_stub`.
+    The callable is pickled into the executor-side closure, so it must be
+    importable/serializable (a top-level function or a small lambda over
+    imported libs — the usual Spark UDF rule)."""
+    decoder = decoder or _decode_stub
 
     def decode(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -69,7 +83,7 @@ def decode_assets(df: DataFrame, id_col: str, payload_col: str, media_type_col: 
             widths, heights, sizes = [], [], []
             for payload in pdf["__payload__"]:
                 raw = bytes(payload)
-                w, h = _decode_stub(raw)
+                w, h = decoder(raw)
                 widths.append(w)
                 heights.append(h)
                 sizes.append(len(raw))
@@ -98,12 +112,14 @@ RESIZED_SCHEMA = (
 
 
 def resize_assets(
-    df: DataFrame, id_col: str, payload_col: str, max_dim: int = 32
+    df: DataFrame, id_col: str, payload_col: str, max_dim: int = 32, decoder=None
 ) -> DataFrame:
-    """Resize plumbing: decode (stub) -> aspect-preserving downscale to fit
+    """Resize plumbing: decode -> aspect-preserving downscale to fit
     ``max_dim`` -> re-encoded byte size (fake: w*h*3).  Same Arrow-batched
     ``mapInPandas`` shape a real PIL/ffmpeg resize would use; only the pixel
-    work is stubbed (environment has no media libs)."""
+    work is stubbed (environment has no media libs).  ``decoder`` as in
+    :func:`decode_assets`."""
+    decoder = decoder or _decode_stub
 
     def resize(batches):
         import pandas as pd
@@ -111,7 +127,7 @@ def resize_assets(
         for pdf in batches:
             out = {k: [] for k in ("id", "width", "height", "resized_width", "resized_height", "resized_bytes")}
             for i, payload in zip(pdf["__id__"], pdf["__payload__"]):
-                w, h = _decode_stub(bytes(payload))
+                w, h = decoder(bytes(payload))
                 scale = min(1.0, max_dim / max(w, h))
                 rw, rh = max(1, int(w * scale)), max(1, int(h * scale))
                 out["id"].append(i)
@@ -143,15 +159,27 @@ EMBED_DIM = 8
 EMBED_SCHEMA = "id long, embedding array<double>"
 
 
-def embed_assets(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
-    """STUB embedding step: (id, embedding array<double>) — a deterministic
-    pseudo-embedding derived from the md5 digest of the payload (8 signed
-    16-bit components), so the DuckDB oracle reproduces every vector and
-    the output feeds the similarity/ANN/semantic-dedup operators unchanged.
-    In a deployment the body is a CLIP/audio-encoder batch call; the
-    Arrow-batched ``mapInPandas`` boundary, the narrow input projection and
-    the (id, array<double>) output contract are exactly what that call
-    needs — swap the digest for the model, nothing else moves."""
+def _embed_stub(payload: bytes) -> list[float]:
+    """Default for the ``embedder=`` hook: deterministic pseudo-embedding
+    from the payload's md5 digest (8 signed 16-bit components), exactly
+    reproducible by the DuckDB oracle."""
+    d = hashlib.md5(payload).digest()
+    return [
+        float(((d[2 * j] << 8) | d[2 * j + 1]) - 32768) for j in range(EMBED_DIM)
+    ]
+
+
+def embed_assets(
+    df: DataFrame, id_col: str, payload_col: str, embedder=None
+) -> DataFrame:
+    """Embedding step: (id, embedding array<double>) — ``embedder``
+    (``bytes -> list[float]``, default :func:`_embed_stub`) runs inside an
+    Arrow-batched ``mapInPandas``, so the output feeds the
+    similarity/ANN/semantic-dedup operators unchanged.  In a deployment the
+    embedder wraps a CLIP/audio-encoder call; the batched boundary, the
+    narrow input projection and the (id, array<double>) output contract are
+    exactly what that call needs — swap the callable, nothing else moves."""
+    embedder = embedder or _embed_stub
 
     def embed(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -159,13 +187,7 @@ def embed_assets(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
         for pdf in batches:
             ids, vecs = [], []
             for i, payload in zip(pdf["__id__"], pdf["__payload__"]):
-                d = hashlib.md5(bytes(payload)).digest()
-                vecs.append(
-                    [
-                        float(((d[2 * j] << 8) | d[2 * j + 1]) - 32768)
-                        for j in range(EMBED_DIM)
-                    ]
-                )
+                vecs.append(embedder(bytes(payload)))
                 ids.append(i)
             yield pd.DataFrame({"id": ids, "embedding": vecs})
 

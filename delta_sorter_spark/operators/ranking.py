@@ -39,11 +39,15 @@ def global_rank(
     nulls_first: bool = True,
     num_partitions: int | None = None,
     directions: Sequence[bool] | None = None,
+    partition_col: str | None = None,
 ) -> DataFrame:
     """Add a 1-based global rank column ordered by ``keys`` (per-column
     direction via ``directions``, True=asc, default all-ascending;
     configurable null placement), computed without a global single-partition
-    shuffle."""
+    shuffle.  ``partition_col`` optionally keeps the range-partition id
+    under that name — consumers that window WITHIN the rank's partitions
+    (e.g. sorted-neighborhood leads) key on it instead of re-shuffling on
+    the rank itself."""
     spark = df.sparkSession
     n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     order = sort_order_columns(keys, nulls_first, directions)
@@ -69,9 +73,12 @@ def global_rank(
         F.coalesce(F.sum("__cnt__").over(w_off), F.lit(0)).alias("__offset__"),
     )
     w = Window.partitionBy("__pid__").orderBy(*order)
-    ranked = (
-        parted.join(F.broadcast(offsets), "__pid__")
-        .withColumn(rank_col, (F.row_number().over(w) + F.col("__offset__")).cast("long"))
-        .drop("__pid__", "__offset__")
+    ranked = parted.join(F.broadcast(offsets), "__pid__").withColumn(
+        rank_col, (F.row_number().over(w) + F.col("__offset__")).cast("long")
     )
+    if partition_col is None:
+        return ranked.drop("__pid__", "__offset__")
+    ranked = ranked.drop("__offset__")
+    if partition_col != "__pid__":
+        ranked = ranked.withColumnRenamed("__pid__", partition_col)
     return ranked

@@ -220,6 +220,39 @@ def test_multimodal_plumbing(spark):
     assert frames.count() > 0
 
 
+# stand-ins for a real PIL/ffmpeg call; lambdas so cloudpickle ships them
+# by value (a test-module def isn't importable on Spark workers)
+_len_decoder = lambda raw: (len(raw), 2 * len(raw))  # noqa: E731
+_len_embedder = lambda raw: [float(len(raw))] * 8  # noqa: E731
+
+
+def test_multimodal_pluggable_codec(spark):
+    """A deployment swaps the stub for a real decoder/embedder via the
+    ``decoder=`` / ``embedder=`` hooks — no operator fork; the default stays
+    the deterministic stub (the oracle path)."""
+    from delta_sorter_spark.operators.multimodal import embed_assets, resize_assets
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"abc")), (2, bytearray(b"abcdefgh"))],
+        "id long, payload binary",
+    ).withColumn("mt", F.lit("image/fake"))
+
+    dec = {r["id"]: r for r in decode_assets(df, "id", "payload", "mt", decoder=_len_decoder).collect()}
+    assert (dec[1]["width"], dec[1]["height"]) == (3, 6)
+    assert (dec[2]["width"], dec[2]["height"]) == (8, 16)
+
+    rz = {r["id"]: r for r in resize_assets(df, "id", "payload", max_dim=4, decoder=_len_decoder).collect()}
+    assert (rz[2]["width"], rz[2]["height"]) == (8, 16)
+    assert rz[2]["resized_height"] == 4  # aspect-preserving fit to max_dim
+
+    emb = {r["id"]: r["embedding"] for r in embed_assets(df, "id", "payload", embedder=_len_embedder).collect()}
+    assert emb[1] == [3.0] * 8 and emb[2] == [8.0] * 8
+
+    # default (no hook) is still the md5 stub — the oracle-checked path
+    stub = {r["id"]: r for r in decode_assets(df, "id", "payload", "mt").collect()}
+    assert 16 <= stub[1]["width"] < 80
+
+
 def test_cosine_neardup_pairs_exact_and_blocked(spark):
     from delta_sorter_spark.operators.similarity import (
         cosine_neardup_pairs,
@@ -904,3 +937,47 @@ def test_validity_intervals_scd2(spark):
         (1, 30): (None, True),
         (2, 15): (None, True),
     }
+
+
+def test_validity_intervals_full_tuple(spark):
+    """Multi-column change logs round-trip: EVERY order column gets a
+    valid_to_<c>, and is_current is row-existence based."""
+    from delta_sorter_spark.operators.events_analytics import validity_intervals
+
+    rows = [(1, 10, 1, "a"), (1, 10, 2, "b"), (1, 20, 1, "c")]
+    df = spark.createDataFrame(rows, "k long, t long, seq long, v string")
+    out = {
+        (r["t"], r["seq"]): (r["valid_to_t"], r["valid_to_seq"], r["is_current"])
+        for r in validity_intervals(df, ["k"], ["t", "seq"]).collect()
+    }
+    assert out == {
+        (10, 1): (10, 2, False),
+        (10, 2): (20, 1, False),
+        (20, 1): (None, None, True),
+    }
+
+
+def test_scd2_compress_collapses_noop_versions(spark):
+    """Consecutive identical attribute rows collapse to one interval; a
+    value that REVERTS later starts a fresh interval (runs, not groups);
+    NULL attributes compare equal within a run."""
+    from delta_sorter_spark.operators.events_analytics import scd2_compress
+
+    rows = [
+        # key 1: a,a,b,b,b,a  -> three runs (a revert reopens "a")
+        (1, 10, "a"), (1, 20, "a"), (1, 30, "b"), (1, 40, "b"), (1, 50, "b"),
+        (1, 60, "a"),
+        # key 2: NULL,NULL -> one run
+        (2, 15, None), (2, 25, None),
+    ]
+    df = spark.createDataFrame(rows, "k long, t long, status string")
+    out = sorted(
+        (r["k"], r["status"], r["valid_from_t"], r["valid_to_t"], r["n_rows"], r["is_current"])
+        for r in scd2_compress(df, ["k"], ["status"], ["t"]).collect()
+    )
+    assert out == [
+        (1, "a", 10, 30, 2, False),
+        (1, "a", 60, None, 1, True),
+        (1, "b", 30, 60, 3, False),
+        (2, None, 15, None, 2, True),
+    ]
