@@ -4588,14 +4588,19 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Queries whose IMPLEMENTATION changed this round: they must re-enter the
 # driver-check budget even if their latest driver row is fresh and green.
-# Round 4: e42 (served from persisted signatures), e13/e47 (pointer-jumping
-# connected components), e15/e33 (zero-shuffle centroid assignment).
+# Round 5: e58 (single-exchange lead-window rewrite), a45 (full-tuple
+# valid_to + row-existence is_current), e55 (type-agnostic tie-break),
+# e42 (eager materialize + unpersist), e56/e57 (hits-join refactor behind
+# the salt_factor hook), m2/m4 (pluggable decoder/embedder hooks).
 _RECHECK_THIS_ROUND = [
+    "e58_sorted_neighborhood",
+    "a45_scd2_intervals",
+    "e55_dedup_keep_best",
     "e42_minhash_accuracy",
-    "e13_dup_clusters",
-    "e47_leakage_safe_split",
-    "e15_ivf_ann",
-    "e33_semantic_dedup",
+    "e56_repeated_spans",
+    "e57_remove_spans",
+    "m2_decoded_assets",
+    "m4_embed_topk",
 ]
 
 

@@ -49,6 +49,17 @@ ENTRY_QUERIES = [
     "e45_bm25_topk",
     "a42_resample_ffill",
     "e56_repeated_spans",
+    # round-4/5 operators priced per VERDICT r4 #5: containment dedup,
+    # grouped HLL, quality-aware cluster dedup, snapshot diff, and the
+    # SCD-2 pair (interval build + compaction — the per-rebuild production
+    # cost of a dimension-history refresh)
+    "e52_containment_pairs",
+    "e54_hll_distinct",
+    "e55_dedup_keep_best",
+    "a44_snapshot_diff",
+    "a45_scd2_intervals",
+    "a46_scd2_compress",
+    "e58_sorted_neighborhood",
 ]
 
 

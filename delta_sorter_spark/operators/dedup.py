@@ -890,6 +890,7 @@ def repeated_ngram_spans(
     text_col: str,
     n: int = 8,
     min_docs: int = 2,
+    salt_factor: int | None = None,
 ) -> DataFrame:
     """Substring-level dedup, phase 1 (the Lee et al. 2022 'Deduplicating
     Training Data Makes Language Models Better' operation, re-expressed
@@ -909,7 +910,17 @@ def repeated_ngram_spans(
     with itself.  At cluster scale the gram string can shrink to an
     xxhash64 key to cut shuffle width; measured at sf0.1 the job is
     CPU-bound, not shuffle-bound (the portable md5 variant ran ~25% SLOWER
-    than plain strings), so strings stay the default here."""
+    than plain strings), so strings stay the default here.
+
+    Skew: a boilerplate gram appearing in ~every document is NOT a hot key
+    for the document-frequency aggregate — Spark plans countDistinct as
+    partial-dedup on (gram, id) / exchange / per-partition partial counts,
+    so the hot gram's reducer receives O(#partitions) rows, not O(#docs).
+    The hits JOIN on the gram IS skewed (every occurrence of the hot gram
+    hashes to one partition); by default AQE's runtime skew-join splitting
+    handles it (tests/test_graph_skew.py measures a 50 %-duplicated
+    corpus), and ``salt_factor`` forces the deterministic salted-join plan
+    (operators/skew.py) for deployments running without AQE."""
     toks = df.select(
         F.col(id_col).alias("id"), tokens_expr(text_col).alias("__toks__")
     )
@@ -926,9 +937,13 @@ def repeated_ngram_spans(
         .where(F.col("__nd__") >= min_docs)
         .select("gram")
     )
-    hits = grams.join(repeated, "gram").select(
-        "id", "pos", (F.col("pos") + n).alias("__end__")
-    )
+    if salt_factor:
+        from delta_sorter_spark.operators.skew import salted_join
+
+        joined = salted_join(grams, repeated, ["gram"], salt_factor=salt_factor)
+    else:
+        joined = grams.join(repeated, "gram")
+    hits = joined.select("id", "pos", (F.col("pos") + n).alias("__end__"))
     from pyspark.sql import Window
 
     w = Window.partitionBy("id").orderBy("pos")

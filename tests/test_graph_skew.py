@@ -76,3 +76,50 @@ def test_leakage_safe_split_keeps_clusters_together(spark):
     # deterministic across invocations
     again = leakage_safe_split(nodes, edges, node_col="id").collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_repeated_spans_skewed_boilerplate_corpus(spark):
+    """Degenerate substring-dedup input: one boilerplate paragraph appears
+    in HALF the corpus, so its grams are single hot join keys.  Both the
+    default plan (AQE runtime skew split) and the forced salted-join plan
+    must finish within a sane bound and produce IDENTICAL, exact spans."""
+    import time
+
+    from delta_sorter_spark.operators.dedup import repeated_ngram_spans
+
+    n_docs, n = 2000, 4
+    boiler = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    rows = []
+    for i in range(n_docs):
+        # unique filler so non-boilerplate grams never repeat across docs
+        filler = " ".join(f"u{i}w{j}" for j in range(10))
+        if i % 2 == 0:
+            rows.append((i, f"{filler} {boiler}"))
+        else:
+            rows.append((i, filler))
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(8)
+
+    t0 = time.monotonic()
+    default = sorted(
+        tuple(r)
+        for r in repeated_ngram_spans(df, "doc_id", "text", n=n).collect()
+    )
+    elapsed_default = time.monotonic() - t0
+    t0 = time.monotonic()
+    salted = sorted(
+        tuple(r)
+        for r in repeated_ngram_spans(
+            df, "doc_id", "text", n=n, salt_factor=8
+        ).collect()
+    )
+    elapsed_salted = time.monotonic() - t0
+
+    assert salted == default
+    # exact spans: every even doc's boilerplate (tokens 10..18) and nothing else
+    assert len(default) == n_docs // 2
+    assert all(t == (d, 10, 18, 8) for t in default for d in [t[0]]) and all(
+        t[0] % 2 == 0 for t in default
+    )
+    # generous wall bound — catches quadratic/single-reducer collapse, not noise
+    assert elapsed_default < 120, f"default path took {elapsed_default:.1f}s"
+    assert elapsed_salted < 120, f"salted path took {elapsed_salted:.1f}s"
