@@ -4360,6 +4360,171 @@ FROM ranked a JOIN ranked b ON b.rn - a.rn BETWEEN 1 AND {SN_WINDOW - 1}
 
 
 # ---------------------------------------------------------------------------
+# E59: typo-tolerant record linkage — sorted-neighborhood candidates verified
+# by Levenshtein edit distance (merge/purge with its verification stage;
+# catches one-character edits that rewrite every covering shingle)
+# ---------------------------------------------------------------------------
+
+E59_VALUE_SPARK = "substring(lower(trim(text)), 1, 24)"
+E59_VALUE_DUCK = "substr(lower(trim(text)), 1, 24)"
+E59_MAX_DIST = 10
+
+
+def q_e59_fuzzy_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_sorter_spark.operators.dedup import fuzzy_neighborhood_linkage
+
+    docs = load_table(spark, sf_dir, "documents")
+    return fuzzy_neighborhood_linkage(
+        docs,
+        "doc_id",
+        SN_KEY_SPARK,
+        E59_VALUE_SPARK,
+        window=SN_WINDOW,
+        max_dist=E59_MAX_DIST,
+    )
+
+
+_E59_SQL = f"""
+WITH ranked AS (
+  SELECT doc_id, {E59_VALUE_DUCK} AS val,
+         row_number() OVER (ORDER BY {SN_KEY_DUCK}, doc_id) AS rn
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(levenshtein(a.val, b.val) AS BIGINT) AS edit_dist
+FROM ranked a JOIN ranked b ON b.rn - a.rn BETWEEN 1 AND {SN_WINDOW - 1}
+WHERE levenshtein(a.val, b.val) <= {E59_MAX_DIST}
+"""
+
+
+# ---------------------------------------------------------------------------
+# E60: product-quantization ANN (Jégou et al. 2011) — per-subspace codebooks
+# via the deterministic integer-quantized k-means, ADC lookup-table search.
+# The ANN MEMORY scale path: dim floats/vector -> m small ints.
+# ---------------------------------------------------------------------------
+
+PQ_M = 4  # subspaces of EMB_DIM/PQ_M dims each
+PQ_CODES = 8
+_PQ_DSUB = EMB_DIM // PQ_M
+
+
+def q_e60_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_sorter_spark.operators.ivf import pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % QUERY_VEC_MOD == 0)
+    out = pq_topk(
+        emb,
+        queries,
+        "vec_id",
+        "embedding",
+        "vec_id",
+        "embedding",
+        dim=EMB_DIM,
+        k=TOPK,
+        m=PQ_M,
+        n_codes=PQ_CODES,
+        n_iters=2,
+    )
+    return out.select(
+        "query_id",
+        "id",
+        "rank",
+        F.round("approx_d", 6).alias("approx_d"),
+        F.round("cosine", 6).alias("cosine"),
+    )
+
+
+def _duck_pq_iter(sub: str, prev: str, name: str, dsub: int) -> str:
+    """One Lloyd iteration over subspace CTE ``sub``: assign to ``prev``,
+    re-center with the same integer quantization as the Spark side."""
+    return f"""
+{name}_a AS (
+  SELECT vec_id, v, centroid FROM (
+    SELECT c.vec_id, c.v, s.centroid,
+           row_number() OVER (PARTITION BY c.vec_id
+                              ORDER BY {_duck_sq_l2('c.v', 's.cvec')}, s.centroid) AS rn
+    FROM {sub} c CROSS JOIN {prev} s) WHERE rn = 1
+),
+{name}_m AS (
+  SELECT centroid, pos,
+         CAST(sum(CAST(floor(v[pos] * {_IVF_QSCALE}) AS BIGINT)) AS DOUBLE)
+         / CAST(count(*) * {_IVF_QSCALE} AS DOUBLE) AS m
+  FROM {name}_a CROSS JOIN (SELECT unnest(generate_series(1, {dsub})) AS pos)
+  GROUP BY centroid, pos
+),
+{name} AS (
+  SELECT s.centroid, coalesce(n.cvec, s.cvec) AS cvec
+  FROM {prev} s LEFT JOIN (SELECT centroid, list(m ORDER BY pos) AS cvec
+                           FROM {name}_m GROUP BY centroid) n USING (centroid)
+)"""
+
+
+def _duck_pq_subspace(j: int) -> str:
+    """Full per-subspace pipeline: slice -> seed -> 2 Lloyd iterations ->
+    corpus codes + query distance tables."""
+    lo, hi = j * _PQ_DSUB + 1, (j + 1) * _PQ_DSUB
+    return f"""
+sub{j} AS (
+  SELECT vec_id, v[{lo}:{hi}] AS v FROM corpus
+),
+seed{j} AS (
+  SELECT CAST(rn - 1 AS INT) AS centroid, v AS cvec FROM (
+    SELECT v, row_number() OVER (ORDER BY h, vec_id) AS rn FROM (
+      SELECT vec_id, v,
+             {duckdb_md5_long_sql('CAST(vec_id AS VARCHAR)')} % {MERSENNE_P} AS h
+      FROM sub{j}))
+  WHERE rn <= {PQ_CODES}
+),{_duck_pq_iter(f'sub{j}', f'seed{j}', f'cb{j}_1', _PQ_DSUB)},{_duck_pq_iter(f'sub{j}', f'cb{j}_1', f'cb{j}', _PQ_DSUB)},
+code{j} AS (
+  SELECT vec_id, centroid AS code FROM (
+    SELECT c.vec_id, s.centroid,
+           row_number() OVER (PARTITION BY c.vec_id
+                              ORDER BY {_duck_sq_l2('c.v', 's.cvec')}, s.centroid) AS rn
+    FROM sub{j} c CROSS JOIN cb{j} s) WHERE rn = 1
+),
+qt{j} AS (
+  SELECT q.vec_id AS query_id, s.centroid AS code,
+         {_duck_sq_l2('q.v', 's.cvec')} AS d
+  FROM sub{j} q CROSS JOIN cb{j} s
+  WHERE q.vec_id % {QUERY_VEC_MOD} = 0
+)"""
+
+
+_E60_SQL = f"""
+WITH corpus0 AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+corpus AS (
+  SELECT vec_id, list_transform(v, x -> x / sqrt({_SSQ.format(a='v')})) AS v
+  FROM corpus0
+),{','.join(_duck_pq_subspace(j) for j in range(PQ_M))},
+scored AS (
+  SELECT c0.vec_id AS id, q0.query_id,
+         {' + '.join(f'q{j}.d' for j in range(PQ_M))} AS approx_d
+  FROM code0 c0
+  {' '.join(f'JOIN code{j} c{j} ON c{j}.vec_id = c0.vec_id' for j in range(1, PQ_M))}
+  JOIN qt0 q0 ON q0.code = c0.code
+  {' '.join(f'JOIN qt{j} q{j} ON q{j}.code = c{j}.code AND q{j}.query_id = q0.query_id' for j in range(1, PQ_M))}
+  WHERE c0.vec_id <> q0.query_id
+),
+ranked AS (
+  SELECT query_id, id, approx_d,
+         row_number() OVER (PARTITION BY query_id ORDER BY approx_d, id) AS rn
+  FROM scored
+)
+SELECT r.query_id, r.id, r.rn AS "rank", round(r.approx_d, 6) AS approx_d,
+       round({_DOT.format(a='a.v', b='b.v')}
+         / (sqrt({_SSQ.format(a='a.v')}) * sqrt({_SSQ.format(a='b.v')})), 6) AS cosine
+FROM ranked r
+JOIN corpus a ON a.vec_id = r.id
+JOIN corpus b ON b.vec_id = r.query_id
+WHERE r.rn <= {TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
 # M4: multimodal embed -> ANN pipeline — binary payloads through the stub
 # encoder (deterministic md5 pseudo-embeddings, the CLIP-call boundary) into
 # exact top-k cosine.  End-to-end proof the multimodal plumbing feeds the
@@ -4775,6 +4940,8 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e56_repeated_spans": q_e56_repeated_spans,
         "e57_remove_spans": q_e57_remove_spans,
         "e58_sorted_neighborhood": q_e58_sorted_neighborhood,
+        "e59_fuzzy_linkage": q_e59_fuzzy_linkage,
+        "e60_pq_ann": q_e60_pq_ann,
         "m4_embed_topk": q_m4_embed_topk,
         "a43_span_report": q_a43_span_report,
         "a44_snapshot_diff": q_a44_snapshot_diff,
@@ -4835,6 +5002,8 @@ def oracle_sql() -> dict[str, str]:
         "e56_repeated_spans": _E56_SQL,
         "e57_remove_spans": _E57_SQL,
         "e58_sorted_neighborhood": _E58_SQL,
+        "e59_fuzzy_linkage": _E59_SQL,
+        "e60_pq_ann": _E60_SQL,
         "m4_embed_topk": _M4_SQL,
         "a43_span_report": _A43_SQL,
         "a44_snapshot_diff": _A44_SQL,

@@ -1122,3 +1122,50 @@ def sorted_neighborhood_pairs(
         .select("id_a", "id_b", "dist")
     )
     return within.unionByName(cross)
+
+
+def fuzzy_neighborhood_linkage(
+    df: DataFrame,
+    id_col: str,
+    key_expr: str,
+    value_expr: str,
+    window: int = 3,
+    max_dist: int = 3,
+) -> DataFrame:
+    """Typo-tolerant record linkage: :func:`sorted_neighborhood_pairs`
+    candidates verified by Levenshtein edit distance over a normalized
+    value expression — the classic merge/purge pipeline (Hernandez &
+    Stolfo 1995) completed with its verification stage.  Shingle-based
+    near-dup misses single-character typos in short fields (a one-char
+    edit rewrites every covering shingle); edit distance on a sort-adjacent
+    candidate set catches exactly those.
+
+    Output: (id_a, id_b, edit_dist) for candidate pairs with
+    ``levenshtein(value_a, value_b) <= max_dist``.
+
+    Scale shape: candidates are O(corpus x window) from the blocking pass
+    (one corpus exchange); verification equi-joins the candidate ids back
+    to the narrow (id, value) projection — never the full rows — and the
+    distance is Spark's JVM-side ``levenshtein``.  No all-pairs anywhere;
+    cost is O(corpus x window x |value|^2)."""
+    vals = df.selectExpr(f"{id_col} AS __fid__", f"({value_expr}) AS __fval__")
+    cands = sorted_neighborhood_pairs(df, id_col, key_expr, window=window)
+    return (
+        cands.join(
+            vals.select(
+                F.col("__fid__").alias("id_a"), F.col("__fval__").alias("__va__")
+            ),
+            "id_a",
+        )
+        .join(
+            vals.select(
+                F.col("__fid__").alias("id_b"), F.col("__fval__").alias("__vb__")
+            ),
+            "id_b",
+        )
+        .withColumn(
+            "edit_dist", F.levenshtein("__va__", "__vb__").cast("bigint")
+        )
+        .where(F.col("edit_dist") <= max_dist)
+        .select("id_a", "id_b", "edit_dist")
+    )

@@ -981,3 +981,26 @@ def test_scd2_compress_collapses_noop_versions(spark):
         (1, "b", 30, 60, 3, False),
         (2, None, 15, None, 2, True),
     ]
+
+
+def test_fuzzy_neighborhood_linkage_catches_typos(spark):
+    """A one-character typo rewrites every covering shingle (MinHash-invisible
+    for short fields) but sorts adjacent and verifies at edit distance 1."""
+    from delta_sorter_spark.operators.dedup import fuzzy_neighborhood_linkage
+
+    rows = [
+        (1, "john smith"),
+        (2, "john smyth"),   # 1 edit from id 1
+        (3, "mary jones"),
+        (4, "mary janes"),   # 1 edit from id 3
+        (5, "zzz unrelated"),
+    ]
+    df = spark.createDataFrame(rows, "rec_id long, name string")
+    got = {
+        (r["id_a"], r["id_b"]): r["edit_dist"]
+        for r in fuzzy_neighborhood_linkage(
+            df, "rec_id", "name", "name", window=3, max_dist=2
+        ).collect()
+    }
+    # id_a is the EARLIER record in sort order ("mary janes" < "mary jones")
+    assert got == {(4, 3): 1, (1, 2): 1}
