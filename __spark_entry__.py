@@ -4525,6 +4525,76 @@ WHERE r.rn <= {TOPK}
 
 
 # ---------------------------------------------------------------------------
+# E61: BPE pair statistics — the counting step of a tokenizer-training
+# iteration: adjacent character-pair frequencies weighted by word frequency,
+# computed over the DISTINCT vocabulary (corpus text read once)
+# ---------------------------------------------------------------------------
+
+BPE_TOP_N = 100
+
+
+def q_e61_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_sorter_spark.operators.textstats import bpe_pair_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_pair_counts(docs, "text", top_n=BPE_TOP_N)
+
+
+_E61_SQL = f"""
+WITH w AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+  FROM documents
+),
+vocab AS (SELECT w, count(*) AS wn FROM w WHERE w <> '' GROUP BY w),
+expanded AS (
+  SELECT w, wn, unnest(generate_series(1, length(w) - 1)) AS i FROM vocab
+),
+counts AS (
+  SELECT substr(w, i, 2) AS pair, CAST(sum(wn) AS BIGINT) AS n
+  FROM expanded GROUP BY pair
+)
+SELECT pair, n FROM counts ORDER BY n DESC, pair LIMIT {BPE_TOP_N}
+"""
+
+
+# ---------------------------------------------------------------------------
+# A47: corpus profile (data card) — per-source doc/token/dup/lang rollup,
+# the report a curation dashboard refreshes per corpus version
+# ---------------------------------------------------------------------------
+
+
+def q_a47_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_sorter_spark.operators.textstats import n_tokens_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(n_tokens_expr("text")).cast("bigint").alias("n_tokens"),
+        F.countDistinct("text").cast("bigint").alias("n_unique_texts"),
+        (F.count(F.lit(1)) - F.countDistinct("text"))
+        .cast("bigint")
+        .alias("n_dup_docs"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.min("n_chars").cast("bigint").alias("min_chars"),
+        F.max("n_chars").cast("bigint").alias("max_chars"),
+    )
+
+
+_A47_SQL = """
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(string_split_regex(lower(trim(text)), '\\s+'))) AS BIGINT)
+         AS n_tokens,
+       CAST(count(DISTINCT text) AS BIGINT) AS n_unique_texts,
+       CAST(count(*) - count(DISTINCT text) AS BIGINT) AS n_dup_docs,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(min(n_chars) AS BIGINT) AS min_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars
+FROM documents GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
 # M4: multimodal embed -> ANN pipeline — binary payloads through the stub
 # encoder (deterministic md5 pseudo-embeddings, the CLIP-call boundary) into
 # exact top-k cosine.  End-to-end proof the multimodal plumbing feeds the
@@ -4942,6 +5012,8 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e58_sorted_neighborhood": q_e58_sorted_neighborhood,
         "e59_fuzzy_linkage": q_e59_fuzzy_linkage,
         "e60_pq_ann": q_e60_pq_ann,
+        "e61_bpe_pairs": q_e61_bpe_pairs,
+        "a47_corpus_profile": q_a47_corpus_profile,
         "m4_embed_topk": q_m4_embed_topk,
         "a43_span_report": q_a43_span_report,
         "a44_snapshot_diff": q_a44_snapshot_diff,
@@ -5004,6 +5076,8 @@ def oracle_sql() -> dict[str, str]:
         "e58_sorted_neighborhood": _E58_SQL,
         "e59_fuzzy_linkage": _E59_SQL,
         "e60_pq_ann": _E60_SQL,
+        "e61_bpe_pairs": _E61_SQL,
+        "a47_corpus_profile": _A47_SQL,
         "m4_embed_topk": _M4_SQL,
         "a43_span_report": _A43_SQL,
         "a44_snapshot_diff": _A44_SQL,

@@ -357,6 +357,43 @@ def bigram_lm_counts(df: DataFrame, text_col: str) -> DataFrame:
     )
 
 
+def bpe_pair_counts(
+    df: DataFrame, text_col: str, top_n: int | None = None
+) -> DataFrame:
+    """Corpus-scale byte-pair statistics — the counting step of a BPE
+    tokenizer-training iteration: frequency of every adjacent CHARACTER
+    pair, weighted by word frequency.  Output: (pair, n); ``top_n`` keeps
+    the most frequent (ties to the lexicographically smaller pair) — the
+    merge candidates.
+
+    Scale shape: the corpus text is read ONCE into a word-frequency
+    aggregation (map-side combinable, result is vocabulary-sized); the
+    pair explode then runs over the DISTINCT vocabulary — orders of
+    magnitude smaller than the corpus — so the quadratic-ish character
+    work never touches raw text twice.  ``top_n`` compiles to
+    TakeOrderedAndProject (per-partition local top-k, no single-partition
+    exchange)."""
+    words = df.select(
+        F.explode(F.expr(f"split(lower(trim({text_col})), '\\\\s+')")).alias("w")
+    ).where(F.col("w") != "")
+    vocab = words.groupBy("w").agg(F.count("*").alias("wn"))
+    pairs = vocab.select(
+        "wn",
+        F.explode(
+            F.when(
+                F.length("w") >= 2,
+                F.expr(
+                    "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"
+                ),
+            ).otherwise(F.expr("array()"))
+        ).alias("pair"),
+    )
+    out = pairs.groupBy("pair").agg(F.sum("wn").cast("bigint").alias("n"))
+    if top_n is not None:
+        out = out.orderBy(F.desc("n"), F.asc("pair")).limit(top_n)
+    return out
+
+
 def token_band_filter(
     df: DataFrame,
     id_col: str,

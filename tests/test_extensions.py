@@ -1004,3 +1004,17 @@ def test_fuzzy_neighborhood_linkage_catches_typos(spark):
     }
     # id_a is the EARLIER record in sort order ("mary janes" < "mary jones")
     assert got == {(4, 3): 1, (1, 2): 1}
+
+
+def test_bpe_pair_counts_weighted_by_word_frequency(spark):
+    from delta_sorter_spark.operators.textstats import bpe_pair_counts
+
+    df = spark.createDataFrame(
+        [(1, "ab ab abc"), (2, "Ab x")], "doc_id long, text string"
+    )
+    # vocab: ab=3 (case-folded), abc=1, x=1 (single char -> no pairs)
+    got = {r["pair"]: r["n"] for r in bpe_pair_counts(df, "text").collect()}
+    assert got == {"ab": 4, "bc": 1}
+    # top_n keeps the most frequent with deterministic tie order
+    top = [(r["pair"], r["n"]) for r in bpe_pair_counts(df, "text", top_n=1).collect()]
+    assert top == [("ab", 4)]
