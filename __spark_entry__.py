@@ -4525,6 +4525,109 @@ WHERE r.rn <= {TOPK}
 
 
 # ---------------------------------------------------------------------------
+# E62: IVF-PQ composed ANN — coarse inverted lists restrict candidates, ADC
+# codes score them (the full production shape; no-residual variant).  The
+# oracle replays the coarse 64-dim k-means AND all four subspace k-means.
+# ---------------------------------------------------------------------------
+
+IVFPQ_CENTROIDS = 16
+IVFPQ_PROBES = 4
+
+
+def q_e62_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_sorter_spark.operators.ivf import ivfpq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % QUERY_VEC_MOD == 0)
+    out = ivfpq_topk(
+        emb,
+        queries,
+        "vec_id",
+        "embedding",
+        "vec_id",
+        "embedding",
+        dim=EMB_DIM,
+        k=TOPK,
+        m=PQ_M,
+        n_codes=PQ_CODES,
+        n_centroids=IVFPQ_CENTROIDS,
+        n_probes=IVFPQ_PROBES,
+        n_iters=2,
+    )
+    return out.select(
+        "query_id",
+        "id",
+        "rank",
+        F.round("approx_d", 6).alias("approx_d"),
+        F.round("cosine", 6).alias("cosine"),
+    )
+
+
+def _e62_sql() -> str:
+    coarse_seed = f"""
+coarse_seed AS (
+  SELECT CAST(rn - 1 AS INT) AS centroid, v AS cvec FROM (
+    SELECT v, row_number() OVER (ORDER BY h, vec_id) AS rn FROM (
+      SELECT vec_id, v,
+             {duckdb_md5_long_sql('CAST(vec_id AS VARCHAR)')} % {MERSENNE_P} AS h
+      FROM corpus))
+  WHERE rn <= {IVFPQ_CENTROIDS}
+)"""
+    code_joins = " ".join(
+        f"JOIN code{j} c{j} ON c{j}.vec_id = cl.vec_id" for j in range(PQ_M)
+    )
+    qt_joins = " ".join(
+        f"JOIN qt{j} q{j} ON q{j}.code = c{j}.code AND q{j}.query_id = qp.query_id"
+        for j in range(PQ_M)
+    )
+    return f"""
+WITH corpus0 AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+corpus AS (
+  SELECT vec_id, list_transform(v, x -> x / sqrt({_SSQ.format(a='v')})) AS v
+  FROM corpus0
+),{coarse_seed},{_duck_pq_iter('corpus', 'coarse_seed', 'coarse1', EMB_DIM)},{_duck_pq_iter('corpus', 'coarse1', 'coarse', EMB_DIM)},
+clist AS (
+  SELECT vec_id, centroid FROM (
+    SELECT c.vec_id, s.centroid,
+           row_number() OVER (PARTITION BY c.vec_id
+                              ORDER BY {_duck_sq_l2('c.v', 's.cvec')}, s.centroid) AS rn
+    FROM corpus c CROSS JOIN coarse s) WHERE rn = 1
+),
+qprobe AS (
+  SELECT vec_id AS query_id, centroid FROM (
+    SELECT c.vec_id, s.centroid,
+           row_number() OVER (PARTITION BY c.vec_id
+                              ORDER BY {_duck_sq_l2('c.v', 's.cvec')}, s.centroid) AS rn
+    FROM corpus c CROSS JOIN coarse s
+    WHERE c.vec_id % {QUERY_VEC_MOD} = 0) WHERE rn <= {IVFPQ_PROBES}
+),{','.join(_duck_pq_subspace(j) for j in range(PQ_M))},
+scored AS (
+  SELECT cl.vec_id AS id, qp.query_id,
+         {' + '.join(f'q{j}.d' for j in range(PQ_M))} AS approx_d
+  FROM clist cl
+  JOIN qprobe qp ON qp.centroid = cl.centroid AND qp.query_id <> cl.vec_id
+  {code_joins}
+  {qt_joins}
+),
+ranked AS (
+  SELECT query_id, id, approx_d,
+         row_number() OVER (PARTITION BY query_id ORDER BY approx_d, id) AS rn
+  FROM scored
+)
+SELECT r.query_id, r.id, r.rn AS "rank", round(r.approx_d, 6) AS approx_d,
+       round({_DOT.format(a='a.v', b='b.v')}
+         / (sqrt({_SSQ.format(a='a.v')}) * sqrt({_SSQ.format(a='b.v')})), 6) AS cosine
+FROM ranked r
+JOIN corpus a ON a.vec_id = r.id
+JOIN corpus b ON b.vec_id = r.query_id
+WHERE r.rn <= {TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
 # E61: BPE pair statistics — the counting step of a tokenizer-training
 # iteration: adjacent character-pair frequencies weighted by word frequency,
 # computed over the DISTINCT vocabulary (corpus text read once)
@@ -5013,6 +5116,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e59_fuzzy_linkage": q_e59_fuzzy_linkage,
         "e60_pq_ann": q_e60_pq_ann,
         "e61_bpe_pairs": q_e61_bpe_pairs,
+        "e62_ivfpq_ann": q_e62_ivfpq_ann,
         "a47_corpus_profile": q_a47_corpus_profile,
         "m4_embed_topk": q_m4_embed_topk,
         "a43_span_report": q_a43_span_report,
@@ -5077,6 +5181,7 @@ def oracle_sql() -> dict[str, str]:
         "e59_fuzzy_linkage": _E59_SQL,
         "e60_pq_ann": _E60_SQL,
         "e61_bpe_pairs": _E61_SQL,
+        "e62_ivfpq_ann": _e62_sql(),
         "a47_corpus_profile": _A47_SQL,
         "m4_embed_topk": _M4_SQL,
         "a43_span_report": _A43_SQL,

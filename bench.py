@@ -60,6 +60,8 @@ ENTRY_QUERIES = [
     "a45_scd2_intervals",
     "a46_scd2_compress",
     "e58_sorted_neighborhood",
+    "e60_pq_ann",
+    "e62_ivfpq_ann",
 ]
 
 

@@ -315,6 +315,112 @@ def pq_topk(
     )
 
 
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    emb_col: str,
+    query_id_col: str,
+    query_emb_col: str,
+    dim: int,
+    k: int = 5,
+    m: int = 2,
+    n_codes: int = 8,
+    n_centroids: int = 16,
+    n_probes: int = 2,
+    n_iters: int = 2,
+    rerank: int | None = None,
+) -> DataFrame:
+    """IVF-PQ composed search — the full production ANN shape: a coarse
+    k-means quantizer restricts each query to its ``n_probes`` nearest
+    inverted lists, and WITHIN those lists scoring is PQ's ADC lookup
+    (m table hits per candidate instead of dim float ops).  Both stages
+    reuse the deterministic integer-quantized k-means, and everything is
+    L2-normalized so distance order == cosine order.
+
+    (This is the no-residual variant: codes quantize the vectors
+    themselves, not ``x - coarse_centroid`` — simpler, oracle-replayable,
+    and the list restriction still provides the candidate pruning; classic
+    residual encoding is a drop-in refinement inside ``pq_encode``.)
+
+    Output: (query_id, id, rank, approx_d, cosine) — as :func:`pq_topk`,
+    with ``rerank`` enabling the exact-rerank shortlist.
+
+    Scale shape: corpus-side work is zero-shuffle (broadcast argmin coarse
+    assignment + broadcast argmin codes, each row touched once); the
+    centroid equi-join scans only the probed lists (|corpus| x probes /
+    n_centroids candidates in expectation); per-candidate cost is m
+    lookups.  At 100 TB the codes+centroid frame is the persisted index —
+    partition it by ``centroid`` and a probe prunes files too."""
+    emb_expr = _normalize_expr(emb_col)
+    q_expr = _normalize_expr(query_emb_col)
+    normed = corpus.select(
+        F.col(id_col).alias("__nid__"), F.expr(emb_expr).alias("__nemb__")
+    )
+    coarse = kmeans_centroids(
+        normed, "__nemb__", dim, n_centroids, n_iters, id_col="__nid__"
+    )
+    # corpus index: coarse list id + PQ codes (normalize=False — already unit)
+    codes, codebooks = pq_encode(
+        normed, "__nid__", "__nemb__", dim, m, n_codes, n_iters, normalize=False
+    )
+    listed = _assign(
+        codes.withColumnRenamed("id", "__cid__"), coarse, "__cemb__"
+    ).withColumnRenamed("__cid__", "id")
+    # query side: probes + ADC distance tables
+    dsub = dim // m
+    q = _assign(
+        queries.select(
+            F.col(query_id_col).alias("query_id"), F.expr(q_expr).alias("__qemb__")
+        ),
+        coarse,
+        "__qemb__",
+        n_best=n_probes,
+    )
+    for j in range(m):
+        packed = codebooks[j].agg(
+            F.expr(
+                "transform(sort_array(collect_list(struct(centroid, cvec))), s -> s.cvec)"
+            ).alias(f"__cb{j}__")
+        )
+        sub = f"slice(__qemb__, {j * dsub + 1}, {dsub})"
+        dist_tab = (
+            f"transform(__cb{j}__, cv -> aggregate(zip_with({sub}, cv,"
+            f" (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),"
+            f" CAST(0 AS DOUBLE), (acc, vv) -> acc + vv))"
+        )
+        q = (
+            q.crossJoin(F.broadcast(packed))
+            .withColumn(f"__dtab{j}__", F.expr(dist_tab))
+            .drop(f"__cb{j}__")
+        )
+    adc = " + ".join(f"element_at(__dtab{j}__, code_{j} + 1)" for j in range(m))
+    pairs = (
+        listed.join(q, "centroid")
+        .where(F.col("id") != F.col("query_id"))
+        .withColumn("approx_d", F.expr(adc))
+        .withColumn("cosine", cosine_expr("__qemb__", "__cemb__"))
+        # no dedup needed: each corpus row lives in exactly ONE list, so a
+        # (query, id) pair can only match through one probe
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("approx_d"), F.asc("id"))
+    if rerank is None:
+        return (
+            pairs.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "id", "rank", "approx_d", "cosine")
+        )
+    shortlist = pairs.withColumn("__adc_rank__", F.row_number().over(w)).where(
+        F.col("__adc_rank__") <= max(rerank, k)
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("id"))
+    return (
+        shortlist.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select("query_id", "id", "rank", "approx_d", "cosine")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

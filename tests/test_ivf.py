@@ -148,3 +148,38 @@ def test_pq_encode_and_adc_recall(spark):
     rr_set = {(r["query_id"], r["id"]) for r in reranked.collect()}
     recall = len(exact_set & rr_set) / len(exact_set)
     assert recall >= 0.9, f"reranked recall {recall}"
+
+
+def test_ivfpq_composed_search(spark):
+    """IVF-PQ: probed lists restrict candidates, ADC scores them; with the
+    exact-rerank shortlist the composed search recovers the exact top-k on
+    a clustered corpus."""
+    import random
+
+    from delta_sorter_spark.operators.ivf import ivfpq_topk
+
+    rng = random.Random(11)
+    anchors = [[rng.gauss(0, 1) for _ in range(64)] for _ in range(8)]
+    rows = [
+        (i, [x + rng.gauss(0, 0.05) for x in anchors[i % 8]]) for i in range(240)
+    ]
+    clustered = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qs = clustered.where(F.col("vec_id") % 40 == 0)
+
+    exact = brute_force_topk(
+        clustered, qs, "vec_id", "embedding", "vec_id", "embedding", k=5
+    )
+    out = ivfpq_topk(
+        clustered, qs, "vec_id", "embedding", "vec_id", "embedding",
+        dim=64, k=5, m=4, n_codes=8, n_centroids=8, n_probes=3, rerank=40,
+    )
+    got = out.collect()
+    # k results per query, ranked densely
+    per_q = {}
+    for r in got:
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == list(range(1, 6)) for v in per_q.values())
+    exact_set = {(r["query_id"], r["id"]) for r in exact.collect()}
+    got_set = {(r["query_id"], r["id"]) for r in got}
+    recall = len(exact_set & got_set) / len(exact_set)
+    assert recall >= 0.8, f"ivfpq recall {recall}"
