@@ -196,31 +196,109 @@ def pq_encode(
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     dsub = dim // m
+    spark = corpus.sparkSession
     emb_expr = _normalize_expr(emb_col) if normalize else emb_col
-    codebooks = []
-    for j in range(m):
-        sub = corpus.select(
-            F.col(id_col).alias("__sid__"),
-            F.expr(f"slice({emb_expr}, {j * dsub + 1}, {dsub})").alias("__sub__"),
-        )
-        codebooks.append(
-            kmeans_centroids(sub, "__sub__", dsub, n_codes, n_iters, id_col="__sid__")
-        )
-    codes = corpus.select(
-        F.col(id_col).alias("id"), F.expr(emb_expr).alias("__cemb__")
+    base = corpus.select(
+        F.col(id_col).alias("__sid__"), F.expr(emb_expr).alias("__v__")
     )
-    for j in range(m):
-        codes = (
-            _assign(
-                codes.withColumn(
-                    "__sub__", F.expr(f"slice(__cemb__, {j * dsub + 1}, {dsub})")
-                ),
-                codebooks[j],
-                "__sub__",
+
+    # Seeds: ALL subspaces share the same k winner rows (smallest id-hash),
+    # each sliced per subspace — one TakeOrderedAndProject job total,
+    # identical to running _seed_centroids per subspace.
+    h = F.expr(
+        f"{spark_md5_long_sql('CAST(__sid__ AS STRING)')} % {MERSENNE_P}"
+    )
+    winners = (
+        base.select("__sid__", "__v__", h.alias("__h__"))
+        .orderBy(F.col("__h__").asc(), F.col("__sid__").asc())
+        .limit(n_codes)
+        .collect()
+    )
+    cent_rows = [
+        (j, i, [float(x) for x in row["__v__"][j * dsub : (j + 1) * dsub]])
+        for j in range(m)
+        for i, row in enumerate(winners)
+    ]
+    centroids = spark.createDataFrame(
+        cent_rows, "m int, centroid int, cvec array<double>"
+    )
+
+    # Joint Lloyd iterations: one packed broadcast carries every subspace's
+    # codebook, assignment is a map-side array_min per subspace (same
+    # struct(d, centroid) tie-break as _assign), and ONE aggregation
+    # computes every subspace's integer-quantized means — so an iteration
+    # costs one job regardless of m (the sequential per-subspace form paid
+    # m x the fixed job overheads; measured 24 s -> this at sf0.1).
+    dist = (
+        "aggregate(zip_with(slice(__v__, c.m * {dsub} + 1, {dsub}), c.cvec,"
+        " (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),"
+        " CAST(0 AS DOUBLE), (acc, vv) -> acc + vv)"
+    ).format(dsub=dsub)
+    codes_arr = (
+        f"transform(sequence(0, {m - 1}), j ->"
+        f" array_min(transform(filter(__cents__, c -> c.m = j),"
+        f" c -> struct({dist} AS d, c.centroid AS centroid))).centroid)"
+    )
+
+    def assign_codes(df: DataFrame) -> DataFrame:
+        packed = centroids.agg(
+            F.expr("sort_array(collect_list(struct(m, centroid, cvec)))").alias(
+                "__cents__"
             )
-            .withColumnRenamed("centroid", f"code_{j}")
-            .drop("__sub__")
         )
+        return df.crossJoin(F.broadcast(packed)).withColumn(
+            "__codes__", F.expr(codes_arr)
+        ).drop("__cents__")
+
+    mean_rows = (
+        f"flatten(transform(sequence(0, {m - 1}), j ->"
+        f" transform(sequence(1, {dsub}), p -> struct("
+        f" j AS m, element_at(__codes__, j + 1) AS centroid, p AS pos,"
+        f" element_at(__v__, j * {dsub} + p) AS val))))"
+    )
+    for _ in range(n_iters):
+        assigned = assign_codes(base)
+        means = (
+            assigned.select(F.explode(F.expr(mean_rows)).alias("__e__"))
+            .select("__e__.m", "__e__.centroid", "__e__.pos", "__e__.val")
+            .groupBy("m", "centroid", "pos")
+            .agg(
+                (
+                    F.sum(
+                        F.expr(
+                            f"CAST(floor(CAST(val AS DOUBLE) * {MEAN_QSCALE}) AS BIGINT)"
+                        )
+                    ).cast("double")
+                    / (F.count("*") * F.lit(MEAN_QSCALE)).cast("double")
+                ).alias("mn")
+            )
+            .groupBy("m", "centroid")
+            .agg(
+                F.expr(
+                    "transform(sort_array(collect_list(struct(pos, mn))), s -> s.mn)"
+                ).alias("cvec")
+            )
+        )
+        centroids = (
+            centroids.alias("old")
+            .join(means.alias("new"), ["m", "centroid"], "left")
+            .select(
+                "m",
+                "centroid",
+                F.coalesce(F.col("new.cvec"), F.col("old.cvec")).alias("cvec"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    codes = assign_codes(
+        base.select(F.col("__sid__").alias("id"), F.col("__v__"))
+    ).withColumnRenamed("__v__", "__cemb__")
+    for j in range(m):
+        codes = codes.withColumn(f"code_{j}", F.expr(f"element_at(__codes__, {j + 1})"))
+    codes = codes.drop("__codes__")
+    codebooks = [
+        centroids.where(F.col("m") == j).select("centroid", "cvec") for j in range(m)
+    ]
     return codes, codebooks
 
 
@@ -268,6 +346,35 @@ def pq_topk(
     codes, codebooks = pq_encode(
         corpus, id_col, emb_col, dim, m, n_codes, n_iters, normalize=normalize
     )
+    return pq_serve(
+        codes,
+        codebooks,
+        queries,
+        query_id_col,
+        query_emb_col,
+        dim,
+        k=k,
+        normalize=normalize,
+        rerank=rerank,
+    )
+
+
+def pq_serve(
+    codes: DataFrame,
+    codebooks: list[DataFrame],
+    queries: DataFrame,
+    query_id_col: str,
+    query_emb_col: str,
+    dim: int,
+    k: int = 5,
+    normalize: bool = True,
+    rerank: int | None = None,
+) -> DataFrame:
+    """Query-time half of :func:`pq_topk`, taking a PREBUILT index (the
+    ``(codes, codebooks)`` pair from :func:`pq_encode`, typically persisted
+    once per corpus version) — the production serving shape: the corpus is
+    never re-encoded per batch, only the ADC tables and lookups run."""
+    m = len(codebooks)
     dsub = dim // m
     q_expr = _normalize_expr(query_emb_col) if normalize else query_emb_col
     q = queries.select(
