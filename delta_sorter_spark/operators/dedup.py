@@ -1025,6 +1025,7 @@ def sorted_neighborhood_pairs(
     id_col: str,
     key_expr: str,
     window: int = 3,
+    payload_expr: str | None = None,
 ) -> DataFrame:
     """Sorted-neighborhood blocking (Hernandez & Stolfo 1995): candidate
     pairs are records within ``window`` positions of each other when the
@@ -1047,14 +1048,20 @@ def sorted_neighborhood_pairs(
     broadcast equi-join of the partition tail rows (some lead NULL)
     against the head rows (some lag NULL) on exact rank arithmetic.
     Cost is O(corpus x window), independent of key distribution, with ONE
-    full-corpus exchange end to end."""
+    full-corpus exchange end to end.
+
+    ``payload_expr`` optionally carries a per-record value THROUGH the
+    windows (output gains ``val_a``/``val_b``) so a verification stage —
+    e.g. :func:`fuzzy_neighborhood_linkage`'s edit distance — needs no
+    join back to the corpus at all."""
     from delta_sorter_spark.operators.ranking import global_rank
 
     if window < 2:
         raise ValueError("window must be >= 2 (a pair needs two records)")
-    keyed = df.selectExpr(
-        f"{id_col} AS __snid__", f"({key_expr}) AS __snkey__"
-    )
+    exprs = [f"{id_col} AS __snid__", f"({key_expr}) AS __snkey__"]
+    if payload_expr is not None:
+        exprs.append(f"({payload_expr}) AS __snval__")
+    keyed = df.selectExpr(*exprs)
     ranked = global_rank(
         keyed,
         ["__snkey__", "__snid__"],
@@ -1062,6 +1069,11 @@ def sorted_neighborhood_pairs(
         partition_col="__pid__",
     )
     w = Window.partitionBy("__pid__").orderBy("__rn__")
+    carry = payload_expr is not None
+    lead_fields = lambda d: [  # noqa: E731
+        F.lead("__snid__", d).over(w).alias("id_b"),
+        F.lit(d).cast("bigint").alias("dist"),
+    ] + ([F.lead("__snval__", d).over(w).alias("val_b")] if carry else [])
     # One pass computes every neighbor lead plus the boundary flags, then
     # localCheckpoint pins it: the within/tail/head branches below would
     # otherwise each replay the window's __pid__ shuffle (exchange reuse is
@@ -1071,23 +1083,27 @@ def sorted_neighborhood_pairs(
         "__snid__",
         "__rn__",
         "__pid__",
+        *(["__snval__"] if carry else []),
         F.array(
-            *[
-                F.struct(
-                    F.lead("__snid__", d).over(w).alias("id_b"),
-                    F.lit(d).cast("bigint").alias("dist"),
-                )
-                for d in range(1, window)
-            ]
+            *[F.struct(*lead_fields(d)) for d in range(1, window)]
         ).alias("__leads__"),
         F.lag("__snid__", window - 1).over(w).isNull().alias("__is_head__"),
     ).localCheckpoint(eager=False)
+    pair_cols = ["id_a", "id_b", "dist"] + (["val_a", "val_b"] if carry else [])
     within = (
         windowed.select(
-            F.col("__snid__").alias("id_a"), F.explode("__leads__").alias("p")
+            F.col("__snid__").alias("id_a"),
+            *([F.col("__snval__").alias("val_a")] if carry else []),
+            F.explode("__leads__").alias("p"),
         )
         .where(F.col("p.id_b").isNotNull())
-        .select("id_a", F.col("p.id_b").alias("id_b"), F.col("p.dist").alias("dist"))
+        .select(
+            "id_a",
+            F.col("p.id_b").alias("id_b"),
+            F.col("p.dist").alias("dist"),
+            *([F.col("val_a"), F.col("p.val_b").alias("val_b")] if carry else []),
+        )
+        .select(*pair_cols)
     )
     # Boundary fix-up: a pair at distance d <= window-1 that crosses a
     # partition edge has its left row in the last d rows of its partition
@@ -1100,11 +1116,13 @@ def sorted_neighborhood_pairs(
             F.col("__snid__").alias("id_a"),
             F.col("__rn__").alias("__ra__"),
             F.col("__pid__").alias("__pa__"),
+            *([F.col("__snval__").alias("val_a")] if carry else []),
         )
         .select(
             "id_a",
             "__ra__",
             "__pa__",
+            *(["val_a"] if carry else []),
             F.explode(
                 F.array(*[F.lit(d).cast("bigint") for d in range(1, window)])
             ).alias("dist"),
@@ -1115,11 +1133,12 @@ def sorted_neighborhood_pairs(
         F.col("__snid__").alias("id_b"),
         F.col("__rn__").alias("__rb__"),
         F.col("__pid__").alias("__pb__"),
+        *([F.col("__snval__").alias("val_b")] if carry else []),
     )
     cross = (
         tail.join(F.broadcast(head), "__rb__")
         .where(F.col("__pb__") != F.col("__pa__"))
-        .select("id_a", "id_b", "dist")
+        .select(*pair_cols)
     )
     return within.unionByName(cross)
 
@@ -1144,27 +1163,16 @@ def fuzzy_neighborhood_linkage(
     ``levenshtein(value_a, value_b) <= max_dist``.
 
     Scale shape: candidates are O(corpus x window) from the blocking pass
-    (one corpus exchange); verification equi-joins the candidate ids back
-    to the narrow (id, value) projection — never the full rows — and the
-    distance is Spark's JVM-side ``levenshtein``.  No all-pairs anywhere;
-    cost is O(corpus x window x |value|^2)."""
-    vals = df.selectExpr(f"{id_col} AS __fid__", f"({value_expr}) AS __fval__")
-    cands = sorted_neighborhood_pairs(df, id_col, key_expr, window=window)
+    (one corpus exchange), with the comparison values CARRIED THROUGH the
+    blocking windows (``payload_expr``) — no join back to the corpus at
+    all; the distance is Spark's JVM-side ``levenshtein``.  No all-pairs
+    anywhere; cost is O(corpus x window x |value|^2)."""
+    cands = sorted_neighborhood_pairs(
+        df, id_col, key_expr, window=window, payload_expr=value_expr
+    )
     return (
-        cands.join(
-            vals.select(
-                F.col("__fid__").alias("id_a"), F.col("__fval__").alias("__va__")
-            ),
-            "id_a",
-        )
-        .join(
-            vals.select(
-                F.col("__fid__").alias("id_b"), F.col("__fval__").alias("__vb__")
-            ),
-            "id_b",
-        )
-        .withColumn(
-            "edit_dist", F.levenshtein("__va__", "__vb__").cast("bigint")
+        cands.withColumn(
+            "edit_dist", F.levenshtein("val_a", "val_b").cast("bigint")
         )
         .where(F.col("edit_dist") <= max_dist)
         .select("id_a", "id_b", "edit_dist")
