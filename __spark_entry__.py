@@ -4919,6 +4919,180 @@ FROM runs
 """
 
 
+# ---------------------------------------------------------------------------
+# E63: hybrid retrieval — reciprocal-rank fusion of BM25 lexical top-k and
+# exact dense top-k (retrieval.rrf_fuse), the RAG-serving ranking shape.
+# Queries reuse the e45 derivation (every 37th doc's first 6 words) on the
+# lexical side and the same ids' embeddings on the dense side.
+# ---------------------------------------------------------------------------
+
+RRF_K = 60
+
+
+def q_e63_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_sorter_spark.operators.retrieval import bm25_topk, rrf_fuse
+    from delta_sorter_spark.operators.similarity import brute_force_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qtext = docs.where(F.col("doc_id") % BM25_QUERY_MOD == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(
+            F.slice(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                1,
+                BM25_QUERY_WORDS,
+            ),
+            " ",
+        ).alias("qtext"),
+    )
+    lex = bm25_topk(
+        docs, qtext, "doc_id", "text", "query_id", "qtext",
+        k=BM25_TOPK, exclude_self=True,
+    )
+    qvec = emb.where(F.col("vec_id") % BM25_QUERY_MOD == 0)
+    dense = brute_force_topk(
+        emb, qvec, "vec_id", "embedding", "vec_id", "embedding", k=BM25_TOPK
+    )
+    return rrf_fuse(
+        [
+            lex.select("query_id", F.col("doc_id").alias("id"), "rank"),
+            dense.select("query_id", "id", "rank"),
+        ],
+        "query_id",
+        "id",
+        k=BM25_TOPK,
+        k_rrf=RRF_K,
+    )
+
+
+def _e63_sql() -> str:
+    # lexical side: the e45 BM25 pipeline verbatim (same constants); dense
+    # side: the e6 exact-cosine pipeline on the same query ids; fusion is
+    # integer RRF (1e9 DIV (k_rrf + rank)) so the oracle matches bit-exact
+    bm25_body = _E45_SQL.strip().removeprefix("WITH ")
+    bm25_body = bm25_body[: bm25_body.rindex("SELECT query_id")].rstrip()
+    return f"""
+WITH {bm25_body},
+lexr AS (
+  SELECT query_id, doc_id AS id, rn AS r FROM ranked WHERE rn <= {BM25_TOPK}
+),
+qv AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+       WHERE vec_id % {BM25_QUERY_MOD} = 0),
+vscored AS (
+  SELECT qv.query_id, e.vec_id AS id,
+         {_DOT.format(a='qv.qe', b='e.embedding')}
+           / (sqrt({_SSQ.format(a='qv.qe')}) * sqrt({_SSQ.format(a='e.embedding')}))
+           AS cosine
+  FROM embeddings e CROSS JOIN qv
+  WHERE e.vec_id <> qv.query_id
+),
+densr AS (
+  SELECT query_id, id, r FROM (
+    SELECT query_id, id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, id) AS r
+    FROM vscored) WHERE r <= {BM25_TOPK}
+),
+contrib AS (
+  SELECT query_id, id, 1000000000 // ({RRF_K} + r) AS c
+  FROM (SELECT * FROM lexr UNION ALL SELECT * FROM densr)
+),
+fused AS (
+  SELECT query_id, id, CAST(sum(c) AS BIGINT) AS rrf_score,
+         CAST(count(*) AS BIGINT) AS n_lists
+  FROM contrib GROUP BY query_id, id
+),
+franked AS (
+  SELECT query_id, id, rrf_score, n_lists,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY rrf_score DESC, id) AS frn
+  FROM fused
+)
+SELECT query_id, id, CAST(frn AS BIGINT) AS rank, rrf_score, n_lists
+FROM franked WHERE frn <= {BM25_TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
+# E64: exact heavy hitters over the token stream (sketches.heavy_hitters) —
+# two-pass Misra-Gries: bounded-memory candidate summaries (k rows per
+# partition shuffled, never the vocabulary), then exact counts restricted
+# to candidates.  Output is deterministic (true heavy hitters + exact
+# counts) even though the candidate set is partitioning-dependent, so the
+# oracle is the plain exact GROUP BY the sketch avoids at scale.
+# ---------------------------------------------------------------------------
+
+HH_K = 30
+
+
+def q_e64_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_sorter_spark.operators.sketches import heavy_hitters
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.expr("filter(split(lower(trim(text)), '\\\\s+'), x -> x <> '')")
+        ).alias("tok")
+    )
+    return heavy_hitters(toks, "tok", k=HH_K)
+
+
+_E64_SQL = f"""
+WITH toks AS (
+  SELECT tok FROM (
+    SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+    FROM documents)
+  WHERE tok <> ''
+),
+counts AS (SELECT tok AS item, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY tok)
+SELECT item, n FROM counts
+WHERE n * {HH_K + 1} > (SELECT count(*) FROM toks)
+"""
+
+
+# ---------------------------------------------------------------------------
+# E65: metadata-filtered exact vector search (similarity.filtered_topk) —
+# per-label top-k; the filter turns the broadcast NLJ into a broadcast HASH
+# join on the label key
+# ---------------------------------------------------------------------------
+
+
+def q_e65_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_sorter_spark.operators.similarity import filtered_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % QUERY_VEC_MOD == 0)
+    out = filtered_topk(
+        emb, queries, "vec_id", "embedding", "label",
+        "vec_id", "embedding", k=TOPK,
+    )
+    return out.select(
+        "query_id", "id", "rank", F.round("cosine", 6).alias("cosine")
+    )
+
+
+_E65_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe, label FROM embeddings
+           WHERE vec_id % {QUERY_VEC_MOD} = 0),
+scored AS (
+  SELECT q.query_id, e.vec_id AS id,
+         {_DOT.format(a='q.qe', b='e.embedding')}
+           / (sqrt({_SSQ.format(a='q.qe')}) * sqrt({_SSQ.format(a='e.embedding')}))
+           AS cosine
+  FROM embeddings e JOIN q ON e.label = q.label
+  WHERE e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, id) AS rn
+  FROM scored
+)
+SELECT query_id, id, rn AS "rank", round(cosine, 6) AS cosine
+FROM ranked WHERE rn <= {TOPK}
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the validator's V1 per-file min/max over sf0.001."""
     return q_v1_file_minmax(spark, "/root/testdata/sf0.001")
@@ -5117,6 +5291,9 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e60_pq_ann": q_e60_pq_ann,
         "e61_bpe_pairs": q_e61_bpe_pairs,
         "e62_ivfpq_ann": q_e62_ivfpq_ann,
+        "e63_hybrid_rrf": q_e63_hybrid_rrf,
+        "e64_heavy_hitters": q_e64_heavy_hitters,
+        "e65_filtered_topk": q_e65_filtered_topk,
         "a47_corpus_profile": q_a47_corpus_profile,
         "m4_embed_topk": q_m4_embed_topk,
         "a43_span_report": q_a43_span_report,
@@ -5182,6 +5359,9 @@ def oracle_sql() -> dict[str, str]:
         "e60_pq_ann": _E60_SQL,
         "e61_bpe_pairs": _E61_SQL,
         "e62_ivfpq_ann": _e62_sql(),
+        "e63_hybrid_rrf": _e63_sql(),
+        "e64_heavy_hitters": _E64_SQL,
+        "e65_filtered_topk": _E65_SQL,
         "a47_corpus_profile": _A47_SQL,
         "m4_embed_topk": _M4_SQL,
         "a43_span_report": _A43_SQL,

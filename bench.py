@@ -60,6 +60,13 @@ ENTRY_QUERIES = [
     "a45_scd2_intervals",
     "a46_scd2_compress",
     "e58_sorted_neighborhood",
+    # round-5 additions: hybrid lexical+dense fusion, bounded-memory exact
+    # heavy hitters (2-scan MG), label-filtered vector search, payload-carry
+    # fuzzy linkage
+    "e63_hybrid_rrf",
+    "e64_heavy_hitters",
+    "e65_filtered_topk",
+    "e59_fuzzy_linkage",
 ]
 
 

@@ -182,3 +182,54 @@ def bm25_topk(
         .where(F.col("rank") <= k)
         .select(query_id, doc_id, "rank", "score")
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    query_col: str,
+    doc_col: str,
+    k: int = 5,
+    k_rrf: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of N ranked
+    lists into one hybrid ranking — the standard way to combine lexical
+    (:func:`bm25_topk`) and dense (``similarity.brute_force_topk`` /
+    ``ivf.ivf_topk``) retrieval without score calibration.
+
+    Each input has (query_col, doc_col, ``rank``); a document's fused score
+    is ``sum over lists of 1/(k_rrf + rank)``, computed float-free as
+    ``1_000_000_000 DIV (k_rrf + rank)`` per hit (exact in both Spark and
+    the DuckDB oracle; rank and k_rrf are small, so the ppb quantization
+    never reorders: adjacent ranks differ by >100k ppb for rank+k_rrf
+    < 3163).  Output: (query_col, doc_col, rank, rrf_score, n_lists) —
+    n_lists counts how many input rankings surfaced the document; ties
+    break on doc id ascending.
+
+    Scale shape: inputs are already per-query top-k (rows = queries x k x
+    N lists, query-scale not corpus-scale); the union + groupBy + window
+    all hash on the same query key, so AQE coalesces this into small
+    exchanges downstream of the heavy retrieval stages."""
+    from pyspark.sql.window import Window
+
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranked DataFrame")
+    contribs = None
+    for r in rankings:
+        c = r.select(
+            F.col(query_col),
+            F.col(doc_col),
+            F.expr(f"CAST(1000000000 DIV ({k_rrf} + rank) AS BIGINT)").alias(
+                "__rrf__"
+            ),
+        )
+        contribs = c if contribs is None else contribs.unionByName(c)
+    fused = contribs.groupBy(query_col, doc_col).agg(
+        F.sum("__rrf__").cast("bigint").alias("rrf_score"),
+        F.count(F.lit(1)).cast("bigint").alias("n_lists"),
+    )
+    w = Window.partitionBy(query_col).orderBy(F.desc("rrf_score"), F.asc(doc_col))
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select(query_col, doc_col, "rank", "rrf_score", "n_lists")
+    )

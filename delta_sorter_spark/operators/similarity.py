@@ -303,3 +303,60 @@ def topk_recall(
             ).alias("recall_ppm"),
         )
     )
+
+
+def filtered_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    emb_col: str,
+    filter_col: str,
+    query_id_col: str,
+    query_emb_col: str,
+    query_filter_col: str | None = None,
+    k: int = 5,
+) -> DataFrame:
+    """Metadata-filtered exact top-k by cosine: each query carries a filter
+    value and only corpus rows whose ``filter_col`` matches are candidates
+    (the "filtered vector search" production shape: per-tenant / per-lang /
+    per-label retrieval).  Output: (query_id, id, rank, cosine); self-hits
+    (id == query_id) are excluded.
+
+    Scale shape: where :func:`brute_force_topk` must stream every query
+    against the whole corpus (broadcast nested loop), the filter turns
+    scoring into a broadcast HASH join on the filter key — each corpus row
+    is probed once and only matching-filter pairs are ever scored, so cost
+    is sum over filter values of |corpus_v| x |queries_v| instead of
+    |corpus| x |queries|.  A partition-by-filter corpus layout additionally
+    prunes the scan to the filter values present in the query batch."""
+    from pyspark.sql import Window
+
+    qf = query_filter_col or filter_col
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(query_emb_col).alias("__qemb__"),
+            F.col(qf).alias("__qfilt__"),
+            norm_expr(query_emb_col).alias("__qn__"),
+        )
+    )
+    scored = (
+        corpus.select(
+            F.col(id_col).alias("id"),
+            F.col(emb_col).alias("__cemb__"),
+            F.col(filter_col).alias("__qfilt__"),
+            norm_expr(emb_col).alias("__cn__"),
+        )
+        .join(q, "__qfilt__")
+        .where(F.col("id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            dot_expr("__qemb__", "__cemb__") / (F.col("__qn__") * F.col("__cn__")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "id", "rank", "cosine")
+    )

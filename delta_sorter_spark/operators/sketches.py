@@ -351,3 +351,75 @@ def hll_grouped_estimate(
         )
         .drop("__den__")
     )
+
+
+def misra_gries_candidates(df: DataFrame, col: str, k: int) -> DataFrame:
+    """Per-partition Misra-Gries frequency summaries (k counters), merged
+    batch-wise with the mergeable-summaries rule (Agarwal et al. 2012):
+    add counts, then if more than k counters survive, subtract the
+    (k+1)-th largest count from all and drop the non-positive.  Each Arrow
+    batch is folded in via vectorized ``value_counts`` — no per-row Python.
+
+    Guarantee: within a partition holding N_i items, every value with
+    frequency > N_i/(k+1) is present in that partition's summary, so (by
+    averaging) the UNION of summaries is a superset of every value with
+    global frequency > N/(k+1).  Output: (item, est) with est <= true
+    count; at most k rows per input partition.
+
+    This is the bounded-memory candidate pass for :func:`heavy_hitters` —
+    the same shape as Spark's own ``DataFrame.stat.freqItems``, but with
+    counts carried and the summary exposed for a exact second pass."""
+    import pandas as pd
+
+    out_schema = "item string, est bigint"
+
+    def mg(batches):
+        counters: "pd.Series | None" = None
+        for pdf in batches:
+            vc = pdf[col].dropna().astype(str).value_counts()
+            if vc.empty:
+                continue
+            counters = vc if counters is None else counters.add(vc, fill_value=0)
+            if len(counters) > k:
+                cut = counters.nlargest(k + 1).iloc[-1]
+                counters = counters - cut
+                counters = counters[counters > 0]
+        if counters is not None and len(counters):
+            yield pd.DataFrame(
+                {"item": counters.index, "est": counters.astype("int64").values}
+            )
+
+    return df.select(F.col(col).cast("string").alias(col)).mapInPandas(
+        mg, schema=out_schema
+    )
+
+
+def heavy_hitters(df: DataFrame, col: str, k: int = 100) -> DataFrame:
+    """EXACT heavy hitters with bounded memory: every value whose count
+    strictly exceeds N/(k+1), with its exact count — the two-pass
+    Misra-Gries scheme (candidate summaries, then exact counts restricted
+    to candidates).  Output: (item, n).
+
+    Deterministic even though the CANDIDATE set depends on partitioning:
+    candidates are always a superset of the true heavy hitters (the MG
+    guarantee), the second pass counts candidates exactly, and the final
+    filter keeps only true heavy hitters — spurious candidates drop out.
+
+    Scale shape (vs a plain groupBy over 100 TB of tokens): the full
+    groupBy shuffles every DISTINCT value (a web-scale vocabulary spills);
+    here pass 1 shuffles at most k rows per partition, the candidate set
+    broadcasts into a semi-join, and pass 2's groupBy aggregates only
+    candidate rows — the vocabulary-scale shuffle never happens.  The
+    corpus is scanned twice (same trade as the minhash accuracy audit);
+    persist the input to pay one scan."""
+    items = df.select(F.col(col).cast("string").alias("item"))
+    cands = misra_gries_candidates(items, "item", k).select("item").distinct()
+    total = items.agg(F.count(F.lit(1)).cast("bigint").alias("__n__"))
+    return (
+        items.join(F.broadcast(cands), "item", "left_semi")
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .crossJoin(F.broadcast(total))
+        .where(F.col("n") * (k + 1) > F.col("__n__"))
+        .select("item", "n")
+    )

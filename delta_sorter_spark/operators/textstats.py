@@ -652,3 +652,4 @@ def bigram_lm_score(
             F.expr("CAST(1000000 * total_bits DIV n_bigrams AS BIGINT)"),
         )
     )
+

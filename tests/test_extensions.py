@@ -1018,3 +1018,46 @@ def test_bpe_pair_counts_weighted_by_word_frequency(spark):
     # top_n keeps the most frequent with deterministic tie order
     top = [(r["pair"], r["n"]) for r in bpe_pair_counts(df, "text", top_n=1).collect()]
     assert top == [("ab", 4)]
+
+
+def test_filtered_topk_respects_filter(spark):
+    from delta_sorter_spark.operators.similarity import filtered_topk
+
+    rows = [
+        (0, [1.0, 0.0], "a"),
+        (1, [0.9, 0.1], "a"),
+        (2, [1.0, 0.05], "b"),  # closer than 1, but wrong label
+        (3, [0.0, 1.0], "a"),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label string")
+    q = emb.where(F.col("vec_id") == 0)
+    out = filtered_topk(
+        emb, q, "vec_id", "embedding", "label", "vec_id", "embedding", k=2
+    ).collect()
+    assert [(r["rank"], r["id"]) for r in out] == [(1, 1), (2, 3)]
+
+
+def test_heavy_hitters_exact_and_partitioning_invariant(spark):
+    from delta_sorter_spark.operators.sketches import heavy_hitters
+
+    # 60 'a', 30 'b', and 30 distinct singletons: N=120; with k=3 the
+    # threshold is N/4=30, so only 'a' qualifies (b is exactly at it).
+    vals = ["a"] * 60 + ["b"] * 30 + [f"x{i}" for i in range(30)]
+    df = spark.createDataFrame([(v,) for v in vals], "tok string")
+    for parts in (1, 7):
+        got = {
+            r["item"]: r["n"]
+            for r in heavy_hitters(df.repartition(parts), "tok", k=3).collect()
+        }
+        assert got == {"a": 60}
+
+
+def test_misra_gries_candidates_superset_guarantee(spark):
+    from delta_sorter_spark.operators.sketches import misra_gries_candidates
+
+    vals = ["hot"] * 50 + [f"cold{i}" for i in range(40)]
+    df = spark.createDataFrame([(v,) for v in vals], "tok string").repartition(4)
+    cands = {r["item"] for r in misra_gries_candidates(df, "tok", k=2).collect()}
+    assert "hot" in cands
+    # bounded output: at most k rows per partition
+    assert len(cands) <= 2 * 4

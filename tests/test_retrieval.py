@@ -264,3 +264,33 @@ def test_bm25_topk_argument_validation(spark):
     with _pytest.raises(ValueError, match="not both"):
         bm25_topk(corpus, queries, "doc_id", "text", "query_id", "qtext",
                   postings=postings)
+
+
+def test_rrf_fuse_consensus_wins(spark):
+    """A doc surfaced by BOTH lists at middling rank beats a doc that tops
+    only one list: 2/(60+2)+2... with k_rrf=60, rank-2 hits in two lists
+    (2 x 16129032) outscore a single rank-1 hit (16393442)."""
+    from delta_sorter_spark.operators.retrieval import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(1, 10, 1), (1, 20, 2), (1, 30, 3)], "query_id long, id long, rank long"
+    )
+    dense = spark.createDataFrame(
+        [(1, 40, 1), (1, 20, 2), (1, 50, 3)], "query_id long, id long, rank long"
+    )
+    out = {
+        r["id"]: (r["rank"], r["rrf_score"], r["n_lists"])
+        for r in rrf_fuse([lex, dense], "query_id", "id", k=10).collect()
+    }
+    assert out[20][2] == 2 and out[10][2] == 1
+    assert out[20][0] == 1  # consensus doc ranks first
+    assert out[20][1] == 2 * (1_000_000_000 // 62)
+    # the two rank-1 single-list docs tie on score -> id ascending breaks it
+    assert out[10][0] == 2 and out[40][0] == 3
+
+
+def test_rrf_fuse_rejects_empty_input():
+    from delta_sorter_spark.operators.retrieval import rrf_fuse
+
+    with pytest.raises(ValueError):
+        rrf_fuse([], "query_id", "id")
