@@ -5103,8 +5103,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # Round 5: e58 (single-exchange lead-window rewrite), a45 (full-tuple
 # valid_to + row-existence is_current), e55 (type-agnostic tie-break),
 # e42 (eager materialize + unpersist), e56/e57 (hits-join refactor behind
-# the salt_factor hook), m2/m4 (pluggable decoder/embedder hooks).
+# the salt_factor hook), m2/m4 (pluggable decoder/embedder hooks),
+# e59 (payload-carry rewrite: values ride the blocking windows).
 _RECHECK_THIS_ROUND = [
+    "e59_fuzzy_linkage",
     "e58_sorted_neighborhood",
     "a45_scd2_intervals",
     "e55_dedup_keep_best",

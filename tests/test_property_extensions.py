@@ -206,3 +206,27 @@ def test_weighted_priority_sample_matches_python_oracle(spark, rows, k):
         .collect()
     ]
     assert got == expected
+
+
+hh_strategy = st.lists(
+    st.sampled_from([f"v{i}" for i in range(12)]), min_size=1, max_size=80
+)
+
+
+@given(vals=hh_strategy, k=st.integers(min_value=1, max_value=6),
+       parts=st.integers(min_value=1, max_value=5))
+@_settings
+def test_heavy_hitters_matches_exact_counts(spark, vals, k, parts):
+    """For ANY multiset, k, and partitioning, heavy_hitters returns exactly
+    the values with count*(k+1) > N, with exact counts — the MG candidate
+    pass may vary with partitioning but never loses a true hitter."""
+    from collections import Counter
+
+    from delta_sorter_spark.operators.sketches import heavy_hitters
+
+    expected = {
+        v: c for v, c in Counter(vals).items() if c * (k + 1) > len(vals)
+    }
+    df = spark.createDataFrame([(v,) for v in vals], "tok string").repartition(parts)
+    got = {r["item"]: r["n"] for r in heavy_hitters(df, "tok", k=k).collect()}
+    assert got == expected
