@@ -5093,6 +5093,58 @@ FROM ranked WHERE rn <= {TOPK}
 """
 
 
+# ---------------------------------------------------------------------------
+# Q5: change data feed (operators/dml.table_changes — the Delta CDF shape,
+# previously suite-only).  The query builds a REAL Delta table: v0 creates
+# from an orders subset, v1 is a merge-on-read DV delete, v2 appends — then
+# feeds (0, latest].  The oracle states the expected change rows
+# relationally, so the protocol path (log replay + DV-delta positions) is
+# hash-checked end to end.  Result is eagerly pinned before the scratch
+# table is removed.
+# ---------------------------------------------------------------------------
+
+CDF_MOD = 10
+
+
+def q_q5_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from delta_sorter_spark.operators.dml import delete_where_dv, table_changes
+    from delta_sorter_spark.sources.delta_table import DeltaTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    scratch = tempfile.mkdtemp(prefix="q5_cdf_")
+    try:
+        tbl = DeltaTable.create(
+            spark, os.path.join(scratch, "t"),
+            orders.where(F.col("o_orderkey") % CDF_MOD < 8),
+        )
+        v0 = tbl.log.latest_version()                       # post-create
+        delete_where_dv(tbl, f"o_orderkey % {CDF_MOD} = 3")       # v0 + 1
+        tbl.append(orders.where(F.col("o_orderkey") % CDF_MOD == 8))  # v0 + 2
+        out = table_changes(tbl, v0).select(
+            "o_orderkey",
+            "_change_type",
+            (F.col("_commit_version") - v0).cast("bigint").alias("change_step"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+_Q5_SQL = f"""
+SELECT o_orderkey, 'delete' AS _change_type, CAST(1 AS BIGINT) AS change_step
+FROM orders WHERE o_orderkey % {CDF_MOD} = 3
+UNION ALL
+SELECT o_orderkey, 'insert' AS _change_type, CAST(2 AS BIGINT) AS change_step
+FROM orders WHERE o_orderkey % {CDF_MOD} = 8
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the validator's V1 per-file min/max over sf0.001."""
     return q_v1_file_minmax(spark, "/root/testdata/sf0.001")
@@ -5212,6 +5264,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q2_partition_sort": q_q2_partition_sort,
         "q3_partition_inventory": q_q3_partition_inventory,
         "q4_predicate_render": q_q4_predicate_render,
+        "q5_change_feed": q_q5_change_feed,
         "e1_exact_dedup": q_e1_exact_dedup,
         "e2_minhash_sig": q_e2_minhash_sig,
         "e3_lsh_candidates": q_e3_lsh_candidates,
@@ -5314,6 +5367,7 @@ def oracle_sql() -> dict[str, str]:
         "q2_partition_sort": _Q2_SQL,
         "q3_partition_inventory": _Q3_SQL,
         "q4_predicate_render": _Q4_SQL,
+        "q5_change_feed": _Q5_SQL,
         "e1_exact_dedup": _E1_SQL,
         "e2_minhash_sig": _E2_SQL,
         "e3_lsh_candidates": _E3_SQL,
