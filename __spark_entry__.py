@@ -5145,6 +5145,47 @@ FROM orders WHERE o_orderkey % {CDF_MOD} = 8
 """
 
 
+# ---------------------------------------------------------------------------
+# Q6: RESTORE TO VERSION AS OF (operators/dml.restore) — metadata-only
+# time-travel restore, hash-checked through the exact scenario that found
+# the DV-restore bug: create, merge-on-read DV delete, append, then
+# restore to the post-create version.  The read-back must equal the
+# ORIGINAL subset — the appended file tombstoned AND the deletion vector
+# cleared (same-path re-Add replaces the DV in log replay).
+# ---------------------------------------------------------------------------
+
+
+def q_q6_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from delta_sorter_spark.operators.dml import delete_where_dv, restore
+    from delta_sorter_spark.sources.delta_table import DeltaTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    scratch = tempfile.mkdtemp(prefix="q6_restore_")
+    try:
+        tbl = DeltaTable.create(
+            spark, os.path.join(scratch, "t"),
+            orders.where(F.col("o_orderkey") % CDF_MOD < 8),
+        )
+        v0 = tbl.log.latest_version()
+        delete_where_dv(tbl, f"o_orderkey % {CDF_MOD} = 3")
+        tbl.append(orders.where(F.col("o_orderkey") % CDF_MOD == 8))
+        restore(tbl, v0)
+        return tbl.to_df().localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+_Q6_SQL = f"""
+SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey % {CDF_MOD} < 8
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the validator's V1 per-file min/max over sf0.001."""
     return q_v1_file_minmax(spark, "/root/testdata/sf0.001")
@@ -5265,6 +5306,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_partition_inventory": q_q3_partition_inventory,
         "q4_predicate_render": q_q4_predicate_render,
         "q5_change_feed": q_q5_change_feed,
+        "q6_restore": q_q6_restore,
         "e1_exact_dedup": q_e1_exact_dedup,
         "e2_minhash_sig": q_e2_minhash_sig,
         "e3_lsh_candidates": q_e3_lsh_candidates,
@@ -5368,6 +5410,7 @@ def oracle_sql() -> dict[str, str]:
         "q3_partition_inventory": _Q3_SQL,
         "q4_predicate_render": _Q4_SQL,
         "q5_change_feed": _Q5_SQL,
+        "q6_restore": _Q6_SQL,
         "e1_exact_dedup": _E1_SQL,
         "e2_minhash_sig": _E2_SQL,
         "e3_lsh_candidates": _E3_SQL,

@@ -701,9 +701,18 @@ def restore(table: DeltaTable, version: int) -> dict:
             f"cannot restore to version {version}: {len(missing)} data files "
             f"were vacuumed (e.g. {missing[0]})"
         )
-    current_paths = {a.path for a in current.adds}
+    current_by_path = {a.path: a for a in current.adds}
     target_paths = {a.path for a in target.adds}
-    re_adds = [a for a in target.adds if a.path not in current_paths]
+    # A path live in BOTH versions still needs re-adding when its deletion
+    # vector differs (e.g. restoring past a merge-on-read DELETE): per the
+    # protocol a new Add for the same path replaces the prior one in log
+    # replay, which reinstates the target version's DV (or clears it).
+    re_adds = [
+        a
+        for a in target.adds
+        if a.path not in current_by_path
+        or current_by_path[a.path].deletion_vector != a.deletion_vector
+    ]
     removes = [a.remove_action(True) for a in current.adds if a.path not in target_paths]
     new_version = table.log.commit_with_retry(
         lambda state: removes + re_adds,

@@ -94,6 +94,25 @@ def test_restore_round_trip(spark, tmp_path):
         restore(table, out["version"] - 1)
 
 
+def test_restore_undoes_dv_delete(spark, tmp_path):
+    """Restoring past a merge-on-read DELETE must clear the deletion
+    vector even though the data file path is live in both versions (a
+    same-path re-Add replaces the DV in log replay)."""
+    from delta_sorter_spark.operators.dml import delete_where_dv
+
+    path = str(tmp_path / "rdv")
+    df = spark.range(100).withColumn("k", F.col("id") % 10)
+    table = DeltaTable.create(spark, path, df.coalesce(1))
+    v0 = table.state().version
+    delete_where_dv(table, "k = 3")
+    assert table.to_df().count() == 90
+    restore(table, v0)
+    assert table.to_df().count() == 100
+    # and forward again to the deleted state: the DV comes back
+    restore(table, v0 + 1)
+    assert table.to_df().count() == 90
+
+
 def test_upsert_concurrent_safety_metadata(spark, tmp_path):
     """Upsert commits carry dataChange=true (streams must see them)."""
     path = str(tmp_path / "dc")
