@@ -5186,6 +5186,54 @@ SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey % {CDF_MOD} < 8
 """
 
 
+# ---------------------------------------------------------------------------
+# Q7: generated partition column (delta.generationExpression) — the derived
+# year partitions the table; the append OMITS the column and the engine
+# computes it from the stored expression.  The read-back is hash-checked, so
+# generation-at-create, expression round-trip through schemaString metadata,
+# and generation-on-append are all under the driver gate.
+# ---------------------------------------------------------------------------
+
+
+def q_q7_generated_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from delta_sorter_spark.sources.delta_table import DeltaTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    scratch = tempfile.mkdtemp(prefix="q7_gen_")
+    try:
+        tbl = DeltaTable.create(
+            spark, os.path.join(scratch, "t"),
+            orders.where(F.col("o_orderkey") % CDF_MOD < 8),
+            partition_columns=["o_year"],
+            generated_columns={
+                "o_year": ("string", "CAST(year(o_orderdate) AS STRING)")
+            },
+        )
+        # writer omits o_year -> computed from the logged expression
+        tbl.append(orders.where(F.col("o_orderkey") % CDF_MOD == 8))
+        out = tbl.to_df().select(
+            "o_orderkey",
+            F.date_format("o_orderdate", _TS_FMT_SPARK).alias("o_orderdate"),
+            "o_year",
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+_Q7_SQL = f"""
+SELECT o_orderkey, strftime(o_orderdate, '{_TS_FMT_DUCK}') AS o_orderdate,
+       CAST(year(o_orderdate) AS VARCHAR) AS o_year
+FROM orders WHERE o_orderkey % {CDF_MOD} < 8 OR o_orderkey % {CDF_MOD} = 8
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the validator's V1 per-file min/max over sf0.001."""
     return q_v1_file_minmax(spark, "/root/testdata/sf0.001")
@@ -5307,6 +5355,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q4_predicate_render": q_q4_predicate_render,
         "q5_change_feed": q_q5_change_feed,
         "q6_restore": q_q6_restore,
+        "q7_generated_columns": q_q7_generated_columns,
         "e1_exact_dedup": q_e1_exact_dedup,
         "e2_minhash_sig": q_e2_minhash_sig,
         "e3_lsh_candidates": q_e3_lsh_candidates,
@@ -5411,6 +5460,7 @@ def oracle_sql() -> dict[str, str]:
         "q4_predicate_render": _Q4_SQL,
         "q5_change_feed": _Q5_SQL,
         "q6_restore": _Q6_SQL,
+        "q7_generated_columns": _Q7_SQL,
         "e1_exact_dedup": _E1_SQL,
         "e2_minhash_sig": _E2_SQL,
         "e3_lsh_candidates": _E3_SQL,
