@@ -5094,6 +5094,85 @@ FROM ranked WHERE rn <= {TOPK}
 
 
 # ---------------------------------------------------------------------------
+# E66: LexRank-style document centrality (graph.pagerank over the similarity
+# graph, Erkan & Radev 2004) — integer fixed-point power iteration, so the
+# ITERATIVE distributed computation is hash-exact against a DuckDB oracle
+# that replays the same three steps as chained CTEs.
+# ---------------------------------------------------------------------------
+
+CENTRALITY_THRESHOLD = 0.3
+PR_ITERS = 3
+
+
+def q_e66_doc_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_sorter_spark.operators.graph import pagerank
+
+    docs = _doc_subset(spark, sf_dir, DOC_SUBSET_MOD)
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", threshold=CENTRALITY_THRESHOLD
+    ).select("id_a", "id_b")
+    bidir = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    return pagerank(docs.select("doc_id"), bidir, node_col="doc_id", n_iters=PR_ITERS)
+
+
+def _pr_iter_cte(k: int, scale: int, dp: int) -> str:
+    """One DuckDB PageRank step: the exact integer recurrence of
+    graph.pagerank (base + damped incoming + uniform dangling share)."""
+    prev = f"r{k - 1}"
+    return f"""r{k} AS (
+  SELECT d0.doc_id AS id,
+         CAST((({scale} * {100 - dp} // 100) // nn.n)
+              + (({dp} * (COALESCE(inc.s, 0) + dang.dq // nn.n)) // 100)
+              AS BIGINT) AS rq
+  FROM d d0
+  CROSS JOIN nn
+  CROSS JOIN (SELECT COALESCE(sum(r.rq), 0) AS dq
+              FROM {prev} r LEFT JOIN deg ON deg.a = r.id WHERE deg.a IS NULL) dang
+  LEFT JOIN (SELECT e.b AS id, sum(r.rq // deg.dg) AS s
+             FROM {prev} r JOIN deg ON deg.a = r.id JOIN bidir e ON e.a = r.id
+             GROUP BY e.b) inc ON inc.id = d0.doc_id
+)"""
+
+
+def _e66_sql() -> str:
+    from delta_sorter_spark.operators.graph import PR_SCALE
+
+    iters = ",\n".join(_pr_iter_cte(k, PR_SCALE, 85) for k in range(1, PR_ITERS + 1))
+    return f"""
+WITH {_duckdb_shingle_cte(DOC_SUBSET_MOD)},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= {CENTRALITY_THRESHOLD}
+),
+bidir AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+deg AS (SELECT a, count(*) AS dg FROM bidir GROUP BY a),
+nn AS (SELECT count(*) AS n FROM d),
+r0 AS (SELECT doc_id AS id, CAST({PR_SCALE} // nn.n AS BIGINT) AS rq
+       FROM d CROSS JOIN nn),
+{iters}
+SELECT id AS doc_id, rq AS rank_q FROM r{PR_ITERS}
+"""
+
+
+_E66_SQL = _e66_sql()
+
+
+# ---------------------------------------------------------------------------
 # Q5: change data feed (operators/dml.table_changes — the Delta CDF shape,
 # previously suite-only).  The query builds a REAL Delta table: v0 creates
 # from an orders subset, v1 is a merge-on-read DV delete, v2 appends — then
@@ -5440,6 +5519,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e63_hybrid_rrf": q_e63_hybrid_rrf,
         "e64_heavy_hitters": q_e64_heavy_hitters,
         "e65_filtered_topk": q_e65_filtered_topk,
+        "e66_doc_centrality": q_e66_doc_centrality,
         "a47_corpus_profile": q_a47_corpus_profile,
         "m4_embed_topk": q_m4_embed_topk,
         "a43_span_report": q_a43_span_report,
@@ -5511,6 +5591,7 @@ def oracle_sql() -> dict[str, str]:
         "e63_hybrid_rrf": _e63_sql(),
         "e64_heavy_hitters": _E64_SQL,
         "e65_filtered_topk": _E65_SQL,
+        "e66_doc_centrality": _E66_SQL,
         "a47_corpus_profile": _A47_SQL,
         "m4_embed_topk": _M4_SQL,
         "a43_span_report": _A43_SQL,

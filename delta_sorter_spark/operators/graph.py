@@ -144,6 +144,103 @@ def leakage_safe_split(
     return hash_split(comps, "component", splits=splits, seed=seed)
 
 
+PR_SCALE = 10**12  # fixed-point scale for integer PageRank mass
+
+
+def pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    node_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    n_iters: int = 3,
+    damping_pct: int = 85,
+    scale: int = PR_SCALE,
+) -> DataFrame:
+    """Power-iteration PageRank over a directed edge list — (id, rank_q).
+
+    The curation use is LexRank/TextRank-style centrality (Erkan & Radev
+    2004; Mihalcea & Tarau 2004): run it over a document SIMILARITY graph
+    (each near-dup pair as an edge in both directions) and the rank scores
+    which documents are most central to a cluster — e.g. pick the canonical
+    page of a template family, or weight web-corpus sampling by host-graph
+    authority.
+
+    All arithmetic is integer fixed-point so the iterative distributed
+    computation is bit-reproducible in ANY engine (the same trick as the
+    k-means in operators/ivf.py): ranks are BIGINT masses summing to
+    ``scale``; one step is
+
+        rank'(v) = base + (damping_pct * (incoming(v) + dangling DIV N)) DIV 100
+        incoming(v) = sum over in-edges (u,v) of rank(u) DIV outdeg(u)
+
+    with ``base = (scale * (100-damping_pct) DIV 100) DIV N`` and
+    ``dangling`` the summed mass of zero-outdegree nodes (redistributed
+    uniformly, the standard dangling-node treatment).  Every operation is
+    BIGINT ``DIV``/``+``/``*`` — associative and order-independent — so a
+    DuckDB oracle replaying the same iterations matches hash-exact (see
+    __spark_entry__ ``e66_doc_centrality``).  The floor divisions leak
+    ≤ 1 ulp of mass per term per iteration; with scale 1e12 the relative
+    quantization error is ~1e-9 per step, far under any ranking use.
+
+    Scale shape: each iteration is one equi-join of the rank vector with
+    the (outdeg-annotated) edge list on ``src``, one ``groupBy(dst)`` with
+    map-side partial sums, and one left join back onto the node set — all
+    hash-partitioned on node id, O(edges) per iteration, no all-pairs
+    anywhere.  The dangling term is a single-row aggregate broadcast back
+    in.  ``localCheckpoint`` cuts lineage each round (the rank vector
+    feeds two consumers), so plans don't grow with ``n_iters``; the
+    edge+degree frame is persisted for the loop and unpersisted before
+    return (safe: the checkpointed result no longer references it).
+
+    ``nodes`` must contain every vertex; edges whose src is not a node
+    still contribute (callers should restrict edges to the node set).
+    """
+    n = nodes.count()
+    out_schema_nodes = nodes.select(F.col(node_col).alias("id"))
+    if n == 0:
+        return out_schema_nodes.withColumn("rank_q", F.lit(0).cast("long"))
+    base = (scale * (100 - damping_pct) // 100) // n
+    init_q = scale // n
+    deg = edges.groupBy(F.col(src_col).alias("__src__")).agg(
+        F.count(F.lit(1)).alias("__deg__")
+    )
+    eb = (
+        edges.select(F.col(src_col).alias("__src__"), F.col(dst_col).alias("__dst__"))
+        .join(deg, "__src__")
+        .persist()
+    )
+    ranks = out_schema_nodes.withColumn("rank_q", F.lit(init_q).cast("long"))
+    for _ in range(n_iters):
+        contrib = (
+            ranks.join(eb, ranks["id"] == eb["__src__"])
+            .select(
+                F.col("__dst__").alias("id"),
+                F.expr("rank_q DIV __deg__").alias("__c__"),
+            )
+            .groupBy("id")
+            .agg(F.sum("__c__").alias("__in__"))
+        )
+        dangling = ranks.join(
+            deg, ranks["id"] == deg["__src__"], "left_anti"
+        ).agg(F.coalesce(F.sum("rank_q"), F.lit(0)).cast("long").alias("__dq__"))
+        ranks = (
+            ranks.select("id")
+            .join(contrib, "id", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "id",
+                F.expr(
+                    f"CAST({base} + ({damping_pct} * (coalesce(__in__, CAST(0 AS BIGINT))"
+                    f" + __dq__ DIV {n})) DIV 100 AS BIGINT)"
+                ).alias("rank_q"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    eb.unpersist()
+    return ranks.select(F.col("id").alias(node_col), "rank_q")
+
+
 def dedup_keep_best(
     df: DataFrame,
     pairs: DataFrame,

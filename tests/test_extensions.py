@@ -1061,3 +1061,48 @@ def test_misra_gries_candidates_superset_guarantee(spark):
     assert "hot" in cands
     # bounded output: at most k rows per partition
     assert len(cands) <= 2 * 4
+
+
+def test_pagerank_star_graph_centrality(spark):
+    from delta_sorter_spark.operators.graph import PR_SCALE, pagerank
+
+    # hub 1 <-> leaves 2,3; node 4 isolated (pure dangling mass)
+    nodes = spark.createDataFrame([(1,), (2,), (3,), (4,)], "id bigint")
+    pairs = [(1, 2), (2, 1), (1, 3), (3, 1)]
+    edges = spark.createDataFrame(pairs, "src bigint, dst bigint")
+    got = {r["id"]: r["rank_q"] for r in pagerank(nodes, edges, n_iters=3).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    # hub most central, symmetric leaves tie, isolated node least
+    assert got[1] > got[2] == got[3] > got[4]
+    # mass conservation up to floor-division quantization (<= a few ulp/node/iter)
+    assert abs(sum(got.values()) - PR_SCALE) < 100
+    # float power-iteration reference: same 3 steps in exact arithmetic
+    ranks = {v: 0.25 for v in (1, 2, 3, 4)}
+    deg = {1: 2, 2: 1, 3: 1}
+    for _ in range(3):
+        dang = ranks[4]
+        inc = {v: 0.0 for v in ranks}
+        for s, d in pairs:
+            inc[d] += ranks[s] / deg[s]
+        ranks = {v: 0.15 / 4 + 0.85 * (inc[v] + dang / 4) for v in ranks}
+    for v, want in ranks.items():
+        assert abs(got[v] / PR_SCALE - want) < 1e-6
+
+
+def test_pagerank_partitioning_invariance(spark):
+    from delta_sorter_spark.operators.graph import pagerank
+
+    nodes = spark.createDataFrame([(i,) for i in range(30)], "id bigint")
+    edges = spark.createDataFrame(
+        [(i, (i * 7 + 3) % 30) for i in range(30)]
+        + [(i, (i * 11 + 5) % 30) for i in range(0, 30, 2)],
+        "src bigint, dst bigint",
+    )
+    a = {r["id"]: r["rank_q"] for r in pagerank(nodes, edges, n_iters=4).collect()}
+    b = {
+        r["id"]: r["rank_q"]
+        for r in pagerank(
+            nodes.repartition(7), edges.repartition(5), n_iters=4
+        ).collect()
+    }
+    assert a == b  # bit-identical: integer fixed-point is order-independent
