@@ -5173,6 +5173,27 @@ _E66_SQL = _e66_sql()
 
 
 # ---------------------------------------------------------------------------
+# E67: full BPE tokenizer training (textstats.train_bpe) — the iterative
+# merge-learning loop.  Registered WITHOUT an oracle_sql entry (the one
+# intentionally rows-only row in the contract): each merge's argmax feeds the
+# next iteration's pair counts, so no single SQL statement can replay it.
+# Exactness is instead pinned by the suite, which replays the identical
+# corpus through a pure-Python Sennrich-style reference and asserts the full
+# learned merge table matches (tests/test_extensions.py::
+# test_train_bpe_matches_reference_implementation).
+# ---------------------------------------------------------------------------
+
+BPE_MERGES = 8
+
+
+def q_e67_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_sorter_spark.operators.textstats import train_bpe
+
+    docs = _doc_subset(spark, sf_dir, DOC_SUBSET_MOD)
+    return train_bpe(docs, "text", n_merges=BPE_MERGES, min_count=2)
+
+
+# ---------------------------------------------------------------------------
 # Q5: change data feed (operators/dml.table_changes — the Delta CDF shape,
 # previously suite-only).  The query builds a REAL Delta table: v0 creates
 # from an orders subset, v1 is a merge-on-read DV delete, v2 appends — then
@@ -5520,6 +5541,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e64_heavy_hitters": q_e64_heavy_hitters,
         "e65_filtered_topk": q_e65_filtered_topk,
         "e66_doc_centrality": q_e66_doc_centrality,
+        "e67_bpe_train": q_e67_bpe_train,
         "a47_corpus_profile": q_a47_corpus_profile,
         "m4_embed_topk": q_m4_embed_topk,
         "a43_span_report": q_a43_span_report,

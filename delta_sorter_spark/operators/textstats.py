@@ -394,6 +394,122 @@ def bpe_pair_counts(
     return out
 
 
+def train_bpe(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int = 10,
+    min_count: int = 2,
+) -> DataFrame:
+    """Full BPE tokenizer TRAINING loop (Sennrich, Haddow & Birch 2016) —
+    the iterative merge-learning procedure, not just one counting step
+    (:func:`bpe_pair_counts` is a single iteration's count).  Returns the
+    learned merge table: (merge_rank, left, right, pair_count), the
+    artifact a tokenizer ships.
+
+    Classic algorithm, distributed: maintain the WORD-FREQUENCY table
+    (vocabulary-scale, not corpus-scale) with each word as its current
+    token array (characters + a ``</w>`` end-of-word marker); per merge:
+
+    1. count adjacent token pairs weighted by word frequency (one explode
+       + map-side-combined groupBy over the vocabulary);
+    2. pick the argmax pair — ties broken (count desc, left asc, right
+       asc) so the learned merge sequence is deterministic;
+    3. rewrite every word's token array with the pair merged greedily
+       left-to-right — a JVM-side ``aggregate`` fold carrying
+       (emitted-tokens, pending-token), no Python boundary.
+
+    Stops early when no pair reaches ``min_count``.  The corpus text is
+    read ONCE (into the word-frequency aggregation); every iteration
+    after that touches only the vocabulary table, lineage cut per round
+    with ``localCheckpoint``.  This is inherently sequential-by-merge
+    (each merge changes the next iteration's pair counts — the reason the
+    driver contract carries it as a rows-only entry: no single SQL
+    statement replays a data-dependent argmax loop), so per-merge cost is
+    one vocabulary-scale job + a ONE-ROW collect; at 100 TB the
+    vocabulary table is millions of rows against the corpus's billions,
+    which is exactly how production distributed BPE trainers shape the
+    loop.
+    """
+    words = (
+        df.select(
+            F.explode(F.expr(f"split(lower(trim({text_col})), '\\\\s+')")).alias("w")
+        )
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wn"))
+        .select(
+            "wn",
+            F.expr("concat(filter(split(w, ''), x -> x <> ''), array('</w>'))").alias(
+                "toks"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(n_merges):
+        best = (
+            words.select(
+                "wn",
+                F.explode(
+                    F.expr(
+                        "transform(slice(toks, 1, size(toks) - 1),"
+                        " (t, i) -> struct(t AS l, element_at(toks, i + 2) AS r))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("wn").cast("bigint").alias("n"))
+            .orderBy(F.desc("n"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["n"] < min_count:
+            break
+        a, b, n = best[0]["l"], best[0]["r"], int(best[0]["n"])
+        merges.append((rank, a, b, n))
+        ab = a + b
+        zero = F.struct(
+            F.expr("CAST(array() AS array<string>)").alias("out"),
+            F.lit("").alias("pend"),
+        )
+
+        def _make_step(a, b, ab):
+            def step(acc, x):
+                return (
+                    F.when(
+                        acc["pend"] == "",
+                        F.struct(acc["out"].alias("out"), x.alias("pend")),
+                    )
+                    .when(
+                        (acc["pend"] == F.lit(a)) & (x == F.lit(b)),
+                        F.struct(
+                            F.concat(acc["out"], F.array(F.lit(ab))).alias("out"),
+                            F.lit("").alias("pend"),
+                        ),
+                    )
+                    .otherwise(
+                        F.struct(
+                            F.concat(acc["out"], F.array(acc["pend"])).alias("out"),
+                            x.alias("pend"),
+                        )
+                    )
+                )
+
+            return step
+
+        def fin(acc):
+            return F.when(acc["pend"] == "", acc["out"]).otherwise(
+                F.concat(acc["out"], F.array(acc["pend"]))
+            )
+
+        words = words.select(
+            "wn", F.aggregate("toks", zero, _make_step(a, b, ab), fin).alias("toks")
+        ).localCheckpoint(eager=True)
+    return df.sparkSession.createDataFrame(
+        merges, "merge_rank int, left string, right string, pair_count bigint"
+    )
+
+
 def token_band_filter(
     df: DataFrame,
     id_col: str,

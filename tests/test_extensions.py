@@ -1106,3 +1106,58 @@ def test_pagerank_partitioning_invariance(spark):
         ).collect()
     }
     assert a == b  # bit-identical: integer fixed-point is order-independent
+
+
+def test_train_bpe_matches_reference_implementation(spark):
+    from delta_sorter_spark.operators.textstats import train_bpe
+
+    texts = [
+        "low lower lowest",
+        "new newer newest lower",
+        "low low new news",
+        "widest wide wider new",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [
+        (r["merge_rank"], r["left"], r["right"], r["pair_count"])
+        for r in train_bpe(df, "text", n_merges=8, min_count=2)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+
+    # exact Sennrich-style reference on the same word-frequency table
+    freqs = {}
+    for t in texts:
+        for w in t.lower().split():
+            freqs[w] = freqs.get(w, 0) + 1
+    vocab = {tuple(list(w) + ["</w>"]): n for w, n in freqs.items()}
+    want = []
+    for rank in range(8):
+        counts = {}
+        for toks, n in vocab.items():
+            for i in range(len(toks) - 1):
+                counts[(toks[i], toks[i + 1])] = counts.get((toks[i], toks[i + 1]), 0) + n
+        if not counts:
+            break
+        (a, b), n = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if n < 2:
+            break
+        want.append((rank, a, b, n))
+        new_vocab = {}
+        for toks, cnt in vocab.items():
+            out, pend = [], ""
+            for x in toks:
+                if pend == "":
+                    pend = x
+                elif pend == a and x == b:
+                    out.append(a + b)
+                    pend = ""
+                else:
+                    out.append(pend)
+                    pend = x
+            if pend:
+                out.append(pend)
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + cnt
+        vocab = new_vocab
+    assert got == want
+    assert len(got) == 8  # this corpus supports all 8 merges
