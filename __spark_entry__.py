@@ -5107,7 +5107,7 @@ PR_ITERS = 3
 def q_e66_doc_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from delta_sorter_spark.operators.graph import pagerank
 
-    docs = _doc_subset(spark, sf_dir, DOC_SUBSET_MOD)
+    docs = _doc_subset(spark, sf_dir, JACCARD_SUBSET_MOD)
     pairs = ngram_jaccard_pairs(
         docs, "doc_id", "text", threshold=CENTRALITY_THRESHOLD
     ).select("id_a", "id_b")
@@ -5141,7 +5141,7 @@ def _e66_sql() -> str:
 
     iters = ",\n".join(_pr_iter_cte(k, PR_SCALE, 85) for k in range(1, PR_ITERS + 1))
     return f"""
-WITH {_duckdb_shingle_cte(DOC_SUBSET_MOD)},
+WITH {_duckdb_shingle_cte(JACCARD_SUBSET_MOD)},
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i

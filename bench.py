@@ -67,6 +67,12 @@ ENTRY_QUERIES = [
     "e64_heavy_hitters",
     "e65_filtered_topk",
     "e59_fuzzy_linkage",
+    # iterative-algorithm pair: integer PageRank centrality (3 power
+    # iterations over the similarity graph) and the full BPE merge-learning
+    # loop (8 sequential vocabulary-scale merges) — prices the per-iteration
+    # job overhead these loop-shaped operators pay
+    "e66_doc_centrality",
+    "e67_bpe_train",
 ]
 
 

@@ -129,9 +129,19 @@ def main() -> None:
         shard_col="source",
     )
 
+    # 5. tokenizer training on the TRAIN split only (never val/test): the
+    # full BPE merge-learning loop — corpus read once into the word table,
+    # then vocabulary-scale per merge
+    from delta_sorter_spark.operators.textstats import train_bpe
+
+    merges = train_bpe(
+        train.join(docs.select("doc_id", "text"), "doc_id"), "text", n_merges=8
+    )
+
     n_kept, n_mixed = kept.count(), mixed.count()
     n_train = train.count()
     n_bins = packed.agg(F.countDistinct("source", "bin_id")).collect()[0][0]
+    n_merges_learned = merges.count()
     print(f"documents:      {n0}")
     print(f"index new rows: {stats['new_rows']}")
     print(f"deduped+quality:{n_kept}")
@@ -140,6 +150,7 @@ def main() -> None:
     print(f"after mixing:   {n_mixed}")
     print(f"train shard:    {n_train}")
     print(f"packed bins:    {n_bins}")
+    print(f"bpe merges:     {n_merges_learned}")
 
 
 if __name__ == "__main__":
