@@ -230,3 +230,101 @@ def test_heavy_hitters_matches_exact_counts(spark, vals, k, parts):
     df = spark.createDataFrame([(v,) for v in vals], "tok string").repartition(parts)
     got = {r["item"]: r["n"] for r in heavy_hitters(df, "tok", k=k).collect()}
     assert got == expected
+
+
+@given(
+    n_nodes=st.integers(min_value=1, max_value=7),
+    edge_picks=st.lists(
+        st.tuples(st.integers(0, 6), st.integers(0, 6)), min_size=0, max_size=14
+    ),
+    iters=st.integers(min_value=1, max_value=3),
+)
+@_settings
+def test_pagerank_matches_python_fixedpoint_oracle(spark, n_nodes, edge_picks, iters):
+    """graph.pagerank == the exact integer recurrence replayed in pure
+    Python: BIGINT fixed-point masses, floor-division contributions,
+    uniform dangling redistribution — equality is EXACT, any ordering or
+    partitioning effect would break it."""
+    from delta_sorter_spark.operators.graph import PR_SCALE, pagerank
+
+    edges = sorted({(a % n_nodes, b % n_nodes) for a, b in edge_picks})
+    nodes_df = spark.createDataFrame([(i,) for i in range(n_nodes)], "id bigint")
+    edges_df = spark.createDataFrame(
+        edges or [(0, 0)], "src bigint, dst bigint"
+    ).limit(len(edges))  # empty-safe: limit(0) keeps the schema
+    got = {
+        r["id"]: r["rank_q"]
+        for r in pagerank(nodes_df, edges_df, n_iters=iters).collect()
+    }
+
+    n = n_nodes
+    base = (PR_SCALE * 15 // 100) // n
+    ranks = {v: PR_SCALE // n for v in range(n)}
+    deg = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    for _ in range(iters):
+        inc = {v: 0 for v in range(n)}
+        for s, d in edges:
+            inc[d] += ranks[s] // deg[s]
+        dang = sum(rq for v, rq in ranks.items() if v not in deg)
+        ranks = {v: base + (85 * (inc[v] + dang // n)) // 100 for v in range(n)}
+    assert got == ranks
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["ab", "abc", "bca", "ca"]), min_size=1, max_size=5)
+        .map(" ".join),
+        min_size=1,
+        max_size=5,
+    ),
+    n_merges=st.integers(min_value=1, max_value=4),
+)
+@_settings
+def test_train_bpe_matches_python_reference(spark, docs, n_merges):
+    """train_bpe == a pure-Python Sennrich reference on any corpus: same
+    word-frequency table, same (count desc, pair asc) argmax, same greedy
+    left-to-right merge — the full learned merge TABLE matches exactly."""
+    from delta_sorter_spark.operators.textstats import train_bpe
+
+    df = spark.createDataFrame([(t,) for t in docs], "text string")
+    got = [
+        (r["merge_rank"], r["left"], r["right"], r["pair_count"])
+        for r in train_bpe(df, "text", n_merges=n_merges, min_count=1)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+
+    freqs = {}
+    for t in docs:
+        for w in t.lower().split():
+            freqs[w] = freqs.get(w, 0) + 1
+    vocab = {tuple(list(w) + ["</w>"]): c for w, c in freqs.items()}
+    want = []
+    for rank in range(n_merges):
+        counts = {}
+        for toks, c in vocab.items():
+            for i in range(len(toks) - 1):
+                counts[(toks[i], toks[i + 1])] = counts.get((toks[i], toks[i + 1]), 0) + c
+        if not counts:
+            break
+        (a, b), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        want.append((rank, a, b, cnt))
+        nv = {}
+        for toks, c in vocab.items():
+            out, pend = [], ""
+            for x in toks:
+                if pend == "":
+                    pend = x
+                elif pend == a and x == b:
+                    out.append(a + b)
+                    pend = ""
+                else:
+                    out.append(pend)
+                    pend = x
+            if pend:
+                out.append(pend)
+            nv[tuple(out)] = nv.get(tuple(out), 0) + c
+        vocab = nv
+    assert got == want
