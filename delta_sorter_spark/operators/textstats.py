@@ -510,6 +510,87 @@ def train_bpe(
     )
 
 
+def bpe_encode(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges,
+) -> DataFrame:
+    """Apply a learned BPE merge table (:func:`train_bpe`'s output, as a
+    ``[(left, right), ...]`` list in rank order) to a corpus — the
+    tokenizer's ENCODE side.  Output: (id, tokens array<string>,
+    n_tokens), where each word is split to characters + ``</w>`` and the
+    merges replay in rank order with the same greedy left-to-right fold
+    the trainer used, so encoding the training corpus reproduces the
+    trainer's final word segmentations exactly.
+
+    Scale shape: entirely JVM column expressions — per document one
+    ``transform`` over its words, each word folded once per merge (an
+    ``aggregate`` carrying (emitted, pending)); no shuffle, no Python
+    boundary, no join against the merge table (it is baked into the
+    expression as literals — merge tables are tokenizer-sized, not
+    data-sized).  Cost is O(corpus tokens x n_merges) map-side."""
+    merge_list = [(str(a), str(b)) for a, b in merges]
+    words = F.expr(
+        f"filter(split(lower(trim({text_col})), '\\\\s+'), x -> x <> '')"
+    )
+    word_toks = F.transform(
+        words,
+        lambda w: F.concat(
+            F.filter(F.split(w, ""), lambda x: x != ""),
+            F.array(F.lit("</w>")),
+        ),
+    )
+    col = word_toks
+    for a, b in merge_list:
+        ab = a + b
+        zero = F.struct(
+            F.expr("CAST(array() AS array<string>)").alias("out"),
+            F.lit("").alias("pend"),
+        )
+
+        def _make_step(a, b, ab):
+            def step(acc, x):
+                return (
+                    F.when(
+                        acc["pend"] == "",
+                        F.struct(acc["out"].alias("out"), x.alias("pend")),
+                    )
+                    .when(
+                        (acc["pend"] == F.lit(a)) & (x == F.lit(b)),
+                        F.struct(
+                            F.concat(acc["out"], F.array(F.lit(ab))).alias("out"),
+                            F.lit("").alias("pend"),
+                        ),
+                    )
+                    .otherwise(
+                        F.struct(
+                            F.concat(acc["out"], F.array(acc["pend"])).alias("out"),
+                            x.alias("pend"),
+                        )
+                    )
+                )
+
+            return step
+
+        def _fin(acc):
+            return F.when(acc["pend"] == "", acc["out"]).otherwise(
+                F.concat(acc["out"], F.array(acc["pend"]))
+            )
+
+        def _apply_merge(prev, fold, fin, z):
+            def one_word(toks):
+                return F.aggregate(toks, z, fold, fin)
+
+            return F.transform(prev, one_word)
+
+        col = _apply_merge(col, _make_step(a, b, ab), _fin, zero)
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.flatten(col).alias("tokens"),
+    ).withColumn("n_tokens", F.size("tokens").cast("bigint"))
+
+
 def token_band_filter(
     df: DataFrame,
     id_col: str,

@@ -1161,3 +1161,57 @@ def test_train_bpe_matches_reference_implementation(spark):
         vocab = new_vocab
     assert got == want
     assert len(got) == 8  # this corpus supports all 8 merges
+
+
+def test_bpe_encode_replays_training_segmentation(spark):
+    """Encoding the training corpus with the learned merges reproduces the
+    trainer's final word segmentations (and a pure-Python apply)."""
+    from delta_sorter_spark.operators.textstats import bpe_encode, train_bpe
+
+    texts = [
+        "low lower lowest",
+        "new newer newest lower",
+        "low low new news",
+    ]
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    merges = [
+        (r["left"], r["right"])
+        for r in train_bpe(df, "text", n_merges=6, min_count=2)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    got = {
+        r["id"]: (list(r["tokens"]), r["n_tokens"])
+        for r in bpe_encode(df, "doc_id", "text", merges).collect()
+    }
+
+    def apply_word(w):
+        toks = list(w) + ["</w>"]
+        for a, b in merges:
+            out, pend = [], ""
+            for x in toks:
+                if pend == "":
+                    pend = x
+                elif pend == a and x == b:
+                    out.append(a + b)
+                    pend = ""
+                else:
+                    out.append(pend)
+                    pend = x
+            if pend:
+                out.append(pend)
+            toks = out
+        return toks
+
+    for i, t in enumerate(texts):
+        want = [tok for w in t.lower().split() for tok in apply_word(w)]
+        assert got[i] == (want, len(want)), f"doc {i}"
+
+
+def test_bpe_encode_no_merges_is_char_split(spark):
+    from delta_sorter_spark.operators.textstats import bpe_encode
+
+    df = spark.createDataFrame([(0, "ab c")], "doc_id long, text string")
+    row = bpe_encode(df, "doc_id", "text", []).collect()[0]
+    assert list(row["tokens"]) == ["a", "b", "</w>", "c", "</w>"]
+    assert row["n_tokens"] == 5
