@@ -5194,6 +5194,51 @@ def q_e67_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# E68: temperature-based domain rebalancing (sampling.temperature_mix) —
+# p(domain) ∝ n^alpha with alpha in quarters, so the fractional power
+# composes from IEEE correctly-rounded sqrt and the whole pipeline stays
+# integer-exact for the oracle (weights -> budget shares -> ppm rates ->
+# md5 row gate).
+# ---------------------------------------------------------------------------
+
+TEMP_BUDGET = 150
+TEMP_SEED = "e68-temp"
+
+
+def q_e68_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_sorter_spark.operators.sampling import temperature_mix
+
+    docs = load_table(spark, sf_dir, "documents")
+    return temperature_mix(
+        docs, "doc_id", "source", budget=TEMP_BUDGET, alpha_quarters=2,
+        seed=TEMP_SEED,
+    ).select("doc_id", "source", "rate_ppm")
+
+
+def _e68_sql() -> str:
+    gate = duckdb_md5_long_sql(f"CAST(doc_id AS VARCHAR) || '{TEMP_SEED}'")
+    return f"""
+WITH pd AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+w AS (SELECT source, n_docs,
+             CAST(floor(1000000 * sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT) AS wppm
+      FROM pd),
+tot AS (SELECT CAST(sum(wppm) AS BIGINT) AS W FROM w),
+rates AS (
+  SELECT source,
+         least(CAST(1000000 AS BIGINT),
+               (({TEMP_BUDGET} * wppm) // W) * 1000000 // n_docs) AS rate_ppm
+  FROM w CROSS JOIN tot
+)
+SELECT d.doc_id, d.source, r.rate_ppm
+FROM documents d JOIN rates r ON d.source = r.source
+WHERE {gate} % 1000000 < r.rate_ppm
+"""
+
+
+_E68_SQL = _e68_sql()
+
+
+# ---------------------------------------------------------------------------
 # Q5: change data feed (operators/dml.table_changes — the Delta CDF shape,
 # previously suite-only).  The query builds a REAL Delta table: v0 creates
 # from an orders subset, v1 is a merge-on-read DV delete, v2 appends — then
@@ -5542,6 +5587,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e65_filtered_topk": q_e65_filtered_topk,
         "e66_doc_centrality": q_e66_doc_centrality,
         "e67_bpe_train": q_e67_bpe_train,
+        "e68_temperature_mix": q_e68_temperature_mix,
         "a47_corpus_profile": q_a47_corpus_profile,
         "m4_embed_topk": q_m4_embed_topk,
         "a43_span_report": q_a43_span_report,
@@ -5614,6 +5660,7 @@ def oracle_sql() -> dict[str, str]:
         "e64_heavy_hitters": _E64_SQL,
         "e65_filtered_topk": _E65_SQL,
         "e66_doc_centrality": _E66_SQL,
+        "e68_temperature_mix": _E68_SQL,
         "a47_corpus_profile": _A47_SQL,
         "m4_embed_topk": _M4_SQL,
         "a43_span_report": _A43_SQL,

@@ -182,6 +182,80 @@ def domain_mix_plan(
     )
 
 
+def temperature_mix(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    budget: int,
+    alpha_quarters: int = 2,
+    seed: str = "temp-v1",
+) -> DataFrame:
+    """Temperature-based domain rebalancing (the multilingual/mixture
+    sampling rule of mBERT/XLM-R/mT5): sample domains with probability
+    proportional to ``n_domain ** alpha`` so head domains shrink and tail
+    domains survive, with ``alpha = alpha_quarters / 4`` (alpha 1 =
+    proportional, 0 = uniform across domains; the common temperature
+    tau = 2 is ``alpha_quarters=2``).
+
+    Deterministic AND cross-engine exact despite the fractional power:
+    alpha is restricted to quarters so ``n^alpha`` composes from IEEE-754
+    ``sqrt`` (required correctly-rounded, unlike ``pow``) and exact double
+    products — ``n^(1/4) = sqrt(sqrt(n))``, ``n^(3/4) = sqrt(n) *
+    sqrt(sqrt(n))`` — then quantizes to a ppm BIGINT weight; every later
+    step (share-of-budget allocation, per-domain keep rate, md5 row gate)
+    is integer, so a SQL oracle replays the sample row-for-row.
+
+    Per domain: ``m = (budget * w) DIV W`` target docs, kept via
+    ``md5(id || seed) % 1e6 < rate_ppm`` with ``rate_ppm = min(1e6,
+    m * 1e6 DIV n)`` — the same scan-time hash gate as
+    :func:`stratified_sample`, now with rates DERIVED from corpus counts
+    instead of hand-set.
+
+    Scale shape: one map-side-combinable count per domain, the tiny rate
+    table broadcast-joined back, and a scan-time filter — the corpus never
+    shuffles.  Output: input columns + ``rate_ppm``.  The expected sample
+    size tracks ``budget`` (floor rounding makes it a lower-bound-ish
+    target, the hash gate adds binomial noise per domain)."""
+    if not 0 <= alpha_quarters <= 4:
+        raise ValueError("alpha_quarters must be in [0, 4] (alpha = quarters/4)")
+    nd = "CAST(n_docs AS DOUBLE)"
+    w_by_q = {
+        0: "CAST(1000000 AS BIGINT)",
+        1: f"CAST(floor(1000000 * sqrt(sqrt({nd}))) AS BIGINT)",
+        2: f"CAST(floor(1000000 * sqrt({nd})) AS BIGINT)",
+        3: f"CAST(floor(1000000 * (sqrt({nd}) * sqrt(sqrt({nd})))) AS BIGINT)",
+        4: "CAST(1000000 AS BIGINT) * n_docs",
+    }
+    per_domain = (
+        df.groupBy(F.col(source_col).alias("__src__"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn("__wppm__", F.expr(w_by_q[alpha_quarters]))
+    )
+    total = per_domain.agg(F.sum("__wppm__").cast("bigint").alias("__W__"))
+    rates = (
+        per_domain.crossJoin(F.broadcast(total))
+        .withColumn(
+            "rate_ppm",
+            F.expr(
+                f"least(CAST(1000000 AS BIGINT),"
+                f" (({int(budget)} * __wppm__) DIV __W__) * 1000000 DIV n_docs)"
+            ),
+        )
+        .select("__src__", "rate_ppm")
+    )
+    gate = (
+        f"pmod({spark_md5_long_sql(f'concat(CAST({id_col} AS STRING), {seed!r})')},"
+        f" 1000000)"
+    )
+    return (
+        df.join(
+            F.broadcast(rates), df[source_col] == rates["__src__"]
+        )
+        .where(F.expr(gate) < F.col("rate_ppm"))
+        .drop("__src__")
+    )
+
+
 def weighted_priority_sample(
     df: DataFrame,
     id_col: str,

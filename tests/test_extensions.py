@@ -1215,3 +1215,53 @@ def test_bpe_encode_no_merges_is_char_split(spark):
     row = bpe_encode(df, "doc_id", "text", []).collect()[0]
     assert list(row["tokens"]) == ["a", "b", "</w>", "c", "</w>"]
     assert row["n_tokens"] == 5
+
+
+def test_temperature_mix_flattens_toward_tail_domains(spark):
+    from delta_sorter_spark.operators.sampling import temperature_mix
+
+    # head domain 900 docs, tail domain 100 docs
+    rows = [(i, "head") for i in range(900)] + [(900 + i, "tail") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+
+    def rates(alpha_q):
+        out = temperature_mix(
+            df, "doc_id", "source", budget=200, alpha_quarters=alpha_q
+        )
+        return {
+            r["source"]: r["rate_ppm"]
+            for r in out.select("source", "rate_ppm").distinct().collect()
+        }
+
+    prop = rates(4)   # alpha=1: proportional — equal keep rates
+    temp = rates(2)   # alpha=1/2: tail upweighted
+    assert prop["head"] == prop["tail"]
+    assert temp["tail"] > temp["head"]
+    # alpha=0: uniform budget share (100 docs/domain) -> tail keeps all
+    # (cap), head keeps floor(100e6/900)
+    unif = rates(0)
+    assert unif["tail"] == 1_000_000
+    assert unif["head"] == 111_111
+
+
+def test_temperature_mix_deterministic_and_budget_tracking(spark):
+    from delta_sorter_spark.operators.sampling import temperature_mix
+
+    rows = [(i, f"s{i % 4}") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    a = {r["doc_id"] for r in temperature_mix(df, "doc_id", "source", budget=300).collect()}
+    b = {
+        r["doc_id"]
+        for r in temperature_mix(
+            df.repartition(7), "doc_id", "source", budget=300
+        ).collect()
+    }
+    assert a == b  # hash gate: same sample under any partitioning
+    assert 200 < len(a) < 400  # tracks the budget (floor + binomial noise)
+    c = {
+        r["doc_id"]
+        for r in temperature_mix(
+            df, "doc_id", "source", budget=300, seed="other"
+        ).collect()
+    }
+    assert a != c  # seed-sensitive
