@@ -5291,6 +5291,67 @@ FROM orders WHERE o_orderkey % {CDF_MOD} = 8
 
 
 # ---------------------------------------------------------------------------
+# Q8: MERGE with WHEN NOT MATCHED BY SOURCE (dml.merge full-sync clauses) —
+# one statement exercising matched-update, insert, by-source delete, and
+# by-source update against a REAL scratch Delta table; the oracle states the
+# surviving rows relationally.
+# ---------------------------------------------------------------------------
+
+SYNC_MOD = 10
+
+
+def q_q8_merge_full_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from delta_sorter_spark.operators.dml import merge
+    from delta_sorter_spark.sources.delta_table import DeltaTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    scratch = tempfile.mkdtemp(prefix="q8_sync_")
+    try:
+        tbl = DeltaTable.create(
+            spark, os.path.join(scratch, "t"),
+            orders.where(F.col("o_orderkey") % SYNC_MOD < 5),
+            stat_columns=["o_orderkey"],
+        )
+        src = orders.where(
+            (F.col("o_orderkey") % SYNC_MOD).isin(3, 4, 5)
+        ).withColumn("o_orderstatus", F.lit("SRC"))
+        merge(
+            tbl,
+            src,
+            ["o_orderkey"],
+            when_matched_update={"o_orderstatus": "s.o_orderstatus"},
+            when_not_matched_insert=True,
+            when_not_matched_by_source_delete=f"t.o_orderkey % {SYNC_MOD} = 0",
+            when_not_matched_by_source_update={"o_orderstatus": "'STALE'"},
+        )
+        return tbl.to_df().localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+_Q8_SQL = f"""
+WITH tgt AS (SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+             WHERE o_orderkey % {SYNC_MOD} < 5),
+src AS (SELECT o_orderkey, o_custkey, 'SRC' AS o_orderstatus FROM orders
+        WHERE o_orderkey % {SYNC_MOD} IN (3, 4, 5))
+SELECT t.o_orderkey, t.o_custkey,
+       CASE WHEN s.o_orderkey IS NOT NULL THEN 'SRC' ELSE 'STALE' END
+         AS o_orderstatus
+FROM tgt t LEFT JOIN src s ON t.o_orderkey = s.o_orderkey
+WHERE NOT (s.o_orderkey IS NULL AND t.o_orderkey % {SYNC_MOD} = 0)
+UNION ALL
+SELECT o_orderkey, o_custkey, o_orderstatus FROM src
+WHERE o_orderkey % {SYNC_MOD} = 5
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q6: RESTORE TO VERSION AS OF (operators/dml.restore) — metadata-only
 # time-travel restore, hash-checked through the exact scenario that found
 # the DV-restore bug: create, merge-on-read DV delete, append, then
@@ -5501,6 +5562,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_change_feed": q_q5_change_feed,
         "q6_restore": q_q6_restore,
         "q7_generated_columns": q_q7_generated_columns,
+        "q8_merge_full_sync": q_q8_merge_full_sync,
         "e1_exact_dedup": q_e1_exact_dedup,
         "e2_minhash_sig": q_e2_minhash_sig,
         "e3_lsh_candidates": q_e3_lsh_candidates,
@@ -5609,6 +5671,7 @@ def oracle_sql() -> dict[str, str]:
         "q5_change_feed": _Q5_SQL,
         "q6_restore": _Q6_SQL,
         "q7_generated_columns": _Q7_SQL,
+        "q8_merge_full_sync": _Q8_SQL,
         "e1_exact_dedup": _E1_SQL,
         "e2_minhash_sig": _E2_SQL,
         "e3_lsh_candidates": _E3_SQL,

@@ -73,6 +73,9 @@ ENTRY_QUERIES = [
     # job overhead these loop-shaped operators pay
     "e66_doc_centrality",
     "e67_bpe_train",
+    # temperature-based domain rebalancing: count agg + broadcast rate join +
+    # scan-time md5 gate — prices the zero-shuffle sampling shape
+    "e68_temperature_mix",
 ]
 
 

@@ -121,6 +121,8 @@ def merge(
     when_matched_delete: str | None = None,
     matched_condition: str | None = None,
     when_not_matched_insert: bool = True,
+    when_not_matched_by_source_update: dict[str, str] | None = None,
+    when_not_matched_by_source_delete: str | None = None,
     txn_app_id: str | None = None,
     txn_version: int | None = None,
 ) -> dict:
@@ -132,12 +134,22 @@ def merge(
       ``when_matched_update``'s expressions; unnamed columns keep ``t.`` values
     - key-matched otherwise -> row kept unchanged
     - source rows matching no target key -> inserted (unless disabled)
+    - target rows with NO source match (Delta's WHEN NOT MATCHED BY SOURCE,
+      the full-sync clauses): ``when_not_matched_by_source_delete`` is a
+      ``t.``-only predicate dropping the row (pass ``"true"`` for mirror
+      semantics — anything absent from the source disappears);
+      ``when_not_matched_by_source_update`` sets columns from ``t.``-only
+      expressions (e.g. mark stale).  Delete wins if both hit.
 
     Like Delta/SQL MERGE, a target row matching MULTIPLE source rows is
     ambiguous and raises.  Only zone-map candidate files are rewritten, so
     a merge touching one key range leaves the rest of a 100 TB table's
     files untouched; the duplicate-source check and the match join shuffle
-    only the candidate subset against the source.
+    only the candidate subset against the source.  BY SOURCE clauses widen
+    the candidate set to EVERY data file (exactly as Delta's own MERGE
+    must read the full target then): a row outside the source's key range
+    still has no source match, so zone-map pruning against the source
+    bounds would silently exempt it from the sync.
 
     ``txn_app_id``/``txn_version``: SetTransaction idempotence (exactly-once
     foreachBatch CDC apply) — an already-recorded (appId, version) makes the
@@ -155,9 +167,16 @@ def merge(
             "untouched_files": len(state.adds),
             "version": state.version,
         }
+    by_src = bool(
+        when_not_matched_by_source_update or when_not_matched_by_source_delete
+    )
     schema = state.metadata.schema
     bounds = _key_bounds(source, keys)
-    candidates = [a for a in state.adds if _may_contain(a, bounds, schema)]
+    candidates = (
+        list(state.adds)
+        if by_src
+        else [a for a in state.adds if _may_contain(a, bounds, schema)]
+    )
 
     src = source.select(
         *[F.col(f.name).cast(f.dataType) for f in schema.fields]
@@ -189,6 +208,13 @@ def merge(
             if matched_condition
             else F.lit(True)
         )
+        by_src_delete_hit = (
+            ~F.col("__matched__")
+            & F.coalesce(F.expr(when_not_matched_by_source_delete), F.lit(False))
+            if when_not_matched_by_source_delete
+            else F.lit(False)
+        )
+        by_src_update = dict(when_not_matched_by_source_update or {})
         out_cols = []
         for f in schema.fields:
             updated = (
@@ -196,12 +222,16 @@ def merge(
                 if f.name in update
                 else F.col(f"t.{f.name}")
             )
-            out_cols.append(
-                F.when(keep_unmatched | ~update_hit, F.col(f"t.{f.name}"))
-                .otherwise(updated)
-                .alias(f.name)
+            col = F.when(keep_unmatched | ~update_hit, F.col(f"t.{f.name}")).otherwise(
+                updated
             )
-        merged = joined.where(~delete_hit).select(*out_cols)
+            if f.name in by_src_update:
+                col = F.when(
+                    ~F.col("__matched__"),
+                    F.expr(by_src_update[f.name]).cast(f.dataType),
+                ).otherwise(col)
+            out_cols.append(col.alias(f.name))
+        merged = joined.where(~delete_hit & ~by_src_delete_hit).select(*out_cols)
         if when_not_matched_insert:
             inserts = src.join(t.select(*keys), keys, "left_anti")
             merged = merged.unionByName(inserts.select(*[f.name for f in schema.fields]))

@@ -761,3 +761,65 @@ def test_dv_delete_loses_race_to_compaction(spark, tmp_path):
     fresh = DeltaTable(spark, path)
     assert sorted(r["id"] for r in fresh.to_df().collect()) == [0, 1, 2, 3]
     assert not any(a.deletion_vector for a in fresh.state().adds)
+
+
+def test_merge_not_matched_by_source_clauses(spark, tmp_path):
+    """WHEN NOT MATCHED BY SOURCE: delete-predicate drops target rows the
+    source no longer carries, update-dict marks the rest stale; matched and
+    insert clauses still compose in the same statement."""
+    from delta_sorter_spark.operators.dml import merge
+
+    path = str(tmp_path / "mrgsync")
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, "d", 40.0)],
+        "id long, v string, amt double",
+    )
+    table = DeltaTable.create(spark, path, df.coalesce(1), stat_columns=["id"])
+    src = spark.createDataFrame(
+        [(1, "A", 5.0), (5, "e", 50.0)], "id long, v string, amt double"
+    )
+    merge(
+        table,
+        src,
+        ["id"],
+        when_matched_update={"v": "s.v"},
+        when_not_matched_insert=True,                      # id 5 inserted
+        when_not_matched_by_source_delete="t.amt >= 40",   # id 4 dropped
+        when_not_matched_by_source_update={"v": "'stale'"},  # ids 2,3 marked
+    )
+    got = sorted(tuple(r) for r in DeltaTable(spark, path).to_df().collect())
+    assert got == [
+        (1, "A", 10.0),      # matched update
+        (2, "stale", 20.0),  # not matched by source -> marked
+        (3, "stale", 30.0),
+        (5, "e", 50.0),      # inserted; id 4 deleted by the by-source clause
+    ]
+
+
+def test_merge_by_source_mirror_rewrites_all_files(spark, tmp_path):
+    """delete="true" = mirror sync: the target becomes the source even for
+    key ranges the source's zone map never touches — which is exactly why
+    BY SOURCE widens the candidate set to every file."""
+    from delta_sorter_spark.operators.dml import merge
+
+    path = str(tmp_path / "mirror")
+    low = spark.createDataFrame([(i, float(i)) for i in range(5)], "id long, amt double")
+    high = spark.createDataFrame(
+        [(i, float(i)) for i in range(100, 105)], "id long, amt double"
+    )
+    table = DeltaTable.create(
+        spark, path, low.coalesce(1), stat_columns=["id"]
+    )
+    table.append(high.coalesce(1))
+    n_files = len(DeltaTable(spark, path).state().adds)
+    assert n_files >= 2
+    src = spark.createDataFrame([(2, 2.0), (200, 200.0)], "id long, amt double")
+    out = merge(
+        DeltaTable(spark, path),
+        src,
+        ["id"],
+        when_not_matched_by_source_delete="true",
+    )
+    assert out["rewritten_files"] == n_files  # zone-map pruning disabled
+    got = sorted(tuple(r) for r in DeltaTable(spark, path).to_df().collect())
+    assert got == [(2, 2.0), (200, 200.0)]

@@ -39,6 +39,7 @@ EXPECTED_ALLPAIRS = {
     "p2_token_band",          # one-row [p10, p90] band broadcast (filter cutoffs)
     "e38_tfidf_terms",        # one-row n_docs broadcast into the vocab table
     "e66_doc_centrality",     # one-row dangling-mass aggregate broadcast per PageRank iteration
+    "e68_temperature_mix",    # one-row total-weight aggregate broadcast into the rate table
     "e44_ann_recall",         # contains e6's exact brute-force side by design
     "e45_bm25_topk",          # one-row (n_docs, total_len) stats broadcast
     "e49_chunk_retrieval",    # same BM25 one-row stats broadcast over chunks
