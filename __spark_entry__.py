@@ -5352,6 +5352,52 @@ WHERE o_orderkey % {SYNC_MOD} = 5
 
 
 # ---------------------------------------------------------------------------
+# Q9: UPDATE ... SET ... WHERE (dml.update_where) — the remaining DML verb:
+# only hit files rewritten, SET expressions evaluated over the OLD row.
+# ---------------------------------------------------------------------------
+
+UPD_MOD = 4
+
+
+def q_q9_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from delta_sorter_spark.operators.dml import update_where
+    from delta_sorter_spark.sources.delta_table import DeltaTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    scratch = tempfile.mkdtemp(prefix="q9_upd_")
+    try:
+        tbl = DeltaTable.create(
+            spark, os.path.join(scratch, "t"),
+            orders.where(F.col("o_orderkey") % UPD_MOD < 3),
+            stat_columns=["o_orderkey"],
+        )
+        update_where(
+            tbl,
+            f"o_orderkey % {UPD_MOD} = 1",
+            {"o_orderstatus": "'X'", "o_custkey": "o_custkey + 1000000"},
+        )
+        return tbl.to_df().localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+_Q9_SQL = f"""
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % {UPD_MOD} = 1 THEN o_custkey + 1000000
+            ELSE o_custkey END AS o_custkey,
+       CASE WHEN o_orderkey % {UPD_MOD} = 1 THEN 'X'
+            ELSE o_orderstatus END AS o_orderstatus
+FROM orders WHERE o_orderkey % {UPD_MOD} < 3
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q6: RESTORE TO VERSION AS OF (operators/dml.restore) — metadata-only
 # time-travel restore, hash-checked through the exact scenario that found
 # the DV-restore bug: create, merge-on-read DV delete, append, then
@@ -5563,6 +5609,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q6_restore": q_q6_restore,
         "q7_generated_columns": q_q7_generated_columns,
         "q8_merge_full_sync": q_q8_merge_full_sync,
+        "q9_update_where": q_q9_update_where,
         "e1_exact_dedup": q_e1_exact_dedup,
         "e2_minhash_sig": q_e2_minhash_sig,
         "e3_lsh_candidates": q_e3_lsh_candidates,
@@ -5672,6 +5719,7 @@ def oracle_sql() -> dict[str, str]:
         "q6_restore": _Q6_SQL,
         "q7_generated_columns": _Q7_SQL,
         "q8_merge_full_sync": _Q8_SQL,
+        "q9_update_where": _Q9_SQL,
         "e1_exact_dedup": _E1_SQL,
         "e2_minhash_sig": _E2_SQL,
         "e3_lsh_candidates": _E3_SQL,

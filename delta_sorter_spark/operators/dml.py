@@ -257,12 +257,9 @@ def merge(
     }
 
 
-def delete_where(table: DeltaTable, predicate: str) -> dict:
-    """DELETE FROM table WHERE predicate — rewrites only the files that
-    actually contain matching rows (one scan to find them, one to rewrite).
-
-    Returns {"rewritten_files", "deleted_rows", "version"}."""
-    state = table.state()
+def _predicate_hit_paths(table: DeltaTable, state, predicate: str) -> set[str]:
+    """Table-relative paths of data files that contain at least one row
+    matching ``predicate`` — ONE scan, O(#files-touched) to the driver."""
     if table.is_remote:
         # F.input_file_name() is empty under the Python Data Source; the
         # source's withFilePath option emits the table-relative path instead
@@ -270,31 +267,39 @@ def delete_where(table: DeltaTable, predicate: str) -> dict:
 
         # pin the scan to the snapshot the candidates come from: an unpinned
         # read sees files committed AFTER state was captured, so hit paths
-        # would miss every candidate and the delete silently no-ops under a
+        # would miss every candidate and the DML silently no-ops under a
         # concurrent rewrite
         df = table._to_df_remote(version=state.version, with_file_path=True)
-        hit_paths = {
+        return {
             r["__f__"]
             for r in df.where(predicate)
             .select(F.col(FILE_COL).alias("__f__"))
             .distinct()
             .collect()
         }
-    else:
-        df = table.to_df(adds=state.adds)
-        hit_uris = {
-            r["__f__"]
-            for r in df.where(predicate)
-            .select(F.input_file_name().alias("__f__"))
-            .distinct()
-            .collect()
-        }
-        hit_paths = {
-            os.path.relpath(
-                urllib.parse.unquote(urllib.parse.urlparse(u).path), table.table_path
-            )
-            for u in hit_uris
-        }
+    df = table.to_df(adds=state.adds)
+    hit_uris = {
+        r["__f__"]
+        for r in df.where(predicate)
+        .select(F.input_file_name().alias("__f__"))
+        .distinct()
+        .collect()
+    }
+    return {
+        os.path.relpath(
+            urllib.parse.unquote(urllib.parse.urlparse(u).path), table.table_path
+        )
+        for u in hit_uris
+    }
+
+
+def delete_where(table: DeltaTable, predicate: str) -> dict:
+    """DELETE FROM table WHERE predicate — rewrites only the files that
+    actually contain matching rows (one scan to find them, one to rewrite).
+
+    Returns {"rewritten_files", "deleted_rows", "version"}."""
+    state = table.state()
+    hit_paths = _predicate_hit_paths(table, state, predicate)
     candidates = [a for a in state.adds if a.path in hit_paths]
     if not candidates:
         return {"rewritten_files": 0, "deleted_rows": 0, "version": state.version}
@@ -312,6 +317,53 @@ def delete_where(table: DeltaTable, predicate: str) -> dict:
     return {
         "rewritten_files": len(candidates),
         "deleted_rows": before - after,
+        "version": version,
+    }
+
+
+def update_where(
+    table: DeltaTable, predicate: str, set_exprs: dict[str, str]
+) -> dict:
+    """UPDATE table SET col = expr, ... WHERE predicate — the remaining
+    DML verb next to :func:`delete_where`/:func:`merge`.  SQL semantics:
+    rows where the predicate is TRUE get each ``set_exprs[col]`` (an
+    expression over the row's OLD column values, all evaluated before any
+    assignment); FALSE/NULL rows are untouched.  Only files that actually
+    contain matching rows are rewritten — one scan finds them
+    (:func:`_predicate_hit_paths`), one rewrites; at 100 TB a predicate
+    touching one key range rewrites those files only.
+
+    Returns {"rewritten_files", "updated_rows", "version"}."""
+    state = table.state()
+    schema = state.metadata.schema
+    names = {f.name for f in schema.fields}
+    unknown = sorted(set(set_exprs) - names)
+    if unknown:
+        raise ValueError(f"update_where: unknown columns {unknown}")
+    hit_paths = _predicate_hit_paths(table, state, predicate)
+    candidates = [a for a in state.adds if a.path in hit_paths]
+    if not candidates:
+        return {"rewritten_files": 0, "updated_rows": 0, "version": state.version}
+
+    old = table.to_df(adds=candidates)
+    hit = F.coalesce(F.expr(predicate), F.lit(False))
+    updated_rows = old.where(hit).count()
+    out_cols = []
+    for f in schema.fields:
+        if f.name in set_exprs:
+            out_cols.append(
+                F.when(hit, F.expr(set_exprs[f.name]).cast(f.dataType))
+                .otherwise(F.col(f.name))
+                .alias(f.name)
+            )
+        else:
+            out_cols.append(F.col(f.name))
+    adds = table.stage_write(old.select(*out_cols), data_change=True)
+    removes = [a.remove_action(True) for a in candidates]
+    version = table.commit_rewrite(adds, removes, operation="UPDATE")
+    return {
+        "rewritten_files": len(candidates),
+        "updated_rows": updated_rows,
         "version": version,
     }
 

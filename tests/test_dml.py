@@ -823,3 +823,43 @@ def test_merge_by_source_mirror_rewrites_all_files(spark, tmp_path):
     assert out["rewritten_files"] == n_files  # zone-map pruning disabled
     got = sorted(tuple(r) for r in DeltaTable(spark, path).to_df().collect())
     assert got == [(2, 2.0), (200, 200.0)]
+
+
+def test_update_where_rewrites_only_hit_files(spark, tmp_path):
+    from delta_sorter_spark.operators.dml import update_where
+
+    path = str(tmp_path / "upd")
+    low = spark.createDataFrame([(i, float(i), "x") for i in range(5)],
+                                "id long, amt double, tag string")
+    high = spark.createDataFrame([(i, float(i), "y") for i in range(100, 105)],
+                                 "id long, amt double, tag string")
+    table = DeltaTable.create(spark, path, low.coalesce(1), stat_columns=["id"])
+    table.append(high.coalesce(1))
+    out = update_where(
+        DeltaTable(spark, path), "id >= 100 AND id < 103",
+        {"amt": "amt * 10", "tag": "'hit'"},
+    )
+    assert out["rewritten_files"] == 1  # only the high file contains hits
+    assert out["updated_rows"] == 3
+    got = {r["id"]: (r["amt"], r["tag"])
+           for r in DeltaTable(spark, path).to_df().collect()}
+    assert got[100] == (1000.0, "hit") and got[102] == (1020.0, "hit")
+    assert got[103] == (103.0, "y")     # same file, predicate false -> kept
+    assert got[0] == (0.0, "x")         # untouched file
+
+
+def test_update_where_swap_semantics_and_validation(spark, tmp_path):
+    """All SET expressions evaluate against the OLD row (SQL semantics), so
+    a=b, b=a swaps; unknown columns raise before any compute."""
+    import pytest as _pytest
+
+    from delta_sorter_spark.operators.dml import update_where
+
+    path = str(tmp_path / "swap")
+    df = spark.createDataFrame([(1, 10.0, 20.0)], "id long, a double, b double")
+    table = DeltaTable.create(spark, path, df.coalesce(1))
+    update_where(table, "id = 1", {"a": "b", "b": "a"})
+    row = DeltaTable(spark, path).to_df().collect()[0]
+    assert (row["a"], row["b"]) == (20.0, 10.0)
+    with _pytest.raises(ValueError, match="unknown columns"):
+        update_where(DeltaTable(spark, path), "id = 1", {"nope": "1"})
