@@ -5398,6 +5398,55 @@ FROM orders WHERE o_orderkey % {UPD_MOD} < 3
 
 
 # ---------------------------------------------------------------------------
+# Q10: merge-on-read UPDATE (dml.update_where_dv) — DV positions + appended
+# values in ONE commit, composed with a PRIOR DV delete overlapping the
+# update predicate so the oracle also pins the no-resurrection rule
+# (already-deleted rows must not come back as updated copies).
+# ---------------------------------------------------------------------------
+
+
+def q_q10_update_where_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from delta_sorter_spark.operators.dml import delete_where_dv, update_where_dv
+    from delta_sorter_spark.sources.delta_table import DeltaTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    scratch = tempfile.mkdtemp(prefix="q10_mor_")
+    try:
+        tbl = DeltaTable.create(
+            spark, os.path.join(scratch, "t"),
+            orders.where(F.col("o_orderkey") % UPD_MOD < 3),
+            stat_columns=["o_orderkey"],
+        )
+        delete_where_dv(tbl, "o_orderkey % 8 = 5")  # overlaps the update pred
+        update_where_dv(
+            DeltaTable(spark, tbl.table_path),
+            f"o_orderkey % {UPD_MOD} = 1",
+            {"o_orderstatus": "'X'", "o_custkey": "o_custkey + 1000000"},
+        )
+        return (
+            DeltaTable(spark, tbl.table_path).to_df().localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+_Q10_SQL = f"""
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % {UPD_MOD} = 1 THEN o_custkey + 1000000
+            ELSE o_custkey END AS o_custkey,
+       CASE WHEN o_orderkey % {UPD_MOD} = 1 THEN 'X'
+            ELSE o_orderstatus END AS o_orderstatus
+FROM orders WHERE o_orderkey % {UPD_MOD} < 3 AND o_orderkey % 8 <> 5
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q6: RESTORE TO VERSION AS OF (operators/dml.restore) — metadata-only
 # time-travel restore, hash-checked through the exact scenario that found
 # the DV-restore bug: create, merge-on-read DV delete, append, then
@@ -5610,6 +5659,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q7_generated_columns": q_q7_generated_columns,
         "q8_merge_full_sync": q_q8_merge_full_sync,
         "q9_update_where": q_q9_update_where,
+        "q10_update_where_dv": q_q10_update_where_dv,
         "e1_exact_dedup": q_e1_exact_dedup,
         "e2_minhash_sig": q_e2_minhash_sig,
         "e3_lsh_candidates": q_e3_lsh_candidates,
@@ -5720,6 +5770,7 @@ def oracle_sql() -> dict[str, str]:
         "q7_generated_columns": _Q7_SQL,
         "q8_merge_full_sync": _Q8_SQL,
         "q9_update_where": _Q9_SQL,
+        "q10_update_where_dv": _Q10_SQL,
         "e1_exact_dedup": _E1_SQL,
         "e2_minhash_sig": _E2_SQL,
         "e3_lsh_candidates": _E3_SQL,

@@ -369,7 +369,11 @@ def update_where(
 
 
 def delete_where_dv(
-    table: DeltaTable, predicate: str, vector_format: str = "roaring"
+    table: DeltaTable,
+    predicate: str,
+    vector_format: str = "roaring",
+    _insert_adds: list | None = None,
+    _operation: str = "DELETE",
 ) -> dict:
     """Merge-on-read DELETE: instead of rewriting hit files, record the
     deleted row POSITIONS in a deletion vector and re-Add each file with a
@@ -513,13 +517,77 @@ def delete_where_dv(
                 deletion_vector=dv_by_path[rel],
             )
         )
+    n_dv_files = len(new_adds)
+    if _insert_adds:
+        # merge-on-read UPDATE rides this flow: the updated row VALUES are
+        # pre-staged files that join the same atomic commit as the vectors
+        new_adds = new_adds + list(_insert_adds)
     version = table.commit_rewrite(
-        new_adds, removes, operation="DELETE", extra_actions=extra_actions
+        new_adds, removes, operation=_operation, extra_actions=extra_actions
     )
     return {
-        "dv_files": len(new_adds),
+        "dv_files": n_dv_files,
         "deleted_rows": deleted_rows,
         "version": version,
+    }
+
+
+def update_where_dv(
+    table: DeltaTable,
+    predicate: str,
+    set_exprs: dict[str, str],
+    vector_format: str = "roaring",
+) -> dict:
+    """Merge-on-read UPDATE — Delta's DV-update shape: the matched rows'
+    positions go into deletion vectors (their multi-GB data files are NOT
+    rewritten) and the updated row VALUES append as new files, both in ONE
+    atomic commit, so readers see either every old row or every new one.
+
+    This is the scale path for small updates on huge tables (the one-row
+    correction on a 100 TB table costs a KB vector + a tiny new file),
+    exactly as :func:`delete_where_dv` is for small deletes; the copy-on-
+    write sibling :func:`update_where` stays the right call when an update
+    touches most of a file.  SET semantics match :func:`update_where`
+    (expressions over the OLD row values).
+
+    Returns {"dv_files", "updated_rows", "version"}."""
+    state = table.state()
+    schema = state.metadata.schema
+    names = {f.name for f in schema.fields}
+    unknown = sorted(set(set_exprs) - names)
+    if unknown:
+        raise ValueError(f"update_where_dv: unknown columns {unknown}")
+    # Updated values come from the LIVE view (existing DVs applied): a row
+    # already deleted by a prior vector must not be resurrected even though
+    # the raw positional scan below will (no-op) re-mark its position.
+    live_hits = table.to_df(adds=state.adds).where(
+        F.coalesce(F.expr(predicate), F.lit(False))
+    )
+    out_cols = []
+    for f in schema.fields:
+        if f.name in set_exprs:
+            out_cols.append(
+                F.expr(set_exprs[f.name]).cast(f.dataType).alias(f.name)
+            )
+        else:
+            out_cols.append(F.col(f.name))
+    updated = live_hits.select(*out_cols).localCheckpoint(eager=True)
+    n_updated = updated.count()
+    if n_updated == 0:
+        # nothing staged yet, so a no-match update leaves no orphan files
+        return {"dv_files": 0, "updated_rows": 0, "version": state.version}
+    insert_adds = table.stage_write(updated, data_change=True)
+    res = delete_where_dv(
+        table,
+        predicate,
+        vector_format,
+        _insert_adds=insert_adds,
+        _operation="UPDATE",
+    )
+    return {
+        "dv_files": res["dv_files"],
+        "updated_rows": n_updated,
+        "version": res["version"],
     }
 
 

@@ -863,3 +863,47 @@ def test_update_where_swap_semantics_and_validation(spark, tmp_path):
     assert (row["a"], row["b"]) == (20.0, 10.0)
     with _pytest.raises(ValueError, match="unknown columns"):
         update_where(DeltaTable(spark, path), "id = 1", {"nope": "1"})
+
+
+def test_update_where_dv_merge_on_read(spark, tmp_path):
+    """DV-update: matched positions go into deletion vectors, updated values
+    append as new files, one atomic commit — the original data files are
+    never rewritten."""
+    from delta_sorter_spark.operators.dml import update_where_dv
+
+    path = str(tmp_path / "mor_upd")
+    df = spark.createDataFrame(
+        [(i, float(i), "x") for i in range(10)], "id long, amt double, tag string"
+    )
+    table = DeltaTable.create(spark, path, df.coalesce(1), stat_columns=["id"])
+    orig_paths = {a.path for a in table.state().adds}
+    out = update_where_dv(
+        DeltaTable(spark, path), "id IN (2, 5)", {"amt": "amt * 100", "tag": "'u'"}
+    )
+    assert out["dv_files"] == 1 and out["updated_rows"] == 2
+    t2 = DeltaTable(spark, path)
+    adds = t2.state().adds
+    # original file still present (with a DV), plus >=1 new file of values
+    dv_adds = [a for a in adds if a.deletion_vector]
+    assert {a.path for a in dv_adds} == orig_paths
+    assert len(adds) > len(orig_paths)
+    got = {r["id"]: (r["amt"], r["tag"]) for r in t2.to_df().collect()}
+    assert len(got) == 10                     # no duplicates, no losses
+    assert got[2] == (200.0, "u") and got[5] == (500.0, "u")
+    assert got[3] == (3.0, "x")
+
+
+def test_update_where_dv_does_not_resurrect_deleted_rows(spark, tmp_path):
+    from delta_sorter_spark.operators.dml import delete_where_dv, update_where_dv
+
+    path = str(tmp_path / "mor_upd2")
+    df = spark.createDataFrame([(i, float(i)) for i in range(8)], "id long, amt double")
+    table = DeltaTable.create(spark, path, df.coalesce(1), stat_columns=["id"])
+    delete_where_dv(table, "id IN (1, 2)")
+    out = update_where_dv(
+        DeltaTable(spark, path), "id < 4", {"amt": "amt + 0.5"}
+    )
+    assert out["updated_rows"] == 2  # ids 0 and 3 only — 1,2 already deleted
+    got = {r["id"]: r["amt"] for r in DeltaTable(spark, path).to_df().collect()}
+    assert set(got) == {0, 3, 4, 5, 6, 7}
+    assert got[0] == 0.5 and got[3] == 3.5 and got[4] == 4.0
