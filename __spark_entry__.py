@@ -5447,6 +5447,62 @@ FROM orders WHERE o_orderkey % {UPD_MOD} < 3 AND o_orderkey % 8 <> 5
 
 
 # ---------------------------------------------------------------------------
+# Q11: merge-on-read MERGE (dml.merge_dv) — changed rows' positions into
+# deletion vectors + updated/inserted values appended, one atomic commit;
+# untouched matched rows keep their bytes.  Same relational semantics as a
+# copy-on-write MERGE, so the oracle is a plain SQL statement.
+# ---------------------------------------------------------------------------
+
+
+def q_q11_merge_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from delta_sorter_spark.operators.dml import merge_dv
+    from delta_sorter_spark.sources.delta_table import DeltaTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    scratch = tempfile.mkdtemp(prefix="q11_mor_")
+    try:
+        tbl = DeltaTable.create(
+            spark, os.path.join(scratch, "t"),
+            orders.where(F.col("o_orderkey") % SYNC_MOD < 5),
+            stat_columns=["o_orderkey"],
+        )
+        src = orders.where(
+            (F.col("o_orderkey") % SYNC_MOD).isin(3, 4, 5)
+        ).withColumn("o_orderstatus", F.lit("SRC"))
+        merge_dv(
+            tbl,
+            src,
+            ["o_orderkey"],
+            when_matched_update={"o_orderstatus": "s.o_orderstatus"},
+            when_matched_delete=f"s.o_orderkey % {SYNC_MOD} = 4",
+            when_not_matched_insert=True,
+        )
+        return (
+            DeltaTable(spark, tbl.table_path).to_df().localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+_Q11_SQL = f"""
+SELECT o_orderkey, o_custkey,
+       CASE WHEN o_orderkey % {SYNC_MOD} = 3 THEN 'SRC'
+            ELSE o_orderstatus END AS o_orderstatus
+FROM orders
+WHERE o_orderkey % {SYNC_MOD} < 5 AND o_orderkey % {SYNC_MOD} <> 4
+UNION ALL
+SELECT o_orderkey, o_custkey, 'SRC' AS o_orderstatus FROM orders
+WHERE o_orderkey % {SYNC_MOD} = 5
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q6: RESTORE TO VERSION AS OF (operators/dml.restore) — metadata-only
 # time-travel restore, hash-checked through the exact scenario that found
 # the DV-restore bug: create, merge-on-read DV delete, append, then
@@ -5660,6 +5716,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q8_merge_full_sync": q_q8_merge_full_sync,
         "q9_update_where": q_q9_update_where,
         "q10_update_where_dv": q_q10_update_where_dv,
+        "q11_merge_dv": q_q11_merge_dv,
         "e1_exact_dedup": q_e1_exact_dedup,
         "e2_minhash_sig": q_e2_minhash_sig,
         "e3_lsh_candidates": q_e3_lsh_candidates,
@@ -5771,6 +5828,7 @@ def oracle_sql() -> dict[str, str]:
         "q8_merge_full_sync": _Q8_SQL,
         "q9_update_where": _Q9_SQL,
         "q10_update_where_dv": _Q10_SQL,
+        "q11_merge_dv": _Q11_SQL,
         "e1_exact_dedup": _E1_SQL,
         "e2_minhash_sig": _E2_SQL,
         "e3_lsh_candidates": _E3_SQL,

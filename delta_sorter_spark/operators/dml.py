@@ -368,12 +368,36 @@ def update_where(
     }
 
 
+def _rel_path_col(table: DeltaTable):
+    """Table-relative path column for a positional scan's ``__file__``."""
+    import re as _re
+
+    if table.is_remote:
+        # the Python Data Source's file column is the table-relative path
+        # verbatim (no URL re-encoding involved)
+        return F.regexp_replace(
+            F.col("__file__"),
+            "^" + _re.escape(table.table_path.rstrip("/")) + "/",
+            "",
+        )
+    # URI -> table-relative path, computed in Spark.  '+' is a literal
+    # in URI paths (spaces are %20), but url_decode treats it as a
+    # space — re-encode it first so both survive.
+    abs_col = F.regexp_replace(
+        F.expr("url_decode(replace(__file__, '+', '%2B'))"), "^[a-z]+:/+", "/"
+    )
+    return F.regexp_replace(
+        abs_col, "^" + _re.escape(table.table_path.rstrip("/")) + "/", ""
+    )
+
+
 def delete_where_dv(
     table: DeltaTable,
-    predicate: str,
+    predicate: str | None,
     vector_format: str = "roaring",
     _insert_adds: list | None = None,
     _operation: str = "DELETE",
+    _hits_df: DataFrame | None = None,
 ) -> dict:
     """Merge-on-read DELETE: instead of rewriting hit files, record the
     deleted row POSITIONS in a deletion vector and re-Add each file with a
@@ -405,48 +429,44 @@ def delete_where_dv(
     group per touched file for roaring; a dataset write for parquet).  The
     driver sees only one descriptor row per touched file — O(#files-
     touched), the same order as the commit itself."""
-    import re as _re
-    import uuid as _uuid
+    import uuid as _uuid  # noqa: F401  (parquet sidecar branch below)
 
     if vector_format not in ("roaring", "parquet"):
         raise ValueError(f"unknown vector_format {vector_format!r}")
 
     state = table.state()
-    # Raw positional scan (existing DVs not applied): rows already deleted
-    # may re-match the predicate, but the sidecar-level distinct() makes
-    # that a no-op, and deleted_rows counts only NEW positions.
-    scan = table.scan_with_positions(state.adds)
-    if table.is_remote:
-        # the Python Data Source's file column is the table-relative path
-        # verbatim (no URL re-encoding involved)
-        rel_col = F.regexp_replace(
-            F.col("__file__"),
-            "^" + _re.escape(table.table_path.rstrip("/")) + "/",
-            "",
-        )
+    if _hits_df is not None:
+        # caller-provided (path, pos) hit set (merge_dv's positional join)
+        hits = _hits_df.persist()
     else:
-        # URI -> table-relative path, computed in Spark.  '+' is a literal
-        # in URI paths (spaces are %20), but url_decode treats it as a
-        # space — re-encode it first so both survive.
-        abs_col = F.regexp_replace(
-            F.expr("url_decode(replace(__file__, '+', '%2B'))"), "^[a-z]+:/+", "/"
+        # Raw positional scan (existing DVs not applied): rows already
+        # deleted may re-match the predicate, but the sidecar-level
+        # distinct() makes that a no-op, and deleted_rows counts only NEW
+        # positions.
+        scan = table.scan_with_positions(state.adds)
+        # Cache the positional scan: it feeds the touched-path set, the
+        # prior-DV restriction, AND the merged vector write — without the
+        # persist the full predicate scan would re-execute once per
+        # consumer.
+        hits = (
+            scan.where(F.coalesce(F.expr(predicate), F.lit(False)))
+            .select(
+                _rel_path_col(table).alias("path"), F.col("__pos__").alias("pos")
+            )
+            .persist()
         )
-        rel_col = F.regexp_replace(
-            abs_col, "^" + _re.escape(table.table_path.rstrip("/")) + "/", ""
-        )
-    # Cache the positional scan: it feeds the touched-path set, the prior-DV
-    # restriction, AND the merged vector write — without the persist the full
-    # predicate scan would re-execute once per consumer.
-    hits = (
-        scan.where(F.coalesce(F.expr(predicate), F.lit(False)))
-        .select(rel_col.alias("path"), F.col("__pos__").alias("pos"))
-        .persist()
-    )
     # O(#files-touched) driver-side: materializes the scan ONCE into the
     # cache and gives the path set both downstream filters reuse.
     touched = sorted(r["path"] for r in hits.select("path").distinct().collect())
     if not touched:
         hits.unpersist()
+        if _insert_adds:
+            # insert-only outcome (e.g. a MERGE that matched nothing):
+            # still one atomic commit of the staged value files
+            version = table.commit_rewrite(
+                list(_insert_adds), [], operation=_operation
+            )
+            return {"dv_files": 0, "deleted_rows": 0, "version": version}
         return {"dv_files": 0, "deleted_rows": 0, "version": state.version}
     restrict_df = table.spark.createDataFrame([(p,) for p in touched], "path string")
 
@@ -587,6 +607,116 @@ def update_where_dv(
     return {
         "dv_files": res["dv_files"],
         "updated_rows": n_updated,
+        "version": res["version"],
+    }
+
+
+def merge_dv(
+    table: DeltaTable,
+    source: DataFrame,
+    keys: Sequence[str],
+    when_matched_update: dict[str, str] | None = None,
+    when_matched_delete: str | None = None,
+    matched_condition: str | None = None,
+    when_not_matched_insert: bool = True,
+    vector_format: str = "roaring",
+) -> dict:
+    """Merge-on-read MERGE — the DV sibling of :func:`merge`: rows the
+    statement CHANGES (matched-update or matched-delete hits) have their
+    positions recorded in deletion vectors, updated values and unmatched-
+    source inserts append as new files, all in ONE atomic commit.  Matched
+    rows no clause touches keep their bytes AND their positions — nothing
+    is rewritten for them.
+
+    Clause semantics match :func:`merge` (``t.``/``s.`` expression strings,
+    delete wins over update, ``matched_condition`` gates the update,
+    multi-source-row keys raise).  BY SOURCE clauses are copy-on-write
+    territory — use :func:`merge`.
+
+    Scale shape: where :func:`merge` rewrites every zone-map candidate
+    file, this touches only a KB vector per file containing a changed row
+    plus the appended values — the CDC-apply path for wide tables where
+    each batch changes a sliver of many files.  Updated values come from
+    the LIVE view (prior DV deletes are not resurrected); positions come
+    from the raw positional scan (re-marking an already-deleted row is a
+    sidecar-level no-op).
+
+    Returns {"dv_files", "dv_marked_rows", "appended_rows", "version"}."""
+    keys = list(keys)
+    state = table.state()
+    schema = state.metadata.schema
+    update = dict(when_matched_update or {})
+    src = source.select(*[F.col(f.name).cast(f.dataType) for f in schema.fields])
+    dup = src.groupBy(*keys).count().where(F.col("count") > 1).limit(1).collect()
+    if dup:
+        dupkey = {k: dup[0][k] for k in keys}
+        raise ValueError(f"MERGE source has multiple rows for key {dupkey}")
+
+    def key_cond():
+        cond = None
+        for k in keys:
+            c = F.col(f"t.{k}") == F.col(f"s.{k}")
+            cond = c if cond is None else cond & c
+        return cond
+
+    delete_hit = (
+        F.coalesce(F.expr(when_matched_delete), F.lit(False))
+        if when_matched_delete
+        else F.lit(False)
+    )
+    update_hit = (
+        F.coalesce(F.expr(matched_condition), F.lit(False))
+        if matched_condition
+        else F.lit(True)
+    )
+
+    # Values: live matched rows that the update clause rewrites + inserts.
+    t_live = table.to_df(adds=state.adds).alias("t")
+    s = src.alias("s")
+    matched_live = t_live.join(s, key_cond(), "inner")
+    out_cols = []
+    for f in schema.fields:
+        out_cols.append(
+            F.expr(update[f.name]).cast(f.dataType).alias(f.name)
+            if f.name in update
+            else F.col(f"t.{f.name}")
+        )
+    upd_rows = matched_live.where(~delete_hit & update_hit).select(*out_cols)
+    new_values = upd_rows
+    if when_not_matched_insert:
+        inserts = src.join(t_live.select(*keys), keys, "left_anti").select(
+            *[f.name for f in schema.fields]
+        )
+        new_values = new_values.unionByName(inserts)
+    new_values = new_values.localCheckpoint(eager=True)
+    n_appended = new_values.count()
+
+    # Positions: raw scan rows whose source match triggers delete OR update.
+    scan = table.scan_with_positions(state.adds)
+    hits = (
+        scan.select(
+            *[F.col(f.name) for f in schema.fields],
+            _rel_path_col(table).alias("__relp__"),
+            F.col("__pos__"),
+        )
+        .alias("t")
+        .join(s, key_cond())
+        .where(delete_hit | update_hit)
+        .select(F.col("__relp__").alias("path"), F.col("__pos__").alias("pos"))
+    )
+    insert_adds = table.stage_write(new_values, data_change=True) if n_appended else None
+    res = delete_where_dv(
+        table,
+        None,
+        vector_format,
+        _insert_adds=insert_adds,
+        _operation="MERGE",
+        _hits_df=hits,
+    )
+    return {
+        "dv_files": res["dv_files"],
+        "dv_marked_rows": res["deleted_rows"],
+        "appended_rows": n_appended,
         "version": res["version"],
     }
 

@@ -907,3 +907,55 @@ def test_update_where_dv_does_not_resurrect_deleted_rows(spark, tmp_path):
     got = {r["id"]: r["amt"] for r in DeltaTable(spark, path).to_df().collect()}
     assert set(got) == {0, 3, 4, 5, 6, 7}
     assert got[0] == 0.5 and got[3] == 3.5 and got[4] == 4.0
+
+
+def test_merge_dv_clauses_merge_on_read(spark, tmp_path):
+    """MoR MERGE: changed rows DV'd + values appended in one commit;
+    matched rows no clause touches keep their bytes and positions."""
+    from delta_sorter_spark.operators.dml import merge_dv
+
+    path = str(tmp_path / "mor_mrg")
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, "d", 40.0)],
+        "id long, v string, amt double",
+    )
+    table = DeltaTable.create(spark, path, df.coalesce(1), stat_columns=["id"])
+    orig_paths = {a.path for a in table.state().adds}
+    src = spark.createDataFrame(
+        [(1, "A", 5.0), (2, "B", 99.0), (3, "C", 7.0), (5, "e", 50.0)],
+        "id long, v string, amt double",
+    )
+    out = merge_dv(
+        table,
+        src,
+        ["id"],
+        when_matched_update={"v": "s.v", "amt": "t.amt + s.amt"},
+        when_matched_delete="s.amt > 90",      # id 2 deleted
+        matched_condition="s.amt < 6",          # only id 1 updated
+        when_not_matched_insert=True,           # id 5 inserted
+    )
+    assert out["dv_files"] == 1
+    assert out["dv_marked_rows"] == 2          # ids 1 (update) and 2 (delete)
+    assert out["appended_rows"] == 2           # updated id 1 + inserted id 5
+    t2 = DeltaTable(spark, path)
+    assert orig_paths <= {a.path for a in t2.state().adds}  # bytes kept
+    got = sorted(tuple(r) for r in t2.to_df().collect())
+    assert got == [
+        (1, "A", 15.0),   # updated copy
+        (3, "c", 30.0),   # matched, condition false -> untouched (no DV)
+        (4, "d", 40.0),   # unmatched target
+        (5, "e", 50.0),   # inserted
+    ]
+
+
+def test_merge_dv_insert_only_still_commits(spark, tmp_path):
+    from delta_sorter_spark.operators.dml import merge_dv
+
+    path = str(tmp_path / "mor_ins")
+    df = spark.createDataFrame([(1, 1.0)], "id long, amt double")
+    table = DeltaTable.create(spark, path, df.coalesce(1))
+    src = spark.createDataFrame([(9, 9.0)], "id long, amt double")
+    out = merge_dv(table, src, ["id"])
+    assert out["dv_files"] == 0 and out["appended_rows"] == 1
+    got = sorted(tuple(r) for r in DeltaTable(spark, path).to_df().collect())
+    assert got == [(1, 1.0), (9, 9.0)]
