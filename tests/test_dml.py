@@ -959,3 +959,27 @@ def test_merge_dv_insert_only_still_commits(spark, tmp_path):
     assert out["dv_files"] == 0 and out["appended_rows"] == 1
     got = sorted(tuple(r) for r in DeltaTable(spark, path).to_df().collect())
     assert got == [(1, 1.0), (9, 9.0)]
+
+
+def test_table_changes_over_mor_update(spark, tmp_path):
+    """CDF of a merge-on-read UPDATE: each changed row feeds a delete (old
+    values, via the DV delta) plus an insert (new values, via the appended
+    file) at the SAME commit version — the standard change shape for
+    writers that don't materialize preimage/postimage rows."""
+    from delta_sorter_spark.operators.dml import table_changes, update_where_dv
+
+    path = str(tmp_path / "cdf_upd")
+    df = spark.createDataFrame([(i, float(i)) for i in range(6)], "id long, amt double")
+    table = DeltaTable.create(spark, path, df.coalesce(1))
+    v0 = table.log.latest_version()
+    update_where_dv(table, "id IN (1, 3)", {"amt": "amt * 10"})
+    got = sorted(
+        (r["id"], r["amt"], r["_change_type"], r["_commit_version"])
+        for r in table_changes(DeltaTable(spark, path), v0).collect()
+    )
+    assert got == [
+        (1, 1.0, "delete", v0 + 1),
+        (1, 10.0, "insert", v0 + 1),
+        (3, 3.0, "delete", v0 + 1),
+        (3, 30.0, "insert", v0 + 1),
+    ]
