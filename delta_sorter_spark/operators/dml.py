@@ -664,11 +664,16 @@ def merge_dv(
         if when_matched_delete
         else F.lit(False)
     )
-    update_hit = (
-        F.coalesce(F.expr(matched_condition), F.lit(False))
-        if matched_condition
-        else F.lit(True)
-    )
+    # No update clause -> matched rows are NOT a matched action: without
+    # this, an insert-only merge would DV + re-append every matched row
+    # unchanged — same data, but needless vector churn and spurious
+    # delete+insert pairs in the change feed.
+    if not update:
+        update_hit = F.lit(False)
+    elif matched_condition:
+        update_hit = F.coalesce(F.expr(matched_condition), F.lit(False))
+    else:
+        update_hit = F.lit(True)
 
     # Values: live matched rows that the update clause rewrites + inserts.
     t_live = table.to_df(adds=state.adds).alias("t")

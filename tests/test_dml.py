@@ -983,3 +983,26 @@ def test_table_changes_over_mor_update(spark, tmp_path):
         (3, 3.0, "delete", v0 + 1),
         (3, 30.0, "insert", v0 + 1),
     ]
+
+
+def test_merge_dv_insert_only_leaves_matched_rows_untouched(spark, tmp_path):
+    """No update clause -> matched rows are not a matched action: no DV
+    churn, no spurious change-feed delete/insert pairs for unchanged rows."""
+    from delta_sorter_spark.operators.dml import merge_dv, table_changes
+
+    path = str(tmp_path / "mor_noupd")
+    df = spark.createDataFrame([(1, 1.0), (2, 2.0)], "id long, amt double")
+    table = DeltaTable.create(spark, path, df.coalesce(1))
+    v0 = table.log.latest_version()
+    src = spark.createDataFrame([(2, 99.0), (3, 3.0)], "id long, amt double")
+    out = merge_dv(table, src, ["id"])  # insert-only merge; id 2 matched
+    assert out["dv_files"] == 0 and out["dv_marked_rows"] == 0
+    assert out["appended_rows"] == 1
+    t2 = DeltaTable(spark, path)
+    got = sorted(tuple(r) for r in t2.to_df().collect())
+    assert got == [(1, 1.0), (2, 2.0), (3, 3.0)]  # matched row unchanged
+    feed = [
+        (r["id"], r["_change_type"])
+        for r in table_changes(t2, v0).collect()
+    ]
+    assert feed == [(3, "insert")]  # no delete/insert noise for id 2
