@@ -5604,6 +5604,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # the salt_factor hook), m2/m4 (pluggable decoder/embedder hooks),
 # e59 (payload-carry rewrite: values ride the blocking windows).
 _RECHECK_THIS_ROUND = [
+    # late-round DV-flow refactor (shared hit-set + insert-commit path)
+    # touches every delete_where_dv consumer:
+    "q5_change_feed",
+    "q6_restore",
     "e59_fuzzy_linkage",
     "e58_sorted_neighborhood",
     "a45_scd2_intervals",
