@@ -328,3 +328,66 @@ def test_train_bpe_matches_python_reference(spark, docs, n_merges):
             nv[tuple(out)] = nv.get(tuple(out), 0) + c
         vocab = nv
     assert got == want
+
+
+@given(
+    tgt=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 50)),
+        min_size=1, max_size=10, unique_by=lambda t: t[0],
+    ),
+    src=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(51, 99)),
+        min_size=0, max_size=8, unique_by=lambda t: t[0],
+    ),
+    thresh=st.integers(60, 95),
+)
+@_settings
+def test_merge_dv_equals_copy_on_write_merge(spark, tmp_path_factory, tgt, src, thresh):
+    """For ANY target/source and clause mix, merge-on-read MERGE produces
+    exactly the rows copy-on-write MERGE does — only the storage mechanics
+    (DV + append vs rewrite) differ."""
+    from delta_sorter_spark.operators.dml import merge, merge_dv
+    from delta_sorter_spark.sources.delta_table import DeltaTable
+
+    tdf = spark.createDataFrame(tgt, "id long, amt long")
+    sdf = spark.createDataFrame(src or [(999, 0)], "id long, amt long").limit(len(src))
+    clauses = dict(
+        when_matched_update={"amt": "t.amt + s.amt"},
+        when_matched_delete=f"s.amt > {thresh}",
+        matched_condition="s.amt % 2 = 0",
+        when_not_matched_insert=True,
+    )
+    base = tmp_path_factory.mktemp("eq")
+    cow = DeltaTable.create(spark, str(base / "cow"), tdf.coalesce(1))
+    mor = DeltaTable.create(spark, str(base / "mor"), tdf.coalesce(1))
+    merge(cow, sdf, ["id"], **clauses)
+    merge_dv(mor, sdf, ["id"], **clauses)
+    got_cow = sorted(tuple(r) for r in DeltaTable(spark, str(base / "cow")).to_df().collect())
+    got_mor = sorted(tuple(r) for r in DeltaTable(spark, str(base / "mor")).to_df().collect())
+    assert got_cow == got_mor
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 20), st.integers(-50, 50)),
+        min_size=1, max_size=12, unique_by=lambda t: t[0],
+    ),
+    pivot=st.integers(-10, 10),
+)
+@_settings
+def test_update_where_dv_equals_copy_on_write_update(
+    spark, tmp_path_factory, rows, pivot
+):
+    from delta_sorter_spark.operators.dml import update_where, update_where_dv
+    from delta_sorter_spark.sources.delta_table import DeltaTable
+
+    df = spark.createDataFrame(rows, "id long, amt long")
+    base = tmp_path_factory.mktemp("uq")
+    cow = DeltaTable.create(spark, str(base / "cow"), df.coalesce(1))
+    mor = DeltaTable.create(spark, str(base / "mor"), df.coalesce(1))
+    pred, sets = f"amt > {pivot}", {"amt": "amt * 3 + 1"}
+    update_where(cow, pred, sets)
+    update_where_dv(mor, pred, sets)
+    got_cow = sorted(tuple(r) for r in DeltaTable(spark, str(base / "cow")).to_df().collect())
+    got_mor = sorted(tuple(r) for r in DeltaTable(spark, str(base / "mor")).to_df().collect())
+    assert got_cow == got_mor
