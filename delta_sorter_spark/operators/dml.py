@@ -398,6 +398,8 @@ def delete_where_dv(
     _insert_adds: list | None = None,
     _operation: str = "DELETE",
     _hits_df: DataFrame | None = None,
+    _txn_app_id: str | None = None,
+    _txn_version: int | None = None,
 ) -> dict:
     """Merge-on-read DELETE: instead of rewriting hit files, record the
     deleted row POSITIONS in a deletion vector and re-Add each file with a
@@ -464,7 +466,8 @@ def delete_where_dv(
             # insert-only outcome (e.g. a MERGE that matched nothing):
             # still one atomic commit of the staged value files
             version = table.commit_rewrite(
-                list(_insert_adds), [], operation=_operation
+                list(_insert_adds), [], operation=_operation,
+                txn_app_id=_txn_app_id, txn_version=_txn_version,
             )
             return {"dv_files": 0, "deleted_rows": 0, "version": version}
         return {"dv_files": 0, "deleted_rows": 0, "version": state.version}
@@ -543,7 +546,8 @@ def delete_where_dv(
         # pre-staged files that join the same atomic commit as the vectors
         new_adds = new_adds + list(_insert_adds)
     version = table.commit_rewrite(
-        new_adds, removes, operation=_operation, extra_actions=extra_actions
+        new_adds, removes, operation=_operation, extra_actions=extra_actions,
+        txn_app_id=_txn_app_id, txn_version=_txn_version,
     )
     return {
         "dv_files": n_dv_files,
@@ -620,6 +624,8 @@ def merge_dv(
     matched_condition: str | None = None,
     when_not_matched_insert: bool = True,
     vector_format: str = "roaring",
+    txn_app_id: str | None = None,
+    txn_version: int | None = None,
 ) -> dict:
     """Merge-on-read MERGE — the DV sibling of :func:`merge`: rows the
     statement CHANGES (matched-update or matched-delete hits) have their
@@ -641,9 +647,23 @@ def merge_dv(
     from the raw positional scan (re-marking an already-deleted row is a
     sidecar-level no-op).
 
+    ``txn_app_id``/``txn_version``: SetTransaction idempotence, exactly as
+    :func:`merge` — an exactly-once foreachBatch CDC apply re-delivering a
+    batch is a no-op BEFORE any compute or staging.
+
     Returns {"dv_files", "dv_marked_rows", "appended_rows", "version"}."""
     keys = list(keys)
     state = table.state()
+    if (txn_app_id is None) != (txn_version is None):
+        raise ValueError("txn_app_id and txn_version must be passed together")
+    if txn_app_id is not None and state.txns.get(txn_app_id, -1) >= txn_version:
+        return {
+            "dv_files": 0,
+            "dv_marked_rows": 0,
+            "appended_rows": 0,
+            "version": state.version,
+            "skipped": True,
+        }
     schema = state.metadata.schema
     update = dict(when_matched_update or {})
     src = source.select(*[F.col(f.name).cast(f.dataType) for f in schema.fields])
@@ -717,6 +737,8 @@ def merge_dv(
         _insert_adds=insert_adds,
         _operation="MERGE",
         _hits_df=hits,
+        _txn_app_id=txn_app_id,
+        _txn_version=txn_version,
     )
     return {
         "dv_files": res["dv_files"],

@@ -1006,3 +1006,33 @@ def test_merge_dv_insert_only_leaves_matched_rows_untouched(spark, tmp_path):
         for r in table_changes(t2, v0).collect()
     ]
     assert feed == [(3, "insert")]  # no delete/insert noise for id 2
+
+
+def test_merge_dv_txn_idempotence(spark, tmp_path):
+    """Exactly-once CDC apply: re-delivering a batch with the same
+    (app_id, version) is a no-op before any compute; the next version
+    applies and records."""
+    from delta_sorter_spark.operators.dml import merge_dv
+
+    path = str(tmp_path / "mor_txn")
+    df = spark.createDataFrame([(1, 1.0), (2, 2.0)], "id long, amt double")
+    table = DeltaTable.create(spark, path, df.coalesce(1))
+    batch = spark.createDataFrame([(2, 20.0), (3, 3.0)], "id long, amt double")
+    out1 = merge_dv(
+        table, batch, ["id"], when_matched_update={"amt": "s.amt"},
+        txn_app_id="cdc", txn_version=1,
+    )
+    assert out1["appended_rows"] == 2
+    out2 = merge_dv(  # redelivery: same batch, same version
+        DeltaTable(spark, path), batch, ["id"],
+        when_matched_update={"amt": "s.amt"}, txn_app_id="cdc", txn_version=1,
+    )
+    assert out2.get("skipped") and out2["appended_rows"] == 0
+    got = sorted(tuple(r) for r in DeltaTable(spark, path).to_df().collect())
+    assert got == [(1, 1.0), (2, 20.0), (3, 3.0)]
+    nxt = spark.createDataFrame([(4, 4.0)], "id long, amt double")
+    out3 = merge_dv(
+        DeltaTable(spark, path), nxt, ["id"],
+        when_matched_update={"amt": "s.amt"}, txn_app_id="cdc", txn_version=2,
+    )
+    assert out3["appended_rows"] == 1 and not out3.get("skipped")
