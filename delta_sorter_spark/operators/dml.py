@@ -395,6 +395,8 @@ def delete_where_dv(
     table: DeltaTable,
     predicate: str | None,
     vector_format: str = "roaring",
+    txn_app_id: str | None = None,
+    txn_version: int | None = None,
     _insert_adds: list | None = None,
     _operation: str = "DELETE",
     _hits_df: DataFrame | None = None,
@@ -435,8 +437,19 @@ def delete_where_dv(
 
     if vector_format not in ("roaring", "parquet"):
         raise ValueError(f"unknown vector_format {vector_format!r}")
+    if (txn_app_id is None) != (txn_version is None):
+        raise ValueError("txn_app_id and txn_version must be passed together")
+    if _txn_app_id is None:
+        _txn_app_id, _txn_version = txn_app_id, txn_version
 
     state = table.state()
+    if _txn_app_id is not None and state.txns.get(_txn_app_id, -1) >= _txn_version:
+        return {
+            "dv_files": 0,
+            "deleted_rows": 0,
+            "version": state.version,
+            "skipped": True,
+        }
     if _hits_df is not None:
         # caller-provided (path, pos) hit set (merge_dv's positional join)
         hits = _hits_df.persist()
@@ -561,6 +574,8 @@ def update_where_dv(
     predicate: str,
     set_exprs: dict[str, str],
     vector_format: str = "roaring",
+    txn_app_id: str | None = None,
+    txn_version: int | None = None,
 ) -> dict:
     """Merge-on-read UPDATE — Delta's DV-update shape: the matched rows'
     positions go into deletion vectors (their multi-GB data files are NOT
@@ -574,8 +589,20 @@ def update_where_dv(
     touches most of a file.  SET semantics match :func:`update_where`
     (expressions over the OLD row values).
 
+    ``txn_app_id``/``txn_version``: SetTransaction idempotence as in
+    :func:`merge_dv` — a redelivered batch no-ops before any compute.
+
     Returns {"dv_files", "updated_rows", "version"}."""
     state = table.state()
+    if (txn_app_id is None) != (txn_version is None):
+        raise ValueError("txn_app_id and txn_version must be passed together")
+    if txn_app_id is not None and state.txns.get(txn_app_id, -1) >= txn_version:
+        return {
+            "dv_files": 0,
+            "updated_rows": 0,
+            "version": state.version,
+            "skipped": True,
+        }
     schema = state.metadata.schema
     names = {f.name for f in schema.fields}
     unknown = sorted(set(set_exprs) - names)
@@ -607,6 +634,8 @@ def update_where_dv(
         vector_format,
         _insert_adds=insert_adds,
         _operation="UPDATE",
+        _txn_app_id=txn_app_id,
+        _txn_version=txn_version,
     )
     return {
         "dv_files": res["dv_files"],

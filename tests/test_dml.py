@@ -1036,3 +1036,30 @@ def test_merge_dv_txn_idempotence(spark, tmp_path):
         when_matched_update={"amt": "s.amt"}, txn_app_id="cdc", txn_version=2,
     )
     assert out3["appended_rows"] == 1 and not out3.get("skipped")
+
+
+def test_dv_delete_and_update_txn_idempotence(spark, tmp_path):
+    from delta_sorter_spark.operators.dml import delete_where_dv, update_where_dv
+
+    path = str(tmp_path / "dv_txn")
+    df = spark.createDataFrame([(i, float(i)) for i in range(6)], "id long, amt double")
+    table = DeltaTable.create(spark, path, df.coalesce(1))
+    out1 = delete_where_dv(table, "id = 1", txn_app_id="etl", txn_version=1)
+    assert out1["deleted_rows"] == 1
+    out2 = delete_where_dv(
+        DeltaTable(spark, path), "id = 2", txn_app_id="etl", txn_version=1
+    )
+    assert out2.get("skipped")  # redelivered version: nothing deleted
+    out3 = update_where_dv(
+        DeltaTable(spark, path), "id = 3", {"amt": "amt + 100"},
+        txn_app_id="etl", txn_version=2,
+    )
+    assert out3["updated_rows"] == 1
+    out4 = update_where_dv(
+        DeltaTable(spark, path), "id = 4", {"amt": "amt + 100"},
+        txn_app_id="etl", txn_version=2,
+    )
+    assert out4.get("skipped")
+    got = {r["id"]: r["amt"] for r in DeltaTable(spark, path).to_df().collect()}
+    assert set(got) == {0, 2, 3, 4, 5}      # only id 1 deleted
+    assert got[3] == 103.0 and got[4] == 4.0  # only id 3 updated
