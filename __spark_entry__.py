@@ -5503,6 +5503,61 @@ WHERE o_orderkey % {SYNC_MOD} = 5
 
 
 # ---------------------------------------------------------------------------
+# Q12: stats-based file skipping (functions/skipping.py) — zone-map read
+# path.  A range-clustered scratch Delta table is queried through
+# to_df(where=...), which prunes files whose min/max stats exclude the
+# predicate BEFORE any scan task is scheduled, then re-applies the predicate
+# exactly.  Transparent by construction, so the oracle is the plain
+# relational statement; the pruning itself is pinned by
+# tests/test_skipping.py (file-count assertions + DuckDB soundness property).
+# ---------------------------------------------------------------------------
+
+# key range present at every test SF (sf0.001's lineitem reaches ~6000
+# orderkeys, so a low range keeps the query non-empty everywhere)
+SKIP_LO, SKIP_HI = 500, 1500
+
+
+def q_q12_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from delta_sorter_spark.sources.delta_table import DeltaTable
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_shipdate"
+    )
+    scratch = tempfile.mkdtemp(prefix="q12_skip_")
+    try:
+        tbl = DeltaTable.create(
+            spark, os.path.join(scratch, "t"),
+            li.repartitionByRange(16, "l_orderkey")
+            .sortWithinPartitions("l_orderkey"),
+            stat_columns=["l_orderkey"],
+        )
+        out = tbl.to_df(
+            where=(
+                f"l_orderkey BETWEEN {SKIP_LO} AND {SKIP_HI}"
+                " AND l_quantity >= 30"
+            )
+        ).select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_quantity").cast("bigint").alias("qty"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+_Q12_SQL = f"""
+SELECT l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT) AS qty
+FROM lineitem
+WHERE l_orderkey BETWEEN {SKIP_LO} AND {SKIP_HI} AND l_quantity >= 30
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q6: RESTORE TO VERSION AS OF (operators/dml.restore) — metadata-only
 # time-travel restore, hash-checked through the exact scenario that found
 # the DV-restore bug: create, merge-on-read DV delete, append, then
@@ -5617,6 +5672,11 @@ _RECHECK_THIS_ROUND = [
     "e57_remove_spans",
     "m2_decoded_assets",
     "m4_embed_topk",
+    # zone-map skipping wired into the predicate DML planners
+    # (functions/skipping.py): recheck every predicate-DML consumer
+    "q9_update_where",
+    "q10_update_where_dv",
+    "q11_merge_dv",
 ]
 
 
@@ -5721,6 +5781,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q9_update_where": q_q9_update_where,
         "q10_update_where_dv": q_q10_update_where_dv,
         "q11_merge_dv": q_q11_merge_dv,
+        "q12_data_skipping": q_q12_data_skipping,
         "e1_exact_dedup": q_e1_exact_dedup,
         "e2_minhash_sig": q_e2_minhash_sig,
         "e3_lsh_candidates": q_e3_lsh_candidates,
@@ -5833,6 +5894,7 @@ def oracle_sql() -> dict[str, str]:
         "q9_update_where": _Q9_SQL,
         "q10_update_where_dv": _Q10_SQL,
         "q11_merge_dv": _Q11_SQL,
+        "q12_data_skipping": _Q12_SQL,
         "e1_exact_dedup": _E1_SQL,
         "e2_minhash_sig": _E2_SQL,
         "e3_lsh_candidates": _E3_SQL,

@@ -259,17 +259,30 @@ def merge(
 
 def _predicate_hit_paths(table: DeltaTable, state, predicate: str) -> set[str]:
     """Table-relative paths of data files that contain at least one row
-    matching ``predicate`` — ONE scan, O(#files-touched) to the driver."""
+    matching ``predicate`` — ONE scan, O(#files-touched) to the driver.
+
+    The scan itself is zone-map pruned first (functions/skipping.py): files
+    whose stats prove the predicate can't match are never scheduled, so a
+    selective DELETE/UPDATE on a clustered column reads only the overlapping
+    files instead of the whole table."""
+    from delta_sorter_spark.functions.skipping import prune_adds
+
+    scan_adds = prune_adds(
+        state.adds, predicate, state.metadata.schema,
+        state.metadata.partition_columns,
+    )
+    if not scan_adds:
+        return set()
     if table.is_remote:
         # F.input_file_name() is empty under the Python Data Source; the
         # source's withFilePath option emits the table-relative path instead
         from delta_sorter_spark.streaming.delta_source import FILE_COL
 
-        # pin the scan to the snapshot the candidates come from: an unpinned
-        # read sees files committed AFTER state was captured, so hit paths
-        # would miss every candidate and the DML silently no-ops under a
-        # concurrent rewrite
-        df = table._to_df_remote(version=state.version, with_file_path=True)
+        # pin the scan to the snapshot the candidates come from (explicit
+        # file specs): an unpinned read sees files committed AFTER state was
+        # captured, so hit paths would miss every candidate and the DML
+        # silently no-ops under a concurrent rewrite
+        df = table._to_df_remote(adds=scan_adds, with_file_path=True)
         return {
             r["__f__"]
             for r in df.where(predicate)
@@ -277,7 +290,7 @@ def _predicate_hit_paths(table: DeltaTable, state, predicate: str) -> set[str]:
             .distinct()
             .collect()
         }
-    df = table.to_df(adds=state.adds)
+    df = table.to_df(adds=scan_adds)
     hit_uris = {
         r["__f__"]
         for r in df.where(predicate)
@@ -457,8 +470,23 @@ def delete_where_dv(
         # Raw positional scan (existing DVs not applied): rows already
         # deleted may re-match the predicate, but the sidecar-level
         # distinct() makes that a no-op, and deleted_rows counts only NEW
-        # positions.
-        scan = table.scan_with_positions(state.adds)
+        # positions.  Zone-map pruned first (functions/skipping.py): files
+        # whose stats exclude the predicate get no scan task and no vector.
+        from delta_sorter_spark.functions.skipping import prune_adds
+
+        scan_adds = prune_adds(
+            state.adds, predicate, state.metadata.schema,
+            state.metadata.partition_columns,
+        )
+        if not scan_adds:
+            if _insert_adds:
+                version = table.commit_rewrite(
+                    list(_insert_adds), [], operation=_operation,
+                    txn_app_id=_txn_app_id, txn_version=_txn_version,
+                )
+                return {"dv_files": 0, "deleted_rows": 0, "version": version}
+            return {"dv_files": 0, "deleted_rows": 0, "version": state.version}
+        scan = table.scan_with_positions(scan_adds)
         # Cache the positional scan: it feeds the touched-path set, the
         # prior-DV restriction, AND the merged vector write — without the
         # persist the full predicate scan would re-execute once per
@@ -611,7 +639,14 @@ def update_where_dv(
     # Updated values come from the LIVE view (existing DVs applied): a row
     # already deleted by a prior vector must not be resurrected even though
     # the raw positional scan below will (no-op) re-mark its position.
-    live_hits = table.to_df(adds=state.adds).where(
+    # Zone-map pruned (functions/skipping.py): only files whose stats admit
+    # the predicate are scanned for values.
+    from delta_sorter_spark.functions.skipping import prune_adds
+
+    value_adds = prune_adds(
+        state.adds, predicate, schema, state.metadata.partition_columns
+    )
+    live_hits = table.to_df(adds=value_adds).where(
         F.coalesce(F.expr(predicate), F.lit(False))
     )
     out_cols = []

@@ -586,6 +586,7 @@ class DeltaTable:
         adds: Sequence[AddAction] | None = None,
         version: int | None = None,
         timestamp=None,
+        where: str | None = None,
     ) -> DataFrame:
         """DataFrame over the active files (or an explicit pruned subset).
 
@@ -594,11 +595,28 @@ class DeltaTable:
         ``load_version``) — O(log) metadata work, no data copies, because
         rewritten files are tombstoned rather than deleted until vacuum.
         ``timestamp`` is ``timestampAsOf``: resolved to the last version
-        committed at or before that time, then identical."""
+        committed at or before that time, then identical.
+
+        ``where`` applies a SQL predicate with STATS-BASED FILE SKIPPING
+        (functions/skipping.py): files whose zone maps prove no row can
+        match are never scheduled, then the predicate is re-applied exactly
+        on the survivors — same result as ``.where(...)`` on a full scan,
+        minus the tasks.  On a compact-sorted or z-ordered 100 TB table a
+        selective range predicate drops to the few overlapping files."""
         if timestamp is not None:
             if version is not None:
                 raise ValueError("pass either version or timestamp, not both")
             version = self.version_at_timestamp(timestamp)
+        if where is not None:
+            from delta_sorter_spark.functions.skipping import prune_adds
+
+            state = self.state(version=version)
+            meta = state.metadata
+            use = state.adds if adds is None else list(adds)
+            pruned = prune_adds(use, where, meta.schema, meta.partition_columns)
+            # pass the pruned list as an explicit subset (pins the snapshot
+            # on the remote path too), then re-apply the predicate exactly
+            return self.to_df(adds=pruned, version=version).where(where)
         if self.is_remote:
             return self._to_df_remote(version=version, adds=adds)
         state = self.state(version=version)
