@@ -759,8 +759,17 @@ def merge_dv(
     else:
         update_hit = F.lit(True)
 
+    # Zone-map prune once by the source's key bounds (same planner step as
+    # copy-on-write merge/upsert): a file whose key interval is disjoint
+    # from the source's can contain neither a matched row nor a key that
+    # blocks an insert, so both the live view and the positional scan below
+    # restrict to candidates — the CDC-apply batch touching one key range
+    # of a 100 TB table scans that range only.
+    bounds = _key_bounds(src, keys)
+    cand_adds = [a for a in state.adds if _may_contain(a, bounds, schema)]
+
     # Values: live matched rows that the update clause rewrites + inserts.
-    t_live = table.to_df(adds=state.adds).alias("t")
+    t_live = table.to_df(adds=cand_adds).alias("t")
     s = src.alias("s")
     matched_live = t_live.join(s, key_cond(), "inner")
     out_cols = []
@@ -781,18 +790,23 @@ def merge_dv(
     n_appended = new_values.count()
 
     # Positions: raw scan rows whose source match triggers delete OR update.
-    scan = table.scan_with_positions(state.adds)
-    hits = (
-        scan.select(
-            *[F.col(f.name) for f in schema.fields],
-            _rel_path_col(table).alias("__relp__"),
-            F.col("__pos__"),
+    if cand_adds:
+        scan = table.scan_with_positions(cand_adds)
+        hits = (
+            scan.select(
+                *[F.col(f.name) for f in schema.fields],
+                _rel_path_col(table).alias("__relp__"),
+                F.col("__pos__"),
+            )
+            .alias("t")
+            .join(s, key_cond())
+            .where(delete_hit | update_hit)
+            .select(F.col("__relp__").alias("path"), F.col("__pos__").alias("pos"))
         )
-        .alias("t")
-        .join(s, key_cond())
-        .where(delete_hit | update_hit)
-        .select(F.col("__relp__").alias("path"), F.col("__pos__").alias("pos"))
-    )
+    else:
+        # pure-insert batch (every source key beyond the table's zone maps):
+        # no file can hold a matched row, so there is nothing to mark
+        hits = table.spark.createDataFrame([], "path string, pos long")
     insert_adds = table.stage_write(new_values, data_change=True) if n_appended else None
     res = delete_where_dv(
         table,

@@ -352,6 +352,36 @@ def test_delete_where_dv_prunes_but_stays_exact(spark, tmp_path):
     assert res2 == {"dv_files": 0, "deleted_rows": 0, "version": v}
 
 
+def test_merge_dv_zone_map_prune(spark, tmp_path):
+    """merge_dv restricts its scans to source-key-range candidates; a
+    pure-insert batch (all keys beyond the zone maps) scans nothing and
+    still commits the inserts atomically."""
+    from delta_sorter_spark.operators.dml import merge_dv
+
+    path = str(tmp_path / "t5")
+    df = spark.range(0, 600).select(
+        F.col("id").alias("k"), (F.col("id") % 5).alias("v")
+    )
+    tbl = DeltaTable.create(
+        spark, path, df.repartitionByRange(6, "k").sortWithinPartitions("k"),
+        stat_columns=["k"],
+    )
+    # update batch confined to one key range: only that file gets a vector
+    src = spark.createDataFrame([(10, 99), (20, 98)], "k long, v long")
+    res = merge_dv(tbl, src, ["k"], when_matched_update={"v": "s.v"})
+    assert res["dv_files"] == 1
+    assert res["dv_marked_rows"] == 2
+    got = {r["k"]: r["v"] for r in tbl.to_df().where("k in (10, 20)").collect()}
+    assert got == {10: 99, 20: 98}
+    # pure-insert batch, keys beyond every file's max
+    src2 = spark.createDataFrame([(9001, 1), (9002, 2)], "k long, v long")
+    res2 = merge_dv(tbl, src2, ["k"], when_matched_update={"v": "s.v"},
+                    when_not_matched_insert=True)
+    assert res2["dv_files"] == 0
+    assert res2["appended_rows"] == 2
+    assert tbl.to_df().count() == 602
+
+
 # ---------------------------------------------------------------------------
 # Property: a file DuckDB finds matching rows in is NEVER skipped
 # ---------------------------------------------------------------------------
