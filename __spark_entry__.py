@@ -5558,6 +5558,65 @@ WHERE l_orderkey BETWEEN {SKIP_LO} AND {SKIP_HI} AND l_quantity >= 30
 
 
 # ---------------------------------------------------------------------------
+# Q13: metadata-only aggregates — count(*)/min/max served from log stats
+# with ZERO scan tasks (DeltaTable.stats_count / stats_min_max).  The count
+# stays exact across a merge-on-read delete (numRecords minus DV
+# cardinality); min/max come from the pre-delete snapshot (a DV'd file may
+# have lost its extremum, so the live version correctly REFUSES the fast
+# answer — pinned by tests/test_skipping.py).  The oracle restates both
+# relationally.
+# ---------------------------------------------------------------------------
+
+STATSAGG_MOD = 10
+
+
+def q_q13_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from delta_sorter_spark.operators.dml import delete_where_dv
+    from delta_sorter_spark.sources.delta_table import DeltaTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    scratch = tempfile.mkdtemp(prefix="q13_agg_")
+    try:
+        tbl = DeltaTable.create(
+            spark, os.path.join(scratch, "t"),
+            orders.repartitionByRange(8, "o_orderkey")
+            .sortWithinPartitions("o_orderkey"),
+            stat_columns=["o_orderkey", "o_orderdate"],
+        )
+        v0 = tbl.log.latest_version()
+        delete_where_dv(tbl, f"o_orderkey % {STATSAGG_MOD} = 3")
+        n_live = tbl.stats_count()
+        n_before = tbl.stats_count(version=v0)
+        klo, khi = tbl.stats_min_max("o_orderkey", version=v0)
+        dlo, dhi = tbl.stats_min_max("o_orderdate", version=v0)
+        return spark.createDataFrame(
+            [(n_live, n_before, klo, khi, str(dlo), str(dhi))],
+            "n_live long, n_before long, min_key long, max_key long,"
+            " min_date string, max_date string",
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+_Q13_SQL = f"""
+SELECT (SELECT count(*) FROM orders WHERE o_orderkey % {STATSAGG_MOD} <> 3)
+         AS n_live,
+       count(*) AS n_before,
+       min(o_orderkey) AS min_key,
+       max(o_orderkey) AS max_key,
+       CAST(min(o_orderdate) AS VARCHAR) AS min_date,
+       CAST(max(o_orderdate) AS VARCHAR) AS max_date
+FROM orders
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q6: RESTORE TO VERSION AS OF (operators/dml.restore) — metadata-only
 # time-travel restore, hash-checked through the exact scenario that found
 # the DV-restore bug: create, merge-on-read DV delete, append, then
@@ -5782,6 +5841,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_update_where_dv": q_q10_update_where_dv,
         "q11_merge_dv": q_q11_merge_dv,
         "q12_data_skipping": q_q12_data_skipping,
+        "q13_stats_agg": q_q13_stats_agg,
         "e1_exact_dedup": q_e1_exact_dedup,
         "e2_minhash_sig": q_e2_minhash_sig,
         "e3_lsh_candidates": q_e3_lsh_candidates,
@@ -5895,6 +5955,7 @@ def oracle_sql() -> dict[str, str]:
         "q10_update_where_dv": _Q10_SQL,
         "q11_merge_dv": _Q11_SQL,
         "q12_data_skipping": _Q12_SQL,
+        "q13_stats_agg": _Q13_SQL,
         "e1_exact_dedup": _E1_SQL,
         "e2_minhash_sig": _E2_SQL,
         "e3_lsh_candidates": _E3_SQL,

@@ -68,7 +68,7 @@ def parse_stat(value, dtype: T.DataType):
     """Parse a JSON stats value back into a comparable Python value."""
     if value is None:
         return None
-    if isinstance(dtype, T.TimestampType):
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
         return _dt.datetime.fromisoformat(value)
     if isinstance(dtype, T.DateType):
         return _dt.date.fromisoformat(value)
@@ -1790,6 +1790,103 @@ class DeltaTable:
         except _AlreadyApplied:
             self.discard_files(adds)
             return self.log.latest_version()
+
+    # -- metadata-only aggregates (zero-scan, from log stats) ---------------
+
+    def stats_count(self, version: int | None = None) -> int | None:
+        """Exact logical row count from the log alone — ZERO scan tasks.
+
+        Every Add carries its physical ``numRecords`` (this engine's
+        stage_write always writes it) and a deletion vector's ``cardinality``
+        is the exact count of positions it hides, so
+
+            count(*) = sum(numRecords) - sum(dv.cardinality)
+
+        is exact even on heavily-DV'd tables.  Returns None when any active
+        file lacks numRecords (foreign writer without stats) — callers fall
+        back to ``to_df().count()``.  On a 100 TB / million-file table this
+        answers the most common query there is at log-replay cost, the same
+        way Delta/Databricks serve count(*) from the snapshot."""
+        total = 0
+        for a in self.state(version=version).adds:
+            n = (a.stats or {}).get("numRecords")
+            if n is None:
+                return None
+            total += int(n)
+            if a.deletion_vector:
+                total -= int(a.deletion_vector.get("cardinality", 0))
+        return total
+
+    def stats_min_max(
+        self,
+        column: str,
+        version: int | None = None,
+        trust_string_stats: bool = False,
+    ):
+        """Exact (min, max) of ``column`` from zone maps — zero scan — or
+        None when the log cannot prove exactness.
+
+        A file's contribution is its stats min/max (or its typed partition
+        value for a partition column).  The fold is only EXACT when every
+        file is trustworthy: stats present for the column (or all-null,
+        which contributes nothing), ``tightBounds`` not false (a DV re-Add
+        keeps loose bounds — the deleted row may have held the extremum),
+        and no deletion vector.  Any untrustworthy file -> None (caller
+        falls back to a real aggregation; a WRONG fast answer is never
+        returned).  All-null across every file returns (None, None) — the
+        SQL result of min/max over all NULLs.
+
+        String/binary columns return None unless ``trust_string_stats``:
+        the protocol lets writers TRUNCATE long string maxValues (widened
+        past the true max), so a foreign-written table's string bounds may
+        not be actual values.  This engine's own stage_write stats are
+        always exact — pass True for tables this engine owns."""
+        from delta_sorter_spark.functions.predicates import _parse_typed
+
+        state = self.state(version=version)
+        meta = state.metadata
+        if column not in meta.schema.names:
+            raise ValueError(f"stats_min_max: unknown column {column!r}")
+        dtype = meta.schema[column].dataType
+        if isinstance(dtype, (T.StringType, T.BinaryType)) and not trust_string_stats:
+            return None
+        md = meta.schema[column].metadata or {}
+        phys = md.get("delta.columnMapping.physicalName", column)
+        is_part = column in meta.partition_columns
+        lo = hi = None
+        for a in state.adds:
+            stats = a.stats or {}
+            n = stats.get("numRecords")
+            if n == 0:
+                continue
+            if a.deletion_vector or stats.get("tightBounds") is False:
+                return None
+            if is_part:
+                raw = (a.partition_values or {}).get(column)
+                if raw is None or raw.lower() == "null":
+                    continue  # all rows NULL on this column in this file
+                fmin = fmax = _parse_typed(raw, dtype)
+            else:
+                if n is None:
+                    return None
+                nc = stats.get("nullCount", {}).get(phys)
+                if phys not in stats.get("minValues", {}):
+                    if nc is not None and nc == n:
+                        continue  # provably all-null: contributes nothing
+                    return None  # stats missing for a file with values
+                try:
+                    fmin = parse_stat(stats["minValues"][phys], dtype)
+                    fmax = parse_stat(stats["maxValues"][phys], dtype)
+                except (ValueError, TypeError):
+                    return None
+                if fmin is None or fmax is None:
+                    return None
+            try:
+                lo = fmin if lo is None or fmin < lo else lo
+                hi = fmax if hi is None or fmax > hi else hi
+            except TypeError:
+                return None
+        return (lo, hi)
 
     def vacuum(self, dry_run: bool = False, retention_seconds: float = 0.0) -> list[str]:
         """Delete data files in the table directory that are no longer

@@ -383,6 +383,82 @@ def test_merge_dv_zone_map_prune(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# Metadata-only aggregates (stats_count / stats_min_max)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def agg_table(spark, tmp_path):
+    rows = [
+        (i, f"s{i:03d}", None if i % 5 == 0 else i * 10, "eu" if i < 50 else "us")
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "k long, s string, v long, region string")
+    return DeltaTable.create(
+        spark, str(tmp_path / "agg"),
+        df.repartitionByRange(4, "k").sortWithinPartitions("k"),
+        partition_columns=["region"],
+        stat_columns=["k", "s", "v"],
+    )
+
+
+def test_stats_count_exact_and_dv_aware(agg_table):
+    from delta_sorter_spark.operators.dml import delete_where_dv
+
+    assert agg_table.stats_count() == 100
+    v0 = agg_table.log.latest_version()
+    delete_where_dv(agg_table, "k IN (3, 14, 15)")
+    assert agg_table.stats_count() == 97
+    assert agg_table.stats_count() == agg_table.to_df().count()
+    # time travel: the pre-delete snapshot still answers from its stats
+    assert agg_table.stats_count(version=v0) == 100
+
+
+def test_stats_count_missing_stats_returns_none(agg_table):
+    from unittest import mock
+
+    state = agg_table.state()
+    state.adds[0].stats = None
+    with mock.patch.object(agg_table, "state", return_value=state):
+        assert agg_table.stats_count() is None
+
+
+def test_stats_min_max_exactness_rules(agg_table):
+    from delta_sorter_spark.operators.dml import delete_where_dv
+
+    assert agg_table.stats_min_max("k") == (0, 99)
+    # null-bearing column: nulls are ignored, extremes exact
+    assert agg_table.stats_min_max("v") == (10, 990)
+    # strings need the owner's opt-in (protocol allows truncated bounds)
+    assert agg_table.stats_min_max("s") is None
+    assert agg_table.stats_min_max("s", trust_string_stats=True) == (
+        "s000", "s099",
+    )
+    # partition column folds the typed partition values
+    assert agg_table.stats_min_max("region", trust_string_stats=True) == (
+        "eu", "us",
+    )
+    with pytest.raises(ValueError):
+        agg_table.stats_min_max("nope")
+    # a DV'd file may have lost its extremum -> refuse the fast answer...
+    v0 = agg_table.log.latest_version()
+    delete_where_dv(agg_table, "k = 99")
+    assert agg_table.stats_min_max("k") is None
+    # ...but the pre-delete version still serves it
+    assert agg_table.stats_min_max("k", version=v0) == (0, 99)
+
+
+def test_stats_min_max_all_null_column(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, None), (2, None)], "k long, v string"
+    )
+    tbl = DeltaTable.create(
+        spark, str(tmp_path / "an"), df, stat_columns=["k", "v"]
+    )
+    assert tbl.stats_min_max("v", trust_string_stats=True) == (None, None)
+
+
+# ---------------------------------------------------------------------------
 # Property: a file DuckDB finds matching rows in is NEVER skipped
 # ---------------------------------------------------------------------------
 
