@@ -142,6 +142,22 @@ def main() -> int:
     )
     timed("validate_sorted", lambda: validate(t_unsorted, sort_cols, spark=spark))
 
+    # -- zone-map read path on the compacted table: a one-month shipdate
+    #    range (~1% of the 1995-2001 span) should schedule only the files
+    #    whose stats overlap it (functions/skipping.py), and the log-stats
+    #    count(*) should be metadata-only like validate_sorted
+    tbl_sorted = DeltaTable(spark, t_unsorted)
+    _skip_pred = (
+        "l_shipdate >= TIMESTAMP '1998-06-01 00:00:00'"
+        " AND l_shipdate < TIMESTAMP '1998-07-01 00:00:00'"
+    )
+    r_run = lambda: tbl_sorted.to_df(where=_skip_pred).write.format(  # noqa: E731
+        "noop"
+    ).mode("overwrite").save()
+    timed_min("read_skipped_month", r_run, r_run)
+    timed_min("stats_count", lambda: tbl_sorted.stats_count(),
+              lambda: tbl_sorted.stats_count())
+
     # -- partition-aware compact, half the partitions pre-sorted ------------
     t_part = os.path.join(workdir, "li_part")
     pre = li.where(F.col("l_returnflag") == "R").sortWithinPartitions(*sort_cols)
