@@ -45,6 +45,8 @@ Supported grammar (case-insensitive keywords)::
               | operand IS [NOT] NULL
               | operand [NOT] BETWEEN operand AND operand
               | operand [NOT] IN '(' operand (',' operand)* ')'
+              | operand [NOT] LIKE 'pattern'   -- prunes on the prefix
+                before the first wildcard (NOT LIKE: trailing-% only)
     operand  := column | literal
     cmp_op   := = | == | != | <> | < | <= | > | >=
     literal  := number | 'string' | TRUE | FALSE | NULL
@@ -90,7 +92,7 @@ _TOKEN_RE = re.compile(
 
 _KEYWORDS = {
     "and", "or", "not", "between", "in", "is", "null", "true", "false",
-    "date", "timestamp",
+    "date", "timestamp", "like",
 }
 
 
@@ -242,8 +244,20 @@ class _Parser:
         if self._peek("kw", "not"):
             self._eat()
             negated = True
-            if not (self._peek("kw", "between") or self._peek("kw", "in")):
-                raise SkippingUnsupported("NOT here must precede BETWEEN or IN")
+            if not (
+                self._peek("kw", "between")
+                or self._peek("kw", "in")
+                or self._peek("kw", "like")
+            ):
+                raise SkippingUnsupported(
+                    "NOT here must precede BETWEEN, IN, or LIKE"
+                )
+        if self._peek("kw", "like"):
+            self._eat()
+            k, pat = self._eat("lit")
+            if left[0] != "col" or not isinstance(pat, str):
+                raise SkippingUnsupported("LIKE requires column LIKE 'pattern'")
+            return self._like(left[1], pat, negated)
         if self._peek("kw", "between"):
             self._eat()
             lo = self._operand()
@@ -270,6 +284,34 @@ class _Parser:
         op = self._eat()[1]
         right = self._operand()
         return self._cmp(op, left, right)
+
+    @staticmethod
+    def _like(col: str, pattern: str, negated: bool):
+        """LIKE prefix pruning.
+
+        A row matching ``LIKE 'ab%cd'`` necessarily starts with the prefix
+        before the first wildcard, so the positive form prunes on
+        ``("like", col, prefix)`` whenever that prefix is non-empty.  The
+        NEGATED form is only provable for a pure trailing-%% pattern
+        (every value sharing prefix-bounded [lo, hi] shares the prefix);
+        any other shape — or an escape character, whose semantics we don't
+        model — degrades to "may match"."""
+        if "\\" in pattern:
+            return ("maybe",)
+        cut = len(pattern)
+        for w in ("%", "_"):
+            i = pattern.find(w)
+            if i != -1:
+                cut = min(cut, i)
+        prefix = pattern[:cut]
+        if not negated:
+            if not prefix:
+                return ("maybe",)
+            return ("like", col, prefix)
+        # NOT LIKE: pure prefix pattern 'abc%' only
+        if pattern.endswith("%") and cut == len(pattern) - 1:
+            return ("not", ("like", col, prefix))
+        return ("maybe",)
 
     @staticmethod
     def _cmp(op, left, right):
@@ -423,6 +465,22 @@ def _may_match(ast, facts_for) -> bool:
         if negated:  # IS NOT NULL: only an all-null file is skippable
             return not facts.all_null
         return facts.null_count is None or facts.null_count > 0
+    if kind == "like":
+        _, col, prefix = ast
+        facts, _ = facts_for(col)
+        if not facts.known:
+            return True
+        if facts.all_null:
+            return False  # LIKE on NULL is NULL -> no match
+        lo, hi = facts.lo, facts.hi
+        if not isinstance(lo, str) or not isinstance(hi, str):
+            return True
+        # a matching value v satisfies v >= prefix and v[:len] == prefix
+        if hi < prefix:
+            return False
+        if lo[: len(prefix)] > prefix:
+            return False
+        return True
     if kind == "in":
         _, col, lits, negated = ast
         facts, dtype = facts_for(col)
@@ -474,6 +532,21 @@ def _may_match_not(ast, facts_for) -> bool:
     if kind == "in":
         _, col, lits, negated = ast
         return _may_match(("in", col, lits, not negated), facts_for)
+    if kind == "like":
+        _, col, prefix = ast
+        facts, _ = facts_for(col)
+        if not facts.known:
+            return True
+        if facts.all_null:
+            return False  # NOT LIKE on NULL is still NULL -> no match
+        if prefix == "":
+            return False  # every non-null value matches LIKE '%'
+        lo, hi = facts.lo, facts.hi
+        if isinstance(lo, str) and isinstance(hi, str):
+            if lo.startswith(prefix) and hi.startswith(prefix):
+                # all values between prefix-sharing bounds share the prefix
+                return False
+        return True
     return True
 
 

@@ -70,6 +70,36 @@ def test_parse_between_in_null():
     assert parse_predicate("a IS NOT NULL") == ("null", "a", True)
 
 
+def test_parse_like_shapes():
+    assert parse_predicate("s LIKE 'ab%'") == ("like", "s", "ab")
+    # mid-pattern wildcard: positive form still prunes on the prefix
+    assert parse_predicate("s LIKE 'ab%cd'") == ("like", "s", "ab")
+    assert parse_predicate("s NOT LIKE 'ab%'") == ("not", ("like", "s", "ab"))
+    # shapes where no sound bound exists degrade to may-match
+    assert parse_predicate("s LIKE '%x'") == ("maybe",)
+    assert parse_predicate("s NOT LIKE 'ab%cd'") == ("maybe",)
+    assert parse_predicate("s LIKE 'a\\\\%'") == ("maybe",)  # escapes unmodeled
+
+
+def test_like_decisions():
+    a = _add(mins={"s": "mm"}, maxs={"s": "pp"}, nulls={"s": 0})
+    shared = _add(mins={"s": "abc1"}, maxs={"s": "abc9"}, nulls={"s": 0})
+    all_null = _add(nulls={"s": 10}, n=10)
+    assert not _may(a, "s LIKE 'z%'")
+    assert not _may(a, "s LIKE 'a%'")
+    assert _may(a, "s LIKE 'n%'")
+    assert _may(a, "s LIKE 'm%'")
+    assert _may(a, "s LIKE 'p%'")
+    assert not _may(all_null, "s LIKE 'a%'")
+    assert not _may(all_null, "s NOT LIKE 'a%'")
+    # every value shares the prefix -> NOT LIKE can't match
+    assert not _may(shared, "s NOT LIKE 'abc%'")
+    assert _may(shared, "s NOT LIKE 'abc1%'")
+    assert _may(a, "s NOT LIKE 'n%'")
+    # LIKE '%' matches every non-null value
+    assert not _may(a, "s NOT LIKE '%'")
+
+
 @pytest.mark.parametrize(
     "bad",
     [
@@ -77,7 +107,7 @@ def test_parse_between_in_null():
         "a +",
         "f(a) = 1",          # function calls unsupported
         "a = 1 AND",
-        "a LIKE 'x%'",       # LIKE unsupported
+        "a LIKE 5",          # LIKE needs a string pattern
         "a IN (b)",          # non-literal IN list
         "CASE WHEN a THEN 1 END = 1",
     ],
@@ -489,6 +519,10 @@ def _leaf():
             lambda v: f"k NOT IN ({', '.join(v)})"
         ),
         st.sampled_from(["k IS NULL", "k IS NOT NULL", "s IS NULL"]),
+        st.sampled_from([
+            "s LIKE 'a%'", "s LIKE 'b%'", "s LIKE 'it%'", "s LIKE '%t''s'",
+            "s NOT LIKE 'a%'", "s NOT LIKE 'it%'", "s NOT LIKE 'b%c'",
+        ]),
     )
 
 
