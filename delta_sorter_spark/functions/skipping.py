@@ -599,6 +599,8 @@ def _facts_for_add(add, schema: T.StructType, partition_columns: Sequence[str]):
 def file_may_match(add, ast, schema: T.StructType,
                    partition_columns: Sequence[str]) -> bool:
     """True unless the zone map PROVES no row of ``add`` matches ``ast``."""
+    if (add.stats or {}).get("numRecords") == 0:
+        return False  # a zero-row file matches nothing, whatever the predicate
     return _may_match(ast, _facts_for_add(add, schema, partition_columns))
 
 

@@ -456,11 +456,20 @@ class DeltaTable:
                 )
             )
         schema = T.StructType(fields)
-        table.log.create_table(schema, partition_columns)
-        df = table._assign_identity_columns(df, schema)
         stat_columns = list(stat_columns or []) + [
             c for c in ident if c not in (stat_columns or [])
         ]
+        # Persist the stat set as table configuration (Delta's
+        # dataSkippingStatsColumns) so every later write — appends, DML
+        # rewrites, compaction — keeps these zone maps without the call
+        # site re-listing them (stage_write unions them in).
+        configuration = (
+            {cls.STATS_COLUMNS_PROP: ",".join(stat_columns)}
+            if stat_columns
+            else None
+        )
+        table.log.create_table(schema, partition_columns, configuration=configuration)
+        df = table._assign_identity_columns(df, schema)
         adds = table.stage_write(df, stat_columns=stat_columns)
         meta_action = table._identity_meta_action(schema, adds, partition_columns)
         table.log.commit_with_retry(
@@ -945,9 +954,20 @@ class DeltaTable:
         ``schema`` overrides the log schema for the write — used by
         ``append(..., merge_schema=True)`` which commits the widened schema
         atomically with these files.
+
+        Stat columns are the caller's union the table's configured
+        ``delta.dataSkippingStatsColumns`` (set by ``create``), so EVERY
+        write path — appends, compaction rewrites, copy-on-write DML —
+        keeps the zone maps alive without each call site re-listing them.
+        Without this, an UPDATE rewriting a file would silently drop the
+        stats that to_df(where=...) and the DML planners prune on.
         """
         from delta_sorter_spark.sources.delta_log import physical_name
 
+        configured = self.stats_columns()
+        if configured:
+            stat_columns = list(stat_columns or [])
+            stat_columns += [c for c in configured if c not in stat_columns]
         if self.is_remote:
             return self._stage_write_remote(
                 df,
@@ -1514,6 +1534,11 @@ class DeltaTable:
                 )
             config = dict(meta.configuration)
             config["delta.columnMapping.mode"] = "name"
+            # configured stat columns track LOGICAL names — follow the rename
+            if self.STATS_COLUMNS_PROP in config:
+                config[self.STATS_COLUMNS_PROP] = ",".join(
+                    new if c == old else c for c in self.stats_columns(meta)
+                )
             return [
                 {
                     "metaData": {
@@ -1620,6 +1645,11 @@ class DeltaTable:
                 fields.append(T.StructField(f.name, f.dataType, f.nullable, md))
             config = dict(meta.configuration)
             config["delta.columnMapping.mode"] = "name"
+            # a dropped column leaves the configured stat set too
+            if self.STATS_COLUMNS_PROP in config:
+                config[self.STATS_COLUMNS_PROP] = ",".join(
+                    c for c in self.stats_columns(meta) if c != name
+                )
             return [
                 {
                     "metaData": {
@@ -1790,6 +1820,17 @@ class DeltaTable:
         except _AlreadyApplied:
             self.discard_files(adds)
             return self.log.latest_version()
+
+    STATS_COLUMNS_PROP = "delta.dataSkippingStatsColumns"
+
+    def stats_columns(self, meta: TableMetadata | None = None) -> list[str]:
+        """Table-configured zone-map columns (Delta's
+        ``delta.dataSkippingStatsColumns``, comma-separated logical names).
+        ``create(stat_columns=...)`` records them; every ``stage_write``
+        unions them into its per-call stat columns."""
+        meta = meta if meta is not None else self.metadata
+        raw = (meta.configuration or {}).get(self.STATS_COLUMNS_PROP, "")
+        return [c.strip() for c in raw.split(",") if c.strip()]
 
     # -- metadata-only aggregates (zero-scan, from log stats) ---------------
 

@@ -413,6 +413,54 @@ def test_merge_dv_zone_map_prune(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# Persistent stat columns (delta.dataSkippingStatsColumns)
+# ---------------------------------------------------------------------------
+
+
+def test_dml_rewrites_keep_zone_maps(spark, tmp_path):
+    """create(stat_columns=...) persists the stat set as table config, so a
+    copy-on-write UPDATE's rewritten files keep their zone maps and skipping
+    still prunes afterwards."""
+    from delta_sorter_spark.operators.dml import update_where
+
+    df = spark.range(0, 400).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("v")
+    )
+    tbl = DeltaTable.create(
+        spark, str(tmp_path / "t"),
+        df.repartitionByRange(4, "k").sortWithinPartitions("k"),
+        stat_columns=["k"],
+    )
+    assert tbl.stats_columns() == ["k"]
+    update_where(tbl, "k BETWEEN 110 AND 120", {"v": "v + 100"})
+    state = tbl.state()
+    # every active file (original AND rewritten) still carries k stats
+    assert all("k" in (a.stats or {}).get("minValues", {}) for a in state.adds)
+    kept = prune_adds(state.adds, "k = 115", state.metadata.schema, [])
+    assert len(kept) == 1
+    assert tbl.stats_min_max("k") == (0, 399)
+
+
+def test_stat_columns_follow_rename_and_drop(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "k long, s string, v long"
+    )
+    tbl = DeltaTable.create(
+        spark, str(tmp_path / "t"), df, stat_columns=["k", "v"]
+    )
+    tbl.rename_column("k", "key")
+    assert tbl.stats_columns() == ["key", "v"]
+    # appends after the rename keep writing stats under the physical name,
+    # so skipping on the NEW logical name still works across old+new files
+    tbl.append(spark.createDataFrame([(9, "z", 90)], "key long, s string, v long"))
+    state = tbl.state()
+    kept = prune_adds(state.adds, "key = 9", state.metadata.schema, [])
+    assert len(kept) == 1
+    tbl.drop_column("v")
+    assert tbl.stats_columns() == ["key"]
+
+
+# ---------------------------------------------------------------------------
 # Metadata-only aggregates (stats_count / stats_min_max)
 # ---------------------------------------------------------------------------
 
