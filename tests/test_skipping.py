@@ -413,6 +413,42 @@ def test_merge_dv_zone_map_prune(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# Z-order x skipping synergy: multi-dimensional pruning
+# ---------------------------------------------------------------------------
+
+
+def test_zorder_enables_multidim_skipping(spark, tmp_path):
+    """The payoff z-order exists for: after clustering on (x, y), a range
+    predicate on EITHER dimension prunes most files — a lexicographic sort
+    only serves its leading column.  25 files over a 64x64 grid: a 1/8-wide
+    band on x or on y must each skip most files, and results stay exact."""
+    from delta_sorter_spark.api import compact
+
+    path = str(tmp_path / "zt")
+    n = 1 << 12
+    df = spark.range(n).select(
+        (F.col("id") % 64).alias("x"),
+        ((F.col("id") * 2654435761) % 64).alias("y"),
+        F.col("id").alias("payload"),
+    )
+    DeltaTable.create(spark, path, df.repartition(8))
+    compact(path, [], zorder_columns=["x", "y"], spark=spark)
+    tbl = DeltaTable(spark, path)
+    state = tbl.state()
+    total = len([a for a in state.adds if (a.stats or {}).get("numRecords")])
+    assert total >= 4
+
+    for pred in ("x BETWEEN 0 AND 7", "y BETWEEN 0 AND 7"):
+        kept = prune_adds(
+            state.adds, pred, state.metadata.schema, state.metadata.partition_columns
+        )
+        assert len(kept) < total, pred  # both dimensions prune
+        got = sorted(r["payload"] for r in tbl.to_df(where=pred).collect())
+        want = sorted(r["payload"] for r in tbl.to_df().where(pred).collect())
+        assert got == want
+
+
+# ---------------------------------------------------------------------------
 # Persistent stat columns (delta.dataSkippingStatsColumns)
 # ---------------------------------------------------------------------------
 
