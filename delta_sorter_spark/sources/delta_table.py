@@ -645,6 +645,42 @@ class DeltaTable:
             df = df.unionByName(p)
         return df
 
+    def stream_df(
+        self, where: str | None = None, skip_change_commits: bool = False
+    ) -> DataFrame:
+        """Streaming read of this table (``readStream`` through the Python
+        Data Source), exactly-once composable with ``foreachBatch`` +
+        ``append(txn_app_id=...)``.
+
+        ``where`` filters with zone-map file skipping pushed into the
+        source's planner (its ``where`` option prunes each micro-batch's
+        new files by their log stats — functions/skipping.py) and the
+        predicate re-applied exactly on the rows.  A CDC consumer watching
+        one key range of a high-volume table schedules tasks only for the
+        files that range can touch.  ``skip_change_commits`` maps to the
+        source option of the same name (compaction rewrites skipped rather
+        than erroring)."""
+        import json as _json
+
+        from delta_sorter_spark.sources.fs import capture_aws_env
+        from delta_sorter_spark.streaming.delta_source import DeltaStreamDataSource
+
+        try:
+            self.spark.dataSource.register(DeltaStreamDataSource)
+        except Exception:
+            pass  # already registered
+        reader = (
+            self.spark.readStream.format("delta_sorter")
+            .option("path", self.table_path)
+            .option("awsEnv", _json.dumps(capture_aws_env()))
+        )
+        if skip_change_commits:
+            reader = reader.option("skipChangeCommits", "true")
+        if where is not None:
+            reader = reader.option("where", where)
+        df = reader.load()
+        return df.where(where) if where is not None else df
+
     def _to_df_remote(
         self, version=None, adds=None, with_file_path=False, with_positions=False
     ) -> DataFrame:

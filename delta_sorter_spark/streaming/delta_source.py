@@ -196,6 +196,25 @@ class _DeltaSourceCore:
         self.with_pos = str(options.get("withPositions", "false")).lower() == "true"
         meta = self.log.read_state(at_version=at_version).metadata
         _check_reserved_columns(meta.schema, self.with_file, self.with_pos)
+        # .option("where", ...) = zone-map FILE pruning at plan time
+        # (functions/skipping.py): a file whose stats exclude the predicate
+        # gets no partition.  Rows are NOT filtered here — callers wanting
+        # exact row semantics re-apply the predicate on the DataFrame
+        # (DeltaTable.stream_df does both).  Unparseable predicates prune
+        # nothing, matching to_df(where=...).
+        self.where = options.get("where")
+        self._where_ast = None
+        self._meta_schema = meta.schema
+        if self.where:
+            from delta_sorter_spark.functions.skipping import (
+                SkippingUnsupported,
+                parse_predicate,
+            )
+
+            try:
+                self._where_ast = parse_predicate(self.where)
+            except SkippingUnsupported:
+                self._where_ast = None
         # pin schema at construction (stream start); partition layout is
         # immutable in Delta so the column list never changes
         pinned = schema or meta.schema
@@ -226,13 +245,28 @@ class _DeltaSourceCore:
             emit_pos_col=self.with_pos,
         )
 
+    def prune(self, adds):
+        """Zone-map prune an Add list by the ``where`` option (no-op when
+        unset or unparseable)."""
+        if self._where_ast is None:
+            return list(adds)
+        from delta_sorter_spark.functions.skipping import file_may_match
+
+        return [
+            a
+            for a in adds
+            if file_may_match(
+                a, self._where_ast, self._meta_schema, list(self.partition_columns)
+            )
+        ]
+
     def snapshot_partitions(self, at_version=None) -> list[DeltaFilePartition]:
         state = self.log.read_state(at_version=at_version)
         return [
             self._part_for(
                 a.path, a.partition_values, _dv_positions(self.table_path, a)
             )
-            for a in state.adds
+            for a in self.prune(state.adds)
         ]
 
 
@@ -335,17 +369,27 @@ class DeltaStreamReader(DataSourceStreamReader):
                     f"rewrites or deletes data (remove with dataChange=true);"
                     f" set skipChangeCommits=true to skip such commits"
                 )
+            batch_adds = []
             for a in actions:
                 ad = a.get("add")
                 if not ad or not ad.get("dataChange", True):
                     continue  # compaction rewrites are not new data
-                dv = ad.get("deletionVector")
-                add = AddAction(
-                    path=ad["path"],
-                    size=ad.get("size", 0),
-                    partition_values=ad.get("partitionValues", {}),
-                    deletion_vector=dv,
+                stats = ad.get("stats")
+                if isinstance(stats, str):
+                    try:
+                        stats = json.loads(stats)
+                    except ValueError:
+                        stats = None
+                batch_adds.append(
+                    AddAction(
+                        path=ad["path"],
+                        size=ad.get("size", 0),
+                        partition_values=ad.get("partitionValues", {}),
+                        stats=stats if isinstance(stats, dict) else None,
+                        deletion_vector=ad.get("deletionVector"),
+                    )
                 )
+            for add in core.prune(batch_adds):
                 parts.append(
                     core._part_for(
                         add.path,

@@ -250,3 +250,55 @@ def test_files_option_accepts_bare_path_strings(registered, tmp_path):
             .load()
             .collect()
         )
+
+
+def test_stream_where_prunes_files_and_filters_rows(registered, tmp_path):
+    """stream_df(where=...): zone maps prune whole files inside the source's
+    planner (snapshot AND tail batches), and the predicate still applies
+    exactly to rows.  The planner-side pruning is observed directly via
+    DeltaStreamReader.partitions."""
+    import json as _json
+
+    from delta_sorter_spark.streaming.delta_source import DeltaStreamReader
+
+    spark = registered
+    path = str(tmp_path / "t")
+    df = spark.range(0, 400).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    DeltaTable.create(
+        spark, path, df.repartitionByRange(8, "k").sortWithinPartitions("k"),
+        stat_columns=["k"],
+    )
+    t = DeltaTable(spark, path)
+
+    # plan-level: initial snapshot schedules only zone-map survivors
+    rd = DeltaStreamReader({"path": path, "where": "k BETWEEN 100 AND 120"})
+    parts = rd.partitions({"version": -1}, {"version": t.log.latest_version()})
+    assert len(parts) == 1  # 400 rows / 8 range files -> one overlapping file
+
+    # tail batches prune too: one in-range append, one fully out-of-range
+    v0 = t.log.latest_version()
+    t.append(
+        spark.createDataFrame([(110, 1), (111, 2)], "k long, v long"),
+    )
+    t.append(
+        spark.createDataFrame([(9000, 1), (9001, 2)], "k long, v long"),
+    )
+    parts = rd.partitions({"version": v0}, {"version": t.log.latest_version()})
+    assert len(parts) >= 1
+    assert all("9000" not in _json.dumps(p.file_path) for p in parts)
+
+    # end-to-end through the public helper: rows are EXACT
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = (
+        t.stream_df(where="k BETWEEN 100 AND 120")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r.k for r in spark.read.parquet(out).collect())
+    assert got == sorted(list(range(100, 121)) + [110, 111])
