@@ -658,3 +658,29 @@ def test_property_never_skips_a_matching_file(rows, pred):
     con.close()
     if n_match > 0:
         assert file_may_match(add, parse_predicate(pred), schema, [])
+
+
+def test_skipping_survives_checkpoint(spark, tmp_path):
+    """Stats round-trip through a parquet log checkpoint: a reopened table
+    whose state replays from the checkpoint still prunes files."""
+    path = str(tmp_path / "ckpt")
+    df = spark.range(0, 300).select(
+        F.col("id").alias("k"), (F.col("id") % 9).alias("v")
+    )
+    tbl = DeltaTable.create(
+        spark, path, df.repartitionByRange(6, "k").sortWithinPartitions("k"),
+        stat_columns=["k"],
+    )
+    tbl.log.write_checkpoint()
+    fresh = DeltaTable(spark, path)
+    state = fresh.state()
+    kept = prune_adds(
+        state.adds, "k BETWEEN 100 AND 120", state.metadata.schema,
+        state.metadata.partition_columns,
+    )
+    assert len(kept) == 1
+    assert fresh.stats_count() == 300
+    assert fresh.stats_min_max("k") == (0, 299)
+    assert fresh.stats_columns() == ["k"]  # configuration survives too
+    got = sorted(r["k"] for r in fresh.to_df(where="k IN (5, 250)").collect())
+    assert got == [5, 250]
