@@ -1958,6 +1958,13 @@ class DeltaTable:
                     return None
                 if fmin is None or fmax is None:
                     return None
+                if isinstance(fmin, float) and (
+                    math.isnan(fmin) or math.isnan(fmax)
+                ):
+                    # NaN bounds poison the fold (every comparison is
+                    # False) and Spark's min/max order NaN specially —
+                    # refuse rather than risk a wrong extremum
+                    return None
             try:
                 lo = fmin if lo is None or fmin < lo else lo
                 hi = fmax if hi is None or fmax > hi else hi
