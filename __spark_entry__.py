@@ -5736,6 +5736,10 @@ _RECHECK_THIS_ROUND = [
     "q9_update_where",
     "q10_update_where_dv",
     "q11_merge_dv",
+    # connected-components edge cache (graph.py): recheck its consumers
+    "e13_dup_clusters",
+    "e47_leakage_safe_split",
+    "e55_dedup_keep_best",
 ]
 
 

@@ -43,10 +43,17 @@ def connected_components(
     ``nodes`` must contain every vertex (isolated vertices form singleton
     components); ``edges`` is undirected (one row per pair, either order).
     """
+    # Persist the symmetrized edge list ONCE: it is joined every iteration,
+    # and without the cache the edge-GENERATION lineage upstream (e.g. a
+    # minhash -> banding -> verification candidate pipeline) re-executes
+    # per round — the same per-iteration re-execution pagerank() below had
+    # before its edge cache.  The result labels are localCheckpointed each
+    # round, so releasing the cache on return is safe.
     bidir = (
         edges.select(F.col(edge_a).alias("src"), F.col(edge_b).alias("dst"))
         .unionByName(edges.select(F.col(edge_b).alias("src"), F.col(edge_a).alias("dst")))
         .distinct()
+        .persist()
     )
     labels = nodes.select(F.col(node_col).alias("id"), F.col(node_col).alias("component"))
     for _ in range(max_iterations):
@@ -95,6 +102,7 @@ def connected_components(
         labels = jumped.drop("__chg__")
         if changed == 0:
             break
+    bidir.unpersist()
     return labels
 
 
