@@ -645,6 +645,23 @@ class DeltaTable:
             df = df.unionByName(p)
         return df
 
+    def files_matching(
+        self, predicate: str, version: int | None = None
+    ) -> list[AddAction]:
+        """Active files whose zone maps admit ``predicate`` (stats-based
+        file skipping, functions/skipping.py) — the planner's view of a
+        pruned read.  ``to_df(adds=table.files_matching(p)).where(p)`` is
+        exactly ``to_df(where=p)``; exposed separately so maintenance code
+        can reason about (or act on) the file subset itself, e.g. schedule
+        a targeted rewrite of the files a hot predicate touches."""
+        from delta_sorter_spark.functions.skipping import prune_adds
+
+        state = self.state(version=version)
+        return prune_adds(
+            state.adds, predicate, state.metadata.schema,
+            state.metadata.partition_columns,
+        )
+
     def stream_df(
         self, where: str | None = None, skip_change_commits: bool = False
     ) -> DataFrame:

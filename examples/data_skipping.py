@@ -5,7 +5,7 @@ compaction and z-ordering.
    ``delta.dataSkippingStatsColumns`` — every later write keeps zone maps).
 2. Compact-sort it so the zone maps become selective.
 3. Point/range/LIKE reads through ``to_df(where=...)`` schedule only the
-   overlapping files; ``prune_adds`` shows exactly which.
+   overlapping files; ``files_matching`` shows exactly which.
 4. ``stats_count`` / ``stats_min_max`` answer count(*)/min/max with ZERO
    scan tasks — exact across a merge-on-read DV delete.
 5. A streaming consumer watching one key range (``stream_df(where=...)``)
@@ -20,7 +20,6 @@ import tempfile
 from pyspark.sql import functions as F
 
 from delta_sorter_spark.api import compact
-from delta_sorter_spark.functions.skipping import prune_adds
 from delta_sorter_spark.operators.dml import delete_where_dv
 from delta_sorter_spark.session import get_spark
 from delta_sorter_spark.sources.delta_table import DeltaTable
@@ -50,7 +49,7 @@ def main() -> None:
     state = tbl.state()
 
     pred = "event_id BETWEEN 42000 AND 42999"
-    kept = prune_adds(state.adds, pred, state.metadata.schema, [])
+    kept = tbl.files_matching(pred)
     print(f"range read: {len(kept)} of {len(state.adds)} files scheduled")
     print("rows:", tbl.to_df(where=pred).count())
 
@@ -64,7 +63,7 @@ def main() -> None:
     )
     state = tbl.state()
     like = "host LIKE 'host3%'"
-    kept_like = prune_adds(state.adds, like, state.metadata.schema, [])
+    kept_like = tbl.files_matching(like)
     print(f"LIKE-prefix read: {len(kept_like)} of {len(state.adds)} files")
 
     # metadata-only aggregates: exact, zero scan tasks, DV-aware

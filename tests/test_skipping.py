@@ -684,3 +684,19 @@ def test_skipping_survives_checkpoint(spark, tmp_path):
     assert fresh.stats_columns() == ["k"]  # configuration survives too
     got = sorted(r["k"] for r in fresh.to_df(where="k IN (5, 250)").collect())
     assert got == [5, 250]
+
+
+def test_files_matching_equals_pruned_read(skip_table):
+    state = skip_table.state()
+    pred = "k BETWEEN 40 AND 60"
+    kept = skip_table.files_matching(pred)
+    assert kept == prune_adds(
+        state.adds, pred, state.metadata.schema, state.metadata.partition_columns
+    )
+    via_subset = sorted(
+        tuple(r) for r in skip_table.to_df(adds=kept).where(pred).collect()
+    )
+    via_where = sorted(
+        tuple(r) for r in skip_table.to_df(where=pred).collect()
+    )
+    assert via_subset == via_where
