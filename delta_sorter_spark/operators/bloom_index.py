@@ -1,0 +1,309 @@
+"""Per-file Bloom filter index: point-lookup file skipping for columns the
+table is NOT clustered on.
+
+Zone maps (functions/skipping.py) serve range predicates on the sort/z-order
+columns; they are useless for an equality probe on a high-cardinality column
+whose values scatter across every file — the GDPR "erase doc_id = X" shape
+on a table compacted by date.  Databricks' Delta solves this with per-file
+Bloom filter indexes; this module is that idea on the engine's own portable
+hash primitives (functions/hashing.py — the md5->bigint + affine-permutation
+scheme the MinHash/LSH operators already use, identical in Spark SQL,
+DuckDB, and Python, so the executor-side build and the driver-side probe
+positions can never disagree).
+
+Build (`build_bloom_index`): ONE distributed column-pruned scan — each file
+contributes its distinct (path, bit) positions, folded to one
+``(path, bits array<bigint>)`` row per file — written as a parquet dataset
+under ``_bloom_index/<column>/<uuid>`` inside the table directory and
+registered in table configuration (``deltasort.bloomIndex.<column>`` = JSON
+{path, m, k, seed, version}).  Bitsets NEVER pass through the driver; at
+100 TB the index is file-count-sized rows of <=m-bit arrays, living next to
+the data.  ``vacuum`` protects the registered dataset (and collects
+unregistered ones, so rebuilds self-clean).
+
+Probe (`bloom_prune_adds`): for the conjunctive equality / IN constraints
+of a predicate on indexed columns, compute each literal's k bit positions
+in Python (same hash), then run ONE tiny Spark job joining the index rows
+of the candidate files against ``array_contains`` tests; only paths whose
+filter proves "value absent" are dropped.  Files newer than the index (or
+missing from it) are kept — staleness can only cost speed, never rows.
+Wired into the predicate-DML planners after zone-map pruning: a one-row
+DELETE on an unclustered key scans the few bloom-hit files instead of the
+table.
+
+Indexable column types: string and integer (byte/short/int/long) — both
+sides hash ``CAST(col AS STRING)`` / ``str(value)``, which agree exactly
+for these types and are ambiguous for floats/dates.  NULLs are never
+indexed (equality never matches NULL).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import uuid as _uuid
+from collections.abc import Sequence
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from delta_sorter_spark.functions.hashing import (
+    MERSENNE_P,
+    minhash_params,
+    minhash_perm_sql,
+    spark_md5_long_sql,
+)
+from delta_sorter_spark.sources.delta_log import AddAction
+from delta_sorter_spark.sources.delta_table import DeltaTable
+
+BLOOM_PROP_PREFIX = "deltasort.bloomIndex."
+DEFAULT_M_BITS = 1 << 17  # 16 KiB/file; size m at ~10-16 bits per distinct
+DEFAULT_K = 3             # key in the column for ~1% false positives
+
+_INDEXABLE = (T.StringType, T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+
+
+def _py_md5_long(s: str) -> int:
+    """Python twin of hashing.spark_md5_long_sql (first 15 hex chars)."""
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+
+def value_positions(value, m_bits: int, k: int, seed: int) -> list[int]:
+    """The k bit positions a literal sets — driver-side, for probing."""
+    h = _py_md5_long(str(value))
+    return [
+        (a * (h % MERSENNE_P) + b) % MERSENNE_P % m_bits
+        for a, b in minhash_params(k, seed)
+    ]
+
+
+def bloom_specs(table: DeltaTable, meta=None) -> dict[str, dict]:
+    """column -> registered index spec ({path, m, k, seed, version})."""
+    meta = meta if meta is not None else table.metadata
+    out = {}
+    for key, raw in (meta.configuration or {}).items():
+        if not key.startswith(BLOOM_PROP_PREFIX):
+            continue
+        try:
+            spec = json.loads(raw)
+        except ValueError:
+            continue
+        if isinstance(spec, dict) and "path" in spec:
+            out[key[len(BLOOM_PROP_PREFIX):]] = spec
+    return out
+
+
+def _column_scan(table: DeltaTable, adds, column: str, meta):
+    """(path, __v__) over the given files — column-pruned locally; the
+    remote path rides the Python Data Source's withFilePath scan."""
+    from delta_sorter_spark.sources.delta_log import physical_name
+
+    field = meta.schema[column]
+    phys = physical_name(field)
+    if table.is_remote:
+        from delta_sorter_spark.streaming.delta_source import FILE_COL
+
+        df = table._to_df_remote(adds=list(adds), with_file_path=True)
+        # the source's file column is the table-relative path verbatim
+        return df.select(
+            F.col(FILE_COL).alias("path"), F.col(column).alias("__v__")
+        )
+    import os as _os
+
+    from delta_sorter_spark.operators.dml import _rel_path_col
+
+    read_schema = T.StructType([T.StructField(phys, field.dataType, True)])
+    files = [_os.path.join(table.table_path, a.path) for a in adds]
+    df = (
+        table.spark.read.schema(read_schema)
+        .parquet(*files)
+        .select(
+            F.col("_metadata.file_path").alias("__file__"),
+            F.col(phys).alias("__v__"),
+        )
+    )
+    return df.select(_rel_path_col(table).alias("path"), "__v__")
+
+
+def build_bloom_index(
+    table: DeltaTable,
+    column: str,
+    m_bits: int = DEFAULT_M_BITS,
+    k: int = DEFAULT_K,
+    seed: int = 42,
+) -> dict:
+    """Build (or rebuild) the Bloom index for ``column`` over the current
+    snapshot and register it in table configuration — one distributed scan,
+    one dataset write, one metadata commit.
+
+    Returns {"column", "files", "dataset", "version"}."""
+    state = table.state()
+    meta = state.metadata
+    if column not in meta.schema.names:
+        raise ValueError(f"build_bloom_index: unknown column {column!r}")
+    if column in meta.partition_columns:
+        raise ValueError(
+            f"build_bloom_index: {column!r} is a partition column — "
+            "partition pruning already serves it exactly"
+        )
+    if not isinstance(meta.schema[column].dataType, _INDEXABLE):
+        raise ValueError(
+            "build_bloom_index: only string/integer columns are indexable "
+            f"(got {meta.schema[column].dataType.simpleString()} — float and "
+            "date string forms are ambiguous across engines)"
+        )
+    adds = state.adds
+    spark = table.spark
+    paths_df = spark.createDataFrame(
+        [(a.path,) for a in adds] or [("",)], "path string"
+    ).where(F.col("path") != "")
+
+    dataset_rel = f"_bloom_index/{column}/{_uuid.uuid4().hex}"
+    if adds:
+        scan = _column_scan(table, adds, column, meta).where(
+            F.col("__v__").isNotNull()
+        )
+        h = spark_md5_long_sql("CAST(__v__ AS STRING)")
+        arms = F.array(
+            *[
+                F.expr(
+                    f"CAST({minhash_perm_sql(h, a, b)} % {m_bits} AS BIGINT)"
+                )
+                for a, b in minhash_params(k, seed)
+            ]
+        )
+        per_file = (
+            scan.select(F.col("path"), F.explode(arms).alias("bit"))
+            .distinct()  # per-(file, bit): the distributed dedup IS the filter
+            .groupBy("path")
+            .agg(F.sort_array(F.collect_set("bit")).alias("bits"))
+        )
+        # every snapshot file gets a row — an all-NULL file carries an empty
+        # filter (provably matches no equality), distinct from "not indexed"
+        full = paths_df.join(per_file, "path", "left").select(
+            "path",
+            F.coalesce(F.col("bits"), F.array().cast("array<bigint>")).alias(
+                "bits"
+            ),
+        )
+        table.write_parquet_dataset(full.repartition("path"), dataset_rel)
+    spec = {
+        "path": dataset_rel,
+        "m": m_bits,
+        "k": k,
+        "seed": seed,
+        "version": state.version,
+    }
+    old = bloom_specs(table, meta).get(column)
+    version = table.set_table_properties(
+        {BLOOM_PROP_PREFIX + column: json.dumps(spec)},
+        operation="CREATE BLOOM INDEX",
+    )
+    if old and old.get("path") != dataset_rel:
+        # the replaced dataset is now unregistered; vacuum collects it
+        pass
+    return {
+        "column": column,
+        "files": len(adds),
+        "dataset": dataset_rel,
+        "version": version,
+    }
+
+
+def drop_bloom_index(table: DeltaTable, column: str) -> int:
+    """Unregister ``column``'s index (the dataset becomes vacuum-able)."""
+    if column not in bloom_specs(table):
+        raise KeyError(f"no bloom index on column {column!r}")
+    return table.set_table_properties(
+        {BLOOM_PROP_PREFIX + column: None}, operation="DROP BLOOM INDEX"
+    )
+
+
+def _conjunctive_value_sets(ast) -> list[tuple[str, list]]:
+    """(column, candidate-values) constraints that must ALL hold for a row
+    to match: top-level conjuncts of the form ``col = lit`` / ``col IN
+    (...)``.  OR/NOT branches contribute nothing (sound: we only shrink the
+    file set when a constraint is mandatory)."""
+    if ast[0] == "and":
+        return _conjunctive_value_sets(ast[1]) + _conjunctive_value_sets(ast[2])
+    if ast[0] == "cmp" and ast[1] == "=" and ast[3] is not None:
+        return [(ast[2], [ast[3]])]
+    if ast[0] == "in" and not ast[3]:
+        vals = [v for v in ast[2] if v is not None]
+        if vals:
+            return [(ast[1], vals)]
+    return []
+
+
+def bloom_prune_adds(
+    table: DeltaTable,
+    adds: Sequence[AddAction],
+    predicate: str | None,
+    meta=None,
+) -> list[AddAction]:
+    """Drop files whose Bloom filters prove the predicate's mandatory
+    equality values are absent.  No false negatives: a file is dropped only
+    when an index row exists for it AND every candidate value misses.
+    Files missing from the index (appended after the build) always stay.
+    Cost: one file-count-sized Spark job per indexed, constrained column;
+    zero jobs when no index applies."""
+    adds = list(adds)
+    if predicate is None or not adds:
+        return adds
+    from delta_sorter_spark.functions.skipping import (
+        SkippingUnsupported,
+        _coerce_literal,
+        parse_predicate,
+    )
+
+    meta = meta if meta is not None else table.metadata
+    specs = bloom_specs(table, meta)
+    if not specs:
+        return adds
+    try:
+        constraints = _conjunctive_value_sets(parse_predicate(predicate))
+    except SkippingUnsupported:
+        return adds
+    spark = table.spark
+    for col, values in constraints:
+        spec = specs.get(col)
+        if spec is None or col not in meta.schema.names:
+            continue
+        dtype = meta.schema[col].dataType
+        coerced = []
+        for v in values:
+            cv = _coerce_literal(v, dtype)
+            if cv is None:
+                coerced = None  # un-coercible literal: probe proves nothing
+                break
+            coerced.append(cv)
+        if not coerced:
+            continue
+        index = table.read_parquet_dataset(
+            spec["path"], ["path", "bits"], "path string, bits array<bigint>"
+        )
+        cand = spark.createDataFrame(
+            [(a.path,) for a in adds], "path string"
+        )
+        hit = F.lit(False)
+        for v in coerced:
+            pos = value_positions(v, spec["m"], spec["k"], spec["seed"])
+            all_set = F.lit(True)
+            for p in pos:
+                all_set = all_set & F.array_contains(
+                    F.col("bits"), F.lit(int(p))
+                )
+            hit = hit | all_set
+        # collect the PROVEN-absent paths: indexed AND no value hits
+        dropped = {
+            r["path"]
+            for r in index.join(F.broadcast(cand), "path")
+            .where(~hit)
+            .select("path")
+            .collect()
+        }
+        if dropped:
+            adds = [a for a in adds if a.path not in dropped]
+        if not adds:
+            break
+    return adds

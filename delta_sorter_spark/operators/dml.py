@@ -264,13 +264,17 @@ def _predicate_hit_paths(table: DeltaTable, state, predicate: str) -> set[str]:
     The scan itself is zone-map pruned first (functions/skipping.py): files
     whose stats prove the predicate can't match are never scheduled, so a
     selective DELETE/UPDATE on a clustered column reads only the overlapping
-    files instead of the whole table."""
+    files instead of the whole table.  Bloom indexes (operators/
+    bloom_index.py) then drop files whose filters prove the predicate's
+    equality values absent — the unclustered point-lookup case."""
     from delta_sorter_spark.functions.skipping import prune_adds
+    from delta_sorter_spark.operators.bloom_index import bloom_prune_adds
 
     scan_adds = prune_adds(
         state.adds, predicate, state.metadata.schema,
         state.metadata.partition_columns,
     )
+    scan_adds = bloom_prune_adds(table, scan_adds, predicate, state.metadata)
     if not scan_adds:
         return set()
     if table.is_remote:
@@ -473,11 +477,13 @@ def delete_where_dv(
         # positions.  Zone-map pruned first (functions/skipping.py): files
         # whose stats exclude the predicate get no scan task and no vector.
         from delta_sorter_spark.functions.skipping import prune_adds
+        from delta_sorter_spark.operators.bloom_index import bloom_prune_adds
 
         scan_adds = prune_adds(
             state.adds, predicate, state.metadata.schema,
             state.metadata.partition_columns,
         )
+        scan_adds = bloom_prune_adds(table, scan_adds, predicate, state.metadata)
         if not scan_adds:
             if _insert_adds:
                 version = table.commit_rewrite(

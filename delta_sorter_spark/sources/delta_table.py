@@ -646,21 +646,27 @@ class DeltaTable:
         return df
 
     def files_matching(
-        self, predicate: str, version: int | None = None
+        self, predicate: str, version: int | None = None, bloom: bool = True
     ) -> list[AddAction]:
-        """Active files whose zone maps admit ``predicate`` (stats-based
-        file skipping, functions/skipping.py) — the planner's view of a
-        pruned read.  ``to_df(adds=table.files_matching(p)).where(p)`` is
-        exactly ``to_df(where=p)``; exposed separately so maintenance code
-        can reason about (or act on) the file subset itself, e.g. schedule
-        a targeted rewrite of the files a hot predicate touches."""
+        """Active files whose zone maps (and, with ``bloom``, any registered
+        Bloom indexes — operators/bloom_index.py) admit ``predicate`` — the
+        planner's view of a pruned read.
+        ``to_df(adds=table.files_matching(p)).where(p)`` is exactly
+        ``to_df(where=p)`` plus bloom; exposed separately so maintenance
+        code can reason about (or act on) the file subset itself, e.g.
+        schedule a targeted rewrite of the files a hot predicate touches."""
         from delta_sorter_spark.functions.skipping import prune_adds
 
         state = self.state(version=version)
-        return prune_adds(
+        kept = prune_adds(
             state.adds, predicate, state.metadata.schema,
             state.metadata.partition_columns,
         )
+        if bloom:
+            from delta_sorter_spark.operators.bloom_index import bloom_prune_adds
+
+            kept = bloom_prune_adds(self, kept, predicate, state.metadata)
+        return kept
 
     def stream_df(
         self, where: str | None = None, skip_change_commits: bool = False
@@ -1470,6 +1476,44 @@ class DeltaTable:
             )
             raise ValueError(f"CHECK constraint violation — {detail}")
 
+    def set_table_properties(
+        self, props: dict, operation: str = "SET TBLPROPERTIES"
+    ) -> int:
+        """ALTER TABLE ... SET TBLPROPERTIES: merge ``props`` into table
+        configuration in one metadata commit (a value of None removes the
+        key).  Free-form keys per the Delta protocol; used by the bloom
+        index registry and available for deployment-specific tagging."""
+        import json as _json
+        import time as _time
+
+        def actions(state):
+            config = dict(state.metadata.configuration)
+            for key, value in props.items():
+                if value is None:
+                    config.pop(key, None)
+                else:
+                    config[key] = str(value)
+            return [
+                {
+                    "metaData": {
+                        "id": state.metadata.table_id,
+                        "format": {"provider": "parquet", "options": {}},
+                        "schemaString": _json.dumps(
+                            state.metadata.schema.jsonValue()
+                        ),
+                        "partitionColumns": state.metadata.partition_columns,
+                        "configuration": config,
+                        "createdTime": int(_time.time() * 1000),
+                    }
+                }
+            ]
+
+        return self.log.commit_with_retry(
+            actions,
+            operation=operation,
+            operation_params={"properties": sorted(props)},
+        )
+
     def add_check_constraint(self, name: str, expr: str) -> int:
         """ADD CONSTRAINT name CHECK (expr): validates ALL existing rows
         (one scan), then commits the constraint into table configuration so
@@ -2024,7 +2068,23 @@ class DeltaTable:
             else:
                 dv_paths.add(dv["storagePath"])
         active |= dv_paths
-        active_prefixes = tuple(p.rstrip("/") + "/" for p in dv_paths)
+        # registered bloom-index datasets are live metadata (directories of
+        # parquet rows); unregistered ones — dropped or replaced by a
+        # rebuild — fall through and get collected
+        bloom_dirs: set[str] = set()
+        for key, raw in (state.metadata.configuration or {}).items():
+            if key.startswith("deltasort.bloomIndex."):
+                try:
+                    import json as _json
+
+                    spec = _json.loads(raw)
+                    if isinstance(spec, dict) and spec.get("path"):
+                        bloom_dirs.add(str(spec["path"]))
+                except ValueError:
+                    pass
+        active_prefixes = tuple(
+            p.rstrip("/") + "/" for p in (dv_paths | bloom_dirs)
+        )
         fsobj = self.log.fs
         doomed: list[str] = []
         now = _time.time()
@@ -2033,13 +2093,16 @@ class DeltaTable:
             if top in ("_delta_log", "_staging"):
                 continue
             in_dv_tree = rel.startswith("_deletion_vectors/")
+            in_bloom_tree = rel.startswith("_bloom_index/")
             name = rel.rsplit("/", 1)[-1]
             is_dv_bin = name.startswith("deletion_vector_") and name.endswith(".bin")
             # data files everywhere; protocol DV bins; inside the legacy DV
-            # tree EVERY file (sidecar payloads, _SUCCESS markers, Hadoop
-            # .crc companions), so an orphaned sidecar dataset is collected
-            # completely
-            if not (name.endswith(".parquet") or in_dv_tree or is_dv_bin):
+            # and bloom-index trees EVERY file (sidecar payloads, _SUCCESS
+            # markers, Hadoop .crc companions), so an orphaned dataset is
+            # collected completely
+            if not (
+                name.endswith(".parquet") or in_dv_tree or in_bloom_tree or is_dv_bin
+            ):
                 continue
             if rel in active or rel.startswith(active_prefixes):
                 continue

@@ -1,0 +1,192 @@
+"""Per-file Bloom filter index (operators/bloom_index.py).
+
+The shape under test: a table clustered by one column (so zone maps serve
+range predicates on it) gets a Bloom index on a second, UNCLUSTERED
+high-cardinality column; point lookups on that column must prune to the
+bloom-hit files with zero false negatives, DML must ride the same planner,
+staleness must fail safe, and vacuum must respect the registered dataset
+while collecting replaced ones.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from delta_sorter_spark.operators.bloom_index import (
+    bloom_prune_adds,
+    bloom_specs,
+    build_bloom_index,
+    drop_bloom_index,
+    value_positions,
+)
+from delta_sorter_spark.sources.delta_table import DeltaTable
+
+N = 2_000
+FILES = 8
+
+
+@pytest.fixture()
+def indexed_table(spark, tmp_path):
+    # clustered by k; doc_id scatters uniformly across every file
+    df = spark.range(0, N).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("doc-"), ((F.col("id") * 7919) % N).cast("string")).alias(
+            "doc_id"
+        ),
+        (F.col("id") % 13).alias("v"),
+    )
+    tbl = DeltaTable.create(
+        spark, str(tmp_path / "t"),
+        df.repartitionByRange(FILES, "k").sortWithinPartitions("k"),
+        stat_columns=["k"],
+    )
+    build_bloom_index(tbl, "doc_id", m_bits=1 << 14)
+    return tbl
+
+
+def test_build_registers_spec_and_prunes_point_lookup(indexed_table):
+    tbl = indexed_table
+    spec = bloom_specs(tbl)["doc_id"]
+    assert spec["m"] == 1 << 14 and spec["k"] == 3
+
+    state = tbl.state()
+    # zone maps alone can't prune doc_id (unclustered: every file overlaps)
+    from delta_sorter_spark.functions.skipping import prune_adds
+
+    zone_only = prune_adds(
+        state.adds, "doc_id = 'doc-123'", state.metadata.schema, []
+    )
+    assert len(zone_only) == FILES
+    # bloom prunes to the file(s) actually containing the value
+    kept = tbl.files_matching("doc_id = 'doc-123'")
+    assert 1 <= len(kept) <= 2
+    got = tbl.to_df(adds=kept).where("doc_id = 'doc-123'").count()
+    assert got == 1
+
+
+def test_no_false_negatives_on_sample(indexed_table):
+    tbl = indexed_table
+    state = tbl.state()
+    rows = (
+        tbl.to_df()
+        .select("doc_id")
+        .where(F.col("k") % 97 == 0)
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        kept = bloom_prune_adds(
+            tbl, state.adds, f"doc_id = '{r['doc_id']}'", state.metadata
+        )
+        found = (
+            tbl.to_df(adds=kept).where(F.col("doc_id") == r["doc_id"]).count()
+        )
+        assert found >= 1, r["doc_id"]
+
+
+def test_in_list_and_conjunction(indexed_table):
+    tbl = indexed_table
+    kept = tbl.files_matching("doc_id IN ('doc-5', 'doc-900') AND v >= 0")
+    assert 1 <= len(kept) <= 4
+    assert (
+        tbl.to_df(adds=kept)
+        .where("doc_id IN ('doc-5', 'doc-900')")
+        .count()
+        == 2
+    )
+    # OR-side equalities are NOT mandatory -> bloom must not prune on them
+    state = tbl.state()
+    kept_or = bloom_prune_adds(
+        tbl, state.adds, "doc_id = 'doc-5' OR v = 3", state.metadata
+    )
+    assert len(kept_or) == FILES
+
+
+def test_absent_value_prunes_everything(indexed_table):
+    assert indexed_table.files_matching("doc_id = 'nope'") == []
+    # and DML rides the same planner: a no-match delete scans nothing
+    from delta_sorter_spark.operators.dml import delete_where
+
+    v = indexed_table.state().version
+    res = delete_where(indexed_table, "doc_id = 'no-such-doc'")
+    assert res == {"rewritten_files": 0, "deleted_rows": 0, "version": v}
+
+
+def test_point_delete_touches_only_bloom_hit_files(indexed_table):
+    from delta_sorter_spark.operators.dml import delete_where_dv
+
+    res = delete_where_dv(indexed_table, "doc_id = 'doc-77'")
+    assert res["deleted_rows"] == 1
+    assert res["dv_files"] == 1
+    assert indexed_table.to_df().where("doc_id = 'doc-77'").count() == 0
+
+
+def test_stale_index_fails_safe(indexed_table, spark):
+    tbl = indexed_table
+    tbl.append(
+        spark.createDataFrame(
+            [(99_991, "doc-new", 1)], "k long, doc_id string, v long"
+        )
+    )
+    # the new file is not in the index -> it must survive the probe
+    kept = tbl.files_matching("doc_id = 'doc-new'")
+    assert tbl.to_df(adds=kept).where("doc_id = 'doc-new'").count() == 1
+
+
+def test_rebuild_drop_and_vacuum(indexed_table, spark):
+    tbl = indexed_table
+    old_spec = bloom_specs(tbl)["doc_id"]
+    build_bloom_index(tbl, "doc_id", m_bits=1 << 14)
+    new_spec = bloom_specs(tbl)["doc_id"]
+    assert new_spec["path"] != old_spec["path"]
+    # replaced dataset is unregistered -> vacuum collects it, keeps the new
+    doomed = tbl.vacuum()
+    assert any(p.startswith(old_spec["path"]) for p in doomed)
+    assert not any(p.startswith(new_spec["path"]) for p in doomed)
+    # index still works after the vacuum
+    assert 1 <= len(tbl.files_matching("doc_id = 'doc-123'")) <= 2
+    drop_bloom_index(tbl, "doc_id")
+    assert "doc_id" not in bloom_specs(tbl)
+    assert len(tbl.files_matching("doc_id = 'doc-123'")) == FILES
+    with pytest.raises(KeyError):
+        drop_bloom_index(tbl, "doc_id")
+
+
+def test_build_validation(indexed_table, spark, tmp_path):
+    with pytest.raises(ValueError):
+        build_bloom_index(indexed_table, "nope")
+    df = spark.createDataFrame([(1.5, "a")], "f double, s string")
+    t2 = DeltaTable.create(spark, str(tmp_path / "t2"), df)
+    with pytest.raises(ValueError):
+        build_bloom_index(t2, "f")  # float: string form is ambiguous
+    df3 = spark.createDataFrame([(1, "eu")], "k long, region string")
+    t3 = DeltaTable.create(
+        spark, str(tmp_path / "t3"), df3, partition_columns=["region"]
+    )
+    with pytest.raises(ValueError):
+        build_bloom_index(t3, "region")  # partition pruning serves it
+
+
+def test_integer_column_index(spark, tmp_path):
+    df = spark.range(0, 500).select(
+        F.col("id").alias("k"), ((F.col("id") * 271) % 500).alias("uid")
+    )
+    tbl = DeltaTable.create(
+        spark, str(tmp_path / "ti"),
+        df.repartitionByRange(5, "k").sortWithinPartitions("k"),
+        stat_columns=["k"],
+    )
+    build_bloom_index(tbl, "uid", m_bits=1 << 13)
+    kept = tbl.files_matching("uid = 123")
+    assert 1 <= len(kept) <= 2
+    assert tbl.to_df(adds=kept).where("uid = 123").count() == 1
+
+
+def test_positions_are_deterministic():
+    assert value_positions("doc-1", 1 << 14, 3, 42) == value_positions(
+        "doc-1", 1 << 14, 3, 42
+    )
+    assert value_positions("doc-1", 1 << 14, 3, 42) != value_positions(
+        "doc-2", 1 << 14, 3, 42
+    )
