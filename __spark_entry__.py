@@ -5617,6 +5617,56 @@ FROM orders
 
 
 # ---------------------------------------------------------------------------
+# Q14: Bloom-index point lookup (operators/bloom_index.py).  The table is
+# clustered by l_shipdate, so an equality probe on l_orderkey scatters
+# across every file and zone maps prune nothing; the per-file Bloom index
+# proves the keys absent from most files and the read scans only the hit
+# files (the skipping itself is pinned by tests/test_bloom_index.py — the
+# oracle checks the rows are exactly right anyway).
+# ---------------------------------------------------------------------------
+
+BLOOM_KEYS = (7, 311, 1234)
+
+
+def q_q14_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from delta_sorter_spark.operators.bloom_index import build_bloom_index
+    from delta_sorter_spark.sources.delta_table import DeltaTable
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_shipdate", "l_quantity"
+    )
+    scratch = tempfile.mkdtemp(prefix="q14_bloom_")
+    try:
+        tbl = DeltaTable.create(
+            spark, os.path.join(scratch, "t"),
+            li.repartitionByRange(16, "l_shipdate")
+            .sortWithinPartitions("l_shipdate"),
+            stat_columns=["l_shipdate"],
+        )
+        build_bloom_index(tbl, "l_orderkey")
+        keys = ", ".join(str(k) for k in BLOOM_KEYS)
+        out = tbl.to_df(where=f"l_orderkey IN ({keys})").select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_quantity").cast("bigint").alias("qty"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+_Q14_SQL = f"""
+SELECT l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT) AS qty
+FROM lineitem
+WHERE l_orderkey IN ({", ".join(str(k) for k in BLOOM_KEYS)})
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q6: RESTORE TO VERSION AS OF (operators/dml.restore) — metadata-only
 # time-travel restore, hash-checked through the exact scenario that found
 # the DV-restore bug: create, merge-on-read DV delete, append, then
@@ -5846,6 +5896,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q11_merge_dv": q_q11_merge_dv,
         "q12_data_skipping": q_q12_data_skipping,
         "q13_stats_agg": q_q13_stats_agg,
+        "q14_bloom_lookup": q_q14_bloom_lookup,
         "e1_exact_dedup": q_e1_exact_dedup,
         "e2_minhash_sig": q_e2_minhash_sig,
         "e3_lsh_candidates": q_e3_lsh_candidates,
@@ -5960,6 +6011,7 @@ def oracle_sql() -> dict[str, str]:
         "q11_merge_dv": _Q11_SQL,
         "q12_data_skipping": _Q12_SQL,
         "q13_stats_agg": _Q13_SQL,
+        "q14_bloom_lookup": _Q14_SQL,
         "e1_exact_dedup": _E1_SQL,
         "e2_minhash_sig": _E2_SQL,
         "e3_lsh_candidates": _E3_SQL,

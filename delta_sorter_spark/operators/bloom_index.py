@@ -279,29 +279,35 @@ def bloom_prune_adds(
             coerced.append(cv)
         if not coerced:
             continue
-        index = table.read_parquet_dataset(
-            spec["path"], ["path", "bits"], "path string, bits array<bigint>"
-        )
-        cand = spark.createDataFrame(
-            [(a.path,) for a in adds], "path string"
-        )
-        hit = F.lit(False)
-        for v in coerced:
-            pos = value_positions(v, spec["m"], spec["k"], spec["seed"])
-            all_set = F.lit(True)
-            for p in pos:
-                all_set = all_set & F.array_contains(
-                    F.col("bits"), F.lit(int(p))
-                )
-            hit = hit | all_set
-        # collect the PROVEN-absent paths: indexed AND no value hits
-        dropped = {
-            r["path"]
-            for r in index.join(F.broadcast(cand), "path")
-            .where(~hit)
-            .select("path")
-            .collect()
-        }
+        try:
+            index = table.read_parquet_dataset(
+                spec["path"], ["path", "bits"],
+                "path string, bits array<bigint>",
+            )
+            cand = spark.createDataFrame(
+                [(a.path,) for a in adds], "path string"
+            )
+            hit = F.lit(False)
+            for v in coerced:
+                pos = value_positions(v, spec["m"], spec["k"], spec["seed"])
+                all_set = F.lit(True)
+                for p in pos:
+                    all_set = all_set & F.array_contains(
+                        F.col("bits"), F.lit(int(p))
+                    )
+                hit = hit | all_set
+            # collect the PROVEN-absent paths: indexed AND no value hits
+            dropped = {
+                r["path"]
+                for r in index.join(F.broadcast(cand), "path")
+                .where(~hit)
+                .select("path")
+                .collect()
+            }
+        except Exception:
+            # a time-traveled spec whose replaced dataset was vacuumed, or
+            # a half-written rebuild: staleness fails SAFE — keep the files
+            continue
         if dropped:
             adds = [a for a in adds if a.path not in dropped]
         if not adds:

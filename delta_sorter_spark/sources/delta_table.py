@@ -618,11 +618,18 @@ class DeltaTable:
             version = self.version_at_timestamp(timestamp)
         if where is not None:
             from delta_sorter_spark.functions.skipping import prune_adds
+            from delta_sorter_spark.operators.bloom_index import (
+                bloom_prune_adds,
+            )
 
             state = self.state(version=version)
             meta = state.metadata
             use = state.adds if adds is None else list(adds)
             pruned = prune_adds(use, where, meta.schema, meta.partition_columns)
+            # Bloom indexes prune the equality/IN constraints zone maps
+            # can't (unclustered point lookups); no-op unless one is
+            # registered for a constrained column
+            pruned = bloom_prune_adds(self, pruned, where, meta)
             # pass the pruned list as an explicit subset (pins the snapshot
             # on the remote path too), then re-apply the predicate exactly
             return self.to_df(adds=pruned, version=version).where(where)
