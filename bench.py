@@ -158,6 +158,22 @@ def main() -> int:
     timed_min("stats_count", lambda: tbl_sorted.stats_count(),
               lambda: tbl_sorted.stats_count())
 
+    # -- Bloom-index point lookup: an equality probe on l_orderkey, which
+    #    the shipdate-clustered layout scatters across every file so zone
+    #    maps prune nothing; the per-file Bloom index drops the proven-empty
+    #    files before any scan task is planned (operators/bloom_index.py).
+    #    Build is priced separately — it is a once-per-rebuild cost.
+    from delta_sorter_spark.operators.bloom_index import build_bloom_index
+
+    timed(
+        "bloom_index_build",
+        lambda: build_bloom_index(tbl_sorted, "l_orderkey"),
+    )
+    b_run = lambda: tbl_sorted.to_df(  # noqa: E731
+        where="l_orderkey IN (7, 311, 1234)"
+    ).write.format("noop").mode("overwrite").save()
+    timed_min("bloom_point_lookup", b_run, b_run)
+
     # -- partition-aware compact, half the partitions pre-sorted ------------
     t_part = os.path.join(workdir, "li_part")
     pre = li.where(F.col("l_returnflag") == "R").sortWithinPartitions(*sort_cols)

@@ -31,6 +31,13 @@ Wired into the predicate-DML planners after zone-map pruning: a one-row
 DELETE on an unclustered key scans the few bloom-hit files instead of the
 table.
 
+Maintenance (`refresh_bloom_index`): catches the index up with the current
+snapshot after appends/compaction/DML by scanning ONLY the files it has
+never seen — existing rows carry forward, removed files' rows drop, and
+the fresh dataset registers atomically under the spec's original hash
+geometry.  The data scanned is O(new files); the index dataset rewrite is
+file-count-sized noise.
+
 Indexable column types: string and integer (byte/short/int/long) — both
 sides hash ``CAST(col AS STRING)`` / ``str(value)``, which agree exactly
 for these types and are ambiguous for floats/dates.  NULLs are never
@@ -125,6 +132,41 @@ def _column_scan(table: DeltaTable, adds, column: str, meta):
     return df.select(_rel_path_col(table).alias("path"), "__v__")
 
 
+def _index_rows(table, adds, column, meta, m_bits: int, k: int, seed: int):
+    """One ``(path, bits)`` row per given file — the distributed index
+    build: each file contributes its distinct bit positions, and an
+    all-NULL file carries an EMPTY filter (provably matches no equality),
+    distinct from "not indexed"."""
+    spark = table.spark
+    paths_df = spark.createDataFrame(
+        [(a.path,) for a in adds], "path string"
+    )
+    scan = _column_scan(table, adds, column, meta).where(
+        F.col("__v__").isNotNull()
+    )
+    h = spark_md5_long_sql("CAST(__v__ AS STRING)")
+    arms = F.array(
+        *[
+            F.expr(
+                f"CAST({minhash_perm_sql(h, a, b)} % {m_bits} AS BIGINT)"
+            )
+            for a, b in minhash_params(k, seed)
+        ]
+    )
+    per_file = (
+        scan.select(F.col("path"), F.explode(arms).alias("bit"))
+        .distinct()  # per-(file, bit): the distributed dedup IS the filter
+        .groupBy("path")
+        .agg(F.sort_array(F.collect_set("bit")).alias("bits"))
+    )
+    return paths_df.join(per_file, "path", "left").select(
+        "path",
+        F.coalesce(F.col("bits"), F.array().cast("array<bigint>")).alias(
+            "bits"
+        ),
+    )
+
+
 def build_bloom_index(
     table: DeltaTable,
     column: str,
@@ -153,39 +195,10 @@ def build_bloom_index(
             "date string forms are ambiguous across engines)"
         )
     adds = state.adds
-    spark = table.spark
-    paths_df = spark.createDataFrame(
-        [(a.path,) for a in adds] or [("",)], "path string"
-    ).where(F.col("path") != "")
 
     dataset_rel = f"_bloom_index/{column}/{_uuid.uuid4().hex}"
     if adds:
-        scan = _column_scan(table, adds, column, meta).where(
-            F.col("__v__").isNotNull()
-        )
-        h = spark_md5_long_sql("CAST(__v__ AS STRING)")
-        arms = F.array(
-            *[
-                F.expr(
-                    f"CAST({minhash_perm_sql(h, a, b)} % {m_bits} AS BIGINT)"
-                )
-                for a, b in minhash_params(k, seed)
-            ]
-        )
-        per_file = (
-            scan.select(F.col("path"), F.explode(arms).alias("bit"))
-            .distinct()  # per-(file, bit): the distributed dedup IS the filter
-            .groupBy("path")
-            .agg(F.sort_array(F.collect_set("bit")).alias("bits"))
-        )
-        # every snapshot file gets a row — an all-NULL file carries an empty
-        # filter (provably matches no equality), distinct from "not indexed"
-        full = paths_df.join(per_file, "path", "left").select(
-            "path",
-            F.coalesce(F.col("bits"), F.array().cast("array<bigint>")).alias(
-                "bits"
-            ),
-        )
+        full = _index_rows(table, adds, column, meta, m_bits, k, seed)
         table.write_parquet_dataset(full.repartition("path"), dataset_rel)
     spec = {
         "path": dataset_rel,
@@ -205,6 +218,82 @@ def build_bloom_index(
     return {
         "column": column,
         "files": len(adds),
+        "dataset": dataset_rel,
+        "version": version,
+    }
+
+
+def refresh_bloom_index(table: DeltaTable, column: str) -> dict:
+    """Catch ``column``'s index up with the current snapshot after appends
+    or rewrites, scanning ONLY the files the index has never seen.
+
+    Existing rows are carried forward for still-live files, the new files
+    (appends, compaction outputs) are indexed, and rows for removed files
+    are dropped — then the fresh dataset is registered atomically with the
+    spec's original m/k/seed, so carried and new rows stay bit-compatible
+    (the replaced dataset becomes vacuum-able, exactly like a rebuild).
+    Data scanned is O(new files); the index dataset itself is
+    file-count-sized (~m bits per file, <0.01% of the data it indexes), so
+    rewriting it costs nothing next to any data scan.  A no-change
+    snapshot short-circuits without a commit.
+
+    Returns {"column", "files", "new_files", "dropped_files", "dataset",
+    "version"}."""
+    spec = bloom_specs(table).get(column)
+    if spec is None:
+        raise KeyError(
+            f"no bloom index on column {column!r} — build_bloom_index first"
+        )
+    state = table.state()
+    meta = state.metadata
+    adds = state.adds
+    m_bits, k, seed = int(spec["m"]), int(spec["k"]), int(spec["seed"])
+    spark = table.spark
+
+    old = table.read_parquet_dataset(
+        spec["path"], ["path", "bits"], "path string, bits array<bigint>"
+    )
+    # O(files) driver-side path list — the same size class as every planner
+    # collect in this engine, never data-scale
+    indexed = {r["path"] for r in old.select("path").collect()}
+    live = {a.path for a in adds}
+    new_adds = [a for a in adds if a.path not in indexed]
+    dropped = indexed - live
+    if not new_adds and not dropped:
+        return {
+            "column": column,
+            "files": len(adds),
+            "new_files": 0,
+            "dropped_files": 0,
+            "dataset": spec["path"],
+            "version": state.version,
+        }
+
+    dataset_rel = f"_bloom_index/{column}/{_uuid.uuid4().hex}"
+    keep = sorted(live & indexed)
+    parts = []
+    if keep:
+        keep_df = spark.createDataFrame([(p,) for p in keep], "path string")
+        parts.append(old.join(keep_df, "path"))
+    if new_adds:
+        parts.append(
+            _index_rows(table, new_adds, column, meta, m_bits, k, seed)
+        )
+    if parts:
+        full = parts[0]
+        for p in parts[1:]:
+            full = full.unionByName(p)
+        table.write_parquet_dataset(full.repartition("path"), dataset_rel)
+    new_spec = dict(spec, path=dataset_rel, version=state.version)
+    version = table.set_table_properties(
+        {BLOOM_PROP_PREFIX + column: json.dumps(new_spec)},
+        operation="REFRESH BLOOM INDEX",
+    )
+    return {
+        "column": column,
+        "files": len(adds),
+        "new_files": len(new_adds),
+        "dropped_files": len(dropped),
         "dataset": dataset_rel,
         "version": version,
     }

@@ -190,3 +190,71 @@ def test_positions_are_deterministic():
     assert value_positions("doc-1", 1 << 14, 3, 42) != value_positions(
         "doc-2", 1 << 14, 3, 42
     )
+
+
+def test_refresh_covers_appended_files(indexed_table, spark):
+    from delta_sorter_spark.operators.bloom_index import refresh_bloom_index
+
+    tbl = indexed_table
+    spec0 = bloom_specs(tbl)["doc_id"]
+    tbl.append(
+        spark.createDataFrame(
+            [(100_000 + i, f"doc-extra-{i}", 1) for i in range(5)],
+            "k long, doc_id string, v long",
+        ).coalesce(1)
+    )
+    res = refresh_bloom_index(tbl, "doc_id")
+    assert res["new_files"] == 1 and res["dropped_files"] == 0
+    assert res["files"] == FILES + 1
+    spec1 = bloom_specs(tbl)["doc_id"]
+    # fresh dataset, same hash geometry (carried rows stay bit-compatible)
+    assert spec1["path"] != spec0["path"]
+    assert (spec1["m"], spec1["k"], spec1["seed"]) == (
+        spec0["m"], spec0["k"], spec0["seed"],
+    )
+    # an OLD value now prunes the appended file too (pre-refresh it had to
+    # be kept as unindexed)
+    kept = tbl.files_matching("doc_id = 'doc-123'")
+    assert 1 <= len(kept) <= 2
+    assert tbl.to_df(adds=kept).where("doc_id = 'doc-123'").count() == 1
+    # a NEW value is found through the refreshed index
+    kept_new = tbl.files_matching("doc_id = 'doc-extra-3'")
+    assert 1 <= len(kept_new) <= 2
+    assert (
+        tbl.to_df(adds=kept_new).where("doc_id = 'doc-extra-3'").count() == 1
+    )
+    # no-change refresh short-circuits without a commit
+    v = tbl.log.latest_version()
+    res2 = refresh_bloom_index(tbl, "doc_id")
+    assert res2["new_files"] == 0 and res2["dropped_files"] == 0
+    assert tbl.log.latest_version() == v
+
+
+def test_refresh_drops_rewritten_files(indexed_table):
+    from delta_sorter_spark.operators.bloom_index import refresh_bloom_index
+    from delta_sorter_spark.operators.dml import delete_where
+
+    tbl = indexed_table
+    # find a doc living OUTSIDE the deleted k-range, in the rewritten file
+    victim = (
+        tbl.to_df().where("k >= 100 AND k < 120").select("doc_id").first()
+    )["doc_id"]
+    res_del = delete_where(tbl, "k < 100")  # rewrites the first file only
+    assert res_del["rewritten_files"] == 1
+    res = refresh_bloom_index(tbl, "doc_id")
+    assert res["dropped_files"] == 1 and res["new_files"] == 1
+    assert res["files"] == FILES
+    kept = tbl.files_matching(f"doc_id = '{victim}'")
+    assert 1 <= len(kept) <= 2
+    assert (
+        tbl.to_df(adds=kept).where(F.col("doc_id") == victim).count() == 1
+    )
+
+
+def test_refresh_requires_existing_index(spark, tmp_path):
+    from delta_sorter_spark.operators.bloom_index import refresh_bloom_index
+
+    df = spark.range(0, 10).select(F.col("id").alias("k"))
+    tbl = DeltaTable.create(spark, str(tmp_path / "tr"), df)
+    with pytest.raises(KeyError):
+        refresh_bloom_index(tbl, "k")
