@@ -324,6 +324,38 @@ def _conjunctive_value_sets(ast) -> list[tuple[str, list]]:
     return []
 
 
+def _coerced_constraints(predicate: str, meta, specs: dict) -> list:
+    """(spec, coerced-values) for each indexed, fully-coercible mandatory
+    equality constraint in the predicate; [] when nothing applies (the
+    probe then proves nothing and prunes nothing)."""
+    from delta_sorter_spark.functions.skipping import (
+        SkippingUnsupported,
+        _coerce_literal,
+        parse_predicate,
+    )
+
+    try:
+        constraints = _conjunctive_value_sets(parse_predicate(predicate))
+    except SkippingUnsupported:
+        return []
+    out = []
+    for col, values in constraints:
+        spec = specs.get(col)
+        if spec is None or col not in meta.schema.names:
+            continue
+        dtype = meta.schema[col].dataType
+        coerced = []
+        for v in values:
+            cv = _coerce_literal(v, dtype)
+            if cv is None:
+                coerced = None  # un-coercible literal: probe proves nothing
+                break
+            coerced.append(cv)
+        if coerced:
+            out.append((spec, coerced))
+    return out
+
+
 def bloom_prune_adds(
     table: DeltaTable,
     adds: Sequence[AddAction],
@@ -339,35 +371,12 @@ def bloom_prune_adds(
     adds = list(adds)
     if predicate is None or not adds:
         return adds
-    from delta_sorter_spark.functions.skipping import (
-        SkippingUnsupported,
-        _coerce_literal,
-        parse_predicate,
-    )
-
     meta = meta if meta is not None else table.metadata
     specs = bloom_specs(table, meta)
     if not specs:
         return adds
-    try:
-        constraints = _conjunctive_value_sets(parse_predicate(predicate))
-    except SkippingUnsupported:
-        return adds
     spark = table.spark
-    for col, values in constraints:
-        spec = specs.get(col)
-        if spec is None or col not in meta.schema.names:
-            continue
-        dtype = meta.schema[col].dataType
-        coerced = []
-        for v in values:
-            cv = _coerce_literal(v, dtype)
-            if cv is None:
-                coerced = None  # un-coercible literal: probe proves nothing
-                break
-            coerced.append(cv)
-        if not coerced:
-            continue
+    for spec, coerced in _coerced_constraints(predicate, meta, specs):
         try:
             index = table.read_parquet_dataset(
                 spec["path"], ["path", "bits"],
@@ -397,6 +406,76 @@ def bloom_prune_adds(
             # a time-traveled spec whose replaced dataset was vacuumed, or
             # a half-written rebuild: staleness fails SAFE — keep the files
             continue
+        if dropped:
+            adds = [a for a in adds if a.path not in dropped]
+        if not adds:
+            break
+    return adds
+
+
+def _read_index_rows_local(
+    table_path: str, dataset_rel: str, candidate_paths
+) -> list[tuple[str, list[int]]]:
+    """Candidate paths' ``(path, bits)`` index rows via pyarrow — no Spark.
+    Row-group predicate pushdown keeps the read proportional to the
+    candidates, not the index."""
+    import pyarrow.parquet as pq
+
+    from delta_sorter_spark.sources.fs import pyarrow_open_input, resolve
+
+    fsobj, base = resolve(table_path)
+    dataset_uri = fsobj.join(base, dataset_rel)
+    names = [n for n in fsobj.list_dir(dataset_uri) if n.endswith(".parquet")]
+    cand = sorted(candidate_paths)
+    out: list[tuple[str, list[int]]] = []
+    for name in names:
+        t = pq.read_table(
+            pyarrow_open_input(f"{dataset_uri}/{name}"),
+            columns=["path", "bits"],
+            filters=[("path", "in", cand)],
+        )
+        out.extend(
+            zip(t.column("path").to_pylist(), t.column("bits").to_pylist())
+        )
+    return out
+
+
+def bloom_prune_adds_local(
+    table_path: str,
+    adds: Sequence[AddAction],
+    predicate: str | None,
+    meta,
+) -> list[AddAction]:
+    """Spark-free twin of ``bloom_prune_adds`` for planning contexts that
+    have no session — the streaming source selects each micro-batch's
+    files in a plain Python process.  Reads only the CANDIDATE paths' index
+    rows via pyarrow (a micro-batch's Add list is new-files-sized, so the
+    local read is bounded regardless of table size); identical
+    no-false-negative semantics and fail-safety: unindexed files always
+    stay, and any index-read error (rebuilt/vacuumed dataset mid-stream)
+    keeps every candidate."""
+    adds = list(adds)
+    if predicate is None or not adds:
+        return adds
+    specs = bloom_specs(None, meta)
+    if not specs:
+        return adds
+    for spec, coerced in _coerced_constraints(predicate, meta, specs):
+        try:
+            rows = _read_index_rows_local(
+                table_path, spec["path"], {a.path for a in adds}
+            )
+            val_pos = [
+                value_positions(v, spec["m"], spec["k"], spec["seed"])
+                for v in coerced
+            ]
+            dropped = set()
+            for path, bits in rows:
+                bs = set(bits)
+                if not any(all(p in bs for p in pos) for pos in val_pos):
+                    dropped.add(path)
+        except Exception:
+            continue  # staleness fails SAFE — keep the files
         if dropped:
             adds = [a for a in adds if a.path not in dropped]
         if not adds:

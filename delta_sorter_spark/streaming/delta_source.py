@@ -204,6 +204,7 @@ class _DeltaSourceCore:
         # nothing, matching to_df(where=...).
         self.where = options.get("where")
         self._where_ast = None
+        self._meta = meta  # pinned at stream start (for Bloom-index specs)
         self._meta_schema = meta.schema
         if self.where:
             from delta_sorter_spark.functions.skipping import (
@@ -246,19 +247,33 @@ class _DeltaSourceCore:
         )
 
     def prune(self, adds):
-        """Zone-map prune an Add list by the ``where`` option (no-op when
-        unset or unparseable)."""
+        """Zone-map + Bloom-index prune an Add list by the ``where`` option
+        (no-op when unset or unparseable).  The Bloom probe is the
+        Spark-free pyarrow twin — this planning code runs in a plain Python
+        process with no session — and reads only the CANDIDATE paths' index
+        rows, so its cost tracks the micro-batch, not the table.  Specs are
+        pinned at stream start; an index rebuilt mid-stream fails safe
+        (read error keeps the files)."""
         if self._where_ast is None:
             return list(adds)
         from delta_sorter_spark.functions.skipping import file_may_match
 
-        return [
+        kept = [
             a
             for a in adds
             if file_may_match(
                 a, self._where_ast, self._meta_schema, list(self.partition_columns)
             )
         ]
+        if not kept:
+            return kept
+        from delta_sorter_spark.operators.bloom_index import (
+            bloom_prune_adds_local,
+        )
+
+        return bloom_prune_adds_local(
+            self.table_path, kept, self.where, self._meta
+        )
 
     def snapshot_partitions(self, at_version=None) -> list[DeltaFilePartition]:
         state = self.log.read_state(at_version=at_version)

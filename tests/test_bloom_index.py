@@ -258,3 +258,53 @@ def test_refresh_requires_existing_index(spark, tmp_path):
     tbl = DeltaTable.create(spark, str(tmp_path / "tr"), df)
     with pytest.raises(KeyError):
         refresh_bloom_index(tbl, "k")
+
+
+def test_local_probe_matches_spark_probe(indexed_table):
+    from delta_sorter_spark.operators.bloom_index import bloom_prune_adds_local
+
+    tbl = indexed_table
+    state = tbl.state()
+    for pred in (
+        "doc_id = 'doc-123'",
+        "doc_id IN ('doc-5', 'doc-900')",
+        "doc_id = 'nope'",
+        "doc_id = 'doc-5' OR v = 3",  # OR: not mandatory -> prunes nothing
+    ):
+        spark_kept = {
+            a.path
+            for a in bloom_prune_adds(tbl, state.adds, pred, state.metadata)
+        }
+        local_kept = {
+            a.path
+            for a in bloom_prune_adds_local(
+                tbl.table_path, state.adds, pred, state.metadata
+            )
+        }
+        assert local_kept == spark_kept, pred
+
+
+def test_stream_where_rides_bloom_probe(indexed_table, spark):
+    from delta_sorter_spark.streaming.delta_source import DeltaStreamReader
+
+    tbl = indexed_table
+    rd = DeltaStreamReader(
+        {"path": tbl.table_path, "where": "doc_id = 'doc-123'"}
+    )
+    # zone maps alone keep all FILES (unclustered column); the source's
+    # planner must ride the Spark-free bloom probe down to the hit file(s)
+    parts = rd.partitions(
+        {"version": -1}, {"version": tbl.log.latest_version()}
+    )
+    assert 1 <= len(parts) <= 2
+    # a tail append is unindexed -> fail-safe keeps it
+    v0 = tbl.log.latest_version()
+    tbl.append(
+        spark.createDataFrame(
+            [(99_990, "doc-tail", 0)], "k long, doc_id string, v long"
+        )
+    )
+    tail = rd.partitions(
+        {"version": v0}, {"version": tbl.log.latest_version()}
+    )
+    assert len(tail) == 1
