@@ -5239,6 +5239,116 @@ _E68_SQL = _e68_sql()
 
 
 # ---------------------------------------------------------------------------
+# E69/E70: line-level (paragraph) boilerplate dedup — the CCNet/RefinedWeb
+# pipeline step (operators/dedup.repeated_lines / remove_repeated_lines).
+# The synthetic documents are single-line word soup, so both sides first
+# decorate them relationally with the boilerplate this operator exists to
+# catch: a newsletter header on even doc_ids, a copyright footer on
+# doc_id % 3 = 0.  Corpus-frequent normalized lines (>= LINE_MIN_DOCS
+# docs, >= LINE_MIN_CHARS chars) are detected (e69) and removed in
+# document order (e70) — including any whole-text bodies that repeat
+# across the corpus' intentional duplicate documents, which is correct
+# CCNet semantics (duplicate paragraphs go too).
+# ---------------------------------------------------------------------------
+
+LINE_MIN_DOCS = 3
+LINE_MIN_CHARS = 4
+_LINE_HEADER = "Subscribe To Our Newsletter Today"
+_LINE_FOOTER = "Copyright 2024 Example Corp"
+
+
+def _docs_with_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.when(F.col("doc_id") % 2 == 0, F.lit(_LINE_HEADER)),
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(_LINE_FOOTER)),
+        ).alias("text"),
+    )
+
+
+_LINE_DOCS_CTE = f"""
+docs AS (
+  SELECT doc_id,
+         concat_ws(chr(10),
+                   CASE WHEN doc_id % 2 = 0
+                        THEN '{_LINE_HEADER}' END,
+                   text,
+                   CASE WHEN doc_id % 3 = 0
+                        THEN '{_LINE_FOOTER}' END) AS text
+  FROM documents)
+"""
+
+
+def q_e69_repeated_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_sorter_spark.operators.dedup import repeated_lines
+
+    docs = _docs_with_boilerplate(spark, sf_dir)
+    return repeated_lines(
+        docs, "doc_id", "text",
+        min_docs=LINE_MIN_DOCS, min_chars=LINE_MIN_CHARS,
+    )
+
+
+_E69_SQL = f"""
+WITH {_LINE_DOCS_CTE},
+d AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM docs),
+lines AS (
+  SELECT doc_id, lower(trim(ls[i])) AS norm
+  FROM d, unnest(generate_series(1, len(ls))) AS t(i)
+)
+SELECT norm AS line, count(DISTINCT doc_id) AS n_docs
+FROM lines
+WHERE norm <> '' AND length(norm) >= {LINE_MIN_CHARS}
+GROUP BY norm
+HAVING count(DISTINCT doc_id) >= {LINE_MIN_DOCS}
+"""
+
+
+def q_e70_remove_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_sorter_spark.operators.dedup import remove_repeated_lines
+
+    docs = _docs_with_boilerplate(spark, sf_dir)
+    out = remove_repeated_lines(
+        docs, "doc_id", "text",
+        min_docs=LINE_MIN_DOCS, min_chars=LINE_MIN_CHARS,
+    )
+    # limit the hashed payload: only docs that actually changed
+    return out.where(F.col("lines_removed") > 0).select(
+        "doc_id", "text", "lines_removed"
+    )
+
+
+_E70_SQL = f"""
+WITH {_LINE_DOCS_CTE},
+d AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM docs),
+lines AS (
+  SELECT doc_id, i - 1 AS pos, ls[i] AS line, lower(trim(ls[i])) AS norm
+  FROM d, unnest(generate_series(1, len(ls))) AS t(i)
+),
+freq AS (
+  SELECT norm FROM lines
+  WHERE norm <> '' AND length(norm) >= {LINE_MIN_CHARS}
+  GROUP BY norm HAVING count(DISTINCT doc_id) >= {LINE_MIN_DOCS}
+),
+kept AS (
+  SELECT l.doc_id, l.pos, l.line FROM lines l
+  WHERE l.norm NOT IN (SELECT norm FROM freq)
+)
+SELECT d.doc_id,
+       coalesce((SELECT string_agg(line, chr(10) ORDER BY pos)
+                 FROM kept k WHERE k.doc_id = d.doc_id), '') AS text,
+       CAST(len(ls) - (SELECT count(*) FROM kept k
+                       WHERE k.doc_id = d.doc_id) AS BIGINT) AS lines_removed
+FROM d
+WHERE len(ls) > (SELECT count(*) FROM kept k WHERE k.doc_id = d.doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q5: change data feed (operators/dml.table_changes — the Delta CDF shape,
 # previously suite-only).  The query builds a REAL Delta table: v0 creates
 # from an orders subset, v1 is a merge-on-read DV delete, v2 appends — then
@@ -5984,6 +6094,8 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e66_doc_centrality": q_e66_doc_centrality,
         "e67_bpe_train": q_e67_bpe_train,
         "e68_temperature_mix": q_e68_temperature_mix,
+        "e69_repeated_lines": q_e69_repeated_lines,
+        "e70_remove_lines": q_e70_remove_lines,
         "a47_corpus_profile": q_a47_corpus_profile,
         "m4_embed_topk": q_m4_embed_topk,
         "a43_span_report": q_a43_span_report,
@@ -6064,6 +6176,8 @@ def oracle_sql() -> dict[str, str]:
         "e65_filtered_topk": _E65_SQL,
         "e66_doc_centrality": _E66_SQL,
         "e68_temperature_mix": _E68_SQL,
+        "e69_repeated_lines": _E69_SQL,
+        "e70_remove_lines": _E70_SQL,
         "a47_corpus_profile": _A47_SQL,
         "m4_embed_topk": _M4_SQL,
         "a43_span_report": _A43_SQL,

@@ -1020,6 +1020,113 @@ def remove_repeated_spans(
     )
 
 
+def repeated_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_docs: int = 2,
+    sep: str = "\n",
+    min_chars: int = 1,
+) -> DataFrame:
+    """Line-level (paragraph) boilerplate detection — the CCNet (Wenzek et
+    al. 2020) / RefinedWeb (Penedo et al. 2023) pipeline step: split each
+    document on ``sep`` (a regex), normalize each line (lower + trim), and
+    count the DISTINCT documents containing it.  Lines appearing in >=
+    ``min_docs`` documents and at least ``min_chars`` normalized chars
+    long are the nav-text / cookie-banner / footer boilerplate that
+    substring dedup (repeated_ngram_spans) over-segments and exact dedup
+    never sees.
+
+    Plan shape: one narrow explode + two hash aggregations (the distinct
+    (doc, line) pairs combine map-side before the per-line count) — no
+    self-join, nothing quadratic.  Returns (line, n_docs) with ``line``
+    normalized."""
+    lines = df.select(
+        F.col(id_col).alias("__id__"),
+        F.explode(F.split(F.col(text_col), sep)).alias("__raw__"),
+    ).select("__id__", F.lower(F.trim("__raw__")).alias("line"))
+    return (
+        lines.where((F.col("line") != "") & (F.length("line") >= min_chars))
+        .distinct()
+        .groupBy("line")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+    )
+
+
+def remove_repeated_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_docs: int = 2,
+    sep: str = "\n",
+    min_chars: int = 1,
+    joiner: str = "\n",
+) -> DataFrame:
+    """Line-level dedup, phase 2: drop every line whose normalized form is
+    corpus-frequent (``repeated_lines`` semantics), keep everything else in
+    document order, and re-join with ``joiner``.  Lines shorter than
+    ``min_chars`` (and blank lines) are never removed even when frequent —
+    they are document structure, not boilerplate.
+
+    One explode + the exact frequency aggregate + a left-anti join on the
+    normalized line + one per-document re-aggregation: the corpus text
+    shuffles once by line and once by document id, frequency is computed
+    exactly (never sampled), and no step is quadratic.  Output: the input
+    columns in order with ``text_col`` rewritten in place (a fully-removed
+    document becomes ''), plus ``lines_removed``."""
+    lines = df.select(
+        F.col(id_col).alias("__id__"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias(
+            "__pos__", "__line__"
+        ),
+    ).withColumn("__norm__", F.lower(F.trim("__line__")))
+    frequent = (
+        lines.where(
+            (F.col("__norm__") != "") & (F.length("__norm__") >= min_chars)
+        )
+        .select("__id__", "__norm__")
+        .distinct()
+        .groupBy("__norm__")
+        .agg(F.count("*").alias("__n__"))
+        .where(F.col("__n__") >= min_docs)
+        .select("__norm__")
+    )
+    kept = lines.join(frequent, "__norm__", "left_anti")
+    rebuilt = (
+        kept.groupBy("__id__")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("__pos__", "__line__"))
+            ).alias("__k__"),
+            F.count("*").alias("__kept_n__"),
+        )
+        .select(
+            "__id__",
+            F.array_join(
+                F.transform("__k__", lambda p: p["__line__"]), joiner
+            ).alias("__text__"),
+            "__kept_n__",
+        )
+    )
+    out = df.join(rebuilt, F.col(id_col) == F.col("__id__"), "left")
+    ordered = [
+        F.coalesce(F.col("__text__"), F.lit("")).alias(text_col)
+        if c == text_col
+        else F.col(c)
+        for c in df.columns
+    ]
+    return out.select(
+        *ordered,
+        (
+            F.size(F.split(F.col(text_col), sep))
+            - F.coalesce(F.col("__kept_n__"), F.lit(0))
+        )
+        .cast("bigint")
+        .alias("lines_removed"),
+    )
+
+
 def sorted_neighborhood_pairs(
     df: DataFrame,
     id_col: str,

@@ -1265,3 +1265,46 @@ def test_temperature_mix_deterministic_and_budget_tracking(spark):
         ).collect()
     }
     assert a != c  # seed-sensitive
+
+
+def test_repeated_lines_and_removal(spark):
+    """CCNet-style line-level boilerplate dedup (dedup.repeated_lines /
+    remove_repeated_lines): corpus-frequent lines go, unique bodies stay,
+    short lines are structure (never removed), a fully-boilerplate doc
+    becomes ''."""
+    from delta_sorter_spark.operators.dedup import (
+        remove_repeated_lines,
+        repeated_lines,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "Subscribe Now\nunique body one\nCopyright 2024"),
+            (2, "subscribe now\nanother body\nCopyright 2024"),
+            (3, "totally unique\n-\nCopyright 2024"),
+            (4, "Subscribe Now\nCopyright 2024"),
+        ],
+        "id long, text string",
+    )
+    freq = {
+        r["line"]: r["n_docs"]
+        for r in repeated_lines(df, "id", "text", min_docs=2).collect()
+    }
+    # matching is case-insensitive and exact-count
+    assert freq == {"subscribe now": 3, "copyright 2024": 4}
+
+    out = {
+        r["id"]: (r["text"], r["lines_removed"])
+        for r in remove_repeated_lines(
+            df, "id", "text", min_docs=2, min_chars=2
+        ).collect()
+    }
+    assert out[1] == ("unique body one", 2)
+    assert out[2] == ("another body", 2)
+    # '-' survives: below min_chars, structure not boilerplate
+    assert out[3] == ("totally unique\n-", 1)
+    # every line boilerplate -> empty doc, column order preserved
+    assert out[4] == ("", 2)
+    # schema: input columns in order + lines_removed appended
+    cols = remove_repeated_lines(df, "id", "text").columns
+    assert cols == ["id", "text", "lines_removed"]
