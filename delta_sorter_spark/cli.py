@@ -5,6 +5,12 @@
         [--dry-run] [--validate-only] [--repartition-by-sort-key]
         [--log-level LEVEL] [--nulls first|last]
 
+Extension verbs (each runs and exits; --sort-columns not required):
+    --history                     print the commit history
+    --build-bloom-index COLUMN    build/rebuild the per-file Bloom index
+    --refresh-bloom-index COLUMN  catch the index up (O(new files) scan)
+    --drop-bloom-index COLUMN     unregister (vacuum collects the dataset)
+
 Exit codes: 0 ok; 1 validation violations (main.rs:84-86); 2 usage errors.
 """
 
@@ -26,9 +32,10 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument(
         "--sort-columns",
-        required=True,
+        default="",
         help="Comma-separated sort columns, optionally with a per-column "
-        "direction suffix, e.g. objectId,dateTime:desc (default asc)",
+        "direction suffix, e.g. objectId,dateTime:desc (default asc). "
+        "Required unless an index/--history verb is given",
     )
     p.add_argument("--target-file-size-bytes", type=int, default=None)
     p.add_argument("--predicate", default=None, help="Scope compaction to matching partitions")
@@ -56,6 +63,28 @@ def build_parser() -> argparse.ArgumentParser:
         help="With --validate-only: validate the table snapshot at this"
         " version (time travel)",
     )
+    p.add_argument(
+        "--build-bloom-index",
+        default=None,
+        metavar="COLUMN",
+        help="Build (or rebuild) the per-file Bloom index for COLUMN — "
+        "equality/IN file skipping on columns the table is not clustered "
+        "on — then exit",
+    )
+    p.add_argument(
+        "--refresh-bloom-index",
+        default=None,
+        metavar="COLUMN",
+        help="Catch COLUMN's Bloom index up with the current snapshot, "
+        "scanning only never-indexed files, then exit",
+    )
+    p.add_argument(
+        "--drop-bloom-index",
+        default=None,
+        metavar="COLUMN",
+        help="Unregister COLUMN's Bloom index (vacuum collects the "
+        "dataset), then exit",
+    )
     return p
 
 
@@ -66,13 +95,22 @@ def main(argv: list[str] | None = None) -> int:
 
     from delta_sorter_spark import api
 
+    index_verb = (
+        args.build_bloom_index or args.refresh_bloom_index
+        or args.drop_bloom_index
+    )
+    if not sort_columns and not (args.history or index_verb):
+        print("error: --sort-columns is required", file=sys.stderr)
+        return 2
+
     try:
         return _run(args, sort_columns, api)
     except FileNotFoundError as exc:
         print(f"error: {exc}", file=sys.stderr)
         return 2
-    except ValueError as exc:
-        print(f"error: {exc}", file=sys.stderr)
+    except (KeyError, ValueError) as exc:
+        # KeyError's str() is the repr of its argument — unwrap it
+        print(f"error: {exc.args[0] if exc.args else exc}", file=sys.stderr)
         return 2
 
 
@@ -83,6 +121,34 @@ def _run(args, sort_columns, api) -> int:
         for h in DeltaLog(args.table).history():
             params = " ".join(f"{k}={v}" for k, v in (h["operationParameters"] or {}).items())
             print(f"v{h['version']} ts={h['timestamp']} op={h['operation']} {params}".rstrip())
+        return 0
+
+    if args.build_bloom_index or args.refresh_bloom_index or args.drop_bloom_index:
+        from delta_sorter_spark.operators.bloom_index import (
+            build_bloom_index,
+            drop_bloom_index,
+            refresh_bloom_index,
+        )
+        from delta_sorter_spark.session import get_spark
+        from delta_sorter_spark.sources.delta_table import DeltaTable
+
+        tbl = DeltaTable(get_spark(), args.table)
+        if args.build_bloom_index:
+            r = build_bloom_index(tbl, args.build_bloom_index)
+            print(
+                f"bloom_index column={r['column']} files={r['files']} "
+                f"version={r['version']}"
+            )
+        elif args.refresh_bloom_index:
+            r = refresh_bloom_index(tbl, args.refresh_bloom_index)
+            print(
+                f"bloom_index column={r['column']} files={r['files']} "
+                f"new={r['new_files']} dropped={r['dropped_files']} "
+                f"version={r['version']}"
+            )
+        else:
+            v = drop_bloom_index(tbl, args.drop_bloom_index)
+            print(f"bloom_index dropped column={args.drop_bloom_index} version={v}")
         return 0
 
     if args.validate_only:

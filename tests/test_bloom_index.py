@@ -308,3 +308,25 @@ def test_stream_where_rides_bloom_probe(indexed_table, spark):
         {"version": v0}, {"version": tbl.log.latest_version()}
     )
     assert len(tail) == 1
+
+
+def test_cli_bloom_verbs(spark, tmp_path, capsys):
+    from delta_sorter_spark import cli
+
+    df = spark.range(0, 200).select(
+        F.col("id").alias("k"), (F.col("id") % 50).cast("string").alias("u")
+    )
+    path = str(tmp_path / "tc")
+    DeltaTable.create(
+        spark, path, df.repartitionByRange(4, "k").sortWithinPartitions("k"),
+        stat_columns=["k"],
+    )
+    assert cli.main(["--table", path, "--build-bloom-index", "u"]) == 0
+    assert "bloom_index column=u files=4" in capsys.readouterr().out
+    assert cli.main(["--table", path, "--refresh-bloom-index", "u"]) == 0
+    assert "new=0 dropped=0" in capsys.readouterr().out
+    assert cli.main(["--table", path, "--drop-bloom-index", "u"]) == 0
+    # refresh without a registered index -> usage error, not a stack trace
+    assert cli.main(["--table", path, "--refresh-bloom-index", "u"]) == 2
+    # compaction still requires --sort-columns
+    assert cli.main(["--table", path]) == 2
