@@ -5283,6 +5283,66 @@ docs AS (
 """
 
 
+# ---------------------------------------------------------------------------
+# E71: URL canonicalization + dedup-by-URL (operators/textstats.canonical_url
+# / url_dedup_stats) — the crawl-pipeline key-normalization step.  The corpus
+# has no URL column, so one is synthesized relationally with every mess the
+# canonicalizer must undo (mixed case, www., :443, trailing slash, utm_*
+# params, fragments, param-order variants); the ORACLE states the expected
+# canonical form analytically from the generation formula, so any rule the
+# operator gets wrong is a hash mismatch, not a shared bug.
+# ---------------------------------------------------------------------------
+
+
+def q_e71_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_sorter_spark.operators.textstats import url_dedup_stats
+
+    d = load_table(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    urls = d.select(
+        "doc_id",
+        F.concat(
+            F.when(k % 2 == 0, F.lit("HTTPS://WWW.")).otherwise(
+                F.lit("https://")
+            ),
+            F.col("source"),
+            F.lit(".com"),
+            F.when(k % 4 == 0, F.lit(":443")).otherwise(F.lit("")),
+            F.lit("/articles/"),
+            (k % 40).cast("string"),
+            F.when(k % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+            F.when(
+                k % 10 == 7, F.lit("?utm_campaign=x")  # query empties out
+            )
+            .when(
+                k % 2 == 0,
+                F.concat(
+                    F.lit("?utm_source=feed&id="), (k % 5).cast("string")
+                ),
+            )
+            .otherwise(F.concat(F.lit("?id="), (k % 5).cast("string"))),
+            F.when(k % 5 == 0, F.lit("#top")).otherwise(F.lit("")),
+        ).alias("url"),
+    )
+    return url_dedup_stats(urls, "doc_id", "url")
+
+
+_E71_SQL = """
+WITH urls AS (
+  SELECT doc_id,
+         'https://' || source || '.com/articles/'
+         || CAST(doc_id % 40 AS VARCHAR)
+         || CASE WHEN doc_id % 10 = 7 THEN ''
+                 ELSE '?id=' || CAST(doc_id % 5 AS VARCHAR) END
+           AS canonical_url
+  FROM documents
+)
+SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_docs,
+       min(doc_id) AS keep_id
+FROM urls GROUP BY canonical_url
+"""
+
+
 def q_e69_repeated_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     from delta_sorter_spark.operators.dedup import repeated_lines
 
@@ -5896,6 +5956,10 @@ _RECHECK_THIS_ROUND = [
     "q9_update_where",
     "q10_update_where_dv",
     "q11_merge_dv",
+    # bloom probe now rides to_df(where=...) after zone maps: recheck the
+    # skipping read-path consumer (a no-op without a registered index, but
+    # the code path changed)
+    "q12_data_skipping",
     # connected-components edge cache (graph.py): recheck its consumers
     "e13_dup_clusters",
     "e47_leakage_safe_split",
@@ -6096,6 +6160,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e68_temperature_mix": q_e68_temperature_mix,
         "e69_repeated_lines": q_e69_repeated_lines,
         "e70_remove_lines": q_e70_remove_lines,
+        "e71_url_dedup": q_e71_url_dedup,
         "a47_corpus_profile": q_a47_corpus_profile,
         "m4_embed_topk": q_m4_embed_topk,
         "a43_span_report": q_a43_span_report,
@@ -6178,6 +6243,7 @@ def oracle_sql() -> dict[str, str]:
         "e68_temperature_mix": _E68_SQL,
         "e69_repeated_lines": _E69_SQL,
         "e70_remove_lines": _E70_SQL,
+        "e71_url_dedup": _E71_SQL,
         "a47_corpus_profile": _A47_SQL,
         "m4_embed_topk": _M4_SQL,
         "a43_span_report": _A43_SQL,

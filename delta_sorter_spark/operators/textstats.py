@@ -850,3 +850,69 @@ def bigram_lm_score(
         )
     )
 
+
+
+def canonical_url(url: Column | str) -> Column:
+    """Crawl-style URL canonicalization — the key-normalization step before
+    dedup-by-URL in web-corpus pipelines (CommonCrawl-derived sets dedup on
+    a canonical URL before any content hashing):
+
+    - scheme and authority lowercased; a leading ``www.`` dropped
+    - default ports stripped (``:80`` for http, ``:443`` for https)
+    - the ``#fragment`` dropped
+    - tracking params dropped (``utm_*``, ``fbclid``, ``gclid``,
+      ``msclkid``, ``ref``), the survivors SORTED so param order never
+      splits a URL into two identities; an emptied query loses its ``?``
+    - trailing slashes on the path stripped
+
+    Pure column expressions (regexp + array ops, no UDF), deterministic,
+    and restated exactly in the e71 DuckDB oracle."""
+    c = F.trim(F.col(url) if isinstance(url, str) else url)
+    c = F.regexp_replace(c, "#.*$", "")  # fragment
+    base = F.substring_index(c, "?", 1)
+    auth = F.regexp_extract(base, "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]*)", 1)
+    # path split is positional: everything after the authority
+    rest = F.substring(base, F.length(auth) + 1, F.lit(1 << 30))
+    auth = F.lower(auth)
+    auth = F.regexp_replace(auth, "^(https?://)www\\.", "$1")
+    auth = F.regexp_replace(auth, "^(https://[^:/]*):443$", "$1")
+    auth = F.regexp_replace(auth, "^(http://[^:/]*):80$", "$1")
+    rest = F.regexp_replace(rest, "/+$", "")
+    query = F.when(
+        F.instr(c, "?") > 0, F.substring_index(c, "?", -1)
+    ).otherwise(F.lit(""))
+    params = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "")
+            & ~p.rlike("^(utm_[^=]*|fbclid|gclid|msclkid|ref)="),
+        )
+    )
+    return F.concat(
+        auth,
+        rest,
+        F.when(
+            F.size(params) > 0,
+            F.concat(F.lit("?"), F.array_join(params, "&")),
+        ).otherwise(F.lit("")),
+    ).alias("canonical_url")
+
+
+def url_dedup_stats(
+    df: DataFrame, id_col: str, url_col: str
+) -> DataFrame:
+    """Group documents by canonical URL: (canonical_url, n_docs, keep_id)
+    where keep_id is the smallest id — the crawl-dedup survivor rule.
+    One map-side-combinable aggregation after the pure-expression
+    canonicalization; nothing shuffles except the grouped partials."""
+    return (
+        df.select(
+            F.col(id_col).alias("__id__"),
+            canonical_url(F.col(url_col)),
+        )
+        .groupBy("canonical_url")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.min("__id__").alias("keep_id"),
+        )
+    )

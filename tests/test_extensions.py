@@ -1308,3 +1308,37 @@ def test_repeated_lines_and_removal(spark):
     # schema: input columns in order + lines_removed appended
     cols = remove_repeated_lines(df, "id", "text").columns
     assert cols == ["id", "text", "lines_removed"]
+
+
+def test_canonical_url_rules(spark):
+    """Crawl-style URL canonicalization (textstats.canonical_url): case,
+    www, default ports, fragments, tracking params, param order, trailing
+    slashes — each rule pinned; distinct real URLs stay distinct."""
+    from delta_sorter_spark.operators.textstats import canonical_url
+
+    cases = [
+        # messy variants of one identity all collapse
+        ("HTTPS://WWW.Ex.COM:443/a/b/?b=2&utm_source=x&a=1#f",
+         "https://ex.com/a/b?a=1&b=2"),
+        ("https://ex.com/a/b?a=1&b=2", "https://ex.com/a/b?a=1&b=2"),
+        ("https://ex.com/a/b/?b=2&a=1", "https://ex.com/a/b?a=1&b=2"),
+        # default ports only for the matching scheme
+        ("http://ex.com:80/x", "http://ex.com/x"),
+        ("http://ex.com:443/x", "http://ex.com:443/x"),
+        # tracking-only query loses the '?'
+        ("https://ex.com/p?utm_campaign=z&fbclid=1&gclid=2&msclkid=3&ref=r",
+         "https://ex.com/p"),
+        # utm_ is a prefix match, 'referrer' is NOT 'ref'
+        ("https://ex.com/p?utm_x=1&referrer=keep",
+         "https://ex.com/p?referrer=keep"),
+        # bare host, root slash
+        ("https://ex.com", "https://ex.com"),
+        ("https://ex.com/", "https://ex.com"),
+        # different identities stay different
+        ("https://ex.com/a?id=1", "https://ex.com/a?id=1"),
+        ("https://ex.com/a?id=2", "https://ex.com/a?id=2"),
+        ("https://other.com/a?id=1", "https://other.com/a?id=1"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "u string")
+    got = [r[0] for r in df.select(canonical_url("u")).collect()]
+    assert got == [want for _, want in cases]
