@@ -391,3 +391,52 @@ def test_update_where_dv_equals_copy_on_write_update(
     got_cow = sorted(tuple(r) for r in DeltaTable(spark, str(base / "cow")).to_df().collect())
     got_mor = sorted(tuple(r) for r in DeltaTable(spark, str(base / "mor")).to_df().collect())
     assert got_cow == got_mor
+
+
+# ---------------------------------------------------------------------------
+# line-level boilerplate dedup vs a pure-Python oracle
+# ---------------------------------------------------------------------------
+
+LINES = ["Subscribe Now", "copyright 2024", "body text", "x", "", "  pad  "]
+
+corpus_strategy = st.lists(
+    st.lists(st.sampled_from(LINES), min_size=1, max_size=5).map("\n".join),
+    min_size=1,
+    max_size=6,
+)
+
+
+def _line_dedup_oracle(texts, min_docs, min_chars):
+    """Pure-Python mirror of dedup.remove_repeated_lines semantics."""
+    norm = lambda s: s.strip().lower()  # noqa: E731
+    df = {}
+    for txt in texts:
+        for n in {norm(line) for line in txt.split("\n")}:
+            if n and len(n) >= min_chars:
+                df[n] = df.get(n, 0) + 1
+    frequent = {n for n, c in df.items() if c >= min_docs}
+    out = []
+    for txt in texts:
+        kept = [line for line in txt.split("\n") if norm(line) not in frequent]
+        out.append(("\n".join(kept), len(txt.split("\n")) - len(kept)))
+    return out
+
+
+@given(corpus_strategy, st.integers(2, 3), st.integers(1, 4))
+@_settings
+def test_remove_repeated_lines_matches_python_oracle(
+    spark, texts, min_docs, min_chars
+):
+    from delta_sorter_spark.operators.dedup import remove_repeated_lines
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "id long, text string"
+    )
+    got = {
+        r["id"]: (r["text"], r["lines_removed"])
+        for r in remove_repeated_lines(
+            df, "id", "text", min_docs=min_docs, min_chars=min_chars
+        ).collect()
+    }
+    want = dict(enumerate(_line_dedup_oracle(texts, min_docs, min_chars)))
+    assert got == want
