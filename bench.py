@@ -76,6 +76,11 @@ ENTRY_QUERIES = [
     # temperature-based domain rebalancing: count agg + broadcast rate join +
     # scan-time md5 gate — prices the zero-shuffle sampling shape
     "e68_temperature_mix",
+    # late round-5: line-level (CCNet) boilerplate dedup pair and crawl-style
+    # URL canonicalization + dedup-by-URL — the corpus-scan curation verbs
+    "e69_repeated_lines",
+    "e70_remove_lines",
+    "e71_url_dedup",
 ]
 
 
