@@ -10,6 +10,9 @@ compaction and z-ordering.
    scan tasks — exact across a merge-on-read DV delete.
 5. A streaming consumer watching one key range (``stream_df(where=...)``)
    prunes each micro-batch's new files the same way.
+6. For the probe zone maps CAN'T serve — equality on a column the table
+   is not clustered on — a per-file Bloom index prunes the point lookup,
+   and ``refresh_bloom_index`` keeps it covering after appends.
 
 Run:  PYTHONPATH=. python examples/data_skipping.py
 """
@@ -87,6 +90,25 @@ def main() -> None:
     )
     q.awaitTermination(120)
     print("streamed rows in range:", spark.read.parquet(out).count())
+
+    # Bloom index: the table is host-clustered now, so a user_id equality
+    # scatters across every file and zone maps keep them all; the index
+    # proves most files empty for the probed key
+    from delta_sorter_spark.operators.bloom_index import (
+        build_bloom_index,
+        refresh_bloom_index,
+    )
+
+    build_bloom_index(tbl, "user_id")
+    kept_bloom = tbl.files_matching("user_id = 123")
+    print(f"bloom point lookup: {len(kept_bloom)} of "
+          f"{len(tbl.state().adds)} files")
+    print("rows:", tbl.to_df(where="user_id = 123").count())
+    # appends aren't covered until a refresh — they fail SAFE (kept)
+    tbl.append(df.where("event_id < 10"))
+    r = refresh_bloom_index(tbl, "user_id")
+    print(f"refresh scanned {r['new_files']} new file(s), "
+          f"dropped {r['dropped_files']} stale row(s)")
 
 
 if __name__ == "__main__":
