@@ -127,12 +127,14 @@ def minhash_lsh_candidates(
     bands: int = 2,
     shingle_n: int = 3,
     seed: int = 42,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) that share at least one
     LSH band.  k/bands rows per band; docs agreeing on every minhash within
-    any band collide."""
+    any band collide.  ``max_bucket`` is the production skew guard — see
+    ``lsh_pairs_from_signatures``."""
     sigs = minhash_signatures(df, id_col, text_col, k, shingle_n, seed)
-    return lsh_pairs_from_signatures(sigs, id_col, k, bands)
+    return lsh_pairs_from_signatures(sigs, id_col, k, bands, max_bucket)
 
 
 def _banded_signatures(sigs: DataFrame, id_col: str, k: int, bands: int) -> DataFrame:
@@ -149,12 +151,33 @@ def _banded_signatures(sigs: DataFrame, id_col: str, k: int, bands: int) -> Data
 
 
 def lsh_pairs_from_signatures(
-    sigs: DataFrame, id_col: str, k: int, bands: int
+    sigs: DataFrame, id_col: str, k: int, bands: int,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Banded self-join over an EXISTING signature table — callers that
     already hold (or persisted) signatures avoid recomputing the shingle
-    explode, which at corpus scale is the dominant cost."""
+    explode, which at corpus scale is the dominant cost.
+
+    ``max_bucket``: skip buckets with more than this many members — the
+    skew guard for degenerate corpora (a boilerplate page mirrored across
+    ten thousand hosts puts 10k ids in one band bucket, and the self-join
+    inside it is 50M pairs PER BAND).  Members of an oversized bucket
+    share an entire band of minhashes, i.e. they are near-identical as a
+    GROUP; route them through exact/content-hash dedup or cluster them by
+    the band key directly instead of enumerating every pair.  Capping
+    loses pair-level recall ONLY inside those buckets, so the default
+    (None) stays exhaustive and oracle-exact.  The guard's count
+    aggregation shuffles on the same band key as the self-join, so AQE
+    reuses the exchange."""
     banded = _banded_signatures(sigs, id_col, k, bands)
+    if max_bucket is not None:
+        small = (
+            banded.groupBy("__band__")
+            .agg(F.count("*").alias("__n__"))
+            .where(F.col("__n__") <= max_bucket)
+            .select("__band__")
+        )
+        banded = banded.join(small, "__band__")
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (

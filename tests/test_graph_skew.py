@@ -123,3 +123,32 @@ def test_repeated_spans_skewed_boilerplate_corpus(spark):
     # generous wall bound — catches quadratic/single-reducer collapse, not noise
     assert elapsed_default < 120, f"default path took {elapsed_default:.1f}s"
     assert elapsed_salted < 120, f"salted path took {elapsed_salted:.1f}s"
+
+
+def test_lsh_bucket_cap_skips_duplicate_armies(spark):
+    """max_bucket (dedup.lsh_pairs_from_signatures): a mirrored-boilerplate
+    army lands in one band bucket; the cap routes it away from pair
+    enumeration while ordinary near-dup pairs are untouched."""
+    from delta_sorter_spark.operators.dedup import minhash_lsh_candidates
+
+    army = [(i, "the same mirrored boilerplate page body text") for i in range(60)]
+    pair = [
+        (1000, "a quick brown fox jumps over the lazy dog tonight"),
+        (1001, "a quick brown fox jumps over the lazy dog today"),
+    ]
+    df = spark.createDataFrame(army + pair, "id long, text string")
+
+    uncapped = minhash_lsh_candidates(df, "id", "text").collect()
+    capped = minhash_lsh_candidates(df, "id", "text", max_bucket=10).collect()
+
+    # the army alone is 60*59/2 = 1770 pairs; the cap removes exactly those
+    army_pairs = {(a, b) for a, b in [(r["id_a"], r["id_b"]) for r in uncapped]
+                  if a < 1000 and b < 1000}
+    assert len(army_pairs) == 1770
+    capped_set = {(r["id_a"], r["id_b"]) for r in capped}
+    assert not (capped_set & army_pairs)
+    # the genuine near-dup pair survives the cap
+    assert (1000, 1001) in capped_set
+    # and capping is EXACTLY bucket-scoped: everything kept was a real
+    # uncapped candidate
+    assert capped_set <= {(r["id_a"], r["id_b"]) for r in uncapped}
