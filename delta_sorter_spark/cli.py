@@ -108,9 +108,8 @@ def main(argv: list[str] | None = None) -> int:
     except FileNotFoundError as exc:
         print(f"error: {exc}", file=sys.stderr)
         return 2
-    except (KeyError, ValueError) as exc:
-        # KeyError's str() is the repr of its argument — unwrap it
-        print(f"error: {exc.args[0] if exc.args else exc}", file=sys.stderr)
+    except ValueError as exc:
+        print(f"error: {exc}", file=sys.stderr)
         return 2
 
 
@@ -133,22 +132,33 @@ def _run(args, sort_columns, api) -> int:
         from delta_sorter_spark.sources.delta_table import DeltaTable
 
         tbl = DeltaTable(get_spark(), args.table)
-        if args.build_bloom_index:
-            r = build_bloom_index(tbl, args.build_bloom_index)
+        try:
+            if args.build_bloom_index:
+                r = build_bloom_index(tbl, args.build_bloom_index)
+                print(
+                    f"bloom_index column={r['column']} files={r['files']} "
+                    f"version={r['version']}"
+                )
+            elif args.refresh_bloom_index:
+                r = refresh_bloom_index(tbl, args.refresh_bloom_index)
+                print(
+                    f"bloom_index column={r['column']} files={r['files']} "
+                    f"new={r['new_files']} dropped={r['dropped_files']} "
+                    f"version={r['version']}"
+                )
+            else:
+                v = drop_bloom_index(tbl, args.drop_bloom_index)
+                print(
+                    f"bloom_index dropped column={args.drop_bloom_index} "
+                    f"version={v}"
+                )
+        except KeyError as exc:
+            # the index verbs signal "no such index" with KeyError — a
+            # usage error here; internal KeyErrors elsewhere still traceback
             print(
-                f"bloom_index column={r['column']} files={r['files']} "
-                f"version={r['version']}"
+                f"error: {exc.args[0] if exc.args else exc}", file=sys.stderr
             )
-        elif args.refresh_bloom_index:
-            r = refresh_bloom_index(tbl, args.refresh_bloom_index)
-            print(
-                f"bloom_index column={r['column']} files={r['files']} "
-                f"new={r['new_files']} dropped={r['dropped_files']} "
-                f"version={r['version']}"
-            )
-        else:
-            v = drop_bloom_index(tbl, args.drop_bloom_index)
-            print(f"bloom_index dropped column={args.drop_bloom_index} version={v}")
+            return 2
         return 0
 
     if args.validate_only:

@@ -199,7 +199,7 @@ def build_bloom_index(
     dataset_rel = f"_bloom_index/{column}/{_uuid.uuid4().hex}"
     if adds:
         full = _index_rows(table, adds, column, meta, m_bits, k, seed)
-        table.write_parquet_dataset(full.repartition("path"), dataset_rel)
+        _write_index(table, full, dataset_rel, len(adds))
     spec = {
         "path": dataset_rel,
         "m": m_bits,
@@ -221,6 +221,19 @@ def build_bloom_index(
         "dataset": dataset_rel,
         "version": version,
     }
+
+
+def _write_index(table, df, dataset_rel: str, n_files: int) -> None:
+    """Write the index dataset range-partitioned and sorted by path with a
+    BOUNDED part count (~8k file rows per part, not one part per shuffle
+    partition): the Spark-free probe opens every part per micro-batch, so
+    part count — not row count — is its remote-GET bill, and the path
+    ordering lets parquet row-group stats skip candidates-free parts."""
+    nparts = max(1, -(-n_files // 8192))
+    table.write_parquet_dataset(
+        df.repartitionByRange(nparts, "path").sortWithinPartitions("path"),
+        dataset_rel,
+    )
 
 
 def refresh_bloom_index(table: DeltaTable, column: str) -> dict:
@@ -250,12 +263,19 @@ def refresh_bloom_index(table: DeltaTable, column: str) -> dict:
     m_bits, k, seed = int(spec["m"]), int(spec["k"]), int(spec["seed"])
     spark = table.spark
 
-    old = table.read_parquet_dataset(
-        spec["path"], ["path", "bits"], "path string, bits array<bigint>"
-    )
-    # O(files) driver-side path list — the same size class as every planner
-    # collect in this engine, never data-scale
-    indexed = {r["path"] for r in old.select("path").collect()}
+    try:
+        old = table.read_parquet_dataset(
+            spec["path"], ["path", "bits"], "path string, bits array<bigint>"
+        )
+        # O(files) driver-side path list — the same size class as every
+        # planner collect in this engine, never data-scale
+        indexed = {r["path"] for r in old.select("path").collect()}
+    except Exception:
+        # a spec whose dataset was never written (index built on an empty
+        # snapshot) or was vacuumed: treat as nothing-indexed — the refresh
+        # becomes a full rebuild of coverage instead of a crash
+        old = None
+        indexed = set()
     live = {a.path for a in adds}
     new_adds = [a for a in adds if a.path not in indexed]
     dropped = indexed - live
@@ -272,7 +292,7 @@ def refresh_bloom_index(table: DeltaTable, column: str) -> dict:
     dataset_rel = f"_bloom_index/{column}/{_uuid.uuid4().hex}"
     keep = sorted(live & indexed)
     parts = []
-    if keep:
+    if keep and old is not None:
         keep_df = spark.createDataFrame([(p,) for p in keep], "path string")
         parts.append(old.join(keep_df, "path"))
     if new_adds:
@@ -283,7 +303,7 @@ def refresh_bloom_index(table: DeltaTable, column: str) -> dict:
         full = parts[0]
         for p in parts[1:]:
             full = full.unionByName(p)
-        table.write_parquet_dataset(full.repartition("path"), dataset_rel)
+        _write_index(table, full, dataset_rel, len(adds))
     new_spec = dict(spec, path=dataset_rel, version=state.version)
     version = table.set_table_properties(
         {BLOOM_PROP_PREFIX + column: json.dumps(new_spec)},

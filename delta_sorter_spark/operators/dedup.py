@@ -1104,17 +1104,12 @@ def remove_repeated_lines(
             "__pos__", "__line__"
         ),
     ).withColumn("__norm__", F.lower(F.trim("__line__")))
-    frequent = (
-        lines.where(
-            (F.col("__norm__") != "") & (F.length("__norm__") >= min_chars)
-        )
-        .select("__id__", "__norm__")
-        .distinct()
-        .groupBy("__norm__")
-        .agg(F.count("*").alias("__n__"))
-        .where(F.col("__n__") >= min_docs)
-        .select("__norm__")
-    )
+    # the boilerplate definition lives in repeated_lines — removal reuses
+    # it verbatim so the detect and remove APIs can never drift
+    frequent = repeated_lines(
+        df, id_col, text_col,
+        min_docs=min_docs, sep=sep, min_chars=min_chars,
+    ).select(F.col("line").alias("__norm__"))
     kept = lines.join(frequent, "__norm__", "left_anti")
     rebuilt = (
         kept.groupBy("__id__")

@@ -878,8 +878,11 @@ def canonical_url(url: Column | str) -> Column:
     auth = F.regexp_replace(auth, "^(https://[^:/]*):443$", "$1")
     auth = F.regexp_replace(auth, "^(http://[^:/]*):80$", "$1")
     rest = F.regexp_replace(rest, "/+$", "")
+    # everything after the FIRST '?' (matching base's split — a literal
+    # '?' inside the query is legal per RFC 3986 and must stay in it)
     query = F.when(
-        F.instr(c, "?") > 0, F.substring_index(c, "?", -1)
+        F.instr(c, "?") > 0,
+        F.substring(c, F.instr(c, "?") + 1, F.lit(1 << 30)),
     ).otherwise(F.lit(""))
     params = F.array_sort(
         F.filter(

@@ -617,19 +617,10 @@ class DeltaTable:
                 raise ValueError("pass either version or timestamp, not both")
             version = self.version_at_timestamp(timestamp)
         if where is not None:
-            from delta_sorter_spark.functions.skipping import prune_adds
-            from delta_sorter_spark.operators.bloom_index import (
-                bloom_prune_adds,
-            )
-
-            state = self.state(version=version)
-            meta = state.metadata
-            use = state.adds if adds is None else list(adds)
-            pruned = prune_adds(use, where, meta.schema, meta.partition_columns)
-            # Bloom indexes prune the equality/IN constraints zone maps
-            # can't (unclustered point lookups); no-op unless one is
-            # registered for a constrained column
-            pruned = bloom_prune_adds(self, pruned, where, meta)
+            # zone-map + Bloom pruning composed ONCE, in files_matching —
+            # every planner (this read, the DML hit scans, the streaming
+            # source) goes through the same stage order and fail-safety
+            pruned = self.files_matching(where, version=version, adds=adds)
             # pass the pruned list as an explicit subset (pins the snapshot
             # on the remote path too), then re-apply the predicate exactly
             return self.to_df(adds=pruned, version=version).where(where)
@@ -653,21 +644,24 @@ class DeltaTable:
         return df
 
     def files_matching(
-        self, predicate: str, version: int | None = None, bloom: bool = True
+        self, predicate: str, version: int | None = None, bloom: bool = True,
+        adds: Sequence[AddAction] | None = None,
     ) -> list[AddAction]:
         """Active files whose zone maps (and, with ``bloom``, any registered
         Bloom indexes — operators/bloom_index.py) admit ``predicate`` — the
-        planner's view of a pruned read.
+        planner's view of a pruned read (``to_df(where=...)`` delegates
+        here, so the stage order and fail-safety live in ONE place).
         ``to_df(adds=table.files_matching(p)).where(p)`` is exactly
-        ``to_df(where=p)`` plus bloom; exposed separately so maintenance
-        code can reason about (or act on) the file subset itself, e.g.
-        schedule a targeted rewrite of the files a hot predicate touches."""
+        ``to_df(where=p)``; exposed separately so maintenance code can
+        reason about (or act on) the file subset itself, e.g. schedule a
+        targeted rewrite of the files a hot predicate touches.  ``adds``
+        restricts the pruning to an explicit candidate subset."""
         from delta_sorter_spark.functions.skipping import prune_adds
 
         state = self.state(version=version)
         kept = prune_adds(
-            state.adds, predicate, state.metadata.schema,
-            state.metadata.partition_columns,
+            state.adds if adds is None else list(adds), predicate,
+            state.metadata.schema, state.metadata.partition_columns,
         )
         if bloom:
             from delta_sorter_spark.operators.bloom_index import bloom_prune_adds

@@ -330,3 +330,32 @@ def test_cli_bloom_verbs(spark, tmp_path, capsys):
     assert cli.main(["--table", path, "--refresh-bloom-index", "u"]) == 2
     # compaction still requires --sort-columns
     assert cli.main(["--table", path]) == 2
+
+
+def test_refresh_rebuilds_when_dataset_is_gone(spark, tmp_path):
+    """A registered spec whose dataset is unreadable (never written, or
+    collected by an aggressive vacuum) must make refresh REBUILD coverage,
+    not crash — the probe then prunes through the fresh dataset."""
+    import shutil
+
+    from delta_sorter_spark.operators.bloom_index import refresh_bloom_index
+
+    df = spark.range(0, 200).select(
+        F.col("id").alias("k"),
+        ((F.col("id") * 13) % 200).cast("string").alias("u"),
+    )
+    tbl = DeltaTable.create(
+        spark, str(tmp_path / "te"),
+        df.repartitionByRange(4, "k").sortWithinPartitions("k"),
+        stat_columns=["k"],
+    )
+    build_bloom_index(tbl, "u", m_bits=1 << 13)
+    spec = bloom_specs(tbl)["u"]
+    shutil.rmtree(str(tmp_path / "te" / spec["path"]))
+    # probe fails SAFE while the dataset is gone
+    assert len(tbl.files_matching("u = '26'")) == 4
+    r = refresh_bloom_index(tbl, "u")
+    assert r["new_files"] == r["files"] == 4 and r["dropped_files"] == 0
+    kept = tbl.files_matching("u = '26'")
+    assert 1 <= len(kept) <= 2
+    assert tbl.to_df(adds=kept).where("u = '26'").count() == 1

@@ -1331,6 +1331,9 @@ def test_canonical_url_rules(spark):
         # utm_ is a prefix match, 'referrer' is NOT 'ref'
         ("https://ex.com/p?utm_x=1&referrer=keep",
          "https://ex.com/p?referrer=keep"),
+        # a literal '?' inside the query stays in it (RFC 3986); the
+        # split is on the FIRST '?', for both path and params
+        ("https://ex.com/a?x=1?y=2", "https://ex.com/a?x=1?y=2"),
         # bare host, root slash
         ("https://ex.com", "https://ex.com"),
         ("https://ex.com/", "https://ex.com"),
