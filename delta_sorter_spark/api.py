@@ -45,6 +45,7 @@ def compact(
     repartition_by_sort_key: bool | None = None,
     nulls: str = "first",
     zorder_columns: Sequence[str] | None = None,
+    refresh_bloom_indexes: bool = False,
     spark: SparkSession | None = None,
 ) -> CompactMetrics:
     from delta_sorter_spark.functions.keys import parse_sort_spec
@@ -61,6 +62,7 @@ def compact(
         nulls_first=_nulls_first(nulls),
         zorder_columns=list(zorder_columns) if zorder_columns else None,
         directions=None if all(ascending) else ascending,
+        refresh_bloom_indexes=bool(refresh_bloom_indexes),
     )
     return compact_with_sort(spark, table_uri, config)
 

@@ -10,6 +10,9 @@ Extension verbs (each runs and exits; --sort-columns not required):
     --build-bloom-index COLUMN    build/rebuild the per-file Bloom index
     --refresh-bloom-index COLUMN  catch the index up (O(new files) scan)
     --drop-bloom-index COLUMN     unregister (vacuum collects the dataset)
+Extension flag: --refresh-bloom-indexes refreshes every registered index
+after a rewriting compaction (the maintenance pairing — rewrites are
+exactly when indexes go stale).
 
 Exit codes: 0 ok; 1 validation violations (main.rs:84-86); 2 usage errors.
 """
@@ -84,6 +87,12 @@ def build_parser() -> argparse.ArgumentParser:
         metavar="COLUMN",
         help="Unregister COLUMN's Bloom index (vacuum collects the "
         "dataset), then exit",
+    )
+    p.add_argument(
+        "--refresh-bloom-indexes",
+        action="store_true",
+        help="After a rewriting compaction, catch every registered Bloom "
+        "index up with the new file layout (scans only rewritten files)",
     )
     return p
 
@@ -185,6 +194,7 @@ def _run(args, sort_columns, api) -> int:
         zorder_columns=[c.strip() for c in args.zorder_by.split(",") if c.strip()]
         if args.zorder_by
         else None,
+        refresh_bloom_indexes=args.refresh_bloom_indexes,
     )
     print(
         f"planned={metrics.planned_partitions} rewritten={metrics.rewritten_partitions} "

@@ -76,6 +76,12 @@ class SortConfig:
     # (z-clustering is not per-partition-skippable by the lexicographic
     # validator).
     zorder_columns: list[str] | None = None
+    # extension: after a rewriting compaction, catch every registered
+    # Bloom index up with the new file layout (operators/bloom_index.py).
+    # A rewrite replaces file paths, which is exactly when indexes go
+    # stale (stale = point lookups keep the unindexed new files, correct
+    # but unpruned); each refresh scans only the rewritten files.
+    refresh_bloom_indexes: bool = False
 
 
 @dataclass
@@ -112,6 +118,22 @@ def compact_with_sort(spark: SparkSession, table_uri: str, config: SortConfig) -
         metrics = _strict_overwrite(table, config)
     else:
         metrics = _partition_aware(table, config)
+    if (
+        config.refresh_bloom_indexes
+        and not config.dry_run
+        and metrics.rewritten_partitions > 0
+    ):
+        from delta_sorter_spark.operators.bloom_index import (
+            bloom_specs,
+            refresh_bloom_index,
+        )
+
+        for col in sorted(bloom_specs(table)):
+            r = refresh_bloom_index(table, col)
+            log.info(
+                "bloom index %s refreshed: %d new file(s), %d dropped",
+                col, r["new_files"], r["dropped_files"],
+            )
     metrics.duration_ms = int((time.monotonic() - started) * 1000)
     log.info(
         "compact summary: partitions planned=%d rewritten=%d skipped=%d "

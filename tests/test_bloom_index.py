@@ -359,3 +359,43 @@ def test_refresh_rebuilds_when_dataset_is_gone(spark, tmp_path):
     kept = tbl.files_matching("u = '26'")
     assert 1 <= len(kept) <= 2
     assert tbl.to_df(adds=kept).where("u = '26'").count() == 1
+
+
+def test_compact_refresh_bloom_indexes_option(spark, tmp_path, capsys):
+    """compact(refresh_bloom_indexes=True): a rewriting compaction replaces
+    every file path — the option catches the index up in the same call, so
+    point lookups stay pruned with no manual refresh step."""
+    from delta_sorter_spark.api import compact
+
+    df = spark.range(0, 4000).select(
+        F.col("id").alias("k"),
+        ((F.col("id") * 17) % 4000).cast("string").alias("u"),
+    )
+    path = str(tmp_path / "tcr")
+    tbl = DeltaTable.create(spark, path, df.repartition(4))
+    build_bloom_index(tbl, "u", m_bits=1 << 14)
+    spec0 = bloom_specs(tbl)["u"]
+    m = compact(
+        path, ["k"], repartition_by_sort_key=True,
+        target_file_size_bytes=8_000, refresh_bloom_indexes=True,
+        spark=spark,
+    )
+    assert m.rewritten_partitions >= 1
+    spec1 = bloom_specs(tbl)["u"]
+    assert spec1["path"] != spec0["path"]  # the refresh re-registered
+    n_files = len(tbl.state().adds)
+    assert n_files >= 4
+    kept = tbl.files_matching("u = '34'")
+    assert 1 <= len(kept) <= 2 < n_files
+    assert tbl.to_df(adds=kept).where("u = '34'").count() == 1
+    # via the CLI flag too: a second (now sorted) run skips the rewrite and
+    # therefore the refresh — version stays put
+    from delta_sorter_spark import cli
+
+    v = tbl.log.latest_version()
+    assert cli.main([
+        "--table", path, "--sort-columns", "k",
+        "--refresh-bloom-indexes", "--log-level", "warn",
+    ]) == 0
+    capsys.readouterr()
+    assert tbl.log.latest_version() == v
