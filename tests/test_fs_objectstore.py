@@ -555,3 +555,53 @@ def test_read_dv_bytes_resolves_uri_and_absolute_paths(tmp_path):
     # plain relative under a local table dir
     (tmp_path / "deletion_vector_z.bin").write_bytes(payload)
     assert read_dv_bytes(str(tmp_path), "deletion_vector_z.bin") == payload
+
+
+def test_s3_bloom_index_end_to_end(s3_env, spark, tmp_path):
+    """Bloom-index lifecycle against an s3:// URI with no connector jars:
+    build scans through the Python Data Source, the index dataset is PUT
+    from executors via pyarrow, the job probe reads it back through
+    mapInPandas, the Spark-free probe (the streaming planner's path) reads
+    it via pyarrow-S3 directly, and refresh covers a remote append."""
+    from pyspark.sql import functions as F
+
+    from delta_sorter_spark.operators.bloom_index import (
+        bloom_prune_adds_local,
+        build_bloom_index,
+        refresh_bloom_index,
+    )
+    from delta_sorter_spark.sources.delta_table import DeltaTable
+
+    local = str(tmp_path / "bl")
+    df = spark.range(0, 400).select(
+        F.col("id").alias("k"),
+        ((F.col("id") * 13) % 400).cast("string").alias("u"),
+    )
+    DeltaTable.create(
+        spark, local,
+        df.repartitionByRange(4, "k").sortWithinPartitions("k"),
+        stat_columns=["k"],
+    )
+    _upload_tree(local, "testbkt", "tables/bloom_me")
+    uri = "s3://testbkt/tables/bloom_me"
+    tbl = DeltaTable(spark, uri)
+
+    r = build_bloom_index(tbl, "u", m_bits=1 << 13)
+    assert r["files"] == 4
+    kept = tbl.files_matching("u = '26'")
+    assert 1 <= len(kept) <= 2
+    assert tbl.to_df(where="u = '26'").count() == 1
+
+    st = tbl.state()
+    kept_local = {
+        a.path
+        for a in bloom_prune_adds_local(uri, st.adds, "u = '26'", st.metadata)
+    }
+    assert kept_local == {a.path for a in kept}
+
+    tbl.append(spark.createDataFrame([(9000, "zzz")], "k long, u string"))
+    r2 = refresh_bloom_index(tbl, "u")
+    assert r2["new_files"] == 1 and r2["dropped_files"] == 0
+    kept_new = tbl.files_matching("u = 'zzz'")
+    assert len(kept_new) == 1
+    assert tbl.to_df(where="u = 'zzz'").count() == 1
