@@ -424,3 +424,50 @@ def test_azure_partition_aware_compact_and_dml(azure_env, spark):
 
 def test_gcs_partition_aware_compact_and_dml(gcs_env, spark):
     _roundtrip_partition_aware(spark, "gs://bkt/tables/part_dml")
+
+
+def _roundtrip_bloom_index(spark, uri: str):
+    """Bloom-index lifecycle through the REST emulator — the s3 e2e's
+    contract (test_fs_objectstore.py) for the other two schemes; notably
+    the Spark-free probe reads index parts via the full-object REST fetch
+    (fs.pyarrow_open_input), not pyarrow's native S3 filesystem."""
+    from pyspark.sql import functions as F
+
+    from delta_sorter_spark.operators.bloom_index import (
+        bloom_prune_adds_local,
+        build_bloom_index,
+        refresh_bloom_index,
+    )
+    from delta_sorter_spark.sources.delta_table import DeltaTable
+
+    df = spark.range(0, 200).select(
+        F.col("id").alias("k"),
+        ((F.col("id") * 13) % 200).cast("string").alias("u"),
+    )
+    DeltaTable.create(
+        spark, uri,
+        df.repartitionByRange(4, "k").sortWithinPartitions("k"),
+        stat_columns=["k"],
+    )
+    tbl = DeltaTable(spark, uri)
+    assert build_bloom_index(tbl, "u", m_bits=1 << 13)["files"] == 4
+    kept = tbl.files_matching("u = '26'")
+    assert 1 <= len(kept) <= 2
+    assert tbl.to_df(where="u = '26'").count() == 1
+    st = tbl.state()
+    kept_local = {
+        a.path
+        for a in bloom_prune_adds_local(uri, st.adds, "u = '26'", st.metadata)
+    }
+    assert kept_local == {a.path for a in kept}
+    tbl.append(spark.createDataFrame([(9000, "zzz")], "k long, u string"))
+    assert refresh_bloom_index(tbl, "u")["new_files"] == 1
+    assert tbl.to_df(where="u = 'zzz'").count() == 1
+
+
+def test_azure_bloom_index(azure_env, spark):
+    _roundtrip_bloom_index(spark, "azure://cont/tables/bloom")
+
+
+def test_gcs_bloom_index(gcs_env, spark):
+    _roundtrip_bloom_index(spark, "gs://bkt/tables/bloom")
