@@ -399,3 +399,50 @@ def test_compact_refresh_bloom_indexes_option(spark, tmp_path, capsys):
     ]) == 0
     capsys.readouterr()
     assert tbl.log.latest_version() == v
+
+
+def test_concurrent_refreshes_converge(indexed_table, spark):
+    """Two maintenance jobs refreshing the same index race: both commits
+    land (conditional-PUT retry), the last registration wins, probes stay
+    no-false-negative throughout, and every non-winning dataset (the
+    original build's and the loser's) is vacuum-able while the winner's is
+    protected."""
+    import threading
+
+    tbl = indexed_table
+    tbl.append(
+        spark.createDataFrame(
+            [(77_777, "doc-race", 5)], "k long, doc_id string, v long"
+        )
+    )
+    errs = []
+
+    def run():
+        try:
+            from delta_sorter_spark.operators.bloom_index import (
+                refresh_bloom_index,
+            )
+
+            refresh_bloom_index(
+                DeltaTable(tbl.spark, tbl.table_path), "doc_id"
+            )
+        except Exception as exc:  # pragma: no cover - failure reporting
+            errs.append(exc)
+
+    threads = [threading.Thread(target=run) for _ in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(300)
+    assert not errs
+    # the winning spec serves correct probes (old and new values)
+    for val, want in [("doc-123", 1), ("doc-race", 1)]:
+        kept = tbl.files_matching(f"doc_id = '{val}'")
+        assert (
+            tbl.to_df(adds=kept).where(F.col("doc_id") == val).count() == want
+        )
+    # exactly one dataset registered; all others collectable, winner kept
+    spec = bloom_specs(tbl)["doc_id"]
+    doomed = tbl.vacuum(dry_run=True)
+    assert all(not d.startswith(spec["path"] + "/") for d in doomed)
+    assert any(d.startswith("_bloom_index/") for d in doomed)
