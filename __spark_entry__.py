@@ -5284,6 +5284,52 @@ docs AS (
 
 
 # ---------------------------------------------------------------------------
+# E72: corpus-overlap estimation via KMV sketches (operators/sketches.
+# kmv_sketch / kmv_overlap) — the contamination screen that never joins the
+# corpora: each side reduces to the k smallest distinct portable hashes and
+# the Jaccard estimate is computed from the sketches alone.  Deterministic
+# on the shared md5 family, so the oracle replicates every output integer
+# bit-for-bit (unit tests pin the estimate's accuracy against exact).
+# ---------------------------------------------------------------------------
+
+KMV_K = 128
+_KMV_A = "('src0', 'src1', 'src2', 'src3', 'src4')"
+_KMV_B = "('src3', 'src4', 'src5', 'src6', 'src7')"
+
+
+def q_e72_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_sorter_spark.operators.sketches import kmv_overlap
+
+    d = load_table(spark, sf_dir, "documents")
+    a = d.where(f"source IN {_KMV_A}").select("text")
+    b = d.where(f"source IN {_KMV_B}").select("text")
+    return kmv_overlap(a, b, "text", k=KMV_K)
+
+
+def _e72_sql() -> str:
+    h = duckdb_md5_long_sql("concat(CAST(text AS VARCHAR), 'kmv')")
+    return f"""
+WITH ha AS (SELECT DISTINCT {h} AS h FROM documents
+            WHERE source IN {_KMV_A} AND text IS NOT NULL
+            ORDER BY h LIMIT {KMV_K}),
+hb AS (SELECT DISTINCT {h} AS h FROM documents
+       WHERE source IN {_KMV_B} AND text IS NOT NULL
+       ORDER BY h LIMIT {KMV_K}),
+u AS (SELECT DISTINCT h FROM (SELECT h FROM ha UNION ALL SELECT h FROM hb)
+      ORDER BY h LIMIT {KMV_K}),
+m AS (SELECT u.h FROM u JOIN ha USING (h) JOIN hb USING (h))
+SELECT CAST((SELECT count(*) FROM u) AS BIGINT) AS k_union,
+       CAST((SELECT count(*) FROM m) AS BIGINT) AS matches,
+       CAST(1000000 * (SELECT count(*) FROM m)
+            // (SELECT count(*) FROM u) AS BIGINT) AS jaccard_ppm,
+       (SELECT max(h) FROM u) AS kth_union_hash
+"""
+
+
+_E72_SQL = _e72_sql()
+
+
+# ---------------------------------------------------------------------------
 # E71: URL canonicalization + dedup-by-URL (operators/textstats.canonical_url
 # / url_dedup_stats) — the crawl-pipeline key-normalization step.  The corpus
 # has no URL column, so one is synthesized relationally with every mess the
@@ -6161,6 +6207,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e69_repeated_lines": q_e69_repeated_lines,
         "e70_remove_lines": q_e70_remove_lines,
         "e71_url_dedup": q_e71_url_dedup,
+        "e72_corpus_overlap": q_e72_corpus_overlap,
         "a47_corpus_profile": q_a47_corpus_profile,
         "m4_embed_topk": q_m4_embed_topk,
         "a43_span_report": q_a43_span_report,
@@ -6244,6 +6291,7 @@ def oracle_sql() -> dict[str, str]:
         "e69_repeated_lines": _E69_SQL,
         "e70_remove_lines": _E70_SQL,
         "e71_url_dedup": _E71_SQL,
+        "e72_corpus_overlap": _E72_SQL,
         "a47_corpus_profile": _A47_SQL,
         "m4_embed_topk": _M4_SQL,
         "a43_span_report": _A43_SQL,

@@ -423,3 +423,63 @@ def heavy_hitters(df: DataFrame, col: str, k: int = 100) -> DataFrame:
         .where(F.col("n") * (k + 1) > F.col("__n__"))
         .select("item", "n")
     )
+
+
+def kmv_sketch(
+    df: DataFrame, col: str, k: int = 256, seed: str = "kmv"
+) -> DataFrame:
+    """K-minimum-values sketch (Bar-Yossef et al. 2002): the ``k`` smallest
+    DISTINCT 60-bit portable hashes of ``col``.  A k-row summary of an
+    arbitrarily large set, mergeable by union-then-rekeep-k.
+
+    Plan: one hash-distinct exchange over 8-byte keys (the e1 exact-dedup
+    scale shape) + TakeOrderedAndProject — per-partition top-k combines
+    map-side, so only k rows per partition ever move.  Deterministic:
+    built on the same md5 family as MinHash/Bloom, identical in DuckDB."""
+    h = F.expr(
+        spark_md5_long_sql(f"concat(CAST(`{col}` AS STRING), '{seed}')")
+    )
+    return (
+        df.where(F.col(col).isNotNull())
+        .select(h.alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+
+
+def kmv_overlap(
+    a: DataFrame, b: DataFrame, col: str, k: int = 256, seed: str = "kmv"
+) -> DataFrame:
+    """Estimate the Jaccard overlap of two corpora WITHOUT joining them —
+    the contamination / corpus-overlap screen at 100 TB: each side reduces
+    to a k-row KMV sketch, and the estimate is computed from the sketches
+    alone.  ``jaccard_ppm = |MinK(A∪B) ∩ sketch(A) ∩ sketch(B)| / |MinK(A∪B)|``
+    (Beyer et al. 2007); distinct-cardinality estimates derive from
+    ``kth_union_hash`` as (k-1)*2^60/h_k — left to the caller, the sketch
+    outputs here are exact integers so the oracle can replicate them
+    bit-for-bit.
+
+    Returns one row: (k_union, matches, jaccard_ppm, kth_union_hash)."""
+    sa = kmv_sketch(a, col, k, seed)
+    sb = kmv_sketch(b, col, k, seed)
+    union_k = sa.unionByName(sb).distinct().orderBy("h").limit(k)
+    both = sa.join(sb, "h", "left_semi")
+    matched = union_k.join(both, "h", "left_semi")
+    return (
+        union_k.agg(
+            F.count("*").cast("bigint").alias("k_union"),
+            F.max("h").alias("kth_union_hash"),
+        )
+        .crossJoin(
+            matched.agg(F.count("*").cast("bigint").alias("matches"))
+        )
+        .select(
+            "k_union",
+            "matches",
+            F.expr("CAST(1000000 * matches DIV k_union AS BIGINT)").alias(
+                "jaccard_ppm"
+            ),
+            "kth_union_hash",
+        )
+    )

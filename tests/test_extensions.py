@@ -1345,3 +1345,32 @@ def test_canonical_url_rules(spark):
     df = spark.createDataFrame([(u,) for u, _ in cases], "u string")
     got = [r[0] for r in df.select(canonical_url("u")).collect()]
     assert got == [want for _, want in cases]
+
+
+def test_kmv_overlap_estimates_jaccard(spark):
+    """KMV corpus-overlap sketch (sketches.kmv_sketch/kmv_overlap): the
+    sketch-only Jaccard estimate lands near truth without joining the
+    corpora, exact sets report exactly, and output is deterministic."""
+    from pyspark.sql import functions as F
+
+    from delta_sorter_spark.operators.sketches import kmv_overlap, kmv_sketch
+
+    # |A|=3000, |B|=3000, |A∩B|=1000 -> J = 1000/5000 = 0.2
+    a = spark.range(0, 3000).select(F.col("id").cast("string").alias("v"))
+    b = spark.range(2000, 5000).select(F.col("id").cast("string").alias("v"))
+    r = kmv_overlap(a, b, "v", k=512).collect()[0]
+    assert r["k_union"] == 512
+    assert abs(r["jaccard_ppm"] - 200_000) < 60_000  # ~3 std devs at k=512
+    assert (
+        kmv_overlap(a, b, "v", k=512).collect()[0].asDict() == r.asDict()
+    )
+    # small sets fit entirely in the sketch -> the estimate is EXACT
+    small = kmv_overlap(a.limit(60), a.limit(60), "v", k=512).collect()[0]
+    assert small["jaccard_ppm"] == 1_000_000 and small["k_union"] == 60
+    disjoint = kmv_overlap(
+        a.where("v = '1'"), a.where("v = '2'"), "v", k=512
+    ).collect()[0]
+    assert disjoint["matches"] == 0 and disjoint["jaccard_ppm"] == 0
+    # the sketch itself is k rows, ascending, distinct
+    sk = [row["h"] for row in kmv_sketch(a, "v", k=16).collect()]
+    assert len(sk) == 16 == len(set(sk)) and sk == sorted(sk)
