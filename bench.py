@@ -81,6 +81,8 @@ ENTRY_QUERIES = [
     "e69_repeated_lines",
     "e70_remove_lines",
     "e71_url_dedup",
+    # join-free corpus-overlap estimate: two KMV sketch reductions
+    "e72_corpus_overlap",
 ]
 
 
