@@ -1,6 +1,7 @@
-"""End-to-end training-data curation over the documents table: profile ->
-exact-dup removal -> length-band outlier pruning -> quality filter ->
-cross-batch incremental dedup against a persistent hash index ->
+"""End-to-end training-data curation over the documents table:
+boilerplate-line strip -> profile -> exact-dup removal -> length-band
+outlier pruning -> quality filter -> cross-batch incremental dedup against
+a persistent hash index -> retrieval + KMV contamination screens ->
 domain-mixing sample -> deterministic split -> token-budget packing.
 
 Every stage is a DataFrame transform (no driver materialization) and every
@@ -30,6 +31,15 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     docs = load_table(spark, sf_dir, "documents")
     n0 = docs.count()
+
+    # 0. line-level boilerplate strip (CCNet/RefinedWeb): lines repeated
+    # across >= 50 documents (nav text, cookie banners, footers) come out
+    # before anything downstream counts tokens or hashes content
+    from delta_sorter_spark.operators.dedup import remove_repeated_lines
+
+    docs = remove_repeated_lines(
+        docs, "doc_id", "text", min_docs=50, min_chars=8
+    ).drop("lines_removed")
 
     # 1. single-pass profile: tokens, quality, language, fingerprint
     prof = document_profile(docs, "doc_id", "text")
@@ -91,6 +101,17 @@ def main() -> None:
         k=3, exclude_self=True,
     ).count()
 
+    # 2f. corpus-overlap gate: KMV-sketch Jaccard estimate between the kept
+    # corpus and the eval set — the join-free contamination screen; a spike
+    # here blocks the run before any training token ships
+    from delta_sorter_spark.operators.sketches import kmv_overlap
+
+    overlap = kmv_overlap(
+        docs.join(kept.select("doc_id"), "doc_id", "left_semi").select("text"),
+        docs.where(F.col("doc_id") % 37 == 0).select("text"),
+        "text", k=128,
+    ).collect()[0]
+
     # 3. domain mixing: keep curated sources fully, downsample the rest
     mixed = stratified_sample(
         kept.join(docs.select("doc_id", "source"), "doc_id"),
@@ -110,9 +131,11 @@ def main() -> None:
     # strict banding (16 hashes per band): on this synthetic corpus looser
     # settings chain the shared vocabulary into one giant component, which
     # degenerates the split — band width is the similarity threshold knob
+    # max_bucket: the duplicate-army guard — a boilerplate page mirrored
+    # across thousands of docs stays off the pair-enumeration path
     edges = minhash_lsh_candidates(
         mixed.join(docs.select("doc_id", "text"), "doc_id"),
-        "doc_id", "text", k=32, bands=2,
+        "doc_id", "text", k=32, bands=2, max_bucket=256,
     ).select("id_a", "id_b")
     split = mixed.join(
         leakage_safe_split(
@@ -147,6 +170,8 @@ def main() -> None:
     print(f"deduped+quality:{n_kept}")
     print(f"classifier lo:  {n_flagged}")
     print(f"audit hits:     {audit_hits}")
+    print(f"eval overlap:   {overlap['jaccard_ppm']} ppm"
+          f" (matches {overlap['matches']}/{overlap['k_union']})")
     print(f"after mixing:   {n_mixed}")
     print(f"train shard:    {n_train}")
     print(f"packed bins:    {n_bins}")
