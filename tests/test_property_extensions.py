@@ -440,3 +440,63 @@ def test_remove_repeated_lines_matches_python_oracle(
     }
     want = dict(enumerate(_line_dedup_oracle(texts, min_docs, min_chars)))
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization vs a pure-Python oracle over randomized messy URLs
+# ---------------------------------------------------------------------------
+
+
+def _canon_oracle(url):
+    """Pure-Python mirror of textstats.canonical_url's documented rules."""
+    import re
+
+    c = url.strip()
+    c = re.sub(r"#.*$", "", c)
+    q = c.find("?")
+    base, query = (c[:q], c[q + 1:]) if q >= 0 else (c, "")
+    m = re.match(r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]*)", base)
+    auth = m.group(1) if m else ""
+    rest = base[len(auth):]
+    auth = auth.lower()
+    auth = re.sub(r"^(https?://)www\.", r"\1", auth)
+    auth = re.sub(r"^(https://[^:/]*):443$", r"\1", auth)
+    auth = re.sub(r"^(http://[^:/]*):80$", r"\1", auth)
+    rest = re.sub(r"/+$", "", rest)
+    params = sorted(
+        p for p in query.split("&")
+        if p and not re.match(r"^(utm_[^=]*|fbclid|gclid|msclkid|ref)=", p)
+    )
+    return auth + rest + ("?" + "&".join(params) if params else "")
+
+
+url_strategy = st.builds(
+    lambda scheme, www, host, port, path, slash, params, frag: (
+        scheme + www + host + port + path + slash
+        + ("?" + "&".join(params) if params else "")
+        + frag
+    ),
+    st.sampled_from(["http://", "https://", "HTTP://", "HTTPS://"]),
+    st.sampled_from(["", "www.", "WWW."]),
+    st.sampled_from(["ex.com", "Ex.COM", "a.b.org"]),
+    st.sampled_from(["", ":80", ":443", ":8080"]),
+    st.sampled_from(["", "/a", "/a/b", "/A/b"]),
+    st.sampled_from(["", "/", "//"]),
+    st.lists(
+        st.sampled_from(
+            ["a=1", "b=2", "utm_source=x", "ref=r", "referrer=keep", ""]
+        ),
+        max_size=4,
+    ),
+    st.sampled_from(["", "#f", "#a#b"]),
+)
+
+
+@given(st.lists(url_strategy, min_size=1, max_size=8))
+@_settings
+def test_canonical_url_matches_python_oracle(spark, urls):
+    from delta_sorter_spark.operators.textstats import canonical_url
+
+    df = spark.createDataFrame([(u,) for u in urls], "u string")
+    got = [r[0] for r in df.select(canonical_url("u")).collect()]
+    assert got == [_canon_oracle(u) for u in urls]
