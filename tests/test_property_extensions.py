@@ -500,3 +500,37 @@ def test_canonical_url_matches_python_oracle(spark, urls):
     df = spark.createDataFrame([(u,) for u in urls], "u string")
     got = [r[0] for r in df.select(canonical_url("u")).collect()]
     assert got == [_canon_oracle(u) for u in urls]
+
+
+# ---------------------------------------------------------------------------
+# KMV overlap sketch vs a pure-Python oracle
+# ---------------------------------------------------------------------------
+
+
+def _kmv_oracle(vals_a, vals_b, k, seed="kmv"):
+    import hashlib
+
+    def h(v):
+        return int(hashlib.md5((v + seed).encode()).hexdigest()[:15], 16)
+
+    sa = sorted({h(v) for v in vals_a})[:k]
+    sb = sorted({h(v) for v in vals_b})[:k]
+    u = sorted(set(sa) | set(sb))[:k]
+    m = [x for x in u if x in set(sa) and x in set(sb)]
+    return (len(u), len(m), 1_000_000 * len(m) // len(u), max(u))
+
+
+@given(
+    st.sets(st.text("abcdef", min_size=1, max_size=4), min_size=1, max_size=30),
+    st.sets(st.text("abcdef", min_size=1, max_size=4), min_size=1, max_size=30),
+    st.sampled_from([4, 16, 64]),
+)
+@_settings
+def test_kmv_overlap_matches_python_oracle(spark, vals_a, vals_b, k):
+    from delta_sorter_spark.operators.sketches import kmv_overlap
+
+    a = spark.createDataFrame([(v,) for v in vals_a], "v string")
+    b = spark.createDataFrame([(v,) for v in vals_b], "v string")
+    r = kmv_overlap(a, b, "v", k=k).collect()[0]
+    got = (r["k_union"], r["matches"], r["jaccard_ppm"], r["kth_union_hash"])
+    assert got == _kmv_oracle(vals_a, vals_b, k)
