@@ -576,6 +576,40 @@ class DeltaTable:
         """Commit history, newest first (DESCRIBE HISTORY shape)."""
         return self.log.history()
 
+    def detail(self, version: int | None = None) -> dict:
+        """Table summary in Delta's DESCRIBE DETAIL shape — one dict from
+        the replayed snapshot alone (zero scan tasks, no extra IO): id,
+        location, partition columns, numFiles, sizeInBytes, properties,
+        protocol, plus the engine's DV accounting (files carrying deletion
+        vectors and the total soft-deleted row count)."""
+        state = self.state(version=version)
+        meta = state.metadata
+        dv_files = 0
+        dv_rows = 0
+        for a in state.adds:
+            dv = a.deletion_vector
+            if dv:
+                dv_files += 1
+                dv_rows += int(dv.get("cardinality") or 0)
+        return {
+            "format": "delta",
+            "id": meta.table_id,
+            "location": self.table_path,
+            "partitionColumns": list(meta.partition_columns),
+            "numFiles": len(state.adds),
+            "sizeInBytes": sum(a.size for a in state.adds),
+            "properties": dict(meta.configuration or {}),
+            "minReaderVersion": (state.protocol or {}).get(
+                "minReaderVersion"
+            ),
+            "minWriterVersion": (state.protocol or {}).get(
+                "minWriterVersion"
+            ),
+            "version": state.version,
+            "numFilesWithDeletionVectors": dv_files,
+            "numDeletedRecords": dv_rows,
+        }
+
     # -- read --------------------------------------------------------------
 
     def version_at_timestamp(self, ts) -> int:

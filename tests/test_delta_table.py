@@ -391,3 +391,31 @@ def test_distributed_stage_write_stats_match_driver_path(spark, tmp_path):
     drv = build(str(tmp_path / "drv"), 10**9)    # forced driver-side
     assert dist == drv
     assert len(dist) >= 2  # several distinct per-file stat sets
+
+
+def test_detail_describes_table(spark, tmp_path):
+    """DeltaTable.detail(): DESCRIBE DETAIL shape from the snapshot alone —
+    file/byte counts, properties, protocol, and DV accounting across a
+    merge-on-read delete and time travel."""
+    from delta_sorter_spark.operators.dml import delete_where_dv
+
+    df = spark.range(0, 100).selectExpr("id AS k", "id % 5 AS p")
+    t = DeltaTable.create(
+        spark, str(tmp_path / "td"), df.repartition(4),
+        partition_columns=["p"],
+    )
+    d0 = t.detail()
+    assert d0["format"] == "delta" and d0["partitionColumns"] == ["p"]
+    assert d0["numFiles"] == len(t.state().adds)
+    assert d0["sizeInBytes"] == sum(a.size for a in t.state().adds)
+    assert d0["numFilesWithDeletionVectors"] == 0
+    assert d0["minReaderVersion"] == 1
+
+    delete_where_dv(t, "k IN (3, 7)")
+    d1 = t.detail()
+    assert d1["numDeletedRecords"] == 2
+    assert d1["numFilesWithDeletionVectors"] >= 1
+    assert d1["version"] == d0["version"] + 1
+    assert d1["minReaderVersion"] == 3  # DV protocol upgrade
+    # time travel reproduces the pre-delete shape
+    assert t.detail(version=d0["version"]) == d0
