@@ -7,6 +7,7 @@
 
 Extension verbs (each runs and exits; --sort-columns not required):
     --history                     print the commit history
+    --detail                      print the DESCRIBE DETAIL summary
     --build-bloom-index COLUMN    build/rebuild the per-file Bloom index
     --refresh-bloom-index COLUMN  catch the index up (O(new files) scan)
     --drop-bloom-index COLUMN     unregister (vacuum collects the dataset)
@@ -60,6 +61,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="Print the table's commit history (DESCRIBE HISTORY shape) and exit",
     )
     p.add_argument(
+        "--detail",
+        action="store_true",
+        help="Print the table summary (DESCRIBE DETAIL shape, zero scan "
+        "tasks; honors --at-version) and exit",
+    )
+    p.add_argument(
         "--at-version",
         type=int,
         default=None,
@@ -108,7 +115,7 @@ def main(argv: list[str] | None = None) -> int:
         args.build_bloom_index or args.refresh_bloom_index
         or args.drop_bloom_index
     )
-    if not sort_columns and not (args.history or index_verb):
+    if not sort_columns and not (args.history or args.detail or index_verb):
         print("error: --sort-columns is required", file=sys.stderr)
         return 2
 
@@ -168,6 +175,16 @@ def _run(args, sort_columns, api) -> int:
                 f"error: {exc.args[0] if exc.args else exc}", file=sys.stderr
             )
             return 2
+        return 0
+
+    if args.detail:
+        import json as _json
+
+        from delta_sorter_spark.session import get_spark
+        from delta_sorter_spark.sources.delta_table import DeltaTable
+
+        d = DeltaTable(get_spark(), args.table).detail(version=args.at_version)
+        print(_json.dumps(d, indent=2, default=str))
         return 0
 
     if args.validate_only:

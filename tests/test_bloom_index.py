@@ -446,3 +446,17 @@ def test_concurrent_refreshes_converge(indexed_table, spark):
     doomed = tbl.vacuum(dry_run=True)
     assert all(not d.startswith(spec["path"] + "/") for d in doomed)
     assert any(d.startswith("_bloom_index/") for d in doomed)
+
+
+def test_cli_detail_verb(spark, tmp_path, capsys):
+    import json as _json
+
+    from delta_sorter_spark import cli
+
+    df = spark.range(0, 50).selectExpr("id AS k")
+    path = str(tmp_path / "tdet")
+    DeltaTable.create(spark, path, df.coalesce(2))
+    assert cli.main(["--table", path, "--detail"]) == 0
+    d = _json.loads(capsys.readouterr().out)
+    assert d["format"] == "delta" and d["numFiles"] == 2
+    assert d["version"] >= 0 and d["sizeInBytes"] > 0
