@@ -8,6 +8,8 @@
 Extension verbs (each runs and exits; --sort-columns not required):
     --history                     print the commit history
     --detail                      print the DESCRIBE DETAIL summary
+    --vacuum [--retention-hours H] [--dry-run]   collect unreferenced files
+    --checkpoint                  write a parquet log checkpoint
     --build-bloom-index COLUMN    build/rebuild the per-file Bloom index
     --refresh-bloom-index COLUMN  catch the index up (O(new files) scan)
     --drop-bloom-index COLUMN     unregister (vacuum collects the dataset)
@@ -101,6 +103,25 @@ def build_parser() -> argparse.ArgumentParser:
         help="After a rewriting compaction, catch every registered Bloom "
         "index up with the new file layout (scans only rewritten files)",
     )
+    p.add_argument(
+        "--vacuum",
+        action="store_true",
+        help="Delete unreferenced data files (tombstoned or orphaned) and "
+        "exit; combine with --dry-run to list without deleting",
+    )
+    p.add_argument(
+        "--retention-hours",
+        type=float,
+        default=0.0,
+        help="With --vacuum: skip files modified more recently than this "
+        "(protects in-flight writers; default 0 suits single-writer use)",
+    )
+    p.add_argument(
+        "--checkpoint",
+        action="store_true",
+        help="Write a parquet checkpoint of the current log state and exit "
+        "(bounds log-replay cost for all readers)",
+    )
     return p
 
 
@@ -115,7 +136,10 @@ def main(argv: list[str] | None = None) -> int:
         args.build_bloom_index or args.refresh_bloom_index
         or args.drop_bloom_index
     )
-    if not sort_columns and not (args.history or args.detail or index_verb):
+    maintenance_verb = args.vacuum or args.checkpoint
+    if not sort_columns and not (
+        args.history or args.detail or index_verb or maintenance_verb
+    ):
         print("error: --sort-columns is required", file=sys.stderr)
         return 2
 
@@ -185,6 +209,25 @@ def _run(args, sort_columns, api) -> int:
 
         d = DeltaTable(get_spark(), args.table).detail(version=args.at_version)
         print(_json.dumps(d, indent=2, default=str))
+        return 0
+
+    if args.vacuum or args.checkpoint:
+        from delta_sorter_spark.session import get_spark
+        from delta_sorter_spark.sources.delta_table import DeltaTable
+
+        tbl = DeltaTable(get_spark(), args.table)
+        if args.vacuum:
+            doomed = tbl.vacuum(
+                dry_run=args.dry_run,
+                retention_seconds=args.retention_hours * 3600.0,
+            )
+            verb = "would delete" if args.dry_run else "deleted"
+            print(f"vacuum {verb} {len(doomed)} file(s)")
+            for rel in doomed[:20]:
+                print(f"  {rel}")
+        if args.checkpoint:
+            path = tbl.log.write_checkpoint()
+            print(f"checkpoint written: {path}")
         return 0
 
     if args.validate_only:

@@ -460,3 +460,27 @@ def test_cli_detail_verb(spark, tmp_path, capsys):
     d = _json.loads(capsys.readouterr().out)
     assert d["format"] == "delta" and d["numFiles"] == 2
     assert d["version"] >= 0 and d["sizeInBytes"] > 0
+
+
+def test_cli_vacuum_and_checkpoint_verbs(spark, tmp_path, capsys):
+    from delta_sorter_spark import cli
+    from delta_sorter_spark.operators.dml import delete_where
+
+    df = spark.range(0, 100).selectExpr("id AS k")
+    path = str(tmp_path / "tvc")
+    DeltaTable.create(spark, path, df.repartition(2))
+    delete_where(DeltaTable(spark, path), "k < 50")  # tombstones file(s)
+
+    assert cli.main(["--table", path, "--vacuum", "--dry-run"]) == 0
+    out = capsys.readouterr().out
+    assert "would delete" in out and "would delete 0" not in out
+    # retention window protects everything just written
+    assert cli.main(
+        ["--table", path, "--vacuum", "--retention-hours", "1"]
+    ) == 0
+    assert "deleted 0 file(s)" in capsys.readouterr().out
+    # real vacuum + checkpoint in one invocation; table still reads
+    assert cli.main(["--table", path, "--vacuum", "--checkpoint"]) == 0
+    out = capsys.readouterr().out
+    assert "deleted" in out and "checkpoint written" in out
+    assert DeltaTable(spark, path).to_df().count() == 50
