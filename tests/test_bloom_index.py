@@ -484,3 +484,27 @@ def test_cli_vacuum_and_checkpoint_verbs(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "deleted" in out and "checkpoint written" in out
     assert DeltaTable(spark, path).to_df().count() == 50
+
+
+def test_clone_fails_safe_and_rebuilds_via_refresh(indexed_table, spark, tmp_path):
+    """A shallow CLONE carries the source's bloom spec but not its dataset
+    (table-relative path resolves inside the CLONE's directory, where
+    nothing exists): probes must keep every file, and a refresh on the
+    clone rebuilds coverage locally without touching the source."""
+    from delta_sorter_spark.operators.bloom_index import refresh_bloom_index
+
+    src = indexed_table
+    dst = DeltaTable.clone(spark, src.table_path, str(tmp_path / "clone"))
+    assert "doc_id" in bloom_specs(dst)
+    n = len(dst.state().adds)
+    # unreadable dataset -> fail safe: nothing pruned, rows exact
+    assert len(dst.files_matching("doc_id = 'doc-123'")) == n
+    assert dst.to_df(where="doc_id = 'doc-123'").count() == 1
+    r = refresh_bloom_index(dst, "doc_id")
+    assert r["new_files"] == n  # full rebuild of coverage, clone-local
+    kept = dst.files_matching("doc_id = 'doc-123'")
+    assert 1 <= len(kept) <= 2
+    assert dst.to_df(adds=kept).where("doc_id = 'doc-123'").count() == 1
+    # the source's own index is untouched
+    src_kept = src.files_matching("doc_id = 'doc-123'")
+    assert 1 <= len(src_kept) <= 2
