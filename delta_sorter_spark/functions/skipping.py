@@ -291,11 +291,14 @@ class _Parser:
 
         A row matching ``LIKE 'ab%cd'`` necessarily starts with the prefix
         before the first wildcard, so the positive form prunes on
-        ``("like", col, prefix)`` whenever that prefix is non-empty.  The
-        NEGATED form is only provable for a pure trailing-%% pattern
-        (every value sharing prefix-bounded [lo, hi] shares the prefix);
-        any other shape — or an escape character, whose semantics we don't
-        model — degrades to "may match"."""
+        ``("like", col, prefix, exact)`` whenever that prefix is non-empty.
+        ``exact`` records whether the prefix fully captures the pattern
+        (pure trailing-%% like ``'abc%'``): only then may a NEGATED
+        evaluation — direct NOT LIKE, an outer ``NOT (...)``, or De Morgan
+        inside ``NOT(a OR b)`` — use the shared-prefix proof.  For any
+        other shape the prefix is a lossy over-approximation, sound for
+        the positive direction only.  An escape character, whose semantics
+        we don't model, degrades to "may match"."""
         if "\\" in pattern:
             return ("maybe",)
         cut = len(pattern)
@@ -304,13 +307,14 @@ class _Parser:
             if i != -1:
                 cut = min(cut, i)
         prefix = pattern[:cut]
+        exact = pattern.endswith("%") and cut == len(pattern) - 1
         if not negated:
             if not prefix:
                 return ("maybe",)
-            return ("like", col, prefix)
+            return ("like", col, prefix, exact)
         # NOT LIKE: pure prefix pattern 'abc%' only
-        if pattern.endswith("%") and cut == len(pattern) - 1:
-            return ("not", ("like", col, prefix))
+        if exact:
+            return ("not", ("like", col, prefix, True))
         return ("maybe",)
 
     @staticmethod
@@ -466,7 +470,7 @@ def _may_match(ast, facts_for) -> bool:
             return not facts.all_null
         return facts.null_count is None or facts.null_count > 0
     if kind == "like":
-        _, col, prefix = ast
+        _, col, prefix, _exact = ast
         facts, _ = facts_for(col)
         if not facts.known:
             return True
@@ -533,12 +537,17 @@ def _may_match_not(ast, facts_for) -> bool:
         _, col, lits, negated = ast
         return _may_match(("in", col, lits, not negated), facts_for)
     if kind == "like":
-        _, col, prefix = ast
+        _, col, prefix, exact = ast
         facts, _ = facts_for(col)
         if not facts.known:
             return True
         if facts.all_null:
             return False  # NOT LIKE on NULL is still NULL -> no match
+        if not exact:
+            # the prefix only over-approximates the pattern (e.g. 'ab%cd'):
+            # values sharing the prefix may still fail the full pattern, so
+            # NOT LIKE can be TRUE anywhere — never prune
+            return True
         if prefix == "":
             return False  # every non-null value matches LIKE '%'
         lo, hi = facts.lo, facts.hi

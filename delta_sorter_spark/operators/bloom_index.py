@@ -67,6 +67,34 @@ BLOOM_PROP_PREFIX = "deltasort.bloomIndex."
 DEFAULT_M_BITS = 1 << 17  # 16 KiB/file; size m at ~10-16 bits per distinct
 DEFAULT_K = 3             # key in the column for ~1% false positives
 
+# A dataset is written BEFORE the commit that registers it; in that window a
+# concurrent vacuum (default retention 0) would see an unregistered
+# directory and collect it.  The build drops a _BUILDING marker first and
+# deletes it after registration; vacuum protects marker-fresh directories
+# for this grace window, so only a crashed build's leftovers ever expire
+# into collectability.
+BUILDING_MARKER = "_BUILDING"
+BUILD_GRACE_SECONDS = 900.0
+
+
+def _building_marker_path(table, dataset_rel: str) -> str:
+    fsobj = table.log.fs
+    return fsobj.join(table.table_path, dataset_rel, BUILDING_MARKER)
+
+
+def _mark_building(table, dataset_rel: str) -> None:
+    fsobj = table.log.fs
+    marker = _building_marker_path(table, dataset_rel)
+    fsobj.makedirs(fsobj.parent(marker))
+    fsobj.write_bytes(marker, b"")
+
+
+def _unmark_building(table, dataset_rel: str) -> None:
+    try:
+        table.log.fs.delete(_building_marker_path(table, dataset_rel))
+    except (OSError, FileNotFoundError):
+        pass
+
 _INDEXABLE = (T.StringType, T.ByteType, T.ShortType, T.IntegerType, T.LongType)
 
 
@@ -212,6 +240,8 @@ def build_bloom_index(
         {BLOOM_PROP_PREFIX + column: json.dumps(spec)},
         operation="CREATE BLOOM INDEX",
     )
+    if adds:
+        _unmark_building(table, dataset_rel)  # registered: spec protects it
     if old and old.get("path") != dataset_rel:
         # the replaced dataset is now unregistered; vacuum collects it
         pass
@@ -230,6 +260,7 @@ def _write_index(table, df, dataset_rel: str, n_files: int) -> None:
     part count — not row count — is its remote-GET bill, and the path
     ordering lets parquet row-group stats skip candidates-free parts."""
     nparts = max(1, -(-n_files // 8192))
+    _mark_building(table, dataset_rel)  # vacuum-protect until registered
     table.write_parquet_dataset(
         df.repartitionByRange(nparts, "path").sortWithinPartitions("path"),
         dataset_rel,
@@ -299,6 +330,7 @@ def refresh_bloom_index(table: DeltaTable, column: str) -> dict:
         parts.append(
             _index_rows(table, new_adds, column, meta, m_bits, k, seed)
         )
+    wrote = bool(parts)
     if parts:
         full = parts[0]
         for p in parts[1:]:
@@ -309,6 +341,8 @@ def refresh_bloom_index(table: DeltaTable, column: str) -> dict:
         {BLOOM_PROP_PREFIX + column: json.dumps(new_spec)},
         operation="REFRESH BLOOM INDEX",
     )
+    if wrote:
+        _unmark_building(table, dataset_rel)  # registered: spec protects it
     return {
         "column": column,
         "files": len(adds),
@@ -344,13 +378,35 @@ def _conjunctive_value_sets(ast) -> list[tuple[str, list]]:
     return []
 
 
+def _bloom_canonical(lit, dtype) -> str | None:
+    """The canonical string Spark's ``CAST(col AS STRING)`` produces for a
+    column value equal to ``lit``, or None when no such proof exists.
+
+    The index hashes the CAST form ("5", not "5.0"), so the probe must hash
+    the same string or it would prove absence of values that ARE present
+    (``c = 5.0`` matches ``c = 5`` in Spark, but str(5.0) probes the wrong
+    bits).  Integer columns therefore accept only ints and integral floats
+    (normalized via int()); bools are rejected — TRUE would stringify as
+    'True', never the stored '1'.  Anything un-normalizable returns None:
+    the probe proves nothing and prunes nothing."""
+    if isinstance(dtype, T.StringType):
+        return lit if isinstance(lit, str) else None
+    # integer dtypes (the only other _INDEXABLE members)
+    if isinstance(lit, bool):
+        return None
+    if isinstance(lit, int):
+        return str(lit)
+    if isinstance(lit, float) and lit.is_integer():
+        return str(int(lit))
+    return None
+
+
 def _coerced_constraints(predicate: str, meta, specs: dict) -> list:
-    """(spec, coerced-values) for each indexed, fully-coercible mandatory
-    equality constraint in the predicate; [] when nothing applies (the
-    probe then proves nothing and prunes nothing)."""
+    """(spec, canonical-values) for each indexed, fully-normalizable
+    mandatory equality constraint in the predicate; [] when nothing applies
+    (the probe then proves nothing and prunes nothing)."""
     from delta_sorter_spark.functions.skipping import (
         SkippingUnsupported,
-        _coerce_literal,
         parse_predicate,
     )
 
@@ -366,9 +422,9 @@ def _coerced_constraints(predicate: str, meta, specs: dict) -> list:
         dtype = meta.schema[col].dataType
         coerced = []
         for v in values:
-            cv = _coerce_literal(v, dtype)
+            cv = _bloom_canonical(v, dtype)
             if cv is None:
-                coerced = None  # un-coercible literal: probe proves nothing
+                coerced = None  # un-normalizable literal: probe proves nothing
                 break
             coerced.append(cv)
         if coerced:

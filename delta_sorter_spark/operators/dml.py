@@ -142,14 +142,17 @@ def merge(
       expressions (e.g. mark stale).  Delete wins if both hit.
 
     Like Delta/SQL MERGE, a target row matching MULTIPLE source rows is
-    ambiguous and raises.  Only zone-map candidate files are rewritten, so
-    a merge touching one key range leaves the rest of a 100 TB table's
-    files untouched; the duplicate-source check and the match join shuffle
-    only the candidate subset against the source.  BY SOURCE clauses widen
-    the candidate set to EVERY data file (exactly as Delta's own MERGE
-    must read the full target then): a row outside the source's key range
-    still has no source match, so zone-map pruning against the source
-    bounds would silently exempt it from the sync.
+    ambiguous and raises.  Two-pass, Delta-style: pass 1 finds the files
+    that actually CONTAIN a changed row (matched update/delete hit, or a
+    by-source clause firing) with one join that Catalyst column-prunes to
+    the keys + condition columns; pass 2 rewrites only those files.  A
+    merge touching one key range leaves the rest of a 100 TB table's files
+    untouched, and an insert-only merge rewrites nothing at all.  BY SOURCE
+    clauses widen the pass-1 READ to EVERY data file (exactly as Delta's
+    own MERGE must read the full target then): a row outside the source's
+    key range still has no source match, so zone-map pruning against the
+    source bounds would silently exempt it from the sync — but files where
+    no clause changes any row still keep their Adds intact.
 
     ``txn_app_id``/``txn_version``: SetTransaction idempotence (exactly-once
     foreachBatch CDC apply) — an already-recorded (appId, version) makes the
@@ -186,18 +189,19 @@ def merge(
         dupkey = {k: dup[0][k] for k in keys}
         raise ValueError(f"MERGE source has multiple rows for key {dupkey}")
 
-    inserts = src
-    if candidates:
-        t = table.to_df(adds=candidates).alias("t")
+    by_src_update = dict(when_not_matched_by_source_update or {})
+
+    def _join(t):
         s = src.alias("s")
         cond = None
         for k in keys:
             c = F.col(f"t.{k}") == F.col(f"s.{k}")
             cond = c if cond is None else cond & c
-        joined = t.join(s, cond, "left").withColumn(
+        return t.join(s, cond, "left").withColumn(
             "__matched__", F.col(f"s.{keys[0]}").isNotNull()
         )
-        keep_unmatched = ~F.col("__matched__")
+
+    def _clause_hits():
         delete_hit = (
             F.col("__matched__") & F.coalesce(F.expr(when_matched_delete), F.lit(False))
             if when_matched_delete
@@ -214,7 +218,48 @@ def merge(
             if when_not_matched_by_source_delete
             else F.lit(False)
         )
-        by_src_update = dict(when_not_matched_by_source_update or {})
+        return delete_hit, update_hit, by_src_delete_hit
+
+    # Pass 1: which candidate files CONTAIN a row any clause changes?
+    # (Catalyst prunes this scan+join to keys + condition columns.)
+    rewrite: list = []
+    if candidates:
+        tagged = _target_with_path(table, candidates).alias("t")
+        joined = _join(tagged)
+        delete_hit, update_hit, by_src_delete_hit = _clause_hits()
+        changed = delete_hit | by_src_delete_hit
+        if update:
+            changed = changed | update_hit
+        if by_src_update:
+            # the by-source update applies to EVERY unmatched row
+            changed = changed | ~F.col("__matched__")
+        changed_paths = {
+            r["__p__"]
+            for r in joined.where(changed)
+            .select(F.col("t.__path__").alias("__p__"))
+            .distinct()
+            .collect()
+        }
+        rewrite = [a for a in candidates if a.path in changed_paths]
+
+    # Inserts anti-join against ALL candidates (zone pruning keeps every
+    # file that may hold a source key, so candidate keys == table keys
+    # for this purpose), never just the rewrite subset
+    inserts = None
+    if when_not_matched_insert:
+        if candidates:
+            inserts = src.join(
+                table.to_df(adds=candidates).select(*keys), keys, "left_anti"
+            )
+        else:
+            inserts = src
+
+    # Pass 2: rewrite only the changed files
+    if rewrite:
+        t = table.to_df(adds=rewrite).alias("t")
+        joined = _join(t)
+        delete_hit, update_hit, by_src_delete_hit = _clause_hits()
+        keep_unmatched = ~F.col("__matched__")
         out_cols = []
         for f in schema.fields:
             updated = (
@@ -232,27 +277,34 @@ def merge(
                 ).otherwise(col)
             out_cols.append(col.alias(f.name))
         merged = joined.where(~delete_hit & ~by_src_delete_hit).select(*out_cols)
-        if when_not_matched_insert:
-            inserts = src.join(t.select(*keys), keys, "left_anti")
-            merged = merged.unionByName(inserts.select(*[f.name for f in schema.fields]))
+        if inserts is not None:
+            merged = merged.unionByName(
+                inserts.select(*[f.name for f in schema.fields])
+            )
     else:
-        if not when_not_matched_insert:
-            return {  # nothing to match, nothing to insert: metadata no-op
+        if inserts is None:
+            return {  # nothing changed, nothing to insert: metadata no-op
                 "rewritten_files": 0,
                 "untouched_files": len(state.adds),
                 "version": state.version,
             }
-        merged = src.select(*[f.name for f in schema.fields])
+        merged = inserts.select(*[f.name for f in schema.fields])
 
     adds = table.stage_write(merged, stat_columns=keys, data_change=True)
-    removes = [a.remove_action(True) for a in candidates]
+    removes = [a.remove_action(True) for a in rewrite]
+    if not adds and not removes:
+        return {  # e.g. insert-only merge whose source fully matched
+            "rewritten_files": 0,
+            "untouched_files": len(state.adds),
+            "version": state.version,
+        }
     version = table.commit_rewrite(
         adds, removes, operation="MERGE",
         txn_app_id=txn_app_id, txn_version=txn_version,
     )
     return {
-        "rewritten_files": len(candidates),
-        "untouched_files": len(state.adds) - len(candidates),
+        "rewritten_files": len(rewrite),
+        "untouched_files": len(state.adds) - len(rewrite),
         "version": version,
     }
 
@@ -383,6 +435,22 @@ def update_where(
         "updated_rows": updated_rows,
         "version": version,
     }
+
+
+def _target_with_path(table: DeltaTable, adds) -> DataFrame:
+    """DV-applied read of ``adds`` plus a ``__path__`` table-relative path
+    column, computed Spark-side — the find-touched-files pass of MERGE."""
+    if table.is_remote:
+        from delta_sorter_spark.streaming.delta_source import FILE_COL
+
+        df = table._to_df_remote(
+            adds=list(adds), with_file_path=True
+        ).withColumnRenamed(FILE_COL, "__file__")
+    else:
+        df = table.to_df(adds=list(adds)).withColumn(
+            "__file__", F.input_file_name()
+        )
+    return df.withColumn("__path__", _rel_path_col(table)).drop("__file__")
 
 
 def _rel_path_col(table: DeltaTable):

@@ -2123,7 +2123,26 @@ class DeltaTable:
         fsobj = self.log.fs
         doomed: list[str] = []
         now = _time.time()
-        for rel, mtime in fsobj.list_files_recursive(self.table_path):
+        entries = fsobj.list_files_recursive(self.table_path)
+        # in-flight bloom-index builds: the dataset is written BEFORE the
+        # commit that registers it, flagged by a _BUILDING marker the build
+        # deletes on registration.  Protect marker-fresh directories so the
+        # unregistered-write window can't be collected; a crashed build's
+        # marker ages out and the leftovers become collectable.
+        from delta_sorter_spark.operators.bloom_index import (
+            BUILD_GRACE_SECONDS,
+            BUILDING_MARKER,
+        )
+
+        building_grace = max(retention_seconds, BUILD_GRACE_SECONDS)
+        for rel, mtime in entries:
+            if (
+                rel.startswith("_bloom_index/")
+                and rel.rsplit("/", 1)[-1] == BUILDING_MARKER
+                and now - mtime < building_grace
+            ):
+                active_prefixes += (rel.rsplit("/", 1)[0] + "/",)
+        for rel, mtime in entries:
             top = rel.split("/", 1)[0]
             if top in ("_delta_log", "_staging"):
                 continue
@@ -2204,7 +2223,10 @@ class DeltaTable:
         ``_stage_write_remote``); empty partitions write nothing."""
         dest = os.path.join(self.table_path, dataset_rel)
         if not self.is_remote:
-            df.write.parquet(dest)
+            # dataset_rel is always a fresh uuid directory, so append ==
+            # create; append (not errorifexists) tolerates a pre-created
+            # _BUILDING vacuum-guard marker in the destination
+            df.write.mode("append").parquet(dest)
             return
         self._require_shared_remote_store("write_parquet_dataset")
         from pyspark.sql.pandas.types import to_arrow_type

@@ -183,6 +183,94 @@ def test_integer_column_index(spark, tmp_path):
     assert tbl.to_df(adds=kept).where("uid = 123").count() == 1
 
 
+def test_integer_probe_literal_normalization(spark, tmp_path):
+    """The index hashes CAST(col AS STRING) ('5'); the probe must hash the
+    SAME canonical form for any literal Spark would treat as equal.
+    uid = 5.0 matches uid = 5 in Spark — probing str(5.0) = '5.0' would
+    prove absence and silently drop the file that contains the row."""
+    df = spark.range(0, 500).select(
+        F.col("id").alias("k"), ((F.col("id") * 271) % 500).alias("uid")
+    )
+    tbl = DeltaTable.create(
+        spark, str(tmp_path / "tc"),
+        df.repartitionByRange(5, "k").sortWithinPartitions("k"),
+        stat_columns=["k"],
+    )
+    build_bloom_index(tbl, "uid", m_bits=1 << 13)
+    state = tbl.state()
+
+    # integral float literal: normalized to '5', same files as uid = 5
+    kept_f = bloom_prune_adds(tbl, state.adds, "uid = 5.0", state.metadata)
+    kept_i = bloom_prune_adds(tbl, state.adds, "uid = 5", state.metadata)
+    assert {a.path for a in kept_f} == {a.path for a in kept_i}
+    assert tbl.to_df(adds=kept_f).where("uid = 5").count() == 1
+
+    # bool literal: 'True' never matches the stored '1' — must prove
+    # nothing (keep everything), not prune on the wrong hash
+    kept_b = bloom_prune_adds(tbl, state.adds, "uid = TRUE", state.metadata)
+    assert len(kept_b) == len(state.adds)
+
+    # non-integral float: un-normalizable, probe proves nothing
+    kept_h = bloom_prune_adds(tbl, state.adds, "uid = 5.5", state.metadata)
+    assert len(kept_h) == len(state.adds)
+
+    # IN list mixing shapes normalizes per-value
+    kept_in = bloom_prune_adds(
+        tbl, state.adds, "uid IN (5.0, 123)", state.metadata
+    )
+    assert tbl.to_df(adds=kept_in).where("uid IN (5, 123)").count() == 2
+
+
+def test_string_column_rejects_numeric_literal(indexed_table):
+    """doc_id = 5 on a string column: Spark's comparison casts; the probe
+    must not pretend str(5) is the value's canonical form."""
+    tbl = indexed_table
+    state = tbl.state()
+    kept = bloom_prune_adds(tbl, state.adds, "doc_id = 5", state.metadata)
+    assert len(kept) == len(state.adds)
+
+
+def test_vacuum_spares_inflight_build(indexed_table):
+    """An index dataset written but not yet registered carries a _BUILDING
+    marker; vacuum must not collect it inside the grace window, and must
+    collect it once the marker ages out (crashed build)."""
+    import os
+    import time
+
+    from delta_sorter_spark.operators.bloom_index import (
+        BUILDING_MARKER,
+        _mark_building,
+    )
+
+    tbl = indexed_table
+    # simulate a build mid-window: marker + a dataset part, no registration
+    rel = "_bloom_index/doc_id/deadbeef"
+    _mark_building(tbl, rel)
+    part = os.path.join(tbl.table_path, rel, "part-00000.parquet")
+    with open(part, "wb") as fh:
+        fh.write(b"not-a-real-parquet")
+    doomed = tbl.vacuum(dry_run=True)
+    assert not any(d.startswith(rel) for d in doomed)
+
+    # crashed build: marker ages past the grace window -> collectable
+    marker = os.path.join(tbl.table_path, rel, BUILDING_MARKER)
+    old = time.time() - 3600
+    os.utime(marker, (old, old))
+    doomed = tbl.vacuum(dry_run=True)
+    assert any(d.startswith(rel) for d in doomed)
+
+
+def test_completed_build_leaves_no_marker(indexed_table):
+    import os
+
+    from delta_sorter_spark.operators.bloom_index import BUILDING_MARKER
+
+    spec = bloom_specs(indexed_table)["doc_id"]
+    assert not os.path.exists(
+        os.path.join(indexed_table.table_path, spec["path"], BUILDING_MARKER)
+    )
+
+
 def test_positions_are_deterministic():
     assert value_positions("doc-1", 1 << 14, 3, 42) == value_positions(
         "doc-1", 1 << 14, 3, 42

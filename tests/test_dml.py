@@ -825,6 +825,64 @@ def test_merge_by_source_mirror_rewrites_all_files(spark, tmp_path):
     assert got == [(2, 2.0), (200, 200.0)]
 
 
+def test_merge_by_source_rewrites_only_changed_files(spark, tmp_path):
+    """BY SOURCE reads every file, but files where no clause changes any
+    row must keep their Adds intact — a selective by-source delete on a
+    100 TB table is not a full-table copy-on-write rewrite."""
+    from delta_sorter_spark.operators.dml import merge
+
+    path = str(tmp_path / "bysrc_sel")
+    low = spark.createDataFrame(
+        [(i, float(i)) for i in range(5)], "id long, amt double"
+    )
+    high = spark.createDataFrame(
+        [(i, float(i)) for i in range(100, 105)], "id long, amt double"
+    )
+    table = DeltaTable.create(spark, path, low.coalesce(1), stat_columns=["id"])
+    table.append(high.coalesce(1), stat_columns=["id"])
+    files_before = set(DeltaTable(spark, path).input_files())
+    # source matches every low-file row; the by-source delete only fires in
+    # the high file -> the low file contains no changed row
+    src = spark.createDataFrame(
+        [(i, float(i) + 0.5) for i in range(5)], "id long, amt double"
+    )
+    out = merge(
+        DeltaTable(spark, path),
+        src,
+        ["id"],
+        when_not_matched_by_source_delete="t.amt >= 100",
+        when_not_matched_insert=False,
+    )
+    assert out["rewritten_files"] == 1
+    assert out["untouched_files"] == 1
+    files_after = set(DeltaTable(spark, path).input_files())
+    assert len(files_before & files_after) == 1  # the low file survived
+    got = sorted(r["id"] for r in DeltaTable(spark, path).to_df().collect())
+    assert got == [0, 1, 2, 3, 4]
+
+
+def test_merge_insert_only_rewrites_nothing(spark, tmp_path):
+    """A merge whose matched rows change nothing (no update/delete clauses)
+    must append the inserts without rewriting a single target file."""
+    from delta_sorter_spark.operators.dml import merge
+
+    path = str(tmp_path / "mrg_insonly")
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], "id long, amt double"
+    )
+    table = DeltaTable.create(spark, path, df.coalesce(1), stat_columns=["id"])
+    files_before = set(table.input_files())
+    src = spark.createDataFrame(
+        [(5, 99.0), (20, 20.0)], "id long, amt double"
+    )
+    out = merge(DeltaTable(spark, path), src, ["id"])  # insert-only
+    assert out["rewritten_files"] == 0
+    tbl = DeltaTable(spark, path)
+    assert files_before <= set(tbl.input_files())  # originals untouched
+    got = dict((r["id"], r["amt"]) for r in tbl.to_df().collect())
+    assert got[5] == 5.0 and got[20] == 20.0 and len(got) == 11
+
+
 def test_update_where_rewrites_only_hit_files(spark, tmp_path):
     from delta_sorter_spark.operators.dml import update_where
 

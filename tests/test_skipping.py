@@ -71,10 +71,11 @@ def test_parse_between_in_null():
 
 
 def test_parse_like_shapes():
-    assert parse_predicate("s LIKE 'ab%'") == ("like", "s", "ab")
-    # mid-pattern wildcard: positive form still prunes on the prefix
-    assert parse_predicate("s LIKE 'ab%cd'") == ("like", "s", "ab")
-    assert parse_predicate("s NOT LIKE 'ab%'") == ("not", ("like", "s", "ab"))
+    assert parse_predicate("s LIKE 'ab%'") == ("like", "s", "ab", True)
+    # mid-pattern wildcard: positive form still prunes on the prefix, but the
+    # node records exact=False so negated evaluation can't use the prefix proof
+    assert parse_predicate("s LIKE 'ab%cd'") == ("like", "s", "ab", False)
+    assert parse_predicate("s NOT LIKE 'ab%'") == ("not", ("like", "s", "ab", True))
     # shapes where no sound bound exists degrade to may-match
     assert parse_predicate("s LIKE '%x'") == ("maybe",)
     assert parse_predicate("s NOT LIKE 'ab%cd'") == ("maybe",)
@@ -98,6 +99,22 @@ def test_like_decisions():
     assert _may(a, "s NOT LIKE 'n%'")
     # LIKE '%' matches every non-null value
     assert not _may(a, "s NOT LIKE '%'")
+
+
+def test_not_over_inexact_like_never_prunes():
+    """NOT over a lossy prefix approximation must stay may-match.
+
+    LIKE 'ab%cd' parses to the over-approximate prefix 'ab'; an outer NOT
+    (directly, or via De Morgan inside NOT(... OR ...)) must NOT apply the
+    shared-prefix proof: values sharing 'ab' can still fail '...cd', making
+    NOT LIKE TRUE inside prefix-sharing bounds."""
+    shared = _add(mins={"s": "abxx"}, maxs={"s": "abyy"}, nulls={"s": 0})
+    assert _may(shared, "NOT (s LIKE 'ab%cd')")
+    assert _may(shared, "NOT (s LIKE 'ab%cd' OR s LIKE 'zz%qq')")
+    # the pure-prefix proof still prunes through an outer NOT
+    assert not _may(shared, "NOT (s LIKE 'ab%')")
+    # and un-parenthesized NOT LIKE on the lossy shape stays may-match
+    assert _may(shared, "s NOT LIKE 'ab%cd'")
 
 
 @pytest.mark.parametrize(
