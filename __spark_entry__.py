@@ -5174,13 +5174,18 @@ _E66_SQL = _e66_sql()
 
 # ---------------------------------------------------------------------------
 # E67: full BPE tokenizer training (textstats.train_bpe) — the iterative
-# merge-learning loop.  Registered WITHOUT an oracle_sql entry (the one
-# intentionally rows-only row in the contract): each merge's argmax feeds the
-# next iteration's pair counts, so no single SQL statement can replay it.
-# Exactness is instead pinned by the suite, which replays the identical
-# corpus through a pure-Python Sennrich-style reference and asserts the full
-# learned merge table matches (tests/test_extensions.py::
-# test_train_bpe_matches_reference_implementation).
+# merge-learning loop, replayed for the oracle as BPE_MERGES chained CTE
+# stages (the e62 k-means pattern): per stage, pair counts over the word
+# table -> argmax by (count desc, left asc, right asc) -> greedy merge
+# application.  The greedy left-to-right fold (Spark: F.aggregate carrying
+# an (out, pending) struct) is expressed in DuckDB as a list_reduce whose
+# string accumulator encodes ``out-tokens-chr(1)-joined || chr(2) || pend``
+# — plain string replace can't replicate the fold (consumed boundaries
+# block adjacent matches), a real accumulator can.  The suite additionally
+# pins the operator against a pure-Python Sennrich reference
+# (tests/test_property_extensions.py).  The oracle assumes all BPE_MERGES
+# merges clear min_count=2, which holds on the fixed test corpus (top
+# pair counts are in the hundreds).
 # ---------------------------------------------------------------------------
 
 BPE_MERGES = 8
@@ -5191,6 +5196,64 @@ def q_e67_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _doc_subset(spark, sf_dir, DOC_SUBSET_MOD)
     return train_bpe(docs, "text", n_merges=BPE_MERGES, min_count=2)
+
+
+def _e67_sql() -> str:
+    stages = [f"""
+wf AS (
+  SELECT w, count(*) AS wn FROM (
+    SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+    FROM documents WHERE doc_id % {DOC_SUBSET_MOD} = 0
+  ) WHERE w <> '' GROUP BY w
+),
+w0 AS (
+  SELECT wn, list_append(regexp_extract_all(w, '.'), '</w>') AS toks FROM wf
+)"""]
+    for k in range(BPE_MERGES):
+        stages.append(f"""
+p{k} AS (
+  SELECT pr.l AS l, pr.r AS r, CAST(sum(wn) AS BIGINT) AS n
+  FROM (
+    SELECT wn,
+      unnest(list_transform(list_slice(toks, 1, length(toks)-1),
+                            (t, i) -> struct_pack(l := t, r := toks[i+1]))) AS pr
+    FROM w{k}
+  ) GROUP BY pr.l, pr.r
+),
+m{k} AS (SELECT l, r, n FROM p{k} ORDER BY n DESC, l ASC, r ASC LIMIT 1),
+w{k + 1} AS (
+  SELECT wn,
+    list_filter(
+      string_split(
+        CASE WHEN split_part(acc, chr(2), 2) = ''
+             THEN split_part(acc, chr(2), 1)
+             ELSE split_part(acc, chr(2), 1) || chr(1) || split_part(acc, chr(2), 2)
+        END, chr(1)),
+      t -> t <> '') AS toks
+  FROM (
+    SELECT wn,
+      list_reduce(
+        list_prepend(chr(2), toks),
+        (acc, x) -> CASE
+          WHEN split_part(acc, chr(2), 2) = ''
+            THEN split_part(acc, chr(2), 1) || chr(2) || x
+          WHEN split_part(acc, chr(2), 2) = l AND x = r
+            THEN split_part(acc, chr(2), 1) || chr(1) || l || r || chr(2)
+          ELSE split_part(acc, chr(2), 1) || chr(1)
+               || split_part(acc, chr(2), 2) || chr(2) || x
+        END) AS acc
+    FROM w{k} CROSS JOIN m{k}
+  )
+)""")
+    final = "\nUNION ALL ".join(
+        f'SELECT {k} AS merge_rank, l AS "left", r AS "right", n AS pair_count'
+        f" FROM m{k}"
+        for k in range(BPE_MERGES)
+    )
+    return "WITH " + ",".join(stages) + "\n" + final
+
+
+_E67_SQL = _e67_sql()
 
 
 # ---------------------------------------------------------------------------
@@ -6287,6 +6350,7 @@ def oracle_sql() -> dict[str, str]:
         "e64_heavy_hitters": _E64_SQL,
         "e65_filtered_topk": _E65_SQL,
         "e66_doc_centrality": _E66_SQL,
+        "e67_bpe_train": _E67_SQL,
         "e68_temperature_mix": _E68_SQL,
         "e69_repeated_lines": _E69_SQL,
         "e70_remove_lines": _E70_SQL,
