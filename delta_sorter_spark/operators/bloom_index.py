@@ -489,12 +489,24 @@ def bloom_prune_adds(
     return adds
 
 
-def _read_index_rows_local(
-    table_path: str, dataset_rel: str, candidate_paths
-) -> list[tuple[str, list[int]]]:
-    """Candidate paths' ``(path, bits)`` index rows via pyarrow — no Spark.
-    Row-group predicate pushdown keeps the read proportional to the
-    candidates, not the index."""
+_LOCAL_PROBE_BATCH_ROWS = 64  # bits arrays can reach ~m_bits longs per file
+
+
+def _probe_dropped_local(
+    table_path: str, dataset_rel: str, candidate_paths, val_pos: list[list[int]]
+) -> set[str]:
+    """Candidate paths PROVEN absent by their index rows, via pyarrow — no
+    Spark.  STREAMED: the probe never materializes more than one small
+    record batch of ``(path, bits)`` rows (a file's bits array can be
+    ~m_bits longs, so loading every candidate's row at once — the naive
+    read_table — is O(candidates x m) driver memory; at 10^6 files that is
+    the probe's own bottleneck, not the scan it prunes).  Row groups whose
+    path range (the dataset is written path-sorted) contains no candidate
+    are skipped entirely via footer stats; within surviving batches, bits
+    arrays are decoded only for candidate rows and membership is a bisect
+    over the sorted array — no per-row set build."""
+    import bisect
+
     import pyarrow.parquet as pq
 
     from delta_sorter_spark.sources.fs import pyarrow_open_input, resolve
@@ -502,18 +514,51 @@ def _read_index_rows_local(
     fsobj, base = resolve(table_path)
     dataset_uri = fsobj.join(base, dataset_rel)
     names = [n for n in fsobj.list_dir(dataset_uri) if n.endswith(".parquet")]
-    cand = sorted(candidate_paths)
-    out: list[tuple[str, list[int]]] = []
+    cand_sorted = sorted(candidate_paths)
+    cand = set(candidate_paths)
+    dropped: set[str] = set()
+
+    def _bits_hit(bits) -> bool:
+        for pos in val_pos:
+            ok = True
+            for p in pos:
+                i = bisect.bisect_left(bits, p)
+                if i >= len(bits) or bits[i] != p:
+                    ok = False
+                    break
+            if ok:
+                return True
+        return False
+
     for name in names:
-        t = pq.read_table(
-            pyarrow_open_input(f"{dataset_uri}/{name}"),
+        pf = pq.ParquetFile(pyarrow_open_input(f"{dataset_uri}/{name}"))
+        schema_names = pf.schema_arrow.names
+        path_idx = schema_names.index("path")
+        groups = []
+        for rg in range(pf.metadata.num_row_groups):
+            st = pf.metadata.row_group(rg).column(path_idx).statistics
+            if st is not None and st.has_min_max:
+                lo, hi = st.min, st.max
+                j = bisect.bisect_left(cand_sorted, lo)
+                if j >= len(cand_sorted) or cand_sorted[j] > hi:
+                    continue  # no candidate in this group's path range
+            groups.append(rg)
+        if not groups:
+            continue
+        for batch in pf.iter_batches(
+            batch_size=_LOCAL_PROBE_BATCH_ROWS,
+            row_groups=groups,
             columns=["path", "bits"],
-            filters=[("path", "in", cand)],
-        )
-        out.extend(
-            zip(t.column("path").to_pylist(), t.column("bits").to_pylist())
-        )
-    return out
+        ):
+            paths = batch.column("path").to_pylist()
+            bits_col = batch.column("bits")
+            for i, p in enumerate(paths):
+                if p not in cand:
+                    continue
+                bits = bits_col[i].as_py() or []
+                if not _bits_hit(bits):
+                    dropped.add(p)
+    return dropped
 
 
 def bloom_prune_adds_local(
@@ -524,12 +569,16 @@ def bloom_prune_adds_local(
 ) -> list[AddAction]:
     """Spark-free twin of ``bloom_prune_adds`` for planning contexts that
     have no session — the streaming source selects each micro-batch's
-    files in a plain Python process.  Reads only the CANDIDATE paths' index
-    rows via pyarrow (a micro-batch's Add list is new-files-sized, so the
-    local read is bounded regardless of table size); identical
-    no-false-negative semantics and fail-safety: unindexed files always
-    stay, and any index-read error (rebuilt/vacuumed dataset mid-stream)
-    keeps every candidate."""
+    files in a plain Python process.  The probe STREAMS the index via
+    pyarrow (``_probe_dropped_local``): row groups outside the candidates'
+    path range are skipped via footer stats, surviving rows are decoded
+    one small batch at a time, and only the dropped-path set — never the
+    bits arrays — accumulates, so memory stays O(batch) even when the
+    candidate set is the whole table's file list (the 10^6-file posture:
+    the probe must not itself become a driver-memory bottleneck).
+    Identical no-false-negative semantics and fail-safety: unindexed files
+    always stay, and any index-read error (rebuilt/vacuumed dataset
+    mid-stream) keeps every candidate."""
     adds = list(adds)
     if predicate is None or not adds:
         return adds
@@ -538,18 +587,13 @@ def bloom_prune_adds_local(
         return adds
     for spec, coerced in _coerced_constraints(predicate, meta, specs):
         try:
-            rows = _read_index_rows_local(
-                table_path, spec["path"], {a.path for a in adds}
-            )
             val_pos = [
-                value_positions(v, spec["m"], spec["k"], spec["seed"])
+                sorted(value_positions(v, spec["m"], spec["k"], spec["seed"]))
                 for v in coerced
             ]
-            dropped = set()
-            for path, bits in rows:
-                bs = set(bits)
-                if not any(all(p in bs for p in pos) for pos in val_pos):
-                    dropped.add(path)
+            dropped = _probe_dropped_local(
+                table_path, spec["path"], {a.path for a in adds}, val_pos
+            )
         except Exception:
             continue  # staleness fails SAFE — keep the files
         if dropped:

@@ -372,6 +372,49 @@ def test_local_probe_matches_spark_probe(indexed_table):
         assert local_kept == spark_kept, pred
 
 
+def test_local_probe_streams_many_files(spark, tmp_path):
+    """>64-file table: the streamed local probe crosses multiple record
+    batches (batch_size=64) and must agree with the distributed probe —
+    the 10^6-file posture in miniature."""
+    from delta_sorter_spark.operators.bloom_index import (
+        _LOCAL_PROBE_BATCH_ROWS,
+        bloom_prune_adds_local,
+    )
+
+    n_files = _LOCAL_PROBE_BATCH_ROWS + 32
+    df = spark.range(0, n_files * 10).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("u-"), ((F.col("id") * 37) % 701).cast("string")).alias(
+            "uid"
+        ),
+    )
+    tbl = DeltaTable.create(
+        spark, str(tmp_path / "many"),
+        df.repartition(n_files), stat_columns=["k"],
+    )
+    assert len(tbl.state().adds) == n_files
+    build_bloom_index(tbl, "uid", m_bits=1 << 13)
+    state = tbl.state()
+    for pred in ("uid = 'u-37'", "uid = 'nope'", "uid IN ('u-74', 'u-111')"):
+        spark_kept = {
+            a.path
+            for a in bloom_prune_adds(tbl, state.adds, pred, state.metadata)
+        }
+        local_kept = {
+            a.path
+            for a in bloom_prune_adds_local(
+                tbl.table_path, state.adds, pred, state.metadata
+            )
+        }
+        assert local_kept == spark_kept, pred
+    # the probe actually prunes: a present value keeps only bloom-hit files
+    kept = bloom_prune_adds_local(
+        tbl.table_path, state.adds, "uid = 'u-37'", state.metadata
+    )
+    assert 1 <= len(kept) < n_files
+    assert tbl.to_df(adds=kept).where("uid = 'u-37'").count() >= 1
+
+
 def test_stream_where_rides_bloom_probe(indexed_table, spark):
     from delta_sorter_spark.streaming.delta_source import DeltaStreamReader
 
