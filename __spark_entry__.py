@@ -6034,6 +6034,68 @@ FROM orders WHERE o_orderkey % {CDF_MOD} < 8 OR o_orderkey % {CDF_MOD} = 8
 """
 
 
+# ---------------------------------------------------------------------------
+# Q15: CHECK constraints (delta.constraints.<name>) — protocol-convention
+# table property, enforced on every data-changing write path (append and
+# all DML verbs).  The query commits a constraint, fires one VIOLATING
+# update and one VIOLATING append (both must reject atomically — no
+# partial commit), then applies a passing update; the hash check proves
+# rejected statements left zero trace while the accepted one landed.
+# ---------------------------------------------------------------------------
+
+
+def q_q15_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from delta_sorter_spark.operators.dml import update_where
+    from delta_sorter_spark.sources.delta_table import DeltaTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    scratch = tempfile.mkdtemp(prefix="q15_chk_")
+    try:
+        tbl = DeltaTable.create(
+            spark, os.path.join(scratch, "t"),
+            orders.where(F.col("o_orderkey") % CDF_MOD < 8),
+            stat_columns=["o_orderkey"],
+        )
+        tbl.add_check_constraint("price_pos", "o_totalprice > 0")
+        try:  # violating UPDATE: must reject without committing anything
+            update_where(
+                tbl, f"o_orderkey % {CDF_MOD} = 3", {"o_totalprice": "-1.0"}
+            )
+            raise AssertionError("constraint violation not rejected")
+        except ValueError:
+            pass
+        try:  # violating append: same
+            tbl.append(
+                spark.createDataFrame(
+                    [(1, -5.0)], "o_orderkey long, o_totalprice double"
+                )
+            )
+            raise AssertionError("constraint violation not rejected")
+        except ValueError:
+            pass
+        update_where(  # passing UPDATE applies
+            tbl, f"o_orderkey % {CDF_MOD} = 5",
+            {"o_totalprice": "o_totalprice + 10.0"},
+        )
+        return tbl.to_df().localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+_Q15_SQL = f"""
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % {CDF_MOD} = 5 THEN o_totalprice + 10.0
+            ELSE o_totalprice END AS o_totalprice
+FROM orders WHERE o_orderkey % {CDF_MOD} < 8
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the validator's V1 per-file min/max over sf0.001."""
     return q_v1_file_minmax(spark, "/root/testdata/sf0.001")
@@ -6047,32 +6109,23 @@ def entry(spark: SparkSession) -> DataFrame:
 # the salt_factor hook), m2/m4 (pluggable decoder/embedder hooks),
 # e59 (payload-carry rewrite: values ride the blocking windows).
 _RECHECK_THIS_ROUND = [
-    # late-round DV-flow refactor (shared hit-set + insert-commit path)
-    # touches every delete_where_dv consumer:
-    "q5_change_feed",
-    "q6_restore",
-    "e59_fuzzy_linkage",
-    "e58_sorted_neighborhood",
-    "a45_scd2_intervals",
-    "e55_dedup_keep_best",
-    "e42_minhash_accuracy",
-    "e56_repeated_spans",
-    "e57_remove_spans",
-    "m2_decoded_assets",
-    "m4_embed_topk",
-    # zone-map skipping wired into the predicate DML planners
-    # (functions/skipping.py): recheck every predicate-DML consumer
+    # round 6: merge is two-pass (find-touched-files then rewrite) and all
+    # DML verbs enforce CHECK constraints -> recheck every merge/update
+    # consumer
+    "q8_merge_full_sync",
     "q9_update_where",
     "q10_update_where_dv",
     "q11_merge_dv",
-    # bloom probe now rides to_df(where=...) after zone maps: recheck the
-    # skipping read-path consumer (a no-op without a registered index, but
-    # the code path changed)
+    "a39_latest_events",
+    # bloom probe literal canonicalization + streamed local probe
     "q12_data_skipping",
-    # connected-components edge cache (graph.py): recheck its consumers
-    "e13_dup_clusters",
-    "e47_leakage_safe_split",
-    "e55_dedup_keep_best",
+    "q14_bloom_lookup",
+    # LIKE-node exactness in the skipping AST: recheck skipping consumers
+    "q13_stats_agg",
+    "q5_change_feed",
+    # new oracles this round
+    "e67_bpe_train",
+    "q15_check_constraints",
 ]
 
 
@@ -6180,6 +6233,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q12_data_skipping": q_q12_data_skipping,
         "q13_stats_agg": q_q13_stats_agg,
         "q14_bloom_lookup": q_q14_bloom_lookup,
+        "q15_check_constraints": q_q15_check_constraints,
         "e1_exact_dedup": q_e1_exact_dedup,
         "e2_minhash_sig": q_e2_minhash_sig,
         "e3_lsh_candidates": q_e3_lsh_candidates,
@@ -6299,6 +6353,7 @@ def oracle_sql() -> dict[str, str]:
         "q12_data_skipping": _Q12_SQL,
         "q13_stats_agg": _Q13_SQL,
         "q14_bloom_lookup": _Q14_SQL,
+        "q15_check_constraints": _Q15_SQL,
         "e1_exact_dedup": _E1_SQL,
         "e2_minhash_sig": _E2_SQL,
         "e3_lsh_candidates": _E3_SQL,

@@ -94,6 +94,10 @@ def upsert(
     candidates = [a for a in state.adds if _may_contain(a, bounds, schema)]
 
     source = source.select(*[F.col(f.name).cast(f.dataType) for f in schema.fields])
+    # CHECK constraints: only the incoming rows can violate (kept rows
+    # passed when they were written), so the one-pass check stays
+    # source-sized, never table-sized
+    table._enforce_constraints(source, state.metadata.check_constraints)
     if candidates:
         old = table.to_df(adds=candidates)
         kept = old.join(source.select(*keys).distinct(), keys, "left_anti")
@@ -290,6 +294,9 @@ def merge(
             }
         merged = inserts.select(*[f.name for f in schema.fields])
 
+    # CHECK constraints over the staged output — changed-file rows plus
+    # inserts, the smallest frame that contains every clause-produced value
+    table._enforce_constraints(merged, state.metadata.check_constraints)
     adds = table.stage_write(merged, stat_columns=keys, data_change=True)
     removes = [a.remove_action(True) for a in rewrite]
     if not adds and not removes:
@@ -427,6 +434,11 @@ def update_where(
             )
         else:
             out_cols.append(F.col(f.name))
+    # CHECK constraints on the post-assignment values of HIT rows only —
+    # unhit rows in the same files are byte-identical and passed already
+    table._enforce_constraints(
+        old.where(hit).select(*out_cols), state.metadata.check_constraints
+    )
     adds = table.stage_write(old.select(*out_cols), data_change=True)
     removes = [a.remove_action(True) for a in candidates]
     version = table.commit_rewrite(adds, removes, operation="UPDATE")
@@ -736,6 +748,8 @@ def update_where_dv(
     if n_updated == 0:
         # nothing staged yet, so a no-match update leaves no orphan files
         return {"dv_files": 0, "updated_rows": 0, "version": state.version}
+    # CHECK constraints on the appended values (checkpointed: one cheap agg)
+    table._enforce_constraints(updated, state.metadata.check_constraints)
     insert_adds = table.stage_write(updated, data_change=True)
     res = delete_where_dv(
         table,
@@ -881,6 +895,10 @@ def merge_dv(
         # pure-insert batch (every source key beyond the table's zone maps):
         # no file can hold a matched row, so there is nothing to mark
         hits = table.spark.createDataFrame([], "path string, pos long")
+    if n_appended:
+        # CHECK constraints on the appended values (update outputs +
+        # inserts; DV-marked removals cannot violate)
+        table._enforce_constraints(new_values, state.metadata.check_constraints)
     insert_adds = table.stage_write(new_values, data_change=True) if n_appended else None
     res = delete_where_dv(
         table,

@@ -883,6 +883,68 @@ def test_merge_insert_only_rewrites_nothing(spark, tmp_path):
     assert got[5] == 5.0 and got[20] == 20.0 and len(got) == 11
 
 
+def test_check_constraints_enforced_on_dml(spark, tmp_path):
+    """Every data-changing DML verb rejects rows violating a CHECK
+    constraint: merge (update clause + insert), upsert, update_where,
+    update_where_dv, merge_dv — and a rejected statement commits nothing."""
+    import pytest as _pytest
+
+    from delta_sorter_spark.operators.dml import (
+        merge,
+        merge_dv,
+        update_where,
+        update_where_dv,
+        upsert,
+    )
+
+    path = str(tmp_path / "dml_chk")
+    t = DeltaTable.create(
+        spark, path,
+        spark.createDataFrame([(1, 10.0), (2, 20.0)], "id long, v double"),
+        stat_columns=["id"],
+    )
+    t.add_check_constraint("v_pos", "v > 0")
+    v0 = t.state().version
+
+    with _pytest.raises(ValueError, match="v_pos"):
+        update_where(DeltaTable(spark, path), "id = 1", {"v": "-5.0"})
+    with _pytest.raises(ValueError, match="v_pos"):
+        update_where_dv(DeltaTable(spark, path), "id = 1", {"v": "-5.0"})
+    bad_src = spark.createDataFrame([(3, -1.0)], "id long, v double")
+    with _pytest.raises(ValueError, match="v_pos"):
+        upsert(DeltaTable(spark, path), bad_src, ["id"])
+    with _pytest.raises(ValueError, match="v_pos"):
+        merge(DeltaTable(spark, path), bad_src, ["id"])  # insert violates
+    with _pytest.raises(ValueError, match="v_pos"):
+        merge(
+            DeltaTable(spark, path),
+            spark.createDataFrame([(1, 1.0)], "id long, v double"),
+            ["id"],
+            when_matched_update={"v": "-9.0"},  # update clause violates
+        )
+    with _pytest.raises(ValueError, match="v_pos"):
+        merge_dv(
+            DeltaTable(spark, path),
+            spark.createDataFrame([(1, 1.0)], "id long, v double"),
+            ["id"],
+            when_matched_update={"v": "-9.0"},
+        )
+    tbl = DeltaTable(spark, path)
+    assert tbl.state().version == v0  # nothing committed
+    assert sorted(tuple(r) for r in tbl.to_df().collect()) == [
+        (1, 10.0), (2, 20.0),
+    ]
+    # passing statements still go through
+    update_where(tbl, "id = 1", {"v": "5.0"})
+    merge(
+        DeltaTable(spark, path),
+        spark.createDataFrame([(3, 3.0)], "id long, v double"),
+        ["id"],
+    )
+    got = sorted(tuple(r) for r in DeltaTable(spark, path).to_df().collect())
+    assert got == [(1, 5.0), (2, 20.0), (3, 3.0)]
+
+
 def test_update_where_rewrites_only_hit_files(spark, tmp_path):
     from delta_sorter_spark.operators.dml import update_where
 
