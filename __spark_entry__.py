@@ -5393,6 +5393,129 @@ _E72_SQL = _e72_sql()
 
 
 # ---------------------------------------------------------------------------
+# E73: unigram-LM (SentencePiece-style) tokenizer training
+# (textstats.train_unigram_lm) — the second classic subword family next to
+# BPE (e67).  Viterbi hard-EM with integer parts-per-billion probabilities;
+# the only floats are the DP's products of double(ppb)/1e9 factors in a
+# defined order (IEEE multiply/divide are exactly rounded, so DuckDB
+# replays them bit-for-bit — the e62/e66/e68 discipline; log is absent on
+# purpose).  The oracle unrolls the per-word DP as chained CTE levels
+# (one per prefix length, cumulative-union predecessor join, row_number
+# (score DESC, l ASC) = the fold's strict-greater shortest-last-piece tie
+# break) and the backtrack as chained walk steps.
+# ---------------------------------------------------------------------------
+
+UNI_VOCAB = 64
+UNI_ITERS = 2
+UNI_PIECE_LEN = 4
+UNI_WORD_LEN = 16
+
+
+def q_e73_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_sorter_spark.operators.textstats import train_unigram_lm
+
+    docs = _doc_subset(spark, sf_dir, DOC_SUBSET_MOD)
+    return train_unigram_lm(
+        docs, "text", vocab_size=UNI_VOCAB, n_iters=UNI_ITERS,
+        max_piece_len=UNI_PIECE_LEN, max_word_len=UNI_WORD_LEN,
+    )
+
+
+def _e73_sql() -> str:
+    V, I, L, W = UNI_VOCAB, UNI_ITERS, UNI_PIECE_LEN, UNI_WORD_LEN
+    ctes = [f"""
+wf AS MATERIALIZED (
+  SELECT substr(w, 1, {W}) AS w, CAST(count(*) AS BIGINT) AS wn FROM (
+    SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+    FROM documents WHERE doc_id % {DOC_SUBSET_MOD} = 0
+  ) WHERE w <> '' GROUP BY substr(w, 1, {W})
+),
+seed AS (
+  SELECT piece, CAST(sum(wn) AS BIGINT) AS n FROM (
+    SELECT wn, substr(w, i, l) AS piece
+    FROM wf, range(1, {W}+1) r1(i), range(1, {L}+1) r2(l)
+    WHERE i <= length(w) AND l <= least({L}, length(w) - i + 1)
+  ) GROUP BY piece
+),
+v0 AS (
+  SELECT piece, max(n) AS n FROM (
+    SELECT piece, n FROM (SELECT piece, n FROM seed ORDER BY n DESC, piece ASC LIMIT {V})
+    UNION ALL
+    SELECT piece, n FROM seed WHERE length(piece) = 1
+  ) GROUP BY piece
+),
+p0 AS (
+  SELECT piece, n, greatest((n * 1000000000) // t, CAST(1 AS BIGINT)) AS ppb
+  FROM v0 CROSS JOIN (SELECT CAST(sum(n) AS BIGINT) AS t FROM v0)
+)"""]
+    for k in range(I):
+        ctes.append(f"""
+sp{k} AS MATERIALIZED (
+  SELECT s.w, s.wn, s.i, s.l, s.ende, s.pc, p.ppb
+  FROM (
+    SELECT wf.w, wf.wn, i, l, i + l - 1 AS ende, substr(wf.w, i, l) AS pc
+    FROM wf, range(1, {W}+1) r1(i), range(1, {L}+1) r2(l)
+    WHERE i <= length(wf.w) AND l <= least({L}, length(wf.w) - i + 1)
+  ) s JOIN p{k} p ON p.piece = s.pc
+),
+ball{k}_0 AS (
+  SELECT w, wn, 0 AS j, CAST(1.0 AS DOUBLE) AS score, -1 AS frm, '' AS pc
+  FROM wf
+)""")
+        for j in range(1, W + 1):
+            ctes.append(f"""
+b{k}_{j} AS (
+  SELECT w, wn, j, score, frm, pc FROM (
+    SELECT s.w, s.wn, {j} AS j,
+           b.score * (CAST(s.ppb AS DOUBLE) / CAST(1000000000 AS DOUBLE)) AS score,
+           s.i - 1 AS frm, s.pc,
+           row_number() OVER (
+             PARTITION BY s.w
+             ORDER BY b.score * (CAST(s.ppb AS DOUBLE) / CAST(1000000000 AS DOUBLE)) DESC,
+                      s.l ASC
+           ) AS rn
+    FROM sp{k} s JOIN ball{k}_{j-1} b ON b.w = s.w AND b.j = s.i - 1
+    WHERE s.ende = {j}
+  ) WHERE rn = 1
+),
+ball{k}_{j} AS MATERIALIZED (
+  SELECT * FROM ball{k}_{j-1} UNION ALL SELECT * FROM b{k}_{j}
+)""")
+        ctes.append(f"""
+t{k}_0 AS (SELECT w, wn, length(w) AS pos FROM wf)""")
+        for t in range(1, W + 1):
+            ctes.append(f"""
+e{k}_{t} AS (
+  SELECT s.w, s.wn, b.pc, b.frm
+  FROM t{k}_{t-1} s JOIN ball{k}_{W} b ON b.w = s.w AND b.j = s.pos
+  WHERE s.pos > 0
+),
+t{k}_{t} AS (SELECT w, wn, frm AS pos FROM e{k}_{t})""")
+        emits = " UNION ALL ".join(
+            f"SELECT pc, wn FROM e{k}_{t}" for t in range(1, W + 1))
+        ctes.append(f"""
+cnt{k} AS (
+  SELECT pc AS piece, CAST(sum(wn) AS BIGINT) AS n FROM ({emits}) GROUP BY pc
+),
+v{k + 1} AS (
+  SELECT p.piece, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+  FROM p{k} p LEFT JOIN cnt{k} c ON c.piece = p.piece
+  WHERE coalesce(c.n, 0) > 0 OR length(p.piece) = 1
+),
+p{k + 1} AS (
+  SELECT piece, n, greatest((n * 1000000000) // t, CAST(1 AS BIGINT)) AS ppb
+  FROM v{k + 1} CROSS JOIN (SELECT CAST(sum(n) AS BIGINT) AS t FROM v{k + 1})
+)""")
+    return (
+        "WITH " + ",".join(ctes)
+        + f"\nSELECT piece, n, ppb AS prob_ppb FROM p{I}"
+    )
+
+
+_E73_SQL = _e73_sql()
+
+
+# ---------------------------------------------------------------------------
 # E71: URL canonicalization + dedup-by-URL (operators/textstats.canonical_url
 # / url_dedup_stats) — the crawl-pipeline key-normalization step.  The corpus
 # has no URL column, so one is synthesized relationally with every mess the
@@ -6123,8 +6246,7 @@ _RECHECK_THIS_ROUND = [
     # LIKE-node exactness in the skipping AST: recheck skipping consumers
     "q13_stats_agg",
     "q5_change_feed",
-    # new oracles this round
-    "e67_bpe_train",
+    # new oracle this round (e67 is already tier-0 red until re-checked)
     "q15_check_constraints",
 ]
 
@@ -6325,6 +6447,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e70_remove_lines": q_e70_remove_lines,
         "e71_url_dedup": q_e71_url_dedup,
         "e72_corpus_overlap": q_e72_corpus_overlap,
+        "e73_unigram_train": q_e73_unigram_train,
         "a47_corpus_profile": q_a47_corpus_profile,
         "m4_embed_topk": q_m4_embed_topk,
         "a43_span_report": q_a43_span_report,
@@ -6411,6 +6534,7 @@ def oracle_sql() -> dict[str, str]:
         "e70_remove_lines": _E70_SQL,
         "e71_url_dedup": _E71_SQL,
         "e72_corpus_overlap": _E72_SQL,
+        "e73_unigram_train": _E73_SQL,
         "a47_corpus_profile": _A47_SQL,
         "m4_embed_topk": _M4_SQL,
         "a43_span_report": _A43_SQL,

@@ -37,6 +37,14 @@ from delta_sorter_spark.functions.hashing import (
     spark_md5_long_sql,
 )
 
+# Production default for the LSH skew guard (``max_bucket``): a band bucket
+# with 10k members means ~50M candidate pairs from that bucket alone — at
+# that size the members are near-identical as a group and belong in
+# exact/content-hash dedup or band-key clustering, not pair enumeration.
+# Real near-dup buckets are orders of magnitude smaller, so the default cap
+# never changes a legitimate workload's (oracle-exact) pair set.
+LSH_MAX_BUCKET_DEFAULT = 10_000
+
 # ---------------------------------------------------------------------------
 # E1: exact dedup
 # ---------------------------------------------------------------------------
@@ -127,7 +135,7 @@ def minhash_lsh_candidates(
     bands: int = 2,
     shingle_n: int = 3,
     seed: int = 42,
-    max_bucket: int | None = None,
+    max_bucket: int | None = LSH_MAX_BUCKET_DEFAULT,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) that share at least one
     LSH band.  k/bands rows per band; docs agreeing on every minhash within
@@ -152,7 +160,7 @@ def _banded_signatures(sigs: DataFrame, id_col: str, k: int, bands: int) -> Data
 
 def lsh_pairs_from_signatures(
     sigs: DataFrame, id_col: str, k: int, bands: int,
-    max_bucket: int | None = None,
+    max_bucket: int | None = LSH_MAX_BUCKET_DEFAULT,
 ) -> DataFrame:
     """Banded self-join over an EXISTING signature table — callers that
     already hold (or persisted) signatures avoid recomputing the shingle
@@ -165,10 +173,13 @@ def lsh_pairs_from_signatures(
     share an entire band of minhashes, i.e. they are near-identical as a
     GROUP; route them through exact/content-hash dedup or cluster them by
     the band key directly instead of enumerating every pair.  Capping
-    loses pair-level recall ONLY inside those buckets, so the default
-    (None) stays exhaustive and oracle-exact.  The guard's count
-    aggregation shuffles on the same band key as the self-join, so AQE
-    reuses the exchange."""
+    loses pair-level recall ONLY inside those buckets, so the DEFAULT
+    (``LSH_MAX_BUCKET_DEFAULT``) is the production posture: any corpus
+    whose buckets stay under the cap — every legitimate near-dup workload
+    — gets the exhaustive, oracle-exact pair set, while a duplicate army
+    can never detonate the self-join.  Pass ``None`` for explicitly
+    unbounded enumeration.  The guard's count aggregation shuffles on the
+    same band key as the self-join, so AQE reuses the exchange."""
     banded = _banded_signatures(sigs, id_col, k, bands)
     if max_bucket is not None:
         small = (

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 PUNCT_CLASS = r"[.,!?;:]"
 STOPWORDS_EN = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "are"]
@@ -94,9 +95,44 @@ def lang_guess_expr(text_col: str) -> Column:
     return expr
 
 
-def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, lang_guess) via marker-token argmax with fixed tie order."""
-    return df.select(F.col(id_col), lang_guess_expr(text_col).alias("lang_guess"))
+def lang_id(
+    df: DataFrame, id_col: str, text_col: str, classifier=None
+) -> DataFrame:
+    """(id, lang_guess) language identification.
+
+    ``classifier``: optional ``str -> str`` language-code callable (e.g. a
+    fastText wrapper: ``lambda t: model.predict(t)[0][0][9:]``), applied
+    via Arrow-batched mapInPandas — the same pluggable-hook rule as
+    multimodal's ``decoder=``: the callable is pickled into the executor
+    closure, so it must be importable/serializable.  Default (None) keeps
+    the marker-token argmax with fixed tie order as a PURE COLUMN
+    EXPRESSION — zero Python in the hot path, and exactly what the driver
+    oracle replays — so deployments inject a real model without forking
+    while the stub stays the verified contract."""
+    if classifier is None:
+        return df.select(
+            F.col(id_col), lang_guess_expr(text_col).alias("lang_guess")
+        )
+    out_schema = T.StructType(
+        [df.schema[id_col], T.StructField("lang_guess", T.StringType(), True)]
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "lang_guess": [
+                        classifier(t) if t is not None else None
+                        for t in pdf["__text__"]
+                    ],
+                }
+            )
+
+    narrowed = df.select(F.col(id_col), F.col(text_col).alias("__text__"))
+    return narrowed.mapInPandas(run, out_schema)
 
 
 # BPE-ish pre-tokenizer: runs of letters, runs of digits, single
@@ -589,6 +625,168 @@ def bpe_encode(
         F.col(id_col).alias("id"),
         F.flatten(col).alias("tokens"),
     ).withColumn("n_tokens", F.size("tokens").cast("bigint"))
+
+
+def train_unigram_lm(
+    df: DataFrame,
+    text_col: str,
+    vocab_size: int = 64,
+    n_iters: int = 3,
+    max_piece_len: int = 4,
+    max_word_len: int = 16,
+) -> DataFrame:
+    """Unigram-LM (SentencePiece-style, Kudo 2018) tokenizer TRAINING —
+    the other classic subword family next to BPE (:func:`train_bpe`).
+    Returns the learned piece table: (piece, n, prob_ppb), where ``n`` is
+    the piece's count over the corpus' Viterbi-best segmentations after
+    the final EM round and ``prob_ppb`` its integer parts-per-billion
+    probability.
+
+    Viterbi hard-EM, distributed and DETERMINISTIC down to the bit:
+
+    1. Seed vocabulary: all substrings up to ``max_piece_len`` of the
+       (frequency-weighted, ``max_word_len``-truncated) word table, top
+       ``vocab_size`` by (count desc, piece asc), plus every single
+       character (coverage guarantee — single chars are never pruned).
+    2. E-step: per DISTINCT word, the best segmentation under current
+       piece probabilities via a dynamic program expressed as ONE nested
+       SQL ``aggregate`` fold (JVM whole-stage codegen, no Python, no
+       per-position shuffle): candidate spans arrive sorted by
+       (end, len), the fold keeps a strictly-greater winner, so ties go
+       to the shortest last piece — a fixed order an oracle can replay.
+    3. M-step: piece counts along the best paths (weighted by word
+       frequency) -> integer probabilities ``(n * 1e9) // total``
+       (floored at 1); pieces with zero count are pruned unless they are
+       single characters.
+
+    All probability arithmetic is integer until the DP product, and the
+    product multiplies ``double(ppb)/1e9`` factors in a defined order —
+    IEEE multiply/divide are exactly rounded, so DuckDB replays the same
+    doubles bit-for-bit (the same discipline as e62/e66/e68; ``log`` is
+    deliberately absent because libm logs are NOT reproducible across
+    engines).
+
+    Scale posture mirrors :func:`train_bpe`: the corpus is read once into
+    the word-frequency table; every EM round costs one vocabulary-scale
+    job (spans broadcast-join + per-word local DP + one map-side-combined
+    count), lineage cut per round with ``localCheckpoint``."""
+    L, W = int(max_piece_len), int(max_word_len)
+    spark = df.sparkSession
+    words = (
+        df.select(
+            F.explode(
+                F.expr(f"split(lower(trim({text_col})), '\\\\s+')")
+            ).alias("w")
+        )
+        .where(F.col("w") != "")
+        .select(F.expr(f"substring(w, 1, {W})").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wn"))
+        .localCheckpoint(eager=True)
+    )
+    # seed counts: every substring up to L, weighted by word frequency
+    sub_expr = (
+        f"flatten(transform(sequence(1, length(w)), i -> "
+        f"transform(sequence(1, least({L}, length(w) - i + 1)), "
+        f"l -> substring(w, i, l))))"
+    )
+    seed = (
+        words.select("wn", F.explode(F.expr(sub_expr)).alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("wn").cast("bigint").alias("n"))
+    )
+    top = seed.orderBy(F.desc("n"), F.asc("piece")).limit(int(vocab_size))
+    chars = seed.where(F.length("piece") == 1)
+    vocab = top.unionByName(chars).groupBy("piece").agg(F.max("n").alias("n"))
+
+    def _with_ppb(v: DataFrame) -> DataFrame:
+        total = v.agg(F.sum("n").alias("__t__"))
+        return v.crossJoin(F.broadcast(total)).select(
+            "piece", "n",
+            F.greatest(
+                F.expr("CAST(n * 1000000000 AS BIGINT) DIV __t__"),
+                F.lit(1),
+            ).cast("bigint").alias("prob_ppb"),
+        )
+
+    vocab = _with_ppb(vocab).localCheckpoint(eager=True)
+
+    span_expr = (
+        f"flatten(transform(sequence(1, length(w)), i -> "
+        f"transform(sequence(1, least({L}, length(w) - i + 1)), "
+        f"l -> struct(i AS i, l AS l, i + l - 1 AS ende, "
+        f"substring(w, i, l) AS pc))))"
+    )
+    # DP fold: acc[j+1] = best (score, frm, pc) for the j-char prefix;
+    # factor = double(ppb)/1e9, multiplied in span order (end asc, l asc)
+    dp_expr = """
+aggregate(
+  sequence(1, length(w)),
+  array(named_struct('score', CAST(1.0 AS DOUBLE), 'frm', -1, 'pc', '')),
+  (acc, j) -> concat(acc, array(
+    aggregate(
+      filter(spans, s -> s.ende = j),
+      named_struct('score', CAST(-1.0 AS DOUBLE), 'frm', -1, 'pc', ''),
+      (b, s) -> CASE WHEN element_at(acc, s.i).score
+                          * (CAST(s.ppb AS DOUBLE) / CAST(1000000000 AS DOUBLE))
+                          > b.score
+                     THEN named_struct(
+                       'score', element_at(acc, s.i).score
+                                * (CAST(s.ppb AS DOUBLE) / CAST(1000000000 AS DOUBLE)),
+                       'frm', s.i - 1, 'pc', s.pc)
+                     ELSE b END
+    )
+  ))
+)
+"""
+    back_expr = """
+aggregate(
+  sequence(1, length(w)),
+  named_struct('pos', length(w), 'pcs', CAST(array() AS array<string>)),
+  (acc, x) -> CASE WHEN acc.pos <= 0 THEN acc
+              ELSE named_struct(
+                'pos', element_at(best, acc.pos + 1).frm,
+                'pcs', concat(acc.pcs, array(element_at(best, acc.pos + 1).pc)))
+              END
+).pcs
+"""
+    for _ in range(int(n_iters)):
+        spans = (
+            words.select("w", "wn", F.explode(F.expr(span_expr)).alias("s"))
+            .select(
+                "w", "wn",
+                F.col("s.i").alias("i"), F.col("s.l").alias("l"),
+                F.col("s.ende").alias("ende"), F.col("s.pc").alias("pc"),
+            )
+            .join(
+                F.broadcast(vocab.select(F.col("piece").alias("pc"), "prob_ppb")),
+                "pc",
+            )
+        )
+        grouped = spans.groupBy("w", "wn").agg(
+            F.expr(
+                "sort_array(collect_list(struct(ende, l, i, pc, prob_ppb AS ppb)))"
+            ).alias("spans")
+        )
+        paths = (
+            grouped.withColumn("best", F.expr(dp_expr))
+            .withColumn("pcs", F.expr(back_expr))
+            .select("wn", F.explode("pcs").alias("piece"))
+        )
+        counts = paths.groupBy("piece").agg(
+            F.sum("wn").cast("bigint").alias("n")
+        )
+        # prune zero-count pieces except single characters (coverage)
+        kept = (
+            vocab.select("piece")
+            .join(counts, "piece", "left")
+            .select(
+                "piece", F.coalesce(F.col("n"), F.lit(0)).alias("n")
+            )
+            .where((F.col("n") > 0) | (F.length("piece") == 1))
+        )
+        vocab = _with_ppb(kept).localCheckpoint(eager=True)
+    return vocab
 
 
 def token_band_filter(

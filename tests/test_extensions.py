@@ -189,6 +189,19 @@ def test_lang_id_deterministic(docs):
     assert out[1] == "en"  # 'the' markers
 
 
+def test_lang_id_pluggable_classifier(docs):
+    """classifier= hook (the multimodal decoder= contract): a deployment
+    injects a real model; default stays the column-expression heuristic
+    (the oracle).  Output schema must be identical either way."""
+    def fake_model(text: str) -> str:
+        return "xx" if "xylophone" in text else "en"
+
+    hooked = lang_id(docs, "doc_id", "text", classifier=fake_model)
+    out = {r["doc_id"]: r["lang_guess"] for r in hooked.collect()}
+    assert out == {1: "en", 2: "en", 3: "xx", 4: "en"}
+    assert hooked.columns == lang_id(docs, "doc_id", "text").columns
+
+
 def test_fingerprint_normalizes_whitespace(spark):
     df = spark.createDataFrame(
         [(1, "hello   world"), (2, " hello world "), (3, "other")],

@@ -138,7 +138,13 @@ def test_lsh_bucket_cap_skips_duplicate_armies(spark):
     ]
     df = spark.createDataFrame(army + pair, "id long, text string")
 
-    uncapped = minhash_lsh_candidates(df, "id", "text").collect()
+    # the production default cap (LSH_MAX_BUCKET_DEFAULT) is far above any
+    # legitimate bucket, so the default call equals explicit None here
+    uncapped = minhash_lsh_candidates(df, "id", "text", max_bucket=None).collect()
+    default = minhash_lsh_candidates(df, "id", "text").collect()
+    assert {(r["id_a"], r["id_b"]) for r in default} == {
+        (r["id_a"], r["id_b"]) for r in uncapped
+    }
     capped = minhash_lsh_candidates(df, "id", "text", max_bucket=10).collect()
 
     # the army alone is 60*59/2 = 1770 pairs; the cap removes exactly those

@@ -331,6 +331,90 @@ def test_train_bpe_matches_python_reference(spark, docs, n_merges):
 
 
 @given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["low", "lower", "new", "newest", "wide", "ab"]),
+            min_size=1, max_size=6,
+        ).map(" ".join),
+        min_size=1,
+        max_size=4,
+    ),
+    n_iters=st.integers(min_value=1, max_value=3),
+    vocab_size=st.integers(min_value=4, max_value=20),
+)
+@_settings
+def test_train_unigram_lm_matches_python_reference(spark, docs, n_iters, vocab_size):
+    """train_unigram_lm == a pure-Python Viterbi hard-EM reference on any
+    corpus: same seed vocabulary (top-N + single chars), same integer ppb
+    probabilities, same DP with strict-greater shortest-last-piece ties —
+    the full learned piece table (piece, n, prob_ppb) matches exactly."""
+    from delta_sorter_spark.operators.textstats import train_unigram_lm
+
+    L, W = 3, 16
+    df = spark.createDataFrame([(t,) for t in docs], "text string")
+    got = sorted(
+        (r["piece"], r["n"], r["prob_ppb"])
+        for r in train_unigram_lm(
+            df, "text", vocab_size=vocab_size, n_iters=n_iters,
+            max_piece_len=L, max_word_len=W,
+        ).collect()
+    )
+
+    wc = {}
+    for t in docs:
+        for w in t.lower().strip().split():
+            if w:
+                wc[w[:W]] = wc.get(w[:W], 0) + 1
+    seed = {}
+    for w, n in wc.items():
+        for i in range(len(w)):
+            for piece_len in range(1, min(L, len(w) - i) + 1):
+                p = w[i:i + piece_len]
+                seed[p] = seed.get(p, 0) + n
+    top = sorted(seed.items(), key=lambda kv: (-kv[1], kv[0]))[:vocab_size]
+    vocab = dict(top)
+    for p, n in seed.items():
+        if len(p) == 1:
+            vocab[p] = n
+
+    def with_ppb(v):
+        t = sum(v.values())
+        return {p: (n, max(n * 10**9 // t, 1)) for p, n in v.items()}
+
+    V = with_ppb(vocab)
+    for _ in range(n_iters):
+        cnt = {}
+        for w, wn in wc.items():
+            n = len(w)
+            best = [(-1.0, -1, "")] * (n + 1)
+            best[0] = (1.0, -1, "")
+            for j in range(1, n + 1):
+                cand = (-1.0, -1, "")
+                for piece_len in range(1, min(L, j) + 1):
+                    i = j - piece_len + 1
+                    pc = w[i - 1:j]
+                    if pc not in V:
+                        continue
+                    sc = best[i - 1][0] * (float(V[pc][1]) / 1e9)
+                    if sc > cand[0]:
+                        cand = (sc, i - 1, pc)
+                best[j] = cand
+            pos = n
+            while pos > 0:
+                _, frm, pc = best[pos]
+                cnt[pc] = cnt.get(pc, 0) + wn
+                pos = frm
+        kept = {
+            p: cnt.get(p, 0)
+            for p in V
+            if cnt.get(p, 0) > 0 or len(p) == 1
+        }
+        V = with_ppb(kept)
+    want = sorted((p, n, ppb) for p, (n, ppb) in V.items())
+    assert got == want
+
+
+@given(
     tgt=st.lists(
         st.tuples(st.integers(0, 12), st.integers(0, 50)),
         min_size=1, max_size=10, unique_by=lambda t: t[0],
