@@ -83,6 +83,9 @@ ENTRY_QUERIES = [
     "e71_url_dedup",
     # join-free corpus-overlap estimate: two KMV sketch reductions
     "e72_corpus_overlap",
+    # round-6: unigram-LM tokenizer training — the second loop-shaped
+    # tokenizer trainer (2 Viterbi-EM rounds, vocabulary-scale per round)
+    "e73_unigram_train",
 ]
 
 
