@@ -189,6 +189,11 @@ class TableState:
     protocol: dict = field(
         default_factory=lambda: {"minReaderVersion": 1, "minWriterVersion": 2}
     )
+    # Timestamp of the newest REPLAYED commit (inCommitTimestamp preferred,
+    # commitInfo.timestamp otherwise; None when the replay started past the
+    # last commit, e.g. a checkpoint at the tip).  Feeds the in-commit-
+    # timestamps monotonicity clamp without an extra log read per commit.
+    last_commit_timestamp: int | None = None
 
 
 def _checkpoint_arrow_schema():
@@ -431,6 +436,7 @@ class DeltaLog:
                     metadata, adds = self._apply(action, metadata, adds, txns, proto)
                 replay_from = ckpt_version + 1
 
+        last_ts: int | None = None
         for v in versions:
             if v < replay_from:
                 continue
@@ -439,9 +445,13 @@ class DeltaLog:
                 line = line.strip()
                 if not line:
                     continue
-                metadata, adds = self._apply(
-                    json.loads(line), metadata, adds, txns, proto
-                )
+                action = json.loads(line)
+                if "commitInfo" in action:
+                    ci = action["commitInfo"]
+                    t = ci.get("inCommitTimestamp", ci.get("timestamp"))
+                    if t is not None:
+                        last_ts = int(t)
+                metadata, adds = self._apply(action, metadata, adds, txns, proto)
         if metadata is None:
             raise ValueError(f"Delta log at {self.log_dir} has no metaData action")
         return TableState(
@@ -450,6 +460,7 @@ class DeltaLog:
             adds=list(adds.values()),
             txns=txns,
             protocol=proto,
+            last_commit_timestamp=last_ts,
         )
 
     def commit_actions(self, version: int) -> list[dict]:
@@ -468,7 +479,11 @@ class DeltaLog:
                 if "commitInfo" in action:
                     ci = action["commitInfo"]
                     info.update(
-                        timestamp=ci.get("timestamp"),
+                        # inCommitTimestamp is authoritative when present
+                        # (monotonic under multi-writer clock skew)
+                        timestamp=ci.get(
+                            "inCommitTimestamp", ci.get("timestamp")
+                        ),
                         operation=ci.get("operation"),
                         operationParameters=ci.get("operationParameters", {}),
                     )
@@ -625,7 +640,15 @@ class DeltaLog:
                 }
             },
         ]
-        self.commit(0, actions, operation="CREATE TABLE", operation_params={})
+        ict = None
+        if str(
+            (meta.configuration or {}).get("delta.enableInCommitTimestamps", "")
+        ).lower() == "true":
+            ict = int(time.time() * 1000)  # born-enabled table
+        self.commit(
+            0, actions, operation="CREATE TABLE", operation_params={},
+            in_commit_timestamp=ict,
+        )
         return meta
 
     def version_at_timestamp(self, ts_millis: int) -> int:
@@ -652,23 +675,31 @@ class DeltaLog:
         actions: list,
         operation: str = "WRITE",
         operation_params: dict | None = None,
+        in_commit_timestamp: int | None = None,
     ) -> int:
         """Write one commit file atomically; raises DeltaCommitConflict if the
         version is taken (optimistic concurrency, Delta protocol's
-        put-if-absent)."""
+        put-if-absent).
+
+        ``in_commit_timestamp``: when the table has in-commit timestamps
+        enabled (``delta.enableInCommitTimestamps``), the caller passes the
+        monotonicity-clamped timestamp and commitInfo carries it as the
+        protocol's ``inCommitTimestamp`` field (``timestamp`` is kept equal
+        so pre-ICT readers see the same clock)."""
         self.fs.makedirs(self.log_dir)
-        lines = [
-            json.dumps(
-                {
-                    "commitInfo": {
-                        "timestamp": int(time.time() * 1000),
-                        "operation": operation,
-                        "operationParameters": operation_params or {},
-                        "engineInfo": "delta-sorter-spark/0.1.0",
-                    }
-                }
-            )
-        ]
+        info = {
+            "timestamp": (
+                in_commit_timestamp
+                if in_commit_timestamp is not None
+                else int(time.time() * 1000)
+            ),
+            "operation": operation,
+            "operationParameters": operation_params or {},
+            "engineInfo": "delta-sorter-spark/0.1.0",
+        }
+        if in_commit_timestamp is not None:
+            info["inCommitTimestamp"] = in_commit_timestamp
+        lines = [json.dumps({"commitInfo": info})]
         for a in actions:
             lines.append(json.dumps(a.to_json() if hasattr(a, "to_json") else a))
         target = self.fs.join(self.log_dir, f"{version:020d}.json")
@@ -693,10 +724,51 @@ class DeltaLog:
         for _ in range(max_attempts):
             state = self.read_state()
             actions = build_actions(state)
+            ict = self._next_in_commit_timestamp(state, actions)
             try:
-                version = self.commit(state.version + 1, actions, operation, operation_params)
+                version = self.commit(
+                    state.version + 1, actions, operation, operation_params,
+                    in_commit_timestamp=ict,
+                )
                 self.maybe_checkpoint(version)
                 return version
             except DeltaCommitConflict:
                 time.sleep(0.05)
         raise DeltaCommitConflict(f"gave up after {max_attempts} attempts")
+
+    def _next_in_commit_timestamp(self, state, actions) -> int | None:
+        """The monotonic timestamp for the NEXT commit when in-commit
+        timestamps apply, else None.  ICT applies when the current state
+        enables ``delta.enableInCommitTimestamps`` OR this very commit's
+        metaData turns it on (the enablement commit must itself carry the
+        field, per the protocol).  Monotonicity: strictly greater than the
+        predecessor's timestamp even if this writer's clock runs behind —
+        the property timestampAsOf resolution depends on under multi-writer
+        clock skew."""
+
+        def _enabled(cfg: dict) -> bool:
+            return str(
+                (cfg or {}).get("delta.enableInCommitTimestamps", "")
+            ).lower() == "true"
+
+        enabled = _enabled(state.metadata.configuration)
+        if not enabled:
+            for a in actions:
+                m = a.get("metaData") if isinstance(a, dict) else None
+                if m is not None and _enabled(m.get("configuration")):
+                    enabled = True
+                    break
+        if not enabled:
+            return None
+        prev = state.last_commit_timestamp
+        if prev is None:
+            # replay started past the tip (checkpoint at the latest
+            # version): one O(1) read of the newest commit file
+            for a in self.commit_actions(state.version):
+                if "commitInfo" in a:
+                    ci = a["commitInfo"]
+                    t = ci.get("inCommitTimestamp", ci.get("timestamp"))
+                    prev = int(t) if t is not None else None
+                    break
+        now = int(time.time() * 1000)
+        return max(now, (prev or 0) + 1)

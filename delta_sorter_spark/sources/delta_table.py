@@ -1549,6 +1549,90 @@ class DeltaTable:
             operation_params={"properties": sorted(props)},
         )
 
+    def enable_in_commit_timestamps(self) -> int:
+        """Enable the Delta protocol's in-commit timestamps (writer table
+        feature ``inCommitTimestamp``, ``delta.enableInCommitTimestamps``):
+        every later commit carries a MONOTONIC ``inCommitTimestamp`` in its
+        commitInfo — strictly greater than the predecessor's even when a
+        writer's clock runs behind — and ``timestampAsOf`` / DESCRIBE
+        HISTORY resolve against it.  Without the feature, multi-writer
+        clock skew can make commit timestamps non-monotonic and time travel
+        by timestamp lands on the wrong version.
+
+        The enablement commit itself carries the field (protocol rule), and
+        the enablement-provenance properties record where the ICT era
+        starts.  Returns the commit version; idempotent."""
+        import json as _json
+        import time as _time
+
+        if str(
+            self.metadata.configuration.get("delta.enableInCommitTimestamps", "")
+        ).lower() == "true":
+            return self.log.latest_version()
+
+        def actions(state):
+            config = dict(state.metadata.configuration)
+            config["delta.enableInCommitTimestamps"] = "true"
+            config["delta.inCommitTimestampEnablementVersion"] = str(
+                state.version + 1
+            )
+            config["delta.inCommitTimestampEnablementTimestamp"] = str(
+                int(_time.time() * 1000)
+            )
+            acts = []
+            p = state.protocol or {}
+            feats = set(p.get("writerFeatures") or [])
+            if "inCommitTimestamp" not in feats:
+                # writer-only table feature: bump minWriterVersion to 7 and
+                # enumerate every legacy writer feature the table already
+                # uses (the table-features completeness rule; reader
+                # version is untouched — ICT has no read-side semantics)
+                feats.add("inCommitTimestamp")
+                cfg = state.metadata.configuration
+                if any(k.startswith("delta.constraints.") for k in cfg):
+                    feats.add("checkConstraints")
+                if cfg.get("delta.columnMapping.mode") in ("name", "id"):
+                    feats.add("columnMapping")
+                if str(cfg.get("delta.appendOnly", "")).lower() == "true":
+                    feats.add("appendOnly")
+                for f in state.metadata.schema.fields:
+                    md = f.metadata or {}
+                    if any(k.startswith("delta.identity.") for k in md):
+                        feats.add("identityColumns")
+                    if "delta.generationExpression" in md:
+                        feats.add("generatedColumns")
+                    if "delta.invariants" in md:
+                        feats.add("invariants")
+                proto = {
+                    "minReaderVersion": p.get("minReaderVersion", 1),
+                    "minWriterVersion": max(7, p.get("minWriterVersion", 2)),
+                    "writerFeatures": sorted(feats),
+                }
+                if p.get("readerFeatures") is not None:
+                    proto["readerFeatures"] = sorted(p["readerFeatures"])
+                acts.append({"protocol": proto})
+            acts.append(
+                {
+                    "metaData": {
+                        "id": state.metadata.table_id,
+                        "format": {"provider": "parquet", "options": {}},
+                        "schemaString": _json.dumps(
+                            state.metadata.schema.jsonValue()
+                        ),
+                        "partitionColumns": state.metadata.partition_columns,
+                        "configuration": config,
+                        "createdTime": int(_time.time() * 1000),
+                    }
+                }
+            )
+            return acts
+
+        return self.log.commit_with_retry(
+            actions,
+            operation="SET TBLPROPERTIES",
+            operation_params={"properties": ["delta.enableInCommitTimestamps"]},
+        )
+
     def add_check_constraint(self, name: str, expr: str) -> int:
         """ADD CONSTRAINT name CHECK (expr): validates ALL existing rows
         (one scan), then commits the constraint into table configuration so

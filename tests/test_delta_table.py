@@ -232,6 +232,85 @@ def test_check_constraints_enforced_on_append(spark, tmp_path):
     assert DeltaTable(spark, path).to_df().count() == 4
 
 
+def test_in_commit_timestamps_monotonic_under_clock_skew(spark, tmp_path, monkeypatch):
+    """ICT (delta.enableInCommitTimestamps): commit timestamps stay
+    STRICTLY increasing even when the writer's clock runs backwards, the
+    enablement commit itself carries the field, the writer feature is
+    declared, and timestampAsOf resolves against the monotonic clock."""
+    import time as _time
+
+    from delta_sorter_spark.sources import delta_log as dlog
+
+    path = str(tmp_path / "ict")
+    t = DeltaTable.create(
+        spark, path, spark.createDataFrame([(1,)], "id long")
+    )
+    v_enable = t.enable_in_commit_timestamps()
+    # idempotent
+    assert t.enable_in_commit_timestamps() == v_enable
+    state = DeltaTable(spark, path).state()
+    assert (
+        state.metadata.configuration["delta.enableInCommitTimestamps"] == "true"
+    )
+    assert "inCommitTimestamp" in (state.protocol.get("writerFeatures") or [])
+    assert state.protocol["minWriterVersion"] >= 7
+
+    # the enablement commit carries inCommitTimestamp
+    enact = t.log.commit_actions(v_enable)
+    ci = next(a["commitInfo"] for a in enact if "commitInfo" in a)
+    assert "inCommitTimestamp" in ci
+
+    t.append(spark.createDataFrame([(2,)], "id long"))
+    ts_before = {h["version"]: h["timestamp"] for h in t.log.history()}
+
+    # a second writer whose clock runs an hour BEHIND
+    real_time = _time.time
+    monkeypatch.setattr(dlog.time, "time", lambda: real_time() - 3600)
+    t2 = DeltaTable(spark, path)
+    t2.append(spark.createDataFrame([(3,)], "id long"))
+    monkeypatch.undo()
+
+    hist = t2.log.history()  # newest first
+    stamps = [h["timestamp"] for h in reversed(hist)]
+    assert stamps == sorted(stamps)
+    assert len(set(stamps)) == len(stamps), "timestamps must be strictly increasing"
+    # the skewed commit's stamp is predecessor+1, not an hour in the past
+    newest = hist[0]
+    assert newest["timestamp"] == ts_before[hist[1]["version"]] + 1
+
+    # timestampAsOf resolves by the monotonic clock: the instant just
+    # before the skewed commit maps to its predecessor
+    assert t2.log.version_at_timestamp(newest["timestamp"] - 1) == hist[1]["version"]
+    assert t2.log.version_at_timestamp(newest["timestamp"]) == newest["version"]
+    assert DeltaTable(spark, path).to_df().count() == 3
+
+
+def test_in_commit_timestamps_survive_checkpoint_tip(spark, tmp_path, monkeypatch):
+    """Checkpoint at the log tip: state replay sees no commitInfo, so the
+    next ICT commit must fall back to reading the newest commit file and
+    still clamp monotonically."""
+    import time as _time
+
+    from delta_sorter_spark.sources import delta_log as dlog
+
+    path = str(tmp_path / "ict_ckpt")
+    t = DeltaTable.create(
+        spark, path, spark.createDataFrame([(1,)], "id long")
+    )
+    t.enable_in_commit_timestamps()
+    t.append(spark.createDataFrame([(2,)], "id long"))
+    t.log.write_checkpoint()
+    prev_ts = t.log.history()[0]["timestamp"]
+
+    real_time = _time.time
+    monkeypatch.setattr(dlog.time, "time", lambda: real_time() - 3600)
+    t2 = DeltaTable(spark, path)
+    assert t2.state().last_commit_timestamp is None  # replay starts past tip
+    t2.append(spark.createDataFrame([(3,)], "id long"))
+    monkeypatch.undo()
+    assert t2.log.history()[0]["timestamp"] == prev_ts + 1
+
+
 def test_check_constraint_survives_checkpoint(spark, tmp_path):
     path = str(tmp_path / "ckpt_cfg")
     t = DeltaTable.create(
