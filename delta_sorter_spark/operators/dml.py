@@ -97,7 +97,7 @@ def upsert(
     # CHECK constraints: only the incoming rows can violate (kept rows
     # passed when they were written), so the one-pass check stays
     # source-sized, never table-sized
-    table._enforce_constraints(source, state.metadata.check_constraints)
+    table._enforce_constraints(source, state.metadata.write_constraints)
     if candidates:
         old = table.to_df(adds=candidates)
         kept = old.join(source.select(*keys).distinct(), keys, "left_anti")
@@ -296,7 +296,7 @@ def merge(
 
     # CHECK constraints over the staged output — changed-file rows plus
     # inserts, the smallest frame that contains every clause-produced value
-    table._enforce_constraints(merged, state.metadata.check_constraints)
+    table._enforce_constraints(merged, state.metadata.write_constraints)
     adds = table.stage_write(merged, stat_columns=keys, data_change=True)
     removes = [a.remove_action(True) for a in rewrite]
     if not adds and not removes:
@@ -437,7 +437,7 @@ def update_where(
     # CHECK constraints on the post-assignment values of HIT rows only —
     # unhit rows in the same files are byte-identical and passed already
     table._enforce_constraints(
-        old.where(hit).select(*out_cols), state.metadata.check_constraints
+        old.where(hit).select(*out_cols), state.metadata.write_constraints
     )
     adds = table.stage_write(old.select(*out_cols), data_change=True)
     removes = [a.remove_action(True) for a in candidates]
@@ -749,7 +749,7 @@ def update_where_dv(
         # nothing staged yet, so a no-match update leaves no orphan files
         return {"dv_files": 0, "updated_rows": 0, "version": state.version}
     # CHECK constraints on the appended values (checkpointed: one cheap agg)
-    table._enforce_constraints(updated, state.metadata.check_constraints)
+    table._enforce_constraints(updated, state.metadata.write_constraints)
     insert_adds = table.stage_write(updated, data_change=True)
     res = delete_where_dv(
         table,
@@ -898,7 +898,7 @@ def merge_dv(
     if n_appended:
         # CHECK constraints on the appended values (update outputs +
         # inserts; DV-marked removals cannot violate)
-        table._enforce_constraints(new_values, state.metadata.check_constraints)
+        table._enforce_constraints(new_values, state.metadata.write_constraints)
     insert_adds = table.stage_write(new_values, data_change=True) if n_appended else None
     res = delete_where_dv(
         table,

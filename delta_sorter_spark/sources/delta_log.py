@@ -144,6 +144,38 @@ class TableMetadata:
         }
 
     @property
+    def column_invariants(self) -> dict[str, str]:
+        """Legacy column invariants (Delta protocol ``delta.invariants``
+        field metadata, writer version 2): name -> SQL expression.  The
+        metadata value is the protocol's JSON envelope
+        ``{"expression": {"expression": "<sql>"}}``; a bare SQL string is
+        also accepted (some old writers emitted it).  Tables ported from
+        pre-CHECK-constraint writers carry these, and a writer that
+        declares the feature must enforce them."""
+        out: dict[str, str] = {}
+        for f in self.schema.fields:
+            md = f.metadata or {}
+            raw = md.get("delta.invariants")
+            if not raw:
+                continue
+            expr = None
+            if isinstance(raw, str):
+                try:
+                    env = json.loads(raw)
+                    expr = (env.get("expression") or {}).get("expression")
+                except ValueError:
+                    expr = raw  # bare SQL string form
+            if expr:
+                out[f"invariant({f.name})"] = expr
+        return out
+
+    @property
+    def write_constraints(self) -> dict[str, str]:
+        """Everything a write must satisfy: CHECK constraints plus legacy
+        column invariants — the single dict every write/DML path enforces."""
+        return {**self.check_constraints, **self.column_invariants}
+
+    @property
     def data_schema(self) -> T.StructType:
         """Schema of the parquet data files: partition columns are NOT
         materialized in data files (Delta convention; also noted by the

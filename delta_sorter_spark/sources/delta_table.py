@@ -1429,7 +1429,7 @@ class DeltaTable:
             for name, expr in gen.items()
             if name in df.columns
         }
-        self._enforce_constraints(filled, {**meta.check_constraints, **gen_checks})
+        self._enforce_constraints(filled, {**meta.write_constraints, **gen_checks})
         alloc = self._identity_fields(write_schema)
         if alloc:
             stat_columns = list(stat_columns or []) + [

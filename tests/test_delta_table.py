@@ -232,6 +232,44 @@ def test_check_constraints_enforced_on_append(spark, tmp_path):
     assert DeltaTable(spark, path).to_df().count() == 4
 
 
+def test_column_invariants_enforced(spark, tmp_path):
+    """Legacy delta.invariants field metadata (writer version 2): a table
+    ported from a pre-CHECK-constraint writer still gets its invariants
+    enforced on append and DML, through the same one-pass check."""
+    import json as _json
+
+    import pytest as _pytest
+    from pyspark.sql import types as T
+
+    from delta_sorter_spark.operators.dml import update_where
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), True),
+            T.StructField(
+                "v", T.DoubleType(), True,
+                metadata={
+                    "delta.invariants": _json.dumps(
+                        {"expression": {"expression": "v > 0"}}
+                    )
+                },
+            ),
+        ]
+    )
+    df = spark.createDataFrame([(1, 1.0), (2, 2.0)], schema)
+    path = str(tmp_path / "inv")
+    t = DeltaTable.create(spark, path, df)
+    t2 = DeltaTable(spark, path)  # invariant survives the log round-trip
+    assert t2.metadata.column_invariants == {"invariant(v)": "v > 0"}
+    with _pytest.raises(ValueError, match="invariant"):
+        t2.append(spark.createDataFrame([(3, -1.0)], schema))
+    with _pytest.raises(ValueError, match="invariant"):
+        update_where(t2, "id = 1", {"v": "-2.0"})
+    # NULL passes (SQL three-valued semantics, same as CHECK)
+    t2.append(spark.createDataFrame([(4, None)], schema))
+    assert DeltaTable(spark, path).to_df().count() == 3
+
+
 def test_in_commit_timestamps_monotonic_under_clock_skew(spark, tmp_path, monkeypatch):
     """ICT (delta.enableInCommitTimestamps): commit timestamps stay
     STRICTLY increasing even when the writer's clock runs backwards, the
