@@ -167,7 +167,8 @@ def _strict_overwrite(table: DeltaTable, config: SortConfig) -> CompactMetrics:
     if config.dry_run:
         return metrics
 
-    df = table.to_df(adds=state.adds)
+    df = table.read_for_rewrite(state.adds)
+    rw_schema = table.rewrite_schema()
     if config.zorder_columns:
         from delta_sorter_spark.operators.zorder import zorder_layout
 
@@ -181,6 +182,7 @@ def _strict_overwrite(table: DeltaTable, config: SortConfig) -> CompactMetrics:
             target_file_size_bytes=config.target_file_size_bytes,
             data_change=False,
             sorted_within_files=False,
+            schema=rw_schema,
         )
     else:
         sorted_df = df.orderBy(
@@ -197,6 +199,7 @@ def _strict_overwrite(table: DeltaTable, config: SortConfig) -> CompactMetrics:
             # directed orders attest their own keyStats entry so later
             # directed validations stay metadata-only
             attest_directions=config.directions,
+            schema=rw_schema,
         )
     removes = [a.remove_action(False) for a in state.adds]
     from delta_sorter_spark.sources.delta_table import ConcurrentRewriteError
@@ -284,7 +287,7 @@ def _rewrite_group(table: DeltaTable, grp: RewriteGroup, config: SortConfig) -> 
     stage write -> replaceWhere commit with dataChange=false."""
     started = time.monotonic()
     meta = table.metadata
-    df = table.to_df(adds=grp.files)
+    df = table.read_for_rewrite(grp.files)
     if grp.partition_values:
         # Belt-and-braces: the file list already prunes to the partition;
         # the filter also documents intent to Catalyst (partition pruning).
@@ -299,6 +302,7 @@ def _rewrite_group(table: DeltaTable, grp: RewriteGroup, config: SortConfig) -> 
         data_change=False,
         sorted_within_files=config.directions is None or all(config.directions),
         attest_directions=config.directions,
+        schema=table.rewrite_schema(),
     )
     predicate = (
         render_partition_predicate(grp.partition_values, meta.schema)
@@ -373,11 +377,12 @@ def bin_pack_compact(
         metrics.planned_partitions += 1
         bytes_in = sum(a.size for a in small)
         n_out = max(1, -(-bytes_in // target_file_size_bytes))  # ceil
-        df = table.to_df(adds=small).repartition(n_out)
+        df = table.read_for_rewrite(small).repartition(n_out)
         adds = table.stage_write(
             df,
             target_file_size_bytes=target_file_size_bytes,
             data_change=False,
+            schema=table.rewrite_schema(),
         )
         all_adds.extend(adds)
         all_removes.extend(a.remove_action(False) for a in small)

@@ -380,14 +380,20 @@ def delete_where(table: DeltaTable, predicate: str) -> dict:
     if not candidates:
         return {"rewritten_files": 0, "deleted_rows": 0, "version": state.version}
 
-    old = table.to_df(adds=candidates)
+    # read_for_rewrite: with row tracking on, surviving rows carry their
+    # materialized ids into the rewritten files (stable ids across DELETE)
+    old = table.read_for_rewrite(candidates)
     before = old.count()
     # SQL DELETE semantics: delete rows where the predicate is TRUE; rows
     # where it evaluates NULL are kept (NOT(NULL) is NULL, which a bare
     # where() would silently drop — hence the coalesce)
     kept = old.where(F.coalesce(F.expr(f"NOT ({predicate})"), F.lit(True)))
     after = kept.count()
-    adds = table.stage_write(kept, data_change=True) if after else []
+    adds = (
+        table.stage_write(kept, data_change=True, schema=table.rewrite_schema())
+        if after
+        else []
+    )
     removes = [a.remove_action(True) for a in candidates]
     version = table.commit_rewrite(adds, removes, operation="DELETE")
     return {
@@ -421,7 +427,7 @@ def update_where(
     if not candidates:
         return {"rewritten_files": 0, "updated_rows": 0, "version": state.version}
 
-    old = table.to_df(adds=candidates)
+    old = table.read_for_rewrite(candidates)
     hit = F.coalesce(F.expr(predicate), F.lit(False))
     updated_rows = old.where(hit).count()
     out_cols = []
@@ -439,7 +445,21 @@ def update_where(
     table._enforce_constraints(
         old.where(hit).select(*out_cols), state.metadata.write_constraints
     )
-    adds = table.stage_write(old.select(*out_cols), data_change=True)
+    if table.row_tracking_enabled(state.metadata):
+        # updated rows KEEP their row id; their materialized commit version
+        # nulls out so readers fall back to the rewritten Add's fresh
+        # defaultRowCommitVersion (= this UPDATE's commit) while untouched
+        # rows carry their old version forward
+        mat_id, mat_ver = table._materialized_row_cols(state.metadata)
+        out_cols += [
+            F.col(mat_id),
+            F.when(hit, F.lit(None).cast("long"))
+            .otherwise(F.col(mat_ver))
+            .alias(mat_ver),
+        ]
+    adds = table.stage_write(
+        old.select(*out_cols), data_change=True, schema=table.rewrite_schema()
+    )
     removes = [a.remove_action(True) for a in candidates]
     version = table.commit_rewrite(adds, removes, operation="UPDATE")
     return {
@@ -665,6 +685,9 @@ def delete_where_dv(
                 data_change=True,
                 stats=_loose_stats(old.stats),
                 deletion_vector=dv_by_path[rel],
+                # same physical file: row ids are position-based and stable
+                base_row_id=old.base_row_id,
+                default_row_commit_version=old.default_row_commit_version,
             )
         )
     n_dv_files = len(new_adds)
@@ -732,7 +755,7 @@ def update_where_dv(
     value_adds = prune_adds(
         state.adds, predicate, schema, state.metadata.partition_columns
     )
-    live_hits = table.to_df(adds=value_adds).where(
+    live_hits = table.read_for_rewrite(value_adds).where(
         F.coalesce(F.expr(predicate), F.lit(False))
     )
     out_cols = []
@@ -743,14 +766,25 @@ def update_where_dv(
             )
         else:
             out_cols.append(F.col(f.name))
+    rt = table.row_tracking_enabled(state.metadata)
+    if rt:
+        # the appended value rows are the SAME logical rows the vectors
+        # retire: materialize their ids (version nulls to the fresh Add's)
+        mat_id, mat_ver = table._materialized_row_cols(state.metadata)
+        out_cols += [F.col(mat_id), F.lit(None).cast("long").alias(mat_ver)]
     updated = live_hits.select(*out_cols).localCheckpoint(eager=True)
     n_updated = updated.count()
     if n_updated == 0:
         # nothing staged yet, so a no-match update leaves no orphan files
         return {"dv_files": 0, "updated_rows": 0, "version": state.version}
     # CHECK constraints on the appended values (checkpointed: one cheap agg)
-    table._enforce_constraints(updated, state.metadata.write_constraints)
-    insert_adds = table.stage_write(updated, data_change=True)
+    table._enforce_constraints(
+        updated.select(*[f.name for f in schema.fields]),
+        state.metadata.write_constraints,
+    )
+    insert_adds = table.stage_write(
+        updated, data_change=True, schema=table.rewrite_schema()
+    )
     res = delete_where_dv(
         table,
         predicate,
@@ -857,7 +891,7 @@ def merge_dv(
     cand_adds = [a for a in state.adds if _may_contain(a, bounds, schema)]
 
     # Values: live matched rows that the update clause rewrites + inserts.
-    t_live = table.to_df(adds=cand_adds).alias("t")
+    t_live = table.read_for_rewrite(cand_adds).alias("t")
     s = src.alias("s")
     matched_live = t_live.join(s, key_cond(), "inner")
     out_cols = []
@@ -867,12 +901,24 @@ def merge_dv(
             if f.name in update
             else F.col(f"t.{f.name}")
         )
+    rt = table.row_tracking_enabled(state.metadata)
+    if rt:
+        # updated rows keep their ids (version nulls to the fresh Add's);
+        # inserts get NULL ids -> fresh baseRowId+position at read time
+        mat_id, mat_ver = table._materialized_row_cols(state.metadata)
+        out_cols += [
+            F.col(f"t.{mat_id}"), F.lit(None).cast("long").alias(mat_ver)
+        ]
     upd_rows = matched_live.where(~delete_hit & update_hit).select(*out_cols)
     new_values = upd_rows
     if when_not_matched_insert:
-        inserts = src.join(t_live.select(*keys), keys, "left_anti").select(
-            *[f.name for f in schema.fields]
-        )
+        icols = [F.col(f.name) for f in schema.fields]
+        if rt:
+            icols += [
+                F.lit(None).cast("long").alias(mat_id),
+                F.lit(None).cast("long").alias(mat_ver),
+            ]
+        inserts = src.join(t_live.select(*keys), keys, "left_anti").select(*icols)
         new_values = new_values.unionByName(inserts)
     new_values = new_values.localCheckpoint(eager=True)
     n_appended = new_values.count()
@@ -898,8 +944,17 @@ def merge_dv(
     if n_appended:
         # CHECK constraints on the appended values (update outputs +
         # inserts; DV-marked removals cannot violate)
-        table._enforce_constraints(new_values, state.metadata.write_constraints)
-    insert_adds = table.stage_write(new_values, data_change=True) if n_appended else None
+        table._enforce_constraints(
+            new_values.select(*[f.name for f in schema.fields]),
+            state.metadata.write_constraints,
+        )
+    insert_adds = (
+        table.stage_write(
+            new_values, data_change=True, schema=table.rewrite_schema()
+        )
+        if n_appended
+        else None
+    )
     res = delete_where_dv(
         table,
         None,
@@ -1030,6 +1085,8 @@ def migrate_deletion_vectors(table: DeltaTable) -> dict:
                 data_change=False,  # same logical rows, new vector encoding
                 stats=_loose_stats(old.stats),
                 deletion_vector=dv,
+                base_row_id=old.base_row_id,
+                default_row_commit_version=old.default_row_commit_version,
             )
         )
     version = table.commit_rewrite(

@@ -80,6 +80,13 @@ class AddAction:
     # sidecar path>, "cardinality"}.  Readers drop the vector's row
     # positions from this file; None = no deleted rows.
     deletion_vector: dict | None = None
+    # Row tracking (Delta ``rowTracking`` writer feature): the fresh row id
+    # of this file's row i is ``base_row_id + i``; the row commit version is
+    # ``default_row_commit_version``.  Rewrites that COPY rows materialize
+    # the original ids into hidden physical columns instead (readers
+    # coalesce), so ids are stable across compaction and copy-on-write DML.
+    base_row_id: int | None = None
+    default_row_commit_version: int | None = None
 
     def to_json(self) -> dict:
         d = {
@@ -93,6 +100,10 @@ class AddAction:
             d["stats"] = json.dumps(self.stats)
         if self.deletion_vector is not None:
             d["deletionVector"] = self.deletion_vector
+        if self.base_row_id is not None:
+            d["baseRowId"] = int(self.base_row_id)
+        if self.default_row_commit_version is not None:
+            d["defaultRowCommitVersion"] = int(self.default_row_commit_version)
         return {"add": d}
 
     def remove_action(self, data_change: bool = False) -> "RemoveAction":
@@ -226,6 +237,22 @@ class TableState:
     # last commit, e.g. a checkpoint at the tip).  Feeds the in-commit-
     # timestamps monotonicity clamp without an extra log read per commit.
     last_commit_timestamp: int | None = None
+    # Delta ``domainMetadata`` actions: domain -> configuration (JSON
+    # string).  Row tracking keeps its id high-water mark in the
+    # ``delta.rowTracking`` domain; a removed=true action deletes the key.
+    domain_metadata: dict = field(default_factory=dict)
+
+    @property
+    def row_id_high_water_mark(self) -> int:
+        """Highest row id ever assigned (-1 before any assignment), from
+        the ``delta.rowTracking`` domain."""
+        raw = self.domain_metadata.get("delta.rowTracking")
+        if not raw:
+            return -1
+        try:
+            return int(json.loads(raw).get("rowIdHighWaterMark", -1))
+        except (ValueError, TypeError):
+            return -1
 
 
 def _checkpoint_arrow_schema():
@@ -301,6 +328,8 @@ def _checkpoint_arrow_schema():
                                 ]
                             ),
                         ),
+                        ("baseRowId", pa.int64()),
+                        ("defaultRowCommitVersion", pa.int64()),
                     ]
                 ),
             ),
@@ -314,6 +343,16 @@ def _checkpoint_arrow_schema():
                         ("extendedFileMetadata", pa.bool_()),
                         ("partitionValues", str_map),
                         ("size", pa.int64()),
+                    ]
+                ),
+            ),
+            (
+                "domainMetadata",
+                pa.struct(
+                    [
+                        ("domain", pa.string()),
+                        ("configuration", pa.string()),
+                        ("removed", pa.bool_()),
                     ]
                 ),
             ),
@@ -426,6 +465,8 @@ class DeltaLog:
                     r = dict(row["remove"])
                     r["partitionValues"] = _as_dict(r.get("partitionValues"))
                     actions.append({"remove": r})
+                elif row.get("domainMetadata") is not None:
+                    actions.append({"domainMetadata": dict(row["domainMetadata"])})
             return actions
         json_path = self.fs.join(self.log_dir, f"{version:020d}.checkpoint.json")
         try:
@@ -458,6 +499,7 @@ class DeltaLog:
         adds: dict[str, AddAction] = {}
         txns: dict[str, int] = {}
         proto: dict = {"minReaderVersion": 1, "minWriterVersion": 2}
+        domains: dict[str, str] = {}
 
         ckpt_version = self._last_checkpoint_version()
         replay_from = 0
@@ -465,7 +507,9 @@ class DeltaLog:
             ckpt_actions = self._read_checkpoint_actions(ckpt_version)
             if ckpt_actions is not None:
                 for action in ckpt_actions:
-                    metadata, adds = self._apply(action, metadata, adds, txns, proto)
+                    metadata, adds = self._apply(
+                        action, metadata, adds, txns, proto, domains
+                    )
                 replay_from = ckpt_version + 1
 
         last_ts: int | None = None
@@ -483,7 +527,9 @@ class DeltaLog:
                     t = ci.get("inCommitTimestamp", ci.get("timestamp"))
                     if t is not None:
                         last_ts = int(t)
-                metadata, adds = self._apply(action, metadata, adds, txns, proto)
+                metadata, adds = self._apply(
+                    action, metadata, adds, txns, proto, domains
+                )
         if metadata is None:
             raise ValueError(f"Delta log at {self.log_dir} has no metaData action")
         return TableState(
@@ -493,6 +539,7 @@ class DeltaLog:
             txns=txns,
             protocol=proto,
             last_commit_timestamp=last_ts,
+            domain_metadata=domains,
         )
 
     def commit_actions(self, version: int) -> list[dict]:
@@ -524,7 +571,16 @@ class DeltaLog:
         return out
 
     @staticmethod
-    def _apply(action: dict, metadata, adds, txns=None, proto=None):
+    def _apply(action: dict, metadata, adds, txns=None, proto=None, domains=None):
+        if "domainMetadata" in action and domains is not None:
+            dm = action["domainMetadata"]
+            domain = dm.get("domain")
+            if domain:
+                if dm.get("removed"):
+                    domains.pop(domain, None)
+                else:
+                    domains[domain] = dm.get("configuration", "")
+            return metadata, adds
         if "protocol" in action and proto is not None:
             p = {k: v for k, v in action["protocol"].items() if v is not None}
             if p:
@@ -558,6 +614,14 @@ class DeltaLog:
                     stats if isinstance(stats, dict) else None
                 ),
                 deletion_vector=a.get("deletionVector"),
+                base_row_id=(
+                    int(a["baseRowId"]) if a.get("baseRowId") is not None else None
+                ),
+                default_row_commit_version=(
+                    int(a["defaultRowCommitVersion"])
+                    if a.get("defaultRowCommitVersion") is not None
+                    else None
+                ),
             )
         elif "remove" in action:
             adds.pop(action["remove"]["path"], None)
@@ -623,6 +687,18 @@ class DeltaLog:
                         "stats": json.dumps(add.stats) if add.stats else None,
                         "tags": None,
                         "deletionVector": dv,
+                        "baseRowId": add.base_row_id,
+                        "defaultRowCommitVersion": add.default_row_commit_version,
+                    }
+                }
+            )
+        for domain, conf in sorted(state.domain_metadata.items()):
+            rows.append(
+                {
+                    "domainMetadata": {
+                        "domain": domain,
+                        "configuration": conf,
+                        "removed": False,
                     }
                 }
             )

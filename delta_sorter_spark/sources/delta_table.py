@@ -197,6 +197,43 @@ def _file_stats(
     )
 
 
+def _writer_feature_upgrade(state, new_features: set[str]) -> dict | None:
+    """Protocol action declaring ``new_features`` as writer table features,
+    or None when already declared.  Bumps minWriterVersion to 7 and
+    enumerates every legacy writer feature the table already uses (the
+    table-features completeness rule: a features protocol that dropped
+    them would stop stock writers enforcing them).  The reader version is
+    untouched — callers use this only for writer-side features."""
+    p = state.protocol or {}
+    feats = set(p.get("writerFeatures") or [])
+    if new_features <= feats:
+        return None
+    feats |= set(new_features)
+    cfg = state.metadata.configuration
+    if any(k.startswith("delta.constraints.") for k in cfg):
+        feats.add("checkConstraints")
+    if cfg.get("delta.columnMapping.mode") in ("name", "id"):
+        feats.add("columnMapping")
+    if str(cfg.get("delta.appendOnly", "")).lower() == "true":
+        feats.add("appendOnly")
+    for f in state.metadata.schema.fields:
+        md = f.metadata or {}
+        if any(k.startswith("delta.identity.") for k in md):
+            feats.add("identityColumns")
+        if "delta.generationExpression" in md:
+            feats.add("generatedColumns")
+        if "delta.invariants" in md:
+            feats.add("invariants")
+    proto = {
+        "minReaderVersion": p.get("minReaderVersion", 1),
+        "minWriterVersion": max(7, p.get("minWriterVersion", 2)),
+        "writerFeatures": sorted(feats),
+    }
+    if p.get("readerFeatures") is not None:
+        proto["readerFeatures"] = sorted(p["readerFeatures"])
+    return {"protocol": proto}
+
+
 def _dv_keys(add: AddAction, sidecar: str) -> set[str]:
     """Candidate sidecar lookup keys for a file.  Normally just the
     table-relative ``add.path``; for shallow clones (absolute add.path) also
@@ -1448,6 +1485,8 @@ class DeltaTable:
         class _AlreadyApplied(Exception):
             pass
 
+        fresh_ids = [a for a in adds if a.base_row_id is None]
+
         def build(state):
             # txn race: another writer committed this (appId, version) after
             # our pre-staging check — drop our staged files, change nothing.
@@ -1466,6 +1505,7 @@ class DeltaTable:
                         f"identity watermark of {name!r} moved concurrently"
                     )
             actions = ([meta_action] if meta_action else []) + list(adds)
+            actions += self._fresh_row_id_actions(state, fresh_ids)
             if txn_app_id is not None:
                 actions.append(
                     {"txn": {"appId": txn_app_id, "version": int(txn_version)}}
@@ -1580,37 +1620,9 @@ class DeltaTable:
                 int(_time.time() * 1000)
             )
             acts = []
-            p = state.protocol or {}
-            feats = set(p.get("writerFeatures") or [])
-            if "inCommitTimestamp" not in feats:
-                # writer-only table feature: bump minWriterVersion to 7 and
-                # enumerate every legacy writer feature the table already
-                # uses (the table-features completeness rule; reader
-                # version is untouched — ICT has no read-side semantics)
-                feats.add("inCommitTimestamp")
-                cfg = state.metadata.configuration
-                if any(k.startswith("delta.constraints.") for k in cfg):
-                    feats.add("checkConstraints")
-                if cfg.get("delta.columnMapping.mode") in ("name", "id"):
-                    feats.add("columnMapping")
-                if str(cfg.get("delta.appendOnly", "")).lower() == "true":
-                    feats.add("appendOnly")
-                for f in state.metadata.schema.fields:
-                    md = f.metadata or {}
-                    if any(k.startswith("delta.identity.") for k in md):
-                        feats.add("identityColumns")
-                    if "delta.generationExpression" in md:
-                        feats.add("generatedColumns")
-                    if "delta.invariants" in md:
-                        feats.add("invariants")
-                proto = {
-                    "minReaderVersion": p.get("minReaderVersion", 1),
-                    "minWriterVersion": max(7, p.get("minWriterVersion", 2)),
-                    "writerFeatures": sorted(feats),
-                }
-                if p.get("readerFeatures") is not None:
-                    proto["readerFeatures"] = sorted(p["readerFeatures"])
-                acts.append({"protocol": proto})
+            upgrade = _writer_feature_upgrade(state, {"inCommitTimestamp"})
+            if upgrade is not None:
+                acts.append(upgrade)
             acts.append(
                 {
                     "metaData": {
@@ -1631,6 +1643,259 @@ class DeltaTable:
             actions,
             operation="SET TBLPROPERTIES",
             operation_params={"properties": ["delta.enableInCommitTimestamps"]},
+        )
+
+    # -- Row tracking (Delta ``rowTracking`` writer feature) -----------------
+
+    ROW_TRACKING_DOMAIN = "delta.rowTracking"
+    ROW_TRACKING_PROP = "delta.enableRowTracking"
+    MAT_ROW_ID_PROP = "delta.rowTracking.materializedRowIdColumnName"
+    MAT_ROW_VER_PROP = "delta.rowTracking.materializedRowCommitVersionColumnName"
+
+    def row_tracking_enabled(self, meta: TableMetadata | None = None) -> bool:
+        meta = meta if meta is not None else self.metadata
+        return str(
+            (meta.configuration or {}).get(self.ROW_TRACKING_PROP, "")
+        ).lower() == "true"
+
+    def enable_row_tracking(self) -> int:
+        """Enable Delta row tracking: every row gets a STABLE id.  Fresh
+        ids come from the Add's ``baseRowId`` + physical position; ids
+        survive rewrites that copy rows (compaction, copy-on-write DELETE/
+        UPDATE) through MATERIALIZED hidden columns that
+        ``read_for_rewrite`` populates and readers coalesce first.  The
+        id high-water mark lives in the ``delta.rowTracking``
+        domainMetadata, bumped in the same commit as each assignment.
+
+        One commit: protocol upgrade (writer features ``rowTracking`` +
+        ``domainMetadata``), config (+ the materialized column names), a
+        backfill re-Add of every existing file with its assigned
+        ``baseRowId`` (dataChange=false, ids ordered by path), and the
+        high-water mark.  Idempotent.  Requires every active file to carry
+        ``numRecords`` stats (always true for this engine's writes)."""
+        import dataclasses as _dc
+        import json as _json
+        import time as _time
+        import uuid as _uuid
+
+        if self.is_remote:
+            raise NotImplementedError(
+                "row tracking on remote table URIs is not supported yet "
+                "(the positional read path that computes fresh row ids is "
+                "local-only)"
+            )
+        if self.row_tracking_enabled():
+            return self.log.latest_version()
+        suffix = _uuid.uuid4().hex[:8]
+
+        def actions(state):
+            if str(
+                (state.metadata.configuration or {}).get(
+                    self.ROW_TRACKING_PROP, ""
+                )
+            ).lower() == "true":
+                return []  # concurrent enablement: metadata no-op commit
+            bad = [
+                a.path
+                for a in state.adds
+                if (a.stats or {}).get("numRecords") is None
+            ]
+            if bad:
+                raise ValueError(
+                    "enable_row_tracking requires numRecords stats on every "
+                    f"file; missing for {bad[:3]}"
+                )
+            acts = []
+            upgrade = _writer_feature_upgrade(
+                state, {"rowTracking", "domainMetadata"}
+            )
+            if upgrade is not None:
+                acts.append(upgrade)
+            config = dict(state.metadata.configuration)
+            config[self.ROW_TRACKING_PROP] = "true"
+            config.setdefault(self.MAT_ROW_ID_PROP, f"_row_id_col_{suffix}")
+            config.setdefault(
+                self.MAT_ROW_VER_PROP, f"_row_commit_version_col_{suffix}"
+            )
+            acts.append(
+                {
+                    "metaData": {
+                        "id": state.metadata.table_id,
+                        "format": {"provider": "parquet", "options": {}},
+                        "schemaString": _json.dumps(
+                            state.metadata.schema.jsonValue()
+                        ),
+                        "partitionColumns": state.metadata.partition_columns,
+                        "configuration": config,
+                        "createdTime": int(_time.time() * 1000),
+                    }
+                }
+            )
+            hwm = state.row_id_high_water_mark
+            next_version = state.version + 1
+            for a in sorted(state.adds, key=lambda x: x.path):
+                if a.base_row_id is not None:
+                    continue
+                acts.append(
+                    _dc.replace(
+                        a,
+                        base_row_id=hwm + 1,
+                        default_row_commit_version=next_version,
+                        data_change=False,
+                    )
+                )
+                hwm += int(a.stats["numRecords"])
+            acts.append(self._hwm_action(hwm))
+            return acts
+
+        return self.log.commit_with_retry(
+            actions,
+            operation="SET TBLPROPERTIES",
+            operation_params={"properties": [self.ROW_TRACKING_PROP]},
+        )
+
+    def _hwm_action(self, hwm: int) -> dict:
+        import json as _json
+
+        return {
+            "domainMetadata": {
+                "domain": self.ROW_TRACKING_DOMAIN,
+                "configuration": _json.dumps({"rowIdHighWaterMark": int(hwm)}),
+                "removed": False,
+            }
+        }
+
+    def _fresh_row_id_actions(self, state, fresh_adds) -> list[dict]:
+        """Assign fresh baseRowId/defaultRowCommitVersion to ``fresh_adds``
+        IN PLACE (overwriting on commit retries, so a concurrent writer's
+        high-water-mark bump is respected) and return the updated HWM
+        domainMetadata action; [] when row tracking is off or nothing to
+        assign.  Called inside commit builders with the fresh state."""
+        if not self.row_tracking_enabled(state.metadata):
+            return []
+        hwm = state.row_id_high_water_mark
+        next_version = state.version + 1
+        assigned = 0
+        for a in fresh_adds:
+            n = (a.stats or {}).get("numRecords")
+            if n is None:
+                raise ValueError(
+                    f"row tracking requires numRecords stats: {a.path}"
+                )
+            a.base_row_id = hwm + 1
+            a.default_row_commit_version = next_version
+            hwm += int(n)
+            assigned += 1
+        if not assigned:
+            return []
+        return [self._hwm_action(hwm)]
+
+    def _materialized_row_cols(self, meta: TableMetadata) -> tuple[str, str]:
+        cfg = meta.configuration or {}
+        return cfg[self.MAT_ROW_ID_PROP], cfg[self.MAT_ROW_VER_PROP]
+
+    def _read_with_row_ids(self, use, meta: TableMetadata) -> DataFrame:
+        """Logical schema columns + the two MATERIALIZED row-tracking
+        columns, populated: materialized value when the file carries one
+        (rows copied by a preserving rewrite), else baseRowId + physical
+        position / defaultRowCommitVersion.  DV-deleted rows excluded (the
+        exclusion frame is deleted-cardinality-sized)."""
+        from delta_sorter_spark.operators.dml import _rel_path_col
+
+        mat_id, mat_ver = self._materialized_row_cols(meta)
+        ext_schema = T.StructType(
+            list(meta.schema.fields)
+            + [
+                T.StructField(mat_id, T.LongType(), True),
+                T.StructField(mat_ver, T.LongType(), True),
+            ]
+        )
+        ext_meta = TableMetadata(
+            table_id=meta.table_id,
+            schema=ext_schema,
+            partition_columns=meta.partition_columns,
+            configuration=meta.configuration,
+        )
+        scan = self.scan_with_positions(use, ext_meta)
+        base_map = self.spark.createDataFrame(
+            [
+                (a.path, a.base_row_id, a.default_row_commit_version)
+                for a in use
+            ],
+            "__relp__ string, __base__ long, __ver__ long",
+        )
+        df = scan.withColumn("__relp__", _rel_path_col(self)).join(
+            F.broadcast(base_map), "__relp__"
+        )
+        dv_pairs = [
+            (a.path, int(p))
+            for a in use
+            if a.deletion_vector
+            for p in self.read_deletion_vector(a)
+        ]
+        if dv_pairs:
+            dead = self.spark.createDataFrame(
+                dv_pairs, "__relp__ string, __pos__ long"
+            )
+            df = df.join(F.broadcast(dead), ["__relp__", "__pos__"], "left_anti")
+        return df.select(
+            *[F.col(f.name) for f in meta.schema.fields],
+            F.coalesce(
+                F.col(mat_id), F.col("__base__") + F.col("__pos__")
+            ).alias(mat_id),
+            F.coalesce(F.col(mat_ver), F.col("__ver__")).alias(mat_ver),
+        )
+
+    def to_df_with_row_ids(
+        self, adds: Sequence[AddAction] | None = None, version: int | None = None
+    ) -> DataFrame:
+        """Table read with two extra columns: ``_row_id`` (stable row id)
+        and ``_row_commit_version`` — Delta row-tracking reader semantics:
+        materialized value first, else baseRowId + position."""
+        state = self.state(version=version)
+        meta = state.metadata
+        if not self.row_tracking_enabled(meta):
+            raise ValueError(
+                "row tracking is not enabled — call enable_row_tracking()"
+            )
+        use = state.adds if adds is None else list(adds)
+        mat_id, mat_ver = self._materialized_row_cols(meta)
+        if not use:
+            fields = list(meta.schema.fields) + [
+                T.StructField("_row_id", T.LongType(), True),
+                T.StructField("_row_commit_version", T.LongType(), True),
+            ]
+            return self.spark.createDataFrame([], T.StructType(fields))
+        return (
+            self._read_with_row_ids(use, meta)
+            .withColumnRenamed(mat_id, "_row_id")
+            .withColumnRenamed(mat_ver, "_row_commit_version")
+        )
+
+    def read_for_rewrite(self, adds: Sequence[AddAction], meta=None) -> DataFrame:
+        """What a row-copying rewrite (compaction, copy-on-write DML) must
+        read: the plain DV-applied ``to_df`` normally, or — with row
+        tracking enabled — the row-id-carrying read whose materialized
+        columns ride into ``stage_write(schema=rewrite_schema())`` so the
+        copied rows KEEP their ids."""
+        meta = meta if meta is not None else self.metadata
+        if not self.row_tracking_enabled(meta):
+            return self.to_df(adds=adds)
+        return self._read_with_row_ids(list(adds), meta)
+
+    def rewrite_schema(self, meta=None) -> T.StructType | None:
+        """``stage_write``'s schema override for a row-id-preserving
+        rewrite; None when row tracking is off (default write schema)."""
+        meta = meta if meta is not None else self.metadata
+        if not self.row_tracking_enabled(meta):
+            return None
+        mat_id, mat_ver = self._materialized_row_cols(meta)
+        return T.StructType(
+            list(meta.schema.fields)
+            + [
+                T.StructField(mat_id, T.LongType(), True),
+                T.StructField(mat_ver, T.LongType(), True),
+            ]
         )
 
     def add_check_constraint(self, name: str, expr: str) -> int:
@@ -1947,6 +2212,8 @@ class DeltaTable:
                         data_change=True,
                         stats=a.stats,
                         deletion_vector=dv,
+                        base_row_id=a.base_row_id,
+                        default_row_commit_version=a.default_row_commit_version,
                     )
                 )
             return out
@@ -2007,6 +2274,13 @@ class DeltaTable:
         if predicate:
             params["predicate"] = predicate
         actions = list(extra_actions or []) + list(removes) + list(adds)
+        # row tracking: fresh files get ids at COMMIT time (assignment is
+        # re-done from each retry's state, so a concurrent writer's
+        # high-water-mark bump is respected).  The fresh set is pinned here:
+        # re-Adds that carried their ids in keep them.
+        fresh_ids = [
+            a for a in adds if isinstance(a, AddAction) and a.base_row_id is None
+        ]
 
         class _AlreadyApplied(Exception):
             pass
@@ -2023,11 +2297,12 @@ class DeltaTable:
                 raise ConcurrentRewriteError(
                     f"files rewritten by a concurrent writer: {gone[:3]}"
                 )
+            out = actions + self._fresh_row_id_actions(state, fresh_ids)
             if txn_app_id is not None:
-                return actions + [
+                out = out + [
                     {"txn": {"appId": txn_app_id, "version": int(txn_version)}}
                 ]
-            return actions
+            return out
 
         try:
             return self.log.commit_with_retry(
