@@ -6219,6 +6219,69 @@ FROM orders WHERE o_orderkey % {CDF_MOD} < 8
 """
 
 
+# ---------------------------------------------------------------------------
+# Q16: row tracking (rowTracking + domainMetadata writer features) — stable
+# row ids across DML and compaction.  The scratch table is ONE sorted file,
+# so the backfill's baseRowId+position ids equal the o_orderkey rank and
+# the whole flow is deterministic: enable -> copy-on-write DELETE (survivor
+# ids keep) -> DV UPDATE (id keeps, version bumps) -> strict compaction
+# (layout reshuffles, materialized ids survive).  The oracle recomputes the
+# ids as a rank over the ORIGINAL subset, proving end-to-end stability.
+# ---------------------------------------------------------------------------
+
+
+def q_q16_row_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from delta_sorter_spark.api import compact
+    from delta_sorter_spark.operators.dml import delete_where, update_where_dv
+    from delta_sorter_spark.sources.delta_table import DeltaTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    scratch = tempfile.mkdtemp(prefix="q16_rt_")
+    try:
+        tbl = DeltaTable.create(
+            spark, os.path.join(scratch, "t"),
+            orders.where(F.col("o_orderkey") % CDF_MOD < 8)
+            .orderBy("o_orderkey")
+            .coalesce(1),
+            stat_columns=["o_orderkey"],
+        )
+        tbl.enable_row_tracking()
+        delete_where(tbl, f"o_orderkey % {CDF_MOD} = 3")
+        update_where_dv(
+            tbl, f"o_orderkey % {CDF_MOD} = 5", {"o_orderstatus": "'U'"}
+        )
+        compact(
+            tbl.table_path, sort_columns=["o_orderstatus", "o_orderkey"],
+            spark=spark, repartition_by_sort_key=True,
+        )
+        out = DeltaTable(spark, tbl.table_path).to_df_with_row_ids().select(
+            "o_orderkey", "o_orderstatus", "_row_id"
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+_Q16_SQL = f"""
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(row_number() OVER (ORDER BY o_orderkey) - 1 AS BIGINT) AS _row_id
+  FROM orders WHERE o_orderkey % {CDF_MOD} < 8
+)
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % {CDF_MOD} = 5 THEN 'U' ELSE o_orderstatus END
+         AS o_orderstatus,
+       _row_id
+FROM base WHERE o_orderkey % {CDF_MOD} <> 3
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the validator's V1 per-file min/max over sf0.001."""
     return q_v1_file_minmax(spark, "/root/testdata/sf0.001")
@@ -6246,8 +6309,10 @@ _RECHECK_THIS_ROUND = [
     # LIKE-node exactness in the skipping AST: recheck skipping consumers
     "q13_stats_agg",
     "q5_change_feed",
-    # new oracle this round (e67 is already tier-0 red until re-checked)
+    # new oracles this round (e67 is already tier-0 red until re-checked)
     "q15_check_constraints",
+    "q16_row_tracking",
+    "e73_unigram_train",
 ]
 
 
@@ -6356,6 +6421,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q13_stats_agg": q_q13_stats_agg,
         "q14_bloom_lookup": q_q14_bloom_lookup,
         "q15_check_constraints": q_q15_check_constraints,
+        "q16_row_tracking": q_q16_row_tracking,
         "e1_exact_dedup": q_e1_exact_dedup,
         "e2_minhash_sig": q_e2_minhash_sig,
         "e3_lsh_candidates": q_e3_lsh_candidates,
@@ -6477,6 +6543,7 @@ def oracle_sql() -> dict[str, str]:
         "q13_stats_agg": _Q13_SQL,
         "q14_bloom_lookup": _Q14_SQL,
         "q15_check_constraints": _Q15_SQL,
+        "q16_row_tracking": _Q16_SQL,
         "e1_exact_dedup": _E1_SQL,
         "e2_minhash_sig": _E2_SQL,
         "e3_lsh_candidates": _E3_SQL,
