@@ -259,8 +259,11 @@ def merge(
             inserts = src
 
     # Pass 2: rewrite only the changed files
+    rt = table.row_tracking_enabled(state.metadata)
+    if rt:
+        mat_id, mat_ver = table._materialized_row_cols(state.metadata)
     if rewrite:
-        t = table.to_df(adds=rewrite).alias("t")
+        t = table.read_for_rewrite(rewrite, state.metadata).alias("t")
         joined = _join(t)
         delete_hit, update_hit, by_src_delete_hit = _clause_hits()
         keep_unmatched = ~F.col("__matched__")
@@ -280,11 +283,28 @@ def merge(
                     F.expr(by_src_update[f.name]).cast(f.dataType),
                 ).otherwise(col)
             out_cols.append(col.alias(f.name))
+        if rt:
+            # every surviving row keeps its id; rows a clause CHANGED null
+            # their materialized commit version so readers fall back to the
+            # fresh Add's (= this merge's commit), untouched rows carry
+            changed_row = (F.col("__matched__") & update_hit & F.lit(bool(update))) | (
+                ~F.col("__matched__") & F.lit(bool(by_src_update))
+            )
+            out_cols += [
+                F.col(f"t.{mat_id}").alias(mat_id),
+                F.when(changed_row, F.lit(None).cast("long"))
+                .otherwise(F.col(f"t.{mat_ver}"))
+                .alias(mat_ver),
+            ]
         merged = joined.where(~delete_hit & ~by_src_delete_hit).select(*out_cols)
         if inserts is not None:
-            merged = merged.unionByName(
-                inserts.select(*[f.name for f in schema.fields])
-            )
+            icols = [F.col(f.name) for f in schema.fields]
+            if rt:
+                icols += [
+                    F.lit(None).cast("long").alias(mat_id),
+                    F.lit(None).cast("long").alias(mat_ver),
+                ]
+            merged = merged.unionByName(inserts.select(*icols))
     else:
         if inserts is None:
             return {  # nothing changed, nothing to insert: metadata no-op
@@ -292,12 +312,24 @@ def merge(
                 "untouched_files": len(state.adds),
                 "version": state.version,
             }
-        merged = inserts.select(*[f.name for f in schema.fields])
+        icols = [F.col(f.name) for f in schema.fields]
+        if rt:
+            icols += [
+                F.lit(None).cast("long").alias(mat_id),
+                F.lit(None).cast("long").alias(mat_ver),
+            ]
+        merged = inserts.select(*icols)
 
     # CHECK constraints over the staged output — changed-file rows plus
     # inserts, the smallest frame that contains every clause-produced value
-    table._enforce_constraints(merged, state.metadata.write_constraints)
-    adds = table.stage_write(merged, stat_columns=keys, data_change=True)
+    table._enforce_constraints(
+        merged.select(*[f.name for f in schema.fields]),
+        state.metadata.write_constraints,
+    )
+    adds = table.stage_write(
+        merged, stat_columns=keys, data_change=True,
+        schema=table.rewrite_schema(state.metadata),
+    )
     removes = [a.remove_action(True) for a in rewrite]
     if not adds and not removes:
         return {  # e.g. insert-only merge whose source fully matched

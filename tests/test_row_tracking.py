@@ -142,6 +142,36 @@ def test_merge_dv_updated_rows_keep_ids(rt_table, spark):
     assert all(after[k] == before[k] for k in after if k not in (6, 200))
 
 
+def test_merge_cow_preserves_ids(rt_table, spark):
+    """Copy-on-write MERGE: unchanged rows in rewritten files carry id AND
+    commit version; updated rows keep the id with a bumped version;
+    inserts get fresh ids above the high-water mark."""
+    from delta_sorter_spark.operators.dml import merge
+
+    t = rt_table
+    before = _ids(t)
+    src = spark.createDataFrame(
+        [(1, "merged"), (8, "gone"), (500, "new")], "id long, v string"
+    )
+    merge(
+        t, src, ["id"],
+        when_matched_update={"v": "s.v"},
+        matched_condition="s.v <> 'gone'",
+        when_matched_delete="s.v = 'gone'",
+    )
+    t2 = DeltaTable(spark, t.table_path)
+    after = _ids(t2)
+    v = t2.log.latest_version()
+    assert 8 not in after
+    assert after[1][0] == before[1][0] and after[1][1] == v
+    assert after[500][0] > max(rid for rid, _ in before.values())
+    assert all(
+        after[k] == before[k] for k in after if k not in (1, 500)
+    ), "unchanged rows (same or sibling files) must carry id AND version"
+    got = {r["id"]: r["v"] for r in t2.to_df().collect()}
+    assert got[1] == "merged" and got[500] == "new"
+
+
 def test_ids_survive_checkpoint_roundtrip(rt_table, spark):
     t = rt_table
     before = _ids(t)
