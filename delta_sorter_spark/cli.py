@@ -122,6 +122,33 @@ def build_parser() -> argparse.ArgumentParser:
         help="Write a parquet checkpoint of the current log state and exit "
         "(bounds log-replay cost for all readers)",
     )
+    p.add_argument(
+        "--enable-row-tracking",
+        action="store_true",
+        help="Enable Delta row tracking (stable row ids across compaction "
+        "and DML; backfills every existing file in one commit) and exit",
+    )
+    p.add_argument(
+        "--enable-in-commit-timestamps",
+        action="store_true",
+        help="Enable monotonic in-commit timestamps (timestampAsOf stays "
+        "correct under multi-writer clock skew) and exit",
+    )
+    p.add_argument(
+        "--add-constraint",
+        nargs=2,
+        metavar=("NAME", "EXPR"),
+        default=None,
+        help="ADD CONSTRAINT NAME CHECK (EXPR): validate all existing rows, "
+        "then enforce on every later write; exit 1 if existing data "
+        "violates",
+    )
+    p.add_argument(
+        "--drop-constraint",
+        default=None,
+        metavar="NAME",
+        help="Drop the named CHECK constraint and exit",
+    )
     return p
 
 
@@ -136,7 +163,11 @@ def main(argv: list[str] | None = None) -> int:
         args.build_bloom_index or args.refresh_bloom_index
         or args.drop_bloom_index
     )
-    maintenance_verb = args.vacuum or args.checkpoint
+    maintenance_verb = (
+        args.vacuum or args.checkpoint or args.enable_row_tracking
+        or args.enable_in_commit_timestamps or args.add_constraint
+        or args.drop_constraint
+    )
     if not sort_columns and not (
         args.history or args.detail or index_verb or maintenance_verb
     ):
@@ -211,11 +242,39 @@ def _run(args, sort_columns, api) -> int:
         print(_json.dumps(d, indent=2, default=str))
         return 0
 
-    if args.vacuum or args.checkpoint:
+    if (
+        args.vacuum or args.checkpoint or args.enable_row_tracking
+        or args.enable_in_commit_timestamps or args.add_constraint
+        or args.drop_constraint
+    ):
         from delta_sorter_spark.session import get_spark
         from delta_sorter_spark.sources.delta_table import DeltaTable
 
         tbl = DeltaTable(get_spark(), args.table)
+        if args.add_constraint:
+            name, expr = args.add_constraint
+            try:
+                v = tbl.add_check_constraint(name, expr)
+            except ValueError as exc:
+                print(f"error: {exc}", file=sys.stderr)
+                return 1
+            print(f"constraint added name={name} version={v}")
+        if args.drop_constraint:
+            try:
+                v = tbl.drop_check_constraint(args.drop_constraint)
+            except KeyError as exc:
+                print(
+                    f"error: {exc.args[0] if exc.args else exc}",
+                    file=sys.stderr,
+                )
+                return 2
+            print(f"constraint dropped name={args.drop_constraint} version={v}")
+        if args.enable_row_tracking:
+            v = tbl.enable_row_tracking()
+            print(f"row tracking enabled version={v}")
+        if args.enable_in_commit_timestamps:
+            v = tbl.enable_in_commit_timestamps()
+            print(f"in-commit timestamps enabled version={v}")
         if args.vacuum:
             doomed = tbl.vacuum(
                 dry_run=args.dry_run,

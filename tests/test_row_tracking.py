@@ -186,6 +186,32 @@ def test_ids_survive_checkpoint_roundtrip(rt_table, spark):
     assert _ids(t3)[300][0] == 10
 
 
+def test_cli_feature_verbs(spark, tmp_path, capsys):
+    """--enable-row-tracking / --enable-in-commit-timestamps /
+    --add-constraint / --drop-constraint drive the protocol features from
+    the maintenance CLI; a violating ADD CONSTRAINT exits 1."""
+    from delta_sorter_spark import cli
+
+    df = spark.createDataFrame([(1, 5.0), (2, 6.0)], "id long, v double")
+    path = str(tmp_path / "cliverbs")
+    DeltaTable.create(spark, path, df.coalesce(1), stat_columns=["id"])
+
+    assert cli.main(["--table", path, "--enable-row-tracking"]) == 0
+    assert "row tracking enabled" in capsys.readouterr().out
+    assert cli.main(["--table", path, "--enable-in-commit-timestamps"]) == 0
+    assert "in-commit timestamps enabled" in capsys.readouterr().out
+    assert cli.main(["--table", path, "--add-constraint", "v_pos", "v > 0"]) == 0
+    assert "constraint added" in capsys.readouterr().out
+    assert cli.main(["--table", path, "--add-constraint", "bad", "v > 10"]) == 1
+    assert cli.main(["--table", path, "--drop-constraint", "v_pos"]) == 0
+    capsys.readouterr()
+    assert cli.main(["--table", path, "--drop-constraint", "nope"]) == 2
+    t = DeltaTable(spark, path)
+    assert t.row_tracking_enabled()
+    assert t.metadata.check_constraints == {}
+    assert sorted(r[0] for r in t.to_df_with_row_ids().select("_row_id").collect()) == [0, 1]
+
+
 def test_disabled_table_raises(spark, tmp_path):
     t = DeltaTable.create(
         spark, str(tmp_path / "plain"),
