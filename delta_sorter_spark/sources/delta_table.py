@@ -2176,6 +2176,14 @@ class DeltaTable:
 
         def actions(_state):
             out = []
+            # carry the source's protocol: cloned config can reference
+            # features (rowTracking, ICT, DVs) the default 1/2 protocol
+            # would not declare to foreign writers
+            if state.protocol and (
+                state.protocol.get("minWriterVersion", 2) > 2
+                or state.protocol.get("minReaderVersion", 1) > 1
+            ):
+                out.append({"protocol": dict(state.protocol)})
             for a in state.adds:
                 dv = None
                 if a.deletion_vector:
@@ -2215,6 +2223,19 @@ class DeltaTable:
                         base_row_id=a.base_row_id,
                         default_row_commit_version=a.default_row_commit_version,
                     )
+                )
+            # carry the source's domain metadata — above all the row-id
+            # high-water mark: without it a row-tracked clone would hand
+            # out fresh ids from -1 and collide with the cloned rows'
+            for domain, conf in sorted(state.domain_metadata.items()):
+                out.append(
+                    {
+                        "domainMetadata": {
+                            "domain": domain,
+                            "configuration": conf,
+                            "removed": False,
+                        }
+                    }
                 )
             return out
 

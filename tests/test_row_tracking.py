@@ -212,6 +212,26 @@ def test_cli_feature_verbs(spark, tmp_path, capsys):
     assert sorted(r[0] for r in t.to_df_with_row_ids().select("_row_id").collect()) == [0, 1]
 
 
+def test_clone_carries_hwm_and_protocol(rt_table, spark, tmp_path):
+    """A shallow clone of a row-tracked table must carry the id high-water
+    mark (fresh clone-side ids would otherwise restart at 0 and collide
+    with the cloned rows') and the source's feature protocol."""
+    t = rt_table
+    before = _ids(t)
+    clone = DeltaTable.clone(spark, t.table_path, str(tmp_path / "rtclone"))
+    cstate = clone.state()
+    assert cstate.row_id_high_water_mark == 9
+    assert "rowTracking" in (cstate.protocol.get("writerFeatures") or [])
+    assert _ids(clone) == before
+    clone.append(
+        spark.createDataFrame([(400, "c")], "id long, v string")
+    )
+    c2 = DeltaTable(spark, clone.table_path)
+    ids = _ids(c2)
+    assert ids[400][0] == 10  # continues ABOVE the cloned high-water mark
+    assert sorted(rid for rid, _ in ids.values()) == list(range(11))
+
+
 def test_disabled_table_raises(spark, tmp_path):
     t = DeltaTable.create(
         spark, str(tmp_path / "plain"),
