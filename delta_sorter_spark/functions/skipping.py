@@ -613,12 +613,172 @@ def file_may_match(add, ast, schema: T.StructType,
     return _may_match(ast, _facts_for_add(add, schema, partition_columns))
 
 
+_GEN_EXPR_PATTERNS = [
+    # (regex over the normalized generation expression, kind, param group)
+    (r"^year\((\w+)\)$", "year", None),
+    (r"^cast\(year\((\w+)\) as (?:string|int|bigint)\)$", "year", None),
+    (r"^cast\((\w+) as date\)$", "date", None),
+    (r"^to_date\((\w+)\)$", "date", None),
+    (r"^date_trunc\('(year|month|day)', (\w+)\)$", "trunc", 1),
+    (r"^date_format\((\w+), 'yyyy-mm'\)$", "fmt", "%Y-%m"),
+    (r"^date_format\((\w+), 'yyyy-mm-dd'\)$", "fmt", "%Y-%m-%d"),
+]
+
+
+def _generated_partition_sources(schema: T.StructType, partition_columns):
+    """partition column -> (kind, param, source column) for partition
+    columns generated by a MONOTONE expression over another column.  Only
+    monotone shapes qualify (year, cast-to-date, date_trunc, fixed-width
+    date_format): bounds on the source then imply bounds on the partition.
+    ``month(x)`` alone is deliberately absent — it is not monotone across
+    years and admits no sound range derivation."""
+    import re as _re
+
+    out = {}
+    for name in partition_columns:
+        if name not in schema.names:
+            continue
+        md = schema[name].metadata or {}
+        gen = md.get("delta.generationExpression")
+        if not gen:
+            continue
+        norm = " ".join(str(gen).split()).strip()
+        low = norm.lower()
+        for pat, kind, param in _GEN_EXPR_PATTERNS:
+            m = _re.match(pat, low)
+            if not m:
+                continue
+            if kind == "trunc":
+                unit, src = m.group(1), m.group(2)
+                out[name] = ("trunc", unit, src)
+            else:
+                out[name] = (kind, param, m.group(1))
+            break
+    return out
+
+
+def _derive_generated_value(kind, param, v):
+    """f(v) for the monotone generation function; None when v isn't a
+    date/datetime (derivation proves nothing)."""
+    if isinstance(v, _dt.datetime):
+        d = v
+    elif isinstance(v, _dt.date):
+        d = _dt.datetime(v.year, v.month, v.day)
+    else:
+        return None
+    if kind == "year":
+        return d.year
+    if kind == "date":
+        return d.date()
+    if kind == "trunc":
+        zero = {"hour": 0, "minute": 0, "second": 0, "microsecond": 0}
+        if param == "year":
+            return d.replace(month=1, day=1, **zero)
+        if param == "month":
+            return d.replace(day=1, **zero)
+        return d.replace(**zero)
+    if kind == "fmt":
+        return d.strftime(param)
+    return None
+
+
+def _typed_for_partition(value, dtype: T.DataType):
+    """Coerce a derived value to the generated partition column's type
+    (canonical string forms are monotone: 4-digit years, ISO dates,
+    'YYYY-MM-DD HH:MM:SS' timestamps); None when no sound form exists."""
+    if isinstance(dtype, T.StringType):
+        return str(value)
+    if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return int(value) if isinstance(value, int) else None
+    if isinstance(dtype, T.DateType):
+        return value if isinstance(value, _dt.date) and not isinstance(value, _dt.datetime) else None
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        return value if isinstance(value, _dt.datetime) else None
+    return None
+
+
+def augment_with_generated_partitions(ast, schema: T.StructType,
+                                      partition_columns: Sequence[str]):
+    """AND derived partition-column bounds into ``ast``: a top-level
+    conjunct bound on a source column implies a bound on any partition
+    column GENERATED from it by a monotone expression, so a predicate on
+    the raw timestamp prunes the year/date partitions Delta-style without
+    the user restating the partition column.  Sound by construction — the
+    implied constraints are consequences of the originals, and anything
+    underivable is simply not added."""
+    gen = _generated_partition_sources(schema, partition_columns)
+    if not gen:
+        return ast
+    cmps: list = []
+
+    def collect(node):
+        if node[0] == "and":
+            collect(node[1])
+            collect(node[2])
+        elif node[0] in ("cmp", "in"):
+            cmps.append(node)
+
+    collect(ast)
+    if not cmps:
+        return ast
+    for pcol, (kind, param, src) in gen.items():
+        if src not in schema.names:
+            continue
+        src_dtype = schema[src].dataType
+        pdtype = schema[pcol].dataType
+        lo = hi = None
+
+        def tighten(op, lit):
+            nonlocal lo, hi
+            v = _coerce_literal(lit, src_dtype)
+            if v is None:
+                return
+            try:
+                if op in (">=", ">", "=") and (lo is None or v > lo):
+                    lo = v
+                if op in ("<=", "<", "=") and (hi is None or v < hi):
+                    hi = v
+            except TypeError:
+                pass
+
+        for node in cmps:
+            if node[0] == "cmp" and node[2] == src and node[3] is not None:
+                tighten(node[1], node[3])
+            elif node[0] == "in" and node[1] == src and not node[3]:
+                vals = [v for v in node[2] if v is not None]
+                if vals:
+                    coerced = [
+                        c for c in (
+                            _coerce_literal(v, src_dtype) for v in vals
+                        ) if c is not None
+                    ]
+                    if len(coerced) == len(vals):
+                        try:
+                            tighten(">=", min(coerced))
+                            tighten("<=", max(coerced))
+                        except TypeError:
+                            pass
+        for op, bound in ((">=", lo), ("<=", hi)):
+            if bound is None:
+                continue
+            derived = _derive_generated_value(kind, param, bound)
+            if derived is None:
+                continue
+            typed = _typed_for_partition(derived, pdtype)
+            if typed is None:
+                continue
+            ast = ("and", ast, ("cmp", op, pcol, typed))
+    return ast
+
+
 def prune_adds(adds, predicate: str | None, schema: T.StructType,
                partition_columns: Sequence[str]):
     """Zone-map file skipping: the subset of ``adds`` that may contain rows
     matching ``predicate``.  Unparseable predicates disable pruning (the
     full list returns) — callers always re-apply the predicate exactly, so
-    this is a pure planner optimization with no semantic surface."""
+    this is a pure planner optimization with no semantic surface.
+    Predicates over the SOURCE of a generated partition column also prune
+    that partition (``augment_with_generated_partitions``)."""
     adds = list(adds)
     if predicate is None:
         return adds
@@ -626,4 +786,5 @@ def prune_adds(adds, predicate: str | None, schema: T.StructType,
         ast = parse_predicate(predicate)
     except SkippingUnsupported:
         return adds
+    ast = augment_with_generated_partitions(ast, schema, partition_columns)
     return [a for a in adds if file_may_match(a, ast, schema, partition_columns)]

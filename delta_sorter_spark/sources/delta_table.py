@@ -645,6 +645,16 @@ class DeltaTable:
             "version": state.version,
             "numFilesWithDeletionVectors": dv_files,
             "numDeletedRecords": dv_rows,
+            "tableFeatures": sorted(
+                set((state.protocol or {}).get("readerFeatures") or [])
+                | set((state.protocol or {}).get("writerFeatures") or [])
+            ),
+            "checkConstraints": dict(meta.check_constraints),
+            "rowIdHighWaterMark": (
+                state.row_id_high_water_mark
+                if self.row_tracking_enabled(meta)
+                else None
+            ),
         }
 
     # -- read --------------------------------------------------------------

@@ -101,6 +101,86 @@ def test_like_decisions():
     assert not _may(a, "s NOT LIKE '%'")
 
 
+def test_generated_partition_pruning_unit():
+    """Bounds on the SOURCE column of a monotone generated partition
+    column imply partition bounds (Delta's generated-column pruning):
+    'o_orderdate >= ts' prunes year-partition directories without the
+    user restating o_year."""
+    from delta_sorter_spark.functions.skipping import (
+        augment_with_generated_partitions,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("o_orderdate", T.TimestampType(), True),
+            T.StructField(
+                "o_year", T.StringType(), True,
+                metadata={
+                    "delta.generationExpression": "CAST(year(o_orderdate) AS STRING)"
+                },
+            ),
+        ]
+    )
+    ast = parse_predicate(
+        "o_orderdate >= TIMESTAMP '1996-03-01 00:00:00'"
+        " AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'"
+    )
+    aug = augment_with_generated_partitions(ast, schema, ["o_year"])
+    # two derived conjuncts were ANDed on
+    flat = repr(aug)
+    assert "('cmp', '>=', 'o_year', '1996')" in flat
+    assert "('cmp', '<=', 'o_year', '1998')" in flat
+
+    # (the strict '<' bound derives P <= year(1998-01-01) = '1998' — one
+    # year conservative, still sound; exactness never depends on pruning)
+    # equality derives both bounds
+    ast_eq = parse_predicate("o_orderdate = TIMESTAMP '1997-06-15 12:00:00'")
+    flat_eq = repr(augment_with_generated_partitions(ast_eq, schema, ["o_year"]))
+    assert "('cmp', '>=', 'o_year', '1997')" in flat_eq
+    assert "('cmp', '<=', 'o_year', '1997')" in flat_eq
+    # OR-guarded bounds derive nothing (not mandatory)
+    ast_or = parse_predicate(
+        "o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' OR o_orderdate IS NULL"
+    )
+    assert augment_with_generated_partitions(ast_or, schema, ["o_year"]) == ast_or
+
+
+def test_generated_partition_pruning_end_to_end(spark, tmp_path):
+    """File-level: a date-range predicate on the raw timestamp schedules
+    only the generated-year partitions it can touch, and results match an
+    unpruned read exactly."""
+    from delta_sorter_spark.functions.skipping import prune_adds
+    from delta_sorter_spark.sources.delta_table import DeltaTable
+
+    df = spark.createDataFrame(
+        [
+            (i, __import__("datetime").datetime(1995 + (i % 4), 1 + (i % 12), 5))
+            for i in range(40)
+        ],
+        "id long, ts timestamp",
+    )
+    tbl = DeltaTable.create(
+        spark, str(tmp_path / "genp"), df,
+        partition_columns=["y"],
+        generated_columns={"y": ("string", "CAST(year(ts) AS STRING)")},
+    )
+    state = tbl.state()
+    years_all = {a.partition_values["y"] for a in state.adds}
+    assert years_all == {"1995", "1996", "1997", "1998"}
+    pred = "ts >= TIMESTAMP '1997-01-01 00:00:00'"
+    kept = prune_adds(
+        state.adds, pred, state.metadata.schema,
+        state.metadata.partition_columns,
+    )
+    assert {a.partition_values["y"] for a in kept} == {"1997", "1998"}
+    # exactness: pruned read == full read under the predicate
+    got = sorted(
+        r["id"] for r in tbl.to_df(where=pred).collect()
+    )
+    want = sorted(r["id"] for r in tbl.to_df().where(pred).collect())
+    assert got == want and got
+
+
 def test_not_over_inexact_like_never_prunes():
     """NOT over a lossy prefix approximation must stay may-match.
 
