@@ -154,17 +154,21 @@ def main() -> None:
 
     # 5. tokenizer training on the TRAIN split only (never val/test): the
     # full BPE merge-learning loop — corpus read once into the word table,
-    # then vocabulary-scale per merge
-    from delta_sorter_spark.operators.textstats import train_bpe
+    # then vocabulary-scale per merge — plus the unigram-LM alternative
+    # (SentencePiece-family Viterbi hard-EM) trained from the same split
+    from delta_sorter_spark.operators.textstats import train_bpe, train_unigram_lm
 
-    merges = train_bpe(
-        train.join(docs.select("doc_id", "text"), "doc_id"), "text", n_merges=8
+    train_text = train.join(docs.select("doc_id", "text"), "doc_id")
+    merges = train_bpe(train_text, "text", n_merges=8)
+    uni_pieces = train_unigram_lm(
+        train_text, "text", vocab_size=64, n_iters=2
     )
 
     n_kept, n_mixed = kept.count(), mixed.count()
     n_train = train.count()
     n_bins = packed.agg(F.countDistinct("source", "bin_id")).collect()[0][0]
     n_merges_learned = merges.count()
+    n_uni_pieces = uni_pieces.count()
     print(f"documents:      {n0}")
     print(f"index new rows: {stats['new_rows']}")
     print(f"deduped+quality:{n_kept}")
@@ -176,6 +180,7 @@ def main() -> None:
     print(f"train shard:    {n_train}")
     print(f"packed bins:    {n_bins}")
     print(f"bpe merges:     {n_merges_learned}")
+    print(f"unigram pieces: {n_uni_pieces}")
 
 
 if __name__ == "__main__":
