@@ -627,6 +627,57 @@ def bpe_encode(
     ).withColumn("n_tokens", F.size("tokens").cast("bigint"))
 
 
+def _uni_span_expr(L: int) -> str:
+    """Candidate spans of a word: (start, len, end, piece) for every
+    substring up to length L."""
+    return (
+        f"flatten(transform(sequence(1, length(w)), i -> "
+        f"transform(sequence(1, least({L}, length(w) - i + 1)), "
+        f"l -> struct(i AS i, l AS l, i + l - 1 AS ende, "
+        f"substring(w, i, l) AS pc))))"
+    )
+
+
+# Viterbi DP fold over a word's candidate spans: acc[j+1] = best
+# (score, frm, pc) for the j-char prefix; factor = double(ppb)/1e9,
+# multiplied in span order (end asc, l asc), strict-greater comparison =
+# shortest-last-piece tie break — the fixed order the oracles replay.
+_UNI_DP_EXPR = """
+aggregate(
+  sequence(1, length(w)),
+  array(named_struct('score', CAST(1.0 AS DOUBLE), 'frm', -1, 'pc', '')),
+  (acc, j) -> concat(acc, array(
+    aggregate(
+      filter(spans, s -> s.ende = j),
+      named_struct('score', CAST(-1.0 AS DOUBLE), 'frm', -1, 'pc', ''),
+      (b, s) -> CASE WHEN element_at(acc, s.i).score
+                          * (CAST(s.ppb AS DOUBLE) / CAST(1000000000 AS DOUBLE))
+                          > b.score
+                     THEN named_struct(
+                       'score', element_at(acc, s.i).score
+                                * (CAST(s.ppb AS DOUBLE) / CAST(1000000000 AS DOUBLE)),
+                       'frm', s.i - 1, 'pc', s.pc)
+                     ELSE b END
+    )
+  ))
+)
+"""
+
+# Backtrack over the DP table: pieces emitted END-to-START (training only
+# counts them; encode reverses for document order).
+_UNI_BACK_EXPR = """
+aggregate(
+  sequence(1, length(w)),
+  named_struct('pos', length(w), 'pcs', CAST(array() AS array<string>)),
+  (acc, x) -> CASE WHEN acc.pos <= 0 THEN acc
+              ELSE named_struct(
+                'pos', element_at(best, acc.pos + 1).frm,
+                'pcs', concat(acc.pcs, array(element_at(best, acc.pos + 1).pc)))
+              END
+).pcs
+"""
+
+
 def train_unigram_lm(
     df: DataFrame,
     text_col: str,
@@ -711,45 +762,9 @@ def train_unigram_lm(
 
     vocab = _with_ppb(vocab).localCheckpoint(eager=True)
 
-    span_expr = (
-        f"flatten(transform(sequence(1, length(w)), i -> "
-        f"transform(sequence(1, least({L}, length(w) - i + 1)), "
-        f"l -> struct(i AS i, l AS l, i + l - 1 AS ende, "
-        f"substring(w, i, l) AS pc))))"
-    )
-    # DP fold: acc[j+1] = best (score, frm, pc) for the j-char prefix;
-    # factor = double(ppb)/1e9, multiplied in span order (end asc, l asc)
-    dp_expr = """
-aggregate(
-  sequence(1, length(w)),
-  array(named_struct('score', CAST(1.0 AS DOUBLE), 'frm', -1, 'pc', '')),
-  (acc, j) -> concat(acc, array(
-    aggregate(
-      filter(spans, s -> s.ende = j),
-      named_struct('score', CAST(-1.0 AS DOUBLE), 'frm', -1, 'pc', ''),
-      (b, s) -> CASE WHEN element_at(acc, s.i).score
-                          * (CAST(s.ppb AS DOUBLE) / CAST(1000000000 AS DOUBLE))
-                          > b.score
-                     THEN named_struct(
-                       'score', element_at(acc, s.i).score
-                                * (CAST(s.ppb AS DOUBLE) / CAST(1000000000 AS DOUBLE)),
-                       'frm', s.i - 1, 'pc', s.pc)
-                     ELSE b END
-    )
-  ))
-)
-"""
-    back_expr = """
-aggregate(
-  sequence(1, length(w)),
-  named_struct('pos', length(w), 'pcs', CAST(array() AS array<string>)),
-  (acc, x) -> CASE WHEN acc.pos <= 0 THEN acc
-              ELSE named_struct(
-                'pos', element_at(best, acc.pos + 1).frm,
-                'pcs', concat(acc.pcs, array(element_at(best, acc.pos + 1).pc)))
-              END
-).pcs
-"""
+    span_expr = _uni_span_expr(L)
+    dp_expr = _UNI_DP_EXPR
+    back_expr = _UNI_BACK_EXPR
     for _ in range(int(n_iters)):
         spans = (
             words.select("w", "wn", F.explode(F.expr(span_expr)).alias("s"))
@@ -787,6 +802,103 @@ aggregate(
         )
         vocab = _with_ppb(kept).localCheckpoint(eager=True)
     return vocab
+
+
+def unigram_encode(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    pieces,
+    max_word_len: int = 16,
+    unk: str = "<unk>",
+) -> DataFrame:
+    """Apply a learned unigram-LM piece table (:func:`train_unigram_lm`'s
+    output — a DataFrame or ``[(piece, prob_ppb), ...]``) to a corpus —
+    the tokenizer's ENCODE side.  Output: (id, pieces array<string>,
+    n_pieces): per document, each whitespace word's Viterbi-best
+    segmentation under the fixed piece probabilities, words in document
+    order, pieces in word order.
+
+    Single-character positions with no vocabulary entry segment as the
+    ``unk`` piece (probability floor 1 ppb), so any corpus encodes — the
+    SentencePiece unknown-piece convention.  Same DP, same tie order, and
+    the same defined float-product order as training, so encoding the
+    training corpus reproduces the trainer's segmentations exactly.
+
+    Scale shape: the DP runs once per DISTINCT (truncated) word — never
+    per occurrence — with the piece table broadcast; documents then
+    reassemble by a posexplode + join + ordered collect (two exchanges,
+    both word/document-scale)."""
+    spark = df.sparkSession
+    if isinstance(pieces, DataFrame):
+        piece_df = pieces.select("piece", "prob_ppb")
+    else:
+        piece_df = spark.createDataFrame(
+            [(str(p), int(q)) for p, q in pieces],
+            "piece string, prob_ppb long",
+        )
+    piece_df = piece_df.localCheckpoint(eager=True)
+    L = piece_df.agg(F.max(F.length("piece"))).collect()[0][0] or 1
+    W = int(max_word_len)
+
+    doc_words = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(
+                F.expr(
+                    f"filter(split(lower(trim({text_col})), '\\\\s+'),"
+                    " x -> x <> '')"
+                )
+            ).alias("wpos", "w0"),
+        )
+        .select("id", "wpos", F.expr(f"substring(w0, 1, {W})").alias("w"))
+    )
+    words = doc_words.select("w").distinct()
+    raw = words.select("w", F.explode(F.expr(_uni_span_expr(L))).alias("s")).select(
+        "w",
+        F.col("s.i").alias("i"), F.col("s.l").alias("l"),
+        F.col("s.ende").alias("ende"), F.col("s.pc").alias("pc"),
+    )
+    vocab = F.broadcast(piece_df.select(F.col("piece").alias("pc"), "prob_ppb"))
+    multi = raw.where(F.col("l") > 1).join(vocab, "pc")
+    # single-char spans: unknown characters become the unk piece (ppb 1),
+    # so every prefix stays reachable
+    singles = (
+        raw.where(F.col("l") == 1)
+        .join(vocab, "pc", "left")
+        .select(
+            "w", "i", "l", "ende",
+            F.when(F.col("prob_ppb").isNotNull(), F.col("pc"))
+            .otherwise(F.lit(unk))
+            .alias("pc"),
+            F.coalesce(F.col("prob_ppb"), F.lit(1)).alias("prob_ppb"),
+        )
+    )
+    spans = multi.select("w", "i", "l", "ende", "pc", "prob_ppb").unionByName(
+        singles
+    )
+    segmented = (
+        spans.groupBy("w")
+        .agg(
+            F.expr(
+                "sort_array(collect_list(struct(ende, l, i, pc, prob_ppb AS ppb)))"
+            ).alias("spans")
+        )
+        .withColumn("best", F.expr(_UNI_DP_EXPR))
+        .withColumn("wpcs", F.reverse(F.expr(_UNI_BACK_EXPR)))
+        .select("w", "wpcs")
+    )
+    return (
+        doc_words.join(segmented, "w")
+        .groupBy("id")
+        .agg(
+            F.expr(
+                "flatten(transform(sort_array(collect_list(struct(wpos, wpcs))),"
+                " x -> x.wpcs))"
+            ).alias("pieces")
+        )
+        .withColumn("n_pieces", F.size("pieces").cast("bigint"))
+    )
 
 
 def token_band_filter(

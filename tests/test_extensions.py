@@ -1230,6 +1230,56 @@ def test_bpe_encode_no_merges_is_char_split(spark):
     assert row["n_tokens"] == 5
 
 
+def test_unigram_encode_replays_training_segmentation(spark):
+    """Encoding the training corpus under the learned piece table must
+    reproduce the trainer's final per-piece counts exactly — same DP, same
+    tie order, same float-product order (the encode-side functional pin,
+    mirroring the BPE encode test)."""
+    import collections
+
+    from delta_sorter_spark.operators.textstats import (
+        train_unigram_lm,
+        unigram_encode,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "low lower lowest new newer newest wide wider widest"),
+            (2, "low low lower new new newest wide wide wider"),
+            (3, "the new low wide the newest lowest"),
+        ],
+        "id long, text string",
+    )
+    pieces = train_unigram_lm(df, "text", vocab_size=24, n_iters=2, max_piece_len=3)
+    enc = unigram_encode(df, "id", "text", pieces)
+    cnt = collections.Counter()
+    for r in enc.collect():
+        for p in r["pieces"]:
+            cnt[p] += 1
+    learned = {r["piece"]: r["n"] for r in pieces.collect() if r["n"] > 0}
+    assert dict(cnt) == learned
+    # pieces concatenate back to the words, in document order
+    row1 = {r["id"]: r["pieces"] for r in enc.collect()}[1]
+    assert "".join(row1) == "lowlowerlowestnewnewernewestwidewiderwidest"
+
+
+def test_unigram_encode_unknown_chars_become_unk(spark):
+    from delta_sorter_spark.operators.textstats import unigram_encode
+
+    df = spark.createDataFrame([(1, "ab zq")], "id long, text string")
+    # vocabulary knows only a, b, z
+    enc = unigram_encode(
+        df, "id", "text", [("a", 400_000_000), ("b", 300_000_000), ("z", 200_000_000)]
+    ).collect()[0]
+    assert list(enc["pieces"]) == ["a", "b", "z", "<unk>"]
+    assert enc["n_pieces"] == 4
+    # accepts a custom unk marker and a piece list (not just a DataFrame)
+    enc2 = unigram_encode(
+        df, "id", "text", [("ab", 500_000_000), ("z", 100_000_000)], unk="?"
+    ).collect()[0]
+    assert list(enc2["pieces"]) == ["ab", "z", "?"]
+
+
 def test_temperature_mix_flattens_toward_tail_domains(spark):
     from delta_sorter_spark.operators.sampling import temperature_mix
 
