@@ -6282,6 +6282,71 @@ FROM base WHERE o_orderkey % {CDF_MOD} <> 3
 """
 
 
+# ---------------------------------------------------------------------------
+# Q17: identity columns (GENERATED ALWAYS AS IDENTITY) — engine-side
+# allocation with no global coordination, so per-row VALUES are not
+# deterministic (Delta's contract allows gaps); what IS deterministic is the
+# contract itself, which the query verifies for real and returns as one
+# aggregate row: every id unique, on the start+k*step grid, at-or-above
+# start; a second append allocates strictly above the first commit's ids
+# (the high watermark advanced with the data); and the stored watermark
+# covers the table max.  The oracle states the guaranteed outcome.
+# ---------------------------------------------------------------------------
+
+
+def q_q17_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from delta_sorter_spark.sources.delta_table import DeltaTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    scratch = tempfile.mkdtemp(prefix="q17_id_")
+    try:
+        mod = F.col("o_orderkey") % CDF_MOD
+        tbl = DeltaTable.create(
+            spark, os.path.join(scratch, "t"),
+            orders.where(mod < 4),
+            identity_columns={"row_sk": (100, 3)},
+        )
+        batch1_max = tbl.to_df().agg(F.max("row_sk")).collect()[0][0]
+        tbl.append(orders.where((mod >= 4) & (mod < 8)))
+        tbl = DeltaTable(spark, tbl.table_path)
+        hwm = tbl._identity_fields(tbl.metadata.data_schema)["row_sk"][2]
+        out = tbl.to_df().agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            (F.countDistinct("row_sk") == F.count(F.lit(1))).alias(
+                "ids_unique"
+            ),
+            F.bool_and(
+                ((F.col("row_sk") - 100) % 3 == 0) & (F.col("row_sk") >= 100)
+            ).alias("on_grid"),
+            (
+                F.min(
+                    F.when(F.col("o_orderkey") % CDF_MOD >= 4, F.col("row_sk"))
+                )
+                > F.lit(int(batch1_max))
+            ).alias("batches_ordered"),
+            (F.lit(int(hwm)) >= F.max("row_sk")).alias("hwm_covers_max"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+_Q17_SQL = f"""
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       TRUE AS ids_unique,
+       TRUE AS on_grid,
+       TRUE AS batches_ordered,
+       TRUE AS hwm_covers_max
+FROM orders WHERE o_orderkey % {CDF_MOD} < 8
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the validator's V1 per-file min/max over sf0.001."""
     return q_v1_file_minmax(spark, "/root/testdata/sf0.001")
@@ -6312,6 +6377,7 @@ _RECHECK_THIS_ROUND = [
     # new oracles this round (e67 is already tier-0 red until re-checked)
     "q15_check_constraints",
     "q16_row_tracking",
+    "q17_identity",
     "e73_unigram_train",
 ]
 
@@ -6422,6 +6488,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_bloom_lookup": q_q14_bloom_lookup,
         "q15_check_constraints": q_q15_check_constraints,
         "q16_row_tracking": q_q16_row_tracking,
+        "q17_identity": q_q17_identity,
         "e1_exact_dedup": q_e1_exact_dedup,
         "e2_minhash_sig": q_e2_minhash_sig,
         "e3_lsh_candidates": q_e3_lsh_candidates,
@@ -6544,6 +6611,7 @@ def oracle_sql() -> dict[str, str]:
         "q14_bloom_lookup": _Q14_SQL,
         "q15_check_constraints": _Q15_SQL,
         "q16_row_tracking": _Q16_SQL,
+        "q17_identity": _Q17_SQL,
         "e1_exact_dedup": _E1_SQL,
         "e2_minhash_sig": _E2_SQL,
         "e3_lsh_candidates": _E3_SQL,

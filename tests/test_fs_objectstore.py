@@ -143,7 +143,9 @@ def test_checkpoint_parquet_is_protocol_shaped():
     log.commit(1, [_add(1)])
     path = log.write_checkpoint()
     table = pq.read_table(io.BytesIO(log.fs.read_bytes(path)))
-    assert set(table.column_names) == {"protocol", "metaData", "txn", "add", "remove"}
+    assert set(table.column_names) == {
+        "protocol", "metaData", "txn", "add", "remove", "domainMetadata"
+    }
     rows = table.to_pylist()
     assert sum(1 for r in rows if r["protocol"] is not None) == 1
     assert sum(1 for r in rows if r["metaData"] is not None) == 1
