@@ -5516,6 +5516,62 @@ _E73_SQL = _e73_sql()
 
 
 # ---------------------------------------------------------------------------
+# E74: DSIR importance weights (operators/textstats.dsir_weights) — Data
+# Selection via Importance Resampling (Xie et al. 2023): hashed-bigram
+# likelihood ratio of a target slice (English docs) vs the raw corpus,
+# with the integer bit-length log surrogate so the iterative-free pipeline
+# is hash-exact cross-engine.  Feed into weighted_sample (e53) to resample.
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 1 << 14
+
+
+def q_e74_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_sorter_spark.operators.textstats import dsir_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = dsir_weights(
+        docs, "doc_id", "text", "lang = 'en'", n=2, num_buckets=DSIR_BUCKETS
+    )
+    return out.select(
+        "doc_id", "n_ngrams", "dsir_bits",
+        F.round("avg_bits", 6).alias("avg_bits"),
+    )
+
+
+_E74_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, (lang = 'en') AS t,
+         string_split_regex(lower(trim(text)), '\\s+') AS ts
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, t,
+         unnest(list_transform(generate_series(1, len(ts) - 1),
+                i -> ts[i] || ' ' || ts[i + 1])) AS g
+  FROM toks
+),
+bk AS (
+  SELECT doc_id, t, {duckdb_md5_long_sql('g')} % {DSIR_BUCKETS} AS b
+  FROM grams WHERE g <> ''
+),
+raw AS (SELECT b, CAST(count(*) AS BIGINT) AS nr FROM bk GROUP BY b),
+tgt AS (SELECT b, CAST(count(*) AS BIGINT) AS nt FROM bk WHERE t GROUP BY b),
+bu AS (
+  SELECT b, (length(bin(coalesce(nt, CAST(0 AS BIGINT)) + 1)) - 1)
+          - (length(bin(nr + 1)) - 1) AS w
+  FROM raw LEFT JOIN tgt USING (b)
+)
+SELECT bk.doc_id,
+       CAST(count(*) AS BIGINT) AS n_ngrams,
+       CAST(sum(w) AS BIGINT) AS dsir_bits,
+       round(CAST(sum(w) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS avg_bits
+FROM bk JOIN bu USING (b)
+GROUP BY bk.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # E71: URL canonicalization + dedup-by-URL (operators/textstats.canonical_url
 # / url_dedup_stats) — the crawl-pipeline key-normalization step.  The corpus
 # has no URL column, so one is synthesized relationally with every mess the
@@ -6379,6 +6435,7 @@ _RECHECK_THIS_ROUND = [
     "q16_row_tracking",
     "q17_identity",
     "e73_unigram_train",
+    "e74_dsir_weights",
 ]
 
 
@@ -6581,6 +6638,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e71_url_dedup": q_e71_url_dedup,
         "e72_corpus_overlap": q_e72_corpus_overlap,
         "e73_unigram_train": q_e73_unigram_train,
+        "e74_dsir_weights": q_e74_dsir_weights,
         "a47_corpus_profile": q_a47_corpus_profile,
         "m4_embed_topk": q_m4_embed_topk,
         "a43_span_report": q_a43_span_report,
@@ -6670,6 +6728,7 @@ def oracle_sql() -> dict[str, str]:
         "e71_url_dedup": _E71_SQL,
         "e72_corpus_overlap": _E72_SQL,
         "e73_unigram_train": _E73_SQL,
+        "e74_dsir_weights": _E74_SQL,
         "a47_corpus_profile": _A47_SQL,
         "m4_embed_topk": _M4_SQL,
         "a43_span_report": _A43_SQL,

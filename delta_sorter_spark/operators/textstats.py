@@ -1229,3 +1229,95 @@ def url_dedup_stats(
             F.min("__id__").alias("keep_id"),
         )
     )
+
+
+def dsir_weights(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_pred: str,
+    n: int = 2,
+    num_buckets: int = 1 << 14,
+) -> DataFrame:
+    """DSIR-style importance weights (Data Selection via Importance
+    Resampling, Xie et al. 2023): score every document by how much more
+    likely its hashed n-gram bag is under the TARGET slice's n-gram
+    distribution than under the RAW corpus distribution.  ``target_pred``
+    is a SQL predicate over ``df``'s columns selecting the target slice
+    (e.g. ``"lang = 'en'"`` or a quality label); high scores = documents
+    that look like the target.  The standard recipe then resamples by
+    these weights — feed the output straight into
+    :func:`delta_sorter_spark.operators.sampling.weighted_sample`.
+
+    Per n-gram the log-likelihood-ratio contribution uses the integer
+    bit-length surrogate of :func:`unigram_surprisal` (float log is
+    engine-dependent in the last ulp):
+
+        bits(cnt_target[h] + 1) - bits(cnt_raw[h] + 1)
+
+    with ``bits(x) = length(bin(x)) - 1 = floor(log2 x)`` and ``h`` the
+    portable md5 hash of the n-gram modulo ``num_buckets`` (the paper's
+    hashed feature space — collisions are part of the model).  The +1 is
+    add-one smoothing so empty target buckets contribute a well-defined
+    penalty.  Output: (id, n_ngrams, dsir_bits, avg_bits) with ``avg_bits``
+    the ONE double division — documents with no n-grams (fewer than ``n``
+    tokens) are absent.
+
+    Scale posture: the corpus text explodes to hashed n-grams exactly once
+    and both count tables derive from that same frame (map-side combinable,
+    results <= num_buckets rows each, broadcast back) — so the per-doc
+    rollup is the only corpus-sized shuffle, and n-gram skew lands on the
+    broadcast side, never in a shuffle key."""
+    from delta_sorter_spark.functions.hashing import spark_md5_long_sql
+
+    if n < 1:
+        raise ValueError("n-gram order must be >= 1")
+    toks = df.select(
+        F.col(id_col),
+        F.expr(target_pred).cast("boolean").alias("__t__"),
+        F.expr(f"split(lower(trim({text_col})), '\\\\s+')").alias("__ts__"),
+    )
+    gram = F.when(
+        F.size("__ts__") >= n,
+        F.expr(
+            f"transform(sequence(1, size(__ts__) - {n - 1}),"
+            f" i -> array_join(slice(__ts__, i, {n}), ' '))"
+        ),
+    ).otherwise(F.expr("array()"))
+    grams = (
+        toks.select(F.col(id_col), "__t__", F.explode(gram).alias("__g__"))
+        .where(F.col("__g__") != "")
+        .withColumn(
+            "__b__",
+            F.expr(f"{spark_md5_long_sql('__g__')} % {num_buckets}"),
+        )
+    )
+    raw = grams.groupBy("__b__").agg(F.count("*").alias("__nr__"))
+    tgt = (
+        grams.where(F.col("__t__"))
+        .groupBy("__b__")
+        .agg(F.count("*").alias("__nt__"))
+    )
+    bits = lambda c: (F.length(F.bin(c)) - 1).cast("bigint")  # noqa: E731
+    buckets = (
+        raw.join(tgt, "__b__", "left")
+        .select(
+            "__b__",
+            (
+                bits(F.coalesce(F.col("__nt__"), F.lit(0)) + 1)
+                - bits(F.col("__nr__") + 1)
+            ).alias("__w__"),
+        )
+    )
+    return (
+        grams.join(F.broadcast(buckets), "__b__")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_ngrams"),
+            F.sum("__w__").cast("bigint").alias("dsir_bits"),
+        )
+        .withColumn(
+            "avg_bits",
+            F.col("dsir_bits").cast("double") / F.col("n_ngrams").cast("double"),
+        )
+    )

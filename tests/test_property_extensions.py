@@ -618,3 +618,86 @@ def test_kmv_overlap_matches_python_oracle(spark, vals_a, vals_b, k):
     r = kmv_overlap(a, b, "v", k=k).collect()[0]
     got = (r["k_union"], r["matches"], r["jaccard_ppm"], r["kth_union_hash"])
     assert got == _kmv_oracle(vals_a, vals_b, k)
+
+
+# ---------------------------------------------------------------------------
+# dsir_weights: hashed-bigram importance weights vs pure-Python DSIR mirror
+# ---------------------------------------------------------------------------
+
+
+def _dsir_oracle(rows, n, num_buckets):
+    """Pure-Python mirror: (id -> (n_ngrams, dsir_bits)) with the same
+    md5-bucket hashing and bit-length log surrogate."""
+    import hashlib
+
+    def bucket(g):
+        return (int(hashlib.md5(g.encode()).hexdigest()[:15], 16)) % num_buckets
+
+    def bits(x):
+        return x.bit_length() - 1
+
+    raw, tgt, per_doc = {}, {}, {}
+    for doc_id, text, is_t in rows:
+        toks = [t for t in __import__("re").split(r"\s+", text.strip().lower())]
+        grams = [
+            " ".join(toks[i : i + n])
+            for i in range(len(toks) - n + 1)
+        ] if len(toks) >= n else []
+        grams = [g for g in grams if g != ""]
+        bks = [bucket(g) for g in grams]
+        per_doc[doc_id] = bks
+        for b in bks:
+            raw[b] = raw.get(b, 0) + 1
+            if is_t:
+                tgt[b] = tgt.get(b, 0) + 1
+    out = {}
+    for doc_id, bks in per_doc.items():
+        if not bks:
+            continue
+        s = sum(bits(tgt.get(b, 0) + 1) - bits(raw[b] + 1) for b in bks)
+        out[doc_id] = (len(bks), s)
+    return out
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.text("ab cd", min_size=0, max_size=20),
+            st.booleans(),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    st.sampled_from([1, 2, 3]),
+)
+@_settings
+def test_dsir_weights_matches_python_oracle(spark, docs, n):
+    from delta_sorter_spark.operators.textstats import dsir_weights
+
+    rows = [(i, text, t) for i, (text, t) in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, t boolean")
+    got = {
+        r["doc_id"]: (r["n_ngrams"], r["dsir_bits"])
+        for r in dsir_weights(
+            df, "doc_id", "text", "t", n=n, num_buckets=64
+        ).collect()
+    }
+    assert got == _dsir_oracle(rows, n, 64)
+
+
+def test_dsir_weights_favors_target_lookalikes(spark):
+    """Docs sharing the target slice's n-grams score higher than docs that
+    don't — the resampling contract the weights exist for."""
+    from delta_sorter_spark.operators.textstats import dsir_weights
+
+    rows = (
+        [(i, "high quality prose sample", True) for i in range(5)]
+        + [(10, "high quality prose sample", False)]
+        + [(11, "zz yy xx ww vv uu", False)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, t boolean")
+    out = {
+        r["doc_id"]: r["avg_bits"]
+        for r in dsir_weights(df, "doc_id", "text", "t", n=2).collect()
+    }
+    assert out[10] > out[11]
