@@ -5421,7 +5421,11 @@ def q_e73_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _e73_sql() -> str:
+def _e73_ctes() -> list:
+    """The unigram-LM trainer's full CTE chain (seed -> I EM rounds); the
+    last CTE ``p{I}`` is the final piece table.  Shared verbatim by the
+    e73 (train) and e75 (encode) oracles so the replayed trainer state is
+    identical by construction."""
     V, I, L, W = UNI_VOCAB, UNI_ITERS, UNI_PIECE_LEN, UNI_WORD_LEN
     ctes = [f"""
 wf AS MATERIALIZED (
@@ -5506,13 +5510,134 @@ p{k + 1} AS (
   SELECT piece, n, greatest((n * 1000000000) // t, CAST(1 AS BIGINT)) AS ppb
   FROM v{k + 1} CROSS JOIN (SELECT CAST(sum(n) AS BIGINT) AS t FROM v{k + 1})
 )""")
+    return ctes
+
+
+def _e73_sql() -> str:
     return (
-        "WITH " + ",".join(ctes)
-        + f"\nSELECT piece, n, ppb AS prob_ppb FROM p{I}"
+        "WITH " + ",".join(_e73_ctes())
+        + f"\nSELECT piece, n, ppb AS prob_ppb FROM p{UNI_ITERS}"
     )
 
 
 _E73_SQL = _e73_sql()
+
+
+# ---------------------------------------------------------------------------
+# E75: unigram-LM ENCODE (operators/textstats.unigram_encode) — apply the
+# trained piece table back to the training corpus.  The oracle chains the
+# full e73 trainer replay, then one more unrolled Viterbi pass under the
+# final probabilities plus the per-document reassembly — so the whole
+# tokenizer lifecycle (train -> encode) is hash-checked end to end.
+# Single-char spans missing from the table fall back to the unk piece at
+# ppb 1 (never hit here: single chars are never pruned from the vocab).
+# ---------------------------------------------------------------------------
+
+_UNI_MAX_DOC_WORDS = 128  # word-soup docs cap at 99 words at every SF
+
+
+def q_e75_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_sorter_spark.operators.textstats import (
+        train_unigram_lm,
+        unigram_encode,
+    )
+
+    docs = _doc_subset(spark, sf_dir, DOC_SUBSET_MOD)
+    pieces = train_unigram_lm(
+        docs, "text", vocab_size=UNI_VOCAB, n_iters=UNI_ITERS,
+        max_piece_len=UNI_PIECE_LEN, max_word_len=UNI_WORD_LEN,
+    )
+    out = unigram_encode(
+        docs, "doc_id", "text", pieces.select("piece", "prob_ppb"),
+        max_word_len=UNI_WORD_LEN,
+    )
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "n_pieces",
+        F.array_join("pieces", " ").alias("enc"),
+    )
+
+
+def _e75_sql() -> str:
+    I, L, W = UNI_ITERS, UNI_PIECE_LEN, UNI_WORD_LEN
+    ctes = list(_e73_ctes())
+    # encode-pass spans under the FINAL piece table: multi-char spans must
+    # match a piece (inner-join semantics); single-char spans keep an unk
+    # fallback at ppb 1 — mirroring unigram_encode's span construction
+    ctes.append(f"""
+spE AS MATERIALIZED (
+  SELECT s.w, s.i, s.l, s.ende,
+         CASE WHEN p.piece IS NULL THEN '<unk>' ELSE s.pc END AS pc,
+         coalesce(p.ppb, CAST(1 AS BIGINT)) AS ppb
+  FROM (
+    SELECT wf.w, i, l, i + l - 1 AS ende, substr(wf.w, i, l) AS pc
+    FROM wf, range(1, {W}+1) r1(i), range(1, {L}+1) r2(l)
+    WHERE i <= length(wf.w) AND l <= least({L}, length(wf.w) - i + 1)
+  ) s LEFT JOIN p{I} p ON p.piece = s.pc
+  WHERE s.l = 1 OR p.piece IS NOT NULL
+),
+ballE_0 AS (
+  SELECT w, 0 AS j, CAST(1.0 AS DOUBLE) AS score, -1 AS frm, '' AS pc
+  FROM wf
+)""")
+    for j in range(1, W + 1):
+        ctes.append(f"""
+bE_{j} AS (
+  SELECT w, j, score, frm, pc FROM (
+    SELECT s.w, {j} AS j,
+           b.score * (CAST(s.ppb AS DOUBLE) / CAST(1000000000 AS DOUBLE)) AS score,
+           s.i - 1 AS frm, s.pc,
+           row_number() OVER (
+             PARTITION BY s.w
+             ORDER BY b.score * (CAST(s.ppb AS DOUBLE) / CAST(1000000000 AS DOUBLE)) DESC,
+                      s.l ASC
+           ) AS rn
+    FROM spE s JOIN ballE_{j-1} b ON b.w = s.w AND b.j = s.i - 1
+    WHERE s.ende = {j}
+  ) WHERE rn = 1
+),
+ballE_{j} AS MATERIALIZED (
+  SELECT * FROM ballE_{j-1} UNION ALL SELECT * FROM bE_{j}
+)""")
+    ctes.append(f"""
+tE_0 AS (SELECT w, length(w) AS pos FROM wf)""")
+    for t in range(1, W + 1):
+        ctes.append(f"""
+eE_{t} AS (
+  SELECT s.w, {t} AS t, b.pc, b.frm
+  FROM tE_{t-1} s JOIN ballE_{W} b ON b.w = s.w AND b.j = s.pos
+  WHERE s.pos > 0
+),
+tE_{t} AS (SELECT w, frm AS pos FROM eE_{t})""")
+    emits = " UNION ALL ".join(
+        f"SELECT w, t, pc FROM eE_{t}" for t in range(1, W + 1)
+    )
+    ctes.append(f"""
+segE AS MATERIALIZED (
+  SELECT w, list(pc ORDER BY t DESC) AS wpcs FROM ({emits}) GROUP BY w
+),
+dwE AS (
+  SELECT d.doc_id, r.i AS wpos, substr(d.ws[CAST(r.i AS INT)], 1, {W}) AS w
+  FROM (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                       x -> x <> '') AS ws
+    FROM documents WHERE doc_id % {DOC_SUBSET_MOD} = 0
+  ) d, range(1, {_UNI_MAX_DOC_WORDS}+1) r(i)
+  WHERE r.i <= len(d.ws)
+)""")
+    return (
+        "WITH " + ",".join(ctes)
+        + """
+SELECT dw.doc_id,
+       CAST(sum(len(s.wpcs)) AS BIGINT) AS n_pieces,
+       array_to_string(flatten(list(s.wpcs ORDER BY dw.wpos)), ' ') AS enc
+FROM dwE dw JOIN segE s USING (w)
+GROUP BY dw.doc_id"""
+    )
+
+
+_E75_SQL = _e75_sql()
 
 
 # ---------------------------------------------------------------------------
@@ -6436,6 +6561,7 @@ _RECHECK_THIS_ROUND = [
     "q17_identity",
     "e73_unigram_train",
     "e74_dsir_weights",
+    "e75_unigram_encode",
 ]
 
 
@@ -6639,6 +6765,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e72_corpus_overlap": q_e72_corpus_overlap,
         "e73_unigram_train": q_e73_unigram_train,
         "e74_dsir_weights": q_e74_dsir_weights,
+        "e75_unigram_encode": q_e75_unigram_encode,
         "a47_corpus_profile": q_a47_corpus_profile,
         "m4_embed_topk": q_m4_embed_topk,
         "a43_span_report": q_a43_span_report,
@@ -6729,6 +6856,7 @@ def oracle_sql() -> dict[str, str]:
         "e72_corpus_overlap": _E72_SQL,
         "e73_unigram_train": _E73_SQL,
         "e74_dsir_weights": _E74_SQL,
+        "e75_unigram_encode": _E75_SQL,
         "a47_corpus_profile": _A47_SQL,
         "m4_embed_topk": _M4_SQL,
         "a43_span_report": _A43_SQL,
