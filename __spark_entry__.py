@@ -5680,12 +5680,10 @@ bk AS (
   SELECT doc_id, t, {duckdb_md5_long_sql('g')} % {DSIR_BUCKETS} AS b
   FROM grams WHERE g <> ''
 ),
-raw AS (SELECT b, CAST(count(*) AS BIGINT) AS nr FROM bk GROUP BY b),
-tgt AS (SELECT b, CAST(count(*) AS BIGINT) AS nt FROM bk WHERE t GROUP BY b),
 bu AS (
-  SELECT b, (length(bin(coalesce(nt, CAST(0 AS BIGINT)) + 1)) - 1)
-          - (length(bin(nr + 1)) - 1) AS w
-  FROM raw LEFT JOIN tgt USING (b)
+  SELECT b, (length(bin(CAST(count(*) FILTER (t) AS BIGINT) + 1)) - 1)
+          - (length(bin(CAST(count(*) AS BIGINT) + 1)) - 1) AS w
+  FROM bk GROUP BY b
 )
 SELECT bk.doc_id,
        CAST(count(*) AS BIGINT) AS n_ngrams,

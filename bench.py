@@ -86,6 +86,9 @@ ENTRY_QUERIES = [
     # round-6: unigram-LM tokenizer training — the second loop-shaped
     # tokenizer trainer (2 Viterbi-EM rounds, vocabulary-scale per round)
     "e73_unigram_train",
+    # DSIR importance weights: one corpus explode to hashed bigrams, two
+    # broadcast-back count tables — prices the target-vs-raw scoring scan
+    "e74_dsir_weights",
 ]
 
 

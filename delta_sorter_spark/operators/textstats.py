@@ -1292,22 +1292,17 @@ def dsir_weights(
             F.expr(f"{spark_md5_long_sql('__g__')} % {num_buckets}"),
         )
     )
-    raw = grams.groupBy("__b__").agg(F.count("*").alias("__nr__"))
-    tgt = (
-        grams.where(F.col("__t__"))
-        .groupBy("__b__")
-        .agg(F.count("*").alias("__nt__"))
+    # ONE aggregation pass builds both distributions (raw = all grams,
+    # target = conditional count) — the corpus is never re-read to count
+    # the target slice separately
+    counts = grams.groupBy("__b__").agg(
+        F.count("*").alias("__nr__"),
+        F.count(F.when(F.col("__t__"), F.lit(1))).alias("__nt__"),
     )
     bits = lambda c: (F.length(F.bin(c)) - 1).cast("bigint")  # noqa: E731
-    buckets = (
-        raw.join(tgt, "__b__", "left")
-        .select(
-            "__b__",
-            (
-                bits(F.coalesce(F.col("__nt__"), F.lit(0)) + 1)
-                - bits(F.col("__nr__") + 1)
-            ).alias("__w__"),
-        )
+    buckets = counts.select(
+        "__b__",
+        (bits(F.col("__nt__") + 1) - bits(F.col("__nr__") + 1)).alias("__w__"),
     )
     return (
         grams.join(F.broadcast(buckets), "__b__")
