@@ -5189,6 +5189,7 @@ _E66_SQL = _e66_sql()
 # ---------------------------------------------------------------------------
 
 BPE_MERGES = 8
+_UNI_MAX_DOC_WORDS = 128  # word-soup docs cap at 99 words at every SF
 
 
 def q_e67_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5198,7 +5199,12 @@ def q_e67_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return train_bpe(docs, "text", n_merges=BPE_MERGES, min_count=2)
 
 
-def _e67_sql() -> str:
+def _e67_stages(carry_word: bool = False) -> list:
+    """The BPE trainer's CTE chain (8 merge stages); ``carry_word`` keeps
+    the word string alongside its token array so the e76 encode oracle can
+    join documents back to their final segmentations — the merge selection
+    itself is identical either way."""
+    wc = "w, " if carry_word else ""
     stages = [f"""
 wf AS (
   SELECT w, count(*) AS wn FROM (
@@ -5207,7 +5213,7 @@ wf AS (
   ) WHERE w <> '' GROUP BY w
 ),
 w0 AS (
-  SELECT wn, list_append(regexp_extract_all(w, '.'), '</w>') AS toks FROM wf
+  SELECT {wc}wn, list_append(regexp_extract_all(w, '.'), '</w>') AS toks FROM wf
 )"""]
     for k in range(BPE_MERGES):
         stages.append(f"""
@@ -5222,7 +5228,7 @@ p{k} AS (
 ),
 m{k} AS (SELECT l, r, n FROM p{k} ORDER BY n DESC, l ASC, r ASC LIMIT 1),
 w{k + 1} AS (
-  SELECT wn,
+  SELECT {wc}wn,
     list_filter(
       string_split(
         CASE WHEN split_part(acc, chr(2), 2) = ''
@@ -5231,7 +5237,7 @@ w{k + 1} AS (
         END, chr(1)),
       t -> t <> '') AS toks
   FROM (
-    SELECT wn,
+    SELECT {wc}wn,
       list_reduce(
         list_prepend(chr(2), toks),
         (acc, x) -> CASE
@@ -5245,15 +5251,73 @@ w{k + 1} AS (
     FROM w{k} CROSS JOIN m{k}
   )
 )""")
+    return stages
+
+
+def _e67_sql() -> str:
     final = "\nUNION ALL ".join(
         f'SELECT {k} AS merge_rank, l AS "left", r AS "right", n AS pair_count'
         f" FROM m{k}"
         for k in range(BPE_MERGES)
     )
-    return "WITH " + ",".join(stages) + "\n" + final
+    return "WITH " + ",".join(_e67_stages()) + "\n" + final
 
 
 _E67_SQL = _e67_sql()
+
+
+# ---------------------------------------------------------------------------
+# E76: BPE ENCODE (operators/textstats.bpe_encode) — apply the trained
+# merge table back to the training corpus, completing the BPE lifecycle
+# (pair counts e61 -> train e67 -> encode e76) hash-checked end to end.
+# The oracle chains the trainer replay with the word string carried, then
+# joins documents back to their final segmentations.
+# ---------------------------------------------------------------------------
+
+
+def q_e76_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_sorter_spark.operators.textstats import bpe_encode, train_bpe
+
+    docs = _doc_subset(spark, sf_dir, DOC_SUBSET_MOD)
+    merges = [
+        (r["left"], r["right"])
+        for r in train_bpe(docs, "text", n_merges=BPE_MERGES, min_count=2)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    out = bpe_encode(docs, "doc_id", "text", merges)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "n_tokens",
+        F.array_join("tokens", " ").alias("enc"),
+    )
+
+
+def _e76_sql() -> str:
+    stages = _e67_stages(carry_word=True)
+    stages.append(f"""
+dwB AS (
+  SELECT d.doc_id, r.i AS wpos, d.ws[CAST(r.i AS INT)] AS w
+  FROM (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                       x -> x <> '') AS ws
+    FROM documents WHERE doc_id % {DOC_SUBSET_MOD} = 0
+  ) d, range(1, {_UNI_MAX_DOC_WORDS}+1) r(i)
+  WHERE r.i <= len(d.ws)
+)""")
+    return (
+        "WITH " + ",".join(stages)
+        + f"""
+SELECT dw.doc_id,
+       CAST(sum(len(s.toks)) AS BIGINT) AS n_tokens,
+       array_to_string(flatten(list(s.toks ORDER BY dw.wpos)), ' ') AS enc
+FROM dwB dw JOIN (SELECT w, toks FROM w{BPE_MERGES}) s USING (w)
+GROUP BY dw.doc_id"""
+    )
+
+
+_E76_SQL = _e76_sql()
 
 
 # ---------------------------------------------------------------------------
@@ -5532,9 +5596,6 @@ _E73_SQL = _e73_sql()
 # Single-char spans missing from the table fall back to the unk piece at
 # ppb 1 (never hit here: single chars are never pruned from the vocab).
 # ---------------------------------------------------------------------------
-
-_UNI_MAX_DOC_WORDS = 128  # word-soup docs cap at 99 words at every SF
-
 
 def q_e75_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from delta_sorter_spark.operators.textstats import (
@@ -6560,6 +6621,7 @@ _RECHECK_THIS_ROUND = [
     "e73_unigram_train",
     "e74_dsir_weights",
     "e75_unigram_encode",
+    "e76_bpe_encode",
 ]
 
 
@@ -6764,6 +6826,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e73_unigram_train": q_e73_unigram_train,
         "e74_dsir_weights": q_e74_dsir_weights,
         "e75_unigram_encode": q_e75_unigram_encode,
+        "e76_bpe_encode": q_e76_bpe_encode,
         "a47_corpus_profile": q_a47_corpus_profile,
         "m4_embed_topk": q_m4_embed_topk,
         "a43_span_report": q_a43_span_report,
@@ -6855,6 +6918,7 @@ def oracle_sql() -> dict[str, str]:
         "e73_unigram_train": _E73_SQL,
         "e74_dsir_weights": _E74_SQL,
         "e75_unigram_encode": _E75_SQL,
+        "e76_bpe_encode": _E76_SQL,
         "a47_corpus_profile": _A47_SQL,
         "m4_embed_topk": _M4_SQL,
         "a43_span_report": _A43_SQL,
