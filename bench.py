@@ -89,6 +89,9 @@ ENTRY_QUERIES = [
     # DSIR importance weights: one corpus explode to hashed bigrams, two
     # broadcast-back count tables — prices the target-vs-raw scoring scan
     "e74_dsir_weights",
+    # BPE lifecycle: train (8 merges) + encode the corpus with the learned
+    # table — the tokenize-the-corpus production cost, all JVM fold exprs
+    "e76_bpe_encode",
 ]
 
 
