@@ -751,7 +751,10 @@ class DeltaTable:
         return kept
 
     def stream_df(
-        self, where: str | None = None, skip_change_commits: bool = False
+        self,
+        where: str | None = None,
+        skip_change_commits: bool = False,
+        change_feed: bool = False,
     ) -> DataFrame:
         """Streaming read of this table (``readStream`` through the Python
         Data Source), exactly-once composable with ``foreachBatch`` +
@@ -764,7 +767,11 @@ class DeltaTable:
         one key range of a high-volume table schedules tasks only for the
         files that range can touch.  ``skip_change_commits`` maps to the
         source option of the same name (compaction rewrites skipped rather
-        than erroring)."""
+        than erroring).  ``change_feed=True`` streams the CHANGE FEED
+        instead (``readChangeFeed`` option): rows tagged
+        ``_change_type``/``_commit_version`` with the
+        ``operators/dml.table_changes`` semantics — exclusive with the
+        other two parameters."""
         import json as _json
 
         from delta_sorter_spark.sources.fs import capture_aws_env
@@ -779,6 +786,13 @@ class DeltaTable:
             .option("path", self.table_path)
             .option("awsEnv", _json.dumps(capture_aws_env()))
         )
+        if change_feed:
+            if skip_change_commits or where is not None:
+                raise ValueError(
+                    "change_feed=True cannot combine with where/"
+                    "skip_change_commits"
+                )
+            return reader.option("readChangeFeed", "true").load()
         if skip_change_commits:
             reader = reader.option("skipChangeCommits", "true")
         if where is not None:

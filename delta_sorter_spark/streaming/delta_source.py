@@ -19,6 +19,15 @@ Semantics follow Delta's streaming source (public protocol):
   always skipped: rewrites are not new data.  A tailed commit streams its
   OWN add files (still on disk until vacuum) — a later compaction inside
   the same range cannot drop its rows.
+- **Change feed** (``.option("readChangeFeed", "true")``): micro-batches
+  carry the CHANGES instead — rows tagged ``_change_type``
+  ('insert' | 'delete') and ``_commit_version``, with
+  ``operators/dml.table_changes``'s file-level, multiset-equivalent
+  semantics (DML removes feed as deletes through their prior deletion
+  vector; merge-on-read commits feed only the newly-DV-deleted rows;
+  compaction feeds nothing; the initial snapshot feeds as inserts).
+  Downstream incremental consumers (operators/rollup.py's signed
+  aggregates) apply each batch as old - deletes + inserts.
 - **Exactly-once**: offsets are log versions; Spark's checkpoint replays
   ranges deterministically (the file list per version range is a pure
   function of the log).
@@ -61,6 +70,12 @@ FILE_COL = "__delta_file__"
 # row index inside the source file, DVs NOT applied — the jar-free stand-in
 # for parquet ``_metadata.row_index`` that remote DV deletes address rows by.
 POS_COL = "__pos__"
+# appended by .option("readChangeFeed", "true"): the Delta CDF columns —
+# each micro-batch then carries the CHANGES of its version range
+# ('insert' | 'delete' rows, operators/dml.table_changes semantics) instead
+# of refusing data-changing commits.
+CDF_TYPE_COL = "_change_type"
+CDF_VERSION_COL = "_commit_version"
 
 
 @dataclass
@@ -82,6 +97,13 @@ class DeltaFilePartition(InputPartition):
     # (DVs unapplied) or overwrite the user's values
     emit_file_col: bool = False
     emit_pos_col: bool = False
+    # change-feed partitions: emit rows tagged (cdf_type, cdf_version);
+    # keep_positions, when set, restricts the read to EXACTLY those row
+    # indices (the newly-DV-deleted rows of a merge-on-read commit) —
+    # mutually exclusive with deleted_positions-based dropping
+    cdf_type: str = ""
+    cdf_version: int = -1
+    keep_positions: tuple | None = None
 
 
 def _arrow_type(dtype: T.DataType):
@@ -104,7 +126,10 @@ def _read_file(part: DeltaFilePartition):
     # Spark filesystem connector jars
     tbl = pq.read_table(pyarrow_open_input(part.file_path))
     positions = list(range(tbl.num_rows))
-    if part.deleted_positions and not part.emit_pos_col:
+    if part.keep_positions is not None:
+        # change-feed DV-delta partition: exactly the newly deleted rows
+        tbl = tbl.take([i for i in part.keep_positions if i < tbl.num_rows])
+    elif part.deleted_positions and not part.emit_pos_col:
         # a positional scan is RAW by contract (existing DVs not applied);
         # plain reads drop the deleted rows here
         dead = set(part.deleted_positions)
@@ -119,6 +144,14 @@ def _read_file(part: DeltaFilePartition):
             continue
         if f.name == POS_COL and part.emit_pos_col:
             cols.append(pa.array(positions[:n], type=pa.int64()))
+            names.append(f.name)
+            continue
+        if f.name == CDF_TYPE_COL and part.cdf_type:
+            cols.append(pa.array([part.cdf_type] * n, type=pa.string()))
+            names.append(f.name)
+            continue
+        if f.name == CDF_VERSION_COL and part.cdf_type:
+            cols.append(pa.array([part.cdf_version] * n, type=pa.int64()))
             names.append(f.name)
             continue
         if f.name in part.partition_columns:
@@ -194,8 +227,34 @@ class _DeltaSourceCore:
             str(options.get("withFilePath", "false")).lower() == "true"
         )
         self.with_pos = str(options.get("withPositions", "false")).lower() == "true"
+        self.read_change_feed = (
+            str(options.get("readChangeFeed", "false")).lower() == "true"
+        )
+        if self.read_change_feed and (
+            self.with_file or self.with_pos or self.skip_change_commits
+        ):
+            raise ValueError(
+                "delta_sorter source: readChangeFeed cannot combine with "
+                "withFilePath/withPositions/skipChangeCommits"
+            )
+        if self.read_change_feed and options.get("where"):
+            # pruning either side of the feed breaks old-delete+new-insert
+            # pairing for incremental consumers — refuse, never silently
+            raise ValueError(
+                "delta_sorter source: readChangeFeed cannot combine with "
+                "the 'where' file-pruning option"
+            )
         meta = self.log.read_state(at_version=at_version).metadata
         _check_reserved_columns(meta.schema, self.with_file, self.with_pos)
+        if self.read_change_feed:
+            clashes = [
+                c for c in (CDF_TYPE_COL, CDF_VERSION_COL) if c in meta.schema.names
+            ]
+            if clashes:
+                raise ValueError(
+                    f"delta_sorter source: table already has column(s) "
+                    f"{clashes}; readChangeFeed cannot synthesize over user data"
+                )
         # .option("where", ...) = zone-map FILE pruning at plan time
         # (functions/skipping.py): a file whose stats exclude the predicate
         # gets no partition.  Rows are NOT filtered here — callers wanting
@@ -224,12 +283,23 @@ class _DeltaSourceCore:
             extra.append(T.StructField(FILE_COL, T.StringType()))
         if self.with_pos and POS_COL not in pinned.names:
             extra.append(T.StructField(POS_COL, T.LongType()))
+        if self.read_change_feed and CDF_TYPE_COL not in pinned.names:
+            extra.append(T.StructField(CDF_TYPE_COL, T.StringType()))
+            extra.append(T.StructField(CDF_VERSION_COL, T.LongType()))
         if extra:
             pinned = T.StructType(list(pinned.fields) + extra)
         self.schema_json = json.dumps(pinned.jsonValue())
         self.partition_columns = tuple(meta.partition_columns)
 
-    def _part_for(self, path, partition_values, deleted_positions):
+    def _part_for(
+        self,
+        path,
+        partition_values,
+        deleted_positions,
+        cdf_type: str = "",
+        cdf_version: int = -1,
+        keep_positions=None,
+    ):
         from delta_sorter_spark.sources.fs import capture_aws_env, is_remote_uri
 
         return DeltaFilePartition(
@@ -244,7 +314,79 @@ class _DeltaSourceCore:
             # addressed as (path, pos) pairs)
             emit_file_col=self.with_file or self.with_pos,
             emit_pos_col=self.with_pos,
+            cdf_type=cdf_type,
+            cdf_version=cdf_version,
+            keep_positions=(
+                tuple(keep_positions) if keep_positions is not None else None
+            ),
         )
+
+    def cdf_partitions_for_version(self, v: int) -> list[DeltaFilePartition]:
+        """Change-feed partitions of commit ``v`` — the streaming,
+        Spark-free twin of ``operators/dml.table_changes``'s per-version
+        loop (same file-level granularity, same multiset-equivalence
+        contract: old - deletes + inserts reproduces the next snapshot):
+
+        - same-path remove+add where the add carries a deletion vector
+          (merge-on-read DML): feed ONLY the newly deleted positions as
+          'delete' (``keep_positions``);
+        - other data-changing removes: feed the file's live rows (prior
+          DV applied) as 'delete';
+        - other data-changing adds: feed the whole file as 'insert';
+        - compaction (dataChange=false) emits nothing.
+
+        O(changed files of v): one prior-state replay bounds the DV and
+        partition-value lookups."""
+        adds: dict[str, dict] = {}
+        removes: list[str] = []
+        for action in self.log.commit_actions(v):
+            if "add" in action and action["add"].get("dataChange", True):
+                adds[action["add"]["path"]] = action["add"]
+            elif "remove" in action and action["remove"].get("dataChange", True):
+                removes.append(action["remove"]["path"])
+        if not adds and not removes:
+            return []
+        prev = {a.path: a for a in self.log.read_state(at_version=v - 1).adds}
+        parts: list[DeltaFilePartition] = []
+        dv_delta = {
+            p for p, a in adds.items() if a.get("deletionVector") and p in removes
+        }
+        for p in sorted(dv_delta):
+            new_add = AddAction(
+                path=p, size=0, deletion_vector=adds[p].get("deletionVector")
+            )
+            new_pos = set(_dv_positions(self.table_path, new_add))
+            old_pos = (
+                set(_dv_positions(self.table_path, prev[p])) if p in prev else set()
+            )
+            fresh = sorted(new_pos - old_pos)
+            if fresh:
+                pv = prev[p].partition_values if p in prev else {}
+                parts.append(
+                    self._part_for(
+                        p, pv, (), cdf_type="delete", cdf_version=v,
+                        keep_positions=fresh,
+                    )
+                )
+        for p in removes:
+            if p in dv_delta:
+                continue
+            prior = prev.get(p)
+            pv = prior.partition_values if prior else {}
+            dv = _dv_positions(self.table_path, prior) if prior else ()
+            parts.append(
+                self._part_for(p, pv, dv, cdf_type="delete", cdf_version=v)
+            )
+        for p, ad in adds.items():
+            if p in dv_delta:
+                continue
+            parts.append(
+                self._part_for(
+                    p, ad.get("partitionValues", {}), (),
+                    cdf_type="insert", cdf_version=v,
+                )
+            )
+        return parts
 
     def prune(self, adds):
         """Zone-map + Bloom-index prune an Add list by the ``where`` option
@@ -277,6 +419,18 @@ class _DeltaSourceCore:
 
     def snapshot_partitions(self, at_version=None) -> list[DeltaFilePartition]:
         state = self.log.read_state(at_version=at_version)
+        if self.read_change_feed:
+            # initial snapshot feeds as 'insert' at the snapshot version
+            # (Delta's streaming-CDF convention), DVs applied by replay
+            v = state.version if at_version is None else int(at_version)
+            return [
+                self._part_for(
+                    a.path, a.partition_values,
+                    _dv_positions(self.table_path, a),
+                    cdf_type="insert", cdf_version=v,
+                )
+                for a in state.adds
+            ]
         return [
             self._part_for(
                 a.path, a.partition_values, _dv_positions(self.table_path, a)
@@ -298,6 +452,11 @@ class DeltaBatchReader(DataSourceReader):
     ``DeltaTable._to_df_remote`` is the producer of this option."""
 
     def __init__(self, options, schema=None):
+        if str(options.get("readChangeFeed", "false")).lower() == "true":
+            raise ValueError(
+                "delta_sorter source: readChangeFeed is a streaming option; "
+                "the batch change feed is operators/dml.table_changes"
+            )
         v = options.get("versionAsOf")
         self.at_version = int(v) if v is not None else None
         raw_files = options.get("files")
@@ -368,6 +527,11 @@ class DeltaStreamReader(DataSourceStreamReader):
             return []
         if sv < 0:  # initial snapshot (removes + DVs honored by replay)
             return core.snapshot_partitions(at_version=ev)
+        if core.read_change_feed:
+            parts = []
+            for v in range(sv + 1, ev + 1):
+                parts.extend(core.cdf_partitions_for_version(v))
+            return parts
         parts = []
         for v in range(sv + 1, ev + 1):
             actions = log.commit_actions(v)
@@ -426,7 +590,10 @@ class DeltaStreamDataSource(DataSource):
     ``spark.dataSource.register(DeltaStreamDataSource)``.
 
     Options: ``path`` (local dir or s3:// URI), ``versionAsOf`` (batch time
-    travel), ``skipChangeCommits`` (streaming), ``awsEnv`` (JSON of the
+    travel), ``skipChangeCommits`` (streaming), ``readChangeFeed``
+    (streaming change feed: _change_type/_commit_version-tagged rows,
+    exclusive with skipChangeCommits/where/withFilePath/withPositions),
+    ``awsEnv`` (JSON of the
     driver's AWS settings — ``fs.capture_aws_env()`` — required for remote
     URIs whenever those settings changed after the SparkSession started,
     because the source's planner runs in python workers that inherit the
@@ -447,6 +614,17 @@ class DeltaStreamDataSource(DataSource):
             extra.append(T.StructField(FILE_COL, T.StringType()))
         if with_pos:
             extra.append(T.StructField(POS_COL, T.LongType()))
+        if str(self.options.get("readChangeFeed", "false")).lower() == "true":
+            clashes = [
+                c for c in (CDF_TYPE_COL, CDF_VERSION_COL) if c in schema.names
+            ]
+            if clashes:
+                raise ValueError(
+                    f"delta_sorter source: table already has column(s) "
+                    f"{clashes}; readChangeFeed cannot synthesize over user data"
+                )
+            extra.append(T.StructField(CDF_TYPE_COL, T.StringType()))
+            extra.append(T.StructField(CDF_VERSION_COL, T.LongType()))
         if extra:
             schema = T.StructType(list(schema.fields) + extra)
         return schema

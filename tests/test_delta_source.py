@@ -302,3 +302,185 @@ def test_stream_where_prunes_files_and_filters_rows(registered, tmp_path):
     q.awaitTermination(120)
     got = sorted(r.k for r in spark.read.parquet(out).collect())
     assert got == sorted(list(range(100, 121)) + [110, 111])
+
+
+# ---------------------------------------------------------------------------
+# readChangeFeed: streaming change feed (table_changes semantics per
+# micro-batch — insert/delete rows tagged _change_type/_commit_version)
+# ---------------------------------------------------------------------------
+
+
+def _drain_cdf(spark, path, out, ck):
+    q = (
+        spark.readStream.format("delta_sorter")
+        .option("path", path)
+        .option("readChangeFeed", "true")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.read.parquet(out)
+
+
+def test_change_feed_stream_matches_batch_table_changes(registered, tmp_path):
+    """After the initial snapshot, every micro-batch's rows equal the batch
+    change feed of its version range — copy-on-write DELETE, merge-on-read
+    UPDATE (DV delta), and append all covered."""
+    from delta_sorter_spark.operators.dml import (
+        delete_where,
+        table_changes,
+        update_where_dv,
+    )
+
+    spark = registered
+    path = str(tmp_path / "t")
+    DeltaTable.create(
+        spark, path,
+        spark.range(0, 40).select(
+            F.col("id"), (F.col("id") % 4).alias("v")
+        ).coalesce(2),
+    )
+    t = DeltaTable(spark, path)
+    v0 = t.log.latest_version()
+
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    got = _drain_cdf(spark, path, out, ck)  # initial snapshot: all inserts
+    rows = got.collect()
+    assert len(rows) == 40
+    assert {r["_change_type"] for r in rows} == {"insert"}
+    assert {r["_commit_version"] for r in rows} == {v0}
+
+    delete_where(t, "id % 4 = 3")                      # copy-on-write
+    update_where_dv(t, "id % 4 = 1", {"v": "99"})      # merge-on-read
+    t.append(spark.createDataFrame([(100, 7)], "id long, v long"))
+    v1 = t.log.latest_version()
+
+    got = _drain_cdf(spark, path, out, ck)  # same checkpoint: tail only
+    tail = [
+        (r["id"], r["v"], r["_change_type"], r["_commit_version"])
+        for r in got.collect()
+        if r["_commit_version"] > v0
+    ]
+    expected = [
+        (r["id"], r["v"], r["_change_type"], r["_commit_version"])
+        for r in table_changes(t, v0, v1).collect()
+    ]
+    assert sorted(tail) == sorted(expected)
+
+
+def test_change_feed_multiset_equivalence(registered, tmp_path):
+    """Applying the whole feed (inserts - deletes) reproduces the final
+    table — the contract incremental consumers rely on."""
+    from delta_sorter_spark.api import compact
+    from delta_sorter_spark.operators.dml import delete_where_dv, upsert
+
+    spark = registered
+    path = str(tmp_path / "t")
+    DeltaTable.create(
+        spark, path,
+        spark.range(0, 30).select(F.col("id"), (F.col("id") * 2).alias("v")),
+    )
+    t = DeltaTable(spark, path)
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    _drain_cdf(spark, path, out, ck)
+
+    delete_where_dv(t, "id < 5")
+    upsert(
+        t,
+        spark.createDataFrame(
+            [(7, 700), (300, 600)], "id long, v long"
+        ),
+        ["id"],
+    )
+    # compaction must emit NOTHING into the feed
+    compact(path, sort_columns=["id"], spark=spark)
+
+    feed = _drain_cdf(spark, path, out, ck)
+    applied = (
+        feed.groupBy("id", "v")
+        .agg(
+            F.sum(
+                F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+            ).alias("n")
+        )
+        .where(F.col("n") != 0)
+    )
+    assert {r["n"] for r in applied.collect()} == {1}
+    got = sorted((r["id"], r["v"]) for r in applied.collect())
+    want = sorted(
+        (r["id"], r["v"])
+        for r in DeltaTable(spark, path).to_df().collect()
+    )
+    assert got == want
+
+
+def test_change_feed_option_conflicts(registered, tmp_path):
+    spark = registered
+    path = str(tmp_path / "t")
+    DeltaTable.create(
+        spark, path, spark.createDataFrame([(1, 2)], "id long, v long")
+    )
+    from delta_sorter_spark.streaming.delta_source import _DeltaSourceCore
+
+    # readStream.load() defers planning; validate at the core directly
+    for bad in (
+        {"skipChangeCommits": "true"},
+        {"withFilePath": "true"},
+        {"where": "id > 0"},
+    ):
+        with pytest.raises(ValueError, match="readChangeFeed"):
+            _DeltaSourceCore({"path": path, "readChangeFeed": "true", **bad})
+    with pytest.raises(Exception, match="readChangeFeed"):
+        (
+            spark.read.format("delta_sorter")
+            .option("path", path)
+            .option("readChangeFeed", "true")
+            .load()
+            .collect()
+        )
+
+
+def test_change_feed_refuses_user_cdf_column(registered, tmp_path):
+    spark = registered
+    path = str(tmp_path / "t")
+    DeltaTable.create(
+        spark, path,
+        spark.createDataFrame([(1, "x")], "id long, _change_type string"),
+    )
+    from delta_sorter_spark.streaming.delta_source import _DeltaSourceCore
+
+    with pytest.raises(ValueError, match="_change_type"):
+        _DeltaSourceCore({"path": path, "readChangeFeed": "true"})
+
+
+def test_stream_df_change_feed_helper(registered, tmp_path):
+    from delta_sorter_spark.operators.dml import delete_where
+
+    spark = registered
+    path = str(tmp_path / "t")
+    DeltaTable.create(
+        spark, path,
+        spark.range(0, 10).select(F.col("id"), (F.col("id") * 3).alias("v")),
+    )
+    t = DeltaTable(spark, path)
+    delete_where(t, "id >= 8")
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = (
+        t.stream_df(change_feed=True)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    # snapshot-at-latest: the 8 survivors as inserts, no deletes
+    assert got.count() == 8
+    assert {r["_change_type"] for r in got.collect()} == {"insert"}
+    with pytest.raises(ValueError, match="change_feed"):
+        t.stream_df(change_feed=True, where="id > 1")
