@@ -97,7 +97,14 @@ def incremental_rollup_cdc(
     (dataChange=false commits are silent in the feed).
 
     Windows whose counts net to zero remain as explicit zero rows (the
-    upsert has no delete branch); consumers filter ``n_events > 0``."""
+    upsert has no delete branch); consumers filter ``n_events > 0``.
+
+    Streaming twin: feed ``stream_df(change_feed=True)`` through
+    ``foreachBatch`` and compute the signed partials INSIDE the batch
+    function before the additive merge — a stateful streaming groupBy
+    would emit cumulative totals in update mode, which double-count
+    through an additive sink (pinned by
+    tests/test_delta_source.py::test_change_feed_drives_incremental_rollup)."""
     from delta_sorter_spark.operators.dml import table_changes
 
     current_version = source.state().version

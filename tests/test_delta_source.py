@@ -484,3 +484,83 @@ def test_stream_df_change_feed_helper(registered, tmp_path):
     assert {r["_change_type"] for r in got.collect()} == {"insert"}
     with pytest.raises(ValueError, match="change_feed"):
         t.stream_df(change_feed=True, where="id > 1")
+
+
+def test_change_feed_drives_incremental_rollup(registered, tmp_path):
+    """Streaming incremental view maintenance end to end: the change-feed
+    stream feeds signed window partials (deletes count negative) through
+    the exactly-once additive merge sink; after an append AND a
+    copy-on-write delete the maintained rollup equals the batch
+    recompute of the final table."""
+    from delta_sorter_spark.operators.dml import delete_where
+    from delta_sorter_spark.operators.rollup import _signed_partials
+    from delta_sorter_spark.streaming.events import delta_merge_sink
+
+    spark = registered
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    schema = "ts string, event_type string, value double"
+    rows1 = [
+        ("2024-01-01 00:05:00", "a", 1.0),
+        ("2024-01-01 00:15:00", "b", 2.0),
+        ("2024-01-01 01:10:00", "a", 3.0),
+    ]
+    rows2 = [("2024-01-01 00:40:00", "a", 5.0)]
+
+    def mk(rows):
+        return spark.createDataFrame(rows, schema).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+
+    DeltaTable.create(spark, src, mk(rows1))
+    DeltaTable.create(
+        spark, dst,
+        spark.createDataFrame(
+            [],
+            "window_start string, event_type string,"
+            " n_events long, total_value double",
+        ),
+    )
+    sink = delta_merge_sink(
+        dst, ["window_start", "event_type"], "cdf-ivm",
+        when_matched_update={
+            "n_events": "t.n_events + s.n_events",
+            "total_value": "t.total_value + s.total_value",
+        },
+    )
+
+    def apply(batch_df, batch_id):
+        # aggregate INSIDE foreachBatch: per-batch deltas for the additive
+        # merge (a stateful streaming groupBy would emit CUMULATIVE totals
+        # in update mode — wrong input for an additive sink)
+        sink(_signed_partials(batch_df, "1 hour"), batch_id)
+
+    def run():
+        changes = DeltaTable(spark, src).stream_df(change_feed=True)
+        q = (
+            changes.writeStream.foreachBatch(apply)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    t = DeltaTable(spark, src)
+    delete_where(t, "event_type = 'b'")  # copy-on-write: feeds deletes
+    t.append(mk(rows2))
+    run()
+
+    got = sorted(
+        (r["window_start"], r["event_type"], r["n_events"], r["total_value"])
+        for r in DeltaTable(spark, dst).to_df().where("n_events > 0").collect()
+    )
+    want = sorted(
+        (r["window_start"], r["event_type"], r["n_events"], r["total_value"])
+        for r in _signed_partials(
+            DeltaTable(spark, src).to_df().withColumn(
+                "_change_type", F.lit("insert")
+            ),
+            "1 hour",
+        ).collect()
+    )
+    assert got == want
