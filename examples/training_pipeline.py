@@ -2,7 +2,8 @@
 boilerplate-line strip -> profile -> exact-dup removal -> length-band
 outlier pruning -> quality filter -> cross-batch incremental dedup against
 a persistent hash index -> retrieval + KMV contamination screens ->
-domain-mixing sample -> deterministic split -> token-budget packing.
+domain-mixing sample -> DSIR target-domain selection -> deterministic
+split -> token-budget packing.
 
 Every stage is a DataFrame transform (no driver materialization) and every
 stage is deterministic, so reruns produce byte-identical corpora — the two
@@ -121,6 +122,25 @@ def main() -> None:
         default_rate=0.5,
     )
 
+    # 3c. DSIR target-domain selection (Xie et al. 2023): score every doc
+    # by the hashed-bigram likelihood ratio of the English slice vs the raw
+    # corpus (integer bit-length log surrogate — deterministic), then
+    # importance-resample with 2^avg_bits as the weight.  At 100 TB the
+    # count tables stay <= num_buckets rows (broadcast), the per-doc rollup
+    # is the only corpus shuffle, and the top-k is TakeOrderedAndProject.
+    from delta_sorter_spark.operators.sampling import weighted_priority_sample
+    from delta_sorter_spark.operators.textstats import dsir_weights
+
+    scores = dsir_weights(
+        mixed.join(docs.select("doc_id", "text", "lang"), "doc_id"),
+        "doc_id", "text", "lang = 'en'", n=2,
+    )
+    selected = weighted_priority_sample(
+        scores, "doc_id", "pow(2.0, avg_bits)", k=max(1, n0 // 2),
+        seed="dsir-v1",
+    )
+    mixed = mixed.join(selected.select("doc_id"), "doc_id")
+
     # 4. LEAKAGE-SAFE split: near-duplicate clusters (LSH candidate pairs ->
     # connected components) land in one split each, so val/test never hold a
     # paraphrase of a training document; plain hash_split stays the right
@@ -176,7 +196,7 @@ def main() -> None:
     print(f"audit hits:     {audit_hits}")
     print(f"eval overlap:   {overlap['jaccard_ppm']} ppm"
           f" (matches {overlap['matches']}/{overlap['k_union']})")
-    print(f"after mixing:   {n_mixed}")
+    print(f"after mixing:   {n_mixed}")  # post-DSIR selection
     print(f"train shard:    {n_train}")
     print(f"packed bins:    {n_bins}")
     print(f"bpe merges:     {n_merges_learned}")
