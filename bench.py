@@ -325,6 +325,37 @@ def main() -> int:
             sorted(batch_times)[len(batch_times) // 2], 3
         )
 
+    # -- streaming change feed: drain the initial snapshot, run a
+    # copy-on-write DELETE + an append, then price the CDF tail pass
+    # (planner replays the changed versions Spark-free; rows arrive
+    # tagged _change_type/_commit_version) — the incremental-view feed
+    cdf_src = os.path.join(workdir, "cdf_src")
+    DeltaTable.create(
+        spark, cdf_src,
+        _load(spark, SF_DIR, "events").limit(20000).repartition(4),
+    )
+    cdf_out = os.path.join(workdir, "cdf_out")
+    cdf_ck = os.path.join(workdir, "cdf_ck")
+
+    def cdf_pass():
+        q = (
+            DeltaTable(spark, cdf_src).stream_df(change_feed=True)
+            .writeStream.format("parquet")
+            .option("path", cdf_out)
+            .option("checkpointLocation", cdf_ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    cdf_pass()  # snapshot drain (untimed warm-up)
+    from delta_sorter_spark.operators.dml import delete_where
+
+    cdf_tbl = DeltaTable(spark, cdf_src)
+    delete_where(cdf_tbl, "event_id % 10 = 3")
+    cdf_tbl.append(_load(spark, SF_DIR, "events").limit(2000).coalesce(1))
+    timed("stream_cdf_tail", cdf_pass)
+
     # -- query workloads (full computation via noop sink) -------------------
     # one untimed pre-run per query (codegen compile + exchange reuse JIT),
     # then best-of-2 timed runs: this VM shares a host and single runs show
