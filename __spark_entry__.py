@@ -62,6 +62,7 @@ DOC_SUBSET_MOD = 5  # documents subset for minhash/simhash (100 docs)
 JACCARD_SUBSET_MOD = 25  # documents subset for exact jaccard (20 docs)
 JACCARD_THRESHOLD = 0.5
 QUERY_VEC_MOD = 50  # embedding query subset (10 queries)
+CDF_MOD = 10  # orderkey modulus for the scratch-table DML/CDF scenarios
 TOPK = 5
 EMB_DIM = 64
 N_PLANES = 8
@@ -2875,6 +2876,78 @@ SELECT strftime(make_timestamp(wstart * 1000000), '{_TS_FMT_DUCK}') AS window_st
        count(*) AS n_events,
        CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
 FROM ex GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# S5: streaming change feed — a REAL Structured Streaming drain of the
+# Delta source's readChangeFeed mode, hash-checked.  Single-file scratch
+# table makes the file-level feed fully deterministic: the initial
+# snapshot feeds as inserts at the data-commit version (1), a
+# copy-on-write DELETE feeds the whole file as deletes + the survivors as
+# re-inserts (2), an append feeds as inserts (3) — the oracle states all
+# four row groups relationally.
+# ---------------------------------------------------------------------------
+
+
+def q_s5_change_feed_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from delta_sorter_spark.operators.dml import delete_where
+    from delta_sorter_spark.sources.delta_table import DeltaTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    mod = F.col("o_orderkey") % CDF_MOD
+    scratch = tempfile.mkdtemp(prefix="s5_cdf_")
+    try:
+        tbl = DeltaTable.create(
+            spark, os.path.join(scratch, "t"),
+            orders.where(mod < 8).coalesce(1),
+        )
+        out = os.path.join(scratch, "out")
+        ck = os.path.join(scratch, "ck")
+
+        def drain():
+            q = (
+                tbl.stream_df(change_feed=True)
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+
+        drain()  # initial snapshot
+        delete_where(tbl, f"o_orderkey % {CDF_MOD} = 3")
+        tbl.append(orders.where(mod == 8).coalesce(1))
+        drain()  # change-feed tail
+        res = spark.read.parquet(out).select(
+            "o_orderkey", "o_orderstatus", "_change_type", "_commit_version"
+        )
+        return res.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+_S5_SQL = f"""
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey % {CDF_MOD} < 8
+)
+SELECT o_orderkey, o_orderstatus, 'insert' AS _change_type,
+       CAST(1 AS BIGINT) AS _commit_version FROM base
+UNION ALL
+SELECT o_orderkey, o_orderstatus, 'delete', CAST(2 AS BIGINT) FROM base
+UNION ALL
+SELECT o_orderkey, o_orderstatus, 'insert', CAST(2 AS BIGINT) FROM base
+WHERE o_orderkey % {CDF_MOD} <> 3
+UNION ALL
+SELECT o_orderkey, o_orderstatus, 'insert', CAST(3 AS BIGINT)
+FROM orders WHERE o_orderkey % {CDF_MOD} = 8
 """
 
 
@@ -5890,8 +5963,6 @@ WHERE len(ls) > (SELECT count(*) FROM kept k WHERE k.doc_id = d.doc_id)
 # table is removed.
 # ---------------------------------------------------------------------------
 
-CDF_MOD = 10
-
 
 def q_q5_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
@@ -6622,6 +6693,7 @@ _RECHECK_THIS_ROUND = [
     "e74_dsir_weights",
     "e75_unigram_encode",
     "e76_bpe_encode",
+    "s5_change_feed_stream",
 ]
 
 
@@ -6788,6 +6860,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e26_bloom_prefilter": q_e26_bloom_prefilter,
         "p1_quality_dedup_pipeline": q_p1_quality_dedup_pipeline,
         "s4_sliding_windows": q_s4_sliding_windows,
+        "s5_change_feed_stream": q_s5_change_feed_stream,
         "m3_frame_sample": q_m3_frame_sample,
         "e35_redaction": q_e35_redaction,
         "e36_hilbert": q_e36_hilbert,
@@ -6972,6 +7045,7 @@ def oracle_sql() -> dict[str, str]:
         "e26_bloom_prefilter": _E26_SQL,
         "p1_quality_dedup_pipeline": _P1_SQL,
         "s4_sliding_windows": _S4_SQL,
+        "s5_change_feed_stream": _S5_SQL,
         "e32_chunk_dedup": _E32_SQL,
         "m3_frame_sample": _M3_SQL,
         "e35_redaction": _E35_SQL,
