@@ -6658,6 +6658,173 @@ FROM orders WHERE o_orderkey % {CDF_MOD} < 8
 """
 
 
+# ---------------------------------------------------------------------------
+# E77: the full Gopher quality rule set (operators/quality.gopher_rules,
+# Rae et al. 2021 §A1.1) — per document every rule's measured value plus the
+# combined verdict.  The oracle replays all thirteen rules in DuckDB list
+# SQL; the n-gram repetition family replays the explode + group-by exactly.
+# ---------------------------------------------------------------------------
+
+GOPHER_TOP_N, GOPHER_DUP_N = 2, 5
+
+
+def q_e77_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_sorter_spark.operators.quality import gopher_rules
+
+    return gopher_rules(
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        top_ngram_n=GOPHER_TOP_N,
+        dup_ngram_n=GOPHER_DUP_N,
+    )
+
+
+_STOPW = "','".join(["the", "be", "to", "of", "and", "that", "have", "with"])
+_E77_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                     w -> w <> '') AS words,
+         list_filter(list_transform(string_split(text, chr(10)),
+                                    l -> trim(l)), l -> l <> '') AS lines,
+         text
+  FROM documents
+), scal AS (
+  SELECT doc_id,
+         len(words) AS n_words,
+         round(CAST(list_sum(list_transform(words, w -> length(w)))
+               AS DOUBLE) / nullif(len(words), 0), 6) AS mean_word_len,
+         round(CAST(length(text) - length(replace(text, '#', ''))
+               + (length(text) - length(replace(text, '...', ''))) // 3
+               + length(text) - length(replace(text, '…', '')) AS DOUBLE)
+               / nullif(len(words), 0), 6) AS symbol_word_ratio,
+         round(CAST(len(list_filter(lines,
+                 l -> substring(l, 1, 1) IN ('•','‣','▪','-','*')))
+               AS DOUBLE) / nullif(len(lines), 0), 6) AS bullet_line_frac,
+         round(CAST(len(list_filter(lines,
+                 l -> l LIKE '%...' OR l LIKE '%…'))
+               AS DOUBLE) / nullif(len(lines), 0), 6) AS ellipsis_line_frac,
+         round(CAST(len(list_filter(words, w -> regexp_matches(w, '[a-z]')))
+               AS DOUBLE) / nullif(len(words), 0), 6) AS alpha_word_frac,
+         CAST(len(list_filter(['{_STOPW}'], s -> list_contains(words, s)))
+              AS INT) AS stopword_hits,
+         round(CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)
+               / nullif(len(lines), 0), 6) AS dup_line_frac,
+         round(CAST(list_sum(list_transform(lines, l -> length(l)))
+                    - list_sum(list_transform(list_distinct(lines),
+                                              l -> length(l))) AS DOUBLE)
+               / nullif(list_sum(list_transform(lines, l -> length(l))), 0),
+               6) AS dup_line_char_frac,
+         list_sum(list_transform(words, w -> length(w)))
+           + greatest(len(words) - 1, 0) AS norm_chars
+  FROM base
+), grams AS (
+  SELECT doc_id, 't' AS tag,
+         unnest(list_transform(
+           range(1, greatest(len(words) - {GOPHER_TOP_N - 1}, 0) + 1),
+           i -> array_to_string(
+                  list_slice(words, i, i + {GOPHER_TOP_N - 1}), ' ')))
+           AS gram
+  FROM base
+  UNION ALL
+  SELECT doc_id, 'd',
+         unnest(list_transform(
+           range(1, greatest(len(words) - {GOPHER_DUP_N - 1}, 0) + 1),
+           i -> array_to_string(
+                  list_slice(words, i, i + {GOPHER_DUP_N - 1}), ' ')))
+  FROM base
+), counted AS (
+  SELECT doc_id, tag, gram, count(*) AS cnt FROM grams GROUP BY 1, 2, 3
+), ng AS (
+  SELECT doc_id,
+         max(CASE WHEN tag = 't' THEN cnt * length(gram) END)
+           AS top_ngram_chars,
+         coalesce(sum(CASE WHEN tag = 'd' AND cnt > 1
+                           THEN cnt * length(gram) END), 0)
+           AS dup_ngram_chars
+  FROM counted GROUP BY 1
+)
+SELECT s.doc_id, n_words, mean_word_len, symbol_word_ratio,
+       bullet_line_frac, ellipsis_line_frac, alpha_word_frac, stopword_hits,
+       dup_line_frac, dup_line_char_frac,
+       round(CAST(top_ngram_chars AS DOUBLE) / nullif(norm_chars, 0), 6)
+         AS top_ngram_char_frac,
+       round(CAST(coalesce(dup_ngram_chars, 0) AS DOUBLE)
+             / nullif(norm_chars, 0), 6) AS dup_ngram_char_frac,
+       coalesce(n_words BETWEEN 50 AND 100000
+         AND mean_word_len BETWEEN 3.0 AND 10.0
+         AND symbol_word_ratio <= 0.1
+         AND bullet_line_frac <= 0.9
+         AND ellipsis_line_frac <= 0.3
+         AND alpha_word_frac >= 0.8
+         AND stopword_hits >= 2
+         AND dup_line_frac <= 0.30
+         AND dup_line_char_frac <= 0.20
+         AND CAST(top_ngram_chars AS DOUBLE) / nullif(norm_chars, 0) <= 0.20
+         AND CAST(coalesce(dup_ngram_chars, 0) AS DOUBLE)
+             / nullif(norm_chars, 0) <= 0.15, FALSE) AS gopher_pass
+FROM scal s LEFT JOIN ng USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# E78: C4-style line/document cleaning (operators/quality.c4_clean, Raffel
+# et al. 2020 §2.2).  The corpus is single-line punctuation-free word soup,
+# so the registry call relaxes the terminal-punctuation / min-sentence knobs
+# (rule sets are corpus config) to keep the hashed values non-trivial — the
+# strict C4 defaults are pinned on crafted fixtures in tests/test_quality.py.
+# ---------------------------------------------------------------------------
+
+C4_MIN_WORDS = 5
+
+
+def q_e78_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_sorter_spark.operators.quality import c4_clean
+
+    return c4_clean(
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        min_words_per_line=C4_MIN_WORDS,
+        min_sentences=0,
+        require_terminal_punct=False,
+    )
+
+
+_E78_SQL = f"""
+WITH base AS (
+  SELECT doc_id, text,
+         list_filter(list_transform(string_split(text, chr(10)),
+                                    l -> trim(l)), l -> l <> '') AS lines
+  FROM documents
+), k AS (
+  SELECT doc_id, text, lines,
+         list_filter(lines, l ->
+            len(list_filter(string_split_regex(l, '\\s+'), w -> w <> ''))
+              >= {C4_MIN_WORDS}
+            AND NOT contains(lower(l), 'javascript')) AS kept
+  FROM base
+), c AS (
+  SELECT doc_id, len(lines) AS n_lines, len(kept) AS n_kept_lines,
+         array_to_string(kept, chr(10)) AS cleaned,
+         coalesce(length(regexp_replace(array_to_string(kept, chr(10)),
+                                        '[^.!?]', '', 'g')), 0)
+           AS n_sentences,
+         contains(lower(text), 'lorem ipsum') AS lorem,
+         contains(text, '{{') AS brace
+  FROM k
+)
+SELECT doc_id, n_lines, n_kept_lines, n_sentences,
+       (NOT lorem AND NOT brace AND n_sentences >= 0 AND n_kept_lines > 0)
+         AS doc_kept,
+       CASE WHEN NOT lorem AND NOT brace AND n_sentences >= 0
+                 AND n_kept_lines > 0
+            THEN cleaned END AS cleaned_text
+FROM c
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the validator's V1 per-file min/max over sf0.001."""
     return q_v1_file_minmax(spark, "/root/testdata/sf0.001")
@@ -6694,6 +6861,9 @@ _RECHECK_THIS_ROUND = [
     "e75_unigram_encode",
     "e76_bpe_encode",
     "s5_change_feed_stream",
+    # round 6: new quality-rule operators
+    "e77_gopher_rules",
+    "e78_c4_clean",
 ]
 
 
@@ -6898,6 +7068,8 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e72_corpus_overlap": q_e72_corpus_overlap,
         "e73_unigram_train": q_e73_unigram_train,
         "e74_dsir_weights": q_e74_dsir_weights,
+        "e77_gopher_rules": q_e77_gopher_rules,
+        "e78_c4_clean": q_e78_c4_clean,
         "e75_unigram_encode": q_e75_unigram_encode,
         "e76_bpe_encode": q_e76_bpe_encode,
         "a47_corpus_profile": q_a47_corpus_profile,
@@ -6990,6 +7162,8 @@ def oracle_sql() -> dict[str, str]:
         "e72_corpus_overlap": _E72_SQL,
         "e73_unigram_train": _E73_SQL,
         "e74_dsir_weights": _E74_SQL,
+        "e77_gopher_rules": _E77_SQL,
+        "e78_c4_clean": _E78_SQL,
         "e75_unigram_encode": _E75_SQL,
         "e76_bpe_encode": _E76_SQL,
         "a47_corpus_profile": _A47_SQL,
