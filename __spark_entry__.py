@@ -6659,6 +6659,58 @@ FROM orders WHERE o_orderkey % {CDF_MOD} < 8
 
 
 # ---------------------------------------------------------------------------
+# S6: stateful streaming dedup (streaming/events.streaming_dedup →
+# dropDuplicatesWithinWatermark) driven through the REAL micro-batch engine:
+# the events table is split into 4 files, streamed one file per trigger, so
+# keys repeating across micro-batches must be dropped by cross-batch state.
+# The horizon is table-spanning here so no state expires mid-drain and the
+# output is exactly the distinct key set (the oracle); expiry behavior under
+# short horizons is pinned separately in tests/test_streaming.py.  Output
+# rows are returned as drained — duplicate leakage would be a row-count
+# mismatch, not just a hash change.
+# ---------------------------------------------------------------------------
+
+
+def q_s6_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from delta_sorter_spark.streaming.events import streaming_dedup
+
+    events = load_table(spark, sf_dir, "events")
+    scratch = tempfile.mkdtemp(prefix="s6_dedup_")
+    try:
+        src = os.path.join(scratch, "src")
+        events.repartition(4).write.parquet(src)
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            # watermarks require session-tz TIMESTAMP, the parquet reads NTZ
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+        deduped = streaming_dedup(
+            stream, ["user_id", "event_type"], watermark="3650 days"
+        ).select("user_id", "event_type")
+        out = os.path.join(scratch, "out")
+        q = (
+            deduped.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", os.path.join(scratch, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return spark.read.parquet(out).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+_S6_SQL = "SELECT DISTINCT user_id, event_type FROM events"
+
+
+# ---------------------------------------------------------------------------
 # E77: the full Gopher quality rule set (operators/quality.gopher_rules,
 # Rae et al. 2021 §A1.1) — per document every rule's measured value plus the
 # combined verdict.  The oracle replays all thirteen rules in DuckDB list
@@ -6861,9 +6913,10 @@ _RECHECK_THIS_ROUND = [
     "e75_unigram_encode",
     "e76_bpe_encode",
     "s5_change_feed_stream",
-    # round 6: new quality-rule operators
+    # round 6: new quality-rule operators + streaming dedup drain
     "e77_gopher_rules",
     "e78_c4_clean",
+    "s6_stream_dedup",
 ]
 
 
@@ -7070,6 +7123,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e74_dsir_weights": q_e74_dsir_weights,
         "e77_gopher_rules": q_e77_gopher_rules,
         "e78_c4_clean": q_e78_c4_clean,
+        "s6_stream_dedup": q_s6_stream_dedup,
         "e75_unigram_encode": q_e75_unigram_encode,
         "e76_bpe_encode": q_e76_bpe_encode,
         "a47_corpus_profile": q_a47_corpus_profile,
@@ -7164,6 +7218,7 @@ def oracle_sql() -> dict[str, str]:
         "e74_dsir_weights": _E74_SQL,
         "e77_gopher_rules": _E77_SQL,
         "e78_c4_clean": _E78_SQL,
+        "s6_stream_dedup": _S6_SQL,
         "e75_unigram_encode": _E75_SQL,
         "e76_bpe_encode": _E76_SQL,
         "a47_corpus_profile": _A47_SQL,
