@@ -6877,6 +6877,220 @@ FROM c
 """
 
 
+# ---------------------------------------------------------------------------
+# E79/E80: WordPiece (Schuster & Nakajima 2012 — the BERT tokenizer), the
+# THIRD subword family next to BPE (e61/e67/e76) and unigram-LM (e73/e75),
+# hash-checked across its full train -> encode lifecycle.
+#
+# e79 TRAIN replays textstats.train_wordpiece as chained CTE stages (the
+# e67 pattern): per stage, pair counts AND token counts over the word
+# table -> argmax by likelihood score n/(n_l*n_r) (one double division of
+# exact integers — identical IEEE result in both engines; ties (score
+# desc, l, r)) -> the same string-accumulator list_reduce merge fold as
+# e67, emitting the merged token with the right side's ## prefix dropped.
+#
+# e80 ENCODE replays greedy longest-match-first (MaxMatch): because the
+# best piece at a position is INDEPENDENT of the greedy path, the oracle
+# precomputes a best-span table (w, pos) -> (l, pc) and unrolls the walk
+# as WP_STEPS chained LEFT-JOIN levels (the e73 unrolling pattern) — each
+# level either consumes the best piece at the cursor, marks the word
+# unencodable ([UNK]), or no-ops once past the word end.
+# ---------------------------------------------------------------------------
+
+WP_MERGES = 6
+WP_STEPS = 16  # >= max word length (corpus words cap at 8 chars)
+
+
+def q_e79_wordpiece_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_sorter_spark.operators.textstats import train_wordpiece
+
+    docs = _doc_subset(spark, sf_dir, DOC_SUBSET_MOD)
+    return train_wordpiece(docs, "text", n_merges=WP_MERGES, min_count=2)
+
+
+def _e79_stages(carry_word: bool = False) -> list:
+    """The WordPiece trainer's CTE chain; ``carry_word`` keeps the word
+    string alongside its token array for the e80 encode oracle."""
+    wc = "w, " if carry_word else ""
+    stages = [f"""
+wfW AS MATERIALIZED (
+  SELECT w, count(*) AS wn FROM (
+    SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+    FROM documents WHERE doc_id % {DOC_SUBSET_MOD} = 0
+  ) WHERE w <> '' GROUP BY w
+),
+y0 AS (
+  SELECT {wc}wn,
+         list_transform(regexp_extract_all(w, '.'),
+                        (c, i) -> CASE WHEN i = 1 THEN c
+                                       ELSE '##' || c END) AS toks
+  FROM wfW
+)"""]
+    for k in range(WP_MERGES):
+        stages.append(f"""
+yp{k} AS (
+  SELECT pr.l AS l, pr.r AS r, CAST(sum(wn) AS BIGINT) AS n
+  FROM (
+    SELECT wn,
+      unnest(list_transform(list_slice(toks, 1, length(toks)-1),
+                            (t, i) -> struct_pack(l := t, r := toks[i+1]))) AS pr
+    FROM y{k}
+  ) GROUP BY pr.l, pr.r
+),
+yt{k} AS (
+  SELECT t, CAST(sum(wn) AS BIGINT) AS tn
+  FROM (SELECT wn, unnest(toks) AS t FROM y{k}) GROUP BY t
+),
+ym{k} AS (
+  SELECT p.l, p.r, p.n,
+         CAST(p.n AS DOUBLE) / CAST(tl.tn * tr.tn AS DOUBLE) AS score,
+         p.l || CASE WHEN p.r LIKE '##%' THEN substring(p.r, 3)
+                     ELSE p.r END AS merged
+  FROM yp{k} p
+  JOIN yt{k} tl ON tl.t = p.l
+  JOIN yt{k} tr ON tr.t = p.r
+  WHERE p.n >= 2
+  ORDER BY score DESC, p.l ASC, p.r ASC LIMIT 1
+),
+y{k + 1} AS (
+  SELECT {wc}wn,
+    list_filter(
+      string_split(
+        CASE WHEN split_part(acc, chr(2), 2) = ''
+             THEN split_part(acc, chr(2), 1)
+             ELSE split_part(acc, chr(2), 1) || chr(1) || split_part(acc, chr(2), 2)
+        END, chr(1)),
+      t -> t <> '') AS toks
+  FROM (
+    SELECT {wc}wn,
+      list_reduce(
+        list_prepend(chr(2), toks),
+        (acc, x) -> CASE
+          WHEN split_part(acc, chr(2), 2) = ''
+            THEN split_part(acc, chr(2), 1) || chr(2) || x
+          WHEN split_part(acc, chr(2), 2) = l AND x = r
+            THEN split_part(acc, chr(2), 1) || chr(1) || merged || chr(2)
+          ELSE split_part(acc, chr(2), 1) || chr(1)
+               || split_part(acc, chr(2), 2) || chr(2) || x
+        END) AS acc
+    FROM y{k} CROSS JOIN ym{k}
+  )
+)""")
+    return stages
+
+
+def _e79_sql() -> str:
+    final = "\nUNION ALL ".join(
+        f'SELECT {k} AS merge_rank, l AS "left", r AS "right", merged,'
+        f" n AS pair_count, score FROM ym{k}"
+        for k in range(WP_MERGES)
+    )
+    return "WITH " + ",".join(_e79_stages()) + "\n" + final
+
+
+_E79_SQL = _e79_sql()
+
+
+def q_e80_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_sorter_spark.operators.textstats import (
+        train_wordpiece,
+        wordpiece_encode,
+        wordpiece_vocab,
+    )
+
+    docs = _doc_subset(spark, sf_dir, DOC_SUBSET_MOD)
+    merges = train_wordpiece(docs, "text", n_merges=WP_MERGES, min_count=2)
+    vocab = wordpiece_vocab(docs, "text", merges)
+    out = wordpiece_encode(docs, "doc_id", "text", vocab)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "n_pieces",
+        "n_unk",
+        F.array_join("pieces", " ").alias("enc"),
+    )
+
+
+def _e80_sql() -> str:
+    stages = _e79_stages()
+    merged_union = " UNION ALL ".join(
+        f"SELECT merged AS piece FROM ym{k}" for k in range(WP_MERGES)
+    )
+    stages.append(f"""
+vocabW AS MATERIALIZED (
+  SELECT DISTINCT piece FROM (
+    SELECT unnest(list_transform(regexp_extract_all(w, '.'),
+                  (c, i) -> CASE WHEN i = 1 THEN c ELSE '##' || c END))
+           AS piece
+    FROM wfW
+    UNION ALL {merged_union}
+  )
+),
+dwW AS MATERIALIZED (
+  SELECT d.doc_id, r.i AS wpos, d.ws[CAST(r.i AS INT)] AS w
+  FROM (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                       x -> x <> '') AS ws
+    FROM documents WHERE doc_id % {DOC_SUBSET_MOD} = 0
+  ) d, range(1, {_UNI_MAX_DOC_WORDS}+1) r(i)
+  WHERE r.i <= len(d.ws)
+),
+uwW AS MATERIALIZED (SELECT DISTINCT w FROM dwW),
+bsW AS MATERIALIZED (
+  SELECT w, i, max(l) AS l,
+         arg_max(pc, l) AS pc
+  FROM (
+    SELECT u.w, s.i, s.l,
+           CASE WHEN s.i = 1 THEN substring(u.w, s.i, s.l)
+                ELSE '##' || substring(u.w, s.i, s.l) END AS pc
+    FROM uwW u, (SELECT a.i, b.l FROM range(1, {WP_STEPS}+1) a(i),
+                       range(1, {WP_STEPS}+1) b(l)) s
+    WHERE s.i <= length(u.w) AND s.l <= length(u.w) - s.i + 1
+  ) sp
+  WHERE pc IN (SELECT piece FROM vocabW)
+  GROUP BY w, i
+),
+g0 AS (SELECT w, 1 AS pos, '' AS pcs, TRUE AS ok FROM uwW)""")
+    for k in range(WP_STEPS):
+        stages.append(f"""
+g{k + 1} AS (
+  SELECT g.w,
+         CASE WHEN NOT g.ok OR g.pos > length(g.w) THEN g.pos
+              WHEN b.l IS NULL THEN g.pos
+              ELSE g.pos + b.l END AS pos,
+         CASE WHEN NOT g.ok OR g.pos > length(g.w) THEN g.pcs
+              WHEN b.l IS NULL THEN g.pcs
+              ELSE g.pcs || chr(1) || b.pc END AS pcs,
+         CASE WHEN NOT g.ok THEN FALSE
+              WHEN g.pos > length(g.w) THEN TRUE
+              WHEN b.l IS NULL THEN FALSE
+              ELSE TRUE END AS ok
+  FROM g{k} g LEFT JOIN bsW b ON b.w = g.w AND b.i = g.pos
+)""")
+    stages.append(f"""
+segW AS (
+  SELECT w,
+         CASE WHEN ok THEN list_filter(string_split(pcs, chr(1)),
+                                       t -> t <> '')
+              ELSE ['[UNK]'] END AS wpcs
+  FROM g{WP_STEPS}
+)""")
+    return (
+        "WITH " + ",".join(stages)
+        + """
+SELECT dw.doc_id,
+       CAST(sum(len(s.wpcs)) AS BIGINT) AS n_pieces,
+       CAST(sum(len(list_filter(s.wpcs, p -> p = '[UNK]'))) AS BIGINT)
+         AS n_unk,
+       array_to_string(flatten(list(s.wpcs ORDER BY dw.wpos)), ' ') AS enc
+FROM dwW dw JOIN segW s USING (w)
+GROUP BY dw.doc_id"""
+    )
+
+
+_E80_SQL = _e80_sql()
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the validator's V1 per-file min/max over sf0.001."""
     return q_v1_file_minmax(spark, "/root/testdata/sf0.001")
@@ -6917,6 +7131,8 @@ _RECHECK_THIS_ROUND = [
     "e77_gopher_rules",
     "e78_c4_clean",
     "s6_stream_dedup",
+    "e79_wordpiece_train",
+    "e80_wordpiece_encode",
 ]
 
 
@@ -7124,6 +7340,8 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e77_gopher_rules": q_e77_gopher_rules,
         "e78_c4_clean": q_e78_c4_clean,
         "s6_stream_dedup": q_s6_stream_dedup,
+        "e79_wordpiece_train": q_e79_wordpiece_train,
+        "e80_wordpiece_encode": q_e80_wordpiece_encode,
         "e75_unigram_encode": q_e75_unigram_encode,
         "e76_bpe_encode": q_e76_bpe_encode,
         "a47_corpus_profile": q_a47_corpus_profile,
@@ -7219,6 +7437,8 @@ def oracle_sql() -> dict[str, str]:
         "e77_gopher_rules": _E77_SQL,
         "e78_c4_clean": _E78_SQL,
         "s6_stream_dedup": _S6_SQL,
+        "e79_wordpiece_train": _E79_SQL,
+        "e80_wordpiece_encode": _E80_SQL,
         "e75_unigram_encode": _E75_SQL,
         "e76_bpe_encode": _E76_SQL,
         "a47_corpus_profile": _A47_SQL,

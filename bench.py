@@ -92,6 +92,10 @@ ENTRY_QUERIES = [
     # BPE lifecycle: train (8 merges) + encode the corpus with the learned
     # table — the tokenize-the-corpus production cost, all JVM fold exprs
     "e76_bpe_encode",
+    # round-6 quality rule sets: the 13-rule Gopher pass (shuffle-free
+    # scalars + one tagged n-gram explode) and the per-row C4 line cleaner
+    "e77_gopher_rules",
+    "e78_c4_clean",
 ]
 
 

@@ -627,6 +627,334 @@ def bpe_encode(
     ).withColumn("n_tokens", F.size("tokens").cast("bigint"))
 
 
+def train_wordpiece(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """WordPiece tokenizer TRAINING (Schuster & Nakajima 2012; the BERT
+    tokenizer) — the third classic subword family next to BPE
+    (:func:`train_bpe`) and unigram-LM (:func:`train_unigram_lm`).  The
+    loop is BPE's merge loop with a different objective: instead of the
+    most FREQUENT adjacent pair, merge the pair with the highest
+    likelihood gain ``score = count(pair) / (count(left) * count(right))``
+    — pairs whose parts rarely occur apart.  Continuation tokens carry the
+    ``##`` prefix (word → ``[c1, ##c2, ##c3, ...]``; a merge of
+    ``(A, ##B)`` yields token ``A·B`` with A's prefix kept).
+
+    Returns the merge table: (merge_rank, left, right, merged, pair_count,
+    score).  Determinism: the score is ONE double division of exact
+    integer counts (identical IEEE result in any engine); argmax ties
+    break (score desc, left asc, right asc); rows below ``min_count``
+    never merge.
+
+    Scale posture mirrors :func:`train_bpe`: the corpus is read once into
+    the word-frequency table; each merge costs one vocabulary-scale pair
+    count + one vocabulary-scale token count (both map-side combinable)
+    and a ONE-ROW collect; lineage is cut per round with
+    ``localCheckpoint``.  The greedy merge application is the same
+    JVM-side ``aggregate`` fold as BPE's — no Python in the loop."""
+    words = (
+        df.select(
+            F.explode(
+                F.expr(f"split(lower(trim({text_col})), '\\\\s+')")
+            ).alias("w")
+        )
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wn"))
+        .select(
+            "wn",
+            F.expr(
+                "transform(filter(split(w, ''), x -> x <> ''),"
+                " (c, i) -> IF(i = 0, c, concat('##', c)))"
+            ).alias("toks"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[int, str, str, str, int, float]] = []
+    for rank in range(int(n_merges)):
+        pairs = (
+            words.select(
+                "wn",
+                F.explode(
+                    F.expr(
+                        "transform(slice(toks, 1, size(toks) - 1),"
+                        " (t, i) -> struct(t AS l, element_at(toks, i + 2) AS r))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("wn").cast("bigint").alias("n"))
+        )
+        toks = (
+            words.select("wn", F.explode("toks").alias("t"))
+            .groupBy("t")
+            .agg(F.sum("wn").cast("bigint").alias("tn"))
+        )
+        best = (
+            pairs.where(F.col("n") >= int(min_count))
+            .join(
+                F.broadcast(toks.select(F.col("t").alias("l"),
+                                        F.col("tn").alias("ln"))),
+                "l",
+            )
+            .join(
+                F.broadcast(toks.select(F.col("t").alias("r"),
+                                        F.col("tn").alias("rn"))),
+                "r",
+            )
+            .select(
+                "l", "r", "n",
+                (
+                    F.col("n").cast("double")
+                    / (F.col("ln") * F.col("rn")).cast("double")
+                ).alias("score"),
+            )
+            .orderBy(F.desc("score"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b, n = best[0]["l"], best[0]["r"], int(best[0]["n"])
+        score = float(best[0]["score"])
+        ab = a + (b[2:] if b.startswith("##") else b)
+        merges.append((rank, a, b, ab, n, score))
+        zero = F.struct(
+            F.expr("CAST(array() AS array<string>)").alias("out"),
+            F.lit("").alias("pend"),
+        )
+
+        def _make_step(a, b, ab):
+            def step(acc, x):
+                return (
+                    F.when(
+                        acc["pend"] == "",
+                        F.struct(acc["out"].alias("out"), x.alias("pend")),
+                    )
+                    .when(
+                        (acc["pend"] == F.lit(a)) & (x == F.lit(b)),
+                        F.struct(
+                            F.concat(acc["out"], F.array(F.lit(ab))).alias(
+                                "out"
+                            ),
+                            F.lit("").alias("pend"),
+                        ),
+                    )
+                    .otherwise(
+                        F.struct(
+                            F.concat(acc["out"], F.array(acc["pend"])).alias(
+                                "out"
+                            ),
+                            x.alias("pend"),
+                        )
+                    )
+                )
+
+            return step
+
+        def _fin(acc):
+            return F.when(acc["pend"] == "", acc["out"]).otherwise(
+                F.concat(acc["out"], F.array(acc["pend"]))
+            )
+
+        words = words.select(
+            "wn",
+            F.aggregate("toks", zero, _make_step(a, b, ab), _fin).alias(
+                "toks"
+            ),
+        ).localCheckpoint(eager=True)
+    return df.sparkSession.createDataFrame(
+        merges,
+        "merge_rank int, left string, right string, merged string,"
+        " pair_count bigint, score double",
+    )
+
+
+def wordpiece_vocab(
+    df: DataFrame, text_col: str, merges: DataFrame
+) -> DataFrame:
+    """The piece vocabulary a WordPiece ENCODER consumes: every initial
+    character piece of the corpus (first-position chars bare, continuation
+    chars ``##``-prefixed) plus every merged token from
+    :func:`train_wordpiece`'s table.  One column: ``piece``."""
+    chars = (
+        df.select(
+            F.explode(
+                F.expr(f"split(lower(trim({text_col})), '\\\\s+')")
+            ).alias("w")
+        )
+        .where(F.col("w") != "")
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(filter(split(w, ''), x -> x <> ''),"
+                    " (c, i) -> IF(i = 0, c, concat('##', c)))"
+                )
+            ).alias("piece")
+        )
+        .distinct()
+    )
+    return chars.unionByName(
+        merges.select(F.col("merged").alias("piece"))
+    ).distinct()
+
+
+def _wp_span_expr(L: int) -> str:
+    """WordPiece candidate spans of a word: (start, len, piece) where
+    non-initial positions carry the ``##`` continuation prefix."""
+    return (
+        f"flatten(transform(sequence(1, length(w)), i -> "
+        f"transform(sequence(1, least({L}, length(w) - i + 1)), "
+        f"l -> struct(i AS i, l AS l, "
+        f"IF(i = 1, substring(w, i, l),"
+        f" concat('##', substring(w, i, l))) AS pc))))"
+    )
+
+
+# Greedy longest-match-first (MaxMatch) fold: consume the word left to
+# right, at each position taking the LONGEST vocabulary piece that matches;
+# a position with no match marks the word unencodable (→ [unk]).  Each step
+# consumes ≥1 character, so length(w) iterations always suffice.
+_WP_MAXMATCH_EXPR = """
+aggregate(
+  sequence(1, length(w)),
+  named_struct('pos', 1, 'pcs', CAST(array() AS array<string>), 'ok', true),
+  (acc, x) -> CASE WHEN NOT acc.ok OR acc.pos > length(w) THEN acc
+    ELSE CASE WHEN aggregate(
+                 filter(spans, s -> s.i = acc.pos),
+                 named_struct('l', -1, 'pc', ''),
+                 (b, s) -> IF(s.l > b.l,
+                              named_struct('l', s.l, 'pc', s.pc), b)
+               ).l = -1
+         THEN named_struct('pos', acc.pos, 'pcs', acc.pcs, 'ok', false)
+         ELSE named_struct(
+           'pos', acc.pos + aggregate(
+                    filter(spans, s -> s.i = acc.pos),
+                    named_struct('l', -1, 'pc', ''),
+                    (b, s) -> IF(s.l > b.l,
+                                 named_struct('l', s.l, 'pc', s.pc), b)).l,
+           'pcs', concat(acc.pcs, array(aggregate(
+                    filter(spans, s -> s.i = acc.pos),
+                    named_struct('l', -1, 'pc', ''),
+                    (b, s) -> IF(s.l > b.l,
+                                 named_struct('l', s.l, 'pc', s.pc), b)).pc)),
+           'ok', true)
+         END
+    END
+)
+"""
+
+
+def wordpiece_encode(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    pieces,
+    max_word_len: int = 16,
+    unk: str = "[UNK]",
+) -> DataFrame:
+    """Apply a WordPiece vocabulary (:func:`wordpiece_vocab`'s output — a
+    DataFrame with a ``piece`` column or a list of strings) to a corpus
+    with the standard greedy longest-match-first (MaxMatch) algorithm —
+    the BERT tokenizer's ENCODE side.  A word with an unmatchable position
+    becomes the single ``unk`` piece (the WordPiece convention, unlike
+    BPE's leave-as-chars).  Output: (id, pieces array<string>, n_pieces,
+    n_unk) — words in document order, pieces in word order.
+
+    Scale shape mirrors :func:`unigram_encode`: MaxMatch runs once per
+    DISTINCT (truncated) word with the vocabulary broadcast; documents
+    reassemble via posexplode + join + ordered collect."""
+    spark = df.sparkSession
+    if isinstance(pieces, DataFrame):
+        piece_df = pieces.select("piece")
+    else:
+        piece_df = spark.createDataFrame(
+            [(str(p),) for p in pieces], "piece string"
+        )
+    piece_df = piece_df.localCheckpoint(eager=True)
+    L = (
+        piece_df.agg(
+            F.max(
+                F.length(F.expr("regexp_replace(piece, '^##', '')"))
+            )
+        ).collect()[0][0]
+        or 1
+    )
+    W = int(max_word_len)
+    doc_words = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(
+                F.expr(
+                    f"filter(split(lower(trim({text_col})), '\\\\s+'),"
+                    " x -> x <> '')"
+                )
+            ).alias("wpos", "w0"),
+        )
+        .select("id", "wpos", F.expr(f"substring(w0, 1, {W})").alias("w"))
+    )
+    words = doc_words.select("w").distinct()
+    spans = (
+        words.select("w", F.explode(F.expr(_wp_span_expr(L))).alias("s"))
+        .select(
+            "w",
+            F.col("s.i").alias("i"),
+            F.col("s.l").alias("l"),
+            F.col("s.pc").alias("pc"),
+        )
+        .join(F.broadcast(piece_df.select(F.col("piece").alias("pc"))), "pc")
+    )
+    segmented = (
+        # left join: a word may have NO in-vocab span at all (every
+        # position unmatched) — it must still reach the fold to become unk
+        words.join(
+            spans.groupBy("w").agg(
+                F.expr(
+                    "sort_array(collect_list(struct(i, l, pc)))"
+                ).alias("spans")
+            ),
+            "w",
+            "left",
+        )
+        .withColumn(
+            "spans",
+            F.coalesce(
+                F.col("spans"),
+                F.expr(
+                    "CAST(array() AS array<struct<i:int,l:int,pc:string>>)"
+                ),
+            ),
+        )
+        .withColumn("mm", F.expr(_WP_MAXMATCH_EXPR))
+        .select(
+            "w",
+            F.when(F.col("mm.ok"), F.col("mm.pcs"))
+            .otherwise(F.array(F.lit(unk)))
+            .alias("wpcs"),
+        )
+    )
+    return (
+        doc_words.join(segmented, "w")
+        .groupBy("id")
+        .agg(
+            F.expr(
+                "flatten(transform(sort_array(collect_list(struct(wpos, wpcs))),"
+                " x -> x.wpcs))"
+            ).alias("pieces")
+        )
+        .withColumn("n_pieces", F.size("pieces").cast("bigint"))
+        .withColumn(
+            "n_unk",
+            F.size(
+                F.filter("pieces", lambda p: p == F.lit(unk))
+            ).cast("bigint"),
+        )
+    )
+
+
 def _uni_span_expr(L: int) -> str:
     """Candidate spans of a word: (start, len, end, piece) for every
     substring up to length L."""
