@@ -7091,6 +7091,69 @@ GROUP BY dw.doc_id"""
 _E80_SQL = _e80_sql()
 
 
+# ---------------------------------------------------------------------------
+# E81: epoch-capped domain mixing (sampling.epoch_capped_mix — the
+# Muennighoff et al. 2023 data-constrained rule: cap per-domain repetition,
+# redistribute surplus weight-proportionally).  The water-filling needs no
+# loop — capped domains form a prefix under cap/weight ascending — so both
+# engines replay it as two window passes over domain-count rows, all
+# arithmetic integer (the clamp test cross-multiplies BIGINTs).  Domain
+# weights derive deterministically from the source-name suffix so the
+# uniform test corpus still exercises both the capped and uncapped branch.
+# ---------------------------------------------------------------------------
+
+ECM_BUDGET, ECM_EPOCHS = 600, 2
+ECM_WEIGHT = (
+    "1 + (CAST(regexp_extract(source, '([0-9]+)$', 1) AS INT) % 7)"
+)
+
+
+def q_e81_epoch_capped_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_sorter_spark.operators.sampling import epoch_capped_mix
+
+    return epoch_capped_mix(
+        load_table(spark, sf_dir, "documents"),
+        "source",
+        budget=ECM_BUDGET,
+        max_epochs=ECM_EPOCHS,
+        weight_expr=ECM_WEIGHT,
+    )
+
+
+_E81_SQL = f"""
+WITH per AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(max({ECM_WEIGHT}) AS BIGINT) AS weight,
+         count(*) * {ECM_EPOCHS} AS cap_docs
+  FROM documents GROUP BY source
+), flagged AS (
+  SELECT source, n_docs, weight, cap_docs,
+         cap_docs * (sum(weight) OVER ()
+                     - coalesce(sum(weight) OVER w_prior, 0))
+           <= weight * ({ECM_BUDGET}
+                        - coalesce(sum(cap_docs) OVER w_prior, 0)) AS capped
+  FROM per
+  WINDOW w_prior AS (ORDER BY CAST(cap_docs AS DOUBLE) / weight, source
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+), rem AS (
+  SELECT source, n_docs, weight, cap_docs, capped,
+         {ECM_BUDGET} - coalesce(
+           sum(CASE WHEN capped THEN cap_docs END) OVER (), 0) AS rem_budget,
+         sum(weight) OVER () - coalesce(
+           sum(CASE WHEN capped THEN weight END) OVER (), 0) AS rem_weight
+  FROM flagged
+)
+SELECT source, n_docs, weight, cap_docs, capped,
+       CAST(CASE WHEN capped THEN cap_docs
+                 ELSE greatest((weight * rem_budget) // rem_weight, 0)
+            END AS BIGINT) AS alloc_docs,
+       (1000 * CAST(CASE WHEN capped THEN cap_docs
+                         ELSE greatest((weight * rem_budget) // rem_weight, 0)
+                    END AS BIGINT)) // n_docs AS epochs_milli
+FROM rem
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the validator's V1 per-file min/max over sf0.001."""
     return q_v1_file_minmax(spark, "/root/testdata/sf0.001")
@@ -7133,6 +7196,7 @@ _RECHECK_THIS_ROUND = [
     "s6_stream_dedup",
     "e79_wordpiece_train",
     "e80_wordpiece_encode",
+    "e81_epoch_capped_mix",
 ]
 
 
@@ -7342,6 +7406,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s6_stream_dedup": q_s6_stream_dedup,
         "e79_wordpiece_train": q_e79_wordpiece_train,
         "e80_wordpiece_encode": q_e80_wordpiece_encode,
+        "e81_epoch_capped_mix": q_e81_epoch_capped_mix,
         "e75_unigram_encode": q_e75_unigram_encode,
         "e76_bpe_encode": q_e76_bpe_encode,
         "a47_corpus_profile": q_a47_corpus_profile,
@@ -7439,6 +7504,7 @@ def oracle_sql() -> dict[str, str]:
         "s6_stream_dedup": _S6_SQL,
         "e79_wordpiece_train": _E79_SQL,
         "e80_wordpiece_encode": _E80_SQL,
+        "e81_epoch_capped_mix": _E81_SQL,
         "e75_unigram_encode": _E75_SQL,
         "e76_bpe_encode": _E76_SQL,
         "a47_corpus_profile": _A47_SQL,

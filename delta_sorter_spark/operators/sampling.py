@@ -297,3 +297,89 @@ def weighted_priority_sample(
         .orderBy(F.desc("priority"), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def epoch_capped_mix(
+    df: DataFrame,
+    source_col: str,
+    budget: int,
+    max_epochs: int,
+    weight_expr: str = "1",
+) -> DataFrame:
+    """Epoch-capped domain mixing plan (the data-constrained-scaling rule of
+    Muennighoff et al. 2023: repeating data beyond ~4 epochs stops helping,
+    so a mixture must CAP per-domain repetition).  Allocate ``budget``
+    documents across domains proportionally to ``weight_expr`` (a per-row
+    SQL expression aggregated ``max`` per domain — weights are domain
+    config), but never allocate more than ``max_epochs`` passes over a
+    domain's actual documents; surplus budget from capped domains
+    redistributes to uncapped ones, still weight-proportionally.
+
+    The waterfall needs NO loop: sort domains by capacity-to-weight ratio
+    ascending — the capped set is then always a prefix — and decide each
+    domain against the budget/weight REMAINING after the prefix above it,
+    via two window cumulative sums.  One aggregation + one window over
+    domain-count rows; every quantity is integer (the clamp test
+    cross-multiplies BIGINTs instead of comparing ratios), so the plan is
+    bit-identical in any engine.
+
+    Output per domain: (source, n_docs, weight, cap_docs, capped,
+    alloc_docs, epochs_milli) where ``epochs_milli`` = 1000·alloc/n_docs
+    floored.  Integer flooring leaves a remainder of up to one doc per
+    domain unallocated — the same reproducibility-over-exhaustion
+    convention as :func:`domain_mix_plan`."""
+    B, E = int(budget), int(max_epochs)
+    per = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.count("*").alias("n_docs"),
+        F.max(F.expr(weight_expr)).cast("bigint").alias("weight"),
+    )
+    per = per.withColumn("cap_docs", F.col("n_docs") * E)
+    # capped set is a prefix under cap/weight ascending (water-filling)
+    w = Window.orderBy(
+        (F.col("cap_docs").cast("double") / F.col("weight")).asc(),
+        F.col("source").asc(),
+    )
+    prior = w.rowsBetween(Window.unboundedPreceding, -1)
+    total_w = F.sum("weight").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    cum_cap = F.coalesce(F.sum("cap_docs").over(prior), F.lit(0))
+    cum_w = F.coalesce(F.sum("weight").over(prior), F.lit(0))
+    # The per-row prefix test is sound even past the capped prefix: cap/w is
+    # non-decreasing, and removing an above-ratio element only lowers the
+    # remaining budget/weight ratio, so once the test fails it stays false.
+    staged = per.select(
+        "source", "n_docs", "weight", "cap_docs",
+        (
+            F.col("cap_docs") * (total_w - cum_w)
+            <= F.col("weight") * (F.lit(B) - cum_cap)
+        ).alias("capped"),
+    )
+    # every uncapped domain shares the SAME post-prefix remainder: budget and
+    # weight left after all capped domains (not its own row position)
+    full = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    rem_budget = F.lit(B) - F.coalesce(
+        F.sum(F.when(F.col("capped"), F.col("cap_docs"))).over(full), F.lit(0)
+    )
+    rem_weight = F.sum("weight").over(full) - F.coalesce(
+        F.sum(F.when(F.col("capped"), F.col("weight"))).over(full), F.lit(0)
+    )
+    staged = staged.select(
+        "source", "n_docs", "weight", "cap_docs", "capped",
+        rem_budget.alias("rem_budget"),
+        rem_weight.alias("rem_weight"),
+    )
+    alloc = F.when(F.col("capped"), F.col("cap_docs")).otherwise(
+        F.greatest(
+            F.expr("CAST(weight * rem_budget AS BIGINT) DIV rem_weight"),
+            F.lit(0),
+        )
+    )
+    return staged.select(
+        "source", "n_docs", "weight", "cap_docs", "capped",
+        alloc.cast("bigint").alias("alloc_docs"),
+    ).withColumn(
+        "epochs_milli", F.expr("(1000 * alloc_docs) DIV n_docs")
+    )
