@@ -42,6 +42,29 @@ def main() -> None:
         docs, "doc_id", "text", min_docs=50, min_chars=8
     ).drop("lines_removed")
 
+    # 0b. published rule sets up front: C4 line cleaning, then the Gopher
+    # document rules — thresholds are corpus config (this corpus is
+    # punctuation-free single-line word soup, so the punctuation/sentence
+    # knobs relax; a web corpus runs the strict defaults)
+    from delta_sorter_spark.operators.quality import c4_clean, gopher_rules
+
+    cleaned = c4_clean(
+        docs, "doc_id", "text",
+        min_words_per_line=5, min_sentences=0, require_terminal_punct=False,
+    )
+    docs = (
+        docs.join(cleaned.where("doc_kept").select("doc_id"), "doc_id")
+    )
+    gopher = gopher_rules(
+        docs, "doc_id", "text",
+        thresholds={"min_stopword_hits": 1, "min_mean_word_len": 2.0,
+                    "max_top_ngram_char_frac": 1.0,
+                    "max_dup_ngram_char_frac": 1.0},
+    )
+    docs = docs.join(
+        gopher.where("gopher_pass").select("doc_id"), "doc_id"
+    )
+
     # 1. single-pass profile: tokens, quality, language, fingerprint
     prof = document_profile(docs, "doc_id", "text")
 
@@ -122,6 +145,19 @@ def main() -> None:
         default_rate=0.5,
     )
 
+    # 3b. epoch-cap audit: before committing to the mixture, plan how many
+    # PASSES each domain would need for a target budget — domains that
+    # exceed the repetition cap (data-constrained scaling) get clamped and
+    # their surplus redistributes; the plan is domain-count rows, free to
+    # inspect on every run
+    from delta_sorter_spark.operators.sampling import epoch_capped_mix
+
+    epoch_plan = epoch_capped_mix(
+        mixed.select("doc_id", "source"), "source",
+        budget=3 * n0, max_epochs=4,
+    )
+    n_capped = epoch_plan.where("capped").count()
+
     # 3c. DSIR target-domain selection (Xie et al. 2023): score every doc
     # by the hashed-bigram likelihood ratio of the English slice vs the raw
     # corpus (integer bit-length log surrogate — deterministic), then
@@ -178,11 +214,14 @@ def main() -> None:
     # (SentencePiece-family Viterbi hard-EM) trained from the same split
     from delta_sorter_spark.operators.textstats import train_bpe, train_unigram_lm
 
+    from delta_sorter_spark.operators.textstats import train_wordpiece
+
     train_text = train.join(docs.select("doc_id", "text"), "doc_id")
     merges = train_bpe(train_text, "text", n_merges=8)
     uni_pieces = train_unigram_lm(
         train_text, "text", vocab_size=64, n_iters=2
     )
+    wp_merges = train_wordpiece(train_text, "text", n_merges=8)
 
     n_kept, n_mixed = kept.count(), mixed.count()
     n_train = train.count()
@@ -199,8 +238,10 @@ def main() -> None:
     print(f"after mixing:   {n_mixed}")  # post-DSIR selection
     print(f"train shard:    {n_train}")
     print(f"packed bins:    {n_bins}")
+    print(f"capped domains: {n_capped}")
     print(f"bpe merges:     {n_merges_learned}")
     print(f"unigram pieces: {n_uni_pieces}")
+    print(f"wp merges:      {wp_merges.count()}")
 
 
 if __name__ == "__main__":
