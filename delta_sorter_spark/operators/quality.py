@@ -83,11 +83,37 @@ def gopher_scalar_stats(
     symbol_word_ratio, bullet_line_frac, ellipsis_line_frac,
     alpha_word_frac, stopword_hits, dup_line_frac, dup_line_char_frac,
     norm_chars (the single-space-joined character count — the repetition
-    family's denominator)."""
-    w = _words_expr(text_col)
-    li = _lines_expr(text_col)
-    n_words = F.expr(f"size({w})")
-    word_chars = F.expr(f"aggregate({w}, 0L, (a, x) -> a + length(x))")
+    family's denominator).
+
+    The split arrays are let-bound through a one-element ``transform``
+    lambda so they evaluate ONCE per row: higher-order functions run
+    outside whole-stage codegen's subexpression elimination, so naming the
+    arrays as separate columns (or repeating the split under every stat)
+    re-splits the text per stat — 8 stopword membership tests alone cost 8
+    extra split+filter chains (measured ~2x the whole scan at sf0.1)."""
+    bullets = ", ".join(f"'{c}'" for c in BULLET_CHARS)
+    contains = " + ".join(
+        f"CAST(array_contains(s.w, '{sw}') AS INT)" for sw in GOPHER_STOPWORDS
+    )
+    w, li = "s.w", "s.li"
+    stats = f"""
+element_at(transform(
+  array(struct({_words_expr(text_col)} AS w, {_lines_expr(text_col)} AS li)),
+  s -> struct(
+    size({w}) AS n_words,
+    aggregate({w}, 0L, (a, x) -> a + length(x)) AS word_chars,
+    size({li}) AS n_lines,
+    size(filter({li}, l -> substring(l, 1, 1) IN ({bullets})))
+      AS bullet_lines,
+    size(filter({li}, l -> l LIKE '%...' OR l LIKE '%…')) AS ellipsis_lines,
+    size(filter({w}, x -> x rlike '[a-z]')) AS alpha_words,
+    CAST({contains} AS INT) AS stopword_hits,
+    size(array_distinct({li})) AS distinct_lines,
+    aggregate({li}, 0L, (a, x) -> a + length(x)) AS line_chars,
+    aggregate(array_distinct({li}), 0L, (a, x) -> a + length(x))
+      AS distinct_line_chars
+  )), 1)
+"""
     # '#' and ellipsis occurrences (non-overlapping, left-to-right — both
     # engines' replace() agrees); Gopher's "symbol-to-word ratio"
     hash_cnt = F.length(text_col) - F.length(
@@ -100,40 +126,30 @@ def gopher_scalar_stats(
     uni_ell_cnt = F.length(text_col) - F.length(
         F.expr(f"replace({text_col}, '…', '')")
     )
-    n_lines = F.expr(f"size({li})")
-    bullets = ", ".join(f"'{c}'" for c in BULLET_CHARS)
-    bullet_lines = F.expr(
-        f"size(filter({li}, l -> substring(l, 1, 1) IN ({bullets})))"
+    base = df.select(
+        F.col(id_col),
+        F.expr(stats).alias("__s__"),
+        (hash_cnt + dots_cnt + uni_ell_cnt).cast("bigint").alias("__sym__"),
     )
-    ellipsis_lines = F.expr(
-        f"size(filter({li}, l -> l LIKE '%...' OR l LIKE '%…'))"
-    )
-    alpha_words = F.expr(f"size(filter({w}, x -> x rlike '[a-z]'))")
-    stop_hits = None
-    for s in GOPHER_STOPWORDS:
-        hit = F.expr(f"array_contains({w}, '{s}')").cast("int")
-        stop_hits = hit if stop_hits is None else stop_hits + hit
-    distinct_lines = F.expr(f"size(array_distinct({li}))")
-    line_chars = F.expr(f"aggregate({li}, 0L, (a, x) -> a + length(x))")
-    distinct_line_chars = F.expr(
-        f"aggregate(array_distinct({li}), 0L, (a, x) -> a + length(x))"
-    )
-    return df.select(
+    s = F.col("__s__")
+    n_words, n_lines = s["n_words"], s["n_lines"]
+    line_chars = s["line_chars"]
+    return base.select(
         F.col(id_col),
         n_words.alias("n_words"),
-        _frac(word_chars, n_words).alias("mean_word_len"),
-        _frac(
-            (hash_cnt + dots_cnt + uni_ell_cnt).cast("bigint"), n_words
-        ).alias("symbol_word_ratio"),
-        _frac(bullet_lines, n_lines).alias("bullet_line_frac"),
-        _frac(ellipsis_lines, n_lines).alias("ellipsis_line_frac"),
-        _frac(alpha_words, n_words).alias("alpha_word_frac"),
-        stop_hits.cast("int").alias("stopword_hits"),
-        _frac(n_lines - distinct_lines, n_lines).alias("dup_line_frac"),
-        _frac(line_chars - distinct_line_chars, line_chars).alias(
+        _frac(s["word_chars"], n_words).alias("mean_word_len"),
+        _frac(F.col("__sym__"), n_words).alias("symbol_word_ratio"),
+        _frac(s["bullet_lines"], n_lines).alias("bullet_line_frac"),
+        _frac(s["ellipsis_lines"], n_lines).alias("ellipsis_line_frac"),
+        _frac(s["alpha_words"], n_words).alias("alpha_word_frac"),
+        s["stopword_hits"].cast("int").alias("stopword_hits"),
+        _frac(n_lines - s["distinct_lines"], n_lines).alias("dup_line_frac"),
+        _frac(line_chars - s["distinct_line_chars"], line_chars).alias(
             "dup_line_char_frac"
         ),
-        (word_chars + F.greatest(n_words - 1, F.lit(0))).alias("norm_chars"),
+        (s["word_chars"] + F.greatest(n_words - 1, F.lit(0))).alias(
+            "norm_chars"
+        ),
     )
 
 
