@@ -7154,6 +7154,137 @@ FROM rem
 """
 
 
+# ---------------------------------------------------------------------------
+# Q18: table-registered ANN index lifecycle (operators/ann_index.py) — the
+# full production arc on a REAL scratch Delta table: build (train + encode
+# + register) on half the embeddings -> append the other half -> refresh
+# (frozen codebooks, O(new files)) -> copy-on-write DELETE -> refresh
+# (rewritten files re-encoded, dropped files' codes discarded) -> serve.
+# The oracle replays it relationally: codebooks trained on the BUILD half
+# only (including rows deleted later — refresh never retrains), codes over
+# exactly the LIVE rows, ADC top-k.  pq_assign's bit-identical re-encode is
+# what makes the multi-step lifecycle one deterministic SQL statement.
+# ---------------------------------------------------------------------------
+
+ANN_DELETE_MOD = 10  # delete vec_id % 10 = 3 after the refresh
+
+
+def q_q18_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from delta_sorter_spark.operators.ann_index import (
+        ann_topk,
+        build_ann_index,
+        refresh_ann_index,
+    )
+    from delta_sorter_spark.operators.dml import delete_where
+    from delta_sorter_spark.sources.delta_table import DeltaTable
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    scratch = tempfile.mkdtemp(prefix="q18_ann_")
+    try:
+        tbl = DeltaTable.create(
+            spark, os.path.join(scratch, "t"),
+            emb.where(F.col("vec_id") % 2 == 0).coalesce(2),
+        )
+        build_ann_index(
+            tbl, "embedding", "vec_id", EMB_DIM,
+            m=PQ_M, n_codes=PQ_CODES, n_iters=2,
+        )
+        tbl.append(emb.where(F.col("vec_id") % 2 == 1).coalesce(2))
+        refresh_ann_index(tbl, "embedding")
+        delete_where(tbl, f"vec_id % {ANN_DELETE_MOD} = 3")
+        refresh_ann_index(tbl, "embedding")
+        queries = emb.where(F.col("vec_id") % QUERY_VEC_MOD == 0)
+        out = ann_topk(
+            tbl, queries, "vec_id", "embedding", "embedding", k=TOPK
+        ).select(
+            "query_id",
+            "id",
+            "rank",
+            F.round("approx_d", 6).alias("approx_d"),
+            F.round("cosine", 6).alias("cosine"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def _q18_subspace(j: int) -> str:
+    """e60's per-subspace replay with the train/live split: codebooks from
+    the BUILD-half subspace, codes over the LIVE rows only."""
+    lo, hi = j * _PQ_DSUB + 1, (j + 1) * _PQ_DSUB
+    return f"""
+tsub{j} AS (
+  SELECT vec_id, v[{lo}:{hi}] AS v FROM corpus WHERE vec_id % 2 = 0
+),
+lsub{j} AS (
+  SELECT vec_id, v[{lo}:{hi}] AS v FROM corpus
+  WHERE vec_id % {ANN_DELETE_MOD} <> 3
+),
+seed{j} AS (
+  SELECT CAST(rn - 1 AS INT) AS centroid, v AS cvec FROM (
+    SELECT v, row_number() OVER (ORDER BY h, vec_id) AS rn FROM (
+      SELECT vec_id, v,
+             {duckdb_md5_long_sql('CAST(vec_id AS VARCHAR)')} % {MERSENNE_P} AS h
+      FROM tsub{j}))
+  WHERE rn <= {PQ_CODES}
+),{_duck_pq_iter(f'tsub{j}', f'seed{j}', f'cb{j}_1', _PQ_DSUB)},{_duck_pq_iter(f'tsub{j}', f'cb{j}_1', f'cb{j}', _PQ_DSUB)},
+code{j} AS (
+  SELECT vec_id, centroid AS code FROM (
+    SELECT c.vec_id, s.centroid,
+           row_number() OVER (PARTITION BY c.vec_id
+                              ORDER BY {_duck_sq_l2('c.v', 's.cvec')}, s.centroid) AS rn
+    FROM lsub{j} c CROSS JOIN cb{j} s) WHERE rn = 1
+),
+qt{j} AS (
+  SELECT q.vec_id AS query_id, s.centroid AS code,
+         {_duck_sq_l2('q.v', 's.cvec')} AS d
+  FROM (SELECT vec_id, v[{lo}:{hi}] AS v FROM corpus
+        WHERE vec_id % {QUERY_VEC_MOD} = 0) q
+  CROSS JOIN cb{j} s
+)"""
+
+
+def _q18_sql() -> str:
+    return f"""
+WITH corpus0 AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+corpus AS MATERIALIZED (
+  SELECT vec_id, list_transform(v, x -> x / sqrt({_SSQ.format(a='v')})) AS v
+  FROM corpus0
+),{','.join(_q18_subspace(j) for j in range(PQ_M))},
+scored AS (
+  SELECT c0.vec_id AS id, q0.query_id,
+         {' + '.join(f'q{j}.d' for j in range(PQ_M))} AS approx_d
+  FROM code0 c0
+  {' '.join(f'JOIN code{j} c{j} ON c{j}.vec_id = c0.vec_id' for j in range(1, PQ_M))}
+  JOIN qt0 q0 ON q0.code = c0.code
+  {' '.join(f'JOIN qt{j} q{j} ON q{j}.code = c{j}.code AND q{j}.query_id = q0.query_id' for j in range(1, PQ_M))}
+  WHERE c0.vec_id <> q0.query_id
+),
+ranked AS (
+  SELECT query_id, id, approx_d,
+         row_number() OVER (PARTITION BY query_id ORDER BY approx_d, id) AS rn
+  FROM scored
+)
+SELECT r.query_id, r.id, r.rn AS "rank", round(r.approx_d, 6) AS approx_d,
+       round({_DOT.format(a='a.v', b='b.v')}
+         / (sqrt({_SSQ.format(a='a.v')}) * sqrt({_SSQ.format(a='b.v')})), 6) AS cosine
+FROM ranked r
+JOIN corpus a ON a.vec_id = r.id
+JOIN corpus b ON b.vec_id = r.query_id
+WHERE r.rn <= {TOPK}
+"""
+
+
+_Q18_SQL = _q18_sql()
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the validator's V1 per-file min/max over sf0.001."""
     return q_v1_file_minmax(spark, "/root/testdata/sf0.001")
@@ -7197,6 +7328,7 @@ _RECHECK_THIS_ROUND = [
     "e79_wordpiece_train",
     "e80_wordpiece_encode",
     "e81_epoch_capped_mix",
+    "q18_ann_index",
 ]
 
 
@@ -7407,6 +7539,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e79_wordpiece_train": q_e79_wordpiece_train,
         "e80_wordpiece_encode": q_e80_wordpiece_encode,
         "e81_epoch_capped_mix": q_e81_epoch_capped_mix,
+        "q18_ann_index": q_q18_ann_index,
         "e75_unigram_encode": q_e75_unigram_encode,
         "e76_bpe_encode": q_e76_bpe_encode,
         "a47_corpus_profile": q_a47_corpus_profile,
@@ -7505,6 +7638,7 @@ def oracle_sql() -> dict[str, str]:
         "e79_wordpiece_train": _E79_SQL,
         "e80_wordpiece_encode": _E80_SQL,
         "e81_epoch_capped_mix": _E81_SQL,
+        "q18_ann_index": _Q18_SQL,
         "e75_unigram_encode": _E75_SQL,
         "e76_bpe_encode": _E76_SQL,
         "a47_corpus_profile": _A47_SQL,

@@ -1,0 +1,329 @@
+"""Table-registered ANN (product-quantization) index lifecycle: build ->
+serve -> incremental refresh -> drop, mirroring the Bloom index
+(operators/bloom_index.py) so vector search gets the same
+index-as-table-metadata treatment as point-lookup skipping.
+
+Why this exists: :func:`ivf.pq_topk` trains + encodes per call — right for
+exploration, wrong for production, where the corpus is encoded ONCE per
+corpus version and every query batch pays only ADC lookups
+(:func:`ivf.pq_serve`).  This module makes that index a durable part of the
+Delta table: datasets under ``_ann_index/`` inside the table directory,
+registered in table configuration (``deltasort.annIndex.<column>``),
+vacuum-protected while registered, refreshed incrementally.
+
+Index datasets (all parquet, written through the table's fs layer so the
+same code serves local and object-store tables):
+
+- ``codes``:      (path, id, __cemb__, code_0..code_{m-1}) — one row per
+                  LIVE corpus row, carrying its origin data file so
+                  maintenance is file-granular;
+- ``codebooks``:  (m, centroid, cvec) — the frozen per-subspace codewords;
+- ``files``:      (path, dv) — the indexed snapshot's file list with each
+                  file's deletion-vector digest.
+
+Refresh semantics (O(changed files) data touched): a file is re-encoded
+when its path is new OR its deletion-vector digest changed (DML
+merge-on-read); codes for dropped paths (compaction, copy-on-write
+rewrites) are discarded; unchanged files' codes carry forward — and because
+:func:`ivf.pq_assign` replays the exact trainer argmin against the FROZEN
+codebooks, a carried row and a re-encoded row are bit-identical.  Codebooks
+are never retrained by refresh: retraining is a ``build`` (a new corpus
+version), the same once-per-version discipline as the reference's sort
+attestation (reference README.md:49-55 — maintenance must not silently
+change what was attested).
+
+Serving (:func:`ann_topk`) additionally SEMI-JOINS the codes against the
+current snapshot's file list, so a stale index (post-compaction, pre-
+refresh) degrades to reduced recall — never to duplicate, deleted, or
+phantom rows.
+"""
+
+from __future__ import annotations
+
+import json
+import uuid as _uuid
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from delta_sorter_spark.operators.bloom_index import (
+    _mark_building,
+    _unmark_building,
+)
+from delta_sorter_spark.operators.ivf import pq_assign, pq_encode, pq_serve
+from delta_sorter_spark.sources.delta_table import DeltaTable
+
+ANN_PROP_PREFIX = "deltasort.annIndex."
+
+_ID_TYPES = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+
+
+def ann_specs(table: DeltaTable, meta=None) -> dict[str, dict]:
+    """column -> registered ANN index spec."""
+    meta = meta if meta is not None else table.metadata
+    out = {}
+    for key, raw in (meta.configuration or {}).items():
+        if not key.startswith(ANN_PROP_PREFIX):
+            continue
+        try:
+            spec = json.loads(raw)
+        except ValueError:
+            continue
+        if isinstance(spec, dict) and "path" in spec:
+            out[key[len(ANN_PROP_PREFIX):]] = spec
+    return out
+
+
+def _dv_digest(add) -> str:
+    dv = add.deletion_vector
+    return json.dumps(dv, sort_keys=True) if dv else ""
+
+
+def _codes_ddl(m: int) -> str:
+    cols = ", ".join(f"code_{j} int" for j in range(m))
+    return f"path string, id bigint, __cemb__ array<double>, {cols}"
+
+
+def _rows_with_path(table: DeltaTable, adds, id_col: str, emb_col: str):
+    """(path, id, emb) for the LIVE rows of the given files (deletion
+    vectors applied by the scan)."""
+    from delta_sorter_spark.operators.dml import _target_with_path
+
+    return _target_with_path(table, list(adds)).select(
+        F.col("__path__").alias("path"),
+        F.col(id_col).cast("bigint").alias("__annid__"),
+        F.col(emb_col).alias("__annemb__"),
+    )
+
+
+def _read_codebooks(table: DeltaTable, spec: dict) -> list[DataFrame]:
+    cb = table.read_parquet_dataset(
+        spec["path"] + "/codebooks",
+        ["m", "centroid", "cvec"],
+        "m int, centroid int, cvec array<double>",
+    ).localCheckpoint(eager=True)
+    return [
+        cb.where(F.col("m") == j).select("centroid", "cvec")
+        for j in range(int(spec["m"]))
+    ]
+
+
+def _write_datasets(
+    table: DeltaTable,
+    rel: str,
+    codes: DataFrame,
+    codebooks_union: DataFrame,
+    files: DataFrame,
+) -> None:
+    _mark_building(table, rel)  # vacuum-protect until registered
+    table.write_parquet_dataset(
+        codes.repartitionByRange(
+            max(1, 8), "path"
+        ).sortWithinPartitions("path", "id"),
+        rel + "/codes",
+    )
+    table.write_parquet_dataset(codebooks_union.coalesce(1), rel + "/codebooks")
+    table.write_parquet_dataset(files.coalesce(1), rel + "/files")
+
+
+def _register(table: DeltaTable, column: str, spec: dict, op: str) -> int:
+    version = table.set_table_properties(
+        {ANN_PROP_PREFIX + column: json.dumps(spec)}, operation=op
+    )
+    _unmark_building(table, spec["path"])
+    return version
+
+
+def build_ann_index(
+    table: DeltaTable,
+    column: str,
+    id_col: str,
+    dim: int,
+    m: int = 2,
+    n_codes: int = 8,
+    n_iters: int = 2,
+    normalize: bool = True,
+) -> dict:
+    """Train codebooks over the CURRENT snapshot, encode every live row,
+    persist the datasets and register the spec — one metadata commit.
+    Building again retrains (a new corpus version); the replaced dataset
+    becomes vacuum-able.  Returns {"column", "rows", "files", "dataset",
+    "version"}."""
+    state = table.state()
+    meta = state.metadata
+    for c in (column, id_col):
+        if c not in meta.schema.names:
+            raise ValueError(f"build_ann_index: unknown column {c!r}")
+    if not isinstance(meta.schema[id_col].dataType, _ID_TYPES):
+        raise ValueError(
+            f"build_ann_index: id column must be integral (got "
+            f"{meta.schema[id_col].dataType.simpleString()})"
+        )
+    if not state.adds:
+        raise ValueError(
+            "build_ann_index: empty table — codebooks need corpus rows"
+        )
+    rows = _rows_with_path(table, state.adds, id_col, column)
+    rows = rows.localCheckpoint(eager=True)  # one scan feeds train + paths
+    codes, codebooks = pq_encode(
+        rows, "__annid__", "__annemb__", dim, m, n_codes, n_iters, normalize
+    )
+    codes = codes.join(
+        rows.select(F.col("__annid__").alias("id"), "path"), "id"
+    )
+    cb_union = None
+    for j, cb in enumerate(codebooks):
+        part = cb.select(F.lit(j).alias("m"), "centroid", "cvec")
+        cb_union = part if cb_union is None else cb_union.unionByName(part)
+    files = table.spark.createDataFrame(
+        [(a.path, _dv_digest(a)) for a in state.adds], "path string, dv string"
+    )
+    rel = f"_ann_index/{column}/{_uuid.uuid4().hex}"
+    _write_datasets(table, rel, codes, cb_union, files)
+    n_rows = codes.count()
+    spec = {
+        "path": rel,
+        "version": state.version,
+        "id_col": id_col,
+        "dim": int(dim),
+        "m": int(m),
+        "n_codes": int(n_codes),
+        "normalize": bool(normalize),
+    }
+    version = _register(table, column, spec, "CREATE ANN INDEX")
+    return {
+        "column": column,
+        "rows": int(n_rows),
+        "files": len(state.adds),
+        "dataset": rel,
+        "version": version,
+    }
+
+
+def refresh_ann_index(table: DeltaTable, column: str) -> dict:
+    """Catch the index up with the current snapshot: re-encode files whose
+    path is new or whose deletion vector changed (against the FROZEN
+    codebooks), drop codes of removed files, carry everything else.  A
+    no-change snapshot short-circuits without a commit.  Returns
+    {"column", "new_files", "dropped_files", "carried_files", "dataset",
+    "version"}."""
+    spec = ann_specs(table).get(column)
+    if spec is None:
+        raise KeyError(
+            f"no ann index on column {column!r} — build_ann_index first"
+        )
+    state = table.state()
+    current = {a.path: _dv_digest(a) for a in state.adds}
+    indexed = {
+        r["path"]: r["dv"]
+        for r in table.read_parquet_dataset(
+            spec["path"] + "/files", ["path", "dv"], "path string, dv string"
+        ).collect()
+    }  # file-count-sized planner read, never data-scale
+    changed = {p for p, d in current.items() if indexed.get(p) != d}
+    dropped = set(indexed) - set(current)
+    if not changed and not dropped:
+        return {
+            "column": column,
+            "new_files": 0,
+            "dropped_files": 0,
+            "carried_files": len(indexed),
+            "dataset": spec["path"],
+            "version": state.version,
+        }
+    m, dim = int(spec["m"]), int(spec["dim"])
+    id_col, normalize = spec["id_col"], bool(spec["normalize"])
+    codebooks = _read_codebooks(table, spec)
+    old_codes = table.read_parquet_dataset(
+        spec["path"] + "/codes",
+        ["path", "id", "__cemb__"] + [f"code_{j}" for j in range(m)],
+        _codes_ddl(m),
+    )
+    unchanged = sorted(set(current) - changed)
+    keep_df = table.spark.createDataFrame(
+        [(p,) for p in unchanged] or [("",)], "path string"
+    )
+    carried = old_codes.join(F.broadcast(keep_df), "path", "left_semi")
+    pieces = [carried]
+    changed_adds = [a for a in state.adds if a.path in changed]
+    if changed_adds:
+        rows = _rows_with_path(table, changed_adds, id_col, column)
+        fresh = pq_assign(
+            rows, "__annid__", "__annemb__", codebooks, dim, normalize
+        ).join(rows.select(F.col("__annid__").alias("id"), "path"), "id")
+        pieces.append(fresh.select(*old_codes.columns))
+    new_codes = pieces[0]
+    for p in pieces[1:]:
+        new_codes = new_codes.unionByName(p)
+    cb_union = None
+    for j, cb in enumerate(codebooks):
+        part = cb.select(F.lit(j).alias("m"), "centroid", "cvec")
+        cb_union = part if cb_union is None else cb_union.unionByName(part)
+    files = table.spark.createDataFrame(
+        [(a.path, _dv_digest(a)) for a in state.adds], "path string, dv string"
+    )
+    rel = f"_ann_index/{column}/{_uuid.uuid4().hex}"
+    _write_datasets(table, rel, new_codes, cb_union, files)
+    new_spec = dict(spec, path=rel, version=state.version)
+    version = _register(table, column, new_spec, "REFRESH ANN INDEX")
+    return {
+        "column": column,
+        "new_files": len(changed),
+        "dropped_files": len(dropped),
+        "carried_files": len(unchanged),
+        "dataset": rel,
+        "version": version,
+    }
+
+
+def drop_ann_index(table: DeltaTable, column: str) -> int:
+    """Unregister ``column``'s index (the datasets become vacuum-able)."""
+    if column not in ann_specs(table):
+        raise KeyError(f"no ann index on column {column!r}")
+    return table.set_table_properties(
+        {ANN_PROP_PREFIX + column: None}, operation="DROP ANN INDEX"
+    )
+
+
+def ann_topk(
+    table: DeltaTable,
+    queries: DataFrame,
+    query_id_col: str,
+    query_emb_col: str,
+    column: str,
+    k: int = 5,
+    rerank: int | None = None,
+) -> DataFrame:
+    """Serve top-k from the registered index (:func:`ivf.pq_serve` under
+    the hood): corpus never re-encoded, only ADC tables + lookups run.
+    Codes are semi-joined against the CURRENT snapshot's files first, so a
+    stale index degrades to reduced recall, never to rows the table no
+    longer holds."""
+    spec = ann_specs(table).get(column)
+    if spec is None:
+        raise KeyError(
+            f"no ann index on column {column!r} — build_ann_index first"
+        )
+    m = int(spec["m"])
+    codes = table.read_parquet_dataset(
+        spec["path"] + "/codes",
+        ["path", "id", "__cemb__"] + [f"code_{j}" for j in range(m)],
+        _codes_ddl(m),
+    )
+    active = table.spark.createDataFrame(
+        [(a.path,) for a in table.state().adds] or [("",)], "path string"
+    )
+    codes = codes.join(F.broadcast(active), "path", "left_semi").drop("path")
+    codebooks = _read_codebooks(table, spec)
+    return pq_serve(
+        codes,
+        codebooks,
+        queries,
+        query_id_col,
+        query_emb_col,
+        dim=int(spec["dim"]),
+        k=k,
+        normalize=bool(spec["normalize"]),
+        rerank=rerank,
+    )

@@ -302,6 +302,63 @@ def pq_encode(
     return codes, codebooks
 
 
+def pq_assign(
+    corpus: DataFrame,
+    id_col: str,
+    emb_col: str,
+    codebooks,
+    dim: int,
+    normalize: bool = True,
+) -> DataFrame:
+    """Encode a corpus against FROZEN codebooks (:func:`pq_encode` output,
+    or per-subspace (centroid, cvec) frames read back from a persisted
+    index) — the incremental-maintenance half of PQ: newly appended rows
+    get codes without retraining, so a refresh costs O(new rows) with the
+    packed codebooks broadcast (zero shuffle).  Same argmin/tie-break as
+    training, so re-encoding an unchanged row reproduces its code
+    bit-for-bit.  Output matches ``pq_encode``'s codes frame:
+    (id, __cemb__, code_0..code_{m-1})."""
+    m = len(codebooks)
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    emb_expr = _normalize_expr(emb_col) if normalize else emb_col
+    base = corpus.select(
+        F.col(id_col).alias("id"), F.expr(emb_expr).alias("__cemb__")
+    )
+    tagged = None
+    for j, cb in enumerate(codebooks):
+        part = cb.select(
+            F.lit(j).alias("m"), F.col("centroid"), F.col("cvec")
+        )
+        tagged = part if tagged is None else tagged.unionByName(part)
+    packed = tagged.agg(
+        F.expr("sort_array(collect_list(struct(m, centroid, cvec)))").alias(
+            "__cents__"
+        )
+    )
+    dist = (
+        "aggregate(zip_with(slice(__cemb__, c.m * {dsub} + 1, {dsub}), c.cvec,"
+        " (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),"
+        " CAST(0 AS DOUBLE), (acc, vv) -> acc + vv)"
+    ).format(dsub=dsub)
+    codes_arr = (
+        f"transform(sequence(0, {m - 1}), j ->"
+        f" array_min(transform(filter(__cents__, c -> c.m = j),"
+        f" c -> struct({dist} AS d, c.centroid AS centroid))).centroid)"
+    )
+    out = (
+        base.crossJoin(F.broadcast(packed))
+        .withColumn("__codes__", F.expr(codes_arr))
+        .drop("__cents__")
+    )
+    for j in range(m):
+        out = out.withColumn(
+            f"code_{j}", F.expr(f"element_at(__codes__, {j + 1})")
+        )
+    return out.drop("__codes__")
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,

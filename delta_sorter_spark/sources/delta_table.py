@@ -2507,22 +2507,22 @@ class DeltaTable:
             else:
                 dv_paths.add(dv["storagePath"])
         active |= dv_paths
-        # registered bloom-index datasets are live metadata (directories of
-        # parquet rows); unregistered ones — dropped or replaced by a
-        # rebuild — fall through and get collected
-        bloom_dirs: set[str] = set()
+        # registered index datasets (Bloom, ANN) are live metadata
+        # (directories of parquet rows); unregistered ones — dropped or
+        # replaced by a rebuild/refresh — fall through and get collected
+        index_dirs: set[str] = set()
         for key, raw in (state.metadata.configuration or {}).items():
-            if key.startswith("deltasort.bloomIndex."):
+            if key.startswith(("deltasort.bloomIndex.", "deltasort.annIndex.")):
                 try:
                     import json as _json
 
                     spec = _json.loads(raw)
                     if isinstance(spec, dict) and spec.get("path"):
-                        bloom_dirs.add(str(spec["path"]))
+                        index_dirs.add(str(spec["path"]))
                 except ValueError:
                     pass
         active_prefixes = tuple(
-            p.rstrip("/") + "/" for p in (dv_paths | bloom_dirs)
+            p.rstrip("/") + "/" for p in (dv_paths | index_dirs)
         )
         fsobj = self.log.fs
         doomed: list[str] = []
@@ -2541,7 +2541,7 @@ class DeltaTable:
         building_grace = max(retention_seconds, BUILD_GRACE_SECONDS)
         for rel, mtime in entries:
             if (
-                rel.startswith("_bloom_index/")
+                rel.startswith(("_bloom_index/", "_ann_index/"))
                 and rel.rsplit("/", 1)[-1] == BUILDING_MARKER
                 and now - mtime < building_grace
             ):
@@ -2551,15 +2551,15 @@ class DeltaTable:
             if top in ("_delta_log", "_staging"):
                 continue
             in_dv_tree = rel.startswith("_deletion_vectors/")
-            in_bloom_tree = rel.startswith("_bloom_index/")
+            in_index_tree = rel.startswith(("_bloom_index/", "_ann_index/"))
             name = rel.rsplit("/", 1)[-1]
             is_dv_bin = name.startswith("deletion_vector_") and name.endswith(".bin")
             # data files everywhere; protocol DV bins; inside the legacy DV
-            # and bloom-index trees EVERY file (sidecar payloads, _SUCCESS
+            # and index trees EVERY file (sidecar payloads, _SUCCESS
             # markers, Hadoop .crc companions), so an orphaned dataset is
             # collected completely
             if not (
-                name.endswith(".parquet") or in_dv_tree or in_bloom_tree or is_dv_bin
+                name.endswith(".parquet") or in_dv_tree or in_index_tree or is_dv_bin
             ):
                 continue
             if rel in active or rel.startswith(active_prefixes):

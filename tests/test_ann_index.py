@@ -1,0 +1,170 @@
+"""Table-registered ANN index lifecycle (operators/ann_index.py): build ->
+serve == direct pq_topk, incremental refresh after append / merge-on-read
+delete / compaction, stale-serve safety, vacuum protection, drop."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from delta_sorter_spark.operators.ann_index import (
+    ann_specs,
+    ann_topk,
+    build_ann_index,
+    drop_ann_index,
+    refresh_ann_index,
+)
+from delta_sorter_spark.sources.delta_table import DeltaTable
+
+DIM = 8
+
+
+def _vec(i: int) -> list:
+    # deterministic, non-degenerate unit-ish vectors
+    return [float(((i * 7 + j * 3) % 13) - 6) / 6.0 for j in range(DIM)]
+
+
+def _rows(ids):
+    return [(int(i), _vec(i)) for i in ids]
+
+
+def _mk_table(spark, tmp_path, ids, name="t"):
+    df = spark.createDataFrame(
+        _rows(ids), "vid long, emb array<float>"
+    ).coalesce(2)
+    return DeltaTable.create(spark, os.path.join(str(tmp_path), name), df)
+
+
+def _queries(spark, ids):
+    return (
+        spark.createDataFrame(_rows(ids), "vid long, emb array<float>")
+    )
+
+
+def test_build_serve_matches_direct_pq(spark, tmp_path):
+    from delta_sorter_spark.operators.ivf import pq_topk
+
+    tbl = _mk_table(spark, tmp_path, range(40))
+    info = build_ann_index(tbl, "emb", "vid", DIM, m=2, n_codes=4, n_iters=2)
+    assert info["rows"] == 40 and info["files"] >= 1
+    q = _queries(spark, [0, 7, 21])
+    served = ann_topk(tbl, q, "vid", "emb", "emb", k=3)
+    direct = pq_topk(
+        tbl.to_df(), q, "vid", "emb", "vid", "emb",
+        dim=DIM, k=3, m=2, n_codes=4, n_iters=2,
+    )
+    key = lambda r: (r["query_id"], r["rank"])
+    assert sorted(map(tuple, served.collect()), key=lambda t: (t[0], t[2])) \
+        == sorted(map(tuple, direct.collect()), key=lambda t: (t[0], t[2]))
+
+
+def test_refresh_after_append_covers_new_rows(spark, tmp_path):
+    tbl = _mk_table(spark, tmp_path, range(20))
+    build_ann_index(tbl, "emb", "vid", DIM, m=2, n_codes=4)
+    tbl.append(
+        spark.createDataFrame(_rows(range(20, 30)), "vid long, emb array<float>")
+        .coalesce(1)
+    )
+    # stale index: new rows invisible, but nothing phantom
+    pre = ann_topk(tbl, _queries(spark, [25]), "vid", "emb", "emb", k=5)
+    assert all(r["id"] < 20 for r in pre.collect())
+    info = refresh_ann_index(tbl, "emb")
+    assert info["new_files"] >= 1 and info["dropped_files"] == 0
+    post = ann_topk(tbl, _queries(spark, [25]), "vid", "emb", "emb", k=29)
+    ids = {r["id"] for r in post.collect()}
+    assert set(range(20, 30)) - {25} <= ids  # appended rows now served
+
+
+def test_refresh_noop_commits_nothing(spark, tmp_path):
+    tbl = _mk_table(spark, tmp_path, range(10))
+    build_ann_index(tbl, "emb", "vid", DIM, m=2, n_codes=4)
+    v = tbl.log.latest_version()
+    info = refresh_ann_index(tbl, "emb")
+    assert info["new_files"] == 0 and info["dropped_files"] == 0
+    assert tbl.log.latest_version() == v
+
+
+def test_refresh_after_dv_delete_drops_rows(spark, tmp_path):
+    from delta_sorter_spark.operators.dml import delete_where_dv
+
+    tbl = _mk_table(spark, tmp_path, range(30))
+    build_ann_index(tbl, "emb", "vid", DIM, m=2, n_codes=4)
+    delete_where_dv(tbl, "vid % 5 = 1")
+    refresh_ann_index(tbl, "emb")  # dv digest changed -> re-encode
+    out = ann_topk(tbl, _queries(spark, [0]), "vid", "emb", "emb", k=29)
+    ids = {r["id"] for r in out.collect()}
+    assert not any(i % 5 == 1 for i in ids)
+
+
+def test_compaction_stale_serve_then_refresh(spark, tmp_path):
+    from delta_sorter_spark.api import compact
+
+    tbl = _mk_table(spark, tmp_path, range(24))
+    build_ann_index(tbl, "emb", "vid", DIM, m=2, n_codes=4)
+    compact(tbl.table_path, sort_columns=["vid"],
+            repartition_by_sort_key=True, spark=spark)
+    tbl = DeltaTable(spark, tbl.table_path)
+    # every path replaced: stale serve returns NOTHING (never stale rows)
+    stale = ann_topk(tbl, _queries(spark, [3]), "vid", "emb", "emb", k=5)
+    assert stale.count() == 0
+    info = refresh_ann_index(tbl, "emb")
+    assert info["dropped_files"] >= 1 and info["new_files"] >= 1
+    post = ann_topk(tbl, _queries(spark, [3]), "vid", "emb", "emb", k=5)
+    assert post.count() == 5
+
+
+def test_vacuum_protects_registered_collects_dropped(spark, tmp_path):
+    tbl = _mk_table(spark, tmp_path, range(12))
+    build_ann_index(tbl, "emb", "vid", DIM, m=2, n_codes=4)
+    rel = ann_specs(tbl)["emb"]["path"]
+    doomed = tbl.vacuum(dry_run=True)
+    assert not any(p.startswith(rel) for p in doomed)
+    drop_ann_index(tbl, "emb")
+    doomed = tbl.vacuum()
+    assert any(p.startswith("_ann_index/") for p in doomed)
+    assert "emb" not in ann_specs(tbl)
+    with pytest.raises(KeyError):
+        refresh_ann_index(tbl, "emb")
+
+
+def test_build_validations(spark, tmp_path):
+    tbl = _mk_table(spark, tmp_path, range(4))
+    with pytest.raises(ValueError, match="unknown column"):
+        build_ann_index(tbl, "nope", "vid", DIM)
+    df = spark.createDataFrame([("a", _vec(1))], "sid string, emb array<float>")
+    t2 = DeltaTable.create(spark, os.path.join(str(tmp_path), "t2"), df)
+    with pytest.raises(ValueError, match="integral"):
+        build_ann_index(t2, "emb", "sid", DIM)
+
+
+def test_carried_and_reencoded_codes_identical(spark, tmp_path):
+    """pq_assign against the frozen codebooks reproduces build's codes
+    bit-for-bit: append + refresh, then rebuild-free comparison of the
+    original rows' codes before and after."""
+    tbl = _mk_table(spark, tmp_path, range(16))
+    build_ann_index(tbl, "emb", "vid", DIM, m=2, n_codes=4)
+    spec0 = ann_specs(tbl)["emb"]
+    before = {
+        (r["id"]): (r["code_0"], r["code_1"])
+        for r in tbl.read_parquet_dataset(
+            spec0["path"] + "/codes",
+            ["id", "code_0", "code_1"],
+            "id bigint, code_0 int, code_1 int",
+        ).collect()
+    }
+    tbl.append(
+        spark.createDataFrame(_rows([100]), "vid long, emb array<float>")
+        .coalesce(1)
+    )
+    refresh_ann_index(tbl, "emb")
+    spec1 = ann_specs(tbl)["emb"]
+    after = {
+        (r["id"]): (r["code_0"], r["code_1"])
+        for r in tbl.read_parquet_dataset(
+            spec1["path"] + "/codes",
+            ["id", "code_0", "code_1"],
+            "id bigint, code_0 int, code_1 int",
+        ).collect()
+    }
+    assert {k: v for k, v in after.items() if k != 100} == before
+    assert 100 in after
