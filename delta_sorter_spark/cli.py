@@ -13,6 +13,9 @@ Extension verbs (each runs and exits; --sort-columns not required):
     --build-bloom-index COLUMN    build/rebuild the per-file Bloom index
     --refresh-bloom-index COLUMN  catch the index up (O(new files) scan)
     --drop-bloom-index COLUMN     unregister (vacuum collects the dataset)
+    --build-ann-index COL:ID:DIM  train + register the PQ ANN index
+    --refresh-ann-index COLUMN    re-encode new/DV-changed files only
+    --drop-ann-index COLUMN       unregister (vacuum collects the datasets)
 Extension flag: --refresh-bloom-indexes refreshes every registered index
 after a rewriting compaction (the maintenance pairing — rewrites are
 exactly when indexes go stale).
@@ -104,6 +107,28 @@ def build_parser() -> argparse.ArgumentParser:
         "index up with the new file layout (scans only rewritten files)",
     )
     p.add_argument(
+        "--build-ann-index",
+        default=None,
+        metavar="COLUMN:ID_COL:DIM",
+        help="Train + encode + register the PQ ANN index for an embedding "
+        "COLUMN (vector search served from table metadata), then exit",
+    )
+    p.add_argument(
+        "--refresh-ann-index",
+        default=None,
+        metavar="COLUMN",
+        help="Catch COLUMN's ANN index up with the current snapshot — "
+        "re-encodes only new/DV-changed files against the frozen "
+        "codebooks — then exit",
+    )
+    p.add_argument(
+        "--drop-ann-index",
+        default=None,
+        metavar="COLUMN",
+        help="Unregister COLUMN's ANN index (vacuum collects the "
+        "datasets), then exit",
+    )
+    p.add_argument(
         "--vacuum",
         action="store_true",
         help="Delete unreferenced data files (tombstoned or orphaned) and "
@@ -161,7 +186,8 @@ def main(argv: list[str] | None = None) -> int:
 
     index_verb = (
         args.build_bloom_index or args.refresh_bloom_index
-        or args.drop_bloom_index
+        or args.drop_bloom_index or args.build_ann_index
+        or args.refresh_ann_index or args.drop_ann_index
     )
     maintenance_verb = (
         args.vacuum or args.checkpoint or args.enable_row_tracking
@@ -226,6 +252,50 @@ def _run(args, sort_columns, api) -> int:
         except KeyError as exc:
             # the index verbs signal "no such index" with KeyError — a
             # usage error here; internal KeyErrors elsewhere still traceback
+            print(
+                f"error: {exc.args[0] if exc.args else exc}", file=sys.stderr
+            )
+            return 2
+        return 0
+
+    if args.build_ann_index or args.refresh_ann_index or args.drop_ann_index:
+        from delta_sorter_spark.operators.ann_index import (
+            build_ann_index,
+            drop_ann_index,
+            refresh_ann_index,
+        )
+        from delta_sorter_spark.session import get_spark
+        from delta_sorter_spark.sources.delta_table import DeltaTable
+
+        tbl = DeltaTable(get_spark(), args.table)
+        try:
+            if args.build_ann_index:
+                parts = args.build_ann_index.split(":")
+                if len(parts) != 3:
+                    print(
+                        "error: --build-ann-index expects COLUMN:ID_COL:DIM",
+                        file=sys.stderr,
+                    )
+                    return 2
+                r = build_ann_index(tbl, parts[0], parts[1], int(parts[2]))
+                print(
+                    f"ann_index column={r['column']} rows={r['rows']} "
+                    f"files={r['files']} version={r['version']}"
+                )
+            elif args.refresh_ann_index:
+                r = refresh_ann_index(tbl, args.refresh_ann_index)
+                print(
+                    f"ann_index column={r['column']} new={r['new_files']} "
+                    f"dropped={r['dropped_files']} "
+                    f"carried={r['carried_files']} version={r['version']}"
+                )
+            else:
+                v = drop_ann_index(tbl, args.drop_ann_index)
+                print(
+                    f"ann_index dropped column={args.drop_ann_index} "
+                    f"version={v}"
+                )
+        except KeyError as exc:
             print(
                 f"error: {exc.args[0] if exc.args else exc}", file=sys.stderr
             )
