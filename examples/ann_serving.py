@@ -109,6 +109,33 @@ def main() -> None:
         .select("query_id", "id", "rank", "cosine")
     )
     top.orderBy("query_id", "rank").show(15, truncate=False)
+
+    # ---- or: the one-call registered lifecycle -----------------------------
+    # operators/ann_index.py folds build/persist/refresh/serve into table
+    # metadata: the index lives INSIDE the table directory, vacuum protects
+    # it while registered, appends/DML catch up with an O(changed files)
+    # refresh against the frozen codebooks, and serving always reflects the
+    # live snapshot (stale index = recall loss, never removed rows).
+    from delta_sorter_spark.operators.ann_index import (
+        ann_topk,
+        build_ann_index,
+        refresh_ann_index,
+    )
+
+    table_path = tempfile.mkdtemp(prefix="ann_table_") + "/t"
+    tbl = DeltaTable.create(
+        spark, table_path, corpus.where(F.col("vec_id") % 2 == 0).coalesce(2)
+    )
+    build_ann_index(tbl, "embedding", "vec_id", DIM, m=M, n_codes=N_CODES)
+    tbl.append(corpus.where(F.col("vec_id") % 2 == 1).coalesce(2))
+    r = refresh_ann_index(tbl, "embedding")
+    print(
+        f"registered index: +{r['new_files']} files re-encoded, "
+        f"{r['carried_files']} carried"
+    )
+    ann_topk(
+        tbl, queries, "query_id", "qemb", "embedding", k=K
+    ).orderBy("query_id", "rank").show(10, truncate=False)
     spark.stop()
 
 

@@ -168,3 +168,40 @@ def test_carried_and_reencoded_codes_identical(spark, tmp_path):
     }
     assert {k: v for k, v in after.items() if k != 100} == before
     assert 100 in after
+
+
+def test_concurrent_refreshes_converge(spark, tmp_path):
+    """Two maintenance jobs refresh the same ANN index after an append:
+    both commits land (conditional-PUT retry), the last registration wins,
+    serving stays correct throughout, and the loser's dataset is
+    vacuum-able while the winner's is protected."""
+    import threading
+
+    tbl = _mk_table(spark, tmp_path, range(20))
+    build_ann_index(tbl, "emb", "vid", DIM, m=2, n_codes=4)
+    tbl.append(
+        spark.createDataFrame(_rows([50, 51]), "vid long, emb array<float>")
+        .coalesce(1)
+    )
+    errs = []
+
+    def run():
+        try:
+            refresh_ann_index(DeltaTable(tbl.spark, tbl.table_path), "emb")
+        except Exception as exc:  # pragma: no cover - failure reporting
+            errs.append(exc)
+
+    threads = [threading.Thread(target=run) for _ in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(300)
+    assert not errs
+    out = ann_topk(tbl, _queries(spark, [50]), "vid", "emb", "emb", k=21)
+    ids = {r["id"] for r in out.collect()}
+    assert 51 in ids and set(range(20)) <= ids
+    # exactly one dataset protected; the rest collectable
+    winner = ann_specs(tbl)["emb"]["path"]
+    doomed = tbl.vacuum(dry_run=True)
+    assert not any(p.startswith(winner) for p in doomed)
+    assert any(p.startswith("_ann_index/") for p in doomed)
