@@ -85,19 +85,22 @@ def gopher_scalar_stats(
     norm_chars (the single-space-joined character count — the repetition
     family's denominator).
 
-    The split arrays are let-bound through a one-element ``transform``
-    lambda so they evaluate ONCE per row: higher-order functions run
-    outside whole-stage codegen's subexpression elimination, so naming the
-    arrays as separate columns (or repeating the split under every stat)
-    re-splits the text per stat — 8 stopword membership tests alone cost 8
-    extra split+filter chains (measured ~2x the whole scan at sf0.1)."""
+    Evaluation discipline (this function was 14x slower without it): the
+    split arrays are let-bound through a one-element ``transform`` lambda
+    (higher-order functions sit OUTSIDE whole-stage codegen's subexpression
+    elimination, so repeating the split under every stat re-splits the text
+    per stat — 8 stopword membership tests alone), and the counter struct
+    reaches the output through ``inline()``: a generator evaluates its
+    expression ONCE per row, where a plain projection would inline the
+    struct into every field extraction and recompute ALL stats per column
+    (SimplifyExtractValueOps cannot see through element_at(transform(...)))."""
     bullets = ", ".join(f"'{c}'" for c in BULLET_CHARS)
     contains = " + ".join(
         f"CAST(array_contains(s.w, '{sw}') AS INT)" for sw in GOPHER_STOPWORDS
     )
     w, li = "s.w", "s.li"
-    stats = f"""
-element_at(transform(
+    counters = f"""
+inline(transform(
   array(struct({_words_expr(text_col)} AS w, {_lines_expr(text_col)} AS li)),
   s -> struct(
     size({w}) AS n_words,
@@ -107,12 +110,12 @@ element_at(transform(
       AS bullet_lines,
     size(filter({li}, l -> l LIKE '%...' OR l LIKE '%…')) AS ellipsis_lines,
     size(filter({w}, x -> x rlike '[a-z]')) AS alpha_words,
-    CAST({contains} AS INT) AS stopword_hits,
+    CAST({contains} AS INT) AS stop_hits,
     size(array_distinct({li})) AS distinct_lines,
     aggregate({li}, 0L, (a, x) -> a + length(x)) AS line_chars,
     aggregate(array_distinct({li}), 0L, (a, x) -> a + length(x))
       AS distinct_line_chars
-  )), 1)
+  )))
 """
     # '#' and ellipsis occurrences (non-overlapping, left-to-right — both
     # engines' replace() agrees); Gopher's "symbol-to-word ratio"
@@ -128,26 +131,27 @@ element_at(transform(
     )
     base = df.select(
         F.col(id_col),
-        F.expr(stats).alias("__s__"),
         (hash_cnt + dots_cnt + uni_ell_cnt).cast("bigint").alias("__sym__"),
+        F.expr(counters),
     )
-    s = F.col("__s__")
-    n_words, n_lines = s["n_words"], s["n_lines"]
-    line_chars = s["line_chars"]
+    n_words, n_lines = F.col("n_words"), F.col("n_lines")
+    line_chars = F.col("line_chars")
     return base.select(
         F.col(id_col),
-        n_words.alias("n_words"),
-        _frac(s["word_chars"], n_words).alias("mean_word_len"),
+        n_words,
+        _frac(F.col("word_chars"), n_words).alias("mean_word_len"),
         _frac(F.col("__sym__"), n_words).alias("symbol_word_ratio"),
-        _frac(s["bullet_lines"], n_lines).alias("bullet_line_frac"),
-        _frac(s["ellipsis_lines"], n_lines).alias("ellipsis_line_frac"),
-        _frac(s["alpha_words"], n_words).alias("alpha_word_frac"),
-        s["stopword_hits"].cast("int").alias("stopword_hits"),
-        _frac(n_lines - s["distinct_lines"], n_lines).alias("dup_line_frac"),
-        _frac(line_chars - s["distinct_line_chars"], line_chars).alias(
+        _frac(F.col("bullet_lines"), n_lines).alias("bullet_line_frac"),
+        _frac(F.col("ellipsis_lines"), n_lines).alias("ellipsis_line_frac"),
+        _frac(F.col("alpha_words"), n_words).alias("alpha_word_frac"),
+        F.col("stop_hits").cast("int").alias("stopword_hits"),
+        _frac(n_lines - F.col("distinct_lines"), n_lines).alias(
+            "dup_line_frac"
+        ),
+        _frac(line_chars - F.col("distinct_line_chars"), line_chars).alias(
             "dup_line_char_frac"
         ),
-        (s["word_chars"] + F.greatest(n_words - 1, F.lit(0))).alias(
+        (F.col("word_chars") + F.greatest(n_words - 1, F.lit(0))).alias(
             "norm_chars"
         ),
     )
@@ -155,21 +159,29 @@ element_at(transform(
 
 def _tagged_grams_expr(text_col: str, top_n: int, dup_n: int) -> str:
     """One array of (tag, gram) structs carrying BOTH n-gram sizes, so the
-    repetition family costs a single explode."""
-    w = _words_expr(text_col)
+    repetition family costs a single explode.
+
+    The word array is let-bound through the outer one-element ``transform``
+    (same discipline as :func:`gopher_scalar_stats`): referencing the split
+    expression directly inside the per-position lambda re-evaluates it PER
+    POSITION — O(words² · chars) per document, which made this explode the
+    whole operator's cost at sf0.1."""
 
     def grams(n: int, tag: str) -> str:
         # sequence(1, 0) is DESCENDING [1, 0] in Spark — guard short docs
         # with an explicit empty array instead
         body = (
-            f"transform(sequence(1, size({w}) - {n - 1}),"
+            f"transform(sequence(1, size(ws) - {n - 1}),"
             f" i -> struct('{tag}' AS tag,"
-            f" array_join(slice({w}, i, {n}), ' ') AS gram))"
+            f" array_join(slice(ws, i, {n}), ' ') AS gram))"
         )
-        empty = "array()"
-        return f"if(size({w}) < {n}, cast({empty} as array<struct<tag:string,gram:string>>), {body})"
+        empty = "cast(array() as array<struct<tag:string,gram:string>>)"
+        return f"if(size(ws) < {n}, {empty}, {body})"
 
-    return f"concat({grams(top_n, 't')}, {grams(dup_n, 'd')})"
+    return (
+        f"element_at(transform(array({_words_expr(text_col)}),"
+        f" ws -> concat({grams(top_n, 't')}, {grams(dup_n, 'd')})), 1)"
+    )
 
 
 def gopher_ngram_stats(
