@@ -77,10 +77,16 @@ def content_hash_dedup(df: DataFrame, cols: Sequence[str], tiebreak: str) -> Dat
 
 def shingles_expr(text_col: str, n: int = 3) -> Column:
     """Distinct character n-grams of the lowercased text (JVM-side
-    transform/sequence; no UDF).  Short texts yield the whole text."""
+    transform/sequence; no UDF).  Short texts yield the whole text.
+
+    ``lower(text)`` is let-bound through a one-element ``transform`` so it
+    evaluates once per row — referenced directly inside the per-position
+    lambda it would re-lowercase the whole text PER POSITION (O(len²)
+    chars; this halved e2's sf0.1 scan)."""
     return F.expr(
-        f"array_distinct(transform(sequence(1, greatest(1, length(lower({text_col})) - {n - 1})),"
-        f" i -> substring(lower({text_col}), i, {n})))"
+        f"array_distinct(element_at(transform(array(lower({text_col})),"
+        f" t -> transform(sequence(1, greatest(1, length(t) - {n - 1})),"
+        f" i -> substring(t, i, {n}))), 1))"
     )
 
 
@@ -478,9 +484,11 @@ def winnowing_fingerprints(
     doc id.  Output: (id, fp) distinct rows."""
     from pyspark.sql import Window as W
 
+    # lower(text) let-bound once per row (the shingles_expr discipline)
     grams = F.expr(
-        f"transform(sequence(1, greatest(1, length(lower({text_col})) - {k - 1})),"
-        f" i -> substring(lower({text_col}), i, {k}))"
+        f"element_at(transform(array(lower({text_col})),"
+        f" t -> transform(sequence(1, greatest(1, length(t) - {k - 1})),"
+        f" i -> substring(t, i, {k}))), 1)"
     )
     positioned = df.select(
         F.col(id_col), F.posexplode(grams).alias("__pos__", "__gram__")

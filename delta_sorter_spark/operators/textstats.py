@@ -239,17 +239,27 @@ def repetition_stats(
 
     Pure per-row column arithmetic over the text scan — no shuffle, no UDF;
     the ratio is ONE final double division so it hash-matches any engine."""
+    # words AND grams let-bound once per row, counters emitted through the
+    # inline() generator (the quality.py evaluation discipline: lambdas sit
+    # outside codegen subexpression elimination, and a projection would
+    # inline the expensive expression into every extraction)
     words = f"split(lower(trim({text_col})), '\\\\s+')"
-    grams = (
-        f"transform(sequence(1, greatest(1, size({words}) - {n - 1})),"
-        f" i -> array_join(slice({words}, i, {n}), ' '))"
+    counters = (
+        f"inline(transform(array({words}), ws ->"
+        f" element_at(transform("
+        f"   array(transform(sequence(1, greatest(1, size(ws) - {n - 1})),"
+        f"         i -> array_join(slice(ws, i, {n}), ' '))),"
+        f"   gs -> struct(size(gs) AS total_ngrams,"
+        f"                size(array_distinct(gs)) AS distinct_ngrams)"
+        f" ), 1)))"
     )
-    total = F.expr(f"size({grams})")
-    distinct = F.expr(f"size(array_distinct({grams}))")
-    return df.select(
+    base = df.select(F.col(id_col), F.expr(counters))
+    total = F.col("total_ngrams")
+    distinct = F.col("distinct_ngrams")
+    return base.select(
         F.col(id_col),
-        total.alias("total_ngrams"),
-        distinct.alias("distinct_ngrams"),
+        total,
+        distinct,
         F.round(
             F.lit(1.0) - distinct.cast("double") / total.cast("double"), 6
         ).alias("rep_ratio"),
