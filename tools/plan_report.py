@@ -47,6 +47,7 @@ EXPECTED_ALLPAIRS = {
     "e63_hybrid_rrf",         # dense side is e6's exact broadcast all-pairs; lexical side carries e45's one-row stats broadcast
     "e64_heavy_hitters",      # one-row total-count broadcast into the threshold filter
     "e72_corpus_overlap",     # 1x1 cross join of two single-row sketch aggregates (e24 shape)
+    "q18_ann_index",          # pq_serve: ADC scoring broadcasts the query+codebook side (e60 shape)
 }
 
 
