@@ -7329,6 +7329,18 @@ _RECHECK_THIS_ROUND = [
     "e80_wordpiece_encode",
     "e81_epoch_capped_mix",
     "q18_ann_index",
+    # round 6 let-binding rewrites (shingles_expr / winnowing grams /
+    # repetition counters): recheck the heaviest consumers of each — the
+    # full 40-query dependent set was fastlane-verified at sf0.01 in-round
+    "e2_minhash_sig",
+    "e3_lsh_candidates",
+    "e22_winnowing",
+    "e31_repetition",
+    "e42_minhash_accuracy",
+    "e13_dup_clusters",
+    "e55_dedup_keep_best",
+    "e50_fuzzy_decontaminate",
+    "p1_quality_dedup_pipeline",
 ]
 
 
