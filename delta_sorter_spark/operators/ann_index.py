@@ -181,7 +181,11 @@ def build_ann_index(
     )
     rel = f"_ann_index/{column}/{_uuid.uuid4().hex}"
     _write_datasets(table, rel, codes, cb_union, files)
-    n_rows = codes.count()
+    # count from the written dataset — recounting `codes` would re-run the
+    # whole encode pipeline as a second job
+    n_rows = table.read_parquet_dataset(
+        rel + "/codes", ["id"], "id bigint"
+    ).count()
     spec = {
         "path": rel,
         "version": state.version,
