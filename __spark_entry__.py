@@ -7285,6 +7285,158 @@ WHERE r.rn <= {TOPK}
 _Q18_SQL = _q18_sql()
 
 
+# ---------------------------------------------------------------------------
+# Q19: IVF-PQ registered index — q18's lifecycle with a coarse quantizer
+# (build with n_centroids, refresh keeps new rows in FROZEN inverted lists,
+# serve scans only each query's probed lists).  The oracle adds the coarse
+# replay to q18's: coarse centroids trained on the BUILD half, live rows
+# assigned to lists, queries probed, ADC restricted to matching lists.
+# ---------------------------------------------------------------------------
+
+
+def q_q19_ann_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from delta_sorter_spark.operators.ann_index import (
+        ann_topk,
+        build_ann_index,
+        refresh_ann_index,
+    )
+    from delta_sorter_spark.sources.delta_table import DeltaTable
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    scratch = tempfile.mkdtemp(prefix="q19_ann_")
+    try:
+        tbl = DeltaTable.create(
+            spark, os.path.join(scratch, "t"),
+            emb.where(F.col("vec_id") % 2 == 0).coalesce(2),
+        )
+        build_ann_index(
+            tbl, "embedding", "vec_id", EMB_DIM,
+            m=PQ_M, n_codes=PQ_CODES, n_iters=2,
+            n_centroids=IVFPQ_CENTROIDS,
+        )
+        tbl.append(emb.where(F.col("vec_id") % 2 == 1).coalesce(2))
+        refresh_ann_index(tbl, "embedding")
+        queries = emb.where(F.col("vec_id") % QUERY_VEC_MOD == 0)
+        out = ann_topk(
+            tbl, queries, "vec_id", "embedding", "embedding",
+            k=TOPK, n_probes=IVFPQ_PROBES,
+        ).select(
+            "query_id",
+            "id",
+            "rank",
+            F.round("approx_d", 6).alias("approx_d"),
+            F.round("cosine", 6).alias("cosine"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def _q19_subspace(j: int) -> str:
+    """q18's train/live split per subspace, without the delete filter
+    (q19's lifecycle is build -> append -> refresh -> probed serve)."""
+    lo, hi = j * _PQ_DSUB + 1, (j + 1) * _PQ_DSUB
+    return f"""
+tsub{j} AS (
+  SELECT vec_id, v[{lo}:{hi}] AS v FROM corpus WHERE vec_id % 2 = 0
+),
+seed{j} AS (
+  SELECT CAST(rn - 1 AS INT) AS centroid, v AS cvec FROM (
+    SELECT v, row_number() OVER (ORDER BY h, vec_id) AS rn FROM (
+      SELECT vec_id, v,
+             {duckdb_md5_long_sql('CAST(vec_id AS VARCHAR)')} % {MERSENNE_P} AS h
+      FROM tsub{j}))
+  WHERE rn <= {PQ_CODES}
+),{_duck_pq_iter(f'tsub{j}', f'seed{j}', f'cb{j}_1', _PQ_DSUB)},{_duck_pq_iter(f'tsub{j}', f'cb{j}_1', f'cb{j}', _PQ_DSUB)},
+code{j} AS (
+  SELECT vec_id, centroid AS code FROM (
+    SELECT c.vec_id, s.centroid,
+           row_number() OVER (PARTITION BY c.vec_id
+                              ORDER BY {_duck_sq_l2('c.v', 's.cvec')}, s.centroid) AS rn
+    FROM (SELECT vec_id, v[{lo}:{hi}] AS v FROM corpus) c
+    CROSS JOIN cb{j} s) WHERE rn = 1
+),
+qt{j} AS (
+  SELECT q.vec_id AS query_id, s.centroid AS code,
+         {_duck_sq_l2('q.v', 's.cvec')} AS d
+  FROM (SELECT vec_id, v[{lo}:{hi}] AS v FROM corpus
+        WHERE vec_id % {QUERY_VEC_MOD} = 0) q
+  CROSS JOIN cb{j} s
+)"""
+
+
+def _q19_sql() -> str:
+    coarse_seed = f"""
+coarse_seed AS (
+  SELECT CAST(rn - 1 AS INT) AS centroid, v AS cvec FROM (
+    SELECT v, row_number() OVER (ORDER BY h, vec_id) AS rn FROM (
+      SELECT vec_id, v,
+             {duckdb_md5_long_sql('CAST(vec_id AS VARCHAR)')} % {MERSENNE_P} AS h
+      FROM train))
+  WHERE rn <= {IVFPQ_CENTROIDS}
+)"""
+    code_joins = " ".join(
+        f"JOIN code{j} c{j} ON c{j}.vec_id = cl.vec_id" for j in range(PQ_M)
+    )
+    qt_joins = " ".join(
+        f"JOIN qt{j} q{j} ON q{j}.code = c{j}.code AND q{j}.query_id = qp.query_id"
+        for j in range(PQ_M)
+    )
+    return f"""
+WITH corpus0 AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+corpus AS MATERIALIZED (
+  SELECT vec_id, list_transform(v, x -> x / sqrt({_SSQ.format(a='v')})) AS v
+  FROM corpus0
+),
+train AS (SELECT vec_id, v FROM corpus WHERE vec_id % 2 = 0),{coarse_seed},{_duck_pq_iter('train', 'coarse_seed', 'coarse1', EMB_DIM)},{_duck_pq_iter('train', 'coarse1', 'coarse', EMB_DIM)},
+clist AS (
+  SELECT vec_id, centroid FROM (
+    SELECT c.vec_id, s.centroid,
+           row_number() OVER (PARTITION BY c.vec_id
+                              ORDER BY {_duck_sq_l2('c.v', 's.cvec')}, s.centroid) AS rn
+    FROM corpus c CROSS JOIN coarse s) WHERE rn = 1
+),
+qprobe AS (
+  SELECT vec_id AS query_id, centroid FROM (
+    SELECT c.vec_id, s.centroid,
+           row_number() OVER (PARTITION BY c.vec_id
+                              ORDER BY {_duck_sq_l2('c.v', 's.cvec')}, s.centroid) AS rn
+    FROM corpus c CROSS JOIN coarse s
+    WHERE c.vec_id % {QUERY_VEC_MOD} = 0) WHERE rn <= {IVFPQ_PROBES}
+),{','.join(_q19_subspace(j) for j in range(PQ_M))},
+scored AS (
+  SELECT cl.vec_id AS id, qp.query_id,
+         {' + '.join(f'q{j}.d' for j in range(PQ_M))} AS approx_d
+  FROM clist cl
+  JOIN qprobe qp ON qp.centroid = cl.centroid AND qp.query_id <> cl.vec_id
+  {code_joins}
+  {qt_joins}
+),
+ranked AS (
+  SELECT query_id, id, approx_d,
+         row_number() OVER (PARTITION BY query_id ORDER BY approx_d, id) AS rn
+  FROM scored
+)
+SELECT r.query_id, r.id, r.rn AS "rank", round(r.approx_d, 6) AS approx_d,
+       round({_DOT.format(a='a.v', b='b.v')}
+         / (sqrt({_SSQ.format(a='a.v')}) * sqrt({_SSQ.format(a='b.v')})), 6) AS cosine
+FROM ranked r
+JOIN corpus a ON a.vec_id = r.id
+JOIN corpus b ON b.vec_id = r.query_id
+WHERE r.rn <= {TOPK}
+"""
+
+
+_Q19_SQL = _q19_sql()
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the validator's V1 per-file min/max over sf0.001."""
     return q_v1_file_minmax(spark, "/root/testdata/sf0.001")
@@ -7329,6 +7481,7 @@ _RECHECK_THIS_ROUND = [
     "e80_wordpiece_encode",
     "e81_epoch_capped_mix",
     "q18_ann_index",
+    "q19_ann_ivf_index",
     # round 6 let-binding rewrites (shingles_expr / winnowing grams /
     # repetition counters): recheck the heaviest consumers of each — the
     # full 40-query dependent set was fastlane-verified at sf0.01 in-round
@@ -7552,6 +7705,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e80_wordpiece_encode": q_e80_wordpiece_encode,
         "e81_epoch_capped_mix": q_e81_epoch_capped_mix,
         "q18_ann_index": q_q18_ann_index,
+        "q19_ann_ivf_index": q_q19_ann_ivf_index,
         "e75_unigram_encode": q_e75_unigram_encode,
         "e76_bpe_encode": q_e76_bpe_encode,
         "a47_corpus_profile": q_a47_corpus_profile,
@@ -7651,6 +7805,7 @@ def oracle_sql() -> dict[str, str]:
         "e80_wordpiece_encode": _E80_SQL,
         "e81_epoch_capped_mix": _E81_SQL,
         "q18_ann_index": _Q18_SQL,
+        "q19_ann_ivf_index": _Q19_SQL,
         "e75_unigram_encode": _E75_SQL,
         "e76_bpe_encode": _E76_SQL,
         "a47_corpus_profile": _A47_SQL,

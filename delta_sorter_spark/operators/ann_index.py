@@ -80,9 +80,19 @@ def _dv_digest(add) -> str:
     return json.dumps(dv, sort_keys=True) if dv else ""
 
 
-def _codes_ddl(m: int) -> str:
+def _codes_ddl(m: int, ivf: bool) -> str:
     cols = ", ".join(f"code_{j} int" for j in range(m))
-    return f"path string, id bigint, __cemb__ array<double>, {cols}"
+    coarse = "centroid int, " if ivf else ""
+    return f"path string, id bigint, {coarse}__cemb__ array<double>, {cols}"
+
+
+def _codes_cols(m: int, ivf: bool) -> list[str]:
+    return (
+        ["path", "id"]
+        + (["centroid"] if ivf else [])
+        + ["__cemb__"]
+        + [f"code_{j}" for j in range(m)]
+    )
 
 
 def _rows_with_path(table: DeltaTable, adds, id_col: str, emb_col: str):
@@ -115,6 +125,7 @@ def _write_datasets(
     codes: DataFrame,
     codebooks_union: DataFrame,
     files: DataFrame,
+    coarse: DataFrame | None = None,
 ) -> None:
     _mark_building(table, rel)  # vacuum-protect until registered
     table.write_parquet_dataset(
@@ -125,6 +136,18 @@ def _write_datasets(
     )
     table.write_parquet_dataset(codebooks_union.coalesce(1), rel + "/codebooks")
     table.write_parquet_dataset(files.coalesce(1), rel + "/files")
+    if coarse is not None:
+        table.write_parquet_dataset(
+            coarse.select("centroid", "cvec").coalesce(1), rel + "/coarse"
+        )
+
+
+def _read_coarse(table: DeltaTable, spec: dict) -> DataFrame:
+    return table.read_parquet_dataset(
+        spec["path"] + "/coarse",
+        ["centroid", "cvec"],
+        "centroid int, cvec array<double>",
+    ).localCheckpoint(eager=True)
 
 
 def _register(table: DeltaTable, column: str, spec: dict, op: str) -> int:
@@ -144,12 +167,20 @@ def build_ann_index(
     n_codes: int = 8,
     n_iters: int = 2,
     normalize: bool = True,
+    n_centroids: int | None = None,
 ) -> dict:
     """Train codebooks over the CURRENT snapshot, encode every live row,
     persist the datasets and register the spec — one metadata commit.
     Building again retrains (a new corpus version); the replaced dataset
     becomes vacuum-able.  Returns {"column", "rows", "files", "dataset",
-    "version"}."""
+    "version"}.
+
+    ``n_centroids`` upgrades the index to IVF-PQ: a coarse quantizer is
+    trained alongside the codebooks, every code row carries its inverted-
+    list id, and :func:`ann_topk` with ``n_probes`` scans only the probed
+    lists — |corpus| × probes / n_centroids candidates in expectation,
+    the 100 TB serving shape (partition the codes dataset by centroid and
+    a probe prunes files too)."""
     state = table.state()
     meta = state.metadata
     for c in (column, id_col):
@@ -169,6 +200,27 @@ def build_ann_index(
     codes, codebooks = pq_encode(
         rows, "__annid__", "__annemb__", dim, m, n_codes, n_iters, normalize
     )
+    coarse = None
+    if n_centroids is not None:
+        from delta_sorter_spark.operators.ivf import (
+            _assign,
+            _normalize_expr,
+            kmeans_centroids,
+        )
+
+        normed = rows.select(
+            F.col("__annid__"),
+            F.expr(
+                _normalize_expr("__annemb__") if normalize else "__annemb__"
+            ).alias("__annemb__"),
+        )
+        coarse = kmeans_centroids(
+            normed, "__annemb__", dim, int(n_centroids), n_iters,
+            id_col="__annid__",
+        ).localCheckpoint(eager=True)
+        # inverted-list id per code row (codes' __cemb__ is the same
+        # normalized vector the coarse quantizer trained on)
+        codes = _assign(codes, coarse, "__cemb__")
     codes = codes.join(
         rows.select(F.col("__annid__").alias("id"), "path"), "id"
     )
@@ -180,7 +232,7 @@ def build_ann_index(
         [(a.path, _dv_digest(a)) for a in state.adds], "path string, dv string"
     )
     rel = f"_ann_index/{column}/{_uuid.uuid4().hex}"
-    _write_datasets(table, rel, codes, cb_union, files)
+    _write_datasets(table, rel, codes, cb_union, files, coarse=coarse)
     # count from the written dataset — recounting `codes` would re-run the
     # whole encode pipeline as a second job
     n_rows = table.read_parquet_dataset(
@@ -195,6 +247,8 @@ def build_ann_index(
         "n_codes": int(n_codes),
         "normalize": bool(normalize),
     }
+    if n_centroids is not None:
+        spec["n_centroids"] = int(n_centroids)
     version = _register(table, column, spec, "CREATE ANN INDEX")
     return {
         "column": column,
@@ -237,12 +291,12 @@ def refresh_ann_index(table: DeltaTable, column: str) -> dict:
             "version": state.version,
         }
     m, dim = int(spec["m"]), int(spec["dim"])
+    ivf = "n_centroids" in spec
     id_col, normalize = spec["id_col"], bool(spec["normalize"])
     codebooks = _read_codebooks(table, spec)
+    coarse = _read_coarse(table, spec) if ivf else None
     old_codes = table.read_parquet_dataset(
-        spec["path"] + "/codes",
-        ["path", "id", "__cemb__"] + [f"code_{j}" for j in range(m)],
-        _codes_ddl(m),
+        spec["path"] + "/codes", _codes_cols(m, ivf), _codes_ddl(m, ivf)
     )
     unchanged = sorted(set(current) - changed)
     keep_df = table.spark.createDataFrame(
@@ -255,7 +309,16 @@ def refresh_ann_index(table: DeltaTable, column: str) -> dict:
         rows = _rows_with_path(table, changed_adds, id_col, column)
         fresh = pq_assign(
             rows, "__annid__", "__annemb__", codebooks, dim, normalize
-        ).join(rows.select(F.col("__annid__").alias("id"), "path"), "id")
+        )
+        if ivf:
+            from delta_sorter_spark.operators.ivf import _assign
+
+            # frozen coarse quantizer: re-encoded rows land in the same
+            # inverted list they would have at build time
+            fresh = _assign(fresh, coarse, "__cemb__")
+        fresh = fresh.join(
+            rows.select(F.col("__annid__").alias("id"), "path"), "id"
+        )
         pieces.append(fresh.select(*old_codes.columns))
     new_codes = pieces[0]
     for p in pieces[1:]:
@@ -268,7 +331,7 @@ def refresh_ann_index(table: DeltaTable, column: str) -> dict:
         [(a.path, _dv_digest(a)) for a in state.adds], "path string, dv string"
     )
     rel = f"_ann_index/{column}/{_uuid.uuid4().hex}"
-    _write_datasets(table, rel, new_codes, cb_union, files)
+    _write_datasets(table, rel, new_codes, cb_union, files, coarse=coarse)
     new_spec = dict(spec, path=rel, version=state.version)
     version = _register(table, column, new_spec, "REFRESH ANN INDEX")
     return {
@@ -298,36 +361,101 @@ def ann_topk(
     column: str,
     k: int = 5,
     rerank: int | None = None,
+    n_probes: int | None = None,
 ) -> DataFrame:
-    """Serve top-k from the registered index (:func:`ivf.pq_serve` under
-    the hood): corpus never re-encoded, only ADC tables + lookups run.
-    Codes are semi-joined against the CURRENT snapshot's files first, so a
-    stale index degrades to reduced recall, never to rows the table no
-    longer holds."""
+    """Serve top-k from the registered index: corpus never re-encoded, only
+    ADC tables + lookups run.  Codes are semi-joined against the CURRENT
+    snapshot's files first, so a stale index degrades to reduced recall,
+    never to rows the table no longer holds.
+
+    On an IVF-PQ index (built with ``n_centroids``), pass ``n_probes`` to
+    scan only each query's nearest inverted lists — the broadcast NLJ of
+    flat ADC becomes a centroid EQUI-join over |corpus| × probes /
+    n_centroids expected candidates.  ``n_probes=None`` serves flat even
+    on an IVF index (exhaustive ADC — the recall ceiling)."""
     spec = ann_specs(table).get(column)
     if spec is None:
         raise KeyError(
             f"no ann index on column {column!r} — build_ann_index first"
         )
     m = int(spec["m"])
+    ivf = "n_centroids" in spec
+    if n_probes is not None and not ivf:
+        raise ValueError(
+            "ann_topk: n_probes needs an IVF index — rebuild with "
+            "n_centroids"
+        )
     codes = table.read_parquet_dataset(
-        spec["path"] + "/codes",
-        ["path", "id", "__cemb__"] + [f"code_{j}" for j in range(m)],
-        _codes_ddl(m),
+        spec["path"] + "/codes", _codes_cols(m, ivf), _codes_ddl(m, ivf)
     )
     active = table.spark.createDataFrame(
         [(a.path,) for a in table.state().adds] or [("",)], "path string"
     )
     codes = codes.join(F.broadcast(active), "path", "left_semi").drop("path")
     codebooks = _read_codebooks(table, spec)
-    return pq_serve(
-        codes,
-        codebooks,
-        queries,
-        query_id_col,
-        query_emb_col,
-        dim=int(spec["dim"]),
-        k=k,
-        normalize=bool(spec["normalize"]),
-        rerank=rerank,
+    dim, normalize = int(spec["dim"]), bool(spec["normalize"])
+    if n_probes is None:
+        if ivf:
+            codes = codes.drop("centroid")
+        return pq_serve(
+            codes, codebooks, queries, query_id_col, query_emb_col,
+            dim=dim, k=k, normalize=normalize, rerank=rerank,
+        )
+    from pyspark.sql import Window
+
+    from delta_sorter_spark.operators.ivf import _assign, _normalize_expr
+    from delta_sorter_spark.operators.similarity import cosine_expr
+
+    coarse = _read_coarse(table, spec)
+    q_expr = _normalize_expr(query_emb_col) if normalize else query_emb_col
+    q = _assign(
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.expr(q_expr).alias("__qemb__"),
+        ),
+        coarse,
+        "__qemb__",
+        n_best=int(n_probes),
+    )
+    dsub = dim // m
+    for j in range(m):
+        packed = codebooks[j].agg(
+            F.expr(
+                "transform(sort_array(collect_list(struct(centroid, cvec))),"
+                " s -> s.cvec)"
+            ).alias(f"__cb{j}__")
+        )
+        sub = f"slice(__qemb__, {j * dsub + 1}, {dsub})"
+        dist_tab = (
+            f"transform(__cb{j}__, cv -> aggregate(zip_with({sub}, cv,"
+            f" (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),"
+            f" CAST(0 AS DOUBLE), (acc, vv) -> acc + vv))"
+        )
+        q = (
+            q.crossJoin(F.broadcast(packed))
+            .withColumn(f"__dtab{j}__", F.expr(dist_tab))
+            .drop(f"__cb{j}__")
+        )
+    adc = " + ".join(f"element_at(__dtab{j}__, code_{j} + 1)" for j in range(m))
+    pairs = (
+        codes.join(q, "centroid")
+        .where(F.col("id") != F.col("query_id"))
+        .withColumn("approx_d", F.expr(adc))
+        .withColumn("cosine", cosine_expr("__qemb__", "__cemb__"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("approx_d"), F.asc("id"))
+    if rerank is None:
+        return (
+            pairs.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "id", "rank", "approx_d", "cosine")
+        )
+    shortlist = pairs.withColumn(
+        "__adc_rank__", F.row_number().over(w)
+    ).where(F.col("__adc_rank__") <= max(rerank, k))
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("id"))
+    return (
+        shortlist.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select("query_id", "id", "rank", "approx_d", "cosine")
     )

@@ -205,3 +205,58 @@ def test_concurrent_refreshes_converge(spark, tmp_path):
     doomed = tbl.vacuum(dry_run=True)
     assert not any(p.startswith(winner) for p in doomed)
     assert any(p.startswith("_ann_index/") for p in doomed)
+
+
+def test_ivf_index_probed_serve_matches_ivfpq(spark, tmp_path):
+    """IVF-PQ registered index: probed serving from the persisted datasets
+    equals the in-session ivfpq_topk on the same corpus (same coarse seeds,
+    same codebooks, same ADC)."""
+    from delta_sorter_spark.operators.ivf import ivfpq_topk
+
+    tbl = _mk_table(spark, tmp_path, range(60))
+    build_ann_index(
+        tbl, "emb", "vid", DIM, m=2, n_codes=4, n_centroids=4
+    )
+    q = _queries(spark, [0, 13, 37])
+    served = ann_topk(tbl, q, "vid", "emb", "emb", k=3, n_probes=2)
+    direct = ivfpq_topk(
+        tbl.to_df(), q, "vid", "emb", "vid", "emb",
+        dim=DIM, k=3, m=2, n_codes=4, n_centroids=4, n_probes=2,
+    )
+    norm = lambda df: sorted(map(tuple, df.collect()))
+    assert norm(served) == norm(direct)
+
+
+def test_ivf_refresh_assigns_new_rows_to_frozen_lists(spark, tmp_path):
+    tbl = _mk_table(spark, tmp_path, range(30))
+    build_ann_index(tbl, "emb", "vid", DIM, m=2, n_codes=4, n_centroids=4)
+    tbl.append(
+        spark.createDataFrame(_rows(range(30, 40)), "vid long, emb array<float>")
+        .coalesce(1)
+    )
+    refresh_ann_index(tbl, "emb")
+    # probed serve sees appended rows; flat serve still works on the index
+    probed = ann_topk(tbl, _queries(spark, [35]), "vid", "emb", "emb",
+                      k=39, n_probes=4)
+    assert {r["id"] for r in probed.collect()} >= set(range(30, 40)) - {35}
+    flat = ann_topk(tbl, _queries(spark, [35]), "vid", "emb", "emb", k=5)
+    assert flat.count() == 5
+    # a re-encoded row's list id matches a fresh build's assignment rule:
+    # carried rows and refreshed rows share the same frozen coarse centroids
+    spec = ann_specs(tbl)["emb"]
+    cents = {
+        r["id"]: r["centroid"]
+        for r in tbl.read_parquet_dataset(
+            spec["path"] + "/codes", ["id", "centroid"],
+            "id bigint, centroid int",
+        ).collect()
+    }
+    assert set(cents) == set(range(40))
+
+
+def test_probes_on_flat_index_rejected(spark, tmp_path):
+    tbl = _mk_table(spark, tmp_path, range(10))
+    build_ann_index(tbl, "emb", "vid", DIM, m=2, n_codes=4)
+    with pytest.raises(ValueError, match="n_probes"):
+        ann_topk(tbl, _queries(spark, [1]), "vid", "emb", "emb",
+                 k=2, n_probes=2)
