@@ -570,24 +570,27 @@ def bpe_encode(
     the trainer used, so encoding the training corpus reproduces the
     trainer's final word segmentations exactly.
 
-    Scale shape: entirely JVM column expressions — per document one
-    ``transform`` over its words, each word folded once per merge (an
-    ``aggregate`` carrying (emitted, pending)); no shuffle, no Python
-    boundary, no join against the merge table (it is baked into the
-    expression as literals — merge tables are tokenizer-sized, not
-    data-sized).  Cost is O(corpus tokens x n_merges) map-side."""
+    Scale shape (the :func:`unigram_encode` discipline): the fold runs once
+    per DISTINCT word — the same vocabulary-not-corpus insight the trainer
+    exploits — with the merge table baked into the expression as literals
+    (tokenizer-sized, not data-sized) and documents reassembled by
+    posexplode + join + ordered collect.  The previous per-occurrence form
+    re-folded every word instance (O(corpus tokens × merges)); this is
+    O(vocabulary × merges) plus a word-scale join."""
     merge_list = [(str(a), str(b)) for a, b in merges]
-    words = F.expr(
-        f"filter(split(lower(trim({text_col})), '\\\\s+'), x -> x <> '')"
+    doc_words = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.expr(
+                f"filter(split(lower(trim({text_col})), '\\\\s+'),"
+                " x -> x <> '')"
+            )
+        ).alias("wpos", "w"),
     )
-    word_toks = F.transform(
-        words,
-        lambda w: F.concat(
-            F.filter(F.split(w, ""), lambda x: x != ""),
-            F.array(F.lit("</w>")),
-        ),
+    words = doc_words.select("w").distinct()
+    col = F.expr(
+        "concat(filter(split(w, ''), x -> x <> ''), array('</w>'))"
     )
-    col = word_toks
     for a, b in merge_list:
         ab = a + b
         zero = F.struct(
@@ -624,17 +627,19 @@ def bpe_encode(
                 F.concat(acc["out"], F.array(acc["pend"]))
             )
 
-        def _apply_merge(prev, fold, fin, z):
-            def one_word(toks):
-                return F.aggregate(toks, z, fold, fin)
-
-            return F.transform(prev, one_word)
-
-        col = _apply_merge(col, _make_step(a, b, ab), _fin, zero)
-    return df.select(
-        F.col(id_col).alias("id"),
-        F.flatten(col).alias("tokens"),
-    ).withColumn("n_tokens", F.size("tokens").cast("bigint"))
+        col = F.aggregate(col, zero, _make_step(a, b, ab), _fin)
+    segmented = words.select("w", col.alias("wtoks"))
+    return (
+        doc_words.join(segmented, "w")
+        .groupBy("id")
+        .agg(
+            F.expr(
+                "flatten(transform(sort_array(collect_list(struct(wpos, wtoks))),"
+                " x -> x.wtoks))"
+            ).alias("tokens")
+        )
+        .withColumn("n_tokens", F.size("tokens").cast("bigint"))
+    )
 
 
 def train_wordpiece(
