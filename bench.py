@@ -498,6 +498,35 @@ def main() -> int:
     timings["ann_registered_serve"] = round(min(samples), 3)
     shutil.rmtree(anndir, ignore_errors=True)
 
+    # -- IVF-PQ registered index: same lifecycle with a coarse quantizer;
+    #    the serve line prices the probed path (centroid equi-join over
+    #    |corpus| * probes / n_centroids expected candidates) from the
+    #    persisted datasets.
+    anndir = tempfile.mkdtemp(prefix="bench_annivf_")
+    ivf_tbl = DeltaTable.create(
+        spark, os.path.join(anndir, "t"), emb.coalesce(2),
+    )
+    build_ann_index(
+        ivf_tbl, "embedding", "vec_id", entrymod.EMB_DIM,
+        m=entrymod.PQ_M, n_codes=entrymod.PQ_CODES,
+        n_centroids=entrymod.IVFPQ_CENTROIDS,
+    )
+
+    def ivf_run():
+        ann_topk(
+            ivf_tbl, pq_queries, "vec_id", "embedding", "embedding",
+            k=entrymod.TOPK, n_probes=entrymod.IVFPQ_PROBES,
+        ).write.format("noop").mode("overwrite").save()
+
+    ivf_run()
+    samples = []
+    for _ in range(3):
+        t0 = time.monotonic()
+        ivf_run()
+        samples.append(time.monotonic() - t0)
+    timings["ann_probed_serve"] = round(min(samples), 3)
+    shutil.rmtree(anndir, ignore_errors=True)
+
     shutil.rmtree(workdir, ignore_errors=True)
 
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")

@@ -48,6 +48,7 @@ EXPECTED_ALLPAIRS = {
     "e64_heavy_hitters",      # one-row total-count broadcast into the threshold filter
     "e72_corpus_overlap",     # 1x1 cross join of two single-row sketch aggregates (e24 shape)
     "q18_ann_index",          # pq_serve: ADC scoring broadcasts the query+codebook side (e60 shape)
+    "q19_ann_ivf_index",      # probe assignment + ADC tables are one-row packed-codebook broadcasts (e62 shape); candidates restricted by the centroid equi-join
 }
 
 
