@@ -6813,9 +6813,13 @@ SELECT s.doc_id, n_words, mean_word_len, symbol_word_ratio,
          AND stopword_hits >= 2
          AND dup_line_frac <= 0.30
          AND dup_line_char_frac <= 0.20
-         AND CAST(top_ngram_chars AS DOUBLE) / nullif(norm_chars, 0) <= 0.20
-         AND CAST(coalesce(dup_ngram_chars, 0) AS DOUBLE)
-             / nullif(norm_chars, 0) <= 0.15, FALSE) AS gopher_pass
+         -- the operator tests the ROUNDED fractions (quality._frac rounds
+         -- to 6 places before the threshold compare) — match it, or a true
+         -- fraction in (0.2, 0.2000005] flips the pass bit between engines
+         AND round(CAST(top_ngram_chars AS DOUBLE) / nullif(norm_chars, 0),
+                   6) <= 0.20
+         AND round(CAST(coalesce(dup_ngram_chars, 0) AS DOUBLE)
+                   / nullif(norm_chars, 0), 6) <= 0.15, FALSE) AS gopher_pass
 FROM scal s LEFT JOIN ng USING (doc_id)
 """
 

@@ -271,7 +271,7 @@ def _run(args, sort_columns, api) -> int:
         try:
             if args.build_ann_index:
                 parts = args.build_ann_index.split(":")
-                if len(parts) != 3:
+                if len(parts) != 3 or not parts[2].isdigit():
                     print(
                         "error: --build-ann-index expects COLUMN:ID_COL:DIM",
                         file=sys.stderr,
@@ -285,7 +285,8 @@ def _run(args, sort_columns, api) -> int:
             elif args.refresh_ann_index:
                 r = refresh_ann_index(tbl, args.refresh_ann_index)
                 print(
-                    f"ann_index column={r['column']} new={r['new_files']} "
+                    f"ann_index column={r['column']} "
+                    f"reencoded={r['reencoded_files']} "
                     f"dropped={r['dropped_files']} "
                     f"carried={r['carried_files']} version={r['version']}"
                 )
@@ -295,7 +296,9 @@ def _run(args, sort_columns, api) -> int:
                     f"ann_index dropped column={args.drop_ann_index} "
                     f"version={v}"
                 )
-        except KeyError as exc:
+        except (KeyError, ValueError) as exc:
+            # KeyError: no such index; ValueError: unknown column /
+            # non-integral id / empty table — usage errors, not tracebacks
             print(
                 f"error: {exc.args[0] if exc.args else exc}", file=sys.stderr
             )

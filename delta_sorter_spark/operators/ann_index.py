@@ -125,12 +125,17 @@ def _write_datasets(
     codes: DataFrame,
     codebooks_union: DataFrame,
     files: DataFrame,
+    n_files: int,
     coarse: DataFrame | None = None,
 ) -> None:
     _mark_building(table, rel)  # vacuum-protect until registered
+    # part count scales with the table's file count (bounded, the bloom
+    # _write_index discipline) — serving opens every part, so part count
+    # is the read bill, not row count
+    nparts = max(1, min(64, -(-n_files // 64)))
     table.write_parquet_dataset(
         codes.repartitionByRange(
-            max(1, 8), "path"
+            nparts, "path"
         ).sortWithinPartitions("path", "id"),
         rel + "/codes",
     )
@@ -232,7 +237,9 @@ def build_ann_index(
         [(a.path, _dv_digest(a)) for a in state.adds], "path string, dv string"
     )
     rel = f"_ann_index/{column}/{_uuid.uuid4().hex}"
-    _write_datasets(table, rel, codes, cb_union, files, coarse=coarse)
+    _write_datasets(
+        table, rel, codes, cb_union, files, len(state.adds), coarse=coarse
+    )
     # count from the written dataset — recounting `codes` would re-run the
     # whole encode pipeline as a second job
     n_rows = table.read_parquet_dataset(
@@ -264,14 +271,15 @@ def refresh_ann_index(table: DeltaTable, column: str) -> dict:
     path is new or whose deletion vector changed (against the FROZEN
     codebooks), drop codes of removed files, carry everything else.  A
     no-change snapshot short-circuits without a commit.  Returns
-    {"column", "new_files", "dropped_files", "carried_files", "dataset",
+    {"column", "reencoded_files" (new paths PLUS files whose deletion
+    vector changed), "dropped_files", "carried_files", "dataset",
     "version"}."""
-    spec = ann_specs(table).get(column)
+    state = table.state()  # ONE snapshot: spec and file list stay coherent
+    spec = ann_specs(table, state.metadata).get(column)
     if spec is None:
         raise KeyError(
             f"no ann index on column {column!r} — build_ann_index first"
         )
-    state = table.state()
     current = {a.path: _dv_digest(a) for a in state.adds}
     indexed = {
         r["path"]: r["dv"]
@@ -284,7 +292,7 @@ def refresh_ann_index(table: DeltaTable, column: str) -> dict:
     if not changed and not dropped:
         return {
             "column": column,
-            "new_files": 0,
+            "reencoded_files": 0,
             "dropped_files": 0,
             "carried_files": len(indexed),
             "dataset": spec["path"],
@@ -331,12 +339,14 @@ def refresh_ann_index(table: DeltaTable, column: str) -> dict:
         [(a.path, _dv_digest(a)) for a in state.adds], "path string, dv string"
     )
     rel = f"_ann_index/{column}/{_uuid.uuid4().hex}"
-    _write_datasets(table, rel, new_codes, cb_union, files, coarse=coarse)
+    _write_datasets(
+        table, rel, new_codes, cb_union, files, len(state.adds), coarse=coarse
+    )
     new_spec = dict(spec, path=rel, version=state.version)
     version = _register(table, column, new_spec, "REFRESH ANN INDEX")
     return {
         "column": column,
-        "new_files": len(changed),
+        "reencoded_files": len(changed),
         "dropped_files": len(dropped),
         "carried_files": len(unchanged),
         "dataset": rel,
@@ -373,7 +383,8 @@ def ann_topk(
     flat ADC becomes a centroid EQUI-join over |corpus| × probes /
     n_centroids expected candidates.  ``n_probes=None`` serves flat even
     on an IVF index (exhaustive ADC — the recall ceiling)."""
-    spec = ann_specs(table).get(column)
+    state = table.state()  # ONE snapshot: spec and live-path set coherent
+    spec = ann_specs(table, state.metadata).get(column)
     if spec is None:
         raise KeyError(
             f"no ann index on column {column!r} — build_ann_index first"
@@ -389,7 +400,7 @@ def ann_topk(
         spec["path"] + "/codes", _codes_cols(m, ivf), _codes_ddl(m, ivf)
     )
     active = table.spark.createDataFrame(
-        [(a.path,) for a in table.state().adds] or [("",)], "path string"
+        [(a.path,) for a in state.adds] or [("",)], "path string"
     )
     codes = codes.join(F.broadcast(active), "path", "left_semi").drop("path")
     codebooks = _read_codebooks(table, spec)
@@ -401,61 +412,18 @@ def ann_topk(
             codes, codebooks, queries, query_id_col, query_emb_col,
             dim=dim, k=k, normalize=normalize, rerank=rerank,
         )
-    from pyspark.sql import Window
+    from delta_sorter_spark.operators.ivf import (
+        _assign,
+        adc_query_tables,
+        adc_rank_pairs,
+    )
 
-    from delta_sorter_spark.operators.ivf import _assign, _normalize_expr
-    from delta_sorter_spark.operators.similarity import cosine_expr
-
+    # probe assignment, then the SAME ADC tables + ranking tail as the flat
+    # path (ivf.pq_serve) — only the candidate join differs: centroid
+    # equi-join over the probed lists instead of the broadcast cross join
     coarse = _read_coarse(table, spec)
-    q_expr = _normalize_expr(query_emb_col) if normalize else query_emb_col
-    q = _assign(
-        queries.select(
-            F.col(query_id_col).alias("query_id"),
-            F.expr(q_expr).alias("__qemb__"),
-        ),
-        coarse,
-        "__qemb__",
-        n_best=int(n_probes),
+    q = adc_query_tables(
+        queries, query_id_col, query_emb_col, codebooks, dim, normalize
     )
-    dsub = dim // m
-    for j in range(m):
-        packed = codebooks[j].agg(
-            F.expr(
-                "transform(sort_array(collect_list(struct(centroid, cvec))),"
-                " s -> s.cvec)"
-            ).alias(f"__cb{j}__")
-        )
-        sub = f"slice(__qemb__, {j * dsub + 1}, {dsub})"
-        dist_tab = (
-            f"transform(__cb{j}__, cv -> aggregate(zip_with({sub}, cv,"
-            f" (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),"
-            f" CAST(0 AS DOUBLE), (acc, vv) -> acc + vv))"
-        )
-        q = (
-            q.crossJoin(F.broadcast(packed))
-            .withColumn(f"__dtab{j}__", F.expr(dist_tab))
-            .drop(f"__cb{j}__")
-        )
-    adc = " + ".join(f"element_at(__dtab{j}__, code_{j} + 1)" for j in range(m))
-    pairs = (
-        codes.join(q, "centroid")
-        .where(F.col("id") != F.col("query_id"))
-        .withColumn("approx_d", F.expr(adc))
-        .withColumn("cosine", cosine_expr("__qemb__", "__cemb__"))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.asc("approx_d"), F.asc("id"))
-    if rerank is None:
-        return (
-            pairs.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k)
-            .select("query_id", "id", "rank", "approx_d", "cosine")
-        )
-    shortlist = pairs.withColumn(
-        "__adc_rank__", F.row_number().over(w)
-    ).where(F.col("__adc_rank__") <= max(rerank, k))
-    w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("id"))
-    return (
-        shortlist.withColumn("rank", F.row_number().over(w2))
-        .where(F.col("rank") <= k)
-        .select("query_id", "id", "rank", "approx_d", "cosine")
-    )
+    q = _assign(q, coarse, "__qemb__", n_best=int(n_probes))
+    return adc_rank_pairs(codes.join(q, "centroid"), m, k, rerank)

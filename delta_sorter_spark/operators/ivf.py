@@ -416,21 +416,18 @@ def pq_topk(
     )
 
 
-def pq_serve(
-    codes: DataFrame,
-    codebooks: list[DataFrame],
+def adc_query_tables(
     queries: DataFrame,
     query_id_col: str,
     query_emb_col: str,
+    codebooks: list[DataFrame],
     dim: int,
-    k: int = 5,
     normalize: bool = True,
-    rerank: int | None = None,
 ) -> DataFrame:
-    """Query-time half of :func:`pq_topk`, taking a PREBUILT index (the
-    ``(codes, codebooks)`` pair from :func:`pq_encode`, typically persisted
-    once per corpus version) — the production serving shape: the corpus is
-    never re-encoded per batch, only the ADC tables and lookups run."""
+    """(query_id, __qemb__, __dtab0__..__dtab{m-1}__): per query the m ADC
+    distance tables (squared-L2 of its subvector to every codeword), via m
+    one-row packed-codebook broadcasts.  Shared by the flat and probed
+    serving paths so their scoring can never diverge."""
     m = len(codebooks)
     dsub = dim // m
     q_expr = _normalize_expr(query_emb_col) if normalize else query_emb_col
@@ -454,10 +451,18 @@ def pq_serve(
             .withColumn(f"__dtab{j}__", F.expr(dist_tab))
             .drop(f"__cb{j}__")
         )
+    return q
+
+
+def adc_rank_pairs(
+    pairs: DataFrame, m: int, k: int, rerank: int | None
+) -> DataFrame:
+    """Score candidate (code row × query) pairs by ADC lookups and rank
+    top-k per query — the shared tail of every PQ serving path (same
+    tie-breaks and ``max(rerank, k)`` shortlist rule everywhere)."""
     adc = " + ".join(f"element_at(__dtab{j}__, code_{j} + 1)" for j in range(m))
     pairs = (
-        codes.crossJoin(F.broadcast(q))
-        .where(F.col("id") != F.col("query_id"))
+        pairs.where(F.col("id") != F.col("query_id"))
         .withColumn("approx_d", F.expr(adc))
         .withColumn("cosine", cosine_expr("__qemb__", "__cemb__"))
     )
@@ -476,6 +481,29 @@ def pq_serve(
         shortlist.withColumn("rank", F.row_number().over(w2))
         .where(F.col("rank") <= k)
         .select("query_id", "id", "rank", "approx_d", "cosine")
+    )
+
+
+def pq_serve(
+    codes: DataFrame,
+    codebooks: list[DataFrame],
+    queries: DataFrame,
+    query_id_col: str,
+    query_emb_col: str,
+    dim: int,
+    k: int = 5,
+    normalize: bool = True,
+    rerank: int | None = None,
+) -> DataFrame:
+    """Query-time half of :func:`pq_topk`, taking a PREBUILT index (the
+    ``(codes, codebooks)`` pair from :func:`pq_encode`, typically persisted
+    once per corpus version) — the production serving shape: the corpus is
+    never re-encoded per batch, only the ADC tables and lookups run."""
+    q = adc_query_tables(
+        queries, query_id_col, query_emb_col, codebooks, dim, normalize
+    )
+    return adc_rank_pairs(
+        codes.crossJoin(F.broadcast(q)), len(codebooks), k, rerank
     )
 
 

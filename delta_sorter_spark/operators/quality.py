@@ -32,8 +32,8 @@ from pyspark.sql import functions as F
 # contain at least min_stopword_hits of them to pass.
 GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 
-# First characters that mark a bullet line (Gopher drops docs where >10% of
-# lines start with a bullet).
+# First characters that mark a bullet line (Gopher drops docs where MORE
+# THAN 90% of lines start with a bullet — max_bullet_line_frac below).
 BULLET_CHARS = ["•", "‣", "▪", "-", "*"]
 
 # Published Gopher thresholds (repetition family uses the thresholds for

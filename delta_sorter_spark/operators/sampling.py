@@ -334,11 +334,15 @@ def epoch_capped_mix(
         F.max(F.expr(weight_expr)).cast("bigint").alias("weight"),
     )
     per = per.withColumn("cap_docs", F.col("n_docs") * E)
-    # capped set is a prefix under cap/weight ascending (water-filling)
-    w = Window.orderBy(
-        (F.col("cap_docs").cast("double") / F.col("weight")).asc(),
-        F.col("source").asc(),
-    )
+    # capped set is a prefix under cap/weight ascending (water-filling).
+    # weight 0 is the "exclude this domain" config: its ratio is +inf (it
+    # sorts last, outside the capped prefix, alloc 0) — spelled explicitly
+    # because x/0 is NULL (nulls-FIRST under asc) or an ANSI error, both
+    # of which would break the prefix property
+    ratio = F.when(
+        F.col("weight") <= 0, F.lit(float("inf"))
+    ).otherwise(F.col("cap_docs").cast("double") / F.col("weight"))
+    w = Window.orderBy(ratio.asc(), F.col("source").asc())
     prior = w.rowsBetween(Window.unboundedPreceding, -1)
     total_w = F.sum("weight").over(
         w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
@@ -351,8 +355,11 @@ def epoch_capped_mix(
     staged = per.select(
         "source", "n_docs", "weight", "cap_docs",
         (
-            F.col("cap_docs") * (total_w - cum_w)
-            <= F.col("weight") * (F.lit(B) - cum_cap)
+            (F.col("weight") > 0)  # weight 0 = excluded: never "capped"
+            & (
+                F.col("cap_docs") * (total_w - cum_w)
+                <= F.col("weight") * (F.lit(B) - cum_cap)
+            )
         ).alias("capped"),
     )
     # every uncapped domain shares the SAME post-prefix remainder: budget and
@@ -373,7 +380,13 @@ def epoch_capped_mix(
     )
     alloc = F.when(F.col("capped"), F.col("cap_docs")).otherwise(
         F.greatest(
-            F.expr("CAST(weight * rem_budget AS BIGINT) DIV rem_weight"),
+            F.coalesce(
+                F.expr(
+                    "CAST(weight * rem_budget AS BIGINT)"
+                    " DIV nullif(rem_weight, 0)"
+                ),
+                F.lit(0),
+            ),
             F.lit(0),
         )
     )

@@ -629,7 +629,7 @@ def bpe_encode(
 
         col = F.aggregate(col, zero, _make_step(a, b, ab), _fin)
     segmented = words.select("w", col.alias("wtoks"))
-    return (
+    assembled = (
         doc_words.join(segmented, "w")
         .groupBy("id")
         .agg(
@@ -637,6 +637,19 @@ def bpe_encode(
                 "flatten(transform(sort_array(collect_list(struct(wpos, wtoks))),"
                 " x -> x.wtoks))"
             ).alias("tokens")
+        )
+    )
+    # documents with no words (empty/whitespace/NULL text) explode to zero
+    # rows — join them back so every input row stays represented
+    # (tokens=[], n_tokens=0), matching the per-occurrence form's contract
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(assembled, "id", "left")
+        .select(
+            "id",
+            F.coalesce(
+                F.col("tokens"), F.expr("CAST(array() AS array<string>)")
+            ).alias("tokens"),
         )
         .withColumn("n_tokens", F.size("tokens").cast("bigint"))
     )
@@ -951,7 +964,7 @@ def wordpiece_encode(
             .alias("wpcs"),
         )
     )
-    return (
+    assembled = (
         doc_words.join(segmented, "w")
         .groupBy("id")
         .agg(
@@ -959,6 +972,17 @@ def wordpiece_encode(
                 "flatten(transform(sort_array(collect_list(struct(wpos, wpcs))),"
                 " x -> x.wpcs))"
             ).alias("pieces")
+        )
+    )
+    # wordless documents stay represented (pieces=[], the bpe_encode rule)
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(assembled, "id", "left")
+        .select(
+            "id",
+            F.coalesce(
+                F.col("pieces"), F.expr("CAST(array() AS array<string>)")
+            ).alias("pieces"),
         )
         .withColumn("n_pieces", F.size("pieces").cast("bigint"))
         .withColumn(

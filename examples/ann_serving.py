@@ -130,7 +130,7 @@ def main() -> None:
     tbl.append(corpus.where(F.col("vec_id") % 2 == 1).coalesce(2))
     r = refresh_ann_index(tbl, "embedding")
     print(
-        f"registered index: +{r['new_files']} files re-encoded, "
+        f"registered index: {r['reencoded_files']} files re-encoded, "
         f"{r['carried_files']} carried"
     )
     ann_topk(

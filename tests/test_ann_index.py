@@ -69,7 +69,7 @@ def test_refresh_after_append_covers_new_rows(spark, tmp_path):
     pre = ann_topk(tbl, _queries(spark, [25]), "vid", "emb", "emb", k=5)
     assert all(r["id"] < 20 for r in pre.collect())
     info = refresh_ann_index(tbl, "emb")
-    assert info["new_files"] >= 1 and info["dropped_files"] == 0
+    assert info["reencoded_files"] >= 1 and info["dropped_files"] == 0
     post = ann_topk(tbl, _queries(spark, [25]), "vid", "emb", "emb", k=29)
     ids = {r["id"] for r in post.collect()}
     assert set(range(20, 30)) - {25} <= ids  # appended rows now served
@@ -80,7 +80,7 @@ def test_refresh_noop_commits_nothing(spark, tmp_path):
     build_ann_index(tbl, "emb", "vid", DIM, m=2, n_codes=4)
     v = tbl.log.latest_version()
     info = refresh_ann_index(tbl, "emb")
-    assert info["new_files"] == 0 and info["dropped_files"] == 0
+    assert info["reencoded_files"] == 0 and info["dropped_files"] == 0
     assert tbl.log.latest_version() == v
 
 
@@ -108,7 +108,7 @@ def test_compaction_stale_serve_then_refresh(spark, tmp_path):
     stale = ann_topk(tbl, _queries(spark, [3]), "vid", "emb", "emb", k=5)
     assert stale.count() == 0
     info = refresh_ann_index(tbl, "emb")
-    assert info["dropped_files"] >= 1 and info["new_files"] >= 1
+    assert info["dropped_files"] >= 1 and info["reencoded_files"] >= 1
     post = ann_topk(tbl, _queries(spark, [3]), "vid", "emb", "emb", k=5)
     assert post.count() == 5
 

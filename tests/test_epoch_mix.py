@@ -76,3 +76,21 @@ def test_epoch_cap_binds_and_redistributes(spark):
     assert got["tail"]["capped"] is False
     assert got["tail"]["alloc_docs"] == 40
     assert got["tail"]["epochs_milli"] == 400
+
+
+def test_zero_weight_domain_excluded_not_crashed(spark):
+    """weight 0 is the exclude-this-domain config: alloc 0, never capped,
+    no divide-by-zero under ANSI mode, surplus flows to weighted domains."""
+    rows = [("keep", 2)] * 10 + [("skip", 0)] * 10
+    df = spark.createDataFrame(rows, "source string, wt long")
+    got = {
+        r["source"]: r.asDict()
+        for r in epoch_capped_mix(df, "source", 12, 3, "wt").collect()
+    }
+    assert got["skip"]["alloc_docs"] == 0
+    assert got["skip"]["capped"] is False
+    assert got["keep"]["alloc_docs"] == 12  # whole budget, under its cap 30
+    # all-zero weights: everything allocates 0, nothing errors
+    df0 = spark.createDataFrame([("a", 0), ("b", 0)], "source string, wt long")
+    out = epoch_capped_mix(df0, "source", 5, 2, "wt").collect()
+    assert all(r["alloc_docs"] == 0 for r in out)

@@ -210,3 +210,29 @@ def test_gopher_scalars_property(spark, rows):
             assert g == pytest.approx(v) if isinstance(v, float) else g == v, (
                 k, text, g, v
             )
+
+
+def test_empty_doc_encode_contract(spark):
+    """Tokenizer encode sides keep wordless documents represented
+    (tokens/pieces = [], counts 0) instead of dropping the rows."""
+    from delta_sorter_spark.operators.textstats import (
+        bpe_encode,
+        train_wordpiece,
+        wordpiece_encode,
+        wordpiece_vocab,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "low lower"), (1, ""), (2, "   ")], "doc_id long, text string"
+    )
+    bpe = {r["id"]: r for r in bpe_encode(df, "doc_id", "text", []).collect()}
+    assert set(bpe) == {0, 1, 2}
+    assert bpe[1]["tokens"] == [] and bpe[1]["n_tokens"] == 0
+    merges = train_wordpiece(df, "text", n_merges=1, min_count=1)
+    vocab = wordpiece_vocab(df, "text", merges)
+    wp = {
+        r["id"]: r
+        for r in wordpiece_encode(df, "doc_id", "text", vocab).collect()
+    }
+    assert set(wp) == {0, 1, 2}
+    assert wp[2]["pieces"] == [] and wp[2]["n_unk"] == 0
