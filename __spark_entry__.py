@@ -7441,6 +7441,211 @@ WHERE r.rn <= {TOPK}
 _Q19_SQL = _q19_sql()
 
 
+# ---------------------------------------------------------------------------
+# P3: round-6 curation pipeline composed end-to-end under ONE oracle —
+# C4 line cleaning (corpus-fit knobs) -> Gopher rule gate (corpus-fit
+# thresholds) -> exact fingerprint dedup keep-lowest -> epoch-capped
+# domain-mixing plan over the survivors.  Each stage is oracle-checked
+# alone (e78/e77/p1-shape/e81); this entry proves they COMPOSE exactly.
+# ---------------------------------------------------------------------------
+
+P3_GOPHER_TH = {
+    "min_stopword_hits": 1,
+    "min_mean_word_len": 2.0,
+    "max_top_ngram_char_frac": 1.0,
+    "max_dup_ngram_char_frac": 1.0,
+}
+P3_BUDGET, P3_EPOCHS = 300, 2
+
+
+def q_p3_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_sorter_spark.operators.quality import c4_clean, gopher_rules
+    from delta_sorter_spark.operators.sampling import epoch_capped_mix
+    from delta_sorter_spark.operators.textstats import fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = c4_clean(
+        docs, "doc_id", "text",
+        min_words_per_line=5, min_sentences=0, require_terminal_punct=False,
+    ).where("doc_kept").select("doc_id")
+    docs = docs.join(kept, "doc_id")
+    passed = gopher_rules(
+        docs, "doc_id", "text", thresholds=P3_GOPHER_TH
+    ).where("gopher_pass").select("doc_id")
+    docs = docs.join(passed, "doc_id")
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    survivors = (
+        fingerprint(docs, "doc_id", "text")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id")
+    )
+    return epoch_capped_mix(
+        docs.join(survivors, "doc_id").select("doc_id", "source"),
+        "source",
+        budget=P3_BUDGET,
+        max_epochs=P3_EPOCHS,
+        weight_expr=ECM_WEIGHT,
+    )
+
+
+def _p3_sql() -> str:
+    # stage 1: e78's kept-docs predicate (relaxed: no terminal punct, no
+    # sentence minimum -> doc kept iff >=1 line with >=5 words, no
+    # javascript line, no lorem ipsum, no brace)
+    c4 = f"""
+c4kept AS (
+  SELECT doc_id, source, text FROM (
+    SELECT doc_id, source, text,
+           len(list_filter(
+             list_filter(list_transform(string_split(text, chr(10)),
+                                        l -> trim(l)), l -> l <> ''),
+             l -> len(list_filter(string_split_regex(l, '\\s+'),
+                                  w -> w <> '')) >= 5
+                  AND NOT contains(lower(l), 'javascript'))) AS n_kept,
+           contains(lower(text), 'lorem ipsum') AS lorem,
+           contains(text, '{{') AS brace
+    FROM documents
+  ) WHERE n_kept > 0 AND NOT lorem AND NOT brace
+)"""
+    # stage 2: the Gopher gate under P3 thresholds — scalar rules only need
+    # words/lines; the repetition conjuncts are disabled (threshold 1.0
+    # can still fail if the raw fraction exceeds 1.0? no: dup_ngram_chars
+    # counts every occurrence of duplicated grams, which can exceed
+    # norm_chars — so replay them too, rounded, exactly like e77)
+    gopher = f"""
+gwords AS (
+  SELECT doc_id, source, text,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                     w -> w <> '') AS words,
+         list_filter(list_transform(string_split(text, chr(10)),
+                                    l -> trim(l)), l -> l <> '') AS lines
+  FROM c4kept
+),
+gscal AS (
+  SELECT doc_id, source, text, words,
+         len(words) AS n_words,
+         round(CAST(list_sum(list_transform(words, w -> length(w)))
+               AS DOUBLE) / nullif(len(words), 0), 6) AS mean_word_len,
+         round(CAST(length(text) - length(replace(text, '#', ''))
+               + (length(text) - length(replace(text, '...', ''))) // 3
+               + length(text) - length(replace(text, '…', '')) AS DOUBLE)
+               / nullif(len(words), 0), 6) AS symbol_word_ratio,
+         round(CAST(len(list_filter(lines,
+                 l -> substring(l, 1, 1) IN ('•','‣','▪','-','*')))
+               AS DOUBLE) / nullif(len(lines), 0), 6) AS bullet_line_frac,
+         round(CAST(len(list_filter(lines,
+                 l -> l LIKE '%...' OR l LIKE '%…'))
+               AS DOUBLE) / nullif(len(lines), 0), 6) AS ellipsis_line_frac,
+         round(CAST(len(list_filter(words, w -> regexp_matches(w, '[a-z]')))
+               AS DOUBLE) / nullif(len(words), 0), 6) AS alpha_word_frac,
+         CAST(len(list_filter(['{_STOPW}'], s -> list_contains(words, s)))
+              AS INT) AS stopword_hits,
+         round(CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)
+               / nullif(len(lines), 0), 6) AS dup_line_frac,
+         round(CAST(list_sum(list_transform(lines, l -> length(l)))
+                    - list_sum(list_transform(list_distinct(lines),
+                                              l -> length(l))) AS DOUBLE)
+               / nullif(list_sum(list_transform(lines, l -> length(l))), 0),
+               6) AS dup_line_char_frac,
+         list_sum(list_transform(words, w -> length(w)))
+           + greatest(len(words) - 1, 0) AS norm_chars
+  FROM gwords
+),
+ggrams AS (
+  SELECT doc_id, 't' AS tag,
+         unnest(list_transform(
+           range(1, greatest(len(words) - {GOPHER_TOP_N - 1}, 0) + 1),
+           i -> array_to_string(
+                  list_slice(words, i, i + {GOPHER_TOP_N - 1}), ' ')))
+           AS gram
+  FROM gscal
+  UNION ALL
+  SELECT doc_id, 'd',
+         unnest(list_transform(
+           range(1, greatest(len(words) - {GOPHER_DUP_N - 1}, 0) + 1),
+           i -> array_to_string(
+                  list_slice(words, i, i + {GOPHER_DUP_N - 1}), ' ')))
+  FROM gscal
+),
+gng AS (
+  SELECT doc_id,
+         max(CASE WHEN tag = 't' THEN cnt * length(gram) END)
+           AS top_ngram_chars,
+         coalesce(sum(CASE WHEN tag = 'd' AND cnt > 1
+                           THEN cnt * length(gram) END), 0)
+           AS dup_ngram_chars
+  FROM (SELECT doc_id, tag, gram, count(*) AS cnt
+        FROM ggrams GROUP BY 1, 2, 3) GROUP BY 1
+),
+gpass AS (
+  SELECT s.doc_id, s.source, s.text
+  FROM gscal s LEFT JOIN gng USING (doc_id)
+  WHERE coalesce(s.n_words BETWEEN 50 AND 100000
+    AND s.mean_word_len BETWEEN {P3_GOPHER_TH['min_mean_word_len']} AND 10.0
+    AND s.symbol_word_ratio <= 0.1
+    AND s.bullet_line_frac <= 0.9
+    AND s.ellipsis_line_frac <= 0.3
+    AND s.alpha_word_frac >= 0.8
+    AND s.stopword_hits >= {P3_GOPHER_TH['min_stopword_hits']}
+    AND s.dup_line_frac <= 0.30
+    AND s.dup_line_char_frac <= 0.20
+    AND round(CAST(top_ngram_chars AS DOUBLE) / nullif(norm_chars, 0), 6)
+        <= {P3_GOPHER_TH['max_top_ngram_char_frac']}
+    AND round(CAST(coalesce(dup_ngram_chars, 0) AS DOUBLE)
+              / nullif(norm_chars, 0), 6)
+        <= {P3_GOPHER_TH['max_dup_ngram_char_frac']}, FALSE)
+)"""
+    # stage 3: exact fingerprint dedup keep-lowest (e11's fingerprint)
+    dedup = """
+survivors AS (
+  SELECT doc_id, source FROM (
+    SELECT doc_id, source,
+           row_number() OVER (
+             PARTITION BY substr(md5(lower(regexp_replace(trim(text),
+                                           '\\s+', ' ', 'g'))), 1, 16)
+             ORDER BY doc_id) AS rn
+    FROM gpass
+  ) WHERE rn = 1
+)"""
+    # stage 4: e81's windowed water-filling over the survivors
+    mix = f"""
+per AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(max({ECM_WEIGHT}) AS BIGINT) AS weight,
+         count(*) * {P3_EPOCHS} AS cap_docs
+  FROM survivors GROUP BY source
+), flagged AS (
+  SELECT source, n_docs, weight, cap_docs,
+         weight > 0 AND cap_docs * (sum(weight) OVER ()
+                     - coalesce(sum(weight) OVER w_prior, 0))
+           <= weight * ({P3_BUDGET}
+                        - coalesce(sum(cap_docs) OVER w_prior, 0)) AS capped
+  FROM per
+  WINDOW w_prior AS (ORDER BY CAST(cap_docs AS DOUBLE) / weight, source
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+), rem AS (
+  SELECT source, n_docs, weight, cap_docs, capped,
+         {P3_BUDGET} - coalesce(
+           sum(CASE WHEN capped THEN cap_docs END) OVER (), 0) AS rem_budget,
+         sum(weight) OVER () - coalesce(
+           sum(CASE WHEN capped THEN weight END) OVER (), 0) AS rem_weight
+  FROM flagged
+)
+SELECT source, n_docs, weight, cap_docs, capped,
+       CAST(CASE WHEN capped THEN cap_docs
+                 ELSE greatest((weight * rem_budget) // rem_weight, 0)
+            END AS BIGINT) AS alloc_docs,
+       (1000 * CAST(CASE WHEN capped THEN cap_docs
+                         ELSE greatest((weight * rem_budget) // rem_weight, 0)
+                    END AS BIGINT)) // n_docs AS epochs_milli
+FROM rem"""
+    return "WITH " + c4[1:] + "," + gopher[1:] + "," + dedup[1:] + "," + mix[1:]
+
+
+_P3_SQL = _p3_sql()
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the validator's V1 per-file min/max over sf0.001."""
     return q_v1_file_minmax(spark, "/root/testdata/sf0.001")
@@ -7486,6 +7691,7 @@ _RECHECK_THIS_ROUND = [
     "e81_epoch_capped_mix",
     "q18_ann_index",
     "q19_ann_ivf_index",
+    "p3_curation_pipeline",
     # round 6 let-binding rewrites (shingles_expr / winnowing grams /
     # repetition counters): recheck the heaviest consumers of each — the
     # full 40-query dependent set was fastlane-verified at sf0.01 in-round
@@ -7710,6 +7916,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e81_epoch_capped_mix": q_e81_epoch_capped_mix,
         "q18_ann_index": q_q18_ann_index,
         "q19_ann_ivf_index": q_q19_ann_ivf_index,
+        "p3_curation_pipeline": q_p3_curation_pipeline,
         "e75_unigram_encode": q_e75_unigram_encode,
         "e76_bpe_encode": q_e76_bpe_encode,
         "a47_corpus_profile": q_a47_corpus_profile,
@@ -7810,6 +8017,7 @@ def oracle_sql() -> dict[str, str]:
         "e81_epoch_capped_mix": _E81_SQL,
         "q18_ann_index": _Q18_SQL,
         "q19_ann_ivf_index": _Q19_SQL,
+        "p3_curation_pipeline": _P3_SQL,
         "e75_unigram_encode": _E75_SQL,
         "e76_bpe_encode": _E76_SQL,
         "a47_corpus_profile": _A47_SQL,
