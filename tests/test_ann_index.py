@@ -260,3 +260,44 @@ def test_probes_on_flat_index_rejected(spark, tmp_path):
     with pytest.raises(ValueError, match="n_probes"):
         ann_topk(tbl, _queries(spark, [1]), "vid", "emb", "emb",
                  k=2, n_probes=2)
+
+
+def test_streaming_ingest_keeps_index_fresh(spark, tmp_path):
+    """Production wiring: a micro-batch stream appends into the table via
+    the exactly-once Delta sink, and each batch's foreachBatch also runs
+    refresh_ann_index — so the registered index tracks the stream with
+    O(new files) work per batch, and serving after the drain covers every
+    streamed row."""
+    import os
+
+    from delta_sorter_spark.streaming.events import delta_append_sink
+
+    tbl = _mk_table(spark, tmp_path, range(20))
+    build_ann_index(tbl, "emb", "vid", DIM, m=2, n_codes=4)
+    src = os.path.join(str(tmp_path), "src")
+    spark.createDataFrame(_rows(range(20, 26)), "vid long, emb array<float>") \
+        .repartition(2).write.parquet(src)
+    sink = delta_append_sink(tbl.table_path, "ann-ingest")
+    refreshes = []
+
+    def batch_fn(df, bid):
+        sink(df, bid)
+        refreshes.append(
+            refresh_ann_index(DeltaTable(df.sparkSession, tbl.table_path),
+                              "emb")["reencoded_files"]
+        )
+
+    q = (
+        spark.readStream.schema(tbl.to_df().schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(batch_fn)
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert len(refreshes) == 2 and all(r >= 1 for r in refreshes)
+    out = ann_topk(tbl, _queries(spark, [22]), "vid", "emb", "emb", k=25)
+    ids = {r["id"] for r in out.collect()}
+    assert set(range(20, 26)) - {22} <= ids
