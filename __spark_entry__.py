@@ -6872,8 +6872,8 @@ WITH base AS (
   FROM k
 )
 SELECT doc_id, n_lines, n_kept_lines, n_sentences,
-       (NOT lorem AND NOT brace AND n_sentences >= 0 AND n_kept_lines > 0)
-         AS doc_kept,
+       coalesce(NOT lorem AND NOT brace AND n_sentences >= 0
+                AND n_kept_lines > 0, FALSE) AS doc_kept,
        CASE WHEN NOT lorem AND NOT brace AND n_sentences >= 0
                  AND n_kept_lines > 0
             THEN cleaned END AS cleaned_text

@@ -321,6 +321,7 @@ def c4_clean(
         & (n_sentences >= F.lit(int(min_sentences)))
         & (F.expr(f"size({kept})") > 0)
     )
+    doc_kept = F.coalesce(doc_kept, F.lit(False))  # NULL text: dropped
     return df.select(
         F.col(id_col),
         F.expr(f"size({li})").alias("n_lines"),
