@@ -7646,6 +7646,148 @@ FROM rem"""
 _P3_SQL = _p3_sql()
 
 
+# ---------------------------------------------------------------------------
+# E82: residual IVF-PQ (ivf.ivfpq_residual_topk — the classic Jégou 2011
+# form; e62 is the no-residual variant).  PQ codebooks train on and codes
+# quantize x - coarse_centroid(x); each probe scores with ADC tables from
+# ITS residual q - centroid.  The oracle replays the coarse k-means, the
+# per-element residual subtraction, all subspace k-means over RESIDUALS,
+# and the per-(query, probe) table scoring — the deepest relational replay
+# in the registry.  (On the driver's random embeddings residuals cannot
+# help recall — no cluster structure — so recall superiority is pinned on
+# a CLUSTERED fixture in tests/test_ivf.py; this entry verifies exactness.)
+# ---------------------------------------------------------------------------
+
+
+def q_e82_residual_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_sorter_spark.operators.ivf import ivfpq_residual_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % QUERY_VEC_MOD == 0)
+    out = ivfpq_residual_topk(
+        emb, queries, "vec_id", "embedding", "vec_id", "embedding",
+        dim=EMB_DIM, k=TOPK, m=PQ_M, n_codes=PQ_CODES,
+        n_centroids=IVFPQ_CENTROIDS, n_probes=IVFPQ_PROBES, n_iters=2,
+    )
+    return out.select(
+        "query_id", "id", "rank",
+        F.round("approx_d", 6).alias("approx_d"),
+        F.round("cosine", 6).alias("cosine"),
+    )
+
+
+def _e82_ressub(j: int) -> str:
+    """Subspace-j residual k-means + codes + per-(query, probe) tables."""
+    lo, hi = j * _PQ_DSUB + 1, (j + 1) * _PQ_DSUB
+    return f"""
+rsub{j} AS (
+  SELECT vec_id, rv[{lo}:{hi}] AS v FROM rescorp
+),
+rseed{j} AS (
+  SELECT CAST(rn - 1 AS INT) AS centroid, v AS cvec FROM (
+    SELECT v, row_number() OVER (ORDER BY h, vec_id) AS rn FROM (
+      SELECT vec_id, v,
+             {duckdb_md5_long_sql('CAST(vec_id AS VARCHAR)')} % {MERSENNE_P} AS h
+      FROM rsub{j}))
+  WHERE rn <= {PQ_CODES}
+),{_duck_pq_iter(f'rsub{j}', f'rseed{j}', f'rcb{j}_1', _PQ_DSUB)},{_duck_pq_iter(f'rsub{j}', f'rcb{j}_1', f'rcb{j}', _PQ_DSUB)},
+rcode{j} AS (
+  SELECT vec_id, centroid AS code FROM (
+    SELECT c.vec_id, s.centroid,
+           row_number() OVER (PARTITION BY c.vec_id
+                              ORDER BY {_duck_sq_l2('c.v', 's.cvec')}, s.centroid) AS rn
+    FROM rsub{j} c CROSS JOIN rcb{j} s) WHERE rn = 1
+),
+rqt{j} AS (
+  SELECT qr.query_id, qr.pcent, s.centroid AS code,
+         {_duck_sq_l2(f'qr.qrv[{lo}:{hi}]', 's.cvec')} AS d
+  FROM qres qr CROSS JOIN rcb{j} s
+)"""
+
+
+def _e82_sql() -> str:
+    coarse_seed = f"""
+coarse_seed AS (
+  SELECT CAST(rn - 1 AS INT) AS centroid, v AS cvec FROM (
+    SELECT v, row_number() OVER (ORDER BY h, vec_id) AS rn FROM (
+      SELECT vec_id, v,
+             {duckdb_md5_long_sql('CAST(vec_id AS VARCHAR)')} % {MERSENNE_P} AS h
+      FROM corpus))
+  WHERE rn <= {IVFPQ_CENTROIDS}
+)"""
+    dim_range = f"range(1, {EMB_DIM} + 1)"
+    code_joins = " ".join(
+        f"JOIN rcode{j} c{j} ON c{j}.vec_id = cl.vec_id" for j in range(PQ_M)
+    )
+    qt_joins = " ".join(
+        f"JOIN rqt{j} q{j} ON q{j}.code = c{j}.code"
+        f" AND q{j}.query_id = qp.query_id AND q{j}.pcent = cl.centroid"
+        for j in range(PQ_M)
+    )
+    return f"""
+WITH corpus0 AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+corpus AS MATERIALIZED (
+  SELECT vec_id, list_transform(v, x -> x / sqrt({_SSQ.format(a='v')})) AS v
+  FROM corpus0
+),{coarse_seed},{_duck_pq_iter('corpus', 'coarse_seed', 'coarse1', EMB_DIM)},{_duck_pq_iter('corpus', 'coarse1', 'coarse', EMB_DIM)},
+clist AS MATERIALIZED (
+  SELECT vec_id, centroid FROM (
+    SELECT c.vec_id, s.centroid,
+           row_number() OVER (PARTITION BY c.vec_id
+                              ORDER BY {_duck_sq_l2('c.v', 's.cvec')}, s.centroid) AS rn
+    FROM corpus c CROSS JOIN coarse s) WHERE rn = 1
+),
+rescorp AS MATERIALIZED (
+  SELECT c.vec_id, cl.centroid,
+         list_transform({dim_range}, i -> c.v[CAST(i AS INT)]
+                                          - s.cvec[CAST(i AS INT)]) AS rv
+  FROM corpus c JOIN clist cl USING (vec_id) JOIN coarse s USING (centroid)
+),
+qprobe AS (
+  SELECT vec_id AS query_id, centroid FROM (
+    SELECT c.vec_id, s.centroid,
+           row_number() OVER (PARTITION BY c.vec_id
+                              ORDER BY {_duck_sq_l2('c.v', 's.cvec')}, s.centroid) AS rn
+    FROM corpus c CROSS JOIN coarse s
+    WHERE c.vec_id % {QUERY_VEC_MOD} = 0) WHERE rn <= {IVFPQ_PROBES}
+),
+qres AS MATERIALIZED (
+  SELECT qp.query_id, qp.centroid AS pcent,
+         list_transform({dim_range}, i -> c.v[CAST(i AS INT)]
+                                          - s.cvec[CAST(i AS INT)]) AS qrv
+  FROM qprobe qp
+  JOIN corpus c ON c.vec_id = qp.query_id
+  JOIN coarse s ON s.centroid = qp.centroid
+),{','.join(_e82_ressub(j) for j in range(PQ_M))},
+scored AS (
+  SELECT cl.vec_id AS id, qp.query_id,
+         {' + '.join(f'q{j}.d' for j in range(PQ_M))} AS approx_d
+  FROM clist cl
+  JOIN qprobe qp ON qp.centroid = cl.centroid AND qp.query_id <> cl.vec_id
+  {code_joins}
+  {qt_joins}
+),
+ranked AS (
+  SELECT query_id, id, approx_d,
+         row_number() OVER (PARTITION BY query_id ORDER BY approx_d, id) AS rn
+  FROM scored
+)
+SELECT r.query_id, r.id, r.rn AS "rank", round(r.approx_d, 6) AS approx_d,
+       round({_DOT.format(a='a.v', b='b.v')}
+         / (sqrt({_SSQ.format(a='a.v')}) * sqrt({_SSQ.format(a='b.v')})), 6) AS cosine
+FROM ranked r
+JOIN corpus a ON a.vec_id = r.id
+JOIN corpus b ON b.vec_id = r.query_id
+WHERE r.rn <= {TOPK}
+"""
+
+
+_E82_SQL = _e82_sql()
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the validator's V1 per-file min/max over sf0.001."""
     return q_v1_file_minmax(spark, "/root/testdata/sf0.001")
@@ -7692,6 +7834,7 @@ _RECHECK_THIS_ROUND = [
     "q18_ann_index",
     "q19_ann_ivf_index",
     "p3_curation_pipeline",
+    "e82_residual_ivfpq",
     # round 6 let-binding rewrites (shingles_expr / winnowing grams /
     # repetition counters): recheck the heaviest consumers of each — the
     # full 40-query dependent set was fastlane-verified at sf0.01 in-round
@@ -7917,6 +8060,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_ann_index": q_q18_ann_index,
         "q19_ann_ivf_index": q_q19_ann_ivf_index,
         "p3_curation_pipeline": q_p3_curation_pipeline,
+        "e82_residual_ivfpq": q_e82_residual_ivfpq,
         "e75_unigram_encode": q_e75_unigram_encode,
         "e76_bpe_encode": q_e76_bpe_encode,
         "a47_corpus_profile": q_a47_corpus_profile,
@@ -8018,6 +8162,7 @@ def oracle_sql() -> dict[str, str]:
         "q18_ann_index": _Q18_SQL,
         "q19_ann_ivf_index": _Q19_SQL,
         "p3_curation_pipeline": _P3_SQL,
+        "e82_residual_ivfpq": _E82_SQL,
         "e75_unigram_encode": _E75_SQL,
         "e76_bpe_encode": _E76_SQL,
         "a47_corpus_profile": _A47_SQL,

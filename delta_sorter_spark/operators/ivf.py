@@ -423,6 +423,7 @@ def adc_query_tables(
     codebooks: list[DataFrame],
     dim: int,
     normalize: bool = True,
+    extra_cols: tuple = (),
 ) -> DataFrame:
     """(query_id, __qemb__, __dtab0__..__dtab{m-1}__): per query the m ADC
     distance tables (squared-L2 of its subvector to every codeword), via m
@@ -432,7 +433,9 @@ def adc_query_tables(
     dsub = dim // m
     q_expr = _normalize_expr(query_emb_col) if normalize else query_emb_col
     q = queries.select(
-        F.col(query_id_col).alias("query_id"), F.expr(q_expr).alias("__qemb__")
+        F.col(query_id_col).alias("query_id"),
+        F.expr(q_expr).alias("__qemb__"),
+        *[F.col(c) for c in extra_cols],
     )
     for j in range(m):
         packed = codebooks[j].agg(
@@ -657,3 +660,97 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "id", "rank", "cosine")
     )
+
+
+def ivfpq_residual_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    emb_col: str,
+    query_id_col: str,
+    query_emb_col: str,
+    dim: int,
+    k: int = 5,
+    m: int = 2,
+    n_codes: int = 8,
+    n_centroids: int = 16,
+    n_probes: int = 2,
+    n_iters: int = 2,
+    rerank: int | None = None,
+) -> DataFrame:
+    """IVF-PQ with RESIDUAL encoding (the classic Jégou et al. 2011 form;
+    :func:`ivfpq_topk` is the simpler no-residual variant): PQ codebooks
+    are trained on, and codes quantize, ``x - coarse_centroid(x)`` —
+    residuals cluster far tighter than raw vectors, so the same code
+    budget buys finer distances.  The query side mirrors it: each probe
+    scores its list's candidates with ADC tables built from THAT probe's
+    residual ``q - centroid``, so the query frame carries one table set
+    per (query, probe) — query-batch scale, never corpus scale.
+
+    Deterministic end to end: residual subtraction is exact IEEE, the
+    subspace k-means runs the same integer-quantized means over residual
+    vectors, seeds come from id hashes (value-independent) — so the whole
+    pipeline replays relationally (oracle e82).  Exact cosine (and the
+    optional rerank) uses the ORIGINAL vectors, not residuals.
+
+    Scale shape matches :func:`ivfpq_topk`: corpus-side work zero-shuffle
+    (broadcast coarse assign + broadcast residual encode, corpus read
+    once into a checkpointed residual frame), candidates restricted by
+    the centroid equi-join."""
+    emb_expr = _normalize_expr(emb_col)
+    q_expr = _normalize_expr(query_emb_col)
+    normed = corpus.select(
+        F.col(id_col).alias("__nid__"), F.expr(emb_expr).alias("__nemb__")
+    )
+    coarse = kmeans_centroids(
+        normed, "__nemb__", dim, n_centroids, n_iters, id_col="__nid__"
+    ).localCheckpoint(eager=True)
+    sub = "zip_with(__nemb__, cvec, (x, y) -> CAST(x AS DOUBLE) - y)"
+    residuals = (
+        _assign(normed, coarse, "__nemb__")
+        .join(F.broadcast(coarse), "centroid")
+        .select(
+            "__nid__", "centroid", F.col("__nemb__").alias("__orig__"),
+            F.expr(sub).alias("__res__"),
+        )
+        .localCheckpoint(eager=True)  # one corpus pass feeds train + encode
+    )
+    codes, codebooks = pq_encode(
+        residuals, "__nid__", "__res__", dim, m, n_codes, n_iters,
+        normalize=False,
+    )
+    # codes quantize residuals; carry the ORIGINAL vector for exact cosine
+    # and the list id for the probe join
+    codes = codes.drop("__cemb__").join(
+        residuals.select(
+            F.col("__nid__").alias("id"), "centroid",
+            F.col("__orig__").alias("__cemb__"),
+        ),
+        "id",
+    )
+    probed = (
+        _assign(
+            queries.select(
+                F.col(query_id_col).alias("query_id"),
+                F.expr(q_expr).alias("__qorig__"),
+            ),
+            coarse,
+            "__qorig__",
+            n_best=n_probes,
+        )
+        .join(F.broadcast(coarse), "centroid")
+        .select(
+            "query_id", "centroid", "__qorig__",
+            F.expr(
+                "zip_with(__qorig__, cvec, (x, y) -> CAST(x AS DOUBLE) - y)"
+            ).alias("__qres__"),
+        )
+    )
+    q = adc_query_tables(
+        probed, "query_id", "__qres__", codebooks, dim, normalize=False,
+        extra_cols=("centroid", "__qorig__"),
+    )
+    # ADC tables came from the residual; the exact cosine must use the
+    # original query vector
+    q = q.drop("__qemb__").withColumnRenamed("__qorig__", "__qemb__")
+    return adc_rank_pairs(codes.join(q, "centroid"), m, k, rerank)

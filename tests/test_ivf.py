@@ -183,3 +183,69 @@ def test_ivfpq_composed_search(spark):
     got_set = {(r["query_id"], r["id"]) for r in got}
     recall = len(exact_set & got_set) / len(exact_set)
     assert recall >= 0.8, f"ivfpq recall {recall}"
+
+
+def test_residual_ivfpq_beats_no_residual_on_clustered_data(spark):
+    """Residual encoding is the point of the Jégou form: on clustered data
+    the same code budget buys materially better recall (on uniform random
+    vectors the two coincide — no cluster structure, residual ≈ original,
+    which is why e82's oracle verifies exactness and THIS test verifies
+    the recall claim)."""
+    from pyspark.sql import functions as F
+
+    from delta_sorter_spark.operators.ivf import (
+        ivfpq_residual_topk,
+        ivfpq_topk,
+    )
+    from delta_sorter_spark.operators.similarity import brute_force_topk
+
+    DIM = 16
+
+    def vec(i):
+        c = i % 8
+        base = [(3.0 if ((c >> b) & 1) else -3.0) for b in range(3)]
+        base += [0.0] * (DIM - 3)
+        noise = [(((i * 31 + j * 17) % 19) - 9) / 30.0 for j in range(DIM)]
+        return [base[j] + noise[j] for j in range(DIM)]
+
+    df = spark.createDataFrame(
+        [(i, vec(i)) for i in range(400)], "vid long, emb array<float>"
+    )
+    q = df.where(F.col("vid") % 40 == 0)
+    kw = dict(dim=DIM, k=5, m=4, n_codes=8, n_centroids=8, n_probes=2)
+    exact = {
+        (r["query_id"], r["id"])
+        for r in brute_force_topk(
+            df, q, "vid", "emb", "vid", "emb", k=5
+        ).collect()
+    }
+
+    def recall(fn):
+        got = {
+            (r["query_id"], r["id"])
+            for r in fn(df, q, "vid", "emb", "vid", "emb", **kw).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    r_res = recall(ivfpq_residual_topk)
+    r_flat = recall(ivfpq_topk)
+    assert r_res >= r_flat + 0.2, (r_res, r_flat)
+    assert r_res >= 0.6
+
+
+def test_residual_ivfpq_deterministic(spark):
+    from pyspark.sql import functions as F
+
+    from delta_sorter_spark.operators.ivf import ivfpq_residual_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where(F.col("vec_id") % 100 == 0)
+    kw = dict(dim=64, k=3, m=4, n_codes=8, n_centroids=8, n_probes=2)
+    a = sorted(map(tuple, ivfpq_residual_topk(
+        emb, q, "vec_id", "embedding", "vec_id", "embedding", **kw
+    ).collect()))
+    b = sorted(map(tuple, ivfpq_residual_topk(
+        emb.repartition(7), q, "vec_id", "embedding", "vec_id", "embedding",
+        **kw
+    ).collect()))
+    assert a == b  # partitioning-invariant, bit-identical
