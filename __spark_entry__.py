@@ -7788,6 +7788,173 @@ WHERE r.rn <= {TOPK}
 _E82_SQL = _e82_sql()
 
 
+# ---------------------------------------------------------------------------
+# Q20: residual IVF-PQ REGISTERED index lifecycle — q19's arc (build on
+# half -> append -> refresh -> probed serve) under e82's residual math:
+# coarse + residual subspace codebooks train on the BUILD half only,
+# refresh residualizes appended rows against the FROZEN coarse and encodes
+# with the FROZEN codebooks, serving scores each probe with ITS residual's
+# ADC tables.
+# ---------------------------------------------------------------------------
+
+
+def q_q20_ann_residual_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from delta_sorter_spark.operators.ann_index import (
+        ann_topk,
+        build_ann_index,
+        refresh_ann_index,
+    )
+    from delta_sorter_spark.sources.delta_table import DeltaTable
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    scratch = tempfile.mkdtemp(prefix="q20_ann_")
+    try:
+        tbl = DeltaTable.create(
+            spark, os.path.join(scratch, "t"),
+            emb.where(F.col("vec_id") % 2 == 0).coalesce(2),
+        )
+        build_ann_index(
+            tbl, "embedding", "vec_id", EMB_DIM,
+            m=PQ_M, n_codes=PQ_CODES, n_iters=2,
+            n_centroids=IVFPQ_CENTROIDS, residual=True,
+        )
+        tbl.append(emb.where(F.col("vec_id") % 2 == 1).coalesce(2))
+        refresh_ann_index(tbl, "embedding")
+        queries = emb.where(F.col("vec_id") % QUERY_VEC_MOD == 0)
+        out = ann_topk(
+            tbl, queries, "vec_id", "embedding", "embedding",
+            k=TOPK, n_probes=IVFPQ_PROBES,
+        ).select(
+            "query_id", "id", "rank",
+            F.round("approx_d", 6).alias("approx_d"),
+            F.round("cosine", 6).alias("cosine"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def _q20_ressub(j: int) -> str:
+    """Subspace-j residual codebooks trained on the BUILD half's residuals,
+    codes over every live row's residual."""
+    lo, hi = j * _PQ_DSUB + 1, (j + 1) * _PQ_DSUB
+    return f"""
+trsub{j} AS (
+  SELECT vec_id, rv[{lo}:{hi}] AS v FROM rescorp WHERE vec_id % 2 = 0
+),
+rsub{j} AS (
+  SELECT vec_id, rv[{lo}:{hi}] AS v FROM rescorp
+),
+rseed{j} AS (
+  SELECT CAST(rn - 1 AS INT) AS centroid, v AS cvec FROM (
+    SELECT v, row_number() OVER (ORDER BY h, vec_id) AS rn FROM (
+      SELECT vec_id, v,
+             {duckdb_md5_long_sql('CAST(vec_id AS VARCHAR)')} % {MERSENNE_P} AS h
+      FROM trsub{j}))
+  WHERE rn <= {PQ_CODES}
+),{_duck_pq_iter(f'trsub{j}', f'rseed{j}', f'rcb{j}_1', _PQ_DSUB)},{_duck_pq_iter(f'trsub{j}', f'rcb{j}_1', f'rcb{j}', _PQ_DSUB)},
+rcode{j} AS (
+  SELECT vec_id, centroid AS code FROM (
+    SELECT c.vec_id, s.centroid,
+           row_number() OVER (PARTITION BY c.vec_id
+                              ORDER BY {_duck_sq_l2('c.v', 's.cvec')}, s.centroid) AS rn
+    FROM rsub{j} c CROSS JOIN rcb{j} s) WHERE rn = 1
+),
+rqt{j} AS (
+  SELECT qr.query_id, qr.pcent, s.centroid AS code,
+         {_duck_sq_l2(f'qr.qrv[{lo}:{hi}]', 's.cvec')} AS d
+  FROM qres qr CROSS JOIN rcb{j} s
+)"""
+
+
+def _q20_sql() -> str:
+    coarse_seed = f"""
+coarse_seed AS (
+  SELECT CAST(rn - 1 AS INT) AS centroid, v AS cvec FROM (
+    SELECT v, row_number() OVER (ORDER BY h, vec_id) AS rn FROM (
+      SELECT vec_id, v,
+             {duckdb_md5_long_sql('CAST(vec_id AS VARCHAR)')} % {MERSENNE_P} AS h
+      FROM train))
+  WHERE rn <= {IVFPQ_CENTROIDS}
+)"""
+    dim_range = f"range(1, {EMB_DIM} + 1)"
+    code_joins = " ".join(
+        f"JOIN rcode{j} c{j} ON c{j}.vec_id = cl.vec_id" for j in range(PQ_M)
+    )
+    qt_joins = " ".join(
+        f"JOIN rqt{j} q{j} ON q{j}.code = c{j}.code"
+        f" AND q{j}.query_id = qp.query_id AND q{j}.pcent = cl.centroid"
+        for j in range(PQ_M)
+    )
+    return f"""
+WITH corpus0 AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+corpus AS MATERIALIZED (
+  SELECT vec_id, list_transform(v, x -> x / sqrt({_SSQ.format(a='v')})) AS v
+  FROM corpus0
+),
+train AS (SELECT vec_id, v FROM corpus WHERE vec_id % 2 = 0),{coarse_seed},{_duck_pq_iter('train', 'coarse_seed', 'coarse1', EMB_DIM)},{_duck_pq_iter('train', 'coarse1', 'coarse', EMB_DIM)},
+clist AS MATERIALIZED (
+  SELECT vec_id, centroid FROM (
+    SELECT c.vec_id, s.centroid,
+           row_number() OVER (PARTITION BY c.vec_id
+                              ORDER BY {_duck_sq_l2('c.v', 's.cvec')}, s.centroid) AS rn
+    FROM corpus c CROSS JOIN coarse s) WHERE rn = 1
+),
+rescorp AS MATERIALIZED (
+  SELECT c.vec_id, cl.centroid,
+         list_transform({dim_range}, i -> c.v[CAST(i AS INT)]
+                                          - s.cvec[CAST(i AS INT)]) AS rv
+  FROM corpus c JOIN clist cl USING (vec_id) JOIN coarse s USING (centroid)
+),
+qprobe AS (
+  SELECT vec_id AS query_id, centroid FROM (
+    SELECT c.vec_id, s.centroid,
+           row_number() OVER (PARTITION BY c.vec_id
+                              ORDER BY {_duck_sq_l2('c.v', 's.cvec')}, s.centroid) AS rn
+    FROM corpus c CROSS JOIN coarse s
+    WHERE c.vec_id % {QUERY_VEC_MOD} = 0) WHERE rn <= {IVFPQ_PROBES}
+),
+qres AS MATERIALIZED (
+  SELECT qp.query_id, qp.centroid AS pcent,
+         list_transform({dim_range}, i -> c.v[CAST(i AS INT)]
+                                          - s.cvec[CAST(i AS INT)]) AS qrv
+  FROM qprobe qp
+  JOIN corpus c ON c.vec_id = qp.query_id
+  JOIN coarse s ON s.centroid = qp.centroid
+),{','.join(_q20_ressub(j) for j in range(PQ_M))},
+scored AS (
+  SELECT cl.vec_id AS id, qp.query_id,
+         {' + '.join(f'q{j}.d' for j in range(PQ_M))} AS approx_d
+  FROM clist cl
+  JOIN qprobe qp ON qp.centroid = cl.centroid AND qp.query_id <> cl.vec_id
+  {code_joins}
+  {qt_joins}
+),
+ranked AS (
+  SELECT query_id, id, approx_d,
+         row_number() OVER (PARTITION BY query_id ORDER BY approx_d, id) AS rn
+  FROM scored
+)
+SELECT r.query_id, r.id, r.rn AS "rank", round(r.approx_d, 6) AS approx_d,
+       round({_DOT.format(a='a.v', b='b.v')}
+         / (sqrt({_SSQ.format(a='a.v')}) * sqrt({_SSQ.format(a='b.v')})), 6) AS cosine
+FROM ranked r
+JOIN corpus a ON a.vec_id = r.id
+JOIN corpus b ON b.vec_id = r.query_id
+WHERE r.rn <= {TOPK}
+"""
+
+
+_Q20_SQL = _q20_sql()
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the validator's V1 per-file min/max over sf0.001."""
     return q_v1_file_minmax(spark, "/root/testdata/sf0.001")
@@ -7835,6 +8002,7 @@ _RECHECK_THIS_ROUND = [
     "q19_ann_ivf_index",
     "p3_curation_pipeline",
     "e82_residual_ivfpq",
+    "q20_ann_residual_index",
     # round 6 let-binding rewrites (shingles_expr / winnowing grams /
     # repetition counters): recheck the heaviest consumers of each — the
     # full 40-query dependent set was fastlane-verified at sf0.01 in-round
@@ -8061,6 +8229,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_ann_ivf_index": q_q19_ann_ivf_index,
         "p3_curation_pipeline": q_p3_curation_pipeline,
         "e82_residual_ivfpq": q_e82_residual_ivfpq,
+        "q20_ann_residual_index": q_q20_ann_residual_index,
         "e75_unigram_encode": q_e75_unigram_encode,
         "e76_bpe_encode": q_e76_bpe_encode,
         "a47_corpus_profile": q_a47_corpus_profile,
@@ -8163,6 +8332,7 @@ def oracle_sql() -> dict[str, str]:
         "q19_ann_ivf_index": _Q19_SQL,
         "p3_curation_pipeline": _P3_SQL,
         "e82_residual_ivfpq": _E82_SQL,
+        "q20_ann_residual_index": _Q20_SQL,
         "e75_unigram_encode": _E75_SQL,
         "e76_bpe_encode": _E76_SQL,
         "a47_corpus_profile": _A47_SQL,

@@ -155,6 +155,25 @@ def _read_coarse(table: DeltaTable, spec: dict) -> DataFrame:
     ).localCheckpoint(eager=True)
 
 
+def _residualize(normed: DataFrame, coarse: DataFrame) -> DataFrame:
+    """(__annid__, centroid, __orig__, __res__): assign each normalized
+    vector to its coarse list and subtract that centroid — the residual
+    the PQ codebooks see under ``residual=True``."""
+    from delta_sorter_spark.operators.ivf import _assign
+
+    return (
+        _assign(normed, coarse, "__annemb__")
+        .join(F.broadcast(coarse), "centroid")
+        .select(
+            "__annid__", "centroid",
+            F.col("__annemb__").alias("__orig__"),
+            F.expr(
+                "zip_with(__annemb__, cvec, (x, y) -> CAST(x AS DOUBLE) - y)"
+            ).alias("__res__"),
+        )
+    )
+
+
 def _register(table: DeltaTable, column: str, spec: dict, op: str) -> int:
     version = table.set_table_properties(
         {ANN_PROP_PREFIX + column: json.dumps(spec)}, operation=op
@@ -173,6 +192,7 @@ def build_ann_index(
     n_iters: int = 2,
     normalize: bool = True,
     n_centroids: int | None = None,
+    residual: bool = False,
 ) -> dict:
     """Train codebooks over the CURRENT snapshot, encode every live row,
     persist the datasets and register the spec — one metadata commit.
@@ -185,7 +205,10 @@ def build_ann_index(
     list id, and :func:`ann_topk` with ``n_probes`` scans only the probed
     lists — |corpus| × probes / n_centroids candidates in expectation,
     the 100 TB serving shape (partition the codes dataset by centroid and
-    a probe prunes files too)."""
+    a probe prunes files too).  ``residual=True`` (needs ``n_centroids``)
+    trains and encodes on ``x - coarse_centroid(x)`` — the classic Jégou
+    form (ivf.ivfpq_residual_topk); serving then REQUIRES ``n_probes``
+    (residual codes have no meaning without their list's centroid)."""
     state = table.state()
     meta = state.metadata
     for c in (column, id_col):
@@ -200,11 +223,10 @@ def build_ann_index(
         raise ValueError(
             "build_ann_index: empty table — codebooks need corpus rows"
         )
+    if residual and n_centroids is None:
+        raise ValueError("build_ann_index: residual=True needs n_centroids")
     rows = _rows_with_path(table, state.adds, id_col, column)
     rows = rows.localCheckpoint(eager=True)  # one scan feeds train + paths
-    codes, codebooks = pq_encode(
-        rows, "__annid__", "__annemb__", dim, m, n_codes, n_iters, normalize
-    )
     coarse = None
     if n_centroids is not None:
         from delta_sorter_spark.operators.ivf import (
@@ -223,9 +245,30 @@ def build_ann_index(
             normed, "__annemb__", dim, int(n_centroids), n_iters,
             id_col="__annid__",
         ).localCheckpoint(eager=True)
-        # inverted-list id per code row (codes' __cemb__ is the same
-        # normalized vector the coarse quantizer trained on)
-        codes = _assign(codes, coarse, "__cemb__")
+    if residual:
+        # codes quantize x - coarse_centroid(x); __cemb__ keeps the
+        # ORIGINAL normalized vector for exact cosine at serve time
+        res = _residualize(normed, coarse).localCheckpoint(eager=True)
+        codes, codebooks = pq_encode(
+            res, "__annid__", "__res__", dim, m, n_codes, n_iters,
+            normalize=False,
+        )
+        codes = codes.drop("__cemb__").join(
+            res.select(
+                "__annid__", "centroid",
+                F.col("__orig__").alias("__cemb__"),
+            ).withColumnRenamed("__annid__", "id"),
+            "id",
+        )
+    else:
+        codes, codebooks = pq_encode(
+            rows, "__annid__", "__annemb__", dim, m, n_codes, n_iters,
+            normalize,
+        )
+        if coarse is not None:
+            # inverted-list id per code row (codes' __cemb__ is the same
+            # normalized vector the coarse quantizer trained on)
+            codes = _assign(codes, coarse, "__cemb__")
     codes = codes.join(
         rows.select(F.col("__annid__").alias("id"), "path"), "id"
     )
@@ -256,6 +299,8 @@ def build_ann_index(
     }
     if n_centroids is not None:
         spec["n_centroids"] = int(n_centroids)
+    if residual:
+        spec["residual"] = True
     version = _register(table, column, spec, "CREATE ANN INDEX")
     return {
         "column": column,
@@ -300,6 +345,7 @@ def refresh_ann_index(table: DeltaTable, column: str) -> dict:
         }
     m, dim = int(spec["m"]), int(spec["dim"])
     ivf = "n_centroids" in spec
+    residual = bool(spec.get("residual"))
     id_col, normalize = spec["id_col"], bool(spec["normalize"])
     codebooks = _read_codebooks(table, spec)
     coarse = _read_coarse(table, spec) if ivf else None
@@ -315,15 +361,36 @@ def refresh_ann_index(table: DeltaTable, column: str) -> dict:
     changed_adds = [a for a in state.adds if a.path in changed]
     if changed_adds:
         rows = _rows_with_path(table, changed_adds, id_col, column)
-        fresh = pq_assign(
-            rows, "__annid__", "__annemb__", codebooks, dim, normalize
-        )
-        if ivf:
-            from delta_sorter_spark.operators.ivf import _assign
+        if residual:
+            from delta_sorter_spark.operators.ivf import _normalize_expr
 
-            # frozen coarse quantizer: re-encoded rows land in the same
-            # inverted list they would have at build time
-            fresh = _assign(fresh, coarse, "__cemb__")
+            normed = rows.select(
+                "__annid__",
+                F.expr(
+                    _normalize_expr("__annemb__") if normalize
+                    else "__annemb__"
+                ).alias("__annemb__"),
+            )
+            res = _residualize(normed, coarse)
+            fresh = pq_assign(
+                res, "__annid__", "__res__", codebooks, dim, normalize=False
+            ).drop("__cemb__", "centroid").join(
+                res.select(
+                    F.col("__annid__").alias("id"), "centroid",
+                    F.col("__orig__").alias("__cemb__"),
+                ),
+                "id",
+            )
+        else:
+            fresh = pq_assign(
+                rows, "__annid__", "__annemb__", codebooks, dim, normalize
+            )
+            if ivf:
+                from delta_sorter_spark.operators.ivf import _assign
+
+                # frozen coarse quantizer: re-encoded rows land in the same
+                # inverted list they would have at build time
+                fresh = _assign(fresh, coarse, "__cemb__")
         fresh = fresh.join(
             rows.select(F.col("__annid__").alias("id"), "path"), "id"
         )
@@ -391,10 +458,17 @@ def ann_topk(
         )
     m = int(spec["m"])
     ivf = "n_centroids" in spec
+    residual = bool(spec.get("residual"))
     if n_probes is not None and not ivf:
         raise ValueError(
             "ann_topk: n_probes needs an IVF index — rebuild with "
             "n_centroids"
+        )
+    if residual and n_probes is None:
+        raise ValueError(
+            "ann_topk: a residual index serves by probe only — residual "
+            "codes are meaningless without their list's centroid; pass "
+            "n_probes"
         )
     codes = table.read_parquet_dataset(
         spec["path"] + "/codes", _codes_cols(m, ivf), _codes_ddl(m, ivf)
@@ -414,6 +488,7 @@ def ann_topk(
         )
     from delta_sorter_spark.operators.ivf import (
         _assign,
+        _normalize_expr,
         adc_query_tables,
         adc_rank_pairs,
     )
@@ -422,6 +497,37 @@ def ann_topk(
     # path (ivf.pq_serve) — only the candidate join differs: centroid
     # equi-join over the probed lists instead of the broadcast cross join
     coarse = _read_coarse(table, spec)
+    if residual:
+        # per-probe tables from THAT probe's residual q - centroid; exact
+        # cosine from the original query vector (ivfpq_residual_topk shape)
+        q_expr = (
+            _normalize_expr(query_emb_col) if normalize else query_emb_col
+        )
+        probed = (
+            _assign(
+                queries.select(
+                    F.col(query_id_col).alias("query_id"),
+                    F.expr(q_expr).alias("__qorig__"),
+                ),
+                coarse,
+                "__qorig__",
+                n_best=int(n_probes),
+            )
+            .join(F.broadcast(coarse), "centroid")
+            .select(
+                "query_id", "centroid", "__qorig__",
+                F.expr(
+                    "zip_with(__qorig__, cvec,"
+                    " (x, y) -> CAST(x AS DOUBLE) - y)"
+                ).alias("__qres__"),
+            )
+        )
+        q = adc_query_tables(
+            probed, "query_id", "__qres__", codebooks, dim, normalize=False,
+            extra_cols=("centroid", "__qorig__"),
+        )
+        q = q.drop("__qemb__").withColumnRenamed("__qorig__", "__qemb__")
+        return adc_rank_pairs(codes.join(q, "centroid"), m, k, rerank)
     q = adc_query_tables(
         queries, query_id_col, query_emb_col, codebooks, dim, normalize
     )

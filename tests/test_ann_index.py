@@ -301,3 +301,49 @@ def test_streaming_ingest_keeps_index_fresh(spark, tmp_path):
     out = ann_topk(tbl, _queries(spark, [22]), "vid", "emb", "emb", k=25)
     ids = {r["id"] for r in out.collect()}
     assert set(range(20, 26)) - {22} <= ids
+
+
+def test_residual_registered_index_matches_in_session(spark, tmp_path):
+    """residual=True registered index: probed serving from the persisted
+    datasets equals the in-session ivfpq_residual_topk, and flat serving
+    is refused (residual codes need their list's centroid)."""
+    from delta_sorter_spark.operators.ivf import ivfpq_residual_topk
+
+    tbl = _mk_table(spark, tmp_path, range(60))
+    build_ann_index(
+        tbl, "emb", "vid", DIM, m=2, n_codes=4, n_centroids=4, residual=True
+    )
+    q = _queries(spark, [0, 13, 37])
+    served = ann_topk(tbl, q, "vid", "emb", "emb", k=3, n_probes=2)
+    direct = ivfpq_residual_topk(
+        tbl.to_df(), q, "vid", "emb", "vid", "emb",
+        dim=DIM, k=3, m=2, n_codes=4, n_centroids=4, n_probes=2,
+    )
+    norm = lambda df: sorted(map(tuple, df.collect()))
+    assert norm(served) == norm(direct)
+    with pytest.raises(ValueError, match="residual"):
+        ann_topk(tbl, q, "vid", "emb", "emb", k=3)
+    with pytest.raises(ValueError, match="n_centroids"):
+        build_ann_index(tbl, "emb", "vid", DIM, m=2, n_codes=4,
+                        residual=True)
+
+
+def test_residual_refresh_frozen_pipeline(spark, tmp_path):
+    """Append + refresh on a residual index: new rows residualize against
+    the FROZEN coarse centroids and encode with the FROZEN codebooks —
+    carried and re-encoded rows stay bit-compatible and serving covers
+    the appended rows."""
+    tbl = _mk_table(spark, tmp_path, range(30))
+    build_ann_index(
+        tbl, "emb", "vid", DIM, m=2, n_codes=4, n_centroids=4, residual=True
+    )
+    tbl.append(
+        spark.createDataFrame(_rows(range(30, 40)), "vid long, emb array<float>")
+        .coalesce(1)
+    )
+    info = refresh_ann_index(tbl, "emb")
+    assert info["reencoded_files"] >= 1
+    out = ann_topk(tbl, _queries(spark, [35]), "vid", "emb", "emb",
+                   k=39, n_probes=4)
+    ids = {r["id"] for r in out.collect()}
+    assert set(range(30, 40)) - {35} <= ids
