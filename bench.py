@@ -96,6 +96,9 @@ ENTRY_QUERIES = [
     # scalars + one tagged n-gram explode) and the per-row C4 line cleaner
     "e77_gopher_rules",
     "e78_c4_clean",
+    # residual IVF-PQ (the classic Jégou form): prices the residual join +
+    # per-probe ADC tables next to e62's no-residual line
+    "e82_residual_ivfpq",
 ]
 
 
