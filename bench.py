@@ -96,9 +96,6 @@ ENTRY_QUERIES = [
     # scalars + one tagged n-gram explode) and the per-row C4 line cleaner
     "e77_gopher_rules",
     "e78_c4_clean",
-    # residual IVF-PQ (the classic Jégou form): prices the residual join +
-    # per-probe ADC tables next to e62's no-residual line
-    "e82_residual_ivfpq",
 ]
 
 
@@ -529,6 +526,20 @@ def main() -> int:
         samples.append(time.monotonic() - t0)
     timings["ann_probed_serve"] = round(min(samples), 3)
     shutil.rmtree(anndir, ignore_errors=True)
+
+    # -- residual IVF-PQ (e82): train-heavy like e60_pq_build, so timed ONCE
+    #    (an entry-query best-of-3 would re-train the whole index per rep —
+    #    not a shape any deployment pays)
+    from delta_sorter_spark.operators.ivf import ivfpq_residual_topk
+
+    t0 = time.monotonic()
+    ivfpq_residual_topk(
+        emb, pq_queries, "vec_id", "embedding", "vec_id", "embedding",
+        dim=entrymod.EMB_DIM, k=entrymod.TOPK, m=entrymod.PQ_M,
+        n_codes=entrymod.PQ_CODES, n_centroids=entrymod.IVFPQ_CENTROIDS,
+        n_probes=entrymod.IVFPQ_PROBES,
+    ).write.format("noop").mode("overwrite").save()
+    timings["e82_residual_build_search"] = round(time.monotonic() - t0, 3)
 
     shutil.rmtree(workdir, ignore_errors=True)
 
