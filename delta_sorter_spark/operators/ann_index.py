@@ -14,9 +14,15 @@ vacuum-protected while registered, refreshed incrementally.
 Index datasets (all parquet, written through the table's fs layer so the
 same code serves local and object-store tables):
 
-- ``codes``:      (path, id, __cemb__, code_0..code_{m-1}) — one row per
+- ``codes``:      (path, id, [centroid,] code_0..code_{m-1}) — one row per
                   LIVE corpus row, carrying its origin data file so
-                  maintenance is file-granular;
+                  maintenance is file-granular.  CODES-ONLY: the index
+                  never stores embeddings, so its footprint is m small
+                  ints per row (not dim×8 bytes) and the serving scan is
+                  codes-width; exact cosine / rerank fetches original
+                  vectors from the TABLE for the shortlist only
+                  (:func:`_exact_rank` — queries × max(rerank, k) rows,
+                  pruned to the shortlist's data files);
 - ``codebooks``:  (m, centroid, cvec) — the frozen per-subspace codewords;
 - ``files``:      (path, dv) — the indexed snapshot's file list with each
                   file's deletion-vector digest.
@@ -51,7 +57,7 @@ from delta_sorter_spark.operators.bloom_index import (
     _mark_building,
     _unmark_building,
 )
-from delta_sorter_spark.operators.ivf import pq_assign, pq_encode, pq_serve
+from delta_sorter_spark.operators.ivf import pq_assign, pq_encode
 from delta_sorter_spark.sources.delta_table import DeltaTable
 
 ANN_PROP_PREFIX = "deltasort.annIndex."
@@ -83,14 +89,13 @@ def _dv_digest(add) -> str:
 def _codes_ddl(m: int, ivf: bool) -> str:
     cols = ", ".join(f"code_{j} int" for j in range(m))
     coarse = "centroid int, " if ivf else ""
-    return f"path string, id bigint, {coarse}__cemb__ array<double>, {cols}"
+    return f"path string, id bigint, {coarse}{cols}"
 
 
 def _codes_cols(m: int, ivf: bool) -> list[str]:
     return (
         ["path", "id"]
         + (["centroid"] if ivf else [])
-        + ["__cemb__"]
         + [f"code_{j}" for j in range(m)]
     )
 
@@ -246,19 +251,16 @@ def build_ann_index(
             id_col="__annid__",
         ).localCheckpoint(eager=True)
     if residual:
-        # codes quantize x - coarse_centroid(x); __cemb__ keeps the
-        # ORIGINAL normalized vector for exact cosine at serve time
+        # codes quantize x - coarse_centroid(x); the inverted-list id rides
+        # along, the ORIGINAL vector does NOT — exact cosine re-reads the
+        # table for the serve shortlist (_exact_rank)
         res = _residualize(normed, coarse).localCheckpoint(eager=True)
         codes, codebooks = pq_encode(
             res, "__annid__", "__res__", dim, m, n_codes, n_iters,
             normalize=False,
         )
         codes = codes.drop("__cemb__").join(
-            res.select(
-                "__annid__", "centroid",
-                F.col("__orig__").alias("__cemb__"),
-            ).withColumnRenamed("__annid__", "id"),
-            "id",
+            res.select(F.col("__annid__").alias("id"), "centroid"), "id"
         )
     else:
         codes, codebooks = pq_encode(
@@ -269,6 +271,7 @@ def build_ann_index(
             # inverted-list id per code row (codes' __cemb__ is the same
             # normalized vector the coarse quantizer trained on)
             codes = _assign(codes, coarse, "__cemb__")
+        codes = codes.drop("__cemb__")
     codes = codes.join(
         rows.select(F.col("__annid__").alias("id"), "path"), "id"
     )
@@ -375,11 +378,7 @@ def refresh_ann_index(table: DeltaTable, column: str) -> dict:
             fresh = pq_assign(
                 res, "__annid__", "__res__", codebooks, dim, normalize=False
             ).drop("__cemb__", "centroid").join(
-                res.select(
-                    F.col("__annid__").alias("id"), "centroid",
-                    F.col("__orig__").alias("__cemb__"),
-                ),
-                "id",
+                res.select(F.col("__annid__").alias("id"), "centroid"), "id"
             )
         else:
             fresh = pq_assign(
@@ -391,6 +390,7 @@ def refresh_ann_index(table: DeltaTable, column: str) -> dict:
                 # frozen coarse quantizer: re-encoded rows land in the same
                 # inverted list they would have at build time
                 fresh = _assign(fresh, coarse, "__cemb__")
+            fresh = fresh.drop("__cemb__")
         fresh = fresh.join(
             rows.select(F.col("__annid__").alias("id"), "path"), "id"
         )
@@ -445,6 +445,17 @@ def ann_topk(
     snapshot's files first, so a stale index degrades to reduced recall,
     never to rows the table no longer holds.
 
+    CODES-WIDTH SERVING: the candidate scan reads (path, id, [centroid],
+    code_0..m) — m small ints per row, never an embedding — and ranks by
+    pure ADC; the exact cosine (and the optional ``rerank`` reorder) then
+    fetches ORIGINAL vectors from the table for the shortlist only
+    (queries × max(rerank, k) rows), scanning just the data files those
+    rows live in (:func:`_exact_rank`).  Same normalization expression as
+    build time, so the cosine is bit-identical to scoring against a
+    stored vector.  At 100 TB that makes the index m bytes/row and the
+    per-batch I/O |candidates| × m + |shortlist| × dim, instead of
+    |candidates| × dim×8.
+
     On an IVF-PQ index (built with ``n_centroids``), pass ``n_probes`` to
     scan only each query's nearest inverted lists — the broadcast NLJ of
     flat ADC becomes a centroid EQUI-join over |corpus| × probes /
@@ -476,22 +487,26 @@ def ann_topk(
     active = table.spark.createDataFrame(
         [(a.path,) for a in state.adds] or [("",)], "path string"
     )
-    codes = codes.join(F.broadcast(active), "path", "left_semi").drop("path")
+    # keep `path` through ranking: the exact-cosine fetch prunes the table
+    # scan to the shortlist's data files
+    codes = codes.join(F.broadcast(active), "path", "left_semi")
     codebooks = _read_codebooks(table, spec)
     dim, normalize = int(spec["dim"]), bool(spec["normalize"])
-    if n_probes is None:
-        if ivf:
-            codes = codes.drop("centroid")
-        return pq_serve(
-            codes, codebooks, queries, query_id_col, query_emb_col,
-            dim=dim, k=k, normalize=normalize, rerank=rerank,
-        )
     from delta_sorter_spark.operators.ivf import (
         _assign,
         _normalize_expr,
         adc_query_tables,
-        adc_rank_pairs,
+        adc_shortlist,
     )
+
+    if n_probes is None:
+        if ivf:
+            codes = codes.drop("centroid")
+        q = adc_query_tables(
+            queries, query_id_col, query_emb_col, codebooks, dim, normalize
+        )
+        short = adc_shortlist(codes.crossJoin(F.broadcast(q)), m, k, rerank)
+        return _exact_rank(table, state, spec, column, short, k, rerank)
 
     # probe assignment, then the SAME ADC tables + ranking tail as the flat
     # path (ivf.pq_serve) — only the candidate join differs: centroid
@@ -527,9 +542,68 @@ def ann_topk(
             extra_cols=("centroid", "__qorig__"),
         )
         q = q.drop("__qemb__").withColumnRenamed("__qorig__", "__qemb__")
-        return adc_rank_pairs(codes.join(q, "centroid"), m, k, rerank)
+        short = adc_shortlist(codes.join(q, "centroid"), m, k, rerank)
+        return _exact_rank(table, state, spec, column, short, k, rerank)
     q = adc_query_tables(
         queries, query_id_col, query_emb_col, codebooks, dim, normalize
     )
     q = _assign(q, coarse, "__qemb__", n_best=int(n_probes))
-    return adc_rank_pairs(codes.join(q, "centroid"), m, k, rerank)
+    short = adc_shortlist(codes.join(q, "centroid"), m, k, rerank)
+    return _exact_rank(table, state, spec, column, short, k, rerank)
+
+
+def _exact_rank(
+    table: DeltaTable,
+    state,
+    spec: dict,
+    column: str,
+    shortlist: DataFrame,
+    k: int,
+    rerank: int | None,
+) -> DataFrame:
+    """Attach the exact cosine to an ADC shortlist and produce the final
+    (query_id, id, rank, approx_d, cosine) — the dim-wide half of serving,
+    paid only for queries × max(rerank, k) rows.
+
+    The shortlist (tiny) is checkpointed, its distinct ``path`` set read
+    driver-side, and original vectors scanned from ONLY those data files
+    (deletion vectors applied — a row DV-deleted after the last refresh
+    silently drops here, the same no-phantom guarantee as the path
+    semi-join).  Normalization replays build's ``_normalize_expr`` on the
+    raw column, so cosine values are bit-identical to the stored-vector
+    design this replaces."""
+    from pyspark.sql import Window
+    from delta_sorter_spark.operators.ivf import _normalize_expr
+    from delta_sorter_spark.operators.similarity import cosine_expr
+
+    shortlist = shortlist.select(
+        "query_id", "id", "path", "approx_d", "__qemb__"
+    ).localCheckpoint(eager=True)
+    paths = {r["path"] for r in shortlist.select("path").distinct().collect()}
+    adds = [a for a in state.adds if a.path in paths]
+    if not adds:
+        return shortlist.limit(0).select(
+            "query_id", "id", F.lit(None).cast("int").alias("rank"),
+            "approx_d", F.lit(None).cast("double").alias("cosine"),
+        )
+    rows = _rows_with_path(table, adds, spec["id_col"], column)
+    emb = (
+        F.expr(_normalize_expr("__annemb__"))
+        if bool(spec["normalize"]) else F.col("__annemb__")
+    )
+    fetched = rows.select(
+        "path", F.col("__annid__").alias("id"), emb.alias("__cemb__")
+    )
+    pairs = fetched.join(F.broadcast(shortlist), ["path", "id"]).withColumn(
+        "cosine", cosine_expr("__qemb__", "__cemb__")
+    )
+    order = (
+        [F.asc("approx_d"), F.asc("id")] if rerank is None
+        else [F.desc("cosine"), F.asc("id")]
+    )
+    w = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "id", "rank", "approx_d", "cosine")
+    )

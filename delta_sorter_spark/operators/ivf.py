@@ -457,6 +457,34 @@ def adc_query_tables(
     return q
 
 
+def adc_shortlist(
+    pairs: DataFrame, m: int, k: int, rerank: int | None
+) -> DataFrame:
+    """ADC-only shortlist over candidate (code row × query) pairs: the top
+    ``max(rerank, k)`` (or ``k``) rows per query by ADC distance, WITHOUT
+    exact cosine — the codes-width half of serving.  Same ADC expression
+    and (approx_d asc, id asc) tie-break as :func:`adc_rank_pairs`, so a
+    caller that fetches original vectors for the shortlist and computes
+    the exact cosine afterwards (operators/ann_index.ann_topk) ranks
+    identically to the in-memory paths — but the candidate scan never
+    touches an embedding column (m ints vs dim doubles per row).
+
+    Keeps every non-table input column (``path``, ``__qemb__``, …) so the
+    caller can prune the fetch to the shortlist's files."""
+    adc = " + ".join(f"element_at(__dtab{j}__, code_{j} + 1)" for j in range(m))
+    pairs = (
+        pairs.where(F.col("id") != F.col("query_id"))
+        .withColumn("approx_d", F.expr(adc))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("approx_d"), F.asc("id"))
+    n = k if rerank is None else max(rerank, k)
+    return (
+        pairs.withColumn("__adc_rank__", F.row_number().over(w))
+        .where(F.col("__adc_rank__") <= n)
+        .drop(*[f"__dtab{j}__" for j in range(m)], *[f"code_{j}" for j in range(m)])
+    )
+
+
 def adc_rank_pairs(
     pairs: DataFrame, m: int, k: int, rerank: int | None
 ) -> DataFrame:
