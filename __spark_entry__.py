@@ -4832,6 +4832,84 @@ FROM ranked WHERE rn <= {M4_K}
 
 
 # ---------------------------------------------------------------------------
+# M5: perceptual-hash image near-dup (operators/multimodal.py
+# phash_near_dup) — the image-content dedup modality: thumbnail (pluggable
+# decoder, md5-chain stub here) -> aHash -> banded candidate join -> exact
+# Hamming verify.  The corpus unions a re-ingested copy of every 7th asset
+# under a shifted id (the real scenario: one image ingested twice), so the
+# pipeline surfaces those as hamming-0 pairs; random band collisions are
+# killed by the Hamming cutoff.
+# ---------------------------------------------------------------------------
+
+M5_VARIANT_SHIFT = 1_000_000
+M5_VARIANT_MOD = 7
+M5_MAX_HAMMING = 8
+
+
+def q_m5_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_sorter_spark.operators.multimodal import phash_near_dup
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.where(F.col("doc_id") % M5_VARIANT_MOD == 0).select(
+            (F.col("doc_id") + M5_VARIANT_SHIFT).alias("doc_id"), "text"
+        )
+    )
+    assets = corpus.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    return phash_near_dup(
+        assets, "doc_id", "payload", max_hamming=M5_MAX_HAMMING
+    )
+
+
+_M5_SQL = f"""
+WITH corpus AS MATERIALIZED (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {M5_VARIANT_SHIFT} AS doc_id, text FROM documents
+  WHERE doc_id % {M5_VARIANT_MOD} = 0
+),
+px AS (
+  SELECT doc_id,
+         flatten(list_transform(range(0, 4), j ->
+           list_transform(range(0, 16), i ->
+             CAST(('0x' || substr(md5(text || CAST(j AS VARCHAR)),
+                                  CAST(2 * i + 1 AS INT), 2))::BIGINT AS INT)
+           ))) AS pixels
+  FROM corpus
+),
+ah AS (
+  SELECT doc_id, pixels, list_aggregate(pixels, 'sum') // 64 AS pxavg FROM px
+),
+bands AS MATERIALIZED (
+  SELECT doc_id, list_transform(range(0, 4), b ->
+    CAST(list_aggregate(list_transform(range(0, 16), i ->
+      CASE WHEN pixels[CAST(16 * b + i + 1 AS INT)] > pxavg
+           THEN (1 << CAST(i AS INT)) ELSE 0 END), 'sum') AS INT)) AS words
+  FROM ah
+),
+ex AS (
+  SELECT doc_id, b, words[CAST(b + 1 AS INT)] AS word
+  FROM bands CROSS JOIN (SELECT unnest(range(0, 4)) AS b) t
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM ex a JOIN ex b ON a.b = b.b AND a.word = b.word AND a.doc_id < b.doc_id
+)
+SELECT c.id_a, c.id_b,
+       CAST(list_aggregate(list_transform(range(0, 4), k ->
+         bit_count(xor(wa.words[CAST(k + 1 AS INT)],
+                       wb.words[CAST(k + 1 AS INT)]))), 'sum') AS INT)
+         AS hamming
+FROM cand c
+JOIN bands wa ON wa.doc_id = c.id_a
+JOIN bands wb ON wb.doc_id = c.id_b
+WHERE hamming <= {M5_MAX_HAMMING}
+"""
+
+
+# ---------------------------------------------------------------------------
 # A43: per-source boilerplate report — where the repeated-span dedup bites.
 # The curation dashboard number: which ingestion sources ship shared
 # boilerplate, how many docs are affected, how many tokens it costs.
@@ -8234,6 +8312,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e76_bpe_encode": q_e76_bpe_encode,
         "a47_corpus_profile": q_a47_corpus_profile,
         "m4_embed_topk": q_m4_embed_topk,
+        "m5_phash_near_dup": q_m5_phash_near_dup,
         "a43_span_report": q_a43_span_report,
         "a44_snapshot_diff": q_a44_snapshot_diff,
         "a45_scd2_intervals": q_a45_scd2_intervals,
@@ -8337,6 +8416,7 @@ def oracle_sql() -> dict[str, str]:
         "e76_bpe_encode": _E76_SQL,
         "a47_corpus_profile": _A47_SQL,
         "m4_embed_topk": _M4_SQL,
+        "m5_phash_near_dup": _M5_SQL,
         "a43_span_report": _A43_SQL,
         "a44_snapshot_diff": _A44_SQL,
         "a45_scd2_intervals": _A45_SQL,

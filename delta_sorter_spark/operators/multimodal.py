@@ -155,6 +155,124 @@ def frame_sample_plan(df: DataFrame, id_col: str, payload_col: str, every_n: int
     return frames.select("id", "frame_idx")
 
 
+THUMB_BLOCKS = 4  # md5-chain blocks -> 64 fake intensities (8x8 grid)
+THUMB_PIXELS = 16 * THUMB_BLOCKS
+
+
+def _thumbnail_stub(payload: bytes) -> list[int]:
+    """STUB thumbnailer: deterministic fake 8×8 grayscale thumbnail — 64
+    intensities 0..255 from an md5 chain (block j = the 16 digest bytes of
+    ``md5(payload || ASCII j)``), exactly reproducible by the DuckDB
+    oracle.  A deployment passes a real downscale instead, e.g.
+    ``lambda raw: list(Image.open(io.BytesIO(raw)).convert("L")
+    .resize((8, 8)).getdata())`` — the fingerprint math downstream
+    (:func:`ahash_bands`, :func:`phash_near_dup`) is decoder-agnostic."""
+    out: list[int] = []
+    for j in range(THUMB_BLOCKS):
+        out.extend(hashlib.md5(payload + str(j).encode()).digest())
+    return out
+
+
+THUMB_SCHEMA = "id long, pixels array<int>"
+
+
+def thumbnail_assets(
+    df: DataFrame, id_col: str, payload_col: str, thumbnailer=None
+) -> DataFrame:
+    """(id, pixels) — the decode/downscale boundary of image-content
+    fingerprinting, Arrow-batched like :func:`decode_assets`.
+    ``thumbnailer``: ``bytes -> list[int]`` grayscale intensities (fixed
+    length per deployment), default :func:`_thumbnail_stub`."""
+    thumbnailer = thumbnailer or _thumbnail_stub
+
+    def thumb(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, pix = [], []
+            for i, payload in zip(pdf["__id__"], pdf["__payload__"]):
+                pix.append(thumbnailer(bytes(payload)))
+                ids.append(i)
+            yield pd.DataFrame({"id": ids, "pixels": pix})
+
+    narrowed = df.select(
+        F.col(id_col).alias("__id__"), F.col(payload_col).alias("__payload__")
+    )
+    return narrowed.mapInPandas(thumb, THUMB_SCHEMA)
+
+
+def ahash_bands(
+    df: DataFrame, id_col: str, pixels_col: str, n_bands: int = 4,
+    band_bits: int = 16,
+) -> DataFrame:
+    """Average-hash (aHash) over a thumbnail, packed for Hamming banding:
+    bit i is set iff ``pixels[i] > floor(mean(pixels))``, and the
+    ``n_bands × band_bits`` bits come back as (id, bands array<int>) — one
+    word per band, ready for the SimHash-style banded candidate join
+    (operators/dedup.py e4 pattern).  Pure JVM expressions: the only UDF
+    in the image-dedup pipeline is the decode itself."""
+    avg = (
+        f"aggregate({pixels_col}, CAST(0 AS BIGINT),"
+        f" (acc, x) -> acc + x) div {n_bands * band_bits}"
+    )
+    words = (
+        f"transform(sequence(0, {n_bands - 1}), b ->"
+        f" aggregate(sequence(0, {band_bits - 1}), 0, (acc, i) ->"
+        f" acc + CASE WHEN element_at({pixels_col}, {band_bits} * b + i + 1)"
+        f" > __pxavg__ THEN CAST(shiftleft(1, i) AS INT) ELSE 0 END))"
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), F.col(pixels_col))
+        .withColumn("__pxavg__", F.expr(avg))
+        .select("id", F.expr(words).alias("bands"))
+    )
+
+
+def phash_near_dup(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    max_hamming: int = 16,
+    thumbnailer=None,
+    n_bands: int = 4,
+    band_bits: int = 16,
+) -> DataFrame:
+    """Image-content near-duplicate pairs by perceptual hash: thumbnail ->
+    aHash -> banded candidate join -> exact Hamming verify.  Output:
+    (id_a, id_b, hamming), pairs with ``hamming <= max_hamming``.
+
+    Banding (two images are candidates iff SOME band word matches) keeps
+    the join equi-key — |corpus|² never materializes — at the usual LSH
+    recall trade: pairs within ``n_bands - 1`` flipped bits are guaranteed
+    candidates (pigeonhole), beyond that recall decays gracefully.  The
+    Hamming verify runs only on candidates: ``bit_count(a XOR b)`` summed
+    across band words, all JVM-side."""
+    ph = ahash_bands(
+        thumbnail_assets(df, id_col, payload_col, thumbnailer=thumbnailer),
+        "id", "pixels", n_bands=n_bands, band_bits=band_bits,
+    )
+    exploded = ph.select("id", F.posexplode("bands").alias("band", "word"))
+    cand = (
+        exploded.alias("a")
+        .join(exploded.alias("b"), ["band", "word"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = (
+        "aggregate(zip_with(__ba__, __bb__, (x, y) -> bit_count(x ^ y)),"
+        " 0, (acc, v) -> acc + CAST(v AS INT))"
+    )
+    pairs = (
+        cand.join(ph.select(F.col("id").alias("id_a"), F.col("bands").alias("__ba__")), "id_a")
+        .join(ph.select(F.col("id").alias("id_b"), F.col("bands").alias("__bb__")), "id_b")
+        .withColumn("hamming", F.expr(hamming))
+    )
+    return pairs.where(F.col("hamming") <= max_hamming).select(
+        "id_a", "id_b", "hamming"
+    )
+
+
 EMBED_DIM = 8
 EMBED_SCHEMA = "id long, embedding array<double>"
 

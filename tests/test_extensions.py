@@ -266,6 +266,100 @@ def test_multimodal_pluggable_codec(spark):
     assert 16 <= stub[1]["width"] < 80
 
 
+# crafted thumbnailer for banding tests: payloads are 64 raw intensity
+# bytes, passed through verbatim (lambda so cloudpickle ships it by value)
+_raw_thumb = lambda raw: list(raw)  # noqa: E731
+
+
+def test_phash_exact_dup_found_random_excluded(spark):
+    """Same payload ingested twice -> hamming-0 pair; unrelated payloads
+    (md5-stub thumbnails, ~32 expected bit flips) stay out at a tight
+    Hamming cutoff."""
+    from delta_sorter_spark.operators.multimodal import phash_near_dup
+
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(b"same-image-bytes")),
+            (2, bytearray(b"same-image-bytes")),
+            (3, bytearray(b"a completely different image")),
+            (4, bytearray(b"and a third unrelated payload")),
+        ],
+        "id long, payload binary",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in phash_near_dup(df, "id", "payload", max_hamming=4).collect()
+    }
+    assert pairs == {(1, 2): 0}
+
+
+def test_phash_banding_guarantee_and_hamming(spark):
+    """Pigeonhole: with 4 bands, any pair within 3 flipped bits shares an
+    intact band and MUST surface as a candidate; the reported hamming is
+    the exact bit distance.  Uses the thumbnailer hook to pass crafted
+    pixel grids (the pluggable-decoder contract)."""
+    from delta_sorter_spark.operators.multimodal import phash_near_dup
+
+    base = [10] * 32 + [200] * 32  # mean 105 -> bits: 32 zeros, 32 ones
+    flipped = list(base)
+    # flip 3 bits spread across 3 different bands (pixels 0, 20, 40)
+    for p in (0, 20, 40):
+        flipped[p] = 200 if flipped[p] == 10 else 10
+    df = spark.createDataFrame(
+        [(1, bytearray(base)), (2, bytearray(flipped))],
+        "id long, payload binary",
+    )
+    out = phash_near_dup(
+        df, "id", "payload", max_hamming=3, thumbnailer=_raw_thumb
+    ).collect()
+    assert [(r["id_a"], r["id_b"], r["hamming"]) for r in out] == [(1, 2, 3)]
+    # flipping a 4th bit in the last band removes the guarantee entirely:
+    # all 4 bands differ -> no candidate, regardless of the cutoff
+    flipped4 = list(flipped)
+    flipped4[60] = 200 if flipped4[60] == 10 else 10
+    df4 = spark.createDataFrame(
+        [(1, bytearray(base)), (2, bytearray(flipped4))],
+        "id long, payload binary",
+    )
+    out4 = phash_near_dup(
+        df4, "id", "payload", max_hamming=64, thumbnailer=_raw_thumb
+    ).collect()
+    assert out4 == []
+
+
+def test_ahash_bands_match_python_reference(spark):
+    """ahash_bands replays the stub thumbnail + average-threshold bit math
+    exactly (JVM expressions vs a pure-python reference)."""
+    import hashlib
+
+    from delta_sorter_spark.operators.multimodal import (
+        ahash_bands,
+        thumbnail_assets,
+    )
+
+    payloads = [b"img-a", b"img-b", b"img-c"]
+    df = spark.createDataFrame(
+        [(i, bytearray(p)) for i, p in enumerate(payloads)],
+        "id long, payload binary",
+    )
+    got = {
+        r["id"]: list(r["bands"])
+        for r in ahash_bands(
+            thumbnail_assets(df, "id", "payload"), "id", "pixels"
+        ).collect()
+    }
+    for i, p in enumerate(payloads):
+        pixels = []
+        for j in range(4):
+            pixels.extend(hashlib.md5(p + str(j).encode()).digest())
+        avg = sum(pixels) // 64
+        want = [
+            sum((1 << b) for b in range(16) if pixels[16 * w + b] > avg)
+            for w in range(4)
+        ]
+        assert got[i] == want, f"payload {i}"
+
+
 def test_cosine_neardup_pairs_exact_and_blocked(spark):
     from delta_sorter_spark.operators.similarity import (
         cosine_neardup_pairs,
