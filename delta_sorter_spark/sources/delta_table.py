@@ -801,7 +801,12 @@ class DeltaTable:
         return df.where(where) if where is not None else df
 
     def _to_df_remote(
-        self, version=None, adds=None, with_file_path=False, with_positions=False
+        self,
+        version=None,
+        adds=None,
+        with_file_path=False,
+        with_positions=False,
+        extra_fields=None,
     ) -> DataFrame:
         """Remote read path: the Python Data Source scans file bytes via
         pyarrow's object-store filesystems on the workers (no connector
@@ -837,6 +842,13 @@ class DeltaTable:
             # raw positional scan (file path + physical row index, DVs NOT
             # applied) — the jar-free parquet _metadata.row_index
             reader = reader.option("withPositions", "true")
+        if extra_fields:
+            # out-of-schema physical passthrough columns (e.g. materialized
+            # row-tracking columns) — files lacking them yield NULLs
+            reader = reader.option(
+                "extraColumns",
+                _json.dumps(T.StructType(list(extra_fields)).jsonValue()),
+            )
         if adds is not None:
             # ship self-contained file specs (path + partition values + DV
             # descriptor), not bare paths: the planner then reads EXACTLY
@@ -912,7 +924,7 @@ class DeltaTable:
         return out
 
     def scan_with_positions(
-        self, adds: Sequence[AddAction], meta=None
+        self, adds: Sequence[AddAction], meta=None, extra_fields=None
     ) -> DataFrame:
         """Raw scan of the given files with two extra columns: ``__file__``
         (absolute file URI) and ``__pos__`` (physical row index inside that
@@ -920,17 +932,29 @@ class DeltaTable:
         and splittable, no Python in the row path.  NOTE: raw = existing
         deletion vectors are NOT applied here.  Remote tables take the
         Python Data Source's ``withPositions`` path (Arrow-vectorized,
-        one task per file)."""
+        one task per file).  ``extra_fields``: out-of-schema physical
+        passthrough columns (e.g. the materialized row-tracking columns);
+        files lacking one yield NULLs on both paths."""
         if self.is_remote:
             from delta_sorter_spark.streaming.delta_source import FILE_COL, POS_COL
 
-            df = self._to_df_remote(adds=adds, with_positions=True)
+            df = self._to_df_remote(
+                adds=adds, with_positions=True, extra_fields=extra_fields
+            )
             base = self.table_path.rstrip("/") + "/"
             return df.withColumn(
                 "__file__", F.concat(F.lit(base), F.col(FILE_COL))
             ).drop(FILE_COL).withColumnRenamed(POS_COL, "__pos__")
-        self._require_local("scan_with_positions")
         meta = meta or self.metadata
+        if extra_fields:
+            meta = TableMetadata(
+                table_id=meta.table_id,
+                schema=T.StructType(
+                    list(meta.schema.fields) + list(extra_fields)
+                ),
+                partition_columns=meta.partition_columns,
+                configuration=meta.configuration,
+            )
         phys = self._physical_fields(meta)
         read_schema = T.StructType(
             [T.StructField(p, f.dataType, True) for p, f in phys]
@@ -1702,12 +1726,6 @@ class DeltaTable:
         import time as _time
         import uuid as _uuid
 
-        if self.is_remote:
-            raise NotImplementedError(
-                "row tracking on remote table URIs is not supported yet "
-                "(the positional read path that computes fresh row ids is "
-                "local-only)"
-            )
         if self.row_tracking_enabled():
             return self.log.latest_version()
         suffix = _uuid.uuid4().hex[:8]
@@ -1827,20 +1845,14 @@ class DeltaTable:
         from delta_sorter_spark.operators.dml import _rel_path_col
 
         mat_id, mat_ver = self._materialized_row_cols(meta)
-        ext_schema = T.StructType(
-            list(meta.schema.fields)
-            + [
+        scan = self.scan_with_positions(
+            use,
+            meta,
+            extra_fields=[
                 T.StructField(mat_id, T.LongType(), True),
                 T.StructField(mat_ver, T.LongType(), True),
-            ]
+            ],
         )
-        ext_meta = TableMetadata(
-            table_id=meta.table_id,
-            schema=ext_schema,
-            partition_columns=meta.partition_columns,
-            configuration=meta.configuration,
-        )
-        scan = self.scan_with_positions(use, ext_meta)
         base_map = self.spark.createDataFrame(
             [
                 (a.path, a.base_row_id, a.default_row_commit_version)

@@ -193,6 +193,29 @@ def _apply_env_option(options) -> None:
         apply_aws_env(json.loads(raw))
 
 
+def _parse_extra_columns(options, schema: T.StructType) -> list[T.StructField]:
+    """``extraColumns`` option: a StructType JSON of PHYSICAL passthrough
+    columns appended to the read schema — columns that live in (some of)
+    the data files but not in the table's logical schema, e.g. the
+    materialized row-tracking columns a row-id-preserving rewrite wrote
+    (sources/delta_table.py ``_read_with_row_ids``).  Files lacking the
+    column yield NULLs (the same written-before-schema-evolution rule as
+    ordinary columns).  Clashes with logical columns are refused: the
+    option is for out-of-schema physical columns only."""
+    raw = options.get("extraColumns") or options.get("extracolumns")
+    if not raw:
+        return []
+    fields = list(T.StructType.fromJson(json.loads(raw)).fields)
+    clashes = [f.name for f in fields if f.name in schema.names]
+    if clashes:
+        raise ValueError(
+            f"delta_sorter source: extraColumns {clashes} already in the "
+            "table schema — the option is for out-of-schema physical "
+            "columns only"
+        )
+    return fields
+
+
 def _check_reserved_columns(schema: T.StructType, with_file: bool, with_pos: bool):
     """withFilePath/withPositions append synthetic columns; if the table
     already owns a column by those names the read would silently clobber
@@ -278,7 +301,11 @@ class _DeltaSourceCore:
         # pin schema at construction (stream start); partition layout is
         # immutable in Delta so the column list never changes
         pinned = schema or meta.schema
-        extra = []
+        extra = [
+            f
+            for f in _parse_extra_columns(options, meta.schema)
+            if f.name not in pinned.names
+        ]
         if (self.with_file or self.with_pos) and FILE_COL not in pinned.names:
             extra.append(T.StructField(FILE_COL, T.StringType()))
         if self.with_pos and POS_COL not in pinned.names:
@@ -609,7 +636,7 @@ class DeltaStreamDataSource(DataSource):
         with_file = str(self.options.get("withFilePath", "false")).lower() == "true"
         with_pos = str(self.options.get("withPositions", "false")).lower() == "true"
         _check_reserved_columns(schema, with_file, with_pos)
-        extra = []
+        extra = list(_parse_extra_columns(self.options, schema))
         if with_file or with_pos:
             extra.append(T.StructField(FILE_COL, T.StringType()))
         if with_pos:

@@ -607,3 +607,62 @@ def test_s3_bloom_index_end_to_end(s3_env, spark, tmp_path):
     kept_new = tbl.files_matching("u = 'zzz'")
     assert len(kept_new) == 1
     assert tbl.to_df(where="u = 'zzz'").count() == 1
+
+
+def test_s3_row_tracking_end_to_end(s3_env, spark, tmp_path):
+    """Row tracking on a remote URI, jar-free: enable assigns base row ids
+    through the log alone; fresh ids for a remote append come from the
+    high-water mark; to_df_with_row_ids reads baseRowId + physical
+    position through the Python Data Source's extraColumns/withPositions
+    path; compaction and copy-on-write DELETE preserve ids via the
+    materialized columns the rewrite wrote to S3."""
+    from delta_sorter_spark.api import compact
+    from delta_sorter_spark.operators.dml import delete_where
+    from delta_sorter_spark.sources.delta_table import DeltaTable
+
+    local = str(tmp_path / "rt_remote")
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(10)], "id long, v string"
+    )
+    DeltaTable.create(spark, local, df.coalesce(2), stat_columns=["id"])
+    _upload_tree(local, "testbkt", "tables/rt_remote")
+    uri = "s3://testbkt/tables/rt_remote"
+    t = DeltaTable(spark, uri)
+
+    t.enable_row_tracking()
+    t = DeltaTable(spark, uri)
+    assert t.state().row_id_high_water_mark == 9
+
+    def ids(tbl):
+        return {
+            r["id"]: (r["_row_id"], r["_row_commit_version"])
+            for r in tbl.to_df_with_row_ids().collect()
+        }
+
+    before = ids(t)
+    assert sorted(rid for rid, _ in before.values()) == list(range(10))
+
+    # fresh ids above the HWM for a remote append
+    t.append(spark.createDataFrame([(100, "x"), (101, "y")], "id long, v string"))
+    t = DeltaTable(spark, uri)
+    assert t.state().row_id_high_water_mark == 11
+    appended = ids(t)
+    assert sorted(rid for rid, _ in appended.values()) == list(range(12))
+    v = t.log.latest_version()
+    assert appended[100][1] == v and appended[101][1] == v
+
+    # strict compaction on s3://: ids AND commit versions survive through
+    # the materialized columns (read back via extraColumns)
+    res = compact(
+        uri, sort_columns=["v"], spark=spark, repartition_by_sort_key=True
+    )
+    assert res.files_out >= 1
+    t = DeltaTable(spark, uri)
+    assert ids(t) == appended
+
+    # copy-on-write DELETE: survivors keep their ids
+    delete_where(t, "id IN (3, 100)")
+    t = DeltaTable(spark, uri)
+    survivors = ids(t)
+    assert set(survivors) == set(appended) - {3, 100}
+    assert all(survivors[k] == appended[k] for k in survivors)
