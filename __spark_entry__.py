@@ -8046,53 +8046,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # the salt_factor hook), m2/m4 (pluggable decoder/embedder hooks),
 # e59 (payload-carry rewrite: values ride the blocking windows).
 _RECHECK_THIS_ROUND = [
-    # round 6: merge is two-pass (find-touched-files then rewrite) and all
-    # DML verbs enforce CHECK constraints -> recheck every merge/update
-    # consumer
-    "q8_merge_full_sync",
-    "q9_update_where",
-    "q10_update_where_dv",
-    "q11_merge_dv",
-    "a39_latest_events",
-    # bloom probe literal canonicalization + streamed local probe
-    "q12_data_skipping",
-    "q14_bloom_lookup",
-    # LIKE-node exactness in the skipping AST: recheck skipping consumers
-    "q13_stats_agg",
-    "q5_change_feed",
-    # new oracles this round (e67 is already tier-0 red until re-checked)
-    "q15_check_constraints",
-    "q16_row_tracking",
-    "q17_identity",
-    "e73_unigram_train",
-    "e74_dsir_weights",
-    "e75_unigram_encode",
-    "e76_bpe_encode",
-    "s5_change_feed_stream",
-    # round 6: new quality-rule operators + streaming dedup drain
-    "e77_gopher_rules",
-    "e78_c4_clean",
-    "s6_stream_dedup",
-    "e79_wordpiece_train",
-    "e80_wordpiece_encode",
-    "e81_epoch_capped_mix",
+    # round 7: codes-only ANN serving (the registered index no longer
+    # stores embeddings; exact cosine fetched for the shortlist only)
     "q18_ann_index",
     "q19_ann_ivf_index",
-    "p3_curation_pipeline",
-    "e82_residual_ivfpq",
     "q20_ann_residual_index",
-    # round 6 let-binding rewrites (shingles_expr / winnowing grams /
-    # repetition counters): recheck the heaviest consumers of each — the
-    # full 40-query dependent set was fastlane-verified at sf0.01 in-round
-    "e2_minhash_sig",
-    "e3_lsh_candidates",
-    "e22_winnowing",
-    "e31_repetition",
-    "e42_minhash_accuracy",
-    "e13_dup_clusters",
-    "e55_dedup_keep_best",
-    "e50_fuzzy_decontaminate",
-    "p1_quality_dedup_pipeline",
+    # round 7: scan_with_positions grew the extra_fields passthrough
+    # (remote row tracking) — recheck its row-id consumer
+    "q16_row_tracking",
 ]
 
 
