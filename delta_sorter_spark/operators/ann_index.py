@@ -136,14 +136,21 @@ def _write_datasets(
     _mark_building(table, rel)  # vacuum-protect until registered
     # part count scales with the table's file count (bounded, the bloom
     # _write_index discipline) — serving opens every part, so part count
-    # is the read bill, not row count
+    # is the read bill, not row count.  IVF indexes lay the codes out
+    # CENTROID-major (range partition + sort): each part covers a disjoint
+    # centroid interval, so the probed serve's pushed isin filter prunes
+    # whole parts — "partition the codes dataset by centroid and a probe
+    # prunes files too", made physical
     nparts = max(1, min(64, -(-n_files // 64)))
-    table.write_parquet_dataset(
-        codes.repartitionByRange(
+    if coarse is not None:
+        layout = codes.repartitionByRange(
+            nparts, "centroid", "id"
+        ).sortWithinPartitions("centroid", "id")
+    else:
+        layout = codes.repartitionByRange(
             nparts, "path"
-        ).sortWithinPartitions("path", "id"),
-        rel + "/codes",
-    )
+        ).sortWithinPartitions("path", "id")
+    table.write_parquet_dataset(layout, rel + "/codes")
     table.write_parquet_dataset(codebooks_union.coalesce(1), rel + "/codebooks")
     table.write_parquet_dataset(files.coalesce(1), rel + "/files")
     if coarse is not None:
@@ -481,15 +488,27 @@ def ann_topk(
             "codes are meaningless without their list's centroid; pass "
             "n_probes"
         )
-    codes = table.read_parquet_dataset(
-        spec["path"] + "/codes", _codes_cols(m, ivf), _codes_ddl(m, ivf)
-    )
     active = table.spark.createDataFrame(
         [(a.path,) for a in state.adds] or [("",)], "path string"
     )
-    # keep `path` through ranking: the exact-cosine fetch prunes the table
-    # scan to the shortlist's data files
-    codes = codes.join(F.broadcast(active), "path", "left_semi")
+
+    def _codes(probed_cents=None):
+        # keep `path` through ranking: the exact-cosine fetch prunes the
+        # table scan to the shortlist's data files.  With probed centroids
+        # the membership filter is PUSHED into the parquet scan — the
+        # centroid-major layout build wrote means non-probed parts are
+        # skipped on stats, the file-pruning half of the IVF story
+        c = table.read_parquet_dataset(
+            spec["path"] + "/codes",
+            _codes_cols(m, ivf),
+            _codes_ddl(m, ivf),
+            isin=(
+                ("centroid", probed_cents) if probed_cents is not None
+                else None
+            ),
+        )
+        return c.join(F.broadcast(active), "path", "left_semi")
+
     codebooks = _read_codebooks(table, spec)
     dim, normalize = int(spec["dim"]), bool(spec["normalize"])
     from delta_sorter_spark.operators.ivf import (
@@ -500,6 +519,7 @@ def ann_topk(
     )
 
     if n_probes is None:
+        codes = _codes()
         if ivf:
             codes = codes.drop("centroid")
         q = adc_query_tables(
@@ -542,13 +562,18 @@ def ann_topk(
             extra_cols=("centroid", "__qorig__"),
         )
         q = q.drop("__qemb__").withColumnRenamed("__qorig__", "__qemb__")
-        short = adc_shortlist(codes.join(q, "centroid"), m, k, rerank)
-        return _exact_rank(table, state, spec, column, short, k, rerank)
-    q = adc_query_tables(
-        queries, query_id_col, query_emb_col, codebooks, dim, normalize
+    else:
+        q = adc_query_tables(
+            queries, query_id_col, query_emb_col, codebooks, dim, normalize
+        )
+        q = _assign(q, coarse, "__qemb__", n_best=int(n_probes))
+    # materialize the (tiny: queries × probes) query frame once, read the
+    # probed list ids off it, and push them into the codes scan
+    q = q.localCheckpoint(eager=True)
+    cents = sorted(
+        r["centroid"] for r in q.select("centroid").distinct().collect()
     )
-    q = _assign(q, coarse, "__qemb__", n_best=int(n_probes))
-    short = adc_shortlist(codes.join(q, "centroid"), m, k, rerank)
+    short = adc_shortlist(_codes(cents).join(q, "centroid"), m, k, rerank)
     return _exact_rank(table, state, spec, column, short, k, rerank)
 
 

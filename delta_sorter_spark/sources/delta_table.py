@@ -2596,15 +2596,27 @@ class DeltaTable:
                         pass
         return doomed
 
-    def read_parquet_dataset(self, dataset_rel: str, columns: list[str], ddl: str) -> DataFrame:
+    def read_parquet_dataset(
+        self,
+        dataset_rel: str,
+        columns: list[str],
+        ddl: str,
+        isin: tuple[str, list] | None = None,
+    ) -> DataFrame:
         """DataFrame over a parquet dataset directory inside the table
         (sidecars).  Local: the JVM parquet reader.  Remote: one
         Arrow-vectorized task per part object via pyarrow (no connector
-        jars)."""
+        jars).  ``isin=(col, values)`` pushes a membership filter INTO the
+        scan on both paths (parquet row-group stats skipping) — with the
+        dataset written sorted/partitioned on that column, pruning reaches
+        file granularity (the IVF codes-by-centroid serving shape)."""
         if not self.is_remote:
-            return self.spark.read.parquet(
+            df = self.spark.read.parquet(
                 os.path.join(self.table_path, dataset_rel)
-            ).select(*columns)
+            )
+            if isin is not None:
+                df = df.where(F.col(isin[0]).isin(list(isin[1])))
+            return df.select(*columns)
         from delta_sorter_spark.sources.fs import capture_aws_env, resolve
 
         fsobj, base = resolve(self.table_path)
@@ -2614,6 +2626,7 @@ class DeltaTable:
             return self.spark.createDataFrame([], ddl)
         aws_env = capture_aws_env()
         cols = list(columns)
+        flt = (isin[0], list(isin[1])) if isin is not None else None
 
         def rd(batches):
             import pandas as pd
@@ -2625,7 +2638,11 @@ class DeltaTable:
             for b in batches:
                 for name in b["name"]:
                     tbl = pq.read_table(
-                        pyarrow_open_input(f"{dataset_uri}/{name}"), columns=cols
+                        pyarrow_open_input(f"{dataset_uri}/{name}"),
+                        columns=cols,
+                        filters=(
+                            [(flt[0], "in", flt[1])] if flt is not None else None
+                        ),
                     )
                     yield tbl.to_pandas()
 
