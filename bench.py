@@ -96,6 +96,9 @@ ENTRY_QUERIES = [
     # scalars + one tagged n-gram explode) and the per-row C4 line cleaner
     "e77_gopher_rules",
     "e78_c4_clean",
+    # round-7: perceptual-hash image near-dup (thumbnail UDF -> aHash ->
+    # banded candidates -> Hamming verify) — prices the image-dedup scan
+    "m5_phash_near_dup",
 ]
 
 

@@ -47,8 +47,8 @@ EXPECTED_ALLPAIRS = {
     "e63_hybrid_rrf",         # dense side is e6's exact broadcast all-pairs; lexical side carries e45's one-row stats broadcast
     "e64_heavy_hitters",      # one-row total-count broadcast into the threshold filter
     "e72_corpus_overlap",     # 1x1 cross join of two single-row sketch aggregates (e24 shape)
-    "q18_ann_index",          # pq_serve: ADC scoring broadcasts the query+codebook side (e60 shape)
-    "q19_ann_ivf_index",      # probe assignment + ADC tables are one-row packed-codebook broadcasts (e62 shape); candidates restricted by the centroid equi-join
+    "q18_ann_index",          # codes-only serve: ADC tables broadcast the query+codebook side (e60 shape); exact cosine joins the shortlist back to the table (BHJ)
+    "q19_ann_ivf_index",      # probe assignment + ADC tables are one-row packed-codebook broadcasts (e62 shape); candidates restricted by the centroid equi-join over a probe-pruned codes scan
     "e82_residual_ivfpq",     # residual IVF-PQ: same constant-broadcast shapes as e62 plus the residual coarse join; candidates restricted by the centroid equi-join
     "q20_ann_residual_index", # registered residual lifecycle: e82's serve shape from persisted datasets
 }
