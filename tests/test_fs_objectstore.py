@@ -666,3 +666,52 @@ def test_s3_row_tracking_end_to_end(s3_env, spark, tmp_path):
     survivors = ids(t)
     assert set(survivors) == set(appended) - {3, 100}
     assert all(survivors[k] == appended[k] for k in survivors)
+
+
+def test_s3_ann_index_end_to_end(s3_env, spark, tmp_path):
+    """Registered ANN index lifecycle against an s3:// URI, jar-free:
+    build writes the codes/codebooks/files datasets from executors via
+    boto3, refresh re-encodes only the appended file, and both flat and
+    probed serving read the datasets back through the pyarrow path — the
+    probed serve additionally pushing its probe list into the remote scan
+    as pyarrow row-group filters (read_parquet_dataset isin)."""
+    from delta_sorter_spark.operators.ann_index import (
+        ann_topk,
+        build_ann_index,
+        refresh_ann_index,
+    )
+    from delta_sorter_spark.sources.delta_table import DeltaTable
+
+    DIM = 8
+
+    def vec(i):
+        return [float(((i * 7 + j * 3) % 13) - 6) / 6.0 for j in range(DIM)]
+
+    local = str(tmp_path / "ann_remote")
+    df = spark.createDataFrame(
+        [(int(i), vec(i)) for i in range(40)], "vid long, emb array<float>"
+    )
+    DeltaTable.create(spark, local, df.coalesce(2))
+    _upload_tree(local, "testbkt", "tables/ann_remote")
+    uri = "s3://testbkt/tables/ann_remote"
+    t = DeltaTable(spark, uri)
+
+    info = build_ann_index(t, "emb", "vid", DIM, m=2, n_codes=4, n_centroids=4)
+    assert info["rows"] == 40 and info["files"] >= 1
+
+    t.append(
+        spark.createDataFrame(
+            [(int(i), vec(i)) for i in range(40, 50)],
+            "vid long, emb array<float>",
+        ).coalesce(1)
+    )
+    t = DeltaTable(spark, uri)
+    info = refresh_ann_index(t, "emb")
+    assert info["reencoded_files"] >= 1 and info["carried_files"] >= 1
+
+    q = spark.createDataFrame([(45, vec(45))], "vid long, emb array<float>")
+    flat = ann_topk(t, q, "vid", "emb", "emb", k=49)
+    assert {r["id"] for r in flat.collect()} == set(range(50)) - {45}
+    probed = ann_topk(t, q, "vid", "emb", "emb", k=5, n_probes=4)
+    rows = probed.collect()
+    assert len(rows) == 5 and all(r["cosine"] is not None for r in rows)
