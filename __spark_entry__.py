@@ -4863,8 +4863,12 @@ def q_m5_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_M5_SQL = f"""
-WITH corpus AS MATERIALIZED (
+def _m5_ctes() -> str:
+    """The perceptual-hash pipeline as composable CTE text: re-ingested
+    corpus -> stub thumbnails -> aHash band words -> banded candidates ->
+    Hamming-verified pairs (``phpairs``).  Shared by the m5 oracle and the
+    p4 pipeline oracle."""
+    return f"""corpus AS MATERIALIZED (
   SELECT doc_id, text FROM documents
   UNION ALL
   SELECT doc_id + {M5_VARIANT_SHIFT} AS doc_id, text FROM documents
@@ -4896,16 +4900,112 @@ ex AS (
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM ex a JOIN ex b ON a.b = b.b AND a.word = b.word AND a.doc_id < b.doc_id
+),
+phpairs AS (
+  SELECT c.id_a, c.id_b,
+         CAST(list_aggregate(list_transform(range(0, 4), k ->
+           bit_count(xor(wa.words[CAST(k + 1 AS INT)],
+                         wb.words[CAST(k + 1 AS INT)]))), 'sum') AS INT)
+           AS hamming
+  FROM cand c
+  JOIN bands wa ON wa.doc_id = c.id_a
+  JOIN bands wb ON wb.doc_id = c.id_b
+  WHERE hamming <= {M5_MAX_HAMMING}
+)"""
+
+
+_M5_SQL = f"""
+WITH {_m5_ctes()}
+SELECT id_a, id_b, hamming FROM phpairs
+"""
+
+
+# ---------------------------------------------------------------------------
+# P4: multimodal dedup pipeline — the composed image-curation verb: pHash
+# near-dup pairs (m5) -> connected components over ALL assets -> keep the
+# smallest id per cluster, reporting each multi-asset cluster's size and
+# the payload bytes dedup saves.  One oracle replays the whole chain
+# (thumbnail stub -> bands -> banded candidates -> Hamming pairs ->
+# recursive reachability -> per-cluster aggregation).
+# ---------------------------------------------------------------------------
+
+
+def q_p4_multimodal_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_sorter_spark.operators.graph import connected_components
+    from delta_sorter_spark.operators.multimodal import phash_near_dup
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.where(F.col("doc_id") % M5_VARIANT_MOD == 0).select(
+            (F.col("doc_id") + M5_VARIANT_SHIFT).alias("doc_id"), "text"
+        )
+    )
+    assets = corpus.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    pairs = phash_near_dup(
+        assets, "doc_id", "payload", max_hamming=M5_MAX_HAMMING
+    ).select("id_a", "id_b")
+    comps = connected_components(
+        corpus.select("doc_id"), pairs, node_col="doc_id"
+    )
+    sized = corpus.select(
+        "doc_id",
+        F.length(F.encode(F.col("text"), "UTF-8")).cast("long").alias("nb"),
+    )
+    per = (
+        comps.join(sized, comps["id"] == sized["doc_id"])
+        .groupBy("component")
+        .agg(
+            F.count("*").cast("int").alias("cluster_size"),
+            F.sum("nb").alias("tot"),
+        )
+        .where(F.col("cluster_size") >= 2)
+    )
+    # component = min reachable id = the kept asset; bytes saved = the
+    # cluster's payload total minus the kept copy
+    return (
+        per.join(
+            sized.select(
+                F.col("doc_id").alias("component"),
+                F.col("nb").alias("kept_nb"),
+            ),
+            "component",
+        )
+        .select(
+            F.col("component").alias("kept_id"),
+            "cluster_size",
+            (F.col("tot") - F.col("kept_nb")).cast("bigint").alias(
+                "dropped_bytes"
+            ),
+        )
+    )
+
+
+_P4_SQL = f"""
+WITH RECURSIVE {_m5_ctes()},
+bidir AS (
+  SELECT id_a AS a, id_b AS b FROM phpairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM phpairs
+),
+reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM corpus
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN bidir e ON r.dst = e.a
+),
+comps AS (SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src),
+sized AS (SELECT doc_id, CAST(strlen(text) AS BIGINT) AS nb FROM corpus),
+per AS (
+  SELECT c.component, CAST(count(*) AS INT) AS cluster_size,
+         sum(s.nb) AS tot
+  FROM comps c JOIN sized s USING (doc_id)
+  GROUP BY c.component
 )
-SELECT c.id_a, c.id_b,
-       CAST(list_aggregate(list_transform(range(0, 4), k ->
-         bit_count(xor(wa.words[CAST(k + 1 AS INT)],
-                       wb.words[CAST(k + 1 AS INT)]))), 'sum') AS INT)
-         AS hamming
-FROM cand c
-JOIN bands wa ON wa.doc_id = c.id_a
-JOIN bands wb ON wb.doc_id = c.id_b
-WHERE hamming <= {M5_MAX_HAMMING}
+SELECT p.component AS kept_id, p.cluster_size,
+       CAST(p.tot - ks.nb AS BIGINT) AS dropped_bytes
+FROM per p JOIN sized ks ON ks.doc_id = p.component
+WHERE p.cluster_size >= 2
 """
 
 
@@ -8274,6 +8374,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a47_corpus_profile": q_a47_corpus_profile,
         "m4_embed_topk": q_m4_embed_topk,
         "m5_phash_near_dup": q_m5_phash_near_dup,
+        "p4_multimodal_dedup_pipeline": q_p4_multimodal_dedup_pipeline,
         "a43_span_report": q_a43_span_report,
         "a44_snapshot_diff": q_a44_snapshot_diff,
         "a45_scd2_intervals": q_a45_scd2_intervals,
@@ -8378,6 +8479,7 @@ def oracle_sql() -> dict[str, str]:
         "a47_corpus_profile": _A47_SQL,
         "m4_embed_topk": _M4_SQL,
         "m5_phash_near_dup": _M5_SQL,
+        "p4_multimodal_dedup_pipeline": _P4_SQL,
         "a43_span_report": _A43_SQL,
         "a44_snapshot_diff": _A44_SQL,
         "a45_scd2_intervals": _A45_SQL,
