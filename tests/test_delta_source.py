@@ -564,3 +564,39 @@ def test_change_feed_drives_incremental_rollup(registered, tmp_path):
         ).collect()
     )
     assert got == want
+
+
+def test_extra_columns_passthrough_and_clash(registered, tmp_path):
+    """extraColumns reads out-of-schema physical columns (NULL where a
+    file lacks them — the materialized row-tracking read path) and refuses
+    names already in the table schema."""
+    import json
+
+    from pyspark.sql import types as T
+
+    spark = registered
+    path = str(tmp_path / "xc")
+    DeltaTable.create(
+        spark, path,
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"),
+    )
+    extra = json.dumps(
+        T.StructType([T.StructField("_mat_rid", T.LongType(), True)]).jsonValue()
+    )
+    df = (
+        spark.read.format("delta_sorter")
+        .option("path", path)
+        .option("extraColumns", extra)
+        .load()
+    )
+    assert df.schema.names == ["id", "v", "_mat_rid"]
+    rows = df.collect()
+    assert len(rows) == 2 and all(r["_mat_rid"] is None for r in rows)
+
+    clash = json.dumps(
+        T.StructType([T.StructField("v", T.StringType(), True)]).jsonValue()
+    )
+    with pytest.raises(Exception, match="extraColumns"):
+        spark.read.format("delta_sorter").option("path", path).option(
+            "extraColumns", clash
+        ).load().collect()
