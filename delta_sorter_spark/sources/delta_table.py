@@ -2206,6 +2206,15 @@ class DeltaTable:
         if dst.log.exists():
             raise FileExistsError(f"table already exists at {dest_path}")
         config = dict(meta.configuration)
+        # registered index specs (Bloom, ANN) are LAYOUT-LOCAL: their
+        # datasets live under the source's directory and key the source's
+        # RELATIVE file paths, while a clone re-Adds those files by
+        # absolute path — a carried spec would probe/serve against nothing
+        # (or fail on the missing dataset).  The clone starts index-less;
+        # rebuild on the clone if needed (build is once-per-version).
+        for key in list(config):
+            if key.startswith(("deltasort.bloomIndex.", "deltasort.annIndex.")):
+                del config[key]
         config["delta-sorter.clone.source"] = src.table_path
         config["delta-sorter.clone.sourceVersion"] = str(state.version)
         dst.log.create_table(meta.schema, meta.partition_columns, config)

@@ -249,3 +249,42 @@ class TestAddDropColumn:
             t.drop_column("nope")
         with pytest.raises(ValueError, match="already exists"):
             t.add_column("x", "double")
+
+
+def test_clone_drops_index_registrations(spark, tmp_path):
+    """Bloom/ANN index specs are layout-local (datasets under the SOURCE
+    dir, keyed by the source's relative file paths) — a clone must start
+    index-less, and building a fresh index on the clone works."""
+    import os
+
+    from delta_sorter_spark.operators.ann_index import (
+        ann_specs,
+        ann_topk,
+        build_ann_index,
+    )
+    from delta_sorter_spark.operators.bloom_index import bloom_specs, build_bloom_index
+
+    DIM = 8
+    vec = lambda i: [float(((i * 7 + j * 3) % 13) - 6) / 6.0 for j in range(DIM)]  # noqa: E731
+    src_path = os.path.join(str(tmp_path), "src")
+    df = spark.createDataFrame(
+        [(int(i), f"u{i}", vec(i)) for i in range(20)],
+        "vid long, u string, emb array<float>",
+    )
+    src = DeltaTable.create(spark, src_path, df.coalesce(2))
+    build_bloom_index(src, "u")
+    build_ann_index(src, "emb", "vid", DIM, m=2, n_codes=4)
+
+    dst = DeltaTable.clone(spark, src_path, os.path.join(str(tmp_path), "dst"))
+    assert ann_specs(dst) == {} and bloom_specs(dst) == {}
+    q = spark.createDataFrame([(0, vec(0))], "vid long, emb array<float>")
+    with pytest.raises(KeyError):
+        ann_topk(dst, q, "vid", "emb", "emb", k=3)
+    # the clone reads fine and takes its own fresh index
+    assert dst.to_df().count() == 20
+    info = build_ann_index(dst, "emb", "vid", DIM, m=2, n_codes=4)
+    assert info["rows"] == 20
+    served = ann_topk(dst, q, "vid", "emb", "emb", k=3)
+    assert served.count() == 3
+    # source index untouched
+    assert "emb" in ann_specs(DeltaTable(spark, src_path))
