@@ -143,6 +143,10 @@ def _write_datasets(
     # prunes files too", made physical
     nparts = max(1, min(64, -(-n_files // 64)))
     if coarse is not None:
+        # enough parts that each covers ~a few inverted lists — file-level
+        # pruning needs file boundaries to prune at; row-group sorting
+        # handles the remainder inside a part
+        nparts = max(nparts, min(64, coarse.count()))
         layout = codes.repartitionByRange(
             nparts, "centroid", "id"
         ).sortWithinPartitions("centroid", "id")
