@@ -250,7 +250,8 @@ def phash_near_dup(
     ph = ahash_bands(
         thumbnail_assets(df, id_col, payload_col, thumbnailer=thumbnailer),
         "id", "pixels", n_bands=n_bands, band_bits=band_bits,
-    )
+    ).persist()  # feeds the banded self-join AND both verify joins — without
+    # the cache the decode UDF runs 4x (id + n_bands ints per asset, tiny)
     exploded = ph.select("id", F.posexplode("bands").alias("band", "word"))
     cand = (
         exploded.alias("a")
