@@ -715,3 +715,39 @@ def test_s3_ann_index_end_to_end(s3_env, spark, tmp_path):
     probed = ann_topk(t, q, "vid", "emb", "emb", k=5, n_probes=4)
     rows = probed.collect()
     assert len(rows) == 5 and all(r["cosine"] is not None for r in rows)
+
+
+def test_s3_identity_columns_end_to_end(s3_env, spark, tmp_path):
+    """GENERATED ALWAYS AS IDENTITY on a remote URI: appends through the
+    jar-free write plane allocate on-grid values above the high-water
+    mark, the mark rides the same commit, and supplying the column is
+    rejected — q17-shape assertions against s3://."""
+    from delta_sorter_spark.sources.delta_table import DeltaTable
+
+    local = str(tmp_path / "ident")
+    DeltaTable.create(
+        spark, local,
+        spark.createDataFrame([("a",), ("b",), ("c",)], "v string"),
+        identity_columns={"rid": (100, 10)},
+    )
+    _upload_tree(local, "testbkt", "tables/ident_remote")
+    uri = "s3://testbkt/tables/ident_remote"
+    t = DeltaTable(spark, uri)
+
+    before = {r["rid"] for r in t.to_df().collect()}
+    assert len(before) == 3 and all((r - 100) % 10 == 0 for r in before)
+    hwm0 = int(t.metadata.schema["rid"].metadata["delta.identity.highWaterMark"])
+
+    t.append(spark.createDataFrame([("d",), ("e",)], "v string"))
+    t = DeltaTable(spark, uri)
+    rows = {r["v"]: r["rid"] for r in t.to_df().collect()}
+    assert len(set(rows.values())) == 5  # unique
+    assert all((rid - 100) % 10 == 0 for rid in rows.values())  # on grid
+    assert rows["d"] > hwm0 and rows["e"] > hwm0
+    hwm1 = int(t.metadata.schema["rid"].metadata["delta.identity.highWaterMark"])
+    assert hwm1 >= max(rows.values())
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="GENERATED ALWAYS"):
+        t.append(spark.createDataFrame([(999, "x")], "rid long, v string"))
