@@ -617,22 +617,20 @@ def test_cli_vacuum_and_checkpoint_verbs(spark, tmp_path, capsys):
     assert DeltaTable(spark, path).to_df().count() == 50
 
 
-def test_clone_fails_safe_and_rebuilds_via_refresh(indexed_table, spark, tmp_path):
-    """A shallow CLONE carries the source's bloom spec but not its dataset
-    (table-relative path resolves inside the CLONE's directory, where
-    nothing exists): probes must keep every file, and a refresh on the
-    clone rebuilds coverage locally without touching the source."""
-    from delta_sorter_spark.operators.bloom_index import refresh_bloom_index
-
+def test_clone_starts_indexless_and_rebuilds_locally(indexed_table, spark, tmp_path):
+    """A shallow CLONE drops the source's bloom registration (the dataset
+    lives under the SOURCE directory, keyed by the source's file paths):
+    the clone starts index-less — probes keep every file, rows stay exact —
+    and a fresh build on the clone restores pruning without touching the
+    source's index."""
     src = indexed_table
     dst = DeltaTable.clone(spark, src.table_path, str(tmp_path / "clone"))
-    assert "doc_id" in bloom_specs(dst)
+    assert bloom_specs(dst) == {}
     n = len(dst.state().adds)
-    # unreadable dataset -> fail safe: nothing pruned, rows exact
+    # no index -> nothing pruned, rows exact
     assert len(dst.files_matching("doc_id = 'doc-123'")) == n
     assert dst.to_df(where="doc_id = 'doc-123'").count() == 1
-    r = refresh_bloom_index(dst, "doc_id")
-    assert r["new_files"] == n  # full rebuild of coverage, clone-local
+    build_bloom_index(dst, "doc_id", m_bits=1 << 14)
     kept = dst.files_matching("doc_id = 'doc-123'")
     assert 1 <= len(kept) <= 2
     assert dst.to_df(adds=kept).where("doc_id = 'doc-123'").count() == 1
