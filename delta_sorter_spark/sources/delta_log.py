@@ -87,6 +87,14 @@ class AddAction:
     # coalesce), so ids are stable across compaction and copy-on-write DML.
     base_row_id: int | None = None
     default_row_commit_version: int | None = None
+    # Free-form file metadata (protocol optional ``tags``).  The clustering
+    # optimizer records the ZCube a clustered file belongs to under
+    # ``deltaSorter.zcubeId`` (operators/cluster.py).
+    tags: dict | None = None
+    # Clustered-table marker (protocol ``clusteringProvider``, clusteredTable
+    # writer feature): name of the implementation that clustered this file;
+    # absent = the file is unclustered and a candidate for the next OPTIMIZE.
+    clustering_provider: str | None = None
 
     def to_json(self) -> dict:
         d = {
@@ -104,6 +112,10 @@ class AddAction:
             d["baseRowId"] = int(self.base_row_id)
         if self.default_row_commit_version is not None:
             d["defaultRowCommitVersion"] = int(self.default_row_commit_version)
+        if self.tags:
+            d["tags"] = dict(self.tags)
+        if self.clustering_provider is not None:
+            d["clusteringProvider"] = self.clustering_provider
         return {"add": d}
 
     def remove_action(self, data_change: bool = False) -> "RemoveAction":
@@ -330,6 +342,7 @@ def _checkpoint_arrow_schema():
                         ),
                         ("baseRowId", pa.int64()),
                         ("defaultRowCommitVersion", pa.int64()),
+                        ("clusteringProvider", pa.string()),
                     ]
                 ),
             ),
@@ -459,7 +472,8 @@ class DeltaLog:
                                 "storagePath": dv["pathOrInlineDv"],
                                 "cardinality": dv.get("cardinality", 0),
                             }
-                    a.pop("tags", None)
+                    tags = _as_dict(a.get("tags"))
+                    a["tags"] = tags or None
                     actions.append({"add": a})
                 elif row.get("remove") is not None:
                     r = dict(row["remove"])
@@ -622,6 +636,8 @@ class DeltaLog:
                     if a.get("defaultRowCommitVersion") is not None
                     else None
                 ),
+                tags=(_as_dict(a.get("tags")) or None) if a.get("tags") else None,
+                clustering_provider=a.get("clusteringProvider"),
             )
         elif "remove" in action:
             adds.pop(action["remove"]["path"], None)
@@ -685,10 +701,11 @@ class DeltaLog:
                         "modificationTime": add.modification_time,
                         "dataChange": False,
                         "stats": json.dumps(add.stats) if add.stats else None,
-                        "tags": None,
+                        "tags": add.tags or None,
                         "deletionVector": dv,
                         "baseRowId": add.base_row_id,
                         "defaultRowCommitVersion": add.default_row_commit_version,
+                        "clusteringProvider": add.clustering_provider,
                     }
                 }
             )

@@ -1693,6 +1693,81 @@ class DeltaTable:
             operation_params={"properties": ["delta.enableInCommitTimestamps"]},
         )
 
+    # -- Clustered tables (Delta ``clusteredTable`` writer feature) ----------
+
+    CLUSTERING_DOMAIN = "delta.clustering"
+    CLUSTERING_PROVIDER = "liquid"
+    ZCUBE_TAG = "deltaSorter.zcubeId"
+
+    def set_clustering_columns(self, cols: Sequence[str]) -> int:
+        """Declare ``cols`` as the table's clustering columns (Delta clustered
+        tables, a.k.a. liquid clustering): writer features ``clusteredTable``
+        + ``domainMetadata`` and the ``delta.clustering`` domain holding the
+        PHYSICAL column names, per the protocol's Clustered Table spec.
+
+        Registration is metadata-only — existing files stay as they are
+        (unclustered, i.e. no ``clusteringProvider``) and become candidates
+        for the next :func:`~delta_sorter_spark.operators.cluster.optimize_clustered`,
+        which is where the incremental layout work happens.  Appends keep
+        landing unclustered (cheap ingest); OPTIMIZE folds them in.
+        Idempotent for the same column list; pass a new list to re-cluster
+        on different keys (existing ZCubes are treated as unclustered by the
+        next OPTIMIZE because their attested clustering columns differ)."""
+        import json as _json
+
+        meta = self.metadata
+        for c in cols:
+            if c not in meta.schema.fieldNames():
+                raise ValueError(f"clustering column not in schema: {c}")
+            if c in meta.partition_columns:
+                raise ValueError(
+                    f"clustering column {c} is a partition column; clustered "
+                    "tables replace Hive partitioning, not compose with it"
+                )
+        physical = [meta.physical_of(c) for c in cols]
+        domain_conf = _json.dumps({"clusteringColumns": [[p] for p in physical]})
+        if self.state().domain_metadata.get(self.CLUSTERING_DOMAIN) == domain_conf:
+            return self.log.latest_version()
+
+        def actions(state):
+            if state.domain_metadata.get(self.CLUSTERING_DOMAIN) == domain_conf:
+                return []  # already registered with the same columns
+            acts = []
+            upgrade = _writer_feature_upgrade(
+                state, {"clusteredTable", "domainMetadata"}
+            )
+            if upgrade is not None:
+                acts.append(upgrade)
+            acts.append(
+                {
+                    "domainMetadata": {
+                        "domain": self.CLUSTERING_DOMAIN,
+                        "configuration": domain_conf,
+                        "removed": False,
+                    }
+                }
+            )
+            return acts
+
+        return self.log.commit_with_retry(
+            actions,
+            operation="CLUSTER BY",
+            operation_params={"clusterBy": list(cols)},
+        )
+
+    def clustering_columns(self, state=None) -> list[str]:
+        """LOGICAL clustering column names from the ``delta.clustering``
+        domain ([] when the table is not clustered)."""
+        import json as _json
+
+        state = state if state is not None else self.state()
+        raw = state.domain_metadata.get(self.CLUSTERING_DOMAIN)
+        if not raw:
+            return []
+        paths = _json.loads(raw).get("clusteringColumns", [])
+        meta = state.metadata
+        return [meta.logical_of(p[0]) for p in paths if p]
+
     # -- Row tracking (Delta ``rowTracking`` writer feature) -----------------
 
     ROW_TRACKING_DOMAIN = "delta.rowTracking"
