@@ -6837,6 +6837,80 @@ FROM orders WHERE o_orderkey % {CDF_MOD} < 8
 
 
 # ---------------------------------------------------------------------------
+# Q21: clustered tables (liquid clustering, operators/cluster.py) — the
+# incremental successor of sorted compaction.  Lifecycle under one oracle:
+# create unclustered -> CLUSTER BY (l_orderkey, l_partkey) -> OPTIMIZE
+# (Hilbert ZCube) -> two appends -> OPTIMIZE again (touches ONLY the new
+# files; the stable cube survives, asserted in-line because DuckDB cannot
+# see file layout).  The returned rows are a two-column-pruned aggregate
+# read over the final table, so any row lost/duplicated/mangled by the
+# rewrites breaks the hash.  The oracle replays the same aggregate over
+# the same input rows — clustering must be invisible to query results.
+# ---------------------------------------------------------------------------
+
+
+def q_q21_liquid_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from delta_sorter_spark.operators.cluster import optimize_clustered
+    from delta_sorter_spark.sources.delta_table import DeltaTable
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    scratch = tempfile.mkdtemp(prefix="q21_lc_")
+    try:
+        mod = F.col("l_orderkey") % 4
+        tbl = DeltaTable.create(
+            spark,
+            os.path.join(scratch, "t"),
+            li.where(mod < 2).repartition(4),
+            stat_columns=["l_orderkey", "l_partkey"],
+        )
+        tbl.set_clustering_columns(["l_orderkey", "l_partkey"])
+        m1 = optimize_clustered(tbl, min_zcube_bytes=0, num_partitions=4)
+        assert not m1["noop"] and m1["candidate_files"] == 4
+        tbl.append(li.where(mod == 2).coalesce(1))
+        tbl.append(li.where(mod == 3).coalesce(1))
+        m2 = optimize_clustered(tbl, min_zcube_bytes=0, num_partitions=4)
+        # incrementality: the second OPTIMIZE touches only the two appends
+        assert m2["candidate_files"] == 2 and m2["stable_zcubes"] >= 1
+        assert optimize_clustered(tbl, min_zcube_bytes=0)["noop"]
+        lo = tbl.to_df().agg(F.max("l_partkey")).collect()[0][0] // 4
+        out = (
+            tbl.to_df(where=f"l_orderkey % 2 = 1 AND l_partkey <= {lo}")
+            .groupBy((F.col("l_partkey") % 8).alias("pk_bucket"))
+            .agg(
+                F.count("*").alias("n_items"),
+                # decimal sums: order-insensitive exact arithmetic, cast out
+                F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("sum_qty"),
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("sum_price"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+_Q21_SQL = """
+SELECT l_partkey % 8 AS pk_bucket,
+       count(*) AS n_items,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM lineitem
+WHERE l_orderkey % 2 = 1
+  AND l_partkey <= (SELECT max(l_partkey) FROM lineitem) // 4
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # S6: stateful streaming dedup (streaming/events.streaming_dedup →
 # dropDuplicatesWithinWatermark) driven through the REAL micro-batch engine:
 # the events table is split into 4 files, streamed one file per trigger, so
@@ -8264,6 +8338,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q15_check_constraints": q_q15_check_constraints,
         "q16_row_tracking": q_q16_row_tracking,
         "q17_identity": q_q17_identity,
+        "q21_liquid_clustering": q_q21_liquid_clustering,
         "e1_exact_dedup": q_e1_exact_dedup,
         "e2_minhash_sig": q_e2_minhash_sig,
         "e3_lsh_candidates": q_e3_lsh_candidates,
@@ -8404,6 +8479,7 @@ def oracle_sql() -> dict[str, str]:
         "q15_check_constraints": _Q15_SQL,
         "q16_row_tracking": _Q16_SQL,
         "q17_identity": _Q17_SQL,
+        "q21_liquid_clustering": _Q21_SQL,
         "e1_exact_dedup": _E1_SQL,
         "e2_minhash_sig": _E2_SQL,
         "e3_lsh_candidates": _E3_SQL,

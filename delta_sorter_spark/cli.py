@@ -129,6 +129,29 @@ def build_parser() -> argparse.ArgumentParser:
         "datasets), then exit",
     )
     p.add_argument(
+        "--cluster-by",
+        default=None,
+        metavar="COLS",
+        help="Register comma-separated clustering columns (Delta clustered "
+        "tables / liquid clustering; metadata-only) and exit; run "
+        "--optimize-clustered to lay files out",
+    )
+    p.add_argument(
+        "--optimize-clustered",
+        action="store_true",
+        help="Incrementally OPTIMIZE the clustered table: rewrite "
+        "unclustered files and partial ZCubes into one curve-ordered "
+        "ZCube, leave stable cubes alone, then exit (no-op when "
+        "converged; honors --dry-run and --target-file-size-bytes)",
+    )
+    p.add_argument(
+        "--min-zcube-bytes",
+        type=int,
+        default=None,
+        help="With --optimize-clustered: ZCubes smaller than this stay "
+        "mergeable into later cubes (default 100 MiB)",
+    )
+    p.add_argument(
         "--vacuum",
         action="store_true",
         help="Delete unreferenced data files (tombstoned or orphaned) and "
@@ -192,7 +215,7 @@ def main(argv: list[str] | None = None) -> int:
     maintenance_verb = (
         args.vacuum or args.checkpoint or args.enable_row_tracking
         or args.enable_in_commit_timestamps or args.add_constraint
-        or args.drop_constraint
+        or args.drop_constraint or args.cluster_by or args.optimize_clustered
     )
     if not sort_columns and not (
         args.history or args.detail or index_verb or maintenance_verb
@@ -318,12 +341,46 @@ def _run(args, sort_columns, api) -> int:
     if (
         args.vacuum or args.checkpoint or args.enable_row_tracking
         or args.enable_in_commit_timestamps or args.add_constraint
-        or args.drop_constraint
+        or args.drop_constraint or args.cluster_by or args.optimize_clustered
     ):
         from delta_sorter_spark.session import get_spark
         from delta_sorter_spark.sources.delta_table import DeltaTable
 
         tbl = DeltaTable(get_spark(), args.table)
+        if args.cluster_by:
+            cols = [c.strip() for c in args.cluster_by.split(",") if c.strip()]
+            try:
+                v = tbl.set_clustering_columns(cols)
+            except ValueError as exc:
+                print(f"error: {exc}", file=sys.stderr)
+                return 2
+            print(f"clustering columns set cols={','.join(cols)} version={v}")
+        if args.optimize_clustered:
+            from delta_sorter_spark.operators.cluster import (
+                DEFAULT_MIN_ZCUBE_BYTES,
+                optimize_clustered,
+            )
+
+            m = optimize_clustered(
+                tbl,
+                target_file_size_bytes=args.target_file_size_bytes,
+                min_zcube_bytes=(
+                    args.min_zcube_bytes
+                    if args.min_zcube_bytes is not None
+                    else DEFAULT_MIN_ZCUBE_BYTES
+                ),
+                dry_run=args.dry_run,
+            )
+            if m["noop"]:
+                print("optimize converged: nothing to rewrite")
+            else:
+                verb = "would rewrite" if args.dry_run else "rewrote"
+                print(
+                    f"optimize {verb} {m['candidate_files']} file(s) "
+                    f"({m['unclustered_files']} unclustered, "
+                    f"{m['partial_zcubes']} partial cube(s)) -> "
+                    f"{m['files_out']} file(s) version={m['version']}"
+                )
         if args.add_constraint:
             name, expr = args.add_constraint
             try:

@@ -199,3 +199,23 @@ def test_string_clustering_falls_back_to_range_sort(spark, tmp_path):
     optimize_clustered(tbl, min_zcube_bytes=0, num_partitions=4)
     assert len(tbl.files_matching("u = 'u0500'")) == 1
     assert tbl.to_df().count() == 1000
+
+
+def test_cli_cluster_verbs(spark, tmp_path, capsys):
+    from delta_sorter_spark import cli
+
+    tbl = make_table(spark, str(tmp_path / "t"))
+    path = tbl.table_path
+    assert cli.main(["--table", path, "--cluster-by", "k1,k2"]) == 0
+    assert "clustering columns set cols=k1,k2" in capsys.readouterr().out
+    assert cli.main(["--table", path, "--optimize-clustered", "--dry-run"]) == 0
+    assert "would rewrite 4 file(s)" in capsys.readouterr().out
+    assert cli.main(
+        ["--table", path, "--optimize-clustered", "--min-zcube-bytes", "0"]
+    ) == 0
+    assert "rewrote 4 file(s)" in capsys.readouterr().out
+    assert cli.main(
+        ["--table", path, "--optimize-clustered", "--min-zcube-bytes", "0"]
+    ) == 0
+    assert "converged" in capsys.readouterr().out
+    assert cli.main(["--table", path, "--cluster-by", "nope"]) == 2
