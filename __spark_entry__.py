@@ -6911,6 +6911,88 @@ GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# Q22: type widening (DeltaTable.widen_column, protocol typeWidening) —
+# create with o_orderkey as INT32, widen the log schema to BIGINT
+# (metadata-only; existing files keep their narrower physical type), then
+# append keys beyond the int32 range.  The returned aggregate spans OLD
+# (int32-physical) and NEW (int64-physical) files through one widened
+# schema, so a mis-cast, a dropped file, or stats-pruning gone wrong under
+# the widened type all break the hash.  The oracle replays the widen as an
+# explicit CAST + UNION.
+# ---------------------------------------------------------------------------
+
+_Q22_SHIFT = 3_000_000_000  # > int32 max: only representable post-widen
+
+
+def q_q22_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from delta_sorter_spark.sources.delta_table import DeltaTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    scratch = tempfile.mkdtemp(prefix="q22_tw_")
+    try:
+        mod = F.col("o_orderkey") % 4
+        tbl = DeltaTable.create(
+            spark,
+            os.path.join(scratch, "t"),
+            orders.where(mod < 2)
+            .select(
+                F.col("o_orderkey").cast("int").alias("o_orderkey"),
+                "o_totalprice",
+            )
+            .repartition(2),
+            stat_columns=["o_orderkey"],
+        )
+        tbl.widen_column("o_orderkey", "long")
+        tbl.append(
+            orders.where(mod >= 2)
+            .select(
+                (F.col("o_orderkey") + _Q22_SHIFT).alias("o_orderkey"),
+                "o_totalprice",
+            )
+            .coalesce(1)
+        )
+        # stats written under int32 must still prune under the widened type
+        assert len(tbl.files_matching(f"o_orderkey >= {_Q22_SHIFT}")) == 1
+        out = (
+            tbl.to_df()
+            .groupBy((F.col("o_orderkey") % 7).alias("key_bucket"))
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.max("o_orderkey").alias("max_key"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("sum_price"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+_Q22_SQL = f"""
+WITH widened AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_totalprice
+  FROM orders WHERE o_orderkey % 4 < 2
+  UNION ALL
+  SELECT CAST(o_orderkey AS BIGINT) + {_Q22_SHIFT}, o_totalprice
+  FROM orders WHERE o_orderkey % 4 >= 2
+)
+SELECT o_orderkey % 7 AS key_bucket,
+       count(*) AS n_orders,
+       CAST(max(o_orderkey) AS BIGINT) AS max_key,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM widened
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # S6: stateful streaming dedup (streaming/events.streaming_dedup →
 # dropDuplicatesWithinWatermark) driven through the REAL micro-batch engine:
 # the events table is split into 4 files, streamed one file per trigger, so
@@ -8339,6 +8421,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_row_tracking": q_q16_row_tracking,
         "q17_identity": q_q17_identity,
         "q21_liquid_clustering": q_q21_liquid_clustering,
+        "q22_type_widening": q_q22_type_widening,
         "e1_exact_dedup": q_e1_exact_dedup,
         "e2_minhash_sig": q_e2_minhash_sig,
         "e3_lsh_candidates": q_e3_lsh_candidates,
@@ -8480,6 +8563,7 @@ def oracle_sql() -> dict[str, str]:
         "q16_row_tracking": _Q16_SQL,
         "q17_identity": _Q17_SQL,
         "q21_liquid_clustering": _Q21_SQL,
+        "q22_type_widening": _Q22_SQL,
         "e1_exact_dedup": _E1_SQL,
         "e2_minhash_sig": _E2_SQL,
         "e3_lsh_candidates": _E3_SQL,

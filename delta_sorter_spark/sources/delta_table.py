@@ -2261,6 +2261,130 @@ class DeltaTable:
             operation_params={"column": name},
         )
 
+    # Widenings the Delta ``typeWidening`` feature allows AND Spark's
+    # parquet reader up-casts natively (SPARK-40876): every old file keeps
+    # its narrower physical type and reads through the wider log schema.
+    # (The spec's decimal/date promotions need reader-side rescale logic
+    # this engine doesn't carry; they are rejected, not silently mangled.)
+    _WIDENINGS = {
+        "byte": {"short", "integer", "long", "double"},
+        "short": {"integer", "long", "double"},
+        "integer": {"long", "double"},
+        "float": {"double"},
+    }
+
+    def widen_column(self, name: str, ddl_type: str) -> int:
+        """ALTER TABLE ... ALTER COLUMN TYPE under the Delta ``typeWidening``
+        table feature — metadata-only: the log schema gets the wider type,
+        a ``delta.typeChanges`` entry on the field records the transition
+        (protocol shape: fromType/toType/tableVersion), and existing files
+        keep their narrower PHYSICAL type.  Reads up-cast at scan time on
+        both planes (local: Spark's parquet reader; remote: the data
+        source's arrow cast), file-level min/max stats re-parse under the
+        wider type with order preserved (numeric widenings are monotone) so
+        zone-map pruning and sortedness attestation stay valid, and every
+        later write lands in the wider type."""
+        import json as _json
+        import time as _time
+
+        new_type = T._parse_datatype_string(ddl_type)  # noqa: SLF001
+
+        def actions(state):
+            meta = state.metadata
+            by_name = {f.name: f for f in meta.schema.fields}
+            if name not in by_name:
+                raise KeyError(f"no column {name!r}")
+            if name in meta.partition_columns:
+                raise ValueError(
+                    f"cannot widen partition column {name!r}: partition "
+                    "values parse from directory strings under the declared "
+                    "type and existing directories keep the old rendering"
+                )
+            old = by_name[name].dataType
+            if new_type == old:
+                return []  # idempotent
+            allowed = self._WIDENINGS.get(old.typeName(), set())
+            if new_type.typeName() not in allowed:
+                raise ValueError(
+                    f"unsupported type change {old.simpleString()} -> "
+                    f"{new_type.simpleString()}: typeWidening permits "
+                    "byte->short->int->long, float->double, and "
+                    "byte/short/int->double only"
+                )
+            fields = []
+            for f in meta.schema.fields:
+                if f.name != name:
+                    fields.append(f)
+                    continue
+                md = dict(f.metadata or {})
+                changes = list(md.get("delta.typeChanges", []))
+                changes.append(
+                    {
+                        "fromType": old.typeName(),
+                        "toType": new_type.typeName(),
+                        "tableVersion": state.version + 1,
+                    }
+                )
+                md["delta.typeChanges"] = changes
+                fields.append(T.StructField(f.name, new_type, f.nullable, md))
+            config = dict(meta.configuration)
+            config["delta.enableTypeWidening"] = "true"
+            acts = []
+            # typeWidening is a READER-writer feature: old readers must not
+            # misread the narrower physical files, so the reader protocol
+            # bumps to 3 with the reader-relevant feature set enumerated.
+            proto = dict(state.protocol or {})
+            writer_up = _writer_feature_upgrade(state, {"typeWidening"})
+            if writer_up is not None:
+                proto = writer_up["protocol"]
+            reader_feats = set(proto.get("readerFeatures") or [])
+            if "typeWidening" not in reader_feats:
+                rw_features = {
+                    "deletionVectors",
+                    "columnMapping",
+                    "timestampNtz",
+                    "typeWidening",
+                    "v2Checkpoint",
+                    "variantType",
+                }
+                reader_feats |= rw_features & set(proto.get("writerFeatures") or [])
+                reader_feats.add("typeWidening")
+                acts.append(
+                    {
+                        "protocol": {
+                            "minReaderVersion": max(
+                                3, proto.get("minReaderVersion", 1)
+                            ),
+                            "minWriterVersion": max(
+                                7, proto.get("minWriterVersion", 2)
+                            ),
+                            "readerFeatures": sorted(reader_feats),
+                            "writerFeatures": sorted(
+                                set(proto.get("writerFeatures") or [])
+                            ),
+                        }
+                    }
+                )
+            acts.append(
+                {
+                    "metaData": {
+                        "id": meta.table_id,
+                        "format": {"provider": "parquet", "options": {}},
+                        "schemaString": _json.dumps(T.StructType(fields).jsonValue()),
+                        "partitionColumns": meta.partition_columns,
+                        "configuration": config,
+                        "createdTime": int(_time.time() * 1000),
+                    }
+                }
+            )
+            return acts
+
+        return self.log.commit_with_retry(
+            actions,
+            operation="CHANGE COLUMN",
+            operation_params={"column": name, "type": ddl_type},
+        )
+
     # -- shallow clone -----------------------------------------------------
 
     @classmethod
