@@ -6993,6 +6993,70 @@ GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# Q23: VARIANT columns (protocol variantType) — events.props (a JSON string
+# in the source parquet) ingests as a real VARIANT column via parse_json,
+# lands in Delta files (Spark-reader stats fallback: this pyarrow build
+# cannot parse VARIANT footers), survives an append, and serves typed
+# extraction with variant_get.  The oracle extracts the same path from the
+# raw JSON strings with DuckDB's JSON functions — a binary-encoding bug,
+# a dropped file, or a mis-typed extraction all break the hash.
+# ---------------------------------------------------------------------------
+
+
+def q_q23_variant_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from delta_sorter_spark.sources.delta_table import DeltaTable
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value", F.parse_json("props").alias("props")
+    )
+    scratch = tempfile.mkdtemp(prefix="q23_var_")
+    try:
+        mod = F.col("event_id") % 3
+        tbl = DeltaTable.create(
+            spark,
+            os.path.join(scratch, "t"),
+            ev.where(mod < 2).repartition(2),
+            stat_columns=["event_id"],
+        )
+        tbl.append(ev.where(mod == 2).coalesce(1))
+        out = (
+            tbl.to_df()
+            .select(
+                "event_type",
+                "value",
+                F.expr("variant_get(props, '$.k', 'long')").alias("k"),
+            )
+            .groupBy("event_type", (F.col("k") % 5).alias("k_bucket"))
+            .agg(
+                F.count("*").alias("n_events"),
+                F.max("k").alias("max_k"),
+                F.sum(F.col("value").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("sum_value"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+_Q23_SQL = """
+SELECT event_type,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) % 5 AS k_bucket,
+       count(*) AS n_events,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS max_k,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # S6: stateful streaming dedup (streaming/events.streaming_dedup →
 # dropDuplicatesWithinWatermark) driven through the REAL micro-batch engine:
 # the events table is split into 4 files, streamed one file per trigger, so
@@ -8422,6 +8486,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_identity": q_q17_identity,
         "q21_liquid_clustering": q_q21_liquid_clustering,
         "q22_type_widening": q_q22_type_widening,
+        "q23_variant_events": q_q23_variant_events,
         "e1_exact_dedup": q_e1_exact_dedup,
         "e2_minhash_sig": q_e2_minhash_sig,
         "e3_lsh_candidates": q_e3_lsh_candidates,
@@ -8564,6 +8629,7 @@ def oracle_sql() -> dict[str, str]:
         "q17_identity": _Q17_SQL,
         "q21_liquid_clustering": _Q21_SQL,
         "q22_type_widening": _Q22_SQL,
+        "q23_variant_events": _Q23_SQL,
         "e1_exact_dedup": _E1_SQL,
         "e2_minhash_sig": _E2_SQL,
         "e3_lsh_candidates": _E3_SQL,

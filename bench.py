@@ -210,6 +210,35 @@ def main() -> int:
     )
     timed("compact_partitioned", lambda: compact(t_part, sort_cols, spark=spark))
 
+    # -- clustered table (liquid clustering): first OPTIMIZE pays the full
+    #    Hilbert re-layout once; the incremental OPTIMIZE after a ~5% append
+    #    touches ONLY the new files — the O(new data) maintenance contract
+    #    that replaces re-sorting the table (operators/cluster.py).
+    from delta_sorter_spark.operators.cluster import optimize_clustered
+
+    t_clust = os.path.join(workdir, "li_clustered")
+    tc = DeltaTable.create(
+        spark,
+        t_clust,
+        li.select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+        .repartition(8),
+        stat_columns=["l_orderkey", "l_partkey"],
+    )
+    tc.set_clustering_columns(["l_orderkey", "l_partkey"])
+    timed(
+        "cluster_initial_optimize",
+        lambda: optimize_clustered(tc, min_zcube_bytes=0),
+    )
+    tc.append(
+        li.where(F.col("l_orderkey") % 20 == 0)
+        .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+        .coalesce(2)
+    )
+    timed(
+        "cluster_incremental_optimize",
+        lambda: optimize_clustered(tc, min_zcube_bytes=0),
+    )
+
     # -- row-level DML: upsert ~1% of keys into the compacted table ---------
     from delta_sorter_spark.operators.dml import upsert as dml_upsert
 

@@ -57,6 +57,20 @@ class DeltaCommitConflict(Exception):
     """Another writer claimed the target version first."""
 
 
+def schema_contains_variant(dtype) -> bool:
+    """True when any (nested) field of ``dtype`` is VARIANT — gates the
+    ``variantType`` protocol feature."""
+    if isinstance(dtype, T.StructType):
+        return any(schema_contains_variant(f.dataType) for f in dtype.fields)
+    if isinstance(dtype, T.ArrayType):
+        return schema_contains_variant(dtype.elementType)
+    if isinstance(dtype, T.MapType):
+        return schema_contains_variant(dtype.keyType) or schema_contains_variant(
+            dtype.valueType
+        )
+    return isinstance(dtype, T.VariantType)
+
+
 def physical_name(field: T.StructField) -> str:
     """Parquet-file column name for a schema field (Delta column mapping,
     ``delta.columnMapping.physicalName`` field metadata).  Defaults to the
@@ -752,8 +766,20 @@ class DeltaLog:
             partition_columns=list(partition_columns or []),
             configuration=dict(configuration or {}),
         )
+        # VARIANT columns require the variantType reader-writer feature (a
+        # stock reader that ignored it would surface raw binary structs).
+        protocol = (
+            {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["variantType"],
+                "writerFeatures": ["variantType"],
+            }
+            if schema_contains_variant(schema)
+            else {"minReaderVersion": 1, "minWriterVersion": 2}
+        )
         actions = [
-            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {"protocol": protocol},
             {
                 "metaData": {
                     "id": meta.table_id,

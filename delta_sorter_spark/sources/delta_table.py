@@ -40,6 +40,7 @@ from delta_sorter_spark.sources.delta_log import (
     DeltaLog,
     TableMetadata,
     TableState,
+    schema_contains_variant,
 )
 
 HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
@@ -232,6 +233,41 @@ def _writer_feature_upgrade(state, new_features: set[str]) -> dict | None:
     if p.get("readerFeatures") is not None:
         proto["readerFeatures"] = sorted(p["readerFeatures"])
     return {"protocol": proto}
+
+
+_READER_WRITER_FEATURES = {
+    "deletionVectors",
+    "columnMapping",
+    "timestampNtz",
+    "typeWidening",
+    "v2Checkpoint",
+    "variantType",
+}
+
+
+def _reader_writer_feature_upgrade(state, feature: str) -> dict | None:
+    """Protocol action declaring a READER-writer table feature (reader
+    protocol 3 / writer 7, feature in BOTH lists), or None when already
+    declared.  When the reader version first bumps to 3, the reader list
+    enumerates every reader-relevant feature the table already uses (the
+    same completeness rule _writer_feature_upgrade applies to writers)."""
+    proto = dict(state.protocol or {})
+    writer_up = _writer_feature_upgrade(state, {feature})
+    if writer_up is not None:
+        proto = writer_up["protocol"]
+    reader_feats = set(proto.get("readerFeatures") or [])
+    if feature in reader_feats and writer_up is None:
+        return None
+    reader_feats |= _READER_WRITER_FEATURES & set(proto.get("writerFeatures") or [])
+    reader_feats.add(feature)
+    return {
+        "protocol": {
+            "minReaderVersion": max(3, proto.get("minReaderVersion", 1)),
+            "minWriterVersion": max(7, proto.get("minWriterVersion", 2)),
+            "readerFeatures": sorted(reader_feats),
+            "writerFeatures": sorted(set(proto.get("writerFeatures") or [])),
+        }
+    }
 
 
 def _dv_keys(add: AddAction, sidecar: str) -> set[str]:
@@ -496,6 +532,17 @@ class DeltaTable:
         stat_columns = list(stat_columns or []) + [
             c for c in ident if c not in (stat_columns or [])
         ]
+        by_name = {f.name: f for f in schema.fields}
+        bad = [
+            c
+            for c in stat_columns
+            if c in by_name and schema_contains_variant(by_name[c].dataType)
+        ]
+        if bad:
+            raise ValueError(
+                f"VARIANT columns have no min/max ordering; cannot be stat "
+                f"columns: {', '.join(bad)}"
+            )
         # Persist the stat set as table configuration (Delta's
         # dataSkippingStatsColumns) so every later write — appends, DML
         # rewrites, compaction — keeps these zone maps without the call
@@ -1193,9 +1240,16 @@ class DeltaTable:
                 moved.append(
                     (dest, os.path.relpath(dest, self.table_path).replace(os.sep, "/"))
                 )
-        stats_by_dest = self._local_file_stats(
-            [d for d, _ in moved], stat_columns, attest_directions
-        )
+        if schema_contains_variant(write_schema):
+            # this pyarrow build cannot parse footers containing the VARIANT
+            # logical type — stats come from Spark's own reader instead
+            stats_by_dest = self._spark_file_stats(
+                [d for d, _ in moved], stat_columns, attest_directions
+            )
+        else:
+            stats_by_dest = self._local_file_stats(
+                [d for d, _ in moved], stat_columns, attest_directions
+            )
         for dest, relpath in moved:
             stats = stats_by_dest[dest]
             if sorted_within_files:
@@ -1278,6 +1332,38 @@ class DeltaTable:
         )
         return {r["path"]: _json.loads(r["stats"]) for r in rows}
 
+    def _spark_file_stats(
+        self,
+        paths: Sequence[str],
+        stat_columns: Sequence[str],
+        attest_directions: Sequence[bool] | None,
+    ) -> dict[str, dict]:
+        """Per-file stats via SPARK's parquet reader — the fallback for
+        files whose footers this pyarrow build cannot parse (VARIANT
+        logical type).  Stat columns are never variant (create() rejects
+        that), so each file's stat frame collects through ``toArrow`` —
+        a single-file, shuffle-free scan, collected in partition-index =
+        byte-offset order, i.e. file order, which the keyStats descent
+        attestation requires — and feeds the SAME summarizer as the
+        pyarrow path, so the stats shape is identical."""
+        out: dict[str, dict] = {}
+        for p in paths:
+            df = self.spark.read.parquet(p)
+            present = [c for c in stat_columns if c in df.columns]
+            if not present:
+                out[p] = {
+                    "numRecords": df.count(),
+                    "minValues": {},
+                    "maxValues": {},
+                    "nullCount": {},
+                }
+                continue
+            tbl = df.select(*present).toArrow()
+            out[p] = _stats_from_arrow(
+                tbl, list(stat_columns), tbl.num_rows, attest_directions
+            )
+        return out
+
     def _stage_write_remote(
         self,
         df: DataFrame,
@@ -1307,6 +1393,12 @@ class DeltaTable:
         meta = self.metadata
         part_cols = meta.partition_columns
         write_schema = schema if schema is not None else meta.schema
+        if schema_contains_variant(write_schema):
+            raise NotImplementedError(
+                "VARIANT columns on remote URIs need a pyarrow build that "
+                "understands the parquet VARIANT logical type (the remote "
+                "plane serializes through arrow); local tables support them"
+            )
         data_cols = [f.name for f in write_schema.fields if f.name not in part_cols]
         to_phys = {f.name: physical_name(f) for f in write_schema.fields}
         phys_part = [to_phys.get(c, c) for c in part_cols]
@@ -2173,7 +2265,12 @@ class DeltaTable:
             fields = list(meta.schema.fields) + [
                 T.StructField(name, dtype, True, md or None)
             ]
-            return [
+            acts = []
+            if schema_contains_variant(dtype):
+                upgrade = _reader_writer_feature_upgrade(state, "variantType")
+                if upgrade is not None:
+                    acts.append(upgrade)
+            acts.append(
                 {
                     "metaData": {
                         "id": meta.table_id,
@@ -2184,7 +2281,8 @@ class DeltaTable:
                         "createdTime": int(_time.time() * 1000),
                     }
                 }
-            ]
+            )
+            return acts
 
         return self.log.commit_with_retry(
             actions,
@@ -2331,40 +2429,10 @@ class DeltaTable:
             config["delta.enableTypeWidening"] = "true"
             acts = []
             # typeWidening is a READER-writer feature: old readers must not
-            # misread the narrower physical files, so the reader protocol
-            # bumps to 3 with the reader-relevant feature set enumerated.
-            proto = dict(state.protocol or {})
-            writer_up = _writer_feature_upgrade(state, {"typeWidening"})
-            if writer_up is not None:
-                proto = writer_up["protocol"]
-            reader_feats = set(proto.get("readerFeatures") or [])
-            if "typeWidening" not in reader_feats:
-                rw_features = {
-                    "deletionVectors",
-                    "columnMapping",
-                    "timestampNtz",
-                    "typeWidening",
-                    "v2Checkpoint",
-                    "variantType",
-                }
-                reader_feats |= rw_features & set(proto.get("writerFeatures") or [])
-                reader_feats.add("typeWidening")
-                acts.append(
-                    {
-                        "protocol": {
-                            "minReaderVersion": max(
-                                3, proto.get("minReaderVersion", 1)
-                            ),
-                            "minWriterVersion": max(
-                                7, proto.get("minWriterVersion", 2)
-                            ),
-                            "readerFeatures": sorted(reader_feats),
-                            "writerFeatures": sorted(
-                                set(proto.get("writerFeatures") or [])
-                            ),
-                        }
-                    }
-                )
+            # misread the narrower physical files.
+            upgrade = _reader_writer_feature_upgrade(state, "typeWidening")
+            if upgrade is not None:
+                acts.append(upgrade)
             acts.append(
                 {
                     "metaData": {

@@ -268,6 +268,15 @@ class _DeltaSourceCore:
                 "the 'where' file-pruning option"
             )
         meta = self.log.read_state(at_version=at_version).metadata
+        from delta_sorter_spark.sources.delta_log import schema_contains_variant
+
+        if schema_contains_variant(meta.schema):
+            raise NotImplementedError(
+                "delta_sorter source: VARIANT columns need a pyarrow build "
+                "that understands the parquet VARIANT logical type (this "
+                "source reads file bytes via pyarrow); read the table with "
+                "DeltaTable.to_df on the local plane instead"
+            )
         _check_reserved_columns(meta.schema, self.with_file, self.with_pos)
         if self.read_change_feed:
             clashes = [
