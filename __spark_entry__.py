@@ -7057,6 +7057,69 @@ GROUP BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# Q24: V2 checkpoint lifecycle — appends -> copy-on-write DELETE -> V2
+# checkpoint (UUID-named top-level + checkpointMetadata + sidecar-resident
+# file manifest) -> more appends + a DV DELETE -> fresh-reader aggregate.
+# The fresh reader replays THROUGH the v2 checkpoint (top file splices its
+# sidecar back in) plus the newer commits; a manifest row lost to the
+# sidecar split, a double-spliced add, or a stale _last_checkpoint all
+# break the hash.  The oracle replays the surviving-row set relationally.
+# ---------------------------------------------------------------------------
+
+
+def q_q24_v2_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from delta_sorter_spark.operators.dml import delete_where, delete_where_dv
+    from delta_sorter_spark.sources.delta_table import DeltaTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    scratch = tempfile.mkdtemp(prefix="q24_v2_")
+    try:
+        mod = F.col("o_orderkey") % 4
+        tbl = DeltaTable.create(
+            spark,
+            os.path.join(scratch, "t"),
+            orders.where(mod == 0).repartition(2),
+            stat_columns=["o_orderkey"],
+        )
+        tbl.append(orders.where(mod == 1).coalesce(1))
+        delete_where(tbl, "o_orderkey % 20 = 4")  # copy-on-write
+        tbl.log.write_checkpoint(v2=True)
+        tbl.append(orders.where(mod == 2).coalesce(1))
+        delete_where_dv(tbl, "o_orderkey % 20 = 9")  # merge-on-read
+        fresh = DeltaTable(spark, tbl.table_path)
+        out = (
+            fresh.to_df()
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("sum_price"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+_Q24_SQL = """
+SELECT o_orderstatus,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders
+WHERE o_orderkey % 4 < 3
+  AND o_orderkey % 20 NOT IN (4, 9)
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # S6: stateful streaming dedup (streaming/events.streaming_dedup →
 # dropDuplicatesWithinWatermark) driven through the REAL micro-batch engine:
 # the events table is split into 4 files, streamed one file per trigger, so
@@ -8487,6 +8550,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_liquid_clustering": q_q21_liquid_clustering,
         "q22_type_widening": q_q22_type_widening,
         "q23_variant_events": q_q23_variant_events,
+        "q24_v2_checkpoint": q_q24_v2_checkpoint,
         "e1_exact_dedup": q_e1_exact_dedup,
         "e2_minhash_sig": q_e2_minhash_sig,
         "e3_lsh_candidates": q_e3_lsh_candidates,
@@ -8630,6 +8694,7 @@ def oracle_sql() -> dict[str, str]:
         "q21_liquid_clustering": _Q21_SQL,
         "q22_type_widening": _Q22_SQL,
         "q23_variant_events": _Q23_SQL,
+        "q24_v2_checkpoint": _Q24_SQL,
         "e1_exact_dedup": _E1_SQL,
         "e2_minhash_sig": _E2_SQL,
         "e3_lsh_candidates": _E3_SQL,

@@ -171,6 +171,13 @@ def build_parser() -> argparse.ArgumentParser:
         "(bounds log-replay cost for all readers)",
     )
     p.add_argument(
+        "--checkpoint-v2",
+        action="store_true",
+        help="With --checkpoint: write a V2 checkpoint (protocol "
+        "v2Checkpoint feature; table metadata reads without the file "
+        "manifest, which lives in a _sidecars/ parquet)",
+    )
+    p.add_argument(
         "--enable-row-tracking",
         action="store_true",
         help="Enable Delta row tracking (stable row ids across compaction "
@@ -415,7 +422,7 @@ def _run(args, sort_columns, api) -> int:
             for rel in doomed[:20]:
                 print(f"  {rel}")
         if args.checkpoint:
-            path = tbl.log.write_checkpoint()
+            path = tbl.log.write_checkpoint(v2=args.checkpoint_v2)
             print(f"checkpoint written: {path}")
         return 0
 

@@ -57,18 +57,34 @@ class DeltaCommitConflict(Exception):
     """Another writer claimed the target version first."""
 
 
-def schema_contains_variant(dtype) -> bool:
-    """True when any (nested) field of ``dtype`` is VARIANT — gates the
-    ``variantType`` protocol feature."""
+def schema_type_features(dtype) -> set[str]:
+    """Reader-writer protocol features the (nested) types of ``dtype``
+    require: VARIANT -> ``variantType``, TIMESTAMP_NTZ -> ``timestampNtz``
+    (a stock reader must understand the physical encoding before trusting
+    the rest of the table, so both are declared at reader protocol 3)."""
     if isinstance(dtype, T.StructType):
-        return any(schema_contains_variant(f.dataType) for f in dtype.fields)
+        out: set[str] = set()
+        for f in dtype.fields:
+            out |= schema_type_features(f.dataType)
+        return out
     if isinstance(dtype, T.ArrayType):
-        return schema_contains_variant(dtype.elementType)
+        return schema_type_features(dtype.elementType)
     if isinstance(dtype, T.MapType):
-        return schema_contains_variant(dtype.keyType) or schema_contains_variant(
+        return schema_type_features(dtype.keyType) | schema_type_features(
             dtype.valueType
         )
-    return isinstance(dtype, T.VariantType)
+    if isinstance(dtype, T.VariantType):
+        return {"variantType"}
+    if isinstance(dtype, T.TimestampNTZType):
+        return {"timestampNtz"}
+    return set()
+
+
+def schema_contains_variant(dtype) -> bool:
+    """True when any (nested) field of ``dtype`` is VARIANT — gates the
+    pyarrow-based planes (this build cannot parse VARIANT footers) on top
+    of the ``variantType`` protocol feature."""
+    return "variantType" in schema_type_features(dtype)
 
 
 def physical_name(field: T.StructField) -> str:
@@ -383,6 +399,24 @@ def _checkpoint_arrow_schema():
                     ]
                 ),
             ),
+            # V2-checkpoint actions (protocol v2Checkpoint feature): the
+            # top-level file carries ONE checkpointMetadata plus sidecar
+            # pointers; file actions live in _sidecars/ parquet files.
+            # Null in every classic (v1) checkpoint row.
+            (
+                "checkpointMetadata",
+                pa.struct([("version", pa.int64()), ("tags", str_map)]),
+            ),
+            (
+                "sidecar",
+                pa.struct(
+                    [
+                        ("path", pa.string()),
+                        ("sizeInBytes", pa.int64()),
+                        ("modificationTime", pa.int64()),
+                    ]
+                ),
+            ),
         ]
     )
 
@@ -431,20 +465,54 @@ class DeltaLog:
         except (FileNotFoundError, ValueError, KeyError, json.JSONDecodeError):
             return None
 
+    def _find_checkpoint_bytes(self, version: int) -> bytes | None:
+        """Parquet checkpoint bytes at ``version``: the classic name
+        (``<v>.checkpoint.parquet``) or a UUID-named V2 checkpoint
+        (``<v>.checkpoint.<uuid>.parquet``)."""
+        classic = self.fs.join(self.log_dir, f"{version:020d}.checkpoint.parquet")
+        try:
+            return self.fs.read_bytes(classic)
+        except FileNotFoundError:
+            pass
+        prefix = f"{version:020d}.checkpoint."
+        try:
+            names = self.fs.list_dir(self.log_dir)
+        except FileNotFoundError:
+            return None
+        for name in sorted(names):
+            if (
+                name.startswith(prefix)
+                and name.endswith(".parquet")
+                and name != f"{version:020d}.checkpoint.parquet"
+            ):
+                return self.fs.read_bytes(self.fs.join(self.log_dir, name))
+        return None
+
     def _read_checkpoint_actions(self, version: int) -> list[dict] | None:
         """Actions of the checkpoint at ``version``; parquet (protocol
-        layout) preferred, legacy JSON-lines fallback; None if absent."""
-        pq_path = self.fs.join(self.log_dir, f"{version:020d}.checkpoint.parquet")
-        try:
-            data = self.fs.read_bytes(pq_path)
-        except FileNotFoundError:
-            data = None
+        layout, classic or V2 + sidecars) preferred, legacy JSON-lines
+        fallback; None if absent."""
+        data = self._find_checkpoint_bytes(version)
         if data is not None:
             import pyarrow.parquet as pq
 
             table = pq.read_table(io.BytesIO(data))
             actions: list[dict] = []
-            for row in table.to_pylist():
+            rows = list(table.to_pylist())
+            i = 0
+            while i < len(rows):
+                row = rows[i]
+                i += 1
+                if row.get("checkpointMetadata") is not None:
+                    continue  # informational (v2 top-level marker)
+                if row.get("sidecar") is not None:
+                    # v2 sidecar: splice its file actions in-line
+                    sc_path = self.fs.join(
+                        self.log_dir, "_sidecars", row["sidecar"]["path"]
+                    )
+                    sc_tbl = pq.read_table(io.BytesIO(self.fs.read_bytes(sc_path)))
+                    rows[i:i] = sc_tbl.to_pylist()
+                    continue
                 if row.get("protocol") is not None:
                     actions.append({"protocol": row["protocol"]})
                 elif row.get("metaData") is not None:
@@ -657,12 +725,41 @@ class DeltaLog:
             adds.pop(action["remove"]["path"], None)
         return metadata, adds
 
-    def write_checkpoint(self, state: TableState | None = None) -> str:
+    def write_checkpoint(
+        self, state: TableState | None = None, v2: bool = False
+    ) -> str:
         """Consolidate current state into a protocol-layout parquet
         checkpoint + ``_last_checkpoint`` pointer.  Subsequent read_state
-        calls replay only newer commits."""
+        calls replay only newer commits.
+
+        ``v2=True`` writes a V2 checkpoint (protocol ``v2Checkpoint``
+        reader-writer feature, declared in its own protocol commit first if
+        the table hasn't yet): a UUID-named top-level file carrying ONE
+        checkpointMetadata action plus a sidecar pointer, with every file
+        action in a ``_sidecars/`` parquet.  The layout that matters at
+        100 TB: the table-wide metadata (protocol/metaData/domains) reads
+        without touching the (large) file manifest, and the manifest can
+        shard into many sidecars readable in parallel."""
         import pyarrow as pa
         import pyarrow.parquet as pq
+
+        if v2:
+            from delta_sorter_spark.sources.delta_table import (
+                _reader_writer_feature_upgrade,
+            )
+
+            def _declare(s):
+                up = _reader_writer_feature_upgrade(s, "v2Checkpoint")
+                return [up] if up is not None else []
+
+            cur = state or self.read_state()
+            if "v2Checkpoint" not in (cur.protocol.get("readerFeatures") or []):
+                self.commit_with_retry(
+                    _declare,
+                    operation="UPGRADE PROTOCOL",
+                    operation_params={"feature": "v2Checkpoint"},
+                )
+                state = None  # checkpoint the post-upgrade state
 
         state = state or self.read_state()
         ckpt_proto = dict(state.protocol)
@@ -733,12 +830,47 @@ class DeltaLog:
                     }
                 }
             )
+        n_actions = len(rows)
+        if v2:
+            file_rows = [r for r in rows if "add" in r]
+            top_rows = [r for r in rows if "add" not in r]
+            sc_name = f"{uuid.uuid4().hex}.parquet"
+            sc_buf = io.BytesIO()
+            pq.write_table(
+                pa.Table.from_pylist(file_rows, schema=_checkpoint_arrow_schema()),
+                sc_buf,
+            )
+            sc_bytes = sc_buf.getvalue()
+            self.fs.makedirs(self.fs.join(self.log_dir, "_sidecars"))
+            self.fs.write_bytes(
+                self.fs.join(self.log_dir, "_sidecars", sc_name), sc_bytes
+            )
+            top_rows.append(
+                {"checkpointMetadata": {"version": state.version, "tags": None}}
+            )
+            top_rows.append(
+                {
+                    "sidecar": {
+                        "path": sc_name,
+                        "sizeInBytes": len(sc_bytes),
+                        "modificationTime": int(time.time() * 1000),
+                    }
+                }
+            )
+            rows = top_rows
+            ckpt_path = self.fs.join(
+                self.log_dir,
+                f"{state.version:020d}.checkpoint.{uuid.uuid4().hex}.parquet",
+            )
+        else:
+            ckpt_path = self.fs.join(
+                self.log_dir, f"{state.version:020d}.checkpoint.parquet"
+            )
         table = pa.Table.from_pylist(rows, schema=_checkpoint_arrow_schema())
         buf = io.BytesIO()
         pq.write_table(table, buf)
-        ckpt_path = self.fs.join(self.log_dir, f"{state.version:020d}.checkpoint.parquet")
         self.fs.write_bytes(ckpt_path, buf.getvalue())
-        ptr = json.dumps({"version": state.version, "size": len(rows)})
+        ptr = json.dumps({"version": state.version, "size": n_actions})
         self.fs.write_text(self.fs.join(self.log_dir, "_last_checkpoint"), ptr)
         return ckpt_path
 
@@ -766,16 +898,18 @@ class DeltaLog:
             partition_columns=list(partition_columns or []),
             configuration=dict(configuration or {}),
         )
-        # VARIANT columns require the variantType reader-writer feature (a
-        # stock reader that ignored it would surface raw binary structs).
+        # VARIANT / TIMESTAMP_NTZ columns require their reader-writer table
+        # features (a stock reader that ignored them would misread the
+        # physical encodings).
+        type_feats = schema_type_features(schema)
         protocol = (
             {
                 "minReaderVersion": 3,
                 "minWriterVersion": 7,
-                "readerFeatures": ["variantType"],
-                "writerFeatures": ["variantType"],
+                "readerFeatures": sorted(type_feats),
+                "writerFeatures": sorted(type_feats),
             }
-            if schema_contains_variant(schema)
+            if type_feats
             else {"minReaderVersion": 1, "minWriterVersion": 2}
         )
         actions = [

@@ -2266,8 +2266,10 @@ class DeltaTable:
                 T.StructField(name, dtype, True, md or None)
             ]
             acts = []
-            if schema_contains_variant(dtype):
-                upgrade = _reader_writer_feature_upgrade(state, "variantType")
+            from delta_sorter_spark.sources.delta_log import schema_type_features
+
+            for feat in sorted(schema_type_features(dtype)):
+                upgrade = _reader_writer_feature_upgrade(state, feat)
                 if upgrade is not None:
                     acts.append(upgrade)
             acts.append(

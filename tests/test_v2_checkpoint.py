@@ -1,0 +1,92 @@
+"""V2 checkpoints (protocol ``v2Checkpoint`` feature): UUID-named top-level
+file + checkpointMetadata + sidecar-resident file manifest; state equality
+with the classic path; replay of post-checkpoint commits."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from delta_sorter_spark.sources.delta_table import DeltaTable
+
+
+def make_table(spark, path):
+    df = spark.range(0, 200).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    tbl = DeltaTable.create(spark, path, df.repartition(3), stat_columns=["k"])
+    tbl.append(df.selectExpr("k + 200 AS k", "v").coalesce(1))
+    return tbl
+
+
+def state_snapshot(tbl):
+    s = tbl.state()
+    return (
+        sorted((a.path, a.size, a.base_row_id) for a in s.adds),
+        s.metadata.configuration,
+        sorted(s.txns.items()),
+        dict(s.domain_metadata),
+    )
+
+
+def test_v2_checkpoint_roundtrip(spark, tmp_path):
+    tbl = make_table(spark, str(tmp_path / "t"))
+    before = state_snapshot(tbl)
+    path = tbl.log.write_checkpoint(v2=True)
+    # UUID-named top-level file, sidecar present
+    name = os.path.basename(path)
+    assert name.endswith(".parquet") and name.count(".") == 3
+    sidecars = os.listdir(os.path.join(tbl.table_path, "_delta_log", "_sidecars"))
+    assert len(sidecars) == 1
+    # the feature was declared in its own commit before the checkpoint
+    proto = tbl.state().protocol
+    assert "v2Checkpoint" in proto["readerFeatures"]
+    assert "v2Checkpoint" in proto["writerFeatures"]
+    # a fresh reader replays THROUGH the v2 checkpoint + sidecar
+    fresh = DeltaTable(spark, tbl.table_path)
+    assert state_snapshot(fresh) == before
+    assert fresh.to_df().count() == 400
+
+
+def test_v2_checkpoint_then_more_commits(spark, tmp_path):
+    from delta_sorter_spark.operators.dml import delete_where
+
+    tbl = make_table(spark, str(tmp_path / "t"))
+    tbl.log.write_checkpoint(v2=True)
+    tbl.append(
+        spark.range(400, 420).select(
+            F.col("id").alias("k"), F.lit(0).alias("v")
+        )
+    )
+    delete_where(tbl, "k = 5")
+    fresh = DeltaTable(spark, tbl.table_path)
+    assert fresh.to_df().count() == 419
+    # a second v2 checkpoint over the evolved state also round-trips, and
+    # the feature declaration is NOT re-committed
+    v = tbl.log.latest_version()
+    tbl.log.write_checkpoint(v2=True)
+    assert tbl.log.latest_version() == v
+    assert DeltaTable(spark, tbl.table_path).to_df().count() == 419
+
+
+def test_v2_checkpoint_preserves_index_and_clustering_metadata(spark, tmp_path):
+    from delta_sorter_spark.operators.cluster import cluster_status, optimize_clustered
+
+    tbl = make_table(spark, str(tmp_path / "t"))
+    tbl.set_clustering_columns(["k", "v"])
+    optimize_clustered(tbl, min_zcube_bytes=0)
+    tbl.log.write_checkpoint(v2=True)
+    fresh = DeltaTable(spark, tbl.table_path)
+    st = cluster_status(fresh)
+    assert st["clustering_columns"] == ["k", "v"]
+    assert st["unclustered_files"] == 0 and st["zcubes"] == 1
+    assert optimize_clustered(fresh, min_zcube_bytes=0)["noop"]
+
+
+def test_cli_checkpoint_v2(spark, tmp_path, capsys):
+    from delta_sorter_spark import cli
+
+    tbl = make_table(spark, str(tmp_path / "t"))
+    assert cli.main(["--table", tbl.table_path, "--checkpoint", "--checkpoint-v2"]) == 0
+    out = capsys.readouterr().out
+    assert "checkpoint written" in out
+    assert DeltaTable(spark, tbl.table_path).to_df().count() == 400

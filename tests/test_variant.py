@@ -128,3 +128,24 @@ def test_variant_survives_checkpoint(spark, tmp_path):
     assert dict(fresh.to_df().dtypes)["props"] == "variant"
     assert "variantType" in fresh.state().protocol["readerFeatures"]
     assert fresh.to_df().count() == 10
+
+
+def test_timestamp_ntz_declares_feature(spark, tmp_path):
+    df = spark.range(5).select(
+        F.col("id").alias("k"),
+        F.timestamp_seconds(F.col("id") * 3600).cast("timestamp_ntz").alias("ts"),
+    )
+    tbl = DeltaTable.create(spark, str(tmp_path / "t"), df, stat_columns=["ts"])
+    proto = tbl.state().protocol
+    assert proto["minReaderVersion"] == 3
+    assert proto["readerFeatures"] == ["timestampNtz"]
+    assert proto["writerFeatures"] == ["timestampNtz"]
+    # ntz stats and pruning unaffected (pyarrow reads ntz footers fine)
+    assert tbl.to_df().count() == 5
+    plain = DeltaTable.create(
+        spark, str(tmp_path / "p"),
+        spark.range(3).select(F.col("id").alias("k")),
+    )
+    assert plain.state().protocol == {"minReaderVersion": 1, "minWriterVersion": 2}
+    plain.add_column("seen_at", "timestamp_ntz")
+    assert "timestampNtz" in plain.state().protocol["readerFeatures"]
