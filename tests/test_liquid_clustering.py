@@ -219,3 +219,43 @@ def test_cli_cluster_verbs(spark, tmp_path, capsys):
     ) == 0
     assert "converged" in capsys.readouterr().out
     assert cli.main(["--table", path, "--cluster-by", "nope"]) == 2
+
+
+def test_concurrent_append_during_optimize_survives(spark, tmp_path):
+    """An append landing between OPTIMIZE's plan and commit must not be
+    lost: the rewrite removes only its candidate files, so the commit
+    retries cleanly and the new file simply stays unclustered (the next
+    OPTIMIZE's candidate)."""
+    tbl = make_table(spark, str(tmp_path / "t"))
+    tbl.set_clustering_columns(["k1", "k2"])
+
+    from delta_sorter_spark.operators import cluster as cluster_mod
+
+    orig = tbl.read_for_rewrite
+    fired = {}
+
+    def hooked(adds, meta=None):
+        if not fired:
+            fired["x"] = True
+            append_batch(tbl, spark, N)  # sneaks in mid-optimize
+        return orig(adds, meta)
+
+    tbl.read_for_rewrite = hooked
+    m = optimize_clustered(tbl, min_zcube_bytes=0)
+    tbl.read_for_rewrite = orig
+    assert not m["noop"] and m["candidate_files"] == 4
+    assert tbl.to_df().count() == N + 500  # nothing lost
+    st = cluster_status(tbl)
+    assert st["unclustered_files"] == 1  # the concurrent append
+    m2 = optimize_clustered(tbl, min_zcube_bytes=0)
+    assert m2["candidate_files"] >= 1 and cluster_status(tbl)["unclustered_files"] == 0
+
+
+def test_vacuum_collects_pre_cluster_files(spark, tmp_path):
+    tbl = make_table(spark, str(tmp_path / "t"))
+    tbl.set_clustering_columns(["k1", "k2"])
+    optimize_clustered(tbl, min_zcube_bytes=0)
+    doomed = tbl.vacuum()
+    assert len(doomed) >= 4  # the pre-cluster layout
+    assert tbl.to_df().count() == N
+    assert optimize_clustered(tbl, min_zcube_bytes=0)["noop"]
