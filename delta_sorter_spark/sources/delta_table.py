@@ -1808,14 +1808,15 @@ class DeltaTable:
         import json as _json
 
         meta = self.metadata
+        if meta.partition_columns:
+            raise ValueError(
+                "clustered tables replace Hive partitioning (Delta protocol: "
+                "a clustered table must not be partitioned); this table "
+                f"partitions by {', '.join(meta.partition_columns)}"
+            )
         for c in cols:
             if c not in meta.schema.fieldNames():
                 raise ValueError(f"clustering column not in schema: {c}")
-            if c in meta.partition_columns:
-                raise ValueError(
-                    f"clustering column {c} is a partition column; clustered "
-                    "tables replace Hive partitioning, not compose with it"
-                )
         physical = [meta.physical_of(c) for c in cols]
         domain_conf = _json.dumps({"clusteringColumns": [[p] for p in physical]})
         if self.state().domain_metadata.get(self.CLUSTERING_DOMAIN) == domain_conf:

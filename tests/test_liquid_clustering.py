@@ -71,8 +71,11 @@ def test_register_rejects_partition_columns(spark, tmp_path):
         (F.col("id") % 3).alias("p"), F.col("id").alias("k")
     )
     tbl = DeltaTable.create(spark, str(tmp_path / "p"), df, partition_columns=["p"])
-    with pytest.raises(ValueError, match="partition column"):
+    # the protocol forbids clustering a partitioned table at all
+    with pytest.raises(ValueError, match="must not be partitioned"):
         tbl.set_clustering_columns(["p"])
+    with pytest.raises(ValueError, match="must not be partitioned"):
+        tbl.set_clustering_columns(["k"])
 
 
 def test_optimize_converges_and_is_incremental(spark, tmp_path):
