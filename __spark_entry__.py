@@ -7120,6 +7120,70 @@ GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# Q25: column DEFAULT values (allowColumnDefaults) — add a column with a
+# DEFAULT, append batches that omit it (default fills) and one that
+# supplies it (explicit wins), existing rows stay NULL (Delta's
+# defaults-for-future-writes, no backfill).  The oracle replays the three
+# write generations as a CASE over the key ranges.
+# ---------------------------------------------------------------------------
+
+
+def q_q25_column_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from delta_sorter_spark.sources.delta_table import DeltaTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    scratch = tempfile.mkdtemp(prefix="q25_def_")
+    try:
+        mod = F.col("o_orderkey") % 4
+        tbl = DeltaTable.create(
+            spark,
+            os.path.join(scratch, "t"),
+            orders.where(mod == 0).repartition(2),
+            stat_columns=["o_orderkey"],
+        )
+        tbl.add_column("ingest_src", "string", default="'web-2026'")
+        tbl.append(orders.where(mod == 1).coalesce(1))  # default fills
+        tbl.append(  # explicit value wins over the default
+            orders.where(mod == 2)
+            .select("o_orderkey", "o_totalprice", F.lit("batch").alias("ingest_src"))
+            .coalesce(1)
+        )
+        out = (
+            tbl.to_df()
+            .groupBy("ingest_src")
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("sum_price"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+_Q25_SQL = """
+SELECT CASE o_orderkey % 4
+         WHEN 0 THEN NULL          -- pre-default rows: no backfill
+         WHEN 1 THEN 'web-2026'    -- omitted column: default fills
+         ELSE 'batch'              -- explicit value wins
+       END AS ingest_src,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders
+WHERE o_orderkey % 4 < 3
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # S6: stateful streaming dedup (streaming/events.streaming_dedup →
 # dropDuplicatesWithinWatermark) driven through the REAL micro-batch engine:
 # the events table is split into 4 files, streamed one file per trigger, so
@@ -8551,6 +8615,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_type_widening": q_q22_type_widening,
         "q23_variant_events": q_q23_variant_events,
         "q24_v2_checkpoint": q_q24_v2_checkpoint,
+        "q25_column_defaults": q_q25_column_defaults,
         "e1_exact_dedup": q_e1_exact_dedup,
         "e2_minhash_sig": q_e2_minhash_sig,
         "e3_lsh_candidates": q_e3_lsh_candidates,
@@ -8695,6 +8760,7 @@ def oracle_sql() -> dict[str, str]:
         "q22_type_widening": _Q22_SQL,
         "q23_variant_events": _Q23_SQL,
         "q24_v2_checkpoint": _Q24_SQL,
+        "q25_column_defaults": _Q25_SQL,
         "e1_exact_dedup": _E1_SQL,
         "e2_minhash_sig": _E2_SQL,
         "e3_lsh_candidates": _E3_SQL,

@@ -1586,12 +1586,19 @@ class DeltaTable:
             for f in write_schema.fields
             if f.metadata and "delta.generationExpression" in f.metadata
         }
+        defaults = {
+            f.name: f.metadata["CURRENT_DEFAULT"]
+            for f in write_schema.fields
+            if f.metadata and "CURRENT_DEFAULT" in f.metadata
+        }
 
         def fill(f):
             if f.name in df.columns:
                 return F.col(f.name).cast(f.dataType).alias(f.name)
             if f.name in gen:  # generated: compute, don't NULL-fill
                 return F.expr(gen[f.name]).cast(f.dataType).alias(f.name)
+            if f.name in defaults:  # column DEFAULT (allowColumnDefaults)
+                return F.expr(defaults[f.name]).cast(f.dataType).alias(f.name)
             return F.lit(None).cast(f.dataType).alias(f.name)
 
         df = self._assign_identity_columns(df, write_schema)
@@ -2243,16 +2250,34 @@ class DeltaTable:
             operation_params={"from": old, "to": new},
         )
 
-    def add_column(self, name: str, ddl_type: str, comment: str | None = None) -> int:
+    def add_column(
+        self,
+        name: str,
+        ddl_type: str,
+        comment: str | None = None,
+        default: str | None = None,
+    ) -> int:
         """ALTER TABLE ... ADD COLUMN — metadata-only commit; the new field
         is nullable (existing files read as NULL for it, Delta semantics).
-        When column mapping is enabled the field gets a FRESH physical name
-        (``col-<uuid>``), so re-adding a previously dropped name can never
-        resurface the dropped column's bytes from old files."""
+        ``default`` registers a column DEFAULT in the same commit (writer
+        feature ``allowColumnDefaults``): later appends that omit the
+        column fill it with the expression; existing rows still read NULL
+        (defaults-for-future-writes, per Delta).  When column mapping is
+        enabled the field gets a FRESH physical name (``col-<uuid>``), so
+        re-adding a previously dropped name can never resurface the dropped
+        column's bytes from old files."""
         import json as _json
         import time as _time
 
         dtype = T._parse_datatype_string(ddl_type)  # noqa: SLF001
+        if default is not None:
+            try:
+                self.spark.range(1).select(F.expr(default).cast(dtype)).collect()
+            except Exception as exc:
+                raise ValueError(
+                    f"invalid DEFAULT for {name!r}: {default!r} must be a "
+                    f"column-free expression castable to {ddl_type} ({exc})"
+                ) from None
 
         def actions(state):
             meta = state.metadata
@@ -2261,6 +2286,8 @@ class DeltaTable:
             md = {}
             if comment:
                 md["comment"] = comment
+            if default is not None:
+                md["CURRENT_DEFAULT"] = default
             if meta.configuration.get("delta.columnMapping.mode") == "name":
                 md["delta.columnMapping.physicalName"] = f"col-{uuid.uuid4().hex}"
             fields = list(meta.schema.fields) + [
@@ -2271,6 +2298,10 @@ class DeltaTable:
 
             for feat in sorted(schema_type_features(dtype)):
                 upgrade = _reader_writer_feature_upgrade(state, feat)
+                if upgrade is not None:
+                    acts.append(upgrade)
+            if default is not None:
+                upgrade = _writer_feature_upgrade(state, {"allowColumnDefaults"})
                 if upgrade is not None:
                     acts.append(upgrade)
             acts.append(
@@ -2291,6 +2322,82 @@ class DeltaTable:
             actions,
             operation="ADD COLUMNS",
             operation_params={"column": name, "type": ddl_type},
+        )
+
+    def set_column_default(self, name: str, expr: str | None) -> int:
+        """ALTER TABLE ... ALTER COLUMN SET/DROP DEFAULT (Delta writer
+        feature ``allowColumnDefaults``, Spark's ``CURRENT_DEFAULT`` field
+        metadata): later APPENDS that omit the column fill it with ``expr``
+        instead of NULL.  Existing rows are untouched — Delta's contract is
+        defaults-for-future-writes, no backfill.  ``expr`` must be a
+        deterministic, column-free SQL expression castable to the column's
+        type (validated here with a one-row evaluation).  ``None`` drops
+        the default."""
+        import json as _json
+        import time as _time
+
+        meta = self.metadata
+        by_name = {f.name: f for f in meta.schema.fields}
+        if name not in by_name:
+            raise KeyError(f"no column {name!r}")
+        fmd = dict(by_name[name].metadata or {})
+        if expr is not None:
+            if "delta.generationExpression" in fmd:
+                raise ValueError(
+                    f"column {name!r} is generated; it cannot also default"
+                )
+            if any(k.startswith("delta.identity.") for k in fmd):
+                raise ValueError(
+                    f"column {name!r} is an identity column; values are "
+                    "engine-allocated, not defaulted"
+                )
+            dtype = by_name[name].dataType
+            try:
+                self.spark.range(1).select(
+                    F.expr(expr).cast(dtype)
+                ).collect()
+            except Exception as exc:
+                raise ValueError(
+                    f"invalid DEFAULT for {name!r}: {expr!r} must be a "
+                    f"column-free expression castable to "
+                    f"{dtype.simpleString()} ({exc})"
+                ) from None
+
+        def actions(state):
+            fields = []
+            for f in state.metadata.schema.fields:
+                if f.name != name:
+                    fields.append(f)
+                    continue
+                md = dict(f.metadata or {})
+                if expr is None:
+                    md.pop("CURRENT_DEFAULT", None)
+                else:
+                    md["CURRENT_DEFAULT"] = expr
+                fields.append(T.StructField(f.name, f.dataType, f.nullable, md or None))
+            acts = []
+            if expr is not None:
+                upgrade = _writer_feature_upgrade(state, {"allowColumnDefaults"})
+                if upgrade is not None:
+                    acts.append(upgrade)
+            acts.append(
+                {
+                    "metaData": {
+                        "id": state.metadata.table_id,
+                        "format": {"provider": "parquet", "options": {}},
+                        "schemaString": _json.dumps(T.StructType(fields).jsonValue()),
+                        "partitionColumns": state.metadata.partition_columns,
+                        "configuration": state.metadata.configuration,
+                        "createdTime": int(_time.time() * 1000),
+                    }
+                }
+            )
+            return acts
+
+        return self.log.commit_with_retry(
+            actions,
+            operation="CHANGE COLUMN",
+            operation_params={"column": name, "default": expr},
         )
 
     def drop_column(self, name: str) -> int:
