@@ -2644,6 +2644,11 @@ class DeltaTable:
                         deletion_vector=dv,
                         base_row_id=a.base_row_id,
                         default_row_commit_version=a.default_row_commit_version,
+                        # clustering attestation is a fact about the FILE
+                        # (unlike index specs): the clone's identical files
+                        # stay clustered, so its first OPTIMIZE is a no-op
+                        tags=dict(a.tags) if a.tags else None,
+                        clustering_provider=a.clustering_provider,
                     )
                 )
             # carry the source's domain metadata — above all the row-id

@@ -262,3 +262,22 @@ def test_vacuum_collects_pre_cluster_files(spark, tmp_path):
     assert len(doomed) >= 4  # the pre-cluster layout
     assert tbl.to_df().count() == N
     assert optimize_clustered(tbl, min_zcube_bytes=0)["noop"]
+
+
+def test_clone_carries_clustering(spark, tmp_path):
+    """A shallow clone re-Adds the SAME files, so the clustering domain AND
+    the per-file ZCube attestation ride along: the clone is born converged
+    (unlike index specs, which are layout-local and dropped)."""
+    tbl = make_table(spark, str(tmp_path / "t"))
+    tbl.set_clustering_columns(["k1", "k2"])
+    optimize_clustered(tbl, min_zcube_bytes=0)
+    dst = DeltaTable.clone(spark, tbl.table_path, str(tmp_path / "clone"))
+    st = cluster_status(dst)
+    assert st["clustering_columns"] == ["k1", "k2"]
+    assert st["unclustered_files"] == 0 and st["zcubes"] == 1
+    assert optimize_clustered(dst, min_zcube_bytes=0)["noop"]
+    # clone-side appends cluster clone-locally; the source is untouched
+    append_batch(dst, spark, N)
+    m = optimize_clustered(dst, min_zcube_bytes=0)
+    assert m["candidate_files"] == 1 and not m["noop"]
+    assert cluster_status(tbl)["zcubes"] == 1
