@@ -62,6 +62,19 @@ def _may_contain(add, bounds: dict[str, tuple], schema) -> bool:
     return True
 
 
+
+def _require_mutable(table: DeltaTable, op: str) -> None:
+    """Enforce ``delta.appendOnly`` (legacy writer-version-2 property, the
+    ``appendOnly`` table feature under table features): a writer may only
+    ADD data — every verb that removes or modifies rows refuses.
+    dataChange=false maintenance (compaction, clustering OPTIMIZE) stays
+    allowed: it moves bytes, not data."""
+    cfg = table.metadata.configuration or {}
+    if str(cfg.get("delta.appendOnly", "")).lower() == "true":
+        raise ValueError(
+            f"{op}: table is delta.appendOnly=true — writers may only append"
+        )
+
 def upsert(
     table: DeltaTable,
     source: DataFrame,
@@ -78,6 +91,7 @@ def upsert(
     no-op before any compute, mirroring :func:`merge`.
 
     Returns {"rewritten_files", "untouched_files", "version"}."""
+    _require_mutable(table, "MERGE (upsert)")
     keys = list(keys)
     state = table.state()
     if (txn_app_id is None) != (txn_version is None):
@@ -163,6 +177,7 @@ def merge(
     whole merge a no-op BEFORE any compute or staging.
 
     Returns {"rewritten_files", "untouched_files", "version"}."""
+    _require_mutable(table, "MERGE")
     keys = list(keys)
     update = dict(when_matched_update or {})
     state = table.state()
@@ -406,6 +421,7 @@ def delete_where(table: DeltaTable, predicate: str) -> dict:
     actually contain matching rows (one scan to find them, one to rewrite).
 
     Returns {"rewritten_files", "deleted_rows", "version"}."""
+    _require_mutable(table, "DELETE")
     state = table.state()
     hit_paths = _predicate_hit_paths(table, state, predicate)
     candidates = [a for a in state.adds if a.path in hit_paths]
@@ -448,6 +464,7 @@ def update_where(
     touching one key range rewrites those files only.
 
     Returns {"rewritten_files", "updated_rows", "version"}."""
+    _require_mutable(table, "UPDATE")
     state = table.state()
     schema = state.metadata.schema
     names = {f.name for f in schema.fields}
@@ -582,6 +599,7 @@ def delete_where_dv(
     group per touched file for roaring; a dataset write for parquet).  The
     driver sees only one descriptor row per touched file — O(#files-
     touched), the same order as the commit itself."""
+    _require_mutable(table, "DELETE")
     import uuid as _uuid  # noqa: F401  (parquet sidecar branch below)
 
     if vector_format not in ("roaring", "parquet"):
@@ -762,6 +780,7 @@ def update_where_dv(
     :func:`merge_dv` — a redelivered batch no-ops before any compute.
 
     Returns {"dv_files", "updated_rows", "version"}."""
+    _require_mutable(table, "UPDATE")
     state = table.state()
     if (txn_app_id is None) != (txn_version is None):
         raise ValueError("txn_app_id and txn_version must be passed together")
@@ -870,6 +889,7 @@ def merge_dv(
     batch is a no-op BEFORE any compute or staging.
 
     Returns {"dv_files", "dv_marked_rows", "appended_rows", "version"}."""
+    _require_mutable(table, "MERGE")
     keys = list(keys)
     state = table.state()
     if (txn_app_id is None) != (txn_version is None):
@@ -1252,6 +1272,7 @@ def restore(table: DeltaTable, version: int) -> dict:
     i.e. not vacuumed).
 
     Returns {"added_files", "removed_files", "version"}."""
+    _require_mutable(table, "RESTORE")
     target = table.state(version=version)
     current = table.state()
     # file-existence probe through the fs layer so RESTORE (metadata-only)

@@ -1,0 +1,60 @@
+"""delta.appendOnly enforcement: appends and dataChange=false maintenance
+stay allowed; every row-removing/modifying verb refuses."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from delta_sorter_spark.operators.dml import (
+    delete_where,
+    delete_where_dv,
+    merge,
+    restore,
+    update_where,
+    upsert,
+)
+from delta_sorter_spark.sources.delta_table import DeltaTable
+
+
+@pytest.fixture()
+def ao_table(spark, tmp_path):
+    df = spark.range(100).select(F.col("id").alias("k"), (F.col("id") % 5).alias("v"))
+    tbl = DeltaTable.create(spark, str(tmp_path / "t"), df.repartition(2),
+                            stat_columns=["k"])
+    tbl.set_table_properties({"delta.appendOnly": "true"})
+    return tbl
+
+
+def test_append_only_blocks_mutations(ao_table, spark):
+    tbl = ao_table
+    src = spark.range(3).select(F.col("id").alias("k"), F.lit(9).alias("v"))
+    with pytest.raises(ValueError, match="appendOnly"):
+        delete_where(tbl, "k = 1")
+    with pytest.raises(ValueError, match="appendOnly"):
+        delete_where_dv(tbl, "k = 1")
+    with pytest.raises(ValueError, match="appendOnly"):
+        update_where(tbl, "k = 1", {"v": "0"})
+    with pytest.raises(ValueError, match="appendOnly"):
+        upsert(tbl, src, ["k"])
+    with pytest.raises(ValueError, match="appendOnly"):
+        merge(tbl, src, ["k"], when_matched_update={"v": "s.v"})
+    with pytest.raises(ValueError, match="appendOnly"):
+        restore(tbl, 0)
+    assert tbl.to_df().count() == 100  # nothing happened
+
+
+def test_append_only_allows_append_and_maintenance(ao_table, spark):
+    from delta_sorter_spark.api import compact
+
+    tbl = ao_table
+    tbl.append(
+        spark.range(100, 120).select(F.col("id").alias("k"), F.lit(0).alias("v"))
+    )
+    assert tbl.to_df().count() == 120
+    # dataChange=false maintenance moves bytes, not data — allowed
+    compact(tbl.table_path, sort_columns=["k"], spark=tbl.spark,
+            repartition_by_sort_key=True)
+    fresh = DeltaTable(tbl.spark, tbl.table_path)
+    assert fresh.to_df().count() == 120
+    # feature enumeration: a later features upgrade lists appendOnly
+    fresh.enable_row_tracking()
+    assert "appendOnly" in fresh.state().protocol["writerFeatures"]
