@@ -697,6 +697,7 @@ class DeltaTable:
                 | set((state.protocol or {}).get("writerFeatures") or [])
             ),
             "checkConstraints": dict(meta.check_constraints),
+            "clusteringColumns": self.clustering_columns(state),
             "rowIdHighWaterMark": (
                 state.row_id_high_water_mark
                 if self.row_tracking_enabled(meta)

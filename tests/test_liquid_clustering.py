@@ -281,3 +281,12 @@ def test_clone_carries_clustering(spark, tmp_path):
     m = optimize_clustered(dst, min_zcube_bytes=0)
     assert m["candidate_files"] == 1 and not m["noop"]
     assert cluster_status(tbl)["zcubes"] == 1
+
+
+def test_detail_reports_clustering_columns(spark, tmp_path):
+    tbl = make_table(spark, str(tmp_path / "t"), files=2, n=500)
+    assert tbl.detail()["clusteringColumns"] == []
+    tbl.set_clustering_columns(["k1", "k2"])
+    d = tbl.detail()
+    assert d["clusteringColumns"] == ["k1", "k2"]
+    assert "clusteredTable" in d["tableFeatures"]
