@@ -751,3 +751,86 @@ def test_s3_identity_columns_end_to_end(s3_env, spark, tmp_path):
 
     with _pytest.raises(ValueError, match="GENERATED ALWAYS"):
         t.append(spark.createDataFrame([(999, "x")], "rid long, v string"))
+
+
+def test_s3_liquid_clustering_end_to_end(s3_env, spark, tmp_path):
+    """Clustered tables on an object store, jar-free: register clustering
+    columns through the conditional-PUT log, OPTIMIZE reads candidates via
+    the Python Data Source and writes the Hilbert cube from executors via
+    boto3, converges, and the incremental run touches only the append."""
+    from pyspark.sql import functions as F
+
+    from delta_sorter_spark.operators.cluster import cluster_status, optimize_clustered
+    from delta_sorter_spark.sources.delta_table import DeltaTable
+
+    local = str(tmp_path / "clust")
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("k1"),
+        ((F.col("id") * 2654435761) % 2000).alias("k2"),
+    )
+    DeltaTable.create(
+        spark, local, df.repartition(3), stat_columns=["k1", "k2"]
+    )
+    _upload_tree(local, "testbkt", "tables/clustered")
+    t = DeltaTable(spark, "s3://testbkt/tables/clustered")
+    t.set_clustering_columns(["k1", "k2"])
+    m1 = optimize_clustered(t, min_zcube_bytes=0, num_partitions=2)
+    assert not m1["noop"] and m1["candidate_files"] == 3
+    assert optimize_clustered(t, min_zcube_bytes=0)["noop"]
+    t.append(df.where("k1 < 50").selectExpr("k1 + 2000 AS k1", "k2").coalesce(1))
+    m2 = optimize_clustered(t, min_zcube_bytes=0, num_partitions=2)
+    assert m2["candidate_files"] == 1 and m2["stable_zcubes"] == 1
+    st = cluster_status(t)
+    assert st["unclustered_files"] == 0 and st["zcubes"] == 2
+    assert t.to_df().count() == 2050
+
+
+def test_s3_type_widening_end_to_end(s3_env, spark, tmp_path):
+    """Widen int->long on an s3:// table: the metadata commit goes through
+    the remote log, old int32 objects read through the data source's arrow
+    cast, and beyond-int32 appends land via the remote writer."""
+    from pyspark.sql import functions as F
+
+    from delta_sorter_spark.sources.delta_table import DeltaTable
+
+    BIG = 3_000_000_000
+    local = str(tmp_path / "tw")
+    df = spark.range(0, 100).select(
+        F.col("id").cast("int").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    DeltaTable.create(spark, local, df.coalesce(1), stat_columns=["k"])
+    _upload_tree(local, "testbkt", "tables/widen_me")
+    t = DeltaTable(spark, "s3://testbkt/tables/widen_me")
+    t.widen_column("k", "long")
+    assert "typeWidening" in t.state().protocol["readerFeatures"]
+    t.append(
+        spark.range(0, 5).select((F.col("id") + BIG).alias("k"), F.lit(0).alias("v"))
+    )
+    out = t.to_df()
+    assert dict(out.dtypes)["k"] == "bigint"
+    assert out.count() == 105
+    assert out.where(f"k >= {BIG}").count() == 5
+    # int32-era stats still prune under the widened type
+    assert len(t.files_matching(f"k = {BIG + 1}")) == 1
+
+
+def test_s3_v2_checkpoint_end_to_end(s3_env, spark, tmp_path):
+    """V2 checkpoint on an object store: the UUID-named top-level object,
+    the _sidecars/ manifest object, and the replay through both."""
+    from pyspark.sql import functions as F
+
+    from delta_sorter_spark.sources.delta_table import DeltaTable
+
+    local = str(tmp_path / "v2")
+    df = spark.range(0, 300).select(F.col("id").alias("k"))
+    DeltaTable.create(spark, local, df.repartition(2), stat_columns=["k"])
+    _upload_tree(local, "testbkt", "tables/v2ckpt")
+    t = DeltaTable(spark, "s3://testbkt/tables/v2ckpt")
+    t.append(df.selectExpr("k + 300 AS k").coalesce(1))
+    path = t.log.write_checkpoint(v2=True)
+    assert ".checkpoint." in path and not path.endswith("checkpoint.parquet")
+    fresh = DeltaTable(spark, "s3://testbkt/tables/v2ckpt")
+    assert "v2Checkpoint" in fresh.state().protocol["readerFeatures"]
+    assert fresh.to_df().count() == 600
+    fresh.append(df.selectExpr("k + 600 AS k").coalesce(1))
+    assert DeltaTable(spark, "s3://testbkt/tables/v2ckpt").to_df().count() == 900
