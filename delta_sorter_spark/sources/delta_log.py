@@ -874,8 +874,15 @@ class DeltaLog:
         self.fs.write_text(self.fs.join(self.log_dir, "_last_checkpoint"), ptr)
         return ckpt_path
 
-    def maybe_checkpoint(self, version: int) -> None:
-        if version > 0 and version % self.CHECKPOINT_INTERVAL == 0:
+    def maybe_checkpoint(self, version: int, configuration: dict | None = None) -> None:
+        interval = self.CHECKPOINT_INTERVAL
+        raw = (configuration or {}).get("delta.checkpointInterval")
+        if raw is not None:
+            try:
+                interval = max(1, int(raw))
+            except (TypeError, ValueError):
+                pass  # malformed property: keep the engine default
+        if version > 0 and version % interval == 0:
             try:
                 self.write_checkpoint()
             except Exception:  # checkpointing is an optimization, never fatal
@@ -1015,7 +1022,10 @@ class DeltaLog:
                     state.version + 1, actions, operation, operation_params,
                     in_commit_timestamp=ict,
                 )
-                self.maybe_checkpoint(version)
+                self.maybe_checkpoint(
+                    version,
+                    state.metadata.configuration if state.metadata else None,
+                )
                 return version
             except DeltaCommitConflict:
                 time.sleep(0.05)

@@ -90,3 +90,21 @@ def test_cli_checkpoint_v2(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "checkpoint written" in out
     assert DeltaTable(spark, tbl.table_path).to_df().count() == 400
+
+
+def test_checkpoint_interval_property_honored(spark, tmp_path):
+    """delta.checkpointInterval overrides the engine-default cadence (10)."""
+    df = spark.range(5).select(F.col("id").alias("k"))
+    tbl = DeltaTable.create(spark, str(tmp_path / "t"), df.coalesce(1))
+    tbl.set_table_properties({"delta.checkpointInterval": "3"})
+    for i in range(4):
+        tbl.append(df.selectExpr(f"k + {5 * (i + 1)} AS k").coalesce(1))
+    # commits: v0 create + v1 data + v2 property + v3..v6 appends;
+    # interval 3 -> checkpoints at v3 and v6 (default 10 would write none)
+    assert tbl.log._last_checkpoint_version() == 6
+    assert os.path.exists(
+        os.path.join(
+            tbl.table_path, "_delta_log", f"{3:020d}.checkpoint.parquet"
+        )
+    )
+    assert DeltaTable(spark, tbl.table_path).to_df().count() == 25
