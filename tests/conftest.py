@@ -33,6 +33,11 @@ SLOW_TESTS = {
     "test_validate_and_compact.py::test_spark_check_path_matches_driver_path",
     "test_validate_and_compact.py::test_bin_pack_compact_coalesces_small_files",
     "test_validate_and_compact.py::test_concurrent_compacts_conflict_safe",
+    # clustering integration variants: the fast tier keeps the core
+    # register/optimize/converge/prune coverage; these stress interplay
+    "test_liquid_clustering.py::test_concurrent_append_during_optimize_survives",
+    "test_liquid_clustering.py::test_vacuum_collects_pre_cluster_files",
+    "test_liquid_clustering.py::test_clone_carries_clustering",
 }
 
 
