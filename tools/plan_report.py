@@ -125,6 +125,13 @@ def main() -> int:
         " centroid rows, not data x data; a14's is a one-row scalar-subquery"
         " threshold broadcast.",
         "",
+        "Lifecycle queries (q15-q25, m-series composites) return eagerly"
+        " checkpointed frames, so their rows show the REPLAY's plan (trivial),"
+        " not the lifecycle's — those shapes are audited where they live:"
+        " clustering OPTIMIZE is one repartitionByRange(curve) exchange +"
+        " per-range sort over ONLY candidate files (operators/cluster.py),"
+        " the strict-sort write shape with the Hilbert/Morton value as key.",
+        "",
         "| query | scans | cached | pushdown | exch | BHJ | SMJ | NLJ/cart | python |",
         "|---|---|---|---|---|---|---|---|---|",
     ]
