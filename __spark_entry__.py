@@ -4930,6 +4930,92 @@ SELECT id_a, id_b, hamming FROM phpairs
 # ---------------------------------------------------------------------------
 
 
+# ---------------------------------------------------------------------------
+# P5: lakehouse lifecycle composition — the round-7 protocol features
+# interoperating in ONE hash-checked pipeline: clustered create (q21) ->
+# OPTIMIZE -> widen the clustering key int->long (q22) -> beyond-int32
+# append (lands unclustered) -> merge-on-read DV DELETE -> second OPTIMIZE
+# (folds the append in, applies the DV physically, old cube untouched) ->
+# V2 checkpoint (q24) -> fresh-reader aggregate.  Each feature is
+# oracle-checked alone; this entry proves the COMPOSITION: a widened key
+# flowing through curve re-layout, DV exclusion riding a rewrite, and a
+# sidecar checkpoint replay of the result.
+# ---------------------------------------------------------------------------
+
+_P5_SHIFT = 3_000_000_000
+
+
+def q_p5_lakehouse_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from delta_sorter_spark.operators.cluster import optimize_clustered
+    from delta_sorter_spark.operators.dml import delete_where_dv
+    from delta_sorter_spark.sources.delta_table import DeltaTable
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").cast("int").alias("k"),
+        F.col("l_partkey").alias("p"),
+        F.col("l_quantity").alias("qty"),
+    )
+    scratch = tempfile.mkdtemp(prefix="p5_life_")
+    try:
+        tbl = DeltaTable.create(
+            spark,
+            os.path.join(scratch, "t"),
+            li.where(F.col("k") % 3 < 2).repartition(3),
+            stat_columns=["k", "p"],
+        )
+        tbl.set_clustering_columns(["k", "p"])
+        m1 = optimize_clustered(tbl, min_zcube_bytes=0, num_partitions=4)
+        assert m1["candidate_files"] == 3
+        tbl.widen_column("k", "long")
+        tbl.append(
+            li.where(F.col("k") % 3 == 2)
+            .select((F.col("k") + _P5_SHIFT).alias("k"), "p", "qty")
+            .coalesce(1)
+        )
+        delete_where_dv(tbl, "k % 10 = 7")
+        m2 = optimize_clustered(tbl, min_zcube_bytes=0, num_partitions=4)
+        # only the append rewrites; the widened-key cube stays put
+        assert m2["candidate_files"] == 1 and m2["stable_zcubes"] == 1
+        tbl.log.write_checkpoint(v2=True)
+        fresh = DeltaTable(spark, tbl.table_path)
+        out = (
+            fresh.to_df()
+            .groupBy((F.col("k") % 4).alias("k_bucket"))
+            .agg(
+                F.count("*").alias("n_items"),
+                F.max("k").alias("max_k"),
+                F.sum(F.col("qty").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("sum_qty"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+_P5_SQL = f"""
+WITH lifecycle AS (
+  SELECT CAST(l_orderkey AS BIGINT) AS k, l_quantity AS qty
+  FROM lineitem WHERE l_orderkey % 3 < 2
+  UNION ALL
+  SELECT CAST(l_orderkey AS BIGINT) + {_P5_SHIFT}, l_quantity
+  FROM lineitem WHERE l_orderkey % 3 = 2
+)
+SELECT k % 4 AS k_bucket,
+       count(*) AS n_items,
+       CAST(max(k) AS BIGINT) AS max_k,
+       CAST(sum(CAST(qty AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lifecycle
+WHERE k % 10 <> 7
+GROUP BY 1
+"""
+
+
 def q_p4_multimodal_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from delta_sorter_spark.operators.graph import connected_components
     from delta_sorter_spark.operators.multimodal import phash_near_dup
@@ -8616,6 +8702,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q23_variant_events": q_q23_variant_events,
         "q24_v2_checkpoint": q_q24_v2_checkpoint,
         "q25_column_defaults": q_q25_column_defaults,
+        "p5_lakehouse_lifecycle": q_p5_lakehouse_lifecycle,
         "e1_exact_dedup": q_e1_exact_dedup,
         "e2_minhash_sig": q_e2_minhash_sig,
         "e3_lsh_candidates": q_e3_lsh_candidates,
@@ -8761,6 +8848,7 @@ def oracle_sql() -> dict[str, str]:
         "q23_variant_events": _Q23_SQL,
         "q24_v2_checkpoint": _Q24_SQL,
         "q25_column_defaults": _Q25_SQL,
+        "p5_lakehouse_lifecycle": _P5_SQL,
         "e1_exact_dedup": _E1_SQL,
         "e2_minhash_sig": _E2_SQL,
         "e3_lsh_candidates": _E3_SQL,

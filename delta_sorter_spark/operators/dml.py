@@ -738,6 +738,9 @@ def delete_where_dv(
                 # same physical file: row ids are position-based and stable
                 base_row_id=old.base_row_id,
                 default_row_commit_version=old.default_row_commit_version,
+                # ...and the clustering attestation stays true of its bytes
+                tags=old.tags,
+                clustering_provider=old.clustering_provider,
             )
         )
     n_dv_files = len(new_adds)
@@ -1139,6 +1142,8 @@ def migrate_deletion_vectors(table: DeltaTable) -> dict:
                 deletion_vector=dv,
                 base_row_id=old.base_row_id,
                 default_row_commit_version=old.default_row_commit_version,
+                tags=old.tags,
+                clustering_provider=old.clustering_provider,
             )
         )
     version = table.commit_rewrite(

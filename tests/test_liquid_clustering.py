@@ -290,3 +290,26 @@ def test_detail_reports_clustering_columns(spark, tmp_path):
     d = tbl.detail()
     assert d["clusteringColumns"] == ["k1", "k2"]
     assert "clusteredTable" in d["tableFeatures"]
+
+
+def test_dv_delete_keeps_cube_clustered(spark, tmp_path):
+    """A merge-on-read DELETE re-Adds the same physical file with a DV —
+    the clustering attestation must ride along (the bytes ARE still
+    curve-ordered), so the cube is not demoted and OPTIMIZE stays a no-op;
+    a later rewrite that folds the cube in applies the DV physically."""
+    from delta_sorter_spark.operators.dml import delete_where_dv
+
+    tbl = make_table(spark, str(tmp_path / "t"))
+    tbl.set_clustering_columns(["k1", "k2"])
+    optimize_clustered(tbl, min_zcube_bytes=0)
+    delete_where_dv(tbl, "k1 % 100 = 7")
+    st = cluster_status(tbl)
+    assert st["unclustered_files"] == 0  # DV'd files stay attested
+    assert optimize_clustered(tbl, min_zcube_bytes=0)["noop"]
+    assert tbl.to_df().count() == N - N // 100
+    # merging the (now partial-by-policy) cube with new data purges the DV
+    append_batch(tbl, spark, N)
+    optimize_clustered(tbl, min_zcube_bytes=1 << 40)  # everything partial
+    state = tbl.state()
+    assert all(a.deletion_vector is None for a in state.adds)
+    assert tbl.to_df().count() == N - N // 100 + 500
