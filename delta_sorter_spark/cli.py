@@ -145,6 +145,12 @@ def build_parser() -> argparse.ArgumentParser:
         "converged; honors --dry-run and --target-file-size-bytes)",
     )
     p.add_argument(
+        "--cluster-status",
+        action="store_true",
+        help="Print the clustering state (columns, clustered/unclustered "
+        "file counts, ZCubes, bytes a next OPTIMIZE would touch) and exit",
+    )
+    p.add_argument(
         "--min-zcube-bytes",
         type=int,
         default=None,
@@ -223,6 +229,7 @@ def main(argv: list[str] | None = None) -> int:
         args.vacuum or args.checkpoint or args.enable_row_tracking
         or args.enable_in_commit_timestamps or args.add_constraint
         or args.drop_constraint or args.cluster_by or args.optimize_clustered
+        or args.cluster_status
     )
     if not sort_columns and not (
         args.history or args.detail or index_verb or maintenance_verb
@@ -349,6 +356,7 @@ def _run(args, sort_columns, api) -> int:
         args.vacuum or args.checkpoint or args.enable_row_tracking
         or args.enable_in_commit_timestamps or args.add_constraint
         or args.drop_constraint or args.cluster_by or args.optimize_clustered
+        or args.cluster_status
     ):
         from delta_sorter_spark.session import get_spark
         from delta_sorter_spark.sources.delta_table import DeltaTable
@@ -362,6 +370,18 @@ def _run(args, sort_columns, api) -> int:
                 print(f"error: {exc}", file=sys.stderr)
                 return 2
             print(f"clustering columns set cols={','.join(cols)} version={v}")
+        if args.cluster_status:
+            from delta_sorter_spark.operators.cluster import cluster_status
+
+            st = cluster_status(tbl)
+            cols = ",".join(st["clustering_columns"]) or "(none)"
+            print(
+                f"clustering cols={cols} files={st['files']} "
+                f"clustered={st['clustered_files']} "
+                f"unclustered={st['unclustered_files']} "
+                f"zcubes={st['zcubes']} "
+                f"next_optimize_bytes={st['unclustered_bytes']}"
+            )
         if args.optimize_clustered:
             from delta_sorter_spark.operators.cluster import (
                 DEFAULT_MIN_ZCUBE_BYTES,

@@ -221,6 +221,9 @@ def test_cli_cluster_verbs(spark, tmp_path, capsys):
         ["--table", path, "--optimize-clustered", "--min-zcube-bytes", "0"]
     ) == 0
     assert "converged" in capsys.readouterr().out
+    assert cli.main(["--table", path, "--cluster-status"]) == 0
+    out = capsys.readouterr().out
+    assert "cols=k1,k2" in out and "unclustered=0" in out and "zcubes=1" in out
     assert cli.main(["--table", path, "--cluster-by", "nope"]) == 2
 
 
