@@ -481,4 +481,18 @@ def _run(args, sort_columns, api) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    rc = main()
+    # Stop the JVM deliberately: py4j's atexit teardown can race the
+    # interpreter under CPU starvation and abort (exit 134) AFTER the verb
+    # already printed its result — which would corrupt the CLI's exit-code
+    # contract.  (main() itself never stops Spark: tests and embedders call
+    # it with a live session they keep using.)
+    try:
+        from pyspark.sql import SparkSession
+
+        active = SparkSession.getActiveSession()
+        if active is not None:
+            active.stop()
+    except Exception:
+        pass
+    sys.exit(rc)

@@ -56,11 +56,44 @@ DEFAULT_MIN_ZCUBE_BYTES = 100 * 1024 * 1024
 COLS_TAG = "deltaSorter.clusteringColumns"
 
 
+def _stats_bounds(candidates, cols: list[str], meta) -> list[tuple[int, int]] | None:
+    """Curve-bucketization bounds [(lo, hi), ...] from the candidates' OWN
+    log stats — the zone maps every write attests — so the rewrite never
+    pays a second scan of 100 TB just to size its grid.  None when any
+    file lacks a stat (caller falls back to one agg job).  DV-hidden rows
+    may widen the range; bounds only bucketize, wider is harmless."""
+    from delta_sorter_spark.sources.delta_table import parse_stat
+
+    schema = meta.schema
+    int_types = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    if not all(isinstance(schema[c].dataType, int_types) for c in cols):
+        return None  # curve paths need integers; range-sort ignores bounds
+    out = []
+    for c in cols:
+        pc = meta.physical_of(c)
+        lo = hi = None
+        for a in candidates:
+            stats = a.stats or {}
+            raw_lo = (stats.get("minValues") or {}).get(pc)
+            raw_hi = (stats.get("maxValues") or {}).get(pc)
+            if raw_lo is None or raw_hi is None:
+                return None
+            flo = parse_stat(raw_lo, schema[c].dataType)
+            fhi = parse_stat(raw_hi, schema[c].dataType)
+            if flo is None or fhi is None:
+                return None
+            lo = flo if lo is None else min(lo, flo)
+            hi = fhi if hi is None else max(hi, fhi)
+        out.append((int(lo), int(hi)))
+    return out
+
+
 def _curve_layout(
     df: DataFrame,
     cols: list[str],
     bits: int,
     num_partitions: int | None,
+    bounds: list[tuple[int, int]] | None = None,
 ) -> DataFrame:
     """Cluster ``df`` for the given columns: Hilbert curve for 2 integer
     columns (tightest 2-D locality), Morton for 3+, multi-column range sort
@@ -71,9 +104,13 @@ def _curve_layout(
     int_types = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
     all_int = all(isinstance(df.schema[c].dataType, int_types) for c in cols)
     if all_int and len(cols) == 2:
-        return hilbert_layout(df, cols, bits=bits, num_partitions=num_partitions)
+        return hilbert_layout(
+            df, cols, bounds=bounds, bits=bits, num_partitions=num_partitions
+        )
     if all_int and len(cols) > 2:
-        return zorder_layout(df, cols, bits=bits, num_partitions=num_partitions)
+        return zorder_layout(
+            df, cols, bounds=bounds, bits=bits, num_partitions=num_partitions
+        )
     n = num_partitions or int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
     )
@@ -183,7 +220,8 @@ def optimize_clustered(
         return metrics
 
     df = table.read_for_rewrite(candidates, state.metadata)
-    clustered_df = _curve_layout(df, cols, bits, num_partitions)
+    bounds = _stats_bounds(candidates, cols, state.metadata)
+    clustered_df = _curve_layout(df, cols, bits, num_partitions, bounds=bounds)
     zcube_id = uuid.uuid4().hex
     adds_out = [
         dataclasses.replace(
