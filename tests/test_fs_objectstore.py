@@ -144,7 +144,9 @@ def test_checkpoint_parquet_is_protocol_shaped():
     path = log.write_checkpoint()
     table = pq.read_table(io.BytesIO(log.fs.read_bytes(path)))
     assert set(table.column_names) == {
-        "protocol", "metaData", "txn", "add", "remove", "domainMetadata"
+        "protocol", "metaData", "txn", "add", "remove", "domainMetadata",
+        # v2-checkpoint actions: nullable in every classic checkpoint row
+        "checkpointMetadata", "sidecar",
     }
     rows = table.to_pylist()
     assert sum(1 for r in rows if r["protocol"] is not None) == 1
