@@ -177,6 +177,14 @@ def build_parser() -> argparse.ArgumentParser:
         "(bounds log-replay cost for all readers)",
     )
     p.add_argument(
+        "--cleanup-log",
+        action="store_true",
+        help="Delete commit json / checkpoint files superseded by the "
+        "latest checkpoint and older than --retention-hours (default 720 "
+        "= Delta's 30-day logRetentionDuration), then exit; combine with "
+        "--dry-run to list. Trades away time travel before the cutoff",
+    )
+    p.add_argument(
         "--checkpoint-v2",
         action="store_true",
         help="With --checkpoint: write a V2 checkpoint (protocol "
@@ -229,7 +237,7 @@ def main(argv: list[str] | None = None) -> int:
         args.vacuum or args.checkpoint or args.enable_row_tracking
         or args.enable_in_commit_timestamps or args.add_constraint
         or args.drop_constraint or args.cluster_by or args.optimize_clustered
-        or args.cluster_status
+        or args.cluster_status or args.cleanup_log
     )
     if not sort_columns and not (
         args.history or args.detail or index_verb or maintenance_verb
@@ -356,7 +364,7 @@ def _run(args, sort_columns, api) -> int:
         args.vacuum or args.checkpoint or args.enable_row_tracking
         or args.enable_in_commit_timestamps or args.add_constraint
         or args.drop_constraint or args.cluster_by or args.optimize_clustered
-        or args.cluster_status
+        or args.cluster_status or args.cleanup_log
     ):
         from delta_sorter_spark.session import get_spark
         from delta_sorter_spark.sources.delta_table import DeltaTable
@@ -444,6 +452,16 @@ def _run(args, sort_columns, api) -> int:
         if args.checkpoint:
             path = tbl.log.write_checkpoint(v2=args.checkpoint_v2)
             print(f"checkpoint written: {path}")
+        if args.cleanup_log:
+            hours = args.retention_hours if args.retention_hours else 720.0
+            r = tbl.log.cleanup_metadata(
+                retention_seconds=hours * 3600.0, dry_run=args.dry_run
+            )
+            verb = "would delete" if args.dry_run else "deleted"
+            print(
+                f"log cleanup {verb} {len(r['deleted'])} file(s); "
+                f"replay floor v{r['cutoff_version']}"
+            )
         return 0
 
     if args.validate_only:

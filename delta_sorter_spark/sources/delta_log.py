@@ -874,6 +874,96 @@ class DeltaLog:
         self.fs.write_text(self.fs.join(self.log_dir, "_last_checkpoint"), ptr)
         return ckpt_path
 
+    def cleanup_metadata(
+        self, retention_seconds: float = 30 * 86400.0, dry_run: bool = False
+    ) -> dict:
+        """Delta's log metadata cleanup (``delta.logRetentionDuration``):
+        delete commit json and checkpoint files SUPERSEDED by a newer
+        checkpoint, once older than the retention window.  At 100 TB a hot
+        table accrues millions of commits; replay only ever needs the
+        latest checkpoint plus the commits after it, so everything before
+        the latest checkpoint is dead weight for every reader's listing.
+
+        Safety rules, per Delta:
+        - nothing at or after the LATEST checkpoint version is touched
+          (including that checkpoint itself) — replay stays intact;
+        - files younger than ``retention_seconds`` survive (an in-flight
+          reader may still be resolving them);
+        - V2 sidecars survive while ANY surviving UUID checkpoint
+          references them.
+
+        The documented trade is time travel: versions before the earliest
+        retained commit become unreadable (same contract as VACUUM for
+        data files).  Returns {"deleted", "kept", "cutoff_version"}."""
+        import pyarrow.parquet as pq
+
+        ckpt_version = self._last_checkpoint_version()
+        if ckpt_version is None:
+            return {"deleted": [], "kept": 0, "cutoff_version": None}
+        now = time.time()
+        try:
+            entries = self.fs.list_files_recursive(self.log_dir)
+        except FileNotFoundError:
+            return {"deleted": [], "kept": 0, "cutoff_version": ckpt_version}
+
+        def version_of(name: str) -> int | None:
+            head = name.split(".", 1)[0]
+            return int(head) if head.isdigit() and len(head) == 20 else None
+
+        # sidecars referenced by ANY surviving checkpoint stay
+        referenced: set[str] = set()
+        keep_all_sidecars = False
+        doomed, kept = [], 0
+        # list_files_recursive yields log_dir-RELATIVE paths
+        for rel, mtime in entries:
+            name = rel.replace("\\", "/")
+            if name.startswith("_sidecars/") or name == "_last_checkpoint":
+                continue  # sidecars resolved below; pointer always kept
+            v = version_of(name)
+            is_log = name.endswith(".json") or ".checkpoint." in name or name.endswith(
+                ".checkpoint.parquet"
+            )
+            if v is None or not is_log:
+                kept += 1
+                continue
+            if v < ckpt_version and (now - mtime) >= retention_seconds:
+                doomed.append(name)
+            else:
+                kept += 1
+                if ".checkpoint." in name and name.endswith(".parquet") and not name.endswith(
+                    ".checkpoint.parquet"
+                ):
+                    try:
+                        tbl = pq.read_table(
+                            io.BytesIO(self.fs.read_bytes(self.fs.join(self.log_dir, name)))
+                        )
+                        if "sidecar" in tbl.column_names:
+                            for sc in tbl.column("sidecar").to_pylist():
+                                if sc and sc.get("path"):
+                                    referenced.add(sc["path"])
+                    except Exception:
+                        keep_all_sidecars = True  # unreadable survivor
+        for rel, mtime in entries:
+            rel = rel.replace("\\", "/")
+            if not rel.startswith("_sidecars/"):
+                continue
+            sc_name = rel.split("/", 1)[1]
+            if (
+                not keep_all_sidecars
+                and sc_name not in referenced
+                and (now - mtime) >= retention_seconds
+            ):
+                doomed.append(rel)
+            else:
+                kept += 1
+        if not dry_run:
+            for rel in doomed:
+                try:
+                    self.fs.delete(self.fs.join(self.log_dir, rel))
+                except FileNotFoundError:
+                    pass
+        return {"deleted": sorted(doomed), "kept": kept, "cutoff_version": ckpt_version}
+
     def maybe_checkpoint(self, version: int, configuration: dict | None = None) -> None:
         interval = self.CHECKPOINT_INTERVAL
         raw = (configuration or {}).get("delta.checkpointInterval")

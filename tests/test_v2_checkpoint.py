@@ -108,3 +108,70 @@ def test_checkpoint_interval_property_honored(spark, tmp_path):
         )
     )
     assert DeltaTable(spark, tbl.table_path).to_df().count() == 25
+
+
+def test_cleanup_metadata_trims_superseded_log(spark, tmp_path):
+    """Log metadata cleanup: commits and checkpoints superseded by the
+    latest checkpoint vanish (once past retention), replay stays exact,
+    and pre-cutoff time travel degrades to a clear range error."""
+    df = spark.range(5).select(F.col("id").alias("k"))
+    tbl = DeltaTable.create(spark, str(tmp_path / "t"), df.coalesce(1))
+    for i in range(12):  # versions 2..13; auto-checkpoints at v10
+        tbl.append(df.selectExpr(f"k + {5 * (i + 1)} AS k").coalesce(1))
+    assert tbl.log._last_checkpoint_version() == 10
+    n_before = tbl.to_df().count()
+
+    r = tbl.log.cleanup_metadata(retention_seconds=0.0, dry_run=True)
+    assert r["cutoff_version"] == 10 and len(r["deleted"]) > 0
+    assert all(".json" in d or "checkpoint" in d for d in r["deleted"])
+    # dry run deleted nothing
+    assert tbl.log._commit_versions()[0] == 0
+
+    r = tbl.log.cleanup_metadata(retention_seconds=0.0)
+    assert tbl.log._commit_versions()[0] == 10  # pre-checkpoint json gone
+    fresh = DeltaTable(spark, tbl.table_path)
+    assert fresh.to_df().count() == n_before
+    assert fresh.to_df(version=12).count() == n_before - 5
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not in log range"):
+        fresh.to_df(version=5)
+    # retention window protects everything (fresh files)
+    assert tbl.log.cleanup_metadata(retention_seconds=3600.0)["deleted"] == []
+
+
+def test_cleanup_metadata_keeps_referenced_sidecars(spark, tmp_path):
+    df = spark.range(50).select(F.col("id").alias("k"))
+    tbl = DeltaTable.create(spark, str(tmp_path / "t"), df.coalesce(1))
+    tbl.append(df.selectExpr("k + 50 AS k").coalesce(1))
+    tbl.log.write_checkpoint(v2=True)  # v3 (incl. feature commit)
+    tbl.append(df.selectExpr("k + 100 AS k").coalesce(1))
+    tbl.log.write_checkpoint(v2=True)  # v4: supersedes v3's sidecar
+    sc_dir = os.path.join(tbl.table_path, "_delta_log", "_sidecars")
+    assert len(os.listdir(sc_dir)) == 2
+    r = tbl.log.cleanup_metadata(retention_seconds=0.0)
+    # v3's checkpoint + sidecar collected; v4's survive
+    assert len(os.listdir(sc_dir)) == 1
+    assert any("_sidecars/" in d for d in r["deleted"])
+    fresh = DeltaTable(spark, tbl.table_path)
+    assert fresh.to_df().count() == 150
+
+
+def test_cli_cleanup_log(spark, tmp_path, capsys):
+    from delta_sorter_spark import cli
+
+    df = spark.range(5).select(F.col("id").alias("k"))
+    tbl = DeltaTable.create(spark, str(tmp_path / "t"), df.coalesce(1))
+    for i in range(12):
+        tbl.append(df.selectExpr(f"k + {5 * (i + 1)} AS k").coalesce(1))
+    assert cli.main(
+        ["--table", tbl.table_path, "--cleanup-log", "--dry-run"]
+    ) == 0
+    out = capsys.readouterr().out
+    # default 720h retention: everything is younger -> nothing to delete
+    assert "would delete 0 file(s)" in out
+    assert cli.main(
+        ["--table", tbl.table_path, "--cleanup-log", "--retention-hours", "1e-9"]
+    ) == 0
+    assert "deleted" in capsys.readouterr().out
+    assert DeltaTable(spark, tbl.table_path).to_df().count() == 65
