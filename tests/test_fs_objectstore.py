@@ -836,3 +836,24 @@ def test_s3_v2_checkpoint_end_to_end(s3_env, spark, tmp_path):
     assert fresh.to_df().count() == 600
     fresh.append(df.selectExpr("k + 600 AS k").coalesce(1))
     assert DeltaTable(spark, "s3://testbkt/tables/v2ckpt").to_df().count() == 900
+
+
+def test_s3_cleanup_metadata_end_to_end(s3_env, spark, tmp_path):
+    """Log metadata cleanup through the object-store fs layer: superseded
+    commit objects vanish, replay from the surviving checkpoint is exact."""
+    from pyspark.sql import functions as F
+
+    from delta_sorter_spark.sources.delta_table import DeltaTable
+
+    local = str(tmp_path / "clean")
+    df = spark.range(10).select(F.col("id").alias("k"))
+    DeltaTable.create(spark, local, df.coalesce(1))
+    _upload_tree(local, "testbkt", "tables/cleanup_me")
+    t = DeltaTable(spark, "s3://testbkt/tables/cleanup_me")
+    for i in range(11):  # cross the checkpoint cadence remotely
+        t.append(df.selectExpr(f"k + {10 * (i + 1)} AS k").coalesce(1))
+    assert t.log._last_checkpoint_version() == 10
+    r = t.log.cleanup_metadata(retention_seconds=0.0)
+    assert r["deleted"] and t.log._commit_versions()[0] == 10
+    fresh = DeltaTable(spark, "s3://testbkt/tables/cleanup_me")
+    assert fresh.to_df().count() == 120
