@@ -1517,6 +1517,8 @@ class DeltaTable:
             )
         return adds
 
+    OPTIMIZE_WRITE_PROP = "delta.autoOptimize.optimizeWrite"
+
     def append(
         self,
         df: DataFrame,
@@ -1525,6 +1527,7 @@ class DeltaTable:
         txn_app_id: str | None = None,
         txn_version: int | None = None,
         return_committed: bool = False,
+        optimize_write: bool | None = None,
     ) -> int | tuple[int, bool]:
         """Append rows, optionally evolving the schema (Delta's
         ``mergeSchema`` write): new columns in ``df`` widen the table schema
@@ -1620,7 +1623,43 @@ class DeltaTable:
             stat_columns = list(stat_columns or []) + [
                 c for c in alloc if c not in (stat_columns or [])
             ]
+        # Optimized write for clustered tables (Delta's
+        # delta.autoOptimize.optimizeWrite, param overrides the property):
+        # the batch curve-lays ITSELF out and lands as its own (small)
+        # ZCube, so ingest contributes clustering instead of deferring all
+        # of it to OPTIMIZE — which then only merges partial cubes.  Costs
+        # one shuffle of the batch (batch-sized, not table-sized).
+        ow = optimize_write
+        if ow is None:
+            ow = str(
+                (meta.configuration or {}).get(self.OPTIMIZE_WRITE_PROP, "")
+            ).lower() == "true"
+        cluster_cols = self.clustering_columns(state0) if ow else []
+        if cluster_cols:
+            from delta_sorter_spark.operators.cluster import COLS_TAG, _curve_layout
+
+            filled = _curve_layout(filled, cluster_cols, bits=8, num_partitions=None)
+            stat_columns = list(stat_columns or []) + [
+                c for c in cluster_cols if c not in (stat_columns or [])
+            ]
         adds = self.stage_write(filled, stat_columns=stat_columns, schema=write_schema)
+        if cluster_cols:
+            import dataclasses as _dc
+
+            zcube_id = uuid.uuid4().hex
+            attest = ",".join(meta.physical_names(cluster_cols))
+            adds = [
+                _dc.replace(
+                    a,
+                    clustering_provider=self.CLUSTERING_PROVIDER,
+                    tags={
+                        **(a.tags or {}),
+                        self.ZCUBE_TAG: zcube_id,
+                        COLS_TAG: attest,
+                    },
+                )
+                for a in adds
+            ]
         identity_action = self._identity_meta_action(
             write_schema, adds, meta.partition_columns
         )

@@ -316,3 +316,34 @@ def test_dv_delete_keeps_cube_clustered(spark, tmp_path):
     state = tbl.state()
     assert all(a.deletion_vector is None for a in state.adds)
     assert tbl.to_df().count() == N - N // 100 + 500
+
+
+def test_optimize_write_clusters_on_ingest(spark, tmp_path):
+    """delta.autoOptimize.optimizeWrite on a clustered table: the batch
+    curve-lays itself out and lands as its OWN ZCube, so OPTIMIZE only
+    merges partial cubes instead of re-laying raw appends."""
+    tbl = make_table(spark, str(tmp_path / "t"), files=2, n=1000)
+    tbl.set_clustering_columns(["k1", "k2"])
+    optimize_clustered(tbl, min_zcube_bytes=0)
+    tbl.set_table_properties({"delta.autoOptimize.optimizeWrite": "true"})
+
+    append_batch(tbl, spark, 1000, n=400)
+    st = cluster_status(tbl)
+    assert st["unclustered_files"] == 0  # the append IS clustered
+    assert st["zcubes"] == 2
+    # stable-cube policy: nothing to merge -> converged without a rewrite
+    assert optimize_clustered(tbl, min_zcube_bytes=0)["noop"]
+    # param override beats the property
+    tbl.append(
+        spark.range(1400, 1500).select(
+            F.col("id").alias("k1"),
+            ((F.col("id") * 2654435761) % N).alias("k2"),
+            (F.col("id") % 97).alias("v"),
+        ),
+        optimize_write=False,
+    )
+    assert cluster_status(tbl)["unclustered_files"] >= 1
+    # default min-cube policy merges the small cubes + the raw append
+    m = optimize_clustered(tbl)
+    assert not m["noop"] and cluster_status(tbl)["zcubes"] == 1
+    assert tbl.to_df().count() == 1500
