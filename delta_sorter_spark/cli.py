@@ -166,9 +166,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--retention-hours",
         type=float,
-        default=0.0,
+        default=None,
         help="With --vacuum: skip files modified more recently than this "
-        "(protects in-flight writers; default 0 suits single-writer use)",
+        "(protects in-flight writers; default honors the table's "
+        "delta.deletedFileRetentionDuration property, else 0). With "
+        "--cleanup-log: the log retention window (default 720 = 30 days)",
     )
     p.add_argument(
         "--checkpoint",
@@ -443,7 +445,11 @@ def _run(args, sort_columns, api) -> int:
         if args.vacuum:
             doomed = tbl.vacuum(
                 dry_run=args.dry_run,
-                retention_seconds=args.retention_hours * 3600.0,
+                retention_seconds=(
+                    args.retention_hours * 3600.0
+                    if args.retention_hours is not None
+                    else None
+                ),
             )
             verb = "would delete" if args.dry_run else "deleted"
             print(f"vacuum {verb} {len(doomed)} file(s)")
@@ -453,7 +459,7 @@ def _run(args, sort_columns, api) -> int:
             path = tbl.log.write_checkpoint(v2=args.checkpoint_v2)
             print(f"checkpoint written: {path}")
         if args.cleanup_log:
-            hours = args.retention_hours if args.retention_hours else 720.0
+            hours = args.retention_hours if args.retention_hours is not None else 720.0
             r = tbl.log.cleanup_metadata(
                 retention_seconds=hours * 3600.0, dry_run=args.dry_run
             )

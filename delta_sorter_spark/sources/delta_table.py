@@ -235,6 +235,24 @@ def _writer_feature_upgrade(state, new_features: set[str]) -> dict | None:
     return {"protocol": proto}
 
 
+def _parse_retention_interval(raw: str | None) -> float:
+    """``delta.deletedFileRetentionDuration`` -> seconds (Delta's
+    ``interval N days|hours|minutes`` syntax; case-insensitive, singular or
+    plural units).  Malformed or absent -> 0.0 (the engine default)."""
+    if not raw:
+        return 0.0
+    parts = str(raw).strip().lower().split()
+    if len(parts) != 3 or parts[0] != "interval":
+        return 0.0
+    try:
+        n = float(parts[1])
+    except ValueError:
+        return 0.0
+    unit = parts[2].rstrip("s")
+    seconds = {"day": 86400.0, "hour": 3600.0, "minute": 60.0, "second": 1.0}
+    return n * seconds.get(unit, 0.0)
+
+
 _READER_WRITER_FEATURES = {
     "deletionVectors",
     "columnMapping",
@@ -2915,14 +2933,20 @@ class DeltaTable:
                 return None
         return (lo, hi)
 
-    def vacuum(self, dry_run: bool = False, retention_seconds: float = 0.0) -> list[str]:
+    def vacuum(
+        self, dry_run: bool = False, retention_seconds: float | None = None
+    ) -> list[str]:
         """Delete data files in the table directory that are no longer
         referenced by the log (tombstoned by rewrites, or orphaned by failed
         writers).  Returns the deleted (or would-delete) relative paths.
 
         ``retention_seconds`` skips recently-modified files so in-flight
         writers' staged-then-moved files aren't collected (Delta's VACUUM
-        retention idea; default 0 suits tests and single-writer use).
+        retention idea).  Default (None) honors the table's
+        ``delta.deletedFileRetentionDuration`` property when set
+        (``interval N days/hours/minutes``, Delta's syntax) and falls back
+        to 0, which suits tests and single-writer use; pass an explicit
+        value to override either way.
 
         Runs entirely through the fs layer (recursive listing + deletes),
         so the same sweep works on local paths and remote table URIs —
@@ -2931,6 +2955,12 @@ class DeltaTable:
         import time as _time
 
         state = self.state()
+        if retention_seconds is None:
+            retention_seconds = _parse_retention_interval(
+                (state.metadata.configuration or {}).get(
+                    "delta.deletedFileRetentionDuration"
+                )
+            )
         active = {a.path for a in state.adds}
         # deletion-vector payloads still referenced by an active Add:
         # protocol "u" descriptors resolve to their bin file; legacy JSON

@@ -58,3 +58,26 @@ def test_append_only_allows_append_and_maintenance(ao_table, spark):
     # feature enumeration: a later features upgrade lists appendOnly
     fresh.enable_row_tracking()
     assert "appendOnly" in fresh.state().protocol["writerFeatures"]
+
+
+def test_vacuum_honors_retention_property(spark, tmp_path):
+    from delta_sorter_spark.operators.dml import delete_where
+    from delta_sorter_spark.sources.delta_table import _parse_retention_interval
+
+    assert _parse_retention_interval("interval 7 days") == 7 * 86400.0
+    assert _parse_retention_interval("INTERVAL 2 Hours") == 7200.0
+    assert _parse_retention_interval("interval 1 minute") == 60.0
+    assert _parse_retention_interval("garbage") == 0.0
+    assert _parse_retention_interval(None) == 0.0
+
+    df = spark.range(20).select(F.col("id").alias("k"))
+    tbl = DeltaTable.create(spark, str(tmp_path / "t"), df.coalesce(1))
+    tbl.set_table_properties(
+        {"delta.deletedFileRetentionDuration": "interval 1 hours"}
+    )
+    delete_where(tbl, "k < 5")  # tombstones the original file
+    # property default: everything is younger than 1h -> protected
+    assert tbl.vacuum() == []
+    # explicit override still wins
+    assert len(tbl.vacuum(retention_seconds=0.0)) >= 1
+    assert tbl.to_df().count() == 15
