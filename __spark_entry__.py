@@ -7270,6 +7270,148 @@ GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# Q26: log metadata cleanup — 12 appends cross the checkpoint cadence, then
+# cleanup_metadata deletes every commit json superseded by the latest
+# checkpoint; the fresh reader must replay the FULL state from checkpoint +
+# surviving commits alone.  A row lost with the deleted log files, or a
+# cleanup that touched a replay-critical file, breaks the hash.
+# ---------------------------------------------------------------------------
+
+
+def q_q26_log_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from delta_sorter_spark.sources.delta_table import DeltaTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    scratch = tempfile.mkdtemp(prefix="q26_lc_")
+    try:
+        mod = F.col("o_orderkey") % 15
+        tbl = DeltaTable.create(
+            spark,
+            os.path.join(scratch, "t"),
+            orders.where(mod == 0).coalesce(1),
+            stat_columns=["o_orderkey"],
+        )
+        for i in range(1, 13):  # versions 2..13; auto-checkpoint at 10
+            tbl.append(orders.where(mod == i).coalesce(1))
+        assert tbl.log._last_checkpoint_version() == 10
+        r = tbl.log.cleanup_metadata(retention_seconds=0.0)
+        assert r["deleted"] and tbl.log._commit_versions()[0] == 10
+        fresh = DeltaTable(spark, tbl.table_path)
+        out = (
+            fresh.to_df()
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("sum_price"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+_Q26_SQL = """
+SELECT o_orderstatus,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders
+WHERE o_orderkey % 15 <= 12
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# S7: streaming ingest into a CLUSTERED table — the events parquet streams
+# one file per trigger through an exactly-once foreachBatch sink that
+# appends with optimize_write=True, so every micro-batch lands as its own
+# curve-laid ZCube (clustered ON ingest); a final OPTIMIZE merges the
+# partial cubes into one.  Asserted in-line: all files clustered after the
+# drain, one cube after the merge.  The oracle is the plain aggregate —
+# streaming + clustering must be invisible to query results.
+# ---------------------------------------------------------------------------
+
+
+def q_s7_stream_clustered_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from delta_sorter_spark.operators.cluster import cluster_status, optimize_clustered
+    from delta_sorter_spark.sources.delta_table import DeltaTable
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    scratch = tempfile.mkdtemp(prefix="s7_sci_")
+    try:
+        seed = F.col("event_id") % 5 == 4
+        src = os.path.join(scratch, "src")
+        events.where(~seed).repartition(4).write.parquet(src)
+        tbl = DeltaTable.create(
+            spark,
+            os.path.join(scratch, "t"),
+            events.where(seed).coalesce(1),
+            stat_columns=["event_id", "user_id"],
+        )
+        tbl.set_clustering_columns(["event_id", "user_id"])
+        optimize_clustered(tbl, min_zcube_bytes=0)  # seed cube
+
+        def sink(batch_df, batch_id):
+            tbl.append(
+                batch_df,
+                txn_app_id="s7-ingest",
+                txn_version=batch_id,
+                optimize_write=True,
+            )
+
+        q = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(scratch, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        st = cluster_status(tbl)
+        assert st["unclustered_files"] == 0 and st["zcubes"] >= 2
+        m = optimize_clustered(tbl, min_zcube_bytes=1 << 40)
+        assert not m["noop"]
+        assert cluster_status(tbl)["zcubes"] == 1
+        out = (
+            tbl.to_df()
+            .groupBy("event_type")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("sum_value"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+_S7_SQL = """
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # S6: stateful streaming dedup (streaming/events.streaming_dedup →
 # dropDuplicatesWithinWatermark) driven through the REAL micro-batch engine:
 # the events table is split into 4 files, streamed one file per trigger, so
@@ -8703,6 +8845,8 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q24_v2_checkpoint": q_q24_v2_checkpoint,
         "q25_column_defaults": q_q25_column_defaults,
         "p5_lakehouse_lifecycle": q_p5_lakehouse_lifecycle,
+        "q26_log_cleanup": q_q26_log_cleanup,
+        "s7_stream_clustered_ingest": q_s7_stream_clustered_ingest,
         "e1_exact_dedup": q_e1_exact_dedup,
         "e2_minhash_sig": q_e2_minhash_sig,
         "e3_lsh_candidates": q_e3_lsh_candidates,
@@ -8849,6 +8993,8 @@ def oracle_sql() -> dict[str, str]:
         "q24_v2_checkpoint": _Q24_SQL,
         "q25_column_defaults": _Q25_SQL,
         "p5_lakehouse_lifecycle": _P5_SQL,
+        "q26_log_cleanup": _Q26_SQL,
+        "s7_stream_clustered_ingest": _S7_SQL,
         "e1_exact_dedup": _E1_SQL,
         "e2_minhash_sig": _E2_SQL,
         "e3_lsh_candidates": _E3_SQL,
