@@ -8721,14 +8721,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # the salt_factor hook), m2/m4 (pluggable decoder/embedder hooks),
 # e59 (payload-carry rewrite: values ride the blocking windows).
 _RECHECK_THIS_ROUND = [
-    # round 7: codes-only ANN serving (the registered index no longer
-    # stores embeddings; exact cosine fetched for the shortlist only)
-    "q18_ann_index",
-    "q19_ann_ivf_index",
-    "q20_ann_residual_index",
-    # round 7: scan_with_positions grew the extra_fields passthrough
-    # (remote row tracking) — recheck its row-id consumer
-    "q16_row_tracking",
+    # round 8: the three validator queries — the reference's CORE contract
+    # (lib.rs:600-665, 578-598) — last drew a driver row in r3; the
+    # staleness tier alone kept losing them to large changed-sets, so pin
+    # them into the budget explicitly (VERDICT r7 item #3).
+    "v1_file_minmax",
+    "v2_file_sortedness",
+    "v3_boundary_check",
+    # round 8: checkpoint writer now carries unexpired remove tombstones
+    # (v2 routes them to sidecars) and commit_rewrite grew the DV-aware
+    # conflict check — recheck the lifecycle + replay consumers.
+    "p5_lakehouse_lifecycle",
+    "q26_log_cleanup",
 ]
 
 

@@ -102,6 +102,22 @@ ENTRY_QUERIES = [
 ]
 
 
+def _cpu_calibration_probe() -> float:
+    """Fixed-work single-thread CPU probe (pure Python SHA-256 chain, no
+    Spark, no IO): its wall-clock on an IDLE host is a stable constant for
+    a given interpreter+CPU, so any inflation of this number in a capture
+    measures HOST CONTENTION (CPU steal), not engine regression.  Run at
+    bench start and end; read the per-query timings relative to it.
+    Reference idle value for this container: see BASELINE.md §Calibration."""
+    import hashlib
+
+    h = b"\x00" * 64
+    t0 = time.monotonic()
+    for _ in range(500_000):
+        h = hashlib.sha256(h).digest()
+    return round(time.monotonic() - t0, 4)
+
+
 def main() -> int:
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -109,6 +125,8 @@ def main() -> int:
     import __spark_entry__ as entrymod
     from delta_sorter_spark.api import compact, validate
     from delta_sorter_spark.sources.delta_table import DeltaTable
+
+    calibration_start = _cpu_calibration_probe()
 
     spark = (
         SparkSession.builder.appName("delta-sorter-bench")
@@ -580,6 +598,7 @@ def main() -> int:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
+    calibration_end = _cpu_calibration_probe()
     print(
         json.dumps(
             {
@@ -588,6 +607,13 @@ def main() -> int:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_val,
+                # fixed-work CPU probe at bench start/end: inflation vs the
+                # BASELINE.md idle reference attributes capture-wide slowdown
+                # to host contention (CPU steal), machine-readably.
+                "calibration_s": {
+                    "start": calibration_start,
+                    "end": calibration_end,
+                },
             }
         )
     )

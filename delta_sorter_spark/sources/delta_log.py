@@ -155,6 +155,8 @@ class AddAction:
             partition_values=self.partition_values,
             size=self.size,
             data_change=data_change,
+            source_deletion_vector=self.deletion_vector,
+            source_modification_time=self.modification_time,
         )
 
 
@@ -165,6 +167,15 @@ class RemoveAction:
     size: int = 0
     data_change: bool = False
     deletion_timestamp: int = 0
+    # In-memory conflict-detection snapshot of the Add this remove was
+    # planned against (never serialized into the log).  commit_rewrite
+    # compares these against the CURRENTLY active Add for the path, so a
+    # concurrent writer that re-Adds the same path — e.g. delete_where_dv
+    # attaching a deletion vector — is detected, not just a vanished path.
+    # Without it, a rewrite materialized from pre-DV bytes would commit
+    # with dataChange=false and resurrect the concurrently deleted rows.
+    source_deletion_vector: dict | None = None
+    source_modification_time: int | None = None
 
     def to_json(self) -> dict:
         return {
@@ -283,6 +294,12 @@ class TableState:
     # string).  Row tracking keeps its id high-water mark in the
     # ``delta.rowTracking`` domain; a removed=true action deletes the key.
     domain_metadata: dict = field(default_factory=dict)
+    # Unexpired ``remove`` tombstones (path -> remove-action dict).  The
+    # protocol requires checkpoints to carry tombstones younger than
+    # ``delta.deletedFileRetentionDuration`` so VACUUM on any reader keeps
+    # working after log cleanup; a re-Add of the same path clears its
+    # tombstone.  Expiry is applied at checkpoint-write time, not here.
+    tombstones: dict = field(default_factory=dict)
 
     @property
     def row_id_high_water_mark(self) -> int:
@@ -596,6 +613,7 @@ class DeltaLog:
         txns: dict[str, int] = {}
         proto: dict = {"minReaderVersion": 1, "minWriterVersion": 2}
         domains: dict[str, str] = {}
+        removes: dict[str, dict] = {}
 
         ckpt_version = self._last_checkpoint_version()
         replay_from = 0
@@ -604,7 +622,7 @@ class DeltaLog:
             if ckpt_actions is not None:
                 for action in ckpt_actions:
                     metadata, adds = self._apply(
-                        action, metadata, adds, txns, proto, domains
+                        action, metadata, adds, txns, proto, domains, removes
                     )
                 replay_from = ckpt_version + 1
 
@@ -624,7 +642,7 @@ class DeltaLog:
                     if t is not None:
                         last_ts = int(t)
                 metadata, adds = self._apply(
-                    action, metadata, adds, txns, proto, domains
+                    action, metadata, adds, txns, proto, domains, removes
                 )
         if metadata is None:
             raise ValueError(f"Delta log at {self.log_dir} has no metaData action")
@@ -636,6 +654,7 @@ class DeltaLog:
             protocol=proto,
             last_commit_timestamp=last_ts,
             domain_metadata=domains,
+            tombstones=removes,
         )
 
     def commit_actions(self, version: int) -> list[dict]:
@@ -667,7 +686,8 @@ class DeltaLog:
         return out
 
     @staticmethod
-    def _apply(action: dict, metadata, adds, txns=None, proto=None, domains=None):
+    def _apply(action: dict, metadata, adds, txns=None, proto=None,
+               domains=None, removes=None):
         if "domainMetadata" in action and domains is not None:
             dm = action["domainMetadata"]
             domain = dm.get("domain")
@@ -700,6 +720,8 @@ class DeltaLog:
         elif "add" in action:
             a = action["add"]
             stats = a.get("stats")
+            if removes is not None:
+                removes.pop(a["path"], None)
             adds[a["path"]] = AddAction(
                 path=a["path"],
                 size=a.get("size", 0),
@@ -722,7 +744,17 @@ class DeltaLog:
                 clustering_provider=a.get("clusteringProvider"),
             )
         elif "remove" in action:
-            adds.pop(action["remove"]["path"], None)
+            r = action["remove"]
+            adds.pop(r["path"], None)
+            if removes is not None:
+                removes[r["path"]] = {
+                    "path": r["path"],
+                    "deletionTimestamp": r.get("deletionTimestamp"),
+                    "dataChange": bool(r.get("dataChange", False)),
+                    "extendedFileMetadata": r.get("extendedFileMetadata"),
+                    "partitionValues": _as_dict(r.get("partitionValues")),
+                    "size": r.get("size"),
+                }
         return metadata, adds
 
     def write_checkpoint(
@@ -820,6 +852,29 @@ class DeltaLog:
                     }
                 }
             )
+        # Unexpired remove tombstones: the protocol requires checkpoints to
+        # carry removes younger than delta.deletedFileRetentionDuration
+        # (default 1 week) so VACUUM-style reconciliation survives log
+        # cleanup on ANY reader, not just this engine's orphan sweep.
+        from delta_sorter_spark.sources.delta_table import (
+            _parse_retention_interval,
+        )
+
+        retention_raw = (state.metadata.configuration or {}).get(
+            "delta.deletedFileRetentionDuration"
+        )
+        retention_s = (
+            _parse_retention_interval(retention_raw)
+            if retention_raw
+            else 7 * 86400.0
+        )
+        cutoff_ms = (time.time() - retention_s) * 1000.0
+        for path in sorted(state.tombstones):
+            r = state.tombstones[path]
+            ts = r.get("deletionTimestamp")
+            if ts is not None and ts < cutoff_ms:
+                continue  # expired: reclaimable, drop from the checkpoint
+            rows.append({"remove": r})
         for domain, conf in sorted(state.domain_metadata.items()):
             rows.append(
                 {
@@ -832,8 +887,11 @@ class DeltaLog:
             )
         n_actions = len(rows)
         if v2:
-            file_rows = [r for r in rows if "add" in r]
-            top_rows = [r for r in rows if "add" not in r]
+            # ALL file actions (add AND remove) belong in sidecars; the
+            # top-level UUID file keeps only protocol/metaData/txn/domain
+            # rows plus the checkpointMetadata + sidecar pointers.
+            file_rows = [r for r in rows if "add" in r or "remove" in r]
+            top_rows = [r for r in rows if "add" not in r and "remove" not in r]
             sc_name = f"{uuid.uuid4().hex}.parquet"
             sc_buf = io.BytesIO()
             pq.write_table(
@@ -899,6 +957,16 @@ class DeltaLog:
 
         ckpt_version = self._last_checkpoint_version()
         if ckpt_version is None:
+            return {"deleted": [], "kept": 0, "cutoff_version": None}
+        # Never trust the _last_checkpoint pointer alone: a stale or corrupt
+        # pointer (failed overwrite, out-of-band deletion on an object
+        # store) would make this sweep destroy the only replayable history.
+        # Verify the checkpoint bytes actually exist AND parse before
+        # computing the doomed set.
+        try:
+            if self._read_checkpoint_actions(ckpt_version) is None:
+                return {"deleted": [], "kept": 0, "cutoff_version": None}
+        except Exception:
             return {"deleted": [], "kept": 0, "cutoff_version": None}
         now = time.time()
         try:

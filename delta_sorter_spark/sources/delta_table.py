@@ -237,20 +237,41 @@ def _writer_feature_upgrade(state, new_features: set[str]) -> dict | None:
 
 def _parse_retention_interval(raw: str | None) -> float:
     """``delta.deletedFileRetentionDuration`` -> seconds (Delta's
-    ``interval N days|hours|minutes`` syntax; case-insensitive, singular or
-    plural units).  Malformed or absent -> 0.0 (the engine default)."""
+    ``interval N weeks|days|hours|minutes|seconds|milliseconds`` syntax;
+    case-insensitive, singular or plural units).  Absent -> 0.0 (the engine
+    default).  A present-but-unparseable value raises: silently treating
+    ``interval 1 week`` (Delta's documented default) as ZERO retention
+    would let vacuum delete files in-flight readers still reference."""
     if not raw:
         return 0.0
     parts = str(raw).strip().lower().split()
     if len(parts) != 3 or parts[0] != "interval":
-        return 0.0
+        raise ValueError(
+            f"unparseable retention interval {raw!r}: expected"
+            " 'interval N <unit>'"
+        )
     try:
         n = float(parts[1])
     except ValueError:
-        return 0.0
+        raise ValueError(
+            f"unparseable retention interval {raw!r}: non-numeric count"
+        ) from None
     unit = parts[2].rstrip("s")
-    seconds = {"day": 86400.0, "hour": 3600.0, "minute": 60.0, "second": 1.0}
-    return n * seconds.get(unit, 0.0)
+    seconds = {
+        "week": 7 * 86400.0,
+        "day": 86400.0,
+        "hour": 3600.0,
+        "minute": 60.0,
+        "second": 1.0,
+        "millisecond": 0.001,
+    }
+    if unit not in seconds:
+        raise ValueError(
+            f"unparseable retention interval {raw!r}: unknown unit"
+            f" {parts[2]!r} (expected week/day/hour/minute/second/"
+            "millisecond)"
+        )
+    return n * seconds[unit]
 
 
 _READER_WRITER_FEATURES = {
@@ -1110,7 +1131,9 @@ class DeltaTable:
         n = max(1, min(len(rows), self.spark.sparkContext.defaultParallelism))
         return df.repartition(n).mapInPandas(decode, "path string, pos long")
 
-    def _read_dv_files(self, adds: Sequence[AddAction], meta) -> DataFrame:
+    def _read_dv_files(
+        self, adds: Sequence[AddAction], meta, keep_file_col: bool = False
+    ) -> DataFrame:
         """Merge-on-read: scan files that carry a deletion vector and drop
         the deleted row positions.  Fully JVM-side — the scan exposes
         ``_metadata.row_index`` (native parquet row numbering, vectorized,
@@ -1119,7 +1142,13 @@ class DeltaTable:
         through the driver — a 1%-of-100TB delete stays executor-side);
         legacy JSON sidecars, which are small by construction, load
         driver-side.  AQE picks a broadcast anti-join when the DV side is
-        small, which is the common case."""
+        small, which is the common case.
+
+        ``keep_file_col=True`` retains the scan's ``__file__`` (absolute
+        file URI from ``_metadata.file_path``).  Callers that need each
+        row's origin file MUST use this rather than ``input_file_name()``
+        on the result: the positional anti-join severs the file-scan
+        lineage and input_file_name() silently yields '' there."""
         json_pairs: list[tuple[str, int]] = []  # (absolute file uri, row_index)
         pq_sidecars: dict[str, list[tuple[str, str]]] = {}  # sidecar -> (key, uri)
         roaring_specs: list[tuple[str, dict]] = []  # (uri, protocol descriptor)
@@ -1164,13 +1193,16 @@ class DeltaTable:
                 )
             )
         scan = self.scan_with_positions(adds, meta)
+        cols = [F.col(f.name) for f in meta.schema.fields]
+        if keep_file_col:
+            cols = [F.col("__file__")] + cols
         if not dv_parts:
-            return scan.select(*[F.col(f.name) for f in meta.schema.fields])
+            return scan.select(*cols)
         dv_df = dv_parts[0]
         for p in dv_parts[1:]:
             dv_df = dv_df.unionByName(p)
         kept = scan.join(dv_df, ["__file__", "__pos__"], "left_anti")
-        return kept.select(*[F.col(f.name) for f in meta.schema.fields])
+        return kept.select(*cols)
 
     def input_files(self) -> list[str]:
         return [os.path.join(self.table_path, a.path) for a in self.state().adds]
@@ -1656,7 +1688,17 @@ class DeltaTable:
         if cluster_cols:
             from delta_sorter_spark.operators.cluster import COLS_TAG, _curve_layout
 
-            filled = _curve_layout(filled, cluster_cols, bits=8, num_partitions=None)
+            # Size the curve shuffle to the BATCH, not the session default:
+            # stage_write lands ~one file per partition, so letting the
+            # layout fall back to spark.sql.shuffle.partitions (200) would
+            # spray a small append into up to 200 tiny files — the opposite
+            # of what optimizeWrite exists for (delta-spark likewise sizes
+            # the shuffle to the batch).  The incoming plan's partition
+            # count is a free upper bound on the batch's parallelism.
+            n_in = max(1, filled.rdd.getNumPartitions())
+            filled = _curve_layout(
+                filled, cluster_cols, bits=8, num_partitions=n_in
+            )
             stat_columns = list(stat_columns or []) + [
                 c for c in cluster_cols if c not in (stat_columns or [])
             ]
@@ -2797,11 +2839,49 @@ class DeltaTable:
                 and state.txns.get(txn_app_id, -1) >= txn_version
             ):
                 raise _AlreadyApplied
-            active = {a.path for a in state.adds}
-            gone = [r.path for r in removes if r.path not in active]
+            active = {a.path: a for a in state.adds}
+
+            def _dv_key(dv):
+                # canonical identity across json/checkpoint parse shapes
+                if not dv:
+                    return None
+                if "storagePath" in dv and "storageType" not in dv:
+                    return ("legacy", dv.get("storagePath"))
+                return (
+                    dv.get("storageType"),
+                    dv.get("pathOrInlineDv"),
+                    dv.get("cardinality", 0),
+                )
+
+            gone, changed = [], []
+            for r in removes:
+                cur = active.get(r.path)
+                if cur is None:
+                    gone.append(r.path)
+                    continue
+                # DV-aware check: a path that is still active but was
+                # re-Added since planning (new deletion vector, different
+                # bytes) means our staged files were materialized from
+                # stale data — committing would resurrect rows a
+                # concurrent delete_where_dv just hid.
+                src_mt = getattr(r, "source_modification_time", None)
+                if src_mt is None:
+                    continue  # legacy caller without a snapshot
+                src_dv = getattr(r, "source_deletion_vector", None)
+                if (
+                    _dv_key(cur.deletion_vector) != _dv_key(src_dv)
+                    or cur.modification_time != src_mt
+                    or cur.size != r.size
+                ):
+                    changed.append(r.path)
             if gone:
                 raise ConcurrentRewriteError(
                     f"files rewritten by a concurrent writer: {gone[:3]}"
+                )
+            if changed:
+                raise ConcurrentRewriteError(
+                    "files re-added (deletion vector / bytes changed) by a"
+                    f" concurrent writer: {changed[:3]}"
                 )
             out = actions + self._fresh_row_id_actions(state, fresh_ids)
             if txn_app_id is not None:
@@ -2992,6 +3072,20 @@ class DeltaTable:
                     spec = _json.loads(raw)
                     if isinstance(spec, dict) and spec.get("path"):
                         index_dirs.add(str(spec["path"]))
+                        # generational ANN layout: code parts + the
+                        # manifest live in their own uuid dirs outside
+                        # the base — protect every dir the spec names
+                        # (dirs the spec no longer names are superseded
+                        # and deliberately collectable)
+                        for part in spec.get("codes_parts") or []:
+                            if isinstance(part, dict) and part.get("dir"):
+                                index_dirs.add(
+                                    str(part["dir"]).rsplit("/codes", 1)[0]
+                                )
+                        if spec.get("files_dir"):
+                            index_dirs.add(
+                                str(spec["files_dir"]).rsplit("/files", 1)[0]
+                            )
                 except ValueError:
                     pass
         active_prefixes = tuple(

@@ -67,8 +67,20 @@ def test_vacuum_honors_retention_property(spark, tmp_path):
     assert _parse_retention_interval("interval 7 days") == 7 * 86400.0
     assert _parse_retention_interval("INTERVAL 2 Hours") == 7200.0
     assert _parse_retention_interval("interval 1 minute") == 60.0
-    assert _parse_retention_interval("garbage") == 0.0
+    # Delta's documented default unit for deletedFileRetentionDuration
+    assert _parse_retention_interval("interval 1 week") == 7 * 86400.0
+    assert _parse_retention_interval("interval 500 milliseconds") == 0.5
     assert _parse_retention_interval(None) == 0.0
+    # present-but-unparseable must raise, NOT silently mean zero retention
+    # (vacuum would otherwise delete files in-flight readers reference)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        _parse_retention_interval("garbage")
+    with _pytest.raises(ValueError):
+        _parse_retention_interval("interval 1 fortnight")
+    with _pytest.raises(ValueError):
+        _parse_retention_interval("interval x days")
 
     df = spark.range(20).select(F.col("id").alias("k"))
     tbl = DeltaTable.create(spark, str(tmp_path / "t"), df.coalesce(1))
