@@ -100,6 +100,88 @@ def _codes_cols(m: int, ivf: bool) -> list[str]:
     )
 
 
+# -- generational codes layout ----------------------------------------------
+# The codes dataset is APPEND-FRIENDLY: the spec carries ``codes_parts``
+# (a list of {"dir": <table-relative dataset dir>, "gen": n}) plus
+# ``files_dir`` — the manifest (path, dv, gen) naming, per data file, the
+# GENERATION whose codes are authoritative for it.  A refresh writes ONLY
+# the re-encoded files' codes (a new part dir) and a new manifest; carried
+# codes are never rewritten, so refresh IO is O(changed files) + O(files),
+# independent of carried-code volume.  Readers union the parts and keep a
+# code row only when its (path, gen) matches the manifest — superseded
+# rows in old parts are dead weight on disk (reclaimed by
+# :func:`compact_ann_index`) but never served.
+
+
+def _spec_parts(spec: dict) -> list[dict]:
+    if "codes_parts" in spec:  # may legitimately be [] (empty table)
+        return [dict(p) for p in spec["codes_parts"]]
+    # legacy single-part spec (pre-generational layout)
+    return [{"dir": spec["path"] + "/codes", "gen": 0}]
+
+
+def _read_manifest_rows(table: DeltaTable, spec: dict) -> list[tuple]:
+    """[(path, dv, gen)] — file-count-sized planner read, never data-scale."""
+    if "codes_parts" in spec:
+        rows = table.read_parquet_dataset(
+            spec["files_dir"], ["path", "dv", "gen"],
+            "path string, dv string, gen int",
+        ).collect()
+        # drop the ("", "", -1) placeholder an empty-manifest write carries
+        return [
+            (r["path"], r["dv"], int(r["gen"])) for r in rows if r["path"]
+        ]
+    rows = table.read_parquet_dataset(
+        spec["path"] + "/files", ["path", "dv"], "path string, dv string"
+    ).collect()
+    return [(r["path"], r["dv"], 0) for r in rows]
+
+
+def _read_codes_union(
+    table: DeltaTable,
+    spec: dict,
+    m: int,
+    ivf: bool,
+    probed_cents=None,
+) -> DataFrame:
+    """Union of every code part, each row tagged with its part's ``gen``.
+    The probed-centroid membership filter is pushed into EVERY part's scan
+    (each part keeps the centroid-major layout, so parquet stats prune
+    non-probed files in old and new parts alike)."""
+    isin = ("centroid", probed_cents) if probed_cents is not None else None
+    out = None
+    for part in _spec_parts(spec):
+        df = table.read_parquet_dataset(
+            part["dir"], _codes_cols(m, ivf), _codes_ddl(m, ivf), isin=isin
+        ).withColumn("gen", F.lit(int(part["gen"])))
+        out = df if out is None else out.unionByName(df)
+    if out is None:  # an empty-table index has no parts at all
+        out = table.spark.createDataFrame(
+            [], _codes_ddl(m, ivf) + ", gen int"
+        )
+    return out
+
+
+def ann_codes(table: DeltaTable, column: str, spec: dict | None = None) -> DataFrame:
+    """The index's AUTHORITATIVE codes — one row per indexed corpus row:
+    (path, id, [centroid,] code_0..code_{m-1}).  Unions the generational
+    parts and keeps only rows whose (path, gen) the manifest names, i.e.
+    exactly what serving ranks (before the live-snapshot semi-join)."""
+    spec = spec or ann_specs(table).get(column)
+    if spec is None:
+        raise KeyError(f"no ann index on column {column!r}")
+    m, ivf = int(spec["m"]), "n_centroids" in spec
+    manifest = _read_manifest_rows(table, spec)
+    auth = table.spark.createDataFrame(
+        [(p, g) for p, _d, g in manifest] or [("", -1)], "path string, gen int"
+    )
+    return (
+        _read_codes_union(table, spec, m, ivf)
+        .join(F.broadcast(auth), ["path", "gen"], "left_semi")
+        .drop("gen")
+    )
+
+
 def _rows_with_path(table: DeltaTable, adds, id_col: str, emb_col: str):
     """(path, id, emb) for the LIVE rows of the given files (deletion
     vectors applied by the scan)."""
@@ -291,7 +373,8 @@ def build_ann_index(
         part = cb.select(F.lit(j).alias("m"), "centroid", "cvec")
         cb_union = part if cb_union is None else cb_union.unionByName(part)
     files = table.spark.createDataFrame(
-        [(a.path, _dv_digest(a)) for a in state.adds], "path string, dv string"
+        [(a.path, _dv_digest(a), 0) for a in state.adds],
+        "path string, dv string, gen int",
     )
     rel = f"_ann_index/{column}/{_uuid.uuid4().hex}"
     _write_datasets(
@@ -310,6 +393,8 @@ def build_ann_index(
         "m": int(m),
         "n_codes": int(n_codes),
         "normalize": bool(normalize),
+        "codes_parts": [{"dir": rel + "/codes", "gen": 0}],
+        "files_dir": rel + "/files",
     }
     if n_centroids is not None:
         spec["n_centroids"] = int(n_centroids)
@@ -325,14 +410,75 @@ def build_ann_index(
     }
 
 
+def _encode_adds(table, spec, column, adds, codebooks, coarse):
+    """Encode the given files' live rows against the FROZEN codebooks (and
+    frozen coarse quantizer for IVF): pq_assign replays the exact trainer
+    argmin, so these rows are bit-identical to a build-time encode."""
+    m, dim = int(spec["m"]), int(spec["dim"])
+    ivf = "n_centroids" in spec
+    residual = bool(spec.get("residual"))
+    id_col, normalize = spec["id_col"], bool(spec["normalize"])
+    rows = _rows_with_path(table, adds, id_col, column)
+    if residual:
+        from delta_sorter_spark.operators.ivf import _normalize_expr
+
+        normed = rows.select(
+            "__annid__",
+            F.expr(
+                _normalize_expr("__annemb__") if normalize else "__annemb__"
+            ).alias("__annemb__"),
+        )
+        res = _residualize(normed, coarse)
+        fresh = pq_assign(
+            res, "__annid__", "__res__", codebooks, dim, normalize=False
+        ).drop("__cemb__", "centroid").join(
+            res.select(F.col("__annid__").alias("id"), "centroid"), "id"
+        )
+    else:
+        fresh = pq_assign(
+            rows, "__annid__", "__annemb__", codebooks, dim, normalize
+        )
+        if ivf:
+            from delta_sorter_spark.operators.ivf import _assign
+
+            # frozen coarse quantizer: re-encoded rows land in the same
+            # inverted list they would have at build time
+            fresh = _assign(fresh, coarse, "__cemb__")
+        fresh = fresh.drop("__cemb__")
+    fresh = fresh.join(
+        rows.select(F.col("__annid__").alias("id"), "path"), "id"
+    )
+    return fresh.select(*_codes_cols(m, ivf))
+
+
+def _write_codes_part(table, rel_dir, codes, n_files, coarse):
+    """One generational codes part, laid out like _write_datasets' codes."""
+    nparts = max(1, min(64, -(-n_files // 64)))
+    if coarse is not None:
+        nparts = max(nparts, min(64, coarse.count()))
+        layout = codes.repartitionByRange(
+            nparts, "centroid", "id"
+        ).sortWithinPartitions("centroid", "id")
+    else:
+        layout = codes.repartitionByRange(
+            nparts, "path"
+        ).sortWithinPartitions("path", "id")
+    table.write_parquet_dataset(layout, rel_dir)
+
+
 def refresh_ann_index(table: DeltaTable, column: str) -> dict:
-    """Catch the index up with the current snapshot: re-encode files whose
-    path is new or whose deletion vector changed (against the FROZEN
-    codebooks), drop codes of removed files, carry everything else.  A
-    no-change snapshot short-circuits without a commit.  Returns
-    {"column", "reencoded_files" (new paths PLUS files whose deletion
-    vector changed), "dropped_files", "carried_files", "dataset",
-    "version"}."""
+    """Catch the index up with the current snapshot — O(new) in BOTH
+    compute and IO: files whose path is new or whose deletion vector
+    changed are re-encoded (against the FROZEN codebooks) and written as a
+    NEW generational codes part; carried codes are never rewritten — the
+    refresh writes only the fresh part plus a new (file-count-sized)
+    manifest naming each file's authoritative generation.  Codes of
+    dropped/superseded files become dead rows in their old parts (never
+    served — the manifest excludes them; reclaimed by
+    :func:`compact_ann_index`).  A no-change snapshot short-circuits
+    without a commit.  Returns {"column", "reencoded_files" (new paths
+    PLUS files whose deletion vector changed), "dropped_files",
+    "carried_files", "dataset", "version"}."""
     state = table.state()  # ONE snapshot: spec and file list stay coherent
     spec = ann_specs(table, state.metadata).get(column)
     if spec is None:
@@ -340,13 +486,12 @@ def refresh_ann_index(table: DeltaTable, column: str) -> dict:
             f"no ann index on column {column!r} — build_ann_index first"
         )
     current = {a.path: _dv_digest(a) for a in state.adds}
-    indexed = {
-        r["path"]: r["dv"]
-        for r in table.read_parquet_dataset(
-            spec["path"] + "/files", ["path", "dv"], "path string, dv string"
-        ).collect()
-    }  # file-count-sized planner read, never data-scale
-    changed = {p for p, d in current.items() if indexed.get(p) != d}
+    manifest = _read_manifest_rows(table, spec)
+    indexed = {p: (d, g) for p, d, g in manifest}
+    changed = {
+        p for p, d in current.items()
+        if p not in indexed or indexed[p][0] != d
+    }
     dropped = set(indexed) - set(current)
     if not changed and not dropped:
         return {
@@ -357,76 +502,100 @@ def refresh_ann_index(table: DeltaTable, column: str) -> dict:
             "dataset": spec["path"],
             "version": state.version,
         }
-    m, dim = int(spec["m"]), int(spec["dim"])
+    parts = _spec_parts(spec)
+    new_gen = max((p["gen"] for p in parts), default=-1) + 1
     ivf = "n_centroids" in spec
-    residual = bool(spec.get("residual"))
-    id_col, normalize = spec["id_col"], bool(spec["normalize"])
-    codebooks = _read_codebooks(table, spec)
     coarse = _read_coarse(table, spec) if ivf else None
-    old_codes = table.read_parquet_dataset(
-        spec["path"] + "/codes", _codes_cols(m, ivf), _codes_ddl(m, ivf)
-    )
-    unchanged = sorted(set(current) - changed)
-    keep_df = table.spark.createDataFrame(
-        [(p,) for p in unchanged] or [("",)], "path string"
-    )
-    carried = old_codes.join(F.broadcast(keep_df), "path", "left_semi")
-    pieces = [carried]
+    # fresh part + manifest live in their own uuid dir: unreferenced on a
+    # lost registration race, vacuum-able like any losing dataset
+    rel = f"_ann_index/{column}/{_uuid.uuid4().hex}"
+    _mark_building(table, rel)  # vacuum-protect until registered
     changed_adds = [a for a in state.adds if a.path in changed]
     if changed_adds:
-        rows = _rows_with_path(table, changed_adds, id_col, column)
-        if residual:
-            from delta_sorter_spark.operators.ivf import _normalize_expr
-
-            normed = rows.select(
-                "__annid__",
-                F.expr(
-                    _normalize_expr("__annemb__") if normalize
-                    else "__annemb__"
-                ).alias("__annemb__"),
-            )
-            res = _residualize(normed, coarse)
-            fresh = pq_assign(
-                res, "__annid__", "__res__", codebooks, dim, normalize=False
-            ).drop("__cemb__", "centroid").join(
-                res.select(F.col("__annid__").alias("id"), "centroid"), "id"
-            )
-        else:
-            fresh = pq_assign(
-                rows, "__annid__", "__annemb__", codebooks, dim, normalize
-            )
-            if ivf:
-                from delta_sorter_spark.operators.ivf import _assign
-
-                # frozen coarse quantizer: re-encoded rows land in the same
-                # inverted list they would have at build time
-                fresh = _assign(fresh, coarse, "__cemb__")
-            fresh = fresh.drop("__cemb__")
-        fresh = fresh.join(
-            rows.select(F.col("__annid__").alias("id"), "path"), "id"
+        codebooks = _read_codebooks(table, spec)
+        fresh = _encode_adds(table, spec, column, changed_adds, codebooks, coarse)
+        _write_codes_part(
+            table, rel + "/codes", fresh, len(changed_adds), coarse
         )
-        pieces.append(fresh.select(*old_codes.columns))
-    new_codes = pieces[0]
-    for p in pieces[1:]:
-        new_codes = new_codes.unionByName(p)
-    cb_union = None
-    for j, cb in enumerate(codebooks):
-        part = cb.select(F.lit(j).alias("m"), "centroid", "cvec")
-        cb_union = part if cb_union is None else cb_union.unionByName(part)
+        parts.append({"dir": rel + "/codes", "gen": new_gen})
+    files_rows = [
+        (p, d, new_gen if p in changed else indexed[p][1])
+        for p, d in current.items()
+    ]
     files = table.spark.createDataFrame(
-        [(a.path, _dv_digest(a)) for a in state.adds], "path string, dv string"
+        files_rows or [("", "", -1)], "path string, dv string, gen int"
     )
-    rel = f"_ann_index/{column}/{_uuid.uuid4().hex}"
-    _write_datasets(
-        table, rel, new_codes, cb_union, files, len(state.adds), coarse=coarse
+    table.write_parquet_dataset(files.coalesce(1), rel + "/files")
+    # prune parts no manifest row references (fully superseded): readers
+    # stop opening them and — no longer in the registered spec — they
+    # become vacuum-able
+    used_gens = {g for _p, _d, g in files_rows}
+    parts = [p for p in parts if p["gen"] in used_gens]
+    new_spec = dict(
+        spec,
+        codes_parts=parts,
+        files_dir=rel + "/files",
+        version=state.version,
     )
-    new_spec = dict(spec, path=rel, version=state.version)
     version = _register(table, column, new_spec, "REFRESH ANN INDEX")
+    _unmark_building(table, rel)
     return {
         "column": column,
         "reencoded_files": len(changed),
         "dropped_files": len(dropped),
-        "carried_files": len(unchanged),
+        "carried_files": len(set(current) - changed),
+        "dataset": spec["path"],
+        "version": version,
+    }
+
+
+def compact_ann_index(table: DeltaTable, column: str) -> dict:
+    """Consolidate the generational code parts into a fresh single-part
+    dataset (new base dir, frozen codebooks/coarse copied verbatim) and
+    register it — the old base and every superseded part become
+    vacuum-able.  This is the reclamation half of the O(new) refresh
+    design: refresh appends parts cheaply, compaction (run occasionally,
+    like data-file compaction) pays the one O(index) rewrite.  Returns
+    {"column", "parts_in", "rows", "dataset", "version"}."""
+    state = table.state()
+    spec = ann_specs(table, state.metadata).get(column)
+    if spec is None:
+        raise KeyError(
+            f"no ann index on column {column!r} — build_ann_index first"
+        )
+    parts_in = len(_spec_parts(spec))
+    ivf = "n_centroids" in spec
+    coarse = _read_coarse(table, spec) if ivf else None
+    codes = ann_codes(table, column, spec)
+    cb = table.read_parquet_dataset(
+        spec["path"] + "/codebooks",
+        ["m", "centroid", "cvec"],
+        "m int, centroid int, cvec array<double>",
+    )
+    manifest = _read_manifest_rows(table, spec)
+    files = table.spark.createDataFrame(
+        [(p, d, 0) for p, d, _g in manifest] or [("", "", -1)],
+        "path string, dv string, gen int",
+    )
+    rel = f"_ann_index/{column}/{_uuid.uuid4().hex}"
+    _write_datasets(
+        table, rel, codes, cb, files, max(1, len(manifest)), coarse=coarse
+    )
+    n_rows = table.read_parquet_dataset(
+        rel + "/codes", ["id"], "id bigint"
+    ).count()
+    new_spec = dict(
+        spec,
+        path=rel,
+        codes_parts=[{"dir": rel + "/codes", "gen": 0}],
+        files_dir=rel + "/files",
+        version=state.version,
+    )
+    version = _register(table, column, new_spec, "COMPACT ANN INDEX")
+    return {
+        "column": column,
+        "parts_in": parts_in,
+        "rows": int(n_rows),
         "dataset": rel,
         "version": version,
     }
@@ -492,26 +661,29 @@ def ann_topk(
             "codes are meaningless without their list's centroid; pass "
             "n_probes"
         )
-    active = table.spark.createDataFrame(
-        [(a.path,) for a in state.adds] or [("",)], "path string"
+    # one broadcast frame folds BOTH serving filters: the manifest's
+    # (path, gen) picks each file's authoritative generational part, and
+    # the intersection with the live snapshot's paths drops files the
+    # table no longer holds (stale index -> reduced recall, never
+    # phantoms).  O(files) driver-side, the standard planner size.
+    live = {a.path for a in state.adds}
+    auth_rows = [
+        (p, g) for p, _d, g in _read_manifest_rows(table, spec) if p in live
+    ]
+    auth = table.spark.createDataFrame(
+        auth_rows or [("", -1)], "path string, gen int"
     )
 
     def _codes(probed_cents=None):
         # keep `path` through ranking: the exact-cosine fetch prunes the
         # table scan to the shortlist's data files.  With probed centroids
-        # the membership filter is PUSHED into the parquet scan — the
-        # centroid-major layout build wrote means non-probed parts are
-        # skipped on stats, the file-pruning half of the IVF story
-        c = table.read_parquet_dataset(
-            spec["path"] + "/codes",
-            _codes_cols(m, ivf),
-            _codes_ddl(m, ivf),
-            isin=(
-                ("centroid", probed_cents) if probed_cents is not None
-                else None
-            ),
+        # the membership filter is PUSHED into every part's parquet scan —
+        # the centroid-major layout means non-probed files are skipped on
+        # stats, the file-pruning half of the IVF story
+        c = _read_codes_union(table, spec, m, ivf, probed_cents)
+        return c.join(F.broadcast(auth), ["path", "gen"], "left_semi").drop(
+            "gen"
         )
-        return c.join(F.broadcast(active), "path", "left_semi")
 
     codebooks = _read_codebooks(table, spec)
     dim, normalize = int(spec["dim"]), bool(spec["normalize"])

@@ -520,7 +520,15 @@ def update_where(
 
 def _target_with_path(table: DeltaTable, adds) -> DataFrame:
     """DV-applied read of ``adds`` plus a ``__path__`` table-relative path
-    column, computed Spark-side — the find-touched-files pass of MERGE."""
+    column, computed Spark-side — the find-touched-files pass of MERGE.
+
+    The file column comes from the scan's ``_metadata.file_path``
+    (``_read_dv_files(keep_file_col=True)``), NOT ``input_file_name()``:
+    when any add carries a deletion vector the positional anti-join severs
+    the file-scan lineage and input_file_name() silently yields '' — which
+    would tag every DV'd file's rows with an empty path (MERGE would then
+    miss those files, and an ANN refresh would encode codes serving can
+    never match)."""
     if table.is_remote:
         from delta_sorter_spark.streaming.delta_source import FILE_COL
 
@@ -528,8 +536,8 @@ def _target_with_path(table: DeltaTable, adds) -> DataFrame:
             adds=list(adds), with_file_path=True
         ).withColumnRenamed(FILE_COL, "__file__")
     else:
-        df = table.to_df(adds=list(adds)).withColumn(
-            "__file__", F.input_file_name()
+        df = table._read_dv_files(
+            list(adds), table.metadata, keep_file_col=True
         )
     return df.withColumn("__path__", _rel_path_col(table)).drop("__file__")
 

@@ -141,30 +141,22 @@ def test_carried_and_reencoded_codes_identical(spark, tmp_path):
     """pq_assign against the frozen codebooks reproduces build's codes
     bit-for-bit: append + refresh, then rebuild-free comparison of the
     original rows' codes before and after."""
+    from delta_sorter_spark.operators.ann_index import ann_codes
+
     tbl = _mk_table(spark, tmp_path, range(16))
     build_ann_index(tbl, "emb", "vid", DIM, m=2, n_codes=4)
-    spec0 = ann_specs(tbl)["emb"]
     before = {
         (r["id"]): (r["code_0"], r["code_1"])
-        for r in tbl.read_parquet_dataset(
-            spec0["path"] + "/codes",
-            ["id", "code_0", "code_1"],
-            "id bigint, code_0 int, code_1 int",
-        ).collect()
+        for r in ann_codes(tbl, "emb").collect()
     }
     tbl.append(
         spark.createDataFrame(_rows([100]), "vid long, emb array<float>")
         .coalesce(1)
     )
     refresh_ann_index(tbl, "emb")
-    spec1 = ann_specs(tbl)["emb"]
     after = {
         (r["id"]): (r["code_0"], r["code_1"])
-        for r in tbl.read_parquet_dataset(
-            spec1["path"] + "/codes",
-            ["id", "code_0", "code_1"],
-            "id bigint, code_0 int, code_1 int",
-        ).collect()
+        for r in ann_codes(tbl, "emb").collect()
     }
     assert {k: v for k, v in after.items() if k != 100} == before
     assert 100 in after
@@ -243,13 +235,11 @@ def test_ivf_refresh_assigns_new_rows_to_frozen_lists(spark, tmp_path):
     assert flat.count() == 5
     # a re-encoded row's list id matches a fresh build's assignment rule:
     # carried rows and refreshed rows share the same frozen coarse centroids
-    spec = ann_specs(tbl)["emb"]
+    from delta_sorter_spark.operators.ann_index import ann_codes
+
     cents = {
         r["id"]: r["centroid"]
-        for r in tbl.read_parquet_dataset(
-            spec["path"] + "/codes", ["id", "centroid"],
-            "id bigint, centroid int",
-        ).collect()
+        for r in ann_codes(tbl, "emb").select("id", "centroid").collect()
     }
     assert set(cents) == set(range(40))
 
@@ -347,3 +337,117 @@ def test_residual_refresh_frozen_pipeline(spark, tmp_path):
                    k=39, n_probes=4)
     ids = {r["id"] for r in out.collect()}
     assert set(range(30, 40)) - {35} <= ids
+
+
+def test_refresh_io_is_o_new_not_o_index(spark, tmp_path):
+    """Round-8 contract: refresh never rewrites carried codes.  The
+    original build's codes part stays byte-identical on disk; the refresh
+    writes only the new generation's part + a file-count-sized manifest."""
+    from delta_sorter_spark.operators.ann_index import ann_codes
+
+    tbl = _mk_table(spark, tmp_path, range(30))
+    build_ann_index(tbl, "emb", "vid", DIM, m=2, n_codes=4)
+    spec0 = ann_specs(tbl)["emb"]
+    part0 = os.path.join(tbl.table_path, *spec0["codes_parts"][0]["dir"].split("/"))
+    before = {
+        f: os.path.getmtime(os.path.join(part0, f))
+        for f in os.listdir(part0) if f.endswith(".parquet")
+    }
+    tbl.append(
+        spark.createDataFrame(_rows(range(30, 36)), "vid long, emb array<float>")
+        .coalesce(1)
+    )
+    info = refresh_ann_index(tbl, "emb")
+    assert info["reencoded_files"] == 1 and info["carried_files"] >= 1
+    spec1 = ann_specs(tbl)["emb"]
+    # base path stable, a SECOND generational part appeared
+    assert spec1["path"] == spec0["path"]
+    assert len(spec1["codes_parts"]) == 2
+    assert spec1["files_dir"] != spec0["files_dir"]
+    # the original part was not touched (no rewrite of carried codes)
+    after = {
+        f: os.path.getmtime(os.path.join(part0, f))
+        for f in os.listdir(part0) if f.endswith(".parquet")
+    }
+    assert after == before
+    # and the authoritative view covers everything exactly once
+    ids = [r["id"] for r in ann_codes(tbl, "emb").select("id").collect()]
+    assert sorted(ids) == list(range(36))
+
+
+def test_refresh_dv_change_supersedes_old_part_rows(spark, tmp_path):
+    """A DV re-encode bumps the file's generation: its old codes remain in
+    the old part on disk but are never served (manifest excludes them) —
+    no duplicates, no phantoms."""
+    from delta_sorter_spark.operators.ann_index import ann_codes
+    from delta_sorter_spark.operators.dml import delete_where_dv
+
+    tbl = _mk_table(spark, tmp_path, range(20))
+    build_ann_index(tbl, "emb", "vid", DIM, m=2, n_codes=4)
+    delete_where_dv(tbl, "vid < 4")
+    refresh_ann_index(tbl, "emb")
+    ids = [r["id"] for r in ann_codes(tbl, "emb").select("id").collect()]
+    assert sorted(ids) == list(range(4, 20))  # once each, deleted gone
+    # k=16 over 16 live rows: self-match (id == query_id) is excluded by
+    # design, so exactly the 15 other live ids come back, once each
+    out = ann_topk(tbl, _queries(spark, [7]), "vid", "emb", "emb", k=16)
+    got = [r["id"] for r in out.collect()]
+    assert sorted(got) == [i for i in range(4, 20) if i != 7]
+
+
+def test_compact_ann_index_consolidates_and_reclaims(spark, tmp_path):
+    from delta_sorter_spark.operators.ann_index import (
+        ann_codes,
+        compact_ann_index,
+    )
+
+    tbl = _mk_table(spark, tmp_path, range(20))
+    build_ann_index(tbl, "emb", "vid", DIM, m=2, n_codes=4)
+    for lo in (20, 30):
+        tbl.append(
+            spark.createDataFrame(
+                _rows(range(lo, lo + 5)), "vid long, emb array<float>"
+            ).coalesce(1)
+        )
+        refresh_ann_index(tbl, "emb")
+    spec = ann_specs(tbl)["emb"]
+    assert len(spec["codes_parts"]) == 3
+    served_pre = sorted(
+        map(tuple, ann_topk(tbl, _queries(spark, [3]), "vid", "emb", "emb", k=5).collect())
+    )
+    info = compact_ann_index(tbl, "emb")
+    assert info["parts_in"] == 3 and info["rows"] == 30
+    spec2 = ann_specs(tbl)["emb"]
+    assert spec2["path"] != spec["path"]
+    assert len(spec2["codes_parts"]) == 1
+    # identical serving (frozen codebooks copied verbatim)
+    served_post = sorted(
+        map(tuple, ann_topk(tbl, _queries(spark, [3]), "vid", "emb", "emb", k=5).collect())
+    )
+    assert served_post == served_pre
+    ids = [r["id"] for r in ann_codes(tbl, "emb").select("id").collect()]
+    assert sorted(ids) == list(range(25)) + list(range(30, 35))
+    # the superseded generational dirs are no longer referenced -> vacuumable
+    doomed = tbl.vacuum(dry_run=True)
+    assert any(p.startswith(spec["path"]) for p in doomed)
+    assert not any(p.startswith(spec2["path"]) for p in doomed)
+
+
+def test_compact_ann_index_ivf_keeps_probed_serving(spark, tmp_path):
+    from delta_sorter_spark.operators.ann_index import compact_ann_index
+
+    tbl = _mk_table(spark, tmp_path, range(40))
+    build_ann_index(tbl, "emb", "vid", DIM, m=2, n_codes=4, n_centroids=4)
+    tbl.append(
+        spark.createDataFrame(_rows(range(40, 48)), "vid long, emb array<float>")
+        .coalesce(1)
+    )
+    refresh_ann_index(tbl, "emb")
+    pre = sorted(map(tuple, ann_topk(
+        tbl, _queries(spark, [5, 42]), "vid", "emb", "emb", k=3, n_probes=2
+    ).collect()))
+    compact_ann_index(tbl, "emb")
+    post = sorted(map(tuple, ann_topk(
+        tbl, _queries(spark, [5, 42]), "vid", "emb", "emb", k=3, n_probes=2
+    ).collect()))
+    assert post == pre
