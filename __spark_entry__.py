@@ -7635,6 +7635,77 @@ FROM c
 
 
 # ---------------------------------------------------------------------------
+# E83: HTML/markup extraction (operators/quality.py html_extract) — the step
+# BEFORE c4_clean/gopher_rules in a real crawl pipeline.  The documents
+# fixture is already-clean text, so BOTH sides first wrap each document in
+# the SAME deterministic markup (the _E83_WRAP fragment is valid Spark SQL
+# AND DuckDB SQL verbatim), then the oracle replays html_extract's exact
+# regexp_replace chain.  Every pattern is Java-regex/RE2 identical: no
+# backreferences, no \s (explicit [ \t\n] classes).
+# ---------------------------------------------------------------------------
+
+_E83_WRAP = (
+    "'<html><head><title>Doc &amp; ' || CAST(doc_id AS STRING) || '</title>'"
+    " || '<style>p { color: red; }</style>'"
+    " || '<script>if (n < 2) { x = \"a&b\"; }</script></head>'"
+    " || '<body><nav>Home &gt; ' || lang || '</nav><!-- crawler: drop -->'"
+    " || '<h1>' || source || '</h1><p>'"
+    " || replace(text, '. ', '.</p><p>') || '</p>'"
+    " || '<br/><footer>&quot;' || lang || '&quot; &#39;' || source ||"
+    " '&#39;&nbsp;reserved</footer></body></html>'"
+)
+
+
+def q_e83_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_sorter_spark.operators.quality import html_extract
+
+    docs = load_table(spark, sf_dir, "documents")
+    html = docs.select("doc_id", F.expr(_E83_WRAP).alias("html"))
+    return html_extract(html, "doc_id", "html")
+
+
+def _make_e83_sql() -> str:
+    from delta_sorter_spark.operators.quality import (
+        _HTML_BREAK_TAGS,
+        _HTML_DROP_TAGS,
+        _HTML_ENTITIES,
+    )
+
+    c = "regexp_replace(html, '(?s)<!--.*?-->', ' ', 'g')"
+    for t in _HTML_DROP_TAGS:
+        c = (
+            f"regexp_replace({c}, '(?is)<{t}(>|[ \\t\\n][^>]*>).*?</{t}>',"
+            " ' ', 'g')"
+        )
+    c = f"regexp_replace({c}, '(?i)<(br|hr)([ \\t\\n][^>]*)?/?>', chr(10), 'g')"
+    c = f"regexp_replace({c}, '(?i)</({_HTML_BREAK_TAGS})>', chr(10), 'g')"
+    c = f"regexp_replace({c}, '<[^>]+>', ' ', 'g')"
+    t = (
+        "regexp_extract(html,"
+        " '(?is)<title(>|[ \\t\\n][^>]*>)(.*?)</title>', 2)"
+    )
+    for ent, ch in _HTML_ENTITIES:
+        rep = ch.replace("'", "''")
+        c = f"replace({c}, '{ent}', '{rep}')"
+        t = f"replace({t}, '{ent}', '{rep}')"
+    c = f"regexp_replace({c}, '\\r\\n|\\r', chr(10), 'g')"
+    c = f"regexp_replace({c}, '[ \\t]+', ' ', 'g')"
+    c = f"regexp_replace({c}, ' ?\\n ?', chr(10), 'g')"
+    c = f"regexp_replace({c}, '\\n\\n+', chr(10) || chr(10), 'g')"
+    c = f"regexp_replace({c}, '^[\\n ]+|[\\n ]+$', '', 'g')"
+    t = f"nullif(trim(regexp_replace({t}, '[ \\t\\n]+', ' ', 'g')), '')"
+    return f"""
+WITH h AS (SELECT doc_id, {_E83_WRAP} AS html FROM documents),
+e AS (SELECT doc_id, {t} AS title, {c} AS text FROM h)
+SELECT doc_id, title, text,
+       len(list_filter(string_split(text, chr(10)), l -> trim(l) <> ''))
+         AS n_lines,
+       length(text) AS n_chars
+FROM e
+"""
+
+
+# ---------------------------------------------------------------------------
 # E79/E80: WordPiece (Schuster & Nakajima 2012 — the BERT tokenizer), the
 # THIRD subword family next to BPE (e61/e67/e76) and unigram-LM (e73/e75),
 # hash-checked across its full train -> encode lifecycle.
@@ -8947,6 +9018,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e74_dsir_weights": q_e74_dsir_weights,
         "e77_gopher_rules": q_e77_gopher_rules,
         "e78_c4_clean": q_e78_c4_clean,
+        "e83_html_extract": q_e83_html_extract,
         "s6_stream_dedup": q_s6_stream_dedup,
         "e79_wordpiece_train": q_e79_wordpiece_train,
         "e80_wordpiece_encode": q_e80_wordpiece_encode,
@@ -9060,6 +9132,7 @@ def oracle_sql() -> dict[str, str]:
         "e74_dsir_weights": _E74_SQL,
         "e77_gopher_rules": _E77_SQL,
         "e78_c4_clean": _E78_SQL,
+        "e83_html_extract": _make_e83_sql(),
         "s6_stream_dedup": _S6_SQL,
         "e79_wordpiece_train": _E79_SQL,
         "e80_wordpiece_encode": _E80_SQL,

@@ -330,3 +330,92 @@ def c4_clean(
         doc_kept.alias("doc_kept"),
         F.when(doc_kept, cleaned).alias("cleaned_text"),
     )
+
+
+# -- HTML / markup extraction -------------------------------------------------
+# The step BEFORE c4_clean / gopher_rules in a real crawl pipeline: strip
+# markup and boilerplate blocks from raw HTML so the quality rules see
+# text, not tags (the C4 paper's preprocessing; trafilatura-lite).  Pure
+# deterministic column expressions — regexp_replace chains, shuffle-free,
+# whole-stage-codegen — so a DuckDB oracle can replay the exact pipeline.
+#
+# Regex dialect note: every pattern here must behave identically under
+# Java regex (Spark) and RE2 (DuckDB), so NO backreferences (RE2 lacks
+# them — the per-tag block patterns are expanded instead of using
+# <(script|style)>.*?</\1>) and NO \s (Java includes \x0B, RE2 doesn't —
+# explicit [ \t] / \n classes instead).
+
+# non-content blocks dropped wholesale, innermost text and all
+_HTML_DROP_TAGS = ("script", "style", "noscript", "template", "head")
+# closing a block-level element is a line break
+_HTML_BREAK_TAGS = (
+    "p|div|li|ul|ol|h1|h2|h3|h4|h5|h6|tr|table|section|article|header"
+    "|footer|blockquote|pre|nav|aside|dd|dt|dl|figcaption|figure"
+)
+# minimal entity set, decoded in fixed order (&amp; LAST so &amp;lt;
+# cannot double-decode)
+_HTML_ENTITIES = [
+    ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"),
+    ("&nbsp;", " "), ("&amp;", "&"),
+]
+
+
+def _html_text_col(html_col: str):
+    """Column: plain text extracted from ``html_col`` (see html_extract)."""
+    c = F.col(html_col)
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    for tag in _HTML_DROP_TAGS:
+        c = F.regexp_replace(c, rf"(?is)<{tag}(>|[ \t\n][^>]*>).*?</{tag}>", " ")
+    c = F.regexp_replace(c, r"(?i)<(br|hr)([ \t\n][^>]*)?/?>", "\n")
+    c = F.regexp_replace(c, rf"(?i)</({_HTML_BREAK_TAGS})>", "\n")
+    c = F.regexp_replace(c, r"<[^>]+>", " ")
+    for ent, ch in _HTML_ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    c = F.regexp_replace(c, r"\r\n|\r", "\n")
+    c = F.regexp_replace(c, r"[ \t]+", " ")
+    c = F.regexp_replace(c, r" ?\n ?", "\n")
+    c = F.regexp_replace(c, r"\n\n+", "\n\n")
+    # trim() strips spaces only — newlines at the edges need the regex
+    return F.regexp_replace(c, r"^[\n ]+|[\n ]+$", "")
+
+
+def html_extract(df: DataFrame, id_col: str, html_col: str) -> DataFrame:
+    """Markup extraction: (id, title, text, n_lines, n_chars) per document.
+
+    ``title`` is the <title> content (entity-decoded, whitespace-
+    collapsed; NULL when absent).  ``text`` is the visible text:
+    script/style/noscript/template/head blocks and comments dropped
+    wholesale, block-element closes and <br>/<hr> become newlines, every
+    other tag stripped, the minimal HTML entity set decoded, whitespace
+    normalized (runs of blanks to one space, blank-line runs to one blank
+    line).  ``n_lines`` counts non-empty lines of ``text``; ``n_chars``
+    its length.  Feed ``text`` into :func:`c4_clean` /
+    :func:`gopher_rules` for the quality half of the crawl pipeline.
+
+    At 100 TB: one projection over the corpus scan — no shuffle, no
+    Python, no UDF; Catalyst keeps the whole chain in one codegen stage."""
+    title_raw = F.regexp_extract(
+        F.col(html_col), r"(?is)<title(>|[ \t\n][^>]*>)(.*?)</title>", 2
+    )
+    title = title_raw
+    for ent, ch in _HTML_ENTITIES:
+        title = F.replace(title, F.lit(ent), F.lit(ch))
+    title = F.trim(F.regexp_replace(title, r"[ \t\n]+", " "))
+    text = _html_text_col(html_col)
+    n_lines = F.expr(
+        "size(filter(split(__he_text__, '\\n'), l -> trim(l) <> ''))"
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            F.when(title != "", title).alias("title"),
+            text.alias("__he_text__"),
+        )
+        .select(
+            F.col(id_col),
+            "title",
+            F.col("__he_text__").alias("text"),
+            n_lines.alias("n_lines"),
+            F.length("__he_text__").alias("n_chars"),
+        )
+    )

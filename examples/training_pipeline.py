@@ -33,6 +33,25 @@ def main() -> None:
     docs = load_table(spark, sf_dir, "documents")
     n0 = docs.count()
 
+    # -1. markup extraction: a real crawl pipeline starts from raw HTML —
+    # strip tags/scripts/boilerplate blocks BEFORE any quality rule sees
+    # the text.  The fixture is already plain text, so demonstrate the
+    # stage on a deterministic HTML wrapping of it (one projection, no
+    # shuffle; on raw WARC text this is the only change needed).
+    from delta_sorter_spark.operators.quality import html_extract
+
+    wrapped = docs.select(
+        "doc_id", "lang", "source",
+        F.expr(
+            "'<html><body><nav>Home</nav><p>' || replace(text, '. ',"
+            " '.</p><p>') || '</p><footer>nav footer</footer></body></html>'"
+        ).alias("html"),
+    )
+    extracted = html_extract(wrapped, "doc_id", "html")
+    docs = docs.drop("text").join(
+        extracted.select("doc_id", "text"), "doc_id"
+    )
+
     # 0. line-level boilerplate strip (CCNet/RefinedWeb): lines repeated
     # across >= 50 documents (nav text, cookie banners, footers) come out
     # before anything downstream counts tokens or hashes content

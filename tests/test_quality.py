@@ -236,3 +236,60 @@ def test_empty_doc_encode_contract(spark):
     }
     assert set(wp) == {0, 1, 2}
     assert wp[2]["pieces"] == [] and wp[2]["n_unk"] == 0
+
+
+def test_html_extract_strips_markup(spark):
+    from delta_sorter_spark.operators.quality import html_extract
+
+    html = (
+        '<html><head><title>My &amp; Title</title>'
+        "<style>p{color:red}</style>"
+        '<script type="text/javascript">if (x<2) { alert("hi"); }</script>'
+        "</head><body><nav>Home &gt; Docs</nav><!-- hidden -->"
+        "<h1>Heading One</h1><p>First paragraph with <b>bold</b> text.</p>"
+        "<p>Second&nbsp;paragraph.</p><br><hr/>"
+        "<ul><li>item one</li><li>item two</li></ul>"
+        "<footer>&#39;quoted&#39;</footer></body></html>"
+    )
+    df = spark.createDataFrame(
+        [(1, html), (2, "plain, no markup"), (3, None)], "id int, html string"
+    )
+    rows = {r["id"]: r for r in html_extract(df, "id", "html").collect()}
+    r1 = rows[1]
+    assert r1["title"] == "My & Title"
+    # scripts/styles/comments gone — including the tag-breaking `x<2`
+    assert "alert" not in r1["text"] and "color" not in r1["text"]
+    assert "hidden" not in r1["text"]
+    # block structure became lines; inline tags vanished in place
+    lines = [l for l in r1["text"].split("\n") if l.strip()]
+    assert lines == [
+        "Home > Docs",
+        "Heading One",
+        "First paragraph with bold text.",
+        "Second paragraph.",
+        "item one",
+        "item two",
+        "'quoted'",
+    ]
+    assert r1["n_lines"] == 7 and r1["n_chars"] == len(r1["text"])
+    # markup-free text passes through; NULL stays NULL
+    assert rows[2]["text"] == "plain, no markup" and rows[2]["title"] is None
+    assert rows[3]["text"] is None and rows[3]["n_lines"] is None
+
+
+def test_html_extract_feeds_c4_clean(spark):
+    """The crawl-pipeline composition: extract, then line-rules."""
+    from delta_sorter_spark.operators.quality import c4_clean, html_extract
+
+    html = (
+        "<html><body><nav>a b</nav>"
+        "<p>This is a long enough first sentence line.</p>"
+        "<p>tiny</p>"
+        "<p>Another sufficiently long kept line ends here.</p>"
+        "</body></html>"
+    )
+    df = spark.createDataFrame([(1, html)], "id int, html string")
+    text = html_extract(df, "id", "html").select("id", "text")
+    out = c4_clean(text, "id", "text", min_sentences=1).collect()[0]
+    assert out["doc_kept"] and out["n_kept_lines"] == 2
+    assert "tiny" not in out["cleaned_text"]
