@@ -4921,6 +4921,125 @@ SELECT id_a, id_b, hamming FROM phpairs
 
 
 # ---------------------------------------------------------------------------
+# M6: audio fingerprint near-dup (operators/multimodal.py audio_near_dup) —
+# chromaprint-style OFFSET-TOLERANT matching: per-frame fingerprint words,
+# word-equality candidates, per-pair best-alignment vote, aligned Hamming
+# verify.  The stub fingerprints frame CONTENT (md5 of each 8-byte payload
+# window), so the fixture's variants — the same document with a 16-char
+# prefix — genuinely produce 2-frame-shifted fingerprints that only an
+# offset-tolerant matcher finds.  The oracle replays the exact pipeline on
+# the text form (payload = UTF-8 of ASCII text, so DuckDB's string md5
+# equals Python's byte md5).
+# ---------------------------------------------------------------------------
+
+M6_VARIANT_SHIFT = 2_000_000
+M6_VARIANT_MOD = 5
+M6_PREFIX = "[clip-padding!]:"  # 16 chars = exactly 2 stub frames
+M6_MIN_FRAMES = 8
+M6_MAX_HPF = 4
+M6_MAX_WORD_FREQ = 50
+
+
+def q_m6_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_sorter_spark.operators.multimodal import audio_near_dup
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.where(F.col("doc_id") % M6_VARIANT_MOD == 0).select(
+            (F.col("doc_id") + M6_VARIANT_SHIFT).alias("doc_id"),
+            F.concat(F.lit(M6_PREFIX), F.col("text")).alias("text"),
+        )
+    )
+    assets = corpus.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    return audio_near_dup(
+        assets, "doc_id", "payload",
+        min_matching_frames=M6_MIN_FRAMES,
+        max_hamming_per_frame=M6_MAX_HPF,
+        max_word_freq=M6_MAX_WORD_FREQ,
+    )
+
+
+def _make_m6_sql() -> str:
+    from delta_sorter_spark.operators.multimodal import (
+        FP_FRAME_BYTES,
+        FP_FRAMES,
+    )
+
+    fb, nf = FP_FRAME_BYTES, FP_FRAMES
+    prefix = M6_PREFIX.replace("'", "''")
+    return f"""
+WITH corpus AS MATERIALIZED (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {M6_VARIANT_SHIFT} AS doc_id,
+         '{prefix}' || text AS text
+  FROM documents WHERE doc_id % {M6_VARIANT_MOD} = 0
+),
+fps AS MATERIALIZED (
+  SELECT doc_id,
+         list_transform(range(0, {nf}), j ->
+           CAST(('0x' || substr(md5(substr(text,
+                   CAST(j * {fb} + 1 AS INT), {fb})), 1, 7))::BIGINT AS INT)
+         ) AS fp
+  FROM corpus
+),
+words AS (
+  SELECT doc_id, CAST(k AS INT) AS frame, fp[CAST(k + 1 AS INT)] AS word
+  FROM fps CROSS JOIN (SELECT unnest(range(0, {nf})) AS k) t
+),
+hot AS (
+  SELECT word FROM words GROUP BY word
+  HAVING count(DISTINCT doc_id) > {M6_MAX_WORD_FREQ}
+),
+cold AS (
+  SELECT * FROM words WHERE word NOT IN (SELECT word FROM hot)
+),
+votes AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.frame - b.frame AS "offset", count(*) AS votes
+  FROM cold a JOIN cold b ON a.word = b.word AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3
+),
+best AS (
+  SELECT id_a, id_b, "offset" FROM (
+    SELECT id_a, id_b, "offset",
+           row_number() OVER (PARTITION BY id_a, id_b
+                              ORDER BY votes DESC, "offset" ASC) AS rk
+    FROM votes
+  ) WHERE rk = 1
+),
+aligned AS (
+  SELECT b.id_a, b.id_b, b."offset",
+         greatest(b."offset", 0) AS astart,
+         greatest(-b."offset", 0) AS bstart,
+         {nf} - abs(b."offset") AS n_ov,
+         wa.fp AS fa, wb.fp AS fb
+  FROM best b
+  JOIN fps wa ON wa.doc_id = b.id_a
+  JOIN fps wb ON wb.doc_id = b.id_b
+),
+scored AS (
+  SELECT id_a, id_b, "offset",
+         len(list_filter(range(0, n_ov), k ->
+           fa[CAST(astart + k + 1 AS INT)] = fb[CAST(bstart + k + 1 AS INT)]
+         )) AS matching_frames,
+         CAST(list_aggregate(list_transform(range(0, n_ov), k ->
+           bit_count(xor(fa[CAST(astart + k + 1 AS INT)],
+                         fb[CAST(bstart + k + 1 AS INT)]))), 'sum') AS INT)
+           AS hamming,
+         n_ov
+  FROM aligned
+)
+SELECT id_a, id_b, "offset", matching_frames, hamming
+FROM scored
+WHERE matching_frames >= {M6_MIN_FRAMES}
+  AND hamming <= {M6_MAX_HPF} * n_ov
+"""
+
+
+# ---------------------------------------------------------------------------
 # P4: multimodal dedup pipeline — the composed image-curation verb: pHash
 # near-dup pairs (m5) -> connected components over ALL assets -> keep the
 # smallest id per cluster, reporting each multi-asset cluster's size and
@@ -9033,6 +9152,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a47_corpus_profile": q_a47_corpus_profile,
         "m4_embed_topk": q_m4_embed_topk,
         "m5_phash_near_dup": q_m5_phash_near_dup,
+        "m6_audio_near_dup": q_m6_audio_near_dup,
         "p4_multimodal_dedup_pipeline": q_p4_multimodal_dedup_pipeline,
         "a43_span_report": q_a43_span_report,
         "a44_snapshot_diff": q_a44_snapshot_diff,
@@ -9147,6 +9267,7 @@ def oracle_sql() -> dict[str, str]:
         "a47_corpus_profile": _A47_SQL,
         "m4_embed_topk": _M4_SQL,
         "m5_phash_near_dup": _M5_SQL,
+        "m6_audio_near_dup": _make_m6_sql(),
         "p4_multimodal_dedup_pipeline": _P4_SQL,
         "a43_span_report": _A43_SQL,
         "a44_snapshot_diff": _A44_SQL,

@@ -314,3 +314,170 @@ def embed_assets(
         F.col(id_col).alias("__id__"), F.col(payload_col).alias("__payload__")
     )
     return narrowed.mapInPandas(embed, EMBED_SCHEMA)
+
+
+# -- audio fingerprint near-dup (m6) ------------------------------------------
+# Chromaprint-style shape: an audio asset fingerprints to a SEQUENCE of
+# per-frame words, and two assets match when a run of frames aligns at
+# SOME offset (a clip that starts 5 seconds in is still the same
+# recording) — positional bands (ahash_bands/m5) can't express that, so
+# matching here is offset-tolerant: candidates pair on bare word equality,
+# vote for their implied alignment, and the best offset's overlap is
+# verified by exact per-word Hamming.
+
+FP_FRAMES = 16      # fingerprint words per asset
+FP_FRAME_BYTES = 8  # stub: payload window per frame
+
+
+def _fingerprint_stub(payload: bytes) -> list[int]:
+    """STUB fingerprinter: word j = the first 7 md5 hex digits (28 bits —
+    safely inside a signed int32) of frame j's CONTENT, frame j being the
+    payload window [j*8, j*8+8).  Content-addressed frames make the fake
+    behave like a real acoustic fingerprint under edits: prepending 16
+    bytes shifts every word by exactly two frames, so the offset-tolerant
+    matcher has something real to find.  Exactly reproducible by the
+    DuckDB oracle (md5 of substrings).  A deployment passes a chromaprint
+    call (``lambda raw: acoustid.chromaprint.decode_fingerprint(...)``)
+    instead — the matcher downstream is fingerprinter-agnostic."""
+    out = []
+    for j in range(FP_FRAMES):
+        frame = payload[j * FP_FRAME_BYTES:(j + 1) * FP_FRAME_BYTES]
+        out.append(int(hashlib.md5(frame).hexdigest()[:7], 16))
+    return out
+
+
+FP_SCHEMA = "id long, fp array<int>"
+
+
+def fingerprint_assets(
+    df: DataFrame, id_col: str, payload_col: str, fingerprinter=None
+) -> DataFrame:
+    """(id, fp array<int>) — the decode boundary of audio-content
+    fingerprinting, Arrow-batched like :func:`decode_assets`.
+    ``fingerprinter``: ``bytes -> list[int]`` per-frame words, default
+    :func:`_fingerprint_stub`."""
+    fingerprinter = fingerprinter or _fingerprint_stub
+
+    def fp(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, fps = [], []
+            for i, payload in zip(pdf["__id__"], pdf["__payload__"]):
+                fps.append(fingerprinter(bytes(payload)))
+                ids.append(i)
+            yield pd.DataFrame({"id": ids, "fp": fps})
+
+    narrowed = df.select(
+        F.col(id_col).alias("__id__"), F.col(payload_col).alias("__payload__")
+    )
+    return narrowed.mapInPandas(fp, FP_SCHEMA)
+
+
+def audio_near_dup(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    min_matching_frames: int = 8,
+    max_hamming_per_frame: int = 4,
+    max_word_freq: int = 50,
+    fingerprinter=None,
+) -> DataFrame:
+    """Audio-content near-duplicate pairs, offset-tolerant: fingerprint ->
+    word-equality candidates -> per-pair best-offset vote -> aligned
+    Hamming verify.  Output: (id_a, id_b, offset, matching_frames,
+    hamming) — pairs whose best alignment has at least
+    ``min_matching_frames`` exactly-equal words AND whose overlap's total
+    bit-Hamming stays under ``max_hamming_per_frame`` per overlapping
+    frame.  ``offset`` is frames of ``id_a`` leading ``id_b`` (positive:
+    b's audio starts inside a).
+
+    Scale shape: the candidate join pairs on bare word VALUE (an
+    equi-join, never |corpus|²); ubiquitous words — real audio's silence
+    frames — are dropped when they appear in more than ``max_word_freq``
+    assets (the LSH ``max_bucket`` skew-guard discipline, dedup.py).  The
+    offset vote and verify run per candidate pair: O(candidates), all
+    JVM expressions after the one fingerprint UDF."""
+    fps = fingerprint_assets(
+        df, id_col, payload_col, fingerprinter=fingerprinter
+    ).persist()  # feeds the exploded join and both verify sides
+    words = fps.select("id", F.posexplode("fp").alias("frame", "word"))
+    # silence-frame guard: a word shared by too many assets pairs
+    # everything with everything — drop it from candidacy (verify still
+    # sees it inside fp arrays, so true pairs lose nothing but the vote)
+    hot = (
+        words.groupBy("word")
+        .agg(F.countDistinct("id").alias("nf"))
+        .where(F.col("nf") > max_word_freq)
+        .select("word")
+    )
+    words = words.join(F.broadcast(hot), "word", "left_anti")
+    votes = (
+        words.alias("a")
+        .join(words.alias("b"), "word")
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            (F.col("a.frame") - F.col("b.frame")).alias("offset"),
+        )
+        .groupBy("id_a", "id_b", "offset")
+        .agg(F.count("*").alias("votes"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id_a", "id_b").orderBy(
+        F.desc("votes"), F.asc("offset")
+    )
+    best = (
+        votes.withColumn("__rk__", F.row_number().over(w))
+        .where("__rk__ = 1")
+        .select("id_a", "id_b", "offset")
+    )
+    # aligned overlap at the voted offset: a[offset+k] vs b[k] (offset>=0),
+    # a[k] vs b[-offset+k] (offset<0); slice() is 1-based
+    aligned = (
+        best.join(
+            fps.select(F.col("id").alias("id_a"), F.col("fp").alias("__fa__")),
+            "id_a",
+        )
+        .join(
+            fps.select(F.col("id").alias("id_b"), F.col("fp").alias("__fb__")),
+            "id_b",
+        )
+        .withColumn(
+            "__ov__",
+            F.expr(
+                "CASE WHEN offset >= 0"
+                " THEN zip_with(slice(__fa__, offset + 1, size(__fa__)),"
+                "               __fb__, (x, y) -> struct(x, y))"
+                " ELSE zip_with(__fa__,"
+                "               slice(__fb__, -offset + 1, size(__fb__)),"
+                "               (x, y) -> struct(x, y)) END"
+            ),
+        )
+        .withColumn(
+            "__ov__",
+            F.expr("filter(__ov__, s -> s.x IS NOT NULL AND s.y IS NOT NULL)"),
+        )
+    )
+    out = aligned.select(
+        "id_a",
+        "id_b",
+        "offset",
+        F.expr(
+            "size(filter(__ov__, s -> s.x = s.y))"
+        ).alias("matching_frames"),
+        F.expr(
+            "aggregate(__ov__, 0, (acc, s) ->"
+            " acc + CAST(bit_count(s.x ^ s.y) AS INT))"
+        ).alias("hamming"),
+        F.expr("size(__ov__)").alias("__n_ov__"),
+    )
+    return out.where(
+        (F.col("matching_frames") >= min_matching_frames)
+        & (
+            F.col("hamming")
+            <= F.lit(int(max_hamming_per_frame)) * F.col("__n_ov__")
+        )
+    ).select("id_a", "id_b", "offset", "matching_frames", "hamming")

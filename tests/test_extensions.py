@@ -1531,3 +1531,78 @@ def test_kmv_overlap_estimates_jaccard(spark):
     # the sketch itself is k rows, ascending, distinct
     sk = [row["h"] for row in kmv_sketch(a, "v", k=16).collect()]
     assert len(sk) == 16 == len(set(sk)) and sk == sorted(sk)
+
+
+def test_audio_near_dup_offset_tolerant(spark):
+    """Chromaprint-shape matching: an exact dup aligns at offset 0; a clip
+    with a 16-byte (2-frame) prefix aligns at offset +/-2 with 14 matching
+    frames; unrelated audio never surfaces."""
+    from delta_sorter_spark.operators.multimodal import audio_near_dup
+
+    base = (
+        b"the quick brown fox jumps over the lazy dog and keeps running "
+        b"through the forest all day long without stopping once at all"
+    )
+    other = (
+        b"completely different audio content that shares nothing with the "
+        b"others at all in any eight byte frame window whatsoever here"
+    )
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(base)),
+            (2, bytearray(b"X" * 16 + base)),  # 2-frame-shifted clip
+            (3, bytearray(base)),              # exact dup
+            (4, bytearray(other)),
+        ],
+        "id long, payload binary",
+    )
+    rows = {
+        (r["id_a"], r["id_b"]): (r["offset"], r["matching_frames"], r["hamming"])
+        for r in audio_near_dup(df, "id", "payload", min_matching_frames=8).collect()
+    }
+    assert rows == {
+        (1, 2): (-2, 14, 0),
+        (1, 3): (0, 16, 0),
+        (2, 3): (2, 14, 0),
+    }
+
+
+def test_audio_near_dup_hot_word_guard(spark):
+    """A frame word shared by more assets than max_word_freq is dropped
+    from candidacy (silence-frame skew guard): all-identical payloads stop
+    pairing when the cap is below the corpus size."""
+    from delta_sorter_spark.operators.multimodal import audio_near_dup
+
+    same = b"identical audio payload bytes repeated across every asset...."
+    df = spark.createDataFrame(
+        [(i, bytearray(same)) for i in range(6)], "id long, payload binary"
+    )
+    # cap above corpus: all 15 exact-dup pairs
+    assert audio_near_dup(df, "id", "payload", max_word_freq=10).count() == 15
+    # cap below corpus: every word is hot -> no candidates at all
+    assert audio_near_dup(df, "id", "payload", max_word_freq=3).count() == 0
+
+
+def test_audio_near_dup_fingerprinter_hook(spark):
+    """The pluggable-fingerprinter contract: a crafted fingerprint with one
+    corrupted frame still matches at offset 0 under the hamming budget, and
+    the reported hamming is the exact bit distance of that frame."""
+    from delta_sorter_spark.operators.multimodal import audio_near_dup
+
+    def fp(raw):
+        words = [int.from_bytes(raw[:4], "big")] * 16
+        if raw[-1:] == b"!":
+            words[5] ^= 0b111  # 3 flipped bits in one frame
+        return words
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"\x01\x02\x03\x04 audio")),
+         (2, bytearray(b"\x01\x02\x03\x04 audio!"))],
+        "id long, payload binary",
+    )
+    rows = audio_near_dup(
+        df, "id", "payload", fingerprinter=fp, min_matching_frames=8,
+        max_hamming_per_frame=1, max_word_freq=50,
+    ).collect()
+    assert [(r["offset"], r["matching_frames"], r["hamming"]) for r in rows] \
+        == [(0, 15, 3)]
