@@ -857,3 +857,140 @@ def test_s3_cleanup_metadata_end_to_end(s3_env, spark, tmp_path):
     assert r["deleted"] and t.log._commit_versions()[0] == 10
     fresh = DeltaTable(spark, "s3://testbkt/tables/cleanup_me")
     assert fresh.to_df().count() == 120
+
+
+@pytest.mark.slow
+def test_s3_clustered_multi_writer_stress(s3_env, spark, tmp_path):
+    """Round-8 concurrency closer (VERDICT r7 #8): 8 concurrent appenders
+    plus a merge-on-read DV DELETE race an OPTIMIZE retry loop on ONE
+    clustered s3:// table.  Contract under test:
+
+    - every append lands exactly once (conditional-PUT retry);
+    - the DV delete's rows NEVER resurrect — if OPTIMIZE planned against
+      pre-DV bytes, the DV-aware conflict check (commit_rewrite) must
+      raise ConcurrentRewriteError rather than commit stale data;
+    - the OPTIMIZE loop converges once writers stop, with all files
+      clustered and the exact surviving row multiset.
+
+    The reference assumes a single writer (lib.rs:876-884); this is the
+    multi-writer behavior a shared 100 TB table actually needs."""
+    import threading
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from delta_sorter_spark.operators.cluster import (
+        cluster_status,
+        optimize_clustered,
+    )
+    from delta_sorter_spark.operators.dml import delete_where_dv
+    from delta_sorter_spark.sources.delta_table import (
+        ConcurrentRewriteError,
+        DeltaTable,
+    )
+
+    local = str(tmp_path / "mw")
+    base = spark.range(0, 1000).select(
+        F.col("id").alias("k1"),
+        ((F.col("id") * 2654435761) % 1000).alias("k2"),
+    )
+    DeltaTable.create(spark, local, base.repartition(2),
+                      stat_columns=["k1", "k2"])
+    _upload_tree(local, "testbkt", "tables/mw_clustered")
+    uri = "s3://testbkt/tables/mw_clustered"
+    DeltaTable(spark, uri).set_clustering_columns(["k1", "k2"])
+
+    n_appenders = 8
+    rows_per_append = 50
+    errors: list = []
+    conflicts: list = []
+    stop_optimizing = threading.Event()
+
+    def appender(i: int) -> None:
+        try:
+            t = DeltaTable(spark, uri)
+            lo = 10_000 + i * rows_per_append
+            t.append(
+                spark.range(lo, lo + rows_per_append).select(
+                    F.col("id").alias("k1"),
+                    ((F.col("id") * 2654435761) % 1000).alias("k2"),
+                ).coalesce(1)
+            )
+        except Exception as exc:  # pragma: no cover - failure detail
+            errors.append(exc)
+
+    def deleter() -> None:
+        # a real DML job retries a lost rewrite race from a fresh snapshot
+        # (ConcurrentRewriteError == "someone rewrote my candidate files",
+        # the clean loss the conflict check exists to signal)
+        try:
+            for _ in range(20):
+                try:
+                    delete_where_dv(DeltaTable(spark, uri), "k1 % 10 = 3")
+                    return
+                except ConcurrentRewriteError as exc:
+                    conflicts.append(exc)
+            raise RuntimeError("deleter never won a race in 20 attempts")
+        except Exception as exc:  # pragma: no cover - failure detail
+            errors.append(exc)
+
+    def optimizer() -> None:
+        # maintenance loop: keep optimizing until writers are done AND a
+        # final pass converges; a lost race is a clean retry, never an error
+        try:
+            while True:
+                try:
+                    optimize_clustered(DeltaTable(spark, uri),
+                                       min_zcube_bytes=0, num_partitions=2)
+                except ConcurrentRewriteError as exc:
+                    conflicts.append(exc)
+                    continue
+                if stop_optimizing.is_set():
+                    break
+                _time.sleep(0.05)
+        except Exception as exc:  # pragma: no cover - failure detail
+            errors.append(exc)
+
+    threads = [threading.Thread(target=appender, args=(i,))
+               for i in range(n_appenders)]
+    threads.append(threading.Thread(target=deleter))
+    opt = threading.Thread(target=optimizer)
+    opt.start()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(300)
+    stop_optimizing.set()
+    opt.join(300)
+    assert not errors, errors
+
+    # final convergence pass on a fresh handle
+    final = DeltaTable(spark, uri)
+    m = optimize_clustered(final, min_zcube_bytes=0, num_partitions=2)
+    if not m.get("noop"):
+        assert optimize_clustered(final, min_zcube_bytes=0)["noop"]
+
+    # Deterministic invariants (appends racing the DELETE may land after
+    # its snapshot, so THEIR k1%10=3 rows may legitimately survive):
+    # - no row duplicated or resurrected: base k1%10=3 rows are gone for
+    #   good (the DELETE's snapshot predates the race; a stale OPTIMIZE
+    #   commit would have brought them back),
+    # - every base keeper and every appended keeper present exactly once.
+    got = [r["k1"] for r in final.to_df().select("k1").collect()]
+    gset = set(got)
+    assert len(got) == len(gset)  # no duplicates anywhere
+    base_keep = {k for k in range(0, 1000) if k % 10 != 3}
+    base_gone = {k for k in range(0, 1000) if k % 10 == 3}
+    assert base_keep <= gset
+    assert not (base_gone & gset)  # DV delete never resurrected
+    appended_keep = set()
+    appended_all = set()
+    for i in range(n_appenders):
+        lo = 10_000 + i * rows_per_append
+        rng = set(range(lo, lo + rows_per_append))
+        appended_all |= rng
+        appended_keep |= {k for k in rng if k % 10 != 3}
+    assert appended_keep <= gset  # every append landed exactly once
+    assert gset <= base_keep | appended_all
+    st = cluster_status(final)
+    assert st["unclustered_files"] == 0
