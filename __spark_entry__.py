@@ -8923,6 +8923,17 @@ _RECHECK_THIS_ROUND = [
     # conflict check — recheck the lifecycle + replay consumers.
     "p5_lakehouse_lifecycle",
     "q26_log_cleanup",
+    # round 8: ANN index layout went generational (codes_parts + manifest,
+    # O(new) refresh) and serving now auth-joins the manifest — recheck
+    # the registered-index queries.
+    "q18_ann_index",
+    "q19_ann_ivf_index",
+    "q20_ann_residual_index",
+    # round 8: _target_with_path now derives row provenance from
+    # _metadata.file_path (input_file_name() is '' through the DV
+    # anti-join) — recheck the MERGE/DV-DML consumers.
+    "q8_merge_full_sync",
+    "q10_update_where_dv",
 ]
 
 
