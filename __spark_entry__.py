@@ -8232,6 +8232,61 @@ WHERE r.rn <= {TOPK}
 _Q18_SQL = _q18_sql()
 
 
+def q_q27_ann_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q18's exact lifecycle with `compact_ann_index` inserted after the
+    final refresh: build (train half) -> append -> refresh -> copy-on-write
+    DELETE -> refresh -> COMPACT (generational parts consolidated into one
+    fresh dataset, old dirs vacuum-able) -> serve.  The oracle is q18's
+    SQL verbatim — compaction MUST be invisible to every served value
+    (frozen codebooks copied, authoritative codes preserved bit-for-bit).
+    A vacuum between compact and serve also proves the new dataset is the
+    one protected."""
+    import os
+    import shutil
+    import tempfile
+
+    from delta_sorter_spark.operators.ann_index import (
+        ann_topk,
+        build_ann_index,
+        compact_ann_index,
+        refresh_ann_index,
+    )
+    from delta_sorter_spark.operators.dml import delete_where
+    from delta_sorter_spark.sources.delta_table import DeltaTable
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    scratch = tempfile.mkdtemp(prefix="q27_ann_")
+    try:
+        tbl = DeltaTable.create(
+            spark, os.path.join(scratch, "t"),
+            emb.where(F.col("vec_id") % 2 == 0).coalesce(2),
+        )
+        build_ann_index(
+            tbl, "embedding", "vec_id", EMB_DIM,
+            m=PQ_M, n_codes=PQ_CODES, n_iters=2,
+        )
+        tbl.append(emb.where(F.col("vec_id") % 2 == 1).coalesce(2))
+        refresh_ann_index(tbl, "embedding")
+        delete_where(tbl, f"vec_id % {ANN_DELETE_MOD} = 3")
+        refresh_ann_index(tbl, "embedding")
+        info = compact_ann_index(tbl, "embedding")
+        assert info["parts_in"] >= 2, info  # there WERE parts to fold
+        tbl.vacuum()  # superseded generational dirs collectable NOW
+        queries = emb.where(F.col("vec_id") % QUERY_VEC_MOD == 0)
+        out = ann_topk(
+            tbl, queries, "vec_id", "embedding", "embedding", k=TOPK
+        ).select(
+            "query_id",
+            "id",
+            "rank",
+            F.round("approx_d", 6).alias("approx_d"),
+            F.round("cosine", 6).alias("cosine"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # Q19: IVF-PQ registered index — q18's lifecycle with a coarse quantizer
 # (build with n_centroids, refresh keeps new rows in FROZEN inverted lists,
@@ -9164,6 +9219,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m4_embed_topk": q_m4_embed_topk,
         "m5_phash_near_dup": q_m5_phash_near_dup,
         "m6_audio_near_dup": q_m6_audio_near_dup,
+        "q27_ann_compaction": q_q27_ann_compaction,
         "p4_multimodal_dedup_pipeline": q_p4_multimodal_dedup_pipeline,
         "a43_span_report": q_a43_span_report,
         "a44_snapshot_diff": q_a44_snapshot_diff,
@@ -9269,6 +9325,8 @@ def oracle_sql() -> dict[str, str]:
         "e80_wordpiece_encode": _E80_SQL,
         "e81_epoch_capped_mix": _E81_SQL,
         "q18_ann_index": _Q18_SQL,
+        # compaction must be invisible to serving: q27's oracle IS q18's SQL
+        "q27_ann_compaction": _Q18_SQL,
         "q19_ann_ivf_index": _Q19_SQL,
         "p3_curation_pipeline": _P3_SQL,
         "e82_residual_ivfpq": _E82_SQL,
