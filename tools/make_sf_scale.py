@@ -80,14 +80,24 @@ def build(k: int, src: str, out: str) -> None:
     did_shift = con.execute(
         f"SELECT max(doc_id) + 1 FROM {src_tbl('documents')}"
     ).fetchone()[0]
+    # Per-replica WORD suffixing (not a prefix): every token of replica r
+    # becomes token||r, so replicas share NO shingles with each other —
+    # cross-replica pairs never become near-dups (a prefix-only variant
+    # made every doc a 10-way near-dup cluster and blew the LSH candidate
+    # count up 27x instead of 10x).  Within a replica both members of an
+    # organic near-dup pair get the same transformation, so the corpus's
+    # duplicate RATE is preserved — which is the property the LSH scaling
+    # measurement needs.
     write(
         "documents",
         f"SELECT doc_id + r * {did_shift} AS doc_id,"
         " CASE WHEN r = 0 THEN text"
-        " ELSE 'replica r' || CAST(r AS VARCHAR) || ' ' || text END AS text,"
+        " ELSE regexp_replace(text, '([a-z0-9]+)',"
+        "      '\\1' || CAST(r AS VARCHAR), 'g') END AS text,"
         " lang, source,"
-        " CASE WHEN r = 0 THEN n_chars"
-        " ELSE n_chars + 10 + len(CAST(r AS VARCHAR)) END AS n_chars"
+        " CASE WHEN r = 0 THEN n_chars ELSE len("
+        "   regexp_replace(text, '([a-z0-9]+)',"
+        "   '\\1' || CAST(r AS VARCHAR), 'g')) END AS n_chars"
         f" FROM {src_tbl('documents')} CROSS JOIN {reps}",
     )
 
