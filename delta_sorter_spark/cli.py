@@ -15,6 +15,7 @@ Extension verbs (each runs and exits; --sort-columns not required):
     --drop-bloom-index COLUMN     unregister (vacuum collects the dataset)
     --build-ann-index COL:ID:DIM  train + register the PQ ANN index
     --refresh-ann-index COLUMN    re-encode new/DV-changed files only
+    --compact-ann-index COLUMN    consolidate generational code parts
     --drop-ann-index COLUMN       unregister (vacuum collects the datasets)
 Extension flag: --refresh-bloom-indexes refreshes every registered index
 after a rewriting compaction (the maintenance pairing — rewrites are
@@ -120,6 +121,14 @@ def build_parser() -> argparse.ArgumentParser:
         help="Catch COLUMN's ANN index up with the current snapshot — "
         "re-encodes only new/DV-changed files against the frozen "
         "codebooks — then exit",
+    )
+    p.add_argument(
+        "--compact-ann-index",
+        default=None,
+        metavar="COLUMN",
+        help="Consolidate COLUMN's generational ANN code parts into one "
+        "fresh dataset (superseded refresh parts become vacuum-able), "
+        "then exit",
     )
     p.add_argument(
         "--drop-ann-index",
@@ -233,7 +242,8 @@ def main(argv: list[str] | None = None) -> int:
     index_verb = (
         args.build_bloom_index or args.refresh_bloom_index
         or args.drop_bloom_index or args.build_ann_index
-        or args.refresh_ann_index or args.drop_ann_index
+        or args.refresh_ann_index or args.compact_ann_index
+        or args.drop_ann_index
     )
     maintenance_verb = (
         args.vacuum or args.checkpoint or args.enable_row_tracking
@@ -305,9 +315,11 @@ def _run(args, sort_columns, api) -> int:
             return 2
         return 0
 
-    if args.build_ann_index or args.refresh_ann_index or args.drop_ann_index:
+    if (args.build_ann_index or args.refresh_ann_index
+            or args.compact_ann_index or args.drop_ann_index):
         from delta_sorter_spark.operators.ann_index import (
             build_ann_index,
+            compact_ann_index,
             drop_ann_index,
             refresh_ann_index,
         )
@@ -336,6 +348,13 @@ def _run(args, sort_columns, api) -> int:
                     f"reencoded={r['reencoded_files']} "
                     f"dropped={r['dropped_files']} "
                     f"carried={r['carried_files']} version={r['version']}"
+                )
+            elif args.compact_ann_index:
+                r = compact_ann_index(tbl, args.compact_ann_index)
+                print(
+                    f"ann_index column={r['column']} "
+                    f"parts_in={r['parts_in']} rows={r['rows']} "
+                    f"version={r['version']}"
                 )
             else:
                 v = drop_ann_index(tbl, args.drop_ann_index)

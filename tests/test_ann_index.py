@@ -451,3 +451,22 @@ def test_compact_ann_index_ivf_keeps_probed_serving(spark, tmp_path):
         tbl, _queries(spark, [5, 42]), "vid", "emb", "emb", k=3, n_probes=2
     ).collect()))
     assert post == pre
+
+
+def test_cli_compact_ann_index(spark, tmp_path, capsys):
+    from delta_sorter_spark import cli
+    from delta_sorter_spark.operators.ann_index import ann_specs
+
+    tbl = _mk_table(spark, tmp_path, range(20))
+    build_ann_index(tbl, "emb", "vid", DIM, m=2, n_codes=4)
+    tbl.append(
+        spark.createDataFrame(_rows(range(20, 25)), "vid long, emb array<float>")
+        .coalesce(1)
+    )
+    refresh_ann_index(tbl, "emb")
+    assert cli.main(["--table", tbl.table_path, "--compact-ann-index", "emb"]) == 0
+    out = capsys.readouterr().out
+    assert "parts_in=2" in out and "rows=25" in out
+    assert len(ann_specs(tbl)["emb"]["codes_parts"]) == 1
+    # usage error: unknown index
+    assert cli.main(["--table", tbl.table_path, "--compact-ann-index", "x"]) == 2
