@@ -7783,7 +7783,9 @@ def q_e83_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return html_extract(html, "doc_id", "html")
 
 
-def _make_e83_sql() -> str:
+def _e83_duck_exprs() -> tuple:
+    """DuckDB (title_expr, text_expr) replaying html_extract's exact
+    regexp chain over a column named ``html`` — shared by e83 and p6."""
     from delta_sorter_spark.operators.quality import (
         _HTML_BREAK_TAGS,
         _HTML_DROP_TAGS,
@@ -7813,6 +7815,11 @@ def _make_e83_sql() -> str:
     c = f"regexp_replace({c}, '\\n\\n+', chr(10) || chr(10), 'g')"
     c = f"regexp_replace({c}, '^[\\n ]+|[\\n ]+$', '', 'g')"
     t = f"nullif(trim(regexp_replace({t}, '[ \\t\\n]+', ' ', 'g')), '')"
+    return t, c
+
+
+def _make_e83_sql() -> str:
+    t, c = _e83_duck_exprs()
     return f"""
 WITH h AS (SELECT doc_id, {_E83_WRAP} AS html FROM documents),
 e AS (SELECT doc_id, {t} AS title, {c} AS text FROM h)
@@ -7821,6 +7828,87 @@ SELECT doc_id, title, text,
          AS n_lines,
        length(text) AS n_chars
 FROM e
+"""
+
+
+P6_MIRROR_SHIFT = 5_000_000
+
+
+def q_p6_crawl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl-curation composition the round-8 extraction stage exists
+    for: deterministic markup wrap -> html_extract -> C4 line cleaning
+    (corpus-fit knobs, e78's) -> exact content dedup on the CLEANED text
+    (keep-lowest doc_id).  Every stage is oracle-checked alone
+    (e83/e78/e1-shape); this entry proves the COMPOSITION is exact."""
+    from delta_sorter_spark.operators.dedup import exact_dedup
+    from delta_sorter_spark.operators.quality import c4_clean, html_extract
+
+    base = load_table(spark, sf_dir, "documents")
+    # re-crawl mirror: every page ingested twice under a different id —
+    # the wrapper differs (title/nav carry the id/lang) but the EXTRACTED
+    # content is identical, so the dedup stage provably halves the corpus
+    docs = base.unionByName(
+        base.select(
+            (F.col("doc_id") + P6_MIRROR_SHIFT).alias("doc_id"),
+            "text", "lang", "source", "n_chars",
+        )
+    )
+    html = docs.select("doc_id", F.expr(_E83_WRAP).alias("html"))
+    txt = html_extract(html, "doc_id", "html").select("doc_id", "text")
+    cleaned = c4_clean(
+        txt, "doc_id", "text",
+        min_words_per_line=C4_MIN_WORDS,
+        min_sentences=0,
+        require_terminal_punct=False,
+    )
+    kept = cleaned.where("doc_kept").select(
+        "doc_id", "n_kept_lines", "cleaned_text"
+    )
+    surv = exact_dedup(kept, ["cleaned_text"], "doc_id")
+    return surv.select(
+        "doc_id",
+        "n_kept_lines",
+        F.length("cleaned_text").alias("n_chars_clean"),
+    )
+
+
+def _make_p6_sql() -> str:
+    _t, c = _e83_duck_exprs()
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text, lang, source FROM documents
+  UNION ALL
+  SELECT doc_id + {P6_MIRROR_SHIFT} AS doc_id, text, lang, source
+  FROM documents
+),
+h AS (SELECT doc_id, {_E83_WRAP} AS html FROM corpus),
+ex AS (SELECT doc_id, {c} AS text FROM h),
+base AS (
+  SELECT doc_id, text,
+         list_filter(list_transform(string_split(text, chr(10)),
+                                    l -> trim(l)), l -> l <> '') AS lines
+  FROM ex
+), k AS (
+  SELECT doc_id, text,
+         list_filter(lines, l ->
+            len(list_filter(string_split_regex(l, '\\s+'), w -> w <> ''))
+              >= {C4_MIN_WORDS}
+            AND NOT contains(lower(l), 'javascript')) AS kept
+  FROM base
+), c AS (
+  SELECT doc_id, len(kept) AS n_kept_lines,
+         array_to_string(kept, chr(10)) AS cleaned,
+         contains(lower(text), 'lorem ipsum') AS lorem,
+         contains(text, '{{') AS brace
+  FROM k
+), s AS (
+  SELECT doc_id, n_kept_lines, cleaned FROM c
+  WHERE NOT lorem AND NOT brace AND n_kept_lines > 0
+)
+SELECT min(doc_id) AS doc_id,
+       min_by(n_kept_lines, doc_id) AS n_kept_lines,
+       length(cleaned) AS n_chars_clean
+FROM s GROUP BY cleaned
 """
 
 
@@ -9204,6 +9292,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e77_gopher_rules": q_e77_gopher_rules,
         "e78_c4_clean": q_e78_c4_clean,
         "e83_html_extract": q_e83_html_extract,
+        "p6_crawl_pipeline": q_p6_crawl_pipeline,
         "s6_stream_dedup": q_s6_stream_dedup,
         "e79_wordpiece_train": q_e79_wordpiece_train,
         "e80_wordpiece_encode": q_e80_wordpiece_encode,
@@ -9320,6 +9409,7 @@ def oracle_sql() -> dict[str, str]:
         "e77_gopher_rules": _E77_SQL,
         "e78_c4_clean": _E78_SQL,
         "e83_html_extract": _make_e83_sql(),
+        "p6_crawl_pipeline": _make_p6_sql(),
         "s6_stream_dedup": _S6_SQL,
         "e79_wordpiece_train": _E79_SQL,
         "e80_wordpiece_encode": _E80_SQL,
