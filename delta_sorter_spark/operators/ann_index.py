@@ -24,8 +24,10 @@ same code serves local and object-store tables):
                   (:func:`_exact_rank` — queries × max(rerank, k) rows,
                   pruned to the shortlist's data files);
 - ``codebooks``:  (m, centroid, cvec) — the frozen per-subspace codewords;
-- ``files``:      (path, dv) — the indexed snapshot's file list with each
-                  file's deletion-vector digest.
+- ``files``:      (path, dv, gen) — the indexed snapshot's file list with
+                  each file's deletion-vector digest and the GENERATION
+                  whose codes are authoritative for it (see the
+                  generational-layout block below).
 
 Refresh semantics (O(changed files) data touched): a file is re-encoded
 when its path is new OR its deletion-vector digest changed (DML
@@ -808,3 +810,59 @@ def _exact_rank(
         .where(F.col("rank") <= k)
         .select("query_id", "id", "rank", "approx_d", "cosine")
     )
+
+
+def ann_status(table: DeltaTable, column: str) -> dict:
+    """Operational snapshot of ``column``'s registered index — the
+    cluster_status twin for ANN maintenance scheduling: how generational
+    the codes have become (parts), how stale vs the live snapshot
+    (unindexed/changed/dropped files), and whether a compaction is worth
+    scheduling.  Planner-scale work only: one O(files) manifest read, one
+    codes-width count per part, no data scan.
+
+    Returns {"column", "kind", "rows", "parts" (count),
+    "part_rows" [{gen, rows}], "dead_rows" (superseded code rows still on
+    disk — what compact_ann_index reclaims), "indexed_files",
+    "live_files", "stale_files" (new or DV-changed since last refresh),
+    "dropped_files", "recommend_compaction" (dead rows exceed live rows
+    OR more than 8 parts)}."""
+    state = table.state()
+    spec = ann_specs(table, state.metadata).get(column)
+    if spec is None:
+        raise KeyError(f"no ann index on column {column!r}")
+    m, ivf = int(spec["m"]), "n_centroids" in spec
+    manifest = _read_manifest_rows(table, spec)
+    indexed = {p: (d, g) for p, d, g in manifest}
+    current = {a.path: _dv_digest(a) for a in state.adds}
+    stale = sum(
+        1 for p, d in current.items()
+        if p not in indexed or indexed[p][0] != d
+    )
+    dropped = len(set(indexed) - set(current))
+    parts = _spec_parts(spec)
+    part_rows = []
+    total = 0
+    for part in parts:
+        n = table.read_parquet_dataset(
+            part["dir"], ["id"], "id bigint"
+        ).count()
+        part_rows.append({"gen": int(part["gen"]), "rows": int(n)})
+        total += int(n)
+    auth = ann_codes(table, column, spec).count()
+    dead = total - int(auth)
+    return {
+        "column": column,
+        "kind": (
+            "residual-ivf-pq" if spec.get("residual")
+            else ("ivf-pq" if ivf else "pq")
+        ),
+        "rows": int(auth),
+        "parts": len(parts),
+        "part_rows": part_rows,
+        "dead_rows": int(dead),
+        "indexed_files": len(indexed),
+        "live_files": len(current),
+        "stale_files": int(stale),
+        "dropped_files": int(dropped),
+        "recommend_compaction": bool(dead > auth or len(parts) > 8),
+    }

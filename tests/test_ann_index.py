@@ -470,3 +470,43 @@ def test_cli_compact_ann_index(spark, tmp_path, capsys):
     assert len(ann_specs(tbl)["emb"]["codes_parts"]) == 1
     # usage error: unknown index
     assert cli.main(["--table", tbl.table_path, "--compact-ann-index", "x"]) == 2
+
+
+def test_ann_status_reports_generations_and_staleness(spark, tmp_path):
+    from delta_sorter_spark.operators.ann_index import (
+        ann_status,
+        compact_ann_index,
+    )
+    from delta_sorter_spark.operators.dml import delete_where_dv
+
+    tbl = _mk_table(spark, tmp_path, range(20))
+    build_ann_index(tbl, "emb", "vid", DIM, m=2, n_codes=4)
+    st = ann_status(tbl, "emb")
+    assert st["kind"] == "pq" and st["rows"] == 20 and st["parts"] == 1
+    assert st["dead_rows"] == 0 and st["stale_files"] == 0
+    assert not st["recommend_compaction"]
+
+    # append without refresh: stale, nothing generational yet
+    tbl.append(
+        spark.createDataFrame(_rows(range(20, 25)), "vid long, emb array<float>")
+        .coalesce(1)
+    )
+    st = ann_status(tbl, "emb")
+    assert st["stale_files"] == 1 and st["parts"] == 1
+
+    refresh_ann_index(tbl, "emb")
+    # DV-change one original file: its old codes become dead weight
+    delete_where_dv(tbl, "vid < 3")
+    refresh_ann_index(tbl, "emb")
+    st = ann_status(tbl, "emb")
+    assert st["parts"] == 3 and st["stale_files"] == 0
+    assert st["rows"] == 22  # 25 - 3 deleted
+    assert st["dead_rows"] == 10  # the DV'd file's superseded gen-0 codes
+    assert st["indexed_files"] == st["live_files"]
+
+    compact_ann_index(tbl, "emb")
+    st = ann_status(tbl, "emb")
+    assert st["parts"] == 1 and st["dead_rows"] == 0 and st["rows"] == 22
+
+    with pytest.raises(KeyError):
+        ann_status(tbl, "nope")
