@@ -99,6 +99,12 @@ ENTRY_QUERIES = [
     # round-7: perceptual-hash image near-dup (thumbnail UDF -> aHash ->
     # banded candidates -> Hamming verify) — prices the image-dedup scan
     "m5_phash_near_dup",
+    # round-8: HTML/markup extraction (pure regex projection), audio
+    # fingerprint near-dup (offset-tolerant alignment), and the composed
+    # crawl pipeline (wrap -> extract -> C4 clean -> exact dedup)
+    "e83_html_extract",
+    "m6_audio_near_dup",
+    "p6_crawl_pipeline",
 ]
 
 
