@@ -1183,3 +1183,44 @@ def test_dv_delete_and_update_txn_idempotence(spark, tmp_path):
     got = {r["id"]: r["amt"] for r in DeltaTable(spark, path).to_df().collect()}
     assert set(got) == {0, 2, 3, 4, 5}      # only id 1 deleted
     assert got[3] == 103.0 and got[4] == 4.0  # only id 3 updated
+
+
+def test_merge_changed_file_detection_on_dv_table(spark, tmp_path):
+    """Round-8 regression: MERGE's changed-file pass derives row
+    provenance from _metadata.file_path, not input_file_name() — the
+    positional DV anti-join makes the latter silently '' for every row of
+    a DV'd file, which made selective rewrites mis-plan on
+    merge-on-read tables.  A selective update hitting ONLY the DV'd file
+    must rewrite exactly that file, keep the other intact, and never
+    resurrect the DV-hidden rows."""
+    from delta_sorter_spark.operators.dml import delete_where_dv, merge
+
+    path = str(tmp_path / "dv_merge_sel")
+    low = spark.createDataFrame(
+        [(i, float(i)) for i in range(6)], "id long, amt double"
+    )
+    high = spark.createDataFrame(
+        [(i, float(i)) for i in range(100, 106)], "id long, amt double"
+    )
+    table = DeltaTable.create(spark, path, low.coalesce(1), stat_columns=["id"])
+    table.append(high.coalesce(1), stat_columns=["id"])
+    delete_where_dv(table, "id IN (1, 2)")  # DV on the low file
+
+    # source hits BOTH files' key ranges, but only the low file has a row
+    # whose amt actually changes -> exactly one rewrite
+    src = spark.createDataFrame(
+        [(4, 44.0), (104, 104.0)], "id long, amt double"
+    )
+    out = merge(
+        DeltaTable(spark, path), src, ["id"],
+        when_matched_update={"amt": "s.amt"},
+        when_not_matched_insert=False,
+        matched_condition="t.amt <> s.amt",
+    )
+    assert out["rewritten_files"] == 1
+    got = sorted((r["id"], r["amt"]) for r in DeltaTable(spark, path).to_df().collect())
+    assert got == [
+        (0, 0.0), (3, 3.0), (4, 44.0), (5, 5.0),
+        (100, 100.0), (101, 101.0), (102, 102.0),
+        (103, 103.0), (104, 104.0), (105, 105.0),
+    ]
