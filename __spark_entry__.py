@@ -8320,6 +8320,121 @@ WHERE r.rn <= {TOPK}
 _Q18_SQL = _q18_sql()
 
 
+# ---------------------------------------------------------------------------
+# M7: video near-dup (operators/multimodal.py video_near_dup) — frame-
+# sampled window fingerprints (pure SQL: md5+conv over payload windows at
+# frame_sample_plan's sampled indices, NO Python at all for the highest-
+# volume modality) feeding the SAME offset-tolerant aligned matcher as m6.
+# Variants trim exactly one sampled stride (every_n frames x frame bytes =
+# 80 chars) off the front, so true clips align at offset ±1.
+# ---------------------------------------------------------------------------
+
+M7_VARIANT_SHIFT = 4_000_000
+M7_VARIANT_MOD = 4
+M7_EVERY_N = 10
+M7_MIN_FRAMES = 2
+M7_MAX_HPF = 4
+M7_MAX_WORD_FREQ = 50
+
+
+def q_m7_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_sorter_spark.operators.multimodal import video_near_dup
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.where(F.col("doc_id") % M7_VARIANT_MOD == 0).select(
+            (F.col("doc_id") + M7_VARIANT_SHIFT).alias("doc_id"),
+            F.expr("substring(text, 81)").alias("text"),
+        )
+    )
+    assets = corpus.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    return video_near_dup(
+        assets, "doc_id", "payload",
+        every_n=M7_EVERY_N,
+        min_matching_frames=M7_MIN_FRAMES,
+        max_hamming_per_frame=M7_MAX_HPF,
+        max_word_freq=M7_MAX_WORD_FREQ,
+    )
+
+
+def _make_m7_sql() -> str:
+    from delta_sorter_spark.operators.multimodal import VIDEO_FRAME_BYTES
+
+    fb = VIDEO_FRAME_BYTES
+    return f"""
+WITH corpus AS MATERIALIZED (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {M7_VARIANT_SHIFT} AS doc_id, substr(text, 81) AS text
+  FROM documents WHERE doc_id % {M7_VARIANT_MOD} = 0
+),
+fps AS MATERIALIZED (
+  SELECT doc_id,
+         list_transform(
+           range(0, CAST(length(text) % 100 AS BIGINT) + 1, {M7_EVERY_N}),
+           idx -> CAST(('0x' || substr(md5(substr(text,
+                    CAST(idx * {fb} + 1 AS INT), {fb})), 1, 7))::BIGINT
+                  AS INT)) AS fp
+  FROM corpus
+),
+words AS (
+  SELECT doc_id, CAST(k AS INT) AS frame, fp[CAST(k + 1 AS INT)] AS word
+  FROM fps CROSS JOIN (SELECT unnest(range(0, 16)) AS k) t
+  WHERE k < len(fp)
+),
+hot AS (
+  SELECT word FROM words GROUP BY word
+  HAVING count(DISTINCT doc_id) > {M7_MAX_WORD_FREQ}
+),
+cold AS (
+  SELECT * FROM words WHERE word NOT IN (SELECT word FROM hot)
+),
+votes AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.frame - b.frame AS "offset", count(*) AS votes
+  FROM cold a JOIN cold b ON a.word = b.word AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3
+),
+best AS (
+  SELECT id_a, id_b, "offset" FROM (
+    SELECT id_a, id_b, "offset",
+           row_number() OVER (PARTITION BY id_a, id_b
+                              ORDER BY votes DESC, "offset" ASC) AS rk
+    FROM votes
+  ) WHERE rk = 1
+),
+aligned AS (
+  SELECT b.id_a, b.id_b, b."offset",
+         greatest(b."offset", 0) AS astart,
+         greatest(-b."offset", 0) AS bstart,
+         greatest(least(len(wa.fp) - greatest(b."offset", 0),
+                        len(wb.fp) - greatest(-b."offset", 0)), 0) AS n_ov,
+         wa.fp AS fa, wb.fp AS fb
+  FROM best b
+  JOIN fps wa ON wa.doc_id = b.id_a
+  JOIN fps wb ON wb.doc_id = b.id_b
+),
+scored AS (
+  SELECT id_a, id_b, "offset",
+         len(list_filter(range(0, n_ov), k ->
+           fa[CAST(astart + k + 1 AS INT)] = fb[CAST(bstart + k + 1 AS INT)]
+         )) AS matching_frames,
+         coalesce(CAST(list_aggregate(list_transform(range(0, n_ov), k ->
+           bit_count(xor(fa[CAST(astart + k + 1 AS INT)],
+                         fb[CAST(bstart + k + 1 AS INT)]))), 'sum') AS INT),
+           0) AS hamming,
+         n_ov
+  FROM aligned
+)
+SELECT id_a, id_b, "offset", matching_frames, hamming
+FROM scored
+WHERE matching_frames >= {M7_MIN_FRAMES}
+  AND hamming <= {M7_MAX_HPF} * n_ov
+"""
+
+
 def q_q27_ann_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q18's exact lifecycle with `compact_ann_index` inserted after the
     final refresh: build (train half) -> append -> refresh -> copy-on-write
@@ -9308,6 +9423,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m4_embed_topk": q_m4_embed_topk,
         "m5_phash_near_dup": q_m5_phash_near_dup,
         "m6_audio_near_dup": q_m6_audio_near_dup,
+        "m7_video_near_dup": q_m7_video_near_dup,
         "q27_ann_compaction": q_q27_ann_compaction,
         "p4_multimodal_dedup_pipeline": q_p4_multimodal_dedup_pipeline,
         "a43_span_report": q_a43_span_report,
@@ -9427,6 +9543,7 @@ def oracle_sql() -> dict[str, str]:
         "m4_embed_topk": _M4_SQL,
         "m5_phash_near_dup": _M5_SQL,
         "m6_audio_near_dup": _make_m6_sql(),
+        "m7_video_near_dup": _make_m7_sql(),
         "p4_multimodal_dedup_pipeline": _P4_SQL,
         "a43_span_report": _A43_SQL,
         "a44_snapshot_diff": _A44_SQL,

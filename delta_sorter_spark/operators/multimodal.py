@@ -400,7 +400,26 @@ def audio_near_dup(
     JVM expressions after the one fingerprint UDF."""
     fps = fingerprint_assets(
         df, id_col, payload_col, fingerprinter=fingerprinter
-    ).persist()  # feeds the exploded join and both verify sides
+    )
+    return fingerprint_align_pairs(
+        fps,
+        min_matching_frames=min_matching_frames,
+        max_hamming_per_frame=max_hamming_per_frame,
+        max_word_freq=max_word_freq,
+    )
+
+
+def fingerprint_align_pairs(
+    fps: DataFrame,
+    min_matching_frames: int = 8,
+    max_hamming_per_frame: int = 4,
+    max_word_freq: int = 50,
+) -> DataFrame:
+    """The offset-tolerant sequence matcher behind :func:`audio_near_dup`
+    and :func:`video_near_dup`, over a prebuilt (id, fp array<int>) frame —
+    fingerprints may be DIFFERENT lengths per asset (video frame counts
+    vary); the aligned overlap is the non-null zip at the voted offset."""
+    fps = fps.persist()  # feeds the exploded join and both verify sides
     words = fps.select("id", F.posexplode("fp").alias("frame", "word"))
     # silence-frame guard: a word shared by too many assets pairs
     # everything with everything — drop it from candidacy (verify still
@@ -481,3 +500,67 @@ def audio_near_dup(
             <= F.lit(int(max_hamming_per_frame)) * F.col("__n_ov__")
         )
     ).select("id_a", "id_b", "offset", "matching_frames", "hamming")
+
+
+# -- video near-dup (m7): frame-sampled fingerprints + the m6 matcher --------
+
+VIDEO_FRAME_BYTES = 8
+
+
+def video_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    every_n: int = 10,
+) -> DataFrame:
+    """(id, fp array<int>): per-asset fingerprint over the SAMPLED frames
+    of :func:`frame_sample_plan` — frame count varies per asset (the fake
+    duration probe), sampling takes every ``every_n``-th frame, and each
+    sampled frame's word is a 28-bit hash of that frame's payload window.
+    Entirely JVM expressions (md5 + conv + transform): unlike the image
+    and audio decode boundaries, nothing here needs Python at all, which
+    is the right shape for the highest-volume modality.
+
+    The window-addressed stub behaves like real frame content under
+    edits: trimming a ``every_n``-frame-aligned prefix shifts the word
+    sequence instead of scrambling it, so the offset matcher has real
+    structure to find.  A deployment replaces the word expression with a
+    real frame-hash column produced by its decode stage — the matcher
+    (:func:`fingerprint_align_pairs`) is agnostic."""
+    n_frames = f"length({payload_col}) % 100 + 1"  # frame_sample_plan's probe
+    word = (
+        f"CAST(conv(substring(md5(substring({payload_col},"
+        f" idx * {VIDEO_FRAME_BYTES} + 1, {VIDEO_FRAME_BYTES})), 1, 7),"
+        " 16, 10) AS INT)"
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.expr(
+            f"transform(sequence(0, {n_frames} - 1, {int(every_n)}),"
+            f" idx -> {word})"
+        ).alias("fp"),
+    )
+
+
+def video_near_dup(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    every_n: int = 10,
+    min_matching_frames: int = 4,
+    max_hamming_per_frame: int = 4,
+    max_word_freq: int = 50,
+) -> DataFrame:
+    """Video-content near-duplicate pairs: frame-sampled fingerprints ->
+    the m6 offset-tolerant matcher.  Output (id_a, id_b, offset,
+    matching_frames, hamming) with ``offset`` in SAMPLED-frame steps.
+    Same scale shape as :func:`audio_near_dup` (word-equality equi-join
+    with the hot-word guard, per-pair vote + verify), with the decode
+    boundary gone entirely — the fingerprint is one codegen projection."""
+    fps = video_fingerprints(df, id_col, payload_col, every_n=every_n)
+    return fingerprint_align_pairs(
+        fps,
+        min_matching_frames=min_matching_frames,
+        max_hamming_per_frame=max_hamming_per_frame,
+        max_word_freq=max_word_freq,
+    )

@@ -1606,3 +1606,26 @@ def test_audio_near_dup_fingerprinter_hook(spark):
     ).collect()
     assert [(r["offset"], r["matching_frames"], r["hamming"]) for r in rows] \
         == [(0, 15, 3)]
+
+
+def test_video_near_dup_offset_and_reuse(spark):
+    """m7: frame-sampled window fingerprints (pure SQL, no UDF) feed the
+    SAME aligned matcher as audio — a clip trimmed by exactly one sampled
+    stride (every_n frames x frame bytes) matches at offset +/-1."""
+    from delta_sorter_spark.operators.multimodal import video_near_dup
+
+    base = bytes(bytearray(i % 256 for i in range(395)))
+    clip = base[80:]  # one sampled stride (10 frames x 8 bytes)
+    other = b"z" * 395
+    df = spark.createDataFrame(
+        [(1, bytearray(base)), (2, bytearray(clip)),
+         (3, bytearray(base)), (4, bytearray(other))],
+        "id long, payload binary",
+    )
+    got = sorted(
+        tuple(r)
+        for r in video_near_dup(df, "id", "payload", min_matching_frames=2).collect()
+    )
+    # exact dup at offset 0 over all 10 sampled frames; the clip aligns at
+    # +/-1 with its 2 real frames; `other` never passes the hamming budget
+    assert got == [(1, 2, 1, 2, 0), (1, 3, 0, 10, 0), (2, 3, -1, 2, 0)]
