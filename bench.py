@@ -104,6 +104,7 @@ ENTRY_QUERIES = [
     # crawl pipeline (wrap -> extract -> C4 clean -> exact dedup)
     "e83_html_extract",
     "m6_audio_near_dup",
+    "m7_video_near_dup",
     "p6_crawl_pipeline",
 ]
 
