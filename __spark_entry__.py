@@ -4863,16 +4863,19 @@ def q_m5_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _m5_ctes() -> str:
+def _m5_ctes(corpus_sql: str | None = None) -> str:
     """The perceptual-hash pipeline as composable CTE text: re-ingested
     corpus -> stub thumbnails -> aHash band words -> banded candidates ->
-    Hamming-verified pairs (``phpairs``).  Shared by the m5 oracle and the
-    p4 pipeline oracle."""
-    return f"""corpus AS MATERIALIZED (
+    Hamming-verified pairs (``phpairs``).  Shared by the m5 oracle, the
+    p4 pipeline oracle, and (with a caller-supplied ``corpus_sql``) the
+    tri-modal p7 oracle."""
+    corpus_sql = corpus_sql or f"""
   SELECT doc_id, text FROM documents
   UNION ALL
   SELECT doc_id + {M5_VARIANT_SHIFT} AS doc_id, text FROM documents
-  WHERE doc_id % {M5_VARIANT_MOD} = 0
+  WHERE doc_id % {M5_VARIANT_MOD} = 0"""
+    return f"""corpus AS MATERIALIZED (
+{corpus_sql}
 ),
 px AS (
   SELECT doc_id,
@@ -4961,14 +4964,98 @@ def q_m6_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _frame_match_ctes(
+    prefix: str,
+    frames_range: str,
+    frame_bytes: int,
+    max_frames: int,
+    min_frames: int,
+    max_hpf: int,
+    max_word_freq: int,
+) -> str:
+    """The m6/m7 offset-tolerant frame-sequence matcher as composable CTE
+    text over an existing ``corpus(doc_id, text)`` CTE, ending in
+    ``{prefix}pairs(id_a, id_b, "offset", matching_frames, hamming)``.
+    ``frames_range`` is the DuckDB range() producing the frame indices
+    (m6: fixed 0..15; m7: sampled every_n over the fake duration probe)."""
+    p = prefix
+    return f"""{p}fps AS MATERIALIZED (
+  SELECT doc_id,
+         list_transform({frames_range}, idx ->
+           CAST(('0x' || substr(md5(substr(text,
+                   CAST(idx * {frame_bytes} + 1 AS INT), {frame_bytes})),
+                 1, 7))::BIGINT AS INT)) AS fp
+  FROM corpus
+),
+{p}words AS (
+  SELECT doc_id, CAST(k AS INT) AS frame, fp[CAST(k + 1 AS INT)] AS word
+  FROM {p}fps CROSS JOIN (SELECT unnest(range(0, {max_frames})) AS k) t
+  WHERE k < len(fp)
+),
+{p}hot AS (
+  SELECT word FROM {p}words GROUP BY word
+  HAVING count(DISTINCT doc_id) > {max_word_freq}
+),
+{p}cold AS (
+  SELECT * FROM {p}words WHERE word NOT IN (SELECT word FROM {p}hot)
+),
+{p}votes AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.frame - b.frame AS "offset", count(*) AS votes
+  FROM {p}cold a JOIN {p}cold b
+    ON a.word = b.word AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3
+),
+{p}best AS (
+  SELECT id_a, id_b, "offset" FROM (
+    SELECT id_a, id_b, "offset",
+           row_number() OVER (PARTITION BY id_a, id_b
+                              ORDER BY votes DESC, "offset" ASC) AS rk
+    FROM {p}votes
+  ) WHERE rk = 1
+),
+{p}aligned AS (
+  SELECT b.id_a, b.id_b, b."offset",
+         greatest(b."offset", 0) AS astart,
+         greatest(-b."offset", 0) AS bstart,
+         greatest(least(len(wa.fp) - greatest(b."offset", 0),
+                        len(wb.fp) - greatest(-b."offset", 0)), 0) AS n_ov,
+         wa.fp AS fa, wb.fp AS fb
+  FROM {p}best b
+  JOIN {p}fps wa ON wa.doc_id = b.id_a
+  JOIN {p}fps wb ON wb.doc_id = b.id_b
+),
+{p}scored AS (
+  SELECT id_a, id_b, "offset",
+         len(list_filter(range(0, n_ov), k ->
+           fa[CAST(astart + k + 1 AS INT)] = fb[CAST(bstart + k + 1 AS INT)]
+         )) AS matching_frames,
+         coalesce(CAST(list_aggregate(list_transform(range(0, n_ov), k ->
+           bit_count(xor(fa[CAST(astart + k + 1 AS INT)],
+                         fb[CAST(bstart + k + 1 AS INT)]))), 'sum') AS INT),
+           0) AS hamming,
+         n_ov
+  FROM {p}aligned
+),
+{p}pairs AS (
+  SELECT id_a, id_b, "offset", matching_frames, hamming
+  FROM {p}scored
+  WHERE matching_frames >= {min_frames}
+    AND hamming <= {max_hpf} * n_ov
+)"""
+
+
 def _make_m6_sql() -> str:
     from delta_sorter_spark.operators.multimodal import (
         FP_FRAME_BYTES,
         FP_FRAMES,
     )
 
-    fb, nf = FP_FRAME_BYTES, FP_FRAMES
     prefix = M6_PREFIX.replace("'", "''")
+    chain = _frame_match_ctes(
+        "au", f"range(0, {FP_FRAMES})", FP_FRAME_BYTES, FP_FRAMES,
+        M6_MIN_FRAMES, M6_MAX_HPF, M6_MAX_WORD_FREQ,
+    )
     return f"""
 WITH corpus AS MATERIALIZED (
   SELECT doc_id, text FROM documents
@@ -4977,65 +5064,8 @@ WITH corpus AS MATERIALIZED (
          '{prefix}' || text AS text
   FROM documents WHERE doc_id % {M6_VARIANT_MOD} = 0
 ),
-fps AS MATERIALIZED (
-  SELECT doc_id,
-         list_transform(range(0, {nf}), j ->
-           CAST(('0x' || substr(md5(substr(text,
-                   CAST(j * {fb} + 1 AS INT), {fb})), 1, 7))::BIGINT AS INT)
-         ) AS fp
-  FROM corpus
-),
-words AS (
-  SELECT doc_id, CAST(k AS INT) AS frame, fp[CAST(k + 1 AS INT)] AS word
-  FROM fps CROSS JOIN (SELECT unnest(range(0, {nf})) AS k) t
-),
-hot AS (
-  SELECT word FROM words GROUP BY word
-  HAVING count(DISTINCT doc_id) > {M6_MAX_WORD_FREQ}
-),
-cold AS (
-  SELECT * FROM words WHERE word NOT IN (SELECT word FROM hot)
-),
-votes AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         a.frame - b.frame AS "offset", count(*) AS votes
-  FROM cold a JOIN cold b ON a.word = b.word AND a.doc_id < b.doc_id
-  GROUP BY 1, 2, 3
-),
-best AS (
-  SELECT id_a, id_b, "offset" FROM (
-    SELECT id_a, id_b, "offset",
-           row_number() OVER (PARTITION BY id_a, id_b
-                              ORDER BY votes DESC, "offset" ASC) AS rk
-    FROM votes
-  ) WHERE rk = 1
-),
-aligned AS (
-  SELECT b.id_a, b.id_b, b."offset",
-         greatest(b."offset", 0) AS astart,
-         greatest(-b."offset", 0) AS bstart,
-         {nf} - abs(b."offset") AS n_ov,
-         wa.fp AS fa, wb.fp AS fb
-  FROM best b
-  JOIN fps wa ON wa.doc_id = b.id_a
-  JOIN fps wb ON wb.doc_id = b.id_b
-),
-scored AS (
-  SELECT id_a, id_b, "offset",
-         len(list_filter(range(0, n_ov), k ->
-           fa[CAST(astart + k + 1 AS INT)] = fb[CAST(bstart + k + 1 AS INT)]
-         )) AS matching_frames,
-         CAST(list_aggregate(list_transform(range(0, n_ov), k ->
-           bit_count(xor(fa[CAST(astart + k + 1 AS INT)],
-                         fb[CAST(bstart + k + 1 AS INT)]))), 'sum') AS INT)
-           AS hamming,
-         n_ov
-  FROM aligned
-)
-SELECT id_a, id_b, "offset", matching_frames, hamming
-FROM scored
-WHERE matching_frames >= {M6_MIN_FRAMES}
-  AND hamming <= {M6_MAX_HPF} * n_ov
+{chain}
+SELECT id_a, id_b, "offset", matching_frames, hamming FROM aupairs
 """
 
 
@@ -8359,10 +8389,19 @@ def q_m7_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _m7_frames_range() -> str:
+    return (
+        f"range(0, CAST(length(text) % 100 AS BIGINT) + 1, {M7_EVERY_N})"
+    )
+
+
 def _make_m7_sql() -> str:
     from delta_sorter_spark.operators.multimodal import VIDEO_FRAME_BYTES
 
-    fb = VIDEO_FRAME_BYTES
+    chain = _frame_match_ctes(
+        "vd", _m7_frames_range(), VIDEO_FRAME_BYTES, 16,
+        M7_MIN_FRAMES, M7_MAX_HPF, M7_MAX_WORD_FREQ,
+    )
     return f"""
 WITH corpus AS MATERIALIZED (
   SELECT doc_id, text FROM documents
@@ -8370,68 +8409,166 @@ WITH corpus AS MATERIALIZED (
   SELECT doc_id + {M7_VARIANT_SHIFT} AS doc_id, substr(text, 81) AS text
   FROM documents WHERE doc_id % {M7_VARIANT_MOD} = 0
 ),
-fps AS MATERIALIZED (
-  SELECT doc_id,
-         list_transform(
-           range(0, CAST(length(text) % 100 AS BIGINT) + 1, {M7_EVERY_N}),
-           idx -> CAST(('0x' || substr(md5(substr(text,
-                    CAST(idx * {fb} + 1 AS INT), {fb})), 1, 7))::BIGINT
-                  AS INT)) AS fp
-  FROM corpus
+{chain}
+SELECT id_a, id_b, "offset", matching_frames, hamming FROM vdpairs
+"""
+
+
+# ---------------------------------------------------------------------------
+# P7: tri-modal asset dedup — ONE corpus carrying exact re-uploads (image
+# signal: m5's pHash), prefix-padded clips (audio signal: m6's aligned
+# matcher), and front-trimmed clips (video signal: m7's sampled-frame
+# matcher); the three pair sets union into one near-dup graph, connected
+# components pick the keeper, and the report prices the bytes dedup
+# saves.  Each modality's matcher is oracle-checked alone (m5/m6/m7);
+# this entry proves the cross-modal COMPOSITION — a cluster formed by
+# DIFFERENT signals (the mirror links via all three, the clips via one
+# each) still resolves to a single keeper.
+# ---------------------------------------------------------------------------
+
+P7_MOD = 6
+P7_SHIFT_IMG = 6_000_000   # exact mirror: all three signals fire
+P7_SHIFT_AUD = 7_000_000   # 16-char prefix pad: audio alignment only
+P7_SHIFT_VID = 8_000_000   # 80-char front trim: video alignment only
+
+
+def q_p7_asset_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_sorter_spark.operators.graph import connected_components
+    from delta_sorter_spark.operators.multimodal import (
+        audio_near_dup,
+        phash_near_dup,
+        video_near_dup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sel = docs.where(F.col("doc_id") % P7_MOD == 0)
+    corpus = (
+        docs
+        .unionByName(sel.select(
+            (F.col("doc_id") + P7_SHIFT_IMG).alias("doc_id"), "text"))
+        .unionByName(sel.select(
+            (F.col("doc_id") + P7_SHIFT_AUD).alias("doc_id"),
+            F.concat(F.lit(M6_PREFIX), F.col("text")).alias("text")))
+        .unionByName(sel.select(
+            (F.col("doc_id") + P7_SHIFT_VID).alias("doc_id"),
+            F.expr("substring(text, 81)").alias("text")))
+    )
+    assets = corpus.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    img = phash_near_dup(
+        assets, "doc_id", "payload", max_hamming=M5_MAX_HAMMING
+    ).select("id_a", "id_b")
+    aud = audio_near_dup(
+        assets, "doc_id", "payload",
+        min_matching_frames=M6_MIN_FRAMES,
+        max_hamming_per_frame=M6_MAX_HPF,
+        max_word_freq=M6_MAX_WORD_FREQ,
+    ).select("id_a", "id_b")
+    vid = video_near_dup(
+        assets, "doc_id", "payload",
+        every_n=M7_EVERY_N,
+        min_matching_frames=M7_MIN_FRAMES,
+        max_hamming_per_frame=M7_MAX_HPF,
+        max_word_freq=M7_MAX_WORD_FREQ,
+    ).select("id_a", "id_b")
+    pairs = img.unionByName(aud).unionByName(vid).dropDuplicates(
+        ["id_a", "id_b"]
+    )
+    comps = connected_components(
+        corpus.select("doc_id"), pairs, node_col="doc_id"
+    )
+    sized = corpus.select(
+        "doc_id",
+        F.length(F.encode(F.col("text"), "UTF-8")).cast("long").alias("nb"),
+    )
+    per = (
+        comps.join(sized, comps["id"] == sized["doc_id"])
+        .groupBy("component")
+        .agg(
+            F.count("*").cast("int").alias("cluster_size"),
+            F.sum("nb").alias("tot"),
+        )
+        .where(F.col("cluster_size") >= 2)
+    )
+    return (
+        per.join(
+            sized.select(
+                F.col("doc_id").alias("component"),
+                F.col("nb").alias("kept_nb"),
+            ),
+            "component",
+        )
+        .select(
+            F.col("component").alias("kept_id"),
+            "cluster_size",
+            (F.col("tot") - F.col("kept_nb")).cast("bigint").alias(
+                "dropped_bytes"
+            ),
+        )
+    )
+
+
+def _make_p7_sql() -> str:
+    from delta_sorter_spark.operators.multimodal import (
+        FP_FRAME_BYTES,
+        FP_FRAMES,
+        VIDEO_FRAME_BYTES,
+    )
+
+    prefix = M6_PREFIX.replace("'", "''")
+    corpus_sql = f"""
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {P7_SHIFT_IMG} AS doc_id, text FROM documents
+  WHERE doc_id % {P7_MOD} = 0
+  UNION ALL
+  SELECT doc_id + {P7_SHIFT_AUD} AS doc_id, '{prefix}' || text AS text
+  FROM documents WHERE doc_id % {P7_MOD} = 0
+  UNION ALL
+  SELECT doc_id + {P7_SHIFT_VID} AS doc_id, substr(text, 81) AS text
+  FROM documents WHERE doc_id % {P7_MOD} = 0"""
+    au = _frame_match_ctes(
+        "au", f"range(0, {FP_FRAMES})", FP_FRAME_BYTES, FP_FRAMES,
+        M6_MIN_FRAMES, M6_MAX_HPF, M6_MAX_WORD_FREQ,
+    )
+    vd = _frame_match_ctes(
+        "vd", _m7_frames_range(), VIDEO_FRAME_BYTES, 16,
+        M7_MIN_FRAMES, M7_MAX_HPF, M7_MAX_WORD_FREQ,
+    )
+    return f"""
+WITH RECURSIVE {_m5_ctes(corpus_sql)},
+{au},
+{vd},
+allpairs AS (
+  SELECT id_a, id_b FROM phpairs
+  UNION
+  SELECT id_a, id_b FROM aupairs
+  UNION
+  SELECT id_a, id_b FROM vdpairs
 ),
-words AS (
-  SELECT doc_id, CAST(k AS INT) AS frame, fp[CAST(k + 1 AS INT)] AS word
-  FROM fps CROSS JOIN (SELECT unnest(range(0, 16)) AS k) t
-  WHERE k < len(fp)
+bidir AS (
+  SELECT id_a AS a, id_b AS b FROM allpairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM allpairs
 ),
-hot AS (
-  SELECT word FROM words GROUP BY word
-  HAVING count(DISTINCT doc_id) > {M7_MAX_WORD_FREQ}
+reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM corpus
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN bidir e ON r.dst = e.a
 ),
-cold AS (
-  SELECT * FROM words WHERE word NOT IN (SELECT word FROM hot)
-),
-votes AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         a.frame - b.frame AS "offset", count(*) AS votes
-  FROM cold a JOIN cold b ON a.word = b.word AND a.doc_id < b.doc_id
-  GROUP BY 1, 2, 3
-),
-best AS (
-  SELECT id_a, id_b, "offset" FROM (
-    SELECT id_a, id_b, "offset",
-           row_number() OVER (PARTITION BY id_a, id_b
-                              ORDER BY votes DESC, "offset" ASC) AS rk
-    FROM votes
-  ) WHERE rk = 1
-),
-aligned AS (
-  SELECT b.id_a, b.id_b, b."offset",
-         greatest(b."offset", 0) AS astart,
-         greatest(-b."offset", 0) AS bstart,
-         greatest(least(len(wa.fp) - greatest(b."offset", 0),
-                        len(wb.fp) - greatest(-b."offset", 0)), 0) AS n_ov,
-         wa.fp AS fa, wb.fp AS fb
-  FROM best b
-  JOIN fps wa ON wa.doc_id = b.id_a
-  JOIN fps wb ON wb.doc_id = b.id_b
-),
-scored AS (
-  SELECT id_a, id_b, "offset",
-         len(list_filter(range(0, n_ov), k ->
-           fa[CAST(astart + k + 1 AS INT)] = fb[CAST(bstart + k + 1 AS INT)]
-         )) AS matching_frames,
-         coalesce(CAST(list_aggregate(list_transform(range(0, n_ov), k ->
-           bit_count(xor(fa[CAST(astart + k + 1 AS INT)],
-                         fb[CAST(bstart + k + 1 AS INT)]))), 'sum') AS INT),
-           0) AS hamming,
-         n_ov
-  FROM aligned
+comps AS (SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src),
+sized AS (SELECT doc_id, CAST(strlen(text) AS BIGINT) AS nb FROM corpus),
+per AS (
+  SELECT c.component, CAST(count(*) AS INT) AS cluster_size,
+         sum(s.nb) AS tot
+  FROM comps c JOIN sized s USING (doc_id)
+  GROUP BY c.component
 )
-SELECT id_a, id_b, "offset", matching_frames, hamming
-FROM scored
-WHERE matching_frames >= {M7_MIN_FRAMES}
-  AND hamming <= {M7_MAX_HPF} * n_ov
+SELECT p.component AS kept_id, p.cluster_size,
+       CAST(p.tot - ks.nb AS BIGINT) AS dropped_bytes
+FROM per p JOIN sized ks ON ks.doc_id = p.component
+WHERE p.cluster_size >= 2
 """
 
 
@@ -9424,6 +9561,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m5_phash_near_dup": q_m5_phash_near_dup,
         "m6_audio_near_dup": q_m6_audio_near_dup,
         "m7_video_near_dup": q_m7_video_near_dup,
+        "p7_asset_dedup": q_p7_asset_dedup,
         "q27_ann_compaction": q_q27_ann_compaction,
         "p4_multimodal_dedup_pipeline": q_p4_multimodal_dedup_pipeline,
         "a43_span_report": q_a43_span_report,
@@ -9544,6 +9682,7 @@ def oracle_sql() -> dict[str, str]:
         "m5_phash_near_dup": _M5_SQL,
         "m6_audio_near_dup": _make_m6_sql(),
         "m7_video_near_dup": _make_m7_sql(),
+        "p7_asset_dedup": _make_p7_sql(),
         "p4_multimodal_dedup_pipeline": _P4_SQL,
         "a43_span_report": _A43_SQL,
         "a44_snapshot_diff": _A44_SQL,
