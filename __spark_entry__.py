@@ -9306,29 +9306,63 @@ def entry(spark: SparkSession) -> DataFrame:
 # the salt_factor hook), m2/m4 (pluggable decoder/embedder hooks),
 # e59 (payload-carry rewrite: values ride the blocking windows).
 _RECHECK_THIS_ROUND = [
-    # round 8: the three validator queries — the reference's CORE contract
-    # (lib.rs:600-665, 578-598) — last drew a driver row in r3; the
-    # staleness tier alone kept losing them to large changed-sets, so pin
-    # them into the budget explicitly (VERDICT r7 item #3).
-    "v1_file_minmax",
-    "v2_file_sortedness",
-    "v3_boundary_check",
-    # round 8: checkpoint writer now carries unexpired remove tombstones
-    # (v2 routes them to sidecars) and commit_rewrite grew the DV-aware
-    # conflict check — recheck the lifecycle + replay consumers.
+    # round 9: drain the driver-staleness tail in ONE round (VERDICT r8
+    # item #2) — every query whose latest driver row is r4 or r5 (42 of
+    # them, fits the ~50 budget).  Pinning them to tier 1 stops this
+    # round's NEW queries (tier 2, never-checked, last_round=-1) from
+    # jumping the queue ahead of the stale tail.
+    # -- last checked r4:
+    "e33_semantic_dedup",
+    "e52_containment_pairs",
+    "e53_weighted_sample",
+    "e54_hll_distinct",
+    "m1_binary_meta",
+    # -- last checked r5:
+    "a36_grouping_sets",
+    "a37_json_props",
+    "a38_rank_windows",
+    "a45_scd2_intervals",
+    "a46_scd2_compress",
+    "a47_corpus_profile",
+    "a6_asof_join",
+    "a8_range_join",
+    "e23_hll_registers",
+    "e24_hll_estimate",
+    "e25_bloom_bits",
+    "e26_bloom_prefilter",
+    "e27_stratified_sample",
+    "e28_top_terms",
+    "e30_decontaminate",
+    "e35_redaction",
+    "e47_leakage_safe_split",
+    "e56_repeated_spans",
+    "e57_remove_spans",
+    "e58_sorted_neighborhood",
+    "e59_fuzzy_linkage",
+    "e60_pq_ann",
+    "e61_bpe_pairs",
+    "e62_ivfpq_ann",
+    "e63_hybrid_rrf",
+    "e64_heavy_hitters",
+    "e65_filtered_topk",
+    "e66_doc_centrality",
+    "e68_temperature_mix",
+    "e69_repeated_lines",
+    "e70_remove_lines",
+    "e71_url_dedup",
+    "e72_corpus_overlap",
+    "m2_decoded_assets",
+    "m4_embed_topk",
+    "q6_restore",
+    "q7_generated_columns",
+    # round 9: replay tombstones now carry deletionVector/tags (+ checkpoint
+    # remove schema grew the DV struct) — recheck the lifecycle pair that
+    # replays through checkpoints.
     "p5_lakehouse_lifecycle",
     "q26_log_cleanup",
-    # round 8: ANN index layout went generational (codes_parts + manifest,
-    # O(new) refresh) and serving now auth-joins the manifest — recheck
-    # the registered-index queries.
-    "q18_ann_index",
-    "q19_ann_ivf_index",
-    "q20_ann_residual_index",
-    # round 8: _target_with_path now derives row provenance from
-    # _metadata.file_path (input_file_name() is '' through the DV
-    # anti-join) — recheck the MERGE/DV-DML consumers.
-    "q8_merge_full_sync",
-    "q10_update_where_dv",
+    # round 9: compact grew the single-job many-partition mode (threshold
+    # dispatch) — recheck the partition-sort contract query.
+    "q2_partition_sort",
 ]
 
 

@@ -817,8 +817,10 @@ def ann_status(table: DeltaTable, column: str) -> dict:
     cluster_status twin for ANN maintenance scheduling: how generational
     the codes have become (parts), how stale vs the live snapshot
     (unindexed/changed/dropped files), and whether a compaction is worth
-    scheduling.  Planner-scale work only: one O(files) manifest read, one
-    codes-width count per part, no data scan.
+    scheduling.  Index-scale work, NOT metadata-only: beyond the O(files)
+    manifest read it counts every code part (a union + broadcast semi-join
+    over the full index codes — m bytes/row, never the dim-wide table) —
+    schedule it at a maintenance cadence, not per-query.
 
     Returns {"column", "kind", "rows", "parts" (count),
     "part_rows" [{gen, rows}], "dead_rows" (superseded code rows still on

@@ -493,13 +493,20 @@ def fingerprint_align_pairs(
         ).alias("hamming"),
         F.expr("size(__ov__)").alias("__n_ov__"),
     )
-    return out.where(
+    result = out.where(
         (F.col("matching_frames") >= min_matching_frames)
         & (
             F.col("hamming")
             <= F.lit(int(max_hamming_per_frame)) * F.col("__n_ov__")
         )
     ).select("id_a", "id_b", "offset", "matching_frames", "hamming")
+    # Materialize the (small: pairs, not assets) result, then release the
+    # fingerprint cache — p7 composes the audio AND video matchers in one
+    # job, so leaving the persist live would accumulate cached partitions
+    # for the session lifetime (same discipline as connected_components).
+    result = result.localCheckpoint(eager=True)
+    fps.unpersist()
+    return result
 
 
 # -- video near-dup (m7): frame-sampled fingerprints + the m6 matcher --------

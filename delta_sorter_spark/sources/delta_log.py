@@ -167,26 +167,31 @@ class RemoveAction:
     size: int = 0
     data_change: bool = False
     deletion_timestamp: int = 0
-    # In-memory conflict-detection snapshot of the Add this remove was
-    # planned against (never serialized into the log).  commit_rewrite
-    # compares these against the CURRENTLY active Add for the path, so a
-    # concurrent writer that re-Adds the same path — e.g. delete_where_dv
-    # attaching a deletion vector — is detected, not just a vanished path.
-    # Without it, a rewrite materialized from pre-DV bytes would commit
-    # with dataChange=false and resurrect the concurrently deleted rows.
+    # Snapshot of the Add this remove was planned against.  Two jobs:
+    # (1) conflict detection — commit_rewrite compares these against the
+    # CURRENTLY active Add for the path, so a concurrent writer that
+    # re-Adds the same path (e.g. delete_where_dv attaching a deletion
+    # vector) is detected, not just a vanished path; without it a rewrite
+    # materialized from pre-DV bytes would commit with dataChange=false and
+    # resurrect the concurrently deleted rows.  (2) the protocol asks the
+    # remove to RETAIN the removed file version's deletionVector so other
+    # engines' VACUUM can reclaim the DV file after log cleanup — to_json
+    # serializes it.
     source_deletion_vector: dict | None = None
     source_modification_time: int | None = None
 
     def to_json(self) -> dict:
-        return {
-            "remove": {
-                "path": self.path,
-                "deletionTimestamp": self.deletion_timestamp or int(time.time() * 1000),
-                "dataChange": self.data_change,
-                "partitionValues": self.partition_values,
-                "size": self.size,
-            }
+        r = {
+            "path": self.path,
+            "deletionTimestamp": self.deletion_timestamp or int(time.time() * 1000),
+            "dataChange": self.data_change,
+            "extendedFileMetadata": True,
+            "partitionValues": self.partition_values,
+            "size": self.size,
         }
+        if self.source_deletion_vector is not None:
+            r["deletionVector"] = self.source_deletion_vector
+        return {"remove": r}
 
 
 @dataclass
@@ -403,6 +408,22 @@ def _checkpoint_arrow_schema():
                         ("extendedFileMetadata", pa.bool_()),
                         ("partitionValues", str_map),
                         ("size", pa.int64()),
+                        ("tags", str_map),
+                        # removes retain the removed file version's DV so
+                        # any reader's VACUUM can reclaim the DV file after
+                        # log cleanup (protocol "Add File and Remove File")
+                        (
+                            "deletionVector",
+                            pa.struct(
+                                [
+                                    ("storageType", pa.string()),
+                                    ("pathOrInlineDv", pa.string()),
+                                    ("offset", pa.int32()),
+                                    ("sizeInBytes", pa.int32()),
+                                    ("cardinality", pa.int64()),
+                                ]
+                            ),
+                        ),
                     ]
                 ),
             ),
@@ -445,6 +466,60 @@ def _as_dict(maybe_map) -> dict:
     if isinstance(maybe_map, dict):
         return maybe_map
     return dict(maybe_map)
+
+
+def _dv_to_checkpoint(src: dict | None) -> dict | None:
+    """Engine-internal deletion-vector descriptor -> the protocol struct a
+    checkpoint row carries (shared by the add path and remove tombstones,
+    so a DV-carrying remove round-trips through log cleanup and other
+    engines' VACUUM can still reclaim the DV file)."""
+    if src is None:
+        return None
+    if "storageType" in src and "storagePath" not in src:
+        # standard protocol descriptor — checkpoint verbatim
+        return {
+            "storageType": src["storageType"],
+            "pathOrInlineDv": src["pathOrInlineDv"],
+            "offset": src.get("offset"),
+            "sizeInBytes": src.get("sizeInBytes"),
+            "cardinality": src.get("cardinality", 0),
+        }
+    # legacy sidecar: "p" with null offset marks it
+    return {
+        "storageType": "p",
+        "pathOrInlineDv": src.get("storagePath"),
+        "offset": None,
+        "sizeInBytes": None,
+        "cardinality": src.get("cardinality", 0),
+    }
+
+
+def _dv_from_checkpoint(dv: dict | None) -> dict | None:
+    """Inverse of :func:`_dv_to_checkpoint` (None for an all-null struct —
+    pyarrow materialises absent struct columns as {field: None})."""
+    if dv is None or not dv.get("pathOrInlineDv"):
+        return None
+    if (
+        dv.get("storageType") in ("u", "i")
+        or dv.get("offset") is not None
+        or dv.get("sizeInBytes") is not None
+    ):
+        # standard protocol descriptor — pass through.  (A standard "p"
+        # vector may omit offset, but the protocol REQUIRES sizeInBytes;
+        # only this engine's legacy sidecars null out both.)
+        return {
+            "storageType": dv.get("storageType"),
+            "pathOrInlineDv": dv["pathOrInlineDv"],
+            "offset": dv.get("offset"),
+            "sizeInBytes": dv.get("sizeInBytes"),
+            "cardinality": dv.get("cardinality", 0),
+        }
+    # legacy sidecar (this engine's earlier format, checkpointed as "p"
+    # with null offset AND null sizeInBytes)
+    return {
+        "storagePath": dv["pathOrInlineDv"],
+        "cardinality": dv.get("cardinality", 0),
+    }
 
 
 class DeltaLog:
@@ -545,38 +620,20 @@ class DeltaLog:
                 elif row.get("add") is not None:
                     a = dict(row["add"])
                     a["partitionValues"] = _as_dict(a.get("partitionValues"))
-                    dv = a.pop("deletionVector", None)
-                    if dv is not None and dv.get("pathOrInlineDv"):
-                        if (
-                            dv.get("storageType") in ("u", "i")
-                            or dv.get("offset") is not None
-                            or dv.get("sizeInBytes") is not None
-                        ):
-                            # standard protocol descriptor — pass through.
-                            # (A standard "p" vector may omit offset, but the
-                            # protocol REQUIRES sizeInBytes; only this
-                            # engine's legacy sidecars null out both.)
-                            a["deletionVector"] = {
-                                "storageType": dv.get("storageType"),
-                                "pathOrInlineDv": dv["pathOrInlineDv"],
-                                "offset": dv.get("offset"),
-                                "sizeInBytes": dv.get("sizeInBytes"),
-                                "cardinality": dv.get("cardinality", 0),
-                            }
-                        else:
-                            # legacy sidecar (this engine's earlier format,
-                            # checkpointed as "p" with null offset AND null
-                            # sizeInBytes)
-                            a["deletionVector"] = {
-                                "storagePath": dv["pathOrInlineDv"],
-                                "cardinality": dv.get("cardinality", 0),
-                            }
+                    dv = _dv_from_checkpoint(a.pop("deletionVector", None))
+                    if dv is not None:
+                        a["deletionVector"] = dv
                     tags = _as_dict(a.get("tags"))
                     a["tags"] = tags or None
                     actions.append({"add": a})
                 elif row.get("remove") is not None:
                     r = dict(row["remove"])
                     r["partitionValues"] = _as_dict(r.get("partitionValues"))
+                    dv = _dv_from_checkpoint(r.pop("deletionVector", None))
+                    if dv is not None:
+                        r["deletionVector"] = dv
+                    tags = _as_dict(r.get("tags"))
+                    r["tags"] = tags or None
                     actions.append({"remove": r})
                 elif row.get("domainMetadata") is not None:
                     actions.append({"domainMetadata": dict(row["domainMetadata"])})
@@ -745,15 +802,35 @@ class DeltaLog:
             )
         elif "remove" in action:
             r = action["remove"]
-            adds.pop(r["path"], None)
+            dropped = adds.pop(r["path"], None)
             if removes is not None:
+                # DV of the removed file version: from the remove action
+                # itself when present, else inherited from the Add this
+                # remove displaces — so the tombstone a checkpoint re-emits
+                # keeps the descriptor and any reader's VACUUM can reclaim
+                # the DV file after log cleanup.
+                dv = r.get("deletionVector")
+                if dv is None and dropped is not None:
+                    dv = dropped.deletion_vector
+                tags = _as_dict(r.get("tags")) or None
+                if tags is None and dropped is not None:
+                    tags = dropped.tags
+                ext = r.get("extendedFileMetadata")
+                if ext is None:
+                    ext = bool(
+                        r.get("partitionValues") is not None
+                        or r.get("size") is not None
+                        or dv is not None
+                    )
                 removes[r["path"]] = {
                     "path": r["path"],
                     "deletionTimestamp": r.get("deletionTimestamp"),
                     "dataChange": bool(r.get("dataChange", False)),
-                    "extendedFileMetadata": r.get("extendedFileMetadata"),
+                    "extendedFileMetadata": ext,
                     "partitionValues": _as_dict(r.get("partitionValues")),
                     "size": r.get("size"),
+                    "tags": tags,
+                    "deletionVector": dv,
                 }
         return metadata, adds
 
@@ -815,26 +892,7 @@ class DeltaLog:
         for app, ver in sorted(state.txns.items()):
             rows.append({"txn": {"appId": app, "version": ver, "lastUpdated": None}})
         for add in state.adds:
-            dv = None
-            if add.deletion_vector is not None:
-                src = add.deletion_vector
-                if "storageType" in src and "storagePath" not in src:
-                    # standard protocol descriptor — checkpoint verbatim
-                    dv = {
-                        "storageType": src["storageType"],
-                        "pathOrInlineDv": src["pathOrInlineDv"],
-                        "offset": src.get("offset"),
-                        "sizeInBytes": src.get("sizeInBytes"),
-                        "cardinality": src.get("cardinality", 0),
-                    }
-                else:  # legacy sidecar: "p" with null offset marks it
-                    dv = {
-                        "storageType": "p",
-                        "pathOrInlineDv": src.get("storagePath"),
-                        "offset": None,
-                        "sizeInBytes": None,
-                        "cardinality": src.get("cardinality", 0),
-                    }
+            dv = _dv_to_checkpoint(add.deletion_vector)
             rows.append(
                 {
                     "add": {
@@ -874,6 +932,9 @@ class DeltaLog:
             ts = r.get("deletionTimestamp")
             if ts is not None and ts < cutoff_ms:
                 continue  # expired: reclaimable, drop from the checkpoint
+            if r.get("deletionVector") is not None:
+                r = dict(r)
+                r["deletionVector"] = _dv_to_checkpoint(r["deletionVector"])
             rows.append({"remove": r})
         for domain, conf in sorted(state.domain_metadata.items()):
             rows.append(

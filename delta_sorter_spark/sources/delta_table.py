@@ -244,17 +244,22 @@ def _parse_retention_interval(raw: str | None) -> float:
     would let vacuum delete files in-flight readers still reference."""
     if not raw:
         return 0.0
+    prop = "delta.deletedFileRetentionDuration"
+    repair = (
+        f" — fix with set_table_properties({{{prop!r}:"
+        " 'interval N <unit>'}})"
+    )
     parts = str(raw).strip().lower().split()
     if len(parts) != 3 or parts[0] != "interval":
         raise ValueError(
-            f"unparseable retention interval {raw!r}: expected"
-            " 'interval N <unit>'"
+            f"unparseable {prop} {raw!r}: expected"
+            f" 'interval N <unit>'{repair}"
         )
     try:
         n = float(parts[1])
     except ValueError:
         raise ValueError(
-            f"unparseable retention interval {raw!r}: non-numeric count"
+            f"unparseable {prop} {raw!r}: non-numeric count{repair}"
         ) from None
     unit = parts[2].rstrip("s")
     seconds = {
@@ -267,9 +272,9 @@ def _parse_retention_interval(raw: str | None) -> float:
     }
     if unit not in seconds:
         raise ValueError(
-            f"unparseable retention interval {raw!r}: unknown unit"
+            f"unparseable {prop} {raw!r}: unknown unit"
             f" {parts[2]!r} (expected week/day/hour/minute/second/"
-            "millisecond)"
+            f"millisecond){repair}"
         )
     return n * seconds[unit]
 
@@ -1804,9 +1809,18 @@ class DeltaTable:
         """ALTER TABLE ... SET TBLPROPERTIES: merge ``props`` into table
         configuration in one metadata commit (a value of None removes the
         key).  Free-form keys per the Delta protocol; used by the bloom
-        index registry and available for deployment-specific tagging."""
+        index registry and available for deployment-specific tagging.
+
+        Interval-valued protocol properties are validated HERE, not only at
+        use time: a malformed ``delta.deletedFileRetentionDuration`` would
+        otherwise commit cleanly and then fail every later checkpoint write
+        and vacuum on a table that was healthy when configured."""
         import json as _json
         import time as _time
+
+        ret = props.get("delta.deletedFileRetentionDuration")
+        if ret is not None:
+            _parse_retention_interval(str(ret))  # raises with repair hint
 
         def actions(state):
             config = dict(state.metadata.configuration)

@@ -102,6 +102,46 @@ def test_v2_checkpoint_routes_removes_to_sidecar(spark, tmp_path):
     assert fresh.to_df().count() == 90
 
 
+def test_tombstone_retains_deletion_vector(spark, tmp_path):
+    """A remove of a DV-carrying file keeps the DV descriptor through the
+    log AND through a checkpoint round-trip, so any reader's VACUUM can
+    still reclaim the DV file after log cleanup (protocol: removes retain
+    the removed file version's deletionVector)."""
+    from delta_sorter_spark.api import compact
+    from delta_sorter_spark.operators.dml import delete_where_dv
+
+    tbl = _make(spark, str(tmp_path / "t"))
+    delete_where_dv(tbl, "k < 10")  # attaches a DV to the single file
+    dv_before = {a.path: a.deletion_vector for a in tbl.state().adds}
+    assert any(dv_before.values())
+
+    # rewrite removes the DV-carrying file (data unsorted on v -> rewrite)
+    compact(tbl.table_path, ["v"], spark=spark)
+    st = tbl.state()
+    carried = {
+        p: r.get("deletionVector")
+        for p, r in st.tombstones.items()
+        if dv_before.get(p) is not None
+    }
+    assert carried and all(v is not None for v in carried.values())
+    assert all(r.get("extendedFileMetadata") for r in st.tombstones.values())
+
+    # checkpoint round-trip: the re-emitted remove still carries the DV
+    ckpt = tbl.log.write_checkpoint()
+    removes = [r["remove"] for r in _checkpoint_rows(ckpt) if r.get("remove")]
+    with_dv = [
+        r for r in removes
+        if (r.get("deletionVector") or {}).get("pathOrInlineDv")
+    ]
+    assert with_dv
+    tbl.log.cleanup_metadata(retention_seconds=0.0)
+    fresh = DeltaTable(spark, tbl.table_path)
+    fresh_ts = fresh.state().tombstones
+    for p in carried:
+        assert fresh_ts[p].get("deletionVector") is not None
+    assert fresh.to_df().count() == 90
+
+
 def test_cleanup_metadata_refuses_stale_pointer(spark, tmp_path):
     """A _last_checkpoint pointing at a missing/corrupt checkpoint must
     make cleanup a no-op instead of destroying the only replayable log."""
