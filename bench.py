@@ -235,6 +235,28 @@ def main() -> int:
     )
     timed("compact_partitioned", lambda: compact(t_part, sort_cols, spark=spark))
 
+    # -- many-partition compact: ~100 failing Hive partitions, so the
+    #    single-job mode engages (threshold 64) — one bulk summary scan +
+    #    one repartitionByRange rewrite + one commit, instead of a Spark
+    #    job pair per partition.  Prices the driver-bottleneck escape
+    #    hatch a 100 TB backfill needs (operators/compact.py
+    #    _rewrite_groups_single_job).
+    t_many = os.path.join(workdir, "li_many")
+    li_many = li.withColumn(
+        "part_bucket", (F.abs(F.hash("l_orderkey")) % 100).cast("int")
+    )
+    DeltaTable.create(
+        spark,
+        t_many,
+        li_many.repartition(4),
+        partition_columns=["part_bucket"],
+        stat_columns=sort_cols,
+    )
+    timed(
+        "compact_many_partitions",
+        lambda: compact(t_many, sort_cols, spark=spark),
+    )
+
     # -- clustered table (liquid clustering): first OPTIMIZE pays the full
     #    Hilbert re-layout once; the incremental OPTIMIZE after a ~5% append
     #    touches ONLY the new files — the O(new data) maintenance contract
@@ -621,10 +643,53 @@ def main() -> int:
                     "start": calibration_start,
                     "end": calibration_end,
                 },
+                # per-line self-report (VERDICT r8 #8): ratio to the best
+                # prior capture of the same line, and that ratio divided by
+                # the probe's own contention factor — a line whose adjusted
+                # ratio is >~1.5 regressed beyond what steal explains.
+                "vs_baseline": _vs_baseline(timings, calibration_end),
             }
         )
     )
     return 0
+
+
+# BASELINE.md §Calibration: the probe's wall-clock on an IDLE container.
+CALIBRATION_IDLE_S = 0.23
+
+
+def _vs_baseline(timings: dict, calibration_end: float) -> dict:
+    """Per-line {floor, ratio, steal_adjusted}: floor = best value for the
+    line across all recorded BENCH_r*.json captures (the strictest idle
+    reference, same rule the round judge applies); steal_adjusted divides
+    the ratio by the END probe's contention factor so the capture
+    self-reports which lines exceed what host steal explains."""
+    import glob
+
+    floors: dict[str, float] = {}
+    for p in sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json"))):
+        try:
+            with open(p) as fh:
+                data = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for k, v in (data.get("queries") or {}).items():
+            if isinstance(v, (int, float)) and v > 0:
+                floors[k] = min(floors.get(k, float(v)), float(v))
+    factor = max(calibration_end / CALIBRATION_IDLE_S, 1.0)
+    out = {}
+    for k, v in timings.items():
+        fl = floors.get(k)
+        if not fl:
+            out[k] = {"floor": None, "ratio": None, "steal_adjusted": None}
+            continue
+        ratio = v / fl
+        out[k] = {
+            "floor": fl,
+            "ratio": round(ratio, 2),
+            "steal_adjusted": round(ratio / factor, 2),
+        }
+    return out
 
 
 if __name__ == "__main__":

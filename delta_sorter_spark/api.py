@@ -46,6 +46,7 @@ def compact(
     nulls: str = "first",
     zorder_columns: Sequence[str] | None = None,
     refresh_bloom_indexes: bool = False,
+    single_job_threshold: int | None = 64,
     spark: SparkSession | None = None,
 ) -> CompactMetrics:
     from delta_sorter_spark.functions.keys import parse_sort_spec
@@ -63,6 +64,7 @@ def compact(
         zorder_columns=list(zorder_columns) if zorder_columns else None,
         directions=None if all(ascending) else ascending,
         refresh_bloom_indexes=bool(refresh_bloom_indexes),
+        single_job_threshold=single_job_threshold,
     )
     return compact_with_sort(spark, table_uri, config)
 

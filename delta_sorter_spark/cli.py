@@ -50,6 +50,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--target-file-size-bytes", type=int, default=None)
     p.add_argument("--predicate", default=None, help="Scope compaction to matching partitions")
     p.add_argument("--concurrency", type=int, default=8)
+    p.add_argument(
+        "--single-job-threshold",
+        type=int,
+        default=64,
+        help="When at least this many partitions fail validation, rewrite "
+        "them in ONE Spark job + ONE commit instead of a job per partition "
+        "(avoids the driver-side job-submission bottleneck at 10k+ failing "
+        "partitions); 0 disables",
+    )
     p.add_argument("--dry-run", action="store_true")
     p.add_argument("--validate-only", action="store_true")
     p.add_argument("--repartition-by-sort-key", action="store_true")
@@ -514,6 +523,7 @@ def _run(args, sort_columns, api) -> int:
         if args.zorder_by
         else None,
         refresh_bloom_indexes=args.refresh_bloom_indexes,
+        single_job_threshold=args.single_job_threshold or None,
     )
     print(
         f"planned={metrics.planned_partitions} rewritten={metrics.rewritten_partitions} "

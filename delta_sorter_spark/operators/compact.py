@@ -82,6 +82,13 @@ class SortConfig:
     # stale (stale = point lookups keep the unindexed new files, correct
     # but unpruned); each refresh scans only the rewritten files.
     refresh_bloom_indexes: bool = False
+    # Scale escape hatch for the partition-aware plan (SURVEY §2.3 O2):
+    # when at least this many partitions fail validation, rewrite them all
+    # in ONE Spark job + ONE commit instead of a job per partition.  The
+    # per-partition fan-out (faithful to lib.rs:209-224) is a driver-side
+    # job-submission bottleneck at 10k-100k failing Hive partitions — a
+    # realistic 100 TB backfill.  None disables the single-job mode.
+    single_job_threshold: int | None = 64
 
 
 @dataclass
@@ -150,6 +157,16 @@ def compact_with_sort(spark: SparkSession, table_uri: str, config: SortConfig) -
     return metrics
 
 
+def _partition_prefix_order(part_cols):
+    """Ascending-nulls-first ordering on the Hive partition columns — the
+    prefix every dynamic-partitioned write must present so Spark's writer
+    streams the frame instead of inserting its own partition-column sort
+    (which does not preserve key order within equal partition values)."""
+    from pyspark.sql import functions as F
+
+    return [F.col(c).asc_nulls_first() for c in part_cols]
+
+
 def _strict_overwrite(table: DeltaTable, config: SortConfig) -> CompactMetrics:
     """C5: full-table sorted overwrite.  Fixes the reference's broken
     strict-from-Python path (xfail upstream issue #17,
@@ -188,6 +205,21 @@ def _strict_overwrite(table: DeltaTable, config: SortConfig) -> CompactMetrics:
         sorted_df = df.orderBy(
             *sort_order_columns(config.sort_columns, config.nulls_first, config.directions)
         )
+        if state.metadata.partition_columns:
+            # Partitioned table under strict mode: the dynamic-partitioned
+            # write needs a partition-column ordering prefix, or Spark
+            # inserts its own sort and un-orders the files (see
+            # _rewrite_group).  Re-grouping each range-task's slice by
+            # partition value keeps every OUTPUT FILE exactly sorted on the
+            # keys (the attested property); the cross-partition interleave
+            # a Hive layout forces is inherent to partitionBy, not to this
+            # step.
+            sorted_df = sorted_df.sortWithinPartitions(
+                *_partition_prefix_order(state.metadata.partition_columns),
+                *sort_order_columns(
+                    config.sort_columns, config.nulls_first, config.directions
+                ),
+            )
         adds = table.stage_write(
             sorted_df,
             stat_columns=config.sort_columns,
@@ -218,13 +250,31 @@ def _strict_overwrite(table: DeltaTable, config: SortConfig) -> CompactMetrics:
 
 def _plan_rewrites(table: DeltaTable, config: SortConfig) -> tuple[list[RewriteGroup], int]:
     """C1: inventory -> per-partition validate -> failing groups only,
-    largest-first (lib.rs:251-319)."""
+    largest-first (lib.rs:251-319).
+
+    At or above ``single_job_threshold`` groups the per-partition scans are
+    batched: ONE distributed summary job over every unattested file, then
+    each group's boundary check runs on the driver over its own summary
+    rows.  The per-group loop costs a Spark job per unattested partition —
+    at 10k+ partitions that is the planning half of the driver-side
+    job-submission bottleneck the single-job rewrite mode removes."""
     state = table.state()
     validate_sort_columns(state.metadata.data_schema, config.sort_columns)
     groups = group_by_partition(state.adds)
     if config.predicate and state.metadata.partition_columns:
         groups = _scope_groups_by_predicate(table, groups, config.predicate)
     total = len(groups)
+    if (
+        config.single_job_threshold is not None
+        and len(groups) >= config.single_job_threshold
+    ):
+        try:
+            return _plan_rewrites_bulk(table, groups, config), total
+        except Exception:
+            log.warning(
+                "bulk validation planning failed; falling back to the"
+                " per-partition loop", exc_info=True,
+            )
     failing: list[RewriteGroup] = []
     for grp in groups:
         try:
@@ -238,6 +288,32 @@ def _plan_rewrites(table: DeltaTable, config: SortConfig) -> tuple[list[RewriteG
         if not ok:
             failing.append(grp)
     return failing, total
+
+
+def _plan_rewrites_bulk(
+    table: DeltaTable, groups: list[RewriteGroup], config: SortConfig
+) -> list[RewriteGroup]:
+    """Batched planning: one summary pass over ALL groups' files (attested
+    files resolve from log metadata with zero scan; the rest share one
+    distributed mapInPandas job), then a driver-side per-group boundary
+    check — O(#files) driver work, the same class as the inventory fold."""
+    from delta_sorter_spark.operators.validate import check_order, summarize_files
+
+    all_files = [a for g in groups for a in g.files]
+    by_path = {
+        s.path: s
+        for s in summarize_files(
+            table, all_files, config.sort_columns, config.nulls_first,
+            config.directions,
+        )
+    }
+    failing: list[RewriteGroup] = []
+    for grp in groups:
+        subs = [by_path[a.path] for a in grp.files if a.path in by_path]
+        not_asc, cross, _ = check_order(subs, config.nulls_first, config.directions)
+        if not_asc or cross or len(subs) != len(grp.files):
+            failing.append(grp)
+    return failing
 
 
 def _scope_groups_by_predicate(
@@ -270,6 +346,13 @@ def _partition_aware(table: DeltaTable, config: SortConfig) -> CompactMetrics:
         log.info("dry-run: %d partitions would be rewritten", len(failing))
         return metrics
 
+    if (
+        config.single_job_threshold is not None
+        and len(failing) >= config.single_job_threshold
+        and table.metadata.partition_columns
+    ):
+        return _rewrite_groups_single_job(table, failing, config, metrics)
+
     concurrency = max(config.concurrency, 1)  # lib.rs:209-224
     with ThreadPoolExecutor(max_workers=concurrency) as pool:
         results = list(pool.map(lambda g: _rewrite_group(table, g, config), failing))
@@ -278,6 +361,99 @@ def _partition_aware(table: DeltaTable, config: SortConfig) -> CompactMetrics:
         metrics.rewritten_partitions += 1
         metrics.files_out += pm.files_out
         metrics.bytes_out += pm.bytes_out
+    return metrics
+
+
+def _rewrite_groups_single_job(
+    table: DeltaTable,
+    failing: list[RewriteGroup],
+    config: SortConfig,
+    metrics: CompactMetrics,
+) -> CompactMetrics:
+    """Many-partition rewrite as ONE Spark job + ONE commit (SURVEY §2.3
+    O2's single-shot form).  Shape:
+
+        read(all failing files)
+          -> repartitionByRange(partition cols + sort keys)
+          -> sortWithinPartitions(partition cols + sort keys)
+          -> stage_write (dynamic partitionBy split, per-file attestation)
+          -> one commit_rewrite
+
+    Range partitioning (not ``repartition(part_cols)``, the survey's
+    sketch) because hash-on-partition pins each Hive partition to exactly
+    one task — a skewed partition becomes a straggler the executor count
+    can't help.  The sampled range exchange splits big partitions across
+    tasks and keeps every task's slice contiguous in (partition, key)
+    space, so each output file still carries one partition's rows (the
+    dynamic ``partitionBy`` write splits residual task-level mixing) in
+    fully attested sorted order, and files within a partition get disjoint
+    key ranges.  The work-avoidance plan (only FAILING partitions are
+    read) is unchanged — only the execution shape differs from the
+    reference's bounded fan-out (lib.rs:209-224)."""
+    from pyspark.sql import functions as F
+
+    started = time.monotonic()
+    meta = table.metadata
+    part_cols = meta.partition_columns
+    all_files = [a for g in failing for a in g.files]
+    df = table.read_for_rewrite(all_files)
+    layout_cols = [F.col(c).asc_nulls_first() for c in part_cols] + list(
+        sort_order_columns(config.sort_columns, config.nulls_first, config.directions)
+    )
+    shaped = df.repartitionByRange(*layout_cols).sortWithinPartitions(*layout_cols)
+    adds = table.stage_write(
+        shaped,
+        stat_columns=config.sort_columns,
+        target_file_size_bytes=config.target_file_size_bytes,
+        data_change=False,
+        sorted_within_files=config.directions is None or all(config.directions),
+        attest_directions=config.directions,
+        schema=table.rewrite_schema(),
+    )
+    removes = [a.remove_action(False) for a in all_files]
+    from delta_sorter_spark.sources.delta_table import ConcurrentRewriteError
+
+    try:
+        table.commit_rewrite(adds, removes, predicate=None, operation="OPTIMIZE")
+    except ConcurrentRewriteError:
+        log.info(
+            "single-job rewrite of %d partitions lost a concurrent race;"
+            " discarding staged files",
+            len(failing),
+        )
+        table.discard_files(adds)
+        return metrics
+
+    duration_ms = int((time.monotonic() - started) * 1000)
+    by_key_in = {g.partition_key: g for g in failing}
+    out_count: dict[str, int] = {}
+    out_bytes: dict[str, int] = {}
+    for a in adds:
+        key = "/".join(
+            f"{k}={'null' if v is None else v}"
+            for k, v in sorted(a.partition_values.items())
+        )
+        out_count[key] = out_count.get(key, 0) + 1
+        out_bytes[key] = out_bytes.get(key, 0) + a.size
+    for key, grp in by_key_in.items():
+        metrics.partitions.append(
+            PartitionMetrics(
+                partition_key=key,
+                files_in=len(grp.files),
+                files_out=out_count.get(key, 0),
+                bytes_in=grp.estimated_bytes,
+                bytes_out=out_bytes.get(key, 0),
+                duration_ms=duration_ms,  # shared job: per-partition cost
+                # is not separable in single-job mode
+            )
+        )
+        metrics.rewritten_partitions += 1
+    metrics.files_out = len(adds)
+    metrics.bytes_out = sum(a.size for a in adds)
+    log.info(
+        "single-job rewrite: %d partitions, files %d->%d in %dms",
+        len(failing), len(all_files), len(adds), duration_ms,
+    )
     return metrics
 
 
@@ -292,8 +468,17 @@ def _rewrite_group(table: DeltaTable, grp: RewriteGroup, config: SortConfig) -> 
         # Belt-and-braces: the file list already prunes to the partition;
         # the filter also documents intent to Catalyst (partition pruning).
         df = df.where(partition_filter_expr(grp.partition_values, meta.schema))
+    # The partition columns LEAD the sort even though they are constant
+    # within the group: the dynamic-partitioned write requires its input
+    # ordered by the partition columns, and when the plan's ordering does
+    # not carry that prefix Spark inserts its own partition-column sort —
+    # which does NOT preserve the key order within equal partition values,
+    # silently un-sorting every file (caught by the attested keyStats:
+    # ascending=false, so work avoidance never engaged on partitioned
+    # tables).  Constant columns add nothing to the range exchange.
     sorted_df = df.orderBy(
-        *sort_order_columns(config.sort_columns, config.nulls_first, config.directions)
+        *_partition_prefix_order(meta.partition_columns),
+        *sort_order_columns(config.sort_columns, config.nulls_first, config.directions),
     )
     adds = table.stage_write(
         sorted_df,

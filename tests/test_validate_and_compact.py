@@ -453,3 +453,96 @@ def test_validate_scan_path_on_schema_evolved_files(spark, tmp_path):
     # descending ids make the old file internally descending under asc check
     rep4 = validate_global_order(spark, path, ["id", "score"], directions=[False, True])
     assert rep4.files_not_ascending >= 1
+
+
+def test_single_job_many_partition_compact(spark, tmp_path):
+    """VERDICT r8 #3: at >= single_job_threshold failing partitions the
+    partition-aware path must plan with ONE distributed summary job and
+    rewrite with ONE Spark job + ONE commit — not a job per partition —
+    while preserving content, per-file attestation, and work avoidance."""
+    from pyspark.sql import functions as F
+
+    from delta_sorter_spark.api import compact
+    from delta_sorter_spark.sources.delta_table import DeltaTable
+
+    path = str(tmp_path / "many")
+    n_parts = 256
+    df = (
+        spark.range(n_parts * 8)
+        .select(
+            (F.col("id") % n_parts).alias("p"),
+            (F.hash("id") % 1000).alias("k"),
+            F.col("id").alias("v"),
+        )
+    )
+    tbl = DeltaTable.create(
+        spark, path, df.repartition(2), partition_columns=["p"]
+    )
+    files_in = len(tbl.state().adds)
+    assert files_in >= n_parts  # every partition unsorted, multi-file
+    before_rows, before_sum = tbl.to_df().agg(
+        F.count("*"), F.sum("v")
+    ).collect()[0]
+    version_before = tbl.log.latest_version()
+
+    sc = spark.sparkContext
+    sc.setJobGroup("sj-compact", "single-job many-partition compact")
+    try:
+        m = compact(path, ["k"], spark=spark)
+    finally:
+        sc.setJobGroup(None, None)
+    jobs = len(sc.statusTracker().getJobIdsForGroup("sj-compact"))
+
+    # O(1) Spark jobs: bulk plan scan + rewrite read/exchange/write +
+    # staged-stats job — NOT O(n_parts) (the fan-out shape costs 2 jobs
+    # per partition here, ~512)
+    assert jobs <= 15, f"expected O(1) jobs, got {jobs}"
+    assert m.rewritten_partitions == n_parts
+    # ONE commit for the whole rewrite
+    assert tbl.log.latest_version() == version_before + 1
+
+    # content preserved
+    after_rows, after_sum = tbl.to_df().agg(F.count("*"), F.sum("v")).collect()[0]
+    assert (after_rows, after_sum) == (before_rows, before_sum)
+
+    # attestation: a re-plan is metadata-only (zero jobs) and skips all
+    sc.setJobGroup("sj-replan", "replan")
+    try:
+        m2 = compact(path, ["k"], spark=spark)
+    finally:
+        sc.setJobGroup(None, None)
+    assert m2.planned_partitions == 0
+    assert m2.skipped_partitions == n_parts
+    assert len(sc.statusTracker().getJobIdsForGroup("sj-replan")) == 0
+
+    # every output file belongs to exactly one partition (the dynamic
+    # partitionBy split) and carries the sortedness attestation
+    for a in tbl.state().adds:
+        assert set(a.partition_values) == {"p"}
+        assert (a.stats or {}).get("keyStats")
+
+
+def test_single_job_threshold_disabled_uses_fanout(spark, tmp_path):
+    """single_job_threshold=None keeps the reference-faithful bounded
+    fan-out (one replaceWhere commit per partition)."""
+    from pyspark.sql import functions as F
+
+    from delta_sorter_spark.api import compact
+    from delta_sorter_spark.sources.delta_table import DeltaTable
+
+    path = str(tmp_path / "fan")
+    df = (
+        spark.range(6 * 20)
+        .select(
+            (F.col("id") % 6).alias("p"),
+            (F.hash("id") % 100).alias("k"),
+            F.col("id").alias("v"),
+        )
+    )
+    tbl = DeltaTable.create(spark, path, df.repartition(2), partition_columns=["p"])
+    v0 = tbl.log.latest_version()
+    m = compact(path, ["k"], spark=spark, single_job_threshold=None)
+    assert m.rewritten_partitions == 6
+    assert tbl.log.latest_version() == v0 + 6  # one commit per partition
+    m2 = compact(path, ["k"], spark=spark, single_job_threshold=None)
+    assert m2.planned_partitions == 0
