@@ -8351,6 +8351,168 @@ _Q18_SQL = _q18_sql()
 
 
 # ---------------------------------------------------------------------------
+# M8: cross-modal retrieval (the CLIP-retrieval curation/eval shape) — text
+# query -> pluggable text-tower stub (multimodal.embed_texts, md5-chain
+# pseudo-embedding in the ASSET embedding space) -> registered ANN top-k
+# over the asset-embedding table (ann_index.ann_topk: PQ build + ADC
+# serving, codes-width candidate scan) -> join back asset metadata
+# (source/lang from documents; vec_id aligns with doc_id in the fixture).
+# The oracle replays the whole chain relationally: chained-md5 text
+# embedding, normalized corpus, deterministic PQ training (seed + 2 Lloyd
+# iterations), ADC scoring of the text queries, exact-cosine attach.
+# ---------------------------------------------------------------------------
+
+M8_QUERY_MOD = 50  # text-query subset: every 50th document
+
+
+def q_m8_crossmodal_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from delta_sorter_spark.operators.ann_index import (
+        ann_topk,
+        build_ann_index,
+    )
+    from delta_sorter_spark.operators.multimodal import embed_texts
+    from delta_sorter_spark.sources.delta_table import DeltaTable
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    scratch = tempfile.mkdtemp(prefix="m8_xmodal_")
+    try:
+        tbl = DeltaTable.create(
+            spark, os.path.join(scratch, "t"), emb.coalesce(2)
+        )
+        build_ann_index(
+            tbl, "embedding", "vec_id", EMB_DIM,
+            m=PQ_M, n_codes=PQ_CODES, n_iters=2,
+        )
+        qtexts = docs.where(F.col("doc_id") % M8_QUERY_MOD == 0).select(
+            "doc_id", "text"
+        )
+        qemb = embed_texts(qtexts, "doc_id", "text", dim=EMB_DIM)
+        out = ann_topk(tbl, qemb, "id", "embedding", "embedding", k=TOPK)
+        meta = docs.select(
+            F.col("doc_id").alias("id"), "source", "lang"
+        )
+        res = out.join(meta, "id").select(
+            "query_id",
+            "id",
+            "rank",
+            F.round("approx_d", 6).alias("approx_d"),
+            F.round("cosine", 6).alias("cosine"),
+            "source",
+            "lang",
+        )
+        return res.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+_M8_HEXB = (
+    "((strpos('0123456789abcdef', substr({c}, {p}, 1)) - 1) * 16"
+    " + (strpos('0123456789abcdef', substr({c}, {p1}, 1)) - 1))"
+)
+
+
+def _m8_text_component(i: int) -> str:
+    """Component i of the chained-md5 text embedding: digest i//8 (h1..h8),
+    signed 16-bit from hex bytes 4j+1..4j+4 of that digest."""
+    c, j = f"h{i // 8 + 1}", i % 8
+    hi = _M8_HEXB.format(c=c, p=4 * j + 1, p1=4 * j + 2)
+    lo = _M8_HEXB.format(c=c, p=4 * j + 3, p1=4 * j + 4)
+    return f"CAST(({hi}) * 256 + ({lo}) - 32768 AS DOUBLE)"
+
+
+def _m8_subspace(j: int) -> str:
+    """q18's per-subspace PQ replay, full-corpus train/live (one build, no
+    refresh), with the query tables built from the TEXT embeddings."""
+    lo, hi = j * _PQ_DSUB + 1, (j + 1) * _PQ_DSUB
+    return f"""
+sub{j} AS (
+  SELECT vec_id, v[{lo}:{hi}] AS v FROM corpus
+),
+seed{j} AS (
+  SELECT CAST(rn - 1 AS INT) AS centroid, v AS cvec FROM (
+    SELECT v, row_number() OVER (ORDER BY h, vec_id) AS rn FROM (
+      SELECT vec_id, v,
+             {duckdb_md5_long_sql('CAST(vec_id AS VARCHAR)')} % {MERSENNE_P} AS h
+      FROM sub{j}))
+  WHERE rn <= {PQ_CODES}
+),{_duck_pq_iter(f'sub{j}', f'seed{j}', f'cb{j}_1', _PQ_DSUB)},{_duck_pq_iter(f'sub{j}', f'cb{j}_1', f'cb{j}', _PQ_DSUB)},
+code{j} AS (
+  SELECT vec_id, centroid AS code FROM (
+    SELECT c.vec_id, s.centroid,
+           row_number() OVER (PARTITION BY c.vec_id
+                              ORDER BY {_duck_sq_l2('c.v', 's.cvec')}, s.centroid) AS rn
+    FROM sub{j} c CROSS JOIN cb{j} s) WHERE rn = 1
+),
+qt{j} AS (
+  SELECT q.query_id, s.centroid AS code,
+         {_duck_sq_l2('q.v', 's.cvec')} AS d
+  FROM (SELECT query_id, v[{lo}:{hi}] AS v FROM qnorm) q
+  CROSS JOIN cb{j} s
+)"""
+
+
+def _m8_sql() -> str:
+    digests = "\n".join(
+        f", md5(h{i - 1}) AS h{i}" if i > 1 else ""
+        for i in range(2, EMB_DIM // 8 + 1)
+    )
+    comps = ", ".join(_m8_text_component(i) for i in range(EMB_DIM))
+    return f"""
+WITH corpus0 AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+corpus AS MATERIALIZED (
+  SELECT vec_id, list_transform(v, x -> x / sqrt({_SSQ.format(a='v')})) AS v
+  FROM corpus0
+),
+qh AS (
+  SELECT doc_id AS query_id, md5(text) AS h1
+         {digests}
+  FROM documents WHERE doc_id % {M8_QUERY_MOD} = 0
+),
+qraw AS (
+  SELECT query_id, [{comps}] AS v FROM qh
+),
+qnorm AS MATERIALIZED (
+  SELECT query_id, list_transform(v, x -> x / sqrt({_SSQ.format(a='v')})) AS v
+  FROM qraw
+),{','.join(_m8_subspace(j) for j in range(PQ_M))},
+scored AS (
+  SELECT c0.vec_id AS id, q0.query_id,
+         {' + '.join(f'q{j}.d' for j in range(PQ_M))} AS approx_d
+  FROM code0 c0
+  {' '.join(f'JOIN code{j} c{j} ON c{j}.vec_id = c0.vec_id' for j in range(1, PQ_M))}
+  JOIN qt0 q0 ON q0.code = c0.code
+  {' '.join(f'JOIN qt{j} q{j} ON q{j}.code = c{j}.code AND q{j}.query_id = q0.query_id' for j in range(1, PQ_M))}
+  WHERE c0.vec_id <> q0.query_id
+),
+ranked AS (
+  SELECT query_id, id, approx_d,
+         row_number() OVER (PARTITION BY query_id ORDER BY approx_d, id) AS rn
+  FROM scored
+)
+SELECT r.query_id, r.id, r.rn AS "rank", round(r.approx_d, 6) AS approx_d,
+       round({_DOT.format(a='a.v', b='b.v')}
+         / (sqrt({_SSQ.format(a='a.v')}) * sqrt({_SSQ.format(a='b.v')})), 6) AS cosine,
+       d.source, d.lang
+FROM ranked r
+JOIN corpus a ON a.vec_id = r.id
+JOIN qnorm b ON b.query_id = r.query_id
+JOIN documents d ON d.doc_id = r.id
+WHERE r.rn <= {TOPK}
+"""
+
+
+_M8_SQL = _m8_sql()
+
+
+# ---------------------------------------------------------------------------
 # M7: video near-dup (operators/multimodal.py video_near_dup) — frame-
 # sampled window fingerprints (pure SQL: md5+conv over payload windows at
 # frame_sample_plan's sampled indices, NO Python at all for the highest-
@@ -9595,6 +9757,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m5_phash_near_dup": q_m5_phash_near_dup,
         "m6_audio_near_dup": q_m6_audio_near_dup,
         "m7_video_near_dup": q_m7_video_near_dup,
+        "m8_crossmodal_topk": q_m8_crossmodal_topk,
         "p7_asset_dedup": q_p7_asset_dedup,
         "q27_ann_compaction": q_q27_ann_compaction,
         "p4_multimodal_dedup_pipeline": q_p4_multimodal_dedup_pipeline,
@@ -9716,6 +9879,7 @@ def oracle_sql() -> dict[str, str]:
         "m5_phash_near_dup": _M5_SQL,
         "m6_audio_near_dup": _make_m6_sql(),
         "m7_video_near_dup": _make_m7_sql(),
+        "m8_crossmodal_topk": _M8_SQL,
         "p7_asset_dedup": _make_p7_sql(),
         "p4_multimodal_dedup_pipeline": _P4_SQL,
         "a43_span_report": _A43_SQL,

@@ -288,6 +288,54 @@ def _embed_stub(payload: bytes) -> list[float]:
     ]
 
 
+def _text_embed_stub(text: str, dim: int = EMBED_DIM) -> list[float]:
+    """Default for :func:`embed_texts`'s ``embedder=`` hook: deterministic
+    pseudo-embedding from an md5 CHAIN over the text (8 signed 16-bit
+    components per digest; digest i+1 = md5 of digest i's hex string), so
+    any ``dim`` is reachable and the DuckDB oracle replays it with nested
+    ``md5()`` calls."""
+    out: list[float] = []
+    hx = text
+    while len(out) < dim:
+        hx = hashlib.md5(hx.encode("utf-8")).hexdigest()
+        d = bytes.fromhex(hx)
+        for j in range(8):
+            if len(out) >= dim:
+                break
+            out.append(float(((d[2 * j] << 8) | d[2 * j + 1]) - 32768))
+    return out
+
+
+def embed_texts(
+    df: DataFrame, id_col: str, text_col: str, embedder=None,
+    dim: int = EMBED_DIM,
+) -> DataFrame:
+    """Text-side encoder of a cross-modal (CLIP-style) retrieval pair:
+    (id, embedding array<double>) from a text column, the same Arrow-
+    batched boundary as :func:`embed_assets` — in a deployment ``embedder``
+    wraps the text tower of the joint-embedding model and ``dim`` matches
+    the asset tower's output.  The result feeds
+    ``operators/ann_index.ann_topk`` as the query frame unchanged, which is
+    the whole point: text -> asset retrieval is one composition, not a new
+    serving path."""
+    embedder = embedder or (lambda t: _text_embed_stub(t, dim))
+
+    def embed(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, vecs = [], []
+            for i, text in zip(pdf["__id__"], pdf["__text__"]):
+                vecs.append(embedder(str(text)))
+                ids.append(i)
+            yield pd.DataFrame({"id": ids, "embedding": vecs})
+
+    narrowed = df.select(
+        F.col(id_col).alias("__id__"), F.col(text_col).alias("__text__")
+    )
+    return narrowed.mapInPandas(embed, EMBED_SCHEMA)
+
+
 def embed_assets(
     df: DataFrame, id_col: str, payload_col: str, embedder=None
 ) -> DataFrame:

@@ -510,3 +510,38 @@ def test_ann_status_reports_generations_and_staleness(spark, tmp_path):
 
     with pytest.raises(KeyError):
         ann_status(tbl, "nope")
+
+
+def test_stale_index_never_serves_dv_deleted_rows(spark, tmp_path):
+    """VERDICT r8 #5 pin: staleness costs recall, never correctness.
+    After delete_where_dv on indexed files with NO refresh, serving
+    exact-reranks against the live table (ann_topk -> _exact_rank), so a
+    DV-deleted id can never surface as a phantom — and the result may
+    hold fewer than k rows.  Guarded on BOTH serve paths (flat ADC and
+    probed IVF) against future serve-path edits that skip _exact_rank."""
+    from delta_sorter_spark.operators.dml import delete_where_dv
+
+    # flat path
+    tbl = _mk_table(spark, tmp_path, range(40), name="stale_flat")
+    build_ann_index(tbl, "emb", "vid", DIM, m=2, n_codes=4)
+    delete_where_dv(tbl, "vid % 2 = 1")  # half the corpus, index NOT refreshed
+    out = ann_topk(tbl, _queries(spark, [0, 7]), "vid", "emb", "emb", k=30)
+    rows = out.collect()
+    ids = {r["id"] for r in rows}
+    assert ids, "stale serve should still return the live rows"
+    assert not any(i % 2 == 1 for i in ids), "DV-deleted id served as phantom"
+    by_q: dict = {}
+    for r in rows:
+        by_q[r["query_id"]] = by_q.get(r["query_id"], 0) + 1
+    # only 20 rows survive the delete; k=30 must degrade to < k, not pad
+    assert all(n < 30 for n in by_q.values())
+
+    # probed (IVF) path
+    tbl2 = _mk_table(spark, tmp_path, range(40), name="stale_ivf")
+    build_ann_index(tbl2, "emb", "vid", DIM, m=2, n_codes=4, n_centroids=4)
+    delete_where_dv(tbl2, "vid % 2 = 1")
+    out2 = ann_topk(
+        tbl2, _queries(spark, [0, 7]), "vid", "emb", "emb", k=30, n_probes=2
+    )
+    ids2 = {r["id"] for r in out2.collect()}
+    assert ids2 and not any(i % 2 == 1 for i in ids2)
