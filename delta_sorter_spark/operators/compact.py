@@ -532,6 +532,7 @@ def bin_pack_compact(
     table_uri: str,
     target_file_size_bytes: int = 128 * 1024 * 1024,
     min_file_size_bytes: int | None = None,
+    single_job_threshold: int | None = 64,
 ) -> CompactMetrics:
     """Delta OPTIMIZE-style bin-packing compaction — NO sort involved:
     coalesce each partition's small files (< ``min_file_size_bytes``,
@@ -543,22 +544,65 @@ def bin_pack_compact(
     commit as ONE ``dataChange=false`` rewrite, so change feeds and
     streaming sources ignore it and incremental rollups skip it.  Output
     files carry no sortedness attestation (concatenation breaks order) —
-    sorted tables should use ``compact_with_sort`` instead.  At 100 TB the
-    per-partition jobs are independent (parallelize exactly like the
-    partition-aware sort path); a partition with 1 small file is left
-    alone (nothing to gain)."""
+    sorted tables should use ``compact_with_sort`` instead.  A partition
+    with 1 small file is left alone (nothing to gain).
+
+    At or above ``single_job_threshold`` qualifying partitions the
+    per-partition read/write pairs collapse into ONE Spark job (same
+    driver-bottleneck escape hatch as the sort path's
+    ``_rewrite_groups_single_job``): one read over every partition's
+    small files, a ``repartitionByRange(part_cols)`` so each task holds
+    contiguous partition values, and one dynamic-partitioned staged
+    write — ``maxRecordsPerFile`` keeps output near target size."""
     started = time.monotonic()
     table = DeltaTable(spark, table_uri)
     state = table.state()
     small_cut = min_file_size_bytes or target_file_size_bytes // 2
     metrics = CompactMetrics()
+    part_cols = state.metadata.partition_columns
 
     groups = group_by_partition(state.adds)
-    all_adds, all_removes = [], []
+    qualifying: list[tuple[RewriteGroup, list]] = []
     for grp in sorted(groups, key=lambda g: -g.estimated_bytes):
         small = [a for a in grp.files if a.size < small_cut]
-        if len(small) < 2:
-            continue
+        if len(small) >= 2:
+            qualifying.append((grp, small))
+
+    from delta_sorter_spark.sources.delta_table import ConcurrentRewriteError
+
+    if (
+        single_job_threshold is not None
+        and len(qualifying) >= single_job_threshold
+        and part_cols
+    ):
+        all_small = [a for _, small in qualifying for a in small]
+        metrics.planned_partitions = len(qualifying)
+        metrics.files_in = len(all_small)
+        metrics.bytes_in = sum(a.size for a in all_small)
+        df = table.read_for_rewrite(all_small).repartitionByRange(
+            *_partition_prefix_order(part_cols)
+        )
+        adds = table.stage_write(
+            df,
+            target_file_size_bytes=target_file_size_bytes,
+            data_change=False,
+            schema=table.rewrite_schema(),
+        )
+        removes = [a.remove_action(False) for a in all_small]
+        try:
+            table.commit_rewrite(adds, removes, operation="OPTIMIZE")
+        except ConcurrentRewriteError:
+            log.info("bin-pack lost a concurrent rewrite race; discarding")
+            table.discard_files(adds)
+            return CompactMetrics()
+        metrics.rewritten_partitions = len(qualifying)
+        metrics.files_out = len(adds)
+        metrics.bytes_out = sum(a.size for a in adds)
+        metrics.duration_ms = int((time.monotonic() - started) * 1000)
+        return metrics
+
+    all_adds, all_removes = [], []
+    for grp, small in qualifying:
         metrics.planned_partitions += 1
         bytes_in = sum(a.size for a in small)
         n_out = max(1, -(-bytes_in // target_file_size_bytes))  # ceil
@@ -578,8 +622,6 @@ def bin_pack_compact(
         metrics.bytes_out += sum(a.size for a in adds)
 
     if all_adds:
-        from delta_sorter_spark.sources.delta_table import ConcurrentRewriteError
-
         try:
             table.commit_rewrite(all_adds, all_removes, operation="OPTIMIZE")
         except ConcurrentRewriteError:

@@ -546,3 +546,47 @@ def test_single_job_threshold_disabled_uses_fanout(spark, tmp_path):
     assert tbl.log.latest_version() == v0 + 6  # one commit per partition
     m2 = compact(path, ["k"], spark=spark, single_job_threshold=None)
     assert m2.planned_partitions == 0
+
+
+def test_bin_pack_single_job_many_partitions(spark, tmp_path):
+    """bin_pack_compact collapses to ONE Spark job + ONE commit at >=
+    single_job_threshold qualifying partitions (same escape hatch as the
+    sort path), preserving rows and one-partition-per-file."""
+    from pyspark.sql import functions as F
+
+    from delta_sorter_spark.operators.compact import bin_pack_compact
+    from delta_sorter_spark.sources.delta_table import DeltaTable
+
+    path = str(tmp_path / "bp")
+    n_parts = 96
+    df = (
+        spark.range(n_parts * 6)
+        .select((F.col("id") % n_parts).alias("p"), F.col("id").alias("v"))
+    )
+    tbl = DeltaTable.create(
+        spark, path, df.repartition(3), partition_columns=["p"]
+    )
+    files_in = len(tbl.state().adds)
+    assert files_in >= 2 * n_parts  # every partition has >= 2 small files
+    before = tbl.to_df().agg(F.count("*"), F.sum("v")).collect()[0]
+    v0 = tbl.log.latest_version()
+
+    sc = spark.sparkContext
+    sc.setJobGroup("bp-sj", "single-job bin pack")
+    try:
+        m = bin_pack_compact(spark, path)
+    finally:
+        sc.setJobGroup(None, None)
+    jobs = len(sc.statusTracker().getJobIdsForGroup("bp-sj"))
+    assert jobs <= 10, f"expected O(1) jobs, got {jobs}"
+    # round-robin repartition can land one partition's rows in a single
+    # file, which bin-packing rightly skips — near-all is the contract
+    assert m.rewritten_partitions >= n_parts - 4
+    assert m.rewritten_partitions >= 64  # single-job mode engaged
+    assert m.files_out < files_in
+    assert tbl.log.latest_version() == v0 + 1
+
+    after = tbl.to_df().agg(F.count("*"), F.sum("v")).collect()[0]
+    assert tuple(after) == tuple(before)
+    for a in tbl.state().adds:
+        assert set(a.partition_values) == {"p"}
