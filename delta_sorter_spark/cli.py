@@ -8,6 +8,7 @@
 Extension verbs (each runs and exits; --sort-columns not required):
     --history                     print the commit history
     --detail                      print the DESCRIBE DETAIL summary
+    --bin-pack [--target-file-size-bytes N]      coalesce small files (no sort)
     --vacuum [--retention-hours H] [--dry-run]   collect unreferenced files
     --checkpoint                  write a parquet log checkpoint
     --build-bloom-index COLUMN    build/rebuild the per-file Bloom index
@@ -176,6 +177,14 @@ def build_parser() -> argparse.ArgumentParser:
         "mergeable into later cubes (default 100 MiB)",
     )
     p.add_argument(
+        "--bin-pack",
+        action="store_true",
+        help="OPTIMIZE-style bin-packing compaction (no sort): coalesce "
+        "each partition's small files (< half --target-file-size-bytes) "
+        "into ~target-sized files in one dataChange=false commit, then "
+        "exit; honors --single-job-threshold",
+    )
+    p.add_argument(
         "--vacuum",
         action="store_true",
         help="Delete unreferenced data files (tombstoned or orphaned) and "
@@ -258,7 +267,7 @@ def main(argv: list[str] | None = None) -> int:
         args.vacuum or args.checkpoint or args.enable_row_tracking
         or args.enable_in_commit_timestamps or args.add_constraint
         or args.drop_constraint or args.cluster_by or args.optimize_clustered
-        or args.cluster_status or args.cleanup_log
+        or args.cluster_status or args.cleanup_log or args.bin_pack
     )
     if not sort_columns and not (
         args.history or args.detail or index_verb or maintenance_verb
@@ -394,12 +403,32 @@ def _run(args, sort_columns, api) -> int:
         args.vacuum or args.checkpoint or args.enable_row_tracking
         or args.enable_in_commit_timestamps or args.add_constraint
         or args.drop_constraint or args.cluster_by or args.optimize_clustered
-        or args.cluster_status or args.cleanup_log
+        or args.cluster_status or args.cleanup_log or args.bin_pack
     ):
         from delta_sorter_spark.session import get_spark
         from delta_sorter_spark.sources.delta_table import DeltaTable
 
         tbl = DeltaTable(get_spark(), args.table)
+        if args.bin_pack:
+            from delta_sorter_spark.operators.compact import bin_pack_compact
+
+            m = bin_pack_compact(
+                tbl.spark,
+                args.table,
+                **(
+                    {"target_file_size_bytes": args.target_file_size_bytes}
+                    if args.target_file_size_bytes
+                    else {}
+                ),
+                single_job_threshold=args.single_job_threshold or None,
+            )
+            print(
+                f"bin-pack planned={m.planned_partitions} "
+                f"rewritten={m.rewritten_partitions} "
+                f"files {m.files_in}->{m.files_out} "
+                f"bytes {m.bytes_in}->{m.bytes_out} "
+                f"duration_ms={m.duration_ms}"
+            )
         if args.cluster_by:
             cols = [c.strip() for c in args.cluster_by.split(",") if c.strip()]
             try:

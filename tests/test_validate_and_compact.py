@@ -590,3 +590,24 @@ def test_bin_pack_single_job_many_partitions(spark, tmp_path):
     assert tuple(after) == tuple(before)
     for a in tbl.state().adds:
         assert set(a.partition_values) == {"p"}
+
+
+def test_cli_bin_pack(spark, tmp_path, capsys):
+    from pyspark.sql import functions as F
+
+    from delta_sorter_spark.cli import main as cli_main
+    from delta_sorter_spark.sources.delta_table import DeltaTable
+
+    path = str(tmp_path / "clibp")
+    df = spark.range(12 * 8).select(
+        (F.col("id") % 12).alias("p"), F.col("id").alias("v")
+    )
+    tbl = DeltaTable.create(spark, path, df.repartition(3), partition_columns=["p"])
+    files_in = len(tbl.state().adds)
+    rc = cli_main(["--table", path, "--bin-pack", "--log-level", "warn"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "bin-pack" in out
+    assert len(tbl.state().adds) < files_in
+    # idempotent: second run plans nothing
+    rc = cli_main(["--table", path, "--bin-pack", "--log-level", "warn"])
+    assert rc == 0 and "planned=0" in capsys.readouterr().out
