@@ -812,15 +812,23 @@ def _exact_rank(
     )
 
 
-def ann_status(table: DeltaTable, column: str) -> dict:
+def ann_status(
+    table: DeltaTable, column: str, counts: bool = True
+) -> dict:
     """Operational snapshot of ``column``'s registered index — the
     cluster_status twin for ANN maintenance scheduling: how generational
     the codes have become (parts), how stale vs the live snapshot
     (unindexed/changed/dropped files), and whether a compaction is worth
-    scheduling.  Index-scale work, NOT metadata-only: beyond the O(files)
-    manifest read it counts every code part (a union + broadcast semi-join
-    over the full index codes — m bytes/row, never the dim-wide table) —
-    schedule it at a maintenance cadence, not per-query.
+    scheduling.
+
+    With ``counts=True`` (default) this is index-scale work, NOT
+    metadata-only: beyond the O(files) manifest read it counts every code
+    part (a union + broadcast semi-join over the full index codes —
+    m bytes/row, never the dim-wide table) — schedule it at a maintenance
+    cadence, not per-query.  ``counts=False`` is the planner-scale probe
+    (log state + the file-count-sized manifest read, no codes scan):
+    row/dead-row fields come back None and ``recommend_compaction`` uses
+    the part count alone — cheap enough for a per-batch freshness gate.
 
     Returns {"column", "kind", "rows", "parts" (count),
     "part_rows" [{gen, rows}], "dead_rows" (superseded code rows still on
@@ -842,6 +850,24 @@ def ann_status(table: DeltaTable, column: str) -> dict:
     )
     dropped = len(set(indexed) - set(current))
     parts = _spec_parts(spec)
+    kind = (
+        "residual-ivf-pq" if spec.get("residual")
+        else ("ivf-pq" if ivf else "pq")
+    )
+    if not counts:
+        return {
+            "column": column,
+            "kind": kind,
+            "rows": None,
+            "parts": len(parts),
+            "part_rows": None,
+            "dead_rows": None,
+            "indexed_files": len(indexed),
+            "live_files": len(current),
+            "stale_files": int(stale),
+            "dropped_files": int(dropped),
+            "recommend_compaction": len(parts) > 8,
+        }
     part_rows = []
     total = 0
     for part in parts:
@@ -854,10 +880,7 @@ def ann_status(table: DeltaTable, column: str) -> dict:
     dead = total - int(auth)
     return {
         "column": column,
-        "kind": (
-            "residual-ivf-pq" if spec.get("residual")
-            else ("ivf-pq" if ivf else "pq")
-        ),
+        "kind": kind,
         "rows": int(auth),
         "parts": len(parts),
         "part_rows": part_rows,

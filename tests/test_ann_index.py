@@ -545,3 +545,27 @@ def test_stale_index_never_serves_dv_deleted_rows(spark, tmp_path):
     )
     ids2 = {r["id"] for r in out2.collect()}
     assert ids2 and not any(i % 2 == 1 for i in ids2)
+
+
+def test_ann_status_counts_false_is_metadata_only(spark, tmp_path):
+    """counts=False: planner-scale probe — log state + the file-count-sized
+    manifest read only (no codes scan), staleness fields intact, row
+    counts None."""
+    from delta_sorter_spark.operators.ann_index import ann_status
+
+    tbl = _mk_table(spark, tmp_path, range(25))
+    build_ann_index(tbl, "emb", "vid", DIM, m=2, n_codes=4)
+    tbl.append(spark.createDataFrame(_rows(range(25, 30)), "vid long, emb array<float>").coalesce(1))
+
+    sc = spark.sparkContext
+    sc.setJobGroup("st-fast", "metadata-only status")
+    try:
+        st = ann_status(tbl, "emb", counts=False)
+    finally:
+        sc.setJobGroup(None, None)
+    # the manifest collect is the only job-shaped work (file-count rows);
+    # the codes parts are never scanned
+    assert len(sc.statusTracker().getJobIdsForGroup("st-fast")) <= 2
+    assert st["rows"] is None and st["part_rows"] is None
+    assert st["stale_files"] == 1 and st["parts"] == 1
+    assert st["recommend_compaction"] is False
