@@ -48,6 +48,8 @@ EXPECTED_ALLPAIRS = {
     "e64_heavy_hitters",      # one-row total-count broadcast into the threshold filter
     "e72_corpus_overlap",     # 1x1 cross join of two single-row sketch aggregates (e24 shape)
     "q18_ann_index",          # codes-only serve: ADC tables broadcast the query+codebook side (e60 shape); exact cosine joins the shortlist back to the table (BHJ)
+    "m8_crossmodal_topk",     # q18's flat ADC serve shape driven by text-query embeddings (the cross join broadcasts ~10 query rows)
+    "q27_ann_compaction",     # q18's serve shape from the compacted single-part dataset
     "q19_ann_ivf_index",      # probe assignment + ADC tables are one-row packed-codebook broadcasts (e62 shape); candidates restricted by the centroid equi-join over a probe-pruned codes scan
     "e82_residual_ivfpq",     # residual IVF-PQ: same constant-broadcast shapes as e62 plus the residual coarse join; candidates restricted by the centroid equi-join
     "q20_ann_residual_index", # registered residual lifecycle: e82's serve shape from persisted datasets
