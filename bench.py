@@ -673,7 +673,13 @@ def _vs_baseline(timings: dict, calibration_end: float) -> dict:
                 data = json.load(fh)
         except (OSError, ValueError):
             continue
-        for k, v in (data.get("queries") or {}).items():
+        # the driver wraps the bench's own JSON line under "parsed"
+        queries = (
+            data.get("queries")
+            or (data.get("parsed") or {}).get("queries")
+            or {}
+        )
+        for k, v in queries.items():
             if isinstance(v, (int, float)) and v > 0:
                 floors[k] = min(floors.get(k, float(v)), float(v))
     factor = max(calibration_end / CALIBRATION_IDLE_S, 1.0)
