@@ -8,6 +8,7 @@
 Extension verbs (each runs and exits; --sort-columns not required):
     --history                     print the commit history
     --detail                      print the DESCRIBE DETAIL summary
+    --attest (needs --sort-columns)              backfill key-stat attestation
     --bin-pack [--target-file-size-bytes N]      coalesce small files (no sort)
     --vacuum [--retention-hours H] [--dry-run]   collect unreferenced files
     --checkpoint                  write a parquet log checkpoint
@@ -175,6 +176,15 @@ def build_parser() -> argparse.ArgumentParser:
         default=None,
         help="With --optimize-clustered: ZCubes smaller than this stay "
         "mergeable into later cubes (default 100 MiB)",
+    )
+    p.add_argument(
+        "--attest",
+        action="store_true",
+        help="Backfill key-stat attestation for files that lack it (one "
+        "column-pruned scan of unattested files, one dataChange=false "
+        "commit): later validations of --sort-columns become "
+        "metadata-only, including on tables written by other engines; "
+        "then exit",
     )
     p.add_argument(
         "--bin-pack",
@@ -525,6 +535,26 @@ def _run(args, sort_columns, api) -> int:
                 f"log cleanup {verb} {len(r['deleted'])} file(s); "
                 f"replay floor v{r['cutoff_version']}"
             )
+        return 0
+
+    if args.attest:
+        from delta_sorter_spark.functions.keys import parse_sort_spec
+        from delta_sorter_spark.operators.validate import attest_sort_stats
+        from delta_sorter_spark.session import get_spark
+        from delta_sorter_spark.sources.delta_table import DeltaTable
+
+        cols, ascending = parse_sort_spec(sort_columns)
+        r = attest_sort_stats(
+            DeltaTable(get_spark(), args.table),
+            cols,
+            nulls_first=args.nulls == "first",
+            directions=None if all(ascending) else ascending,
+        )
+        print(
+            f"attested={r['attested']} already={r['already']} "
+            f"skipped_concurrent={r['skipped_concurrent']} "
+            f"version={r['version']}"
+        )
         return 0
 
     if args.validate_only:

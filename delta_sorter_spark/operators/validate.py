@@ -509,6 +509,162 @@ def validate_global_order(
     )
 
 
+def attest_sort_stats(
+    table: DeltaTable,
+    sort_columns: Sequence[str],
+    nulls_first: bool = True,
+    directions: Sequence[bool] | None = None,
+) -> dict:
+    """Backfill write-time key-stat attestation for active files that lack
+    it: one distributed column-pruned scan over the unattested files, then
+    ONE ``dataChange=false`` commit re-Adding them with enriched stats
+    (``keyStats`` for both null placements + min/max/nullCount on the sort
+    columns).  After it, validation and compaction PLANNING on this
+    ordering are metadata-only — the one-time cost that turns the
+    reference's every-validate full scan (lib.rs:609-665) into O(#files)
+    driver work for tables written by OTHER engines too (stock
+    delta-rs/delta-spark writers attest nothing).
+
+    Attests the PHYSICAL file (raw row order, DV ignored): that is what
+    V2/V3 check and what zone maps need — a deletion vector only removes
+    rows, so min/max stay conservative.  Returns {"attested", "already",
+    "skipped_concurrent", "version"}."""
+    import json as _json
+    import os as _os
+    from dataclasses import replace as _replace
+
+    state = table.state()
+    meta = state.metadata
+    validate_sort_columns(meta.data_schema, sort_columns)
+    phys = meta.physical_names(sort_columns)
+    dirs = None if directions is None or all(directions) else list(directions)
+    todo = [
+        a for a in state.adds
+        if _summary_from_key_stats(a, phys, nulls_first, directions) is None
+    ]
+    already = len(state.adds) - len(todo)
+    if not todo:
+        return {
+            "attested": 0,
+            "already": already,
+            "skipped_concurrent": 0,
+            "version": state.version,
+        }
+
+    from delta_sorter_spark.sources.fs import capture_aws_env, is_remote_uri
+
+    table_path = table.table_path
+    remote = is_remote_uri(table_path)
+    aws_env = capture_aws_env() if remote else {}
+    stat_cols = list(phys)
+
+    def _one(rel: str) -> dict:
+        import pyarrow.parquet as pq
+
+        from delta_sorter_spark.sources.delta_table import _stats_from_arrow
+        from delta_sorter_spark.sources.fs import pyarrow_open_input
+
+        src = (
+            pyarrow_open_input(table_path.rstrip("/") + "/" + rel)
+            if remote
+            else _os.path.join(table_path, rel)
+        )
+        pf = pq.ParquetFile(src)
+        num = pf.metadata.num_rows
+        present = [c for c in stat_cols if c in pf.schema_arrow.names]
+        if not present or num == 0:
+            return {
+                "numRecords": num,
+                "minValues": {},
+                "maxValues": {},
+                "nullCount": {},
+            }
+        return _stats_from_arrow(pf.read(columns=present), stat_cols, num, dirs)
+
+    rels = [a.path for a in todo]
+    if len(rels) < 64:
+        stats_by_path = {rel: _one(rel) for rel in rels}
+    else:
+        # one Spark job over the file list; only O(files) stat rows return
+        def compute(batches: Iterator) -> Iterator:
+            import pandas as pd
+
+            from delta_sorter_spark.sources.fs import apply_aws_env
+
+            apply_aws_env(aws_env)
+            for b in batches:
+                yield pd.DataFrame(
+                    {
+                        "path": b["path"],
+                        "stats": [_json.dumps(_one(p)) for p in b["path"]],
+                    }
+                )
+
+        files_df = table.spark.createDataFrame([(p,) for p in rels], "path string")
+        rows = (
+            files_df.repartition(min(len(rels), 1024))
+            .mapInPandas(compute, "path string, stats string")
+            .collect()
+        )
+        stats_by_path = {r["path"]: _json.loads(r["stats"]) for r in rows}
+
+    def _merged(existing: dict | None, fresh: dict) -> dict:
+        out = dict(existing or {})
+        for k in ("minValues", "maxValues", "nullCount"):
+            sub = dict(out.get(k) or {})
+            sub.update(fresh.get(k) or {})
+            out[k] = sub
+        out.setdefault("numRecords", fresh.get("numRecords", 0))
+        ks_new = fresh.get("keyStats")
+        if ks_new:
+            ks_old = out.get("keyStats")
+            if isinstance(ks_old, dict) and ks_old.get("cols") == ks_new["cols"]:
+                ks = dict(ks_old)
+                ks.update({k: v for k, v in ks_new.items() if k != "cols"})
+                out["keyStats"] = ks
+            else:
+                # one keyStats per cols list: a different-ordering
+                # attestation is superseded, not merged
+                out["keyStats"] = ks_new
+        return out
+
+    skipped = 0
+
+    def actions(st):
+        nonlocal skipped
+        # re-resolve inside the retry loop: attest the CURRENT Add for the
+        # path (a concurrent DV attach re-Adds the same bytes — stats of
+        # the physical file still hold); skip vanished/rewritten paths
+        cur = {a.path: a for a in st.adds}
+        acts = []
+        skipped = 0
+        for a in todo:
+            live = cur.get(a.path)
+            if live is None:
+                skipped += 1
+                continue
+            acts.append(
+                _replace(
+                    live,
+                    stats=_merged(live.stats, stats_by_path[a.path]),
+                    data_change=False,
+                ).to_json()
+            )
+        return acts
+
+    version = table.log.commit_with_retry(
+        actions,
+        operation="ATTEST",
+        operation_params={"sortColumns": ",".join(sort_columns)},
+    )
+    return {
+        "attested": len(todo) - skipped,
+        "already": already,
+        "skipped_concurrent": skipped,
+        "version": version,
+    }
+
+
 def partition_is_sorted(
     table: DeltaTable,
     adds: Sequence[AddAction],

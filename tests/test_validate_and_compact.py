@@ -611,3 +611,77 @@ def test_cli_bin_pack(spark, tmp_path, capsys):
     # idempotent: second run plans nothing
     rc = cli_main(["--table", path, "--bin-pack", "--log-level", "warn"])
     assert rc == 0 and "planned=0" in capsys.readouterr().out
+
+
+def test_attest_backfill_makes_validation_metadata_only(spark, tmp_path):
+    """attest_sort_stats: one-time scan of unattested files + one
+    dataChange=false commit; afterwards validation of the same ordering
+    runs ZERO Spark jobs and reports identical results."""
+    from pyspark.sql import functions as F
+
+    from delta_sorter_spark.operators.validate import attest_sort_stats
+
+    path = str(tmp_path / "att")
+    sorted_half = spark.range(50).select(F.col("id").alias("k"))
+    unsorted_half = spark.range(50, 100).select(
+        (F.hash("id") % 1000).alias("k")
+    )
+    tbl = DeltaTable.create(
+        spark, path, sorted_half.coalesce(1)
+    )  # no stat_columns -> files carry NO keyStats
+    tbl.append(unsorted_half.coalesce(1))
+    for a in tbl.state().adds:
+        assert "keyStats" not in (a.stats or {})
+
+    before = validate(path, ["k"], spark=spark)
+    v0 = tbl.log.latest_version()
+
+    r = attest_sort_stats(tbl, ["k"])
+    assert r["attested"] == 2 and r["already"] == 0
+    assert tbl.log.latest_version() == v0 + 1  # one commit
+
+    # all attested now, both null placements
+    for a in tbl.state().adds:
+        ks = (a.stats or {}).get("keyStats")
+        assert ks and ks["cols"] == ["k"]
+        assert "nullsFirst" in ks and "nullsLast" in ks
+        assert a.data_change is False
+
+    sc = spark.sparkContext
+    sc.setJobGroup("att-val", "metadata-only validate")
+    try:
+        after = validate(path, ["k"], spark=spark)
+    finally:
+        sc.setJobGroup(None, None)
+    assert len(sc.statusTracker().getJobIdsForGroup("att-val")) == 0
+    assert after["boundary_violations"] == before["boundary_violations"]
+    assert after["checked_files"] == before["checked_files"]
+
+    # idempotent
+    r2 = attest_sort_stats(tbl, ["k"])
+    assert r2["attested"] == 0 and r2["already"] == 2
+
+    # and nulls-last validation is covered by the same backfill
+    sc.setJobGroup("att-val2", "nulls-last metadata validate")
+    try:
+        validate(path, ["k"], nulls="last", spark=spark)
+    finally:
+        sc.setJobGroup(None, None)
+    assert len(sc.statusTracker().getJobIdsForGroup("att-val2")) == 0
+
+
+def test_cli_attest(spark, tmp_path, capsys):
+    from pyspark.sql import functions as F
+
+    from delta_sorter_spark.cli import main as cli_main
+
+    path = str(tmp_path / "cliatt")
+    df = spark.range(40).select((F.hash("id") % 99).alias("k"))
+    DeltaTable.create(spark, path, df.coalesce(2))
+    rc = cli_main(["--table", path, "--sort-columns", "k", "--attest",
+                   "--log-level", "warn"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "attested=" in out and "version=" in out
+    rc = cli_main(["--table", path, "--sort-columns", "k", "--attest",
+                   "--log-level", "warn"])
+    assert "attested=0" in capsys.readouterr().out
