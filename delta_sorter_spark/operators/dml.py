@@ -1378,7 +1378,13 @@ def table_changes(
             "_commit_version", F.lit(version).cast("long")
         )
 
+    from delta_sorter_spark.sources.delta_log import roll_adds
+
     out: DataFrame | None = None
+    # one prior-state replay for the range, rolled forward per version
+    # (not a fresh O(checkpoint) replay per version — the CDF planner
+    # bottleneck at 10^6 files)
+    prev = {a.path: a for a in table.state(version=from_version).adds}
     for v in range(from_version + 1, to_version + 1):
         adds: dict[str, dict] = {}
         removes: list[str] = []
@@ -1388,8 +1394,8 @@ def table_changes(
             elif "remove" in action and action["remove"].get("dataChange", True):
                 removes.append(action["remove"]["path"])
         if not adds and not removes:
+            roll_adds(log, prev, v)
             continue
-        prev = {a.path: a for a in table.state(version=v - 1).adds}
         frames: list[DataFrame] = []
         # A same-path remove+add where the add carries a deletion vector is
         # a merge-on-read DELETE: feed only the NEWLY deleted positions.
@@ -1428,6 +1434,7 @@ def table_changes(
             frames.append(read_paths(plain_adds, "insert", v))
         for df in frames:
             out = df if out is None else out.unionByName(df)
+        roll_adds(log, prev, v)
     if out is None:
         from pyspark.sql import types as T
 

@@ -468,6 +468,18 @@ def _as_dict(maybe_map) -> dict:
     return dict(maybe_map)
 
 
+def roll_adds(log: "DeltaLog", adds: dict[str, "AddAction"], version: int) -> None:
+    """Advance a ``{path: AddAction}`` live-file map through commit
+    ``version`` in place — the O(commit actions) alternative to a fresh
+    ``read_state(at_version=...)`` replay for consumers that walk versions
+    IN ORDER (change feeds, streaming planners).  Without it a K-version
+    batch pays K full replays, each O(checkpoint + commits since) — at
+    10^6 files that is the planner bottleneck of a CDF tail pass."""
+    metadata = None
+    for action in log.commit_actions(version):
+        metadata, adds = DeltaLog._apply(action, metadata, adds)
+
+
 def _dv_to_checkpoint(src: dict | None) -> dict | None:
     """Engine-internal deletion-vector descriptor -> the protocol struct a
     checkpoint row carries (shared by the add path and remove tombstones,

@@ -357,7 +357,9 @@ class _DeltaSourceCore:
             ),
         )
 
-    def cdf_partitions_for_version(self, v: int) -> list[DeltaFilePartition]:
+    def cdf_partitions_for_version(
+        self, v: int, prev: dict | None = None
+    ) -> list[DeltaFilePartition]:
         """Change-feed partitions of commit ``v`` — the streaming,
         Spark-free twin of ``operators/dml.table_changes``'s per-version
         loop (same file-level granularity, same multiset-equivalence
@@ -371,8 +373,10 @@ class _DeltaSourceCore:
         - other data-changing adds: feed the whole file as 'insert';
         - compaction (dataChange=false) emits nothing.
 
-        O(changed files of v): one prior-state replay bounds the DV and
-        partition-value lookups."""
+        O(changed files of v): the prior-state lookup is ``prev`` (a
+        ``{path: AddAction}`` map at version v-1, rolled forward by the
+        caller via ``delta_log.roll_adds`` when walking a version range)
+        or, for a single-version call, one replay."""
         adds: dict[str, dict] = {}
         removes: list[str] = []
         for action in self.log.commit_actions(v):
@@ -382,7 +386,8 @@ class _DeltaSourceCore:
                 removes.append(action["remove"]["path"])
         if not adds and not removes:
             return []
-        prev = {a.path: a for a in self.log.read_state(at_version=v - 1).adds}
+        if prev is None:
+            prev = {a.path: a for a in self.log.read_state(at_version=v - 1).adds}
         parts: list[DeltaFilePartition] = []
         dv_delta = {
             p for p, a in adds.items() if a.get("deletionVector") and p in removes
@@ -564,9 +569,16 @@ class DeltaStreamReader(DataSourceStreamReader):
         if sv < 0:  # initial snapshot (removes + DVs honored by replay)
             return core.snapshot_partitions(at_version=ev)
         if core.read_change_feed:
+            from delta_sorter_spark.sources.delta_log import roll_adds
+
+            # ONE prior-state replay for the whole batch, rolled forward
+            # version by version — not a fresh replay per version (K full
+            # replays of an O(#files) checkpoint for a K-version batch).
             parts = []
+            prev = {a.path: a for a in log.read_state(at_version=sv).adds}
             for v in range(sv + 1, ev + 1):
-                parts.extend(core.cdf_partitions_for_version(v))
+                parts.extend(core.cdf_partitions_for_version(v, prev=prev))
+                roll_adds(log, prev, v)
             return parts
         parts = []
         for v in range(sv + 1, ev + 1):
