@@ -582,7 +582,17 @@ def attest_sort_stats(
         return _stats_from_arrow(pf.read(columns=present), stat_cols, num, dirs)
 
     rels = [a.path for a in todo]
-    if len(rels) < 64:
+    from delta_sorter_spark.sources.delta_log import schema_contains_variant
+
+    if schema_contains_variant(meta.schema):
+        # this pyarrow build cannot parse footers carrying the VARIANT
+        # logical type — same Spark-reader fallback as stage_write
+        abs_paths = [_os.path.join(table_path, r) for r in rels]
+        by_abs = table._spark_file_stats(abs_paths, stat_cols, dirs)
+        stats_by_path = {
+            r: by_abs[p] for r, p in zip(rels, abs_paths)
+        }
+    elif len(rels) < 64:
         stats_by_path = {rel: _one(rel) for rel in rels}
     else:
         # one Spark job over the file list; only O(files) stat rows return

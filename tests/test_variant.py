@@ -149,3 +149,31 @@ def test_timestamp_ntz_declares_feature(spark, tmp_path):
     assert plain.state().protocol == {"minReaderVersion": 1, "minWriterVersion": 2}
     plain.add_column("seen_at", "timestamp_ntz")
     assert "timestampNtz" in plain.state().protocol["readerFeatures"]
+
+
+def test_attest_variant_table_uses_spark_fallback(spark, tmp_path):
+    """attest_sort_stats on a VARIANT-carrying table routes stats through
+    the Spark reader (pyarrow cannot parse the footers) and still makes
+    validation metadata-only."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from delta_sorter_spark.api import validate
+    from delta_sorter_spark.operators.validate import attest_sort_stats
+    from delta_sorter_spark.sources.delta_table import DeltaTable
+
+    path = str(tmp_path / "attv")
+    df = spark.range(30).selectExpr(
+        "id AS k", "parse_json(concat('{\"a\":', id, '}')) AS props"
+    )
+    tbl = DeltaTable.create(spark, path, df.coalesce(1))
+    assert not any((a.stats or {}).get("keyStats") for a in tbl.state().adds)
+    r = attest_sort_stats(tbl, ["k"])
+    assert r["attested"] == 1
+    sc = spark.sparkContext
+    sc.setJobGroup("att-variant", "metadata-only validate")
+    try:
+        rep = validate(path, ["k"], spark=spark)
+    finally:
+        sc.setJobGroup(None, None)
+    assert rep["boundary_violations"] == 0
+    assert len(sc.statusTracker().getJobIdsForGroup("att-variant")) == 0
