@@ -552,18 +552,70 @@ class DeltaBatchReader(DataSourceReader):
 class DeltaStreamReader(DataSourceStreamReader):
     def __init__(self, options, schema=None):
         self.core = _DeltaSourceCore(options, schema)
+        raw = options.get("maxFilesPerTrigger")
+        self.max_files = int(raw) if raw is not None else None
+        if self.max_files is not None and self.max_files < 1:
+            raise ValueError("maxFilesPerTrigger must be >= 1")
+        # last end version this reader handed out (admission-control
+        # anchor).  None until the first initialOffset/partitions call.
+        # On a restart with an in-flight WAL batch Spark replays it
+        # through partitions() before the next latestOffset, which
+        # re-anchors capping; a clean restart (no pending batch) has no
+        # start signal in this API, so its FIRST catch-up batch is
+        # uncapped and capping resumes from there.
+        self._pos: int | None = None
+        self._vfiles: dict[int, int] = {}  # version -> data-add file count
 
     def initialOffset(self) -> dict:
         # -1 marks "snapshot not yet emitted": the first batch replays the
         # active-file set at whatever version latestOffset returns.
+        self._pos = -1
         return {"version": -1}
 
+    def _files_of(self, v: int) -> int:
+        n = self._vfiles.get(v)
+        if n is None:
+            n = sum(
+                1
+                for a in self.core.log.commit_actions(v)
+                if "add" in a and a["add"].get("dataChange", True)
+            )
+            self._vfiles[v] = n
+        return n
+
     def latestOffset(self) -> dict:
-        return {"version": self.core.log.latest_version()}
+        """Tip of the log — or, with ``maxFilesPerTrigger``, the furthest
+        version whose cumulative data-add file count since the last
+        handed-out offset stays within the cap (always admitting at least
+        one version, so a single oversized commit still flows).  Offsets
+        stay version-granular: admission is whole commits, the unit the
+        exactly-once sink contract replays.  Backfill catch-up therefore
+        proceeds in bounded micro-batches instead of one table-sized one.
+
+        Caveat (documented): ``availableNow`` captures ONE latestOffset at
+        query start, so a capped reader drains at most one cap's worth per
+        run — use the cap with processing-time triggers (its purpose), or
+        leave it unset for full availableNow drains."""
+        tip = self.core.log.latest_version()
+        if self.max_files is None or self._pos is None or self._pos >= tip:
+            return {"version": tip}
+        end, admitted = self._pos, 0
+        for v in range(self._pos + 1, tip + 1):
+            admitted += self._files_of(v)
+            if admitted > self.max_files and end > self._pos:
+                break
+            end = v
+            if admitted >= self.max_files:
+                break
+        return {"version": end}
 
     def partitions(self, start: dict, end: dict):
         core, log = self.core, self.core.log
         sv, ev = int(start["version"]), int(end["version"])
+        # admission anchor: on restart Spark replays the WAL batch through
+        # here before the next latestOffset, so capping resumes from the
+        # replayed end, not from scratch
+        self._pos = ev if self._pos is None else max(self._pos, ev)
         if ev <= sv:
             return []
         if sv < 0:  # initial snapshot (removes + DVs honored by replay)
@@ -630,7 +682,10 @@ class DeltaStreamReader(DataSourceStreamReader):
         return _read_file(partition)
 
     def commit(self, end: dict) -> None:
-        pass
+        v = int(end["version"])
+        self._pos = v if self._pos is None else max(self._pos, v)
+        # committed versions' counts are never consulted again
+        self._vfiles = {k: n for k, n in self._vfiles.items() if k > v}
 
 
 class DeltaStreamDataSource(DataSource):
@@ -641,6 +696,11 @@ class DeltaStreamDataSource(DataSource):
     travel), ``skipChangeCommits`` (streaming), ``readChangeFeed``
     (streaming change feed: _change_type/_commit_version-tagged rows,
     exclusive with skipChangeCommits/where/withFilePath/withPositions),
+    ``maxFilesPerTrigger`` (streaming admission control: bound each
+    micro-batch to ~N data files' worth of commits, version-granular,
+    at least one commit per trigger — backfill catch-up proceeds in
+    bounded batches; see DeltaStreamReader.latestOffset for the
+    availableNow caveat),
     ``awsEnv`` (JSON of the
     driver's AWS settings — ``fs.capture_aws_env()`` — required for remote
     URIs whenever those settings changed after the SparkSession started,

@@ -600,3 +600,65 @@ def test_extra_columns_passthrough_and_clash(registered, tmp_path):
         spark.read.format("delta_sorter").option("path", path).option(
             "extraColumns", clash
         ).load().collect()
+
+
+def test_max_files_per_trigger_bounds_batches(registered, tmp_path):
+    """Admission control: with maxFilesPerTrigger the reader hands out
+    version-granular offsets whose cumulative data-add file count stays
+    within the cap (at least one commit per trigger), and the union of
+    batches covers the whole log.  Driven through the reader's own
+    trigger protocol (initialOffset -> latestOffset -> partitions ->
+    commit), the same sequence Spark runs."""
+    from delta_sorter_spark.streaming.delta_source import DeltaStreamReader
+
+    spark = registered
+    path = str(tmp_path / "adm")
+    base = spark.range(10).select(F.col("id").alias("k"))
+    tbl = DeltaTable.create(spark, path, base.coalesce(1))
+    for i in range(6):  # 6 append commits x 2 files each
+        tbl.append(
+            spark.range(10 * (i + 1), 10 * (i + 2))
+            .select(F.col("id").alias("k"))
+            .repartition(2)
+        )
+
+    r = DeltaStreamReader({"path": path, "maxFilesPerTrigger": "3"})
+    start = r.initialOffset()
+    assert start == {"version": -1}
+    # initial snapshot batch: uncapped semantics are "snapshot at the
+    # admitted version"; with files-per-commit counting the first batch
+    # admits versions 0..N within the cap
+    offsets = [start]
+    seen_parts = 0
+    for _ in range(20):
+        end = r.latestOffset()
+        if end == offsets[-1]:
+            break
+        parts = r.partitions(offsets[-1], end)
+        seen_parts += len(parts)
+        r.commit(end)
+        offsets.append(end)
+    assert offsets[-1]["version"] == tbl.log.latest_version()
+    # every non-snapshot batch admitted at most 3 files' worth of commits
+    # (commit granularity: a 2-file append can straddle, so <= 4 here),
+    # and there were several batches, not one table-sized batch
+    assert len(offsets) >= 4
+    for a, b in zip(offsets[1:], offsets[2:]):
+        sv, ev = a["version"], b["version"]
+        files = 0
+        for v in range(sv + 1, ev + 1):
+            files += sum(
+                1
+                for act in tbl.log.commit_actions(v)
+                if "add" in act and act["add"].get("dataChange", True)
+            )
+        assert files <= 4  # cap 3 + one straddling 2-file commit
+    # uncapped reader: one batch to the tip
+    r2 = DeltaStreamReader({"path": path})
+    s2 = r2.initialOffset()
+    assert r2.latestOffset() == {"version": tbl.log.latest_version()}
+
+    # an oversized single commit still flows (at least one version)
+    tbl.append(spark.range(100, 140).select(F.col("id").alias("k")).repartition(8))
+    end = r.latestOffset()
+    assert end["version"] == tbl.log.latest_version()
