@@ -257,6 +257,21 @@ def main() -> int:
         lambda: compact(t_many, sort_cols, spark=spark),
     )
 
+    # -- attestation backfill: the one-time scan that makes later
+    #    validations of a FOREIGN-written (unattested) table metadata-only
+    #    (operators/validate.attest_sort_stats; CLI --attest).  The pair
+    #    prices the contract: attest ~= one column-pruned scan + commit,
+    #    the follow-up validate is O(#files) driver work, no Spark jobs.
+    from delta_sorter_spark.operators.validate import attest_sort_stats
+
+    t_att = os.path.join(workdir, "li_att")
+    DeltaTable.create(spark, t_att, li.repartition(4))  # no keyStats
+    timed(
+        "attest_backfill",
+        lambda: attest_sort_stats(DeltaTable(spark, t_att), sort_cols),
+    )
+    timed("validate_attested", lambda: validate(t_att, sort_cols, spark=spark))
+
     # -- clustered table (liquid clustering): first OPTIMIZE pays the full
     #    Hilbert re-layout once; the incremental OPTIMIZE after a ~5% append
     #    touches ONLY the new files — the O(new data) maintenance contract
