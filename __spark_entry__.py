@@ -9525,6 +9525,10 @@ _RECHECK_THIS_ROUND = [
     # round 9: compact grew the single-job many-partition mode (threshold
     # dispatch) — recheck the partition-sort contract query.
     "q2_partition_sort",
+    # round 9: CDF planners roll prior state forward (delta_log.roll_adds)
+    # instead of replaying per version — recheck the change-feed pair.
+    "q5_change_feed",
+    "s5_change_feed_stream",
 ]
 
 
