@@ -556,6 +556,10 @@ class DeltaStreamReader(DataSourceStreamReader):
         self.max_files = int(raw) if raw is not None else None
         if self.max_files is not None and self.max_files < 1:
             raise ValueError("maxFilesPerTrigger must be >= 1")
+        raw = options.get("maxBytesPerTrigger")
+        self.max_bytes = int(raw) if raw is not None else None
+        if self.max_bytes is not None and self.max_bytes < 1:
+            raise ValueError("maxBytesPerTrigger must be >= 1")
         # last end version this reader handed out (admission-control
         # anchor).  None until the first initialOffset/partitions call.
         # On a restart with an in-flight WAL batch Spark replays it
@@ -564,7 +568,8 @@ class DeltaStreamReader(DataSourceStreamReader):
         # start signal in this API, so its FIRST catch-up batch is
         # uncapped and capping resumes from there.
         self._pos: int | None = None
-        self._vfiles: dict[int, int] = {}  # version -> data-add file count
+        # version -> (data-add file count, data-add byte size)
+        self._vfiles: dict[int, tuple[int, int]] = {}
 
     def initialOffset(self) -> dict:
         # -1 marks "snapshot not yet emitted": the first batch replays the
@@ -572,40 +577,51 @@ class DeltaStreamReader(DataSourceStreamReader):
         self._pos = -1
         return {"version": -1}
 
-    def _files_of(self, v: int) -> int:
-        n = self._vfiles.get(v)
-        if n is None:
-            n = sum(
-                1
-                for a in self.core.log.commit_actions(v)
-                if "add" in a and a["add"].get("dataChange", True)
-            )
-            self._vfiles[v] = n
-        return n
+    def _weight_of(self, v: int) -> tuple[int, int]:
+        w = self._vfiles.get(v)
+        if w is None:
+            n = b = 0
+            for a in self.core.log.commit_actions(v):
+                ad = a.get("add")
+                if ad and ad.get("dataChange", True):
+                    n += 1
+                    b += int(ad.get("size", 0) or 0)
+            w = self._vfiles[v] = (n, b)
+        return w
 
     def latestOffset(self) -> dict:
-        """Tip of the log — or, with ``maxFilesPerTrigger``, the furthest
-        version whose cumulative data-add file count since the last
-        handed-out offset stays within the cap (always admitting at least
-        one version, so a single oversized commit still flows).  Offsets
-        stay version-granular: admission is whole commits, the unit the
+        """Tip of the log — or, with ``maxFilesPerTrigger`` /
+        ``maxBytesPerTrigger``, the furthest version whose cumulative
+        data-add file count / byte size since the last handed-out offset
+        stays within EVERY set cap (always admitting at least one version,
+        so a single oversized commit still flows).  Offsets stay
+        version-granular: admission is whole commits, the unit the
         exactly-once sink contract replays.  Backfill catch-up therefore
         proceeds in bounded micro-batches instead of one table-sized one.
 
         Caveat (documented): ``availableNow`` captures ONE latestOffset at
         query start, so a capped reader drains at most one cap's worth per
-        run — use the cap with processing-time triggers (its purpose), or
-        leave it unset for full availableNow drains."""
+        run — use the caps with processing-time triggers (their purpose),
+        or leave them unset for full availableNow drains."""
         tip = self.core.log.latest_version()
-        if self.max_files is None or self._pos is None or self._pos >= tip:
+        uncapped = self.max_files is None and self.max_bytes is None
+        if uncapped or self._pos is None or self._pos >= tip:
             return {"version": tip}
-        end, admitted = self._pos, 0
+        end, files, size = self._pos, 0, 0
         for v in range(self._pos + 1, tip + 1):
-            admitted += self._files_of(v)
-            if admitted > self.max_files and end > self._pos:
+            n, b = self._weight_of(v)
+            files += n
+            size += b
+            over = (
+                self.max_files is not None and files > self.max_files
+            ) or (self.max_bytes is not None and size > self.max_bytes)
+            if over and end > self._pos:
                 break
             end = v
-            if admitted >= self.max_files:
+            full = (
+                self.max_files is not None and files >= self.max_files
+            ) or (self.max_bytes is not None and size >= self.max_bytes)
+            if full:
                 break
         return {"version": end}
 
@@ -696,11 +712,12 @@ class DeltaStreamDataSource(DataSource):
     travel), ``skipChangeCommits`` (streaming), ``readChangeFeed``
     (streaming change feed: _change_type/_commit_version-tagged rows,
     exclusive with skipChangeCommits/where/withFilePath/withPositions),
-    ``maxFilesPerTrigger`` (streaming admission control: bound each
-    micro-batch to ~N data files' worth of commits, version-granular,
-    at least one commit per trigger — backfill catch-up proceeds in
-    bounded batches; see DeltaStreamReader.latestOffset for the
-    availableNow caveat),
+    ``maxFilesPerTrigger`` / ``maxBytesPerTrigger`` (streaming admission
+    control: bound each micro-batch to ~N data files' / bytes' worth of
+    commits — whichever set cap fills first — version-granular, at least
+    one commit per trigger, so backfill catch-up proceeds in bounded
+    batches; see DeltaStreamReader.latestOffset for the availableNow
+    caveat),
     ``awsEnv`` (JSON of the
     driver's AWS settings — ``fs.capture_aws_env()`` — required for remote
     URIs whenever those settings changed after the SparkSession started,

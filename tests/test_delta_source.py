@@ -662,3 +662,51 @@ def test_max_files_per_trigger_bounds_batches(registered, tmp_path):
     tbl.append(spark.range(100, 140).select(F.col("id").alias("k")).repartition(8))
     end = r.latestOffset()
     assert end["version"] == tbl.log.latest_version()
+
+
+def test_max_bytes_per_trigger_bounds_batches(registered, tmp_path):
+    """Byte-based admission control, same protocol drive as the files cap;
+    whichever set cap fills first wins when combined."""
+    from delta_sorter_spark.streaming.delta_source import DeltaStreamReader
+
+    spark = registered
+    path = str(tmp_path / "admb")
+    tbl = DeltaTable.create(
+        spark, path, spark.range(10).select(F.col("id").alias("k")).coalesce(1)
+    )
+    sizes = {}
+    for i in range(5):
+        tbl.append(
+            spark.range(100 * (i + 1), 100 * (i + 2))
+            .select(F.col("id").alias("k"))
+            .coalesce(1)
+        )
+    per_commit = [
+        sum(
+            int(a["add"].get("size", 0))
+            for a in tbl.log.commit_actions(v)
+            if "add" in a
+        )
+        for v in range(1, 6)
+    ]
+    cap = per_commit[0] + per_commit[1]  # ~2 commits per trigger
+
+    r = DeltaStreamReader({"path": path, "maxBytesPerTrigger": str(cap)})
+    offsets = [r.initialOffset()]
+    for _ in range(10):
+        end = r.latestOffset()
+        if end == offsets[-1]:
+            break
+        r.partitions(offsets[-1], end)
+        r.commit(end)
+        offsets.append(end)
+    assert offsets[-1]["version"] == tbl.log.latest_version()
+    # the post-snapshot catch-up took multiple bounded steps
+    steps = [b["version"] - a["version"] for a, b in zip(offsets[1:], offsets[2:])]
+    assert steps and all(s <= 2 for s in steps)
+
+    # bad option value rejected
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="maxBytesPerTrigger"):
+        DeltaStreamReader({"path": path, "maxBytesPerTrigger": "0"})
