@@ -7861,6 +7861,52 @@ FROM e
 """
 
 
+# ---------------------------------------------------------------------------
+# E84: bigram conditional-surprisal LM scoring — the quantized KenLM-style
+# perplexity filter (CCNet quality gate).  Per bigram occurrence the score is
+# bits(C(w1-as-prefix)) - bits(C(w1 w2)) with bits(n) = floor(log2 n) as
+# integer bin-length — no float logs, bit-identical across engines; the only
+# double is the final avg division (round 6, the e34 convention).
+# ---------------------------------------------------------------------------
+
+
+def q_e84_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_sorter_spark.operators.textstats import bigram_surprisal
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_surprisal(docs, "doc_id", "text")
+
+
+_E84_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\s+'),
+                     w -> w <> '') AS ws
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(ws)),
+                                 i -> {'w1': ws[i], 'w2': ws[i+1]})) AS b
+    FROM base)
+),
+pref AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+bgc AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+d AS (
+  SELECT doc_id, count(*) AS n_bigrams,
+         CAST(sum(CAST(length(bin(c1)) - length(bin(c2)) AS BIGINT))
+              AS BIGINT) AS sum_cond_bits
+  FROM bg JOIN bgc USING (w1, w2) JOIN pref USING (w1)
+  GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams, sum_cond_bits,
+       round(CAST(sum_cond_bits AS DOUBLE) / CAST(n_bigrams AS DOUBLE), 6)
+         AS avg_cond_bits
+FROM d
+"""
+
+
 P6_MIRROR_SHIFT = 5_000_000
 
 
@@ -9744,6 +9790,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e77_gopher_rules": q_e77_gopher_rules,
         "e78_c4_clean": q_e78_c4_clean,
         "e83_html_extract": q_e83_html_extract,
+        "e84_bigram_surprisal": q_e84_bigram_surprisal,
         "p6_crawl_pipeline": q_p6_crawl_pipeline,
         "s6_stream_dedup": q_s6_stream_dedup,
         "e79_wordpiece_train": q_e79_wordpiece_train,
@@ -9864,6 +9911,7 @@ def oracle_sql() -> dict[str, str]:
         "e77_gopher_rules": _E77_SQL,
         "e78_c4_clean": _E78_SQL,
         "e83_html_extract": _make_e83_sql(),
+        "e84_bigram_surprisal": _E84_SQL,
         "p6_crawl_pipeline": _make_p6_sql(),
         "s6_stream_dedup": _S6_SQL,
         "e79_wordpiece_train": _E79_SQL,

@@ -307,6 +307,70 @@ def unigram_surprisal(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def bigram_surprisal(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Bigram conditional-surprisal scoring — the quantized form of a
+    KenLM-style perplexity filter (the CCNet quality gate), trained on
+    this very corpus.  Per bigram occurrence (w1, w2) the contribution is
+
+        bits(C(w1·)) - bits(C(w1 w2))
+
+    where ``C(w1·)`` counts w1 as a *bigram prefix* (the true Markov
+    denominator — doc-final tokens don't dilute it), ``C(w1 w2)`` counts
+    the bigram, and ``bits(n) = floor(log2(n))`` is computed exactly as
+    ``length(bin(n)) - 1`` so the difference collapses to
+    ``length(bin(c1)) - length(bin(c2))`` — an integer quantization of
+    ``-log2 P(w2|w1)``, bit-identical in any engine (no float logs).
+
+    Output: (id, n_bigrams, sum_cond_bits, avg_cond_bits) with ONE double
+    division at the end.  High avg = improbable token transitions
+    (gibberish, OCR noise, shuffled text); low = fluent/boilerplate.
+    Docs with fewer than two tokens drop (no bigram evidence) — callers
+    wanting them back left-join on the id.
+
+    Scale posture: bigrams materialize once via an array-slice transform
+    (no self-join, no positional window).  The prefix-count table is
+    vocabulary-scale (≪ corpus) and broadcasts; the bigram-count table is
+    bigram-TYPE-scale — too large to broadcast at 100 TB — so that join
+    stays a shuffle join on (w1, w2), co-partitioned with the aggregation
+    that produced it (exchange reuse) and AQE-skew-splittable on hot
+    probe keys ("of the").  Deliberately NOT a window over
+    partitionBy(w1): that would pin every "the …" bigram to one task.
+    """
+    ws = F.expr(f"filter(split(trim({text_col}), '\\\\s+'), w -> w <> '')")
+    base = df.select(F.col(id_col), ws.alias("__ws__"))
+    bg = base.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                "transform(slice(__ws__, 1, greatest(size(__ws__) - 1, 0)),"
+                " (w, i) -> struct(w AS w1, element_at(__ws__, i + 2) AS w2))"
+            )
+        ).alias("__bg__"),
+    ).select(F.col(id_col), F.col("__bg__.w1").alias("w1"), F.col("__bg__.w2").alias("w2"))
+    pref = bg.groupBy("w1").agg(F.count("*").alias("__c1__"))
+    bgc = bg.groupBy("w1", "w2").agg(F.count("*").alias("__c2__"))
+    bits = (F.length(F.bin(F.col("__c1__"))) - F.length(F.bin(F.col("__c2__")))).cast(
+        "bigint"
+    )
+    return (
+        bg.join(bgc, ["w1", "w2"])
+        .join(F.broadcast(pref), "w1")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum(bits).alias("sum_cond_bits"),
+        )
+        .withColumn(
+            "avg_cond_bits",
+            F.round(
+                F.col("sum_cond_bits").cast("double")
+                / F.col("n_bigrams").cast("double"),
+                6,
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # PII / identifier scrubbing (training-data hygiene)
 # ---------------------------------------------------------------------------

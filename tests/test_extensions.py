@@ -565,6 +565,30 @@ def test_unigram_surprisal_hand_computed(spark):
     }
 
 
+def test_bigram_surprisal_hand_computed(spark):
+    """bits(C(w1 as prefix)) - bits(C(w1 w2)) per bigram occurrence, on a
+    corpus with known counts; single-token and empty docs drop."""
+    from delta_sorter_spark.operators.textstats import bigram_surprisal
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "a"), (4, "  ")],
+        "doc_id long, text string",
+    )
+    # bigram occurrences: doc1 = (a,b) (b,a) (a,b); doc2 = (a,b) (b,c)
+    # prefix counts: C(a·)=3, C(b·)=2; bigram counts: C(a,b)=3, C(b,a)=1,
+    # C(b,c)=1.  bits = floor(log2): bits(3)=1, bits(2)=1, bits(1)=0.
+    # doc1: (a,b)->1-1=0, (b,a)->1-0=1, (a,b)->0  => sum 1 over 3
+    # doc2: (a,b)->0, (b,c)->1-0=1                => sum 1 over 2
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["sum_cond_bits"], r["avg_cond_bits"])
+        for r in bigram_surprisal(df, "doc_id", "text").collect()
+    }
+    assert got == {
+        1: (3, 1, round(1 / 3, 6)),
+        2: (2, 1, 0.5),
+    }
+
+
 def test_redact_sequential_masking(spark):
     from delta_sorter_spark.operators.textstats import redact
 
