@@ -8397,6 +8397,89 @@ _Q18_SQL = _q18_sql()
 
 
 # ---------------------------------------------------------------------------
+# S8: streaming ingest with continuous ANN-index freshness — the contract a
+# live retrieval corpus needs: the registered index never lags the table by
+# more than one micro-batch.  Seed half the embeddings, build the PQ index,
+# then stream the other half through the REAL micro-batch engine
+# (maxFilesPerTrigger=1) with foreachBatch doing exactly-once append + an
+# O(new) generational refresh_ann_index IN THE SAME BATCH; finish with the
+# q18 DV-delete + refresh and serve the same queries.  Final state is
+# byte-identical to q18's (codebooks frozen at build over the even half,
+# codes over live rows), so the oracle is _Q18_SQL verbatim — what the hash
+# pins is that per-batch incremental maintenance converges to the same
+# index a batch rebuild-from-scratch scenario reaches.  The generational
+# property is asserted structurally: one codes part per refresh, none
+# rewritten.
+# ---------------------------------------------------------------------------
+
+
+def q_s8_stream_ann_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from delta_sorter_spark.operators.ann_index import (
+        ann_specs,
+        ann_topk,
+        build_ann_index,
+        refresh_ann_index,
+    )
+    from delta_sorter_spark.operators.dml import delete_where
+    from delta_sorter_spark.sources.delta_table import DeltaTable
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    scratch = tempfile.mkdtemp(prefix="s8_annf_")
+    try:
+        src = os.path.join(scratch, "src")
+        emb.where(F.col("vec_id") % 2 == 1).repartition(3).write.parquet(src)
+        tbl = DeltaTable.create(
+            spark, os.path.join(scratch, "t"),
+            emb.where(F.col("vec_id") % 2 == 0).coalesce(2),
+        )
+        build_ann_index(
+            tbl, "embedding", "vec_id", EMB_DIM,
+            m=PQ_M, n_codes=PQ_CODES, n_iters=2,
+        )
+
+        def sink(batch_df, batch_id):
+            tbl.append(
+                batch_df.coalesce(1),
+                txn_app_id="s8-ingest",
+                txn_version=batch_id,
+            )
+            refresh_ann_index(tbl, "embedding")
+
+        q = (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(scratch, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        # generational layout: build part + one part per micro-batch refresh
+        spec = ann_specs(tbl)["embedding"]
+        assert len(spec["codes_parts"]) >= 4, spec["codes_parts"]
+        delete_where(tbl, f"vec_id % {ANN_DELETE_MOD} = 3")
+        refresh_ann_index(tbl, "embedding")
+        queries = emb.where(F.col("vec_id") % QUERY_VEC_MOD == 0)
+        out = ann_topk(
+            tbl, queries, "vec_id", "embedding", "embedding", k=TOPK
+        ).select(
+            "query_id",
+            "id",
+            "rank",
+            F.round("approx_d", 6).alias("approx_d"),
+            F.round("cosine", 6).alias("cosine"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
 # M8: cross-modal retrieval (the CLIP-retrieval curation/eval shape) — text
 # query -> pluggable text-tower stub (multimodal.embed_texts, md5-chain
 # pseudo-embedding in the ASSET embedding space) -> registered ANN top-k
@@ -9791,6 +9874,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e78_c4_clean": q_e78_c4_clean,
         "e83_html_extract": q_e83_html_extract,
         "e84_bigram_surprisal": q_e84_bigram_surprisal,
+        "s8_stream_ann_freshness": q_s8_stream_ann_freshness,
         "p6_crawl_pipeline": q_p6_crawl_pipeline,
         "s6_stream_dedup": q_s6_stream_dedup,
         "e79_wordpiece_train": q_e79_wordpiece_train,
@@ -9912,6 +9996,7 @@ def oracle_sql() -> dict[str, str]:
         "e78_c4_clean": _E78_SQL,
         "e83_html_extract": _make_e83_sql(),
         "e84_bigram_surprisal": _E84_SQL,
+        "s8_stream_ann_freshness": _Q18_SQL,
         "p6_crawl_pipeline": _make_p6_sql(),
         "s6_stream_dedup": _S6_SQL,
         "e79_wordpiece_train": _E79_SQL,
