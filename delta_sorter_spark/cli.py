@@ -195,6 +195,16 @@ def build_parser() -> argparse.ArgumentParser:
         "exit; honors --single-job-threshold",
     )
     p.add_argument(
+        "--restore",
+        type=int,
+        default=None,
+        metavar="VERSION",
+        help="RESTORE TABLE TO VERSION AS OF: one metadata-only commit "
+        "makes the active file set equal VERSION's (errors if a needed "
+        "data file was vacuumed; history is preserved — a restore is "
+        "itself a commit), then exit",
+    )
+    p.add_argument(
         "--vacuum",
         action="store_true",
         help="Delete unreferenced data files (tombstoned or orphaned) and "
@@ -278,6 +288,7 @@ def main(argv: list[str] | None = None) -> int:
         or args.enable_in_commit_timestamps or args.add_constraint
         or args.drop_constraint or args.cluster_by or args.optimize_clustered
         or args.cluster_status or args.cleanup_log or args.bin_pack
+        or args.restore is not None
     )
     if not sort_columns and not (
         args.history or args.detail or index_verb or maintenance_verb
@@ -414,11 +425,21 @@ def _run(args, sort_columns, api) -> int:
         or args.enable_in_commit_timestamps or args.add_constraint
         or args.drop_constraint or args.cluster_by or args.optimize_clustered
         or args.cluster_status or args.cleanup_log or args.bin_pack
+        or args.restore is not None
     ):
         from delta_sorter_spark.session import get_spark
         from delta_sorter_spark.sources.delta_table import DeltaTable
 
         tbl = DeltaTable(get_spark(), args.table)
+        if args.restore is not None:
+            from delta_sorter_spark.operators.dml import restore
+
+            r = restore(tbl, args.restore)
+            print(
+                f"restore to_version={args.restore} "
+                f"added={r['added_files']} removed={r['removed_files']} "
+                f"version={r['version']}"
+            )
         if args.bin_pack:
             from delta_sorter_spark.operators.compact import bin_pack_compact
 

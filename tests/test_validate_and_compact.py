@@ -613,6 +613,24 @@ def test_cli_bin_pack(spark, tmp_path, capsys):
     assert rc == 0 and "planned=0" in capsys.readouterr().out
 
 
+def test_cli_restore(spark, tmp_path, capsys):
+    from delta_sorter_spark.cli import main as cli_main
+    from delta_sorter_spark.operators.dml import delete_where
+
+    path = str(tmp_path / "clirst")
+    tbl = make_f1(spark, path)
+    v0 = tbl.state().version
+    delete_where(tbl, "objectId = 'A'")
+    assert tbl.to_df().count() == 2
+    rc = cli_main(["--table", path, "--restore", str(v0), "--log-level", "warn"])
+    out = capsys.readouterr().out
+    assert rc == 0 and f"to_version={v0}" in out
+    assert tbl.to_df().count() == 4
+    # restoring to a version whose files were vacuumed is a usage error
+    rc = cli_main(["--table", path, "--restore", "999", "--log-level", "warn"])
+    assert rc == 2
+
+
 def test_attest_backfill_makes_validation_metadata_only(spark, tmp_path):
     """attest_sort_stats: one-time scan of unattested files + one
     dataChange=false commit; afterwards validation of the same ordering
