@@ -8397,6 +8397,111 @@ _Q18_SQL = _q18_sql()
 
 
 # ---------------------------------------------------------------------------
+# Q28: row-level change data feed (delta.enableChangeDataFeed -> protocol
+# cdc actions + _change_data/ files).  The scenario drives every CDC write
+# path — append (synthesized insert), copy-on-write UPDATE (pre/post
+# images), copy-on-write DELETE, merge-on-read DV DELETE — and returns the
+# whole feed.  Row-level CDC is FILE-LAYOUT-INDEPENDENT (unlike the
+# synthesized feed, which tags whole rewritten files), so the oracle can
+# replay the exact row set relationally: each version's change rows are a
+# pure function of the base table and the DML chain.
+# ---------------------------------------------------------------------------
+
+
+def q_q28_cdc_row_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from delta_sorter_spark.operators.dml import (
+        delete_where,
+        delete_where_dv,
+        table_changes,
+        update_where,
+    )
+    from delta_sorter_spark.sources.delta_table import DeltaTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    scratch = tempfile.mkdtemp(prefix="q28_cdc_")
+    try:
+        tbl = DeltaTable.create(
+            spark,
+            os.path.join(scratch, "t"),
+            orders.where(F.col("o_orderkey") % 4 == 0).coalesce(2),
+        )
+        vbase = tbl.state().version  # feed everything after the create
+        tbl.set_table_properties({"delta.enableChangeDataFeed": "true"})
+        tbl.append(orders.where(F.col("o_orderkey") % 4 == 1).coalesce(2))
+        update_where(  # cdc update_preimage/update_postimage
+            tbl, "o_orderpriority = '1-URGENT'", {"price": "price * 2"}
+        )
+        delete_where(  # cdc row-level delete (copy-on-write)
+            tbl, "o_orderstatus = 'F' AND o_orderkey % 8 = 0"
+        )
+        delete_where_dv(tbl, "o_orderkey % 10 = 3")  # cdc DV delete
+        from pyspark.sql import Window
+
+        # absolute commit numbers depend on engine bookkeeping commits;
+        # the deterministic contract is the ORDER of the four data-changing
+        # steps (append=1, update=2, delete=3, dv-delete=4) — q5's shape
+        out = table_changes(tbl, vbase).select(
+            "o_orderkey",
+            F.round("price", 2).alias("price"),
+            "_change_type",
+            F.dense_rank()
+            .over(Window.orderBy("_commit_version"))
+            .alias("change_step"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+_Q28_SQL = """
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus, o_orderpriority,
+         CAST(o_totalprice AS DOUBLE) AS price
+  FROM orders
+),
+s1 AS (SELECT * FROM base WHERE o_orderkey % 4 = 1),
+live3 AS (
+  SELECT * FROM base WHERE o_orderkey % 4 = 0
+  UNION ALL SELECT * FROM s1
+),
+live4 AS (
+  SELECT o_orderkey, o_orderstatus, o_orderpriority,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN price * 2 ELSE price END
+           AS price
+  FROM live3
+),
+live5 AS (
+  SELECT * FROM live4
+  WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 8 = 0)
+)
+SELECT o_orderkey, round(price, 2) AS price,
+       'insert' AS _change_type, CAST(1 AS INT) AS change_step
+FROM s1
+UNION ALL
+SELECT o_orderkey, round(price, 2), 'update_preimage', 2
+FROM live3 WHERE o_orderpriority = '1-URGENT'
+UNION ALL
+SELECT o_orderkey, round(price * 2, 2), 'update_postimage', 2
+FROM live3 WHERE o_orderpriority = '1-URGENT'
+UNION ALL
+SELECT o_orderkey, round(price, 2), 'delete', 3
+FROM live4 WHERE o_orderstatus = 'F' AND o_orderkey % 8 = 0
+UNION ALL
+SELECT o_orderkey, round(price, 2), 'delete', 4
+FROM live5 WHERE o_orderkey % 10 = 3
+"""
+
+
+# ---------------------------------------------------------------------------
 # S8: streaming ingest with continuous ANN-index freshness — the contract a
 # live retrieval corpus needs: the registered index never lags the table by
 # more than one micro-batch.  Seed half the embeddings, build the PQ index,
@@ -9875,6 +9980,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e83_html_extract": q_e83_html_extract,
         "e84_bigram_surprisal": q_e84_bigram_surprisal,
         "s8_stream_ann_freshness": q_s8_stream_ann_freshness,
+        "q28_cdc_row_level": q_q28_cdc_row_level,
         "p6_crawl_pipeline": q_p6_crawl_pipeline,
         "s6_stream_dedup": q_s6_stream_dedup,
         "e79_wordpiece_train": q_e79_wordpiece_train,
@@ -9997,6 +10103,7 @@ def oracle_sql() -> dict[str, str]:
         "e83_html_extract": _make_e83_sql(),
         "e84_bigram_surprisal": _E84_SQL,
         "s8_stream_ann_freshness": _Q18_SQL,
+        "q28_cdc_row_level": _Q28_SQL,
         "p6_crawl_pipeline": _make_p6_sql(),
         "s6_stream_dedup": _S6_SQL,
         "e79_wordpiece_train": _E79_SQL,

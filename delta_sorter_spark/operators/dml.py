@@ -443,7 +443,16 @@ def delete_where(table: DeltaTable, predicate: str) -> dict:
         else []
     )
     removes = [a.remove_action(True) for a in candidates]
-    version = table.commit_rewrite(adds, removes, operation="DELETE")
+    extra = None
+    if table.cdf_enabled(state.metadata):
+        extra = table.stage_cdc_write(
+            old.where(F.coalesce(F.expr(predicate), F.lit(False)))
+            .select(*[f.name for f in state.metadata.schema.fields])
+            .withColumn("_change_type", F.lit("delete"))
+        )
+    version = table.commit_rewrite(
+        adds, removes, operation="DELETE", extra_actions=extra
+    )
     return {
         "rewritten_files": len(candidates),
         "deleted_rows": before - after,
@@ -494,6 +503,22 @@ def update_where(
     table._enforce_constraints(
         old.where(hit).select(*out_cols), state.metadata.write_constraints
     )
+    cdc_extra = None
+    if table.cdf_enabled(state.metadata):
+        # out_cols is exactly the logical schema at this point (row-tracking
+        # columns are appended below): pre/post images of the hit rows
+        names_all = [f.name for f in schema.fields]
+        pre = (
+            old.where(hit)
+            .select(*names_all)
+            .withColumn("_change_type", F.lit("update_preimage"))
+        )
+        post = (
+            old.where(hit)
+            .select(*out_cols)
+            .withColumn("_change_type", F.lit("update_postimage"))
+        )
+        cdc_extra = table.stage_cdc_write(pre.unionByName(post))
     if table.row_tracking_enabled(state.metadata):
         # updated rows KEEP their row id; their materialized commit version
         # nulls out so readers fall back to the rewritten Add's fresh
@@ -510,7 +535,9 @@ def update_where(
         old.select(*out_cols), data_change=True, schema=table.rewrite_schema()
     )
     removes = [a.remove_action(True) for a in candidates]
-    version = table.commit_rewrite(adds, removes, operation="UPDATE")
+    version = table.commit_rewrite(
+        adds, removes, operation="UPDATE", extra_actions=cdc_extra
+    )
     return {
         "rewritten_files": len(candidates),
         "updated_rows": updated_rows,
@@ -574,6 +601,7 @@ def delete_where_dv(
     _insert_adds: list | None = None,
     _operation: str = "DELETE",
     _hits_df: DataFrame | None = None,
+    _cdc_frames: list | None = None,
     _txn_app_id: str | None = None,
     _txn_version: int | None = None,
 ) -> dict:
@@ -678,6 +706,30 @@ def delete_where_dv(
         return {"dv_files": 0, "deleted_rows": 0, "version": state.version}
     restrict_df = table.spark.createDataFrame([(p,) for p in touched], "path string")
 
+    cdc_extra: list[dict] = []
+    if table.cdf_enabled(state.metadata):
+        if _cdc_frames:
+            # merge-on-read UPDATE riding this flow: the caller's
+            # pre/post-image frames are the change data
+            u = _cdc_frames[0]
+            for fdf in _cdc_frames[1:]:
+                u = u.unionByName(fdf)
+            cdc_extra = table.stage_cdc_write(u)
+        elif _hits_df is None:
+            # plain DV DELETE: newly-deleted row VALUES are the live view
+            # (prior DVs applied) of the scanned files under the predicate
+            # — read against the PRE-COMMIT snapshot's adds, so vectors
+            # written below don't hide them
+            names_all = [f.name for f in state.metadata.schema.fields]
+            cdc_extra = table.stage_cdc_write(
+                table.read_for_rewrite(scan_adds)
+                .where(F.coalesce(F.expr(predicate), F.lit(False)))
+                .select(*names_all)
+                .withColumn("_change_type", F.lit("delete"))
+            )
+        # merge_dv's positional _hits_df path keeps file-level synthesis
+        # (table_changes derives it; documented in its docstring)
+
     # Prior positions of currently-DV'd files, restricted to files this
     # delete touches (their Add is re-pointed, so the new sidecar must carry
     # the union).  Parquet sidecars stream executor-side; legacy JSON
@@ -756,6 +808,8 @@ def delete_where_dv(
         # merge-on-read UPDATE rides this flow: the updated row VALUES are
         # pre-staged files that join the same atomic commit as the vectors
         new_adds = new_adds + list(_insert_adds)
+    if cdc_extra:
+        extra_actions = list(extra_actions or []) + cdc_extra
     version = table.commit_rewrite(
         new_adds, removes, operation=_operation, extra_actions=extra_actions,
         txn_app_id=_txn_app_id, txn_version=_txn_version,
@@ -847,12 +901,25 @@ def update_where_dv(
     insert_adds = table.stage_write(
         updated, data_change=True, schema=table.rewrite_schema()
     )
+    cdc_frames = None
+    if table.cdf_enabled(state.metadata):
+        names_all = [f.name for f in schema.fields]
+        cdc_frames = [
+            live_hits.select(*names_all).withColumn(
+                "_change_type", F.lit("update_preimage")
+            ),
+            updated.select(*names_all).withColumn(
+                "_change_type", F.lit("update_postimage")
+            ),
+        ]
     res = delete_where_dv(
         table,
         predicate,
         vector_format,
         _insert_adds=insert_adds,
         _operation="UPDATE",
+        _hits_df=None,
+        _cdc_frames=cdc_frames,
         _txn_app_id=txn_app_id,
         _txn_version=txn_version,
     )
@@ -1186,6 +1253,8 @@ def _dv_protocol_upgrade(state) -> list[dict] | None:
     # a 3/7 protocol that drops them would stop stock writers enforcing them
     if str(cfg.get("delta.appendOnly", "")).lower() == "true":
         writer_feats.add("appendOnly")
+    if str(cfg.get("delta.enableChangeDataFeed", "")).lower() == "true":
+        writer_feats.add("changeDataFeed")
     for f in state.metadata.schema.fields:
         md = f.metadata or {}
         if any(k.startswith("delta.identity.") for k in md):
@@ -1332,15 +1401,24 @@ def table_changes(
     """Change data feed between versions (Delta CDF shape,
     ``table_changes(t, from, to)``): one row per changed row in every
     DATA-CHANGING commit of ``(from_version, to_version]``, tagged with
-    ``_change_type`` ('insert' | 'delete') and ``_commit_version``.
+    ``_change_type`` and ``_commit_version``.
 
-    Granularity is file-level: a data-changing rewrite (upsert) feeds the
-    removed files' rows as deletes and the written files' rows as inserts —
-    coarser than Delta's row-level CDC but multiset-equivalent: applying
-    (old - deletes + inserts) per version reproduces every snapshot, which
-    is the property incremental consumers need.  Compaction rewrites
-    (dataChange=false) emit NOTHING — sorting history never re-feeds
-    downstream, the same property operators/rollup.py relies on.
+    Two fidelities, resolved per commit exactly as stock Delta readers do:
+
+    - Commits carrying protocol ``cdc`` actions (the table had
+      ``delta.enableChangeDataFeed`` set when the DML ran) feed their
+      ``_change_data/`` files verbatim — true row-level CDC with all four
+      change types ('insert' | 'delete' | 'update_preimage' |
+      'update_postimage').
+    - Every other data-changing commit is synthesized file-level: removed
+      files' rows feed as deletes, written files' rows as inserts —
+      coarser, but multiset-equivalent: applying (old - deletes + inserts)
+      per version reproduces every snapshot, which is the property
+      incremental consumers need.
+
+    Compaction rewrites (dataChange=false) emit NOTHING — sorting history
+    never re-feeds downstream, the same property operators/rollup.py
+    relies on.
 
     O(changed files), not O(table): the log bounds which files are read.
     Raises if a referenced file was vacuumed (feed no longer derivable)."""
@@ -1388,11 +1466,45 @@ def table_changes(
     for v in range(from_version + 1, to_version + 1):
         adds: dict[str, dict] = {}
         removes: list[str] = []
+        cdcs: list[str] = []
         for action in log.commit_actions(v):
             if "add" in action and action["add"].get("dataChange", True):
                 adds[action["add"]["path"]] = action["add"]
             elif "remove" in action and action["remove"].get("dataChange", True):
                 removes.append(action["remove"]["path"])
+            elif "cdc" in action and action["cdc"].get("path"):
+                cdcs.append(action["cdc"]["path"])
+        if cdcs:
+            # the writer materialized row-level change data (protocol
+            # AddCDCFile, delta.enableChangeDataFeed): the cdc files ARE
+            # this version's feed — full fidelity (update_preimage /
+            # update_postimage), no file-level synthesis
+            files = [os.path.join(table.table_path, p) for p in cdcs]
+            missing = [f for f in files if not os.path.exists(f)]
+            if missing:
+                raise FileNotFoundError(
+                    f"change feed for version {v} needs vacuumed cdc "
+                    f"file(s), e.g. {missing[0]}"
+                )
+            reader = spark.read
+            if meta.partition_columns:
+                reader = reader.option(
+                    "basePath", os.path.join(table.table_path, "_change_data")
+                )
+            df = (
+                reader.parquet(*files)
+                .select(
+                    *[
+                        F.col(f.name).cast(f.dataType).alias(f.name)
+                        for f in meta.schema.fields
+                    ],
+                    F.col("_change_type"),
+                )
+                .withColumn("_commit_version", F.lit(v).cast("long"))
+            )
+            out = df if out is None else out.unionByName(df)
+            roll_adds(log, prev, v)
+            continue
         if not adds and not removes:
             roll_adds(log, prev, v)
             continue

@@ -65,7 +65,11 @@ def _partials(df, window_duration: str):
 def _signed_partials(changes, window_duration: str):
     """Window partials where deleted rows count NEGATIVE — the general
     incremental-view-maintenance delta for re-mergeable sum/count aggs."""
-    sign = F.when(F.col("_change_type") == "delete", F.lit(-1)).otherwise(F.lit(1))
+    # row-level CDC feeds (delta.enableChangeDataFeed) carry update images:
+    # the preimage leaves the aggregate, the postimage enters it
+    sign = F.when(
+        F.col("_change_type").isin("delete", "update_preimage"), F.lit(-1)
+    ).otherwise(F.lit(1))
     agg = (
         changes.withColumn("__sign__", sign)
         .groupBy(F.window("ts", window_duration).alias("w"), F.col("event_type"))

@@ -217,6 +217,8 @@ def _writer_feature_upgrade(state, new_features: set[str]) -> dict | None:
         feats.add("columnMapping")
     if str(cfg.get("delta.appendOnly", "")).lower() == "true":
         feats.add("appendOnly")
+    if str(cfg.get("delta.enableChangeDataFeed", "")).lower() == "true":
+        feats.add("changeDataFeed")
     for f in state.metadata.schema.fields:
         md = f.metadata or {}
         if any(k.startswith("delta.identity.") for k in md):
@@ -1329,6 +1331,87 @@ class DeltaTable:
             pass  # other writers still staging
         return adds
 
+    def cdf_enabled(self, metadata=None) -> bool:
+        """True when ``delta.enableChangeDataFeed`` is set — DML verbs then
+        materialize row-level change data (protocol ``cdc`` actions)."""
+        meta = metadata if metadata is not None else self.metadata
+        return (
+            str(
+                (meta.configuration or {}).get("delta.enableChangeDataFeed", "")
+            ).lower()
+            == "true"
+        )
+
+    def stage_cdc_write(self, df: DataFrame) -> list[dict]:
+        """Write change rows (the table's columns plus ``_change_type``) as
+        parquet under ``_change_data/`` and return the protocol ``cdc``
+        actions (AddCDCFile) for the caller's commit.  CDC files are NOT
+        part of table state (replay ignores them; checkpoints never carry
+        them) — only change-feed readers open them, and VACUUM protects
+        them while their commit json is still in the log.
+
+        Cites the Delta protocol "Add CDC File" section: path,
+        partitionValues, size, dataChange=false.  Partitioned tables lay
+        change files out Hive-style like data files so a feed read prunes
+        on partition values."""
+        if self.is_remote:
+            # capability gate (same plane as VARIANT): remote-URI staged
+            # CDC writes need the remote writer path; enable CDF on remote
+            # tables is refused rather than silently degraded
+            raise NotImplementedError(
+                "change-data-feed writes on remote table URIs are not "
+                "supported; disable delta.enableChangeDataFeed or use a "
+                "local path"
+            )
+        from delta_sorter_spark.sources.delta_log import physical_name
+
+        meta = self.metadata
+        part_cols = meta.partition_columns
+        data_cols = [
+            f.name for f in meta.schema.fields if f.name not in part_cols
+        ]
+        to_phys = {f.name: physical_name(f) for f in meta.schema.fields}
+        staging = os.path.join(self.table_path, "_staging", uuid.uuid4().hex)
+        cols = [
+            F.col(c).alias(to_phys.get(c, c)) for c in part_cols + data_cols
+        ]
+        cols.append(F.col("_change_type"))
+        writer = df.select(*cols).write.mode("overwrite")
+        if part_cols:
+            writer = writer.partitionBy(*[to_phys.get(c, c) for c in part_cols])
+        writer.parquet(staging)
+        actions: list[dict] = []
+        for root, _dirs, names in os.walk(staging):
+            for name in names:
+                if not name.endswith(".parquet"):
+                    continue
+                src = os.path.join(root, name)
+                rel = os.path.relpath(src, staging)
+                dest = os.path.join(self.table_path, "_change_data", rel)
+                os.makedirs(os.path.dirname(dest), exist_ok=True)
+                os.replace(src, dest)
+                relpath = os.path.relpath(dest, self.table_path).replace(
+                    os.sep, "/"
+                )
+                actions.append(
+                    {
+                        "cdc": {
+                            "path": relpath,
+                            "partitionValues": _partition_values_from_relpath(
+                                relpath
+                            ),
+                            "size": os.path.getsize(dest),
+                            "dataChange": False,
+                        }
+                    }
+                )
+        shutil.rmtree(staging, ignore_errors=True)
+        try:
+            os.rmdir(os.path.join(self.table_path, "_staging"))
+        except OSError:
+            pass
+        return actions
+
     # Below this many staged files a driver-side column-pruned read beats a
     # Spark job round trip; at/above it, stats fan out as one distributed
     # job.  Crossover rationale: a pruned stat-column read of one freshly
@@ -1821,6 +1904,9 @@ class DeltaTable:
         ret = props.get("delta.deletedFileRetentionDuration")
         if ret is not None:
             _parse_retention_interval(str(ret))  # raises with repair hint
+        enables_cdf = (
+            str(props.get("delta.enableChangeDataFeed", "")).lower() == "true"
+        )
 
         def actions(state):
             config = dict(state.metadata.configuration)
@@ -1829,7 +1915,15 @@ class DeltaTable:
                     config.pop(key, None)
                 else:
                     config[key] = str(value)
-            return [
+            acts = []
+            if enables_cdf:
+                # protocol rule: a stock writer must not touch a CDF table
+                # without writing change data — declare the writer feature
+                # in the same commit that flips the property
+                upgrade = _writer_feature_upgrade(state, {"changeDataFeed"})
+                if upgrade is not None:
+                    acts.append(upgrade)
+            return acts + [
                 {
                     "metaData": {
                         "id": state.metadata.table_id,
@@ -3074,6 +3168,24 @@ class DeltaTable:
             else:
                 dv_paths.add(dv["storagePath"])
         active |= dv_paths
+        # change-data files (protocol cdc actions) referenced by commit
+        # jsons still in the log are readable feed history — protected
+        # until cleanup_metadata drops those commits, after which they
+        # become unreferenced and collectable (Delta's own CDC retention
+        # story).  Only CDF-touched tables pay the log re-read.
+        cfg_all = state.metadata.configuration or {}
+        proto_feats = set(
+            (state.protocol or {}).get("writerFeatures") or []
+        )
+        if (
+            str(cfg_all.get("delta.enableChangeDataFeed", "")).lower()
+            == "true"
+            or "changeDataFeed" in proto_feats
+        ):
+            for v in self.log._commit_versions():
+                for action in self.log.commit_actions(v):
+                    if "cdc" in action and action["cdc"].get("path"):
+                        active.add(action["cdc"]["path"])
         # registered index datasets (Bloom, ANN) are live metadata
         # (directories of parquet rows); unregistered ones — dropped or
         # replaced by a rebuild/refresh — fall through and get collected

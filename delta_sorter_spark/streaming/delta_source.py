@@ -104,6 +104,9 @@ class DeltaFilePartition(InputPartition):
     cdf_type: str = ""
     cdf_version: int = -1
     keep_positions: tuple | None = None
+    # row-level CDC partition (a protocol cdc file under _change_data/):
+    # _change_type comes from the FILE's own column, not a constant
+    cdf_from_file: bool = False
 
 
 def _arrow_type(dtype: T.DataType):
@@ -146,11 +149,17 @@ def _read_file(part: DeltaFilePartition):
             cols.append(pa.array(positions[:n], type=pa.int64()))
             names.append(f.name)
             continue
+        if f.name == CDF_TYPE_COL and part.cdf_from_file:
+            cols.append(
+                tbl[CDF_TYPE_COL].combine_chunks().cast(pa.string())
+            )
+            names.append(f.name)
+            continue
         if f.name == CDF_TYPE_COL and part.cdf_type:
             cols.append(pa.array([part.cdf_type] * n, type=pa.string()))
             names.append(f.name)
             continue
-        if f.name == CDF_VERSION_COL and part.cdf_type:
+        if f.name == CDF_VERSION_COL and (part.cdf_type or part.cdf_from_file):
             cols.append(pa.array([part.cdf_version] * n, type=pa.int64()))
             names.append(f.name)
             continue
@@ -335,6 +344,7 @@ class _DeltaSourceCore:
         cdf_type: str = "",
         cdf_version: int = -1,
         keep_positions=None,
+        cdf_from_file: bool = False,
     ):
         from delta_sorter_spark.sources.fs import capture_aws_env, is_remote_uri
 
@@ -355,6 +365,7 @@ class _DeltaSourceCore:
             keep_positions=(
                 tuple(keep_positions) if keep_positions is not None else None
             ),
+            cdf_from_file=cdf_from_file,
         )
 
     def cdf_partitions_for_version(
@@ -379,11 +390,26 @@ class _DeltaSourceCore:
         or, for a single-version call, one replay."""
         adds: dict[str, dict] = {}
         removes: list[str] = []
+        cdcs: list[dict] = []
         for action in self.log.commit_actions(v):
             if "add" in action and action["add"].get("dataChange", True):
                 adds[action["add"]["path"]] = action["add"]
             elif "remove" in action and action["remove"].get("dataChange", True):
                 removes.append(action["remove"]["path"])
+            elif "cdc" in action and action["cdc"].get("path"):
+                cdcs.append(action["cdc"])
+        if cdcs:
+            # writer-materialized row-level change data (protocol
+            # AddCDCFile): these files ARE the version's feed — each row
+            # carries its own _change_type (update_preimage/postimage
+            # fidelity the synthesis below cannot give)
+            return [
+                self._part_for(
+                    c["path"], c.get("partitionValues", {}), (),
+                    cdf_version=v, cdf_from_file=True,
+                )
+                for c in cdcs
+            ]
         if not adds and not removes:
             return []
         if prev is None:
