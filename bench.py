@@ -454,6 +454,29 @@ def main() -> int:
     cdf_tbl.append(_load(spark, SF_DIR, "events").limit(2000).coalesce(1))
     timed("stream_cdf_tail", cdf_pass)
 
+    # -- row-level CDC (delta.enableChangeDataFeed): one UPDATE that
+    # materializes pre/post images as cdc parquet in its own commit (the
+    # write amplification CDC buys) plus the row-level feed read of that
+    # commit (the synthesis-free consumer side).  Each pass re-updates the
+    # same ~10% of rows, so reps are size-stable; min-of-2 damps steal.
+    from delta_sorter_spark.operators.dml import table_changes, update_where
+
+    rl_src = os.path.join(workdir, "cdc_rl")
+    DeltaTable.create(
+        spark, rl_src,
+        _load(spark, SF_DIR, "events").limit(20000).repartition(4),
+    )
+    rl_tbl = DeltaTable(spark, rl_src)
+    rl_tbl.set_table_properties({"delta.enableChangeDataFeed": "true"})
+
+    def rl_pass():
+        v0 = rl_tbl.state().version
+        update_where(rl_tbl, "event_id % 10 = 4", {"value": "value + 1"})
+        table_changes(rl_tbl, v0).write.format("noop").mode("overwrite").save()
+
+    rl_pass()  # warm-up (codegen + first cdc write)
+    timed_min("cdc_row_level_update", rl_pass, rl_pass)
+
     # -- query workloads (full computation via noop sink) -------------------
     # one untimed pre-run per query (codegen compile + exchange reuse JIT),
     # then best-of-2 timed runs: this VM shares a host and single runs show
