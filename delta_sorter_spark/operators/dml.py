@@ -120,9 +120,38 @@ def upsert(
         merged = source
     adds = table.stage_write(merged, stat_columns=keys, data_change=True)
     removes = [a.remove_action(True) for a in candidates]
+    cdc_extra = None
+    if table.cdf_enabled(state.metadata):
+        # replaced rows are update pre/post pairs, new keys are inserts;
+        # kept rows (rewritten for file granularity only) emit nothing
+        names_all = [f.name for f in schema.fields]
+        if candidates:
+            old_keys = old.select(*keys).distinct()
+            frames = [
+                old.join(source.select(*keys).distinct(), keys, "left_semi")
+                .select(*names_all)
+                .withColumn("_change_type", F.lit("update_preimage")),
+                source.join(old_keys, keys, "left_semi")
+                .select(*names_all)
+                .withColumn("_change_type", F.lit("update_postimage")),
+                source.join(old_keys, keys, "left_anti")
+                .select(*names_all)
+                .withColumn("_change_type", F.lit("insert")),
+            ]
+        else:
+            frames = [
+                source.select(*names_all).withColumn(
+                    "_change_type", F.lit("insert")
+                )
+            ]
+        u = frames[0]
+        for fdf in frames[1:]:
+            u = u.unionByName(fdf)
+        cdc_extra = table.stage_cdc_write(u)
     version = table.commit_rewrite(
         adds, removes, operation="MERGE",
         txn_app_id=txn_app_id, txn_version=txn_version,
+        extra_actions=cdc_extra,
     )
     return {
         "rewritten_files": len(candidates),
@@ -277,6 +306,8 @@ def merge(
     rt = table.row_tracking_enabled(state.metadata)
     if rt:
         mat_id, mat_ver = table._materialized_row_cols(state.metadata)
+    cdc_frames: list[DataFrame] = []
+    cdf_on = table.cdf_enabled(state.metadata)
     if rewrite:
         t = table.read_for_rewrite(rewrite, state.metadata).alias("t")
         joined = _join(t)
@@ -298,6 +329,38 @@ def merge(
                     F.expr(by_src_update[f.name]).cast(f.dataType),
                 ).otherwise(col)
             out_cols.append(col.alias(f.name))
+        if cdf_on:
+            # change rows fall straight out of the clause masks: delete
+            # wins over update (the merged .where drops those rows), the
+            # by-source update touches every unmatched row, and rows no
+            # clause changed emit nothing.  out_cols at this point is
+            # exactly the logical schema (post-values).
+            tcols = [F.col(f"t.{f.name}").alias(f.name) for f in schema.fields]
+            del_mask = delete_hit | by_src_delete_hit
+            upd_mask = (
+                F.col("__matched__") & update_hit & ~delete_hit
+                if update
+                else F.lit(False)
+            )
+            if by_src_update:
+                upd_mask = upd_mask | (
+                    ~F.col("__matched__") & ~by_src_delete_hit
+                )
+            cdc_frames.append(
+                joined.where(del_mask)
+                .select(*tcols)
+                .withColumn("_change_type", F.lit("delete"))
+            )
+            cdc_frames.append(
+                joined.where(upd_mask)
+                .select(*tcols)
+                .withColumn("_change_type", F.lit("update_preimage"))
+            )
+            cdc_frames.append(
+                joined.where(upd_mask)
+                .select(*out_cols)
+                .withColumn("_change_type", F.lit("update_postimage"))
+            )
         if rt:
             # every surviving row keeps its id; rows a clause CHANGED null
             # their materialized commit version so readers fall back to the
@@ -352,9 +415,22 @@ def merge(
             "untouched_files": len(state.adds),
             "version": state.version,
         }
+    cdc_extra = None
+    if cdf_on:
+        if inserts is not None:
+            cdc_frames.append(
+                inserts.select(*[F.col(f.name) for f in schema.fields])
+                .withColumn("_change_type", F.lit("insert"))
+            )
+        if cdc_frames:
+            u = cdc_frames[0]
+            for fdf in cdc_frames[1:]:
+                u = u.unionByName(fdf)
+            cdc_extra = table.stage_cdc_write(u)
     version = table.commit_rewrite(
         adds, removes, operation="MERGE",
         txn_app_id=txn_app_id, txn_version=txn_version,
+        extra_actions=cdc_extra,
     )
     return {
         "rewritten_files": len(rewrite),
@@ -653,6 +729,18 @@ def delete_where_dv(
             "version": state.version,
             "skipped": True,
         }
+
+    def _stage_caller_cdc() -> list[dict]:
+        # caller-provided change frames (update_where_dv images, merge_dv
+        # clause rows) — staged lazily so no-commit early returns leave no
+        # orphan cdc files
+        if not (_cdc_frames and table.cdf_enabled(state.metadata)):
+            return []
+        u = _cdc_frames[0]
+        for fdf in _cdc_frames[1:]:
+            u = u.unionByName(fdf)
+        return table.stage_cdc_write(u)
+
     if _hits_df is not None:
         # caller-provided (path, pos) hit set (merge_dv's positional join)
         hits = _hits_df.persist()
@@ -675,6 +763,7 @@ def delete_where_dv(
                 version = table.commit_rewrite(
                     list(_insert_adds), [], operation=_operation,
                     txn_app_id=_txn_app_id, txn_version=_txn_version,
+                    extra_actions=_stage_caller_cdc() or None,
                 )
                 return {"dv_files": 0, "deleted_rows": 0, "version": version}
             return {"dv_files": 0, "deleted_rows": 0, "version": state.version}
@@ -701,6 +790,7 @@ def delete_where_dv(
             version = table.commit_rewrite(
                 list(_insert_adds), [], operation=_operation,
                 txn_app_id=_txn_app_id, txn_version=_txn_version,
+                extra_actions=_stage_caller_cdc() or None,
             )
             return {"dv_files": 0, "deleted_rows": 0, "version": version}
         return {"dv_files": 0, "deleted_rows": 0, "version": state.version}
@@ -709,12 +799,9 @@ def delete_where_dv(
     cdc_extra: list[dict] = []
     if table.cdf_enabled(state.metadata):
         if _cdc_frames:
-            # merge-on-read UPDATE riding this flow: the caller's
-            # pre/post-image frames are the change data
-            u = _cdc_frames[0]
-            for fdf in _cdc_frames[1:]:
-                u = u.unionByName(fdf)
-            cdc_extra = table.stage_cdc_write(u)
+            # merge-on-read UPDATE / MERGE riding this flow: the caller's
+            # image/clause frames are the change data
+            cdc_extra = _stage_caller_cdc()
         elif _hits_df is None:
             # plain DV DELETE: newly-deleted row VALUES are the live view
             # (prior DVs applied) of the scanned files under the predicate
@@ -727,8 +814,8 @@ def delete_where_dv(
                 .select(*names_all)
                 .withColumn("_change_type", F.lit("delete"))
             )
-        # merge_dv's positional _hits_df path keeps file-level synthesis
-        # (table_changes derives it; documented in its docstring)
+        # a bare _hits_df with no frames (not a path any public verb takes)
+        # falls back to file-level synthesis in table_changes
 
     # Prior positions of currently-DV'd files, restricted to files this
     # delete touches (their Add is re-pointed, so the new sidecar must carry
@@ -1085,6 +1172,30 @@ def merge_dv(
         if n_appended
         else None
     )
+    cdc_frames = None
+    if table.cdf_enabled(state.metadata):
+        # clause rows straight off the live matched join: delete wins over
+        # update, untouched matched rows emit nothing
+        names_all = [f.name for f in schema.fields]
+        tcols = [F.col(f"t.{f.name}").alias(f.name) for f in schema.fields]
+        post_cols = out_cols[: len(schema.fields)]
+        cdc_frames = [
+            matched_live.where(delete_hit)
+            .select(*tcols)
+            .withColumn("_change_type", F.lit("delete")),
+            matched_live.where(~delete_hit & update_hit)
+            .select(*tcols)
+            .withColumn("_change_type", F.lit("update_preimage")),
+            matched_live.where(~delete_hit & update_hit)
+            .select(*post_cols)
+            .withColumn("_change_type", F.lit("update_postimage")),
+        ]
+        if when_not_matched_insert:
+            cdc_frames.append(
+                src.join(t_live.select(*keys), keys, "left_anti")
+                .select(*names_all)
+                .withColumn("_change_type", F.lit("insert"))
+            )
     res = delete_where_dv(
         table,
         None,
@@ -1092,6 +1203,7 @@ def merge_dv(
         _insert_adds=insert_adds,
         _operation="MERGE",
         _hits_df=hits,
+        _cdc_frames=cdc_frames,
         _txn_app_id=txn_app_id,
         _txn_version=txn_version,
     )

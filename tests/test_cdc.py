@@ -110,6 +110,73 @@ def test_dv_update_feeds_images(spark, tmp_path):
     ]
 
 
+def test_merge_feeds_clause_level_changes(spark, tmp_path):
+    """Copy-on-write MERGE: matched-update rows feed pre/post images,
+    matched-delete rows feed deletes, unmatched-source rows feed inserts;
+    matched rows no clause touches emit nothing."""
+    from delta_sorter_spark.operators.dml import merge
+
+    tbl = _cdf_table(spark, str(tmp_path / "t"))
+    v0 = tbl.state().version
+    src = spark.createDataFrame(
+        [(1, "a", 100.0), (3, "b", 0.0), (9, "z", 90.0)],
+        "id long, grp string, amt double",
+    )
+    merge(
+        tbl, src, ["id"],
+        when_matched_update={"amt": "s.amt"},
+        when_matched_delete="s.amt = 0.0",
+    )
+    v1 = tbl.state().version
+    assert _feed(tbl, v0) == [
+        (1, "a", 10.0, "update_preimage", v1),
+        (1, "a", 100.0, "update_postimage", v1),
+        (3, "b", 30.0, "delete", v1),
+        (9, "z", 90.0, "insert", v1),
+    ]
+
+
+def test_merge_dv_feeds_clause_level_changes(spark, tmp_path):
+    """Merge-on-read MERGE: same clause-level feed through the DV path."""
+    from delta_sorter_spark.operators.dml import merge_dv
+
+    tbl = _cdf_table(spark, str(tmp_path / "t"))
+    v0 = tbl.state().version
+    src = spark.createDataFrame(
+        [(2, "a", 200.0), (4, "b", 0.0), (8, "z", 80.0)],
+        "id long, grp string, amt double",
+    )
+    merge_dv(
+        tbl, src, ["id"],
+        when_matched_update={"amt": "s.amt"},
+        when_matched_delete="s.amt = 0.0",
+    )
+    v1 = tbl.state().version
+    assert _feed(tbl, v0) == [
+        (2, "a", 20.0, "update_preimage", v1),
+        (2, "a", 200.0, "update_postimage", v1),
+        (4, "b", 40.0, "delete", v1),
+        (8, "z", 80.0, "insert", v1),
+    ]
+
+
+def test_upsert_feeds_replacements_as_updates(spark, tmp_path):
+    from delta_sorter_spark.operators.dml import upsert
+
+    tbl = _cdf_table(spark, str(tmp_path / "t"))
+    v0 = tbl.state().version
+    src = spark.createDataFrame(
+        [(1, "a", 11.0), (7, "c", 70.0)], "id long, grp string, amt double"
+    )
+    upsert(tbl, src, ["id"])
+    v1 = tbl.state().version
+    assert _feed(tbl, v0) == [
+        (1, "a", 10.0, "update_preimage", v1),
+        (1, "a", 11.0, "update_postimage", v1),
+        (7, "c", 70.0, "insert", v1),
+    ]
+
+
 def test_append_still_synthesizes_inserts(spark, tmp_path):
     tbl = _cdf_table(spark, str(tmp_path / "t"))
     v0 = tbl.state().version
