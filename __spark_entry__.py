@@ -8502,6 +8502,83 @@ FROM live5 WHERE o_orderkey % 10 = 3
 
 
 # ---------------------------------------------------------------------------
+# Q29: CDF-driven incremental materialized view (continuous aggregate).
+# The rollup table is maintained purely from the change feed — initial
+# load, an append, a row-level UPDATE (preimage leaves the aggregate,
+# postimage enters) and a DELETE — never re-reading source history; the
+# oracle recomputes the same aggregate from the FINAL state in one SQL
+# statement, pinning the incremental-view-maintenance contract:
+# maintenance from deltas must equal recompute from scratch.
+# ---------------------------------------------------------------------------
+
+
+def q_q29_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from delta_sorter_spark.operators.dml import delete_where, update_where
+    from delta_sorter_spark.operators.rollup import (
+        ROLLUP_SCHEMA,
+        incremental_rollup_cdc,
+    )
+    from delta_sorter_spark.sources.delta_table import DeltaTable
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    scratch = tempfile.mkdtemp(prefix="q29_ivm_")
+    try:
+        src = DeltaTable.create(
+            spark,
+            os.path.join(scratch, "src"),
+            events.where(F.col("event_id") % 2 == 0).coalesce(2),
+            stat_columns=["event_id"],
+        )
+        src.set_table_properties({"delta.enableChangeDataFeed": "true"})
+        rollup = DeltaTable.create(
+            spark,
+            os.path.join(scratch, "ru"),
+            spark.createDataFrame([], ROLLUP_SCHEMA),
+        )
+        r = incremental_rollup_cdc(src, rollup, 0)
+        src.append(events.where(F.col("event_id") % 2 == 1).coalesce(2))
+        r = incremental_rollup_cdc(src, rollup, r["source_version"])
+        update_where(src, "event_id % 7 = 3", {"value": "value * 2"})
+        delete_where(src, "event_id % 5 = 0")
+        incremental_rollup_cdc(src, rollup, r["source_version"])
+        out = (
+            rollup.to_df()
+            .where(F.col("n_events") > 0)
+            .select(
+                "window_start",
+                "event_type",
+                "n_events",
+                F.round("total_value", 4).alias("total_value"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+_Q29_SQL = """
+WITH final AS (
+  SELECT ts, event_type,
+         CASE WHEN event_id % 7 = 3 THEN value * 2 ELSE value END AS value
+  FROM events
+  WHERE event_id % 5 <> 0
+)
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       count(*) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4)
+         AS total_value
+FROM final GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # S8: streaming ingest with continuous ANN-index freshness — the contract a
 # live retrieval corpus needs: the registered index never lags the table by
 # more than one micro-batch.  Seed half the embeddings, build the PQ index,
@@ -9981,6 +10058,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e84_bigram_surprisal": q_e84_bigram_surprisal,
         "s8_stream_ann_freshness": q_s8_stream_ann_freshness,
         "q28_cdc_row_level": q_q28_cdc_row_level,
+        "q29_incremental_rollup": q_q29_incremental_rollup,
         "p6_crawl_pipeline": q_p6_crawl_pipeline,
         "s6_stream_dedup": q_s6_stream_dedup,
         "e79_wordpiece_train": q_e79_wordpiece_train,
@@ -10104,6 +10182,7 @@ def oracle_sql() -> dict[str, str]:
         "e84_bigram_surprisal": _E84_SQL,
         "s8_stream_ann_freshness": _Q18_SQL,
         "q28_cdc_row_level": _Q28_SQL,
+        "q29_incremental_rollup": _Q29_SQL,
         "p6_crawl_pipeline": _make_p6_sql(),
         "s6_stream_dedup": _S6_SQL,
         "e79_wordpiece_train": _E79_SQL,
