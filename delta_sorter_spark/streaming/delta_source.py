@@ -586,6 +586,19 @@ class DeltaStreamReader(DataSourceStreamReader):
         self.max_bytes = int(raw) if raw is not None else None
         if self.max_bytes is not None and self.max_bytes < 1:
             raise ValueError("maxBytesPerTrigger must be >= 1")
+        # startingVersion (Delta semantics): begin the stream AT this
+        # commit — no initial-snapshot batch; "latest" = only commits
+        # made after the query starts.  Works for plain and change-feed
+        # streams alike.
+        raw = options.get("startingVersion")
+        if raw is None:
+            self.starting_version: int | None = None
+        elif str(raw).lower() == "latest":
+            self.starting_version = self.core.log.latest_version() + 1
+        else:
+            self.starting_version = int(raw)
+            if self.starting_version < 0:
+                raise ValueError("startingVersion must be >= 0 or 'latest'")
         # last end version this reader handed out (admission-control
         # anchor).  None until the first initialOffset/partitions call.
         # On a restart with an in-flight WAL batch Spark replays it
@@ -598,6 +611,15 @@ class DeltaStreamReader(DataSourceStreamReader):
         self._vfiles: dict[int, tuple[int, int]] = {}
 
     def initialOffset(self) -> dict:
+        if self.starting_version is not None:
+            # begin AT startingVersion: offsets are "last consumed", so
+            # start one before it and the first batch feeds commits
+            # (startingVersion - 1, end].  from_version distinguishes
+            # startingVersion=0 (per-commit feed from the beginning) from
+            # the -1 snapshot sentinel; it rides the offset so a WAL
+            # restart replays the same semantics.
+            self._pos = self.starting_version - 1
+            return {"version": self._pos, "from_version": True}
         # -1 marks "snapshot not yet emitted": the first batch replays the
         # active-file set at whatever version latestOffset returns.
         self._pos = -1
@@ -660,8 +682,10 @@ class DeltaStreamReader(DataSourceStreamReader):
         self._pos = ev if self._pos is None else max(self._pos, ev)
         if ev <= sv:
             return []
-        if sv < 0:  # initial snapshot (removes + DVs honored by replay)
+        if sv < 0 and not start.get("from_version"):
+            # initial snapshot (removes + DVs honored by replay)
             return core.snapshot_partitions(at_version=ev)
+        sv = max(sv, -1)
         if core.read_change_feed:
             from delta_sorter_spark.sources.delta_log import roll_adds
 
@@ -669,7 +693,11 @@ class DeltaStreamReader(DataSourceStreamReader):
             # version by version — not a fresh replay per version (K full
             # replays of an O(#files) checkpoint for a K-version batch).
             parts = []
-            prev = {a.path: a for a in log.read_state(at_version=sv).adds}
+            prev = (
+                {}  # startingVersion=0: nothing exists before commit 0
+                if sv < 0
+                else {a.path: a for a in log.read_state(at_version=sv).adds}
+            )
             for v in range(sv + 1, ev + 1):
                 parts.extend(core.cdf_partitions_for_version(v, prev=prev))
                 roll_adds(log, prev, v)

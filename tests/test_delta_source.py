@@ -49,6 +49,59 @@ def test_snapshot_then_tail(registered, tmp_path):
     assert sorted(r.id for r in got.collect()) == [1, 2, 3, 4, 5]
 
 
+def test_starting_version_skips_snapshot(registered, tmp_path):
+    """startingVersion=N begins the stream AT commit N — no initial
+    snapshot batch (Delta semantics)."""
+    spark = registered
+    path = str(tmp_path / "t")
+    DeltaTable.create(
+        spark, path, spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    )
+    t = DeltaTable(spark, path)
+    v_before = t.state().version
+    t.append(spark.createDataFrame([(3, "c")], "id long, v string"))
+
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    got = _drain(spark, path, out, ck, startingVersion=str(v_before + 1))
+    assert sorted(r.id for r in got.collect()) == [3]
+
+
+def test_starting_version_latest_feeds_only_new_commits(registered, tmp_path):
+    spark = registered
+    path = str(tmp_path / "t")
+    DeltaTable.create(
+        spark, path, spark.createDataFrame([(1, "a")], "id long, v string")
+    )
+    t = DeltaTable(spark, path)
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    # reader resolves "latest" at init: the existing row never feeds
+    got = _drain(spark, path, out, ck, startingVersion="latest")
+    assert got.count() == 0
+    t.append(spark.createDataFrame([(9, "z")], "id long, v string"))
+    got = _drain(spark, path, out, ck, startingVersion="latest")
+    assert sorted(r.id for r in got.collect()) == [9]
+
+
+def test_starting_version_zero_cdf_feeds_per_commit(registered, tmp_path):
+    """startingVersion=0 + readChangeFeed: the whole history feeds as
+    per-commit changes (versions tagged), not as one snapshot at the tip."""
+    spark = registered
+    path = str(tmp_path / "t")
+    DeltaTable.create(
+        spark, path, spark.createDataFrame([(1, "a")], "id long, v string")
+    )
+    t = DeltaTable(spark, path)
+    v0 = t.state().version
+    t.append(spark.createDataFrame([(2, "b")], "id long, v string"))
+    v1 = t.state().version
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    got = _drain(
+        spark, path, out, ck, startingVersion="0", readChangeFeed="true"
+    )
+    rows = sorted((r.id, r._change_type, r._commit_version) for r in got.collect())
+    assert rows == [(1, "insert", v0), (2, "insert", v1)]
+
+
 def test_batch_read_matches_to_df(registered, tmp_path):
     spark = registered
     path = str(tmp_path / "t")
