@@ -195,6 +195,15 @@ def build_parser() -> argparse.ArgumentParser:
         "exit; honors --single-job-threshold",
     )
     p.add_argument(
+        "--convert",
+        action="store_true",
+        help="CONVERT TO DELTA: adopt the existing plain-parquet directory "
+        "at --table in place (flat or Hive-partitioned) — writes a "
+        "_delta_log Adding every file, moves no data bytes, then exits. "
+        "With --sort-columns, per-file min/max stats for those columns "
+        "are computed during the convert (else run --attest later)",
+    )
+    p.add_argument(
         "--restore",
         type=int,
         default=None,
@@ -288,7 +297,7 @@ def main(argv: list[str] | None = None) -> int:
         or args.enable_in_commit_timestamps or args.add_constraint
         or args.drop_constraint or args.cluster_by or args.optimize_clustered
         or args.cluster_status or args.cleanup_log or args.bin_pack
-        or args.restore is not None
+        or args.restore is not None or args.convert
     )
     if not sort_columns and not (
         args.history or args.detail or index_verb or maintenance_verb
@@ -425,10 +434,25 @@ def _run(args, sort_columns, api) -> int:
         or args.enable_in_commit_timestamps or args.add_constraint
         or args.drop_constraint or args.cluster_by or args.optimize_clustered
         or args.cluster_status or args.cleanup_log or args.bin_pack
-        or args.restore is not None
+        or args.restore is not None or args.convert
     ):
         from delta_sorter_spark.session import get_spark
         from delta_sorter_spark.sources.delta_table import DeltaTable
+
+        if args.convert:
+            try:
+                tbl = DeltaTable.convert_to_delta(
+                    get_spark(), args.table, stat_columns=sort_columns or None
+                )
+            except (FileExistsError, NotImplementedError) as exc:
+                print(f"error: {exc}", file=sys.stderr)
+                return 2
+            st = tbl.state()
+            print(
+                f"converted files={len(st.adds)} version={st.version} "
+                f"partition_columns={','.join(st.metadata.partition_columns) or '(none)'}"
+            )
+            return 0
 
         tbl = DeltaTable(get_spark(), args.table)
         if args.restore is not None:

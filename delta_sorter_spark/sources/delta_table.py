@@ -609,6 +609,90 @@ class DeltaTable:
         )
         return table
 
+    @classmethod
+    def convert_to_delta(
+        cls,
+        spark: SparkSession,
+        table_path: str,
+        stat_columns: Sequence[str] | None = None,
+    ) -> "DeltaTable":
+        """CONVERT TO DELTA: adopt an existing plain-parquet directory
+        (flat or Hive-partitioned) in place — write a ``_delta_log`` whose
+        first data commit Adds every existing parquet file; no data bytes
+        move.  Schema and partition columns come from Spark's own parquet
+        reader (partition-directory discovery types the partition keys).
+
+        ``stat_columns`` computes per-file min/max zone maps during the
+        convert (one footer-level read per file); omit them and run the
+        cheaper path now, then CLI ``--attest`` later to make ordering
+        validation metadata-only — the same backfill foreign-written
+        tables use.
+
+        Local paths only (the conversion enumerates and footer-reads files
+        through the local fs; remote-URI adoption would ship bytes through
+        the driver) — mirrors the reference's own local-first CLI."""
+        from delta_sorter_spark.sources.fs import is_remote_uri
+
+        if is_remote_uri(table_path):
+            raise NotImplementedError(
+                "convert_to_delta supports local paths only; copy or "
+                "re-register remote data with create()/append()"
+            )
+        table = cls(spark, table_path)
+        if table.log.exists():
+            raise FileExistsError(
+                f"{table_path} already has a _delta_log — nothing to convert"
+            )
+        data_files: list[str] = []
+        for root, dirs, names in os.walk(table_path):
+            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+            for name in names:
+                if name.endswith(".parquet") and not name.startswith(("_", ".")):
+                    rel = os.path.relpath(os.path.join(root, name), table_path)
+                    data_files.append(rel.replace(os.sep, "/"))
+        if not data_files:
+            raise FileNotFoundError(f"no parquet files under {table_path}")
+        df = spark.read.option("basePath", table_path).parquet(table_path)
+        schema = df.schema
+        part_cols = sorted(
+            {
+                seg.partition("=")[0]
+                for rel in data_files
+                for seg in rel.split("/")[:-1]
+                if "=" in seg
+            }
+        )
+        stat_columns = list(stat_columns or [])
+        configuration = (
+            {cls.STATS_COLUMNS_PROP: ",".join(stat_columns)}
+            if stat_columns
+            else None
+        )
+        table.log.create_table(schema, part_cols, configuration=configuration)
+        paths = [os.path.join(table_path, rel) for rel in data_files]
+        stats_by_dest = (
+            table._local_file_stats(paths, stat_columns, None)
+            if stat_columns
+            else {}
+        )
+        adds = [
+            AddAction(
+                path=rel,
+                size=os.path.getsize(p),
+                partition_values=_partition_values_from_relpath(rel),
+                modification_time=int(os.path.getmtime(p) * 1000),
+                data_change=True,
+                stats=stats_by_dest.get(p),
+            )
+            for rel, p in zip(data_files, paths)
+        ]
+        table.log.commit_with_retry(
+            lambda state: list(adds),
+            operation="CONVERT",
+            operation_params={"numFiles": str(len(adds))},
+        )
+        return table
+
     # -- identity columns (GENERATED ALWAYS AS IDENTITY) --------------------
 
     @staticmethod

@@ -613,6 +613,50 @@ def test_cli_bin_pack(spark, tmp_path, capsys):
     assert rc == 0 and "planned=0" in capsys.readouterr().out
 
 
+def test_convert_to_delta(spark, tmp_path, capsys):
+    """CONVERT TO DELTA adopts a plain Hive-partitioned parquet dir in
+    place: no data bytes move, reads match the original, DML and compact
+    work on the adopted table."""
+    from pyspark.sql import functions as F
+
+    from delta_sorter_spark.cli import main as cli_main
+    from delta_sorter_spark.operators.dml import delete_where
+
+    path = str(tmp_path / "plain")
+    df = spark.range(100).select(
+        (F.col("id") % 4).alias("p"),
+        F.col("id").alias("k"),
+        (F.col("id") * 2).alias("v"),
+    )
+    df.write.partitionBy("p").parquet(path)
+    before = sorted(
+        tuple(r) for r in spark.read.parquet(path).select("p", "k", "v").collect()
+    )
+
+    rc = cli_main(["--table", path, "--convert", "--sort-columns", "k",
+                   "--log-level", "warn"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "converted" in out and "partition_columns=p" in out
+
+    tbl = DeltaTable(spark, path)
+    got = sorted(tuple(r) for r in tbl.to_df().select("p", "k", "v").collect())
+    assert got == before
+    # stats landed: partition pruning + zone maps work on the adopted table
+    assert all(a.stats and "minValues" in a.stats for a in tbl.state().adds)
+    # the table is fully operational: DML + per-partition compact
+    delete_where(tbl, "k >= 90")
+    assert tbl.to_df().count() == 90
+    compact(path, ["k"], spark=spark)
+    from delta_sorter_spark.operators.validate import partition_is_sorted
+    from delta_sorter_spark.plans.inventory import group_by_partition
+
+    for grp in group_by_partition(tbl.state().adds):
+        assert partition_is_sorted(tbl, grp.files, ["k"])
+    # converting twice is refused
+    rc = cli_main(["--table", path, "--convert", "--log-level", "warn"])
+    assert rc == 2
+
+
 def test_cli_restore(spark, tmp_path, capsys):
     from delta_sorter_spark.cli import main as cli_main
     from delta_sorter_spark.operators.dml import delete_where

@@ -145,6 +145,33 @@ def main() -> int:
           lambda: dml_upsert(DeltaTable(spark, dst), src,
                              ["l_orderkey", "l_linenumber"]))
 
+    # -- row-level CDC: FIXED ~5k-row update + feed read (expected FLAT) -----
+    # a marker batch with negative keys lands in its own file, so zone maps
+    # prune the update's planner scan to that file at BOTH SFs: the whole
+    # line (hit scan + rewrite + cdc materialization + row-level feed read)
+    # is O(hit rows), independent of table size
+    from delta_sorter_spark.operators.dml import table_changes
+    from delta_sorter_spark.operators.dml import update_where as dml_update
+
+    t_cdc = os.path.join(workdir, "li_cdc")
+    tcdc = DeltaTable.create(
+        spark, t_cdc, li.repartition(nparts), stat_columns=["l_orderkey"]
+    )
+    tcdc.set_table_properties({"delta.enableChangeDataFeed": "true"})
+    tcdc.append(
+        li.limit(5_000)
+        .withColumn("l_orderkey", F.lit(-1).cast("bigint"))
+        .coalesce(1)
+    )
+
+    def cdc_run():
+        v0 = tcdc.state().version
+        dml_update(tcdc, "l_orderkey < 0", {"l_quantity": "l_quantity + 1"})
+        table_changes(tcdc, v0).write.format("noop").mode("overwrite").save()
+
+    cdc_run()
+    timed_min("cdc_update_fixed_batch", cdc_run, cdc_run)
+
     # -- LSH / span dedup corpus scans (expected ~linear) --------------------
     queries = entrymod.queries()
     for name in ("e2_minhash_sig", "e3_lsh_candidates", "e56_repeated_spans"):
