@@ -8579,6 +8579,66 @@ FROM final GROUP BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# Q30: CONVERT TO DELTA — adopt a plain Hive-partitioned parquet directory
+# in place (no data bytes move), then prove the adopted table is fully
+# operational: partition-pruned read, DML delete, and an aggregate over
+# the final state.  The oracle replays the same slice + delete + aggregate
+# over the base table — adoption must be invisible to results.
+# ---------------------------------------------------------------------------
+
+
+def q_q30_convert_to_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from delta_sorter_spark.operators.dml import delete_where
+    from delta_sorter_spark.sources.delta_table import DeltaTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    scratch = tempfile.mkdtemp(prefix="q30_conv_")
+    try:
+        plain = os.path.join(scratch, "plain")
+        orders.where(F.col("o_orderkey") % 3 == 0).repartition(
+            4
+        ).write.partitionBy("o_orderstatus").parquet(plain)
+        tbl = DeltaTable.convert_to_delta(
+            spark, plain, stat_columns=["o_orderkey"]
+        )
+        delete_where(tbl, "o_orderkey % 9 = 0")
+        out = (
+            tbl.to_df(where="o_orderstatus = 'F'")
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.round(
+                    F.sum(F.col("price").cast("decimal(18,2)")).cast("double"),
+                    2,
+                ).alias("total_price"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+_Q30_SQL = """
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       round(CAST(sum(CAST(CAST(o_totalprice AS DOUBLE) AS DECIMAL(18,2)))
+                  AS DOUBLE), 2) AS total_price
+FROM orders
+WHERE o_orderkey % 3 = 0 AND o_orderkey % 9 <> 0 AND o_orderstatus = 'F'
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # S8: streaming ingest with continuous ANN-index freshness — the contract a
 # live retrieval corpus needs: the registered index never lags the table by
 # more than one micro-batch.  Seed half the embeddings, build the PQ index,
@@ -10059,6 +10119,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s8_stream_ann_freshness": q_s8_stream_ann_freshness,
         "q28_cdc_row_level": q_q28_cdc_row_level,
         "q29_incremental_rollup": q_q29_incremental_rollup,
+        "q30_convert_to_delta": q_q30_convert_to_delta,
         "p6_crawl_pipeline": q_p6_crawl_pipeline,
         "s6_stream_dedup": q_s6_stream_dedup,
         "e79_wordpiece_train": q_e79_wordpiece_train,
@@ -10183,6 +10244,7 @@ def oracle_sql() -> dict[str, str]:
         "s8_stream_ann_freshness": _Q18_SQL,
         "q28_cdc_row_level": _Q28_SQL,
         "q29_incremental_rollup": _Q29_SQL,
+        "q30_convert_to_delta": _Q30_SQL,
         "p6_crawl_pipeline": _make_p6_sql(),
         "s6_stream_dedup": _S6_SQL,
         "e79_wordpiece_train": _E79_SQL,
