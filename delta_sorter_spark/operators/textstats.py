@@ -310,7 +310,11 @@ def unigram_surprisal(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def bigram_surprisal(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Bigram conditional-surprisal scoring — the quantized form of a
     KenLM-style perplexity filter (the CCNet quality gate), trained on
-    this very corpus.  Per bigram occurrence (w1, w2) the contribution is
+    this very corpus.  The SELF-trained member of the bigram-LM family:
+    :func:`bigram_lm_counts` + :func:`bigram_lm_score` is the
+    cross-corpus form (train on a trusted reference, score candidates),
+    :func:`unigram_surprisal` the zero-context one.  Per bigram
+    occurrence (w1, w2) the contribution is
 
         bits(C(w1·)) - bits(C(w1 w2))
 
