@@ -1545,6 +1545,8 @@ def table_changes(
     meta = table.state(version=to_version).metadata
     spark = table.spark
 
+    from delta_sorter_spark.sources.delta_log import physical_name
+
     def read_paths(paths: list[str], ctype: str, version: int) -> DataFrame:
         files = [os.path.join(table.table_path, p) for p in paths]
         missing = [f for f in files if not os.path.exists(f)]
@@ -1556,8 +1558,12 @@ def table_changes(
         reader = spark.read
         if meta.partition_columns:
             reader = reader.option("basePath", table.table_path)
+        # files (and partition dirs) carry PHYSICAL names (column mapping)
         df = reader.parquet(*files).select(
-            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in meta.schema.fields]
+            *[
+                F.col(physical_name(f)).cast(f.dataType).alias(f.name)
+                for f in meta.schema.fields
+            ]
         )
         return df.withColumn("_change_type", F.lit(ctype)).withColumn(
             "_commit_version", F.lit(version).cast("long")
@@ -1607,7 +1613,7 @@ def table_changes(
                 reader.parquet(*files)
                 .select(
                     *[
-                        F.col(f.name).cast(f.dataType).alias(f.name)
+                        F.col(physical_name(f)).cast(f.dataType).alias(f.name)
                         for f in meta.schema.fields
                     ],
                     F.col("_change_type"),

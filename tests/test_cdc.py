@@ -206,6 +206,26 @@ def test_partitioned_cdc_files_carry_partition_values(spark, tmp_path):
     )
 
 
+def test_cdc_after_column_rename(spark, tmp_path):
+    """Column mapping: cdc files written before AND after a RENAME COLUMN
+    carry the original physical name; the feed returns logical names."""
+    tbl = _cdf_table(spark, str(tmp_path / "t"))
+    v0 = tbl.state().version
+    update_where(tbl, "id = 1", {"amt": "1.5"})
+    tbl.rename_column("amt", "amount")
+    update_where(tbl, "id = 2", {"amount": "2.5"})
+    rows = sorted(
+        (r["id"], r["amount"], r["_change_type"])
+        for r in table_changes(tbl, v0).collect()
+    )
+    assert rows == [
+        (1, 1.5, "update_postimage"),
+        (1, 10.0, "update_preimage"),
+        (2, 2.5, "update_postimage"),
+        (2, 20.0, "update_preimage"),
+    ]
+
+
 def test_vacuum_protects_live_cdc_files(spark, tmp_path):
     tbl = _cdf_table(spark, str(tmp_path / "t"))
     v0 = tbl.state().version
