@@ -530,7 +530,7 @@ def _rewrite_group(table: DeltaTable, grp: RewriteGroup, config: SortConfig) -> 
 def bin_pack_compact(
     spark: SparkSession,
     table_uri: str,
-    target_file_size_bytes: int = 128 * 1024 * 1024,
+    target_file_size_bytes: int | None = None,
     min_file_size_bytes: int | None = None,
     single_job_threshold: int | None = 64,
 ) -> CompactMetrics:
@@ -557,6 +557,16 @@ def bin_pack_compact(
     started = time.monotonic()
     table = DeltaTable(spark, table_uri)
     state = table.state()
+    if target_file_size_bytes is None:
+        # table-level default (delta.targetFileSize), else 128 MiB
+        from delta_sorter_spark.sources.delta_table import _parse_size_bytes
+
+        target_file_size_bytes = (
+            _parse_size_bytes(
+                (state.metadata.configuration or {}).get("delta.targetFileSize")
+            )
+            or 128 * 1024 * 1024
+        )
     small_cut = min_file_size_bytes or target_file_size_bytes // 2
     metrics = CompactMetrics()
     part_cols = state.metadata.partition_columns

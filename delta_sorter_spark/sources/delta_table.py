@@ -237,6 +237,33 @@ def _writer_feature_upgrade(state, new_features: set[str]) -> dict | None:
     return {"protocol": proto}
 
 
+def _parse_size_bytes(raw: str | None) -> int | None:
+    """``delta.targetFileSize`` -> bytes.  Delta's syntax is a byte count
+    as a string; size suffixes (b/kb/mb/gb, case-insensitive, 1024-based)
+    are accepted for operator convenience.  Absent -> None (no cap).  A
+    present-but-unparseable value raises so every later write doesn't
+    silently ignore the operator's intent."""
+    if raw is None or str(raw).strip() == "":
+        return None
+    s = str(raw).strip().lower()
+    mult = 1
+    for suffix, m in (("gb", 1 << 30), ("mb", 1 << 20), ("kb", 1 << 10), ("b", 1)):
+        if s.endswith(suffix):
+            s, mult = s[: -len(suffix)].strip(), m
+            break
+    try:
+        n = int(s)
+    except ValueError:
+        raise ValueError(
+            f"unparseable delta.targetFileSize {raw!r}: expected a byte "
+            "count (optionally suffixed b/kb/mb/gb) — fix with "
+            "set_table_properties({'delta.targetFileSize': '134217728'})"
+        ) from None
+    if n <= 0:
+        raise ValueError(f"delta.targetFileSize must be positive, got {raw!r}")
+    return n * mult
+
+
 def _parse_retention_interval(raw: str | None) -> float:
     """``delta.deletedFileRetentionDuration`` -> seconds (Delta's
     ``interval N weeks|days|hours|minutes|seconds|milliseconds`` syntax;
@@ -1336,6 +1363,13 @@ class DeltaTable:
         if configured:
             stat_columns = list(stat_columns or [])
             stat_columns += [c for c in configured if c not in stat_columns]
+        if target_file_size_bytes is None:
+            # delta.targetFileSize: the table-level default every write
+            # path honors (appends, DML rewrites, compaction); an explicit
+            # argument wins
+            target_file_size_bytes = _parse_size_bytes(
+                (self.metadata.configuration or {}).get("delta.targetFileSize")
+            )
         if self.is_remote:
             return self._stage_write_remote(
                 df,
@@ -1988,6 +2022,9 @@ class DeltaTable:
         ret = props.get("delta.deletedFileRetentionDuration")
         if ret is not None:
             _parse_retention_interval(str(ret))  # raises with repair hint
+        tfs = props.get("delta.targetFileSize")
+        if tfs is not None:
+            _parse_size_bytes(str(tfs))  # raises with repair hint
         enables_cdf = (
             str(props.get("delta.enableChangeDataFeed", "")).lower() == "true"
         )

@@ -93,3 +93,32 @@ def test_vacuum_honors_retention_property(spark, tmp_path):
     # explicit override still wins
     assert len(tbl.vacuum(retention_seconds=0.0)) >= 1
     assert tbl.to_df().count() == 15
+
+
+def test_target_file_size_property(spark, tmp_path):
+    """delta.targetFileSize: the table-level write-size default every
+    staged write honors; explicit arguments win; junk raises at SET time."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from delta_sorter_spark.sources.delta_table import DeltaTable
+
+    path = str(tmp_path / "tfs")
+    tbl = DeltaTable.create(
+        spark, path,
+        spark.range(10).select(F.col("id").alias("k")).coalesce(1),
+    )
+    tbl.set_table_properties({"delta.targetFileSize": "2kb"})
+    big = spark.range(5000).select(F.col("id").alias("k")).coalesce(1)
+    before = len(tbl.state().adds)
+    tbl.append(big)
+    appended = len(tbl.state().adds) - before
+    assert appended > 1  # the 2 KB cap split one input partition
+
+    # explicit argument beats the property
+    adds = tbl.stage_write(big, target_file_size_bytes=1 << 30)
+    assert len(adds) == 1
+    tbl.discard_files(adds)
+
+    with _pytest.raises(ValueError, match="targetFileSize"):
+        tbl.set_table_properties({"delta.targetFileSize": "huge"})
