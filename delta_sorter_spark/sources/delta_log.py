@@ -1114,8 +1114,17 @@ class DeltaLog:
             except (TypeError, ValueError):
                 pass  # malformed property: keep the engine default
         if version > 0 and version % interval == 0:
+            # delta.checkpointPolicy=v2: automatic checkpoints use the
+            # v2Checkpoint layout (sidecar'd file manifest) — the protocol
+            # property stock writers key the same decision on
+            v2 = (
+                str((configuration or {}).get("delta.checkpointPolicy", ""))
+                .strip()
+                .lower()
+                == "v2"
+            )
             try:
-                self.write_checkpoint()
+                self.write_checkpoint(v2=v2)
             except Exception:  # checkpointing is an optimization, never fatal
                 pass
 

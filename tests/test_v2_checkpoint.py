@@ -175,3 +175,35 @@ def test_cli_cleanup_log(spark, tmp_path, capsys):
     ) == 0
     assert "deleted" in capsys.readouterr().out
     assert DeltaTable(spark, tbl.table_path).to_df().count() == 65
+
+
+def test_checkpoint_policy_property_drives_auto_v2(spark, tmp_path):
+    """delta.checkpointPolicy=v2: interval-driven automatic checkpoints
+    use the v2 layout (UUID-named top-level + _sidecars manifest)."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from delta_sorter_spark.sources.delta_table import DeltaTable
+
+    path = str(tmp_path / "ckpol")
+    tbl = DeltaTable.create(
+        spark, path, spark.range(5).select(F.col("id").alias("k")).coalesce(1)
+    )
+    tbl.set_table_properties(
+        {"delta.checkpointInterval": "3", "delta.checkpointPolicy": "v2"}
+    )
+    for i in range(4):
+        tbl.append(
+            spark.range(5).select((F.col("id") + 10 * i).alias("k")).coalesce(1)
+        )
+    log_dir = os.path.join(path, "_delta_log")
+    uuid_cks = [
+        p for p in glob.glob(os.path.join(log_dir, "*.checkpoint.*.parquet"))
+        if "compat" not in p
+    ]
+    assert uuid_cks, "no v2 (UUID-named) checkpoint written by the interval"
+    assert glob.glob(os.path.join(log_dir, "_sidecars", "*.parquet"))
+    # replay through the v2 checkpoint stays exact
+    assert tbl.to_df().count() == 25
