@@ -3133,10 +3133,47 @@ class DeltaTable:
         """Table-configured zone-map columns (Delta's
         ``delta.dataSkippingStatsColumns``, comma-separated logical names).
         ``create(stat_columns=...)`` records them; every ``stage_write``
-        unions them into its per-call stat columns."""
+        unions them into its per-call stat columns.
+
+        When the explicit list is absent, Delta's
+        ``delta.dataSkippingNumIndexedCols`` is honored: the first N
+        leaf-eligible schema columns (orderable scalars — no VARIANT, no
+        nested/array/map/binary) get zone maps.  Unlike stock Delta this
+        engine does NOT default N to 32 — stats are opt-in (write cost is
+        explicit) — but a table that sets the property gets the stock
+        behavior."""
         meta = meta if meta is not None else self.metadata
-        raw = (meta.configuration or {}).get(self.STATS_COLUMNS_PROP, "")
-        return [c.strip() for c in raw.split(",") if c.strip()]
+        cfg = meta.configuration or {}
+        raw = cfg.get(self.STATS_COLUMNS_PROP, "")
+        cols = [c.strip() for c in raw.split(",") if c.strip()]
+        if cols:
+            return cols
+        raw_n = cfg.get("delta.dataSkippingNumIndexedCols")
+        if raw_n is None:
+            return []
+        try:
+            n = int(str(raw_n).strip())
+        except ValueError:
+            return []  # malformed: keep the engine's opt-in default
+        if n <= 0:
+            return []
+        out: list[str] = []
+        for f in meta.schema.fields:
+            if len(out) >= n:
+                break
+            if isinstance(
+                f.dataType,
+                (
+                    T.NumericType,
+                    T.StringType,
+                    T.DateType,
+                    T.TimestampType,
+                    T.TimestampNTZType,
+                    T.BooleanType,
+                ),
+            ):
+                out.append(f.name)
+        return out
 
     # -- metadata-only aggregates (zero-scan, from log stats) ---------------
 

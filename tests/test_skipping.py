@@ -797,3 +797,25 @@ def test_files_matching_equals_pruned_read(skip_table):
         tuple(r) for r in skip_table.to_df(where=pred).collect()
     )
     assert via_subset == via_where
+
+
+def test_num_indexed_cols_property(spark, tmp_path):
+    """delta.dataSkippingNumIndexedCols: with no explicit stat-column
+    list, the first N orderable columns get zone maps on every write."""
+    from pyspark.sql import functions as F
+
+    from delta_sorter_spark.sources.delta_table import DeltaTable
+
+    path = str(tmp_path / "nidx")
+    df = spark.range(50).select(
+        F.col("id").alias("a"),
+        (F.col("id") * 2).alias("b"),
+        F.concat(F.lit("x"), F.col("id")).alias("c"),
+    )
+    tbl = DeltaTable.create(spark, path, df.coalesce(1))
+    assert not (tbl.state().adds[0].stats or {}).get("minValues")
+    tbl.set_table_properties({"delta.dataSkippingNumIndexedCols": "2"})
+    tbl.append(df.coalesce(1))
+    fresh = [a for a in tbl.state().adds if (a.stats or {}).get("minValues")]
+    assert len(fresh) == 1
+    assert sorted(fresh[0].stats["minValues"]) == ["a", "b"]  # first 2 only
