@@ -192,7 +192,8 @@ def build_parser() -> argparse.ArgumentParser:
         help="OPTIMIZE-style bin-packing compaction (no sort): coalesce "
         "each partition's small files (< half --target-file-size-bytes) "
         "into ~target-sized files in one dataChange=false commit, then "
-        "exit; honors --single-job-threshold",
+        "exit; honors --single-job-threshold and --predicate "
+        "(OPTIMIZE ... WHERE: only matching partitions are packed)",
     )
     p.add_argument(
         "--convert",
@@ -476,6 +477,7 @@ def _run(args, sort_columns, api) -> int:
                     else {}
                 ),
                 single_job_threshold=args.single_job_threshold or None,
+                predicate=args.predicate,
             )
             print(
                 f"bin-pack planned={m.planned_partitions} "

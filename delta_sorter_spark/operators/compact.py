@@ -533,6 +533,7 @@ def bin_pack_compact(
     target_file_size_bytes: int | None = None,
     min_file_size_bytes: int | None = None,
     single_job_threshold: int | None = 64,
+    predicate: str | None = None,
 ) -> CompactMetrics:
     """Delta OPTIMIZE-style bin-packing compaction — NO sort involved:
     coalesce each partition's small files (< ``min_file_size_bytes``,
@@ -572,6 +573,10 @@ def bin_pack_compact(
     part_cols = state.metadata.partition_columns
 
     groups = group_by_partition(state.adds)
+    if predicate:
+        # OPTIMIZE ... WHERE: partition-scoped bin-packing (the predicate
+        # evaluates against partition VALUES — P5's planner-only check)
+        groups = _scope_groups_by_predicate(table, groups, predicate)
     qualifying: list[tuple[RewriteGroup, list]] = []
     for grp in sorted(groups, key=lambda g: -g.estimated_bytes):
         small = [a for a in grp.files if a.size < small_cut]

@@ -747,3 +747,33 @@ def test_cli_attest(spark, tmp_path, capsys):
     rc = cli_main(["--table", path, "--sort-columns", "k", "--attest",
                    "--log-level", "warn"])
     assert "attested=0" in capsys.readouterr().out
+
+
+def test_bin_pack_predicate_scopes_partitions(spark, tmp_path, capsys):
+    """OPTIMIZE ... WHERE: --bin-pack with --predicate coalesces only the
+    matching partitions' small files."""
+    from pyspark.sql import functions as F
+
+    from delta_sorter_spark.cli import main as cli_main
+    from delta_sorter_spark.operators.compact import bin_pack_compact
+
+    path = str(tmp_path / "bpw")
+    df = spark.range(40).select((F.col("id") % 2).alias("p"), F.col("id").alias("v"))
+    tbl = DeltaTable.create(spark, path, df.repartition(4), partition_columns=["p"])
+    files_by_part = {}
+    for a in tbl.state().adds:
+        files_by_part.setdefault(a.partition_values.get("p"), []).append(a.path)
+    assert all(len(v) >= 2 for v in files_by_part.values())
+
+    m = bin_pack_compact(spark, path, predicate="p = 0")
+    assert m.rewritten_partitions == 1
+    after = {}
+    for a in tbl.state().adds:
+        after.setdefault(a.partition_values.get("p"), []).append(a.path)
+    assert len(after["0"]) == 1                      # packed
+    assert set(after["1"]) == set(files_by_part["1"])  # untouched
+    # CLI combo
+    rc = cli_main(["--table", path, "--bin-pack", "--predicate", "p = 1",
+                   "--log-level", "warn"])
+    assert rc == 0
+    assert len({a.path for a in tbl.state().adds if a.partition_values.get("p") == "1"}) == 1
