@@ -737,7 +737,7 @@ class DeltaLog:
         out = []
         for v in reversed(self._commit_versions()):
             info = {"version": v, "timestamp": None, "operation": None,
-                    "operationParameters": {}}
+                    "operationParameters": {}, "operationMetrics": {}}
             for action in self.commit_actions(v):
                 if "commitInfo" in action:
                     ci = action["commitInfo"]
@@ -749,6 +749,7 @@ class DeltaLog:
                         ),
                         operation=ci.get("operation"),
                         operationParameters=ci.get("operationParameters", {}),
+                        operationMetrics=ci.get("operationMetrics", {}),
                     )
                     break
             out.append(info)
@@ -1231,9 +1232,46 @@ class DeltaLog:
         }
         if in_commit_timestamp is not None:
             info["inCommitTimestamp"] = in_commit_timestamp
+        # operationMetrics (DESCRIBE HISTORY parity): derived generically
+        # from this commit's own actions — no call-site plumbing.  Values
+        # are strings, Delta's serialization.
+        serialized = [a.to_json() if hasattr(a, "to_json") else a for a in actions]
+        n_add = n_rm = n_cdc = 0
+        bytes_out = 0
+        rows_out: int | None = 0
+        for d in serialized:
+            if "add" in d:
+                n_add += 1
+                bytes_out += int(d["add"].get("size") or 0)
+                stats = d["add"].get("stats")
+                if isinstance(stats, str):
+                    try:
+                        stats = json.loads(stats)
+                    except ValueError:
+                        stats = None
+                n = (stats or {}).get("numRecords") if isinstance(stats, dict) else None
+                if n is None:
+                    rows_out = None  # unknown for >=1 file: omit the metric
+                elif rows_out is not None:
+                    rows_out += int(n)
+            elif "remove" in d:
+                n_rm += 1
+            elif "cdc" in d:
+                n_cdc += 1
+        if n_add or n_rm or n_cdc:
+            metrics = {
+                "numOutputFiles": str(n_add),
+                "numRemovedFiles": str(n_rm),
+                "numOutputBytes": str(bytes_out),
+            }
+            if rows_out is not None and n_add:
+                metrics["numOutputRows"] = str(rows_out)
+            if n_cdc:
+                metrics["numCdcFiles"] = str(n_cdc)
+            info["operationMetrics"] = metrics
         lines = [json.dumps({"commitInfo": info})]
-        for a in actions:
-            lines.append(json.dumps(a.to_json() if hasattr(a, "to_json") else a))
+        for d in serialized:
+            lines.append(json.dumps(d))
         target = self.fs.join(self.log_dir, f"{version:020d}.json")
         data = ("\n".join(lines) + "\n").encode("utf-8")
         try:

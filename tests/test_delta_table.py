@@ -536,3 +536,30 @@ def test_detail_describes_table(spark, tmp_path):
     assert d1["minReaderVersion"] == 3  # DV protocol upgrade
     # time travel reproduces the pre-delete shape
     assert t.detail(version=d0["version"]) == d0
+
+
+def test_commit_operation_metrics(spark, tmp_path):
+    """commitInfo.operationMetrics (DESCRIBE HISTORY parity): derived from
+    each commit's own actions — files/bytes/rows out, removed, cdc files."""
+    from pyspark.sql import functions as F
+
+    from delta_sorter_spark.operators.dml import update_where
+    from delta_sorter_spark.sources.delta_table import DeltaTable
+
+    path = str(tmp_path / "opm")
+    tbl = DeltaTable.create(
+        spark, path, spark.range(20).select(F.col("id").alias("k")).coalesce(1)
+    )
+    hist = {h["version"]: h for h in tbl.log.history()}
+    data_v = max(hist)
+    m = hist[data_v]["operationMetrics"]
+    assert m["numOutputFiles"] == "1" and m["numOutputRows"] == "20"
+    assert int(m["numOutputBytes"]) > 0 and m["numRemovedFiles"] == "0"
+
+    tbl.set_table_properties({"delta.enableChangeDataFeed": "true"})
+    update_where(tbl, "k < 5", {"k": "k + 100"})
+    m = tbl.log.history()[0]["operationMetrics"]
+    assert m["numRemovedFiles"] == "1" and int(m["numCdcFiles"]) >= 1
+    # the metadata-only property commit carries no metrics
+    prop_v = [h for h in tbl.log.history() if h["operation"] == "SET TBLPROPERTIES"]
+    assert prop_v and prop_v[0]["operationMetrics"] == {}
