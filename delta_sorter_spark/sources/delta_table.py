@@ -237,6 +237,55 @@ def _writer_feature_upgrade(state, new_features: set[str]) -> dict | None:
     return {"protocol": proto}
 
 
+def stats_columns_for(
+    meta: "TableMetadata",
+    prop: str = "delta.dataSkippingStatsColumns",
+) -> list[str]:
+    """Table-configured zone-map columns (Delta's
+    ``delta.dataSkippingStatsColumns``, comma-separated logical names).
+    ``create(stat_columns=...)`` records them; every ``stage_write``
+    unions them into its per-call stat columns.
+
+    When the explicit list is absent, Delta's
+    ``delta.dataSkippingNumIndexedCols`` is honored: the first N
+    leaf-eligible schema columns (orderable scalars — no VARIANT, no
+    nested/array/map/binary) get zone maps.  Unlike stock Delta this
+    engine does NOT default N to 32 — stats are opt-in (write cost is
+    explicit) — but a table that sets the property gets the stock
+    behavior."""
+    cfg = meta.configuration or {}
+    raw = cfg.get(prop, "")
+    cols = [c.strip() for c in raw.split(",") if c.strip()]
+    if cols:
+        return cols
+    raw_n = cfg.get("delta.dataSkippingNumIndexedCols")
+    if raw_n is None:
+        return []
+    try:
+        n = int(str(raw_n).strip())
+    except ValueError:
+        return []  # malformed: keep the engine's opt-in default
+    if n <= 0:
+        return []
+    out: list[str] = []
+    for f in meta.schema.fields:
+        if len(out) >= n:
+            break
+        if isinstance(
+            f.dataType,
+            (
+                T.NumericType,
+                T.StringType,
+                T.DateType,
+                T.TimestampType,
+                T.TimestampNTZType,
+                T.BooleanType,
+            ),
+        ):
+            out.append(f.name)
+    return out
+
+
 def _parse_size_bytes(raw: str | None) -> int | None:
     """``delta.targetFileSize`` -> bytes.  Delta's syntax is a byte count
     as a string; size suffixes (b/kb/mb/gb, case-insensitive, 1024-based)
@@ -3130,50 +3179,13 @@ class DeltaTable:
     STATS_COLUMNS_PROP = "delta.dataSkippingStatsColumns"
 
     def stats_columns(self, meta: TableMetadata | None = None) -> list[str]:
-        """Table-configured zone-map columns (Delta's
-        ``delta.dataSkippingStatsColumns``, comma-separated logical names).
-        ``create(stat_columns=...)`` records them; every ``stage_write``
-        unions them into its per-call stat columns.
-
-        When the explicit list is absent, Delta's
-        ``delta.dataSkippingNumIndexedCols`` is honored: the first N
-        leaf-eligible schema columns (orderable scalars — no VARIANT, no
-        nested/array/map/binary) get zone maps.  Unlike stock Delta this
-        engine does NOT default N to 32 — stats are opt-in (write cost is
-        explicit) — but a table that sets the property gets the stock
-        behavior."""
-        meta = meta if meta is not None else self.metadata
-        cfg = meta.configuration or {}
-        raw = cfg.get(self.STATS_COLUMNS_PROP, "")
-        cols = [c.strip() for c in raw.split(",") if c.strip()]
-        if cols:
-            return cols
-        raw_n = cfg.get("delta.dataSkippingNumIndexedCols")
-        if raw_n is None:
-            return []
-        try:
-            n = int(str(raw_n).strip())
-        except ValueError:
-            return []  # malformed: keep the engine's opt-in default
-        if n <= 0:
-            return []
-        out: list[str] = []
-        for f in meta.schema.fields:
-            if len(out) >= n:
-                break
-            if isinstance(
-                f.dataType,
-                (
-                    T.NumericType,
-                    T.StringType,
-                    T.DateType,
-                    T.TimestampType,
-                    T.TimestampNTZType,
-                    T.BooleanType,
-                ),
-            ):
-                out.append(f.name)
-        return out
+        """Table-configured zone-map columns — see
+        :func:`stats_columns_for` (module-level so Spark-free contexts like
+        the streaming sink's commit plane share the exact resolution)."""
+        return stats_columns_for(
+            meta if meta is not None else self.metadata,
+            self.STATS_COLUMNS_PROP,
+        )
 
     # -- metadata-only aggregates (zero-scan, from log stats) ---------------
 

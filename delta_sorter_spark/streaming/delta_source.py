@@ -56,7 +56,9 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 
 from delta_sorter_spark.sources.delta_log import AddAction, DeltaLog, physical_name
@@ -758,6 +760,170 @@ class DeltaStreamReader(DataSourceStreamReader):
         self._vfiles = {k: n for k, n in self._vfiles.items() if k > v}
 
 
+class _SinkCommitMessage(WriterCommitMessage):
+    """One staged parquet file written by an executor task."""
+
+    def __init__(self, rel_path: str, size: int, num_records: int):
+        self.rel_path = rel_path
+        self.size = size
+        self.num_records = num_records
+
+
+class DeltaStreamWriter(DataSourceStreamWriter):
+    """``writeStream.format("delta_sorter")`` — the native append sink:
+    executors stage one parquet file per non-empty task under
+    ``_staging/sink/``, the driver-side ``commit`` moves them into the
+    table with exact write-time stats (zone maps + keyStats attestation,
+    the same `_file_stats` every other write path uses) and ONE log
+    commit per micro-batch — entirely through the pure-Python log plane,
+    no Spark session needed at commit time.
+
+    ``.option("txnAppId", ...)`` makes the sink EXACTLY-ONCE beyond the
+    checkpoint: each batch commits a SetTransaction (appId, batchId), so
+    a redelivered batch — even after checkpoint loss, when batch ids
+    restart — is dropped before any log write.  Without the option the
+    checkpoint alone dedups (Delta's own sink keys this off the query id,
+    which the Python sink API does not expose — the explicit option is
+    the honest equivalent).
+
+    v1 capability gates (all refused loudly at query start): remote-URI
+    tables, partitioned tables (use ``streaming/events.delta_append_sink``
+    via foreachBatch), CHECK constraints / column invariants (enforcement
+    needs a scan), identity / generated / DEFAULT-valued columns (writer-
+    computed values), column mapping.  ``delta.appendOnly`` tables are
+    fine — this sink only appends."""
+
+    def __init__(self, options, schema: T.StructType):
+        from delta_sorter_spark.sources.fs import is_remote_uri
+
+        self.table_path = options["path"]
+        if is_remote_uri(self.table_path):
+            raise NotImplementedError(
+                "delta_sorter sink: remote table URIs are not supported; "
+                "use a foreachBatch sink (streaming/events.delta_append_sink)"
+            )
+        state = DeltaLog(self.table_path).read_state()
+        meta = state.metadata
+        if meta.partition_columns:
+            raise NotImplementedError(
+                "delta_sorter sink: partitioned tables are not supported; "
+                "use a foreachBatch sink (streaming/events.delta_append_sink)"
+            )
+        if meta.write_constraints:
+            raise NotImplementedError(
+                "delta_sorter sink: the table declares CHECK constraints / "
+                "invariants; enforcement needs a scan — use a foreachBatch "
+                "sink with DeltaTable.append"
+            )
+        cfg = meta.configuration or {}
+        if cfg.get("delta.columnMapping.mode") in ("name", "id"):
+            raise NotImplementedError(
+                "delta_sorter sink: column-mapped tables are not supported"
+            )
+        for f in meta.schema.fields:
+            md = f.metadata or {}
+            if any(k.startswith("delta.identity.") for k in md) or (
+                "delta.generationExpression" in md
+            ) or ("CURRENT_DEFAULT" in md):
+                raise NotImplementedError(
+                    f"delta_sorter sink: column {f.name!r} needs writer-"
+                    "computed values (identity/generated/DEFAULT); use a "
+                    "foreachBatch sink with DeltaTable.append"
+                )
+        want = [(f.name, f.dataType.simpleString()) for f in meta.schema.fields]
+        got = [(f.name, f.dataType.simpleString()) for f in schema.fields]
+        if want != got:
+            raise ValueError(
+                f"delta_sorter sink: stream schema {got} does not match the "
+                f"table schema {want}"
+            )
+        self.schema_json = meta.schema.json()
+        self.txn_app_id = options.get("txnAppId")
+        from delta_sorter_spark.sources.delta_table import stats_columns_for
+
+        self.stat_cols = stats_columns_for(meta)
+
+    def write(self, iterator):
+        import uuid as _uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rows = list(iterator)
+        if not rows:
+            return None
+        schema = T.StructType.fromJson(json.loads(self.schema_json))
+        arrow_schema = pa.schema(
+            [(f.name, _arrow_type(f.dataType)) for f in schema.fields]
+        )
+        data = {f.name: [r[f.name] for r in rows] for f in schema.fields}
+        tbl = pa.table(data, schema=arrow_schema)
+        rel = f"_staging/sink/{_uuid.uuid4().hex}.parquet"
+        dest = os.path.join(self.table_path, rel)
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
+        pq.write_table(tbl, dest, compression="snappy")
+        return _SinkCommitMessage(rel, os.path.getsize(dest), tbl.num_rows)
+
+    def _discard(self, messages) -> None:
+        for m in messages:
+            if m is None:
+                continue
+            try:
+                os.remove(os.path.join(self.table_path, m.rel_path))
+            except OSError:
+                pass
+
+    def commit(self, messages, batchId: int) -> None:
+        import time as _time
+        import uuid as _uuid
+
+        from delta_sorter_spark.sources.delta_table import _file_stats
+
+        msgs = [m for m in messages if m is not None]
+        log = DeltaLog(self.table_path)
+        if self.txn_app_id is not None:
+            state = log.read_state()
+            if state.txns.get(self.txn_app_id, -1) >= batchId:
+                self._discard(msgs)  # redelivered batch: exactly-once drop
+                return
+        if not msgs:
+            return
+        adds = []
+        for m in msgs:
+            src = os.path.join(self.table_path, m.rel_path)
+            name = f"part-{batchId:05d}-{_uuid.uuid4().hex}.snappy.parquet"
+            dest = os.path.join(self.table_path, name)
+            os.replace(src, dest)
+            adds.append(
+                AddAction(
+                    path=name,
+                    size=m.size,
+                    modification_time=int(os.path.getmtime(dest) * 1000),
+                    data_change=True,
+                    stats=_file_stats(dest, self.stat_cols),
+                )
+            )
+        actions: list = []
+        if self.txn_app_id is not None:
+            actions.append(
+                {
+                    "txn": {
+                        "appId": self.txn_app_id,
+                        "version": int(batchId),
+                        "lastUpdated": int(_time.time() * 1000),
+                    }
+                }
+            )
+        log.commit_with_retry(
+            lambda state: list(actions) + list(adds),
+            operation="STREAMING UPDATE",
+            operation_params={"outputMode": "Append", "epochId": str(batchId)},
+        )
+
+    def abort(self, messages, batchId: int) -> None:
+        self._discard(messages)
+
+
 class DeltaStreamDataSource(DataSource):
     """``format("delta_sorter")`` — register with
     ``spark.dataSource.register(DeltaStreamDataSource)``.
@@ -776,7 +942,11 @@ class DeltaStreamDataSource(DataSource):
     driver's AWS settings — ``fs.capture_aws_env()`` — required for remote
     URIs whenever those settings changed after the SparkSession started,
     because the source's planner runs in python workers that inherit the
-    older environment)."""
+    older environment).
+
+    Also a streaming SINK: ``writeStream.format("delta_sorter")`` appends
+    micro-batches natively (see :class:`DeltaStreamWriter`; ``txnAppId``
+    option for exactly-once beyond the checkpoint)."""
 
     @classmethod
     def name(cls) -> str:
@@ -813,3 +983,10 @@ class DeltaStreamDataSource(DataSource):
 
     def streamReader(self, schema):
         return DeltaStreamReader(self.options, schema)
+
+    def streamWriter(self, schema, overwrite: bool):
+        if overwrite:
+            raise NotImplementedError(
+                "delta_sorter sink: append output mode only"
+            )
+        return DeltaStreamWriter(self.options, schema)

@@ -763,3 +763,82 @@ def test_max_bytes_per_trigger_bounds_batches(registered, tmp_path):
 
     with _pytest.raises(ValueError, match="maxBytesPerTrigger"):
         DeltaStreamReader({"path": path, "maxBytesPerTrigger": "0"})
+
+
+# ---------------------------------------------------------------------------
+# writeStream.format("delta_sorter"): the native append sink (executors
+# stage parquet, the driver-side commit moves files + writes ONE log commit
+# per micro-batch through the pure-Python log plane)
+# ---------------------------------------------------------------------------
+
+
+def _sink_drain(spark, src_dir, table_path, ck, schema, **opts):
+    reader = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    writer = reader.writeStream.format("delta_sorter").option("path", table_path)
+    for k, v in opts.items():
+        writer = writer.option(k, v)
+    q = (
+        writer.option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+
+def test_native_sink_appends_with_stats(registered, tmp_path):
+    spark = registered
+    src = str(tmp_path / "src")
+    df = spark.range(40).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    df.repartition(2).write.parquet(src)
+    table_path = str(tmp_path / "t")
+    tbl = DeltaTable.create(
+        spark, table_path, df.limit(0).coalesce(1), stat_columns=["k"]
+    )
+    _sink_drain(spark, src, table_path, str(tmp_path / "ck"), df.schema)
+    got = sorted((r["k"], r["v"]) for r in tbl.to_df().collect())
+    assert got == [(i, 2 * i) for i in range(40)]
+    # write-time stats landed (zone maps + keyStats attestation)
+    fresh = [
+        a for a in tbl.state().adds
+        if a.stats and a.stats.get("numRecords", 0) > 0
+    ]
+    assert fresh and all("k" in a.stats["minValues"] for a in fresh)
+    assert all("keyStats" in a.stats for a in fresh)
+    h = tbl.log.history()[0]
+    assert h["operation"] == "STREAMING UPDATE"
+
+
+def test_native_sink_txn_exactly_once_across_checkpoint_loss(registered, tmp_path):
+    """txnAppId: batch ids restart at 0 after checkpoint loss; the recorded
+    SetTransaction drops the redelivered batches before any log write."""
+    spark = registered
+    src = str(tmp_path / "src")
+    df = spark.range(10).select(F.col("id").alias("k"), F.col("id").alias("v"))
+    df.coalesce(1).write.parquet(src)
+    table_path = str(tmp_path / "t")
+    tbl = DeltaTable.create(spark, table_path, df.limit(0).coalesce(1))
+    _sink_drain(spark, src, table_path, str(tmp_path / "ck1"), df.schema,
+                txnAppId="sinkq")
+    assert tbl.to_df().count() == 10
+    # fresh checkpoint, same source, same txnAppId: batch 0 redelivers
+    _sink_drain(spark, src, table_path, str(tmp_path / "ck2"), df.schema,
+                txnAppId="sinkq")
+    assert tbl.to_df().count() == 10  # dropped, not doubled
+
+
+def test_native_sink_refuses_partitioned_tables(registered, tmp_path):
+    spark = registered
+    df = spark.range(10).select((F.col("id") % 2).alias("p"), F.col("id").alias("v"))
+    table_path = str(tmp_path / "t")
+    DeltaTable.create(spark, table_path, df.coalesce(1), partition_columns=["p"])
+    src = str(tmp_path / "src")
+    df.coalesce(1).write.parquet(src)
+    with pytest.raises(Exception, match="partitioned"):
+        _sink_drain(
+            spark, src, table_path, str(tmp_path / "ck"),
+            spark.read.parquet(src).schema,
+        )
