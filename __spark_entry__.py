@@ -8502,6 +8502,81 @@ FROM live5 WHERE o_orderkey % 10 = 3
 
 
 # ---------------------------------------------------------------------------
+# S9: native streaming sink — writeStream.format("delta_sorter") appends
+# micro-batches through the pure-Python log plane (executor-staged parquet,
+# one commit per batch, write-time stats, txnAppId exactly-once).  The
+# drained table's aggregate must equal the batch recompute; the oracle is
+# the plain SQL aggregate (streaming + the sink are invisible to results,
+# the s7 pattern).
+# ---------------------------------------------------------------------------
+
+
+def q_s9_native_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from delta_sorter_spark.sources.delta_table import DeltaTable
+    from delta_sorter_spark.streaming.delta_source import DeltaStreamDataSource
+
+    spark.dataSource.register(DeltaStreamDataSource)
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    scratch = tempfile.mkdtemp(prefix="s9_sink_")
+    try:
+        src = os.path.join(scratch, "src")
+        events.repartition(3).write.parquet(src)
+        tbl = DeltaTable.create(
+            spark,
+            os.path.join(scratch, "t"),
+            events.limit(0).coalesce(1),
+            stat_columns=["event_id"],
+        )
+        q = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .writeStream.format("delta_sorter")
+            .option("path", tbl.table_path)
+            .option("txnAppId", "s9-sink")
+            .option("checkpointLocation", os.path.join(scratch, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        # the sink's write-time stats must be live (zone maps on event_id)
+        assert all(
+            "event_id" in (a.stats or {}).get("minValues", {})
+            for a in tbl.state().adds
+            if (a.stats or {}).get("numRecords", 0) > 0
+        )
+        out = (
+            tbl.to_df()
+            .groupBy("event_type")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.round(
+                    F.sum(F.col("value").cast("decimal(18,6)")).cast("double"),
+                    4,
+                ).alias("sum_value"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+_S9_SQL = """
+SELECT event_type,
+       count(*) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4)
+         AS sum_value
+FROM events GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # P8: multi-hop CDC apply (the medallion bronze->silver shape) — the
 # canonical change-feed consumer: a downstream mirror is maintained purely
 # by applying the upstream's change feed, one MERGE + DELETE pair per
@@ -10214,6 +10289,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q29_incremental_rollup": q_q29_incremental_rollup,
         "q30_convert_to_delta": q_q30_convert_to_delta,
         "p8_cdc_multihop": q_p8_cdc_multihop,
+        "s9_native_sink": q_s9_native_sink,
         "p6_crawl_pipeline": q_p6_crawl_pipeline,
         "s6_stream_dedup": q_s6_stream_dedup,
         "e79_wordpiece_train": q_e79_wordpiece_train,
@@ -10340,6 +10416,7 @@ def oracle_sql() -> dict[str, str]:
         "q29_incremental_rollup": _Q29_SQL,
         "q30_convert_to_delta": _Q30_SQL,
         "p8_cdc_multihop": _P8_SQL,
+        "s9_native_sink": _S9_SQL,
         "p6_crawl_pipeline": _make_p6_sql(),
         "s6_stream_dedup": _S6_SQL,
         "e79_wordpiece_train": _E79_SQL,
