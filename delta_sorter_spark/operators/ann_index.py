@@ -61,6 +61,7 @@ from delta_sorter_spark.operators.bloom_index import (
 )
 from delta_sorter_spark.operators.ivf import pq_assign, pq_encode
 from delta_sorter_spark.sources.delta_table import DeltaTable
+from delta_sorter_spark.functions.localframe import local_df
 
 ANN_PROP_PREFIX = "deltasort.annIndex."
 
@@ -158,7 +159,7 @@ def _read_codes_union(
         ).withColumn("gen", F.lit(int(part["gen"])))
         out = df if out is None else out.unionByName(df)
     if out is None:  # an empty-table index has no parts at all
-        out = table.spark.createDataFrame(
+        out = local_df(table.spark, 
             [], _codes_ddl(m, ivf) + ", gen int"
         )
     return out
@@ -174,7 +175,7 @@ def ann_codes(table: DeltaTable, column: str, spec: dict | None = None) -> DataF
         raise KeyError(f"no ann index on column {column!r}")
     m, ivf = int(spec["m"]), "n_centroids" in spec
     manifest = _read_manifest_rows(table, spec)
-    auth = table.spark.createDataFrame(
+    auth = local_df(table.spark, 
         [(p, g) for p, _d, g in manifest] or [("", -1)], "path string, gen int"
     )
     return (
@@ -226,6 +227,12 @@ def _write_datasets(
     # whole parts — "partition the codes dataset by centroid and a probe
     # prunes files too", made physical
     nparts = max(1, min(64, -(-n_files // 64)))
+    # materialize the (codes-width) rows BEFORE the range exchange:
+    # repartitionByRange's sampling pass executes its child once and the
+    # shuffle re-executes it, so an un-checkpointed layout ran the whole
+    # encode pipeline TWICE (guide §1.2); the checkpoint holds m ints +
+    # path per row — the narrow proxy, never the embeddings
+    codes = codes.localCheckpoint(eager=True)
     if coarse is not None:
         # enough parts that each covers ~a few inverted lists — file-level
         # pruning needs file boundaries to prune at; row-group sorting
@@ -255,10 +262,13 @@ def _read_coarse(table: DeltaTable, spec: dict) -> DataFrame:
     ).localCheckpoint(eager=True)
 
 
-def _residualize(normed: DataFrame, coarse: DataFrame) -> DataFrame:
+def _residualize(
+    normed: DataFrame, coarse: DataFrame, extra_cols: tuple = ()
+) -> DataFrame:
     """(__annid__, centroid, __orig__, __res__): assign each normalized
     vector to its coarse list and subtract that centroid — the residual
-    the PQ codebooks see under ``residual=True``."""
+    the PQ codebooks see under ``residual=True``.  ``extra_cols`` (e.g.
+    ``path``) pass through unchanged."""
     from delta_sorter_spark.operators.ivf import _assign
 
     return (
@@ -270,6 +280,7 @@ def _residualize(normed: DataFrame, coarse: DataFrame) -> DataFrame:
             F.expr(
                 "zip_with(__annemb__, cvec, (x, y) -> CAST(x AS DOUBLE) - y)"
             ).alias("__res__"),
+            *[F.col(c) for c in extra_cols],
         )
     )
 
@@ -340,41 +351,41 @@ def build_ann_index(
             F.expr(
                 _normalize_expr("__annemb__") if normalize else "__annemb__"
             ).alias("__annemb__"),
+            F.col("path"),
         )
         coarse = kmeans_centroids(
             normed, "__annemb__", dim, int(n_centroids), n_iters,
             id_col="__annid__",
         ).localCheckpoint(eager=True)
+    # `path` (and `centroid` for residual) ride the encode map-side via
+    # extra_cols — no id-keyed re-attach join of the corpus (guide §8)
     if residual:
         # codes quantize x - coarse_centroid(x); the inverted-list id rides
         # along, the ORIGINAL vector does NOT — exact cosine re-reads the
         # table for the serve shortlist (_exact_rank)
-        res = _residualize(normed, coarse).localCheckpoint(eager=True)
+        res = _residualize(normed, coarse, extra_cols=("path",)).localCheckpoint(
+            eager=True
+        )
         codes, codebooks = pq_encode(
             res, "__annid__", "__res__", dim, m, n_codes, n_iters,
-            normalize=False,
+            normalize=False, extra_cols=("centroid", "path"),
         )
-        codes = codes.drop("__cemb__").join(
-            res.select(F.col("__annid__").alias("id"), "centroid"), "id"
-        )
+        codes = codes.drop("__cemb__")
     else:
         codes, codebooks = pq_encode(
             rows, "__annid__", "__annemb__", dim, m, n_codes, n_iters,
-            normalize,
+            normalize, extra_cols=("path",),
         )
         if coarse is not None:
             # inverted-list id per code row (codes' __cemb__ is the same
             # normalized vector the coarse quantizer trained on)
             codes = _assign(codes, coarse, "__cemb__")
         codes = codes.drop("__cemb__")
-    codes = codes.join(
-        rows.select(F.col("__annid__").alias("id"), "path"), "id"
-    )
     cb_union = None
     for j, cb in enumerate(codebooks):
         part = cb.select(F.lit(j).alias("m"), "centroid", "cvec")
         cb_union = part if cb_union is None else cb_union.unionByName(part)
-    files = table.spark.createDataFrame(
+    files = local_df(table.spark, 
         [(a.path, _dv_digest(a), 0) for a in state.adds],
         "path string, dv string, gen int",
     )
@@ -421,6 +432,8 @@ def _encode_adds(table, spec, column, adds, codebooks, coarse):
     residual = bool(spec.get("residual"))
     id_col, normalize = spec["id_col"], bool(spec["normalize"])
     rows = _rows_with_path(table, adds, id_col, column)
+    # `path` (and `centroid` for residual) ride the encode map-side via
+    # extra_cols — no id-keyed re-attach join (guide §8)
     if residual:
         from delta_sorter_spark.operators.ivf import _normalize_expr
 
@@ -429,16 +442,17 @@ def _encode_adds(table, spec, column, adds, codebooks, coarse):
             F.expr(
                 _normalize_expr("__annemb__") if normalize else "__annemb__"
             ).alias("__annemb__"),
+            F.col("path"),
         )
-        res = _residualize(normed, coarse)
+        res = _residualize(normed, coarse, extra_cols=("path",))
         fresh = pq_assign(
-            res, "__annid__", "__res__", codebooks, dim, normalize=False
-        ).drop("__cemb__", "centroid").join(
-            res.select(F.col("__annid__").alias("id"), "centroid"), "id"
-        )
+            res, "__annid__", "__res__", codebooks, dim, normalize=False,
+            extra_cols=("centroid", "path"),
+        ).drop("__cemb__")
     else:
         fresh = pq_assign(
-            rows, "__annid__", "__annemb__", codebooks, dim, normalize
+            rows, "__annid__", "__annemb__", codebooks, dim, normalize,
+            extra_cols=("path",),
         )
         if ivf:
             from delta_sorter_spark.operators.ivf import _assign
@@ -447,15 +461,15 @@ def _encode_adds(table, spec, column, adds, codebooks, coarse):
             # inverted list they would have at build time
             fresh = _assign(fresh, coarse, "__cemb__")
         fresh = fresh.drop("__cemb__")
-    fresh = fresh.join(
-        rows.select(F.col("__annid__").alias("id"), "path"), "id"
-    )
     return fresh.select(*_codes_cols(m, ivf))
 
 
 def _write_codes_part(table, rel_dir, codes, n_files, coarse):
     """One generational codes part, laid out like _write_datasets' codes."""
     nparts = max(1, min(64, -(-n_files // 64)))
+    # same single-pass discipline as _write_datasets: don't let the range
+    # sampling re-run the re-encode of the changed files
+    codes = codes.localCheckpoint(eager=True)
     if coarse is not None:
         nparts = max(nparts, min(64, coarse.count()))
         layout = codes.repartitionByRange(
@@ -524,7 +538,7 @@ def refresh_ann_index(table: DeltaTable, column: str) -> dict:
         (p, d, new_gen if p in changed else indexed[p][1])
         for p, d in current.items()
     ]
-    files = table.spark.createDataFrame(
+    files = local_df(table.spark, 
         files_rows or [("", "", -1)], "path string, dv string, gen int"
     )
     table.write_parquet_dataset(files.coalesce(1), rel + "/files")
@@ -575,7 +589,7 @@ def compact_ann_index(table: DeltaTable, column: str) -> dict:
         "m int, centroid int, cvec array<double>",
     )
     manifest = _read_manifest_rows(table, spec)
-    files = table.spark.createDataFrame(
+    files = local_df(table.spark, 
         [(p, d, 0) for p, d, _g in manifest] or [("", "", -1)],
         "path string, dv string, gen int",
     )
@@ -672,7 +686,7 @@ def ann_topk(
     auth_rows = [
         (p, g) for p, _d, g in _read_manifest_rows(table, spec) if p in live
     ]
-    auth = table.spark.createDataFrame(
+    auth = local_df(table.spark, 
         auth_rows or [("", -1)], "path string, gen int"
     )
 

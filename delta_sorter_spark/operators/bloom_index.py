@@ -62,6 +62,7 @@ from delta_sorter_spark.functions.hashing import (
 )
 from delta_sorter_spark.sources.delta_log import AddAction
 from delta_sorter_spark.sources.delta_table import DeltaTable
+from delta_sorter_spark.functions.localframe import local_df
 
 BLOOM_PROP_PREFIX = "deltasort.bloomIndex."
 DEFAULT_M_BITS = 1 << 17  # 16 KiB/file; size m at ~10-16 bits per distinct
@@ -166,7 +167,7 @@ def _index_rows(table, adds, column, meta, m_bits: int, k: int, seed: int):
     all-NULL file carries an EMPTY filter (provably matches no equality),
     distinct from "not indexed"."""
     spark = table.spark
-    paths_df = spark.createDataFrame(
+    paths_df = local_df(spark, 
         [(a.path,) for a in adds], "path string"
     )
     scan = _column_scan(table, adds, column, meta).where(
@@ -183,7 +184,10 @@ def _index_rows(table, adds, column, meta, m_bits: int, k: int, seed: int):
     )
     per_file = (
         scan.select(F.col("path"), F.explode(arms).alias("bit"))
-        .distinct()  # per-(file, bit): the distributed dedup IS the filter
+        # collect_set IS the per-(file, bit) dedup — and its partial
+        # (map-side) aggregation dedups before the one shuffle, where an
+        # explicit .distinct() first paid a second full exchange of the
+        # exploded rows for nothing (guide §2.3/§2.4)
         .groupBy("path")
         .agg(F.sort_array(F.collect_set("bit")).alias("bits"))
     )
@@ -261,6 +265,11 @@ def _write_index(table, df, dataset_rel: str, n_files: int) -> None:
     ordering lets parquet row-group stats skip candidates-free parts."""
     nparts = max(1, -(-n_files // 8192))
     _mark_building(table, dataset_rel)  # vacuum-protect until registered
+    # materialize the (file-count-sized) index rows BEFORE the range
+    # exchange: repartitionByRange's range-sampling pass executes its child
+    # once and the shuffle re-executes it, so an un-checkpointed layout ran
+    # the whole build scan TWICE (guide §1.2 — one pass is the ideal)
+    df = df.localCheckpoint(eager=True)
     table.write_parquet_dataset(
         df.repartitionByRange(nparts, "path").sortWithinPartitions("path"),
         dataset_rel,
@@ -324,7 +333,7 @@ def refresh_bloom_index(table: DeltaTable, column: str) -> dict:
     keep = sorted(live & indexed)
     parts = []
     if keep and old is not None:
-        keep_df = spark.createDataFrame([(p,) for p in keep], "path string")
+        keep_df = local_df(spark, [(p,) for p in keep], "path string")
         parts.append(old.join(keep_df, "path"))
     if new_adds:
         parts.append(
@@ -458,7 +467,7 @@ def bloom_prune_adds(
                 spec["path"], ["path", "bits"],
                 "path string, bits array<bigint>",
             )
-            cand = spark.createDataFrame(
+            cand = local_df(spark, 
                 [(a.path,) for a in adds], "path string"
             )
             hit = F.lit(False)

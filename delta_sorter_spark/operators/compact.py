@@ -47,6 +47,7 @@ from delta_sorter_spark.functions.predicates import (
 from delta_sorter_spark.operators.validate import partition_is_sorted
 from delta_sorter_spark.plans.inventory import RewriteGroup, group_by_partition
 from delta_sorter_spark.sources.delta_table import DeltaTable
+from delta_sorter_spark.functions.localframe import local_df
 
 log = logging.getLogger("delta_sorter_spark.compact")
 
@@ -328,7 +329,7 @@ def _scope_groups_by_predicate(
     for grp in groups:
         rows.append(tuple(grp.partition_values.get(c) for c in part_cols) + (grp.partition_key,))
     schema = ", ".join([f"`{c}` string" for c in part_cols] + ["`__group_key__` string"])
-    pdf = spark.createDataFrame(rows, schema)
+    pdf = local_df(spark, rows, schema)
     for c in part_cols:
         pdf = pdf.withColumn(c, pdf[c].cast(meta.schema[c].dataType))
     keep = {r["__group_key__"] for r in pdf.where(predicate).select("__group_key__").collect()}

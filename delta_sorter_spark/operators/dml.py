@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 
 from delta_sorter_spark.sources.delta_log import AddAction
 from delta_sorter_spark.sources.delta_table import DeltaTable, parse_stat
+from delta_sorter_spark.functions.localframe import local_df
 
 
 def _key_bounds(source: DataFrame, keys: Sequence[str]) -> dict[str, tuple]:
@@ -794,7 +795,7 @@ def delete_where_dv(
             )
             return {"dv_files": 0, "deleted_rows": 0, "version": version}
         return {"dv_files": 0, "deleted_rows": 0, "version": state.version}
-    restrict_df = table.spark.createDataFrame([(p,) for p in touched], "path string")
+    restrict_df = local_df(table.spark, [(p,) for p in touched], "path string")
 
     cdc_extra: list[dict] = []
     if table.cdf_enabled(state.metadata):
@@ -1157,7 +1158,7 @@ def merge_dv(
     else:
         # pure-insert batch (every source key beyond the table's zone maps):
         # no file can hold a matched row, so there is nothing to mark
-        hits = table.spark.createDataFrame([], "path string, pos long")
+        hits = local_df(table.spark, [], "path string, pos long")
     if n_appended:
         # CHECK constraints on the appended values (update outputs +
         # inserts; DV-marked removals cannot violate)
@@ -1274,7 +1275,7 @@ def _dv_positions_parts(
             json_rows += [(a.path, int(p)) for p in table.read_deletion_vector(a)]
     if json_rows:
         prev_parts.append(
-            table.spark.createDataFrame(json_rows, "path string, pos long")
+            local_df(table.spark, json_rows, "path string, pos long")
         )
     if roaring_prev:
         prev_parts.append(table._roaring_positions_df(roaring_prev, restrict=restrict))
@@ -1672,5 +1673,5 @@ def table_changes(
             T.StructField("_change_type", T.StringType()),
             T.StructField("_commit_version", T.LongType()),
         ]
-        return spark.createDataFrame([], T.StructType(fields))
+        return local_df(spark, [], T.StructType(fields))
     return out

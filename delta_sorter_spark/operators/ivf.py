@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 
 from delta_sorter_spark.functions.hashing import MERSENNE_P, spark_md5_long_sql
 from delta_sorter_spark.operators.similarity import cosine_expr
+from delta_sorter_spark.functions.localframe import local_df
 
 MEAN_QSCALE = 1 << 20  # integer quantization for exact centroid means
 
@@ -59,9 +60,40 @@ def _seed_centroids(corpus: DataFrame, id_col: str, emb_col: str, k: int):
         .limit(k)
     )
     rows = seeds.collect()  # k rows, already in (hash, id) order
-    return corpus.sparkSession.createDataFrame(
+    return local_df(corpus.sparkSession, 
         [(i, row["cvec"]) for i, row in enumerate(rows)],
         "centroid int, cvec array<double>",
+    )
+
+
+def _seed_centroid_rows(
+    corpus: DataFrame, id_col: str, emb_col: str, k: int
+) -> list[tuple[int, list[float]]]:
+    """Driver-side form of :func:`_seed_centroids`: the same k winners as a
+    plain ``[(centroid, cvec), ...]`` list (collected doubles round-trip
+    bit-exactly), for loops that keep centroid state on the driver."""
+    h = F.expr(f"{spark_md5_long_sql(f'CAST({id_col} AS STRING)')} % {MERSENNE_P}")
+    seeds = (
+        corpus.select(
+            F.col(id_col).alias("__sid__"),
+            F.expr(f"transform({emb_col}, x -> CAST(x AS DOUBLE))").alias("cvec"),
+            h.alias("__h__"),
+        )
+        .orderBy(F.col("__h__").asc(), F.col("__sid__").asc())
+        .limit(k)
+    )
+    return [(i, list(row["cvec"])) for i, row in enumerate(seeds.collect())]
+
+
+def _packed_centroids_df(spark, cents: list[tuple[int, list[float]]]) -> DataFrame:
+    """ONE-row local frame holding ``array<struct<centroid,cvec>>`` sorted by
+    centroid id — the exact shape ``_assign``'s packed agg produces, minus
+    the per-iteration aggregation job (guide §1.2: fewer jobs per Lloyd
+    iteration; the values are the same doubles, so every distance computed
+    against it is bit-identical)."""
+    return local_df(spark, 
+        [(sorted(cents),)],
+        "__cents__ array<struct<centroid: int, cvec: array<double>>>",
     )
 
 
@@ -110,19 +142,38 @@ def kmeans_centroids(
 ) -> DataFrame:
     """Deterministic coarse quantizer: (centroid, cvec).  ``id_col`` drives
     the hash-based seeding (falls back to the embedding's string form)."""
+    spark = corpus.sparkSession
     if id_col is None:
         seeds_src = corpus.select(
             F.expr(f"CAST({emb_col} AS STRING)").alias("__sid__"),
             F.col(emb_col).alias("__e__"),
         )
-        centroids = _seed_centroids(seeds_src, "__sid__", "__e__", k)
+        cents = _seed_centroid_rows(seeds_src, "__sid__", "__e__", k)
     else:
-        centroids = _seed_centroids(corpus, id_col, emb_col, k)
+        cents = _seed_centroid_rows(corpus, id_col, emb_col, k)
     vecs = corpus.select(F.col(emb_col).alias("__v__"))
+    # Centroid state lives on the DRIVER between iterations (k tiny rows):
+    # one Lloyd iteration is ONE corpus job (broadcast-assign -> quantized
+    # per-(centroid,pos) means -> collect).  The per-element means are
+    # computed by the exact same Spark aggregation as before — only the
+    # array re-assembly and the empty-cluster coalesce (no float
+    # arithmetic) moved to the driver, so centroids stay bit-identical
+    # while the per-iteration localCheckpoint job, the old-vs-new join and
+    # the collect_list re-assembly shuffle disappear (guide §1.2, §2.4).
+    dist = (
+        "aggregate(zip_with(__v__, c.cvec, (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) *"
+        " (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    scored = f"transform(__cents__, c -> struct({dist} AS d, c.centroid AS centroid))"
     for _ in range(n_iters):
-        assigned = _assign(vecs, centroids, "__v__")
+        packed = _packed_centroids_df(spark, cents)
+        assigned = (
+            vecs.crossJoin(F.broadcast(packed))
+            .withColumn("centroid", F.expr(f"array_min({scored}).centroid"))
+            .drop("__cents__")
+        )
         # exact mean: quantize -> BIGINT sum (associative) -> ONE division
-        means = (
+        mean_rows = (
             assigned.select("centroid", F.posexplode("__v__").alias("pos", "val"))
             .groupBy("centroid", "pos")
             .agg(
@@ -135,24 +186,17 @@ def kmeans_centroids(
                     / (F.count("*") * F.lit(MEAN_QSCALE)).cast("double")
                 ).alias("m")
             )
-            .groupBy("centroid")
-            .agg(
-                F.expr(
-                    "transform(sort_array(collect_list(struct(pos, m))), s -> s.m)"
-                ).alias("cvec")
-            )
+            .collect()
         )
+        by_cent: dict[int, dict[int, float]] = {}
+        for r in mean_rows:
+            by_cent.setdefault(r["centroid"], {})[r["pos"]] = r["m"]
         # centroids with no assigned vectors keep their previous position
-        centroids = (
-            centroids.alias("old")
-            .join(means.alias("new"), "centroid", "left")
-            .select(
-                "centroid",
-                F.coalesce(F.col("new.cvec"), F.col("old.cvec")).alias("cvec"),
-            )
-        )
-        centroids = centroids.localCheckpoint(eager=True)
-    return centroids
+        cents = [
+            (c, [vals[p] for p in sorted(vals)] if (vals := by_cent.get(c)) else old)
+            for c, old in cents
+        ]
+    return local_df(spark, cents, "centroid int, cvec array<double>")
 
 
 def _normalize_expr(emb_col: str) -> str:
@@ -177,6 +221,7 @@ def pq_encode(
     n_codes: int = 8,
     n_iters: int = 2,
     normalize: bool = True,
+    extra_cols: tuple = (),
 ) -> tuple[DataFrame, list[DataFrame]]:
     """Product quantization (Jégou, Douze, Schmid 2011) index build: split
     each ``dim``-vector into ``m`` subvectors, train an independent
@@ -187,6 +232,9 @@ def pq_encode(
 
     Returns ``(codes, codebooks)``: ``codes`` is (id, code_0..code_{m-1})
     and ``codebooks`` one (centroid, cvec) frame per subspace.
+    ``extra_cols`` ride the encode unchanged (map-side carry — they save
+    the caller an id-keyed re-attach join, guide §8; the training loop
+    never sees them thanks to column pruning).
 
     At 100 TB this is the ANN **memory** scale path: a dim-d float corpus
     (4d bytes/vector) compresses to m small ints — the codes column plus
@@ -199,7 +247,9 @@ def pq_encode(
     spark = corpus.sparkSession
     emb_expr = _normalize_expr(emb_col) if normalize else emb_col
     base = corpus.select(
-        F.col(id_col).alias("__sid__"), F.expr(emb_expr).alias("__v__")
+        F.col(id_col).alias("__sid__"),
+        F.expr(emb_expr).alias("__v__"),
+        *[F.col(c) for c in extra_cols],
     )
 
     # Seeds: ALL subspaces share the same k winner rows (smallest id-hash),
@@ -219,9 +269,6 @@ def pq_encode(
         for j in range(m)
         for i, row in enumerate(winners)
     ]
-    centroids = spark.createDataFrame(
-        cent_rows, "m int, centroid int, cvec array<double>"
-    )
 
     # Joint Lloyd iterations: one packed broadcast carries every subspace's
     # codebook, assignment is a map-side array_min per subspace (same
@@ -229,6 +276,12 @@ def pq_encode(
     # computes every subspace's integer-quantized means — so an iteration
     # costs one job regardless of m (the sequential per-subspace form paid
     # m x the fixed job overheads; measured 24 s -> this at sf0.1).
+    # Codebook state lives on the DRIVER between iterations (m*n_codes tiny
+    # rows, same discipline as kmeans_centroids): the per-element means are
+    # still computed by the identical Spark aggregation, only array
+    # re-assembly and the empty-cluster coalesce (no float arithmetic)
+    # happen driver-side — the per-iteration localCheckpoint job, old-vs-new
+    # join and collect_list shuffle disappear (guide §1.2, §2.4).
     dist = (
         "aggregate(zip_with(slice(__v__, c.m * {dsub} + 1, {dsub}), c.cvec,"
         " (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),"
@@ -240,13 +293,16 @@ def pq_encode(
         f" c -> struct({dist} AS d, c.centroid AS centroid))).centroid)"
     )
 
-    def assign_codes(df: DataFrame) -> DataFrame:
-        packed = centroids.agg(
-            F.expr("sort_array(collect_list(struct(m, centroid, cvec)))").alias(
-                "__cents__"
-            )
+    def packed_df(rows: list[tuple[int, int, list[float]]]) -> DataFrame:
+        # one-row array<struct<m,centroid,cvec>> pre-sorted by (m, centroid)
+        # — the shape the collect_list+sort_array agg built, minus the job
+        return local_df(spark, 
+            [(sorted(rows, key=lambda r: (r[0], r[1])),)],
+            "__cents__ array<struct<m: int, centroid: int, cvec: array<double>>>",
         )
-        return df.crossJoin(F.broadcast(packed)).withColumn(
+
+    def assign_codes(df: DataFrame, rows) -> DataFrame:
+        return df.crossJoin(F.broadcast(packed_df(rows))).withColumn(
             "__codes__", F.expr(codes_arr)
         ).drop("__cents__")
 
@@ -257,7 +313,7 @@ def pq_encode(
         f" element_at(__v__, j * {dsub} + p) AS val))))"
     )
     for _ in range(n_iters):
-        assigned = assign_codes(base)
+        assigned = assign_codes(base, cent_rows)
         means = (
             assigned.select(F.explode(F.expr(mean_rows)).alias("__e__"))
             .select("__e__.m", "__e__.centroid", "__e__.pos", "__e__.val")
@@ -272,32 +328,39 @@ def pq_encode(
                     / (F.count("*") * F.lit(MEAN_QSCALE)).cast("double")
                 ).alias("mn")
             )
-            .groupBy("m", "centroid")
-            .agg(
-                F.expr(
-                    "transform(sort_array(collect_list(struct(pos, mn))), s -> s.mn)"
-                ).alias("cvec")
-            )
+            .collect()
         )
-        centroids = (
-            centroids.alias("old")
-            .join(means.alias("new"), ["m", "centroid"], "left")
-            .select(
-                "m",
-                "centroid",
-                F.coalesce(F.col("new.cvec"), F.col("old.cvec")).alias("cvec"),
+        by_key: dict[tuple[int, int], dict[int, float]] = {}
+        for r in means:
+            by_key.setdefault((r["m"], r["centroid"]), {})[r["pos"]] = r["mn"]
+        cent_rows = [
+            (
+                j,
+                c,
+                [vals[p] for p in sorted(vals)]
+                if (vals := by_key.get((j, c)))
+                else old,
             )
-            .localCheckpoint(eager=True)
-        )
+            for j, c, old in cent_rows
+        ]
 
     codes = assign_codes(
-        base.select(F.col("__sid__").alias("id"), F.col("__v__"))
+        base.select(
+            F.col("__sid__").alias("id"),
+            F.col("__v__"),
+            *[F.col(c) for c in extra_cols],
+        ),
+        cent_rows,
     ).withColumnRenamed("__v__", "__cemb__")
     for j in range(m):
         codes = codes.withColumn(f"code_{j}", F.expr(f"element_at(__codes__, {j + 1})"))
     codes = codes.drop("__codes__")
     codebooks = [
-        centroids.where(F.col("m") == j).select("centroid", "cvec") for j in range(m)
+        local_df(spark, 
+            [(c, v) for mm, c, v in cent_rows if mm == j],
+            "centroid int, cvec array<double>",
+        )
+        for j in range(m)
     ]
     return codes, codebooks
 
@@ -309,6 +372,7 @@ def pq_assign(
     codebooks,
     dim: int,
     normalize: bool = True,
+    extra_cols: tuple = (),
 ) -> DataFrame:
     """Encode a corpus against FROZEN codebooks (:func:`pq_encode` output,
     or per-subspace (centroid, cvec) frames read back from a persisted
@@ -317,14 +381,17 @@ def pq_assign(
     packed codebooks broadcast (zero shuffle).  Same argmin/tie-break as
     training, so re-encoding an unchanged row reproduces its code
     bit-for-bit.  Output matches ``pq_encode``'s codes frame:
-    (id, __cemb__, code_0..code_{m-1})."""
+    (id, __cemb__, code_0..code_{m-1}); ``extra_cols`` ride along map-side
+    (saves the caller an id-keyed re-attach join, guide §8)."""
     m = len(codebooks)
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     dsub = dim // m
     emb_expr = _normalize_expr(emb_col) if normalize else emb_col
     base = corpus.select(
-        F.col(id_col).alias("id"), F.expr(emb_expr).alias("__cemb__")
+        F.col(id_col).alias("id"),
+        F.expr(emb_expr).alias("__cemb__"),
+        *[F.col(c) for c in extra_cols],
     )
     tagged = None
     for j, cb in enumerate(codebooks):
@@ -437,24 +504,29 @@ def adc_query_tables(
         F.expr(q_expr).alias("__qemb__"),
         *[F.col(c) for c in extra_cols],
     )
+    # ONE packed broadcast carries every subspace's codebook (the previous
+    # per-subspace loop paid m broadcast-exchange jobs per serve call —
+    # guide §2.4).  sort_array over (m, centroid) structs keeps each
+    # subspace's codewords in the same centroid-ascending order the
+    # per-codebook agg produced, so every __dtab{j}__ value is unchanged.
+    tagged = None
+    for j, cb in enumerate(codebooks):
+        part = cb.select(F.lit(j).alias("m"), F.col("centroid"), F.col("cvec"))
+        tagged = part if tagged is None else tagged.unionByName(part)
+    packed = tagged.agg(
+        F.expr("sort_array(collect_list(struct(m, centroid, cvec)))").alias("__cbs__")
+    )
+    q = q.crossJoin(F.broadcast(packed))
     for j in range(m):
-        packed = codebooks[j].agg(
-            F.expr(
-                "transform(sort_array(collect_list(struct(centroid, cvec))), s -> s.cvec)"
-            ).alias(f"__cb{j}__")
-        )
         sub = f"slice(__qemb__, {j * dsub + 1}, {dsub})"
         dist_tab = (
-            f"transform(__cb{j}__, cv -> aggregate(zip_with({sub}, cv,"
+            f"transform(transform(filter(__cbs__, s -> s.m = {j}), s -> s.cvec),"
+            f" cv -> aggregate(zip_with({sub}, cv,"
             f" (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),"
             f" CAST(0 AS DOUBLE), (acc, vv) -> acc + vv))"
         )
-        q = (
-            q.crossJoin(F.broadcast(packed))
-            .withColumn(f"__dtab{j}__", F.expr(dist_tab))
-            .drop(f"__cb{j}__")
-        )
-    return q
+        q = q.withColumn(f"__dtab{j}__", F.expr(dist_tab))
+    return q.drop("__cbs__")
 
 
 def adc_shortlist(
@@ -590,33 +662,25 @@ def ivfpq_topk(
     listed = _assign(
         codes.withColumnRenamed("id", "__cid__"), coarse, "__cemb__"
     ).withColumnRenamed("__cid__", "id")
-    # query side: probes + ADC distance tables
-    dsub = dim // m
-    q = _assign(
-        queries.select(
-            F.col(query_id_col).alias("query_id"), F.expr(q_expr).alias("__qemb__")
+    # query side: probes + ADC distance tables (ONE packed broadcast for
+    # all m codebooks via adc_query_tables — same exprs, fewer jobs)
+    q = adc_query_tables(
+        _assign(
+            queries.select(
+                F.col(query_id_col).alias("query_id"),
+                F.expr(q_expr).alias("__qemb__"),
+            ),
+            coarse,
+            "__qemb__",
+            n_best=n_probes,
         ),
-        coarse,
+        "query_id",
         "__qemb__",
-        n_best=n_probes,
+        codebooks,
+        dim,
+        normalize=False,
+        extra_cols=("centroid",),
     )
-    for j in range(m):
-        packed = codebooks[j].agg(
-            F.expr(
-                "transform(sort_array(collect_list(struct(centroid, cvec))), s -> s.cvec)"
-            ).alias(f"__cb{j}__")
-        )
-        sub = f"slice(__qemb__, {j * dsub + 1}, {dsub})"
-        dist_tab = (
-            f"transform(__cb{j}__, cv -> aggregate(zip_with({sub}, cv,"
-            f" (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),"
-            f" CAST(0 AS DOUBLE), (acc, vv) -> acc + vv))"
-        )
-        q = (
-            q.crossJoin(F.broadcast(packed))
-            .withColumn(f"__dtab{j}__", F.expr(dist_tab))
-            .drop(f"__cb{j}__")
-        )
     adc = " + ".join(f"element_at(__dtab{j}__, code_{j} + 1)" for j in range(m))
     pairs = (
         listed.join(q, "centroid")
@@ -743,19 +807,13 @@ def ivfpq_residual_topk(
         )
         .localCheckpoint(eager=True)  # one corpus pass feeds train + encode
     )
+    # the ORIGINAL vector (exact cosine) and the list id (probe join) ride
+    # the encode map-side — no id-keyed re-attach join (guide §8)
     codes, codebooks = pq_encode(
         residuals, "__nid__", "__res__", dim, m, n_codes, n_iters,
-        normalize=False,
+        normalize=False, extra_cols=("centroid", "__orig__"),
     )
-    # codes quantize residuals; carry the ORIGINAL vector for exact cosine
-    # and the list id for the probe join
-    codes = codes.drop("__cemb__").join(
-        residuals.select(
-            F.col("__nid__").alias("id"), "centroid",
-            F.col("__orig__").alias("__cemb__"),
-        ),
-        "id",
-    )
+    codes = codes.drop("__cemb__").withColumnRenamed("__orig__", "__cemb__")
     probed = (
         _assign(
             queries.select(

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from delta_sorter_spark.functions.localframe import local_df
 
 PUNCT_CLASS = r"[.,!?;:]"
 STOPWORDS_EN = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "are"]
@@ -619,7 +620,7 @@ def train_bpe(
         words = words.select(
             "wn", F.aggregate("toks", zero, _make_step(a, b, ab), fin).alias("toks")
         ).localCheckpoint(eager=True)
-    return df.sparkSession.createDataFrame(
+    return local_df(df.sparkSession, 
         merges, "merge_rank int, left string, right string, pair_count bigint"
     )
 
@@ -862,7 +863,7 @@ def train_wordpiece(
                 "toks"
             ),
         ).localCheckpoint(eager=True)
-    return df.sparkSession.createDataFrame(
+    return local_df(df.sparkSession, 
         merges,
         "merge_rank int, left string, right string, merged string,"
         " pair_count bigint, score double",
@@ -967,7 +968,7 @@ def wordpiece_encode(
     if isinstance(pieces, DataFrame):
         piece_df = pieces.select("piece")
     else:
-        piece_df = spark.createDataFrame(
+        piece_df = local_df(spark, 
             [(str(p),) for p in pieces], "piece string"
         )
     piece_df = piece_df.localCheckpoint(eager=True)
@@ -1268,7 +1269,7 @@ def unigram_encode(
     if isinstance(pieces, DataFrame):
         piece_df = pieces.select("piece", "prob_ppb")
     else:
-        piece_df = spark.createDataFrame(
+        piece_df = local_df(spark, 
             [(str(p), int(q)) for p, q in pieces],
             "piece string, prob_ppb long",
         )

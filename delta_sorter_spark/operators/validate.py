@@ -50,6 +50,7 @@ from delta_sorter_spark.functions.keys import key_tuple_cmp
 from delta_sorter_spark.functions.predicates import validate_sort_columns
 from delta_sorter_spark.sources.delta_log import AddAction
 from delta_sorter_spark.sources.delta_table import DeltaTable, parse_stat
+from delta_sorter_spark.functions.localframe import local_df
 
 DETAILS_SAMPLE_CAP = 20  # lib.rs:511-518
 
@@ -202,7 +203,7 @@ def _scan_summaries_df(
                 out.append(row)
             yield pd.DataFrame(out, columns=[f.name for f in out_schema.fields])
 
-    files_df = spark.createDataFrame([(p,) for p in rel_paths], "path string")
+    files_df = local_df(spark, [(p,) for p in rel_paths], "path string")
     n_tasks = min(len(rel_paths), 1024)
     return files_df.repartition(n_tasks).mapInPandas(scan, out_schema)
 
@@ -497,7 +498,7 @@ def validate_global_order(
                 (s.path, s.num_rows, s.ascending, s.descents, *
                  [x for pair in zip(mins, maxs) for x in pair])
             )
-        fast_df = spark.createDataFrame(rows, _summary_struct(dtypes))
+        fast_df = local_df(spark, rows, _summary_struct(dtypes))
         sdf = sdf.unionByName(fast_df)
     checked, not_asc, cross, details = _check_order_spark(sdf, k, nulls_first, directions)
     return ValidationReport(
@@ -610,7 +611,7 @@ def attest_sort_stats(
                     }
                 )
 
-        files_df = table.spark.createDataFrame([(p,) for p in rels], "path string")
+        files_df = local_df(table.spark, [(p,) for p in rels], "path string")
         rows = (
             files_df.repartition(min(len(rels), 1024))
             .mapInPandas(compute, "path string, stats string")

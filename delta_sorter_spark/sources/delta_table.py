@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from delta_sorter_spark.functions.localframe import local_df
 from delta_sorter_spark.sources.delta_log import (
     AddAction,
     DeltaLog,
@@ -965,7 +966,7 @@ class DeltaTable:
         meta = state.metadata
         use = state.adds if adds is None else list(adds)
         if not use:
-            return self.spark.createDataFrame([], meta.schema)
+            return local_df(self.spark, [], meta.schema)
         plain = [a for a in use if not a.deletion_vector]
         dv = [a for a in use if a.deletion_vector]
         parts = []
@@ -1292,7 +1293,7 @@ class DeltaTable:
                     }
                 )
 
-        df = self.spark.createDataFrame(rows, "path string, dv string")
+        df = local_df(self.spark, rows, "path string, dv string")
         if restrict is not None:
             df = df.join(restrict.select("path").distinct(), "path", "left_semi")
         n = max(1, min(len(rows), self.spark.sparkContext.defaultParallelism))
@@ -1340,14 +1341,14 @@ class DeltaTable:
         if json_pairs:
             dv_parts.append(
                 F.broadcast(
-                    self.spark.createDataFrame(
+                    local_df(self.spark, 
                         json_pairs, "__file__ string, __pos__ long"
                     )
                 )
             )
         for sp, pairs in pq_sidecars.items():
             sdf = self.spark.read.parquet(os.path.join(self.table_path, sp))
-            key_to_uri = self.spark.createDataFrame(pairs, "path string, __file__ string")
+            key_to_uri = local_df(self.spark, pairs, "path string, __file__ string")
             dv_parts.append(
                 sdf.join(F.broadcast(key_to_uri), "path").select(
                     "__file__", F.col("pos").alias("__pos__")
@@ -1631,7 +1632,7 @@ class DeltaTable:
 
         n_slices = min(len(paths), self.spark.sparkContext.defaultParallelism)
         rows = (
-            self.spark.createDataFrame([(p,) for p in paths], "path string")
+            local_df(self.spark, [(p,) for p in paths], "path string")
             .repartition(n_slices)
             .mapInPandas(compute, "path string, stats string")
             .collect()
@@ -2406,7 +2407,7 @@ class DeltaTable:
                 T.StructField(mat_ver, T.LongType(), True),
             ],
         )
-        base_map = self.spark.createDataFrame(
+        base_map = local_df(self.spark, 
             [
                 (a.path, a.base_row_id, a.default_row_commit_version)
                 for a in use
@@ -2423,7 +2424,7 @@ class DeltaTable:
             for p in self.read_deletion_vector(a)
         ]
         if dv_pairs:
-            dead = self.spark.createDataFrame(
+            dead = local_df(self.spark, 
                 dv_pairs, "__relp__ string, __pos__ long"
             )
             df = df.join(F.broadcast(dead), ["__relp__", "__pos__"], "left_anti")
@@ -2454,7 +2455,7 @@ class DeltaTable:
                 T.StructField("_row_id", T.LongType(), True),
                 T.StructField("_row_commit_version", T.LongType(), True),
             ]
-            return self.spark.createDataFrame([], T.StructType(fields))
+            return local_df(self.spark, [], T.StructType(fields))
         return (
             self._read_with_row_ids(use, meta)
             .withColumnRenamed(mat_id, "_row_id")
@@ -3474,7 +3475,7 @@ class DeltaTable:
         dataset_uri = fsobj.join(base, dataset_rel)
         parts = [n for n in fsobj.list_dir(dataset_uri) if n.endswith(".parquet")]
         if not parts:
-            return self.spark.createDataFrame([], ddl)
+            return local_df(self.spark, [], ddl)
         aws_env = capture_aws_env()
         cols = list(columns)
         flt = (isin[0], list(isin[1])) if isin is not None else None
@@ -3497,7 +3498,7 @@ class DeltaTable:
                     )
                     yield tbl.to_pandas()
 
-        files_df = self.spark.createDataFrame([(p,) for p in parts], "name string")
+        files_df = local_df(self.spark, [(p,) for p in parts], "name string")
         return files_df.repartition(min(len(parts), 64)).mapInPandas(rd, ddl)
 
     def write_parquet_dataset(self, df: DataFrame, dataset_rel: str) -> None:
