@@ -547,13 +547,18 @@ def adc_shortlist(
     pairs = (
         pairs.where(F.col("id") != F.col("query_id"))
         .withColumn("approx_d", F.expr(adc))
+        # once approx_d exists the distance tables and code columns are
+        # dead weight: drop them BEFORE the per-query top-n exchange so the
+        # shuffle carries (query_id, id, approx_d, carried cols) instead of
+        # m code ints + m*n_codes doubles per candidate row (guide §2.3 —
+        # project before the exchange)
+        .drop(*[f"__dtab{j}__" for j in range(m)], *[f"code_{j}" for j in range(m)])
     )
     w = Window.partitionBy("query_id").orderBy(F.asc("approx_d"), F.asc("id"))
     n = k if rerank is None else max(rerank, k)
     return (
         pairs.withColumn("__adc_rank__", F.row_number().over(w))
         .where(F.col("__adc_rank__") <= n)
-        .drop(*[f"__dtab{j}__" for j in range(m)], *[f"code_{j}" for j in range(m)])
     )
 
 
@@ -567,17 +572,29 @@ def adc_rank_pairs(
     pairs = (
         pairs.where(F.col("id") != F.col("query_id"))
         .withColumn("approx_d", F.expr(adc))
-        .withColumn("cosine", cosine_expr("__qemb__", "__cemb__"))
+        # project the distance tables and code columns out before the
+        # per-query top-n exchange (guide §2.3): only approx_d survives them
+        .drop(*[f"__dtab{j}__" for j in range(m)], *[f"code_{j}" for j in range(m)])
     )
+    # exact cosine is computed AFTER the ADC shortlist filter, never on the
+    # full candidate set: the shortlist ranks purely by (approx_d, id), so
+    # deferring the O(dim) fold from O(candidates) to O(shortlist) rows
+    # changes no value anywhere (guide §1.2 — don't compute what you throw
+    # away; this is the ADC contract: candidates cost m lookups, only
+    # survivors touch the embeddings)
+    cos = cosine_expr("__qemb__", "__cemb__")
     w = Window.partitionBy("query_id").orderBy(F.asc("approx_d"), F.asc("id"))
     if rerank is None:
         return (
             pairs.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
+            .withColumn("cosine", cos)
             .select("query_id", "id", "rank", "approx_d", "cosine")
         )
-    shortlist = pairs.withColumn("__adc_rank__", F.row_number().over(w)).where(
-        F.col("__adc_rank__") <= max(rerank, k)
+    shortlist = (
+        pairs.withColumn("__adc_rank__", F.row_number().over(w))
+        .where(F.col("__adc_rank__") <= max(rerank, k))
+        .withColumn("cosine", cos)
     )
     w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("id"))
     return (
