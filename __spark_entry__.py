@@ -48,6 +48,7 @@ from delta_sorter_spark.operators.textstats import (
     quality_score,
     token_stats,
 )
+from delta_sorter_spark.functions.localframe import local_df
 from delta_sorter_spark.sources.tables import load_table
 from delta_sorter_spark.streaming.events import sessionize, windowed_event_counts
 
@@ -6721,7 +6722,8 @@ def q_q13_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_before = tbl.stats_count(version=v0)
         klo, khi = tbl.stats_min_max("o_orderkey", version=v0)
         dlo, dhi = tbl.stats_min_max("o_orderdate", version=v0)
-        return spark.createDataFrame(
+        return local_df(
+            spark,
             [(n_live, n_before, klo, khi, str(dlo), str(dhi))],
             "n_live long, n_before long, min_key long, max_key long,"
             " min_date string, max_date string",
@@ -8710,7 +8712,7 @@ def q_q29_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         rollup = DeltaTable.create(
             spark,
             os.path.join(scratch, "ru"),
-            spark.createDataFrame([], ROLLUP_SCHEMA),
+            local_df(spark, [], ROLLUP_SCHEMA),
         )
         r = incremental_rollup_cdc(src, rollup, 0)
         src.append(events.where(F.col("event_id") % 2 == 1).coalesce(2))

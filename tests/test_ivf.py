@@ -249,3 +249,56 @@ def test_residual_ivfpq_deterministic(spark):
         **kw
     ).collect()))
     assert a == b  # partitioning-invariant, bit-identical
+
+
+def test_pq_serve_cosine_matches_exact_fold(spark):
+    """The serve tail defers the exact cosine until after the ADC
+    shortlist; every emitted row's cosine must still equal the directly
+    computed normalized dot product for that (query, id) pair, and the
+    rerank path must order by it — pins the deferred-evaluation rewrite
+    (guide §1.2) to the exact-value contract."""
+    from collections import defaultdict
+
+    from delta_sorter_spark.operators.ivf import pq_encode, pq_serve
+    from delta_sorter_spark.operators.similarity import cosine_expr
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") % 100 == 0)
+    codes, books = pq_encode(emb, "vec_id", "embedding", dim=64, m=4, n_codes=8)
+    for rerank in (None, 12):
+        out = pq_serve(
+            codes, books, q, "vec_id", "embedding", 64, k=3, rerank=rerank
+        ).collect()
+        assert out
+        want = {
+            (r["query_id"], r["id"]): r["c"]
+            for r in q.alias("qq").select(
+                F.col("qq.vec_id").alias("query_id"),
+                F.col("qq.embedding").alias("qe"),
+            ).crossJoin(
+                emb.alias("ee").select(
+                    F.col("ee.vec_id").alias("id"),
+                    F.col("ee.embedding").alias("ce"),
+                )
+            ).select(
+                "query_id", "id",
+                cosine_expr(
+                    "transform(qe, x -> CAST(x AS DOUBLE) /"
+                    " sqrt(aggregate(qe, CAST(0 AS DOUBLE),"
+                    " (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))",
+                    "transform(ce, x -> CAST(x AS DOUBLE) /"
+                    " sqrt(aggregate(ce, CAST(0 AS DOUBLE),"
+                    " (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))",
+                ).alias("c"),
+            ).collect()
+        }
+        for r in out:
+            assert r["cosine"] == want[(r["query_id"], r["id"])], (
+                r, want[(r["query_id"], r["id"])]
+            )
+        if rerank is not None:
+            by_q = defaultdict(list)
+            for r in sorted(out, key=lambda r: (r["query_id"], r["rank"])):
+                by_q[r["query_id"]].append((r["cosine"], r["id"]))
+            for rows in by_q.values():
+                assert rows == sorted(rows, key=lambda t: (-t[0], t[1]))
