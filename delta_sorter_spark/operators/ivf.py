@@ -699,8 +699,12 @@ def ivfpq_topk(
         extra_cols=("centroid",),
     )
     adc = " + ".join(f"element_at(__dtab{j}__, code_{j} + 1)" for j in range(m))
+    # the query side is (queries x probes) rows — broadcast it so the
+    # corpus-scale codes are NEVER shuffled by centroid (guide §3.1: the
+    # planner's size estimate after the probe assignment is unknown, so it
+    # fell back to a sort-merge join that exchanged the whole codes side)
     pairs = (
-        listed.join(q, "centroid")
+        listed.join(F.broadcast(q), "centroid")
         .where(F.col("id") != F.col("query_id"))
         .withColumn("approx_d", F.expr(adc))
         .withColumn("cosine", cosine_expr("__qemb__", "__cemb__"))
@@ -757,8 +761,10 @@ def ivf_topk(
         "__qemb__",
         n_best=n_probes,
     )
+    # broadcast the (queries x probes) side: the corpus stays un-shuffled
+    # (guide §3.1) — the per-query top-k window is then the only exchange
     scored = (
-        c.join(q, "centroid")
+        c.join(F.broadcast(q), "centroid")
         .where(F.col("id") != F.col("query_id"))
         .withColumn("cosine", cosine_expr("__qemb__", "__cemb__"))
         .dropDuplicates(["query_id", "id"])
@@ -856,4 +862,6 @@ def ivfpq_residual_topk(
     # ADC tables came from the residual; the exact cosine must use the
     # original query vector
     q = q.drop("__qemb__").withColumnRenamed("__qorig__", "__qemb__")
-    return adc_rank_pairs(codes.join(q, "centroid"), m, k, rerank)
+    # broadcast the (queries x probes) side so the corpus-scale codes are
+    # never shuffled by centroid (guide §3.1)
+    return adc_rank_pairs(codes.join(F.broadcast(q), "centroid"), m, k, rerank)
