@@ -339,11 +339,13 @@ def build_ann_index(
     rows = _rows_with_path(table, state.adds, id_col, column)
     rows = rows.localCheckpoint(eager=True)  # one scan feeds train + paths
     coarse = None
+    winner_vecs = None
     if n_centroids is not None:
         from delta_sorter_spark.operators.ivf import (
             _assign,
+            _kmeans_train,
             _normalize_expr,
-            kmeans_centroids,
+            _residual_winner_vecs,
         )
 
         normed = rows.select(
@@ -353,10 +355,24 @@ def build_ann_index(
             ).alias("__annemb__"),
             F.col("path"),
         )
-        coarse = kmeans_centroids(
+        # driver-side Lloyd state makes `coarse` a LOCAL Arrow frame — no
+        # localCheckpoint (pinning driver-local data cost a pointless
+        # Spark job); the seeding collect is reused for the PQ codebook
+        # seeds (same ids, same hash order — one fewer corpus job,
+        # guide §1.2), with the residual path computing the winners'
+        # residuals driver-side via the exact _assign fold
+        cents, winners = _kmeans_train(
             normed, "__annemb__", dim, int(n_centroids), n_iters,
             id_col="__annid__",
-        ).localCheckpoint(eager=True)
+        )
+        coarse = local_df(
+            rows.sparkSession, cents, "centroid int, cvec array<double>"
+        )
+        winner_vecs = (
+            _residual_winner_vecs(winners, cents)
+            if residual
+            else [v for _sid, v in winners]
+        )
     # `path` (and `centroid` for residual) ride the encode map-side via
     # extra_cols — no id-keyed re-attach join of the corpus (guide §8)
     if residual:
@@ -369,12 +385,13 @@ def build_ann_index(
         codes, codebooks = pq_encode(
             res, "__annid__", "__res__", dim, m, n_codes, n_iters,
             normalize=False, extra_cols=("centroid", "path"),
+            winner_vecs=winner_vecs,
         )
         codes = codes.drop("__cemb__")
     else:
         codes, codebooks = pq_encode(
             rows, "__annid__", "__annemb__", dim, m, n_codes, n_iters,
-            normalize, extra_cols=("path",),
+            normalize, extra_cols=("path",), winner_vecs=winner_vecs,
         )
         if coarse is not None:
             # inverted-list id per code row (codes' __cemb__ is the same

@@ -66,12 +66,14 @@ def _seed_centroids(corpus: DataFrame, id_col: str, emb_col: str, k: int):
     )
 
 
-def _seed_centroid_rows(
+def _seed_winner_rows(
     corpus: DataFrame, id_col: str, emb_col: str, k: int
-) -> list[tuple[int, list[float]]]:
-    """Driver-side form of :func:`_seed_centroids`: the same k winners as a
-    plain ``[(centroid, cvec), ...]`` list (collected doubles round-trip
-    bit-exactly), for loops that keep centroid state on the driver."""
+) -> list[tuple, ]:
+    """The k ``(id, vec)`` winners by (id-hash asc, id asc) — the shared
+    seeding order every trainer over this id space uses, as driver-side
+    lists (collected doubles round-trip bit-exactly).  One
+    TakeOrderedAndProject job; callers that train several quantizers over
+    the SAME ids (coarse + PQ) collect this once and slice."""
     h = F.expr(f"{spark_md5_long_sql(f'CAST({id_col} AS STRING)')} % {MERSENNE_P}")
     seeds = (
         corpus.select(
@@ -82,7 +84,21 @@ def _seed_centroid_rows(
         .orderBy(F.col("__h__").asc(), F.col("__sid__").asc())
         .limit(k)
     )
-    return [(i, list(row["cvec"])) for i, row in enumerate(seeds.collect())]
+    return [(row["__sid__"], list(row["cvec"])) for row in seeds.collect()]
+
+
+def _seed_centroid_rows(
+    corpus: DataFrame, id_col: str, emb_col: str, k: int
+) -> list[tuple[int, list[float]]]:
+    """Driver-side form of :func:`_seed_centroids`: the same k winners as a
+    plain ``[(centroid, cvec), ...]`` list (collected doubles round-trip
+    bit-exactly), for loops that keep centroid state on the driver."""
+    return [
+        (i, vec)
+        for i, (_sid, vec) in enumerate(
+            _seed_winner_rows(corpus, id_col, emb_col, k)
+        )
+    ]
 
 
 def _packed_centroids_df(spark, cents: list[tuple[int, list[float]]]) -> DataFrame:
@@ -132,25 +148,32 @@ def _assign(vectors: DataFrame, centroids: DataFrame, emb: str, n_best: int = 1)
     return out.drop("__cents__")
 
 
-def kmeans_centroids(
+def _kmeans_train(
     corpus: DataFrame,
     emb_col: str,
     dim: int,
     k: int = 16,
     n_iters: int = 2,
     id_col: str | None = None,
-) -> DataFrame:
-    """Deterministic coarse quantizer: (centroid, cvec).  ``id_col`` drives
-    the hash-based seeding (falls back to the embedding's string form)."""
+) -> tuple[list[tuple[int, list[float]]], list[tuple]]:
+    """Driver-side Lloyd returning ``(final_cents, seed_winners)``:
+    ``final_cents`` is the trained ``[(centroid, cvec), ...]`` list and
+    ``seed_winners`` the ``[(id, vec), ...]`` seeding collect in (id-hash,
+    id) order.  Callers that train a second quantizer over the SAME id
+    space (the IVF-PQ builds: coarse + per-subspace codebooks) reuse the
+    winners instead of re-running the TakeOrderedAndProject over the
+    corpus — one fewer corpus job per build, identical seeds (guide
+    §1.2)."""
     spark = corpus.sparkSession
     if id_col is None:
         seeds_src = corpus.select(
             F.expr(f"CAST({emb_col} AS STRING)").alias("__sid__"),
             F.col(emb_col).alias("__e__"),
         )
-        cents = _seed_centroid_rows(seeds_src, "__sid__", "__e__", k)
+        winners = _seed_winner_rows(seeds_src, "__sid__", "__e__", k)
     else:
-        cents = _seed_centroid_rows(corpus, id_col, emb_col, k)
+        winners = _seed_winner_rows(corpus, id_col, emb_col, k)
+    cents = [(i, vec) for i, (_sid, vec) in enumerate(winners)]
     vecs = corpus.select(F.col(emb_col).alias("__v__"))
     # Centroid state lives on the DRIVER between iterations (k tiny rows):
     # one Lloyd iteration is ONE corpus job (broadcast-assign -> quantized
@@ -196,7 +219,50 @@ def kmeans_centroids(
             (c, [vals[p] for p in sorted(vals)] if (vals := by_cent.get(c)) else old)
             for c, old in cents
         ]
-    return local_df(spark, cents, "centroid int, cvec array<double>")
+    return cents, winners
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    emb_col: str,
+    dim: int,
+    k: int = 16,
+    n_iters: int = 2,
+    id_col: str | None = None,
+) -> DataFrame:
+    """Deterministic coarse quantizer: (centroid, cvec).  ``id_col`` drives
+    the hash-based seeding (falls back to the embedding's string form)."""
+    cents, _ = _kmeans_train(corpus, emb_col, dim, k, n_iters, id_col)
+    return local_df(
+        corpus.sparkSession, cents, "centroid int, cvec array<double>"
+    )
+
+
+def _residual_winner_vecs(
+    winners: list[tuple], cents: list[tuple[int, list[float]]]
+) -> list[list[float]]:
+    """The seed winners' RESIDUAL vectors, computed driver-side with the
+    exact ``_assign`` semantics: squared-L2 as a left-to-right IEEE fold
+    over ``(x - y)^2`` (the same order ``aggregate(zip_with(...))``
+    evaluates), distance ties broken to the smaller centroid id (the
+    ``array_min`` over ``struct(d, centroid)``), then the element-wise
+    subtraction ``zip_with(x, cvec, x - y)``.  Python float arithmetic IS
+    IEEE double arithmetic, so each residual is bit-identical to
+    collecting it from the residual frame — which saves the residual
+    paths one TakeOrderedAndProject corpus job (guide §1.2)."""
+    ordered = sorted(cents)
+    out = []
+    for _sid, v in winners:
+        best_d = best_cv = None
+        for _cid, cv in ordered:
+            d = 0.0
+            for x, y in zip(v, cv):
+                t = x - y
+                d += t * t
+            if best_d is None or d < best_d:
+                best_d, best_cv = d, cv
+        out.append([x - y for x, y in zip(v, best_cv)])
+    return out
 
 
 def _normalize_expr(emb_col: str) -> str:
@@ -222,6 +288,7 @@ def pq_encode(
     n_iters: int = 2,
     normalize: bool = True,
     extra_cols: tuple = (),
+    winner_vecs: list | None = None,
 ) -> tuple[DataFrame, list[DataFrame]]:
     """Product quantization (Jégou, Douze, Schmid 2011) index build: split
     each ``dim``-vector into ``m`` subvectors, train an independent
@@ -254,20 +321,31 @@ def pq_encode(
 
     # Seeds: ALL subspaces share the same k winner rows (smallest id-hash),
     # each sliced per subspace — one TakeOrderedAndProject job total,
-    # identical to running _seed_centroids per subspace.
-    h = F.expr(
-        f"{spark_md5_long_sql('CAST(__sid__ AS STRING)')} % {MERSENNE_P}"
-    )
-    winners = (
-        base.select("__sid__", "__v__", h.alias("__h__"))
-        .orderBy(F.col("__h__").asc(), F.col("__sid__").asc())
-        .limit(n_codes)
-        .collect()
-    )
+    # identical to running _seed_centroids per subspace.  ``winner_vecs``
+    # skips even that job: a caller whose coarse quantizer already
+    # collected the winners over the SAME id space passes their ``__v__``
+    # values (in the shared (id-hash, id) order — a prefix property, since
+    # both seedings sort by the same hash of the same ids), so IVF-PQ
+    # builds seed both quantizers from ONE corpus job (guide §1.2).
+    if winner_vecs is not None and len(winner_vecs) >= n_codes:
+        seed_vecs = [list(v) for v in winner_vecs[:n_codes]]
+    else:
+        h = F.expr(
+            f"{spark_md5_long_sql('CAST(__sid__ AS STRING)')} % {MERSENNE_P}"
+        )
+        seed_vecs = [
+            list(row["__v__"])
+            for row in (
+                base.select("__sid__", "__v__", h.alias("__h__"))
+                .orderBy(F.col("__h__").asc(), F.col("__sid__").asc())
+                .limit(n_codes)
+                .collect()
+            )
+        ]
     cent_rows = [
-        (j, i, [float(x) for x in row["__v__"][j * dsub : (j + 1) * dsub]])
+        (j, i, [float(x) for x in v[j * dsub : (j + 1) * dsub]])
         for j in range(m)
-        for i, row in enumerate(winners)
+        for i, v in enumerate(seed_vecs)
     ]
 
     # Joint Lloyd iterations: one packed broadcast carries every subspace's
@@ -669,12 +747,18 @@ def ivfpq_topk(
     normed = corpus.select(
         F.col(id_col).alias("__nid__"), F.expr(emb_expr).alias("__nemb__")
     )
-    coarse = kmeans_centroids(
+    cents, winners = _kmeans_train(
         normed, "__nemb__", dim, n_centroids, n_iters, id_col="__nid__"
     )
-    # corpus index: coarse list id + PQ codes (normalize=False — already unit)
+    coarse = local_df(
+        normed.sparkSession, cents, "centroid int, cvec array<double>"
+    )
+    # corpus index: coarse list id + PQ codes (normalize=False — already
+    # unit); the PQ seeds reuse the coarse seeding collect (same ids, same
+    # hash order — one fewer corpus job, guide §1.2)
     codes, codebooks = pq_encode(
-        normed, "__nid__", "__nemb__", dim, m, n_codes, n_iters, normalize=False
+        normed, "__nid__", "__nemb__", dim, m, n_codes, n_iters,
+        normalize=False, winner_vecs=[v for _sid, v in winners],
     )
     listed = _assign(
         codes.withColumnRenamed("id", "__cid__"), coarse, "__cemb__"
@@ -817,9 +901,16 @@ def ivfpq_residual_topk(
     normed = corpus.select(
         F.col(id_col).alias("__nid__"), F.expr(emb_expr).alias("__nemb__")
     )
-    coarse = kmeans_centroids(
+    # _kmeans_train keeps centroid state on the driver, so `coarse` is a
+    # LOCAL Arrow frame — no localCheckpoint (pinning driver-local data
+    # cost a pointless Spark job), and the seeding collect is reused for
+    # the PQ codebook seeds below (guide §1.2: fewer jobs)
+    cents, winners = _kmeans_train(
         normed, "__nemb__", dim, n_centroids, n_iters, id_col="__nid__"
-    ).localCheckpoint(eager=True)
+    )
+    coarse = local_df(
+        normed.sparkSession, cents, "centroid int, cvec array<double>"
+    )
     sub = "zip_with(__nemb__, cvec, (x, y) -> CAST(x AS DOUBLE) - y)"
     residuals = (
         _assign(normed, coarse, "__nemb__")
@@ -832,9 +923,13 @@ def ivfpq_residual_topk(
     )
     # the ORIGINAL vector (exact cosine) and the list id (probe join) ride
     # the encode map-side — no id-keyed re-attach join (guide §8)
+    # PQ seeds: the winners' residuals, computed driver-side from the
+    # final coarse centroids with the exact _assign fold — skips the
+    # residual frame's TakeOrderedAndProject seeding job (guide §1.2)
     codes, codebooks = pq_encode(
         residuals, "__nid__", "__res__", dim, m, n_codes, n_iters,
         normalize=False, extra_cols=("centroid", "__orig__"),
+        winner_vecs=_residual_winner_vecs(winners, cents),
     )
     codes = codes.drop("__cemb__").withColumnRenamed("__orig__", "__cemb__")
     probed = (

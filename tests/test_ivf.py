@@ -302,3 +302,77 @@ def test_pq_serve_cosine_matches_exact_fold(spark):
                 by_q[r["query_id"]].append((r["cosine"], r["id"]))
             for rows in by_q.values():
                 assert rows == sorted(rows, key=lambda t: (-t[0], t[1]))
+
+
+def test_pq_seed_reuse_bit_identical(spark):
+    """The IVF-PQ builds seed the PQ codebooks from the coarse quantizer's
+    seeding collect (winner_vecs) instead of re-collecting; codes AND
+    codebooks must be bit-identical to the fallback TakeOrdered path, for
+    both the raw and the residual (driver-side _assign fold) forms."""
+    from delta_sorter_spark.operators.ivf import (
+        _kmeans_train,
+        _normalize_expr,
+        _residual_winner_vecs,
+        _seed_winner_rows,
+        pq_encode,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    normed = emb.select(
+        F.col("vec_id").alias("__nid__"),
+        F.expr(_normalize_expr("embedding")).alias("__nemb__"),
+    )
+    cents, winners = _kmeans_train(
+        normed, "__nemb__", dim=64, k=8, n_iters=2, id_col="__nid__"
+    )
+
+    def snap(codes, books):
+        rows = sorted(
+            tuple(r[c] for c in codes.columns) for r in codes.collect()
+        )
+        cb = [
+            sorted((r["centroid"], tuple(r["cvec"])) for r in b.collect())
+            for b in books
+        ]
+        return rows, cb
+
+    # raw form: reused winners == fallback collect
+    reused = snap(*pq_encode(
+        normed, "__nid__", "__nemb__", dim=64, m=4, n_codes=4,
+        normalize=False, winner_vecs=[v for _sid, v in winners],
+    ))
+    collected = snap(*pq_encode(
+        normed, "__nid__", "__nemb__", dim=64, m=4, n_codes=4,
+        normalize=False,
+    ))
+    assert reused == collected
+
+    # residual form: driver-side winner residuals == the residual frame's
+    # own TakeOrdered winners, bit for bit
+    from delta_sorter_spark.operators.ivf import _assign
+
+    sub = "zip_with(__nemb__, cvec, (x, y) -> CAST(x AS DOUBLE) - y)"
+    residuals = (
+        _assign(
+            normed,
+            spark.createDataFrame(
+                [(c, v) for c, v in cents], "centroid int, cvec array<double>"
+            ),
+            "__nemb__",
+        )
+        .join(
+            F.broadcast(
+                spark.createDataFrame(
+                    [(c, v) for c, v in cents],
+                    "centroid int, cvec array<double>",
+                )
+            ),
+            "centroid",
+        )
+        .select("__nid__", F.expr(sub).alias("__res__"))
+    )
+    driver_side = _residual_winner_vecs(winners, cents)
+    spark_side = [
+        v for _sid, v in _seed_winner_rows(residuals, "__nid__", "__res__", 8)
+    ]
+    assert driver_side == spark_side
