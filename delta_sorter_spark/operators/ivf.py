@@ -87,20 +87,6 @@ def _seed_winner_rows(
     return [(row["__sid__"], list(row["cvec"])) for row in seeds.collect()]
 
 
-def _seed_centroid_rows(
-    corpus: DataFrame, id_col: str, emb_col: str, k: int
-) -> list[tuple[int, list[float]]]:
-    """Driver-side form of :func:`_seed_centroids`: the same k winners as a
-    plain ``[(centroid, cvec), ...]`` list (collected doubles round-trip
-    bit-exactly), for loops that keep centroid state on the driver."""
-    return [
-        (i, vec)
-        for i, (_sid, vec) in enumerate(
-            _seed_winner_rows(corpus, id_col, emb_col, k)
-        )
-    ]
-
-
 def _packed_centroids_df(spark, cents: list[tuple[int, list[float]]]) -> DataFrame:
     """ONE-row local frame holding ``array<struct<centroid,cvec>>`` sorted by
     centroid id — the exact shape ``_assign``'s packed agg produces, minus
