@@ -68,7 +68,7 @@ def _seed_centroids(corpus: DataFrame, id_col: str, emb_col: str, k: int):
 
 def _seed_winner_rows(
     corpus: DataFrame, id_col: str, emb_col: str, k: int
-) -> list[tuple, ]:
+) -> list[tuple]:
     """The k ``(id, vec)`` winners by (id-hash asc, id asc) — the shared
     seeding order every trainer over this id space uses, as driver-side
     lists (collected doubles round-trip bit-exactly).  One
