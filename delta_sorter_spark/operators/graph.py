@@ -29,6 +29,34 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Right-sizing for the per-iteration edge caches (guide §2.2 "fewer, larger
+# partitions" + VERDICT r9 #1): an edge row is two BIGINTs (~16-50 bytes in
+# memory), so 2M rows/partition keeps cached partitions in the tens-of-MB
+# band.  The iteration loops below scan their cached edge frame several
+# times per round; without this, a tiny similarity graph inherits
+# 2 x spark.sql.shuffle.partitions partitions from its union/distinct
+# lineage and every round schedules hundreds of near-empty tasks (measured:
+# e66_doc_centrality ran 1284 tasks at local[32] for a 5k-node graph, and
+# the driver's 8-core bench beat its 32-core bench 3.2 s vs 12.5 s on the
+# same code).  Large graphs are untouched: coalesce never increases the
+# partition count, so at 100 TB the cache keeps its layout.
+EDGE_ROWS_PER_PARTITION = 2_000_000
+
+
+def _rightsize_cached_edges(df: DataFrame, n_rows: int) -> DataFrame:
+    """Re-cache an already-materialized edge frame at a row-count-derived
+    partition count.  ``df`` must be persisted and counted; the returned
+    frame is persisted (cache-to-cache coalesce — one cheap pass, no
+    recompute of the edge-generation lineage) and replaces it."""
+    parts = df.rdd.getNumPartitions()
+    target = max(1, min(parts, -(-n_rows // EDGE_ROWS_PER_PARTITION)))
+    if target >= parts:
+        return df
+    sized = df.coalesce(target).persist()
+    sized.count()
+    df.unpersist()
+    return sized
+
 
 def connected_components(
     nodes: DataFrame,
@@ -55,6 +83,11 @@ def connected_components(
         .distinct()
         .persist()
     )
+    # materialize the cache once and right-size it: every iteration scans
+    # it 3x (neighbor-min join feeds it; the two label joins rescan labels),
+    # and the union lineage otherwise leaves 2 x shuffle.partitions
+    # near-empty cached partitions driving per-round task counts (§2.2)
+    bidir = _rightsize_cached_edges(bidir, bidir.count())
     labels = nodes.select(F.col(node_col).alias("id"), F.col(node_col).alias("component"))
     for _ in range(max_iterations):
         neighbor_min = (
@@ -220,6 +253,11 @@ def pagerank(
     ed = edges.select(
         F.col(src_col).alias("__src__"), F.col(dst_col).alias("__dst__")
     ).persist()
+    # materialize + right-size the cache before the loop: each iteration
+    # derives deg and eb from it (2-3 scans/round), so a tiny graph's
+    # 2 x shuffle.partitions union lineage would otherwise schedule
+    # hundreds of near-empty tasks per round (§2.2; see constant above)
+    ed = _rightsize_cached_edges(ed, ed.count())
     deg = ed.groupBy("__src__").agg(F.count(F.lit(1)).alias("__deg__"))
     eb = ed.join(deg, "__src__")
     ranks = out_schema_nodes.withColumn("rank_q", F.lit(init_q).cast("long"))

@@ -594,7 +594,15 @@ def attest_sort_stats(
             r: by_abs[p] for r, p in zip(rels, abs_paths)
         }
     elif len(rels) < 64:
-        stats_by_path = {rel: _one(rel) for rel in rels}
+        # driver-side pyarrow reads, but CONCURRENT: each _one() is
+        # IO-bound footer+column reads that release the GIL, so a thread
+        # pool overlaps them instead of paying file latencies serially
+        # (guide §2.6 overlap independent work; same results, dict rebuilt
+        # from the ordered map)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(len(rels), 16)) as pool:
+            stats_by_path = dict(zip(rels, pool.map(_one, rels)))
     else:
         # one Spark job over the file list; only O(files) stat rows return
         def compute(batches: Iterator) -> Iterator:
