@@ -880,8 +880,12 @@ def ivfpq_residual_topk(
 
     Scale shape matches :func:`ivfpq_topk`: corpus-side work zero-shuffle
     (broadcast coarse assign + broadcast residual encode, corpus read
-    once into a checkpointed residual frame), candidates restricted by
-    the centroid equi-join."""
+    once into a RESIDUAL-WIDTH checkpointed frame — ids, list id and one
+    dim-vector per row, never the originals), candidates restricted by
+    the centroid equi-join, and the per-query top-n exchange carrying
+    ``(query_id, id, approx_d)`` only; original vectors are fetched for
+    the queries x max(rerank, k) shortlist alone, the registered-index
+    serving discipline (operators/ann_index._exact_rank)."""
     emb_expr = _normalize_expr(emb_col)
     q_expr = _normalize_expr(query_emb_col)
     normed = corpus.select(
@@ -898,26 +902,28 @@ def ivfpq_residual_topk(
         normed.sparkSession, cents, "centroid int, cvec array<double>"
     )
     sub = "zip_with(__nemb__, cvec, (x, y) -> CAST(x AS DOUBLE) - y)"
+    # RESIDUAL-WIDTH checkpoint (r10, guide §5): the one corpus pass that
+    # feeds train + encode pins (id, centroid, residual) only — the
+    # original vectors are NOT carried (the r9 shape pinned 2 x dim
+    # doubles per row); exact cosine re-reads them for the SHORTLIST
+    # below, the registered-index discipline (ann_index._exact_rank)
     residuals = (
         _assign(normed, coarse, "__nemb__")
         .join(F.broadcast(coarse), "centroid")
-        .select(
-            "__nid__", "centroid", F.col("__nemb__").alias("__orig__"),
-            F.expr(sub).alias("__res__"),
-        )
-        .localCheckpoint(eager=True)  # one corpus pass feeds train + encode
+        .select("__nid__", "centroid", F.expr(sub).alias("__res__"))
+        .localCheckpoint(eager=True)
     )
-    # the ORIGINAL vector (exact cosine) and the list id (probe join) ride
-    # the encode map-side — no id-keyed re-attach join (guide §8)
+    # the list id (probe join) rides the encode map-side — no id-keyed
+    # re-attach join (guide §8)
     # PQ seeds: the winners' residuals, computed driver-side from the
     # final coarse centroids with the exact _assign fold — skips the
     # residual frame's TakeOrderedAndProject seeding job (guide §1.2)
     codes, codebooks = pq_encode(
         residuals, "__nid__", "__res__", dim, m, n_codes, n_iters,
-        normalize=False, extra_cols=("centroid", "__orig__"),
+        normalize=False, extra_cols=("centroid",),
         winner_vecs=_residual_winner_vecs(winners, cents),
     )
-    codes = codes.drop("__cemb__").withColumnRenamed("__orig__", "__cemb__")
+    codes = codes.drop("__cemb__")
     probed = (
         _assign(
             queries.select(
@@ -930,7 +936,7 @@ def ivfpq_residual_topk(
         )
         .join(F.broadcast(coarse), "centroid")
         .select(
-            "query_id", "centroid", "__qorig__",
+            "query_id", "centroid",
             F.expr(
                 "zip_with(__qorig__, cvec, (x, y) -> CAST(x AS DOUBLE) - y)"
             ).alias("__qres__"),
@@ -938,11 +944,41 @@ def ivfpq_residual_topk(
     )
     q = adc_query_tables(
         probed, "query_id", "__qres__", codebooks, dim, normalize=False,
-        extra_cols=("centroid", "__qorig__"),
-    )
-    # ADC tables came from the residual; the exact cosine must use the
-    # original query vector
-    q = q.drop("__qemb__").withColumnRenamed("__qorig__", "__qemb__")
+        extra_cols=("centroid",),
+    ).drop("__qemb__")
     # broadcast the (queries x probes) side so the corpus-scale codes are
-    # never shuffled by centroid (guide §3.1)
-    return adc_rank_pairs(codes.join(F.broadcast(q), "centroid"), m, k, rerank)
+    # never shuffled by centroid (guide §3.1); the candidate top-n
+    # exchange then carries (query_id, id, approx_d) ONLY — no dim-wide
+    # vector columns (guide §2.3, project before the exchange)
+    shortlist = adc_shortlist(
+        codes.join(F.broadcast(q), "centroid"), m, k, rerank
+    ).select("query_id", "id", "approx_d", "__adc_rank__")
+    # exact cosine on shortlist survivors only: re-attach the NORMALIZED
+    # original vectors (the same deterministic exprs the r9 shape carried
+    # through the pipeline, so every cosine is bit-identical) — the
+    # shortlist is queries x max(rerank, k) rows, so it broadcasts and
+    # neither corpus nor query frame is shuffled for the fetch
+    corp_vec = corpus.select(
+        F.col(id_col).alias("id"), F.expr(emb_expr).alias("__cemb__")
+    )
+    qry_vec = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.expr(q_expr).alias("__qemb__"),
+    )
+    scored = (
+        F.broadcast(shortlist)
+        .join(corp_vec, "id")
+        .join(F.broadcast(qry_vec), "query_id")
+        .withColumn("cosine", cosine_expr("__qemb__", "__cemb__"))
+    )
+    if rerank is None:
+        return scored.select(
+            "query_id", "id", F.col("__adc_rank__").alias("rank"),
+            "approx_d", "cosine",
+        )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select("query_id", "id", "rank", "approx_d", "cosine")
+    )
